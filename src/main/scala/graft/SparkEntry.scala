@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises scan → broadcast join → keyed agg → window-free ordering. */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.tune(spark)
+    val d = "/root/testdata/sf0.001"
+    Graft.table(spark, d, "lineitem")
+      .join(Graft.table(spark, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Graft.table(spark, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        operators.Relational.sumExact(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ scale extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check. */
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracle
 }
