@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,13 +21,19 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Polynomial rolling hash over a string's UTF-8 bytes:
   * h = Σ h*BASE + byte, in unsigned 64-bit wraparound arithmetic.
   * Deterministic across JVMs/partitions (no object hashCode involved). */
-case class RollingHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  // Manual type check — ExpectsInputTypes/AbstractDataType are private[sql]
+  // in Spark 4.x, so input validation is spelled out here instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires STRING input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
-    var h = 1469598103934665603L // FNV offset basis as seed
+    var h = 1469598103934665603L // arbitrary fixed odd seed (stable across JVMs)
     var i = 0
     while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xffL); i += 1 }
     h
@@ -54,9 +61,14 @@ case class RollingHash(child: Expression) extends UnaryExpression with ExpectsIn
   * (FNV-1a over UTF-8 bytes), each hash votes ±1 per bit, result bit j is 1
   * iff the vote is positive. Hamming-close simhashes ⇒ similar token
   * multisets — the standard near-dup sketch. */
-case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -114,7 +126,7 @@ object SimHash64 {
 
 object TextHashes {
   def rolling_hash(c: Column): Column =
-    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+    GraftShims.column(RollingHash(GraftShims.expression(c)))
   def simhash64(c: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+    GraftShims.column(SimHash64(GraftShims.expression(c)))
 }
