@@ -13,7 +13,7 @@ object SparkEntry {
     val d = "/root/testdata/sf0.001"
     Graft.table(spark, d, "lineitem")
       .join(Graft.table(spark, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Graft.table(spark, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(Graft.table(spark, d, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         operators.Relational.sumExact(col("l_extendedprice")).as("sum_price"),

@@ -133,11 +133,12 @@ object CoreQueries {
         table(s, d, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
         Seq(col("o_custkey")), Seq(col("o_orderdate").asc, col("o_orderkey").asc))),
 
-    // Inner join + keyed agg; customer is small → broadcast (no shuffle of the
-    // orders side at any scale).
+    // Inner join + keyed agg. No forced broadcast: customer GROWS with scale
+    // (millions of rows at 100x), so the join strategy is left to AQE — it
+    // picks broadcast at small SF and degrades to shuffle join at large.
     "q13_join_inner_broadcast" -> ((s, d) =>
       table(s, d, "orders")
-        .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("total_spend"))),
 
@@ -154,12 +155,13 @@ object CoreQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
 
-    // 3-way join: fact-fact shuffle join (lineitem ⋈ orders on the join key)
-    // + broadcast dims (customer, nation).
+    // 3-way join: fact-fact shuffle join (lineitem ⋈ orders on the join key),
+    // customer left to AQE (it grows with scale), nation force-broadcast
+    // (genuinely bounded: 25 rows at any SF).
     "q16_join_multi" -> ((s, d) =>
       table(s, d, "lineitem")
         .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_mktsegment"), col("n_name"))
         .agg(

@@ -61,10 +61,9 @@ def main(sfdir, outdir):
         ok = True
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                eq = (pd.isna(av) & pd.isna(bv)) | (av == bv)
-            else:
-                eq = (pd.isna(av) & pd.isna(bv)) | (av == bv)
+            # Exact equality even for floats, matching the driver's hash gate:
+            # engine-side aggregates are decimal-routed so doubles bit-match.
+            eq = (pd.isna(av) & pd.isna(bv)) | (av == bv)
             if not eq.all():
                 i = int(np.argmin(eq))
                 print(f"FAIL vals {name}.{c}: row{i} spark={av[i]!r} duck={bv[i]!r}"
