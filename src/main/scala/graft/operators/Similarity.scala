@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric determinism: every float is cast to double up front (exact), all
+  * products/sums are double IEEE ops, and the dot product is a *sequential
+  * left fold* (`aggregate` with 0.0 init) — the same order a single-node SQL
+  * oracle folds in — so cosine scores are reproducible bit-for-bit across
+  * partition counts and engines.
+  *
+  * Scale design (100 TB): brute force is O(|Q|x|C|) and is the correctness
+  * baseline — the query side must be bounded (it is broadcast). The scale path
+  * is [[lshKnn]]: candidates are generated only inside sign-LSH buckets, so
+  * the join is hash-partitioned on the bucket key instead of a cross product.
+  */
+object Similarity {
+
+  /** Embeddings with double-cast vector and its L2 norm. */
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(emb, x -> x*x), CAST(0 AS DOUBLE), (a,x) -> a+x))"))
+
+  private val dot =
+    expr("aggregate(zip_with(q_emb, c_emb, (x,y) -> x*y), CAST(0 AS DOUBLE), (a,x) -> a+x)")
+
+  /** Exact top-k cosine neighbors for each query vector (queries = rows of
+    * `emb` matching `queryPred`). Output: query_id, rnk, neighbor_id, cos_sim
+    * (rounded to 6 dp). Query side is broadcast: |Q| must be small/bounded. */
+  def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val q = n.where(queryPred)
+      .select(col(idCol).as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col(idCol).as("neighbor_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Bucketed approximate top-k: deterministic sign-LSH on the first `nBits`
+    * dimensions (bucket = bitmask of sign(emb[i])); candidates only within the
+    * query's bucket. The candidate join shuffles on the bucket key — no cross
+    * product — which is the shape that survives a 100x corpus. */
+  def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column, k: Int, nBits: Int = 4): DataFrame = {
+    val bucketExpr = expr(
+      s"aggregate(transform(sequence(1, $nBits), " +
+      "j -> IF(element_at(emb, j) > CAST(0 AS DOUBLE), shiftleft(1, j-1), 0)), 0, (a,x) -> a+x)")
+    val n = withNorm(emb, idCol, vecCol).withColumn("bucket", bucketExpr)
+    val q = n.where(queryPred)
+      .select(col("bucket"), col(idCol).as("query_id"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col("bucket"), col(idCol).as("neighbor_id"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

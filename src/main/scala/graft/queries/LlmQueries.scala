@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.{Similarity, TextDedup}
+
+/** LLM-training-data pipeline operators over the driver's `documents` and
+  * `embeddings` tables: text statistics, quality scoring, language-ID,
+  * fingerprinting, exact + MinHash-LSH + SimHash dedup, and cosine
+  * similarity search (brute-force baseline + LSH-bucketed scale path).
+  *
+  * Every oracle below reproduces the Spark computation bit-for-bit in DuckDB:
+  * counts are BIGINT on both sides, ratios are double divisions of exact
+  * integers, hashes are md5 (identical hex in both engines), and dot products
+  * are sequential left folds over doubles (same order => same IEEE result).
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopEn = "('the','a','of','and','to','in')"
+  private val stopDe = "('der','die','das','und','ist')"
+  private val stopFr = "('le','la','et','les','des')"
+
+  val queries: Map[String, Q] = Map(
+
+    // Token counting + per-document stats (LLM text-analysis surface).
+    "q26_text_stats" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("bigint").as("n_distinct_tokens"),
+        length(col("text")).cast("bigint").as("len_chars"),
+        expr("CAST(aggregate(transform(split(text,' '), t -> length(t)), 0, (a,x) -> a+x) AS DOUBLE)" +
+          " / size(split(text,' '))").as("avg_token_len"))),
+
+    // Corpus-level token frequency: explode -> groupBy -> deterministic top-20.
+    // Plans as partial+final HashAggregate then TakeOrderedAndProject.
+    "q27_token_freq" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
+    // Exact dedup at scale: md5 fingerprint + one keyed shuffle. Input is the
+    // corpus unioned with itself (1000 rows), output collapses back to 500 —
+    // proving the collapse, not just hashing distinct rows.
+    "q28_fingerprint_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextDedup.exactDedup(docs.unionByName(docs), "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // Character-trigram profile (n-gram analysis surface).
+    "q29_ngram_profile" -> ((s, d) =>
+      table(s, d, "documents").where(length(col("text")) >= 3).select(
+        col("doc_id"),
+        expr("CAST(size(array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))) AS BIGINT)")
+          .as("n_distinct_trigrams"),
+        (length(col("text")) - 2).cast("bigint").as("n_trigrams"))),
+
+    // Quality scoring + stopword-overlap language-ID heuristic.
+    "q30_lang_quality" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        expr(s"CAST(size(filter(split(text,' '), t -> t IN $stopEn)) AS BIGINT)").as("en_hits"),
+        expr(s"CAST(size(filter(split(text,' '), t -> t IN $stopDe)) AS BIGINT)").as("de_hits"),
+        expr(s"CAST(size(filter(split(text,' '), t -> t IN $stopFr)) AS BIGINT)").as("fr_hits"))
+        .withColumn("stop_ratio", col("en_hits").cast("double") / col("n_tokens"))
+        .withColumn("guessed_lang",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+            .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+            .when(col("fr_hits") > 0, "fr")
+            .otherwise("unk"))
+        .withColumn("is_quality", col("n_tokens") >= 20 && col("stop_ratio") >= 0.05)),
+
+    // MinHash-LSH near-duplicate pairs (banded bucket-join, exact-Jaccard
+    // verified). Finds the corpus's planted ~0.98-Jaccard pairs.
+    "q31_minhash_lsh_pairs" -> ((s, d) =>
+      TextDedup.minhashNearDupPairs(
+        table(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, bands = 4, threshold = 0.5)),
+
+    // SimHash banded near-dup pairs — native codegen'd SimHash64 expression.
+    // No SQL oracle (FNV-1a unsigned arithmetic is not expressible in
+    // DuckDB's checked BIGINT); correctness is pinned by LlmOperatorsSpec
+    // (codegen-vs-interpreted cross-check + planted-pair recall).
+    "q32_simhash_pairs" -> ((s, d) =>
+      TextDedup.simhashNearDupPairs(
+        table(s, d, "documents"), "doc_id", "text",
+        nBands = 4, maxHamming = 8)),
+
+    // Brute-force cosine top-10 for a bounded query set — the exactness
+    // baseline for ANN. Query side broadcast; candidates scanned once.
+    "q33_knn_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 100, k = 10)),
+
+    // Sign-LSH bucketed ANN — the 100x-scale path: candidate join shuffles on
+    // the bucket key, no cross product.
+    "q34_knn_lsh" -> ((s, d) =>
+      Similarity.lshKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 100, k = 3, nBits = 4))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q26_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  length(text) AS len_chars,
+        |  CAST(list_sum([length(t) for t in string_split(text,' ')]) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q27_token_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q28_fingerprint_dedup" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, md5(text) AS fingerprint,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM doubled)
+        |SELECT doc_id, fingerprint FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q29_ngram_profile" ->
+      """SELECT doc_id,
+        |  len(list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)])) AS n_distinct_trigrams,
+        |  length(text)-2 AS n_trigrams
+        |FROM documents WHERE length(text) >= 3""".stripMargin,
+
+    "q30_lang_quality" ->
+      s"""SELECT doc_id, lang,
+         |  len(string_split(text,' ')) AS n_tokens,
+         |  len(list_filter(string_split(text,' '), t -> t IN $stopEn)) AS en_hits,
+         |  len(list_filter(string_split(text,' '), t -> t IN $stopDe)) AS de_hits,
+         |  len(list_filter(string_split(text,' '), t -> t IN $stopFr)) AS fr_hits,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN $stopEn)) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS stop_ratio,
+         |  CASE
+         |    WHEN len(list_filter(string_split(text,' '), t -> t IN $stopEn)) >= len(list_filter(string_split(text,' '), t -> t IN $stopDe))
+         |     AND len(list_filter(string_split(text,' '), t -> t IN $stopEn)) >= len(list_filter(string_split(text,' '), t -> t IN $stopFr))
+         |     AND len(list_filter(string_split(text,' '), t -> t IN $stopEn)) > 0 THEN 'en'
+         |    WHEN len(list_filter(string_split(text,' '), t -> t IN $stopDe)) >= len(list_filter(string_split(text,' '), t -> t IN $stopFr))
+         |     AND len(list_filter(string_split(text,' '), t -> t IN $stopDe)) > 0 THEN 'de'
+         |    WHEN len(list_filter(string_split(text,' '), t -> t IN $stopFr)) > 0 THEN 'fr'
+         |    ELSE 'unk' END AS guessed_lang,
+         |  (len(string_split(text,' ')) >= 20 AND
+         |   CAST(len(list_filter(string_split(text,' '), t -> t IN $stopEn)) AS DOUBLE)
+         |     / len(string_split(text,' ')) >= 0.05) AS is_quality
+         |FROM documents""".stripMargin,
+
+    "q31_minhash_lsh_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
+        |    FROM toks)),
+        |sig AS (
+        |  SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
+        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        |  GROUP BY doc_a, doc_b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q33_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q, n c
+        |      WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM p)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q34_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm,
+        |        list_sum([CASE WHEN emb[j] > 0 THEN 1 << (j-1) ELSE 0 END for j in range(1, 5)]) AS bucket
+        |      FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q JOIN n c ON q.bucket = c.bucket
+        |      WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM p)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
+        |FROM r WHERE rnk <= 3""".stripMargin
+  )
+}

