@@ -105,7 +105,27 @@ object LlmQueries {
     "q34_knn_lsh" -> ((s, d) =>
       Similarity.lshKnn(
         table(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 100, k = 3, nBits = 4))
+        col("vec_id") < 100, k = 3, nBits = 4)),
+
+    // Partitioned-write + basePath-read roundtrip (K2/K3 + S4 + Y2 + Y4):
+    // write events Hive-partitioned by y/m/d with dynamic overwrite, read the
+    // ROOT back with basePath so partition columns survive, partition-prune
+    // with a predicate, aggregate. Oracle computes the same directly — equal
+    // results prove the layout round-trips losslessly.
+    "q35_partitioned_roundtrip" -> ((s, d) => {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      table(s, d, "events")
+        .withColumn("y", year(col("ts")))
+        .withColumn("m", month(col("ts")))
+        .withColumn("d", dayofmonth(col("ts")))
+        .write.mode("overwrite").partitionBy("y", "m", "d").parquet(out)
+      s.read.option("basePath", out).parquet(out)
+        .where(col("d") <= 7)                       // partition-pruned scan
+        .groupBy(col("y"), col("m"), col("d"))
+        .agg(count(lit(1)).as("n"),
+          graft.operators.Relational.sumExact(col("value")).as("sum_value"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,6 +242,13 @@ object LlmQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM p)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
-        |FROM r WHERE rnk <= 3""".stripMargin
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q35_partitioned_roundtrip" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+        |  CAST(day(ts) AS INTEGER) AS d, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE day(ts) <= 7
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }
