@@ -125,6 +125,28 @@ object LlmQueries {
         .groupBy(col("y"), col("m"), col("d"))
         .agg(count(lit(1)).as("n"),
           graft.operators.Relational.sumExact(col("value")).as("sum_value"))
+    }),
+
+    // Multimodal: opaque binary payload column + typed metadata (byte size,
+    // leading-bytes hex, content fingerprint) — the metadata layer every
+    // media pipeline needs before any codec runs.
+    "q36_binary_meta" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
+        hex(expr("substring(CAST(text AS BINARY), 1, 4)")).as("head_hex"),
+        md5(col("text")).as("fingerprint"))),
+
+    // Multimodal decode/feature plumbing (STUB codec, real mapPartitions
+    // batching) — rows-only: the stub's FNV-derived pseudo-metadata is not
+    // SQL-expressible; MultimodalSpec pins determinism and shapes.
+    "q37_media_features" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.fromText(s, table(s, d, "documents"), "doc_id", "text", "image")
+      Multimodal.extractFeatures(media, featureDim = 4)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
     })
   )
 
@@ -249,6 +271,13 @@ object LlmQueries {
         |  CAST(day(ts) AS INTEGER) AS d, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE day(ts) <= 7
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q36_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS head_hex,
+        |  md5(text) AS fingerprint
+        |FROM documents""".stripMargin
   )
 }

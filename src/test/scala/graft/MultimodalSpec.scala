@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def media = Multimodal.fromText(
+    spark, Graft.table(spark, sf, "documents"), "doc_id", "text", "image")
+
+  test("binary payloads roundtrip: n_bytes equals source text length (ascii corpus)") {
+    val feats = Multimodal.extractFeatures(media).toDF()
+    val joined = feats.join(Graft.table(spark, sf, "documents"),
+      col("media_id") === col("doc_id"))
+    assert(joined.where(col("n_bytes") =!= length(col("text"))).count() == 0)
+  }
+
+  test("stub decode is deterministic and partition-independent") {
+    val a = Multimodal.extractFeatures(media.repartition(7)).toDF()
+      .select("media_id", "width", "height", "n_frames").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    val b = Multimodal.extractFeatures(media.coalesce(1)).toDF()
+      .select("media_id", "width", "height", "n_frames").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("feature vectors have the requested width and are in [-1, 1]") {
+    val rows = Multimodal.extractFeatures(media, featureDim = 8)
+      .collect()
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.features.forall(f => f >= -1.0f && f <= 1.0f)))
+  }
+
+  test("video kind gets multi-frame metadata; frame sampling emits n windows per payload") {
+    val video = Multimodal.fromText(
+      spark, Graft.table(spark, sf, "documents"), "doc_id", "text", "video")
+    val feats = Multimodal.extractFeatures(video).collect()
+    assert(feats.forall(_.n_frames >= 1))
+    val frames = Multimodal.sampleFrames(video, n = 5, frameBytes = 8)
+    val counts = frames.groupBy("media_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+    // sampled windows are genuine slices of the payload
+    val one = frames.where(col("media_id") === counts.head.getLong(0))
+      .orderBy("frame_idx").collect()
+    assert(one.forall(_.getAs[Array[Byte]]("frame").length <= 8))
+  }
+}
