@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** ScalaCheck invariants for the operator library (SURVEY.md §5.2). Uses raw
+  * scalacheck (no scalatestplus bridge in the offline cache); each property
+  * runs 30 sized cases through a live SparkSession. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(30).withWorkers(1)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    assert(r.passed, s"$name: $r")
+  }
+
+  test("explode row count equals total array length") {
+    import spark.implicits._
+    check("explode", Prop.forAll(
+      Gen.listOfN(8, Gen.listOf(Gen.choose(-1000, 1000)))) { arrays =>
+      val df = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "xs")
+      val exploded = df.select(col("id"), explode(col("xs"))).count()
+      exploded == arrays.map(_.size).sum
+    })
+  }
+
+  test("dedupeByKey keeps exactly one row per key and is idempotent") {
+    import spark.implicits._
+    check("dedup", Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = Relational.dedupeByKey(df, Seq(col("k")), Seq(col("v").asc, col("k").asc))
+      val twice = Relational.dedupeByKey(once, Seq(col("k")), Seq(col("v").asc, col("k").asc))
+      val keys = rows.map(_._1).distinct.size
+      once.count() == keys && twice.count() == keys &&
+        once.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+          rows.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }.toSet
+    })
+  }
+
+  test("sumExact is invariant to partitioning (order-independent decimal route)") {
+    import spark.implicits._
+    check("sumExact", Prop.forAll(
+      Gen.listOf(Gen.choose(-99999, 99999).map(_ / 100.0))) { xs =>
+      val df = xs.toDF("v")
+      def total(d: org.apache.spark.sql.DataFrame) =
+        d.agg(Relational.sumExact(col("v"))).collect().head
+      val a = total(df.repartition(13))
+      val b = total(df.coalesce(1))
+      (a.isNullAt(0) && b.isNullAt(0)) || a.getDouble(0) == b.getDouble(0)
+    })
+  }
+
+  test("rolling_hash and simhash64 are pure functions of content") {
+    import spark.implicits._
+    val asciiText = Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.mkString(" "))
+    check("hash-purity", Prop.forAll(Gen.listOfN(6, asciiText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      def hashes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id"),
+            graft.functions.TextHashes.rolling_hash(col("text")),
+            graft.functions.TextHashes.simhash64(split(col("text"), " ")))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      hashes(df.repartition(5)).sameElements(hashes(df.coalesce(1)))
+    })
+  }
+
+  test("agg invariants: min <= avg <= max over any non-empty set") {
+    import spark.implicits._
+    check("agg-bounds", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-99999, 99999).map(_ / 100.0))) { xs =>
+      val r = xs.toDF("v")
+        .agg(min(col("v")), max(col("v")), Relational.avgExact(col("v")))
+        .collect().head
+      val (mn, mx, av) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      mn <= av + 1e-9 && av <= mx + 1e-9
+    })
+  }
+}
