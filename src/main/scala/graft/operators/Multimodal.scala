@@ -31,7 +31,8 @@ object Multimodal {
 
   /** STUB decoder — deterministic pseudo-decode standing in for an actual
     * image/audio codec (none available in this container). Derives stable
-    * "dimensions" and a feature sketch from payload bytes via FNV-1a. */
+    * "dimensions" and a feature sketch from ONE pass over the payload bytes
+    * (no per-feature copies of the content). */
   private[operators] def stubDecode(m: Media, featureDim: Int): MediaFeatures = {
     val h = graft.functions.SimHash64.fnv1a(m.content)
     val width = 16 + (java.lang.Long.remainderUnsigned(h, 1024L)).toInt
@@ -41,7 +42,8 @@ object Multimodal {
       case _ => 1
     }
     val feats = Array.tabulate(featureDim) { i =>
-      val hi = graft.functions.SimHash64.fnv1a(m.content ++ Array(i.toByte))
+      // continue the FNV chain per feature index instead of re-hashing content
+      val hi = (h ^ (i + 1).toLong) * 1099511628211L
       (hi.toDouble / Long.MaxValue).toFloat
     }
     MediaFeatures(m.media_id, m.kind, m.content.length.toLong, width, height, frames, feats)

@@ -18,6 +18,10 @@ object Pipeline {
     * count the upsert consumed (the reference's diagnostic K8). */
   def runDay(spark: SparkSession, cfg: AppConfig, date: LocalDate,
              fetch: AppConfig => String = HttpSource.fetchForecast(_)): Long = {
+    // Y3: actually apply the configured shuffle width (the reference declares
+    // shuffle_partitions in yaml but never passes it, config/settings.yaml:23
+    // vs dags/weather_daily_etl.py:83-88).
+    spark.conf.set("spark.sql.shuffle.partitions", cfg.spark.shufflePartitions.toString)
     val body = fetch(cfg)                                          // O1 stage 1: bronze extract
     ObjectStore.putBronze(
       spark.sparkContext.hadoopConfiguration, cfg.storage.bronze, date, body)

@@ -147,7 +147,46 @@ object LlmQueries {
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"))
-    })
+    }),
+
+    // Deterministic content-hash sampling (§2.9 "Sampling"): a systematic
+    // ~12.5% sample keyed on md5 of the key — reproducible on ANY engine and
+    // ANY partitioning, unlike rand()-seeded sampling.
+    "q38_systematic_sample" -> ((s, d) =>
+      table(s, d, "orders")
+        .where(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // A2 dedup-average, Spark-side: duplicate "stage" rows for a key collapse
+    // by AVG (the reference's replay semantics,
+    // dags/weather_daily_etl.py:186-196), here over a doubled daily rollup.
+    "q39_stage_dedup_avg" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"))
+        .agg(graft.operators.Relational.sumExact(col("value")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+      daily.unionByName(daily) // two identical "stage loads" for every day
+        .groupBy(col("y"), col("m"), col("d"))
+        .agg(avg(col("sum_value")).as("avg_sum_value"),
+          avg(col("n_rows")).as("avg_n_rows"),
+          count(lit(1)).as("n_stage_rows"))
+    }),
+
+    // JSON path extraction from the events.props payload column.
+    "q40_json_extract" -> ((s, d) =>
+      table(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // Native codegen fingerprints over the corpus (rows-only: unsigned 64-bit
+    // wraparound isn't DuckDB-expressible; PropertySpec + LlmOperatorsSpec pin
+    // codegen-vs-interpreted agreement and partition stability).
+    "q41_native_fingerprints" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.TextHashes.rolling_hash(col("text")).as("content_hash"),
+        graft.functions.TextHashes.simhash64(split(col("text"), " ")).as("simhash")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -278,6 +317,27 @@ object LlmQueries {
         |  octet_length(encode(text)) AS n_bytes,
         |  hex(encode(substring(text, 1, 4))) AS head_hex,
         |  md5(text) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q38_systematic_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')""".stripMargin,
+
+    "q39_stage_dedup_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+        |    CAST(day(ts) AS INTEGER) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2, 3),
+        |stage AS (SELECT * FROM daily UNION ALL SELECT * FROM daily)
+        |SELECT y, m, d, avg(sum_value) AS avg_sum_value,
+        |  avg(n_rows) AS avg_n_rows, count(*) AS n_stage_rows
+        |FROM stage GROUP BY y, m, d""".stripMargin,
+
+    "q40_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin
   )
 }
