@@ -186,7 +186,15 @@ object LlmQueries {
       table(s, d, "documents").select(
         col("doc_id"),
         graft.functions.TextHashes.rolling_hash(col("text")).as("content_hash"),
-        graft.functions.TextHashes.simhash64(split(col("text"), " ")).as("simhash")))
+        graft.functions.TextHashes.simhash64(split(col("text"), " ")).as("simhash"))),
+
+    // Salted two-phase aggregation for skewed/low-cardinality keys: hot keys
+    // fan out over 16 salt reducers in phase 1, combine in phase 2. Decimal
+    // routing makes the result bit-identical to a direct GROUP BY — which is
+    // exactly what the oracle computes.
+    "q42_salted_skew_agg" -> ((s, d) =>
+      graft.operators.Scale.saltedSumCount(
+        table(s, d, "events"), col("event_type"), col("value"), salts = 16))
   )
 
   val oracle: Map[String, String] = Map(
@@ -338,6 +346,12 @@ object LlmQueries {
     "q40_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q42_salted_skew_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -49,6 +49,15 @@ object StreamingAgg {
       }
   }
 
+  /** Streaming exact dedup: drops events whose key was already seen within
+    * the watermark horizon — the streaming counterpart of the batch
+    * fingerprint dedup (state is evicted as the watermark advances, so memory
+    * stays bounded no matter how long the stream runs). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Standard sink wiring for the hourly aggregate (update mode — windows
     * re-emit as they refine, final values once the watermark passes). */
   def startToMemory(agg: DataFrame, queryName: String) =

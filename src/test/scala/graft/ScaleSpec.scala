@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, Scale}
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("salted aggregation matches the direct groupBy bit-for-bit") {
+    val events = Graft.table(spark, sf, "events")
+    val salted = Scale.saltedSumCount(events, col("event_type"), col("value"), salts = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val direct = events.groupBy(col("event_type"))
+      .agg(Relational.sumExact(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(salted.sameElements(direct))
+  }
+
+  test("salted aggregation plan has two aggregation exchanges (spread then combine)") {
+    val events = Graft.table(spark, sf, "events")
+    val plan = Scale.saltedSumCount(events, col("event_type"), col("value"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // phase-1 key includes the salt: hot keys fan out over 16 reducers
+    assert(plan.contains("__salt"))
+  }
+
+  test("co-bucketed join is shuffle-free (bucket pruning of the Exchange)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Scale.writeBucketed(
+        Graft.table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_custkey", buckets = 8)
+      Scale.writeBucketed(
+        Graft.table(spark, sf, "customer").select("c_custkey", "c_name"),
+        "b_customer", "c_custkey", buckets = 8)
+      val joined = Scale.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey", "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed equi-join must not shuffle either side:\n$plan")
+      // and it is still correct
+      val n = joined.count()
+      val expected = Graft.table(spark, sf, "orders")
+        .join(Graft.table(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(n == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("streaming dedup drops within-watermark duplicate keys") {
+    import spark.implicits._
+    import graft.streaming.StreamingAgg
+    import graft.streaming.StreamingAgg.Event
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StreamingAgg.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, t: String) = Event(id, Timestamp.valueOf(t), 1, "click", 1.0)
+      input.addData(ev(1, "2025-01-01 10:00:00"), ev(2, "2025-01-01 10:01:00"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2025-01-01 10:02:00"), ev(3, "2025-01-01 10:03:00")) // id 1 is a dup
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}
