@@ -46,17 +46,20 @@ object TextDedup {
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
     *
-    * Signature family: per band b, sig_b(doc) = min over shingles of
-    * md5(b || '|' || shingle) — md5 as the hash so a SQL oracle can reproduce
-    * it bit-for-bit. `bands` bands of one minhash each: a pair collides with
-    * probability 1-(1-s)^bands at Jaccard s, then the exact Jaccard filter
-    * removes false positives. Candidates are generated by a self-join on
-    * (band, sig) — bucketed, never all-pairs.
+    * Classic (b bands) x (r=2 rows) scheme: each of the 8 minhash draws is an
+    * independent 4-hex-char slice of the shingle's md5; band i's signature
+    * concatenates the minima of draws 2i and 2i+1, so a pair is a candidate
+    * iff BOTH minhashes of some band agree — collision probability
+    * 1-(1-s^2)^bands at Jaccard s, a much sharper threshold curve than
+    * single-row bands (far fewer low-similarity candidates to verify at
+    * scale). md5 is the hash so a SQL oracle reproduces it bit-for-bit.
+    * Candidates come from a self-join on (band, sig) — bucketed, never
+    * all-pairs; the exact Jaccard filter then removes false positives.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
-    require(bands <= 4, "bands draw disjoint 8-hex-char slices of one md5")
+    require(bands <= 4, "2 draws/band x 4-hex-char slices must fit one md5 digest")
     // Persisted: both the signature table (consumed by BOTH sides of the
     // candidate self-join) and the shingle sets (consumed again by the
     // verification joins) would otherwise be recomputed from the raw text.
@@ -68,10 +71,13 @@ object TextDedup {
     // Per-band min-hash signature as a pure projection over the doc-level
     // shingle array — no explode, no aggregation shuffle; the only shuffle in
     // the whole operator is the candidate self-join on (band, sig). Each
-    // shingle is md5-hashed ONCE; band b's hash function is the b-th 8-char
-    // slice of the digest (independent bits => independent min-hash draws).
+    // shingle is md5-hashed ONCE; draw j is the j-th 4-hex-char digest slice
+    // (independent bits => independent min-hash draws), band b = draws 2b,2b+1.
     val sigCols = (0 until bands).map { b =>
-      expr(s"array_min(transform(hs, h -> substring(h, ${b * 8 + 1}, 8)))").as(s"sig_$b")
+      val d0 = 2 * b * 4 + 1
+      val d1 = (2 * b + 1) * 4 + 1
+      expr(s"concat(array_min(transform(hs, h -> substring(h, $d0, 4))), " +
+        s"array_min(transform(hs, h -> substring(h, $d1, 4))))").as(s"sig_$b")
     }
     val stacked = (0 until bands).map(b => s"$b, sig_$b").mkString(", ")
     val sig = sets

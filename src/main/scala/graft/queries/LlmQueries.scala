@@ -259,7 +259,8 @@ object LlmQueries {
         |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
         |    FROM toks)),
         |sig AS (
-        |  SELECT doc_id, band, min(substr(md5(sh), band*8+1, 8)) AS sig
+        |  SELECT doc_id, band,
+        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
         |  GROUP BY doc_id, band),
         |cand AS (
