@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in for — composed from
+  * window/equi-join primitives (SURVEY.md §2.9 "range/as-of" row), per the
+  * preference order: compose existing ops before custom plans.
+  *
+  * Scale design: both operators are single-shuffle. The as-of join is a
+  * union + one window sort on (key, ts) — never a per-row range scan. The
+  * range join buckets time so candidates meet through an equi-join on
+  * (key, bucket) — never an O(n^2) theta join; each qualifying pair meets in
+  * exactly one bucket, so no dedup pass is needed.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the LATEST right row with
+    * `right.ts <= left.ts` in the same key group (ties at equal ts match,
+    * i.e. `>=` semantics — DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`).
+    * Right-side payload columns come back as a nullable struct `__match`.
+    *
+    * Plan: tagged union, then `last(payload, ignoreNulls)` over a
+    * (key, ts, tag)-ordered running window — one shuffle, one sort, state
+    * O(1) per row. If multiple right rows share an exact (key, ts), which one
+    * wins is undefined (same as native ASOF implementations). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.select(col(key), col(ts), lit(0).as("__tag"),
+      struct(payload.map(col): _*).as("__p"))
+    // right rows (tag 0) sort before left rows at equal ts => inclusive match
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .drop("__tag", "__p")
+  }
+
+  /** Range self-join at second granularity: all pairs (a, b) in the same key
+    * group with `0 <= ts_b - ts_a <= maxGapSec` (ordered by (ts, id) so each
+    * unordered pair appears exactly once). `idCol` must be unique per row. */
+  def rangeJoinPairs(df: DataFrame, key: String, ts: String, idCol: String,
+                     maxGapSec: Long): DataFrame = {
+    val base = df.select(col(key), col(idCol), unix_timestamp(col(ts)).as("__sec"))
+      .withColumn("__b", (col("__sec") / maxGapSec).cast("long"))
+    // a-side probes its own bucket and the next: the unique bucket of any
+    // in-range b is floor(sec_b/gap) ∈ {floor(sec_a/gap), floor(sec_a/gap)+1}
+    val a = base.select(col(key), col(idCol).as("a_id"), col("__sec").as("a_sec"),
+      explode(array(col("__b"), col("__b") + 1)).as("__probe"))
+    val b = base.select(col(key), col(idCol).as("b_id"), col("__sec").as("b_sec"),
+      col("__b").as("__probe"))
+    a.join(b, Seq(key, "__probe"))
+      .where((col("a_sec") < col("b_sec") ||
+        (col("a_sec") === col("b_sec") && col("a_id") < col("b_id"))) &&
+        col("b_sec") - col("a_sec") <= maxGapSec)
+      .select(col(key), col("a_id"), col("b_id"),
+        (col("b_sec") - col("a_sec")).as("gap_sec"))
+  }
+}

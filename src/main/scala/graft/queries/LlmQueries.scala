@@ -194,7 +194,31 @@ object LlmQueries {
     // exactly what the oracle computes.
     "q42_salted_skew_agg" -> ((s, d) =>
       graft.operators.Scale.saltedSumCount(
-        table(s, d, "events"), col("event_type"), col("value"), salts = 16))
+        table(s, d, "events"), col("event_type"), col("value"), salts = 16)),
+
+    // As-of join (composed: tagged union + running window — no built-in in
+    // Spark): each click matched to the user's latest prior-or-simultaneous
+    // purchase. Oracle is DuckDB's native ASOF LEFT JOIN.
+    "q43_asof_join" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+        payload = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("__match.ts")).as("purchase_sec"),
+          col("__match.value").as("purchase_value"))
+    }),
+
+    // Range join via time-bucketed equi-join (never a theta join): pairs of
+    // clicks by the same user within 30 minutes; each pair meets in exactly
+    // one bucket, so no dedup pass.
+    "q44_range_join" -> ((s, d) =>
+      graft.operators.Temporal.rangeJoinPairs(
+        table(s, d, "events").where(col("event_type") === "click"),
+        "user_id", "ts", "event_id", maxGapSec = 1800L))
   )
 
   val oracle: Map[String, String] = Map(
@@ -353,6 +377,25 @@ object LlmQueries {
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
         |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q43_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_sec,
+        |  p.value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q44_range_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click')
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  b.sec - a.sec AS gap_sec
+        |FROM c a JOIN c b ON a.user_id = b.user_id
+        |WHERE (a.sec < b.sec OR (a.sec = b.sec AND a.event_id < b.event_id))
+        |  AND b.sec - a.sec <= 1800""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join: latest prior wins, equal-ts matches, no prior -> null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2025-01-01 10:00:00")),
+      (2L, 10L, ts("2025-01-01 12:00:00")),
+      (3L, 20L, ts("2025-01-01 09:00:00"))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2025-01-01 09:30:00"), 1.0),
+      (10L, ts("2025-01-01 11:00:00"), 2.0),
+      (10L, ts("2025-01-01 12:00:00"), 3.0), // equal ts with left id=2
+      (20L, ts("2025-01-01 09:30:00"), 9.0)  // after left id=3
+    ).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", Seq("v"))
+      .select(col("id"), col("__match.v"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L).contains(1.0))  // 09:30 is the latest <= 10:00
+    assert(out(2L).contains(3.0))  // equal ts matches (>= semantics)
+    assert(out(3L).isEmpty)        // nothing at or before 09:00
+  }
+
+  test("range join pairs: each qualifying pair appears exactly once with correct gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5L, ts("2025-01-01 10:00:00")),
+      (2L, 5L, ts("2025-01-01 10:20:00")), // 1200 s after id 1
+      (3L, 5L, ts("2025-01-01 10:40:00")), // 1200 s after id 2, 2400 after id 1
+      (4L, 6L, ts("2025-01-01 10:05:00"))  // other key
+    ).toDF("id", "k", "t")
+    val pairs = Temporal.rangeJoinPairs(df, "k", "t", "id", maxGapSec = 1800L)
+      .select("a_id", "b_id", "gap_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1200L), (2L, 3L, 1200L)),
+      s"expected exactly the two <=30min pairs, got $pairs")
+  }
+
+  test("range join: bucket-boundary pairs are found exactly once (no dup, no miss)") {
+    import spark.implicits._
+    // gap exactly == maxGap and gap crossing a bucket boundary
+    val df = Seq(
+      (1L, 1L, ts("2025-01-01 00:29:50")), // bucket 0 (gap=1800 buckets: 1790/1800=0)
+      (2L, 1L, ts("2025-01-01 00:30:10")), // bucket 1, 20 s later
+      (3L, 1L, ts("2025-01-01 00:59:50"))  // 1800 s after id 1 exactly
+    ).toDF("id", "k", "t")
+    val pairs = Temporal.rangeJoinPairs(df, "k", "t", "id", maxGapSec = 1800L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "no duplicate pairs")
+    assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("approx_count_distinct sketch stays within 5% of exact") {
+    val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
+    val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
+    val exact = ev.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}
