@@ -48,6 +48,27 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored output, vs the
+    * per-query top-k of the knn methods): all pairs sharing a sign-LSH bucket
+    * with cosine >= threshold, each unordered pair once (id_a < id_b).
+    * Bucketed — the join shuffles on the bucket key, never a cross product. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nBits: Int = 4): DataFrame = {
+    val bucketExpr = expr(
+      s"aggregate(transform(sequence(1, $nBits), " +
+      "j -> IF(element_at(emb, j) > CAST(0 AS DOUBLE), shiftleft(1, j-1), 0)), 0, (a,x) -> a+x)")
+    val n = withNorm(emb, idCol, vecCol).withColumn("bucket", bucketExpr)
+    val a = n.select(col("bucket"), col(idCol).as("id_a"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val b = n.select(col("bucket"), col(idCol).as("id_b"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Bucketed approximate top-k: deterministic sign-LSH on the first `nBits`
     * dimensions (bucket = bitmask of sign(emb[i])); candidates only within the
     * query's bucket. The candidate join shuffles on the bucket key — no cross

@@ -218,7 +218,24 @@ object LlmQueries {
     "q44_range_join" -> ((s, d) =>
       graft.operators.Temporal.rangeJoinPairs(
         table(s, d, "events").where(col("event_type") === "click"),
-        "user_id", "ts", "event_id", maxGapSec = 1800L))
+        "user_id", "ts", "event_id", maxGapSec = 1800L)),
+
+    // Embedding-cosine near-dup pairs (dedup-flavored output): bucketed, each
+    // unordered pair once, threshold 0.3 (the corpus's max cosine is ~0.51).
+    "q45_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nBits = 4)),
+
+    // BPE-ish regex token counting (runs-of-letters / runs-of-digits /
+    // single punctuation — the shape of a byte-level BPE pre-tokenizer),
+    // alongside whitespace counting from q26.
+    "q46_bpe_tokens" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("bigint").as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -396,6 +413,25 @@ object LlmQueries {
         |  b.sec - a.sec AS gap_sec
         |FROM c a JOIN c b ON a.user_id = b.user_id
         |WHERE (a.sec < b.sec OR (a.sec = b.sec AND a.event_id < b.event_id))
-        |  AND b.sec - a.sec <= 1800""".stripMargin
+        |  AND b.sec - a.sec <= 1800""".stripMargin,
+
+    "q45_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm,
+        |        list_sum([CASE WHEN emb[j] > 0 THEN 1 << (j-1) ELSE 0 END for j in range(1, 5)]) AS bucket
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_reduce(list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*b.emb[i]), (x,y) -> x+y)
+        |          / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.bucket = b.bucket
+        |      WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.3""".stripMargin,
+
+    "q46_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents""".stripMargin
   )
 }
