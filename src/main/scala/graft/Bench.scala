@@ -10,9 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/JIT/shuffle machinery so the first timed query doesn't
+    // absorb one-time JVM costs (observed ~2-4 s on whichever query ran first).
+    Graft.table(spark, sfDir, "nation")
+      .groupBy("n_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
     // Full materialization: the noop sink computes every column of every row
     // (unlike count(), which lets Catalyst prune all projections away).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted order => per-query times are comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -20,7 +26,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
