@@ -19,15 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embeddings with double-cast vector and its L2 norm. */
+  import graft.functions.VectorFunctions.dot_d
+
+  /** Embeddings with double-cast vector and its L2 norm (norm = sqrt of the
+    * codegen'd self dot product — same sequential fold as the oracle). */
   private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol),
         expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(emb, x -> x*x), CAST(0 AS DOUBLE), (a,x) -> a+x))"))
+      .withColumn("nrm", sqrt(dot_d(col("emb"), col("emb"))))
 
-  private val dot =
-    expr("aggregate(zip_with(q_emb, c_emb, (x,y) -> x*y), CAST(0 AS DOUBLE), (a,x) -> a+x)")
+  private val dot = dot_d(col("q_emb"), col("c_emb"))
 
   /** Exact top-k cosine neighbors for each query vector (queries = rows of
     * `emb` matching `queryPred`). Output: query_id, rnk, neighbor_id, cos_sim

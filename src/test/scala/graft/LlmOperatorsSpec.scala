@@ -54,6 +54,22 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(mustFind.subsetOf(simhash), s"missed guaranteed pairs: ${mustFind -- simhash}")
   }
 
+  test("dot_d: codegen and interpreted agree; matches the HOF fold bit-for-bit") {
+    import graft.functions.VectorFunctions.dot_d
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val df = emb.select(col("vec_id"),
+      dot_d(col("e"), col("e")).as("native"),
+      expr("aggregate(zip_with(e, e, (x,y) -> x*y), CAST(0 AS DOUBLE), (a,x) -> a+x)").as("hof"))
+    val modes = Seq("CODEGEN_ONLY", "NO_CODEGEN").map { m =>
+      spark.conf.set("spark.sql.codegen.factoryMode", m)
+      try df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(modes(0).sameElements(modes(1)))
+    assert(modes(0).forall { case (_, native, hof) => native == hof })
+  }
+
   test("exact dedup collapses a doubled corpus back to its distinct size") {
     val n = docs.count()
     val deduped = TextDedup.exactDedup(docs.unionByName(docs), "doc_id", "text")
