@@ -70,6 +70,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the first
+    * `nlist` vectors) partitions the corpus into inverted lists; queries probe
+    * their `nprobe` nearest centroids and rank only those lists' members.
+    * The heavy join is candidates-by-centroid-id — an equi-join that shuffles
+    * on the list id, never a cross product over the corpus. (A production
+    * quantizer would be k-means-trained; the assignment/probe/rank dataflow —
+    * the part that must scale — is identical.) */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column, k: Int,
+             nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val cents = n.where(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col("emb").as("c_emb"))
+    // squared L2 to each centroid via dot products: v.v - 2 v.c + c.c —
+    // identical sequential-fold arithmetic on both engines
+    val dist2 = dot_d(col("emb"), col("emb")) -
+      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    val ranked = n.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cid").asc)))
+    val assign = ranked.where(col("crn") === 1)
+      .select(col(idCol).as("neighbor_id"), col("cid"),
+        col("emb").as("c_emb2"), col("nrm").as("c_nrm"))
+    val probes = ranked.where(queryPred && col("crn") <= nprobe)
+      .select(col(idCol).as("query_id"), col("cid"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(assign, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot_d(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Bucketed approximate top-k: deterministic sign-LSH on the first `nBits`
     * dimensions (bucket = bitmask of sign(emb[i])); candidates only within the
     * query's bucket. The candidate join shuffles on the bucket key — no cross

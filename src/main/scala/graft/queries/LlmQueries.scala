@@ -235,7 +235,40 @@ object LlmQueries {
         col("doc_id"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("bigint").as("n_bpe_tokens"),
-        size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens")))
+        size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens"))),
+
+    // CUBE — completes the grouping-sets family next to q24's ROLLUP.
+    "q47_cube" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.operators.Relational.sumExact(col("l_quantity")).as("sum_qty"))),
+
+    // RANGE window frame (value-based, vs q19's ROWS frame): per-customer
+    // 7-day trailing spend; peers at equal dates share the frame, so the
+    // result is deterministic even with date ties.
+    "q48_window_range_frame" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), lit("1970-01-01"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(days).rangeBetween(-7, 0)
+      table(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        sum(graft.operators.Relational.dec(col("o_totalprice"))).over(w)
+          .cast("double").as("trailing_7d_spend"))
+    }),
+
+    // Exact interpolated median per group.
+    "q49_median" -> ((s, d) =>
+      table(s, d, "events").groupBy(col("event_type"))
+        .agg(median(col("value")).as("med_value"), count(lit(1)).as("n"))),
+
+    // IVF ANN: deterministic coarse quantizer -> inverted lists -> probe 2
+    // nearest lists -> exact rank within candidates.
+    "q50_ivf_ann" -> ((s, d) =>
+      Similarity.ivfKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") >= 100 && col("vec_id") < 200, k = 3,
+        nlist = 8, nprobe = 2))
   )
 
   val oracle: Map[String, String] = Map(
@@ -432,6 +465,55 @@ object LlmQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  len(string_split(text, ' ')) AS n_ws_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q47_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q48_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_spend
+        |FROM orders""".stripMargin,
+
+    "q49_median" ->
+      """SELECT event_type, median(value) AS med_value, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q50_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |c AS (SELECT vec_id AS cid, emb AS c_emb FROM n WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cid, c.c_emb,
+        |    list_reduce(list_transform(n.emb, x -> x*x), (a,x) -> a+x)
+        |      - 2.0 * list_reduce(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |      + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |  FROM n, c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM dists),
+        |assign AS (SELECT vec_id AS neighbor_id, cid, emb AS n_emb, nrm AS n_nrm
+        |           FROM ranked WHERE crn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid, emb AS q_emb, nrm AS q_nrm
+        |           FROM ranked WHERE vec_id >= 100 AND vec_id < 200 AND crn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.q_emb)+1), i -> p.q_emb[i]*a.n_emb[i]), (x,y) -> x+y)
+        |      / (p.q_nrm * a.n_nrm) AS cos
+        |  FROM probes p JOIN assign a ON p.cid = a.cid
+        |  WHERE p.query_id <> a.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM scored)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
+        |FROM r WHERE rnk <= 3""".stripMargin
   )
 }
