@@ -268,7 +268,22 @@ object LlmQueries {
       Similarity.ivfKnn(
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") >= 100 && col("vec_id") < 200, k = 3,
-        nlist = 8, nprobe = 2))
+        nlist = 8, nprobe = 2)),
+
+    // Sessionization: 30-minute-gap session windows per user (events <= gap
+    // apart merge; window end = last event + gap). Inputs are second-
+    // truncated on both sides so engine timestamp precision can't flip a
+    // boundary. Oracle is the classic gaps-and-islands rewrite.
+    "q51_session_window" -> ((s, d) =>
+      table(s, d, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .groupBy(session_window(col("tss"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.operators.Relational.sumExact(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("session_start_sec"),
+          unix_timestamp(col("sw.end")).as("session_end_sec"),
+          col("n_events"), col("sum_value")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -514,6 +529,29 @@ object LlmQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM scored)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
-        |FROM r WHERE rnk <= 3""".stripMargin
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q51_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, value, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |islands AS (
+        |  SELECT user_id, value, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(sec) AS session_start_sec,
+        |  max(sec) + 1800 AS session_end_sec,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM islands
+        |GROUP BY user_id, session_id""".stripMargin
   )
 }

@@ -58,6 +58,22 @@ object StreamingAgg {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream inner join with watermarks on both sides: each click pairs
+    * with the same user's purchases in the following `withinSec` seconds.
+    * Both watermarks bound the join state — rows older than the horizon are
+    * evicted, so state stays finite on an unbounded stream. Inputs need
+    * (user_id, ts) plus a distinguishing id column each. */
+  def clickAttributionJoin(clicks: DataFrame, purchases: DataFrame,
+                           withinSec: Long = 1800L,
+                           watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.ts >= c.ts AND
+         |p.ts <= c.ts + INTERVAL $withinSec SECONDS""".stripMargin))
+  }
+
   /** Standard sink wiring for the hourly aggregate (update mode — windows
     * re-emit as they refine, final values once the watermark passes). */
   def startToMemory(agg: DataFrame, queryName: String) =

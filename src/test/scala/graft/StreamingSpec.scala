@@ -42,6 +42,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to prior clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingAgg.clickAttributionJoin(
+      clicks.toDF().select($"event_id".as("click_id"), $"user_id", $"ts"),
+      purchases.toDF().select($"event_id".as("purchase_id"), $"user_id", $"ts", $"value"))
+      .select($"click_id", $"purchase_id", $"value")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts("2025-01-01 10:00:00"), 7, "click", 0.0),
+        Event(2, ts("2025-01-01 10:00:00"), 8, "click", 0.0))
+      purchases.addData(
+        Event(10, ts("2025-01-01 10:20:00"), 7, "purchase", 9.99), // within 30 min of click 1
+        Event(11, ts("2025-01-01 11:30:00"), 7, "purchase", 5.00), // too late for click 1
+        Event(12, ts("2025-01-01 10:10:00"), 9, "purchase", 1.00)) // no click for user 9
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, purchase_id, value FROM attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 10L, 9.99)), s"got $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
