@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text preparation operators for LLM training pipelines: normalization,
+  * redaction, chunking, and term statistics. All are narrow per-row
+  * projections or single-shuffle aggregations — embarrassingly parallel at
+  * 100 TB — and every regex sticks to a syntax subset that behaves
+  * identically in Java regex and RE2, so a SQL oracle can mirror them. */
+object TextPrep {
+
+  /** Canonical text normalization: lowercase, collapse whitespace runs, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[ \\t\\r\\n]+", " "))
+
+  /** Redact email-ish and long-digit-run tokens (the two highest-volume PII
+    * shapes in web corpora). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+
+  /** Fixed-size token chunks with overlap (stride < size): the standard LLM
+    * context-window preprocessing. One output row per chunk, `chunk_id`
+    * 0-based; the final chunk may be short; a trailing window that would
+    * start past the end is not emitted. Narrow explode — no shuffle. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= size, "need 0 < stride <= size")
+    df.select(col(idCol),
+        split(col(textCol), " ").as("toks"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(floor((size(toks)-1)/$stride) AS INT)), " +
+          s"i -> concat_ws(' ', slice(toks, i*$stride + 1, $size)))"))
+          .as(Seq("chunk_id", "chunk")))
+      .where(length(col("chunk")) > 0)
+      .withColumn("chunk_id", col("chunk_id").cast("bigint"))
+  }
+
+  /** Term frequency + document frequency per (doc, token) — the integer core
+    * of TF-IDF (the log-weighting step is a trivial projection on top; kept
+    * out so results stay exactly integer-comparable across engines). */
+  def termDocFreq(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token").select(col(idCol), col("token"), col("tf"), col("df"))
+  }
+}

@@ -270,6 +270,35 @@ object LlmQueries {
         col("vec_id") >= 100 && col("vec_id") < 200, k = 3,
         nlist = 8, nprobe = 2)),
 
+    // Text normalization (lowercase, whitespace collapse, trim) applied to a
+    // deliberately-messy derivation of the corpus so the operator has work to
+    // do; oracle mirrors the same derivation.
+    "q52_text_normalize" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        graft.operators.TextPrep.normalize(
+          concat(lit("  "), upper(col("text")), lit("\tMIXED Case  "))).as("norm_text"))),
+
+    // PII-shape redaction (emails, long digit runs) over text salted with
+    // both shapes.
+    "q53_redact" -> ((s, d) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        graft.operators.TextPrep.redact(
+          concat(substring(col("text"), 1, 40),
+            lit(" contact bob@example.com id 12345678 end"))).as("clean_text"))),
+
+    // Document chunking: 32-token windows, stride 24 (8-token overlap) — the
+    // standard context-window preprocessing; one row per chunk.
+    "q54_chunking" -> ((s, d) =>
+      graft.operators.TextPrep.chunk(
+        table(s, d, "documents"), "doc_id", "text", size = 32, stride = 24)),
+
+    // Term/document frequency — the integer core of TF-IDF.
+    "q55_tf_df" -> ((s, d) =>
+      graft.operators.TextPrep.termDocFreq(
+        table(s, d, "documents"), "doc_id", "text")),
+
     // Sessionization: 30-minute-gap session windows per user (events <= gap
     // apart merge; window end = last event + gap). Inputs are second-
     // truncated on both sides so engine timestamp precision can't flip a
@@ -530,6 +559,39 @@ object LlmQueries {
         |      FROM scored)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q52_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower('  ' || upper(text) || E'\tMIXED Case  '),
+        |    '[ \t\r\n]+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "q53_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(substring(text, 1, 40) || ' contact bob@example.com id 12345678 end',
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+
+    "q54_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(floor((len(string_split(text, ' ')) - 1) / 24) AS INT) + 1 AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, chunk_id, chunk FROM (
+        |  SELECT doc_id,
+        |    unnest(range(0, n_chunks)) AS chunk_id,
+        |    unnest([array_to_string(toks[i*24+1 : i*24+32], ' ') for i in range(0, n_chunks)]) AS chunk
+        |  FROM t)
+        |WHERE length(chunk) > 0""".stripMargin,
+
+    "q55_tf_df" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, token, tf, df FROM tf JOIN dfq USING (token)""".stripMargin,
 
     "q51_session_window" ->
       """WITH t AS (
