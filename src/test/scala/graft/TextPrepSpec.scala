@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextPrep
+
+class TextPrepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def chunksOf(nTokens: Int, size: Int, stride: Int): Seq[(Long, Int)] = {
+    import spark.implicits._
+    val text = (1 to nTokens).map(i => s"t$i").mkString(" ")
+    TextPrep.chunk(Seq((1, text)).toDF("id", "text"), "id", "text", size, stride)
+      .select(col("chunk_id"),
+        org.apache.spark.sql.functions.size(split(col("chunk"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+  }
+
+  test("chunking: short doc yields one whole-doc chunk") {
+    assert(chunksOf(10, 32, 24) == Seq((0L, 10)))
+    assert(chunksOf(24, 32, 24) == Seq((0L, 24)))
+  }
+
+  test("chunking: stride boundary produces a trailing short chunk with overlap") {
+    // 40 tokens, windows start at 0 and 24: [1..32] and [25..40]
+    assert(chunksOf(40, 32, 24) == Seq((0L, 32), (1L, 16)))
+    // consecutive chunks overlap by size - stride = 8 tokens
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val rows = TextPrep.chunk(Seq((1, text)).toDF("id", "text"), "id", "text", 32, 24)
+      .orderBy("chunk_id").collect().map(_.getString(2).split(" ").toSeq)
+    assert(rows(0).takeRight(8) == rows(1).take(8))
+  }
+
+  test("chunking: every token of the source appears in some chunk") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val covered = TextPrep.chunk(Seq((1, text)).toDF("id", "text"), "id", "text", 32, 24)
+      .select(explode(split(col("chunk"), " "))).distinct().count()
+    assert(covered == 100)
+  }
+
+  test("normalize collapses mixed whitespace and case") {
+    import spark.implicits._
+    val out = Seq(("  A  B\t\tC\nd  ")).toDF("t")
+      .select(TextPrep.normalize(col("t"))).collect().head.getString(0)
+    assert(out == "a b c d")
+  }
+
+  test("redact replaces emails and long digit runs, leaves short numbers") {
+    import spark.implicits._
+    val out = Seq(("mail a.b+c@x-y.org num 1234567 keep 123 end")).toDF("t")
+      .select(TextPrep.redact(col("t"))).collect().head.getString(0)
+    assert(out == "mail <EMAIL> num <NUM> keep 123 end")
+  }
+}
