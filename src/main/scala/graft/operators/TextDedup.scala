@@ -60,29 +60,18 @@ object TextDedup {
                           shingleK: Int = 3, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
     require(bands <= 4, "2 draws/band x 4-hex-char slices must fit one md5 digest")
-    // Persisted: both the signature table (consumed by BOTH sides of the
-    // candidate self-join) and the shingle sets (consumed again by the
-    // verification joins) would otherwise be recomputed from the raw text.
-    // Their size is bounded by the corpus size; at cluster scale the same
-    // role is played by a checkpoint of these two intermediates.
-    val sets = shingleSets(docs, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Per-band min-hash signature as a pure projection over the doc-level
-    // shingle array — no explode, no aggregation shuffle; the only shuffle in
-    // the whole operator is the candidate self-join on (band, sig). Each
-    // shingle is md5-hashed ONCE; draw j is the j-th 4-hex-char digest slice
-    // (independent bits => independent min-hash draws), band b = draws 2b,2b+1.
-    val sigCols = (0 until bands).map { b =>
-      val d0 = 2 * b * 4 + 1
-      val d1 = (2 * b + 1) * 4 + 1
-      expr(s"concat(array_min(transform(hs, h -> substring(h, $d0, 4))), " +
-        s"array_min(transform(hs, h -> substring(h, $d1, 4))))").as(s"sig_$b")
-    }
-    val stacked = (0 until bands).map(b => s"$b, sig_$b").mkString(", ")
-    val sig = sets
-      .select(col(idCol), expr("transform(shs, s -> md5(s))").as("hs"))
-      .select((col(idCol) +: sigCols): _*)
+    // Per-band min-hash signatures in ONE native pass over the token array
+    // (no intermediate shingle/hash arrays — see MinHashSigs). Band b
+    // concatenates the minima of draws 2b and 2b+1. The sig table is tiny
+    // (bands rows per doc) and consumed by both sides of the self-join, so
+    // it is persisted; at cluster scale a checkpoint plays this role.
+    val sigs = docs
+      .select(col(idCol), graft.functions.MinHashSigs.minhash_sigs(
+        split(col(textCol), " "), shingleK, 2 * bands).as("mh"))
+      .where(col("mh").isNotNull)
+    val stacked = (0 until bands)
+      .map(b => s"$b, concat(mh[${2 * b}], mh[${2 * b + 1}])").mkString(", ")
+    val sig = sigs
       .select(col(idCol), expr(s"stack($bands, $stacked) AS (band, sig)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -92,8 +81,14 @@ object TextDedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // Exact verification on the (small) candidate set: join the doc-level
-    // shingle arrays back and intersect in-row — no second explode-join pass.
+    // Exact verification: build shingle ARRAYS only for docs that appear in
+    // some candidate pair (a semi-join — typically a tiny fraction of the
+    // corpus), then intersect in-row.
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cand_id"))
+      .distinct()
+    val sets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cand_id"), "left_semi"),
+      idCol, textCol, shingleK)
     cand
       .join(sets.toDF("doc_a", "sh_a"), "doc_a")
       .join(sets.toDF("doc_b", "sh_b"), "doc_b")
