@@ -299,6 +299,26 @@ object LlmQueries {
       graft.operators.TextPrep.termDocFreq(
         table(s, d, "documents"), "doc_id", "text")),
 
+    // Pivot with an explicit category list (no extra distinct-discovery
+    // pass — required for a deterministic schema and for 100 TB where the
+    // implicit distinct scan would be a full extra job).
+    "q56_pivot" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(graft.operators.Relational.sumExact(col("value")))
+        .orderBy("user_id")),
+
+    // Unpivot (melt): wide numeric columns -> long (metric, value) rows.
+    "q57_unpivot" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")),
+
     // Sessionization: 30-minute-gap session windows per user (events <= gap
     // apart merge; window end = last event + gap). Inputs are second-
     // truncated on both sides so engine timestamp precision can't flip a
@@ -592,6 +612,22 @@ object LlmQueries {
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
         |SELECT doc_id, token, tf, df FROM tf JOIN dfq USING (token)""".stripMargin,
+
+    "q56_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q57_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
 
     "q51_session_window" ->
       """WITH t AS (
