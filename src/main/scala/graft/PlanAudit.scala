@@ -10,7 +10,8 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q02_filter_predicate", "q13_join_inner_broadcast", "q16_join_multi",
-        "q31_minhash_lsh_pairs", "q33_knn_bruteforce", "q35_partitioned_roundtrip")
+        "q31_minhash_lsh_pairs", "q33_knn_bruteforce", "q35_partitioned_roundtrip",
+        "q43_asof_join", "q44_range_join", "q50_ivf_ann", "q54_chunking")
     val spark = Graft.session("graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -319,6 +319,53 @@ object LlmQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")),
 
+    // Value histogram: fixed-width buckets via floor division — the
+    // map-side-combinable building block for distribution profiling.
+    "q58_histogram" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(floor(col("value") / 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.operators.Relational.sumExact(col("value")).as("sum_value"))),
+
+    // Pearson correlation from EXACT decimal component sums (n, Σx, Σy, Σxy,
+    // Σx², Σy²) with one final double formula — built-in corr() accumulates
+    // doubles in partition order and cannot hash-match a single-node oracle;
+    // this decomposition is deterministic at any partitioning.
+    "q59_corr_exact" -> ((s, d) => {
+      import graft.operators.Relational.dec
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sx"),
+          sum(dec(col("l_extendedprice"))).as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"))
+        .select(col("l_returnflag"),
+          // components go exact->double individually, formula runs in doubles
+          // (keeps both engines' decimal type-widening rules out of play)
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_price"))
+    }),
+
+    // Fuzzy matching: Levenshtein edit distance between each near-dup pair's
+    // text prefixes (reuses the MinHash-LSH candidates — never all-pairs).
+    "q60_levenshtein" -> ((s, d) => {
+      val pairs = TextDedup.minhashNearDupPairs(
+        table(s, d, "documents"), "doc_id", "text", threshold = 0.5)
+      val t = table(s, d, "documents").select(col("doc_id"), substring(col("text"), 1, 60).as("head"))
+      pairs.join(t.toDF("doc_a", "head_a"), "doc_a")
+        .join(t.toDF("doc_b", "head_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("bigint").as("edit_dist"))
+    }),
+
     // Sessionization: 30-minute-gap session windows per user (events <= gap
     // apart merge; window end = last event + gap). Inputs are second-
     // truncated on both sides so engine timestamp precision can't flip a
@@ -628,6 +675,63 @@ object LlmQueries {
         |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+
+    "q58_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q59_corr_exact" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM c""".stripMargin,
+
+    "q60_levenshtein" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
+        |    FROM toks)),
+        |sig AS (
+        |  SELECT doc_id, band,
+        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
+        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        |  GROUP BY doc_a, doc_b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+        |    FROM inter
+        |    JOIN sizes na ON na.doc_id = doc_a
+        |    JOIN sizes nb ON nb.doc_id = doc_b)
+        |  WHERE jaccard >= 0.5)
+        |SELECT doc_a, doc_b,
+        |  levenshtein(substring(ta.text, 1, 60), substring(tb.text, 1, 60)) AS edit_dist
+        |FROM pairs
+        |JOIN documents ta ON ta.doc_id = doc_a
+        |JOIN documents tb ON tb.doc_id = doc_b""".stripMargin,
 
     "q51_session_window" ->
       """WITH t AS (
