@@ -99,6 +99,42 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step that
+    * turns pairwise matches into KEEP/DROP decisions (each cluster keeps its
+    * minimum id as representative). Deterministic min-label propagation:
+    * every node's label converges to the smallest id reachable from it.
+    *
+    * Scale design: pure DataFrame iteration — each round is one join + one
+    * aggregation, both hash-partitioned on node id; rounds needed =
+    * O(log(diameter)), and near-dup graphs are unions of tiny cliques, so
+    * 2-3 rounds in practice. The driver only checks the converged flag
+    * (a 1-row count), never collects the graph. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, "id")
+        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash over tokens (native codegen
     * expression), split into `nBands` bit-bands; pairs sharing any band are
     * candidates; kept if total Hamming distance <= maxHamming. Bucketed on

@@ -366,6 +366,14 @@ object LlmQueries {
           levenshtein(col("head_a"), col("head_b")).cast("bigint").as("edit_dist"))
     }),
 
+    // Dedup clustering: near-dup pairs -> connected components -> cluster
+    // representative (min doc_id). The KEEP/DROP decision layer of corpus
+    // dedup. Oracle walks the same graph with a recursive CTE.
+    "q61_dedup_clusters" -> ((s, d) =>
+      TextDedup.connectedComponents(
+        TextDedup.minhashNearDupPairs(
+          table(s, d, "documents"), "doc_id", "text", threshold = 0.5))),
+
     // Sessionization: 30-minute-gap session windows per user (events <= gap
     // apart merge; window end = last event + gap). Inputs are second-
     // truncated on both sides so engine timestamp precision can't flip a
@@ -732,6 +740,44 @@ object LlmQueries {
         |FROM pairs
         |JOIN documents ta ON ta.doc_id = doc_a
         |JOIN documents tb ON tb.doc_id = doc_b""".stripMargin,
+
+    "q61_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
+        |    FROM toks)),
+        |sig AS (
+        |  SELECT doc_id, band,
+        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
+        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        |  GROUP BY doc_a, doc_b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+        |    FROM inter
+        |    JOIN sizes na ON na.doc_id = doc_a
+        |    JOIN sizes nb ON nb.doc_id = doc_b)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "q51_session_window" ->
       """WITH t AS (

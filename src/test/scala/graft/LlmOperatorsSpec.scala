@@ -78,6 +78,15 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(TextDedup.exactDedup(deduped.drop("fingerprint"), "doc_id", "text").count() == n)
   }
 
+  test("connected components: chains merge transitively to the min id") {
+    import spark.implicits._
+    // two clusters: {1,2,3,7} connected as a chain through 7, and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash jaccard output is within [threshold, 1]") {
     val js = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("jaccard").collect().map(_.getDouble(0))
