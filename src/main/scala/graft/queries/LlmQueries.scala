@@ -366,6 +366,26 @@ object LlmQueries {
           levenshtein(col("head_a"), col("head_b")).cast("bigint").as("edit_dist"))
     }),
 
+    // Distinct aggregates per group (absent from the reference, §2.9).
+    "q62_count_distinct" -> ((s, d) =>
+      table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))),
+
+    // Rank-family windows beyond row_number (q18): ntile, percent_rank,
+    // nth_value — deterministic under the explicit total order.
+    "q63_window_rank_family" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    }),
+
     // Dedup clustering: near-dup pairs -> connected components -> cluster
     // representative (min doc_id). The KEEP/DROP decision layer of corpus
     // dedup. Oracle walks the same graph with a recursive CTE.
@@ -740,6 +760,20 @@ object LlmQueries {
         |FROM pairs
         |JOIN documents ta ON ta.doc_id = doc_a
         |JOIN documents tb ON tb.doc_id = doc_b""".stripMargin,
+
+    "q62_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q63_window_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
 
     "q61_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
