@@ -111,13 +111,17 @@ object TextDedup {
     * (a 1-row count), never collects the graph. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) on every iteration state: materializes the
+    // frame AND truncates its lineage, so iteration N's plan doesn't embed
+    // plans 1..N-1 (the standard iterative-DataFrame pattern — plain persist
+    // keeps the whole chain and planning cost grows superlinearly).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -126,7 +130,7 @@ object TextDedup {
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
       val next = labels.join(neighborMin, "id")
         .select(col("id"), least(col("label"), col("nmin")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).isEmpty
       labels = next
