@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.pipeline.Schemas
+
+/** Continuous Silver: the batch SilverJob pivot as a file-source stream —
+  * new bronze JSON documents are discovered, flattened and appended to
+  * partitioned Parquet as they arrive (the reference's daily micro-batch,
+  * made continuous; SURVEY.md §2.9 notes streaming would subsume the
+  * schedule-driven design).
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint (no
+  * reprocessing on restart — the streaming analogue of the batch pipeline's
+  * idempotency contract); `maxFilesPerTrigger` bounds per-batch work so one
+  * large backfill drop cannot OOM a micro-batch.
+  */
+object StreamingSilver {
+
+  /** The same flatten as SilverJob.transform, minus day selection (every
+    * arriving doc carries its own event times; partition columns derive from
+    * the data, not the run date). */
+  def transform(raw: DataFrame, hourlyVars: Seq[String]): DataFrame = {
+    val renames = Map(
+      "temperature_2m" -> "temperature_c",
+      "relative_humidity_2m" -> "humidity_pct",
+      "precipitation" -> "precip_mm")
+    val zipped = raw
+      .where(col("_corrupt_record").isNull && col("hourly").isNotNull)
+      .select(
+        col("latitude").cast("double").as("lat"),
+        col("longitude").cast("double").as("lon"),
+        col("timezone").as("tz"),
+        explode(arrays_zip(
+          (col("hourly.time") +: hourlyVars.map(v => col(s"hourly.$v"))): _*)).as("h"))
+    val valueCols = hourlyVars.map { v =>
+      col(s"h.$v").cast("double").as(renames.getOrElse(v, v))
+    }
+    zipped.select(
+      (Seq(col("lat"), col("lon"), col("tz")) ++ valueCols :+
+        to_timestamp(col("h.time")).as("event_ts")): _*)
+      .withColumn("y", year(col("event_ts")))
+      .withColumn("m", month(col("event_ts")))
+      .withColumn("d", dayofmonth(col("event_ts")))
+  }
+
+  /** Start the continuous bronze→silver flow. */
+  def start(spark: SparkSession, bronzeGlob: String, silverRoot: String,
+            checkpoint: String, hourlyVars: Seq[String],
+            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.bronze(hourlyVars))
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(bronzeGlob)
+    transform(raw, hourlyVars)
+      .writeStream
+      .format("parquet")
+      .option("path", silverRoot)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("y", "m", "d")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

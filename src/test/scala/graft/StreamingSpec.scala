@@ -68,6 +68,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming silver: new bronze docs land as partitioned parquet, no reprocessing") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ssilver")
+    val vars = Seq("temperature_2m", "relative_humidity_2m", "precipitation")
+    val hc = spark.sparkContext.hadoopConfiguration
+    def doc(day: String, temp: Double) =
+      s"""{"latitude": 1.0, "longitude": 2.0, "timezone": "x",
+         | "hourly": {"time": ["${day}T00:00", "${day}T01:00"],
+         |  "temperature_2m": [$temp, $temp],
+         |  "relative_humidity_2m": [50.0, 51.0], "precipitation": [0.0, 0.1]}}""".stripMargin
+    graft.pipeline.ObjectStore.put(hc, s"file:$root/bronze",
+      "openmeteo/y=2025/m=09/d=15/a.json", doc("2025-09-15", 10.0))
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingSilver.start(spark,
+        s"file:$root/bronze/openmeteo/*/*/*/", s"$root/silver",
+        s"$root/ckpt", vars)
+      q.awaitTermination()
+    }
+    runOnce()
+    val silver1 = spark.read.parquet(s"$root/silver")
+    assert(silver1.count() == 2)
+    assert(silver1.columns.contains("temperature_c"))
+    // second doc arrives; restart processes ONLY the new file (checkpointed)
+    graft.pipeline.ObjectStore.put(hc, s"file:$root/bronze",
+      "openmeteo/y=2025/m=09/d=16/b.json", doc("2025-09-16", 20.0))
+    runOnce()
+    val silver2 = spark.read.parquet(s"$root/silver")
+    assert(silver2.count() == 4, "exactly the new doc's rows appended, old not reprocessed")
+    assert(silver2.select("y", "m", "d").distinct().count() == 2)
+  }
+
   test("mapGroupsWithState accumulates per-user running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
