@@ -377,6 +377,13 @@ object LlmQueries {
           levenshtein(col("head_a"), col("head_b")).cast("bigint").as("edit_dist"))
     }),
 
+    // Ordered string aggregation (listagg, new in Spark 4) — deterministic
+    // with the WITHIN GROUP order.
+    "q64_listagg" -> ((s, d) =>
+      table(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"))),
+
     // Distinct aggregates per group (absent from the reference, §2.9).
     "q62_count_distinct" -> ((s, d) =>
       table(s, d, "orders")
@@ -769,6 +776,10 @@ object LlmQueries {
         |FROM pairs
         |JOIN documents ta ON ta.doc_id = doc_a
         |JOIN documents tb ON tb.doc_id = doc_b""".stripMargin,
+
+    "q64_listagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     "q62_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
