@@ -47,10 +47,16 @@ case class MinHashSigs(child: Expression, k: Int, draws: Int)
     val space = Array(' '.toByte)
     var i = 0
     while (i <= n - k) {
+      // null tokens are skipped WITH their separator — the same shingle
+      // string concat_ws(' ', ...) builds in the exact-verification stage
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) md.update(space)
-        if (!arr.isNullAt(i + j)) md.update(arr.getUTF8String(i + j).getBytes)
+        if (!arr.isNullAt(i + j)) {
+          if (wrote) md.update(space)
+          md.update(arr.getUTF8String(i + j).getBytes)
+          wrote = true
+        }
         j += 1
       }
       val dg = md.digest() // also resets the digest for the next shingle

@@ -49,16 +49,19 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic sign-LSH bucket id over the first `nBits` dimensions —
+    * MUST stay aligned with the DuckDB oracles of q34/q45. */
+  private def signBucket(nBits: Int) = expr(
+    s"aggregate(transform(sequence(1, $nBits), " +
+    "j -> IF(element_at(emb, j) > CAST(0 AS DOUBLE), shiftleft(1, j-1), 0)), 0, (a,x) -> a+x)")
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored output, vs the
     * per-query top-k of the knn methods): all pairs sharing a sign-LSH bucket
     * with cosine >= threshold, each unordered pair once (id_a < id_b).
     * Bucketed — the join shuffles on the bucket key, never a cross product. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 4): DataFrame = {
-    val bucketExpr = expr(
-      s"aggregate(transform(sequence(1, $nBits), " +
-      "j -> IF(element_at(emb, j) > CAST(0 AS DOUBLE), shiftleft(1, j-1), 0)), 0, (a,x) -> a+x)")
-    val n = withNorm(emb, idCol, vecCol).withColumn("bucket", bucketExpr)
+    val n = withNorm(emb, idCol, vecCol).withColumn("bucket", signBucket(nBits))
     val a = n.select(col("bucket"), col(idCol).as("id_a"),
       col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val b = n.select(col("bucket"), col(idCol).as("id_b"),
@@ -114,10 +117,7 @@ object Similarity {
     * product — which is the shape that survives a 100x corpus. */
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: org.apache.spark.sql.Column, k: Int, nBits: Int = 4): DataFrame = {
-    val bucketExpr = expr(
-      s"aggregate(transform(sequence(1, $nBits), " +
-      "j -> IF(element_at(emb, j) > CAST(0 AS DOUBLE), shiftleft(1, j-1), 0)), 0, (a,x) -> a+x)")
-    val n = withNorm(emb, idCol, vecCol).withColumn("bucket", bucketExpr)
+    val n = withNorm(emb, idCol, vecCol).withColumn("bucket", signBucket(nBits))
     val q = n.where(queryPred)
       .select(col("bucket"), col(idCol).as("query_id"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))

@@ -110,7 +110,7 @@ object TextDedup {
     * 2-3 rounds in practice. The driver only checks the converged flag
     * (a 1-row count), never collects the graph. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
     // localCheckpoint (eager) on every iteration state: materializes the
     // frame AND truncates its lineage, so iteration N's plan doesn't embed
     // plans 1..N-1 (the standard iterative-DataFrame pattern — plain persist
@@ -136,6 +136,13 @@ object TextDedup {
       labels = next
       iter += 1
     }
+    // One-hop propagation needs O(component diameter) rounds; silently
+    // returning unconverged labels would split true components. Near-dup
+    // graphs are unions of small cliques, so hitting this means the input
+    // is not the expected shape — fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -145,7 +152,9 @@ object TextDedup {
     * (band index, band bits) — never all-pairs. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           nBands: Int = 4, maxHamming: Int = 8): DataFrame = {
-    require(64 % nBands == 0, "nBands must divide 64")
+    require(64 % nBands == 0 && nBands >= 2,
+      "nBands must divide 64 and be >= 2 (nBands=1 would need a 64-bit mask, " +
+        "and a single 64-bit band is just exact-hash equality, not banding)")
     val w = 64 / nBands
     val hashed = docs.select(col(idCol),
       graft.functions.TextHashes.simhash64(tokens(textCol)).as("sh64"))

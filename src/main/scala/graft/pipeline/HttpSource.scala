@@ -39,7 +39,8 @@ object HttpSource {
     while (out.isEmpty && attempt <= retries) {
       try out = Some(body)
       catch {
-        case e: Throwable =>
+        // NonFatal only: OOME/interrupt must propagate, not sleep-and-retry
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (attempt <= retries) sleep(delayMs)

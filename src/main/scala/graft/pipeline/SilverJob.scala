@@ -29,6 +29,26 @@ object SilverJob {
     "relative_humidity_2m" -> "humidity_pct",
     "precipitation" -> "precip_mm")
 
+  /** The Silver pivot shared by the batch and streaming paths: filter corrupt
+    * docs, arrays_zip + explode the parallel hourly arrays, cast + rename the
+    * values, parse event_ts. Output: lat, lon, tz, <renamed vars>, event_ts. */
+  def flattenHourly(raw: DataFrame, hourlyVars: Seq[String]): DataFrame = {
+    val zipped = raw
+      .where(col("_corrupt_record").isNull && col("hourly").isNotNull)
+      .select(
+        col("latitude").cast("double").as("lat"),
+        col("longitude").cast("double").as("lon"),
+        col("timezone").as("tz"),
+        explode(arrays_zip(
+          (col("hourly.time") +: hourlyVars.map(v => col(s"hourly.$v"))): _*)).as("h"))
+    val valueCols = hourlyVars.map { v =>
+      col(s"h.$v").cast("double").as(renames.getOrElse(v, v))
+    }
+    zipped.select(
+      (Seq(col("lat"), col("lon"), col("tz")) ++ valueCols :+
+        to_timestamp(col("h.time")).as("event_ts")): _*)
+  }
+
   def dayPath(root: String, date: LocalDate): String =
     f"${root.stripSuffix("/")}/openmeteo/y=${date.getYear}%04d/" +
       f"m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d/"
@@ -57,19 +77,7 @@ object SilverJob {
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
 
-    val zipped = doc.select(
-      col("latitude").cast("double").as("lat"),
-      col("longitude").cast("double").as("lon"),
-      col("timezone").as("tz"),
-      explode(arrays_zip(
-        (col("hourly.time") +: hourlyVars.map(v => col(s"hourly.$v"))): _*)).as("h"))
-
-    val valueCols = hourlyVars.map { v =>
-      col(s"h.$v").cast("double").as(renames.getOrElse(v, v))
-    }
-    zipped.select(
-      (Seq(col("lat"), col("lon"), col("tz")) ++ valueCols :+
-        to_timestamp(col("h.time")).as("event_ts")): _*)
+    flattenHourly(doc, hourlyVars)
       .withColumn("y", lit(date.getYear))
       .withColumn("m", lit(date.getMonthValue))
       .withColumn("d", lit(date.getDayOfMonth))

@@ -115,16 +115,28 @@ object Upsert {
       val sel = conn.prepareStatement(
         s"""SELECT ${metricCols.map(c => s"AVG(${q(c)})").mkString(", ")}, COUNT(*)
            |FROM $stage WHERE ${q("y")} = ? AND ${q("m")} = ? AND ${q("d")} = ?""".stripMargin)
-      val avgs: Option[Seq[Double]] =
+      // AVG over an all-NULL column is SQL NULL — preserved as such (the
+      // Postgres dialect's upsert writes NULL too; reading with getDouble
+      // alone would silently coerce it to 0.0 and diverge).
+      val avgs: Option[Seq[Option[Double]]] =
         try {
           sel.setInt(1, y); sel.setInt(2, m); sel.setInt(3, d)
           val rs = sel.executeQuery()
           try {
             rs.next()
             if (rs.getLong(metricCols.size + 1) == 0L) None
-            else Some(metricCols.indices.map(i => rs.getDouble(i + 1)))
+            else Some(metricCols.indices.map { i =>
+              val v = rs.getDouble(i + 1)
+              if (rs.wasNull()) None else Some(v)
+            })
           } finally rs.close()
         } finally sel.close()
+
+      def bind(ps: java.sql.PreparedStatement, pos: Int, v: Option[Double]): Unit =
+        v match {
+          case Some(x) => ps.setDouble(pos, x)
+          case None => ps.setNull(pos, java.sql.Types.DOUBLE)
+        }
 
       avgs.foreach { vals =>
         val upd = conn.prepareStatement(
@@ -132,7 +144,7 @@ object Upsert {
             s"WHERE ${q("y")} = ? AND ${q("m")} = ? AND ${q("d")} = ?")
         val updated =
           try {
-            vals.zipWithIndex.foreach { case (v, i) => upd.setDouble(i + 1, v) }
+            vals.zipWithIndex.foreach { case (v, i) => bind(upd, i + 1, v) }
             upd.setInt(6, y); upd.setInt(7, m); upd.setInt(8, d)
             upd.executeUpdate()
           } finally upd.close()
@@ -142,7 +154,7 @@ object Upsert {
               "VALUES (?,?,?,?,?,?,?,?)")
           try {
             ins.setInt(1, y); ins.setInt(2, m); ins.setInt(3, d)
-            vals.zipWithIndex.foreach { case (v, i) => ins.setDouble(i + 4, v) }
+            vals.zipWithIndex.foreach { case (v, i) => bind(ins, i + 4, v) }
             ins.executeUpdate()
           } finally ins.close()
         }

@@ -28,11 +28,15 @@ object LlmQueries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // evict entries of stopped sessions so neither their cached blocks nor
+    // the session object graphs are pinned forever
+    pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     pairsCache.getOrElseUpdate((s, d),
       TextDedup.minhashNearDupPairs(
         table(s, d, "documents"), "doc_id", "text", threshold = 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
@@ -126,7 +130,10 @@ object LlmQueries {
     // results prove the layout round-trips losslessly.
     "q35_partitioned_roundtrip" -> ((s, d) => {
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      // stable per-sf-dir path + overwrite mode: repeated runs reuse one
+      // directory instead of leaking a fresh temp copy of events each call
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        Integer.toHexString(d.hashCode)
       table(s, d, "events")
         .withColumn("y", year(col("ts")))
         .withColumn("m", month(col("ts")))

@@ -19,32 +19,14 @@ import graft.pipeline.Schemas
   */
 object StreamingSilver {
 
-  /** The same flatten as SilverJob.transform, minus day selection (every
-    * arriving doc carries its own event times; partition columns derive from
-    * the data, not the run date). */
-  def transform(raw: DataFrame, hourlyVars: Seq[String]): DataFrame = {
-    val renames = Map(
-      "temperature_2m" -> "temperature_c",
-      "relative_humidity_2m" -> "humidity_pct",
-      "precipitation" -> "precip_mm")
-    val zipped = raw
-      .where(col("_corrupt_record").isNull && col("hourly").isNotNull)
-      .select(
-        col("latitude").cast("double").as("lat"),
-        col("longitude").cast("double").as("lon"),
-        col("timezone").as("tz"),
-        explode(arrays_zip(
-          (col("hourly.time") +: hourlyVars.map(v => col(s"hourly.$v"))): _*)).as("h"))
-    val valueCols = hourlyVars.map { v =>
-      col(s"h.$v").cast("double").as(renames.getOrElse(v, v))
-    }
-    zipped.select(
-      (Seq(col("lat"), col("lon"), col("tz")) ++ valueCols :+
-        to_timestamp(col("h.time")).as("event_ts")): _*)
+  /** SilverJob's shared flatten, minus day selection: every arriving doc
+    * carries its own event times, so partition columns derive from the data,
+    * not the run date. */
+  def transform(raw: DataFrame, hourlyVars: Seq[String]): DataFrame =
+    graft.pipeline.SilverJob.flattenHourly(raw, hourlyVars)
       .withColumn("y", year(col("event_ts")))
       .withColumn("m", month(col("event_ts")))
       .withColumn("d", dayofmonth(col("event_ts")))
-  }
 
   /** Start the continuous bronze→silver flow. */
   def start(spark: SparkSession, bronzeGlob: String, silverRoot: String,
