@@ -384,6 +384,40 @@ object LlmQueries {
           levenshtein(col("head_a"), col("head_b")).cast("bigint").as("edit_dist"))
     }),
 
+    // NULL-handling scalar surface over an outer join's null-extended rows:
+    // coalesce, nullif, null-safe equality.
+    "q65_null_handling" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(table(s, d, "orders").where(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("order_or_default"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_not_urgent"),
+          col("o_orderkey").isNull.as("has_no_big_order"),
+          (col("o_custkey") <=> col("c_custkey")).as("nullsafe_eq"))),
+
+    // Date/time function breadth: arithmetic, boundaries, aligned
+    // day-of-week (Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday).
+    "q66_date_funcs" -> ((s, d) =>
+      table(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow_sun0"),
+        datediff(last_day(col("o_orderdate")), col("o_orderdate"))
+          .cast("bigint").as("days_to_month_end"))),
+
+    // Conditional expressions: CASE buckets, least/greatest.
+    "q67_conditionals" -> ((s, d) =>
+      table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "small")
+          .when(col("l_quantity") < 30, "medium")
+          .otherwise("large").as("qty_bucket"),
+        least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"))),
+
     // Ordered string aggregation (listagg, new in Spark 4) — deterministic
     // with the WITHIN GROUP order.
     "q64_listagg" -> ((s, d) =>
@@ -787,6 +821,33 @@ object LlmQueries {
     "q64_listagg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q65_null_handling" ->
+      """SELECT c_custkey,
+        |  coalesce(o_orderkey, -1) AS order_or_default,
+        |  nullif(o_orderpriority, '1-URGENT') AS prio_not_urgent,
+        |  o_orderkey IS NULL AS has_no_big_order,
+        |  o_custkey IS NOT DISTINCT FROM c_custkey AS nullsafe_eq
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0)
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q66_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  dayofweek(o_orderdate) AS dow_sun0,
+        |  datediff('day', CAST(o_orderdate AS DATE), last_day(CAST(o_orderdate AS DATE))) AS days_to_month_end
+        |FROM orders""".stripMargin,
+
+    "q67_conditionals" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 THEN 'small'
+        |       WHEN l_quantity < 30 THEN 'medium'
+        |       ELSE 'large' END AS qty_bucket,
+        |  least(l_quantity, l_discount * 100) AS least_v,
+        |  greatest(l_quantity, l_discount * 100) AS greatest_v
+        |FROM lineitem""".stripMargin,
 
     "q62_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
