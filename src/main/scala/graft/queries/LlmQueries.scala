@@ -418,6 +418,47 @@ object LlmQueries {
         least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
         greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"))),
 
+    // String-function breadth (cross-engine-identical subset): padding,
+    // translate, reverse, position, prefix extraction.
+    "q68_string_funcs" -> ((s, d) =>
+      table(s, d, "customer").select(
+        col("c_custkey"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        translate(col("c_name"), "#", "-").as("translated"),
+        reverse(col("c_name")).as("reversed"),
+        instr(col("c_name"), "#").cast("bigint").as("hash_pos"),
+        substring_index(col("c_name"), "#", 1).as("name_prefix"),
+        upper(col("c_mktsegment")).as("segment_uc"))),
+
+    // Math-function breadth restricted to exactly-rounded IEEE ops (no
+    // transcendentals — exp/ln differ at the last ulp between libm builds).
+    "q69_math_funcs" -> ((s, d) =>
+      table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_v"),
+        ceil(col("l_quantity") / 7).cast("bigint").as("ceil_v"),
+        floor(col("l_quantity") / 7).cast("bigint").as("floor_v"),
+        sqrt(col("l_quantity")).as("sqrt_v"),
+        signum(col("l_discount") - 0.05).as("sign_v"),
+        pmod(col("l_orderkey"), lit(97)).cast("bigint").as("mod_v"))),
+
+    // TPC-H Q3-shaped showcase: selective filters on three tables, two fact
+    // joins, revenue aggregation, deterministic top-10 — the canonical
+    // "everything at once" analytics query.
+    "q70_shipping_priority" -> ((s, d) =>
+      table(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(table(s, d, "orders").where(col("o_orderdate") < lit("1995-03-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem").where(col("l_shipdate") > lit("1995-03-15")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(graft.operators.Relational.dec(col("l_extendedprice")) *
+            (lit(1) - graft.operators.Relational.dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
     // Ordered string aggregation (listagg, new in Spark 4) — deterministic
     // with the WITHIN GROUP order.
     "q64_listagg" -> ((s, d) =>
@@ -848,6 +889,38 @@ object LlmQueries {
         |  least(l_quantity, l_discount * 100) AS least_v,
         |  greatest(l_quantity, l_discount * 100) AS greatest_v
         |FROM lineitem""".stripMargin,
+
+    "q68_string_funcs" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS padded,
+        |  translate(c_name, '#', '-') AS translated,
+        |  reverse(c_name) AS reversed,
+        |  strpos(c_name, '#') AS hash_pos,
+        |  split_part(c_name, '#', 1) AS name_prefix,
+        |  upper(c_mktsegment) AS segment_uc
+        |FROM customer""".stripMargin,
+
+    "q69_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_v,
+        |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_v,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS floor_v,
+        |  sqrt(l_quantity) AS sqrt_v,
+        |  sign(l_discount - 0.05) AS sign_v,
+        |  l_orderkey % 97 AS mod_v
+        |FROM lineitem""".stripMargin,
+
+    "q70_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
     "q62_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
