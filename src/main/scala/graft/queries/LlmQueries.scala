@@ -459,6 +459,19 @@ object LlmQueries {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
+    // SQL entry path (spark.sql over temp views) with a correlated scalar
+    // subquery — Catalyst decorrelates it into a left outer aggregate join;
+    // the same text runs verbatim on DuckDB.
+    "q71_sql_correlated_subquery" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("customer_v")
+      table(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey,
+          |  (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT max(o_totalprice) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS max_spend
+          |FROM customer_v c""".stripMargin)
+    }),
+
     // Ordered string aggregation (listagg, new in Spark 4) — deterministic
     // with the WITHIN GROUP order.
     "q64_listagg" -> ((s, d) =>
@@ -889,6 +902,12 @@ object LlmQueries {
         |  least(l_quantity, l_discount * 100) AS least_v,
         |  greatest(l_quantity, l_discount * 100) AS greatest_v
         |FROM lineitem""".stripMargin,
+
+    "q71_sql_correlated_subquery" ->
+      """SELECT c.c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_spend
+        |FROM customer c""".stripMargin,
 
     "q68_string_funcs" ->
       """SELECT c_custkey,

@@ -54,6 +54,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: joining a filtered dim prunes fact partitions at runtime") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_dpp").toString
+    val ev = Graft.table(spark, sf, "events")
+      .withColumn("d", dayofmonth(col("ts")))
+    ev.write.mode("overwrite").partitionBy("d").parquet(root)
+    val fact = spark.read.parquet(root)
+    val dim = ev.select(col("d").as("dim_d")).distinct().where(col("dim_d") <= 2)
+    val joined = fact.join(dim, col("d") === col("dim_d"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in the fact scan:\n$plan")
+    assert(joined.select(countDistinct(col("d"))).collect().head.getLong(0) <= 2)
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     import graft.streaming.StreamingAgg
