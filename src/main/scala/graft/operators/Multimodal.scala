@@ -55,6 +55,28 @@ object Multimodal {
     media.mapPartitions(_.map(stubDecode(_, featureDim)))
   }
 
+  /** STUB resize: maps each payload to a target-dimension record plus a
+    * deterministic downsampled byte sketch (every len/targetBytes-th byte) —
+    * a real codec would decode + interpolate; the partition-parallel shape,
+    * schema, and determinism contract are what this pins. */
+  def resize(media: Dataset[Media], targetW: Int, targetH: Int,
+             targetBytes: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val len = m.content.length
+      val sketch =
+        if (len == 0) Array.empty[Byte]
+        else Array.tabulate(math.min(targetBytes, len)) { i =>
+          m.content(((len.toLong * i) / math.min(targetBytes, len)).toInt)
+        }
+      val feats = Array.tabulate(4) { i =>
+        val h = (graft.functions.SimHash64.fnv1a(sketch) ^ (i + 1).toLong) * 1099511628211L
+        (h.toDouble / Long.MaxValue).toFloat
+      }
+      MediaFeatures(m.media_id, m.kind, len.toLong, targetW, targetH, 1, feats)
+    })
+  }
+
   /** Frame sampling for video-like payloads: n evenly-spaced fixed-size byte
     * windows per payload (a real implementation would seek keyframes; the
     * batching/explode plumbing is identical). */

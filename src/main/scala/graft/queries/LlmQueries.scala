@@ -459,6 +459,25 @@ object LlmQueries {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
+    // Character-n-gram language-ID (the literal n-gram heuristic): score =
+    // how many of a language's signature bigrams occur in the doc; argmax
+    // with deterministic precedence. Complements q30's stopword heuristic.
+    "q72_ngram_lang_id" -> ((s, d) => {
+      def hits(grams: String) = // count of signature bigrams present in text
+        expr(s"CAST(size(filter(array$grams, g -> instr(text, g) > 0)) AS BIGINT)")
+      table(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        hits("('th','he','an','in','er')").as("en_bigrams"),
+        hits("('ch','ei','de','en','un')").as("de_bigrams"),
+        hits("('le','es','on','ou','qu')").as("fr_bigrams"))
+        .withColumn("guessed_lang",
+          when(col("en_bigrams") >= col("de_bigrams") &&
+            col("en_bigrams") >= col("fr_bigrams") && col("en_bigrams") > 0, "en")
+            .when(col("de_bigrams") >= col("fr_bigrams") && col("de_bigrams") > 0, "de")
+            .when(col("fr_bigrams") > 0, "fr")
+            .otherwise("unk"))
+    }),
+
     // SQL entry path (spark.sql over temp views) with a correlated scalar
     // subquery — Catalyst decorrelates it into a left outer aggregate join;
     // the same text runs verbatim on DuckDB.
@@ -902,6 +921,21 @@ object LlmQueries {
         |  least(l_quantity, l_discount * 100) AS least_v,
         |  greatest(l_quantity, l_discount * 100) AS greatest_v
         |FROM lineitem""".stripMargin,
+
+    "q72_ngram_lang_id" ->
+      """SELECT doc_id, lang,
+        |  len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) AS en_bigrams,
+        |  len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) AS de_bigrams,
+        |  len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) AS fr_bigrams,
+        |  CASE
+        |    WHEN len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) >= len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0))
+        |     AND len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) >= len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0))
+        |     AND len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) > 0 THEN 'en'
+        |    WHEN len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) >= len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0))
+        |     AND len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) > 0 THEN 'de'
+        |    WHEN len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) > 0 THEN 'fr'
+        |    ELSE 'unk' END AS guessed_lang
+        |FROM documents""".stripMargin,
 
     "q71_sql_correlated_subquery" ->
       """SELECT c.c_custkey,

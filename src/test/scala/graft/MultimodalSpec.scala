@@ -35,6 +35,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.features.forall(f => f >= -1.0f && f <= 1.0f)))
   }
 
+  test("resize stub: target dims recorded, sketch deterministic across partitionings") {
+    val a = Multimodal.resize(media.repartition(5), 224, 224).collect()
+      .map(f => (f.media_id, f.width, f.height, f.features.toSeq)).sortBy(_._1)
+    val b = Multimodal.resize(media.coalesce(1), 224, 224).collect()
+      .map(f => (f.media_id, f.width, f.height, f.features.toSeq)).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.forall(r => r._2 == 224 && r._3 == 224))
+  }
+
   test("video kind gets multi-frame metadata; frame sampling emits n windows per payload") {
     val video = Multimodal.fromText(
       spark, Graft.table(spark, sf, "documents"), "doc_id", "text", "video")
