@@ -69,9 +69,9 @@ object Multimodal {
         else Array.tabulate(math.min(targetBytes, len)) { i =>
           m.content(((len.toLong * i) / math.min(targetBytes, len)).toInt)
         }
+      val h = graft.functions.SimHash64.fnv1a(sketch) // one hash per record
       val feats = Array.tabulate(4) { i =>
-        val h = (graft.functions.SimHash64.fnv1a(sketch) ^ (i + 1).toLong) * 1099511628211L
-        (h.toDouble / Long.MaxValue).toFloat
+        (((h ^ (i + 1).toLong) * 1099511628211L).toDouble / Long.MaxValue).toFloat
       }
       MediaFeatures(m.media_id, m.kind, len.toLong, targetW, targetH, 1, feats)
     })

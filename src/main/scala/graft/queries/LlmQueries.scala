@@ -923,19 +923,19 @@ object LlmQueries {
         |FROM lineitem""".stripMargin,
 
     "q72_ngram_lang_id" ->
-      """SELECT doc_id, lang,
-        |  len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) AS en_bigrams,
-        |  len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) AS de_bigrams,
-        |  len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) AS fr_bigrams,
+      """SELECT doc_id, lang, en_bigrams, de_bigrams, fr_bigrams,
         |  CASE
-        |    WHEN len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) >= len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0))
-        |     AND len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) >= len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0))
-        |     AND len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) > 0 THEN 'en'
-        |    WHEN len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) >= len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0))
-        |     AND len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) > 0 THEN 'de'
-        |    WHEN len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) > 0 THEN 'fr'
+        |    WHEN en_bigrams >= de_bigrams AND en_bigrams >= fr_bigrams
+        |     AND en_bigrams > 0 THEN 'en'
+        |    WHEN de_bigrams >= fr_bigrams AND de_bigrams > 0 THEN 'de'
+        |    WHEN fr_bigrams > 0 THEN 'fr'
         |    ELSE 'unk' END AS guessed_lang
-        |FROM documents""".stripMargin,
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) AS en_bigrams,
+        |    len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) AS de_bigrams,
+        |    len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) AS fr_bigrams
+        |  FROM documents)""".stripMargin,
 
     "q71_sql_correlated_subquery" ->
       """SELECT c.c_custkey,
