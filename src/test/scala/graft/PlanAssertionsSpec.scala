@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB design depends on — a plan
+  * regression (lost pushdown, surprise cross join, forced broadcast of a
+  * growing table) fails here before it fails at scale. */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: both predicates pushed into the parquet scan") {
+    val p = plan("q02_filter_predicate")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(event_type,click)"), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("GreaterThan(value,50.0)"))
+  }
+
+  test("q08: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q13/q16: no forced broadcast of the growing customer table") {
+    // the plan may still CHOOSE broadcast at tiny SF (AQE size-based) —
+    // what must not appear is an explicit broadcast hint on customer in the
+    // logical plan
+    Seq("q13_join_inner_broadcast", "q16_join_multi").foreach { q =>
+      val logical = SparkEntry.queries(q)(spark, sf).queryExecution.logical.toString
+      assert(!logical.toLowerCase.contains("unresolvedhint (broadcast"),
+        s"$q must not hard-hint broadcast")
+    }
+  }
+
+  test("q31: LSH dedup plan contains no cartesian/broadcast-nested-loop join") {
+    val p = plan("q31_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q33: brute-force knn broadcasts the bounded query side with WindowGroupLimit pushdown") {
+    val p = plan("q33_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), "bounded query side should broadcast")
+    assert(p.contains("WindowGroupLimit"), "partial top-k should push below the shuffle")
+  }
+
+  test("q44: range join is an equi-join on bucket keys, not a theta join") {
+    val p = plan("q44_range_join")
+    assert(!p.contains("CartesianProduct"))
+    // the bucket equality must appear as a join key, the range as a filter
+    assert(p.contains("__probe"))
+  }
+}

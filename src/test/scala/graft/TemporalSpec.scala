@@ -62,6 +62,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("asof join with empty right side yields all-null matches, not an error") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2025-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", Seq("v")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("__match")))
+  }
+
   test("approx_count_distinct sketch stays within 5% of exact") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
