@@ -478,6 +478,30 @@ object LlmQueries {
             .otherwise("unk"))
     }),
 
+    // grouping_id over rollup: distinguishes subtotal rows from genuine
+    // NULL group keys — the semantic q24 leaves ambiguous.
+    "q73_grouping_id" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus"))
+            .cast("bigint").as("gid"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"), col("gid"))),
+
+    // Training-data source mixing: per-source deterministic sampling rates
+    // (content-hash based, so the mix is reproducible on any engine and any
+    // partitioning — rand()-based sampleBy is neither).
+    "q74_source_mixing" -> ((s, d) =>
+      table(s, d, "documents")
+        .where(
+          // ~50% of src0/src1 docs, ~12.5% of everything else
+          when(col("source").isin("src0", "src1"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+            .otherwise(
+              substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")))
+        .select(col("doc_id"), col("source"), col("lang"))),
+
     // SQL entry path (spark.sql over temp views) with a correlated scalar
     // subquery — Catalyst decorrelates it into a left outer aggregate join;
     // the same text runs verbatim on DuckDB.
@@ -936,6 +960,18 @@ object LlmQueries {
         |    len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) AS de_bigrams,
         |    len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) AS fr_bigrams
         |  FROM documents)""".stripMargin,
+
+    "q73_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  grouping(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q74_source_mixing" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CASE WHEN source IN ('src0','src1')
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') END""".stripMargin,
 
     "q71_sql_correlated_subquery" ->
       """SELECT c.c_custkey,
