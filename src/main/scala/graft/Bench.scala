@@ -18,16 +18,27 @@ object Bench {
     // Full materialization: the noop sink computes every column of every row
     // (unlike count(), which lets Catalyst prune all projections away).
     // Sorted order => per-query times are comparable across rounds.
+    // Failures are NOT swallowed: each failed query is reported in an
+    // "errors" map and the process exits nonzero, so a broken query can
+    // never masquerade as a fast green bar.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the one-line summary short enough to survive
+    // log-tail truncation downstream (full-precision doubles pushed the r3
+    // line past the tail window and cut q01-q12 out of the round artifact).
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(c)) => s"\"" + k + "\":\"" + c + "\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -3,7 +3,6 @@ package graft.pipeline
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Silver transform: one day's raw bronze JSON → flattened hourly Parquet
@@ -69,13 +68,17 @@ object SilverJob {
 
     // Deterministic single-doc selection: the lexicographically last file in
     // the partition wins (vs the reference's arbitrary limit(1),
-    // spark_jobs/silver_openmeteo.py:28).
-    val w = Window.orderBy(col("_src_file").desc)
-    val doc = raw
+    // spark_jobs/silver_openmeteo.py:28). Implemented as a 1-row max
+    // aggregate + broadcast join rather than an unpartitioned window: a
+    // global Window.orderBy funnels every row through one partition, which
+    // is exactly the shape that dies on a fat day-partition at scale.
+    val withFile = raw
       .where(col("_corrupt_record").isNull && col("hourly").isNotNull)
       .withColumn("_src_file", input_file_name())
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
+    val latest = withFile.agg(max(col("_src_file")).as("_latest_file"))
+    val doc = withFile
+      .join(broadcast(latest), col("_src_file") === col("_latest_file"))
+      .drop("_latest_file")
 
     flattenHourly(doc, hourlyVars)
       .withColumn("y", lit(date.getYear))

@@ -101,9 +101,9 @@ object LlmQueries {
     "q31_minhash_lsh_pairs" -> ((s, d) => nearDupPairs(s, d)),
 
     // SimHash banded near-dup pairs — native codegen'd SimHash64 expression.
-    // No SQL oracle (FNV-1a unsigned arithmetic is not expressible in
-    // DuckDB's checked BIGINT); correctness is pinned by LlmOperatorsSpec
-    // (codegen-vs-interpreted cross-check + planted-pair recall).
+    // Oracled: DuckDB mirrors FNV-1a's unsigned wraparound with HUGEINT
+    // arithmetic mod 2^64 (ASCII corpus => unicode(char) == UTF-8 byte);
+    // LlmOperatorsSpec additionally pins codegen-vs-interpreted agreement.
     "q32_simhash_pairs" -> ((s, d) =>
       TextDedup.simhashNearDupPairs(
         table(s, d, "documents"), "doc_id", "text",
@@ -157,8 +157,9 @@ object LlmQueries {
         md5(col("text")).as("fingerprint"))),
 
     // Multimodal decode/feature plumbing (STUB codec, real mapPartitions
-    // batching) — rows-only: the stub's FNV-derived pseudo-metadata is not
-    // SQL-expressible; MultimodalSpec pins determinism and shapes.
+    // batching). Oracled in full: the stub's FNV-derived pseudo-metadata is
+    // replayed in DuckDB with the same HUGEINT-mod-2^64 mirror as q32/q41;
+    // MultimodalSpec additionally pins determinism and shapes.
     "q37_media_features" -> ((s, d) => {
       import graft.operators.Multimodal
       val media = Multimodal.fromText(s, table(s, d, "documents"), "doc_id", "text", "image")
@@ -198,9 +199,10 @@ object LlmQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
-    // Native codegen fingerprints over the corpus (rows-only: unsigned 64-bit
-    // wraparound isn't DuckDB-expressible; PropertySpec + LlmOperatorsSpec pin
-    // codegen-vs-interpreted agreement and partition stability).
+    // Native codegen fingerprints over the corpus — oracled via the same
+    // HUGEINT-mod-2^64 DuckDB mirror as q32; PropertySpec + LlmOperatorsSpec
+    // additionally pin codegen-vs-interpreted agreement and partition
+    // stability.
     "q41_native_fingerprints" -> ((s, d) =>
       table(s, d, "documents").select(
         col("doc_id"),
@@ -648,6 +650,85 @@ object LlmQueries {
         |  JOIN sizes nb ON nb.doc_id = doc_b)
         |WHERE jaccard >= 0.5""".stripMargin,
 
+    // FNV-1a's unsigned-64-bit wraparound is mirrored exactly with HUGEINT
+    // arithmetic mod 2^64 (the corpus is ASCII, so unicode(char) == the UTF-8
+    // byte SimHash64 hashes); votes and banding then replay the native
+    // expression bit-for-bit.
+    "q32_simhash_pairs" ->
+      """WITH th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(substr(tok, i, 1))::HUGEINT for i in range(1, length(tok)+1)]),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS shu
+        |  FROM votes GROUP BY doc_id),
+        |sg AS (
+        |  SELECT doc_id, shu,
+        |    CAST(CASE WHEN shu >= (1::HUGEINT << 63)
+        |      THEN shu - 18446744073709551616::HUGEINT ELSE shu END AS BIGINT) AS sh64
+        |  FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
+        |FROM sg a, sg b
+        |WHERE a.doc_id < b.doc_id
+        |  AND EXISTS (SELECT 1 FROM (SELECT unnest([0,1,2,3]) AS band)
+        |              WHERE (a.shu // (1::HUGEINT << (band*16))) % 65536
+        |                  = (b.shu // (1::HUGEINT << (band*16))) % 65536)
+        |  AND bit_count(xor(a.sh64, b.sh64)) <= 8""".stripMargin,
+
+    // Rolling hash (h = h*1000003 + byte mod 2^64) and SimHash via the same
+    // HUGEINT-mod-2^64 mirror as q32.
+    "q41_native_fingerprints" ->
+      """WITH th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(substr(tok, i, 1))::HUGEINT for i in range(1, length(tok)+1)]),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS shu
+        |  FROM votes GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(1469598103934665603::HUGEINT,
+        |      [unicode(substr(text, i, 1))::HUGEINT for i in range(1, length(text)+1)]),
+        |    (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS chu
+        |  FROM documents)
+        |SELECT ch.doc_id,
+        |  CAST(CASE WHEN chu >= (1::HUGEINT << 63)
+        |    THEN chu - 18446744073709551616::HUGEINT ELSE chu END AS BIGINT) AS content_hash,
+        |  CAST(CASE WHEN shu >= (1::HUGEINT << 63)
+        |    THEN shu - 18446744073709551616::HUGEINT ELSE shu END AS BIGINT) AS simhash
+        |FROM ch JOIN sh ON ch.doc_id = sh.doc_id""".stripMargin,
+
+    // The media stub derives width/height from fnv1a(payload bytes) —
+    // unsigned mod/shift replayed as HUGEINT % and // (ASCII corpus, so
+    // char length == byte length).
+    "q37_media_features" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(substr(text, i, 1))::HUGEINT for i in range(1, length(text)+1)]),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hu,
+        |    length(text) AS n
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(16 + hu % 1024 AS INTEGER) AS width,
+        |  CAST(16 + (hu // 1024) % 1024 AS INTEGER) AS height,
+        |  1 AS n_frames
+        |FROM h""".stripMargin,
+
     "q33_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,
@@ -995,7 +1076,7 @@ object LlmQueries {
         |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_v,
         |  CAST(floor(l_quantity / 7) AS BIGINT) AS floor_v,
         |  sqrt(l_quantity) AS sqrt_v,
-        |  sign(l_discount - 0.05) AS sign_v,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_v,
         |  l_orderkey % 97 AS mod_v
         |FROM lineitem""".stripMargin,
 
