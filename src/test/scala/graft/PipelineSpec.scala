@@ -145,6 +145,11 @@ class PipelineSpec extends AnyFunSuite {
     val silver = SilverJob.transform(spark, cfg.storage.bronze, date, cfg.source.hourlyVars)
     val temps = silver.select("temperature_c").collect().map(_.getDouble(0)).sorted
     assert(temps.sameElements(Array(2.0, 3.0)), "doc _b (latest name) must be selected")
+    // Scale regression guard: latest-file selection must be the 1-row max
+    // aggregate + broadcast join, never an unpartitioned window (which
+    // funnels the whole day-partition through one task).
+    val p = silver.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"Silver plan must not contain a window:\n$p")
   }
 
   test("null values in hourly arrays pass through casts (API emits nulls)") {
