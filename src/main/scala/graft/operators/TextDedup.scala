@@ -105,32 +105,37 @@ object TextDedup {
     * every node's label converges to the smallest id reachable from it.
     *
     * Scale design: pure DataFrame iteration — each round is one join + one
-    * aggregation, both hash-partitioned on node id; rounds needed =
-    * O(log(diameter)), and near-dup graphs are unions of tiny cliques, so
-    * 2-3 rounds in practice. The driver only checks the converged flag
-    * (a 1-row count), never collects the graph. */
+    * aggregation, both hash-partitioned on node id; one-hop propagation needs
+    * O(component diameter) rounds, and near-dup graphs are unions of tiny
+    * cliques (diameter 1-2), so 2-3 rounds in practice. The driver only
+    * checks the converged flag (a 1-row count), never collects the graph.
+    *
+    * Checkpointing: each round's state is materialized AND its lineage
+    * truncated, so iteration N's plan doesn't embed plans 1..N-1 (plain
+    * persist keeps the whole chain and planning cost grows superlinearly).
+    * When the session has a reliable checkpoint dir configured
+    * (`sc.setCheckpointDir`), state goes through `checkpoint` — which
+    * survives executor loss on a real cluster; otherwise `localCheckpoint`
+    * (executor-local blocks, fine for single-JVM runs but lost with the
+    * executor) is used. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
-    // localCheckpoint (eager) on every iteration state: materializes the
-    // frame AND truncates its lineage, so iteration N's plan doesn't embed
-    // plans 1..N-1 (the standard iterative-DataFrame pattern — plain persist
-    // keeps the whole chain and planning cost grows superlinearly).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val edges = save(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = save(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, "id")
-        .select(col("id"), least(col("label"), col("nmin")).as("label"))
-        .localCheckpoint(true)
+      val next = save(labels.join(neighborMin, "id")
+        .select(col("id"), least(col("label"), col("nmin")).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).isEmpty
       labels = next

@@ -69,6 +69,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.select(countDistinct(col("d"))).collect().head.getLong(0) <= 2)
   }
 
+  test("connectedComponents uses reliable checkpoints when a checkpoint dir is set") {
+    import java.nio.file.Files
+    import graft.operators.TextDedup
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "precondition: suite session has no checkpoint dir")
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // two components: {1,2,3} (path, diameter 2) and {10,11}
+      val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+        .toDF("doc_a", "doc_b")
+      val got = TextDedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))))
+      // the reliable path actually wrote RDD checkpoint files under the dir
+      val wrote = Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected reliable checkpoint files under $dir")
+    } finally {
+      // SparkContext has no unsetCheckpointDir; null resets the Option to None
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     import graft.streaming.StreamingAgg
