@@ -73,19 +73,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the first
-    * `nlist` vectors) partitions the corpus into inverted lists; queries probe
-    * their `nprobe` nearest centroids and rank only those lists' members.
-    * The heavy join is candidates-by-centroid-id — an equi-join that shuffles
-    * on the list id, never a cross product over the corpus. (A production
-    * quantizer would be k-means-trained; the assignment/probe/rank dataflow —
-    * the part that must scale — is identical.) */
+  /** Lloyd-trained coarse quantizer for [[ivfKnn]]: `iters` k-means rounds
+    * from a deterministic seed (centroids = the first `nlist` vectors by id;
+    * `iters = 0` returns the seed unchanged). Each round assigns every vector
+    * to its nearest centroid (squared-L2 via the same sequential-fold dot
+    * products the rest of this file uses, ties broken by centroid id) and
+    * recomputes each centroid as its members' coordinate-wise mean.
+    *
+    * Determinism: a double sum is partition-order dependent, so the mean
+    * quantizes each coordinate to 1e-7 first — `round(x*1e7)` as BIGINT —
+    * and sums integers (exact, order-free), then divides once in double.
+    * That makes trained centroids bit-reproducible across partition counts
+    * and engines (a SQL oracle replays the same arithmetic); the 1e-7 grid
+    * is noise relative to k-means' own convergence tolerance.
+    *
+    * Scale: each round is one broadcast cross of the corpus with `nlist`
+    * centroid rows plus one aggregate keyed on (cid, coord) — `nlist × dim`
+    * groups, so partial aggregation collapses it map-side; training cost is
+    * linear in the corpus with no wide shuffle. */
+  def kmeansCentroids(n: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame = {
+    var cents = n.where(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col("emb").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val d2 = dot_d(col("emb"), col("emb")) -
+        lit(2.0) * dot_d(col("emb"), col("c_emb")) +
+        dot_d(col("c_emb"), col("c_emb"))
+      val assigned = n.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cid").asc)))
+        .where(col("crn") === 1)
+        .select(col("cid"), col("emb"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
+        .withColumn("q", round(col("x") * lit(1e7)).cast("long"))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double") / lit(1e7)).as("m"))
+      cents = means.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("cid"), expr("transform(im, e -> e.m)").as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF-style ANN: a k-means-trained coarse quantizer (deterministic seed =
+    * the first `nlist` vectors, `lloydIters` Lloyd rounds — see
+    * [[kmeansCentroids]]) partitions the corpus into inverted lists; queries
+    * probe their `nprobe` nearest centroids and rank only those lists'
+    * members. The heavy join is candidates-by-centroid-id — an equi-join
+    * that shuffles on the list id, never a cross product over the corpus. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: org.apache.spark.sql.Column, k: Int,
-             nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+             nlist: Int = 8, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    val cents = n.where(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col("emb").as("c_emb"))
+    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
     // squared L2 to each centroid via dot products: v.v - 2 v.c + c.c —
     // identical sequential-fold arithmetic on both engines
     val dist2 = dot_d(col("emb"), col("emb")) -

@@ -283,13 +283,15 @@ object LlmQueries {
       table(s, d, "events").groupBy(col("event_type"))
         .agg(median(col("value")).as("med_value"), count(lit(1)).as("n"))),
 
-    // IVF ANN: deterministic coarse quantizer -> inverted lists -> probe 2
-    // nearest lists -> exact rank within candidates.
+    // IVF ANN: k-means-trained coarse quantizer (2 Lloyd rounds from a
+    // deterministic seed, integer-quantized centroid means so training is
+    // bit-reproducible) -> inverted lists -> probe 2 nearest -> exact rank
+    // within candidates. Oracle replays the same two training rounds.
     "q50_ivf_ann" -> ((s, d) =>
       Similarity.ivfKnn(
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") >= 100 && col("vec_id") < 200, k = 3,
-        nlist = 8, nprobe = 2)),
+        nlist = 8, nprobe = 2, lloydIters = 2)),
 
     // Text normalization (lowercase, whitespace collapse, trim) applied to a
     // deliberately-messy derivation of the corpus so the operator has work to
@@ -859,18 +861,54 @@ object LlmQueries {
       """SELECT event_type, median(value) AS med_value, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Mirrors Similarity.kmeansCentroids: two Lloyd rounds (a1/m1/c1 then
+    // a2/m2/c2) with integer-quantized coordinate means (round(x*1e7) summed
+    // as BIGINT — exact, order-free — then one double division), so trained
+    // centroids are bit-identical to Spark's regardless of partitioning.
     "q50_ivf_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,
         |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
         |      FROM e),
-        |c AS (SELECT vec_id AS cid, emb AS c_emb FROM n WHERE vec_id < 8),
+        |c0 AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, emb, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM (
+        |    SELECT e.vec_id, e.emb, c.cid,
+        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
+        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |    FROM e, c0 c)),
+        |m1 AS (
+        |  SELECT cid, i,
+        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+        |        FROM a1 WHERE crn = 1)
+        |  GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1 GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, emb, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM (
+        |    SELECT e.vec_id, e.emb, c.cid,
+        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
+        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |    FROM e, c1 c)),
+        |m2 AS (
+        |  SELECT cid, i,
+        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+        |        FROM a2 WHERE crn = 1)
+        |  GROUP BY cid, i),
+        |c2 AS (SELECT cid, list(m ORDER BY i) AS c_emb FROM m2 GROUP BY cid),
         |dists AS (
-        |  SELECT n.vec_id, n.emb, n.nrm, c.cid, c.c_emb,
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cid,
         |    list_reduce(list_transform(n.emb, x -> x*x), (a,x) -> a+x)
         |      - 2.0 * list_reduce(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*c.c_emb[i]), (a,x) -> a+x)
         |      + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
-        |  FROM n, c),
+        |  FROM n, c2 c),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
         |  FROM dists),

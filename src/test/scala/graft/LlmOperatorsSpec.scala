@@ -107,6 +107,32 @@ class LlmOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf knn: k-means training lifts recall vs the untrained seed; centroids are partition-count independent") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val qp = col("vec_id") < 30
+    val truth = Similarity.bruteForceKnn(emb, "vec_id", "embedding", qp, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(iters: Int, df: org.apache.spark.sql.DataFrame = emb): Double = {
+      val got = Similarity.ivfKnn(df, "vec_id", "embedding", qp, k = 3,
+          nlist = 8, nprobe = 2, lloydIters = iters)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val untrained = recall(0)
+    val trained = recall(2)
+    info(s"recall@3 nprobe=2: untrained=$untrained trained=$trained")
+    assert(trained >= untrained,
+      s"k-means training must not hurt recall: trained=$trained untrained=$untrained")
+    // trained quantizer is bit-deterministic: same result on 1 or 7 partitions
+    val one = Similarity.ivfKnn(emb.coalesce(1), "vec_id", "embedding", qp, k = 3, lloydIters = 2)
+      .collect().map(_.toString).sorted
+    val many = Similarity.ivfKnn(emb.repartition(7), "vec_id", "embedding", qp, k = 3, lloydIters = 2)
+      .collect().map(_.toString).sorted
+    assert(one.sameElements(many))
+  }
+
   test("lsh knn neighbors are a subset of brute-force candidates' scores") {
     val emb = Graft.table(spark, sf, "embeddings")
     val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 100)
