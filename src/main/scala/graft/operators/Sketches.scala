@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types.BinaryType
+
+/** Sketch-based operators for cardinality estimation and join pruning — the
+  * two sketches a 100 TB pipeline reaches for first.
+  *
+  * Both are deliberately deterministic (md5-derived hashes, no seeded RNG), so
+  * their outputs are pure functions of the input set and a SQL oracle can
+  * replay them exactly. The reference has no sketches (its only aggregate is a
+  * 5-column global min/max/avg/sum, reference: spark_jobs/gold_openmeteo.py:20-27);
+  * these are additive scale operators.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash of `c` on the md5 hex domain — positive, identical
+    * in any engine with md5 (DuckDB: fold the same 15 hex chars). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct-count estimate per group via the KMV sketch, next to the exact
+    * count for calibration. The sketch aggregates map-side (bounded k-long
+    * buffer per group per task); the exact `count(DISTINCT)` column is there
+    * to measure the estimate and would be dropped at real scale — it is the
+    * expensive full-shuffle the sketch replaces. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAgg(k), Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        kmv(hash60(col(valueCol))).as("est_distinct"),
+        countDistinct(col(valueCol)).as("exact_distinct"))
+  }
+
+  /** Bloom-filter semi-join: build a Bloom filter over `dim`'s join keys,
+    * pre-filter `fact` with the codegen'd `might_contain` predicate AT THE
+    * SCAN — before the shuffle — then run the exact semi-join on the
+    * survivors to drop the false positives.
+    *
+    * Insert and probe both hash with `xxhash64`, exactly like the runtime
+    * filters Spark's `InjectRuntimeFilter` rule injects for selective joins
+    * (same `BloomFilterAggregate` / `BloomFilterMightContain` pair), so a
+    * true match can never be dropped. The finished sketch is a fixed-size bit
+    * array returned to the driver like any aggregate value (one row, bounded
+    * by `expectedItems`·bits — NOT a materialization of dim's rows) and
+    * inlined as a literal into the probe.
+    *
+    * At 100 TB the bloom probe eliminates the bulk of the fact table's
+    * shuffle I/O for the cost of that bit array, and the trailing equi-join
+    * keeps the result EXACTLY equal to `fact SEMI JOIN dim` — the sketch can
+    * only change performance, never the answer (oracle = plain semi-join). */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, expectedItems: Long = 100000L): DataFrame = {
+    val exact = fact.join(dim.select(col(dimKey)),
+      col(factKey) === col(dimKey), "left_semi")
+    val bfAgg = new BloomFilterAggregate(
+      GraftShims.expression(xxhash64(col(dimKey))), expectedItems)
+    val bytes = dim.select(GraftShims.column(bfAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) exact // empty dim: nothing to prune, result is empty anyway
+    else {
+      val mightContain = GraftShims.column(BloomFilterMightContain(
+        Literal.create(bytes, BinaryType),
+        GraftShims.expression(xxhash64(col(factKey)))))
+      fact.where(mightContain)
+        .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+    }
+  }
+}

@@ -39,6 +39,34 @@ object Temporal {
       .drop("__tag", "__p")
   }
 
+  /** Interval-overlap join at second granularity: all pairs (a, b) with
+    * `a.start <= b.end AND b.start <= a.end` (closed intervals). Inputs carry
+    * (id, startSec, endSec) columns as epoch-second longs.
+    *
+    * Plan: each interval explodes to the `bucketSec`-sized time buckets it
+    * covers, candidates meet through an equi-join on the bucket — never a
+    * theta join — and each overlapping pair is emitted EXACTLY once: only in
+    * the bucket of the later start (overlap guarantees `max(starts)` lies in
+    * both intervals, and `floor(max(starts)/g) = max(floor(starts/g))`), so
+    * no distinct pass is needed. Bucket fan-out per row is
+    * `len/bucketSec + 1`; size `bucketSec` near the typical interval length,
+    * and cap outliers upstream, to keep the explode bounded. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aId: String, bId: String,
+                          startCol: String, endCol: String,
+                          bucketSec: Long): DataFrame = {
+    def buckets(df: DataFrame, id: String, side: String): DataFrame =
+      df.select(col(id), col(startCol).as(s"${side}_start"), col(endCol).as(s"${side}_end"),
+        explode(expr(s"sequence(CAST(floor($startCol / $bucketSec) AS BIGINT), " +
+          s"CAST(floor($endCol / $bucketSec) AS BIGINT))")).as("__bucket"))
+    buckets(a, aId, "a").join(buckets(b, bId, "b"), Seq("__bucket"))
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
+        col("__bucket") === floor(greatest(col("a_start"), col("b_start")) / bucketSec).cast("long"))
+      .select(col(aId), col(bId),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_sec"))
+  }
+
   /** Range self-join at second granularity: all pairs (a, b) in the same key
     * group with `0 <= ts_b - ts_a <= maxGapSec` (ordered by (ts, id) so each
     * unordered pair appears exactly once). `idCol` must be unique per row. */

@@ -151,6 +151,56 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Distinct character n-grams of `textCol` as ONE array per document (rows
+    * shorter than n chars are dropped) — the set representation for
+    * [[ngramJaccardPairs]]. */
+  def charNgramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.where(length(col(textCol)) >= n)
+      .select(col(idCol),
+        expr(s"array_distinct(transform(sequence(1, length($textCol)-${n - 1}), " +
+          s"i -> substring($textCol, i, $n)))").as("gs"))
+
+  /** Character n-gram Jaccard near-duplicate pairs — the third dedup family
+    * next to MinHash-LSH (probabilistic banding) and SimHash (bit
+    * fingerprint): EXACT set similarity, with candidates generated by shared
+    * RARE n-grams instead of signature collisions.
+    *
+    * Candidate generation is document-frequency-capped (the classic prefix/
+    * rare-token filter): an n-gram appearing in more than `maxDf` documents
+    * is too common to identify near-duplicates and is skipped, which bounds
+    * every join bucket at `maxDf` rows (≤ maxDf² candidate pairs per n-gram)
+    * — no stop-gram ever floods a partition, so the self-join scales like the
+    * banded joins above. A pair whose every shared n-gram is more common than
+    * `maxDf` is missed — the standard recall trade-off of df-capped candidate
+    * generation; near-duplicate documents share long runs of text and
+    * therefore many rare n-grams, so for dedup thresholds (≥ ~0.4) recall is
+    * effectively total. The Jaccard filter on the FULL n-gram sets then makes
+    * the survivors exact. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, maxDf: Int = 20,
+                        threshold: Double = 0.5): DataFrame = {
+    val sets = charNgramSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sets.select(col(idCol), explode(col("gs")).as("g"))
+    val rare = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("g"))
+    val rareGrams = grams.join(rare, "g")
+    val cand = rareGrams.select(col("g"), col(idCol).as("doc_a"))
+      .join(rareGrams.select(col("g"), col(idCol).as("doc_b")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.toDF("doc_a", "gs_a"), "doc_a")
+      .join(sets.toDF("doc_b", "gs_b"), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("gs_a")) + size(col("gs_b")) - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash over tokens (native codegen
     * expression), split into `nBands` bit-bands; pairs sharing any band are
     * candidates; kept if total Hamming distance <= maxHamming. Bucketed on

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.{Relational, Sketches, Temporal, TextDedup}
+
+/** Round-5 scale operators: sketch-based cardinality estimation, bloom-filter
+  * join pruning, n-gram Jaccard dedup, deterministic stratified/weighted
+  * sampling, incremental dedup, interval-overlap joins, and TF-IDF retrieval.
+  *
+  * Same oracle discipline as [[LlmQueries]]: md5 for all hashing, integer or
+  * DECIMAL arithmetic wherever partial-aggregation order could move a double,
+  * and 6dp rounding on scores derived from `ln` (the one libm function in
+  * play) so a 1-ulp library difference cannot flip a comparison.
+  */
+object ScaleQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TF-IDF query terms (fixed vocabulary of the synthetic corpus). */
+  private val tfidfTerms = Seq("join", "vector", "stream", "window", "spark")
+
+  val queries: Map[String, Q] = Map(
+
+    // Character n-gram Jaccard near-dup pairs — exact set similarity with
+    // df-capped candidate generation (rare shared n-grams), the third dedup
+    // family next to MinHash-LSH banding (q31) and SimHash (q32).
+    "q75_ngram_jaccard_pairs" -> ((s, d) =>
+      TextDedup.ngramJaccardPairs(
+        table(s, d, "documents"), "doc_id", "text",
+        n = 8, maxDf = 20, threshold = 0.5)),
+
+    // Bloom-filter semi-join: dim-side BloomFilterAggregate sketch probes the
+    // fact scan BEFORE the shuffle (same expression pair Spark's runtime
+    // filters inject); trailing exact semi-join keeps the answer identical to
+    // a plain semi-join, which is exactly what the oracle runs.
+    "q76_bloom_semi_join" -> ((s, d) => {
+      val dim = table(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      Sketches.bloomSemiJoin(table(s, d, "orders"), dim,
+          "o_custkey", "c_custkey", expectedItems = 10000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.sumExact(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // KMV distinct-count sketch per group (k=64): bounded map-side sketch vs
+    // the exact count(DISTINCT) it replaces. md5-derived hashes make the
+    // estimate a pure function of the input set — the oracle replays it.
+    "q77_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(table(s, d, "events"),
+        Seq("event_type"), "user_id", k = 64)),
+
+    // Stratified sampling: exactly 10 docs per language stratum, chosen by
+    // md5(doc_id) order — deterministic on any engine and any partitioning,
+    // and per-stratum exact sizes (rand()-based sampling gives neither).
+    "q78_stratified_sample" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("u", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))).cast("bigint"))
+        .where(col("rn") <= 10)
+        .select(col("doc_id"), col("lang"), col("rn"))),
+
+    // Weighted sampling: keep a doc with probability proportional to its
+    // length (p = min(1, n_chars/400)), decided by comparing an md5-uniform
+    // in [0,1) against p — reproducible, no RNG state, embarrassingly
+    // parallel.
+    "q79_weighted_sample" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("u",
+          Sketches.hash60(col("doc_id")) / lit((1L << 60).toDouble))
+        .where(col("u") <
+          least(lit(1.0), col("n_chars").cast("double") / lit(400.0)))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Incremental dedup — the standing shape for continuously-ingested
+    // corpora: fingerprint the new batch, dedupe within it, anti-join against
+    // the existing store's fingerprints. The batch here is the next 10
+    // sources plus a simulated re-crawl of the store (same text, new ids),
+    // which the anti-join must fully eliminate.
+    "q80_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val isOld = expr("CAST(substring(source, 4) AS INT) < 10")
+      val store = docs.where(isOld)
+      val batch = docs.where(!isOld)
+        .unionByName(store.withColumn("doc_id", col("doc_id") + 10000))
+      val batchDedup = Relational.dedupeByKey(
+        batch.withColumn("fingerprint", md5(col("text"))),
+        Seq(col("fingerprint")), Seq(col("doc_id").asc))
+      batchDedup
+        .join(store.select(md5(col("text")).as("fingerprint")),
+          Seq("fingerprint"), "left_anti")
+        .select(col("doc_id"), col("fingerprint"), col("source"))
+    }),
+
+    // Interval-overlap join: click-intervals x view-intervals (closed
+    // [ts, ts+floor(value)] second intervals) meeting through time-bucket
+    // equi-join — never a theta join; each pair emitted exactly once.
+    "q81_interval_overlap_join" -> ((s, d) => {
+      val base = table(s, d, "events").select(
+          col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("start_sec"),
+          (unix_timestamp(col("ts")) + floor(col("value"))).as("end_sec"))
+      Temporal.intervalOverlapJoin(
+        base.where(col("event_type") === "click").withColumnRenamed("event_id", "a_id"),
+        base.where(col("event_type") === "view").withColumnRenamed("event_id", "b_id"),
+        "a_id", "b_id", "start_sec", "end_sec", bucketSec = 600L)
+    }),
+
+    // TF-IDF retrieval: score = sum over query terms of tf(t,doc) * ln(N/df),
+    // top-20 docs. Corpus stats arrive as ONE broadcast row (no per-term
+    // shuffle); the per-doc score is a fixed sequential expression, rounded
+    // to 6dp before ordering so both engines rank identically.
+    "q82_tfidf_topk" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        tfidfTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(split(col("text"), " "), t), 1).otherwise(0)).as(s"df_$i")
+        }: _*)
+      val score = tfidfTerms.zipWithIndex.map { case (t, i) =>
+        expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS DOUBLE)") *
+          log(col("n_docs").cast("double") / col(s"df_$i").cast("double"))
+      }.reduce(_ + _)
+      docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }))
+
+  /** One hex-fold helper used by several oracles: 60-bit value of the first
+    * 15 md5 hex chars, as the same left-to-right integer fold Spark's
+    * `conv(_, 16, 10)` performs. */
+  private def duckHash60(e: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> " +
+      s"CAST(strpos('0123456789abcdef', substr(substr(md5(CAST($e AS VARCHAR)), 1, 15), i, 1)) - 1 AS BIGINT)), " +
+      "(a, x) -> a * 16 + x)"
+
+  val oracle: Map[String, String] = Map(
+
+    "q75_ngram_jaccard_pairs" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 8) for i in range(1, length(text) - 6)]) AS gs
+        |  FROM documents WHERE length(text) >= 8),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM sets),
+        |rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 20),
+        |rg AS (SELECT doc_id, g FROM grams JOIN rare USING (g)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM rg a JOIN rg b USING (g) WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) /
+        |      (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) AS jaccard
+        |  FROM cand
+        |  JOIN sets sa ON sa.doc_id = cand.doc_a
+        |  JOIN sets sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "q76_bloom_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q77_kmv_distinct" -> {
+      val h = duckHash60("user_id")
+      s"""WITH hv AS (SELECT DISTINCT event_type, $h AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM hv),
+         |agg AS (SELECT event_type, count(*) AS nd,
+         |          max(CASE WHEN rn = 64 THEN h END) AS hk
+         |        FROM r GROUP BY event_type),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |       FROM events GROUP BY event_type)
+         |SELECT agg.event_type,
+         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |       ELSE (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+         |            / CAST(hk AS DOUBLE) END AS est_distinct,
+         |  ex.exact_distinct
+         |FROM agg JOIN ex USING (event_type)""".stripMargin
+    },
+
+    "q78_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q79_weighted_sample" -> {
+      val h = duckHash60("doc_id")
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
+         |      < least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE))""".stripMargin
+    },
+
+    "q80_incremental_dedup" ->
+      """WITH store AS (
+        |  SELECT * FROM documents WHERE CAST(substr(source, 4) AS INT) < 10),
+        |batch AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, source FROM store),
+        |bfp AS (SELECT doc_id, md5(text) AS fingerprint, source FROM batch),
+        |bd AS (
+        |  SELECT doc_id, fingerprint, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        |    FROM bfp)
+        |  WHERE rn = 1)
+        |SELECT doc_id, fingerprint, source FROM bd
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM store WHERE md5(store.text) = bd.fingerprint)""".stripMargin,
+
+    "q81_interval_overlap_join" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      + CAST(floor(value) AS BIGINT) AS e
+        |  FROM events),
+        |a AS (SELECT event_id AS a_id, s AS a_s, e AS a_e FROM base
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT event_id AS b_id, s AS b_s, e AS b_e FROM base
+        |      WHERE event_type = 'view')
+        |SELECT a_id, b_id,
+        |  least(a_e, b_e) - greatest(a_s, b_s) AS overlap_sec
+        |FROM a, b
+        |WHERE a_s <= b_e AND b_s <= a_e""".stripMargin,
+
+    "q82_tfidf_topk" -> {
+      val dfCols = tfidfTerms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
+      }.mkString(",\n        |    ")
+      val scoreTerms = tfidfTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(string_split(d.text, ' '), x -> x = '$t')) AS DOUBLE)" +
+          s" * ln(CAST(st.n_docs AS DOUBLE) / CAST(st.df_$i AS DOUBLE))"
+      }.mkString("\n        |    + ")
+      s"""WITH st AS (
+         |  SELECT count(*) AS n_docs,
+         |    $dfCols
+         |  FROM documents),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    $scoreTerms AS score
+         |  FROM documents d, st)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id
+         |LIMIT 20""".stripMargin
+    })
+}
