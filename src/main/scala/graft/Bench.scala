@@ -21,11 +21,20 @@ object Bench {
     // Failures are NOT swallowed: each failed query is reported in an
     // "errors" map and the process exits nonzero, so a broken query can
     // never masquerade as a fast green bar.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q75,q50 restricts the run for local iteration; the
+    // driver never sets it (full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      // release the query's own persisted intermediates; timed WITH the
+      // query (cache lifetime is part of its cost). Cross-query shared
+      // caches (the LSH pair graph) are not registered and survive.
+      graft.operators.CacheScope.drain()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // 3-decimal seconds keep the one-line summary short enough to survive

@@ -24,13 +24,18 @@ object ScaleQueries {
 
   val queries: Map[String, Q] = Map(
 
-    // Character n-gram Jaccard near-dup pairs — exact set similarity with
-    // df-capped candidate generation (rare shared n-grams), the third dedup
-    // family next to MinHash-LSH banding (q31) and SimHash (q32).
+    // Character n-gram Jaccard near-dup pairs — exact set similarity, the
+    // third dedup family next to MinHash-LSH banding (q31) and SimHash
+    // (q32). Candidates = pairs sharing >= 2 rare grams (df <= 2% of the
+    // corpus); verification = exact integer intersection via rare-count +
+    // common-vocab bitmask popcount (see TextDedup.ngramJaccardPairs).
+    // The oracle computes the SAME integer intersection by plain list
+    // overlap on the same candidate set — mechanism differs, result is
+    // bit-identical.
     "q75_ngram_jaccard_pairs" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(
         table(s, d, "documents"), "doc_id", "text",
-        n = 8, maxDf = 20, threshold = 0.5)),
+        n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2)),
 
     // Bloom-filter semi-join: dim-side BloomFilterAggregate sketch probes the
     // fact scan BEFORE the shuffle (same expression pair Spark's runtime
@@ -146,11 +151,14 @@ object ScaleQueries {
         |    list_distinct([substr(text, i, 8) for i in range(1, length(text) - 6)]) AS gs
         |  FROM documents WHERE length(text) >= 8),
         |grams AS (SELECT doc_id, unnest(gs) AS g FROM sets),
-        |rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 20),
+        |rare AS (SELECT g FROM grams GROUP BY g
+        |         HAVING count(*) <= CAST(0.02 AS DOUBLE) *
+        |           CAST((SELECT count(*) FROM sets) AS DOUBLE)),
         |rg AS (SELECT doc_id, g FROM grams JOIN rare USING (g)),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM rg a JOIN rg b USING (g) WHERE a.doc_id < b.doc_id),
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM rg a JOIN rg b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |scored AS (
         |  SELECT doc_a, doc_b,
         |    CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) /

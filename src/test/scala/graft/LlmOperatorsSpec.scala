@@ -87,6 +87,47 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("ngram jaccard: planted near-dup found with exact score; unrelated docs absent") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely unrelated text about spark query planning and shuffles"
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // tiny corpus: every gram is rare (df <= 2% * 3 never holds... cap =
+    // 0.06 docs, so NO gram is rare and no candidates form) — use a
+    // fraction that makes df=2 grams rare but df=3 common
+    val got = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 8, maxDfFrac = 0.7, threshold = 0.3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
+    // exact Jaccard of the two char-8-gram sets, computed independently
+    def grams(s: String) = s.sliding(8).toSet
+    val (ga, gb) = (grams(a), grams(b))
+    val expected = (ga & gb).size.toDouble / (ga | gb).size
+    assert(math.abs(got.head._3 - expected) < 1e-12)
+    graft.operators.CacheScope.drain()
+  }
+
+  test("ngram jaccard: all-rare corpus (empty common vocab) still verifies exactly") {
+    import spark.implicits._
+    // every doc pair shares grams, but each gram appears in at most 2 of
+    // the 4 docs; with maxDfFrac = 0.6 the cap is 2.4 docs => every gram
+    // is rare, the common vocabulary is EMPTY, and the bitmask path must
+    // degrade to pure rare-count intersection
+    val corpus = Seq(
+      (1L, "aaaabbbbccccdddd"), (2L, "aaaabbbbcccceeee"),
+      (3L, "ffffgggghhhhiiii"), (4L, "ffffgggghhhhjjjj")).toDF("doc_id", "text")
+    val got = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 8, maxDfFrac = 0.6, threshold = 0.3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    def grams(s: String) = s.sliding(8).toSet
+    def jac(x: String, y: String) =
+      (grams(x) & grams(y)).size.toDouble / (grams(x) | grams(y)).size
+    assert(got.map(p => (p._1, p._2)).sameElements(Array((1L, 2L), (3L, 4L))))
+    assert(math.abs(got(0)._3 - jac("aaaabbbbccccdddd", "aaaabbbbcccceeee")) < 1e-12)
+    graft.operators.CacheScope.drain()
+  }
+
   test("minhash jaccard output is within [threshold, 1]") {
     val js = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("jaccard").collect().map(_.getDouble(0))
