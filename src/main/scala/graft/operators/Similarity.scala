@@ -90,7 +90,18 @@ object Similarity {
     * Scale: each round is one broadcast cross of the corpus with `nlist`
     * centroid rows plus one aggregate keyed on (cid, coord) — `nlist × dim`
     * groups, so partial aggregation collapses it map-side; training cost is
-    * linear in the corpus with no wide shuffle. */
+    * linear in the corpus with no wide shuffle. Nearest-centroid assignment
+    * is `min(struct(d2, cid, ...))` — a map-side-combinable aggregate with
+    * the tie-break (smallest cid) in the struct order, NOT a row_number
+    * window: the window form sort-shuffles corpus × nlist rows per round,
+    * the aggregate ships one partial min per (vector, map task).
+    *
+    * A centroid that loses all members drops out of the next round
+    * (`means` only has groups for assigned cids), shrinking the effective
+    * nlist — the deterministic-seed + quantized-mean arithmetic keeps this
+    * reproducible, and the oracle replays the same drop. Carrying the old
+    * centroid forward (classic Lloyd) is a possible upgrade; it has not
+    * happened on the test corpora, where every seed keeps members. */
   def kmeansCentroids(n: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame = {
     var cents = n.where(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col("emb").as("c_emb"))
@@ -100,10 +111,9 @@ object Similarity {
         dot_d(col("c_emb"), col("c_emb"))
       val assigned = n.crossJoin(broadcast(cents))
         .withColumn("d2", d2)
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cid").asc)))
-        .where(col("crn") === 1)
-        .select(col("cid"), col("emb"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("d2"), col("cid"), col("emb"))).as("b"))
+        .select(col("b.cid").as("cid"), col("b.emb").as("emb"))
       val means = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
         .withColumn("q", round(col("x") * lit(1e7)).cast("long"))
@@ -121,35 +131,56 @@ object Similarity {
     * [[kmeansCentroids]]) partitions the corpus into inverted lists; queries
     * probe their `nprobe` nearest centroids and rank only those lists'
     * members. The heavy join is candidates-by-centroid-id — an equi-join
-    * that shuffles on the list id, never a cross product over the corpus. */
+    * that shuffles on the list id, never a cross product over the corpus.
+    *
+    * No window anywhere (r5 shipped 3 full sort-shuffles here):
+    *  - corpus→list assignment is a `min(struct(d2, cid, ...))` aggregate
+    *    (map-side partial min, tie-break on cid inside the struct order);
+    *  - each query's `nprobe` lists come from an IN-ROW sort of its ≤ nlist
+    *    centroid distances (`collect_list` of a BOUNDED group — nlist
+    *    structs — then `array_sort` + `slice`);
+    *  - the final per-query top-k runs through [[graft.functions.TopKAgg]],
+    *    a k-bounded partial aggregation instead of a rank window over every
+    *    candidate. Result is bit-identical to the window formulation (same
+    *    (d2, cid) / (cos DESC, id ASC) total orders), which is exactly what
+    *    the SQL oracle still runs. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: org.apache.spark.sql.Column, k: Int,
              nlist: Int = 8, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
+    // trained centroids are consumed by BOTH the assignment and the probe
+    // branch; without pinning, each branch replays the full Lloyd lineage.
+    // nlist rows — bounded, safe to cache at any corpus size.
+    val cents = CacheScope.persist(kmeansCentroids(n, idCol, nlist, lloydIters))
     // squared L2 to each centroid via dot products: v.v - 2 v.c + c.c —
     // identical sequential-fold arithmetic on both engines
     val dist2 = dot_d(col("emb"), col("emb")) -
       lit(2.0) * dot_d(col("emb"), col("c_emb")) +
       dot_d(col("c_emb"), col("c_emb"))
-    val ranked = n.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2)
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cid").asc)))
-    val assign = ranked.where(col("crn") === 1)
-      .select(col(idCol).as("neighbor_id"), col("cid"),
-        col("emb").as("c_emb2"), col("nrm").as("c_nrm"))
-    val probes = ranked.where(queryPred && col("crn") <= nprobe)
-      .select(col(idCol).as("query_id"), col("cid"),
-        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val scored = n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
+    val assign = scored
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
+      .select(col(idCol).as("neighbor_id"), col("b.cid").as("cid"),
+        col("b.emb").as("c_emb2"), col("b.nrm").as("c_nrm"))
+    val probes = scored.where(queryPred)
+      .groupBy(col(idCol))
+      .agg(first(col("emb")).as("q_emb"), first(col("nrm")).as("q_nrm"),
+        slice(array_sort(collect_list(struct(col("d2"), col("cid")))), 1, nprobe).as("top"))
+      .select(col(idCol).as("query_id"), col("q_emb"), col("q_nrm"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.cid").as("cid"), col("q_emb"), col("q_nrm"))
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
     probes.join(assign, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot_d(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
   }
 
   /** Bucketed approximate top-k: deterministic sign-LSH on the first `nBits`

@@ -48,6 +48,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "partial top-k should push below the shuffle")
   }
 
+  test("q50: IVF plan has no rank windows — assignment and top-k are aggregates") {
+    // r5 shipped 3 sort-shuffle windows here (per-Lloyd-round assignment +
+    // final ranking); all replaced with min-struct / bounded top-k partial
+    // aggregations. A WindowExec reappearing means a corpus-wide sort per
+    // training round at scale.
+    val p = plan("q50_ivf_ann")
+    assert(!p.contains("WindowExec"), "no window may appear in the IVF plan")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
   test("q44: range join is an equi-join on bucket keys, not a theta join") {
     val p = plan("q44_range_join")
     assert(!p.contains("CartesianProduct"))
