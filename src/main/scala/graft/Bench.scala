@@ -46,6 +46,11 @@ object Bench {
     val errs = results.collect { case (k, _, Some(c)) => s"\"" + k + "\":\"" + c + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
+    // The total goes out FIRST on its own short line: the combined line grew
+    // past the driver's log-tail window at 82 queries and the r5 artifact
+    // lost its head (q01-q06 and the total field). A short standalone total
+    // line survives any tail/head truncation of the long line.
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

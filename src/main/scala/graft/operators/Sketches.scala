@@ -53,16 +53,21 @@ object Sketches {
     * At 100 TB the bloom probe eliminates the bulk of the fact table's
     * shuffle I/O for the cost of that bit array, and the trailing equi-join
     * keeps the result EXACTLY equal to `fact SEMI JOIN dim` — the sketch can
-    * only change performance, never the answer (oracle = plain semi-join). */
+    * only change performance, never the answer (oracle = plain semi-join).
+    *
+    * NOT lazy: the dim aggregation runs at call time (the `.head()` below),
+    * because the probe literal cannot exist before the sketch does — the
+    * same build-before-probe order Spark's own runtime filters follow,
+    * except theirs hides inside one query execution. Callers timing this
+    * operator must wrap construction, not just the final action. */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                     dimKey: String, expectedItems: Long = 100000L): DataFrame = {
-    val exact = fact.join(dim.select(col(dimKey)),
-      col(factKey) === col(dimKey), "left_semi")
     val bfAgg = new BloomFilterAggregate(
       GraftShims.expression(xxhash64(col(dimKey))), expectedItems)
     val bytes = dim.select(GraftShims.column(bfAgg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    if (bytes == null) exact // empty dim: nothing to prune, result is empty anyway
+    if (bytes == null) // empty dim: nothing to prune, result is empty anyway
+      fact.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
     else {
       val mightContain = GraftShims.column(BloomFilterMightContain(
         Literal.create(bytes, BinaryType),

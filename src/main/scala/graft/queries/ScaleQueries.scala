@@ -125,9 +125,14 @@ object ScaleQueries {
         tfidfTerms.zipWithIndex.map { case (t, i) =>
           sum(when(array_contains(split(col("text"), " "), t), 1).otherwise(0)).as(s"df_$i")
         }: _*)
+      // greatest(df, 1) guards a query term with zero document frequency:
+      // without it Spark yields ln(inf)=inf scores while DuckDB's x/0
+      // behavior differs across versions — the clamp keeps the pair
+      // engine-agnostic under data changes (df >= 1 leaves scores as-is)
       val score = tfidfTerms.zipWithIndex.map { case (t, i) =>
         expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS DOUBLE)") *
-          log(col("n_docs").cast("double") / col(s"df_$i").cast("double"))
+          log(col("n_docs").cast("double") /
+            greatest(col(s"df_$i"), lit(1)).cast("double"))
       }.reduce(_ + _)
       docs.crossJoin(broadcast(stats))
         .select(col("doc_id"), round(score, 6).as("score"))
@@ -250,7 +255,7 @@ object ScaleQueries {
       }.mkString(",\n        |    ")
       val scoreTerms = tfidfTerms.zipWithIndex.map { case (t, i) =>
         s"CAST(len(list_filter(string_split(d.text, ' '), x -> x = '$t')) AS DOUBLE)" +
-          s" * ln(CAST(st.n_docs AS DOUBLE) / CAST(st.df_$i AS DOUBLE))"
+          s" * ln(CAST(st.n_docs AS DOUBLE) / CAST(greatest(st.df_$i, 1) AS DOUBLE))"
       }.mkString("\n        |    + ")
       s"""WITH st AS (
          |  SELECT count(*) AS n_docs,

@@ -84,13 +84,21 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))))
       // the reliable path actually wrote RDD checkpoint files under the dir
-      val wrote = Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      val wrote = try walk.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+                  finally walk.close()
       assert(wrote > 0, s"expected reliable checkpoint files under $dir")
     } finally {
-      // SparkContext has no unsetCheckpointDir; null resets the Option to None
+      // SparkContext has no unsetCheckpointDir; null resets the Option to
+      // None. This only avoids an NPE in Utils.nonLocalPaths because the
+      // test master is local (isLocal short-circuits the path check).
       sc.setCheckpointDir(null)
       assert(sc.getCheckpointDir.isEmpty)
+      // remove the temp checkpoint dir (deepest-first)
+      val w = Files.walk(java.nio.file.Paths.get(dir))
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
     }
   }
 
