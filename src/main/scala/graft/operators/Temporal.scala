@@ -49,16 +49,29 @@ object Temporal {
     * the bucket of the later start (overlap guarantees `max(starts)` lies in
     * both intervals, and `floor(max(starts)/g) = max(floor(starts/g))`), so
     * no distinct pass is needed. Bucket fan-out per row is
-    * `len/bucketSec + 1`; size `bucketSec` near the typical interval length,
-    * and cap outliers upstream, to keep the explode bounded. */
+    * `len/bucketSec + 1`; size `bucketSec` near the typical interval length
+    * to keep the explode bounded.
+    *
+    * `maxLenSec` ENFORCES the fan-out bound: intervals longer than it are
+    * dropped before bucketing (a declared data contract, not a silent
+    * truncation — pathological intervals would otherwise explode to
+    * unbounded bucket rows and a single hot partition). `None` keeps every
+    * interval; callers at scale should set it to the longest legitimate
+    * interval so one corrupt row cannot melt the stage. */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame,
                           aId: String, bId: String,
                           startCol: String, endCol: String,
-                          bucketSec: Long): DataFrame = {
-    def buckets(df: DataFrame, id: String, side: String): DataFrame =
-      df.select(col(id), col(startCol).as(s"${side}_start"), col(endCol).as(s"${side}_end"),
+                          bucketSec: Long,
+                          maxLenSec: Option[Long] = None): DataFrame = {
+    def buckets(df: DataFrame, id: String, side: String): DataFrame = {
+      val capped = maxLenSec match {
+        case Some(cap) => df.where(col(endCol) - col(startCol) <= cap)
+        case None      => df
+      }
+      capped.select(col(id), col(startCol).as(s"${side}_start"), col(endCol).as(s"${side}_end"),
         explode(expr(s"sequence(CAST(floor($startCol / $bucketSec) AS BIGINT), " +
           s"CAST(floor($endCol / $bucketSec) AS BIGINT))")).as("__bucket"))
+    }
     buckets(a, aId, "a").join(buckets(b, bId, "b"), Seq("__bucket"))
       .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
         col("__bucket") === floor(greatest(col("a_start"), col("b_start")) / bucketSec).cast("long"))

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF retrieval over an arbitrary query-term TABLE — the operator form
+  * of q82's fixed-vocabulary scoring: terms arrive as data, so the
+  * vocabulary can be any size without changing the plan shape.
+  *
+  * Plan (inverted-index shape): explode docs to (doc, term), semi-restrict
+  * to the query terms with a term-keyed equi-join (AQE broadcasts a small
+  * term table; a huge one stays a keyed shuffle), aggregate term frequencies
+  * per (doc, term), derive each term's document frequency from that same
+  * table, and score. Every shuffle is keyed on the doc or the term — nothing
+  * is ever cross-joined against the corpus, which is what makes the same
+  * plan hold when the vocabulary has a million entries.
+  *
+  * Determinism: the per-term score `tf · ln(N/df)` is quantized to integer
+  * micro-units (`round(x·1e6)` as BIGINT) BEFORE the per-doc sum, so the sum
+  * is exact and order-free — partial aggregation cannot move a double — and
+  * ranking happens on the integer sum with doc id as tie-break. A SQL oracle
+  * replays the arithmetic bit-for-bit. Only docs matching at least one query
+  * term are scored (inverted-index semantics: a no-match doc has score 0 and
+  * is never retrieved).
+  */
+object TextRank {
+
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                terms: DataFrame, termCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val qt = terms.select(col(termCol).as("term")).distinct()
+    val tf = toks.join(qt, "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // document frequency per query term, derived from tf (one row per
+    // (doc, term) pair) — no second pass over the corpus
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("mu", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")) *
+        lit(1e6)).cast("long"))
+      .groupBy(col(idCol)).agg(sum(col("mu")).as("mu"))
+      .orderBy(col("mu").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), (col("mu").cast("double") / lit(1e6)).as("score"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Graft.table
-import graft.operators.{Relational, Sketches, Temporal, TextDedup}
+import graft.operators.{Relational, Sketches, Temporal, TextDedup, TextRank}
 
 /** Round-5 scale operators: sketch-based cardinality estimation, bloom-filter
   * join pruning, n-gram Jaccard dedup, deterministic stratified/weighted
@@ -138,6 +138,19 @@ object ScaleQueries {
         .select(col("doc_id"), round(score, 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // Generalized TF-IDF retrieval: query terms are DATA, not literals —
+    // here the distinct >= 6-char tokens of the first three documents,
+    // ranking the corpus by relevance to them through TextRank's
+    // inverted-index plan (term-keyed joins only, integer-microunit
+    // scores). q82 remains the fixed-vocabulary instance.
+    "q83_tfidf_retrieval" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = docs.where(col("doc_id") < 3)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) >= 6)
+      TextRank.tfidfTopK(docs, "doc_id", "text", terms, "term", k = 15)
     }))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
@@ -268,5 +281,28 @@ object ScaleQueries {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id
          |LIMIT 20""".stripMargin
-    })
+    },
+
+    "q83_tfidf_retrieval" ->
+      """WITH qt AS (
+        |  SELECT DISTINCT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id < 3)
+        |  WHERE length(term) >= 6),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |mu AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(tf AS DOUBLE)
+        |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS mu
+        |  FROM tf JOIN dfs USING (term), n),
+        |sc AS (SELECT doc_id, sum(mu) AS mu FROM mu GROUP BY 1)
+        |SELECT doc_id, CAST(mu AS DOUBLE) / 1e6 AS score FROM sc
+        |ORDER BY mu DESC, doc_id
+        |LIMIT 15""".stripMargin)
 }

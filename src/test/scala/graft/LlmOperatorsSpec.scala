@@ -128,6 +128,27 @@ class LlmOperatorsSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("tfidf retrieval: rare-term doc outranks common-term doc; no-match docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark common"), // tf=3 on a rare term
+      (2L, "common filler words here"), // only the everywhere-term
+      (3L, "common words spark extra"), // tf=1 on the rare term
+      (4L, "nothing relevant at all")   // no query terms
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "common").toDF("term")
+    val got = graft.operators.TextRank.tfidfTopK(corpus, "doc_id", "text", terms, "term", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // df(spark)=2, df(common)=3, N=4: idf(spark)=ln2, idf(common)=ln(4/3)
+    def mu(tf: Int, idf: Double) = math.round(tf * idf * 1e6)
+    val exp = Map(
+      1L -> (mu(3, math.log(2)) + mu(1, math.log(4.0 / 3))) / 1e6,
+      3L -> (mu(1, math.log(2)) + mu(1, math.log(4.0 / 3))) / 1e6,
+      2L -> mu(1, math.log(4.0 / 3)) / 1e6)
+    assert(got.map(_._1).sameElements(Array(1L, 3L, 2L)), got.mkString(","))
+    got.foreach { case (id, s) => assert(s == exp(id), s"doc $id") }
+  }
+
   test("minhash jaccard output is within [threshold, 1]") {
     val js = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("jaccard").collect().map(_.getDouble(0))

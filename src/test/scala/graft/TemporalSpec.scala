@@ -62,6 +62,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("interval join maxLenSec: pathological interval dropped, fan-out bounded, others intact") {
+    import spark.implicits._
+    val a = Seq((1L, 100L, 200L), (2L, 0L, 1000000L)) // id 2 is pathological
+      .toDF("a_id", "s", "e")
+    val b = Seq((10L, 150L, 250L)).toDF("b_id", "s", "e")
+    val capped = Temporal.intervalOverlapJoin(a, b, "a_id", "b_id", "s", "e",
+        bucketSec = 100L, maxLenSec = Some(500L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the normal pair survives with its exact overlap; the pathological
+    // interval (which also overlaps b) is dropped by the cap
+    assert(capped.sameElements(Array((1L, 10L, 50L))))
+    // fan-out contract: with the cap, no interval explodes to more than
+    // maxLenSec/bucketSec + 1 bucket rows
+    val fanOut = a.where(col("e") - col("s") <= 500L)
+      .select(expr("CAST(floor(e / 100) - floor(s / 100) + 1 AS BIGINT)").as("nb"))
+      .collect().map(_.getLong(0))
+    assert(fanOut.forall(_ <= 500L / 100L + 1))
+    // and without the cap the pathological pair IS emitted (cap is opt-in)
+    val uncapped = Temporal.intervalOverlapJoin(a, b, "a_id", "b_id", "s", "e", 100L)
+      .collect()
+    assert(uncapped.length == 2)
+  }
+
   test("asof join with empty right side yields all-null matches, not an error") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2025-01-01 10:00:00"))).toDF("id", "k", "t")
