@@ -30,7 +30,12 @@ object TextDedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.where(size(tokens(textCol)) >= k)
       .select(col(idCol),
-        expr(s"array_distinct(transform(sequence(1, size(split($textCol,' '))-${k - 1}), " +
+        // greatest(..., 1) makes the expression TOTAL: the optimizer may
+        // evaluate the projection speculatively before the filter, and
+        // sequence(1, 0) runs DESCENDING into slice(_, 0, _) which throws.
+        // Short rows produce one (truncated) shingle here and are then
+        // dropped by the filter — never observable in the output.
+        expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol,' '))-${k - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(split($textCol,' '), i, $k))))").as("shs"))
 
   /** Long form: one row per (id, shingle). */
@@ -273,6 +278,33 @@ object TextDedup {
         (col("sz_a") + col("sz_b") - col("n_inter")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Train/eval DECONTAMINATION: flag corpus documents sharing at least
+    * `minShared` distinct word `k`-shingles with any document of an
+    * evaluation set — the standard guard against benchmark leakage in
+    * training data (13-token overlap is the classic heuristic; GPT-3
+    * appendix C used the same family). Output: (corpus id, eval id,
+    * n_shared), one row per contaminated (train, eval) pair.
+    *
+    * Scale design: both sides reduce to distinct (doc, shingle) rows and
+    * meet through a shingle-keyed equi-join — never a cross product. The
+    * eval side is small by nature (a benchmark), so AQE broadcasts it and
+    * the corpus side never shuffles; join fan-out per shingle is
+    * corpusDf x evalDf, bounded in practice because 13-token runs are
+    * near-unique (no df-cap needed — and none is wanted: dropping a common
+    * shingle could hide real contamination). */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+                         evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+                         k: Int = 13, minShared: Int = 1): DataFrame = {
+    require(idCol != evalIdCol,
+      "corpus and eval id columns must have distinct names (both appear in the output)")
+    val cg = shingles(corpus, idCol, textCol, k)
+    val eg = shingles(evalDocs, evalIdCol, evalTextCol, k).toDF("__eval_id", "sh")
+    cg.join(eg, "sh")
+      .groupBy(col(idCol), col("__eval_id").as(evalIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash over tokens (native codegen

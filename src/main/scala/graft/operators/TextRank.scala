@@ -45,4 +45,49 @@ object TextRank {
       .limit(k)
       .select(col(idCol), (col("mu").cast("double") / lit(1e6)).as("score"))
   }
+
+  /** BM25 retrieval (Robertson/Sparck-Jones, the Lucene-style formulation
+    * with the +1 inside the idf log so scores are always positive):
+    *
+    *   score(d) = Σ_t ln((N - df + 0.5)/(df + 0.5) + 1)
+    *              · tf·(k1+1) / (tf + k1·(1 - b + b·len(d)/avgLen))
+    *
+    * Same inverted-index plan as [[tfidfTopK]] — term-keyed joins only, doc
+    * length carried through the tf aggregate (no extra corpus join), corpus
+    * stats as ONE broadcast row. avgLen is the ratio of two exact integers
+    * (total tokens / docs), every constant is a plain double literal, and
+    * the arithmetic shape below is mirrored token-for-token by the SQL
+    * oracle, so per-term scores are deterministic IEEE; they are then
+    * quantized to integer micro-units before the per-doc sum (order-free)
+    * and ranked on the integer with the doc id as tie-break. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: DataFrame, termCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("bigint").as("dlen"),
+      explode(split(col(textCol), " ")).as("term"))
+    val qt = terms.select(col(termCol).as("term")).distinct()
+    val tf = toks.join(qt, "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " ")).cast("bigint")).as("total_toks"))
+    // double literals interpolate via Double.toString, which round-trips to
+    // the identical double in both engines' parsers
+    val score =
+      s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+        s"(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE)) * " +
+      s"(CAST(tf AS DOUBLE) * CAST(${k1 + 1} AS DOUBLE)) / " +
+      s"(CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE) + " +
+        s"CAST($b AS DOUBLE) * CAST(dlen AS DOUBLE) / " +
+        s"(CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("mu", expr(s"CAST(round(($score) * 1e6) AS BIGINT)"))
+      .groupBy(col(idCol)).agg(sum(col("mu")).as("mu"))
+      .orderBy(col("mu").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), (col("mu").cast("double") / lit(1e6)).as("score"))
+  }
 }

@@ -151,7 +151,50 @@ object ScaleQueries {
         .select(explode(split(col("text"), " ")).as("term"))
         .where(length(col("term")) >= 6)
       TextRank.tfidfTopK(docs, "doc_id", "text", terms, "term", k = 15)
-    }))
+    }),
+
+    // BM25 retrieval over the same data-driven vocabulary as q83 — the
+    // saturating-tf, length-normalized ranking a retrieval pipeline would
+    // actually ship. Same inverted-index shape; oracle mirrors the exact
+    // arithmetic (Lucene-style idf with +1 inside the log).
+    "q84_bm25_retrieval" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = docs.where(col("doc_id") < 3)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) >= 6)
+      TextRank.bm25TopK(docs, "doc_id", "text", terms, "term", k = 15)
+    }),
+
+    // Train/eval decontamination: the first 10 documents act as the
+    // benchmark; every corpus doc sharing a distinct 13-token shingle with
+    // one of them is flagged (self-matches excluded — the benchmark docs
+    // trivially contain themselves). Catches the corpus's planted near-dups
+    // of the eval docs, which is exactly the leak this stage exists for.
+    "q85_decontamination" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val evalSet = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      TextDedup.contaminationPairs(docs, "doc_id", "text",
+          evalSet, "eval_id", "text", k = 13, minShared = 1)
+        .where(col("doc_id") =!= col("eval_id"))
+    }),
+
+    // Character-entropy quality score (gibberish / repetition detector):
+    // Shannon entropy of the per-doc character distribution, each
+    // -p·ln(p) term quantized to integer nano-nats BEFORE the per-doc sum
+    // so partial-aggregation order cannot move the double.
+    "q86_char_entropy" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("len"),
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("len"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mu", expr(
+          "CAST(round(-(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * " +
+            "ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * 1e9) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("mu")).cast("double") / lit(1e9)).as("entropy_nats"),
+          countDistinct(col("ch")).as("n_distinct_chars"))))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -304,5 +347,66 @@ object ScaleQueries {
         |sc AS (SELECT doc_id, sum(mu) AS mu FROM mu GROUP BY 1)
         |SELECT doc_id, CAST(mu AS DOUBLE) / 1e6 AS score FROM sc
         |ORDER BY mu DESC, doc_id
-        |LIMIT 15""".stripMargin)
+        |LIMIT 15""".stripMargin,
+
+    "q84_bm25_retrieval" ->
+      """WITH qt AS (
+        |  SELECT DISTINCT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id < 3)
+        |  WHERE length(term) >= 6),
+        |toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dlen,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, min(dlen) AS dlen
+        |  FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS total_toks
+        |  FROM documents),
+        |mu AS (
+        |  SELECT doc_id, CAST(round((
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE)) *
+        |    (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+        |      CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE) /
+        |      (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    ) * 1e6) AS BIGINT) AS mu
+        |  FROM tf JOIN dfs USING (term), st),
+        |sc AS (SELECT doc_id, sum(mu) AS mu FROM mu GROUP BY 1)
+        |SELECT doc_id, CAST(mu AS DOUBLE) / 1e6 AS score FROM sc
+        |ORDER BY mu DESC, doc_id
+        |LIMIT 15""".stripMargin,
+
+    "q85_decontamination" ->
+      """WITH cs AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      [array_to_string(toks[i : i + 12], ' ') for i in range(1, len(toks) - 11)])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 13),
+        |es AS (SELECT doc_id AS eval_id, sh FROM cs WHERE doc_id < 10)
+        |SELECT cs.doc_id, es.eval_id, count(*) AS n_shared
+        |FROM cs JOIN es USING (sh)
+        |WHERE cs.doc_id <> es.eval_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q86_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    unnest([substr(text, i, 1) for i in range(1, length(text) + 1)]) AS ch
+        |  FROM documents),
+        |g AS (SELECT doc_id, len, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+        |mu AS (
+        |  SELECT doc_id, ch,
+        |    CAST(round(-(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) *
+        |      ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * 1e9) AS BIGINT) AS mu
+        |  FROM g)
+        |SELECT doc_id, CAST(sum(mu) AS DOUBLE) / 1e9 AS entropy_nats,
+        |  count(DISTINCT ch) AS n_distinct_chars
+        |FROM mu GROUP BY 1""".stripMargin)
 }

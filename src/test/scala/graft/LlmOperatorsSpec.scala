@@ -149,6 +149,42 @@ class LlmOperatorsSpec extends AnyFunSuite {
     got.foreach { case (id, s) => assert(s == exp(id), s"doc $id") }
   }
 
+  test("bm25: saturating tf and length normalization match the closed form") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark spark"),            // tf=4, len 4
+      (2L, "spark and many other filler words padding the document longer"), // tf=1, len 10
+      (3L, "no match at all here")                // len 5
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark").toDF("term")
+    val got = graft.operators.TextRank.bm25TopK(corpus, "doc_id", "text", terms, "term", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=3, df=2, avgLen=(4+10+5)/3; idf = ln((3-2+0.5)/(2+0.5)+1)
+    val avg = 19.0 / 3
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf: Double, dlen: Double) =
+      math.round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avg)) * 1e6) / 1e6
+    assert(got.map(_._1).sameElements(Array(1L, 2L)), got.mkString(","))
+    assert(got(0)._2 == s(4, 4) && got(1)._2 == s(1, 10), got.mkString(","))
+    // the high-tf short doc must outrank but NOT by 4x: tf saturates
+    assert(got(0)._2 < 4 * got(1)._2)
+  }
+
+  test("decontamination: planted 13-token overlap flagged, clean doc not, short doc safe") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val corpus = Seq(
+      (100L, s"prefix words here $leak and a suffix"),
+      (101L, "totally clean document with enough tokens to shingle but no overlap at all today ok"),
+      (102L, "short doc")). // < 13 tokens: must not error, just absent
+      toDF("doc_id", "text")
+    val evalSet = Seq((1L, s"$leak trailing benchmark tokens")).toDF("eval_id", "text")
+    val got = TextDedup.contaminationPairs(corpus, "doc_id", "text",
+        evalSet, "eval_id", "text", k = 13, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(Array((100L, 1L))), got.mkString(","))
+  }
+
   test("minhash jaccard output is within [threshold, 1]") {
     val js = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("jaccard").collect().map(_.getDouble(0))
