@@ -179,6 +179,40 @@ object ScaleQueries {
         .where(col("doc_id") =!= col("eval_id"))
     }),
 
+    // Gopher/MassiveText-style repetition filters: fraction of the doc
+    // covered by its most frequent token bigram, and the duplicate-trigram
+    // occurrence fraction; a doc passes when both sit under the classic
+    // thresholds (0.20 / 0.30). All ratios are divisions of exact integers.
+    "q87_repetition_filter" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      // whole filter is a single narrow projection — per-doc work only.
+      // The top-bigram count comes from the longest run in the SORTED
+      // bigram array (O(tokens) in-row), not a corpus-wide
+      // groupBy(doc, bigram) — that shuffle built ~1.3M mostly-unique
+      // string groups just to take a per-doc max. Oracle still computes
+      // the max via grouping: same integer, different mechanism.
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+          expr("size(array_distinct(transform(sequence(1, greatest(size(split(text,' '))-2, 1)), " +
+            "i -> concat_ws(' ', slice(split(text,' '), i, 3)))))").cast("long").as("n_distinct_tri"),
+          expr("aggregate(" +
+            "array_sort(transform(sequence(1, greatest(size(split(text,' '))-1, 1)), " +
+            "i -> concat_ws(' ', slice(split(text,' '), i, 2)))), " +
+            "struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS best), " +
+            "(acc, x) -> IF(x = acc.prev, " +
+            "named_struct('prev', x, 'run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)), " +
+            "named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best', greatest(acc.best, CAST(1 AS BIGINT)))), " +
+            "acc -> acc.best)").as("top_bigram_n"))
+        .where(col("n_tokens") >= 3)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("top_bigram_n") * lit(2) / col("n_tokens").cast("double")).as("top_bigram_frac"),
+          (lit(1.0) - col("n_distinct_tri").cast("double") /
+            (col("n_tokens") - 2).cast("double")).as("dup_trigram_frac"))
+        .withColumn("quality_pass",
+          when(col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3, 1L)
+            .otherwise(0L))
+    }),
+
     // Character-entropy quality score (gibberish / repetition detector):
     // Shannon entropy of the per-doc character distribution, each
     // -p·ln(p) term quantized to integer nano-nats BEFORE the per-doc sum
@@ -394,6 +428,31 @@ object ScaleQueries {
         |FROM cs JOIN es USING (sh)
         |WHERE cs.doc_id <> es.eval_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q87_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(
+        |      [array_to_string(toks[i : i + 2], ' ') for i in range(1, len(toks) - 1)])) AS n_distinct_tri
+        |  FROM t WHERE len(toks) >= 3),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i : i + 1], ' ') for i in range(1, len(toks))]) AS bg
+        |  FROM t),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1),
+        |fr AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CAST(tp.top_bigram_n * 2 AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS top_bigram_frac,
+        |    CAST(1 AS DOUBLE) - CAST(b.n_distinct_tri AS DOUBLE)
+        |      / CAST(b.n_tokens - 2 AS DOUBLE) AS dup_trigram_frac
+        |  FROM base b JOIN tp USING (doc_id))
+        |SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+        |  CAST(CASE WHEN top_bigram_frac <= CAST(0.2 AS DOUBLE)
+        |            AND dup_trigram_frac <= CAST(0.3 AS DOUBLE)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+        |FROM fr""".stripMargin,
 
     "q86_char_entropy" ->
       """WITH ch AS (
