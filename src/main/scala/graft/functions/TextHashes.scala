@@ -124,9 +124,94 @@ object SimHash64 {
   }
 }
 
+/** EXACT count of distinct character `n`-grams of a string, in one pass with
+  * no array materialization — the native form of
+  * `size(array_distinct(transform(sequence(...), i -> substring(text, i, n))))`,
+  * which allocates ~len UTF8String slices per row and resolves distinctness
+  * through an interpreted hash set (~2 s of the sf0.1 bench for the trigram
+  * profile alone).
+  *
+  * Grams are compared as CHAR (code point) windows — identical to SQL
+  * `substring` semantics — via an open-addressed table of (hash, byte-offset)
+  * entries probing the original UTF-8 buffer, so equality is exact byte
+  * comparison, not hash identity: a hash collision costs one extra probe,
+  * never a wrong count. */
+case class NgramDistinctCount(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_distinct_count requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    NgramDistinctCount.count(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramDistinctCount.count($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): NgramDistinctCount =
+    copy(child = c)
+}
+
+object NgramDistinctCount {
+  /** Single-pass exact distinct count over char n-gram windows. Static so
+    * generated code can call it — the body is plain JVM loops either way,
+    * so an inline codegen expansion would buy nothing. */
+  def count(s: UTF8String, n: Int): Long = {
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF-8 sequence starts), one pass
+    val nChars = s.numChars()
+    if (nChars < n) return 0L
+    val off = new Array[Int](nChars + 1)
+    var i = 0; var ci = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { off(ci) = i; ci += 1 }
+      i += 1
+    }
+    off(nChars) = bytes.length
+    val windows = nChars - n + 1
+    // open addressing, power-of-two capacity >= 2x windows
+    var cap = 4
+    while (cap < windows * 2) cap <<= 1
+    val slots = new Array[Int](cap) // 0 = empty, else (window index + 1)
+    val mask = cap - 1
+    var distinct = 0L
+    var w = 0
+    while (w < windows) {
+      val b0 = off(w); val b1 = off(w + n)
+      // FNV-1a over the window's bytes
+      var h = -3750763034362895579L
+      var j = b0
+      while (j < b1) { h = (h ^ (bytes(j) & 0xffL)) * 1099511628211L; j += 1 }
+      var slot = (h.toInt ^ (h >>> 32).toInt) & mask
+      var done = false
+      while (!done) {
+        val e = slots(slot)
+        if (e == 0) { slots(slot) = w + 1; distinct += 1; done = true }
+        else {
+          val ew = e - 1
+          val e0 = off(ew); val e1 = off(ew + n)
+          var same = (e1 - e0) == (b1 - b0)
+          var k = 0
+          while (same && k < b1 - b0) { same = bytes(e0 + k) == bytes(b0 + k); k += 1 }
+          if (same) done = true // already seen
+          else slot = (slot + 1) & mask
+        }
+      }
+      w += 1
+    }
+    distinct
+  }
+}
+
 object TextHashes {
   def rolling_hash(c: Column): Column =
     GraftShims.column(RollingHash(GraftShims.expression(c)))
   def simhash64(c: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(c)))
+  def ngram_distinct_count(c: Column, n: Int): Column =
+    GraftShims.column(NgramDistinctCount(GraftShims.expression(c), n))
 }

@@ -72,11 +72,15 @@ object LlmQueries {
         .select(col("doc_id"), col("fingerprint"))
     }),
 
-    // Character-trigram profile (n-gram analysis surface).
+    // Character-trigram profile (n-gram analysis surface). The distinct
+    // count runs through the native single-pass NgramDistinctCount
+    // expression — no per-row slice array, no interpreted hash set; the
+    // HOF formulation it replaces was ~2 s of the sf0.1 bench on its own
+    // (LlmOperatorsSpec pins native == HOF == codegen/interpreted).
     "q29_ngram_profile" -> ((s, d) =>
       table(s, d, "documents").where(length(col("text")) >= 3).select(
         col("doc_id"),
-        expr("CAST(size(array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))) AS BIGINT)")
+        graft.functions.TextHashes.ngram_distinct_count(col("text"), 3)
           .as("n_distinct_trigrams"),
         (length(col("text")) - 2).cast("bigint").as("n_trigrams"))),
 

@@ -26,6 +26,29 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(modes(0).sameElements(modes(1)))
   }
 
+  test("ngram_distinct_count: native == HOF formulation; codegen == interpreted; unicode-safe") {
+    import spark.implicits._
+    val tricky = Seq(
+      (900L, "aaaa"), (901L, "ab"), (902L, "日本語のテキストです日本語"),
+      (903L, "abcabcabc"), (904L, "x y z x y"), (905L, "ééaéé"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(tricky)
+    val df = corpus.where(length(col("text")) >= 3).select(col("doc_id"),
+      TextHashes.ngram_distinct_count(col("text"), 3).as("native"),
+      expr("CAST(size(array_distinct(transform(sequence(1, length(text)-2), " +
+        "i -> substring(text, i, 3)))) AS BIGINT)").as("hof"))
+    val modes = Seq("CODEGEN_ONLY", "NO_CODEGEN").map { m =>
+      spark.conf.set("spark.sql.codegen.factoryMode", m)
+      try df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(modes(0).sameElements(modes(1)))
+    modes(0).foreach { case (id, nat, hof) => assert(nat == hof, s"doc $id: $nat != $hof") }
+    // sub-n strings count 0, not error
+    assert(Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(TextHashes.ngram_distinct_count(col("text"), 3)).head().getLong(0) == 0L)
+  }
+
   test("simhash64 is stable across partition counts") {
     val one = docs.coalesce(1)
     val many = docs.repartition(7)

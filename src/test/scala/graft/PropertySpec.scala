@@ -70,6 +70,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKAgg: reduce/merge equal a full sort for any input split (pure JVM)") {
+    val agg = new graft.functions.TopKAgg(3)
+    def brute(xs: List[(Double, Long)]): List[(Double, Long)] =
+      xs.distinct.sortBy { case (s, id) => (-s, id) }.take(3)
+    check("topk", Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(-5, 5).map(_ / 2.0), Gen.choose(0L, 20L))),
+      Gen.choose(0, 10)) { (xs0, cut0) =>
+      // ids unique within a group in real use; dedup by id to honor that
+      val xs = xs0.groupBy(_._2).map(_._2.head).toList
+      val cut = if (xs.isEmpty) 0 else cut0 % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val viaSplit = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)).toList
+      val viaFold = xs.foldLeft(agg.zero)(agg.reduce).toList
+      viaSplit == brute(xs) && viaFold == brute(xs)
+    })
+  }
+
   test("agg invariants: min <= avg <= max over any non-empty set") {
     import spark.implicits._
     check("agg-bounds", Prop.forAll(
