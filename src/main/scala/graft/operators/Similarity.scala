@@ -183,6 +183,64 @@ object Similarity {
         col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
   }
 
+  /** Two-stage quantized re-rank: int8 scalar quantization (the memory layout
+    * a 100 TB vector store actually ships — 4x smaller than float32, 8x
+    * smaller than the double working form) scores ALL candidates cheaply,
+    * keeps `nCandidates` per query, and re-ranks only those with exact
+    * double-precision cosine.
+    *
+    * Quantization is per-vector symmetric max-abs: `code = round(x*127/s)`
+    * with `s = max |x|`, so the approximate score
+    * `(qa.qb)*sa*sb/127^2/(|a||b|)` is a pure integer dot product (exact on
+    * any engine) times per-pair double scale factors — deterministic, no RNG.
+    *
+    * Scale shape: stage 1 is the same broadcast-|Q| scan as [[bruteForceKnn]]
+    * but arithmetic-light and fed through [[graft.functions.TopKAgg]] (k-
+    * bounded partial aggregation, no rank window); stage 2 touches only
+    * |Q| x nCandidates rows via two keyed joins. The sign-LSH/IVF operators
+    * bound WHICH rows get scored; this one bounds what scoring COSTS — in a
+    * production store the two compose (bucket first, quantize inside). */
+  def quantizedRerankKnn(emb: DataFrame, idCol: String, vecCol: String,
+                         queryPred: org.apache.spark.sql.Column, k: Int,
+                         nCandidates: Int): DataFrame = {
+    require(nCandidates >= k, "re-rank pool must be at least k")
+    val n = withNorm(emb, idCol, vecCol)
+      .withColumn("scale",
+        expr("aggregate(emb, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("qv", expr(
+        "transform(emb, x -> CAST(round(x * CAST(127 AS DOUBLE) / greatest(scale, 1e-30)) AS BIGINT))"))
+    val q = n.where(queryPred).select(col(idCol).as("query_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+      col("qv").as("q_qv"), col("scale").as("q_scale"))
+    val c = n.select(col(idCol).as("neighbor_id"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"),
+      col("qv").as("c_qv"), col("scale").as("c_scale"))
+    // integer code dot product — exact BIGINT arithmetic on both engines
+    val qdot = expr(
+      "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    val approx = qdot.cast("double") * col("q_scale") * col("c_scale") /
+      lit(16129.0) / (col("q_nrm") * col("c_nrm"))
+    def topkOf(kk: Int) = udaf(new graft.functions.TopKAgg(kk),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val cands = broadcast(q.drop("q_emb")).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", approx)
+      .groupBy(col("query_id"))
+      .agg(topkOf(nCandidates)(col("approx"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t._2").as("neighbor_id"))
+    cands
+      .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_nrm"))), "query_id")
+      .join(c.select(col("neighbor_id"), col("c_emb"), col("c_nrm")), "neighbor_id")
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topkOf(k)(col("cos"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
+  }
+
   /** Bucketed approximate top-k: deterministic sign-LSH on the first `nBits`
     * dimensions (bucket = bitmask of sign(emb[i])); candidates only within the
     * query's bucket. The candidate join shuffles on the bucket key — no cross

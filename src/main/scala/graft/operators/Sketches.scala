@@ -76,4 +76,39 @@ object Sketches {
         .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
     }
   }
+
+  /** Two-pass heavy hitters: terms occurring in at least `minFrac` of all
+    * rows, found without ever shuffling the full (term, count) space twice.
+    *
+    * Pass 1 counts only a deterministic 1-in-`sampleMod` document sample
+    * (`idCol % sampleMod = 0` — systematic, no RNG) and keeps terms above
+    * HALF the target frequency in the sample: a true `minFrac` heavy hitter
+    * concentrates in any uniform sample, so the 2x safety margin makes a
+    * miss require the term to be pathologically anti-correlated with the
+    * sample residue. Pass 2 semi-joins the full data to that small candidate
+    * set (broadcast) and keeps exact counts `>= minFrac * total`.
+    *
+    * Scale: pass 1 aggregates ~1/sampleMod of the rows; pass 2's per-term
+    * shuffle carries ONLY candidate terms (bounded by 2/minFrac distinct
+    * values by pigeonhole), not the long tail that dominates real corpora'
+    * vocabulary. The final counts are exact — the sample decides which terms
+    * get counted, never what their counts are — so the oracle replays both
+    * passes verbatim. */
+  def sampledHeavyHitters(terms: DataFrame, termCol: String, idCol: String,
+                          sampleMod: Int, minFrac: Double): DataFrame = {
+    require(sampleMod >= 1 && minFrac > 0.0, "need sampleMod >= 1, minFrac > 0")
+    val sample = terms.where(pmod(col(idCol), lit(sampleMod)) === 0)
+    val sampleTotal = sample.agg(count(lit(1)).as("s_total"))
+    val cand = sample.groupBy(col(termCol)).agg(count(lit(1)).as("s_cnt"))
+      .crossJoin(broadcast(sampleTotal))
+      .where(col("s_cnt").cast("double") >=
+        lit(minFrac) / lit(2.0) * col("s_total").cast("double"))
+      .select(col(termCol))
+    val total = terms.agg(count(lit(1)).as("total"))
+    terms.join(broadcast(cand), Seq(termCol), "left_semi")
+      .groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt").cast("double") >= lit(minFrac) * col("total").cast("double"))
+      .select(col(termCol), col("cnt"), col("total"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text preparation operators for LLM training pipelines: normalization,
@@ -37,6 +38,34 @@ object TextPrep {
           .as(Seq("chunk_id", "chunk")))
       .where(length(col("chunk")) > 0)
       .withColumn("chunk_id", col("chunk_id").cast("bigint"))
+  }
+
+  /** Sequence packing: assign each document a slot in a stream of fixed
+    * `ctxLen`-token context windows — the step that turns a deduped corpus
+    * into training sequences. Documents are concatenated in id order and the
+    * stream is cut every `ctxLen` tokens; a document belongs to the window
+    * its first token lands in (`seq_id`), at offset `seq_offset`.
+    *
+    * Scale design: a single global concatenation order would be one
+    * unpartitioned window (every row through one task). Packing instead runs
+    * independently inside `nBuckets` deterministic shards (`id % nBuckets`) —
+    * each shard is its own token stream, so the window is
+    * `partitionBy(bucket)` and parallelism grows with the bucket count.
+    * Training pipelines shard exactly this way (one packed stream per
+    * writer/worker); within-shard the window's sort is the only cost and
+    * AQE splits skewed shards. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    ctxLen: Int, nBuckets: Int): DataFrame = {
+    require(ctxLen > 0 && nBuckets > 0, "need positive ctxLen and nBuckets")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("bucket", pmod(col(idCol), lit(nBuckets)).cast("bigint"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("bucket"),
+        expr(s"CAST(start_tok DIV $ctxLen AS BIGINT)").as("seq_id"),
+        (col("start_tok") % ctxLen).cast("bigint").as("seq_offset"),
+        col("n_tokens"))
   }
 
   /** Term frequency + document frequency per (doc, token) — the integer core

@@ -556,6 +556,23 @@ object LlmQueries {
     "q61_dedup_clusters" -> ((s, d) =>
       TextDedup.connectedComponents(nearDupPairs(s, d))),
 
+    // Dedup retention policy — the KEEP/DROP decision the cluster map exists
+    // for: every document joins its cluster (left: most docs are in none),
+    // the cluster representative (min doc_id = the cluster_id itself) is
+    // kept, all other members are dropped. One broadcast-size left join on
+    // top of the shared candidate graph; the output is the exact worklist a
+    // corpus-pruning stage executes.
+    "q91_dedup_retention" -> ((s, d) => {
+      val clusters = TextDedup.connectedComponents(nearDupPairs(s, d))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), 1L)
+            .otherwise(0L).as("keep"))
+    }),
+
     // Sessionization: 30-minute-gap session windows per user (events <= gap
     // apart merge; window end = last event + gap). Inputs are second-
     // truncated on both sides so engine timestamp precision can't flip a
@@ -571,6 +588,46 @@ object LlmQueries {
           unix_timestamp(col("sw.end")).as("session_end_sec"),
           col("n_events"), col("sum_value")))
   )
+
+  /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
+    * components (the same `nearDupPairs` -> `connectedComponents` lineage the
+    * Spark side shares between q61 and q91): ends at `reach(id, r)`. */
+  private val clusterCte =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
+      |    FROM toks)),
+      |sig AS (
+      |  SELECT doc_id, band,
+      |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
+      |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+      |  GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS n_inter
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = doc_a
+      |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+      |  GROUP BY doc_a, doc_b),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+      |    FROM inter
+      |    JOIN sizes na ON na.doc_id = doc_a
+      |    JOIN sizes nb ON nb.doc_id = doc_b)
+      |  WHERE jaccard >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q26_text_stats" ->
@@ -1148,43 +1205,17 @@ object LlmQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
 
-    "q61_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-        |  WHERE len(string_split(text,' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
-        |    FROM toks)),
-        |sig AS (
-        |  SELECT doc_id, band,
-        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
-        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
-        |  GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = doc_a
-        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
-        |  GROUP BY doc_a, doc_b),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |      CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
-        |    FROM inter
-        |    JOIN sizes na ON na.doc_id = doc_a
-        |    JOIN sizes nb ON nb.doc_id = doc_b)
-        |  WHERE jaccard >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
-        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q61_dedup_clusters" -> (clusterCte + """
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+    "q91_dedup_retention" -> (clusterCte + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(CASE WHEN cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin),
+
 
     "q51_session_window" ->
       """WITH t AS (

@@ -213,6 +213,33 @@ object ScaleQueries {
             .otherwise(0L))
     }),
 
+    // Sequence packing: documents -> fixed 256-token context windows, packed
+    // greedily in id order inside 8 deterministic shards (the parallel unit —
+    // a global pack order would be one unpartitioned window). Output is the
+    // per-doc placement a training-data writer consumes.
+    "q88_sequence_packing" -> ((s, d) =>
+      graft.operators.TextPrep.packSequences(
+        table(s, d, "documents"), "doc_id", "text", ctxLen = 256, nBuckets = 8)),
+
+    // Two-pass heavy hitters: candidate terms from a 1-in-10 systematic
+    // document sample (at half the target frequency — the safety margin),
+    // exact counts only for the candidates via broadcast semi-join. The
+    // pattern that finds frequent vocabulary without shuffling a web-scale
+    // corpus's long-tail vocabulary.
+    "q89_heavy_hitters" -> ((s, d) =>
+      Sketches.sampledHeavyHitters(
+        table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
+        "token", "doc_id", sampleMod = 10, minFrac = 0.01)),
+
+    // Two-stage quantized re-rank ANN: int8 max-abs quantization scores the
+    // corpus (integer dot products), top-50 candidates per query, exact
+    // double cosine re-ranks to top-10. Queries = first 5 vectors.
+    "q90_quantized_rerank" -> ((s, d) =>
+      graft.operators.Similarity.quantizedRerankKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, k = 10, nCandidates = 50)),
+
     // Character-entropy quality score (gibberish / repetition detector):
     // Shannon entropy of the per-doc character distribution, each
     // -p·ln(p) term quantized to integer nano-nats BEFORE the per-doc sum
@@ -453,6 +480,69 @@ object ScaleQueries {
         |            AND dup_trigram_frac <= CAST(0.3 AS DOUBLE)
         |       THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
         |FROM fr""".stripMargin,
+
+    "q88_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(start_tok // 256 AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 256 AS BIGINT) AS seq_offset,
+        |  n_tokens
+        |FROM c""".stripMargin,
+
+    "q89_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |s AS (SELECT token FROM toks WHERE doc_id % 10 = 0),
+        |st AS (SELECT count(*) AS s_total FROM s),
+        |cand AS (
+        |  SELECT token FROM s, st
+        |  GROUP BY token, s_total
+        |  HAVING CAST(count(*) AS DOUBLE) >=
+        |    CAST(0.01 AS DOUBLE) / CAST(2 AS DOUBLE) * CAST(s_total AS DOUBLE)),
+        |t AS (SELECT count(*) AS total FROM toks)
+        |SELECT token, count(*) AS cnt, total
+        |FROM toks JOIN cand USING (token), t
+        |GROUP BY token, total
+        |HAVING CAST(count(*) AS DOUBLE) >= CAST(0.01 AS DOUBLE) * CAST(total AS DOUBLE)""".stripMargin,
+
+    "q90_quantized_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm,
+        |        list_reduce(list_transform(emb, x -> abs(x)), (a,x) -> greatest(a,x)) AS scale
+        |      FROM e),
+        |qn AS (SELECT vec_id, emb, nrm, scale,
+        |        list_transform(emb, x ->
+        |          CAST(round(x * CAST(127 AS DOUBLE) / greatest(scale, 1e-30)) AS BIGINT)) AS qv
+        |      FROM n),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        CAST(list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]),
+        |              (a,x) -> a+x) AS DOUBLE)
+        |          * q.scale * c.scale / CAST(16129 AS DOUBLE) / (q.nrm * c.nrm) AS approx
+        |      FROM qn q, qn c
+        |      WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id ASC) AS rn
+        |    FROM p)
+        |  WHERE rn <= 50),
+        |r AS (SELECT cand.query_id, cand.neighbor_id,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]),
+        |          (a,x) -> a+x) / (q.nrm * c.nrm) AS cos
+        |      FROM cand
+        |      JOIN n q ON q.vec_id = cand.query_id
+        |      JOIN n c ON c.vec_id = cand.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM r)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
 
     "q86_char_entropy" ->
       """WITH ch AS (

@@ -122,4 +122,47 @@ class ScaleSpec extends AnyFunSuite {
       assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("heavy hitters: exact counts, all true hitters found, tail absent") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 100 docs x 1 token row each: 'hot' in half the rows, 'warm' in a
+    // quarter, 200 singleton terms as the long tail
+    val rows =
+      (0 until 50).map(i => (i.toLong * 2, "hot")) ++      // even ids -> sampled
+      (0 until 25).map(i => (i.toLong * 4, "warm")) ++     // even ids -> sampled
+      (0 until 200).map(i => (1000L + i, s"tail_$i"))
+    val terms = rows.toDF("doc_id", "token")
+    val out = Sketches.sampledHeavyHitters(terms, "token", "doc_id",
+        sampleMod = 2, minFrac = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // exact counts for the survivors, long tail filtered out
+    assert(out == Map("hot" -> 50L, "warm" -> 25L), s"got $out")
+    // candidate set stays bounded: at most 2/minFrac distinct terms can
+    // clear half the sample threshold (pigeonhole) — the scale contract
+    assert(out.size <= (2 / 0.05).toInt)
+  }
+
+  test("quantized re-rank: top-1 and top-10 match brute-force exactly on the test corpus") {
+    import graft.operators.Similarity
+    val emb = Graft.table(spark, sf, "embeddings")
+    val qp = col("vec_id") < 5
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val exact = key(Similarity.bruteForceKnn(emb, "vec_id", "embedding", qp, 10))
+    val rerank = key(Similarity.quantizedRerankKnn(emb, "vec_id", "embedding", qp, 10, 50))
+    // with a 50-candidate pool over this corpus the int8 stage keeps every
+    // true top-10 neighbor — the re-ranked list is the exact list
+    assert(rerank == exact)
+  }
+
+  test("quantized re-rank plan: no rank window, candidate stage is an aggregate") {
+    import graft.operators.Similarity
+    val emb = Graft.table(spark, sf, "embeddings")
+    val p = Similarity.quantizedRerankKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, 50).queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), "both stages must rank via bounded aggregation")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
 }
