@@ -74,6 +74,64 @@ object StreamingAgg {
          |p.ts <= c.ts + INTERVAL $withinSec SECONDS""".stripMargin))
   }
 
+  /** Stream-static enrichment: join a stream against a (small) dimension
+    * table. The static side is broadcast — re-read per micro-batch, never
+    * shuffled with the stream — which is the per-batch map-side join a
+    * 1000-executor stream enrich needs. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  final case class OpenSession(start_sec: Long, end_sec: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_sec: Long,
+                                 session_end_sec: Long, n_events: Long)
+
+  /** Custom-state sessionization: 30-minute-gap sessions per user via
+    * flatMapGroupsWithState + event-time timeout — the streaming twin of
+    * batch q51 (`session_window`), with identical session arithmetic
+    * (end = last event + gap).
+    *
+    * A session closes two ways: a later event from the same user beyond the
+    * gap (emitted inline, state rolls to the new session) or the watermark
+    * passing `last event + gap` (the timeout path — emitted with no new
+    * input). State per key is one fixed-size OpenSession and every key's
+    * timeout is armed, so state size is O(active users) regardless of
+    * stream length. */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long = 1800L,
+                       watermark: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          // batch iterators are single-pass and unordered: drain + sort first
+          val evs = batch.map(e => e.ts.getTime / 1000L).toArray.sorted
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start_sec, s.end_sec + gapSec, s.n))
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end_sec <= gapSec =>
+                  Some(OpenSession(s.start_sec, math.max(s.end_sec, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.start_sec, s.end_sec + gapSec, s.n)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end_sec + gapSec) * 1000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Standard sink wiring for the hourly aggregate (update mode — windows
     * re-emit as they refine, final values once the watermark passes). */
   def startToMemory(agg: DataFrame, queryName: String) =

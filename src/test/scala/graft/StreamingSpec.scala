@@ -122,4 +122,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest.toSet == Set((7L, 2L, 4.0), (8L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingAgg.enrichStream(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2025-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2025-01-01 10:01:00"), 2, "view", 2.0),
+        Event(3, ts("2025-01-01 10:02:00"), 9, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, tier FROM enrich_test")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)),
+        "left join: unmatched stream rows survive with null tier")
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions by gap (inline) and by watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingAgg.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    def closed() = spark.sql(
+      "SELECT user_id, session_start_sec, session_end_sec, n_events FROM session_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def sec(s: String) = ts(s).getTime / 1000L
+    try {
+      // user 7: two events 10 min apart -> one open session
+      input.addData(
+        Event(1, ts("2025-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2025-01-01 10:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(closed().isEmpty, "session still open")
+      // a 12:00 event is > 30 min past 10:10 -> closes the first session
+      // inline (end = last event + gap) and opens a new one
+      input.addData(Event(3, ts("2025-01-01 12:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(closed() == Set((7L, sec("2025-01-01 10:00:00"), sec("2025-01-01 10:40:00"), 2L)))
+      // another user's 14:00 event advances the watermark past 12:30 ->
+      // user 7's open session closes through the event-time timeout path
+      input.addData(Event(4, ts("2025-01-01 14:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      assert(closed().contains(
+        (7L, sec("2025-01-01 12:00:00"), sec("2025-01-01 12:30:00"), 1L)),
+        s"timeout-closed session missing: ${closed()}")
+    } finally q.stop()
+  }
 }
