@@ -22,6 +22,7 @@ object Graft {
   def session(appName: String = "graft"): SparkSession = {
     val cores = defaultCores
     SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -43,6 +44,9 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // driver-owned sessions are built without withExtensions; register the
+    // native SQL functions post-hoc (idempotent)
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

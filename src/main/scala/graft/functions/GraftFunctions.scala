@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration of graft's native Catalyst expressions, so the same
+  * codegen'd operators the DataFrame helpers use are callable from
+  * `spark.sql(...)`:
+  *
+  *   - `dot_d(array<double>, array<double>)` — sequential-fold dot product
+  *   - `rolling_hash(string)` — polynomial rolling hash over UTF-8 bytes
+  *   - `simhash64(array<string>)` — 64-bit SimHash of a token array
+  *   - `ngram_distinct_count(string, n)` — exact distinct char-n-gram count
+  *   - `minhash_sigs(array<string>, k, draws)` — MinHash shingle signatures
+  *
+  * Two registration paths, same builders:
+  *   - [[GraftExtensions]] via `SparkSession.builder.withExtensions` (or the
+  *     `spark.sql.extensions` conf) — the clean path when graft owns the
+  *     session build;
+  *   - [[GraftFunctions.register]] on an already-running session — the path
+  *     for driver-owned sessions (Verify/Bench contract), through the
+  *     `GraftShims` seam because `sessionState` is `private[sql]`.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an INT literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, class for ExpressionInfo, builder) for every native expression. */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_d", classOf[DotProduct],
+      (args: Seq[Expression]) => { arity("dot_d", args, 2); DotProduct(args(0), args(1)) }),
+    ("rolling_hash", classOf[RollingHash],
+      (args: Seq[Expression]) => { arity("rolling_hash", args, 1); RollingHash(args(0)) }),
+    ("simhash64", classOf[SimHash64],
+      (args: Seq[Expression]) => { arity("simhash64", args, 1); SimHash64(args(0)) }),
+    ("ngram_distinct_count", classOf[NgramDistinctCount],
+      (args: Seq[Expression]) => {
+        arity("ngram_distinct_count", args, 2)
+        NgramDistinctCount(args(0), intLit(args(1), "ngram_distinct_count", 2))
+      }),
+    ("minhash_sigs", classOf[MinHashSigs],
+      (args: Seq[Expression]) => {
+        arity("minhash_sigs", args, 3)
+        MinHashSigs(args(0), intLit(args(1), "minhash_sigs", 2),
+          intLit(args(2), "minhash_sigs", 3))
+      }))
+
+  private def info(name: String, cls: Class[_]): ExpressionInfo =
+    new ExpressionInfo(cls.getName, name)
+
+  /** Register every native function on an existing session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, cls, builder) =>
+      GraftShims.registerFunction(spark, name, info(name, cls), builder)
+    }
+}
+
+/** `SparkSessionExtensions` hook injecting the graft native functions at
+  * session build — `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
+}

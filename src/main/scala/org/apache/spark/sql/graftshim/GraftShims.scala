@@ -17,4 +17,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a SQL function on an EXISTING session —
+    * the path for driver-owned sessions that were built without
+    * `withExtensions` (Verify/Bench contract). `sessionState` is
+    * `private[sql]`, hence this lives in the seam. Idempotent: re-registering
+    * the same name just replaces the builder. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

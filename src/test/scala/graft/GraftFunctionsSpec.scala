@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, MinHashSigs, TextHashes, VectorFunctions}
+
+/** The native expressions must be reachable from plain SQL (registered via
+  * GraftExtensions at build or GraftFunctions.register post-hoc) and agree
+  * bit-for-bit with their Column-API wrappers. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftFunctions.register(s) // the post-hoc (driver-session) path
+    s
+  }
+
+  test("dot_d via SQL: sequential fold over array<double>") {
+    val r = spark.sql("SELECT dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+    assert(spark.sql("SELECT dot_d(array(1.0d), array(1.0d, 2.0d)) AS d").head().isNullAt(0),
+      "length mismatch yields null")
+  }
+
+  test("SQL and Column paths agree on every registered function") {
+    import spark.implicits._
+    val df = Seq("spark shuffles wide joins", "tiny doc").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    df.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT rolling_hash(text) AS rh, simhash64(toks) AS sh,
+        |  ngram_distinct_count(text, 3) AS nd, minhash_sigs(toks, 2, 4) AS ms
+        |FROM gf_docs""".stripMargin).collect()
+    val viaCol = df.select(
+      TextHashes.rolling_hash(col("text")).as("rh"),
+      TextHashes.simhash64(col("toks")).as("sh"),
+      TextHashes.ngram_distinct_count(col("text"), 3).as("nd"),
+      MinHashSigs.minhash_sigs(col("toks"), 2, 4).as("ms")).collect()
+    assert(viaSql.map(_.toString).toSeq == viaCol.map(_.toString).toSeq)
+    // and dot_d parity on a numeric frame
+    val vdf = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, 0.25, 2.0))).toDF("a", "b")
+    vdf.createOrReplaceTempView("gf_vecs")
+    assert(spark.sql("SELECT dot_d(a, b) AS d FROM gf_vecs").head().getDouble(0)
+      == vdf.select(VectorFunctions.dot_d(col("a"), col("b"))).head().getDouble(0))
+  }
+
+  test("non-literal n in ngram_distinct_count is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT ngram_distinct_count('abc', length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("INT literal"), e.getMessage)
+  }
+}
