@@ -49,6 +49,11 @@ object GraftFunctions {
         arity("ngram_distinct_count", args, 2)
         NgramDistinctCount(args(0), intLit(args(1), "ngram_distinct_count", 2))
       }),
+    ("ngram_distinct_hashes", classOf[NgramDistinctHashes],
+      (args: Seq[Expression]) => {
+        arity("ngram_distinct_hashes", args, 2)
+        NgramDistinctHashes(args(0), intLit(args(1), "ngram_distinct_hashes", 2))
+      }),
     ("minhash_sigs", classOf[MinHashSigs],
       (args: Seq[Expression]) => {
         arity("minhash_sigs", args, 3)

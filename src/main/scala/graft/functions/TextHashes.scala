@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -207,6 +207,92 @@ object NgramDistinctCount {
   }
 }
 
+/** The DISTINCT character `n`-grams of a string as an array of 64-bit FNV-1a
+  * hashes, in one pass — the set representation [[NgramDistinctCount]] counts,
+  * materialized for set-similarity pipelines that only need gram IDENTITY
+  * (df counts, shared-gram joins, intersections), not the gram text.
+  *
+  * Distinctness is byte-exact (same open-addressed probe of the original
+  * UTF-8 buffer as the counter — a hash collision costs a probe, never a
+  * dropped gram), so `size(result)` always equals the true distinct-gram
+  * count. Only the emitted IDENTITY is the hash: two distinct grams emit the
+  * same long with probability ~2^-64 per pair, which downstream consumers
+  * accept in exchange for shuffling 8-byte longs instead of n-char strings
+  * (for 8-char grams: ~2.5x narrower rows and long-vs-string compares in
+  * every join/aggregate). At trillion-gram corpus scale the birthday bound
+  * (~5·10^9 grams for even odds of ONE collision) still leaves Jaccard
+  * scores off by at most 1/|union| — the same magnitude as MinHash's
+  * banding error, for an operator that is otherwise exact. */
+case class NgramDistinctHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_distinct_hashes requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    NgramDistinctHashes.hashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramDistinctHashes.hashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): NgramDistinctHashes =
+    copy(child = c)
+}
+
+object NgramDistinctHashes {
+  /** Distinct char-n-gram windows as FNV-1a hashes, first-seen order.
+    * Same byte-offset walk + open-addressed dedup as
+    * [[NgramDistinctCount.count]]; static so generated code can call it. */
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    if (nChars < n) return new GenericArrayData(Array.empty[Long])
+    val off = new Array[Int](nChars + 1)
+    var i = 0; var ci = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { off(ci) = i; ci += 1 }
+      i += 1
+    }
+    off(nChars) = bytes.length
+    val windows = nChars - n + 1
+    var cap = 4
+    while (cap < windows * 2) cap <<= 1
+    val slots = new Array[Int](cap) // 0 = empty, else (window index + 1)
+    val mask = cap - 1
+    val out = new Array[Long](windows)
+    var distinct = 0
+    var w = 0
+    while (w < windows) {
+      val b0 = off(w); val b1 = off(w + n)
+      var h = -3750763034362895579L // FNV-1a over the window's bytes
+      var j = b0
+      while (j < b1) { h = (h ^ (bytes(j) & 0xffL)) * 1099511628211L; j += 1 }
+      var slot = (h.toInt ^ (h >>> 32).toInt) & mask
+      var done = false
+      while (!done) {
+        val e = slots(slot)
+        if (e == 0) {
+          slots(slot) = w + 1; out(distinct) = h; distinct += 1; done = true
+        } else {
+          val ew = e - 1
+          val e0 = off(ew); val e1 = off(ew + n)
+          var same = (e1 - e0) == (b1 - b0)
+          var k = 0
+          while (same && k < b1 - b0) { same = bytes(e0 + k) == bytes(b0 + k); k += 1 }
+          if (same) done = true // already seen
+          else slot = (slot + 1) & mask
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, distinct))
+  }
+}
+
 object TextHashes {
   def rolling_hash(c: Column): Column =
     GraftShims.column(RollingHash(GraftShims.expression(c)))
@@ -214,4 +300,6 @@ object TextHashes {
     GraftShims.column(SimHash64(GraftShims.expression(c)))
   def ngram_distinct_count(c: Column, n: Int): Column =
     GraftShims.column(NgramDistinctCount(GraftShims.expression(c), n))
+  def ngram_distinct_hashes(c: Column, n: Int): Column =
+    GraftShims.column(NgramDistinctHashes(GraftShims.expression(c), n))
 }

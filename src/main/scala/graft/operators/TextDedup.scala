@@ -164,6 +164,16 @@ object TextDedup {
         expr(s"array_distinct(transform(sequence(1, length($textCol)-${n - 1}), " +
           s"i -> substring($textCol, i, $n)))").as("gs"))
 
+  /** Hashed form of [[charNgramSets]]: one native single-pass expression
+    * ([[graft.functions.NgramDistinctHashes]]) emitting the distinct grams
+    * as 64-bit hashes — byte-exact distinctness (so `size(gs)` is the true
+    * set size), hashed identity (so every downstream shuffle moves longs,
+    * not n-char strings). */
+  def charNgramHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.where(length(col(textCol)) >= n)
+      .select(col(idCol),
+        graft.functions.TextHashes.ngram_distinct_hashes(col(textCol), n).as("gs"))
+
   /** Character n-gram Jaccard near-duplicate pairs — the third dedup family
     * next to MinHash-LSH (probabilistic banding) and SimHash (bit
     * fingerprint): EXACT set similarity, with candidates generated by shared
@@ -215,7 +225,13 @@ object TextDedup {
     // cheapest shape to cache); every consumer below re-explodes from this
     // cache instead of re-parsing text. The harness releases all CacheScope
     // persists after materializing the query.
-    val sets = CacheScope.persist(charNgramSets(docs, idCol, textCol, n))
+    // Grams travel as 64-bit hashes (charNgramHashSets): set SIZES are
+    // byte-exact, identities are hashes — cross-doc equality can differ from
+    // raw grams only through a 2^-64 collision, which the SQL oracle's
+    // raw-gram replay has never observed (and at corpus scale shifts a
+    // Jaccard by at most 1/|union|). Every shuffle below (df count, rare
+    // self-join, vocab join) moves 8-byte longs instead of n-char strings.
+    val sets = CacheScope.persist(charNgramHashSets(docs, idCol, textCol, n))
     val grams = sets.select(col(idCol), explode(col("gs")).as("g"))
     val dfs = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // fractional cap: df <= maxDfFrac * N(docs with >= 1 gram), computed as

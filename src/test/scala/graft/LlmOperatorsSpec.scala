@@ -49,6 +49,35 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .select(TextHashes.ngram_distinct_count(col("text"), 3)).head().getLong(0) == 0L)
   }
 
+  test("ngram_distinct_hashes: size == distinct count; values = FNV of the grams; unicode-safe") {
+    import spark.implicits._
+    val tricky = Seq(
+      (900L, "aaaa"), (901L, "abcabcabc"), (902L, "日本語のテキストです日本語"),
+      (903L, "ééaéé"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(tricky)
+    val df = corpus.where(length(col("text")) >= 3).select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        TextHashes.ngram_distinct_hashes(col("text"), 3)).cast("bigint").as("n_hashes"),
+      TextHashes.ngram_distinct_count(col("text"), 3).as("n_count"))
+    // byte-exact distinctness: array length always equals the exact count
+    df.collect().foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    // identities are FNV-1a of the gram bytes, first-seen order
+    def fnv(s: String): Long = graft.functions.SimHash64.fnv1a(s.getBytes("UTF-8"))
+    val got = Seq((1L, "abcab")).toDF("doc_id", "text")
+      .select(TextHashes.ngram_distinct_hashes(col("text"), 2)).head().getSeq[Long](0)
+    assert(got == Seq(fnv("ab"), fnv("bc"), fnv("ca")), "abcab bigrams = ab bc ca")
+    // codegen and interpreted agree
+    val modes = Seq("CODEGEN_ONLY", "NO_CODEGEN").map { m =>
+      spark.conf.set("spark.sql.codegen.factoryMode", m)
+      try corpus.select(TextHashes.ngram_distinct_hashes(col("text"), 8))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(modes(0) == modes(1))
+  }
+
   test("simhash64 is stable across partition counts") {
     val one = docs.coalesce(1)
     val many = docs.repartition(7)
