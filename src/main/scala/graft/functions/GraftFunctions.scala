@@ -54,6 +54,25 @@ object GraftFunctions {
         arity("ngram_distinct_hashes", args, 2)
         NgramDistinctHashes(args(0), intLit(args(1), "ngram_distinct_hashes", 2))
       }),
+    ("token_ngram_distinct_count", classOf[TokenNgramDistinctCount],
+      (args: Seq[Expression]) => {
+        arity("token_ngram_distinct_count", args, 2)
+        TokenNgramDistinctCount(args(0), intLit(args(1), "token_ngram_distinct_count", 2))
+      }),
+    ("token_ngram_distinct_hashes", classOf[TokenNgramDistinctHashes],
+      (args: Seq[Expression]) => {
+        arity("token_ngram_distinct_hashes", args, 2)
+        TokenNgramDistinctHashes(args(0), intLit(args(1), "token_ngram_distinct_hashes", 2))
+      }),
+    ("token_top_ngram_count", classOf[TokenTopNgramCount],
+      (args: Seq[Expression]) => {
+        arity("token_top_ngram_count", args, 2)
+        TokenTopNgramCount(args(0), intLit(args(1), "token_top_ngram_count", 2))
+      }),
+    ("char_entropy_stats", classOf[CharEntropyStats],
+      (args: Seq[Expression]) => {
+        arity("char_entropy_stats", args, 1); CharEntropyStats(args(0))
+      }),
     ("minhash_sigs", classOf[MinHashSigs],
       (args: Seq[Expression]) => {
         arity("minhash_sigs", args, 3)

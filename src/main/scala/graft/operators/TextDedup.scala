@@ -315,8 +315,15 @@ object TextDedup {
                          k: Int = 13, minShared: Int = 1): DataFrame = {
     require(idCol != evalIdCol,
       "corpus and eval id columns must have distinct names (both appear in the output)")
-    val cg = shingles(corpus, idCol, textCol, k)
-    val eg = shingles(evalDocs, evalIdCol, evalTextCol, k).toDF("__eval_id", "sh")
+    // shingle identities travel as 64-bit hashes (token_ngram_distinct_hashes:
+    // byte-exact distinctness per doc, FNV identity) — the shingle-keyed join
+    // and count below move longs instead of k-token strings. The raw-string
+    // oracle replay matches exactly absent a 2^-64 collision.
+    def hashed(df: DataFrame, id: String, text: String) =
+      df.select(col(id), explode(graft.functions.TokenNgrams
+        .token_ngram_distinct_hashes(col(text), k)).as("sh"))
+    val cg = hashed(corpus, idCol, textCol)
+    val eg = hashed(evalDocs, evalIdCol, evalTextCol).toDF("__eval_id", "sh")
     cg.join(eg, "sh")
       .groupBy(col(idCol), col("__eval_id").as(evalIdCol))
       .agg(count(lit(1)).as("n_shared"))

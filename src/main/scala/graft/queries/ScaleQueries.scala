@@ -185,24 +185,19 @@ object ScaleQueries {
     // thresholds (0.20 / 0.30). All ratios are divisions of exact integers.
     "q87_repetition_filter" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      // whole filter is a single narrow projection — per-doc work only.
-      // The top-bigram count comes from the longest run in the SORTED
-      // bigram array (O(tokens) in-row), not a corpus-wide
-      // groupBy(doc, bigram) — that shuffle built ~1.3M mostly-unique
-      // string groups just to take a per-doc max. Oracle still computes
-      // the max via grouping: same integer, different mechanism.
+      // whole filter is a single narrow projection — per-doc work only,
+      // and both gram statistics are native single-pass expressions
+      // (TokenNgrams: byte-window probing, no token/shingle arrays, inside
+      // whole-stage codegen) instead of a corpus-wide groupBy(doc, bigram)
+      // (~1.3M mostly-unique string groups for a per-doc max) or the
+      // interpreted sort+fold that replaced it. Oracle still computes the
+      // max via grouping: same integer, different mechanism.
       docs.select(col("doc_id"),
           size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-          expr("size(array_distinct(transform(sequence(1, greatest(size(split(text,' '))-2, 1)), " +
-            "i -> concat_ws(' ', slice(split(text,' '), i, 3)))))").cast("long").as("n_distinct_tri"),
-          expr("aggregate(" +
-            "array_sort(transform(sequence(1, greatest(size(split(text,' '))-1, 1)), " +
-            "i -> concat_ws(' ', slice(split(text,' '), i, 2)))), " +
-            "struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS best), " +
-            "(acc, x) -> IF(x = acc.prev, " +
-            "named_struct('prev', x, 'run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1)), " +
-            "named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best', greatest(acc.best, CAST(1 AS BIGINT)))), " +
-            "acc -> acc.best)").as("top_bigram_n"))
+          graft.functions.TokenNgrams
+            .token_ngram_distinct_count(col("text"), 3).as("n_distinct_tri"),
+          graft.functions.TokenNgrams
+            .token_top_ngram_count(col("text"), 2).as("top_bigram_n"))
         .where(col("n_tokens") >= 3)
         .select(col("doc_id"), col("n_tokens"),
           (col("top_bigram_n") * lit(2) / col("n_tokens").cast("double")).as("top_bigram_frac"),
@@ -243,19 +238,19 @@ object ScaleQueries {
     // Character-entropy quality score (gibberish / repetition detector):
     // Shannon entropy of the per-doc character distribution, each
     // -p·ln(p) term quantized to integer nano-nats BEFORE the per-doc sum
-    // so partial-aggregation order cannot move the double.
+    // so summation order cannot move the double. The whole statistic is ONE
+    // native expression (CharEntropyStats) — the explode-per-char + double
+    // groupBy formulation it replaces shuffled one row per corpus CHARACTER
+    // (7.5M at sf0.1) to produce a per-doc scalar; the oracle still runs
+    // that formulation and matches bit-for-bit (same term arithmetic,
+    // same HALF_UP rounding, order-free integer sum).
     "q86_char_entropy" -> ((s, d) =>
       table(s, d, "documents")
-        .select(col("doc_id"), length(col("text")).cast("bigint").as("len"),
-          explode(split(col("text"), "")).as("ch"))
-        .groupBy(col("doc_id"), col("len"), col("ch"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("mu", expr(
-          "CAST(round(-(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * " +
-            "ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) * 1e9) AS BIGINT)"))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("mu")).cast("double") / lit(1e9)).as("entropy_nats"),
-          countDistinct(col("ch")).as("n_distinct_chars"))))
+        .select(col("doc_id"),
+          graft.functions.CharEntropyStats.char_entropy_stats(col("text")).as("st"))
+        .select(col("doc_id"),
+          (col("st.mu_sum").cast("double") / lit(1e9)).as("entropy_nats"),
+          col("st.n_distinct").as("n_distinct_chars"))))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
