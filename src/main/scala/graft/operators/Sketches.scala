@@ -77,6 +77,48 @@ object Sketches {
     }
   }
 
+  /** Count-min sketch point estimates: frequency estimates for `queries`'
+    * keys from a `d x w` counter grid instead of the full per-key frequency
+    * table.
+    *
+    * Row j hashes every item to `bucket = h_j(x) mod w`, where h_j is the
+    * j-th 8-hex-char slice of ONE md5 digest per key (same
+    * one-digest-many-draws trick as [[graft.functions.MinHashSigs]] — d
+    * independent-bit hashes for a single hash invocation, and a SQL engine
+    * replays the slices exactly); a key's estimate is the MIN over rows of
+    * its bucket's count. Estimates can only OVERcount (collisions add,
+    * never subtract): est >= exact always, and P[est > exact + 2N/w] <= 2^-d
+    * by the classic Markov bound.
+    *
+    * Scale: the sketch is d·w cells regardless of key cardinality, built by
+    * one groupBy over (row, bucket) — partial aggregation collapses it
+    * map-side, and two sketches merge by cell-wise add (the streaming /
+    * multi-day shape). The exact column is the full-shuffle the sketch
+    * replaces, kept for calibration like [[kmvDistinct]]. */
+  def cmsPointEstimates(items: DataFrame, keyCol: String, queries: DataFrame,
+                        w: Int = 1024, d: Int = 4): DataFrame = {
+    require(w >= 2 && d >= 1 && d <= 4, "need w >= 2, 1 <= d <= 4 (8-hex slices of one md5)")
+    val rows = (0 until d).map(j => struct(lit(j).as("j"),
+      pmod(conv(substring(md5(col(keyCol).cast("string")), j * 8 + 1, 8), 16, 10)
+        .cast("long"), lit(w)).as("b")))
+    val sketch = items
+      .select(explode(array(rows: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = queries.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(rows: _*)).as("jb"))
+      .select(col(keyCol), col("jb.j").as("j"), col("jb.b").as("b"))
+    val est = probes.join(sketch, Seq("j", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+    val exact = items.join(broadcast(queries.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq(keyCol), "left")
+      .select(col(keyCol), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
   /** Two-pass heavy hitters: terms occurring in at least `minFrac` of all
     * rows, found without ever shuffling the full (term, count) space twice.
     *

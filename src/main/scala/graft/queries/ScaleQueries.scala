@@ -235,6 +235,18 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // Count-min sketch point estimates for the fixed query vocabulary, next
+    // to the exact counts (the full-shuffle the sketch replaces). md5-derived
+    // row hashes make the estimate a pure function of the input multiset —
+    // the oracle replays the grid cell by cell.
+    "q92_cms_counts" -> ((s, d) => {
+      import s.implicits._
+      Sketches.cmsPointEstimates(
+        table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token")),
+        "token", tfidfTerms.toDF("token"), w = 1024, d = 4)
+    }),
+
     // Character-entropy quality score (gibberish / repetition detector):
     // Shannon entropy of the per-doc character distribution, each
     // -p·ln(p) term quantized to integer nano-nats BEFORE the per-doc sum
@@ -538,6 +550,27 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q92_cms_counts" -> {
+      // row j's hash = 8-hex-char slice j of md5(token), folded to BIGINT —
+      // the same left-to-right fold duckHash60 does over 15 chars
+      val h = "list_reduce(list_transform(range(1, 9), i -> " +
+        "CAST(strpos('0123456789abcdef', " +
+        "substr(substr(md5(CAST(token AS VARCHAR)), j*8+1, 8), i, 1)) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |rws AS (SELECT unnest([0,1,2,3]) AS j),
+         |cells AS (
+         |  SELECT j, $h % 1024 AS b, count(*) AS cnt
+         |  FROM toks, rws GROUP BY 1, 2),
+         |q AS (SELECT unnest(['join','vector','stream','window','spark']) AS token),
+         |probes AS (SELECT token, j, $h % 1024 AS b FROM q, rws),
+         |est AS (SELECT token, min(coalesce(cnt, 0)) AS est_count
+         |        FROM probes LEFT JOIN cells USING (j, b) GROUP BY token),
+         |ex AS (SELECT token, count(*) AS exact_count FROM toks JOIN q USING (token) GROUP BY token)
+         |SELECT est.token, est_count, coalesce(exact_count, 0) AS exact_count
+         |FROM est LEFT JOIN ex USING (token)""".stripMargin
+    },
 
     "q86_char_entropy" ->
       """WITH ch AS (

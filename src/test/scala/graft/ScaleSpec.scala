@@ -143,6 +143,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.size <= (2 / 0.05).toInt)
   }
 
+  test("count-min sketch: estimates never undercount; exact on a sparse grid; absent key = 0 exact") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val items = (Seq.fill(40)("hot") ++ Seq.fill(7)("warm") ++
+      (0 until 20).map(i => s"t$i")).toDF("token")
+    val qs = Seq("hot", "warm", "t3", "ghost").toDF("token")
+    val out = Sketches.cmsPointEstimates(items, "token", qs, w = 4096, d = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // CMS can only overcount
+    out.foreach { case (k, (est, exact)) => assert(est >= exact, s"$k undercounted") }
+    // 27 distinct keys in a 4 x 4096 grid: no key collides in all 4 rows
+    assert(out("hot") == (40L, 40L) && out("warm") == (7L, 7L) && out("t3") == (1L, 1L))
+    assert(out("ghost")._2 == 0L, "absent key has exact 0")
+  }
+
   test("quantized re-rank: top-1 and top-10 match brute-force exactly on the test corpus") {
     import graft.operators.Similarity
     val emb = Graft.table(spark, sf, "embeddings")
