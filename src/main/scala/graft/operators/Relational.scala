@@ -41,4 +41,26 @@ object Relational {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
+
+  /** Group-wise top-k by (score DESC, id ASC) through
+    * [[graft.functions.TopKAgg]] — a k-bounded partial aggregation, NOT a
+    * rank window: each map task ships at most k (score, id) pairs per group
+    * instead of feeding every row of every group through a sort-shuffle.
+    * Same rows as `row_number().over(partitionBy(keys).orderBy(...)) <= k`
+    * (which is what a SQL oracle runs); O(k) state per (group, task).
+    * Score and id are carried through the aggregate, so the output holds
+    * the key columns plus (rnk, idCol, scoreCol as double). */
+  def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: String,
+                 idCol: String, k: Int): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    df.groupBy(keys.map(col): _*)
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("tk"))
+      .select(keys.map(col) :+ posexplode(col("tk")): _*)
+      .select(keys.map(col) ++ Seq(
+        (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as(idCol),
+        col("col._1").as(scoreCol)): _*)
+  }
 }

@@ -235,6 +235,29 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // Group-wise top-k WITHOUT a rank window: TopKAgg ships <= k rows per
+    // (group, map task); the oracle runs the row_number formulation it
+    // replaces — same rows, O(k) state instead of a per-group sort-shuffle.
+    "q93_topk_per_group" -> ((s, d) =>
+      Relational.topKPerKey(table(s, d, "orders"),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", k = 3)),
+
+    // Token-budget source mixing: each source contributes documents in
+    // md5(doc_id) order until its 600-token budget is crossed (the doc
+    // crossing the line is kept — budgets are floors, not ceilings). The
+    // window is per-source, so parallelism grows with the source count;
+    // this is the token-quota form of q74's doc-count mixing.
+    "q94_token_budget_mix" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("u"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") - col("n_tokens") < 600)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    }),
+
     // Count-min sketch point estimates for the fixed query vocabulary, next
     // to the exact counts (the full-shuffle the sketch replaces). md5-derived
     // row hashes make the estimate a pure function of the input multiset —
@@ -550,6 +573,27 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q93_topk_per_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q94_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < 600""".stripMargin,
 
     "q92_cms_counts" -> {
       // row j's hash = 8-hex-char slice j of md5(token), folded to BIGINT —

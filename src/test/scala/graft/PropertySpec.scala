@@ -99,4 +99,61 @@ class PropertySpec extends AnyFunSuite {
       mn <= av + 1e-9 && av <= mx + 1e-9
     })
   }
+
+  test("native n-gram/token-window expressions match a direct Scala reference") {
+    import spark.implicits._
+    import graft.functions.{TextHashes, TokenNgrams}
+    // tokens include empties (double-space artifacts) and multi-byte chars
+    val tokenGen = Gen.oneOf("a", "b", "ab", "ba", "日本", "", "xyz")
+    val textGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
+    check("token-ngrams", Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+        TokenNgrams.token_ngram_distinct_count(col("text"), 3).as("a"),
+        TokenNgrams.token_top_ngram_count(col("text"), 2).as("b"),
+        TextHashes.ngram_distinct_count(col("text"), 3).as("c"),
+        size(TextHashes.ngram_distinct_hashes(col("text"), 3)).cast("bigint").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      got.forall { case (id, triTok, topBi, triChar, triCharH) =>
+        val text = texts(id.toInt)
+        val toks = text.split(" ", -1).toSeq
+        val expTriTok =
+          if (toks.size < 3) 0 else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.size
+        val expTopBi =
+          if (toks.size < 2) 0
+          else toks.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max
+        val chars = text.map(_.toString) // BMP-only generator: chars = code points
+        val expTriChar =
+          if (chars.size < 3) 0 else chars.sliding(3).map(_.mkString).toSeq.distinct.size
+        triTok == expTriTok && topBi == expTopBi &&
+          triChar == expTriChar && triCharH == expTriChar
+      }
+    })
+  }
+
+  test("char_entropy_stats matches a direct Scala reference on arbitrary strings") {
+    import spark.implicits._
+    import graft.functions.CharEntropyStats
+    val textGen = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ', '日'))).map(_.mkString)
+    check("char-entropy", Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+        CharEntropyStats.char_entropy_stats(col("text")).as("st"))
+        .collect().map(r => (r.getLong(0),
+          r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
+      got.forall { case (id, mu, nd) =>
+        val text = texts(id.toInt)
+        val counts = text.groupBy(identity).view.mapValues(_.length)
+        val len = text.length.toDouble
+        val expMu = counts.values.map { c =>
+          val p = c.toDouble / len
+          java.math.BigDecimal.valueOf(-p * Math.log(p) * 1e9)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }.sum
+        mu == expMu && nd == counts.size.toLong
+      }
+    })
+  }
 }
