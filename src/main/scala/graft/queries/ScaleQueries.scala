@@ -235,6 +235,30 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // Sliding event-time windows (1 h window, 30 min slide): every event
+    // lands in exactly 2 windows; Spark's window() expands them at the scan
+    // (a generator, no join) and the keyed agg shuffles once. Second-
+    // truncated inputs so engine timestamp precision can't flip a boundary.
+    "q95_sliding_window" -> ((s, d) =>
+      table(s, d, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .groupBy(window(col("tss"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Relational.sumExact(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start_sec"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // Exact interpolated percentiles per group (the quantile family beyond
+    // q49's median): one sort-based aggregate, quartiles from the same pass.
+    "q96_percentiles" -> ((s, d) =>
+      table(s, d, "events").groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p25"),
+          col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"), col("n"))),
+
     // Group-wise top-k WITHOUT a rank window: TopKAgg ships <= k rows per
     // (group, map task); the oracle runs the row_number formulation it
     // replaces — same rows, O(k) state instead of a per-group sort-shuffle.
@@ -573,6 +597,26 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q95_sliding_window" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, (sec // 1800 - o) * 1800 AS ws
+        |  FROM t, (SELECT unnest([0, 1]) AS o))
+        |SELECT ws AS window_start_sec, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q96_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q93_topk_per_group" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (

@@ -58,6 +58,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
   }
 
+  test("q90/q93: bounded top-k aggregates rank without any window") {
+    Seq("q90_quantized_rerank", "q93_topk_per_group").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec"), s"$q must rank via TopKAgg, not a rank window")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), q)
+    }
+  }
+
   test("q44: range join is an equi-join on bucket keys, not a theta join") {
     val p = plan("q44_range_join")
     assert(!p.contains("CartesianProduct"))
