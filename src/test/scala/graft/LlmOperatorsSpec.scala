@@ -151,6 +151,22 @@ class LlmOperatorsSpec extends AnyFunSuite {
       assert((mu, nd) == viaExplode(id), s"doc $id") }
   }
 
+  test("native expressions propagate null input to null output") {
+    import spark.implicits._
+    import graft.functions.{CharEntropyStats, TextHashes, TokenNgrams}
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c")))
+      .toDF("id", "text")
+    val r = df.select(col("id"),
+      TextHashes.ngram_distinct_count(col("text"), 3).as("a"),
+      TextHashes.ngram_distinct_hashes(col("text"), 3).as("b"),
+      TokenNgrams.token_ngram_distinct_count(col("text"), 2).as("c"),
+      TokenNgrams.token_top_ngram_count(col("text"), 2).as("d"),
+      CharEntropyStats.char_entropy_stats(col("text")).as("e"))
+      .orderBy("id").collect()
+    (1 to 5).foreach(i => assert(r(0).isNullAt(i), s"null text -> null col $i"))
+    (1 to 5).foreach(i => assert(!r(1).isNullAt(i), s"non-null text -> value col $i"))
+  }
+
   test("simhash64 is stable across partition counts") {
     val one = docs.coalesce(1)
     val many = docs.repartition(7)
