@@ -144,6 +144,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup stream: store accrues unique fingerprints; replayed batch appends nothing") {
+    import spark.implicits._
+    import graft.streaming.IncrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    val store = s"$root/store"
+    def doc(id: Long, text: String) = (id, text, "web")
+    // batch step directly: replay idempotence (the store content is the guard)
+    val b1 = Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "alpha")).toDF("doc_id", "text", "source")
+    assert(IncrementalDedup.processBatch(b1, store) == 2, "within-batch dup collapsed")
+    assert(IncrementalDedup.processBatch(b1, store) == 0, "full replay appends nothing")
+    // streaming wiring: a later batch with one re-crawl and one new doc
+    val input = MemoryStream[(Long, String, String)]
+    val q = IncrementalDedup.start(
+      input.toDF().toDF("doc_id", "text", "source"), store, s"$root/ckpt")
+    try {
+      input.addData((10L, "beta", "crawl2"), (11L, "gamma", "crawl2"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(store)
+      assert(rows.count() == 3, "store = alpha, beta, gamma")
+      assert(rows.select("fingerprint").distinct().count() == 3)
+      assert(rows.where($"doc_id" === 10).count() == 0, "re-crawl of beta dropped")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions by gap (inline) and by watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
