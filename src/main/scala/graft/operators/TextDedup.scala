@@ -247,12 +247,20 @@ object TextDedup {
     // and returns the exact rare-side intersection for stage 3.
     val rareG = CacheScope.persist(
       grams.join(capped.where(col("is_rare")).select("g"), "g"))
+    // the pair-count aggregate is the widest stage (millions of candidate
+    // rows pre-filter): pack (doc_a, doc_b) into ONE long so the partial
+    // aggregation hashes and ships an 8-byte key. Assumes non-negative
+    // integer ids < 2^32 (4B documents); wider id spaces would keep the
+    // two-column key.
     val cand = rareG.select(col("g"), col(idCol).as("doc_a"))
       .join(rareG.select(col("g"), col(idCol).as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .select((shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b"))).as("pair"))
+      .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_rare"))
       .where(col("n_rare") >= minShared)
+      .select(shiftright(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("n_rare"))
 
     // Stage 2: per-doc bitmask over the (bounded) common vocabulary. The
     // vocab id window runs over avgGrams/maxDfFrac rows at most - a bounded
