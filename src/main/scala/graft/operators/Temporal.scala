@@ -26,12 +26,25 @@ object Temporal {
     * O(1) per row. If multiple right rows share an exact (key, ts), which one
     * wins is undefined (same as native ASOF implementations). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String]): DataFrame =
+    asofJoinDirected(left, right, key, ts, payload, forward = false)
+
+  /** As-of join with a direction: `forward = false` matches the LATEST right
+    * row with `right.ts <= left.ts` (see [[asofJoin]]); `forward = true` the
+    * EARLIEST right row with `right.ts >= left.ts` — the "next event after"
+    * lookup (next maintenance after a failure, next quote after an order).
+    *
+    * Same single-shuffle plan in both directions: the forward walk just
+    * reverses the window's time order, so "last right payload seen so far"
+    * becomes the smallest right ts at-or-after the left row. */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, key: String, ts: String,
+                       payload: Seq[String], forward: Boolean): DataFrame = {
     val l = left.withColumn("__tag", lit(1))
     val r = right.select(col(key), col(ts), lit(0).as("__tag"),
       struct(payload.map(col): _*).as("__p"))
     // right rows (tag 0) sort before left rows at equal ts => inclusive match
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col("__tag").asc)
+    val order = if (forward) col(ts).desc else col(ts).asc
+    val w = Window.partitionBy(col(key)).orderBy(order, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))

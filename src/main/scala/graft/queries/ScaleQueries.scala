@@ -235,6 +235,22 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // Forward as-of join: each click matched to the user's EARLIEST
+    // at-or-after purchase (q43 is the backward direction). Same
+    // single-shuffle tagged-union window, time order reversed.
+    "q97_asof_forward" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.asofJoinDirected(clicks, purchases, "user_id", "ts",
+          payload = Seq("ts", "value"), forward = true)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("__match.ts")).as("purchase_sec"),
+          col("__match.value").as("purchase_value"))
+    }),
+
     // Sliding event-time windows (1 h window, 30 min slide): every event
     // lands in exactly 2 windows; Spark's window() expands them at the scan
     // (a generator, no join) and the keyed agg shuffles once. Second-
@@ -597,6 +613,14 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q97_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_sec,
+        |  p.value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     "q95_sliding_window" ->
       """WITH t AS (

@@ -33,6 +33,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)        // nothing at or before 09:00
   }
 
+  test("asof forward: earliest at-or-after wins, equal-ts matches, none after -> null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2025-01-01 10:00:00")), // next right at 11:00
+      (2L, 10L, ts("2025-01-01 12:00:00")), // equal-ts right matches
+      (3L, 10L, ts("2025-01-01 13:00:00")), // nothing after -> null
+      (4L, 20L, ts("2025-01-01 09:00:00"))  // 09:30 wins over later rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2025-01-01 09:30:00"), 1.0),
+      (10L, ts("2025-01-01 11:00:00"), 2.0),
+      (10L, ts("2025-01-01 12:00:00"), 3.0),
+      (20L, ts("2025-01-01 09:30:00"), 9.0),
+      (20L, ts("2025-01-01 10:30:00"), 8.0)
+    ).toDF("k", "t", "v")
+    val out = Temporal.asofJoinDirected(left, right, "k", "t", Seq("v"), forward = true)
+      .select(col("id"), col("__match.v"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> None, 4L -> Some(9.0)))
+  }
+
   test("range join pairs: each qualifying pair appears exactly once with correct gap") {
     import spark.implicits._
     val df = Seq(
