@@ -235,6 +235,27 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // Chunk-level dedup: fingerprint non-overlapping 32-token chunks and
+    // score each document by the fraction of its chunks that appear in some
+    // OTHER document too — the sub-document granularity (boilerplate,
+    // quoted passages) that whole-doc fingerprints miss. Two keyed
+    // shuffles: chunk-fp count, then per-doc rollup.
+    "q98_chunk_dedup" -> ((s, d) => {
+      val chunks = graft.operators.TextPrep.chunk(
+          table(s, d, "documents"), "doc_id", "text", size = 32, stride = 32)
+        .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      val dupFps = chunks.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select(col("fp"), lit(1L).as("is_dup"))
+      chunks.join(dupFps, Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+    }),
+
     // Forward as-of join: each click matched to the user's EARLIEST
     // at-or-after purchase (q43 is the backward direction). Same
     // single-shuffle tagged-union window, time order reversed.
@@ -613,6 +634,25 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q98_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(floor((len(string_split(text, ' ')) - 1) / 32) AS INT) + 1 AS n_ch
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, chunk FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i*32+1 : i*32+32], ' ') for i in range(0, n_ch)]) AS chunk
+        |    FROM t)
+        |  WHERE length(chunk) > 0),
+        |fp AS (SELECT doc_id, md5(chunk) AS f FROM ch),
+        |dup AS (SELECT f FROM fp GROUP BY f HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN f IN (SELECT f FROM dup) THEN 1 ELSE 0 END) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN f IN (SELECT f FROM dup) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM fp GROUP BY doc_id""".stripMargin,
 
     "q97_asof_forward" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
