@@ -37,4 +37,29 @@ object Scale {
                    leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       col(leftKey) === col(rightKey))
+
+  /** Salted inner equi-join for a SKEWED fact key: a hot key's fact rows
+    * would all land on one reducer in a plain shuffle join. Salting spreads
+    * each fact key over `salts` reducers (deterministic hash of the fact's
+    * whole row — no rand(), retries replay identically) and replicates each
+    * dim row to all `salts` sub-keys, so the join key becomes (key, salt)
+    * and the hot key's work fans out `salts`-wide. Dim-side cost: x`salts`
+    * rows — right for the mid-size dim that is too big to broadcast but far
+    * smaller than the fact.
+    *
+    * Result is EXACTLY the plain inner join (each fact row meets each
+    * matching dim row at exactly one salt). AQE's skew-join splitting does
+    * this adaptively for sort-merge joins; the explicit form works for any
+    * join and any skew, without depending on runtime statistics. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salts: Int = 16): DataFrame = {
+    require(salts >= 1, "need at least one salt")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val repDim = dim.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    saltedFact.join(repDim,
+        saltedFact("__salt") === repDim("__salt") && col(factKey) === col(dimKey))
+      .drop("__salt")
+  }
 }

@@ -235,6 +235,18 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // Salted skew join: the fact side's hot keys fan out over 8 salted
+    // sub-keys, the dim side replicates x8 — identical result to the plain
+    // join (the oracle), without one reducer absorbing a hot key's rows.
+    "q99_salted_join" -> ((s, d) =>
+      graft.operators.Scale.saltedJoin(
+          table(s, d, "orders"),
+          table(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "o_custkey", "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.sumExact(col("o_totalprice")).as("sum_price"))),
+
     // Chunk-level dedup: fingerprint non-overlapping 32-token chunks and
     // score each document by the fraction of its chunks that appear in some
     // OTHER document too — the sub-document granularity (boilerplate,
@@ -634,6 +646,12 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q99_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q98_chunk_dedup" ->
       """WITH t AS (

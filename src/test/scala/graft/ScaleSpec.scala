@@ -143,6 +143,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.size <= (2 / 0.05).toInt)
   }
 
+  test("salted join equals the plain inner join row-for-row") {
+    import graft.operators.Scale
+    val orders = Graft.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Graft.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("c_mktsegment"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val plain = rows(orders.join(cust, col("o_custkey") === col("c_custkey")))
+    val salted = rows(Scale.saltedJoin(orders, cust, "o_custkey", "c_custkey", salts = 8))
+    assert(salted == plain)
+  }
+
   test("count-min sketch: estimates never undercount; exact on a sparse grid; absent key = 0 exact") {
     import spark.implicits._
     import graft.operators.Sketches
