@@ -50,12 +50,12 @@ object TokenNgrams {
     starts
   }
 
-  /** Single pass over the k-token windows: returns the distinct count, and
-    * fills `outHashes` (FNV-1a of each distinct window, first-seen order)
-    * and/or `outTop` (max multiplicity of any window) when non-null. */
-  private def scan(bytes: Array[Byte], k: Int,
+  /** Single pass over the k-token windows (token boundaries precomputed by
+    * the caller): returns the distinct count, and fills `outHashes` (FNV-1a
+    * of each distinct window, first-seen order) and/or `outTop` (max
+    * multiplicity of any window) when non-null. */
+  private def scan(bytes: Array[Byte], starts: Array[Int], k: Int,
                    outHashes: Array[Long], outTop: Array[Long]): Int = {
-    val starts = tokenStarts(bytes)
     val nTokens = starts.length - 1
     val windows = nTokens - k + 1
     if (windows <= 0) return 0
@@ -103,21 +103,24 @@ object TokenNgrams {
     distinct
   }
 
-  def count(s: UTF8String, k: Int): Long =
-    scan(s.getBytes, k, null, null).toLong
+  def count(s: UTF8String, k: Int): Long = {
+    val bytes = s.getBytes
+    scan(bytes, tokenStarts(bytes), k, null, null).toLong
+  }
 
   def hashes(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
-    val nTokens = tokenStarts(bytes).length - 1
-    val windows = math.max(nTokens - k + 1, 0)
+    val starts = tokenStarts(bytes)
+    val windows = math.max(starts.length - 1 - k + 1, 0)
     val out = new Array[Long](windows)
-    val n = scan(bytes, k, out, null)
+    val n = scan(bytes, starts, k, out, null)
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }
 
   def topCount(s: UTF8String, k: Int): Long = {
+    val bytes = s.getBytes
     val top = new Array[Long](1)
-    scan(s.getBytes, k, null, top)
+    scan(bytes, tokenStarts(bytes), k, null, top)
     top(0)
   }
 

@@ -20,6 +20,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * NaN sorts greatest, i.e. first under DESC). Ties beyond (score, id) are
   * impossible since ids are unique within a group.
   */
+object TopKAgg {
+  /** The (score: double, id: long) top-k aggregator as a ready-to-apply
+    * Column function — one shared construction for every ranking stage. */
+  def columnAgg(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+}
+
 class TopKAgg(k: Int) extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
   require(k >= 1, "top-k needs k >= 1")
 

@@ -52,9 +52,7 @@ object Relational {
     * the key columns plus (rnk, idCol, scoreCol as double). */
   def topKPerKey(df: DataFrame, keys: Seq[String], scoreCol: String,
                  idCol: String, k: Int): DataFrame = {
-    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val topk = graft.functions.TopKAgg.columnAgg(k)
     df.groupBy(keys.map(col): _*)
       .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("tk"))
       .select(keys.map(col) :+ posexplode(col("tk")): _*)

@@ -170,9 +170,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("q_emb"), col("q_nrm"),
         explode(col("top")).as("t"))
       .select(col("query_id"), col("t.cid").as("cid"), col("q_emb"), col("q_nrm"))
-    val topk = udaf(new graft.functions.TopKAgg(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val topk = graft.functions.TopKAgg.columnAgg(k)
     probes.join(assign, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot_d(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm")))
@@ -220,9 +218,7 @@ object Similarity {
       "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)")
     val approx = qdot.cast("double") * col("q_scale") * col("c_scale") /
       lit(16129.0) / (col("q_nrm") * col("c_nrm"))
-    def topkOf(kk: Int) = udaf(new graft.functions.TopKAgg(kk),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    def topkOf(kk: Int) = graft.functions.TopKAgg.columnAgg(kk)
     val cands = broadcast(q.drop("q_emb")).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", approx)

@@ -249,17 +249,19 @@ object TextDedup {
       grams.join(capped.where(col("is_rare")).select("g"), "g"))
     // the pair-count aggregate is the widest stage (millions of candidate
     // rows pre-filter): pack (doc_a, doc_b) into ONE long so the partial
-    // aggregation hashes and ships an 8-byte key. Assumes non-negative
-    // integer ids < 2^32 (4B documents); wider id spaces would keep the
-    // two-column key.
-    val cand = rareG.select(col("g"), col(idCol).as("doc_a"))
-      .join(rareG.select(col("g"), col(idCol).as("doc_b")), Seq("g"))
+    // aggregation hashes and ships an 8-byte key. Explicit long casts keep
+    // the shift honest for int id columns (Java shifts are mod-32 on ints),
+    // and the unsigned right shift keeps ids in [2^31, 2^32) positive on
+    // unpack. Assumes non-negative integer ids < 2^32 (4B documents);
+    // wider id spaces would keep the two-column key.
+    val cand = rareG.select(col("g"), col(idCol).cast("long").as("doc_a"))
+      .join(rareG.select(col("g"), col(idCol).cast("long").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
       .select((shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b"))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_rare"))
       .where(col("n_rare") >= minShared)
-      .select(shiftright(col("pair"), 32).as("doc_a"),
+      .select(shiftrightunsigned(col("pair"), 32).as("doc_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("n_rare"))
 
     // Stage 2: per-doc bitmask over the (bounded) common vocabulary. The

@@ -352,8 +352,12 @@ object ScaleQueries {
     // (7.5M at sf0.1) to produce a per-doc scalar; the oracle still runs
     // that formulation and matches bit-for-bit (same term arithmetic,
     // same HALF_UP rounding, order-free integer sum).
+    // length > 0 keeps the pair aligned on empty documents: the oracle's
+    // per-character unnest yields no row for an empty string, while the
+    // native expression is total and would emit (0, 0)
     "q86_char_entropy" -> ((s, d) =>
       table(s, d, "documents")
+        .where(length(col("text")) > 0)
         .select(col("doc_id"),
           graft.functions.CharEntropyStats.char_entropy_stats(col("text")).as("st"))
         .select(col("doc_id"),
@@ -746,7 +750,7 @@ object ScaleQueries {
       """WITH ch AS (
         |  SELECT doc_id, length(text) AS len,
         |    unnest([substr(text, i, 1) for i in range(1, length(text) + 1)]) AS ch
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |g AS (SELECT doc_id, len, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
         |mu AS (
         |  SELECT doc_id, ch,

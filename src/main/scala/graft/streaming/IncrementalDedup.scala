@@ -31,8 +31,15 @@ object IncrementalDedup {
       md5(col("text")).as("fingerprint"))
     val batchDedup = graft.operators.Relational.dedupeByKey(
       withFp, Seq(col("fingerprint")), Seq(col("doc_id").asc))
+    // existence via the Hadoop FileSystem of the store's URI — java.io.File
+    // is only correct for local paths and would silently skip the anti-join
+    // on hdfs:// / s3a:// stores
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExists = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storePath)
     val survivors =
-      if (new java.io.File(storeDir).exists())
+      if (storeExists)
         batchDedup.join(
           spark.read.parquet(storeDir).select(col("fingerprint")),
           Seq("fingerprint"), "left_anti")

@@ -95,7 +95,16 @@ object StreamingAgg {
     * passing `last event + gap` (the timeout path — emitted with no new
     * input). State per key is one fixed-size OpenSession and every key's
     * timeout is armed, so state size is O(active users) regardless of
-    * stream length. */
+    * stream length.
+    *
+    * Out-of-order events within the watermark horizon: an event inside
+    * `[start - gap, end + gap]` of the open session MERGES, extending either
+    * end (so a late event can pull `start_sec` back, exactly like
+    * session_window). An event older than `start - gap` cannot merge; with
+    * one bounded OpenSession per key it is emitted immediately as its own
+    * closed singleton session — a documented approximation for
+    * pathologically late data (batch q51 would merge chains of such events;
+    * holding them would make per-key state unbounded). */
   def sessionizeStream(events: Dataset[Event], gapSec: Long = 1800L,
                        watermark: String = "0 seconds"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -115,11 +124,14 @@ object StreamingAgg {
             var cur = state.getOption
             evs.foreach { t =>
               cur = cur match {
-                case Some(s) if t - s.end_sec <= gapSec =>
-                  Some(OpenSession(s.start_sec, math.max(s.end_sec, t), s.n + 1))
-                case Some(s) =>
+                case Some(s) if t >= s.start_sec - gapSec && t <= s.end_sec + gapSec =>
+                  Some(OpenSession(math.min(s.start_sec, t), math.max(s.end_sec, t), s.n + 1))
+                case Some(s) if t > s.end_sec + gapSec =>
                   closed ::= ClosedSession(user, s.start_sec, s.end_sec + gapSec, s.n)
                   Some(OpenSession(t, t, 1))
+                case Some(s) => // t < start - gap: too late to merge
+                  closed ::= ClosedSession(user, t, t + gapSec, 1L)
+                  Some(s)
                 case None => Some(OpenSession(t, t, 1))
               }
             }

@@ -201,4 +201,37 @@ class StreamingSpec extends AnyFunSuite {
         s"timeout-closed session missing: ${closed()}")
     } finally q.stop()
   }
+
+  test("sessionization out-of-order: in-gap late event pulls start back; too-late event closes alone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 2h watermark admits late events; they must not corrupt the open session
+    val q = StreamingAgg.sessionizeStream(input.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("session_ooo_test")
+      .outputMode(OutputMode.Append()).start()
+    def closed() = spark.sql(
+      "SELECT user_id, session_start_sec, session_end_sec, n_events FROM session_ooo_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def sec(s: String) = ts(s).getTime / 1000L
+    try {
+      input.addData(Event(1, ts("2025-01-01 12:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // late but within the gap of session start: merges, start moves back
+      input.addData(Event(2, ts("2025-01-01 11:50:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // late beyond start - gap: cannot merge -> immediate singleton session
+      input.addData(Event(3, ts("2025-01-01 10:30:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(closed() == Set(
+        (7L, sec("2025-01-01 10:30:00"), sec("2025-01-01 11:00:00"), 1L)))
+      // advance the watermark past end + gap -> the merged session closes
+      // with the pulled-back start and both events counted
+      input.addData(Event(4, ts("2025-01-01 15:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      assert(closed().contains(
+        (7L, sec("2025-01-01 11:50:00"), sec("2025-01-01 12:30:00"), 2L)),
+        s"merged session wrong: ${closed()}")
+    } finally q.stop()
+  }
 }
