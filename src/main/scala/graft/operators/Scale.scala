@@ -38,6 +38,28 @@ object Scale {
     spark.table(left).join(spark.table(right),
       col(leftKey) === col(rightKey))
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes` each. Long-running ingest (per-batch appends,
+    * per-day partitions) accumulates small files that tax the name node and
+    * the scan planner; compaction restores scan-sized files. File count is
+    * derived from the directory's ACTUAL bytes (Hadoop FS listing — works on
+    * any filesystem), not row counts, so output size tracks the data's real
+    * on-disk footprint. Returns the number of files written.
+    *
+    * Writes to `outDir` rather than in place: at scale the swap (write new,
+    * point readers, retire old) belongs to the table format / orchestrator,
+    * and an in-place rewrite that fails mid-way would lose data. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Salted inner equi-join for a SKEWED fact key: a hot key's fact rows
     * would all land on one reducer in a plain shuffle join. Salting spreads
     * each fact key over `salts` reducers (deterministic hash of the fact's

@@ -143,6 +143,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.size <= (2 / 0.05).toInt)
   }
 
+  test("compaction: many small files become few target-sized files, data identical") {
+    import spark.implicits._
+    import graft.operators.Scale
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (0 until 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(s"$root/small")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/small") == 64, "fixture: 64 small files")
+    val n = Scale.compact(spark, s"$root/small", s"$root/compacted",
+      targetFileBytes = 256L * 1024)
+    assert(parquetFiles(s"$root/compacted") == n && n < 10,
+      s"compacted to $n files (want < 10)")
+    val before = spark.read.parquet(s"$root/small")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val after = spark.read.parquet(s"$root/compacted")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before)
+  }
+
+  test("schema evolution: mergeSchema unions day schemas; old rows null-fill new columns") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$root/d=2025-01-01")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score") // day 2 adds a column
+      .write.parquet(s"$root/d=2025-01-02")
+    val all = spark.read.option("mergeSchema", "true")
+      .option("basePath", root).parquet(s"$root/d=*")
+    assert(all.columns.toSet == Set("id", "v", "score", "d"))
+    val rows = all.select("id", "score")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)),
+      "pre-evolution rows read with null in the new column")
+  }
+
   test("salted join equals the plain inner join row-for-row") {
     import graft.operators.Scale
     val orders = Graft.table(spark, sf, "orders")
