@@ -260,4 +260,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(HttpSource.get(url) == """{"ok":true}""")
     } finally server.stop(0)
   }
+
+  test("incremental aggregate: day merges accumulate, replay is skipped, rollup == direct agg") {
+    import spark.implicits._
+    import graft.pipeline.IncrementalAgg
+    val store = java.nio.file.Files.createTempDirectory("inc_agg").toString + "/store"
+    val day1 = Seq(("click", 1.5), ("click", 2.5), ("view", 10.0)).toDF("k", "v")
+    val day2 = Seq(("click", 4.0), ("scroll", 0.5)).toDF("k", "v")
+    assert(IncrementalAgg.mergeDay(day1, "k", "v", "2025-01-01", store))
+    assert(IncrementalAgg.mergeDay(day2, "k", "v", "2025-01-02", store))
+    assert(!IncrementalAgg.mergeDay(day1, "k", "v", "2025-01-01", store),
+      "ledger: replayed day must be skipped")
+    val got = IncrementalAgg.current(spark, "k", store)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // bit-identical to the direct aggregate over all raw rows
+    import org.apache.spark.sql.functions.{count, lit}
+    val direct = day1.unionByName(day2).groupBy($"k")
+      .agg(graft.operators.Relational.sumExact($"v").as("s"), count(lit(1)).as("n"))
+      .select($"k", $"s", $"n", ($"s" / $"n".cast("double")).as("a"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == direct)
+  }
 }
