@@ -7,17 +7,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Exercises scan → broadcast join → keyed agg → window-free ordering. */
+    * Exercises scan → broadcast join → keyed agg → window-free ordering.
+    * Same plan as the oracled q100_flagship, plus a presentation sort. */
   def entry(spark: SparkSession): DataFrame = {
     Graft.tune(spark)
-    val d = "/root/testdata/sf0.001"
-    Graft.table(spark, d, "lineitem")
-      .join(Graft.table(spark, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Graft.table(spark, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(
-        operators.Relational.sumExact(col("l_extendedprice")).as("sum_price"),
-        count(lit(1)).as("n_items"))
+    queries("q100_flagship")(spark, "/root/testdata/sf0.001")
       .orderBy(col("c_mktsegment"))
   }
 

@@ -235,6 +235,18 @@ object ScaleQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, k = 10, nCandidates = 50)),
 
+    // The flagship entry query (SparkEntry.entry), oracled: lineitem x
+    // orders x customer, revenue + item count per market segment. Joins are
+    // unhinted — AQE picks broadcast for the dims at small SF and degrades
+    // to shuffle joins as they grow.
+    "q100_flagship" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(Relational.sumExact(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_items"))),
+
     // Salted skew join: the fact side's hot keys fan out over 8 salted
     // sub-keys, the dim side replicates x8 — identical result to the plain
     // join (the oracle), without one reducer absorbing a hot key's rows.
@@ -650,6 +662,15 @@ object ScaleQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM r)
         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim FROM rr WHERE rnk <= 10""".stripMargin,
+
+    "q100_flagship" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q99_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
