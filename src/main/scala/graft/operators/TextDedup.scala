@@ -241,23 +241,24 @@ object TextDedup {
       .withColumn("is_rare", col("df") <= col("n_docs").cast("double") * maxDfFrac))
 
     // Stage 1: candidates + exact rare-side intersection in one aggregate.
-    // rareG is persisted so the self-join's two sides read ~df-capped rows
-    // from cache instead of re-deriving them; the count aggregate both
-    // filters (>= minShared, killing coincidental single-gram collisions)
-    // and returns the exact rare-side intersection for stage 3.
-    val rareG = CacheScope.persist(
-      grams.join(capped.where(col("is_rare")).select("g"), "g"))
-    // the pair-count aggregate is the widest stage (millions of candidate
-    // rows pre-filter): pack (doc_a, doc_b) into ONE long so the partial
-    // aggregation hashes and ships an 8-byte key. Explicit long casts keep
-    // the shift honest for int id columns (Java shifts are mod-32 on ints),
-    // and the unsigned right shift keeps ids in [2^31, 2^32) positive on
-    // unpack. Assumes non-negative integer ids < 2^32 (4B documents);
-    // wider id spaces would keep the two-column key.
-    val cand = rareG.select(col("g"), col(idCol).cast("long").as("doc_a"))
-      .join(rareG.select(col("g"), col(idCol).cast("long").as("doc_b")), Seq("g"))
-      .where(col("doc_a") < col("doc_b"))
-      .select((shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b"))).as("pair"))
+    // The count aggregate both filters (>= minShared, killing coincidental
+    // single-gram collisions) and returns the exact rare-side intersection
+    // for stage 3. rareG has a single consumer now — no persist (the old
+    // self-join read it from both sides).
+    val rareG = grams.join(capped.where(col("is_rare")).select("g"), "g")
+    // candidate pairs WITHOUT a self-join: group each rare gram's ids and
+    // expand the pairs IN-ROW (native PackedPairs — min<<32|max per pair),
+    // one shuffle of the (gram, id) rows instead of two join sides. The
+    // df cap that bounded the join's buckets bounds the in-row expansion
+    // identically (<= maxDf^2/2 pairs per gram). The packed-long key then
+    // feeds a map-side-combinable count; the unsigned right shift keeps
+    // ids in [2^31, 2^32) positive on unpack (ids must be < 2^32 —
+    // wider id spaces would keep a two-column key).
+    val cand = rareG
+      .groupBy(col("g"))
+      .agg(collect_list(col(idCol).cast("long")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(graft.functions.PackedPairs.packed_pairs(col("ids"))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_rare"))
       .where(col("n_rare") >= minShared)

@@ -151,6 +151,17 @@ class LlmOperatorsSpec extends AnyFunSuite {
       assert((mu, nd) == viaExplode(id), s"doc $id") }
   }
 
+  test("packed_pairs: all unordered pairs once, min in the high word, any input order") {
+    import spark.implicits._
+    import graft.functions.PackedPairs
+    val got = Seq(Tuple1(Seq(3L, 1L, 2L))).toDF("ids")
+      .select(PackedPairs.packed_pairs(col("ids"))).head().getSeq[Long](0).toSet
+    def pk(a: Long, b: Long) = (a << 32) | b
+    assert(got == Set(pk(1L, 3L), pk(1L, 2L), pk(2L, 3L)))
+    assert(Seq(Tuple1(Seq(7L))).toDF("ids")
+      .select(PackedPairs.packed_pairs(col("ids"))).head().getSeq[Long](0).isEmpty)
+  }
+
   test("native expressions propagate null input to null output") {
     import spark.implicits._
     import graft.functions.{CharEntropyStats, TextHashes, TokenNgrams}
