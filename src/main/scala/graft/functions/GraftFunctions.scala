@@ -69,6 +69,10 @@ object GraftFunctions {
         arity("token_top_ngram_count", args, 2)
         TokenTopNgramCount(args(0), intLit(args(1), "token_top_ngram_count", 2))
       }),
+    ("packed_pairs", classOf[PackedPairs],
+      (args: Seq[Expression]) => {
+        arity("packed_pairs", args, 1); PackedPairs(args(0))
+      }),
     ("char_entropy_stats", classOf[CharEntropyStats],
       (args: Seq[Expression]) => {
         arity("char_entropy_stats", args, 1); CharEntropyStats(args(0))

@@ -44,6 +44,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
       == vdf.select(VectorFunctions.dot_d(col("a"), col("b"))).head().getDouble(0))
   }
 
+  test("token/window/pair natives are SQL-reachable too") {
+    val r = spark.sql(
+      """SELECT token_ngram_distinct_count('a b a b', 2) AS a,
+        |  token_top_ngram_count('a b a b a', 2) AS b,
+        |  size(packed_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS c,
+        |  char_entropy_stats('aab').n_distinct AS d""".stripMargin).head()
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)) == ((2L, 2L, 3, 2L)))
+  }
+
   test("non-literal n in ngram_distinct_count is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT ngram_distinct_count('abc', length('xx'))").collect()
