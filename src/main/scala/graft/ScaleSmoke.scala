@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-trend smoke: replicate the documents corpus `factor`x in memory
+  * (id-shifted copies — every doc gains factor-1 exact duplicates, the shape
+  * of real crawl data) and time the dedup pipelines end-to-end. The point is
+  * the GROWTH CURVE, not the absolute number: a pipeline whose cost explodes
+  * superlinearly here would melt at 100 TB regardless of constants.
+  *
+  *   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 10"
+  *
+  * Prints one line per pipeline: rows found and wall seconds at 1x and at
+  * `factor`x. Exact replicas are the adversarial case for near-dup dedup:
+  * every replica pair is a true J=1.0 pair, so the candidate volume scales
+  * with factor^2 per original document — the df-capped / banded candidate
+  * generation must absorb that without a cross product.
+  *
+  * Measured (sf0.1 x10 = 50k docs, local[32], 2026-08-12):
+  * {{{
+  *   ngram_jaccard  1x rows=256     9.3 s   10x rows=250,555  111.3 s
+  *   minhash_lsh    1x rows=256     2.3 s   10x rows=250,600   70.3 s
+  *   exact_dedup    1x rows=4,992   0.4 s   10x rows=4,992      1.4 s
+  * }}}
+  * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
+  * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
+  * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
+  * size, the floor for pair-output dedup, not a wasted-candidate blowup.
+  * The production order at crawl scale follows directly: run exactDedup
+  * FIRST to collapse replica cliques, then near-dup on the survivors. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Graft.session("graft-scale-smoke")
+    val base = Graft.table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val big = (0 until factor)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SMOKE $name%-28s rows=$rows%-9d ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      operators.CacheScope.drain()
+    }
+
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"ngram_jaccard  $label") {
+        operators.TextDedup.ngramJaccardPairs(df, "doc_id", "text",
+          n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2).count()
+      }
+      time(s"minhash_lsh    $label") {
+        operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
+          threshold = 0.5).count()
+      }
+      time(s"exact_dedup    $label") {
+        operators.TextDedup.exactDedup(df, "doc_id", "text").count()
+      }
+    }
+    spark.stop()
+  }
+}
