@@ -65,13 +65,25 @@ object StreamingAgg {
     * (user_id, ts) plus a distinguishing id column each. */
   def clickAttributionJoin(clicks: DataFrame, purchases: DataFrame,
                            withinSec: Long = 1800L,
-                           watermark: String = "1 hour"): DataFrame = {
+                           watermark: String = "1 hour"): DataFrame =
+    clickAttributionJoin(clicks, purchases, withinSec, watermark, "inner")
+
+  /** Stream-stream click attribution with a join type: `"left_outer"` also
+    * emits clicks that never matched a purchase — but only once the
+    * watermark proves no in-window purchase can still arrive (Spark holds
+    * the click in state until `ts + withinSec` passes the watermark, then
+    * emits it null-padded). The unmatched-click stream is the conversion-
+    * funnel denominator an attribution pipeline actually needs; state stays
+    * bounded by the same watermark eviction as the inner join. */
+  def clickAttributionJoin(clicks: DataFrame, purchases: DataFrame,
+                           withinSec: Long, watermark: String,
+                           joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", watermark).alias("c")
     val p = purchases.withWatermark("ts", watermark).alias("p")
     c.join(p, expr(
       s"""c.user_id = p.user_id AND
          |p.ts >= c.ts AND
-         |p.ts <= c.ts + INTERVAL $withinSec SECONDS""".stripMargin))
+         |p.ts <= c.ts + INTERVAL $withinSec SECONDS""".stripMargin), joinType)
   }
 
   /** Stream-static enrichment: join a stream against a (small) dimension

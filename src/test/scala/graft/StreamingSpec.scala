@@ -68,6 +68,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched clicks once the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingAgg.clickAttributionJoin(
+      clicks.toDF().select($"event_id".as("click_id"), $"user_id", $"ts"),
+      purchases.toDF().select($"event_id".as("purchase_id"), $"user_id", $"ts", $"value"),
+      withinSec = 1800L, watermark = "10 minutes", joinType = "left_outer")
+      .select($"click_id",
+        $"purchase_id".as("pid"), $"value")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts("2025-01-01 10:00:00"), 7, "click", 0.0),  // will match
+        Event(2, ts("2025-01-01 10:00:00"), 8, "click", 0.0))  // never matches
+      purchases.addData(
+        Event(10, ts("2025-01-01 10:20:00"), 7, "purchase", 9.99))
+      q.processAllAvailable()
+      // push both watermarks past click 2's ts + withinSec so the engine can
+      // prove no purchase will ever land in its window
+      clicks.addData(Event(3, ts("2025-01-01 12:00:00"), 9, "click", 0.0))
+      purchases.addData(Event(11, ts("2025-01-01 12:00:00"), 6, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, pid, value FROM attr_outer_test")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got.contains((1L, Some(10L))), s"matched click missing: $got")
+      assert(got.contains((2L, None)), s"null-padded unmatched click missing: $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming silver: new bronze docs land as partitioned parquet, no reprocessing") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft_ssilver")
