@@ -11,7 +11,9 @@ object PlanAudit {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q02_filter_predicate", "q13_join_inner_broadcast", "q16_join_multi",
         "q31_minhash_lsh_pairs", "q33_knn_bruteforce", "q35_partitioned_roundtrip",
-        "q43_asof_join", "q44_range_join", "q50_ivf_ann", "q54_chunking")
+        "q43_asof_join", "q44_range_join", "q50_ivf_ann", "q54_chunking",
+        "q75_ngram_jaccard_pairs", "q88_sequence_packing", "q90_quantized_rerank",
+        "q92_cms_counts", "q93_topk_per_group", "q99_salted_join", "q100_flagship")
     val spark = Graft.session("graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
