@@ -182,9 +182,10 @@ object TextDedup {
     * Candidate generation is document-frequency-capped (the classic prefix/
     * rare-token filter): an n-gram appearing in more than `maxDf` documents
     * is too common to identify near-duplicates and is skipped, which bounds
-    * every join bucket at `maxDf` rows (≤ maxDf² candidate pairs per n-gram)
-    * — no stop-gram ever floods a partition, so the self-join scales like the
-    * banded joins above. A pair whose every shared n-gram is more common than
+    * every gram's id group at `maxDf` rows (≤ maxDf²/2 candidate pairs per
+    * n-gram, expanded IN-ROW by the native PackedPairs expression after one
+    * groupBy — no self-join, no stop-gram ever floods a partition). A pair
+    * whose every shared n-gram is more common than
     * the df cap is missed — the standard recall trade-off of df-capped
     * candidate generation; near-duplicate documents share long runs of text
     * and therefore many rare n-grams, so for dedup thresholds (≥ ~0.4)
