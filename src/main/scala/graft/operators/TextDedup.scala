@@ -221,7 +221,8 @@ object TextDedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, maxDfFrac: Double = 0.02,
-                        threshold: Double = 0.5, minShared: Int = 2): DataFrame = {
+                        threshold: Double = 0.5, minShared: Int = 2,
+                        maxInRow: Int = 1024): DataFrame = {
     // ONE parse of the corpus, cached in array form (one row per doc - the
     // cheapest shape to cache); every consumer below re-explodes from this
     // cache instead of re-parsing text. The harness releases all CacheScope
@@ -250,16 +251,31 @@ object TextDedup {
     // candidate pairs WITHOUT a self-join: group each rare gram's ids and
     // expand the pairs IN-ROW (native PackedPairs — min<<32|max per pair),
     // one shuffle of the (gram, id) rows instead of two join sides. The
-    // df cap that bounded the join's buckets bounds the in-row expansion
-    // identically (<= maxDf^2/2 pairs per gram). The packed-long key then
-    // feeds a map-side-combinable count; the unsigned right shift keeps
-    // ids in [2^31, 2^32) positive on unpack (ids must be < 2^32 —
-    // wider id spaces would keep a two-column key).
-    val cand = rareG
+    // packed-long key then feeds a map-side-combinable count; the unsigned
+    // right shift keeps ids in [2^31, 2^32) positive on unpack (ids must
+    // be < 2^32 — wider id spaces would keep a two-column key).
+    //
+    // The FRACTIONAL df cap grows with the corpus, so a boundary bucket's
+    // in-row expansion (ids^2/2 longs in ONE task) would not survive 100x —
+    // buckets beyond `maxInRow` ids therefore fall back to the classic
+    // gram-keyed self-join, whose pair volume spreads across partitions as
+    // rows. By the Zipf bound near the cap, oversized buckets are few, so
+    // the fallback join stays small; both paths emit the identical packed
+    // pair multiset (ids are distinct per gram).
+    // default 1024 => <= 1024^2/2 packed longs ~ 4 MB per expanded row
+    val rareIds = rareG
       .groupBy(col("g"))
       .agg(collect_list(col(idCol).cast("long")).as("ids"))
       .where(size(col("ids")) > 1)
+    val smallPairs = rareIds.where(size(col("ids")) <= maxInRow)
       .select(explode(graft.functions.PackedPairs.packed_pairs(col("ids"))).as("pair"))
+    val bigG = rareIds.where(size(col("ids")) > maxInRow)
+      .select(col("g"), explode(col("ids")).as("id"))
+    val bigPairs = bigG.select(col("g"), col("id").as("doc_a"))
+      .join(bigG.select(col("g"), col("id").as("doc_b")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select((shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b"))).as("pair"))
+    val cand = smallPairs.unionByName(bigPairs)
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_rare"))
       .where(col("n_rare") >= minShared)

@@ -239,6 +239,22 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("ngram jaccard: oversized-bucket join fallback emits the same pairs as in-row expansion") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely unrelated text about spark query planning and shuffles"
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    def run(maxInRow: Int) = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 8, maxDfFrac = 0.7, threshold = 0.3, minShared = 2, maxInRow = maxInRow)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // maxInRow = 1 forces EVERY bucket down the self-join fallback path
+    val viaFallback = run(1)
+    val viaInRow = run(1024)
+    assert(viaFallback == viaInRow && viaInRow.nonEmpty)
+    graft.operators.CacheScope.drain()
+  }
+
   test("ngram jaccard: planted near-dup found with exact score; unrelated docs absent") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again today"
