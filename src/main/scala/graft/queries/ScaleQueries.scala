@@ -692,7 +692,8 @@ object ScaleQueries {
         |fp AS (SELECT doc_id, md5(chunk) AS f FROM ch),
         |dup AS (SELECT f FROM fp GROUP BY f HAVING count(DISTINCT doc_id) > 1)
         |SELECT doc_id, count(*) AS n_chunks,
-        |  sum(CASE WHEN f IN (SELECT f FROM dup) THEN 1 ELSE 0 END) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN f IN (SELECT f FROM dup) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_chunks,
         |  CAST(sum(CASE WHEN f IN (SELECT f FROM dup) THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS dup_frac
         |FROM fp GROUP BY doc_id""".stripMargin,
@@ -741,7 +742,8 @@ object ScaleQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id)
+        |      AS BIGINT) AS cum_tokens
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens - n_tokens < 600""".stripMargin,

@@ -61,6 +61,14 @@ def main(sfdir, outdir):
         ok = True
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # The driver's hash is dtype-sensitive: a DuckDB HUGEINT
+            # (sum(BIGINT), windowed or CASE'd) vs Spark int64 fails the
+            # gate even when every value matches. Surface it here.
+            if av.dtype != bv.dtype:
+                print(f"FAIL dtype {name}.{c}: spark={av.dtype} duck={bv.dtype}"
+                      f" (cast the oracle, e.g. CAST(sum(...) AS BIGINT))")
+                ok = False
+                break
             # Exact equality even for floats, matching the driver's hash gate:
             # engine-side aggregates are decimal-routed so doubles bit-match.
             eq = (pd.isna(av) & pd.isna(bv)) | (av == bv)
