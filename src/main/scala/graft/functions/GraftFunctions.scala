@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.GraftShims
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL registration of graft's native Catalyst expressions, so the same
   * codegen'd operators the DataFrame helpers use are callable from
@@ -82,6 +82,18 @@ object GraftFunctions {
         arity("minhash_sigs", args, 3)
         MinHashSigs(args(0), intLit(args(1), "minhash_sigs", 2),
           intLit(args(2), "minhash_sigs", 3))
+      }),
+    ("term_counts", classOf[TermCountsExpr],
+      (args: Seq[Expression]) => {
+        if (args.length < 2) throw new IllegalArgumentException(
+          s"term_counts expects (text, term...), got ${args.length} arguments")
+        val terms = args.tail.zipWithIndex.map {
+          case (Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType), _) =>
+            v.toString
+          case (other, i) => throw new IllegalArgumentException(
+            s"term_counts: argument ${i + 2} must be a STRING literal, got $other")
+        }
+        TermCountsExpr(args.head, terms)
       }))
 
   private def info(name: String, cls: Class[_]): ExpressionInfo =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Graft.table
-import graft.operators.{Relational, Sketches, Temporal, TextDedup, TextRank}
+import graft.operators.{CacheScope, Relational, Sketches, Temporal, TextDedup, TextRank}
 
 /** Round-5 scale operators: sketch-based cardinality estimation, bloom-filter
   * join pruning, n-gram Jaccard dedup, deterministic stratified/weighted
@@ -116,25 +116,33 @@ object ScaleQueries {
 
     // TF-IDF retrieval: score = sum over query terms of tf(t,doc) * ln(N/df),
     // top-20 docs. Corpus stats arrive as ONE broadcast row (no per-term
-    // shuffle); the per-doc score is a fixed sequential expression, rounded
-    // to 6dp before ordering so both engines rank identically.
+    // shuffle); per-doc term frequencies come from the native single-pass
+    // `term_counts` expression (codegen'd; the interpreted alternative —
+    // one filter(split(...)) HOF per term plus one array_contains(split(...))
+    // per term in the stats agg — re-splits the text 2N times per row and
+    // was q82's 5x regression). Scores rounded to 6dp before ordering so
+    // both engines rank identically.
     "q82_tfidf_topk" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val stats = docs.agg(
+      // cache-scoped: tf feeds both the stats aggregate and the scorer —
+      // persisting the (doc_id, 5 longs) projection reads+scans text ONCE
+      val tf = CacheScope.persist(docs.select(col("doc_id"),
+        graft.functions.TermCounts.term_counts(col("text"), tfidfTerms).as("tf")))
+      val stats = tf.agg(
         count(lit(1)).as("n_docs"),
-        tfidfTerms.zipWithIndex.map { case (t, i) =>
-          sum(when(array_contains(split(col("text"), " "), t), 1).otherwise(0)).as(s"df_$i")
+        tfidfTerms.indices.map { i =>
+          sum(when(col("tf")(i) > 0, 1).otherwise(0)).as(s"df_$i")
         }: _*)
       // greatest(df, 1) guards a query term with zero document frequency:
       // without it Spark yields ln(inf)=inf scores while DuckDB's x/0
       // behavior differs across versions — the clamp keeps the pair
       // engine-agnostic under data changes (df >= 1 leaves scores as-is)
-      val score = tfidfTerms.zipWithIndex.map { case (t, i) =>
-        expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS DOUBLE)") *
+      val score = tfidfTerms.indices.map { i =>
+        col("tf")(i).cast("double") *
           log(col("n_docs").cast("double") /
             greatest(col(s"df_$i"), lit(1)).cast("double"))
       }.reduce(_ + _)
-      docs.crossJoin(broadcast(stats))
+      tf.crossJoin(broadcast(stats))
         .select(col("doc_id"), round(score, 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)

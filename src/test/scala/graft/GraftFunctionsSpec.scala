@@ -53,6 +53,33 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)) == ((2L, 2L, 3, 2L)))
   }
 
+  test("term_counts matches filter(split(...)) per term, incl. unicode/empties") {
+    import spark.implicits._
+    val df = Seq(
+      "spark joins spark streams",
+      "",                       // split('', ' ') = [''] — no non-empty term matches
+      "naïve café naïve",       // multi-byte UTF-8 tokens
+      "spark  joins",           // double space → empty middle token
+      "sparkle joins"           // prefix must NOT match 'spark'
+    ).toDF("text")
+    val terms = Seq("spark", "joins", "naïve", "absent")
+    val native = df.select(
+      graft.functions.TermCounts.term_counts(col("text"), terms).as("tc")).collect()
+    val viaHof = df.select(array(terms.map(t =>
+      size(filter(split(col("text"), " "), x => x === t)).cast("long")): _*).as("tc"))
+      .collect()
+    assert(native.map(_.toString).toSeq == viaHof.map(_.toString).toSeq)
+    // SQL registration path, varargs string literals
+    val r = spark.sql("SELECT term_counts('a b a', 'a', 'b', 'c') AS tc")
+      .head().getSeq[Long](0)
+    assert(r == Seq(2L, 1L, 0L))
+    // non-literal term rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT term_counts('a b', upper('a'))").collect()
+    }
+    assert(e.getMessage.contains("STRING literal"), e.getMessage)
+  }
+
   test("non-literal n in ngram_distinct_count is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT ngram_distinct_count('abc', length('xx'))").collect()
