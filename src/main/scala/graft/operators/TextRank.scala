@@ -63,8 +63,14 @@ object TextRank {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: DataFrame, termCol: String, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol),
-      size(split(col(textCol), " ")).cast("bigint").as("dlen"),
+    // token count WITHOUT materializing the token array: split-on-single-
+    // space semantics make it exactly (#space bytes + 1), so dlen and the
+    // corpus total_toks cost three codegen'd string ops instead of a second
+    // and third split of every document (the former 3x-tokenize was q84's
+    // dominant cost at sf0.1)
+    def nToks = (length(col(textCol)) -
+      length(replace(col(textCol), lit(" "), lit(""))) + 1).cast("bigint")
+    val toks = docs.select(col(idCol), nToks.as("dlen"),
       explode(split(col(textCol), " ")).as("term"))
     val qt = terms.select(col(termCol).as("term")).distinct()
     val tf = toks.join(qt, "term")
@@ -72,7 +78,7 @@ object TextRank {
       .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col(textCol), " ")).cast("bigint")).as("total_toks"))
+      sum(nToks).as("total_toks"))
     // double literals interpolate via Double.toString, which round-trips to
     // the identical double in both engines' parsers
     val score =
