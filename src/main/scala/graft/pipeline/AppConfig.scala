@@ -34,7 +34,8 @@ final case class AppConfig(
     source: SourceCfg,
     storage: StorageCfg,
     spark: SparkCfg,
-    postgres: PgCfg) {
+    postgres: PgCfg,
+    hadoop: Map[String, String] = Map.empty) {
 
   /** Forecast URL for the day's fetch (reference: dags/weather_daily_etl.py:27-30). */
   def forecastUrl: String =
@@ -42,6 +43,18 @@ final case class AppConfig(
       s"&hourly=${source.hourlyVars.mkString(",")}&timezone=${source.timezone}"
 
   private def baseUrlNoSlash = source.baseUrl.stripSuffix("/")
+
+  /** Apply the `hadoop:` section to the session's Hadoop configuration —
+    * the config-file home for object-store wiring the reference ships as
+    * spark-defaults (reference: docker/spark/spark-defaults.conf:1-5, S3A
+    * endpoint/credentials/path-style for MinIO). Keys are plain Hadoop conf
+    * names (`fs.s3a.endpoint`, ...); any Hadoop filesystem the storage URIs
+    * name can be configured this way without touching launcher flags.
+    * Idempotent; called by every pipeline entry point. */
+  def applyHadoop(spark: org.apache.spark.sql.SparkSession): Unit =
+    hadoop.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
 }
 
 object AppConfig {
@@ -74,7 +87,11 @@ object AppConfig {
         password = str(pg, "password"),
         driver = str(pg, "driver"),
         tableStage = str(pg, "table_stage"),
-        tableFinal = str(pg, "table_final")))
+        tableFinal = str(pg, "table_final")),
+      hadoop = root.get("hadoop")
+        .map(_.asInstanceOf[JMap[String, AnyRef]].asScala
+          .map { case (k, v) => k -> v.toString }.toMap)
+        .getOrElse(Map.empty))
   }
 
   def load(path: String): AppConfig =

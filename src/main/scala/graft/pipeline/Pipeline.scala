@@ -13,24 +13,43 @@ import org.apache.spark.sql.SparkSession
   */
 object Pipeline {
 
+  /** The five stages in DAG order. */
+  val stages: Seq[String] = Seq("bronze", "silver", "gold", "stage", "upsert")
+
+  /** One named stage in isolation — parity with the reference's standalone
+    * single-stage DAGs (reference: dags/weather_extract_bronze.py:19-49,
+    * dags/weather_transform_silver.py:21-47), which re-run one layer without
+    * replaying the whole day. Stage idempotency (partition overwrite, keyed
+    * bronze put, stage-table delete-before-read, ON-CONFLICT upsert) is what
+    * makes single-stage re-runs safe. Returns the upsert's staged-row count
+    * (the reference's diagnostic K8); other stages return 0. */
+  def runStage(spark: SparkSession, cfg: AppConfig, stage: String, date: LocalDate,
+               fetch: AppConfig => String = HttpSource.fetchForecast(_)): Long = {
+    // Y3: actually apply the configured shuffle width (the reference declares
+    // shuffle_partitions in yaml but never passes it, config/settings.yaml:23
+    // vs dags/weather_daily_etl.py:83-88) — and the hadoop: object-store conf
+    // (reference ships it as spark-defaults, docker/spark/spark-defaults.conf:1-5).
+    spark.conf.set("spark.sql.shuffle.partitions", cfg.spark.shufflePartitions.toString)
+    cfg.applyHadoop(spark)
+    stage match {
+      case "bronze" => ObjectStore.putBronze(                      // O1 stage 1: bronze extract
+        spark.sparkContext.hadoopConfiguration, cfg.storage.bronze, date, fetch(cfg)); 0L
+      case "silver" => SilverJob.run(spark, cfg, date); 0L         // stage 2: silver
+      case "gold"   => GoldJob.run(spark, cfg, date); 0L           // stage 3: gold
+      case "stage"  => StageLoadJob.run(spark, cfg, date)          // stage 4: JDBC stage
+      case "upsert" => Upsert.runDay(cfg.postgres,                 // stage 5: upsert
+        date.getYear, date.getMonthValue, date.getDayOfMonth)
+      case other => throw new IllegalArgumentException(
+        s"unknown stage '$other' (expected one of: ${stages.mkString(", ")}, day)")
+    }
+  }
+
   /** One day end-to-end. `fetch` is injectable (tests use a fixture payload;
     * production uses [[HttpSource.fetchForecast]]). Returns the staged-row
     * count the upsert consumed (the reference's diagnostic K8). */
   def runDay(spark: SparkSession, cfg: AppConfig, date: LocalDate,
-             fetch: AppConfig => String = HttpSource.fetchForecast(_)): Long = {
-    // Y3: actually apply the configured shuffle width (the reference declares
-    // shuffle_partitions in yaml but never passes it, config/settings.yaml:23
-    // vs dags/weather_daily_etl.py:83-88).
-    spark.conf.set("spark.sql.shuffle.partitions", cfg.spark.shufflePartitions.toString)
-    val body = fetch(cfg)                                          // O1 stage 1: bronze extract
-    ObjectStore.putBronze(
-      spark.sparkContext.hadoopConfiguration, cfg.storage.bronze, date, body)
-    SilverJob.run(spark, cfg, date)                                // stage 2: silver
-    GoldJob.run(spark, cfg, date)                                  // stage 3: gold
-    StageLoadJob.run(spark, cfg, date)                             // stage 4: JDBC stage
-    Upsert.runDay(cfg.postgres,                                    // stage 5: upsert
-      date.getYear, date.getMonthValue, date.getDayOfMonth)
-  }
+             fetch: AppConfig => String = HttpSource.fetchForecast(_)): Long =
+    stages.map(runStage(spark, cfg, _, date, fetch)).last
 
   /** Sequential backfill in date order — max_active_runs=1 parity
     * (reference: dags/weather_daily_etl.py:66; README.md:88-102). */
@@ -42,17 +61,28 @@ object Pipeline {
       .map(d => d -> runDay(spark, cfg, d, fetch))
       .toSeq
 
-  /** CLI: `--config path --date YYYY-MM-DD [--end YYYY-MM-DD]`
-    * (reference: O2 — Jinja `{{ ds }}` → argv). */
+  /** CLI: `[day|bronze|silver|gold|stage|upsert] --config path
+    * --date YYYY-MM-DD [--end YYYY-MM-DD]` (reference: O2 — Jinja `{{ ds }}`
+    * → argv; subcommands mirror the standalone per-stage DAGs). `day` (the
+    * default) runs the full five-stage DAG; a stage name runs that stage
+    * alone for the date (no `--end` range — single-stage re-runs are
+    * surgical by design). */
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val (cmd, rest) =
+      if (args.nonEmpty && !args(0).startsWith("--")) (args(0), args.drop(1))
+      else ("day", args)
+    val opts = rest.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val cfg = AppConfig.load(opts("--config"))
     val start = LocalDate.parse(opts("--date"))
     val end = opts.get("--end").map(LocalDate.parse).getOrElse(start)
     val spark = graft.Graft.session("graft-pipeline")
-    try {
-      val counts = runRange(spark, cfg, start, end)
-      counts.foreach { case (d, n) => println(s"[pipeline] $d staged=$n ok") }
+    try cmd match {
+      case "day" =>
+        runRange(spark, cfg, start, end)
+          .foreach { case (d, n) => println(s"[pipeline] $d staged=$n ok") }
+      case stage =>
+        val n = runStage(spark, cfg, stage, start)
+        println(s"[pipeline] $start $stage staged=$n ok")
     } finally spark.stop()
   }
 }
