@@ -96,12 +96,12 @@ object Similarity {
     * window: the window form sort-shuffles corpus × nlist rows per round,
     * the aggregate ships one partial min per (vector, map task).
     *
-    * A centroid that loses all members drops out of the next round
-    * (`means` only has groups for assigned cids), shrinking the effective
-    * nlist — the deterministic-seed + quantized-mean arithmetic keeps this
-    * reproducible, and the oracle replays the same drop. Carrying the old
-    * centroid forward (classic Lloyd) is a possible upgrade; it has not
-    * happened on the test corpora, where every seed keeps members. */
+    * Classic Lloyd on emptied centroids: a centroid that loses all members
+    * keeps its previous round's position (left-join new means onto the
+    * previous centroids + coalesce), so nlist stays constant every round —
+    * a seed that captures no points still exists as a (possibly empty)
+    * inverted list rather than silently shrinking the quantizer. Both sides
+    * of that join are nlist rows; the oracle replays the same coalesce. */
   def kmeansCentroids(n: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame = {
     var cents = n.where(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col("emb").as("c_emb"))
@@ -119,9 +119,11 @@ object Similarity {
         .withColumn("q", round(col("x") * lit(1e7)).cast("long"))
         .groupBy(col("cid"), col("i"))
         .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double") / lit(1e7)).as("m"))
-      cents = means.groupBy(col("cid"))
+      val newCents = means.groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("cid"), expr("transform(im, e -> e.m)").as("c_emb"))
+        .select(col("cid"), expr("transform(im, e -> e.m)").as("c_new"))
+      cents = cents.join(broadcast(newCents), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c_new"), col("c_emb")).as("c_emb"))
     }
     cents
   }

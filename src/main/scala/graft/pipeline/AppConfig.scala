@@ -88,9 +88,10 @@ object AppConfig {
         driver = str(pg, "driver"),
         tableStage = str(pg, "table_stage"),
         tableFinal = str(pg, "table_final")),
+      // `hadoop:` with no keys parses as null — treat like an absent section.
       hadoop = root.get("hadoop")
-        .map(_.asInstanceOf[JMap[String, AnyRef]].asScala
-          .map { case (k, v) => k -> v.toString }.toMap)
+        .collect { case m: JMap[String @unchecked, AnyRef @unchecked] =>
+          m.asScala.map { case (k, v) => k -> v.toString }.toMap }
         .getOrElse(Map.empty))
   }
 

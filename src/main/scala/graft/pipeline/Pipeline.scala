@@ -39,6 +39,7 @@ object Pipeline {
       case "stage"  => StageLoadJob.run(spark, cfg, date)          // stage 4: JDBC stage
       case "upsert" => Upsert.runDay(cfg.postgres,                 // stage 5: upsert
         date.getYear, date.getMonthValue, date.getDayOfMonth)
+      case "day"    => stages.map(runStage(spark, cfg, _, date, fetch)).last
       case other => throw new IllegalArgumentException(
         s"unknown stage '$other' (expected one of: ${stages.mkString(", ")}, day)")
     }
@@ -49,24 +50,35 @@ object Pipeline {
     * count the upsert consumed (the reference's diagnostic K8). */
   def runDay(spark: SparkSession, cfg: AppConfig, date: LocalDate,
              fetch: AppConfig => String = HttpSource.fetchForecast(_)): Long =
-    stages.map(runStage(spark, cfg, _, date, fetch)).last
+    runStage(spark, cfg, "day", date, fetch)
 
-  /** Sequential backfill in date order — max_active_runs=1 parity
+  /** One stage (or the full `"day"` sequence) over an inclusive date range,
+    * sequentially in date order — the reference's standalone per-layer DAGs
+    * support schedule-driven multi-day catch-up via Airflow `catchup`
+    * (reference: dags/weather_extract_bronze.py:51-58), so a single layer
+    * can be re-run over a window without replaying the other layers.
+    * Date-order sequencing = max_active_runs=1 parity. */
+  def runStageRange(spark: SparkSession, cfg: AppConfig, stage: String,
+                    start: LocalDate, endInclusive: LocalDate,
+                    fetch: AppConfig => String = HttpSource.fetchForecast(_)): Seq[(LocalDate, Long)] =
+    Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(endInclusive))
+      .map(d => d -> runStage(spark, cfg, stage, d, fetch))
+      .toSeq
+
+  /** Sequential full-DAG backfill in date order — max_active_runs=1 parity
     * (reference: dags/weather_daily_etl.py:66; README.md:88-102). */
   def runRange(spark: SparkSession, cfg: AppConfig,
                start: LocalDate, endInclusive: LocalDate,
                fetch: AppConfig => String = HttpSource.fetchForecast(_)): Seq[(LocalDate, Long)] =
-    Iterator.iterate(start)(_.plusDays(1))
-      .takeWhile(!_.isAfter(endInclusive))
-      .map(d => d -> runDay(spark, cfg, d, fetch))
-      .toSeq
+    runStageRange(spark, cfg, "day", start, endInclusive, fetch)
 
   /** CLI: `[day|bronze|silver|gold|stage|upsert] --config path
     * --date YYYY-MM-DD [--end YYYY-MM-DD]` (reference: O2 — Jinja `{{ ds }}`
     * → argv; subcommands mirror the standalone per-stage DAGs). `day` (the
     * default) runs the full five-stage DAG; a stage name runs that stage
-    * alone for the date (no `--end` range — single-stage re-runs are
-    * surgical by design). */
+    * alone. `--end` extends either form to an inclusive multi-day backfill
+    * (per-layer catch-up parity, dags/weather_extract_bronze.py:51-58). */
   def main(args: Array[String]): Unit = {
     val (cmd, rest) =
       if (args.nonEmpty && !args(0).startsWith("--")) (args(0), args.drop(1))
@@ -76,13 +88,8 @@ object Pipeline {
     val start = LocalDate.parse(opts("--date"))
     val end = opts.get("--end").map(LocalDate.parse).getOrElse(start)
     val spark = graft.Graft.session("graft-pipeline")
-    try cmd match {
-      case "day" =>
-        runRange(spark, cfg, start, end)
-          .foreach { case (d, n) => println(s"[pipeline] $d staged=$n ok") }
-      case stage =>
-        val n = runStage(spark, cfg, stage, start)
-        println(s"[pipeline] $start $stage staged=$n ok")
-    } finally spark.stop()
+    try runStageRange(spark, cfg, cmd, start, end)
+      .foreach { case (d, n) => println(s"[pipeline] $d $cmd staged=$n ok") }
+    finally spark.stop()
   }
 }

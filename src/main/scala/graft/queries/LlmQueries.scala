@@ -926,6 +926,8 @@ object LlmQueries {
     // a2/m2/c2) with integer-quantized coordinate means (round(x*1e7) summed
     // as BIGINT — exact, order-free — then one double division), so trained
     // centroids are bit-identical to Spark's regardless of partitioning.
+    // c1/c2 LEFT JOIN + coalesce = classic-Lloyd carry-forward for a
+    // centroid that lost all members (nlist stays constant every round).
     "q50_ivf_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,
@@ -947,7 +949,10 @@ object LlmQueries {
         |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
         |        FROM a1 WHERE crn = 1)
         |  GROUP BY cid, i),
-        |c1 AS (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(nc.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN
+        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1 GROUP BY cid) nc
+        |       ON c0.cid = nc.cid),
         |a2 AS (
         |  SELECT vec_id, emb, cid,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
@@ -963,7 +968,10 @@ object LlmQueries {
         |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
         |        FROM a2 WHERE crn = 1)
         |  GROUP BY cid, i),
-        |c2 AS (SELECT cid, list(m ORDER BY i) AS c_emb FROM m2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(nc.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN
+        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m2 GROUP BY cid) nc
+        |       ON c1.cid = nc.cid),
         |dists AS (
         |  SELECT n.vec_id, n.emb, n.nrm, c.cid,
         |    list_reduce(list_transform(n.emb, x -> x*x), (a,x) -> a+x)

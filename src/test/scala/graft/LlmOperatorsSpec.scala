@@ -399,6 +399,26 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(one.sameElements(many))
   }
 
+  test("kmeans: a centroid that loses all members carries forward (classic Lloyd, nlist constant)") {
+    import spark.implicits._
+    // seeds are vec 0 and vec 1; they are IDENTICAL, so every point
+    // tie-breaks to cid 0 in round 1 and centroid 1 is emptied.
+    val pts = Seq(
+      0L -> Array(0.0, 0.0), 1L -> Array(0.0, 0.0),
+      2L -> Array(1.0, 0.0), 3L -> Array(3.0, 0.0)
+    ).toDF("vec_id", "emb")
+    val r1 = Similarity.kmeansCentroids(pts, "vec_id", nlist = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(r1.keySet == Set(0L, 1L), "emptied centroid must survive the round")
+    assert(r1(0L) == Seq(1.0, 0.0), "cid 0 = mean of all four members")
+    assert(r1(1L) == Seq(0.0, 0.0), "cid 1 carries its previous position")
+    // round 2: vec0/vec1 snap back to the carried centroid at the origin
+    val r2 = Similarity.kmeansCentroids(pts, "vec_id", nlist = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(r2.keySet == Set(0L, 1L))
+    assert(r2(0L) == Seq(2.0, 0.0) && r2(1L) == Seq(0.0, 0.0))
+  }
+
   test("lsh knn neighbors are a subset of brute-force candidates' scores") {
     val emb = Graft.table(spark, sf, "embeddings")
     val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 100)

@@ -180,6 +180,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(silver.count() == 1)
   }
 
+  test("per-stage backfill: 3-day bronze-only range writes 3 keys, touches no other layer") {
+    val root = Files.createTempDirectory("graft_stage_range")
+    val cfg = mkCfg(root)
+    val out = Pipeline.runStageRange(spark, cfg, "bronze",
+      LocalDate.parse("2025-09-15"), LocalDate.parse("2025-09-17"),
+      _ => fixture24h("2025-09-15"))
+    assert(out.map(_._1.toString) == Seq("2025-09-15", "2025-09-16", "2025-09-17"),
+      "sequential date order (max_active_runs=1 parity)")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val bronzeFs = new org.apache.hadoop.fs.Path(cfg.storage.bronze).getFileSystem(hc)
+    (15 to 17).foreach { d =>
+      assert(bronzeFs.exists(new org.apache.hadoop.fs.Path(
+        s"${cfg.storage.bronze}/openmeteo/y=2025/m=09/d=$d/openmeteo_2025-09-$d.json")))
+    }
+    // bronze-only: silver/gold layers and the Derby db must be untouched
+    assert(!bronzeFs.exists(new org.apache.hadoop.fs.Path(s"${cfg.storage.silver}/openmeteo")))
+    assert(!bronzeFs.exists(new org.apache.hadoop.fs.Path(s"${cfg.storage.gold}/openmeteo")))
+    assert(!Files.exists(root.resolve("db")), "upsert layer (Derby) never created")
+  }
+
+  test("runStage: 'day' delegates to the full stage sequence; unknown stage names all valid ones") {
+    val root = Files.createTempDirectory("graft_stage_day")
+    val cfg = mkCfg(root)
+    val staged = Pipeline.runStage(spark, cfg, "day", LocalDate.parse("2025-09-15"),
+      _ => fixture24h("2025-09-15"))
+    assert(staged == 1, "full DAG via runStage(\"day\")")
+    val err = intercept[IllegalArgumentException](
+      Pipeline.runStage(spark, cfg, "nope", LocalDate.parse("2025-09-15")))
+    assert(err.getMessage.contains("bronze, silver, gold, stage, upsert, day"))
+  }
+
+  test("config: empty hadoop section behaves like an absent one; populated one parses") {
+    val base =
+      """source:
+        |  base_url: http://x/v1
+        |  latitude: 1.0
+        |  longitude: 2.0
+        |  timezone: auto
+        |  hourly: "temperature_2m"
+        |storage: {bronze: /b, silver: /s, gold: /g}
+        |spark: {shuffle_partitions: 4}
+        |postgres:
+        |  url: jdbc:postgresql://h/db
+        |  user: u
+        |  password: p
+        |  driver: org.postgresql.Driver
+        |  table_stage: st
+        |  table_final: fi
+        |""".stripMargin
+    assert(AppConfig.fromYaml(base + "hadoop:\n").hadoop.isEmpty,
+      "key-present-null-value section must not NPE")
+    assert(AppConfig.fromYaml(base).hadoop.isEmpty)
+    val cfg = AppConfig.fromYaml(base +
+      "hadoop:\n  fs.s3a.endpoint: http://minio:9000\n  fs.s3a.path.style.access: true\n")
+    assert(cfg.hadoop == Map(
+      "fs.s3a.endpoint" -> "http://minio:9000", "fs.s3a.path.style.access" -> "true"))
+  }
+
   test("config: reference-shaped yaml parses; url template matches reference params") {
     val cfg = AppConfig.fromYaml(
       """source:
