@@ -16,18 +16,27 @@ import org.apache.spark.sql.functions._
   * with factor^2 per original document — the df-capped / banded candidate
   * generation must absorb that without a cross product.
   *
-  * Measured (sf0.1 x10 = 50k docs, local[32], 2026-08-12):
+  * Measured (sf0.1 x10 = 50k docs, local[32], 2026-08-12; dedup numbers
+  * vary run-to-run with machine load — compare shapes, not points):
   * {{{
-  *   ngram_jaccard  1x rows=256     9.3 s   10x rows=250,555  111.3 s
-  *   minhash_lsh    1x rows=256     2.3 s   10x rows=250,600   70.3 s
-  *   exact_dedup    1x rows=4,992   0.4 s   10x rows=4,992      1.4 s
+  *   ngram_jaccard  1x rows=256     9.3-9.7 s   10x rows=250,555  111-180 s
+  *   minhash_lsh    1x rows=256     2.3-4.0 s   10x rows=250,600   70-90 s
+  *   exact_dedup    1x rows=4,992   0.4 s       10x rows=4,992     1.2-1.4 s
+  *   tfidf_topk     1x rows=15      1.1 s       10x rows=15        2.5 s
+  *   bm25_topk      1x rows=15      1.0 s       10x rows=15        2.6 s
   * }}}
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
   * size, the floor for pair-output dedup, not a wasted-candidate blowup.
   * The production order at crawl scale follows directly: run exactDedup
-  * FIRST to collapse replica cliques, then near-dup on the survivors. */
+  * FIRST to collapse replica cliques, then near-dup on the survivors.
+  * Inverted-index retrieval (q83/q84: fixed query vocabulary, growing
+  * corpus) is ~2.5x cost for 10x corpus: the term-keyed equi-joins touch
+  * only postings for query terms, and the per-doc stats pass (dlen, N,
+  * avgdl) is an embarrassingly-parallel scan + 1-row aggregate — the
+  * growth an inverted index is supposed to have (index-scan bound, never
+  * corpus x terms). */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -45,6 +54,14 @@ object ScaleSmoke {
       operators.CacheScope.drain()
     }
 
+    // Retrieval query terms are held CONSTANT across factors (the >= 6-char
+    // tokens of docs 0-2, the q83/q84 vocabulary) so the curve isolates
+    // corpus growth — the realistic shape: a fixed query workload over an
+    // ever-larger index.
+    val terms = base.where(col("doc_id") < 3)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) >= 6)
+
     for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
       time(s"ngram_jaccard  $label") {
         operators.TextDedup.ngramJaccardPairs(df, "doc_id", "text",
@@ -56,6 +73,12 @@ object ScaleSmoke {
       }
       time(s"exact_dedup    $label") {
         operators.TextDedup.exactDedup(df, "doc_id", "text").count()
+      }
+      time(s"tfidf_topk     $label") {
+        operators.TextRank.tfidfTopK(df, "doc_id", "text", terms, "term", k = 15).count()
+      }
+      time(s"bm25_topk      $label") {
+        operators.TextRank.bm25TopK(df, "doc_id", "text", terms, "term", k = 15).count()
       }
     }
     spark.stop()
