@@ -84,4 +84,22 @@ object Scale {
         saltedFact("__salt") === repDim("__salt") && col(factKey) === col(dimKey))
       .drop("__salt")
   }
+
+  /** Per-key frequency cap — "at most `cap` documents per domain/source",
+    * the crawl-balancing primitive of a training-data pipeline. Selection
+    * is deterministic (smallest md5-derived uniform first, id tie-break;
+    * no RNG state, so retries and replays keep the same rows) and
+    * WINDOW-FREE: a cap-bounded TopKAgg partial aggregation ships at most
+    * `cap` ids per (key, map task), where the row_number() formulation
+    * sort-shuffles EVERY row of a hot key through one reducer — the
+    * difference between a 10^9-page crawl domain costing O(cap) state and
+    * costing a single-task sort. Output: (key, id) of the kept rows. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.columnAgg(cap)
+    df.withColumn("__u", Sketches.hash60(col(idCol)) / lit((1L << 60).toDouble))
+      .groupBy(col(keyCol))
+      .agg(topk(col("__u") * lit(-1.0), col(idCol).cast("long")).as("__tk"))
+      .select(col(keyCol), explode(col("__tk")).as("e"))
+      .select(col(keyCol), col("e._2").as(idCol))
+  }
 }

@@ -586,7 +586,15 @@ object LlmQueries {
         .select(col("user_id"),
           unix_timestamp(col("sw.start")).as("session_start_sec"),
           unix_timestamp(col("sw.end")).as("session_end_sec"),
-          col("n_events"), col("sum_value")))
+          col("n_events"), col("sum_value"))),
+
+    // Bigram-LM cross-entropy quality scoring (CCNet-style): the corpus
+    // trains its own smoothed bigram model, every doc is scored by per-token
+    // cross-entropy. Fluency outliers in both tails. See TextLm scaladoc
+    // for the keyed-shuffle plan + integer-microunit determinism.
+    "q101_lm_xent" -> ((s, d) =>
+      graft.operators.TextLm.bigramCrossEntropy(
+        table(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1246,6 +1254,31 @@ object LlmQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM islands
-        |GROUP BY user_id, session_id""".stripMargin
+        |GROUP BY user_id, session_id""".stripMargin,
+
+    // Mirrors TextLm.bigramCrossEntropy: add-one-smoothed bigram model
+    // trained on the corpus, per-bigram-TYPE log-prob quantized to integer
+    // micro-units in the model, exact integer per-doc sum, one division +
+    // 6 dp round at the end. sum(occ)/sum(occ*lp_mu) are BIGINT-cast per
+    // the HUGEINT discipline.
+    "q101_lm_xent" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |db AS (
+        |  SELECT doc_id, w1, w2, count(*) AS occ FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |    FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |model AS (
+        |  SELECT big.w1, big.w2,
+        |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
+        |  FROM big JOIN uni ON big.w1 = uni.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6) / CAST(sum(occ) AS DOUBLE), 6) AS xent
+        |FROM db JOIN model USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -382,7 +382,16 @@ object ScaleQueries {
           graft.functions.CharEntropyStats.char_entropy_stats(col("text")).as("st"))
         .select(col("doc_id"),
           (col("st.mu_sum").cast("double") / lit(1e9)).as("entropy_nats"),
-          col("st.n_distinct").as("n_distinct_chars"))))
+          col("st.n_distinct").as("n_distinct_chars"))),
+
+    // Per-source frequency cap (crawl balancing: at most 25 docs per
+    // source), window-free via the cap-bounded TopKAgg — see
+    // Scale.capPerKey for why this beats row_number() on a hot domain.
+    // Deterministic md5-uniform preference order; oracle IS the
+    // row_number() formulation (bit-identical result, different plan).
+    "q102_source_cap" -> ((s, d) =>
+      graft.operators.Scale.capPerKey(
+        table(s, d, "documents"), "source", "doc_id", cap = 25)))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -790,5 +799,20 @@ object ScaleQueries {
         |  FROM g)
         |SELECT doc_id, CAST(sum(mu) AS DOUBLE) / 1e9 AS entropy_nats,
         |  count(DISTINCT ch) AS n_distinct_chars
-        |FROM mu GROUP BY 1""".stripMargin)
+        |FROM mu GROUP BY 1""".stripMargin,
+
+    // Mirrors Scale.capPerKey (TopKAgg, window-free) with the row_number()
+    // formulation — same md5-uniform order, same id tie-break.
+    "q102_source_cap" -> {
+      val h = duckHash60("doc_id")
+      s"""WITH u AS (
+         |  SELECT source, doc_id,
+         |    CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
+         |  FROM u)
+         |SELECT source, doc_id FROM r WHERE rn <= 25""".stripMargin
+    })
 }

@@ -419,6 +419,40 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(r2(0L) == Seq(2.0, 0.0) && r2(1L) == Seq(0.0, 0.0))
   }
 
+  test("bigram LM cross-entropy: hand-computed tiny corpus") {
+    import spark.implicits._
+    // uni: a=3, b=3; V=2; bigrams: (a,b)=2, (b,a)=2 globally
+    // p(b|a) = p(a|b) = (2+1)/(3+2) = 0.6 -> lp_mu = round(ln(0.6)*1e6) = -510826
+    val tiny = Seq(1L -> "a b a b", 2L -> "b a").toDF("doc_id", "text")
+    val out = graft.operators.TextLm.bigramCrossEntropy(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 0.510826), (2L, 1L, 0.510826)))
+    // a one-token doc has no bigrams and is omitted
+    val single = Seq(1L -> "a b", 2L -> "x").toDF("doc_id", "text")
+    assert(graft.operators.TextLm.bigramCrossEntropy(single, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("capPerKey: bit-identical to the row_number formulation, window-free plan, cap respected") {
+    val d = docs.select(col("doc_id"), col("source"))
+    val capped = graft.operators.Scale.capPerKey(d, "source", "doc_id", cap = 3)
+    assert(!capped.queryExecution.executedPlan.toString.contains("Window"),
+      "capPerKey must be a bounded aggregation, not a rank window")
+    val got = capped.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    val expected = d
+      .withColumn("u", graft.operators.Sketches.hash60(col("doc_id")) /
+        lit((1L << 60).toDouble))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    val perKey = got.groupBy(_._1).map(_._2.size)
+    assert(perKey.nonEmpty && perKey.forall(_ <= 3))
+  }
+
   test("lsh knn neighbors are a subset of brute-force candidates' scores") {
     val emb = Graft.table(spark, sf, "embeddings")
     val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", col("vec_id") < 10, k = 100)
