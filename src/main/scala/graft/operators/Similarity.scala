@@ -149,7 +149,11 @@ object Similarity {
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: org.apache.spark.sql.Column, k: Int,
              nlist: Int = 8, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
-    val n = withNorm(emb, idCol, vecCol)
+    // the normalized corpus feeds every Lloyd round plus the assignment and
+    // probe branches (2 + lloydIters lineage replays of the parquet scan +
+    // norm without pinning) — the standard cache for iterative k-means
+    // training, released by the harness's CacheScope.drain()
+    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
     // trained centroids are consumed by BOTH the assignment and the probe
     // branch; without pinning, each branch replays the full Lloyd lineage.
     // nlist rows — bounded, safe to cache at any corpus size.
