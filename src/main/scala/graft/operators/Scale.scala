@@ -102,4 +102,27 @@ object Scale {
       .select(col(keyCol), explode(col("__tk")).as("e"))
       .select(col(keyCol), col("e._2").as(idCol))
   }
+
+  /** Training-shard export plan: assign every document to one of `nShards`
+    * shards by a deterministic content-independent hash of its id, and
+    * report each shard's document / token / char totals — the sizing pass a
+    * pipeline runs before writing N tfrecord/parquet shards, and the check
+    * that the hash spreads the corpus evenly (no shard hot-spots at write
+    * time). The md5-derived shard id is stable across engines, replays and
+    * repartitions; token counts reuse the space-count identity (no
+    * tokenization pass). One narrow projection + one tiny aggregation
+    * (`nShards` groups) — embarrassingly parallel at any scale. */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+                nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.select((Sketches.hash60(col(idCol)) % nShards).as("shard"),
+        (length(col(textCol)) -
+          length(replace(col(textCol), lit(" "), lit(""))) + 1)
+          .cast("bigint").as("__toks"),
+        length(col(textCol)).cast("bigint").as("__chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+  }
 }

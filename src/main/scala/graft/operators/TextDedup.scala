@@ -358,6 +358,32 @@ object TextDedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-group contamination matrix: for every pair of groups (sources,
+    * splits, crawls…), the number of distinct word-k-shingles they share —
+    * the leakage report run before a train/eval split ships. Differs from
+    * [[decontaminate]] (doc-vs-benchmark membership) in reporting overlap
+    * MASS between corpus partitions.
+    *
+    * Plan: distinct (group, shingle-hash) postings — the dedup to one row
+    * per group per gram happens map-side in the distinct's partial
+    * aggregate — then a self-equi-join keyed on the hash. The inverted list
+    * behind each gram is capped by the number of GROUPS (not docs), so the
+    * join's expansion is ≤ |groups|² per gram regardless of corpus size;
+    * shuffles carry a 16-hex-char key, never the gram text. The oracle
+    * replays the same md5-substring keys, so even hash collisions (≈2⁻⁶⁴)
+    * cannot diverge the two engines. */
+  def crossGroupOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                        k: Int = 5): DataFrame = {
+    val grams = shingles(docs, groupCol, textCol, k)
+      .select(col(groupCol).as("g"), substring(md5(col("sh")), 1, 16).as("gh"))
+      .distinct()
+    val b = grams.select(col("g").as("g_b"), col("gh"))
+    grams.join(b, Seq("gh"))
+      .where(col("g") < col("g_b"))
+      .groupBy(col("g").as("group_a"), col("g_b").as("group_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash over tokens (native codegen
     * expression), split into `nBands` bit-bands; pairs sharing any band are
     * candidates; kept if total Hamming distance <= maxHamming. Bucketed on

@@ -594,7 +594,25 @@ object LlmQueries {
     // for the keyed-shuffle plan + integer-microunit determinism.
     "q101_lm_xent" -> ((s, d) =>
       graft.operators.TextLm.bigramCrossEntropy(
-        table(s, d, "documents"), "doc_id", "text"))
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // Exact phrase search via a positional inverted index: postings filtered
+    // to the phrase's terms BEFORE the one doc-keyed shuffle, adjacency
+    // counted by a codegen'd fold over a per-doc pos→term map. Overlapping
+    // occurrences count individually. See TextSearch.phraseSearch.
+    "q103_phrase_search" -> ((s, d) =>
+      graft.operators.TextSearch.phraseSearch(
+        table(s, d, "documents"), "doc_id", "text",
+        Seq("slow", "hash", "batch"))),
+
+    // Cross-source contamination matrix: distinct 5-gram overlap mass
+    // between every pair of sources — the train/eval leakage report. The
+    // per-gram inverted list is bounded by the number of SOURCES, so the
+    // self-join cannot blow up with corpus size. See
+    // TextDedup.crossGroupOverlap.
+    "q104_source_overlap" -> ((s, d) =>
+      graft.operators.TextDedup.crossGroupOverlap(
+        table(s, d, "documents"), "source", "text", k = 5))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1279,6 +1297,40 @@ object LlmQueries {
         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
         |  round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6) / CAST(sum(occ) AS DOUBLE), 6) AS xent
         |FROM db JOIN model USING (w1, w2)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextSearch.phraseSearch("slow hash batch"): positional
+    // postings (zipped unnest), one CTE per phrase token, adjacency by
+    // pos-arithmetic equi-joins. Inner joins keep only matching docs, and
+    // overlapping matches count once per start position — exactly the
+    // Spark fold's semantics.
+    "q103_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |p AS (SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS pos
+        |      FROM toks),
+        |f0 AS (SELECT doc_id, pos FROM p WHERE term = 'slow'),
+        |f1 AS (SELECT doc_id, pos FROM p WHERE term = 'hash'),
+        |f2 AS (SELECT doc_id, pos FROM p WHERE term = 'batch')
+        |SELECT f0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM f0
+        |JOIN f1 ON f1.doc_id = f0.doc_id AND f1.pos = f0.pos + 1
+        |JOIN f2 ON f2.doc_id = f0.doc_id AND f2.pos = f0.pos + 2
+        |GROUP BY f0.doc_id""".stripMargin,
+
+    // Mirrors TextDedup.crossGroupOverlap: distinct (source, md5-16 of the
+    // 5-gram) postings, hash-keyed self-join, lexicographic pair order.
+    // Joining on the SAME truncated md5 keys as Spark means even a hash
+    // collision cannot diverge the engines.
+    "q104_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text,' ') AS t FROM documents
+        |              WHERE len(string_split(text,' ')) >= 5),
+        |g AS (SELECT DISTINCT source,
+        |        substr(md5(unnest([array_to_string(t[i:i+4], ' ')
+        |                           for i in range(1, len(t)-3)])), 1, 16) AS gh
+        |      FROM toks)
+        |SELECT a.source AS group_a, b.source AS group_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -391,7 +391,13 @@ object ScaleQueries {
     // row_number() formulation (bit-identical result, different plan).
     "q102_source_cap" -> ((s, d) =>
       graft.operators.Scale.capPerKey(
-        table(s, d, "documents"), "source", "doc_id", cap = 25)))
+        table(s, d, "documents"), "source", "doc_id", cap = 25)),
+
+    // Training-shard export sizing: 8 hash-assigned shards with doc/token/
+    // char totals — the pre-write balance check. See Scale.shardPlan.
+    "q105_shard_plan" -> ((s, d) =>
+      graft.operators.Scale.shardPlan(
+        table(s, d, "documents"), "doc_id", "text", nShards = 8)))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -814,5 +820,16 @@ object ScaleQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
          |  FROM u)
          |SELECT source, doc_id FROM r WHERE rn <= 25""".stripMargin
+    },
+
+    // Mirrors Scale.shardPlan: same 60-bit md5 fold mod 8, same space-count
+    // token identity; counts/sums BIGINT on both sides.
+    "q105_shard_plan" -> {
+      val h = duckHash60("doc_id")
+      s"""SELECT $h % 8 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(text)) AS BIGINT) AS n_chars
+         |FROM documents GROUP BY 1""".stripMargin
     })
 }

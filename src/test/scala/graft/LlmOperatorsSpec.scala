@@ -466,4 +466,56 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     assert(bf.nonEmpty)
   }
+
+  test("phraseSearch: overlapping matches, non-adjacency excluded, brute-force parity") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a"),              // "a a" overlaps: 2 matches
+      (2L, "a b a b a"),          // "a b" twice, non-overlapping
+      (3L, "b a x a b"),          // has both terms but never "a b" adjacent... b at 4 after a at 3 -> 1
+      (4L, "c c c c"),            // no phrase terms at all
+      (5L, "a"),                  // prefix only, no room for second term
+      (6L, "x a b")               // single match at the end
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextSearch.phraseSearch(corpus, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force sliding window over the token arrays
+    val expect = Seq(1L -> "a a a", 2L -> "a b a b a", 3L -> "b a x a b",
+        4L -> "c c c c", 5L -> "a", 6L -> "x a b")
+      .map { case (id, t) =>
+        val ws = t.split(" ")
+        id -> ws.indices.count(i => i + 1 < ws.length && ws(i) == "a" && ws(i + 1) == "b")
+      }.filter(_._2 > 0).map { case (k, v) => k -> v.toLong }.toMap
+    assert(got == expect)
+    // the three-term phrase finds the corpus's known planted occurrences
+    val three = graft.operators.TextSearch.phraseSearch(docs, "doc_id", "text",
+      Seq("slow", "hash", "batch")).collect()
+    assert(three.forall(_.getLong(1) >= 1L))
+  }
+
+  test("phraseSearch plan: exactly one exchange, postings filtered before it") {
+    val q = graft.operators.TextSearch.phraseSearch(docs, "doc_id", "text",
+      Seq("slow", "hash", "batch"))
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"want one doc-keyed shuffle, got:\n$plan")
+    // the term IN (...) filter must survive into the physical plan (postings
+    // restricted before the shuffle, not inside the fold)
+    assert(plan.contains("slow"), s"phrase-term filter missing from the plan:\n$plan")
+  }
+
+  test("crossGroupOverlap equals the brute-force shared-shingle count; no self/reversed pairs") {
+    val got = TextDedup.crossGroupOverlap(docs, "source", "text", k = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // brute force on the driver from the same shingle definition
+    val sets = TextDedup.shingles(docs, "source", "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).toSet }
+    val expect = (for {
+      (ga, sa) <- sets; (gb, sb) <- sets if ga < gb
+      n = (sa intersect sb).size if n > 0
+    } yield (ga, gb) -> n.toLong).toMap
+    assert(got == expect)
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
 }

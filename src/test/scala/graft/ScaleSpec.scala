@@ -231,4 +231,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), "both stages must rank via bounded aggregation")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
+
+  test("shardPlan: shards partition the corpus, totals conserved, assignment deterministic") {
+    val docs = Graft.table(spark, sf, "documents")
+    val plan = Scale.shardPlan(docs, "doc_id", "text", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    // conservation: shard totals sum back to whole-corpus totals
+    val total = docs.agg(count(lit(1)),
+        sum(expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")),
+        sum(expr("CAST(length(text) AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert((plan.map(_._2).sum, plan.map(_._3).sum, plan.map(_._4).sum) == total)
+    // replay determinism: a second run assigns identically
+    val again = Scale.shardPlan(docs, "doc_id", "text", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // balance sanity on the test corpus: no shard is empty or >3x the mean
+    val counts = plan.map(_._2)
+    assert(counts.forall(c => c > 0 && c <= 3 * (counts.sum / counts.length).max(1)))
+  }
 }
