@@ -264,4 +264,50 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Label-centroid confusion matrix — the embedding-quality report run
+    * after labeling or clustering: each label's centroid, every vector
+    * re-assigned to its nearest centroid, and the (label, predicted) counts.
+    * A clean embedding space re-assigns ~everything to its own label.
+    *
+    * Exactness at any partitioning: coordinates are quantized to integer
+    * micro-units up front, so the per-dim sums behind each centroid are
+    * exact longs (|x| ≤ ~1 → sums ≤ 1e6·n, no overflow until corpora of
+    * 10^12 vectors per label), the centroid is ONE deterministic double
+    * division + round per dim, and squared distances are pure integer
+    * arithmetic — no float accumulation anywhere, so partial-agg order
+    * cannot move a single count and a SQL oracle replays bit-for-bit.
+    *
+    * Scale: the centroid pass shuffles (label, dim)-keyed partials
+    * (map-side combined); the centroid table is |labels| rows and is
+    * BROADCAST; assignment is a narrow per-row fold over |labels|
+    * candidates; the argmin is a min-struct aggregate (window-free); the
+    * confusion output is |labels|² rows. */
+  def labelCentroidConfusion(emb: DataFrame, idCol: String, vecCol: String,
+                             labelCol: String): DataFrame = {
+    val mu = emb.select(col(idCol), col(labelCol).as("label"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("xmu"))
+    val cen = mu
+      .select(col("label"), posexplode(col("xmu")).as(Seq("i", "x")))
+      .groupBy(col("label").as("lc"), col("i"))
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT)")
+        .as("c"))
+      // dims 0..d-1 are all present by construction, so the map lookup is
+      // total; rebuilding the array via sequence keeps dim order explicit
+      // (collect_list order is not)
+      .groupBy(col("lc"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("c")))).as("cm"))
+      .select(col("lc"),
+        expr("transform(sequence(0, size(map_keys(cm)) - 1), i -> cm[i])").as("cen"))
+    mu.crossJoin(broadcast(cen))
+      .select(col(idCol), col("label"), col("lc"),
+        expr("aggregate(zip_with(xmu, cen, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (s, v) -> s + v)").as("dist"))
+      .groupBy(col(idCol), col("label"))
+      .agg(min(struct(col("dist"), col("lc"))).as("m"))
+      .select(col("label"), col("m.lc").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

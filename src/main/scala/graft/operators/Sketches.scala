@@ -153,4 +153,52 @@ object Sketches {
       .where(col("cnt").cast("double") >= lit(minFrac) * col("total").cast("double"))
       .select(col(termCol), col("cnt"), col("total"))
   }
+
+  /** Mergeable fixed-width-histogram quantile estimate — the approximate
+    * twin of the exact percentile (q96) the same way KMV twins
+    * count(DISTINCT): bounded state, map-side combinable, one value-keyed
+    * shuffle of at most `bins` groups. Pass 1 is a 1-row min/max/count
+    * (broadcast); pass 2 bins every value into `bins` equal-width buckets;
+    * the estimate interpolates linearly inside the bucket containing each
+    * target rank. Everything after the bin counts runs over ≤ `bins` rows,
+    * so the rank scan is O(bins) state regardless of input size (the
+    * cumulative window is ordered over that bounded bin table, never over
+    * data). Error is bounded by one bin width — (max-min)/bins — by
+    * construction. Deterministic: bin ids are single floor expressions,
+    * counts are exact longs, and the interpolation is one fixed double
+    * expression per quantile, so a SQL oracle reproduces it exactly. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int,
+                         ps: Seq[Double]): DataFrame = {
+    require(bins >= 2 && ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      "need bins >= 2 and quantiles strictly inside (0, 1)")
+    val v = col(valueCol)
+    val stats = df.agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+    val binned = df.crossJoin(broadcast(stats))
+      .select(least(lit(bins - 1), greatest(lit(0),
+          floor((v - col("lo")) / ((col("hi") - col("lo")) / lit(bins)))
+            .cast("int"))).as("bin"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy(col("bin"), col("lo"), col("hi"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded-window cumulative: the frame is over the ≤`bins`-row bin
+    // table (a constant), not over the data — safe at any corpus size
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = binned.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // CAST keeps the quantile a DOUBLE literal — a bare 0.5 parses as
+    // DECIMAL(1,1) in both Spark and DuckDB and decimal math would diverge
+    val targets = ps.map(p => s"CAST($p AS DOUBLE)").mkString("array(", ", ", ")")
+    cum.select(col("bin"), col("lo"), col("hi"), col("n"),
+        col("cnt"), col("cum_before"),
+        explode(expr(targets)).as("p"))
+      .where(col("cum_before").cast("double") < col("p") * col("n").cast("double") &&
+        col("p") * col("n").cast("double") <=
+          (col("cum_before") + col("cnt")).cast("double"))
+      .select(col("p"),
+        (col("lo") + (col("hi") - col("lo")) / lit(bins) *
+          (col("bin").cast("double") +
+            (col("p") * col("n").cast("double") - col("cum_before").cast("double")) /
+              col("cnt").cast("double"))).as("est"))
+  }
 }

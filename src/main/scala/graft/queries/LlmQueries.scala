@@ -612,7 +612,15 @@ object LlmQueries {
     // TextDedup.crossGroupOverlap.
     "q104_source_overlap" -> ((s, d) =>
       graft.operators.TextDedup.crossGroupOverlap(
-        table(s, d, "documents"), "source", "text", k = 5))
+        table(s, d, "documents"), "source", "text", k = 5)),
+
+    // Embedding-space quality report: per-label centroids, every vector
+    // re-assigned to its nearest centroid, (label, predicted) confusion
+    // counts. Integer micro-unit arithmetic end-to-end — see
+    // Similarity.labelCentroidConfusion.
+    "q106_label_purity" -> ((s, d) =>
+      graft.operators.Similarity.labelCentroidConfusion(
+        table(s, d, "embeddings"), "vec_id", "embedding", "label"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1331,6 +1339,34 @@ object LlmQueries {
         |SELECT a.source AS group_a, b.source AS group_b,
         |  CAST(count(*) AS BIGINT) AS n_shared_grams
         |FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Similarity.labelCentroidConfusion: micro-unit quantization,
+    // exact integer per-dim sums (BIGINT-cast out of DuckDB's HUGEINT),
+    // one double division + round per centroid dim, integer squared
+    // distances, argmin by (dist, label).
+    "q106_label_purity" ->
+      """WITH mu AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xmu
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, unnest(xmu) AS x,
+        |        unnest(range(0, len(xmu))) AS i FROM mu),
+        |cen AS (
+        |  SELECT label AS lc, i,
+        |    CAST(round(CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT e.vec_id, e.label, cen.lc,
+        |    CAST(sum((e.x - cen.c) * (e.x - cen.c)) AS BIGINT) AS dist
+        |  FROM e JOIN cen ON cen.i = e.i GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT vec_id, label, lc,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, lc ASC) AS rn
+        |  FROM d)
+        |SELECT label, lc AS pred_label, CAST(count(*) AS BIGINT) AS n
+        |FROM a WHERE rn = 1 GROUP BY 1, 2""".stripMargin
   )
 }

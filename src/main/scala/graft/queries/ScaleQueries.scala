@@ -397,7 +397,15 @@ object ScaleQueries {
     // char totals — the pre-write balance check. See Scale.shardPlan.
     "q105_shard_plan" -> ((s, d) =>
       graft.operators.Scale.shardPlan(
-        table(s, d, "documents"), "doc_id", "text", nShards = 8)))
+        table(s, d, "documents"), "doc_id", "text", nShards = 8)),
+
+    // Approximate quantiles from a 256-bin mergeable histogram — the
+    // bounded-state twin of exact q96, one bin-keyed shuffle of ≤256
+    // groups. See Sketches.histogramQuantiles.
+    "q107_histogram_quantile" -> ((s, d) =>
+      graft.operators.Sketches.histogramQuantiles(
+        table(s, d, "events"), "value", bins = 256,
+        ps = Seq(0.5, 0.9, 0.99))))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -831,5 +839,34 @@ object ScaleQueries {
          |  CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
          |  CAST(sum(len(text)) AS BIGINT) AS n_chars
          |FROM documents GROUP BY 1""".stripMargin
-    })
+    },
+
+    // Mirrors Sketches.histogramQuantiles(256, [0.5, 0.9, 0.99]): same
+    // clamped floor binning, BIGINT bin counts, and one double
+    // interpolation expression per quantile in the same operation order.
+    // The quantile literals are CAST to DOUBLE (bare 0.5 is DECIMAL in
+    // both engines and decimal math would diverge).
+    "q107_histogram_quantile" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
+        |             CAST(count(*) AS BIGINT) AS n FROM events),
+        |b AS (
+        |  SELECT least(255, greatest(0,
+        |      CAST(floor((value - s.lo) / ((s.hi - s.lo) / 256)) AS INT))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events, s GROUP BY 1),
+        |c AS (
+        |  SELECT bin, cnt,
+        |    COALESCE(CAST(sum(cnt) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM b),
+        |p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                     CAST(0.99 AS DOUBLE)]) AS p)
+        |SELECT p.p,
+        |  s.lo + (s.hi - s.lo) / 256 *
+        |    (CAST(c.bin AS DOUBLE) +
+        |     (p.p * CAST(s.n AS DOUBLE) - CAST(c.cb AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
+        |FROM p, s, c
+        |WHERE CAST(c.cb AS DOUBLE) < p.p * CAST(s.n AS DOUBLE)
+        |  AND p.p * CAST(s.n AS DOUBLE) <= CAST(c.cb + c.cnt AS DOUBLE)""".stripMargin
+  )
 }

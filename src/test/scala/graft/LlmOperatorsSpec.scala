@@ -504,6 +504,29 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(plan.contains("slow"), s"phrase-term filter missing from the plan:\n$plan")
   }
 
+  test("labelCentroidConfusion: separable clusters give a diagonal matrix; counts conserved; partition-invariant") {
+    import spark.implicits._
+    // two tight clusters far apart: every vector must re-assign to its own label
+    val emb = (0 until 20).map { i =>
+      val l = i % 2
+      val base = if (l == 0) 10.0f else -10.0f
+      (i.toLong, Array.fill(8)(base + (i / 2) * 0.001f), l)
+    }.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .labelCentroidConfusion(emb, "vec_id", "embedding", "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == Map((0, 0) -> 10L, (1, 1) -> 10L))
+    // real corpus: counts conserved and invariant under repartitioning
+    val real = Graft.table(spark, sf, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.Similarity
+      .labelCentroidConfusion(df, "vec_id", "embedding", "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val a = run(real)
+    val b = run(real.repartition(7))
+    assert(a == b, "confusion counts moved under a different partitioning")
+    assert(a.values.sum == real.count())
+  }
+
   test("crossGroupOverlap equals the brute-force shared-shingle count; no self/reversed pairs") {
     val got = TextDedup.crossGroupOverlap(docs, "source", "text", k = 5)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap

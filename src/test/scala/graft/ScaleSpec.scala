@@ -232,6 +232,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("histogramQuantiles: within one bin width of exact; exact when bins are fine enough") {
+    val events = Graft.table(spark, sf, "events")
+    val est = graft.operators.Sketches
+      .histogramQuantiles(events, "value", bins = 256, ps = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(est.keySet == Set(0.5, 0.9, 0.99))
+    val exact = events.stat.approxQuantile("value", Array(0.5, 0.9, 0.99), 0.0)
+    val Array(lo, hi) = events.agg(min(col("value")), max(col("value")))
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1))).head
+    val width = (hi - lo) / 256
+    // the target rank's bin bounds the estimate; the exact rank element can
+    // sit one element over a bin edge, so the sound bound is two widths
+    Seq(0.5, 0.9, 0.99).zip(exact).foreach { case (p, ex) =>
+      assert(math.abs(est(p) - ex) <= 2 * width + 1e-9,
+        s"p=$p est=${est(p)} exact=$ex width=$width")
+    }
+    // partition-invariance: the sketch is mergeable, counts are exact
+    val again = graft.operators.Sketches
+      .histogramQuantiles(events.repartition(9), "value", bins = 256,
+        ps = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(est == again)
+  }
+
   test("shardPlan: shards partition the corpus, totals conserved, assignment deterministic") {
     val docs = Graft.table(spark, sf, "documents")
     val plan = Scale.shardPlan(docs, "doc_id", "text", nShards = 8)
