@@ -13,7 +13,9 @@ object PlanAudit {
         "q31_minhash_lsh_pairs", "q33_knn_bruteforce", "q35_partitioned_roundtrip",
         "q43_asof_join", "q44_range_join", "q50_ivf_ann", "q54_chunking",
         "q75_ngram_jaccard_pairs", "q88_sequence_packing", "q90_quantized_rerank",
-        "q92_cms_counts", "q93_topk_per_group", "q99_salted_join", "q100_flagship")
+        "q92_cms_counts", "q93_topk_per_group", "q99_salted_join", "q100_flagship",
+        "q103_phrase_search", "q104_source_overlap", "q106_label_purity",
+        "q107_histogram_quantile")
     val spark = Graft.session("graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

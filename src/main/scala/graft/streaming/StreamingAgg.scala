@@ -156,6 +156,32 @@ object StreamingAgg {
       }
   }
 
+  /** Windowed trending terms: per event-time window, the k most frequent
+    * tokens of a text stream — the live "what is the crawl ingesting right
+    * now" monitor. Two chained stateful aggregations in APPEND mode (legal
+    * since Spark 3.4's multi-stateful-operator support): the first counts
+    * (window, term) with watermark-bounded state and emits each pair
+    * exactly once, when the watermark passes the window's end; the second
+    * folds those finalized counts into a k-bounded [[TopKStrAgg]] buffer
+    * per window — O(k) state, no sort-shuffle of the full vocabulary,
+    * ranked (count DESC, term ASC) deterministically. Input needs
+    * `ts: timestamp`, `text: string`. */
+  def trendingTerms(docs: DataFrame, k: Int = 5,
+                    windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame = {
+    val topk = graft.functions.TopKStrAgg.columnAgg(k)
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("w"))
+      .agg(topk(col("cnt").cast("double"), col("term")).as("tk"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("tk")).as(Seq("rank", "e")))
+      .select(col("window_start"), (col("rank") + 1).cast("bigint").as("rank"),
+        col("e._2").as("term"), col("e._1").cast("long").as("cnt"))
+  }
+
   /** Standard sink wiring for the hourly aggregate (update mode — windows
     * re-emit as they refine, final values once the watermark passes). */
   def startToMemory(agg: DataFrame, queryName: String) =

@@ -42,6 +42,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending terms: per-window top-k finalizes once the watermark passes; ranks deterministic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    // window 10:00: a x3, b x2, c x1 → top-2 = a, b
+    // window 11:00: c x2, b x1      → top-2 = c, b
+    val docs = Seq(
+      (ts("2025-01-01 10:05:00"), "a a b"),
+      (ts("2025-01-01 10:45:00"), "a b c"),
+      (ts("2025-01-01 11:05:00"), "c c b"))
+    val q = StreamingAgg.trendingTerms(
+        input.toDF().toDF("ts", "text"), k = 2)
+      .writeStream.format("memory").queryName("trending_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      // append mode: nothing may emit until the watermark proves windows closed
+      val early = spark.sql("SELECT * FROM trending_test").count()
+      // push the watermark (2 h) past both windows' ends
+      input.addData((ts("2025-01-01 14:30:00"), "z"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, rank, term, cnt FROM trending_test")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val expected = Set(
+        (ts("2025-01-01 10:00:00"), 1L, "a", 3L),
+        (ts("2025-01-01 10:00:00"), 2L, "b", 2L),
+        // 11:00 window: c=2 wins, b=1 — tie-free; term ASC would break ties
+        (ts("2025-01-01 11:00:00"), 1L, "c", 2L),
+        (ts("2025-01-01 11:00:00"), 2L, "b", 1L))
+      assert(got == expected, s"early=$early got=$got")
+      assert(early == 0L, "append mode emitted before the watermark closed the window")
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to prior clicks within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
