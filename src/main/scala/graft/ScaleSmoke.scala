@@ -80,6 +80,10 @@ object ScaleSmoke {
       time(s"bm25_topk      $label") {
         operators.TextRank.bm25TopK(df, "doc_id", "text", terms, "term", k = 15).count()
       }
+      time(s"phrase_search  $label") {
+        operators.TextSearch.phraseSearch(df, "doc_id", "text",
+          Seq("slow", "hash", "batch")).count()
+      }
     }
     spark.stop()
   }

@@ -113,4 +113,38 @@ object Temporal {
       .select(col(key), col("a_id"), col("b_id"),
         (col("b_sec") - col("a_sec")).as("gap_sec"))
   }
+
+  /** Conversion-funnel step counts with the greedy-earliest chain
+    * semantics: a user reaches step i when an event of type `steps(i)`
+    * occurs STRICTLY after their step-(i-1) time and within
+    * `stepWithinSec` of it; that earliest qualifying event becomes the
+    * user's step-i time. Step 0 is the user's earliest `steps(0)` event.
+    * Output: (step_idx, step, n_users) — the funnel report.
+    *
+    * Scale: each stage is a type-filtered scan (predicate pushed to the
+    * source) joined user-keyed against the previous stage's frontier —
+    * which only ever SHRINKS, so AQE broadcasts it as soon as it fits —
+    * then a user-keyed min aggregate. No windows, no per-user sorted
+    * scans; state per stage is one (user, ts) row. The final report is
+    * |steps| single-row aggregates unioned. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  stepWithinSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val frontiers = steps.tail.scanLeft(
+      events.where(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) {
+      case (prev, st) =>
+        events.where(col(typeCol) === st)
+          .join(prev.select(col(userCol).as("__u"), col("t").as("__tp")),
+            col(userCol) === col("__u"))
+          .where(col(tsCol) > col("__tp") &&
+            col(tsCol) <= col("__tp") + expr(s"INTERVAL $stepWithinSec SECONDS"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    steps.zip(frontiers).zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(st).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -364,25 +364,31 @@ object TextDedup {
     * [[decontaminate]] (doc-vs-benchmark membership) in reporting overlap
     * MASS between corpus partitions.
     *
-    * Plan: distinct (group, shingle-hash) postings — the dedup to one row
-    * per group per gram happens map-side in the distinct's partial
-    * aggregate — then a self-equi-join keyed on the hash. The inverted list
-    * behind each gram is capped by the number of GROUPS (not docs), so the
-    * join's expansion is ≤ |groups|² per gram regardless of corpus size;
-    * shuffles carry a 16-hex-char key, never the gram text. The oracle
-    * replays the same md5-substring keys, so even hash collisions (≈2⁻⁶⁴)
-    * cannot diverge the two engines. */
+    * Plan: ONE corpus pass and ONE gram-keyed shuffle — no self-join. Each
+    * gram's postings fold into a `collect_set` of the groups containing it
+    * (map-side combined, capped at |groups| elements — the set dedups, so a
+    * group contributing a gram a million times ships it once per map task);
+    * the pair expansion then happens IN-ROW over that ≤|groups| set, the
+    * same bounded-combinations trick as ngramJaccardPairs' candidate stage.
+    * A self-join formulation recomputes the whole shingle pipeline for
+    * both sides and shuffles twice — it measured 4.3 s at sf0.1 in the
+    * warmed suite where the rest of the gram pipeline family (q29/q85)
+    * runs well under 1 s; this one-pass form removes the recompute. Shuffles carry a 16-hex md5 key, never gram text,
+    * and the oracle replays the same truncated-md5 keys, so even hash
+    * collisions (≈2⁻⁶⁴) cannot diverge the two engines. */
   def crossGroupOverlap(docs: DataFrame, groupCol: String, textCol: String,
-                        k: Int = 5): DataFrame = {
-    val grams = shingles(docs, groupCol, textCol, k)
+                        k: Int = 5): DataFrame =
+    shingles(docs, groupCol, textCol, k)
       .select(col(groupCol).as("g"), substring(md5(col("sh")), 1, 16).as("gh"))
-      .distinct()
-    val b = grams.select(col("g").as("g_b"), col("gh"))
-    grams.join(b, Seq("gh"))
-      .where(col("g") < col("g_b"))
-      .groupBy(col("g").as("group_a"), col("g_b").as("group_b"))
+      .groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+      .where(size(col("gs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(gs, (x, i) -> " +
+          "transform(slice(gs, i + 2, size(gs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("group_a"), col("p.b").as("group_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
-  }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash over tokens (native codegen
     * expression), split into `nBands` bit-bands; pairs sharing any band are

@@ -620,7 +620,15 @@ object LlmQueries {
     // Similarity.labelCentroidConfusion.
     "q106_label_purity" -> ((s, d) =>
       graft.operators.Similarity.labelCentroidConfusion(
-        table(s, d, "embeddings"), "vec_id", "embedding", "label"))
+        table(s, d, "embeddings"), "vec_id", "embedding", "label")),
+
+    // Conversion funnel (signup → view → click → purchase, 72 h per step):
+    // greedy-earliest chain, user-keyed joins against a shrinking frontier.
+    // See Temporal.funnelSteps.
+    "q108_funnel_steps" -> ((s, d) =>
+      graft.operators.Temporal.funnelSteps(
+        table(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), stepWithinSec = 259200L))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1367,6 +1375,30 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, lc ASC) AS rn
         |  FROM d)
         |SELECT label, lc AS pred_label, CAST(count(*) AS BIGINT) AS n
-        |FROM a WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+        |FROM a WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Temporal.funnelSteps: per-step earliest-qualifying min(ts)
+    // chained through user-keyed joins, same strict > / within-interval
+    // bounds. Counts BIGINT-cast.
+    "q108_funnel_steps" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON s0.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s0.t
+        |         AND e.ts <= s0.t + INTERVAL 259200 SECONDS GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 259200 SECONDS GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 259200 SECONDS GROUP BY 1)
+        |SELECT 0 AS step_idx, 'signup' AS step,
+        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'view', CAST((SELECT count(*) FROM s1) AS BIGINT)
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
   )
 }

@@ -116,6 +116,35 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("__match")))
   }
 
+  test("funnelSteps: greedy-earliest chain, strict after, per-step timeout, report shape") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: clean A→B→C inside the 1h windows
+      (1L, ts("2025-01-01 10:00:00"), "A"), (1L, ts("2025-01-01 10:30:00"), "B"),
+      (1L, ts("2025-01-01 11:00:00"), "C"),
+      // user 2: B BEFORE A (strictly-after excludes it), later B ok, C too late after B
+      (2L, ts("2025-01-01 09:00:00"), "B"), (2L, ts("2025-01-01 10:00:00"), "A"),
+      (2L, ts("2025-01-01 10:20:00"), "B"), (2L, ts("2025-01-01 12:00:00"), "C"),
+      // user 3: greedy trap — earliest B at 10:10 has no C within 1h, the
+      // 10:50 B would have caught the 11:30 C; greedy semantics still count
+      // user 3 at step B but NOT at step C (documented, deterministic)
+      (3L, ts("2025-01-01 10:00:00"), "A"), (3L, ts("2025-01-01 10:10:00"), "B"),
+      (3L, ts("2025-01-01 10:50:00"), "B"), (3L, ts("2025-01-01 11:30:00"), "C"),
+      // user 4: never signs up (no A) — not in the funnel at all
+      (4L, ts("2025-01-01 10:00:00"), "B"), (4L, ts("2025-01-01 10:30:00"), "C"),
+      // user 5: B exactly at A (not strictly after) then B at the +1h bound
+      // (inclusive) — reaches B via the bound event
+      (5L, ts("2025-01-01 10:00:00"), "A"), (5L, ts("2025-01-01 10:00:00"), "B"),
+      (5L, ts("2025-01-01 11:00:00"), "B")
+    ).toDF("user_id", "t", "typ")
+    val got = Temporal.funnelSteps(ev, "user_id", "t", "typ",
+        Seq("A", "B", "C"), stepWithinSec = 3600L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // A: users 1,2,3,5; B: 1 (10:30), 2 (10:20), 3 (10:10 greedy), 5 (11:00 bound)
+    // C: only user 1 (u2's C is 1h40m after B; u3 greedy-missed; u5 has no C)
+    assert(got.toSeq == Seq((0, "A", 4L), (1, "B", 4L), (2, "C", 1L)))
+  }
+
   test("approx_count_distinct sketch stays within 5% of exact") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
