@@ -310,4 +310,40 @@ object Similarity {
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** kNN majority-vote classification: each query vector (rows matching
+    * `queryPred`) takes the modal label of its `k` nearest candidates (rows
+    * matching `candPred`) by exact cosine; vote ties go to the smaller
+    * label. Output: query_id, pred_label, votes.
+    *
+    * Scale: same contract as [[bruteForceKnn]] — the query side is broadcast
+    * (|Q| bounded), candidates stream through one scan, the neighbor window
+    * is per-query (bounded partitions), and the vote argmax is a max-struct
+    * aggregate, not a second window. For unbounded query sets route the
+    * candidate generation through [[ivfKnn]]/[[lshKnn]] first. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                  queryPred: org.apache.spark.sql.Column,
+                  candPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol).as("label"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm", sqrt(dot_d(col("emb"), col("emb"))))
+    val q = base.where(queryPred)
+      .select(col(idCol).as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = base.where(candPred)
+      .select(col(idCol).as("neighbor_id"), col("label"),
+        col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      // argmax(votes) with smaller-label tie-break, as one max-struct agg:
+      // max on (votes, -label) == most votes, then lowest label
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
+      .select(col("query_id"), (-col("m.nl")).as("pred_label"), col("m.votes").as("votes"))
+  }
 }

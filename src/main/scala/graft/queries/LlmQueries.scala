@@ -628,7 +628,25 @@ object LlmQueries {
     "q108_funnel_steps" -> ((s, d) =>
       graft.operators.Temporal.funnelSteps(
         table(s, d, "events"), "user_id", "ts", "event_type",
-        Seq("signup", "view", "click", "purchase"), stepWithinSec = 259200L))
+        Seq("signup", "view", "click", "purchase"), stepWithinSec = 259200L)),
+
+    // kNN majority-vote labeling: the first 50 vectors (an "unlabeled"
+    // batch) classified by the modal label of their 10 nearest labeled
+    // neighbors — the auto-labeling / label-propagation step of a data
+    // curation loop. Broadcast-query x one corpus scan; vote argmax is a
+    // max-struct aggregate. See Similarity.knnClassify.
+    "q110_knn_label_vote" -> ((s, d) =>
+      Similarity.knnClassify(
+        table(s, d, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 50, col("vec_id") >= 50, k = 10)),
+
+    // Per-source robust length outliers (median/MAD, cutoff 3): the
+    // corpus-QA screen that catches truncated and concatenated docs a
+    // mean/stddev z-score would miss under a skewed length distribution.
+    // See Robust.madOutliers.
+    "q111_mad_outliers" -> ((s, d) =>
+      graft.operators.Robust.madOutliers(
+        table(s, d, "documents"), "source", "doc_id", "n_chars", cutoff = 3.0))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1399,6 +1417,42 @@ object LlmQueries {
         |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
         |UNION ALL SELECT 1, 'view', CAST((SELECT count(*) FROM s1) AS BIGINT)
         |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
-        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    // Mirrors Similarity.knnClassify: same sequential-fold cosine as q33,
+    // rank by (cos DESC, neighbor ASC), votes BIGINT, argmax by
+    // (votes DESC, label ASC).
+    "q110_knn_label_vote" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q, n c
+        |      WHERE q.vec_id < 50 AND c.vec_id >= 50 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, label,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM p),
+        |v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |a AS (SELECT query_id, label, votes,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |      FROM v)
+        |SELECT query_id, label AS pred_label, votes FROM a WHERE rn = 1""".stripMargin,
+
+    // Mirrors Robust.madOutliers: exact interpolated medians (identical on
+    // integer input in both engines), every intermediate an exactly-
+    // representable double (halves of integers), same strict > cutoff.
+    "q111_mad_outliers" ->
+      """WITH med AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY 1),
+        |dev AS (SELECT d.source, doc_id, n_chars, med,
+        |          abs(CAST(n_chars AS DOUBLE) - med) AS adev
+        |        FROM documents d JOIN med USING (source)),
+        |mad AS (SELECT source, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.source, doc_id, n_chars, med, mad.mad AS mad
+        |FROM dev JOIN mad USING (source)
+        |WHERE adev > CAST(3 AS DOUBLE) * mad.mad""".stripMargin
   )
 }

@@ -173,6 +173,29 @@ object ScaleQueries {
       TextRank.bm25TopK(docs, "doc_id", "text", terms, "term", k = 15)
     }),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the q84 BM25 ranking
+    // (sparse) with the embedding-cosine ranking against doc 0's vector
+    // (dense) — top-50 each, fused to a top-15. The fuse itself is a tiny
+    // keyed agg over the already-bounded lists (rank reciprocals quantized
+    // to integer micro-units before the order-free sum); the rank windows
+    // run over LIMIT-bounded 50-row frames, never the corpus. See
+    // RankFusion.rrf.
+    "q109_hybrid_rrf" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = docs.where(col("doc_id") < 3)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) >= 6)
+      val sparse = TextRank.bm25TopK(docs, "doc_id", "text", terms, "term", k = 50)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val dense = graft.operators.Similarity.bruteForceKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") === 0, k = 50)
+      graft.operators.RankFusion.rrf(
+        Seq((sparse, "doc_id", "r"), (dense, "neighbor_id", "rnk")),
+        outId = "doc_id", kRrf = 60, topK = 15)
+    }),
+
     // Train/eval decontamination: the first 10 documents act as the
     // benchmark; every corpus doc sharing a distinct 13-token shingle with
     // one of them is flagged (self-matches excluded — the benchmark docs
@@ -591,6 +614,67 @@ object ScaleQueries {
         |sc AS (SELECT doc_id, sum(mu) AS mu FROM mu GROUP BY 1)
         |SELECT doc_id, CAST(mu AS DOUBLE) / 1e6 AS score FROM sc
         |ORDER BY mu DESC, doc_id
+        |LIMIT 15""".stripMargin,
+
+    // Mirrors RankFusion.rrf over the q84 BM25 chain (top-50) and the q33
+    // cosine chain against vec 0 (top-50): reciprocals quantized to BIGINT
+    // micro-units per list, summed (BIGINT-cast out of HUGEINT), ties on id.
+    "q109_hybrid_rrf" ->
+      """WITH qt AS (
+        |  SELECT DISTINCT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id < 3)
+        |  WHERE length(term) >= 6),
+        |toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dlen,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, min(dlen) AS dlen
+        |  FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS total_toks
+        |  FROM documents),
+        |bmu AS (
+        |  SELECT doc_id, CAST(round((
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE)) *
+        |    (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+        |      CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE) /
+        |      (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    ) * 1e6) AS BIGINT) AS mu
+        |  FROM tf JOIN dfs USING (term), st),
+        |bsc AS (SELECT doc_id, CAST(sum(mu) AS BIGINT) AS mu FROM bmu GROUP BY 1),
+        |sp AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY mu DESC, doc_id ASC) AS r
+        |       FROM bsc ORDER BY mu DESC, doc_id ASC LIMIT 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |p AS (SELECT c.vec_id AS doc_id,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q, n c
+        |      WHERE q.vec_id = 0 AND c.vec_id <> 0),
+        |dr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+        |       FROM p),
+        |de AS (SELECT doc_id, r FROM dr WHERE r <= 50),
+        |u AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(1000000 AS DOUBLE) / CAST(60 + r AS DOUBLE)) AS BIGINT) AS mu
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(round(CAST(1000000 AS DOUBLE) / CAST(60 + r AS DOUBLE)) AS BIGINT)
+        |  FROM de),
+        |f AS (SELECT doc_id, CAST(sum(mu) AS BIGINT) AS mu FROM u GROUP BY 1)
+        |SELECT doc_id, CAST(mu AS DOUBLE) / 1e6 AS rrf_score FROM f
+        |ORDER BY mu DESC, doc_id ASC
         |LIMIT 15""".stripMargin,
 
     "q85_decontamination" ->

@@ -541,4 +541,56 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.keys.forall { case (a, b) => a < b })
   }
+
+  test("knnClassify: clear majority wins; vote ties go to the smaller label; k respected") {
+    import spark.implicits._
+    // queries: id 0 at (1,0), id 1 at (0,1). candidates: two label-2 and two
+    // label-5 vectors all near (1,0) — a 2-2 tie for query 0 at k=4 — and
+    // three label-3 vectors near (0,1) — a clear majority for query 1.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 9), (1L, Array(0f, 1f), 9),
+      (100L, Array(1f, 0.01f), 2), (101L, Array(1f, -0.01f), 2),
+      (102L, Array(0.99f, 0.02f), 5), (103L, Array(0.99f, -0.02f), 5),
+      (104L, Array(0.1f, 1f), 3), (105L, Array(-0.1f, 1f), 3),
+      (106L, Array(0f, 0.9f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 2, col("vec_id") >= 100, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(0L) == ((2, 2L)), "tie 2-2 must resolve to the smaller label")
+    assert(got(1L) == ((3, 3L)), "clear majority")
+    // real corpus invariants: one row per query, votes in [1, k]
+    val real = Similarity.knnClassify(Graft.table(spark, sf, "embeddings"),
+      "vec_id", "embedding", "label", col("vec_id") < 20, col("vec_id") >= 20, k = 5)
+      .collect()
+    assert(real.length == 20)
+    assert(real.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
+  }
+
+  test("rrf: hand-computed fusion of two lists; micro-unit exactness; id tie-break") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "r")
+    val b = Seq((3L, 1), (1L, 2)).toDF("id", "r")
+    val got = graft.operators.RankFusion.rrf(
+        Seq((a, "id", "r"), (b, "id", "r")), outId = "id", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // round(1e6/61)=16393, /62=16129, /63=15873
+    val expect = Seq(
+      (1L, (16393 + 16129) / 1e6),  // 0.032522
+      (3L, (15873 + 16393) / 1e6),  // 0.032266
+      (2L, 16129 / 1e6))
+    assert(got.toSeq == expect)
+  }
+
+  test("madOutliers: hand-computed medians/MAD; strict cutoff; clean group flags nothing") {
+    import spark.implicits._
+    val df = ((1 to 9).map(v => ("a", v.toLong * 10, v.toLong)) :+ (("a", 990L, 100L)))
+      .++((1 to 4).map(v => ("b", v.toLong, v.toLong)))
+      .toDF("grp", "id", "v")
+    // group a: median 5.5, adevs [4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5],
+    // MAD 2.5 -> cutoff 7.5 flags only the 100. group b: MAD 1.0, none.
+    val got = graft.operators.Robust.madOutliers(df, "grp", "id", "v", cutoff = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 990L, 100L, 5.5, 2.5)))
+  }
 }
