@@ -125,4 +125,31 @@ object Scale {
         sum(col("__toks")).as("n_tokens"),
         sum(col("__chars")).as("n_chars"))
   }
+
+  /** Deterministic train/val/test split assignment + per-split sizing — the
+    * holdout-carving step of a training-data export. Each row's md5-derived
+    * uniform picks its split from explicit cumulative UPPER BOUNDS (e.g.
+    * train < 0.9 ≤ val < 0.95 ≤ rest), so membership is a pure function of
+    * the id: stable across engines, replays, repartitions, and corpus
+    * growth (a doc never hops splits when other docs arrive — the property
+    * a random split lacks). Bounds are caller-supplied literals, not
+    * accumulated fractions, so the oracle compares against the identical
+    * doubles. One narrow projection + a |splits|-group aggregate. */
+  def splitPlan(df: DataFrame, idCol: String, textCol: String,
+                bounds: Seq[(String, Double)], lastSplit: String): DataFrame = {
+    require(bounds.map(_._2) == bounds.map(_._2).sorted, "bounds must ascend")
+    val u = Sketches.hash60(col(idCol)) / lit((1L << 60).toDouble)
+    val assigned = bounds.foldRight(lit(lastSplit)) { case ((name, cut), els) =>
+      when(u < lit(cut), lit(name)).otherwise(els)
+    }
+    df.select(assigned.as("split"),
+        (length(col(textCol)) -
+          length(replace(col(textCol), lit(" "), lit(""))) + 1)
+          .cast("bigint").as("__toks"),
+        length(col(textCol)).cast("bigint").as("__chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+  }
 }

@@ -346,4 +346,29 @@ object Similarity {
       .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
       .select(col("query_id"), (-col("m.nl")).as("pred_label"), col("m.votes").as("votes"))
   }
+
+  /** Per-query recall@k of the sign-LSH ANN ([[lshKnn]]) against the exact
+    * brute-force ranking ([[bruteForceKnn]]) — the retrieval-quality gate a
+    * pipeline runs before trusting an index for production candidate
+    * generation. Output: query_id, n_exact (exact neighbors found, ≤ k),
+    * recall (fraction of them the ANN also returned).
+    *
+    * Scale: both sides inherit their producers' plans; the compare is a
+    * (query, neighbor)-keyed semi join plus two tiny keyed aggregates over
+    * ≤ |Q|·k rows. Queries with zero ANN hits still appear (left join,
+    * recall 0), so a collapsed index cannot hide as missing rows. */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: org.apache.spark.sql.Column, k: Int, nBits: Int): DataFrame = {
+    val exact = bruteForceKnn(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshKnn(emb, idCol, vecCol, queryPred, k, nBits)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
 }

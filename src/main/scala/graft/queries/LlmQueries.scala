@@ -646,7 +646,15 @@ object LlmQueries {
     // See Robust.madOutliers.
     "q111_mad_outliers" -> ((s, d) =>
       graft.operators.Robust.madOutliers(
-        table(s, d, "documents"), "source", "doc_id", "n_chars", cutoff = 3.0))
+        table(s, d, "documents"), "source", "doc_id", "n_chars", cutoff = 3.0)),
+
+    // ANN index-quality gate: per-query recall@3 of the q34 sign-LSH index
+    // against the q33 exact ranking — zero-hit queries surface with recall
+    // 0 rather than vanishing. See Similarity.annRecall.
+    "q112_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 100, k = 3, nBits = 4))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1453,6 +1461,43 @@ object LlmQueries {
         |mad AS (SELECT source, median(adev) AS mad FROM dev GROUP BY 1)
         |SELECT dev.source, doc_id, n_chars, med, mad.mad AS mad
         |FROM dev JOIN mad USING (source)
-        |WHERE adev > CAST(3 AS DOUBLE) * mad.mad""".stripMargin
+        |WHERE adev > CAST(3 AS DOUBLE) * mad.mad""".stripMargin,
+
+    // Mirrors Similarity.annRecall: the q33 chain at k=3 (exact) vs the q34
+    // chain at k=3/nBits=4 (ANN), hits counted via an IN-subquery semi
+    // join, recall = double division of small exact counts.
+    "q112_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm,
+        |        list_sum([CASE WHEN emb[j] > 0 THEN 1 << (j-1) ELSE 0 END for j in range(1, 5)]) AS bucket
+        |      FROM e),
+        |xp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q, n c
+        |      WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |xr AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM xp),
+        |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rnk <= 3),
+        |ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q JOIN n c ON q.bucket = c.bucket
+        |      WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |ar AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM ap),
+        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rnk <= 3),
+        |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |         FROM exact e JOIN approx a
+        |           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |         GROUP BY 1),
+        |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        |         FROM exact GROUP BY 1)
+        |SELECT base.query_id, n_exact,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        |FROM base LEFT JOIN hits ON hits.query_id = base.query_id""".stripMargin
   )
 }

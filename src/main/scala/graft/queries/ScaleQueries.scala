@@ -428,7 +428,15 @@ object ScaleQueries {
     "q107_histogram_quantile" -> ((s, d) =>
       graft.operators.Sketches.histogramQuantiles(
         table(s, d, "events"), "value", bins = 256,
-        ps = Seq(0.5, 0.9, 0.99))))
+        ps = Seq(0.5, 0.9, 0.99))),
+
+    // Deterministic 90/5/5 train/val/test carve with per-split sizing —
+    // membership is a pure function of doc_id (never hops as the corpus
+    // grows). See Scale.splitPlan.
+    "q113_split_plan" -> ((s, d) =>
+      graft.operators.Scale.splitPlan(
+        table(s, d, "documents"), "doc_id", "text",
+        Seq("train" -> 0.9, "val" -> 0.95), lastSplit = "test")))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -951,6 +959,27 @@ object ScaleQueries {
         |     (p.p * CAST(s.n AS DOUBLE) - CAST(c.cb AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
         |FROM p, s, c
         |WHERE CAST(c.cb AS DOUBLE) < p.p * CAST(s.n AS DOUBLE)
-        |  AND p.p * CAST(s.n AS DOUBLE) <= CAST(c.cb + c.cnt AS DOUBLE)""".stripMargin
+        |  AND p.p * CAST(s.n AS DOUBLE) <= CAST(c.cb + c.cnt AS DOUBLE)""".stripMargin,
+
+    // Mirrors Scale.splitPlan: same 60-bit md5 uniform, same explicit
+    // cumulative bounds as double literals, same space-count token
+    // identity; counts/sums BIGINT on both sides.
+    "q113_split_plan" -> {
+      val h = duckHash60("doc_id")
+      s"""WITH a AS (
+         |  SELECT CASE
+         |      WHEN CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
+         |        < CAST(0.9 AS DOUBLE) THEN 'train'
+         |      WHEN CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
+         |        < CAST(0.95 AS DOUBLE) THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS toks,
+         |    CAST(len(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars
+         |FROM a GROUP BY 1""".stripMargin
+    }
   )
 }

@@ -582,6 +582,40 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("annRecall: recall 1.0 when LSH buckets are uniform; zero-hit queries appear as 0; bounds") {
+    import spark.implicits._
+    // all vectors positive in the first 4 dims -> one LSH bucket -> the ANN
+    // sees every candidate and must reproduce the exact top-k: recall == 1
+    val one = (0L until 12L).map(i =>
+        (i, Array(1f, 1f, 1f, 1f, (i % 5).toFloat / 4f, ((i * 3) % 7).toFloat / 6f)))
+      .toDF("vec_id", "embedding")
+    val perfect = graft.operators.Similarity
+      .annRecall(one, "vec_id", "embedding", col("vec_id") < 6, k = 3, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(perfect.length == 6)
+    assert(perfect.forall { case (_, n, rec) => n == 3L && rec == 1.0 })
+    // query 0 alone in its orthant: its bucket has no other member, the ANN
+    // returns nothing for it, and it must still appear with recall 0
+    val split = Seq(
+      (0L, Array(-1f, -1f, -1f, -1f, 1f, 0f)),
+      (1L, Array(1f, 1f, 1f, 1f, 1f, 0f)),
+      (2L, Array(1f, 1f, 1f, 1f, 0.9f, 0.1f)),
+      (3L, Array(1f, 1f, 1f, 1f, 0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .annRecall(split, "vec_id", "embedding", col("vec_id") < 2, k = 2, nBits = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) == 0.0, "isolated-bucket query surfaces with recall 0")
+    assert(got(1L) == 1.0)
+    // real corpus: recall within [0,1], one row per query with >=1 exact neighbor
+    val real = graft.operators.Similarity.annRecall(
+        Graft.table(spark, sf, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 3, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(real.length == 20)
+    assert(real.forall { case (_, rec) => rec >= 0.0 && rec <= 1.0 })
+  }
+
   test("madOutliers: hand-computed medians/MAD; strict cutoff; clean group flags nothing") {
     import spark.implicits._
     val df = ((1 to 9).map(v => ("a", v.toLong * 10, v.toLong)) :+ (("a", 990L, 100L)))

@@ -275,4 +275,26 @@ class ScaleSpec extends AnyFunSuite {
     val counts = plan.map(_._2)
     assert(counts.forall(c => c > 0 && c <= 3 * (counts.sum / counts.length).max(1)))
   }
+
+  test("splitPlan: splits partition the corpus, growth never reassigns, bounds validated") {
+    val docs = Graft.table(spark, sf, "documents")
+    val bounds = Seq("train" -> 0.9, "val" -> 0.95)
+    val plan = Scale.splitPlan(docs, "doc_id", "text", bounds, "test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    val total = docs.count()
+    val totalIds = total // doc_ids are dense 0..n-1 in the test corpus
+    assert(plan.map(_._2).sum == total, "every doc lands in exactly one split")
+    assert(plan.find(_._1 == "train").exists(_._2 > total / 2), "train is the bulk")
+    // growth stability: the first half of the corpus alone yields per-split
+    // counts <= the full corpus's (docs never hop splits when others arrive)
+    val half = Scale.splitPlan(docs.where(col("doc_id") < totalIds / 2), "doc_id", "text",
+        bounds, "test")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = plan.map(t => t._1 -> t._2).toMap
+    assert(half.forall { case (s, n) => n <= full.getOrElse(s, 0L) })
+    assertThrows[IllegalArgumentException] {
+      Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.9, "b" -> 0.5), "c")
+    }
+  }
 }
