@@ -41,6 +41,8 @@ object LlmQueries {
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
+  /** Wider function-word list for the q114 quality funnel's stopword gate. */
+  private val stopFunnel = "('the','a','of','to','and','in','is','on','for','with')"
 
   val queries: Map[String, Q] = Map(
 
@@ -654,7 +656,45 @@ object LlmQueries {
     "q112_ann_recall" -> ((s, d) =>
       Similarity.annRecall(
         table(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 100, k = 3, nBits = 4))
+        col("vec_id") < 100, k = 3, nBits = 4)),
+
+    // Quality-gate FUNNEL: each doc is attributed to the FIRST gate it
+    // fails (length → mean-token-length band → stopword floor → pass), and
+    // the output is the per-gate casualty count — the report a filtering
+    // stage publishes so a threshold change can be attributed to one gate.
+    // One narrow per-doc projection + a 4-group aggregate; every ratio is
+    // a double division of exact integers.
+    "q114_quality_funnel" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(
+          size(split(col("text"), " ")).cast("bigint").as("nt"),
+          (length(replace(col("text"), lit(" "), lit(""))).cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("mtl"),
+          (expr(s"CAST(size(filter(split(text,' '), t -> t IN $stopFunnel)) AS DOUBLE)") /
+            size(split(col("text"), " ")).cast("double")).as("sr"))
+        .withColumn("gate",
+          when(col("nt") < 40, "too_short")
+            .when(col("mtl") < 3.8 || col("mtl") > 5.0, "token_len")
+            .when(col("sr") < 0.04, "low_stopword")
+            .otherwise("pass"))
+        .groupBy(col("gate")).agg(count(lit(1)).as("n_docs"))),
+
+    // Tokenizer fertility by language: BPE-ish subword tokens per
+    // whitespace word — the stat that decides whether a tokenizer is
+    // acceptable for a language mix (high fertility = wasted context
+    // window). Ratio of two exact BIGINT sums, computed once per language.
+    "q115_tokenizer_fertility" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("lang"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("bigint").as("nb"),
+          size(split(col("text"), " ")).cast("bigint").as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bpe_tokens"),
+          sum(col("nw")).as("n_ws_tokens"))
+        .withColumn("fertility",
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double")))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1498,6 +1538,39 @@ object LlmQueries {
         |         FROM exact GROUP BY 1)
         |SELECT base.query_id, n_exact,
         |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
-        |FROM base LEFT JOIN hits ON hits.query_id = base.query_id""".stripMargin
+        |FROM base LEFT JOIN hits ON hits.query_id = base.query_id""".stripMargin,
+
+    // Mirrors the q114 funnel: same gate order, same double literals, same
+    // integer-exact ratios.
+    "q114_quality_funnel" ->
+      s"""WITH g AS (SELECT
+         |  len(string_split(text, ' ')) AS nt,
+         |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS mtl,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN $stopFunnel)) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS sr
+         |  FROM documents)
+         |SELECT CASE
+         |    WHEN nt < 40 THEN 'too_short'
+         |    WHEN mtl < CAST(3.8 AS DOUBLE) OR mtl > CAST(5.0 AS DOUBLE) THEN 'token_len'
+         |    WHEN sr < CAST(0.04 AS DOUBLE) THEN 'low_stopword'
+         |    ELSE 'pass' END AS gate,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1""".stripMargin,
+
+    // Mirrors q115: same subword regex as q46, exact BIGINT sums, one
+    // double division per language.
+    "q115_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nb,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+        |  CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE) AS fertility
+        |FROM t GROUP BY 1""".stripMargin
   )
 }

@@ -616,6 +616,18 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(real.forall { case (_, rec) => rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("quality funnel partitions the corpus; fertility >= 1 for every language") {
+    val funnel = SparkEntry.queries("q114_quality_funnel")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.keySet.subsetOf(Set("too_short", "token_len", "low_stopword", "pass")))
+    assert(funnel.values.sum == docs.count(), "every doc hits exactly one gate")
+    val fert = SparkEntry.queries("q115_tokenizer_fertility")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    // each whitespace word yields >= 1 subword token, so fertility >= 1
+    assert(fert.nonEmpty && fert.forall(_._3 >= 1.0))
+    assert(fert.map(_._2).sum == docs.count())
+  }
+
   test("madOutliers: hand-computed medians/MAD; strict cutoff; clean group flags nothing") {
     import spark.implicits._
     val df = ((1 to 9).map(v => ("a", v.toLong * 10, v.toLong)) :+ (("a", 990L, 100L)))
