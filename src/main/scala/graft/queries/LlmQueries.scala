@@ -679,6 +679,16 @@ object LlmQueries {
             .otherwise("pass"))
         .groupBy(col("gate")).agg(count(lit(1)).as("n_docs"))),
 
+    // Dedup-cluster size histogram: how many near-dup clusters exist at
+    // each size — the shape report that says whether duplication is a few
+    // giant template families or many pairs (decides salting/verify
+    // budgets). Two tiny keyed aggs on top of the SHARED candidate graph
+    // (same cached lineage as q61/q91).
+    "q116_cluster_histogram" -> ((s, d) =>
+      TextDedup.connectedComponents(nearDupPairs(s, d))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
+
     // Tokenizer fertility by language: BPE-ish subword tokens per
     // whitespace word — the stat that decides whether a tokenizer is
     // acceptable for a language mix (high fertility = wasted context
@@ -1558,6 +1568,15 @@ object LlmQueries {
          |    ELSE 'pass' END AS gate,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM g GROUP BY 1""".stripMargin,
+
+    // Mirrors q116 over the shared cluster lineage: cluster sizes, then
+    // size frequencies; counts BIGINT on both sides.
+    "q116_cluster_histogram" -> (clusterCte + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM cl GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY 1""".stripMargin),
 
     // Mirrors q115: same subword regex as q46, exact BIGINT sums, one
     // double division per language.

@@ -616,6 +616,16 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(real.forall { case (_, rec) => rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("cluster histogram conserves clustered docs and excludes singletons by construction") {
+    val clusters = TextDedup.connectedComponents(
+      TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5))
+    val hist = SparkEntry.queries("q116_cluster_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // histogram mass = number of clustered docs; every cluster has >= 2 members
+    assert(hist.map { case (size, n) => size * n }.sum == clusters.count())
+    assert(hist.forall(_._1 >= 2), "a connected component has at least 2 members")
+  }
+
   test("quality funnel partitions the corpus; fertility >= 1 for every language") {
     val funnel = SparkEntry.queries("q114_quality_funnel")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

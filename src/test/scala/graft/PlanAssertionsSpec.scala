@@ -72,4 +72,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // the bucket equality must appear as a join key, the range as a filter
     assert(p.contains("__probe"))
   }
+
+  test("q109: RRF fuse ends in a bounded top-k, and its only windows sit on LIMIT-bounded lists") {
+    val p = plan("q109_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), "final fuse ordering must be top-k, not a global sort")
+    // the sparse rank window ranks the 50-row BM25 list: a GlobalLimit must
+    // appear BELOW any window in the plan tree (limits feed the windows)
+    val winIdx = p.indexOf("Window")
+    val limIdx = p.indexOf("GlobalLimit")
+    assert(winIdx < 0 || (limIdx >= 0 && p.lastIndexOf("GlobalLimit") > winIdx) ||
+      p.indexOf("TakeOrderedAndProject", winIdx) >= 0,
+      "rank windows must consume LIMIT-bounded inputs")
+  }
+
+  test("q113: split plan is one narrow projection + one partial-aggregated exchange") {
+    val p = plan("q113_split_plan")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"))
+    // exactly one shuffle: the |splits|-group final aggregate
+    assert("Exchange".r.findAllIn(p).size <= 2, // AQE may add a read node line
+      "splitPlan must shuffle only the tiny per-split partials")
+    assert(p.contains("HashAggregate"), "sizing must be a hash aggregate")
+  }
+
+  test("q111: MAD screen broadcasts both stat tables; the value table is never shuffled wide") {
+    val p = plan("q111_mad_outliers")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "group-stat joins must broadcast the tiny median/MAD tables")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
