@@ -239,6 +239,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental NEAR-dup stream: edited re-crawl rejected, novel kept, replay appends nothing") {
+    import spark.implicits._
+    import graft.streaming.IncrementalNearDup
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("inc_neardup").toString
+    val store = s"$root/store"
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val edited = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val novel = (1 to 30).map(i => s"other$i").mkString(" ")
+    // sanity: the edit keeps the pair inside the LSH candidate radius, so
+    // the incremental semantics below test what the batch operator finds
+    val pairs = graft.operators.TextDedup.minhashNearDupPairs(
+      Seq((1L, base), (2L, edited)).toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5).count()
+    assert(pairs == 1, "planted edit must be an LSH near-dup pair")
+    val b1 = Seq((10L, base, "crawl1"), (11L, base, "crawl1"))
+      .toDF("doc_id", "text", "source")
+    assert(IncrementalNearDup.processBatch(b1, store) == 1,
+      "exact in-batch dup collapses to the min id")
+    assert(IncrementalNearDup.processBatch(b1, store) == 0, "replay appends nothing")
+    // near-dup of the STORED base rejected; novel doc accepted
+    val b2 = Seq((20L, edited, "crawl2"), (21L, novel, "crawl2"))
+      .toDF("doc_id", "text", "source")
+    assert(IncrementalNearDup.processBatch(b2, store) == 1)
+    // shingle-less short doc: accepted once, replay-guarded by its sentinel
+    val b3 = Seq((30L, "ab", "crawl3")).toDF("doc_id", "text", "source")
+    assert(IncrementalNearDup.processBatch(b3, store) == 1)
+    assert(IncrementalNearDup.processBatch(b3, store) == 0)
+    // streaming wiring: one more near-dup (token appended) + one fresh doc
+    val input = MemoryStream[(Long, String, String)]
+    val q = IncrementalNearDup.start(
+      input.toDF().toDF("doc_id", "text", "source"), store, s"$root/ckpt")
+    try {
+      input.addData(
+        (40L, base + " extra", "crawl4"),
+        (41L, (1 to 30).map(i => s"fresh$i").mkString(" "), "crawl4"))
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(store).where($"band" === -1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(accepted == Set(10L, 21L, 30L, 41L),
+        s"store holds exactly the accepted corpus, got $accepted")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions by gap (inline) and by watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
