@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *   exact_dedup    1x rows=4,992   0.4 s       10x rows=4,992     1.2-1.4 s
   *   tfidf_topk     1x rows=15      1.1 s       10x rows=15        2.5 s
   *   bm25_topk      1x rows=15      1.0 s       10x rows=15        2.6 s
+  *   source_overlap 1x rows=190     5.3-5.5 s   10x rows=190       5.3 s
   * }}}
+  * (source_overlap measured 2026-08-13 on a loaded machine — compare its 1x
+  * and 10x to each other, not to the rows above.)
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -36,13 +39,17 @@ import org.apache.spark.sql.functions._
   * only postings for query terms, and the per-doc stats pass (dlen, N,
   * avgdl) is an embarrassingly-parallel scan + 1-row aggregate — the
   * growth an inverted index is supposed to have (index-scan bound, never
-  * corpus x terms). */
+  * corpus x terms). The cross-source overlap matrix is FLAT at 10x: exact
+  * replicas stay within their source, so they add zero new (group, gram)
+  * pairs and the map-side collect_set partials absorb them before the
+  * shuffle — group-keyed output is |groups|²-bounded at any corpus size. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = Graft.session("graft-scale-smoke")
-    val base = Graft.table(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val base = Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
     val big = (0 until factor)
       .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
@@ -83,6 +90,12 @@ object ScaleSmoke {
       time(s"phrase_search  $label") {
         operators.TextSearch.phraseSearch(df, "doc_id", "text",
           Seq("slow", "hash", "batch")).count()
+      }
+      // replicas keep their source, so the group count is CONSTANT across
+      // factors — the curve shows the per-gram inverted lists growing with
+      // the corpus while the output stays |groups|² -bounded
+      time(s"source_overlap $label") {
+        operators.TextDedup.crossGroupOverlap(df, "source", "text", k = 5).count()
       }
     }
     spark.stop()

@@ -46,6 +46,36 @@ object TextRank {
       .select(col(idCol), (col("mu").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** Per-document keyword extraction: each doc's top-k terms by tf·idf over
+    * the corpus-wide document frequencies — the "what is this doc about"
+    * tagging pass of a curation pipeline (the transpose of [[tfidfTopK]],
+    * which ranks docs for a query set). Output: id, rnk, term, score.
+    *
+    * Plan: the tf/df tables are the same term-keyed aggregates as
+    * [[tfidfTopK]] (full vocabulary — Zipf-bounded distinct terms), and the
+    * per-doc top-k is a rank window PARTITIONED BY the doc id: bounded
+    * per-partition work (a doc's distinct terms), keyed shuffle, never a
+    * global window. Same micro-unit quantization discipline. */
+  def keywordsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minTermLen: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) >= minTermLen)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("mu").desc, col("term").asc)
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("mu", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")) *
+        lit(1e6)).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"),
+        (col("mu").cast("double") / lit(1e6)).as("score"))
+  }
+
   /** BM25 retrieval (Robertson/Sparck-Jones, the Lucene-style formulation
     * with the +1 inside the idf log so scores are always positive):
     *

@@ -436,7 +436,15 @@ object ScaleQueries {
     "q113_split_plan" -> ((s, d) =>
       graft.operators.Scale.splitPlan(
         table(s, d, "documents"), "doc_id", "text",
-        Seq("train" -> 0.9, "val" -> 0.95), lastSplit = "test")))
+        Seq("train" -> 0.9, "val" -> 0.95), lastSplit = "test")),
+
+    // Per-doc keyword tagging: top-3 tf-idf terms (>= 6 chars) per
+    // document against corpus-wide document frequencies — the transpose of
+    // q83's query-side retrieval. Doc-partitioned rank window (bounded),
+    // term-keyed df aggregate. See TextRank.keywordsPerDoc.
+    "q117_doc_keywords" -> ((s, d) =>
+      TextRank.keywordsPerDoc(
+        table(s, d, "documents"), "doc_id", "text", k = 3, minTermLen = 6)))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -980,6 +988,27 @@ object ScaleQueries {
          |  CAST(sum(toks) AS BIGINT) AS n_tokens,
          |  CAST(sum(chars) AS BIGINT) AS n_chars
          |FROM a GROUP BY 1""".stripMargin
-    }
+    },
+
+    // Mirrors TextRank.keywordsPerDoc: same length filter, micro-unit
+    // tf*ln(N/df), rank by (mu DESC, term ASC) within each doc.
+    "q117_doc_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |ft AS (SELECT doc_id, term FROM toks WHERE length(term) >= 6),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |mu AS (
+        |  SELECT doc_id, term,
+        |    CAST(round(CAST(tf AS DOUBLE)
+        |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS mu
+        |  FROM tf JOIN dfs USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, mu,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY mu DESC, term ASC) AS rnk
+        |  FROM mu)
+        |SELECT doc_id, rnk, term, CAST(mu AS DOUBLE) / 1e6 AS score
+        |FROM r WHERE rnk <= 3""".stripMargin
   )
 }

@@ -616,6 +616,25 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(real.forall { case (_, rec) => rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("keywordsPerDoc: planted rare term outranks ubiquitous terms; ranks contiguous") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common common zebrafish common"),
+      (2L, "common common common common common"),
+      (3L, "common common unicorns common common")).toDF("doc_id", "text")
+    val got = graft.operators.TextRank
+      .keywordsPerDoc(corpus, "doc_id", "text", k = 2, minTermLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byDoc = got.groupBy(_._1)
+    // df(common)=3 of 3 docs -> idf 0; the doc-unique term must rank first
+    assert(byDoc(1L).minBy(_._2)._3 == "zebrafish")
+    assert(byDoc(3L).minBy(_._2)._3 == "unicorns")
+    assert(byDoc(2L).map(_._3).toSeq == Seq("common"), "only term available")
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length))
+    }
+  }
+
   test("cluster histogram conserves clustered docs and excludes singletons by construction") {
     val clusters = TextDedup.connectedComponents(
       TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5))
