@@ -444,7 +444,49 @@ object ScaleQueries {
     // term-keyed df aggregate. See TextRank.keywordsPerDoc.
     "q117_doc_keywords" -> ((s, d) =>
       TextRank.keywordsPerDoc(
-        table(s, d, "documents"), "doc_id", "text", k = 3, minTermLen = 6)))
+        table(s, d, "documents"), "doc_id", "text", k = 3, minTermLen = 6)),
+
+    // Leak-check of the q113 hash carve itself: distinct 13-token shingles
+    // shared between the train and test splits, and how many test docs are
+    // touched — the audit that runs BEFORE a split ships (near-dups
+    // straddling a random-by-id carve are exactly how eval leakage
+    // happens). Shingle identities travel as 64-bit hashes (q85's
+    // discipline); the semi join is hash-keyed; at warehouse scale the
+    // train set would be fronted by a Bloom filter (Sketches.bloomSemiJoin)
+    // before the shuffle.
+    "q118_split_leakage" -> ((s, d) => {
+      val u = graft.operators.Sketches.hash60(col("doc_id")) /
+        lit((1L << 60).toDouble)
+      val assigned = table(s, d, "documents").select(col("doc_id"), col("text"),
+        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+      val sh = assigned.select(col("split"), col("doc_id"),
+        explode(graft.functions.TokenNgrams
+          .token_ngram_distinct_hashes(col("text"), 13)).as("sh"))
+      val train = sh.where(col("split") === "train").select(col("sh")).distinct()
+      val test = sh.where(col("split") === "test").select(col("doc_id"), col("sh"))
+      test.join(train, Seq("sh"), "left_semi")
+        .agg(count_distinct(col("sh")).as("n_leaky_shingles"),
+          count_distinct(col("doc_id")).as("n_test_docs_affected"))
+    }),
+
+    // One-row corpus data card: sizes, diversity, exact-dup fraction —
+    // the summary block of a dataset release. One scan, one global
+    // aggregate; every ratio a double division of exact counts.
+    "q119_corpus_card" -> ((s, d) =>
+      table(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum((length(col("text")) -
+          length(replace(col("text"), lit(" "), lit(""))) + 1).cast("bigint"))
+          .as("n_tokens"),
+        sum(length(col("text")).cast("bigint")).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(md5(col("text"))).as("n_unique_texts"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("avg_doc_tokens",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -1009,6 +1051,48 @@ object ScaleQueries {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY mu DESC, term ASC) AS rnk
         |  FROM mu)
         |SELECT doc_id, rnk, term, CAST(mu AS DOUBLE) / 1e6 AS score
-        |FROM r WHERE rnk <= 3""".stripMargin
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // Mirrors q118 with raw-string shingles (the hashed Spark identities
+    // match absent a 2^-64 FNV collision — q85's precedent); same md5
+    // split-carve as q113's oracle.
+    "q118_split_leakage" -> {
+      val h = duckHash60("doc_id")
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
+         |        < CAST(0.9 AS DOUBLE) THEN 'train'
+         |      WHEN CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
+         |        < CAST(0.95 AS DOUBLE) THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents),
+         |t AS (SELECT doc_id, split, string_split(text, ' ') AS toks
+         |      FROM a WHERE len(string_split(text, ' ')) >= 13),
+         |sh AS (SELECT DISTINCT doc_id, split, sh FROM (
+         |  SELECT doc_id, split,
+         |    unnest([array_to_string(toks[i : i + 12], ' ')
+         |            for i in range(1, len(toks) - 11)]) AS sh
+         |  FROM t)),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+         |te AS (SELECT doc_id, sh FROM sh WHERE split = 'test')
+         |SELECT CAST(count(DISTINCT te.sh) AS BIGINT) AS n_leaky_shingles,
+         |  CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs_affected
+         |FROM te JOIN tr ON te.sh = tr.sh""".stripMargin
+    },
+
+    // Mirrors q119: exact counts, double ratios.
+    "q119_corpus_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
+        |FROM documents""".stripMargin
   )
 }

@@ -645,6 +645,29 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(hist.forall(_._1 >= 2), "a connected component has at least 2 members")
   }
 
+  test("split leakage matches a string-shingle brute force; corpus card counts conserved") {
+    import org.apache.spark.sql.functions.{count_distinct, when, lit}
+    val u = graft.operators.Sketches.hash60(col("doc_id")) / lit((1L << 60).toDouble)
+    val assigned = docs.select(col("doc_id"), col("text"),
+      when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+    // brute force with raw string shingles instead of the query's FNV hashes
+    val sh = TextDedup.shingles(assigned, "doc_id", "text", k = 13)
+      .join(assigned.select(col("doc_id"), col("split")), "doc_id")
+      .select(col("split"), col("doc_id"), col("sh")).distinct()
+    val tr = sh.where(col("split") === "train").select(col("sh")).distinct()
+    val te = sh.where(col("split") === "test").select(col("doc_id"), col("sh"))
+    val expect = te.join(tr, Seq("sh"), "leftsemi")
+      .agg(count_distinct(col("sh")), count_distinct(col("doc_id")))
+      .collect().head
+    val got = SparkEntry.queries("q118_split_leakage")(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((expect.getLong(0), expect.getLong(1))))
+    val card = SparkEntry.queries("q119_corpus_card")(spark, sf).collect().head
+    assert(card.getLong(0) == docs.count())
+    assert(card.getLong(5) <= card.getLong(0), "unique texts <= docs")
+    val dupFrac = card.getDouble(6)
+    assert(dupFrac >= 0.0 && dupFrac < 1.0)
+  }
+
   test("quality funnel partitions the corpus; fertility >= 1 for every language") {
     val funnel = SparkEntry.queries("q114_quality_funnel")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
