@@ -650,6 +650,19 @@ object LlmQueries {
       graft.operators.Robust.madOutliers(
         table(s, d, "documents"), "source", "doc_id", "n_chars", cutoff = 3.0)),
 
+    // Event-volume anomaly screen: daily event counts per type, flagged by
+    // the same exact median/MAD operator as q111 — the ingest-monitoring
+    // twin of the corpus-QA screen (a day whose volume deviates > 3 MADs
+    // from its type's median is a pipeline incident, not noise). Shows the
+    // robust-stats operator generalizes across tables unchanged.
+    "q120_event_anomaly" -> ((s, d) =>
+      graft.operators.Robust.madOutliers(
+        table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n", cutoff = 3.0)),
+
     // ANN index-quality gate: per-query recall@3 of the q34 sign-LSH index
     // against the q33 exact ranking — zero-hit queries surface with recall
     // 0 rather than vanishing. See Similarity.annRecall.
@@ -1511,6 +1524,22 @@ object LlmQueries {
         |mad AS (SELECT source, median(adev) AS mad FROM dev GROUP BY 1)
         |SELECT dev.source, doc_id, n_chars, med, mad.mad AS mad
         |FROM dev JOIN mad USING (source)
+        |WHERE adev > CAST(3 AS DOUBLE) * mad.mad""".stripMargin,
+
+    // Mirrors q120: same daily-count base, same exact median/MAD arithmetic
+    // as the q111 oracle.
+    "q120_event_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, median(n) AS med FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, day, n, med,
+        |          abs(CAST(n AS DOUBLE) - med) AS adev
+        |        FROM daily d JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, day, n, med, mad.mad AS mad
+        |FROM dev JOIN mad USING (event_type)
         |WHERE adev > CAST(3 AS DOUBLE) * mad.mad""".stripMargin,
 
     // Mirrors Similarity.annRecall: the q33 chain at k=3 (exact) vs the q34
