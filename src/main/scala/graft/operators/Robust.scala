@@ -29,8 +29,10 @@ object Robust {
     val vals = df.select(col(keyCol), col(idCol), col(valCol))
     val med = vals.groupBy(col(keyCol))
       .agg(median(col(valCol)).as("med"))
-    val dev = vals.join(broadcast(med), keyCol)
-      .withColumn("adev", abs(col(valCol).cast("double") - col("med")))
+    // dev feeds BOTH the MAD aggregate and the output join — pin it so the
+    // value scan + median join run once, not once per consumer
+    val dev = CacheScope.persist(vals.join(broadcast(med), keyCol)
+      .withColumn("adev", abs(col(valCol).cast("double") - col("med"))))
     val mad = dev.groupBy(col(keyCol))
       .agg(median(col("adev")).as("mad"))
     dev.join(broadcast(mad), keyCol)

@@ -126,23 +126,30 @@ object Scale {
         sum(col("__chars")).as("n_chars"))
   }
 
-  /** Deterministic train/val/test split assignment + per-split sizing — the
-    * holdout-carving step of a training-data export. Each row's md5-derived
-    * uniform picks its split from explicit cumulative UPPER BOUNDS (e.g.
-    * train < 0.9 ≤ val < 0.95 ≤ rest), so membership is a pure function of
-    * the id: stable across engines, replays, repartitions, and corpus
-    * growth (a doc never hops splits when other docs arrive — the property
-    * a random split lacks). Bounds are caller-supplied literals, not
-    * accumulated fractions, so the oracle compares against the identical
-    * doubles. One narrow projection + a |splits|-group aggregate. */
-  def splitPlan(df: DataFrame, idCol: String, textCol: String,
-                bounds: Seq[(String, Double)], lastSplit: String): DataFrame = {
+  /** The split-assignment COLUMN shared by [[splitPlan]] and the q118
+    * leakage audit — one definition of the carve, so an audit can never
+    * drift from the export it audits. Each row's md5-derived uniform picks
+    * its split from explicit cumulative UPPER BOUNDS (e.g. train < 0.9 ≤
+    * val < 0.95 ≤ rest): membership is a pure function of the id — stable
+    * across engines, replays, repartitions, and corpus growth (a doc never
+    * hops splits when other docs arrive — the property a random split
+    * lacks). Bounds are caller-supplied literals, not accumulated
+    * fractions, so an oracle compares against the identical doubles. */
+  def splitAssign(idCol: Column, bounds: Seq[(String, Double)],
+                  lastSplit: String): Column = {
     require(bounds.map(_._2) == bounds.map(_._2).sorted, "bounds must ascend")
-    val u = Sketches.hash60(col(idCol)) / lit((1L << 60).toDouble)
-    val assigned = bounds.foldRight(lit(lastSplit)) { case ((name, cut), els) =>
+    val u = Sketches.hash60(idCol) / lit((1L << 60).toDouble)
+    bounds.foldRight(lit(lastSplit)) { case ((name, cut), els) =>
       when(u < lit(cut), lit(name)).otherwise(els)
     }
-    df.select(assigned.as("split"),
+  }
+
+  /** Deterministic train/val/test split assignment + per-split sizing — the
+    * holdout-carving step of a training-data export ([[splitAssign]] + one
+    * narrow projection + a |splits|-group aggregate). */
+  def splitPlan(df: DataFrame, idCol: String, textCol: String,
+                bounds: Seq[(String, Double)], lastSplit: String): DataFrame =
+    df.select(splitAssign(col(idCol), bounds, lastSplit).as("split"),
         (length(col(textCol)) -
           length(replace(col(textCol), lit(" "), lit(""))) + 1)
           .cast("bigint").as("__toks"),
@@ -151,5 +158,4 @@ object Scale {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__toks")).as("n_tokens"),
         sum(col("__chars")).as("n_chars"))
-  }
 }

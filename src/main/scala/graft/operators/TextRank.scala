@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object TextRank {
 
-  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
-                terms: DataFrame, termCol: String, k: Int): DataFrame = {
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-    val qt = terms.select(col(termCol).as("term")).distinct()
-    val tf = toks.join(qt, "term")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency per query term, derived from tf (one row per
-    // (doc, term) pair) — no second pass over the corpus
+  /** The ONE tf·idf scoring stage behind [[tfidfTopK]] (vocabulary
+    * restricted to a query-term table) and [[keywordsPerDoc]] (full
+    * vocabulary, optional length floor): (id, term, mu) with
+    * mu = round(tf · ln(N/df) · 1e6) as an exact long. Document frequency
+    * is derived from the tf table (one row per (doc, term)) — never a
+    * second pass over the corpus. */
+  private def tfidfMu(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Option[DataFrame], minTermLen: Int): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val toks = if (minTermLen > 1) exploded.where(length(col("term")) >= minTermLen)
+               else exploded
+    val base = queryTerms.fold(toks)(qt => toks.join(qt, "term"))
+    val tf = base.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfs, "term")
@@ -40,6 +45,12 @@ object TextRank {
       .withColumn("mu", round(col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")) *
         lit(1e6)).cast("long"))
+  }
+
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                terms: DataFrame, termCol: String, k: Int): DataFrame = {
+    val qt = terms.select(col(termCol).as("term")).distinct()
+    tfidfMu(docs, idCol, textCol, Some(qt), minTermLen = 0)
       .groupBy(col(idCol)).agg(sum(col("mu")).as("mu"))
       .orderBy(col("mu").desc, col(idCol).asc)
       .limit(k)
@@ -58,18 +69,9 @@ object TextRank {
     * global window. Same micro-unit quantization discipline. */
   def keywordsPerDoc(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, minTermLen: Int = 4): DataFrame = {
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .where(length(col("term")) >= minTermLen)
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("mu").desc, col("term").asc)
-    tf.join(dfs, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("mu", round(col("tf").cast("double") *
-        log(col("n_docs").cast("double") / col("df").cast("double")) *
-        lit(1e6)).cast("long"))
+    tfidfMu(docs, idCol, textCol, None, minTermLen)
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
       .select(col(idCol), col("rnk"), col("term"),

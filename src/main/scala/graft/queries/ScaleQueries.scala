@@ -22,6 +22,11 @@ object ScaleQueries {
   /** TF-IDF query terms (fixed vocabulary of the synthetic corpus). */
   private val tfidfTerms = Seq("join", "vector", "stream", "window", "spark")
 
+  /** The ONE carve definition shared by q113 (export sizing) and q118 (leak
+    * audit) — changing the shipped split bounds changes both together. */
+  private val splitBounds = Seq("train" -> 0.9, "val" -> 0.95)
+  private val splitLast = "test"
+
   val queries: Map[String, Q] = Map(
 
     // Character n-gram Jaccard near-dup pairs — exact set similarity, the
@@ -436,7 +441,7 @@ object ScaleQueries {
     "q113_split_plan" -> ((s, d) =>
       graft.operators.Scale.splitPlan(
         table(s, d, "documents"), "doc_id", "text",
-        Seq("train" -> 0.9, "val" -> 0.95), lastSplit = "test")),
+        splitBounds, lastSplit = splitLast)),
 
     // Per-doc keyword tagging: top-3 tf-idf terms (>= 6 chars) per
     // document against corpus-wide document frequencies — the transpose of
@@ -455,10 +460,9 @@ object ScaleQueries {
     // train set would be fronted by a Bloom filter (Sketches.bloomSemiJoin)
     // before the shuffle.
     "q118_split_leakage" -> ((s, d) => {
-      val u = graft.operators.Sketches.hash60(col("doc_id")) /
-        lit((1L << 60).toDouble)
       val assigned = table(s, d, "documents").select(col("doc_id"), col("text"),
-        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+        graft.operators.Scale.splitAssign(col("doc_id"), splitBounds, splitLast)
+          .as("split"))
       val sh = assigned.select(col("split"), col("doc_id"),
         explode(graft.functions.TokenNgrams
           .token_ngram_distinct_hashes(col("text"), 13)).as("sh"))

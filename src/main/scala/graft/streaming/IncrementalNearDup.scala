@@ -46,30 +46,42 @@ object IncrementalNearDup {
 
   /** One ingest step: reject near-dups of the store and of smaller-id batch
     * docs, append the survivors' signatures, return the number of ACCEPTED
-    * documents. Safe to call with the same batch twice. */
+    * documents. Safe to call with the same batch twice.
+    *
+    * ORDER MATTERS for idempotency: the within-batch minima are computed
+    * over ALL batch docs FIRST, and the store filter is applied after. The
+    * reverse order breaks replay: store-filtering first removes the batch's
+    * already-stored docs from the bucket-minimum computation, so a doc that
+    * was transitively rejected on the first call (through a chain whose
+    * middle doc was itself rejected and therefore never stored) would see
+    * different minima on replay and slip in. With batch-first minima, the
+    * in-batch verdict is a pure function of batch CONTENT and the store
+    * filter alone decides replay — every kept doc's signatures are in the
+    * store afterward, so a replayed batch always appends nothing. */
   def processBatch(batch: DataFrame, storeDir: String,
                    bands: Int = 4, shingleK: Int = 3): Long = {
     val spark = batch.sparkSession
     val sigs = bandSigs(batch, bands, shingleK)
+    // within-batch rejection over the FULL batch: smallest doc_id per
+    // collision bucket survives (transitive by design — see class doc)
+    val minPerBucket = sigs.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("min_id"))
+    val rejected = sigs.join(minPerBucket, Seq("band", "sig"))
+      .where(col("doc_id") > col("min_id"))
+      .select(col("doc_id")).distinct()
+    val batchKept = sigs.join(rejected, Seq("doc_id"), "left_anti")
+    // cross-batch rejection: any signature collision with the store
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val storeExists = storePath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(storePath)
-    // cross-batch rejection: any signature collision with the store
-    val fresh =
+    val kept =
       if (storeExists) {
         val store = spark.read.parquet(storeDir).select(col("band"), col("sig"))
-        val hit = sigs.join(store, Seq("band", "sig"), "left_semi")
+        val hit = batchKept.join(store, Seq("band", "sig"), "left_semi")
           .select(col("doc_id")).distinct()
-        sigs.join(hit, Seq("doc_id"), "left_anti")
-      } else sigs
-    // within-batch rejection: smallest doc_id per collision bucket survives
-    val minPerBucket = fresh.groupBy(col("band"), col("sig"))
-      .agg(min(col("doc_id")).as("min_id"))
-    val rejected = fresh.join(minPerBucket, Seq("band", "sig"))
-      .where(col("doc_id") > col("min_id"))
-      .select(col("doc_id")).distinct()
-    val kept = fresh.join(rejected, Seq("doc_id"), "left_anti")
+        batchKept.join(hit, Seq("doc_id"), "left_anti")
+      } else batchKept
     // pin before the append: counting after the write must not recompute
     // the store probe against the store the write just grew
     val pinned = kept.localCheckpoint()

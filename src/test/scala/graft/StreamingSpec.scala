@@ -283,6 +283,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental near-dup replay: transitive in-batch rejection chain stays rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, split}
+    import graft.streaming.IncrementalNearDup
+    // band signatures of a text, via the operator's own signature scheme
+    def bandSet(t: String): Set[String] =
+      Seq((1L, t)).toDF("doc_id", "text")
+        .select(graft.functions.MinHashSigs
+          .minhash_sigs(split(col("text"), " "), 3, 8).as("mh"))
+        .select(expr("stack(4, 0, concat(mh[0],mh[1]), 1, concat(mh[2],mh[3]), " +
+          "2, concat(mh[4],mh[5]), 3, concat(mh[6],mh[7])) AS (band, sig)"))
+        .collect().map(r => r.getInt(0) + ":" + r.getString(1)).toSet
+    // deterministically search for a chain S~M, M~A, S!~A (band overlap):
+    // the exact shape whose replay re-admitted A before the batch-first
+    // minima fix (store-filter-first hid M from the bucket minimum)
+    val s = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val sb = bandSet(s)
+    val chain = (for {
+      i <- (1 to 24).iterator
+      m = ((1 to 30).map(j => if (j <= i) s"mid$j" else s"tok$j")).mkString(" ")
+      mb = bandSet(m)
+      if (mb intersect sb).nonEmpty
+      k <- (1 to 24).iterator
+      a = ((1 to 30).map(j => if (j > 30 - k) s"end$j" else if (j <= i) s"mid$j" else s"tok$j")).mkString(" ")
+      ab = bandSet(a)
+      if (ab intersect mb).nonEmpty && (ab intersect sb).isEmpty
+    } yield (m, a)).buffered.headOption
+    assert(chain.isDefined, "no S~M~A chain found in the search space")
+    val (m, a) = chain.get
+    val root = java.nio.file.Files.createTempDirectory("inc_neardup_chain").toString
+    val store = s"$root/store"
+    val batch = Seq((1L, s, "c"), (2L, m, "c"), (3L, a, "c"))
+      .toDF("doc_id", "text", "source")
+    assert(IncrementalNearDup.processBatch(batch, store) == 1,
+      "chain collapses to its minimum on first ingest")
+    assert(IncrementalNearDup.processBatch(batch, store) == 0,
+      "replay of the chain batch must append nothing (A stays rejected)")
+  }
+
   test("sessionization closes sessions by gap (inline) and by watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
