@@ -373,13 +373,17 @@ object TextDedup {
     * A self-join formulation recomputes the whole shingle pipeline for
     * both sides and shuffles twice — it measured 4.3 s at sf0.1 in the
     * warmed suite where the rest of the gram pipeline family (q29/q85)
-    * runs well under 1 s; this one-pass form removes the recompute. Shuffles carry a 16-hex md5 key, never gram text,
-    * and the oracle replays the same truncated-md5 keys, so even hash
-    * collisions (≈2⁻⁶⁴) cannot diverge the two engines. */
+    * runs well under 1 s; this one-pass form removes the recompute.
+    * Shingle identities are the native one-pass 64-bit FNV hashes
+    * (token_ngram_distinct_hashes: no shingle-string materialization, no
+    * per-gram md5 — the same move that took q85 from 3.9 to 1.1 s), so
+    * shuffles carry longs, never gram text; the raw-string oracle matches
+    * exactly absent a 2⁻⁶⁴ collision (q85/q118's accepted discipline). */
   def crossGroupOverlap(docs: DataFrame, groupCol: String, textCol: String,
                         k: Int = 5): DataFrame =
-    shingles(docs, groupCol, textCol, k)
-      .select(col(groupCol).as("g"), substring(md5(col("sh")), 1, 16).as("gh"))
+    docs.select(col(groupCol).as("g"),
+        explode(graft.functions.TokenNgrams
+          .token_ngram_distinct_hashes(col(textCol), k)).as("gh"))
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("g"))).as("gs"))
       .where(size(col("gs")) >= 2)

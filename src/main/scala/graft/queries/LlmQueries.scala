@@ -1426,12 +1426,15 @@ object LlmQueries {
     // 5-gram) postings, hash-keyed self-join, lexicographic pair order.
     // Joining on the SAME truncated md5 keys as Spark means even a hash
     // collision cannot diverge the engines.
+    // Raw-string shingle identities (the Spark side joins on their FNV
+    // hashes — q85/q118's discipline; counts equal absent a 2^-64
+    // collision).
     "q104_source_overlap" ->
       """WITH toks AS (SELECT source, string_split(text,' ') AS t FROM documents
         |              WHERE len(string_split(text,' ')) >= 5),
         |g AS (SELECT DISTINCT source,
-        |        substr(md5(unnest([array_to_string(t[i:i+4], ' ')
-        |                           for i in range(1, len(t)-3)])), 1, 16) AS gh
+        |        unnest([array_to_string(t[i:i+4], ' ')
+        |                for i in range(1, len(t)-3)]) AS gh
         |      FROM toks)
         |SELECT a.source AS group_a, b.source AS group_b,
         |  CAST(count(*) AS BIGINT) AS n_shared_grams
