@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *   exact_dedup    1x rows=4,992   0.4 s       10x rows=4,992     1.2-1.4 s
   *   tfidf_topk     1x rows=15      1.1 s       10x rows=15        2.5 s
   *   bm25_topk      1x rows=15      1.0 s       10x rows=15        2.6 s
-  *   source_overlap 1x rows=190     5.3-5.5 s   10x rows=190       5.3 s
+  *   source_overlap 1x rows=190     1.5 s       10x rows=190       1.7 s
   * }}}
-  * (source_overlap measured 2026-08-13 on a loaded machine — compare its 1x
-  * and 10x to each other, not to the rows above.)
+  * (source_overlap re-measured 2026-08-13 after the switch to native FNV
+  * shingle hashes — pre-switch it was 5.3-5.5 s flat across factors; the
+  * shape is unchanged, the constant is 3x smaller.)
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
