@@ -34,7 +34,8 @@ object TextRank {
   private def tfidfMu(docs: DataFrame, idCol: String, textCol: String,
                       queryTerms: Option[DataFrame], minTermLen: Int): DataFrame = {
     val exploded = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-    val toks = if (minTermLen > 1) exploded.where(length(col("term")) >= minTermLen)
+    // minTermLen >= 1 also drops the empty tokens a run of spaces produces
+    val toks = if (minTermLen >= 1) exploded.where(length(col("term")) >= minTermLen)
                else exploded
     val base = queryTerms.fold(toks)(qt => toks.join(qt, "term"))
     val tf = base.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))

@@ -1422,13 +1422,9 @@ object LlmQueries {
         |JOIN f2 ON f2.doc_id = f0.doc_id AND f2.pos = f0.pos + 2
         |GROUP BY f0.doc_id""".stripMargin,
 
-    // Mirrors TextDedup.crossGroupOverlap: distinct (source, md5-16 of the
-    // 5-gram) postings, hash-keyed self-join, lexicographic pair order.
-    // Joining on the SAME truncated md5 keys as Spark means even a hash
-    // collision cannot diverge the engines.
-    // Raw-string shingle identities (the Spark side joins on their FNV
-    // hashes — q85/q118's discipline; counts equal absent a 2^-64
-    // collision).
+    // Mirrors TextDedup.crossGroupOverlap with raw-string shingle
+    // identities (the Spark side groups on their FNV hashes — q85/q118's
+    // discipline; counts equal absent a 2^-64 collision).
     "q104_source_overlap" ->
       """WITH toks AS (SELECT source, string_split(text,' ') AS t FROM documents
         |              WHERE len(string_split(text,' ')) >= 5),

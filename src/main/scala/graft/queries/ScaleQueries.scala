@@ -466,8 +466,10 @@ object ScaleQueries {
       val sh = assigned.select(col("split"), col("doc_id"),
         explode(graft.functions.TokenNgrams
           .token_ngram_distinct_hashes(col("text"), 13)).as("sh"))
-      val train = sh.where(col("split") === "train").select(col("sh")).distinct()
-      val test = sh.where(col("split") === "test").select(col("doc_id"), col("sh"))
+      val train = sh.where(col("split") === splitBounds.head._1)
+        .select(col("sh")).distinct()
+      val test = sh.where(col("split") === splitLast)
+        .select(col("doc_id"), col("sh"))
       test.join(train, Seq("sh"), "left_semi")
         .agg(count_distinct(col("sh")).as("n_leaky_shingles"),
           count_distinct(col("doc_id")).as("n_test_docs_affected"))

@@ -687,8 +687,10 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .toDF("grp", "id", "v")
     // group a: median 5.5, adevs [4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5],
     // MAD 2.5 -> cutoff 7.5 flags only the 100. group b: MAD 1.0, none.
-    val got = graft.operators.Robust.madOutliers(df, "grp", "id", "v", cutoff = 3.0)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
-    assert(got.toSeq == Seq(("a", 990L, 100L, 5.5, 2.5)))
+    try {
+      val got = graft.operators.Robust.madOutliers(df, "grp", "id", "v", cutoff = 3.0)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      assert(got.toSeq == Seq(("a", 990L, 100L, 5.5, 2.5)))
+    } finally graft.operators.CacheScope.drain() // madOutliers persists its dev table
   }
 }

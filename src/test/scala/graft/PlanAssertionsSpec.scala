@@ -95,9 +95,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("q111: MAD screen broadcasts both stat tables; the value table is never shuffled wide") {
-    val p = plan("q111_mad_outliers")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      "group-stat joins must broadcast the tiny median/MAD tables")
-    assert(!p.contains("CartesianProduct"))
+    try {
+      val p = plan("q111_mad_outliers")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        "group-stat joins must broadcast the tiny median/MAD tables")
+      assert(!p.contains("CartesianProduct"))
+    } finally graft.operators.CacheScope.drain() // madOutliers registers a persist
   }
 }
