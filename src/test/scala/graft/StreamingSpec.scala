@@ -283,6 +283,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState first-seen: emits each (user, type) once across batches; cap bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingAgg.Event]
+    val q = StreamingAgg.startToMemory(
+      graft.streaming.StatefulFirstSeen.firstSeenTypes(input.toDS(), maxTypes = 2).toDF(),
+      "first_seen_test")
+    try {
+      // user 1 registers both cap slots in batch 1 (set-compare keeps this
+      // independent of within-key row order); user 2 registers one
+      input.addData(
+        StreamingAgg.Event(1, ts("2025-01-01 10:00:00"), 1, "click", 1.0),
+        StreamingAgg.Event(2, ts("2025-01-01 10:01:00"), 1, "view", 1.0),
+        StreamingAgg.Event(3, ts("2025-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: repeat type (dropped), third type for the full user 1
+      // (cap-dropped deterministically — n already 2), new type for user 2
+      input.addData(
+        StreamingAgg.Event(4, ts("2025-01-01 11:00:00"), 1, "click", 1.0),
+        StreamingAgg.Event(5, ts("2025-01-01 11:01:00"), 1, "purchase", 1.0),
+        StreamingAgg.Event(6, ts("2025-01-01 11:02:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_type FROM first_seen_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "click"), (1L, "view"), (2L, "view"), (2L, "click")),
+        s"each type once per user, cap at 2: $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental near-dup replay: transitive in-batch rejection chain stays rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, split}
