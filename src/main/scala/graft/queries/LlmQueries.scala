@@ -575,6 +575,25 @@ object LlmQueries {
             .otherwise(0L).as("keep"))
     }),
 
+    // Quality-aware retention: within each near-dup cluster keep the
+    // LONGEST member (ties to the smaller id) instead of q91's min-id —
+    // the policy real dedup stages ship (the longest variant of a template
+    // family is usually the complete one). Same shared cluster lineage;
+    // the per-cluster argmax is a max-struct aggregate joined back, not a
+    // window. Output covers clustered docs only (q91 is the full worklist).
+    "q121_retention_longest" -> ((s, d) => {
+      val clusters = TextDedup.connectedComponents(nearDupPairs(s, d))
+      val members = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .join(broadcast(clusters), Seq("doc_id"))
+      val best = members.groupBy(col("cluster_id"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_id"), (-col("m.nid")).as("keep_id"))
+      members.join(broadcast(best), Seq("cluster_id"))
+        .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+          when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+    }),
+
     // Sessionization: 30-minute-gap session windows per user (events <= gap
     // apart merge; window end = last event + gap). Inputs are second-
     // truncated on both sides so engine timestamp precision can't flip a
@@ -1346,6 +1365,20 @@ object LlmQueries {
 
     "q61_dedup_clusters" -> (clusterCte + """
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+    // Mirrors q121 over the shared cluster lineage: longest member kept,
+    // ties to the smaller id, replayed as a row_number argmax.
+    "q121_retention_longest" -> (clusterCte + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |mem AS (SELECT cl.cluster_id, d.doc_id, d.n_chars
+        |        FROM cl JOIN documents d USING (doc_id)),
+        |rk AS (SELECT cluster_id, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |       FROM mem)
+        |SELECT cluster_id, doc_id, n_chars,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM rk""".stripMargin),
 
     "q91_dedup_retention" -> (clusterCte + """,
         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)

@@ -635,6 +635,19 @@ class LlmOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-aware retention keeps exactly the longest member per cluster") {
+    val rows = SparkEntry.queries("q121_retention_longest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCluster = rows.groupBy(_._1)
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._4 == 1L) == 1, s"cluster $c keeps exactly one")
+      val kept = ms.find(_._4 == 1L).get
+      val best = ms.maxBy(m => (m._3, -m._2))
+      assert(kept._2 == best._2, s"cluster $c must keep longest, tie smaller id")
+    }
+  }
+
   test("cluster histogram conserves clustered docs and excludes singletons by construction") {
     val clusters = TextDedup.connectedComponents(
       TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5))
