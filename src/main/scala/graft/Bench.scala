@@ -100,13 +100,18 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, artifact.getBytes("UTF-8"))
-    // Line order is dictated by the driver's ~2 KB log-TAIL capture: the r6
-    // artifact lost q01-q25 because the 100-query full-name line overflowed
-    // it. So the long full-name line goes FIRST (intact in complete logs,
-    // sacrificial in the tail), then per-query CHUNK lines with short keys
-    // (qNN prefix — unique by construction; 4 chunks ≈ 400 B each), with the
-    // short total line LAST so it always survives.
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${queriesJson(results)}$errJson,"sf":"$sfDir"}""")
+    // Line order serves two consumers. Tail-window fallback first: per-query
+    // CHUNK lines with short keys (qNN prefix — unique by construction;
+    // ≈400 B each) and a short total line, so a truncated capture still
+    // carries per-query data. Then the driver's `parsed` field (r8 verdict
+    // item 3): it json-parses the FINAL log line, so a complete summary
+    // object goes LAST and nothing may print after it (spark.stop() runs
+    // before, in case shutdown logs share the stream). The final line uses
+    // the SHORT query keys: the full-name map is ~3.4 KB at 121 queries and
+    // the driver's tail capture is ~2 KB (the r6 lesson) — a truncated
+    // final line is unparseable AND evicts the fallback chunks. Short keys
+    // hold the whole line near 1.4 KB; the full-name map lives in the file
+    // artifact above.
     val shortKeyed = results.map { case (k, v, _) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
     val nChunks = math.max(1, (shortKeyed.size + 24) / 25)
@@ -115,6 +120,7 @@ object Bench {
     }
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":${shortKeyed.mkString("{", ",", "}")}$errJson}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }

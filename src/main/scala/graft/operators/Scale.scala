@@ -137,7 +137,13 @@ object Scale {
     * fractions, so an oracle compares against the identical doubles. */
   def splitAssign(idCol: Column, bounds: Seq[(String, Double)],
                   lastSplit: String): Column = {
-    require(bounds.map(_._2) == bounds.map(_._2).sorted, "bounds must ascend")
+    val cuts = bounds.map(_._2)
+    require(cuts.forall(c => c > 0.0 && c < 1.0),
+      s"split bounds must lie strictly inside (0,1): $cuts")
+    require(cuts.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"bounds must strictly ascend (a duplicate cut shadows a split): $cuts")
+    val names = bounds.map(_._1) :+ lastSplit
+    require(names.distinct == names, s"split names must be distinct: $names")
     val u = Sketches.hash60(idCol) / lit((1L << 60).toDouble)
     bounds.foldRight(lit(lastSplit)) { case ((name, cut), els) =>
       when(u < lit(cut), lit(name)).otherwise(els)

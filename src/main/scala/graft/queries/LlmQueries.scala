@@ -561,14 +561,16 @@ object LlmQueries {
     // Dedup retention policy — the KEEP/DROP decision the cluster map exists
     // for: every document joins its cluster (left: most docs are in none),
     // the cluster representative (min doc_id = the cluster_id itself) is
-    // kept, all other members are dropped. One broadcast-size left join on
-    // top of the shared candidate graph; the output is the exact worklist a
+    // kept, all other members are dropped. The cluster map grows with the
+    // duplicated fraction of the corpus (unbounded at 100x), so no broadcast
+    // hint: the doc_id equi-join shuffles cleanly and AQE may still pick
+    // broadcast while the map is small. The output is the exact worklist a
     // corpus-pruning stage executes.
     "q91_dedup_retention" -> ((s, d) => {
       val clusters = TextDedup.connectedComponents(nearDupPairs(s, d))
       table(s, d, "documents")
         .select(col("doc_id"), col("source"))
-        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
           when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), 1L)
@@ -581,15 +583,18 @@ object LlmQueries {
     // family is usually the complete one). Same shared cluster lineage;
     // the per-cluster argmax is a max-struct aggregate joined back, not a
     // window. Output covers clustered docs only (q91 is the full worklist).
+    // Like q91, the cluster map (one row per clustered doc) and `best` (one
+    // row per cluster) are unbounded at scale — plain equi-joins, AQE decides
+    // broadcast vs shuffle by measured size.
     "q121_retention_longest" -> ((s, d) => {
       val clusters = TextDedup.connectedComponents(nearDupPairs(s, d))
       val members = table(s, d, "documents")
         .select(col("doc_id"), col("n_chars"))
-        .join(broadcast(clusters), Seq("doc_id"))
+        .join(clusters, Seq("doc_id"))
       val best = members.groupBy(col("cluster_id"))
         .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
         .select(col("cluster_id"), (-col("m.nid")).as("keep_id"))
-      members.join(broadcast(best), Seq("cluster_id"))
+      members.join(best, Seq("cluster_id"))
         .select(col("cluster_id"), col("doc_id"), col("n_chars"),
           when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
     }),

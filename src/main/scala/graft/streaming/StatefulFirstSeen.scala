@@ -21,25 +21,39 @@ import graft.streaming.StreamingAgg.Event
   * `spark.sql.streaming.stateStore.providerClass` to
   * `...state.RocksDBStateStoreProvider` on the session), keyed by user:
   * per-key state is ≤ maxTypes map entries + one counter, partitioned by
-  * the stream's key hash — no global structure anywhere. */
+  * the stream's key hash — no global structure anywhere. State hygiene for
+  * a long-running stream comes from the optional `ttl`: both state
+  * variables carry the same processing-time TTL, so a user idle past the
+  * TTL is silently evicted from RocksDB and re-emits as newly-seen on
+  * return — the "first seen in the last N days" semantics a trigger
+  * pipeline actually wants, and the bound that keeps total state
+  * proportional to ACTIVE keys instead of all keys ever seen. */
 object StatefulFirstSeen {
 
   final case class FirstSeen(user_id: Long, event_type: String)
 
-  class Processor(maxTypes: Int)
+  class Processor(maxTypes: Int, ttl: TTLConfig)
       extends StatefulProcessor[Long, Event, FirstSeen] {
     @transient private var seen: MapState[String, Boolean] = _
     @transient private var nSeen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getMapState("seen",
-        Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
-      nSeen = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.STRING, Encoders.scalaBoolean, ttl)
+      nSeen = getHandle.getValueState("n", Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
-                                 timers: TimerValues): Iterator[FirstSeen] =
-      rows.flatMap { e =>
+                                 timers: TimerValues): Iterator[FirstSeen] = {
+      // Spark does NOT order a key's rows by event time within a batch, so
+      // an as-delivered fold would let shuffle arrival order decide WHICH
+      // types claim the cap slots. Buffer + sort pins "first seen" to
+      // event-time order (ties: type, then id) — deterministic under
+      // replays and repartitions. The buffer is one key's slice of one
+      // micro-batch, the same bound every sort-based streaming agg carries.
+      val ordered = rows.toArray
+        .sortBy(e => (e.ts.getTime, e.event_type, e.event_id))
+      ordered.iterator.flatMap { e =>
         val n = if (nSeen.exists()) nSeen.get() else 0L
         if (n < maxTypes && !seen.containsKey(e.event_type)) {
           seen.updateValue(e.event_type, true)
@@ -47,13 +61,22 @@ object StatefulFirstSeen {
           Iterator.single(FirstSeen(key, e.event_type))
         } else Iterator.empty
       }
+    }
   }
 
   /** Append-mode first-seen stream, keyed by user. The session must run the
-    * RocksDB state store provider (transformWithState's requirement). */
-  def firstSeenTypes(events: Dataset[Event], maxTypes: Int): Dataset[FirstSeen] = {
+    * RocksDB state store provider (transformWithState's requirement).
+    * `ttl` (processing-time) expires an idle user's registry so it re-emits
+    * on return; TTL requires TimeMode.ProcessingTime, which the method
+    * selects automatically. */
+  def firstSeenTypes(events: Dataset[Event], maxTypes: Int,
+                     ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
     import events.sparkSession.implicits._
+    val (cfg, mode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
     events.groupByKey(_.user_id)
-      .transformWithState(new Processor(maxTypes), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(maxTypes, cfg), mode, OutputMode.Append())
   }
 }

@@ -706,4 +706,45 @@ class LlmOperatorsSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(("a", 990L, 100L, 5.5, 2.5)))
     } finally graft.operators.CacheScope.drain() // madOutliers persists its dev table
   }
+
+  test("madOutliers approx: bounded-state sketch path flags the same separated outliers") {
+    import spark.implicits._
+    // skewed fixture: a tight Zipf-ish body plus far-separated outliers per
+    // group — the regime where sketch medians may wobble but a cutoff-3
+    // screen must flag the identical set
+    val rows = (for {
+      g <- Seq("s1", "s2")
+      i <- 1 to 200
+    } yield (g, i.toLong + (if (g == "s1") 0 else 1000), (50 + i % 21).toLong)) ++
+      Seq(("s1", 900L, 5000L), ("s2", 1900L, 4000L), ("s2", 1901L, 0L))
+    val df = rows.toDF("grp", "id", "v")
+    try {
+      def flags(approx: Boolean) =
+        graft.operators.Robust.madOutliers(df, "grp", "id", "v",
+            cutoff = 3.0, approx = approx)
+          .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val exact = flags(approx = false)
+      assert(exact == Set(("s1", 900L), ("s2", 1900L), ("s2", 1901L)),
+        s"exact path must flag exactly the separated outliers: $exact")
+      assert(flags(approx = true) == exact,
+        "approx path must agree on well-separated outliers at cutoff 3")
+    } finally graft.operators.CacheScope.drain()
+  }
+
+  test("madOutliers madFloor: suppresses the MAD=0 flood on near-constant groups") {
+    import spark.implicits._
+    // >half identical values => MAD 0 => strict test flags every nonzero
+    // deviation; a floor of 5 keeps the tiny wobbles and still flags the spike
+    val df = (Seq.fill(6)(100L) ++ Seq(101L, 99L, 400L)).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
+    try {
+      val noFloor = graft.operators.Robust.madOutliers(df, "grp", "id", "v", cutoff = 3.0)
+        .select("v").collect().map(_.getLong(0)).toSet
+      assert(noFloor == Set(101L, 99L, 400L), s"MAD=0 floods every deviation: $noFloor")
+      val floored = graft.operators.Robust.madOutliers(df, "grp", "id", "v",
+          cutoff = 3.0, madFloor = 5.0)
+        .select("v").collect().map(_.getLong(0)).toSet
+      assert(floored == Set(400L), s"floor keeps only the true spike: $floored")
+    } finally graft.operators.CacheScope.drain()
+  }
 }

@@ -73,16 +73,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("__probe"))
   }
 
-  test("q109: RRF fuse ends in a bounded top-k, and its only windows sit on LIMIT-bounded lists") {
-    val p = plan("q109_hybrid_rrf")
-    assert(p.contains("TakeOrderedAndProject"), "final fuse ordering must be top-k, not a global sort")
-    // the sparse rank window ranks the 50-row BM25 list: a GlobalLimit must
-    // appear BELOW any window in the plan tree (limits feed the windows)
-    val winIdx = p.indexOf("Window")
-    val limIdx = p.indexOf("GlobalLimit")
-    assert(winIdx < 0 || (limIdx >= 0 && p.lastIndexOf("GlobalLimit") > winIdx) ||
-      p.indexOf("TakeOrderedAndProject", winIdx) >= 0,
-      "rank windows must consume LIMIT-bounded inputs")
+  test("q109: RRF fuse ends in a bounded top-k, and every window's subtree is LIMIT-bounded") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // pre-AQE physical tree: traversable, and what the string assertions see
+    val p = SparkEntry.queries("q109_hybrid_rrf")(spark, sf).queryExecution.sparkPlan
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "final fuse ordering must be top-k, not a global sort")
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the sparse-list rank window")
+    // each rank window must consume a LIMIT-bounded input — GlobalLimit /
+    // top-k for the 50-row fused lists, or a WindowGroupLimit (rank-limit
+    // pushdown: ≤ k rows per group reach the window). A window directly
+    // over the corpus would pass the old string-index check but fails this
+    // subtree walk.
+    windows.foreach { w =>
+      val bounded = w.child.collect {
+        case l: GlobalLimitExec => l: Any
+        case t: TakeOrderedAndProjectExec => t: Any
+        case g: WindowGroupLimitExec => g: Any
+      }
+      assert(bounded.nonEmpty, s"window over unbounded input:\n$w")
+    }
+  }
+
+  test("q91/q121: retention joins carry no broadcast hint on the growing cluster map") {
+    // the cluster map is one row per clustered document (and `best` one row
+    // per cluster) — unbounded at 100x scale. AQE may still pick broadcast
+    // at tiny SF from measured size; a *forced* hint must never reappear.
+    Seq("q91_dedup_retention", "q121_retention_longest").foreach { q =>
+      val logical = SparkEntry.queries(q)(spark, sf).queryExecution.logical.toString
+      assert(!logical.toLowerCase.contains("unresolvedhint (broadcast"),
+        s"$q must not hard-hint broadcast of the cluster map")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+    }
   }
 
   test("q113: split plan is one narrow projection + one partial-aggregated exchange") {

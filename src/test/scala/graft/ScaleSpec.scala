@@ -296,5 +296,19 @@ class ScaleSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.9, "b" -> 0.5), "c")
     }
+    // bounds outside (0,1) would silently starve lastSplit; duplicate cuts
+    // shadow a split; duplicate names merge two carves — all rejected eagerly
+    assertThrows[IllegalArgumentException] {
+      Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.9, "b" -> 1.2), "c")
+    }
+    assertThrows[IllegalArgumentException] {
+      Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.0), "c")
+    }
+    assertThrows[IllegalArgumentException] {
+      Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.5, "b" -> 0.5), "c")
+    }
+    assertThrows[IllegalArgumentException] {
+      Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.5, "c" -> 0.9), "c")
+    }
   }
 }

@@ -276,10 +276,16 @@ class StreamingSpec extends AnyFunSuite {
         (40L, base + " extra", "crawl4"),
         (41L, (1 to 30).map(i => s"fresh$i").mkString(" "), "crawl4"))
       q.processAllAvailable()
-      val accepted = spark.read.parquet(store).where($"band" === -1)
+      val accepted = spark.read.parquet(store).where($"band" === -1 && $"member")
         .select("doc_id").as[Long].collect().toSet
       assert(accepted == Set(10L, 21L, 30L, 41L),
-        s"store holds exactly the accepted corpus, got $accepted")
+        s"member sentinels are exactly the accepted corpus, got $accepted")
+      // rejected docs leave NON-member sentinels (the cross-batch
+      // transitive-family record); in-batch dup 11 and store near-dups 20, 40
+      val nonMember = spark.read.parquet(store).where($"band" === -1 && !$"member")
+        .select("doc_id").as[Long].collect().toSet
+      assert(nonMember == Set(11L, 20L, 40L),
+        s"rejected docs' sentinels recorded as non-member, got $nonMember")
     } finally q.stop()
   }
 
@@ -321,6 +327,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL: idle key's registry expires and re-emits on return") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingAgg.Event]
+    // CAUTION: with TimeMode.ProcessingTime (what TTL requires) the operator
+    // reports shouldRunAnotherBatch=true on every batch, so the engine never
+    // sets noNewData and processAllAvailable() NEVER RETURNS — the sink must
+    // be polled for expected rows instead, with sentinel users proving a
+    // batch landed when the interesting row is a suppression (no output).
+    // The 1 s trigger throttles the resulting free-running empty batches.
+    // TTL is a generous 8 s so the within-TTL batch can't race expiry on a
+    // loaded box; the post-sleep batch is safely past it.
+    val q = graft.streaming.StatefulFirstSeen
+      .firstSeenTypes(input.toDS(), maxTypes = 2,
+        ttl = Some(java.time.Duration.ofSeconds(8))).toDF()
+      .writeStream.format("memory").queryName("first_seen_ttl_test")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.sql("SELECT * FROM first_seen_ttl_test").count() < n) {
+        if (System.nanoTime() > deadline) fail(s"sink never reached $n rows")
+        if (!q.isActive) throw q.exception.getOrElse(fail("query died"))
+        Thread.sleep(200)
+      }
+    }
+    try {
+      input.addData(StreamingAgg.Event(1, ts("2025-01-01 10:00:00"), 1, "click", 1.0))
+      awaitRows(1)
+      // still inside the TTL window: user 1's duplicate type stays
+      // suppressed; sentinel user 99's first-seen emit proves the batch ran
+      input.addData(
+        StreamingAgg.Event(2, ts("2025-01-01 10:00:30"), 1, "click", 1.0),
+        StreamingAgg.Event(3, ts("2025-01-01 10:00:31"), 99, "view", 1.0))
+      awaitRows(2)
+      Thread.sleep(10000) // let the processing-time TTL lapse (8 s + margin)
+      input.addData(StreamingAgg.Event(4, ts("2025-01-01 11:00:00"), 1, "click", 1.0))
+      awaitRows(3)
+      val got = spark.sql("SELECT user_id, event_type FROM first_seen_ttl_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.count(_ == (1L, "click")) == 2 && got.contains((99L, "view")),
+        s"one emit per TTL window — suppressed inside, re-emitted after: $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental near-dup replay: transitive in-batch rejection chain stays rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, split}
@@ -343,13 +404,15 @@ class StreamingSpec extends AnyFunSuite {
       m = ((1 to 30).map(j => if (j <= i) s"mid$j" else s"tok$j")).mkString(" ")
       mb = bandSet(m)
       if (mb intersect sb).nonEmpty
-      k <- (1 to 24).iterator
-      a = ((1 to 30).map(j => if (j > 30 - k) s"end$j" else if (j <= i) s"mid$j" else s"tok$j")).mkString(" ")
-      ab = bandSet(a)
-      if (ab intersect mb).nonEmpty && (ab intersect sb).isEmpty
-    } yield (m, a)).buffered.headOption
-    assert(chain.isDefined, "no S~M~A chain found in the search space")
-    val (m, a) = chain.get
+      as = (1 to 24).flatMap { k =>
+        val a = ((1 to 30).map(j => if (j > 30 - k) s"end$j" else if (j <= i) s"mid$j" else s"tok$j")).mkString(" ")
+        val ab = bandSet(a)
+        if ((ab intersect mb).nonEmpty && (ab intersect sb).isEmpty) Some(a) else None
+      }
+      if as.size >= 2
+    } yield (m, as(0), as(1))).buffered.headOption
+    assert(chain.isDefined, "no S~M~{A,A2} chain found in the search space")
+    val (m, a, a2) = chain.get
     val root = java.nio.file.Files.createTempDirectory("inc_neardup_chain").toString
     val store = s"$root/store"
     val batch = Seq((1L, s, "c"), (2L, m, "c"), (3L, a, "c"))
@@ -358,6 +421,17 @@ class StreamingSpec extends AnyFunSuite {
       "chain collapses to its minimum on first ingest")
     assert(IncrementalNearDup.processBatch(batch, store) == 0,
       "replay of the chain batch must append nothing (A stays rejected)")
+    // cross-batch transitivity (r8 advisor gap): rejected docs' signatures
+    // are stored non-member, so a LATER batch's near-dup of the rejected M
+    // family — A2 collides with M/A bands but NOT with the member S — still
+    // goes out; and the rejected content itself, re-sent alone under a new
+    // id, is sentinel-guarded
+    val laterNearDup = Seq((9L, a2, "c2")).toDF("doc_id", "text", "source")
+    assert(IncrementalNearDup.processBatch(laterNearDup, store) == 0,
+      "near-dup of a rejected doc must stay rejected across batches")
+    val resent = Seq((99L, a, "c3")).toDF("doc_id", "text", "source")
+    assert(IncrementalNearDup.processBatch(resent, store) == 0,
+      "transitively-rejected content re-sent alone stays rejected")
   }
 
   test("sessionization closes sessions by gap (inline) and by watermark timeout") {
