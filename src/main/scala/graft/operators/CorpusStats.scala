@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for LLM-data analysis: collocation mining
+  * (PMI) and Zipf-law fit — the "what is IN this corpus" companions to the
+  * per-document quality screens (entropy, repetition, LM cross-entropy).
+  *
+  * Scale design: both operators reduce the corpus to its VOCABULARY before
+  * any expensive step. Vocabulary-sized tables are Zipf-bounded — they grow
+  * roughly with the log of the corpus, not its size — so vocabulary-keyed
+  * shuffles, windows over per-group vocab, and pair expansions bounded by
+  * per-document distinct terms all survive a 100x corpus where anything
+  * corpus x corpus would not.
+  *
+  * Determinism: log values are quantized to integer micro-units
+  * (`round(ln(x)·1e6)` as BIGINT — the TextLm/TextRank discipline) before
+  * any sum, so aggregates are exact integer arithmetic, order-free under
+  * partial aggregation, and replayable bit-for-bit by a SQL oracle.
+  */
+object CorpusStats {
+
+  /** Within-document token co-occurrence PMI — collocation mining, the
+    * classic phrase/word-association signal (Church & Hanks 1990):
+    * pmi(a,b) = ln( N · docs(a,b) / (docs(a) · docs(b)) ) over DOCUMENT
+    * co-occurrence counts. Output: tok_a, tok_b (tok_a < tok_b), n_ab,
+    * pmi (6 dp) for pairs with n_ab >= minPairCount.
+    *
+    * Plan: per-doc DISTINCT tokens (one narrow explode), then a doc-keyed
+    * self-join expands each document's token-pair set — bounded by
+    * (per-doc distinct tokens)^2, the collocation-mining analogue of the
+    * LSH bucket expansion, NOT corpus x corpus. At web scale the expansion
+    * is capped the same way q75 caps gram buckets: drop ubiquitous tokens
+    * first (df cap) — here `maxDfFrac` excludes tokens in more than that
+    * fraction of documents (1.0 = keep all; stopword-class tokens pair
+    * with everything and carry no collocation signal anyway). The pair
+    * count + the two unary counts meet through pair-keyed equi-joins.
+    *
+    * The single ln() runs once per surviving PAIR TYPE on an exact integer
+    * ratio, rounded to 6 dp — no sums over doubles anywhere. */
+  def tokenPmi(docs: DataFrame, idCol: String, textCol: String,
+               minPairCount: Long, maxDfFrac: Double = 1.0): DataFrame = {
+    val dt = docs.select(col(idCol).as("__id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .where(length(col("tok")) >= 1)
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val ca = dt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val kept = if (maxDfFrac >= 1.0) ca else
+      ca.join(broadcast(nDocs), // 1-row stats table
+          col("c") <= col("n_docs").cast("double") * lit(maxDfFrac))
+        .select(col("tok"), col("c"))
+    val dtk = dt.join(kept.select(col("tok")), "tok")
+    val pairs = dtk.join(
+        dtk.select(col("__id"), col("tok").as("tok_b")), "__id")
+      .where(col("tok") < col("tok_b"))
+      .groupBy(col("tok").as("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(kept.select(col("tok").as("tok_a"), col("c").as("__ca")), "tok_a")
+      .join(kept.select(col("tok").as("tok_b"), col("c").as("__cb")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_docs") * col("n_ab")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")), 6).as("pmi"))
+  }
+
+  /** Per-group Zipf-law fit: least-squares slope of ln(frequency) against
+    * ln(rank) over each group's top `topK` terms (natural text sits near
+    * slope -1; machine-generated or template text departs sharply — a
+    * corpus-forensics signal). Output: group, n_terms, zipf_slope (6 dp).
+    *
+    * Plan: one token count keyed on (group, term), then a rank window over
+    * the per-group VOCABULARY (Zipf-bounded — the q82 precedent), truncated
+    * to topK rows per group; the regression consumes ≤ topK rows per group.
+    * Slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over micro-unit logs: every
+    * sum is exact BIGINT arithmetic (|x|,|y| ≤ ~2e7 at any realistic count,
+    * so n·Σxy stays far under 2^63), the one division happens per GROUP.
+    * Ties rank deterministically (count desc, term asc). */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String,
+                topK: Int = 100): DataFrame = {
+    val cnt = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("c"))
+    val top = cnt.withColumn("r", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("c").desc, col("tok").asc)))
+      .where(col("r") <= topK)
+    top.select(col("__g"),
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)").as("y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("__g").as(groupCol), col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"))
+  }
+}

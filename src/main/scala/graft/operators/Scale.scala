@@ -103,6 +103,40 @@ object Scale {
       .select(col(keyCol), col("e._2").as(idCol))
   }
 
+  /** Temperature-scaled source mixing plan — the multilingual/multi-source
+    * sampling-weight computation (the alpha-scaled mixing of mBERT/XLM-R
+    * and LLM data recipes): each source's sampling probability is
+    * proportional to its token mass raised to alpha < 1, upweighting the
+    * tail sources a proportional mix would starve. This operator fixes
+    * alpha = 0.5 (sqrt — correctly rounded IEEE in every engine, so the
+    * plan is exactly replayable; other alphas need pow(), whose last-ulp
+    * behavior is libm-specific — quantize before summing if you add one).
+    * Output per source: n_docs, n_tokens, p_sample, expected_docs (share
+    * of `budget` at that probability).
+    *
+    * Plan: one narrow scan + a |sources|-group aggregate; weights are
+    * quantized to integer micro-units BEFORE the global sum (exact BIGINT
+    * arithmetic — the TextRank/TextLm discipline), and the 1-row total is
+    * broadcast back. Nothing here grows with the corpus except the scan. */
+  def temperatureMix(df: DataFrame, groupCol: String, textCol: String,
+                     budget: Long): DataFrame = {
+    val mass = df
+      .select(col(groupCol), (length(col(textCol)) -
+          length(replace(col(textCol), lit(" "), lit(""))) + 1)
+          .cast("bigint").as("__toks"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"))
+      .withColumn("__w_mu",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val total = mass.agg(sum(col("__w_mu")).as("__tw"))
+    mass.crossJoin(broadcast(total)) // 1-row total
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        (col("__w_mu").cast("double") / col("__tw").cast("double"))
+          .as("p_sample"),
+        expr(s"CAST(round(CAST(__w_mu AS DOUBLE) / CAST(__tw AS DOUBLE) * $budget) AS BIGINT)")
+          .as("expected_docs"))
+  }
+
   /** Training-shard export plan: assign every document to one of `nShards`
     * shards by a deterministic content-independent hash of its id, and
     * report each shard's document / token / char totals — the sizing pass a

@@ -147,4 +147,34 @@ object Temporal {
         .select(lit(i).as("step_idx"), lit(st).as("step"), col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** First-order Markov transition matrix over each key's time-ordered
+    * event stream: for every observed (state -> next state) pair, its count
+    * and conditional probability — the user-journey / session-path summary
+    * a funnel (see [[funnelSteps]]) is a special case of. Output:
+    * typeCol, next_type, n, p_next.
+    *
+    * Plan: one `lead` window partitioned BY KEY (state = one key's events,
+    * bounded by per-key activity — never a global sort), then a keyed count
+    * on the (state, next) pair — |states|²-bounded output regardless of
+    * corpus size. p_next divides two exact BIGINTs (count over the
+    * per-state total via a second tiny keyed agg joined back — a broadcast
+    * at any scale since it is |states| rows).
+    *
+    * Determinism: within-key order is (ts, tieCol) — equal timestamps are
+    * broken by the unique event id, so the successor relation is a pure
+    * function of the data. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(typeCol), lead(col(typeCol), 1).over(w).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy(col(typeCol), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col(typeCol)).agg(sum(col("n")).as("__t"))
+    pairs.join(broadcast(totals), typeCol) // |states| rows — always tiny
+      .select(col(typeCol), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("p_next"))
+  }
 }

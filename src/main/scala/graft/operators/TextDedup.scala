@@ -420,4 +420,36 @@ object TextDedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Per-document duplicated-n-gram fraction: of each document's DISTINCT
+    * word-n-grams, the share that also appears in at least `minDocs`-1
+    * OTHER documents — the cross-document memorization signal (C4 ships a
+    * 3-sentence version; n-gram granularity is the Gopher/RefinedWeb
+    * variant). High values mark boilerplate: docs assembled from spans the
+    * corpus repeats, which exact and near dedup both miss when the
+    * surrounding text differs. Documents shorter than n tokens have no
+    * n-grams and are omitted. Output: doc_id, n_grams, n_dup, dup_frac.
+    *
+    * Plan: one corpus pass via the native one-pass 64-bit gram hashes
+    * ([[graft.functions.TokenNgrams]] — per-doc distinct by construction,
+    * shuffles carry longs, never gram strings); gram document-frequency is
+    * ONE gram-keyed count over that same table (each doc contributes a
+    * gram once, so count(*) = document frequency), joined back gram-keyed
+    * and re-aggregated per doc. Both shuffles are keyed, nothing is
+    * corpus x corpus, and the gram table is the same one the dedup family
+    * (q75/q85/q104) already scales on. Raw-string oracle matches absent a
+    * 2^-64 hash collision. */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol), explode(graft.functions.TokenNgrams
+      .token_ngram_distinct_hashes(col(textCol), n)).as("gh"))
+    val df = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    grams.join(df, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
 }

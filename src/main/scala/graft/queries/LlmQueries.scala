@@ -741,7 +741,43 @@ object LlmQueries {
           sum(col("nb")).as("n_bpe_tokens"),
           sum(col("nw")).as("n_ws_tokens"))
         .withColumn("fertility",
-          col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double")))
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))),
+
+    // Collocation mining: within-document co-occurrence PMI over the
+    // corpus vocabulary — which token pairs travel together far more (or
+    // less) than chance. The doc-keyed pair expansion is bounded by
+    // per-doc DISTINCT tokens (df-cappable at crawl scale); counts meet
+    // through pair-keyed joins. See CorpusStats.tokenPmi.
+    "q122_token_pmi" -> ((s, d) =>
+      graft.operators.CorpusStats.tokenPmi(
+        table(s, d, "documents"), "doc_id", "text", minPairCount = 5)),
+
+    // Cross-document duplicated-n-gram fraction (8-token grams): the
+    // boilerplate/memorization screen that catches repeated spans exact
+    // and near dedup both miss. Gram identities are native 64-bit hashes;
+    // df is one gram-keyed count over the per-doc distinct gram table.
+    // See TextDedup.dupNgramFraction.
+    "q124_dup_ngram_fraction" -> ((s, d) =>
+      TextDedup.dupNgramFraction(
+        table(s, d, "documents"), "doc_id", "text", n = 8)),
+
+    // Per-source Zipf-law fit: least-squares slope of log-freq vs log-rank
+    // over each source's top terms — natural text sits near -1, template
+    // or machine-generated text departs. Rank window runs over the
+    // Zipf-bounded per-source vocabulary, regression sums are exact
+    // micro-unit BIGINTs. See CorpusStats.zipfSlope.
+    "q125_zipf_slope" -> ((s, d) =>
+      graft.operators.CorpusStats.zipfSlope(
+        table(s, d, "documents"), "source", "text", topK = 100)),
+
+    // First-order Markov transition matrix over each user's time-ordered
+    // event stream: (state -> next state) counts + conditional
+    // probabilities — the user-journey summary behind funnel design. One
+    // per-user lead window (event-id tie-break), |states|²-bounded output.
+    // See Temporal.transitionMatrix.
+    "q126_event_transitions" -> ((s, d) =>
+      graft.operators.Temporal.transitionMatrix(
+        table(s, d, "events"), "user_id", "ts", "event_type", "event_id"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1656,6 +1692,69 @@ object LlmQueries {
         |  CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
         |  CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE)
         |    / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE) AS fertility
-        |FROM t GROUP BY 1""".stripMargin
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q122_token_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dtn AS (SELECT doc_id, tok FROM dt WHERE length(tok) >= 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dtn GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM dtn a JOIN dtn b USING (doc_id)
+        |  WHERE a.tok < b.tok GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.tok_a, p.tok_b, p.n_ab,
+        |  round(ln(CAST(n.n_docs * p.n_ab AS DOUBLE)
+        |    / CAST(x.c * y.c AS DOUBLE)), 6) AS pmi
+        |FROM pairs p, n, ca x, ca y
+        |WHERE x.tok = p.tok_a AND y.tok = p.tok_b""".stripMargin,
+
+    "q124_dup_ngram_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gs AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i : i + 7], ' ') for i in range(1, len(toks) - 6)])) AS g
+        |  FROM t WHERE len(toks) >= 8),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS ndocs FROM gs GROUP BY 1)
+        |SELECT gs.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM gs JOIN df USING (g) GROUP BY 1""".stripMargin,
+
+    "q125_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS r
+        |  FROM cnt),
+        |mu AS (SELECT source,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rk WHERE r <= 100),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM mu GROUP BY 1)
+        |SELECT source, n AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM s""".stripMargin,
+
+    "q126_event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p_next
+        |FROM c""".stripMargin
   )
 }

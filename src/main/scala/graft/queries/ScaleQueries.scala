@@ -427,6 +427,15 @@ object ScaleQueries {
       graft.operators.Scale.shardPlan(
         table(s, d, "documents"), "doc_id", "text", nShards = 8)),
 
+    // Temperature-scaled (alpha = 0.5) source-mixing plan: per-source
+    // sampling probabilities proportional to sqrt(token mass) and the
+    // expected draw counts for a 10k-doc epoch — the tail-upweighting mix
+    // of multilingual/multi-source recipes. Micro-unit exact weights, one
+    // tiny aggregate. See Scale.temperatureMix.
+    "q123_temperature_mix" -> ((s, d) =>
+      graft.operators.Scale.temperatureMix(
+        table(s, d, "documents"), "source", "text", budget = 10000L)),
+
     // Approximate quantiles from a 256-bin mergeable histogram — the
     // bounded-state twin of exact q96, one bin-keyed shuffle of ≤256
     // groups. See Sketches.histogramQuantiles.
@@ -1099,6 +1108,24 @@ object ScaleQueries {
         |    / CAST(count(*) AS DOUBLE) AS dup_frac,
         |  CAST(CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Mirrors q123: micro-unit sqrt weights summed exactly, then two
+    // exact-integer divisions.
+    "q123_temperature_mix" ->
+      """WITH mass AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_mu
+        |  FROM mass),
+        |t AS (SELECT sum(w_mu) AS tw FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(w_mu AS DOUBLE) / CAST(t.tw AS DOUBLE) AS p_sample,
+        |  CAST(round(CAST(w_mu AS DOUBLE) / CAST(t.tw AS DOUBLE) * 10000)
+        |    AS BIGINT) AS expected_docs
+        |FROM w, t""".stripMargin
   )
 }

@@ -747,4 +747,75 @@ class LlmOperatorsSpec extends AnyFunSuite {
       assert(floored == Set(400L), s"floor keeps only the true spike: $floored")
     } finally graft.operators.CacheScope.drain()
   }
+
+  test("tokenPmi: hand-computed document co-occurrence PMI, threshold respected") {
+    import spark.implicits._
+    // doc-level counts: a in 4 docs, b in 4, c in 3; pairs (a,b)=3,
+    // (a,c)=2, (b,c)=2; N=5. Repeats within d1 must NOT inflate counts.
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"), (5L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats
+      .tokenPmi(df, "doc_id", "text", minPairCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) == (3L, BigDecimal(math.log(5.0 * 3 / 16))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(("a", "c")) == (2L, BigDecimal(math.log(10.0 / 12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(("b", "c")) == got(("a", "c")))
+    // raising the threshold drops the 2-count pairs
+    assert(graft.operators.CorpusStats.tokenPmi(df, "doc_id", "text", 3)
+      .count() == 1)
+  }
+
+  test("tokenPmi maxDfFrac: ubiquitous tokens are excluded before pairing") {
+    import spark.implicits._
+    // "the" is in all 4 docs (df 1.0); cap at 0.8 removes it entirely
+    val df = Seq((1L, "the x y"), (2L, "the x y"), (3L, "the x"), (4L, "the z"))
+      .toDF("doc_id", "text")
+    val toks = graft.operators.CorpusStats
+      .tokenPmi(df, "doc_id", "text", minPairCount = 1, maxDfFrac = 0.8)
+      .select("tok_a", "tok_b").collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(!toks.contains("the"), s"df-capped token must not pair: $toks")
+    assert(toks == Set("x", "y"))
+  }
+
+  test("dupNgramFraction: cross-doc duplicated bigrams, short docs omitted") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z"), (2L, "x y q"), (3L, "z q"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextDedup
+      .dupNgramFraction(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // only "x y" (docs 1,2) repeats across documents
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)), 3L -> ((1L, 0L, 0.0))),
+      s"doc 4 has no bigram and must be absent: $got")
+  }
+
+  test("zipfSlope: matches the micro-unit least-squares formula on a known vocab") {
+    import spark.implicits._
+    // one source, freqs 8/4/2/1 -> ranks 1..4; replicate the exact integer
+    // arithmetic the operator commits to
+    val df = Seq((1L, "a a a a a a a a b b b b c c d"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = graft.operators.CorpusStats.zipfSlope(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val xy = Seq((1, 8), (2, 4), (3, 2), (4, 1)).map { case (r, c) =>
+      (math.round(math.log(r.toDouble) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val (n, sx, sy) = (xy.size.toLong, xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val want = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("s", 4L, want)))
+    // freqs 8/4/2/1 over ranks 1..4 fit steeper than pure Zipf (halving per
+    // rank, not per doubling): least squares lands near -1.46
+    assert(want < -1.3 && want > -1.6, s"halving vocab fits near -1.46: $want")
+  }
 }

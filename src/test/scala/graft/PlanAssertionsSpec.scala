@@ -127,4 +127,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"))
     } finally graft.operators.CacheScope.drain() // madOutliers registers a persist
   }
+
+  test("q122/q124-q126: corpus-stats plans stay keyed — no cartesian, windows partitioned") {
+    // PMI's only non-equi node is the 1-row corpus-count broadcast (the
+    // accepted stats pattern); the pair expansion itself must be a doc-keyed
+    // equi-join. dupNgramFraction is pure gram-keyed equi-joins.
+    Seq("q122_token_pmi", "q124_dup_ngram_fraction", "q123_temperature_mix")
+      .foreach { q => assert(!plan(q).contains("CartesianProduct"), q) }
+    assert(!plan("q124_dup_ngram_fraction").contains("BroadcastNestedLoopJoin"))
+    // rank/lead windows must be partitioned (per-source vocab, per-user
+    // stream) — a global window would single-task the corpus
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q125_zipf_slope", "q126_event_transitions").foreach { q =>
+      val ws = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+        .collect { case w: WindowExec => w }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        s"$q windows must be partitioned")
+    }
+  }
 }

@@ -311,4 +311,18 @@ class ScaleSpec extends AnyFunSuite {
       Scale.splitPlan(docs, "doc_id", "text", Seq("a" -> 0.5, "c" -> 0.9), "c")
     }
   }
+
+  test("temperatureMix: sqrt-mass weights, probabilities sum to 1, tail upweighted") {
+    import spark.implicits._
+    // s1 has 9x the token mass of s2, but sqrt scaling gives it only 3x the
+    // sampling probability — the tail-upweighting the alpha<1 mix exists for
+    val df = Seq(("s1", ("t " * 8) + "t"), ("s2", "t")).toDF("source", "text")
+    val got = Scale.temperatureMix(df, "source", "text", budget = 10000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val (w1, w2) = (3000000L, 1000000L) // round(sqrt(9)*1e6), round(sqrt(1)*1e6)
+    assert(got("s1") == ((1L, 9L, w1.toDouble / (w1 + w2), 7500L)))
+    assert(got("s2") == ((1L, 1L, w2.toDouble / (w1 + w2), 2500L)))
+    assert(got.values.map(_._3).sum == 1.0)
+  }
 }

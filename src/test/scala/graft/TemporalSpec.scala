@@ -145,6 +145,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0, "A", 4L), (1, "B", 4L), (2, "C", 1L)))
   }
 
+  test("transitionMatrix: per-user successor counts, probabilities, id tie-break") {
+    import spark.implicits._
+    // u1: click -> view -> click; u2: view -> view; u3: two events at the
+    // SAME ts — event_id order decides the successor (a -> b, never b -> a)
+    val ev = Seq(
+      (1L, ts("2025-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2025-01-01 10:01:00"), 1L, "view"),
+      (3L, ts("2025-01-01 10:02:00"), 1L, "click"),
+      (4L, ts("2025-01-01 10:00:00"), 2L, "view"),
+      (5L, ts("2025-01-01 10:05:00"), 2L, "view"),
+      (6L, ts("2025-01-01 09:00:00"), 3L, "a"),
+      (7L, ts("2025-01-01 09:00:00"), 3L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Temporal
+      .transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("click", "view") -> ((1L, 1.0)),
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "view") -> ((1L, 0.5)),
+      ("a", "b") -> ((1L, 1.0))), s"got $got")
+  }
+
   test("approx_count_distinct sketch stays within 5% of exact") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
