@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   * (source_overlap re-measured 2026-08-13 after the switch to native FNV
   * shingle hashes — pre-switch it was 5.3-5.5 s flat across factors; the
   * shape is unchanged, the constant is 3x smaller.)
+  *
+  * Round-9 additions, measured 2026-08-13 on a quiet box (same run:
+  * minhash_lsh 2.6 s 1x / 27.8 s 10x — the earlier 70-90 s 10x numbers
+  * carried background load; the SHAPE matched):
+  * {{{
+  *   lm_xent        1x rows=5,000  1.3 s   10x rows=50,000  4.6 s
+  *   cluster_retain 1x rows=3     3.1 s   10x rows=4      35.7 s
+  *   funnel         1x rows=3     0.5 s   10x rows=3       1.8 s
+  * }}}
+  * Reading: lm_xent is 3.5x cost for 10x input — the observed-bigram model
+  * is CONSTANT across factors (replicas add occurrences, not types), so
+  * cost tracks the corpus scan, exactly the q101 scale claim. funnel is
+  * 3.6x for 10x users — frontier joins stay user-keyed and shrink
+  * stage-over-stage. cluster_retain is 11.5x while returning a graph with
+  * ~1000x more true pairs (every replica 10-clique is 45 J=1.0 pairs):
+  * the cost is the shared candidate-graph build + connected components
+  * absorbing the clique blowup (the adversarial case by construction);
+  * the q116/q121 consumers themselves add two keyed aggs + two equi-joins
+  * on top (~8 s at 10x). Growth tracks input + answer size, not a
+  * wasted-candidate explosion.
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -97,6 +117,46 @@ object ScaleSmoke {
       // the corpus while the output stays |groups|² -bounded
       time(s"source_overlap $label") {
         operators.TextDedup.crossGroupOverlap(df, "source", "text", k = 5).count()
+      }
+      // exact replicas add occurrences but no new bigram TYPES: the model
+      // (observed-bigram table) stays CONSTANT across factors, so cost
+      // tracks the corpus scan + doc-keyed aggregates, never model growth
+      time(s"lm_xent         $label") {
+        operators.TextLm.bigramCrossEntropy(df, "doc_id", "text").count()
+      }
+      // the q116/q121 shape: candidate graph -> connected components ->
+      // histogram + keep-longest retention. Replica cliques are the
+      // adversarial case (every 10-clique is 45 true pairs), so this curve
+      // is dominated by the SHARED pair-graph build already measured above
+      // as minhash_lsh; the consumers add two keyed aggs + two equi-joins
+      time(s"cluster_retain  $label") {
+        val clusters = operators.TextDedup.connectedComponents(
+          operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
+            threshold = 0.5))
+        val members = df.select(col("doc_id"),
+            length(col("text")).cast("bigint").as("n_chars"))
+          .join(clusters, Seq("doc_id"))
+        val best = members.groupBy(col("cluster_id"))
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("cluster_id"), (-col("m.nid")).as("keep_id"))
+        members.join(best, Seq("cluster_id"))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).count().count()
+      }
+    }
+
+    // Funnel curve runs on the EVENTS table (user journeys): replicas are
+    // id-shifted user populations, so frontiers grow linearly with factor
+    // while per-stage joins stay user-keyed — the shrinking-frontier shape
+    val ev = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val evBig = (0 until factor)
+      .map(i => ev.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", ev), (s"${factor}x", evBig))) {
+      time(s"funnel          $label") {
+        operators.Temporal.funnelSteps(edf, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), stepWithinSec = 86400).count()
       }
     }
     spark.stop()

@@ -68,6 +68,59 @@ object CorpusStats {
           (col("__ca") * col("__cb")).cast("double")), 6).as("pmi"))
   }
 
+  /** Characteristic vocabulary per source — Dunning log-likelihood (G²)
+    * keyness: for each (source, token), how improbably OVER-represented the
+    * token's occurrence count is in that source against the rest of the
+    * corpus (Dunning 1993, the corpus-linguistics standard; it is what
+    * "what makes this crawl slice different" reports are built on). Output:
+    * the top `k` over-represented tokens per source — source, tok,
+    * n_in_source, g2 (6 dp), rank.
+    *
+    * Plan: ONE tokenize pass aggregated on (source, token); per-token
+    * corpus counts re-aggregate that table (no second pass); per-source
+    * totals and the grand total are |sources|-row / 1-row broadcasts. The
+    * G² formula is closed-form PER ROW — no aggregation over doubles
+    * anywhere, so cross-engine determinism needs only the ln-ulp
+    * robustness the 6 dp round provides (the q101/q125 discipline). The
+    * only window ranks the per-source vocabulary — Zipf-bounded, the q82
+    * precedent. Count ratios go through doubles (a·N as BIGINT would
+    * overflow at web scale where a~1e12, N~1e14).
+    *
+    * `minCount` drops rare tokens (keyness over tiny counts is noise);
+    * only over-represented tokens (a/Tₛ > C_t/N) are ranked — the
+    * under-represented tail is the OTHER sources' signal. */
+  def sourceKeyness(docs: DataFrame, groupCol: String, textCol: String,
+                    k: Int = 5, minCount: Long = 5): DataFrame = {
+    val st = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("a"))
+    val perSource = st.groupBy(col("__g")).agg(sum(col("a")).as("ts"))
+    val perTok = st.groupBy(col("tok")).agg(sum(col("a")).as("ct"))
+    val grand = st.agg(sum(col("a")).as("n"))
+    st.where(col("a") >= minCount)
+      .join(broadcast(perSource), "__g")   // |sources| rows
+      .join(perTok, "tok")                 // vocab-keyed equi-join
+      .crossJoin(broadcast(grand))         // 1-row total
+      // over-representation gate in exact integer cross-products would
+      // overflow; the double ratio is exact enough for a strict inequality
+      .where(col("a").cast("double") / col("ts").cast("double") >
+        col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("g2", round(
+        lit(2.0) * (col("a").cast("double") *
+            log(col("a").cast("double") * col("n").cast("double") /
+              (col("ts").cast("double") * col("ct").cast("double"))) +
+          when(col("ct") > col("a"),
+            (col("ct") - col("a")).cast("double") *
+              log((col("ct") - col("a")).cast("double") * col("n").cast("double") /
+                ((col("n") - col("ts")).cast("double") * col("ct").cast("double"))))
+            .otherwise(lit(0.0))), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("g2").desc, col("tok").asc)))
+      .where(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("tok"), col("a").as("n_in_source"),
+        col("g2"), col("rank").cast("bigint").as("rank"))
+  }
+
   /** Per-group Zipf-law fit: least-squares slope of ln(frequency) against
     * ln(rank) over each group's top `topK` terms (natural text sits near
     * slope -1; machine-generated or template text departs sharply — a

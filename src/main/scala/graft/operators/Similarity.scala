@@ -288,18 +288,7 @@ object Similarity {
     val mu = emb.select(col(idCol), col(labelCol).as("label"),
       expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
         .as("xmu"))
-    val cen = mu
-      .select(col("label"), posexplode(col("xmu")).as(Seq("i", "x")))
-      .groupBy(col("label").as("lc"), col("i"))
-      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT)")
-        .as("c"))
-      // dims 0..d-1 are all present by construction, so the map lookup is
-      // total; rebuilding the array via sequence keeps dim order explicit
-      // (collect_list order is not)
-      .groupBy(col("lc"))
-      .agg(map_from_entries(collect_list(struct(col("i"), col("c")))).as("cm"))
-      .select(col("lc"),
-        expr("transform(sequence(0, size(map_keys(cm)) - 1), i -> cm[i])").as("cen"))
+    val cen = intCentroids(mu)
     mu.crossJoin(broadcast(cen))
       .select(col(idCol), col("label"), col("lc"),
         expr("aggregate(zip_with(xmu, cen, (a, b) -> (a - b) * (a - b)), " +
@@ -309,6 +298,55 @@ object Similarity {
       .select(col("label"), col("m.lc").as("pred_label"))
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Micro-unit integer label centroids from a (label, xmu) table: (lc,
+    * cen) with cen rebuilt in explicit dim order (dims 0..d-1 are all
+    * present by construction, so the map lookup is total; collect_list
+    * order is not deterministic, which is why the map indirection exists).
+    * Shared by [[labelCentroidConfusion]] and [[labelCentroidDistances]]. */
+  private def intCentroids(mu: DataFrame): DataFrame = mu
+    .select(col("label"), posexplode(col("xmu")).as(Seq("i", "x")))
+    .groupBy(col("label").as("lc"), col("i"))
+    .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT)")
+      .as("c"))
+    .groupBy(col("lc"))
+    .agg(map_from_entries(collect_list(struct(col("i"), col("c")))).as("cm"))
+    .select(col("lc"),
+      expr("transform(sequence(0, size(map_keys(cm)) - 1), i -> cm[i])").as("cen"))
+
+  /** Pairwise label-centroid cosine similarity — the class-geometry report
+    * that goes with [[labelCentroidConfusion]]: which labels sit close
+    * enough in embedding space to confuse a classifier (or to merge in a
+    * taxonomy cleanup). Output: label_a < label_b, cos_sim (6 dp).
+    *
+    * Exactness: centroids are the same micro-unit integers as the
+    * confusion matrix; dot products and squared norms are exact BIGINT
+    * sums over them (|c| ≤ 1e6 ⇒ per-dim products ≤ 1e12, safe to ~1e6
+    * dims); the one sqrt/division per PAIR happens on those exact
+    * integers — no float accumulation, 6 dp round absorbs sqrt ulp.
+    *
+    * Scale: everything after the (label, dim)-keyed centroid pass operates
+    * on |labels| rows; the pair join is |labels|² — the report's own size —
+    * via a broadcast self-join. */
+  def labelCentroidDistances(emb: DataFrame, idCol: String, vecCol: String,
+                             labelCol: String): DataFrame = {
+    val mu = emb.select(col(idCol), col(labelCol).as("label"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("xmu"))
+    val cen = intCentroids(mu)
+    val a = cen.select(col("lc").as("label_a"), col("cen").as("ca"))
+    val b = cen.select(col("lc").as("label_b"), col("cen").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(
+          expr("CAST(aggregate(zip_with(ca, cb, (x, y) -> x * y), " +
+            "CAST(0 AS BIGINT), (s, v) -> s + v) AS DOUBLE)") /
+          (sqrt(expr("CAST(aggregate(transform(ca, x -> x * x), " +
+            "CAST(0 AS BIGINT), (s, v) -> s + v) AS DOUBLE)")) *
+           sqrt(expr("CAST(aggregate(transform(cb, x -> x * x), " +
+            "CAST(0 AS BIGINT), (s, v) -> s + v) AS DOUBLE)"))), 6)
+          .as("cos_sim"))
   }
 
   /** kNN majority-vote classification: each query vector (rows matching

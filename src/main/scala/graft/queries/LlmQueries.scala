@@ -777,7 +777,23 @@ object LlmQueries {
     // See Temporal.transitionMatrix.
     "q126_event_transitions" -> ((s, d) =>
       graft.operators.Temporal.transitionMatrix(
-        table(s, d, "events"), "user_id", "ts", "event_type", "event_id"))
+        table(s, d, "events"), "user_id", "ts", "event_type", "event_id")),
+
+    // Characteristic vocabulary per source: Dunning G² keyness, top-5
+    // over-represented tokens — "what makes this slice different" corpus
+    // forensics. Closed-form per (source, token) row, vocab-bounded rank
+    // window. See CorpusStats.sourceKeyness.
+    "q127_source_keyness" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceKeyness(
+        table(s, d, "documents"), "source", "text", k = 5, minCount = 5)),
+
+    // Pairwise label-centroid cosine similarity: which embedding classes
+    // sit confusably close — the geometry report beside q106's confusion
+    // matrix. Exact integer centroids/dots, |labels|²-bounded. See
+    // Similarity.labelCentroidDistances.
+    "q129_centroid_distances" -> ((s, d) =>
+      Similarity.labelCentroidDistances(
+        table(s, d, "embeddings"), "vec_id", "embedding", "label"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1755,6 +1771,58 @@ object LlmQueries {
         |SELECT event_type, next_type, n,
         |  CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p_next
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q127_source_keyness" ->
+      """WITH st AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |a AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS a FROM st GROUP BY 1, 2),
+        |ts AS (SELECT g, sum(a) AS ts FROM a GROUP BY 1),
+        |ct AS (SELECT tok, sum(a) AS ct FROM a GROUP BY 1),
+        |n AS (SELECT sum(a) AS n FROM a),
+        |g2 AS (
+        |  SELECT a.g, a.tok, a.a,
+        |    round(CAST(2 AS DOUBLE) * (CAST(a.a AS DOUBLE) *
+        |        ln(CAST(a.a AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |           / (CAST(ts.ts AS DOUBLE) * CAST(ct.ct AS DOUBLE))) +
+        |      CASE WHEN ct.ct > a.a THEN CAST(ct.ct - a.a AS DOUBLE) *
+        |        ln(CAST(ct.ct - a.a AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |           / (CAST(n.n - ts.ts AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END), 6) AS g2
+        |  FROM a JOIN ts USING (g) JOIN ct USING (tok), n
+        |  WHERE a.a >= 5
+        |    AND CAST(a.a AS DOUBLE) / CAST(ts.ts AS DOUBLE)
+        |      > CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)),
+        |r AS (SELECT g, tok, a, g2,
+        |    row_number() OVER (PARTITION BY g ORDER BY g2 DESC, tok ASC) AS rank
+        |  FROM g2)
+        |SELECT g AS source, tok, a AS n_in_source, g2, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q129_centroid_distances" ->
+      """WITH mu AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xmu
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, unnest(xmu) AS x,
+        |        unnest(range(0, len(xmu))) AS i FROM mu),
+        |cen AS (
+        |  SELECT label AS lc, i,
+        |    CAST(round(CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.lc AS label_a, b.lc AS label_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+        |    CAST(sum(a.c * a.c) AS BIGINT) AS na,
+        |    CAST(sum(b.c * b.c) AS BIGINT) AS nb
+        |  FROM cen a JOIN cen b ON a.i = b.i AND a.lc < b.lc
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_sim
+        |FROM d""".stripMargin
   )
 }

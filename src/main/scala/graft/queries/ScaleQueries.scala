@@ -427,6 +427,24 @@ object ScaleQueries {
       graft.operators.Scale.shardPlan(
         table(s, d, "documents"), "doc_id", "text", nShards = 8)),
 
+    // Quality-tier assignment from mergeable-histogram quartile cutpoints:
+    // every document gets a 1–4 length tier WITHOUT the global sort ntile()
+    // would cost — the sketch cutpoints (q107's bounded-state path, ≤256-
+    // group shuffle) come back as one broadcast 3-value row and the
+    // assignment is a narrow per-row filter count. The pattern any
+    // percentile-bucketed curriculum/quality split uses at corpus scale.
+    "q128_quality_tiers" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+      val cuts = Sketches.histogramQuantiles(docs, "v", bins = 256,
+          ps = Seq(0.25, 0.5, 0.75))
+        .agg(sort_array(collect_list(col("est"))).as("cuts"))
+      docs.crossJoin(broadcast(cuts)) // 1-row cutpoint table
+        .select(col("doc_id"), col("v").cast("bigint").as("n_chars"),
+          (lit(1) + expr("size(filter(cuts, c -> v > c))")).cast("bigint")
+            .as("tier"))
+    }),
+
     // Temperature-scaled (alpha = 0.5) source-mixing plan: per-source
     // sampling probabilities proportional to sqrt(token mass) and the
     // expected draw counts for a 10k-doc epoch — the tail-upweighting mix
@@ -1109,6 +1127,38 @@ object ScaleQueries {
         |  CAST(CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
         |FROM documents""".stripMargin,
+
+    // Mirrors q128: replays the q107 binning construction on
+    // CAST(n_chars AS DOUBLE) for the three quartile cutpoints, then the
+    // same strictly-greater filter count per document.
+    "q128_quality_tiers" ->
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |s AS (SELECT min(v) AS lo, max(v) AS hi,
+        |             CAST(count(*) AS BIGINT) AS n FROM v),
+        |b AS (
+        |  SELECT least(255, greatest(0,
+        |      CAST(floor((v - s.lo) / ((s.hi - s.lo) / 256)) AS INT))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v, s GROUP BY 1),
+        |c AS (
+        |  SELECT bin, cnt,
+        |    COALESCE(CAST(sum(cnt) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM b),
+        |p AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                     CAST(0.75 AS DOUBLE)]) AS p),
+        |cuts AS (
+        |  SELECT s.lo + (s.hi - s.lo) / 256 *
+        |      (CAST(c.bin AS DOUBLE) +
+        |       (p.p * CAST(s.n AS DOUBLE) - CAST(c.cb AS DOUBLE))
+        |         / CAST(c.cnt AS DOUBLE)) AS est
+        |  FROM p, s, c
+        |  WHERE CAST(c.cb AS DOUBLE) < p.p * CAST(s.n AS DOUBLE)
+        |    AND p.p * CAST(s.n AS DOUBLE) <= CAST(c.cb + c.cnt AS DOUBLE))
+        |SELECT d.doc_id, CAST(d.v AS BIGINT) AS n_chars,
+        |  CAST(1 + (SELECT count(*) FROM cuts WHERE d.v > cuts.est) AS BIGINT)
+        |    AS tier
+        |FROM v d""".stripMargin,
 
     // Mirrors q123: micro-unit sqrt weights summed exactly, then two
     // exact-integer divisions.

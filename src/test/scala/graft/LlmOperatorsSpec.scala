@@ -818,4 +818,45 @@ class LlmOperatorsSpec extends AnyFunSuite {
     // rank, not per doubling): least squares lands near -1.46
     assert(want < -1.3 && want > -1.6, s"halving vocab fits near -1.46: $want")
   }
+
+  test("sourceKeyness: hand-computed G2, only over-represented tokens ranked") {
+    import spark.implicits._
+    // A: x*10 y*5  B: y*10 z*5 — x is A-exclusive (b=0 term vanishes),
+    // y is over-represented in B only, z is B-exclusive
+    val df = Seq(
+      ("A", ("x " * 10) + ("y " * 4) + "y"),
+      ("B", ("y " * 10) + ("z " * 4) + "z"))
+      .toDF("source", "text")
+    def g2(a: Long, ts: Long, ct: Long, n: Long): Double = {
+      val t1 = a.toDouble * math.log(a.toDouble * n / (ts.toDouble * ct))
+      val t2 = if (ct > a) (ct - a).toDouble *
+        math.log((ct - a).toDouble * n / ((n - ts).toDouble * ct)) else 0.0
+      BigDecimal(2.0 * (t1 + t2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.operators.CorpusStats
+      .sourceKeyness(df, "source", "text", k = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    // y in A (5/15 < 15/30) is under-represented and must NOT appear
+    assert(got == Set(
+      ("A", "x", 10L, g2(10, 15, 10, 30), 1L),
+      ("B", "z", 5L, g2(5, 15, 5, 30), 1L),
+      ("B", "y", 10L, g2(10, 15, 15, 30), 2L)), s"got $got")
+  }
+
+  test("labelCentroidDistances: exact micro-unit centroids, known cosines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), // centroid (1e6, 0)
+      (3L, Array(0f, 1f), 1),                          // centroid (0, 1e6)
+      (4L, Array(1f, 1f), 2))                          // centroid (1e6, 1e6)
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .labelCentroidDistances(df, "vec_id", "embedding", "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val invSqrt2 = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map((0, 1) -> 0.0, (0, 2) -> invSqrt2, (1, 2) -> invSqrt2),
+      s"got $got")
+  }
 }

@@ -138,11 +138,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // rank/lead windows must be partitioned (per-source vocab, per-user
     // stream) — a global window would single-task the corpus
     import org.apache.spark.sql.execution.window.WindowExec
-    Seq("q125_zipf_slope", "q126_event_transitions").foreach { q =>
-      val ws = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
-        .collect { case w: WindowExec => w }
-      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
-        s"$q windows must be partitioned")
+    Seq("q125_zipf_slope", "q126_event_transitions", "q127_source_keyness")
+      .foreach { q =>
+        val ws = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+          .collect { case w: WindowExec => w }
+        assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+          s"$q windows must be partitioned")
+      }
+    // tier assignment / centroid pairs: only bounded broadcast non-equi
+    // joins (1-row cutpoints, |labels| centroids) — never a cartesian
+    Seq("q128_quality_tiers", "q129_centroid_distances").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
     }
   }
 }

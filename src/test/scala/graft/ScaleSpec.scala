@@ -312,6 +312,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 quality tiers: monotone in n_chars, all quartiles hit, no global sort") {
+    val rows = SparkEntry.queries("q128_quality_tiers")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, t) => t >= 1 && t <= 4 })
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // tier must be monotone in the value: sketch cutpoints are global, so
+    // a longer doc can never land in a lower tier
+    val byChars = rows.sortBy(_._1).map(_._2)
+    assert(byChars.zip(byChars.tail).forall { case (a, b) => a <= b })
+    // quartile balance: each tier within [15%, 35%] of docs (sketch error
+    // on 256 bins is far tighter; this bound just catches a broken carve)
+    val n = rows.length.toDouble
+    val shares = rows.groupBy(_._2).view.mapValues(_.length / n)
+    assert(shares.values.forall(s => s > 0.15 && s < 0.35), s"$shares")
+  }
+
   test("temperatureMix: sqrt-mass weights, probabilities sum to 1, tail upweighted") {
     import spark.implicits._
     // s1 has 9x the token mass of s2, but sqrt scaling gives it only 3x the
