@@ -77,7 +77,7 @@ object Scale {
                  dimKey: String, salts: Int = 16): DataFrame = {
     require(salts >= 1, "need at least one salt")
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val repDim = dim.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     saltedFact.join(repDim,

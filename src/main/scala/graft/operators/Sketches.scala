@@ -201,4 +201,51 @@ object Sketches {
             (col("p") * col("n").cast("double") - col("cum_before").cast("double")) /
               col("cnt").cast("double"))).as("est"))
   }
+
+  /** Pairwise Jaccard similarity between groups, ESTIMATED from bottom-k
+    * (KMV) sketches of each group's word-n-gram set — the mergeable-sketch
+    * twin of the exact cross-group overlap matrix: the exact form shuffles
+    * every shared gram's inverted list; this form reduces each group to a
+    * k-hash sketch first, so the pairwise stage costs |groups|²·k no
+    * matter how large the corpus gets, and the sketches union/merge for
+    * free across shards or days (Beyer et al. 2007, the classic KMV
+    * estimator: J ≈ |bottomK(A∪B) ∩ A ∩ B| / |bottomK(A∪B)|). Output:
+    * group_a < group_b, sketch_shared, sketch_size, est_jaccard.
+    *
+    * Determinism: gram identities are the md5-fold [[hash60]] (exactly
+    * replayable in SQL); bottom-k selection happens on those 60-bit longs
+    * via the TopKAgg partial aggregator — double score rounding is
+    * MONOTONE and its id tie-break is the hash itself, so score collisions
+    * at 2^53 still order correctly and the selected set is exact, not
+    * approximately-bottom. The estimate is then a division of two exact
+    * integers. O(k) state per (group, task) — never a per-group sort. */
+  def kmvPairwiseJaccard(df: DataFrame, groupCol: String, textCol: String,
+                         gramN: Int, k: Int = 256): DataFrame = {
+    val topk = graft.functions.TopKAgg.columnAgg(k)
+    val grams = df.select(col(groupCol).as("__g"),
+        split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= gramN)
+      .select(col("__g"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${gramN - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $gramN))))")).as("g"))
+      .distinct() // per-group distinct grams — set semantics before the sketch
+      .select(col("__g"), hash60(col("g")).as("h"))
+    val sk = grams.groupBy(col("__g"))
+      // negated score keeps the SMALLEST hashes; monotone rounding + id
+      // tie-break make the selection exact (see scaladoc)
+      .agg(topk((col("h") * lit(-1L)).cast("double"), col("h")).as("tk"))
+      .select(col("__g"), expr("transform(tk, e -> e._2)").as("hs"))
+    val a = sk.select(col("__g").as("group_a"), col("hs").as("ha"))
+    val b = sk.select(col("__g").as("group_b"), col("hs").as("hb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        expr(s"slice(array_sort(array_distinct(concat(ha, hb))), 1, $k)")
+          .as("u"), col("ha"), col("hb"))
+      .select(col("group_a"), col("group_b"),
+        expr("CAST(size(array_intersect(array_intersect(u, ha), hb)) AS BIGINT)")
+          .as("sketch_shared"),
+        expr("CAST(size(u) AS BIGINT)").as("sketch_size"))
+      .withColumn("est_jaccard",
+        col("sketch_shared").cast("double") / col("sketch_size").cast("double"))
+  }
 }

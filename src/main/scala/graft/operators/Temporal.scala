@@ -177,4 +177,37 @@ object Temporal {
       .select(col(typeCol), col("next_type"), col("n"),
         (col("n").cast("double") / col("__t").cast("double")).as("p_next"))
   }
+
+  /** Burst detection: per key, the `topK` time buckets whose event count
+    * most exceeds that key's own baseline, scored as a population z-score
+    * over the key's bucket counts — the anomaly screen behind "which hour
+    * did this error type spike" / crawl-rate alarms. Output: keyCol,
+    * bucket (truncated timestamp), n, z (6 dp), rank.
+    *
+    * Plan: one (key, bucket)-keyed count (map-side combined), one
+    * |keys|-row moment aggregate (count/sum/sum-of-squares — all exact
+    * BIGINTs) broadcast back, then a closed-form per-row z — no double
+    * ever aggregated. The rank window partitions by key over its own
+    * bucket table (|buckets| rows per key — calendar-bounded, not
+    * data-bounded). Keys with a single bucket (zero variance) are dropped
+    * rather than emitted as infinities. */
+  def bucketBurst(events: DataFrame, keyCol: String, tsCol: String,
+                  bucket: String, topK: Int): DataFrame = {
+    val cnt = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val moments = cnt.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__m"), sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__ss"))
+    val mean = col("__s").cast("double") / col("__m").cast("double")
+    val varp = col("__ss").cast("double") / col("__m").cast("double") - mean * mean
+    cnt.join(broadcast(moments), keyCol)
+      .where(col("__m") > 1 && varp > 0.0)
+      .withColumn("z", round((col("n").cast("double") - mean) / sqrt(varp), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("z").desc, col("bucket").asc))
+        .cast("bigint"))
+      .where(col("rank") <= topK)
+      .select(col(keyCol), col("bucket"), col("n"), col("z"), col("rank"))
+  }
 }

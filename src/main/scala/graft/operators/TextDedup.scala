@@ -439,6 +439,34 @@ object TextDedup {
     * corpus x corpus, and the gram table is the same one the dedup family
     * (q75/q85/q104) already scales on. Raw-string oracle matches absent a
     * 2^-64 hash collision. */
+  /** Per-document n-gram NOVELTY against everything ingested before it (in
+    * id order): the share of the document's distinct word-n-grams whose
+    * FIRST occurrence is this document. The curriculum/ordering twin of
+    * [[dupNgramFraction]]: that one asks "is this span repeated anywhere",
+    * this one asks "did this document bring anything new when it arrived" —
+    * the signal an incremental-crawl prioritizer ranks by. Documents
+    * shorter than n tokens are omitted. Output: doc_id, n_grams, n_novel,
+    * novelty_frac.
+    *
+    * Plan: the same single-pass hashed gram table as the dedup family,
+    * one gram-keyed min(doc_id) aggregate ("who saw it first" — map-side
+    * combined), one gram-keyed join back, one doc-keyed re-aggregate. The
+    * ordering is by-id, so "before" needs no timestamps and no sort —
+    * first-occurrence is a pure min. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = docs.select(col(idCol), explode(graft.functions.TokenNgrams
+      .token_ngram_distinct_hashes(col(textCol), n)).as("gh"))
+    val first = grams.groupBy(col("gh")).agg(min(col(idCol)).as("__first"))
+    grams.join(first, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_frac"))
+  }
+
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocs: Int = 2): DataFrame = {
     val grams = docs.select(col(idCol), explode(graft.functions.TokenNgrams

@@ -793,7 +793,24 @@ object LlmQueries {
     // Similarity.labelCentroidDistances.
     "q129_centroid_distances" -> ((s, d) =>
       Similarity.labelCentroidDistances(
-        table(s, d, "embeddings"), "vec_id", "embedding", "label"))
+        table(s, d, "embeddings"), "vec_id", "embedding", "label")),
+
+    // Per-doc n-gram novelty against everything ingested before it (id
+    // order): did this document bring new spans, or re-deliver known ones —
+    // the incremental-crawl prioritization signal. One gram-keyed
+    // min(doc_id) over the shared hashed gram table. See
+    // TextDedup.ngramNovelty.
+    "q131_ngram_novelty" -> ((s, d) =>
+      TextDedup.ngramNovelty(
+        table(s, d, "documents"), "doc_id", "text", n = 8)),
+
+    // Burst detection: top-3 spike hours per event type by z-score against
+    // that type's own hourly baseline — exact integer moments, closed-form
+    // per-row z, per-key rank window over a calendar-bounded bucket table.
+    // See Temporal.bucketBurst.
+    "q132_event_burst" -> ((s, d) =>
+      graft.operators.Temporal.bucketBurst(
+        table(s, d, "events"), "event_type", "ts", "hour", topK = 3))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1823,6 +1840,46 @@ object LlmQueries {
         |SELECT label_a, label_b,
         |  round(CAST(dot AS DOUBLE)
         |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_sim
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q131_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gs AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i : i + 7], ' ') for i in range(1, len(toks) - 6)])) AS g
+        |  FROM t WHERE len(toks) >= 8),
+        |f AS (SELECT g, min(doc_id) AS first_id FROM gs GROUP BY 1)
+        |SELECT gs.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_id = gs.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(CAST(sum(CASE WHEN f.first_id = gs.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_frac
+        |FROM gs JOIN f USING (g) GROUP BY 1""".stripMargin,
+
+    "q132_event_burst" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS mm,
+        |    sum(n) AS s, sum(n * n) AS ss
+        |  FROM h GROUP BY 1),
+        |z AS (
+        |  SELECT h.event_type, h.bucket, h.n,
+        |    round((CAST(h.n AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.mm AS DOUBLE))
+        |      / sqrt(CAST(m.ss AS DOUBLE) / CAST(m.mm AS DOUBLE)
+        |        - (CAST(m.s AS DOUBLE) / CAST(m.mm AS DOUBLE))
+        |          * (CAST(m.s AS DOUBLE) / CAST(m.mm AS DOUBLE))), 6) AS z
+        |  FROM h JOIN m USING (event_type)
+        |  WHERE m.mm > 1
+        |    AND CAST(m.ss AS DOUBLE) / CAST(m.mm AS DOUBLE)
+        |      - (CAST(m.s AS DOUBLE) / CAST(m.mm AS DOUBLE))
+        |        * (CAST(m.s AS DOUBLE) / CAST(m.mm AS DOUBLE)) > CAST(0 AS DOUBLE)),
+        |r AS (SELECT event_type, bucket, n, z,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY z DESC, bucket ASC)
+        |      AS rank
+        |  FROM z)
+        |SELECT event_type, bucket, n, z, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin
   )
 }

@@ -427,6 +427,14 @@ object ScaleQueries {
       graft.operators.Scale.shardPlan(
         table(s, d, "documents"), "doc_id", "text", nShards = 8)),
 
+    // Pairwise source similarity from bottom-256 KMV sketches of each
+    // source's 5-gram set — the mergeable-sketch twin of q104's exact
+    // overlap matrix: |groups|²·k pairwise cost regardless of corpus size,
+    // exact-integer estimator. See Sketches.kmvPairwiseJaccard.
+    "q130_kmv_source_jaccard" -> ((s, d) =>
+      Sketches.kmvPairwiseJaccard(
+        table(s, d, "documents"), "source", "text", gramN = 5, k = 256)),
+
     // Quality-tier assignment from mergeable-histogram quartile cutpoints:
     // every document gets a 1–4 length tier WITHOUT the global sort ntile()
     // would cost — the sketch cutpoints (q107's bounded-state path, ≤256-
@@ -1127,6 +1135,36 @@ object ScaleQueries {
         |  CAST(CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
         |FROM documents""".stripMargin,
+
+    // Mirrors q130: same md5-fold gram hashes (duckHash60 = Spark's
+    // conv(md5) fold), bottom-256 by ORDER BY h, same exact-integer
+    // estimator arithmetic.
+    "q130_kmv_source_jaccard" -> {
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(
+        |      [array_to_string(toks[i : i + 4], ' ') for i in range(1, len(toks) - 3)])) AS g
+        |  FROM t WHERE len(toks) >= 5),
+        |h AS (SELECT source, """.stripMargin + duckHash60("g") +
+      """ AS h FROM g),
+        |sk AS (SELECT source, (list(h ORDER BY h))[1:256] AS hs
+        |       FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS group_a, b.source AS group_b, a.hs AS ha, b.hs AS hb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (
+        |  SELECT group_a, group_b, ha, hb,
+        |    (list_sort(list_distinct(list_concat(ha, hb))))[1:256] AS u
+        |  FROM p)
+        |SELECT group_a, group_b,
+        |  CAST(len(list_filter(u, x -> list_contains(ha, x) AND list_contains(hb, x)))
+        |    AS BIGINT) AS sketch_shared,
+        |  CAST(len(u) AS BIGINT) AS sketch_size,
+        |  CAST(len(list_filter(u, x -> list_contains(ha, x) AND list_contains(hb, x)))
+        |    AS DOUBLE) / CAST(len(u) AS DOUBLE) AS est_jaccard
+        |FROM u""".stripMargin
+    },
 
     // Mirrors q128: replays the q107 binning construction on
     // CAST(n_chars AS DOUBLE) for the three quartile cutpoints, then the

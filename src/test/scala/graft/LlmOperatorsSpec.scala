@@ -819,6 +819,20 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(want < -1.3 && want > -1.6, s"halving vocab fits near -1.46: $want")
   }
 
+  test("ngramNovelty: first-occurrence by id order, short docs omitted") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z"), (2L, "x y q"), (3L, "z q"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.ngramNovelty(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // d1 brings both its bigrams; d2 re-delivers "x y" (first seen in d1);
+    // d3's "z q" is new; d4 has no bigram
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5)), 3L -> ((1L, 1L, 1.0))),
+      s"got $got")
+  }
+
   test("sourceKeyness: hand-computed G2, only over-represented tokens ranked") {
     import spark.implicits._
     // A: x*10 y*5  B: y*10 z*5 — x is A-exclusive (b=0 term vanishes),

@@ -145,10 +145,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
         assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
           s"$q windows must be partitioned")
       }
-    // tier assignment / centroid pairs: only bounded broadcast non-equi
-    // joins (1-row cutpoints, |labels| centroids) — never a cartesian
-    Seq("q128_quality_tiers", "q129_centroid_distances").foreach { q =>
+    // tier assignment / centroid pairs / sketch pairs: only bounded
+    // broadcast non-equi joins (1-row cutpoints, |labels| centroids,
+    // |groups| sketches) — never a cartesian
+    Seq("q128_quality_tiers", "q129_centroid_distances",
+        "q130_kmv_source_jaccard").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
+    // novelty is pure gram-keyed equi-joins; burst's window partitions by key
+    assert(!plan("q131_ngram_novelty").contains("BroadcastNestedLoopJoin"))
+    val bw = SparkEntry.queries("q132_event_burst")(spark, sf)
+      .queryExecution.sparkPlan
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(bw.nonEmpty && bw.forall(_.partitionSpec.nonEmpty))
   }
 }

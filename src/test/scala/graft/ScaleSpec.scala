@@ -312,6 +312,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvPairwiseJaccard: exact when sets fit the sketch; k caps the union") {
+    import spark.implicits._
+    // 5-grams: A = {"a b c d e","b c d e f"}, B = {"a b c d e","b c d e x"}
+    // shared 1, union 3 -> J = 1/3 exactly while both sets fit in k
+    val df = Seq(("A", "a b c d e f"), ("B", "a b c d e x"))
+      .toDF("source", "text")
+    val exact = graft.operators.Sketches
+      .kmvPairwiseJaccard(df, "source", "text", gramN = 5, k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(exact.toSeq == Seq(("A", "B", 1L, 3L, 1.0 / 3)))
+    // k = 2: the union sketch is capped at 2 hashes; the estimate stays a
+    // valid ratio of exact integers whatever the hash order picked
+    val capped = graft.operators.Sketches
+      .kmvPairwiseJaccard(df, "source", "text", gramN = 5, k = 2)
+      .collect().map(r => (r.getLong(3), r.getDouble(4))).head
+    assert(capped._1 == 2L && capped._2 >= 0.0 && capped._2 <= 1.0)
+    // short texts (< gramN tokens) contribute no grams and no pairs
+    assert(graft.operators.Sketches.kmvPairwiseJaccard(
+      Seq(("A", "a b"), ("B", "c d")).toDF("source", "text"),
+      "source", "text", gramN = 5, k = 4).count() == 0)
+  }
+
   test("q128 quality tiers: monotone in n_chars, all quartiles hit, no global sort") {
     val rows = SparkEntry.queries("q128_quality_tiers")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getLong(2)))

@@ -169,6 +169,30 @@ class TemporalSpec extends AnyFunSuite {
       ("a", "b") -> ((1L, 1.0))), s"got $got")
   }
 
+  test("bucketBurst: z against own baseline, tie by bucket, degenerate keys dropped") {
+    import spark.implicits._
+    // e: hourly counts 1/1/10 -> mean 4, varp 18; z(h3) = 6/sqrt(18),
+    // z(h1) = z(h2) = -3/sqrt(18) (tie -> earlier bucket ranks first).
+    // f: one bucket (no variance baseline); g: constant counts (varp 0) —
+    // both must be absent, not emitted as infinities
+    val rows =
+      Seq.fill(1)(("e", "2025-01-01 10:00:10")) ++
+      Seq.fill(1)(("e", "2025-01-01 11:00:10")) ++
+      (1 to 10).map(i => ("e", f"2025-01-01 12:00:$i%02d")) ++
+      Seq(("f", "2025-01-01 10:00:00")) ++
+      Seq(("g", "2025-01-01 10:00:00"), ("g", "2025-01-01 11:00:00"))
+    val ev = rows.map { case (t, s) => (t, ts(s)) }.toDF("event_type", "ts")
+    val got = graft.operators.Temporal
+      .bucketBurst(ev, "event_type", "ts", "hour", topK = 2)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    def z(v: Double) = BigDecimal(v / math.sqrt(18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(
+      ("e", "2025-01-01 12:00:00.0", 10L, z(6.0), 1L),
+      ("e", "2025-01-01 10:00:00.0", 1L, z(-3.0), 2L)), s"got $got")
+  }
+
   test("approx_count_distinct sketch stays within 5% of exact") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
