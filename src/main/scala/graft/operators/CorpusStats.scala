@@ -121,6 +121,39 @@ object CorpusStats {
         col("g2"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** Nucleus (top-p) vocabulary coverage per group: the number of distinct
+    * tokens, taken most-frequent-first, needed to cover fraction `p` of the
+    * group's token occurrences — the "how head-heavy is this source"
+    * companion to [[zipfSlope]] (a tokenizer/compression planning stat: a
+    * source whose p90 nucleus is 50 tokens is template spam; natural text
+    * needs thousands). Output: group, vocab_size, total_tokens, n_top_p.
+    *
+    * Plan: one (group, token) count, then rank + running-sum windows over
+    * the per-group VOCABULARY (Zipf-bounded, never the data — the q125
+    * precedent), a broadcast |groups|-row totals join, one final keyed
+    * count. A token is in the nucleus iff coverage strictly before it is
+    * under p·total — exact BIGINT cumsum against a double threshold,
+    * deterministic ties by (count desc, token asc). */
+  def nucleusCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                      p: Double): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be strictly inside (0,1)")
+    val cnt = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("__g"))
+      .agg(sum(col("c")).as("__t"), count(lit(1)).as("vocab_size"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt.withColumn("__cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .join(broadcast(totals), "__g")
+      .groupBy(col("__g"), col("vocab_size"), col("__t"))
+      .agg(sum(when(col("__cb").cast("double") <
+          lit(p) * col("__t").cast("double"), 1L).otherwise(0L)).as("n_top_p"))
+      .select(col("__g").as(groupCol), col("vocab_size"),
+        col("__t").as("total_tokens"), col("n_top_p"))
+  }
+
   /** Per-group Zipf-law fit: least-squares slope of ln(frequency) against
     * ln(rank) over each group's top `topK` terms (natural text sits near
     * slope -1; machine-generated or template text departs sharply — a

@@ -810,7 +810,38 @@ object LlmQueries {
     // See Temporal.bucketBurst.
     "q132_event_burst" -> ((s, d) =>
       graft.operators.Temporal.bucketBurst(
-        table(s, d, "events"), "event_type", "ts", "hour", topK = 3))
+        table(s, d, "events"), "event_type", "ts", "hour", topK = 3)),
+
+    // Nucleus (top-0.9) vocabulary coverage per source: distinct tokens
+    // needed, most-frequent-first, to cover 90% of occurrences — the
+    // head-heaviness stat beside q125's Zipf slope. Vocab-bounded windows
+    // only. See CorpusStats.nucleusCoverage.
+    "q134_nucleus_coverage" -> ((s, d) =>
+      graft.operators.CorpusStats.nucleusCoverage(
+        table(s, d, "documents"), "source", "text", p = 0.9)),
+
+    // Containment-scored decontamination: q85's shared-shingle pairs
+    // normalized by each EVAL doc's own shingle count — the fraction of
+    // the benchmark doc covered by a corpus doc, the threshold quantity
+    // (containment >= 0.8 -> drop) decontamination stages actually gate
+    // on. Same hashed-shingle join; the per-eval sizes are a broadcast
+    // |eval|-row table from the native distinct-shingle counter.
+    "q135_eval_containment" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val evalSet = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val pairs = TextDedup.contaminationPairs(docs, "doc_id", "text",
+          evalSet, "eval_id", "text", k = 13, minShared = 1)
+        .where(col("doc_id") =!= col("eval_id"))
+      val evalSize = evalSet.select(col("eval_id"),
+        graft.functions.TokenNgrams
+          .token_ngram_distinct_count(col("text"), 13).as("n_eval_shingles"))
+      pairs.join(broadcast(evalSize), "eval_id")
+        .select(col("doc_id"), col("eval_id"), col("n_shared"),
+          col("n_eval_shingles"),
+          (col("n_shared").cast("double") / col("n_eval_shingles").cast("double"))
+            .as("containment"))
+    })
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1880,6 +1911,45 @@ object LlmQueries {
         |      AS rank
         |  FROM z)
         |SELECT event_type, bucket, n, z, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 3""".stripMargin
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q134_nucleus_coverage" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |t AS (SELECT source, sum(c) AS tt, CAST(count(*) AS BIGINT) AS vocab_size
+        |  FROM cnt GROUP BY 1),
+        |cum AS (
+        |  SELECT source, c,
+        |    COALESCE(CAST(sum(c) OVER (PARTITION BY source
+        |      ORDER BY c DESC, tok ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM cnt)
+        |SELECT t.source, t.vocab_size, CAST(t.tt AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN CAST(cum.cb AS DOUBLE)
+        |    < CAST(0.9 AS DOUBLE) * CAST(t.tt AS DOUBLE) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top_p
+        |FROM cum JOIN t USING (source)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q135_eval_containment" ->
+      """WITH cs AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      [array_to_string(toks[i : i + 12], ' ') for i in range(1, len(toks) - 11)])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 13),
+        |es AS (SELECT doc_id AS eval_id, sh FROM cs WHERE doc_id < 10),
+        |en AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
+        |  FROM es GROUP BY 1),
+        |p AS (
+        |  SELECT cs.doc_id, es.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cs JOIN es USING (sh)
+        |  WHERE cs.doc_id <> es.eval_id GROUP BY 1, 2)
+        |SELECT p.doc_id, p.eval_id, p.n_shared, en.n_eval_shingles,
+        |  CAST(p.n_shared AS DOUBLE) / CAST(en.n_eval_shingles AS DOUBLE)
+        |    AS containment
+        |FROM p JOIN en USING (eval_id)""".stripMargin
   )
 }

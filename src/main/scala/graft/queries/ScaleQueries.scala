@@ -283,6 +283,30 @@ object ScaleQueries {
         .agg(Relational.sumExact(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n_items"))),
 
+    // TPC-H Q5-shaped 6-table join: revenue per nation where the customer
+    // and the line's supplier share a nation, region + date filtered — the
+    // classic join-order/planning stress (two independent paths into the
+    // nation key). All joins unhinted: AQE broadcasts region/nation/
+    // supplier at small SF and degrades the customer/orders/lineitem spine
+    // to shuffle joins as they grow; the date filter pushes to the orders
+    // scan. Revenue through the DECIMAL(12,2) exact-sum discipline.
+    "q133_region_nation_revenue" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(Relational.sumExact(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // Salted skew join: the fact side's hot keys fan out over 8 salted
     // sub-keys, the dim side replicates x8 — identical result to the plain
     // join (the oracle), without one reducer absorbing a hot key's rows.
@@ -1135,6 +1159,20 @@ object ScaleQueries {
         |  CAST(CAST(sum(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
         |FROM documents""".stripMargin,
+
+    "q133_region_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(12,2)))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     // Mirrors q130: same md5-fold gram hashes (duckHash60 = Spark's
     // conv(md5) fold), bottom-256 by ORDER BY h, same exact-integer

@@ -833,6 +833,17 @@ class LlmOperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("nucleusCoverage: head-first prefix count against the exact threshold") {
+    import spark.implicits._
+    // counts 8/4/2/1, total 15, p=0.9 -> target 13.5: cum-before values
+    // 0/8/12/14 -> a,b,c are in the nucleus, d is not
+    val df = Seq((1L, "a a a a a a a a b b b b c c d"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = graft.operators.CorpusStats.nucleusCoverage(df, "source", "text", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("s", 4L, 15L, 3L)))
+  }
+
   test("sourceKeyness: hand-computed G2, only over-represented tokens ranked") {
     import spark.implicits._
     // A: x*10 y*5  B: y*10 z*5 — x is A-exclusive (b=0 term vanishes),

@@ -382,6 +382,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDuplicatesWithinWatermark: dup inside the window dropped, state evicted after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAgg.Event]
+    // the built-in bounded-state streaming dedup: duplicate event_ids are
+    // suppressed while their state lives; once the watermark passes
+    // ts + delay the id's state is EVICTED, so a later re-send is emitted
+    // again — the deliberate contrast with IncrementalDedup's persistent
+    // store (which q80-style dedups forever at the cost of its own store)
+    val q = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dropdup_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamingAgg.Event(1, ts("2025-01-01 10:00:00"), 1, "click", 1.0),
+        StreamingAgg.Event(2, ts("2025-01-01 10:00:30"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // same ids inside the watermark window: suppressed; id 3 is new
+      input.addData(
+        StreamingAgg.Event(1, ts("2025-01-01 10:01:00"), 9, "click", 1.0),
+        StreamingAgg.Event(3, ts("2025-01-01 10:02:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dropdup_wm_test").head.getLong(0) == 3,
+        "in-window duplicate must be suppressed")
+      // advance the watermark far past 10:00 + 10 min -> id 1's state is
+      // evicted; the re-sent id 1 (with an in-window ts) emits again
+      input.addData(StreamingAgg.Event(99, ts("2025-01-01 12:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamingAgg.Event(1, ts("2025-01-01 11:59:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dropdup_wm_test")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 1L, 2L, 3L, 99L),
+        s"evicted id re-admitted exactly once: $ids")
+    } finally q.stop()
+  }
+
   test("incremental near-dup replay: transitive in-batch rejection chain stays rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, split}
