@@ -154,6 +154,127 @@ object CorpusStats {
         col("__t").as("total_tokens"), col("n_top_p"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-group unigram
+    * distributions, restricted to the corpus-wide top-`topV` tokens — the
+    * distribution-level "how different are these slices" companion to
+    * [[sourceKeyness]] (which names individual tokens). JS is symmetric,
+    * bounded by ln 2, and zero iff the restricted distributions agree —
+    * the standard corpus-drift / source-similarity scalar. Output:
+    * group_a, group_b (a < b), n_common (tokens present in both),
+    * js_divergence (nats, 6 dp).
+    *
+    * Plan: one (group, token) count; the global top-V vocabulary comes from
+    * a rank window over the VOCABULARY table (Zipf-bounded — the q82/q125
+    * precedent) and caps every later table at |groups|·V rows, so the
+    * group-pair expansion is a join between two tiny broadcastable tables
+    * no matter the corpus size. Restricting to the shared top-V also makes
+    * the measure well-defined (full-vocab JS would need smoothing choices
+    * the oracle could not replay exactly).
+    *
+    * Determinism: each token's JS contribution is computed once per
+    * (pair, token) row — the expression text is shared with the SQL oracle
+    * so both engines run the identical IEEE op sequence — then quantized to
+    * micro-units and summed exactly (the TextLm discipline). */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
+                   topV: Int = 200): DataFrame = {
+    val cnt = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("c"))
+    // top-V selection via orderBy+limit => TakeOrderedAndProject (a
+    // distributed top-k, never a single-partition sort of the vocabulary)
+    val top = cnt.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("tok").asc).limit(topV)
+      .select(col("tok"))
+    val restricted = cnt.join(top, "tok")
+    val totals = restricted.groupBy(col("__g")).agg(sum(col("c")).as("t"))
+    // full |groups| x V grid so tokens missing from one group score as p=0
+    val grid = top.crossJoin(broadcast(totals)) // V x |groups| rows, tiny
+      .join(restricted, Seq("__g", "tok"), "left")
+      .select(col("__g"), col("tok"), col("t"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("__g").as("group_a"), col("tok"),
+      col("c").as("ca"), col("t").as("ta"))
+    val b = grid.select(col("__g").as("group_b"), col("tok"),
+      col("c").as("cb"), col("t").as("tb"))
+    a.join(b, Seq("tok"))
+      .where(col("group_a") < col("group_b"))
+      // identical expression text to the oracle => identical IEEE sequence
+      .withColumn("mu", expr(
+        """CAST(round((
+          |  CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) *
+          |    ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) /
+          |      ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+          |        CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END +
+          |  CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+          |    ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) /
+          |      ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+          |        CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END
+          |) * 5e5) AS BIGINT)""".stripMargin))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("n_common"),
+        sum(col("mu")).as("__mu"))
+      .select(col("group_a"), col("group_b"), col("n_common"),
+        round(col("__mu").cast("double") / lit(1e6), 6).as("js_divergence"))
+  }
+
+  /** Out-of-vocabulary occurrence rate per group against the corpus-wide
+    * top-`topV` vocabulary — the "how well would a fixed vocab tokenizer
+    * cover this slice" planning stat (high OOV => byte-fallback blowup for
+    * that source). Output: group, total_tokens, oov_occurrences, oov_rate.
+    *
+    * Plan: one (group, token) count reused for both the global vocabulary
+    * (re-aggregate, rank window over the Zipf-bounded vocab table) and the
+    * per-group rollup; membership is a vocab-keyed left join marked before
+    * the final |groups|-row aggregate. Exact BIGINT counts, one division. */
+  def oovRate(docs: DataFrame, groupCol: String, textCol: String,
+              topV: Int = 1000): DataFrame = {
+    val cnt = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("c"))
+    val top = cnt.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("tok").asc).limit(topV)
+      .select(col("tok"), lit(1L).as("__in"))
+    cnt.join(top, Seq("tok"), "left")
+      .groupBy(col("__g"))
+      .agg(sum(col("c")).as("total_tokens"),
+        sum(when(col("__in").isNull, col("c")).otherwise(0L)).as("oov_occurrences"))
+      .select(col("__g").as(groupCol), col("total_tokens"), col("oov_occurrences"),
+        (col("oov_occurrences").cast("double") / col("total_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  /** Training-mix plan: given per-group available token counts and a total
+    * token budget (`budgetFrac` of the corpus), split the budget uniformly
+    * across groups and report, per group, how many tokens it must supply
+    * and the implied epoch count — the repeat-factor sheet a pretraining
+    * data order is built from (groups over `maxEpochs` flag a mix the
+    * curriculum cannot honor without quality loss). Output: group,
+    * available_tokens, target_tokens, epochs (6 dp), needs_upsampling,
+    * over_cap.
+    *
+    * Plan: one narrow projection summed per group (map-side combined), a
+    * 1-row corpus total broadcast, closed-form per-group arithmetic —
+    * nothing here grows with anything but the number of groups. */
+  def mixPlan(docs: DataFrame, groupCol: String, textCol: String,
+              budgetFrac: Double = 0.5, maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetFrac > 0.0, "budgetFrac must be positive")
+    val avail = docs.select(col(groupCol).as("__g"),
+        size(split(col(textCol), " ")).cast("bigint").as("nt"))
+      .groupBy(col("__g")).agg(sum(col("nt")).as("available_tokens"))
+    val tot = avail.agg(sum(col("available_tokens")).as("__tot"),
+      count(lit(1)).as("__ng"))
+    avail.crossJoin(broadcast(tot)) // 1-row corpus totals
+      .withColumn("target_tokens",
+        floor(lit(budgetFrac) * col("__tot").cast("double") /
+          col("__ng").cast("double")).cast("bigint"))
+      .withColumn("epochs", round(
+        col("target_tokens").cast("double") / col("available_tokens").cast("double"), 6))
+      .select(col("__g").as(groupCol), col("available_tokens"), col("target_tokens"),
+        col("epochs"),
+        when(col("target_tokens") > col("available_tokens"), 1L).otherwise(0L)
+          .as("needs_upsampling"),
+        when(col("epochs") > lit(maxEpochs), 1L).otherwise(0L).as("over_cap"))
+  }
+
   /** Per-group Zipf-law fit: least-squares slope of ln(frequency) against
     * ln(rank) over each group's top `topK` terms (natural text sits near
     * slope -1; machine-generated or template text departs sharply — a

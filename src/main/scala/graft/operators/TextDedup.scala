@@ -467,6 +467,94 @@ object TextDedup {
           .as("novelty_frac"))
   }
 
+  /** Per-cluster GROUP-composition report over a dedup cluster map
+    * ([[connectedComponents]] output: doc_id, cluster_id): cluster size,
+    * number of distinct groups, the majority group's share, and the Shannon
+    * entropy of the group distribution — distinguishing cross-source
+    * mirrors (high entropy: the same page syndicated everywhere) from
+    * within-source reposts (entropy 0: one site repeating itself), the
+    * signal that decides whether dedup should be global or per-source.
+    * Output: cluster_id, n_docs, n_groups, majority_share, group_entropy.
+    *
+    * Plan: two keyed aggregates over the (already tiny) cluster map joined
+    * with one narrow doc projection — the q116 histogram's shape. Entropy
+    * uses H = ln(n) − (Σ c·ln c)/n with each ln c quantized to micro-units
+    * before the exact BIGINT sum (the TextLm discipline), so partial-agg
+    * order never touches a double. */
+  def clusterGroupPurity(clusters: DataFrame, docs: DataFrame,
+                         idCol: String, groupCol: String): DataFrame = {
+    val byGroup = clusters
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("__g")), "doc_id")
+      .groupBy(col("cluster_id"), col("__g")).agg(count(lit(1)).as("c"))
+      .withColumn("clnc_mu", expr(
+        "c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)"))
+    byGroup.groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_groups"),
+        max(col("c")).as("__cmax"), sum(col("clnc_mu")).as("__mu"))
+      .select(col("cluster_id"), col("n_docs"), col("n_groups"),
+        (col("__cmax").cast("double") / col("n_docs").cast("double"))
+          .as("majority_share"),
+        round(log(col("n_docs").cast("double")) -
+          (col("__mu").cast("double") / lit(1e6)) / col("n_docs").cast("double"), 6)
+          .as("group_entropy"))
+  }
+
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS scheme): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes over the document, keep each window's MINIMUM
+    * hash — a position-robust fingerprint set with a guarantee exact
+    * shingle matching lacks: any shared run of at least k+w-1 tokens
+    * yields at least one shared fingerprint, while storage shrinks ~w-fold
+    * versus all-shingles. Fingerprints are md5 hex (identical in any
+    * engine, so the oracle replays the exact same selection). Documents
+    * shorter than k+w-1 tokens have no full window and are omitted.
+    * Output: one (idCol, fp) row per distinct selected fingerprint.
+    *
+    * Plan: one tokenize+gram pass, then a min window over each DOCUMENT'S
+    * gram sequence — partitioned by doc, frame of w rows, bounded by
+    * document length (the q117/q88 per-doc window precedent), never over
+    * the corpus. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= k + w - 1)
+      .select(col(idCol), expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))")
+        .as("g"))
+      .select(col(idCol), size(col("g")).as("__ng"), posexplode(col("g")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__fp")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(0, w - 1)
+    grams.withColumn("__min", min(col("__fp")).over(win))
+      .where(col("__pos") <= col("__ng") - w) // full windows only (0-based)
+      .select(col(idCol), col("__min").as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from winnowed fingerprints: documents sharing
+    * at least `minShared` selected fingerprints, excluding boilerplate
+    * fingerprints present in more than `maxDf` documents (the df-cap
+    * discipline every shingle-family operator here uses — a fingerprint in
+    * thousands of documents is a template, and capping it bounds the
+    * per-fingerprint inverted list, so the self-join never expands on a
+    * hot key). Output: doc_a, doc_b (a < b), n_shared. */
+  def winnowNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4, minShared: Long = 2,
+                         maxDf: Long = 20): DataFrame = {
+    val fps = winnowedFingerprints(docs, idCol, textCol, k, w)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select(col("fp"))
+    val kept = fps.join(keep, "fp")
+    kept.select(col("fp"), col(idCol).as("doc_a"))
+      .join(kept.select(col("fp"), col(idCol).as("doc_b")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocs: Int = 2): DataFrame = {
     val grams = docs.select(col(idCol), explode(graft.functions.TokenNgrams

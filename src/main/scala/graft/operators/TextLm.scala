@@ -63,4 +63,53 @@ object TextLm {
         round((col("mu").cast("double") / lit(-1e6)) / col("m").cast("double"), 6)
           .as("xent"))
   }
+
+  /** CCNet-style perplexity bucketing: score every document with
+    * [[bigramCrossEntropy]], split each group's score distribution into
+    * head / middle / tail terciles (head = most fluent), and report the
+    * per-(group, bucket) document count and mean cross-entropy — the table
+    * a quality-stratified sampling stage is driven by (CCNet trains on
+    * head+middle and drops tail). Output: group, bucket, n_docs, mean_xent.
+    *
+    * Tercile cutoffs are ORDER STATISTICS ON THE MICRO-UNIT INTEGER SCALE,
+    * not interpolated percentiles: cutoff_j = the smallest 6-dp score value
+    * v such that at least ceil(j·n/3) documents score <= v. Everything is
+    * exact integer arithmetic — no percentile interpolation whose FP
+    * formula an oracle engine might order differently — and ties at a
+    * cutoff value land deterministically in the lower bucket.
+    *
+    * Scale: the cumulative window runs over the per-group DISTINCT-VALUE
+    * table of 6-dp scores, whose size is bounded by the score RANGE
+    * (~ln|V|·1e6 rows worst case, a constant in corpus size — the q107
+    * histogram-table argument), never over documents. Cutoffs are a
+    * |groups|·2-row broadcast; bucket assignment is one integer compare
+    * per document. */
+  def crossEntropyMix(docs: DataFrame, idCol: String, textCol: String,
+                      groupCol: String): DataFrame = {
+    val scored = bigramCrossEntropy(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol).as("__g")), idCol)
+      // xent is rounded to 6 dp, so this recovers its exact integer image
+      .withColumn("__xmu", expr("CAST(round(xent * 1e6) AS BIGINT)"))
+    val vals = scored.groupBy(col("__g"), col("__xmu"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__xmu"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("__cum", sum(col("__c")).over(cumW))
+    val totals = vals.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val cuts = cum.join(totals, "__g")
+      .groupBy(col("__g"))
+      .agg(min(when(col("__cum") * 3 >= col("__n"), col("__xmu"))).as("__cut1"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col("__xmu"))).as("__cut2"))
+    scored.join(broadcast(cuts), "__g") // |groups| x 2 cutoff rows
+      .withColumn("bucket",
+        when(col("__xmu") <= col("__cut1"), lit("head"))
+          .when(col("__xmu") <= col("__cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("__g"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__xmu")).as("__smu"))
+      .select(col("__g").as(groupCol), col("bucket"), col("n_docs"),
+        round((col("__smu").cast("double") / lit(1e6)) / col("n_docs").cast("double"), 6)
+          .as("mean_xent"))
+  }
 }

@@ -841,7 +841,59 @@ object LlmQueries {
           col("n_eval_shingles"),
           (col("n_shared").cast("double") / col("n_eval_shingles").cast("double"))
             .as("containment"))
-    })
+    }),
+
+    // Cluster composition forensics over the shared dedup graph: is each
+    // near-dup family a cross-source mirror (high entropy) or a
+    // within-source repost (entropy 0)? Decides global-vs-per-source
+    // dedup. Two keyed aggs on the q61 cluster map. See
+    // TextDedup.clusterGroupPurity.
+    "q136_cluster_purity" -> ((s, d) =>
+      TextDedup.clusterGroupPurity(
+        TextDedup.connectedComponents(nearDupPairs(s, d)),
+        table(s, d, "documents"), "doc_id", "source")),
+
+    // Pairwise source Jensen-Shannon divergence over the corpus top-200
+    // vocabulary — the distribution-level source-drift scalar beside
+    // q127's per-token keyness. All tables vocab-bounded after the top-V
+    // cut. See CorpusStats.jsDivergence.
+    "q137_source_divergence" -> ((s, d) =>
+      graft.operators.CorpusStats.jsDivergence(
+        table(s, d, "documents"), "source", "text", topV = 200)),
+
+    // Per-source OOV occurrence rate against the corpus top-1000 vocab —
+    // the tokenizer-coverage planning stat (high OOV = byte-fallback
+    // blowup). See CorpusStats.oovRate.
+    "q138_oov_rate" -> ((s, d) =>
+      graft.operators.CorpusStats.oovRate(
+        table(s, d, "documents"), "source", "text", topV = 1000)),
+
+    // Training-mix plan: uniform split of a half-corpus token budget across
+    // sources -> per-source target tokens, epochs, upsampling flags. The
+    // repeat-factor sheet a pretraining data order executes. See
+    // CorpusStats.mixPlan.
+    "q139_mix_plan" -> ((s, d) =>
+      graft.operators.CorpusStats.mixPlan(
+        table(s, d, "documents"), "source", "text",
+        budgetFrac = 0.5, maxEpochs = 4.0)),
+
+    // CCNet-style perplexity terciles per source on the q101 LM scores:
+    // head/middle/tail doc counts + mean cross-entropy. Cutoffs are exact
+    // integer order statistics on the micro-unit scale — no percentile
+    // interpolation. See TextLm.crossEntropyMix.
+    "q140_ppl_mix" -> ((s, d) =>
+      graft.operators.TextLm.crossEntropyMix(
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // Winnowed (MOSS) fingerprint near-dup pairs: position-robust k-gram
+    // fingerprints via per-document min-hash windows; any shared run of
+    // k+w-1 tokens guarantees a shared fingerprint at ~1/w the shingle
+    // storage. df-capped inverted lists, never all-pairs. See
+    // TextDedup.winnowNearDupPairs.
+    "q141_winnow_pairs" -> ((s, d) =>
+      TextDedup.winnowNearDupPairs(
+        table(s, d, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 20))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1950,6 +2002,163 @@ object LlmQueries {
         |SELECT p.doc_id, p.eval_id, p.n_shared, en.n_eval_shingles,
         |  CAST(p.n_shared AS DOUBLE) / CAST(en.n_eval_shingles AS DOUBLE)
         |    AS containment
-        |FROM p JOIN en USING (eval_id)""".stripMargin
+        |FROM p JOIN en USING (eval_id)""".stripMargin,
+
+    // Mirrors TextDedup.clusterGroupPurity over the shared cluster lineage:
+    // micro-unit entropy sum, closed-form H = ln(n) - (sum c ln c)/n.
+    "q136_cluster_purity" -> (clusterCte + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |bg AS (SELECT cl.cluster_id, d.source, CAST(count(*) AS BIGINT) AS c
+        |       FROM cl JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |ag AS (SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_groups, max(c) AS cmax,
+        |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+        |           AS BIGINT) AS mu
+        |       FROM bg GROUP BY 1)
+        |SELECT cluster_id, n_docs, n_groups,
+        |  CAST(cmax AS DOUBLE) / CAST(n_docs AS DOUBLE) AS majority_share,
+        |  round(ln(CAST(n_docs AS DOUBLE))
+        |    - (CAST(mu AS DOUBLE) / 1e6) / CAST(n_docs AS DOUBLE), 6)
+        |    AS group_entropy
+        |FROM ag""".stripMargin),
+
+    // Mirrors CorpusStats.jsDivergence: identical top-200 cut (deterministic
+    // total order), identical per-token contribution expression, micro-unit
+    // exact sums.
+    "q137_source_divergence" ->
+      """WITH cnt AS (SELECT source AS g, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT tok FROM (SELECT tok, sum(c) AS ct FROM cnt GROUP BY 1)
+        |        ORDER BY ct DESC, tok ASC LIMIT 200),
+        |r AS (SELECT cnt.* FROM cnt JOIN top USING (tok)),
+        |tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM r GROUP BY 1),
+        |grid AS (SELECT tt.g, top.tok, tt.t, COALESCE(r.c, 0) AS c
+        |         FROM top CROSS JOIN tt
+        |         LEFT JOIN r ON r.g = tt.g AND r.tok = top.tok),
+        |p AS (SELECT a.g AS group_a, b.g AS group_b,
+        |        a.c AS ca, a.t AS ta, b.c AS cb, b.t AS tb
+        |      FROM grid a JOIN grid b ON a.tok = b.tok AND a.g < b.g),
+        |m AS (SELECT group_a, group_b,
+        |  CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS common,
+        |  CAST(round((
+        |    CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) *
+        |      ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) /
+        |        ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+        |          CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END +
+        |    CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+        |      ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) /
+        |        ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+        |          CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END
+        |  ) * 5e5) AS BIGINT) AS mu
+        |  FROM p)
+        |SELECT group_a, group_b, CAST(sum(common) AS BIGINT) AS n_common,
+        |  round(CAST(sum(mu) AS DOUBLE) / 1e6, 6) AS js_divergence
+        |FROM m GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors CorpusStats.oovRate: same deterministic top-1000 cut, exact
+    // BIGINT occurrence sums, one double division.
+    "q138_oov_rate" ->
+      """WITH cnt AS (SELECT source AS g, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT tok FROM (SELECT tok, sum(c) AS ct FROM cnt GROUP BY 1)
+        |        ORDER BY ct DESC, tok ASC LIMIT 1000)
+        |SELECT g AS source, CAST(sum(c) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN top.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS oov_occurrences,
+        |  CAST(CAST(sum(CASE WHEN top.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS oov_rate
+        |FROM cnt LEFT JOIN top ON cnt.tok = top.tok
+        |GROUP BY 1""".stripMargin,
+
+    // Mirrors CorpusStats.mixPlan(budgetFrac=0.5, maxEpochs=4.0): floor of
+    // the same double quotient, flags over the ROUNDED epoch value.
+    "q139_mix_plan" ->
+      """WITH avail AS (SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(available_tokens) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS ng FROM avail),
+        |t AS (SELECT a.source, a.available_tokens,
+        |    CAST(floor(0.5 * CAST(tot.tt AS DOUBLE) / CAST(tot.ng AS DOUBLE))
+        |      AS BIGINT) AS target_tokens
+        |  FROM avail a CROSS JOIN tot)
+        |SELECT source, available_tokens, target_tokens,
+        |  round(CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE), 6)
+        |    AS epochs,
+        |  CAST(CASE WHEN target_tokens > available_tokens THEN 1 ELSE 0 END
+        |    AS BIGINT) AS needs_upsampling,
+        |  CAST(CASE WHEN round(CAST(target_tokens AS DOUBLE)
+        |      / CAST(available_tokens AS DOUBLE), 6) > 4.0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS over_cap
+        |FROM t""".stripMargin,
+
+    // Mirrors TextLm.crossEntropyMix: the q101 model CTEs verbatim, then
+    // integer order-statistic cutoffs on the micro-unit scale (cum*3 >= j*n)
+    // and exact micro-unit bucket means — no percentile interpolation.
+    "q140_ppl_mix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |db AS (
+        |  SELECT doc_id, w1, w2, count(*) AS occ FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |    FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |model AS (
+        |  SELECT big.w1, big.w2,
+        |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
+        |  FROM big JOIN uni ON big.w1 = uni.w1 CROSS JOIN v),
+        |sc AS (SELECT db.doc_id,
+        |    CAST(round(round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6)
+        |      / CAST(sum(occ) AS DOUBLE), 6) * 1e6) AS BIGINT) AS xmu
+        |  FROM db JOIN model USING (w1, w2) GROUP BY doc_id),
+        |sg AS (SELECT sc.doc_id, d.source AS g, sc.xmu
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |vals AS (SELECT g, xmu, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1, 2),
+        |cum AS (SELECT g, xmu, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY xmu) AS BIGINT) AS cm
+        |  FROM vals),
+        |tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |cuts AS (SELECT cum.g,
+        |    min(CASE WHEN cm * 3 >= n THEN xmu END) AS cut1,
+        |    min(CASE WHEN cm * 3 >= n * 2 THEN xmu END) AS cut2
+        |  FROM cum JOIN tt USING (g) GROUP BY 1),
+        |bk AS (SELECT sg.g, sg.xmu,
+        |    CASE WHEN sg.xmu <= cuts.cut1 THEN 'head'
+        |         WHEN sg.xmu <= cuts.cut2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM sg JOIN cuts USING (g))
+        |SELECT g AS source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((CAST(sum(xmu) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_xent
+        |FROM bk GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextDedup.winnowNearDupPairs(k=5, w=4, minShared=2, maxDf=20):
+    // identical md5 gram hashes, per-doc min windows over full windows only
+    // (Spark pos is 0-based, this range is 1-based — same window set).
+    "q141_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |           WHERE len(string_split(text,' ')) >= 8),
+        |g AS (SELECT doc_id, len(toks) - 4 AS ng,
+        |        unnest(range(1, len(toks) - 3)) AS pos,
+        |        unnest([md5(array_to_string(toks[i:i+4], ' '))
+        |                for i in range(1, len(toks) - 3)]) AS fp
+        |      FROM t),
+        |sel AS (SELECT doc_id, pos, ng,
+        |    min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mfp
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, mfp AS fp FROM sel WHERE pos <= ng - 3),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+        |ff AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   )
 }

@@ -884,4 +884,123 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(got == Map((0, 1) -> 0.0, (0, 2) -> invSqrt2, (1, 2) -> invSqrt2),
       s"got $got")
   }
+
+  test("clusterGroupPurity: hand-computed entropy, mirrors vs reposts") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"), (5L, "C"))
+      .toDF("doc_id", "source")
+    val got = graft.operators.TextDedup
+      .clusterGroupPurity(clusters, docs, "doc_id", "source")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // cluster 1: counts {A:2, B:1} -> H = ln3 - (2*round(ln2*1e6)/1e6)/3
+    val mirrorH = BigDecimal(math.log(3.0) -
+        2 * math.round(math.log(2.0) * 1e6) / 1e6 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, 2L, 2.0 / 3.0, mirrorH)), s"got $got")
+    // cluster 4: within-source repost -> zero entropy, full majority
+    assert(got(4L) == ((2L, 1L, 1.0, 0.0)), s"got $got")
+  }
+
+  test("jsDivergence: identical groups diverge 0, disjoint groups ln 2") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "x x y z"), ("B", "x x y z"),  // identical distributions
+      ("C", "p q r s"))                    // disjoint from both
+      .toDF("source", "text")
+    val got = graft.operators.CorpusStats
+      .jsDivergence(df, "source", "text", topV = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("A", "B"))._2 == 0.0, s"identical groups: $got")
+    assert(got(("A", "B"))._1 == 3L)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // disjoint: every token contributes p*ln2 on its side only (7 grid
+    // tokens, each quantized to +-0.5 micro-units => within 4e-6)
+    assert(math.abs(got(("A", "C"))._2 - ln2) < 4e-6, s"disjoint: $got")
+    assert(got(("A", "C"))._1 == 0L)
+  }
+
+  test("oovRate: occurrences outside the deterministic top-V are counted") {
+    import spark.implicits._
+    // global counts: a=4, b=3, rare1=1, rare2=1 -> top-2 = {a, b}
+    val df = Seq(("S1", "a a b rare1"), ("S2", "a a b b rare2"))
+      .toDF("source", "text")
+    val got = graft.operators.CorpusStats.oovRate(df, "source", "text", topV = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map("S1" -> ((4L, 1L, 0.25)), "S2" -> ((5L, 1L, 0.2))),
+      s"got $got")
+  }
+
+  test("mixPlan: uniform budget split, epoch math, upsampling flags") {
+    import spark.implicits._
+    // available: S1 = 50 tokens, S2 = 350 -> total 400, budget 200, 100 each
+    val df = Seq.tabulate(10)(i => ("S1", Seq.fill(5)("t").mkString(" "))) ++
+      Seq.tabulate(10)(i => ("S2", Seq.fill(35)("t").mkString(" ")))
+    val got = graft.operators.CorpusStats
+      .mixPlan(df.toDF("source", "text"), "source", "text",
+        budgetFrac = 0.5, maxEpochs = 1.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // S1 must repeat 2x (over the 1.5 cap); S2 subsamples
+    assert(got == Map(
+      "S1" -> ((50L, 100L, 2.0, 1L, 1L)),
+      "S2" -> ((350L, 100L, BigDecimal(100.0 / 350.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0L, 0L))),
+      s"got $got")
+  }
+
+  test("crossEntropyMix: buckets partition each source, means are ordered, cuts are order statistics") {
+    val docs = Graft.table(spark, sf, "documents")
+    val scored = graft.operators.TextLm
+      .bigramCrossEntropy(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val perSource = scored.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mix = graft.operators.TextLm
+      .crossEntropyMix(docs, "doc_id", "text", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    perSource.foreach { case (src, n) =>
+      val Seq(h, m, t) = Seq("head", "middle", "tail")
+        .map(b => mix.getOrElse((src, b), (0L, Double.NaN)))
+      assert(h._1 + m._1 + t._1 == n, s"$src: buckets must partition the source")
+      // means ascend across the buckets that exist (tiny sources can
+      // leave middle/tail empty — ties at a cut land in the lower bucket)
+      val means = Seq(h, m, t).filter(_._1 > 0).map(_._2)
+      assert(means == means.sorted, s"$src: bucket means must ascend: $means")
+      // cutoffs are ceil-style order statistics: head covers >= n/3,
+      // head+middle >= 2n/3 (ties at the cut land low, so >= not ==)
+      assert(3 * h._1 >= n && 3 * (h._1 + m._1) >= 2 * n, s"$src: $h $m $t / $n")
+    }
+  }
+
+  test("winnowing: shifted text still shares fingerprints; unrelated text shares none") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, "zz yy xx " + base),               // same content, shifted 3 tokens
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextDedup
+      .winnowedFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a shared run >= k+w-1 tokens shares a fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shifted copy must share fingerprints")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs must not")
+    // each doc selects at most one fingerprint per window position
+    assert(byDoc(1L).size <= 30 - 5 + 1 - 4 + 1)
+    val pairs = graft.operators.TextDedup
+      .winnowNearDupPairs(df, "doc_id", "text", k = 5, w = 4,
+        minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
