@@ -306,4 +306,33 @@ object CorpusStats {
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
           .as("zipf_slope"))
   }
+
+  /** Exact within-group percentile calibration of an integer-valued score:
+    * each row gets the fraction of its group scoring <= its value — the
+    * rank normalization that makes a raw signal (length, LM score, quality
+    * gate) comparable ACROSS sources with different score distributions
+    * (percentile 0.97 means the same thing in every source; raw value 4000
+    * does not). Output: idCol, groupCol, valueCol, pct_rank (6 dp).
+    *
+    * Scale: the cumulative window runs over the per-group DISTINCT-VALUE
+    * table — bounded by the score's value range (the q107/q140 argument),
+    * never over rows — and rows join back to their value's cumulative count
+    * by (group, value), a plain equi-join that shuffles on a key with
+    * bounded cardinality per group. No per-row window, no global sort. */
+  def percentileCalibration(df: DataFrame, idCol: String, groupCol: String,
+                            valueCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol).as("__g"),
+      col(valueCol).cast("bigint").as("__v"))
+    val vals = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("__cum", sum(col("__c")).over(cumW))
+    val totals = vals.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    base.join(cum.select(col("__g"), col("__v"), col("__cum")), Seq("__g", "__v"))
+      .join(totals, "__g")
+      .select(col(idCol), col("__g").as(groupCol), col("__v").as(valueCol),
+        round(col("__cum").cast("double") / col("__n").cast("double"), 6)
+          .as("pct_rank"))
+  }
 }

@@ -409,4 +409,88 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double")).as("recall"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    * the corpus with a k-means coarse quantizer ([[kmeansCentroids]] — the
+    * same deterministic Lloyd the IVF index trains), then inside each
+    * cluster drop every vector whose cosine to some SMALLER-id member of
+    * the same cluster reaches `threshold`. Anchor-greedy, not chain-greedy:
+    * a vector is dropped if ANY earlier member is close, whether or not
+    * that member itself survives — one join instead of a sequential scan,
+    * and the policy is a pure function of the pair set (deterministic under
+    * any execution order). Output: one row per vector — idCol, cid, keep.
+    *
+    * Scale: the pairwise compare is an equi-join on the cluster id, never a
+    * corpus cross product, and cluster populations are controlled by
+    * `nlist` — at production scale nlist grows with the corpus (SemDeDup
+    * runs ~100k clusters for web scale) so the per-cluster quadratic stays
+    * a bounded unit of work; the parameter IS the knob, the operator shape
+    * doesn't change. Centroid training cost is linear (see
+    * [[kmeansCentroids]]); the final keep/drop is one k-bounded anti-join
+    * equivalent (left join + null test) on the vector id. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 8,
+                    lloydIters: Int = 2): DataFrame = {
+    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
+    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
+    val dist2 = dot_d(col("emb"), col("emb")) -
+      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    val assign = n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
+      .select(col(idCol), col("b.cid").as("cid"),
+        col("b.emb").as("emb"), col("b.nrm").as("nrm"))
+    val a = assign.select(col("cid"), col(idCol).as("id_a"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val b = assign.select(col("cid"), col(idCol).as("id_b"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val dropped = a.join(b, "cid")
+      .where(col("id_a") > col("id_b"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a")).distinct()
+      .withColumn("__drop", lit(1L))
+    assign.select(col(idCol), col("cid"))
+      .join(dropped.withColumnRenamed("id_a", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        when(col("__drop").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar corpus vectors carrying a DIFFERENT label — the
+    * near-misses a dual-encoder learns the most from (random negatives are
+    * trivially separable; same-label neighbors are positives, not
+    * negatives). Output: query_id, rnk, neighbor_id, neighbor_label,
+    * cos_sim — the (anchor, hard negative) pair sheet a triplet-loss
+    * dataloader consumes.
+    *
+    * Scale: the bounded query batch broadcasts against one corpus scan
+    * (the [[bruteForceKnn]] contract), but the per-query top-k runs through
+    * [[graft.functions.TopKAgg]] — a k-bounded partial aggregation, not a
+    * rank window over |Q|·|C| scored rows — and the neighbor label is
+    * re-attached AFTER the cut, touching only |Q|·k rows. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+      .join(emb.select(col(idCol), col(labelCol).cast("long").as("__lbl")), idCol)
+    val q = n.where(queryPred).select(col(idCol).as("query_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("__lbl").as("q_lbl"))
+    val c = n.select(col(idCol).as("neighbor_id"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"), col("__lbl").as("c_lbl"))
+    val topk = graft.functions.TopKAgg.columnAgg(k)
+    broadcast(q).crossJoin(c)
+      .where(col("q_lbl") =!= col("c_lbl"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
+      .join(emb.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("neighbor_label")), "neighbor_id")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("neighbor_label"), col("cos_sim"))
+  }
 }

@@ -568,4 +568,22 @@ object TextDedup {
         (col("n_dup").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))
   }
+
+  /** Per-group attrition report over a retention worklist (any frame with a
+    * group column and a 0/1 `keep` column — the q91 keep/drop sheet): how
+    * much of each source does dedup remove? The number a crawl-acquisition
+    * team actually reads — a source with 60% attrition is re-crawling
+    * itself, one near 0% may be under-deduped. Output: group, n_docs,
+    * n_kept, n_dropped, attrition_rate (6 dp).
+    *
+    * Plan: one |groups|-row keyed aggregate over the (already computed)
+    * worklist — map-side combined, nothing here scales with anything but
+    * the group count. */
+  def attritionByGroup(worklist: DataFrame, groupCol: String): DataFrame =
+    worklist.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+      .select(col(groupCol), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        round((col("n_docs") - col("n_kept")).cast("double") /
+          col("n_docs").cast("double"), 6).as("attrition_rate"))
 }

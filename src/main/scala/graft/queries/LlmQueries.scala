@@ -893,7 +893,49 @@ object LlmQueries {
     "q141_winnow_pairs" -> ((s, d) =>
       TextDedup.winnowNearDupPairs(
         table(s, d, "documents"), "doc_id", "text",
-        k = 5, w = 4, minShared = 2, maxDf = 20))
+        k = 5, w = 4, minShared = 2, maxDf = 20)),
+
+    // SemDeDup: k-means-partitioned semantic dedup over the embedding
+    // space — within each Lloyd cluster, drop vectors cosine-close to an
+    // earlier member. The cluster count is the scale knob (at web scale
+    // nlist grows with the corpus); the pairwise compare never leaves its
+    // cluster. See Similarity.semanticDedup.
+    "q142_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nlist = 8, lloydIters = 2)),
+
+    // Per-source dedup attrition over the q91 retention worklist — the
+    // crawl-health report (a source losing 60% to dedup is re-crawling
+    // itself). One |sources|-row aggregate on the shared cluster lineage.
+    "q143_dedup_attrition" -> ((s, d) => {
+      val clusters = TextDedup.connectedComponents(nearDupPairs(s, d))
+      val worklist = table(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), 1L)
+            .otherwise(0L).as("keep"))
+      TextDedup.attritionByGroup(worklist, "source")
+    }),
+
+    // Exact within-source percentile calibration of document length — rank
+    // normalization that makes a raw score comparable across sources. The
+    // cumulative window runs over the per-source distinct-VALUE table
+    // (bounded by the value range), never over documents. See
+    // CorpusStats.percentileCalibration.
+    "q144_score_calibration" -> ((s, d) =>
+      graft.operators.CorpusStats.percentileCalibration(
+        table(s, d, "documents"), "doc_id", "source", "n_chars")),
+
+    // Hard-negative mining: per query, top-5 most-similar vectors with a
+    // DIFFERENT label — the contrastive-training pair sheet. TopKAgg
+    // k-bounded partials, label re-attached after the cut. See
+    // Similarity.hardNegatives.
+    "q145_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(
+        table(s, d, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 100, k = 5))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2159,6 +2201,126 @@ object LlmQueries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // Mirrors Similarity.semanticDedup(threshold=0.3, nlist=8, lloydIters=2):
+    // the q50 Lloyd chain verbatim (seed = first 8 vectors, 2 rounds,
+    // micro-unit exact means, emptied centroids carried forward), then
+    // within-cluster pairs against earlier ids at the same sequential-fold
+    // cosine.
+    "q142_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |c0 AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, emb, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM (
+        |    SELECT e.vec_id, e.emb, c.cid,
+        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
+        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |    FROM e, c0 c)),
+        |m1 AS (
+        |  SELECT cid, i,
+        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+        |        FROM a1 WHERE crn = 1)
+        |  GROUP BY cid, i),
+        |c1 AS (SELECT c0.cid, coalesce(nc.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN
+        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1 GROUP BY cid) nc
+        |       ON c0.cid = nc.cid),
+        |a2 AS (
+        |  SELECT vec_id, emb, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM (
+        |    SELECT e.vec_id, e.emb, c.cid,
+        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
+        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |    FROM e, c1 c)),
+        |m2 AS (
+        |  SELECT cid, i,
+        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+        |        FROM a2 WHERE crn = 1)
+        |  GROUP BY cid, i),
+        |c2 AS (SELECT c1.cid, coalesce(nc.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN
+        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m2 GROUP BY cid) nc
+        |       ON c1.cid = nc.cid),
+        |dists AS (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cid,
+        |    list_reduce(list_transform(n.emb, x -> x*x), (a,x) -> a+x)
+        |      - 2.0 * list_reduce(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |      + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |  FROM n, c2 c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM dists),
+        |assign AS (SELECT vec_id, cid, emb, nrm FROM ranked WHERE crn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS id_a
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.vec_id > b.vec_id
+        |  WHERE list_reduce(list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*b.emb[i]), (x,y) -> x+y)
+        |      / (a.nrm * b.nrm) >= 0.3),
+        |dr AS (SELECT DISTINCT id_a FROM p)
+        |SELECT a.vec_id, a.cid,
+        |  CAST(CASE WHEN dr.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM assign a LEFT JOIN dr ON a.vec_id = dr.id_a""".stripMargin,
+
+    // Mirrors q143 over the shared cluster lineage: the q91 keep rule, then
+    // one per-source rollup.
+    "q143_dedup_attrition" -> (clusterCte + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |w AS (SELECT d.source,
+        |        CASE WHEN cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
+        |          THEN 1 ELSE 0 END AS keep
+        |      FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+        |  round(CAST(count(*) - sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS attrition_rate
+        |FROM w GROUP BY 1""".stripMargin),
+
+    // Mirrors CorpusStats.percentileCalibration: cumulative window over the
+    // per-source distinct-value table, rows joined back by (group, value).
+    "q144_score_calibration" ->
+      """WITH base AS (SELECT doc_id, source AS g, CAST(n_chars AS BIGINT) AS v
+        |              FROM documents),
+        |vals AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |          CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm
+        |        FROM vals),
+        |tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1)
+        |SELECT b.doc_id, b.g AS source, b.v AS n_chars,
+        |  round(CAST(cum.cm AS DOUBLE) / CAST(tt.n AS DOUBLE), 6) AS pct_rank
+        |FROM base b
+        |JOIN cum ON b.g = cum.g AND b.v = cum.v
+        |JOIN tt ON b.g = tt.g""".stripMargin,
+
+    // Mirrors Similarity.hardNegatives(k=5): the q33 brute-force cosine with
+    // the cross-label filter; same (cos DESC, id ASC) total order.
+    "q145_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |             CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |n AS (SELECT vec_id, emb, lbl,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.lbl AS neighbor_label,
+        |        list_reduce(list_transform(range(1, len(q.emb)+1), i -> q.emb[i]*c.emb[i]), (a,x) -> a+x)
+        |          / (q.nrm * c.nrm) AS cos
+        |      FROM n q, n c
+        |      WHERE q.vec_id < 100 AND q.lbl <> c.lbl),
+        |r AS (SELECT query_id, neighbor_id, neighbor_label, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM p)
+        |SELECT query_id, rnk, neighbor_id, neighbor_label, round(cos, 6) AS cos_sim
+        |FROM r WHERE rnk <= 5""".stripMargin
   )
 }

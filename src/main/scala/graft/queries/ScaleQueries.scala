@@ -307,6 +307,39 @@ object ScaleQueries {
             col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))),
 
+    // TPC-H Q8-shaped market share: per order-year within region ASIA,
+    // each supplier nation's share of total revenue. The share denominator
+    // is a second |years|-row aggregate joined back (broadcast-tiny), not a
+    // window over line items; both sums go through the DECIMAL(12,2)
+    // exact-sum discipline so the share is one double division of two
+    // exact totals. Joins unhinted — AQE broadcasts the dims.
+    "q146_market_share" -> ((s, d) => {
+      val vol = table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(year(col("o_orderdate")).cast("bigint").as("o_year"),
+          col("n_name"),
+          // decimal-cast each FACTOR, multiply in decimal (exact — the q70
+          // pattern; casting the double PRODUCT hits a rounding tie)
+          (Relational.dec(col("l_extendedprice")) *
+            (lit(1) - Relational.dec(col("l_discount")))).as("vol"))
+      // revenue stays DECIMAL through BOTH aggregation levels (per-nation,
+      // then per-year total) — exact and associative — and casts to double
+      // only for the final division and output
+      val byNation = vol.groupBy(col("o_year"), col("n_name"))
+        .agg(sum(col("vol")).as("__rev"))
+      val byYear = byNation.groupBy(col("o_year"))
+        .agg(sum(col("__rev")).as("__tot"))
+      byNation.join(byYear, "o_year")
+        .select(col("o_year"), col("n_name"),
+          col("__rev").cast("double").as("revenue"),
+          round(col("__rev").cast("double") / col("__tot").cast("double"), 6)
+            .as("mkt_share"))
+    }),
+
     // Salted skew join: the fact side's hot keys fan out over 8 salted
     // sub-keys, the dim side replicates x8 — identical result to the plain
     // join (the oracle), without one reducer absorbing a hot key's rows.
@@ -1173,6 +1206,24 @@ object ScaleQueries {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
+
+    // Mirrors q146: revenue DECIMAL through both aggregation levels, one
+    // double division for the share.
+    "q146_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |bn AS (SELECT o_year, n_name, sum(vol) AS rev FROM vol GROUP BY 1, 2),
+        |yt AS (SELECT o_year, sum(rev) AS tot FROM bn GROUP BY 1)
+        |SELECT bn.o_year, bn.n_name, CAST(bn.rev AS DOUBLE) AS revenue,
+        |  round(CAST(bn.rev AS DOUBLE) / CAST(yt.tot AS DOUBLE), 6) AS mkt_share
+        |FROM bn JOIN yt USING (o_year)""".stripMargin,
 
     // Mirrors q130: same md5-fold gram hashes (duckHash60 = Spark's
     // conv(md5) fold), bottom-256 by ORDER BY h, same exact-integer

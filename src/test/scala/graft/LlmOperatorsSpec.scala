@@ -1003,4 +1003,76 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("semanticDedup: within-cluster near-dups drop against the earliest member") {
+    import spark.implicits._
+    // iters=0 keeps the seed centroids (= vectors 0 and 1): cluster A ~ [1,0],
+    // cluster B ~ [0,1]. Vectors 2 and 3 land in A and are cosine-close to
+    // vector 0, so both drop (anchor-greedy); 4 lands in B below threshold.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.01f), 0),
+      (4L, Array(0.5f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, lloydIters = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 1L)), 2L -> ((0L, 0L)), 3L -> ((0L, 0L)),
+      1L -> ((1L, 1L)), 4L -> ((1L, 1L))), s"got $got")
+  }
+
+  test("hardNegatives: only cross-label neighbors, ranked by cosine") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(0.8f, 0.6f), 0),
+      (3L, Array(0.6f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .hardNegatives(emb, "vec_id", "embedding", "label", col("vec_id") < 2, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // query 0 (label 0): negatives are 1 and 3 — cos 0.0 and 0.6
+    assert(got((0L, 1L)) == ((3L, 1L, 0.6)), s"got $got")
+    assert(got((0L, 2L)) == ((1L, 1L, 0.0)), s"got $got")
+    // query 1 (label 1): negatives are 0 and 2 — cos 0.0 and 0.6
+    assert(got((1L, 1L)) == ((2L, 0L, 0.6)), s"got $got")
+    assert(got((1L, 2L)) == ((0L, 0L, 0.0)), s"got $got")
+    assert(got.size == 4)
+  }
+
+  test("attritionByGroup: rates from a hand-built worklist") {
+    import spark.implicits._
+    val worklist = Seq(
+      ("A", 1L), ("A", 0L), ("A", 0L), ("A", 1L),  // half of A dropped
+      ("B", 1L), ("B", 1L))                        // B untouched
+      .toDF("source", "keep")
+    val got = graft.operators.TextDedup.attritionByGroup(worklist, "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      "A" -> ((4L, 2L, 2L, 0.5)),
+      "B" -> ((2L, 2L, 0L, 0.0))), s"got $got")
+  }
+
+  test("percentileCalibration: ties share the upper cumulative fraction, groups independent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 20L),
+      (4L, "B", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.CorpusStats
+      .percentileCalibration(df, "doc_id", "source", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val twoThirds = BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(1L -> twoThirds, 2L -> twoThirds, 3L -> 1.0, 4L -> 1.0),
+      s"got $got")
+  }
 }
