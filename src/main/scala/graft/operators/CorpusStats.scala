@@ -319,6 +319,68 @@ object CorpusStats {
     * never over rows — and rows join back to their value's cumulative count
     * by (group, value), a plain equi-join that shuffles on a key with
     * bounded cardinality per group. No per-row window, no global sort. */
+  /** Consecutive-token repetition screen — the "the the the" loop detector
+    * for machine-generated or glitched text (Gopher's repetition family
+    * covers n-gram MASS; this one targets RUNS, which a mass ratio dilutes
+    * in long documents). Output per doc: n_tokens, n_stutter (tokens equal
+    * to their predecessor), max_run (longest constant run), stutter_frac.
+    *
+    * Plan: everything is an IN-ROW fold over the token array (codegen'd
+    * higher-order functions) — no explode, no window, no shuffle; the
+    * operator is a pure projection and scales with bytes scanned. The
+    * max-run fold carries a (current, best) struct through one pass. A SQL
+    * oracle replays the same numbers via the gaps-and-islands window form —
+    * integer arithmetic, so the two formulations agree exactly. */
+  def consecutiveRepetition(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), size(col("t")).cast("bigint").as("n_tokens"),
+        expr("""IF(size(t) < 2, CAST(0 AS BIGINT),
+                aggregate(sequence(2, size(t)), CAST(0 AS BIGINT),
+                  (a, i) -> a + IF(element_at(t, i) = element_at(t, i-1),
+                    CAST(1 AS BIGINT), CAST(0 AS BIGINT))))""")
+          .as("n_stutter"),
+        expr("""IF(size(t) < 2, CAST(least(size(t), 1) AS BIGINT),
+                aggregate(sequence(2, size(t)),
+                  named_struct('cur', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)),
+                  (acc, i) -> named_struct(
+                    'cur', IF(element_at(t, i) = element_at(t, i-1),
+                      acc.cur + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+                    'best', greatest(acc.best,
+                      IF(element_at(t, i) = element_at(t, i-1),
+                        acc.cur + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
+                  acc -> acc.best))""").as("max_run"))
+      .withColumn("stutter_frac",
+        round(col("n_stutter").cast("double") / col("n_tokens").cast("double"), 6))
+
+  /** Template-shape detection per group: a document's SHAPE is the md5 of
+    * its token-length sequence — identical for any two docs produced by the
+    * same fill-in-the-blanks template with same-length slots, cheap to
+    * compute, and robust to vocabulary changes. A source whose top shape
+    * covers most of its documents is a template mill (calendar pages, stub
+    * articles, generated listings) — candidates for aggressive dedup or
+    * downsampling. Output: group, n_docs, n_shapes, top_shape_docs,
+    * top_shape_share.
+    *
+    * Plan: shape is an in-row projection; then one (group, shape) count and
+    * one |groups|-row rollup whose argmax is a max(struct) aggregate (ties
+    * break to the lexicographically larger shape hash — mirrored by the
+    * oracle's ORDER BY c DESC, shape DESC), never a window. */
+  def templateShapes(docs: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val shaped = docs.select(col(groupCol).as("__g"),
+      md5(expr(s"concat_ws(',', transform(split($textCol, ' '), " +
+        "x -> CAST(length(x) AS STRING)))")).as("shape"))
+    shaped.groupBy(col("__g"), col("shape")).agg(count(lit(1)).as("c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_shapes"),
+        max(struct(col("c"), col("shape"))).as("m"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_shapes"),
+        col("m.c").as("top_shape_docs"),
+        round(col("m.c").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_shape_share"))
+  }
+
   def percentileCalibration(df: DataFrame, idCol: String, groupCol: String,
                             valueCol: String): DataFrame = {
     val base = df.select(col(idCol), col(groupCol).as("__g"),

@@ -493,4 +493,39 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("neighbor_label"), col("cos_sim"))
   }
+
+  /** Embedding-store hygiene audit: per label, how many vectors are
+    * degenerate (near-zero norm — an encoder that emitted zeros; non-finite
+    * components — a NaN that will poison every dot product downstream) plus
+    * the norm distribution envelope. The first query run on a new embedding
+    * drop, BEFORE any ANN index is built over it. Output: label, n_vecs,
+    * n_zero_norm, n_nonfinite, min_norm, max_norm, mean_norm.
+    *
+    * One narrow projection (norm + finiteness are in-row folds, codegen'd)
+    * and one |labels|-row aggregate — map-side combined, no shuffle beyond
+    * the label key. The mean goes through micro-unit integer sums (exact
+    * under any partial-agg order); min/max are order-free already. */
+  def embeddingHygiene(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val n = emb.select(col(labelCol).cast("long").as("label"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm", sqrt(dot_d(col("emb"), col("emb"))))
+      .withColumn("bad", expr(
+        "exists(emb, x -> isnan(x) OR abs(x) > 1.7976931348623157e308)"))
+    // the mean covers FINITE vectors only — a NaN/Inf norm cannot enter the
+    // micro-unit cast (ANSI would throw) and would poison the sum anyway;
+    // the min/max envelope keeps IEEE semantics (NaN sorts last)
+    n.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm") < 1e-6, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        sum(when(!col("bad"), expr("CAST(round(nrm * 1e6) AS BIGINT)"))
+          .otherwise(0L)).as("__smu"))
+      .select(col("label"), col("n_vecs"), col("n_zero_norm"),
+        col("n_nonfinite"), col("min_norm"), col("max_norm"),
+        round((col("__smu").cast("double") / lit(1e6)) /
+          (col("n_vecs") - col("n_nonfinite")).cast("double"), 6).as("mean_norm"))
+  }
 }

@@ -569,6 +569,57 @@ object TextDedup {
           .as("dup_frac"))
   }
 
+  /** MinHash-LSH calibration sheet: for every banded-bucket CANDIDATE pair
+    * (pre-verification — the raw output of the (band, sig) self-join),
+    * the Jaccard ESTIMATE from the full minhash signature (fraction of the
+    * 2·bands draws that agree) against the exact shingle Jaccard. This is
+    * how band/draw parameters are tuned: the estimate-vs-exact scatter
+    * shows the threshold curve the banding actually achieves, and a drift
+    * between the columns flags a hash or shingling bug before a 100-TB
+    * dedup run trusts the index. Output: doc_a, doc_b, n_agree,
+    * est_jaccard, jaccard.
+    *
+    * Plan: same bucketed candidate generation as [[minhashNearDupPairs]]
+    * (never all-pairs); the estimate is an in-row zip over two
+    * 2·bands-element signature arrays; exact verification builds shingle
+    * arrays only for candidate docs (semi-join). */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands <= 4, "2 draws/band x 4-hex-char slices must fit one md5 digest")
+    val nDraws = 2 * bands
+    val sigs = CacheScope.persist(docs
+      .select(col(idCol), graft.functions.MinHashSigs.minhash_sigs(
+        split(col(textCol), " "), shingleK, nDraws).as("mh"))
+      .where(col("mh").isNotNull))
+    val stacked = (0 until bands)
+      .map(b => s"$b, concat(mh[${2 * b}], mh[${2 * b + 1}])").mkString(", ")
+    val sig = sigs.select(col(idCol), expr(s"stack($bands, $stacked) AS (band, sig)"))
+    val a = sig.select(col("band"), col("sig"), col(idCol).as("doc_a"))
+    val b = sig.select(col("band"), col("sig"), col(idCol).as("doc_b"))
+    val cand = a.join(b, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cand_id"))
+      .distinct()
+    val sets = shingleSets(
+      docs.join(candIds, col(idCol) === col("cand_id"), "left_semi"),
+      idCol, textCol, shingleK)
+    cand
+      .join(sigs.toDF("doc_a", "mh_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "mh_b"), "doc_b")
+      .withColumn("n_agree", expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        round(col("n_agree").cast("double") / lit(nDraws.toDouble), 6)
+          .as("est_jaccard"),
+        round(col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Per-group attrition report over a retention worklist (any frame with a
     * group column and a 0/1 `keep` column — the q91 keep/drop sheet): how
     * much of each source does dedup remove? The number a crawl-acquisition

@@ -935,7 +935,35 @@ object LlmQueries {
     "q145_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(
         table(s, d, "embeddings"), "vec_id", "embedding", "label",
-        col("vec_id") < 100, k = 5))
+        col("vec_id") < 100, k = 5)),
+
+    // Embedding-store hygiene: per label, degenerate-vector counts (zero
+    // norm, non-finite components) + the norm envelope — the audit run
+    // BEFORE building any ANN index. One projection, one |labels|-row agg.
+    "q147_embedding_hygiene" -> ((s, d) =>
+      Similarity.embeddingHygiene(
+        table(s, d, "embeddings"), "vec_id", "embedding", "label")),
+
+    // Consecutive-token repetition ("the the the" loops): in-row folds
+    // only — no explode, no window, no shuffle. The RUN-based complement
+    // to q87's n-gram mass ratios. See CorpusStats.consecutiveRepetition.
+    "q148_consecutive_repetition" -> ((s, d) =>
+      graft.operators.CorpusStats.consecutiveRepetition(
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // Template-mill detection: per source, the share of documents carrying
+    // the source's most common token-length-sequence shape. See
+    // CorpusStats.templateShapes.
+    "q149_template_shapes" -> ((s, d) =>
+      graft.operators.CorpusStats.templateShapes(
+        table(s, d, "documents"), "source", "text")),
+
+    // MinHash banding calibration: estimate-vs-exact Jaccard for every
+    // banded candidate pair — the scatter that validates band/draw
+    // parameters before a full dedup run. See TextDedup.minhashCalibration.
+    "q150_lsh_calibration" -> ((s, d) =>
+      TextDedup.minhashCalibration(
+        table(s, d, "documents"), "doc_id", "text", shingleK = 3, bands = 4))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2321,6 +2349,115 @@ object LlmQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         |      FROM p)
         |SELECT query_id, rnk, neighbor_id, neighbor_label, round(cos, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Mirrors Similarity.embeddingHygiene: same sequential-fold norm, same
+    // finiteness predicate text, micro-unit exact mean.
+    "q147_embedding_hygiene" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |             embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT label,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm,
+        |        CASE WHEN len(list_filter(emb,
+        |            x -> isnan(x) OR abs(x) > 1.7976931348623157e308)) > 0
+        |          THEN 1 ELSE 0 END AS bad
+        |      FROM e)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm,
+        |  round((CAST(sum(CASE WHEN bad = 0
+        |        THEN CAST(round(nrm * 1e6) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6)
+        |    / CAST(count(*) - sum(bad) AS DOUBLE), 6) AS mean_norm
+        |FROM n GROUP BY 1""".stripMargin,
+
+    // Mirrors CorpusStats.consecutiveRepetition via the gaps-and-islands
+    // window form — integer arithmetic, so the in-row fold and the window
+    // formulation agree exactly.
+    "q148_consecutive_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |x AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos,
+        |        unnest(toks) AS tok FROM t),
+        |c AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+        |          THEN 0 ELSE 1 END AS brk
+        |      FROM x),
+        |i AS (SELECT doc_id, pos, brk,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM c),
+        |runs AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS rl
+        |         FROM i GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_tokens,
+        |          CAST(sum(rl) - count(*) AS BIGINT) AS n_stutter,
+        |          CAST(max(rl) AS BIGINT) AS max_run
+        |        FROM runs GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_stutter, max_run,
+        |  round(CAST(n_stutter AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS stutter_frac
+        |FROM agg""".stripMargin,
+
+    // Mirrors CorpusStats.templateShapes: identical md5(shape) input text,
+    // argmax tie-break to the larger shape hash (ORDER BY c DESC, shape DESC
+    // = Spark's max(struct(c, shape))).
+    "q149_template_shapes" ->
+      """WITH s AS (SELECT source AS g,
+        |             md5(array_to_string(list_transform(string_split(text,' '),
+        |               x -> CAST(length(x) AS VARCHAR)), ',')) AS shape
+        |           FROM documents),
+        |cnt AS (SELECT g, shape, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |rk AS (SELECT g, shape, c,
+        |         row_number() OVER (PARTITION BY g ORDER BY c DESC, shape DESC) AS rn
+        |       FROM cnt),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_docs,
+        |          CAST(count(*) AS BIGINT) AS n_shapes FROM cnt GROUP BY 1)
+        |SELECT t.g AS source, t.n_docs, t.n_shapes, r.c AS top_shape_docs,
+        |  round(CAST(r.c AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6)
+        |    AS top_shape_share
+        |FROM tot t JOIN rk r ON r.g = t.g AND r.rn = 1""".stripMargin,
+
+    // Mirrors TextDedup.minhashCalibration(shingleK=3, bands=4): the q31
+    // draw/band construction (mh[j] = min 4-hex slice j of each shingle's
+    // md5), candidates from band-sig collisions, estimate = agreeing draws
+    // / 8, exact Jaccard over distinct shingle sets.
+    "q150_lsh_calibration" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |              WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+        |        for i in range(1, len(t)-1)]) AS sh
+        |    FROM toks)),
+        |mh AS (SELECT doc_id, j, min(substr(md5(sh), j*4+1, 4)) AS m
+        |       FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS j)
+        |       GROUP BY doc_id, j),
+        |sig AS (SELECT m1.doc_id, b.band, m1.m || m2.m AS sig
+        |        FROM (SELECT unnest([0,1,2,3]) AS band) b
+        |        JOIN mh m1 ON m1.j = 2*b.band
+        |        JOIN mh m2 ON m2.j = 2*b.band + 1 AND m2.doc_id = m1.doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id),
+        |ag AS (SELECT c.doc_a, c.doc_b,
+        |         CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_agree
+        |       FROM cand c
+        |       JOIN mh ma ON ma.doc_id = c.doc_a
+        |       JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+        |       GROUP BY 1, 2),
+        |inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+        |          FROM cand c
+        |          JOIN sh sa ON sa.doc_id = c.doc_a
+        |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+        |SELECT ag.doc_a, ag.doc_b, ag.n_agree,
+        |  round(CAST(ag.n_agree AS DOUBLE) / 8.0, 6) AS est_jaccard,
+        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+        |FROM ag
+        |LEFT JOIN inter i ON i.doc_a = ag.doc_a AND i.doc_b = ag.doc_b
+        |JOIN sizes na ON na.doc_id = ag.doc_a
+        |JOIN sizes nb ON nb.doc_id = ag.doc_b""".stripMargin
   )
 }

@@ -1061,6 +1061,74 @@ class LlmOperatorsSpec extends AnyFunSuite {
       "B" -> ((2L, 2L, 0L, 0.0))), s"got $got")
   }
 
+  test("embeddingHygiene: zero-norm and NaN vectors counted, norm envelope exact") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 0),            // norm 5
+      (1L, Array(0.0f, 0.0f), 0),            // zero norm
+      (2L, Array(Float.NaN, 1.0f), 0),       // non-finite
+      (3L, Array(0.0f, 2.0f), 1))            // norm 2
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .embeddingHygiene(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6)))).toMap
+    // label 0 mean covers FINITE vectors only: (5e6 + 0)/2/1e6 = 2.5
+    assert(got(0L) == ((3L, 1L, 1L, 2.5)), s"got $got")
+    assert(got(1L) == ((1L, 0L, 0L, 2.0)), s"got $got")
+  }
+
+  test("consecutiveRepetition: runs and stutter fraction, single-token doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b b c"),
+      (2L, "x"),
+      (3L, "p q p q"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats
+      .consecutiveRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      1L -> ((6L, 3L, 3L, 0.5)),
+      2L -> ((1L, 0L, 1L, 0.0)),
+      3L -> ((4L, 0L, 1L, 0.0))), s"got $got")
+  }
+
+  test("templateShapes: same length-sequence collapses to one shape; top share exact") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "aa bbb c"), ("A", "xx yyy z"), ("A", "q"),  // two share shape 2,3,1
+      ("B", "one"))
+      .toDF("source", "text")
+    val got = graft.operators.CorpusStats.templateShapes(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val twoThirds = BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      "A" -> ((3L, 2L, 2L, twoThirds)),
+      "B" -> ((1L, 1L, 1L, 1.0))), s"got $got")
+  }
+
+  test("minhashCalibration: identical docs estimate and verify at 1.0") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextDedup
+      .minhashCalibration(df, "doc_id", "text", shingleK = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got((1L, 2L)) == ((8L, 1.0, 1.0)), s"got $got")
+    // unrelated doc 3 must not agree on all draws with either twin
+    got.filterKeys(k => k._1 == 3L || k._2 == 3L).foreach { case (k, v) =>
+      assert(v._1 < 8L, s"$k unexpectedly fully agrees: $v")
+    }
+  }
+
   test("percentileCalibration: ties share the upper cumulative fraction, groups independent") {
     import spark.implicits._
     val df = Seq(
