@@ -397,4 +397,77 @@ object CorpusStats {
         round(col("__cum").cast("double") / col("__n").cast("double"), 6)
           .as("pct_rank"))
   }
+
+  /** One BPE merge iteration over the corpus — the inner loop of tokenizer
+    * training (Sennrich et al. 2016): count adjacent CHARACTER pairs across
+    * all token occurrences and report the top-k merge candidates. Running
+    * this repeatedly (merging the winner and re-counting) IS byte-pair
+    * encoding; one iteration exposes the scale shape. Output: pair,
+    * occurrences — top `k` by count, ties to the lexicographically smaller
+    * pair.
+    *
+    * Scale design: the pair expansion runs over the VOCABULARY (distinct
+    * token + occurrence count), not the corpus — the standard BPE trick.
+    * The corpus contributes one token-keyed count; everything after is
+    * Zipf-bounded: |vocab| rows exploded into ≤ token-length pairs each,
+    * weighted by the token's corpus count, one pair-keyed sum, and a
+    * distributed top-k (TakeOrderedAndProject, never a global sort). */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    vocab.where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair").asc).limit(k)
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance per group: each group's
+    * distribution of `valueCol` vs the REST of the corpus — the numeric
+    * drift test beside [[jsDivergence]]'s categorical one (KS sees shape
+    * shifts JS over coarse bins misses, and its statistic is
+    * distribution-free). Output: group, n_group, n_rest, ks (6 dp).
+    *
+    * Scale design + determinism: both CDFs are evaluated on the DISTINCT
+    * VALUE grid (bounded by the value range — the q144 discipline), never
+    * per row: one (group, value) count, the global value table joined
+    * back, cumulative windows over the per-group value grid only. The
+    * supremum is taken over exact INTEGER cross-products
+    * |cum_g * n_rest - cum_rest * n_g| (the max is order-free), with ONE
+    * division at the end — bit-identical on any engine. Groups comprising
+    * the whole corpus (n_rest = 0) are dropped rather than divided by
+    * zero. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("bigint").as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("c"))
+    val av = gv.groupBy(col("__v")).agg(sum(col("c")).as("ca"))
+    // per-group grid over ALL distinct values (value-range bounded): the
+    // supremum can sit at a step of either CDF
+    val groups = gv.select(col("__g")).distinct()
+    val grid = groups.crossJoin(av)
+      .join(gv, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"), col("ca"),
+        coalesce(col("c"), lit(0L)).as("cg"))
+    val cumW = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("cum_g", sum(col("cg")).over(cumW))
+      .withColumn("cum_a", sum(col("ca")).over(cumW))
+    val totals = gv.groupBy(col("__g")).agg(sum(col("c")).as("n_g"))
+      .crossJoin(broadcast(av.agg(sum(col("ca")).as("n_a"))))
+      .select(col("__g"), col("n_g"), (col("n_a") - col("n_g")).as("n_r"))
+    cum.join(broadcast(totals), "__g")
+      .where(col("n_r") > 0)
+      .select(col("__g"), col("n_g"), col("n_r"),
+        abs(col("cum_g") * col("n_r") -
+          (col("cum_a") - col("cum_g")) * col("n_g")).as("__x"))
+      .groupBy(col("__g"), col("n_g"), col("n_r"))
+      .agg(max(col("__x")).as("__m"))
+      .select(col("__g").as(groupCol),
+        col("n_g").as("n_group"), col("n_r").as("n_rest"),
+        round(col("__m").cast("double") /
+          (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
+  }
 }

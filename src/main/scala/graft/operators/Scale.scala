@@ -198,4 +198,31 @@ object Scale {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__toks")).as("n_tokens"),
         sum(col("__chars")).as("n_chars"))
+
+  /** Deterministic sharded training order — the reproducible "global
+    * shuffle" an LLM training run needs: every example gets a (shard,
+    * position) address that is a pure function of its id, so any worker
+    * can materialize its shard independently and a re-run (or an elastic
+    * re-schedule) reads the identical order. Shard = id-hash mod nShards;
+    * position = rank of a SECOND, independent id-hash within the shard
+    * (salted so shard-mates are not ordered by the same bits that
+    * co-located them). Output: id, shard, pos (1-based within shard).
+    *
+    * Scale design: the only state is one rank window PARTITIONED BY SHARD
+    * — never a global order. nShards is the caller's parallelism knob:
+    * sized so a shard (corpus / nShards) fits an executor's sort spill
+    * budget, exactly how a training-data export sizes its output files.
+    * At 100 TB with nShards = O(corpus / 1 GB) the window sees ~1 GB per
+    * partition regardless of corpus size. */
+  def trainOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+    df.select(col(idCol),
+        (Sketches.hash60(col(idCol)) % nShards).as("shard"),
+        Sketches.hash60(concat(col(idCol).cast("string"), lit("#ord"))).as("__ord"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -210,4 +210,58 @@ object Temporal {
       .where(col("rank") <= topK)
       .select(col(keyCol), col("bucket"), col("n"), col("z"), col("rank"))
   }
+
+  /** Adjacent-bucket distribution drift — the data-drift monitor a
+    * continuously-fed training pipeline runs on its intake: per time
+    * bucket, the Jensen-Shannon divergence between the categorical
+    * distribution of `catCol` in that bucket and in the PREVIOUS bucket.
+    * A spike says the mix of incoming data changed (a source went down, a
+    * crawler went rogue) before any model metric would show it. Output:
+    * bucket (the later one), n_common (categories present in both),
+    * js_divergence (nats, 6 dp).
+    *
+    * Plan: one (bucket, category) count; the grid join that scores a
+    * bucket against its predecessor is keyed on (category, bucket) after a
+    * calendar-arithmetic shift — |buckets| x |categories| rows total,
+    * calendar- and category-bounded, never data-sized. Empty-in-one-side
+    * categories score with p=0 via the full grid (distinct categories x
+    * bucket totals), mirroring [[CorpusStats.jsDivergence]]'s top-V grid.
+    *
+    * Determinism: per-(bucket, category) JS contribution shares its
+    * expression text with the SQL oracle (identical IEEE sequence), is
+    * quantized to micro-units, and summed exactly — the TextLm discipline. */
+  def adjacentDrift(events: DataFrame, catCol: String, tsCol: String,
+                    bucket: String): DataFrame = {
+    val cnt = events
+      .groupBy(date_trunc(bucket, col(tsCol)).as("__b"), col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("__b")).agg(sum(col("c")).as("t"))
+    val cats = cnt.select(col("__cat")).distinct()
+    val grid = cats.crossJoin(broadcast(totals)) // |cats| x |buckets|, tiny
+      .join(cnt, Seq("__b", "__cat"), "left")
+      .select(col("__b"), col("__cat"), col("t"), coalesce(col("c"), lit(0L)).as("c"))
+    val prev = grid.select(
+      (col("__b") + expr(s"INTERVAL 1 $bucket")).as("__b"),
+      col("__cat"), col("c").as("ca"), col("t").as("ta"))
+    val cur = grid.select(col("__b"), col("__cat"),
+      col("c").as("cb"), col("t").as("tb"))
+    prev.join(cur, Seq("__b", "__cat"))
+      // identical expression text to the oracle => identical IEEE sequence
+      .withColumn("mu", expr(
+        """CAST(round((
+          |  CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) *
+          |    ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) /
+          |      ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+          |        CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END +
+          |  CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+          |    ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) /
+          |      ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+          |        CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END
+          |) * 5e5) AS BIGINT)""".stripMargin))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("n_common"),
+        sum(col("mu")).as("__mu"))
+      .select(col("__b").as("bucket"), col("n_common"),
+        round(col("__mu").cast("double") / lit(1e6), 6).as("js_divergence"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained n-gram language-model scoring — the quality-filtering
@@ -111,5 +111,68 @@ object TextLm {
       .select(col("__g").as(groupCol), col("bucket"), col("n_docs"),
         round((col("__smu").cast("double") / lit(1e6)) / col("n_docs").cast("double"), 6)
           .as("mean_xent"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public paper): score each
+    * corpus slice by the token-weighted average log-likelihood RATIO between
+    * a bigram model trained on a TARGET subset (the domain you want more
+    * of) and one trained on the whole corpus. Positive = the slice looks
+    * target-like; the ratios drive up-/down-sampling weights in a data-mix
+    * stage. Output: group, n_bigrams, avg_logratio (nats, 6 dp).
+    *
+    * Plan: ONE tokenize + per-doc bigram aggregate feeds both models (the
+    * target model is a filtered re-aggregate of the doc-level counts — no
+    * second corpus pass). Both models are observed-bigram tables
+    * (Zipf-bounded); scoring is two bigram-keyed left joins plus a
+    * history-keyed join, never corpus x corpus; the two vocabulary sizes
+    * travel as one broadcast row. Same add-one smoothing as
+    * [[bigramCrossEntropy]] — target-unseen bigrams get mass
+    * 1 / (c_t(w1) + |V_t|), exactly replayable in SQL.
+    *
+    * Determinism: both log-probs are quantized to micro-units per bigram
+    * TYPE (round(ln p * 1e6) as BIGINT), so group sums are exact integer
+    * sums of occ-weighted differences; one division + 6 dp round per group
+    * at the end. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, targetPred: Column): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol).as("__g"),
+      targetPred.as("__tgt"), split(col(textCol), " ").as("t"))
+    val pairs = base.select(col(idCol), col("__g"), col("__tgt"),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("__g"), col("__tgt"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBig = pairs.groupBy(col(idCol), col("__g"), col("__tgt"),
+        col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    // general model: every doc bigram is present by construction
+    val gBig = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("gc2"))
+    val gUni = base.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("gc1"))
+    // target model: filtered re-aggregate of the same doc-level counts
+    val tBig = docBig.where(col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("tc2"))
+    val tUni = base.where(col("__tgt")).select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("tc1"))
+    val sizes = gUni.agg(count(lit(1)).as("gv"))
+      .crossJoin(tUni.agg(count(lit(1)).as("tv")))
+    docBig
+      .join(gBig, Seq("w1", "w2"))
+      .join(gUni, Seq("w1"))
+      .join(tBig, Seq("w1", "w2"), "left")
+      .join(tUni, Seq("w1"), "left")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lr_mu", expr(
+        """CAST(round(ln(CAST(coalesce(tc2, 0) + 1 AS DOUBLE)
+          |  / CAST(coalesce(tc1, 0) + tv AS DOUBLE)) * 1e6) AS BIGINT)
+          |- CAST(round(ln(CAST(gc2 + 1 AS DOUBLE)
+          |  / CAST(gc1 + gv AS DOUBLE)) * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy(col("__g"))
+      .agg(sum(col("occ") * col("lr_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col("__g").as(groupCol), col("m").as("n_bigrams"),
+        round((col("mu").cast("double") / lit(1e6)) / col("m").cast("double"), 6)
+          .as("avg_logratio"))
   }
 }

@@ -963,7 +963,87 @@ object LlmQueries {
     // parameters before a full dedup run. See TextDedup.minhashCalibration.
     "q150_lsh_calibration" -> ((s, d) =>
       TextDedup.minhashCalibration(
-        table(s, d, "documents"), "doc_id", "text", shingleK = 3, bands = 4))
+        table(s, d, "documents"), "doc_id", "text", shingleK = 3, bands = 4)),
+
+    // DSIR-style importance weights per source: token-weighted avg bigram
+    // log-likelihood ratio, target LM (lang = 'en') vs corpus LM — the
+    // up-/down-sampling signal of importance-resampled data selection.
+    // One tokenize feeds both models. See TextLm.importanceWeights.
+    "q151_importance_weights" -> ((s, d) =>
+      graft.operators.TextLm.importanceWeights(
+        table(s, d, "documents"), "doc_id", "text", "source",
+        col("lang") === "en")),
+
+    // Blocked Levenshtein near-dup pairs: prefix-block (16 chars), compare
+    // 64-char prefixes, dist <= 20, blocks capped at 50 members — the
+    // typo-level complement to the token-set dedup family. See
+    // TextDedup.blockedEditDistance.
+    "q152_edit_near_dup" -> ((s, d) =>
+      TextDedup.blockedEditDistance(
+        table(s, d, "documents"), "doc_id", "text",
+        blockChars = 16, cmpChars = 64, maxDist = 20, maxBlock = 50)),
+
+    // Leakage-free split: the q113 hash carve keyed by NEAR-DUP CLUSTER
+    // (cluster representative id, singletons by their own id) instead of
+    // doc id, so a near-dup family can never straddle train/test — the
+    // fix for exactly the leakage q118 audits. Per-split doc and group
+    // counts; the no-straddle property is spec-asserted.
+    "q153_cluster_split" -> ((s, d) => {
+      val clusters = TextDedup.connectedComponents(nearDupPairs(s, d))
+      table(s, d, "documents").select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("gid"))
+        .select(graft.operators.Scale.splitAssign(
+            col("gid"), Seq(("train", 0.9), ("val", 0.95)), "test").as("split"),
+          col("gid"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gid")).as("n_groups"))
+    }),
+
+    // Ingest drift monitor: per day, JS divergence of the event-type
+    // distribution vs the previous day — the intake alarm that fires when
+    // the incoming mix shifts. See Temporal.adjacentDrift.
+    "q154_ingest_drift" -> ((s, d) =>
+      graft.operators.Temporal.adjacentDrift(
+        table(s, d, "events"), "event_type", "ts", "day")),
+
+    // One BPE merge iteration: top-20 adjacent character pairs by corpus
+    // occurrence, counted over the VOCABULARY (distinct token x count) —
+    // the tokenizer-training inner loop at its corpus-scale shape. See
+    // CorpusStats.bpeMergeCandidates.
+    "q156_bpe_merges" -> ((s, d) =>
+      graft.operators.CorpusStats.bpeMergeCandidates(
+        table(s, d, "documents"), "text", k = 20)),
+
+    // Language-ID confusion matrix: q72's n-gram classifier aggregated
+    // against the labeled lang column — the eval sheet that decides
+    // whether a cheap classifier can gate a language-filtered corpus.
+    "q157_langid_confusion" -> ((s, d) => {
+      def hits(grams: String) =
+        expr(s"CAST(size(filter(array$grams, g -> instr(text, g) > 0)) AS BIGINT)")
+      table(s, d, "documents").select(
+        col("lang"),
+        hits("('th','he','an','in','er')").as("en_bigrams"),
+        hits("('ch','ei','de','en','un')").as("de_bigrams"),
+        hits("('le','es','on','ou','qu')").as("fr_bigrams"))
+        .select(col("lang"),
+          when(col("en_bigrams") >= col("de_bigrams") &&
+            col("en_bigrams") >= col("fr_bigrams") && col("en_bigrams") > 0, "en")
+            .when(col("de_bigrams") >= col("fr_bigrams") && col("de_bigrams") > 0, "de")
+            .when(col("fr_bigrams") > 0, "fr")
+            .otherwise("unk").as("guessed_lang"))
+        .groupBy(col("lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Per-source Kolmogorov-Smirnov distance of the document-length
+    // distribution vs the rest of the corpus — the numeric drift test
+    // beside q137's categorical JS. Exact integer supremum, one division.
+    // See CorpusStats.ksDrift.
+    "q158_length_ks" -> ((s, d) =>
+      graft.operators.CorpusStats.ksDrift(
+        table(s, d, "documents"), "source", "n_chars"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2458,6 +2538,170 @@ object LlmQueries {
         |FROM ag
         |LEFT JOIN inter i ON i.doc_a = ag.doc_a AND i.doc_b = ag.doc_b
         |JOIN sizes na ON na.doc_id = ag.doc_a
-        |JOIN sizes nb ON nb.doc_id = ag.doc_b""".stripMargin
+        |JOIN sizes nb ON nb.doc_id = ag.doc_b""".stripMargin,
+
+    // Mirrors TextLm.importanceWeights: same add-one smoothing, same
+    // per-TYPE micro-unit quantization of BOTH log-probs, exact integer
+    // occ-weighted sums, one division + 6 dp round per group.
+    "q151_importance_weights" ->
+      """WITH base AS (SELECT doc_id, source, lang = 'en' AS tgt,
+        |    string_split(text,' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, source, tgt, t[i] AS w1, t[i+1] AS w2
+        |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |docbig AS (SELECT doc_id, source, tgt, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS occ
+        |  FROM pairs GROUP BY 1, 2, 3, 4, 5),
+        |gbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS gc2
+        |  FROM docbig GROUP BY 1, 2),
+        |guni AS (SELECT w1, CAST(count(*) AS BIGINT) AS gc1
+        |  FROM (SELECT unnest(t) AS w1 FROM base) GROUP BY 1),
+        |tbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS tc2
+        |  FROM docbig WHERE tgt GROUP BY 1, 2),
+        |tuni AS (SELECT w1, CAST(count(*) AS BIGINT) AS tc1
+        |  FROM (SELECT unnest(t) AS w1 FROM base WHERE tgt) GROUP BY 1),
+        |sizes AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM guni) AS gv,
+        |                 (SELECT CAST(count(*) AS BIGINT) FROM tuni) AS tv),
+        |scored AS (
+        |  SELECT d.source, d.occ,
+        |    CAST(round(ln(CAST(coalesce(tb.tc2, 0) + 1 AS DOUBLE)
+        |      / CAST(coalesce(tu.tc1, 0) + sizes.tv AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - CAST(round(ln(CAST(gb.gc2 + 1 AS DOUBLE)
+        |      / CAST(gu.gc1 + sizes.gv AS DOUBLE)) * 1e6) AS BIGINT) AS lr_mu
+        |  FROM docbig d
+        |  JOIN gbig gb ON gb.w1 = d.w1 AND gb.w2 = d.w2
+        |  JOIN guni gu ON gu.w1 = d.w1
+        |  LEFT JOIN tbig tb ON tb.w1 = d.w1 AND tb.w2 = d.w2
+        |  LEFT JOIN tuni tu ON tu.w1 = d.w1
+        |  CROSS JOIN sizes)
+        |SELECT source, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  round((CAST(sum(occ * lr_mu) AS DOUBLE) / 1e6)
+        |    / CAST(sum(occ) AS DOUBLE), 6) AS avg_logratio
+        |FROM scored GROUP BY 1""".stripMargin,
+
+    // Mirrors TextDedup.blockedEditDistance: identical block key, prefix
+    // lengths, block-size cap, and distance threshold.
+    "q152_edit_near_dup" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 16) AS blk,
+        |    substr(text, 1, 64) AS pfx FROM documents),
+        |ok AS (SELECT b.* FROM b JOIN (
+        |    SELECT blk FROM b GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50) g
+        |  USING (blk))
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
+        |FROM ok a JOIN ok c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.pfx, c.pfx) <= 20""".stripMargin,
+
+    // Mirrors q153: the q61 cluster walk supplies the group key
+    // (representative id, singletons by their own id); the hash carve is
+    // the q113 oracle's formula applied to that key.
+    "q153_cluster_split" -> (clusterCte + s""",
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |g AS (SELECT coalesce(cl.cluster_id, d.doc_id) AS gid
+        |      FROM documents d LEFT JOIN cl USING (doc_id)),
+        |a AS (SELECT gid, CASE
+        |    WHEN CAST(${ScaleQueries.duckHash60("gid")} AS DOUBLE)
+        |      / CAST(1152921504606846976 AS DOUBLE)
+        |      < CAST(0.9 AS DOUBLE) THEN 'train'
+        |    WHEN CAST(${ScaleQueries.duckHash60("gid")} AS DOUBLE)
+        |      / CAST(1152921504606846976 AS DOUBLE)
+        |      < CAST(0.95 AS DOUBLE) THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups
+        |FROM a GROUP BY 1""".stripMargin),
+
+    // Mirrors Temporal.adjacentDrift: identical full grid (categories x
+    // bucket totals), identical per-category JS contribution expression,
+    // micro-unit exact sums.
+    "q154_ingest_drift" ->
+      """WITH cnt AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+        |    event_type AS cat, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (SELECT b, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        |cats AS (SELECT DISTINCT cat FROM cnt),
+        |grid AS (SELECT tt.b, cats.cat, tt.t, coalesce(cnt.c, 0) AS c
+        |  FROM cats CROSS JOIN tt
+        |  LEFT JOIN cnt ON cnt.b = tt.b AND cnt.cat = cats.cat),
+        |j AS (SELECT p.b + INTERVAL 1 DAY AS b, p.cat,
+        |    p.c AS ca, p.t AS ta, q.c AS cb, q.t AS tb
+        |  FROM grid p JOIN grid q
+        |    ON q.b = p.b + INTERVAL 1 DAY AND q.cat = p.cat),
+        |m AS (SELECT b, cat, ca, cb,
+        |  CAST(round((
+        |    CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) *
+        |      ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) /
+        |        ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+        |          CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END +
+        |    CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+        |      ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) /
+        |        ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) +
+        |          CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2)) ELSE 0.0 END
+        |  ) * 5e5) AS BIGINT) AS mu
+        |  FROM j)
+        |SELECT b AS bucket,
+        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  round(CAST(sum(mu) AS DOUBLE) / 1e6, 6) AS js_divergence
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // Mirrors CorpusStats.bpeMergeCandidates: vocabulary-weighted adjacent
+    // char pairs, same top-20 cut with the pair-ascending tie-break.
+    "q156_bpe_merges" ->
+      """WITH v AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, c
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS occurrences
+        |FROM p GROUP BY 1
+        |ORDER BY occurrences DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // Mirrors q157: q72's classifier CASE, aggregated.
+    "q157_langid_confusion" ->
+      """SELECT lang, CASE
+        |    WHEN en_bigrams >= de_bigrams AND en_bigrams >= fr_bigrams
+        |     AND en_bigrams > 0 THEN 'en'
+        |    WHEN de_bigrams >= fr_bigrams AND de_bigrams > 0 THEN 'de'
+        |    WHEN fr_bigrams > 0 THEN 'fr'
+        |    ELSE 'unk' END AS guessed_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT lang,
+        |    len(list_filter(['th','he','an','in','er'], g -> strpos(text, g) > 0)) AS en_bigrams,
+        |    len(list_filter(['ch','ei','de','en','un'], g -> strpos(text, g) > 0)) AS de_bigrams,
+        |    len(list_filter(['le','es','on','ou','qu'], g -> strpos(text, g) > 0)) AS fr_bigrams
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors CorpusStats.ksDrift: CDFs on the distinct-value grid,
+    // exact-integer supremum of |cum_g * n_rest - cum_rest * n_g|, one
+    // division + 6 dp round at the end.
+    "q158_length_ks" ->
+      """WITH gv AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |av AS (SELECT v, CAST(sum(c) AS BIGINT) AS ca FROM gv GROUP BY 1),
+        |grid AS (SELECT g.g, av.v, av.ca, coalesce(gv.c, 0) AS cg
+        |  FROM (SELECT DISTINCT g FROM gv) g CROSS JOIN av
+        |  LEFT JOIN gv ON gv.g = g.g AND gv.v = av.v),
+        |cum AS (SELECT g, v, ca, cg,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_g,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_a
+        |  FROM grid),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM gv) - CAST(sum(c) AS BIGINT)
+        |      AS n_r
+        |  FROM gv GROUP BY 1)
+        |SELECT cum.g AS source, tot.n_g AS n_group, tot.n_r AS n_rest,
+        |  round(CAST(max(abs(cum_g * n_r - (cum_a - cum_g) * n_g)) AS DOUBLE)
+        |    / CAST(n_g * n_r AS DOUBLE), 6) AS ks
+        |FROM cum JOIN tot ON tot.g = cum.g
+        |WHERE tot.n_r > 0
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -584,12 +584,20 @@ object ScaleQueries {
         (col("n_docs") - col("n_unique_texts")).cast("double") /
           col("n_docs").cast("double"))
       .withColumn("avg_doc_tokens",
-        col("n_tokens").cast("double") / col("n_docs").cast("double"))))
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))),
+
+    // Reproducible training order: (shard, pos) address per doc, both pure
+    // functions of the id — the deterministic global shuffle a training
+    // export ships. Rank window partitioned by shard only. See
+    // Scale.trainOrder.
+    "q155_train_order" -> ((s, d) =>
+      graft.operators.Scale.trainOrder(
+        table(s, d, "documents"), "doc_id", nShards = 8)))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
     * `conv(_, 16, 10)` performs. */
-  private def duckHash60(e: String): String =
+  private[queries] def duckHash60(e: String): String =
     s"list_reduce(list_transform(range(1, 16), i -> " +
       s"CAST(strpos('0123456789abcdef', substr(substr(md5(CAST($e AS VARCHAR)), 1, 15), i, 1)) - 1 AS BIGINT)), " +
       "(a, x) -> a * 16 + x)"
@@ -1303,6 +1311,21 @@ object ScaleQueries {
         |  CAST(w_mu AS DOUBLE) / CAST(t.tw AS DOUBLE) AS p_sample,
         |  CAST(round(CAST(w_mu AS DOUBLE) / CAST(t.tw AS DOUBLE) * 10000)
         |    AS BIGINT) AS expected_docs
-        |FROM w, t""".stripMargin
+        |FROM w, t""".stripMargin,
+
+    // Mirrors Scale.trainOrder: same shard hash, same independent salted
+    // order hash, same (order, id) tie-break inside the shard window.
+    "q155_train_order" -> {
+      val hShard = duckHash60("doc_id")
+      val hOrd = duckHash60("CAST(doc_id AS VARCHAR) || '#ord'")
+      s"""WITH a AS (SELECT doc_id,
+         |    CAST($hShard % 8 AS BIGINT) AS shard,
+         |    $hOrd AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY ord ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM a""".stripMargin
+    }
   )
 }

@@ -1143,4 +1143,98 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> twoThirds, 2L -> twoThirds, 3L -> 1.0, 4L -> 1.0),
       s"got $got")
   }
+
+  test("importanceWeights: hand-computed DSIR log-ratios on a 2-doc corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b", "s1", "en"),
+      (2L, "a b c", "s2", "de"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = graft.operators.TextLm
+      .importanceWeights(df, "doc_id", "text", "source", col("lang") === "en")
+      .collect().map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getDouble(2))))
+      .toMap
+
+    // target = doc 1: tUni a:2 b:2 (tv=2), tBig (a,b):2 (b,a):1
+    // general:        gUni a:3 b:3 c:1 (gv=3), gBig (a,b):3 (b,a):1 (b,c):1
+    def mu(p: Double): Long =
+      BigDecimal(math.log(p) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lrAB = mu(3.0 / 4.0) - mu(4.0 / 6.0) // (a,b): t (2+1)/(2+2), g (3+1)/(3+3)
+    val lrBA = mu(2.0 / 4.0) - mu(2.0 / 6.0) // (b,a): t (1+1)/(2+2), g (1+1)/(3+3)
+    val lrBC = mu(1.0 / 4.0) - mu(2.0 / 6.0) // (b,c): target-unseen -> (0+1)/(2+2)
+    val expS1 = r6((2.0 * lrAB + 1.0 * lrBA) / 1e6 / 3.0)
+    val expS2 = r6((1.0 * lrAB + 1.0 * lrBC) / 1e6 / 2.0)
+    assert(got == Map("s1" -> ("s1", 3L, expS1), "s2" -> ("s2", 2L, expS2)),
+      s"got $got expected s1=(3,$expS1) s2=(2,$expS2)")
+    assert(got("s1")._3 > got("s2")._3,
+      "the all-target source must score more target-like than the non-target one")
+  }
+
+  test("blockedEditDistance: in-block pair found, cross-block ignored, oversized block dropped") {
+    import spark.implicits._
+    val blkA = "A" * 16
+    val blkB = "B" * 16
+    val blkC = "C" * 16
+    val df = Seq(
+      (1L, blkA + " hello world xx"),
+      (2L, blkA + " hello worlb xx"), // 1 edit inside the 64-char prefix
+      (3L, blkB + " hello world xx"), // similar text, different block
+      (4L, blkC + " p1"), (5L, blkC + " p2"), (6L, blkC + " p3")) // block of 3
+      .toDF("doc_id", "text")
+    val got = TextDedup
+      .blockedEditDistance(df, "doc_id", "text",
+        blockChars = 16, cmpChars = 64, maxDist = 20, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)),
+      s"expected exactly the in-block 1-edit pair, got $got")
+  }
+
+  test("bpeMergeCandidates: vocabulary-weighted pair counts, lexicographic tie-break") {
+    import spark.implicits._
+    // vocab: ab x3, abc x1 -> pair 'ab' = 3+1, 'bc' = 1
+    val df = Seq((1L, "ab ab abc"), (2L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats.bpeMergeCandidates(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.toSet == Set(("ab", 4L), ("bc", 1L)), s"got $got")
+    // equal counts -> the lexicographically smaller pair wins the cut
+    val tie = Seq((1L, "xy za xy za")).toDF("doc_id", "text")
+    val top1 = graft.operators.CorpusStats.bpeMergeCandidates(tie, "text", k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("xy"), s"got $top1")
+  }
+
+  test("ksDrift: 1.0 on disjoint supports, 0.0 on identical distributions") {
+    import spark.implicits._
+    val disjoint = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L))
+      .toDF("source", "n_chars")
+    val d = graft.operators.CorpusStats.ksDrift(disjoint, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(d == Map("A" -> ((2L, 2L, 1.0)), "B" -> ((2L, 2L, 1.0))), s"got $d")
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("source", "n_chars")
+    val z = graft.operators.CorpusStats.ksDrift(same, "source", "n_chars")
+      .collect().map(r => r.getDouble(3)).toSeq
+    assert(z == Seq(0.0, 0.0), s"got $z")
+  }
+
+  test("clusterSplit carve: a near-dup cluster never straddles splits") {
+    val pairs = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val clusters = TextDedup.connectedComponents(pairs)
+    val carved = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("gid"))
+      .select(col("gid"), graft.operators.Scale.splitAssign(
+        col("gid"), Seq(("train", 0.9), ("val", 0.95)), "test").as("split"))
+    val straddlers = carved.groupBy(col("gid"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(straddlers == 0L, "every group key must land in exactly one split")
+    val nClusters = clusters.select(col("cluster_id")).distinct().count()
+    assert(nClusters > 0L, "fixture must actually contain near-dup clusters")
+    val total = carved.count()
+    assert(total == docs.count(), "carve must cover every document exactly once")
+  }
 }

@@ -364,4 +364,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(got("s2") == ((1L, 1L, w2.toDouble / (w1 + w2), 2500L)))
     assert(got.values.map(_._3).sum == 1.0)
   }
+
+  test("trainOrder: dense 1..n positions per shard, invariant under repartition") {
+    val docs = Graft.table(spark, sf, "documents")
+    val order = Scale.trainOrder(docs, "doc_id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(order.length == docs.count())
+    assert(order.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are a dense 1..n permutation within each shard — proof the
+    // order is shard-local, not a global rank
+    order.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // physical layout must not leak into the order: a reshuffled input
+    // yields the identical address for every doc
+    val re = Scale.trainOrder(docs.repartition(7), "doc_id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(_._1).toSeq == order.sortBy(_._1).toSeq)
+  }
 }

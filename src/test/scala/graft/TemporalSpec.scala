@@ -193,6 +193,45 @@ class TemporalSpec extends AnyFunSuite {
       ("e", "2025-01-01 10:00:00.0", 1L, z(-3.0), 2L)), s"got $got")
   }
 
+  test("adjacentDrift: hand-computed JS for identical, disjoint-ish and equal days") {
+    import spark.implicits._
+    // day1 A:2 B:2 (uniform); day2 A:4 only (B vanishes); day3 A:1 B:1.
+    val rows =
+      Seq(("A", "2025-03-01 01:00:00"), ("A", "2025-03-01 02:00:00"),
+        ("B", "2025-03-01 03:00:00"), ("B", "2025-03-01 04:00:00")) ++
+      (1 to 4).map(i => ("A", s"2025-03-02 0$i:00:00")) ++
+      Seq(("A", "2025-03-03 01:00:00"), ("B", "2025-03-03 02:00:00"))
+    val ev = rows.map { case (t, s) => (t, ts(s)) }.toDF("event_type", "ts")
+    val got = Temporal.adjacentDrift(ev, "event_type", "ts", "day")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      .toSet
+    // same micro-unit quantization as the operator: per-category
+    // contribution rounded to 0.5e-6 units, summed, /1e6
+    def contrib(ca: Long, ta: Long, cb: Long, tb: Long): Long = {
+      val pa = ca.toDouble / ta; val pb = cb.toDouble / tb
+      val m = (pa + pb) / 2
+      val v = (if (ca > 0) pa * math.log(pa / m) else 0.0) +
+        (if (cb > 0) pb * math.log(pb / m) else 0.0)
+      BigDecimal(v * 5e5).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def js(cs: Seq[(Long, Long, Long, Long)]): Double =
+      BigDecimal(cs.map((contrib _).tupled).sum.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = js(Seq((2L, 4L, 4L, 4L), (2L, 4L, 0L, 4L))) // uniform -> all-A
+    val d3 = js(Seq((4L, 4L, 1L, 2L), (0L, 4L, 1L, 2L))) // all-A -> uniform
+    assert(got == Set(
+      ("2025-03-02 00:00:00.0", 1L, d2),
+      ("2025-03-03 00:00:00.0", 1L, d3)), s"got $got, expected d2=$d2 d3=$d3")
+    assert(d2 > 0.0 && d3 > 0.0)
+    // identical distributions drift by exactly zero
+    val same = Seq(("A", "2025-03-01 01:00:00"), ("B", "2025-03-01 02:00:00"),
+      ("A", "2025-03-02 01:00:00"), ("B", "2025-03-02 02:00:00"))
+      .map { case (t, s) => (t, ts(s)) }.toDF("event_type", "ts")
+    val zero = Temporal.adjacentDrift(same, "event_type", "ts", "day")
+      .collect().map(r => r.getDouble(2))
+    assert(zero.toSeq == Seq(0.0))
+  }
+
   test("approx_count_distinct sketch stays within 5% of exact") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
