@@ -438,6 +438,58 @@ object CorpusStats {
     * division at the end — bit-identical on any engine. Groups comprising
     * the whole corpus (n_rest = 0) are dropped rather than divided by
     * zero. */
+  /** Rank-ensemble quality score — the "combine weak signals" step of a
+    * quality-filtering stage: three cheap per-document metrics (length,
+    * type-token ratio, stopword ratio) are each converted to their
+    * within-corpus percentile, and the ensemble score is their mean. Rank
+    * ensembling sidesteps the units problem (a raw length and a raw ratio
+    * cannot be averaged; their percentiles can) — the same reason rank
+    * fusion beats score fusion in retrieval (RRF, q109). Output: doc_id,
+    * pct_len, pct_ttr, pct_stop, quality (all 6 dp).
+    *
+    * Scale design: metrics are computed in one narrow projection (in-row
+    * folds, no explode); each percentile comes from a cumulative window
+    * over that metric's DISTINCT-VALUE table (the q144 discipline — ratio
+    * metrics are pre-quantized to integer micro-units, so each grid is
+    * bounded by 1e6 regardless of corpus size) and joined back by value.
+    *
+    * Determinism: percentiles are upper cumulative fractions of exact
+    * BIGINT counts; the ensemble mean is the single rational
+    * (cum1+cum2+cum3)/(3n) — one division + round per output value. */
+  def rankEnsembleQuality(docs: DataFrame, idCol: String, textCol: String,
+                          stopwords: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      length(col(textCol)).cast("bigint").as("m_len"),
+      expr(s"CAST(CAST(size(array_distinct(split($textCol, ' '))) AS BIGINT) " +
+        s"* 1000000 DIV size(split($textCol, ' ')) AS BIGINT)").as("m_ttr"),
+      expr(s"CAST(CAST(size(filter(split($textCol, ' '), t -> t IN $stopwords)) " +
+        s"AS BIGINT) * 1000000 DIV size(split($textCol, ' ')) AS BIGINT)")
+        .as("m_stop"))
+    def cumRank(metric: String): DataFrame = {
+      val vals = base.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col(metric))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // the window runs over the distinct-value grid only (<= 1e6 rows for
+      // quantized ratios, value-range-bounded for lengths) — never over docs
+      vals.select(col(metric), sum(col("__c")).over(w).as(s"cum_$metric"))
+    }
+    val n = base.agg(count(lit(1)).as("__n"))
+    base
+      .join(cumRank("m_len"), "m_len")
+      .join(cumRank("m_ttr"), "m_ttr")
+      .join(cumRank("m_stop"), "m_stop")
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        round(col("cum_m_len").cast("double") / col("__n").cast("double"), 6)
+          .as("pct_len"),
+        round(col("cum_m_ttr").cast("double") / col("__n").cast("double"), 6)
+          .as("pct_ttr"),
+        round(col("cum_m_stop").cast("double") / col("__n").cast("double"), 6)
+          .as("pct_stop"),
+        round((col("cum_m_len") + col("cum_m_ttr") + col("cum_m_stop"))
+          .cast("double") / (col("__n") * 3).cast("double"), 6).as("quality"))
+  }
+
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
       col(valueCol).cast("bigint").as("__v"))

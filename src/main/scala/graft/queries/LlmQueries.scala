@@ -1043,7 +1043,43 @@ object LlmQueries {
     // See CorpusStats.ksDrift.
     "q158_length_ks" -> ((s, d) =>
       graft.operators.CorpusStats.ksDrift(
-        table(s, d, "documents"), "source", "n_chars"))
+        table(s, d, "documents"), "source", "n_chars")),
+
+    // Rank-ensemble quality score: mean within-corpus percentile of three
+    // cheap metrics (length, type-token ratio, stopword ratio) — combining
+    // incomparable units by rank, the q109 fusion idea applied to quality
+    // gating. See CorpusStats.rankEnsembleQuality.
+    "q159_quality_ensemble" -> ((s, d) =>
+      graft.operators.CorpusStats.rankEnsembleQuality(
+        table(s, d, "documents"), "doc_id", "text", stopFunnel)),
+
+    // Context-window padding waste per source at ctx=256: tokens lost to
+    // per-document padding if docs were NOT packed (the argument FOR q88's
+    // sequence packing, quantified). Exact integer arithmetic, one
+    // division per source.
+    "q160_padding_waste" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("__t"))
+        .select(col("source"), col("__t"),
+          expr("CAST(((__t + 255) DIV 256) * 256 - __t AS BIGINT)").as("__pad"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__t")).as("n_tokens"),
+          sum(col("__pad")).as("pad_tokens"))
+        .withColumn("waste_frac",
+          round(col("pad_tokens").cast("double") /
+            (col("n_tokens") + col("pad_tokens")).cast("double"), 6))),
+
+    // Near-dup graph degree histogram: how many docs have k verified
+    // near-dup partners — the graph-health stat that separates scattered
+    // pairs (degree 1) from template families (high degree) before a
+    // retention policy runs. Two tiny keyed aggs on the shared pair graph.
+    "q161_dedup_degree" -> ((s, d) =>
+      nearDupPairs(s, d)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs")))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2702,6 +2738,59 @@ object LlmQueries {
         |    / CAST(n_g * n_r AS DOUBLE), 6) AS ks
         |FROM cum JOIN tot ON tot.g = cum.g
         |WHERE tot.n_r > 0
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Mirrors CorpusStats.rankEnsembleQuality: same micro-unit metric
+    // quantization (integer floor division), same upper-cumulative
+    // percentiles on distinct-value grids, ensemble = the single rational
+    // (cum1+cum2+cum3)/(3n).
+    "q159_quality_ensemble" ->
+      s"""WITH base AS (SELECT doc_id,
+        |    CAST(len(text) AS BIGINT) AS m_len,
+        |    CAST(len(list_distinct(string_split(text,' '))) * 1000000
+        |      // len(string_split(text,' ')) AS BIGINT) AS m_ttr,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |        t -> t IN $stopFunnel)) * 1000000
+        |      // len(string_split(text,' ')) AS BIGINT) AS m_stop
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |c1 AS (SELECT m_len, sum(c) OVER (ORDER BY m_len
+        |    ROWS UNBOUNDED PRECEDING) AS cum1
+        |  FROM (SELECT m_len, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+        |c2 AS (SELECT m_ttr, sum(c) OVER (ORDER BY m_ttr
+        |    ROWS UNBOUNDED PRECEDING) AS cum2
+        |  FROM (SELECT m_ttr, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+        |c3 AS (SELECT m_stop, sum(c) OVER (ORDER BY m_stop
+        |    ROWS UNBOUNDED PRECEDING) AS cum3
+        |  FROM (SELECT m_stop, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1))
+        |SELECT doc_id,
+        |  round(CAST(cum1 AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS pct_len,
+        |  round(CAST(cum2 AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS pct_ttr,
+        |  round(CAST(cum3 AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS pct_stop,
+        |  round(CAST(cum1 + cum2 + cum3 AS DOUBLE)
+        |    / CAST(n.n * 3 AS DOUBLE), 6) AS quality
+        |FROM base JOIN c1 USING (m_len) JOIN c2 USING (m_ttr)
+        |JOIN c3 USING (m_stop) CROSS JOIN n""".stripMargin,
+
+    // Mirrors q160: same integer ceil-to-256 padding arithmetic.
+    "q160_padding_waste" ->
+      """WITH a AS (SELECT source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |b AS (SELECT source, t, ((t + 255) // 256) * 256 - t AS pad FROM a)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  CAST(sum(pad) AS BIGINT) AS pad_tokens,
+        |  round(CAST(sum(pad) AS DOUBLE)
+        |    / CAST(sum(t) + sum(pad) AS DOUBLE), 6) AS waste_frac
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // Mirrors q161 over the q61 oracle's verified pair graph: per-doc
+    // degree from the bidirectional edge table, then the size histogram.
+    "q161_dedup_degree" -> (clusterCte + """
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        |      FROM edges GROUP BY 1)
+        |GROUP BY 1""".stripMargin)
   )
 }

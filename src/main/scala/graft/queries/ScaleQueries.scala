@@ -592,7 +592,31 @@ object ScaleQueries {
     // Scale.trainOrder.
     "q155_train_order" -> ((s, d) =>
       graft.operators.Scale.trainOrder(
-        table(s, d, "documents"), "doc_id", nShards = 8)))
+        table(s, d, "documents"), "doc_id", nShards = 8)),
+
+    // TPC-H Q10-shaped returned-items report: revenue lost to returns per
+    // customer over one quarter, top-20 customers. Joins unhinted (AQE
+    // broadcasts nation, degrades the spine as it grows); the date filter
+    // pushes to the orders scan and the returnflag filter to lineitem;
+    // DECIMAL-exact revenue; top-20 via TakeOrderedAndProject with the
+    // (revenue DESC, custkey ASC) total order — never a global sort.
+    "q162_returns_report" -> ((s, d) =>
+      Relational.topK(
+        table(s, d, "customer")
+          .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(table(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .where(col("l_returnflag") === "R" &&
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          // decimal-cast each FACTOR, multiply in decimal (the q146
+          // pattern — casting the double PRODUCT hits rounding ties)
+          .agg(sum(Relational.dec(col("l_extendedprice")) *
+              (lit(1) - Relational.dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items")),
+        20, col("revenue").desc, col("c_custkey").asc)))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -1326,6 +1350,21 @@ object ScaleQueries {
          |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY ord ASC, doc_id ASC) AS BIGINT) AS pos
          |FROM a""".stripMargin
-    }
+    },
+
+    // Mirrors q162: DECIMAL-exact revenue, identical quarter + returnflag
+    // filters, same (revenue DESC, custkey ASC) top-20 cut.
+    "q162_returns_report" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
   )
 }

@@ -1205,6 +1205,24 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(top1 == Seq("xy"), s"got $top1")
   }
 
+  test("rankEnsembleQuality: hand-computed percentiles and ensemble mean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a"),    // len 3, ttr .5, stop 0
+      (2L, "the a"),  // len 5, ttr 1,  stop .5
+      (3L, "a b c"))  // len 5, ttr 1,  stop 0
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats
+      .rankEnsembleQuality(df, "doc_id", "text", "('the')")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val third = r6(1.0 / 3); val twoThirds = r6(2.0 / 3)
+    assert(got(1L) == ((third, third, twoThirds, r6(4.0 / 9))), s"got ${got(1L)}")
+    assert(got(2L) == ((1.0, 1.0, 1.0, 1.0)), s"got ${got(2L)}")
+    assert(got(3L) == ((1.0, 1.0, twoThirds, r6(8.0 / 9))), s"got ${got(3L)}")
+  }
+
   test("ksDrift: 1.0 on disjoint supports, 0.0 on identical distributions") {
     import spark.implicits._
     val disjoint = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L))
