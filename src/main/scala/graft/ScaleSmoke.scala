@@ -40,7 +40,27 @@ import org.apache.spark.sql.functions._
   * }}}
   * Reading: lm_xent is 3.5x cost for 10x input — the observed-bigram model
   * is CONSTANT across factors (replicas add occurrences, not types), so
-  * cost tracks the corpus scan, exactly the q101 scale claim. funnel is
+  * cost tracks the corpus scan, exactly the q101 scale claim.
+  *
+  * Late-round-9 additions, measured 2026-08-13 on the post-reboot box
+  * (absolute numbers ~2x the quiet-box band that day — e.g. ngram_jaccard
+  * 10x measured 338 s vs its earlier 111-180 s — compare SHAPES):
+  * {{{
+  *   dsir_weights   1x rows=20      1.3 s   10x rows=20       4.3 s
+  *   edit_blocked   1x rows=256     0.5 s   10x rows=248,030  3.5 s
+  *   length_ks      1x rows=20      0.8 s   10x rows=20       1.5 s
+  * }}}
+  * Reading: dsir_weights is 3.3x for 10x input — BOTH bigram models are
+  * constant across factors (the lm_xent argument twice over), so cost is
+  * the tokenize + doc-keyed aggregates, the q151 claim. length_ks is
+  * ~flat: replicas add no new lengths and no new sources, so the
+  * distinct-value grid (and its windows) never grows — only the first
+  * count pass does. edit_blocked returns 968x MORE TRUE PAIRS (every
+  * replica group lands in one block; pairs within maxBlock-sized blocks
+  * are genuine dist-0 duplicates) for 7x cost — per-block work is capped
+  * at maxBlock^2 fixed-length comparisons, and blocks the replication
+  * pushes past maxBlock DROP (template families belong to the exact /
+  * MinHash passes), which is the documented trade. funnel is
   * 3.6x for 10x users — frontier joins stay user-keyed and shrink
   * stage-over-stage. cluster_retain is 11.5x while returning a graph with
   * ~1000x more true pairs (every replica 10-clique is 45 J=1.0 pairs):
@@ -142,6 +162,30 @@ object ScaleSmoke {
         members.join(best, Seq("cluster_id"))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz")).count().count()
+      }
+      // replicas add occurrences, not bigram types: BOTH DSIR models stay
+      // constant across factors (the q151 scale claim — cost tracks the
+      // tokenize + doc-keyed aggregates, never model growth)
+      time(s"dsir_weights    $label") {
+        operators.TextLm.importanceWeights(
+          df.withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de")),
+          "doc_id", "text", "source", col("lang") === "en").count()
+      }
+      // exact replicas share their original's prefix block: every replica
+      // k-clique lands in one block, the adversarial case for blocked ED —
+      // the maxBlock cap must absorb it (oversized blocks DROP, so cost
+      // stays bounded while the answer shrinks; that trade is the point)
+      time(s"edit_blocked    $label") {
+        operators.TextDedup.blockedEditDistance(df, "doc_id", "text",
+          blockChars = 16, cmpChars = 64, maxDist = 20, maxBlock = 50).count()
+      }
+      // the KS grid is (distinct n_chars) x |sources| — replicas add zero
+      // new lengths and zero new sources, so the grid (and the windows
+      // over it) are CONSTANT across factors; only the first count scales
+      time(s"length_ks       $label") {
+        operators.CorpusStats.ksDrift(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "source", "n_chars").count()
       }
     }
 

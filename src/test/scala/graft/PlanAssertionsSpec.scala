@@ -159,4 +159,39 @@ class PlanAssertionsSpec extends AnyFunSuite {
       .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(bw.nonEmpty && bw.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("q151-q162: new-operator plans keep their scale shape") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // DSIR scoring is bigram/history-keyed equi-joins + two 1-row vocab
+    // broadcasts — no cartesian over data
+    assert(!plan("q151_importance_weights").contains("CartesianProduct"))
+    // blocked ED join is an equi-join on the block key — a cartesian or
+    // nested-loop here would be the unbounded all-pairs this operator
+    // exists to avoid
+    val ed = plan("q152_edit_near_dup")
+    assert(!ed.contains("CartesianProduct") &&
+      !ed.contains("BroadcastNestedLoopJoin"), ed.linesIterator.take(8).mkString("\n"))
+    // the train-order rank window must partition by shard — a global
+    // window would single-task the corpus
+    val tw = SparkEntry.queries("q155_train_order")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(tw.nonEmpty && tw.forall(_.partitionSpec.nonEmpty),
+      "train order must never rank globally")
+    // BPE merge candidates: distributed top-k, not a global sort
+    assert(plan("q156_bpe_merges").contains("TakeOrderedAndProject"))
+    // returns report: top-20 via TakeOrderedAndProject; no broadcast hint
+    // on the growing customer table (AQE may still choose it at tiny SF)
+    val rr = plan("q162_returns_report")
+    assert(rr.contains("TakeOrderedAndProject"))
+    val rrLogical = SparkEntry.queries("q162_returns_report")(spark, sf)
+      .queryExecution.logical.toString
+    assert(!rrLogical.toLowerCase.contains("unresolvedhint (broadcast"))
+    // KS / ensemble cumulative windows run over distinct-value grids —
+    // global by construction but bounded; what must hold is that the KS
+    // grid window partitions by group
+    val kw = SparkEntry.queries("q158_length_ks")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(kw.nonEmpty && kw.forall(_.partitionSpec.nonEmpty),
+      "KS cumulative windows must partition by group")
+  }
 }

@@ -421,6 +421,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers: rate drift emits on watermark with prev-window linkage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingAgg.Event]
+    val q = StreamingAgg.startToMemory(
+      graft.streaming.StreamingDrift.rateDrift(
+        input.toDS().withWatermark("ts", "0 seconds"),
+        java.time.Duration.ofMinutes(1)).toDF(),
+      "rate_drift_test")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    try {
+      // window [10:00, 10:01): A x2, B x1 — nothing finalizes yet
+      input.addData(
+        StreamingAgg.Event(1, ts("2025-01-01 10:00:10"), 1, "A", 1.0),
+        StreamingAgg.Event(2, ts("2025-01-01 10:00:20"), 1, "A", 1.0),
+        StreamingAgg.Event(3, ts("2025-01-01 10:00:30"), 1, "B", 1.0))
+      q.processAllAvailable()
+      // watermark jumps to 10:02:10 -> the 10:00 window fires for A and B;
+      // A starts window [10:02, 10:03)
+      input.addData(StreamingAgg.Event(4, ts("2025-01-01 10:02:10"), 1, "A", 1.0))
+      q.processAllAvailable()
+      val afterW0 = spark.sql("SELECT * FROM rate_drift_test")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(afterW0 == Set(
+        ("A", "2025-01-01 10:00:00.0", 2L, 0L, r6(math.log(3.0))),
+        ("B", "2025-01-01 10:00:00.0", 1L, 0L, r6(math.log(2.0)))), s"got $afterW0")
+      // fires A's [10:02, 10:03) window: the 10:01 window was EMPTY, so
+      // prev must read 0 (gap semantics), not the stale 10:00 count
+      input.addData(
+        StreamingAgg.Event(5, ts("2025-01-01 10:03:05"), 1, "A", 1.0),
+        StreamingAgg.Event(6, ts("2025-01-01 10:03:06"), 1, "B", 1.0))
+      q.processAllAvailable()
+      // fires the [10:03, 10:04) windows: A's prev is now the adjacent
+      // 10:02 window (count 1 -> ratio 0); B's prev is a gap again
+      input.addData(StreamingAgg.Event(7, ts("2025-01-01 10:05:10"), 1, "A", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT * FROM rate_drift_test")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(all == afterW0 ++ Set(
+        ("A", "2025-01-01 10:02:00.0", 1L, 0L, r6(math.log(2.0))),
+        ("A", "2025-01-01 10:03:00.0", 1L, 1L, 0.0),
+        ("B", "2025-01-01 10:03:00.0", 1L, 0L, r6(math.log(2.0)))), s"got $all")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental near-dup replay: transitive in-batch rejection chain stays rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, split}
