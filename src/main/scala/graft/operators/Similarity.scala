@@ -528,4 +528,89 @@ object Similarity {
         round((col("__smu").cast("double") / lit(1e6)) /
           (col("n_vecs") - col("n_nonfinite")).cast("double"), 6).as("mean_norm"))
   }
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC) —
+    * the PQ stage of Jégou et al.'s IVFADC (public paper, "Product
+    * Quantization for Nearest Neighbor Search"): the vector is split into
+    * `m` subvectors of `subDim` dims, each subspace trains its own
+    * `ksub`-centroid codebook (the shared [[kmeansCentroids]] Lloyd
+    * trainer, deterministic seeds), and every corpus vector is stored as m
+    * small codes — m·log2(ksub) bits instead of 8·dim·m bytes (here 4
+    * bytes vs 512: 128x). A query never decodes the corpus: it
+    * precomputes its distance to every centroid of every subspace (an
+    * m×ksub lookup table) and scores a candidate as the SUM of m table
+    * lookups — the memory-bandwidth shape that makes billion-vector scans
+    * feasible. Stage 2 re-ranks the `nCandidates` ADC survivors with exact
+    * cosine, as in [[quantizedRerankKnn]].
+    *
+    * Scale shape: codebooks are m·ksub rows (broadcast); the corpus is
+    * touched by ONE assignment pass per subspace (min-struct aggregates,
+    * no windows) and ONE code-scan join against the broadcast query
+    * tables; in a production store this stage sits behind the q50 IVF
+    * coarse quantizer (IVFADC composes them) so the scan covers probed
+    * lists only. ADC sums are exact BIGINT micro-units (each subspace
+    * distance quantized once per (query, centroid) TABLE ENTRY, not per
+    * candidate), so candidate ranking is deterministic on any engine; the
+    * final cosines are exact doubles rounded once. */
+  def pqKnn(emb: DataFrame, idCol: String, vecCol: String,
+            queryPred: org.apache.spark.sql.Column, k: Int,
+            m: Int = 4, subDim: Int = 16, ksub: Int = 16,
+            lloydIters: Int = 1, nCandidates: Int = 30): DataFrame = {
+    require(nCandidates >= k, "re-rank pool must be at least k")
+    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
+    // codes are built from the L2-NORMALIZED vector: on the unit sphere,
+    // full-vector L2 is monotone in cosine (|a-b|^2 = 2 - 2cos), so the
+    // subspace-decomposed ADC distance ranks candidates in (approximate)
+    // cosine order — quantizing the RAW vector would rank by raw L2, which
+    // the final cosine ranking does not follow when norms vary
+    val subs = CacheScope.persist((0 until m).map { s =>
+      n.select(col(idCol), lit(s).as("sp"),
+        expr(s"slice(transform(emb, x -> x / greatest(nrm, CAST(1e-30 AS DOUBLE))), " +
+          s"${s * subDim + 1}, $subDim)").as("semb"))
+    }.reduce(_ unionByName _))
+    val cents = CacheScope.persist((0 until m).map { s =>
+      kmeansCentroids(
+        subs.where(col("sp") === s).select(col(idCol), col("semb").as("emb")),
+        idCol, ksub, lloydIters)
+        .withColumn("sp", lit(s))
+    }.reduce(_ unionByName _))
+    val d2 = dot_d(col("semb"), col("semb")) -
+      lit(2.0) * dot_d(col("semb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    val scored = subs.join(broadcast(cents), "sp").withColumn("d2", d2)
+    // corpus codes: nearest codebook entry per (vector, subspace) —
+    // min-struct aggregate, ties to the smaller cid
+    val codes = scored.groupBy(col(idCol), col("sp"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col(idCol).as("neighbor_id"), col("sp"), col("b.cid").as("cid"))
+    // query ADC tables: micro-unit distance to EVERY centroid of every
+    // subspace — m x ksub rows per query, broadcast
+    val dq = scored.where(queryPred)
+      .select(col(idCol).as("query_id"), col("sp"), col("cid"),
+        expr("CAST(round(d2 * 1e6) AS BIGINT)").as("dmu"))
+    def topkOf(kk: Int) = graft.functions.TopKAgg.columnAgg(kk)
+    val cands = codes.join(broadcast(dq), Seq("sp", "cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dmu")).as("adc_mu"))
+      // smaller ADC distance = better: negate for the max-first aggregate
+      .groupBy(col("query_id"))
+      .agg(topkOf(nCandidates)((-col("adc_mu")).cast("double"),
+        col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t._2").as("neighbor_id"))
+    val q = n.where(queryPred).select(col(idCol).as("query_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col(idCol).as("neighbor_id"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topkOf(k)(col("cos"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
+  }
 }

@@ -1079,7 +1079,16 @@ object LlmQueries {
       nearDupPairs(s, d)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs")))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))),
+
+    // Product-quantization ANN (Jegou et al. ADC): 4 subspaces x 16
+    // centroids, per-subspace Lloyd codebooks, integer micro-unit ADC
+    // candidate scan, exact-cosine re-rank of the top-30. The 128x-
+    // compressed-codes stage of IVFADC. See Similarity.pqKnn.
+    "q165_pq_ann" -> ((s, d) =>
+      Similarity.pqKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") >= 100 && col("vec_id") < 120, k = 5))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2791,6 +2800,86 @@ object LlmQueries {
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
         |FROM (SELECT src, CAST(count(*) AS BIGINT) AS degree
         |      FROM edges GROUP BY 1)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+
+    // Mirrors Similarity.pqKnn: per-subspace blocks are GENERATED (same
+    // seed/Lloyd/coalesce replay as the q50 oracle, on 16-dim slices),
+    // ADC sums exact BIGINT micro-units, identical candidate and re-rank
+    // total orders.
+    "q165_pq_ann" -> {
+      def d2(v: String, c: String) =
+        s"""list_reduce(list_transform($v, x -> x*x), (a,x) -> a+x)
+           |        - 2.0 * list_reduce(list_transform(range(1, len($v)+1), i -> $v[i]*$c[i]), (a,x) -> a+x)
+           |        + list_reduce(list_transform($c, x -> x*x), (a,x) -> a+x)""".stripMargin
+      val blocks = (0 until 4).map { s =>
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        s"""sub$s AS (SELECT vec_id,
+           |    (list_transform(emb, x -> x / greatest(nrm, 1e-30)))[$lo:$hi] AS semb
+           |  FROM n),
+           |c0_$s AS (SELECT vec_id AS cid, semb AS c_emb FROM sub$s WHERE vec_id < 16),
+           |a1_$s AS (
+           |  SELECT vec_id, semb, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+           |  FROM (
+           |    SELECT t.vec_id, t.semb, c.cid,
+           |      ${d2("t.semb", "c.c_emb")} AS d2
+           |    FROM sub$s t, c0_$s c)),
+           |m1_$s AS (
+           |  SELECT cid, i,
+           |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+           |  FROM (SELECT cid, unnest(range(1, len(semb)+1)) AS i, unnest(semb) AS x
+           |        FROM a1_$s WHERE crn = 1)
+           |  GROUP BY cid, i),
+           |c1_$s AS (SELECT c.cid, coalesce(nc.c_emb, c.c_emb) AS c_emb
+           |       FROM c0_$s c LEFT JOIN
+           |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1_$s GROUP BY cid) nc
+           |       ON c.cid = nc.cid),
+           |sc$s AS (
+           |  SELECT t.vec_id, c.cid,
+           |    ${d2("t.semb", "c.c_emb")} AS d2
+           |  FROM sub$s t, c1_$s c),
+           |code$s AS (SELECT vec_id AS neighbor_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+           |    FROM sc$s) WHERE crn = 1),
+           |dq$s AS (SELECT vec_id AS query_id, cid,
+           |    CAST(round(d2 * 1e6) AS BIGINT) AS dmu
+           |  FROM sc$s WHERE vec_id >= 100 AND vec_id < 120)""".stripMargin
+      }.mkString(",\n")
+      val codeUnion = (0 until 4)
+        .map(s => s"SELECT $s AS sp, neighbor_id, cid FROM code$s")
+        .mkString("\n        UNION ALL ")
+      val dqUnion = (0 until 4)
+        .map(s => s"SELECT $s AS sp, query_id, cid, dmu FROM dq$s")
+        .mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |n AS (SELECT vec_id, emb,
+         |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+         |      FROM e),
+         |$blocks,
+         |codes AS ($codeUnion),
+         |dqa AS ($dqUnion),
+         |adc AS (
+         |  SELECT d.query_id, c.neighbor_id, CAST(sum(d.dmu) AS BIGINT) AS adc_mu
+         |  FROM codes c JOIN dqa d ON d.sp = c.sp AND d.cid = c.cid
+         |  WHERE d.query_id <> c.neighbor_id
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_mu ASC, neighbor_id ASC) AS crn
+         |    FROM adc) WHERE crn <= 30),
+         |scored AS (
+         |  SELECT ca.query_id, ca.neighbor_id,
+         |    list_reduce(list_transform(range(1, len(qn.emb)+1), i -> qn.emb[i]*nn.emb[i]), (x,y) -> x+y)
+         |      / (qn.nrm * nn.nrm) AS cos
+         |  FROM cand ca
+         |  JOIN n qn ON qn.vec_id = ca.query_id
+         |  JOIN n nn ON nn.vec_id = ca.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |      FROM scored)
+         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rnk <= 5""".stripMargin
+    }
   )
 }

@@ -616,7 +616,49 @@ object ScaleQueries {
               (lit(1) - Relational.dec(col("l_discount"))))
             .cast("double").as("revenue"),
             count(lit(1)).as("n_items")),
-        20, col("revenue").desc, col("c_custkey").asc)))
+        20, col("revenue").desc, col("c_custkey").asc)),
+
+    // TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    // quantity exceeds a threshold, with their customer — the classic
+    // "aggregate, HAVING-filter, then join the survivors back" shape. The
+    // per-order aggregate runs FIRST and the >300 cut makes the join
+    // input tiny (AQE sees the post-filter size); quantity sums go
+    // through the DECIMAL discipline (l_quantity is a double). Top-20 by
+    // (sum_qty DESC, orderkey ASC) via TakeOrderedAndProject.
+    "q163_big_orders" -> ((s, d) => {
+      val big = table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Relational.dec(col("l_quantity"))).as("__q"))
+        .where(col("__q") > 300)
+        .select(col("l_orderkey"), col("__q").cast("double").as("sum_qty"))
+      Relational.topK(
+        big.join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty")),
+        20, col("sum_qty").desc, col("o_orderkey").asc)
+    }),
+
+    // TPC-H Q22-shaped dormant high-balance customers: above-average
+    // balance AND no RECENT orders — scalar aggregate broadcast back +
+    // anti join, per-segment rollup. The anti join is custkey-keyed with
+    // the recency filter pushed to the orders scan BEFORE the exchange;
+    // the average is one broadcast row computed with exact DECIMAL sums.
+    "q164_dormant_capital" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg((sum(Relational.dec(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("__avg"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("__avg"))
+        .join(table(s, d, "orders")
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          Relational.sumExact(col("c_acctbal")).as("total_bal"))
+    }))
 
   /** One hex-fold helper used by several oracles: 60-bit value of the first
     * 15 md5 hex chars, as the same left-to-right integer fold Spark's
@@ -1365,6 +1407,33 @@ object ScaleQueries {
         |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    // Mirrors q163: DECIMAL quantity sums, same >300 HAVING cut and
+    // (sum_qty DESC, orderkey ASC) top-20.
+    "q163_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(q AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    // Mirrors q164: exact-DECIMAL average, identical anti-join carve.
+    "q164_dormant_capital" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1238,6 +1238,41 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(z == Seq(0.0, 0.0), s"got $z")
   }
 
+  test("pqKnn: exact match with brute force on clustered data; repartition-invariant") {
+    import spark.implicits._
+    // 64 vectors in 4 well-separated groups (group signature = one hot dim
+    // per subspace); ids interleave groups so the first-16 seed covers all
+    // groups. A small directional perturbation in subspace 0 makes
+    // within-group neighbors distinct. On data WITH structure the ADC
+    // candidate stage must capture the true top-k (corpus recall on the
+    // isotropic test embeddings is data-bounded — that is what the q112
+    // recall gate measures); the exact re-rank then reproduces brute force
+    // bit-for-bit.
+    val rows = (0 until 64).map { i =>
+      val g = i % 4
+      val v = Array.fill(64)(0.0)
+      (0 until 4).foreach(s => v(s * 16 + g) = 1.0)
+      v((i / 4) % 16) = v((i / 4) % 16) + 0.05
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 8
+    val pq = Similarity.pqKnn(df, "vec_id", "embedding", pred, k = 5,
+        m = 4, subDim = 16, ksub = 16, lloydIters = 1, nCandidates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val bf = Similarity.bruteForceKnn(df, "vec_id", "embedding", pred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(pq.nonEmpty && pq.sameElements(bf),
+      s"PQ must equal brute force on separable clusters:\npq=${pq.take(6).toSeq}\nbf=${bf.take(6).toSeq}")
+    val re = Similarity.pqKnn(df.repartition(7), "vec_id", "embedding", pred, k = 5,
+        m = 4, subDim = 16, ksub = 16, lloydIters = 1, nCandidates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(re.sameElements(pq), "physical layout must not change the result")
+  }
+
   test("clusterSplit carve: a near-dup cluster never straddles splits") {
     val pairs = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
     val clusters = TextDedup.connectedComponents(pairs)
