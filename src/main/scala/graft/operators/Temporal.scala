@@ -230,6 +230,65 @@ object Temporal {
     * Determinism: per-(bucket, category) JS contribution shares its
     * expression text with the SQL oracle (identical IEEE sequence), is
     * quantized to micro-units, and summed exactly — the TextLm discipline. */
+  /** Cohort retention matrix — the product-analytics classic: users are
+    * grouped by the bucket of their FIRST event (their cohort); each cell
+    * (cohort, offset) counts how many of them were active `offset` buckets
+    * later, with the retention rate against the cohort's size. Output:
+    * cohort, bucket_offset, n_users, retention (6 dp).
+    *
+    * Plan: one user-keyed min (the cohort), one distinct (user, bucket)
+    * projection, an equi-join back on the user key, and a
+    * (cohort, offset)-keyed count-distinct — every shuffle is keyed, and
+    * the output is |buckets|² cells (calendar-bounded). The offset is
+    * exact integer day arithmetic (datediff DIV bucket length), never
+    * float date math. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val active = events
+      .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("__b"))
+      .distinct()
+    val cohorts = active.groupBy(col("__u")).agg(min(col("__b")).as("__c"))
+    val sizes = cohorts.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    active.join(cohorts, "__u")
+      .select(col("__c"),
+        expr("CAST(datediff(__b, __c) DIV 7 AS BIGINT)").as("bucket_offset"),
+        col("__u"))
+      .groupBy(col("__c"), col("bucket_offset"))
+      .agg(count_distinct(col("__u")).as("n_users"))
+      .join(broadcast(sizes), "__c")
+      .select(col("__c").as("cohort"), col("bucket_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** Rolling N-day active users (DAU→WAU family): for each calendar day,
+    * the distinct users active in the trailing `windowDays` window. The
+    * naive formulation is a distinct-count over a RANGE window (a
+    * re-scan of N days per day); this one explodes each (user, day) into
+    * the ≤ N window-end days it contributes to — a bounded generator, the
+    * q95 sliding-window discipline — and counts distinct per end day. Days
+    * with no window activity simply don't appear; end days are restricted
+    * to days that exist in the data (a trailing window wholly past the
+    * data would report ghosts). Output: day, n_active.
+    *
+    * Scale: the expansion is a constant factor N on the DISTINCT
+    * (user, day) table (already collapsed from raw events), every shuffle
+    * keyed on the day or (day, user). */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("__d"))
+      .distinct()
+    val days = ud.select(col("__d")).distinct()
+    ud.select(col("__u"), explode(expr(
+        s"transform(sequence(0, ${windowDays - 1}), " +
+          "i -> __d + make_interval(0, 0, 0, i, 0, 0, 0))")).as("__w"))
+      .join(days.select(col("__d").as("__w")), "__w")
+      .groupBy(col("__w"))
+      .agg(count_distinct(col("__u")).as("n_active"))
+      .select(col("__w").as("day"), col("n_active"))
+  }
+
   def adjacentDrift(events: DataFrame, catCol: String, tsCol: String,
                     bucket: String): DataFrame = {
     val cnt = events

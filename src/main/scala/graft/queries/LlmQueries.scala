@@ -1088,7 +1088,22 @@ object LlmQueries {
     "q165_pq_ann" -> ((s, d) =>
       Similarity.pqKnn(
         table(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") >= 100 && col("vec_id") < 120, k = 5))
+        col("vec_id") >= 100 && col("vec_id") < 120, k = 5)),
+
+    // Weekly cohort retention matrix: users bucketed by first-activity
+    // week, each cell = how many were active k weeks later + the rate —
+    // the engagement table every product-analytics stack ships. See
+    // Temporal.cohortRetention.
+    "q166_cohort_retention" -> ((s, d) =>
+      graft.operators.Temporal.cohortRetention(
+        table(s, d, "events"), "user_id", "ts")),
+
+    // Rolling 7-day active users per day: bounded ≤7x generator expansion
+    // of the distinct (user, day) table, never a per-day range re-scan.
+    // See Temporal.rollingActive.
+    "q167_rolling_wau" -> ((s, d) =>
+      graft.operators.Temporal.rollingActive(
+        table(s, d, "events"), "user_id", "ts", windowDays = 7))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2880,6 +2895,32 @@ object LlmQueries {
          |      FROM scored)
          |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
          |FROM r WHERE rnk <= 5""".stripMargin
-    }
+    },
+
+    // Mirrors Temporal.cohortRetention: week-truncated buckets, exact
+    // integer day-diff DIV 7 offsets, one division per cell.
+    "q166_cohort_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS b FROM events),
+        |coh AS (SELECT u, min(b) AS c FROM active GROUP BY 1),
+        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM coh GROUP BY 1),
+        |cell AS (SELECT coh.c,
+        |    CAST(date_diff('day', coh.c, a.b) // 7 AS BIGINT) AS off,
+        |    CAST(count(DISTINCT a.u) AS BIGINT) AS nu
+        |  FROM active a JOIN coh ON coh.u = a.u GROUP BY 1, 2)
+        |SELECT cell.c AS cohort, off AS bucket_offset, nu AS n_users,
+        |  round(CAST(nu AS DOUBLE) / CAST(sz.n AS DOUBLE), 6) AS retention
+        |FROM cell JOIN sz ON sz.c = cell.c""".stripMargin,
+
+    // Mirrors Temporal.rollingActive: same bounded 7-day expansion of the
+    // distinct (user, day) table, end days restricted to observed days.
+    "q167_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |x AS (SELECT u, d + i * INTERVAL 1 DAY AS w
+        |  FROM ud, (SELECT unnest(range(0, 7)) AS i))
+        |SELECT w AS day, CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        |FROM x JOIN days ON days.d = x.w GROUP BY 1""".stripMargin
   )
 }

@@ -232,6 +232,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(zero.toSeq == Seq(0.0))
   }
 
+  test("cohortRetention: offsets from first-activity week, rates against cohort size") {
+    import spark.implicits._
+    // W1 = week of 2025-01-06 (Mon), W2 = 2025-01-13
+    val ev = Seq(
+      (1L, "2025-01-07 10:00:00"), (1L, "2025-01-14 10:00:00"),
+      (2L, "2025-01-08 09:00:00"),
+      (3L, "2025-01-15 09:00:00"))
+      .map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("2025-01-06 00:00:00.0", 0L, 2L, 1.0),
+      ("2025-01-06 00:00:00.0", 1L, 1L, 0.5),
+      ("2025-01-13 00:00:00.0", 0L, 1L, 1.0)), s"got $got")
+  }
+
+  test("rollingActive: trailing window via bounded expansion, ghost days dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2025-03-01 10:00:00"), (2L, "2025-03-02 11:00:00"),
+      (1L, "2025-03-04 12:00:00"),
+      (1L, "2025-03-01 15:00:00")) // same user+day: must not double count
+      .map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+    val got = Temporal.rollingActive(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    // Mar 1: {u1}; Mar 2: {u1 (from Mar 1), u2}; Mar 4: {u2 (Mar 2), u1};
+    // Mar 3 has no observed activity -> absent, not a ghost row
+    assert(got == Set(
+      ("2025-03-01 00:00:00.0", 1L),
+      ("2025-03-02 00:00:00.0", 2L),
+      ("2025-03-04 00:00:00.0", 2L)), s"got $got")
+  }
+
   test("approx_count_distinct sketch stays within 5% of exact") {
     val ev = Graft.table(spark, "/root/testdata/sf0.001", "events")
     val approx = ev.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
