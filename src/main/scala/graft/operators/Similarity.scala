@@ -552,6 +552,118 @@ object Similarity {
     * distance quantized once per (query, centroid) TABLE ENTRY, not per
     * candidate), so candidate ranking is deterministic on any engine; the
     * final cosines are exact doubles rounded once. */
+  /** Full IVFADC (Jégou et al.): the q50 coarse quantizer and the q165
+    * product quantizer COMPOSED, with residual encoding — the index layout
+    * behind billion-scale vector search. The coarse quantizer partitions
+    * the (L2-normalized) corpus into `nlist` inverted lists; each vector
+    * stores only its list id + the PQ codes of its RESIDUAL (x − coarse
+    * centroid), which is what makes the codes sharp: residuals concentrate
+    * near 0, so a small shared codebook quantizes them with far less error
+    * than raw vectors. A query probes its `nprobe` nearest lists, builds
+    * one ADC lookup table per probed list from its per-list residual, and
+    * scores only those lists' members as m integer table lookups.
+    *
+    * Scale shape: everything the corpus touches is an aggregate or a
+    * keyed join — coarse assignment (min-struct), residual projection
+    * (in-row zip_with), per-subspace code assignment (min-struct against
+    * a broadcast m·ksub codebook), and ONE candidate join keyed on the
+    * list id (the IVF restriction q165's flat scan lacks). Query-side
+    * tables are nprobe·m·ksub micro-unit integers per query — broadcast.
+    * Candidate ranking is an exact integer sum; re-rank is exact cosine.
+    * Deterministic end to end: Lloyd seeds are the first ids, every
+    * argmin is a (d2, cid)-ordered min-struct, ADC entries quantize once
+    * per (query, list, centroid). */
+  def ivfpqKnn(emb: DataFrame, idCol: String, vecCol: String,
+               queryPred: org.apache.spark.sql.Column, k: Int,
+               nlist: Int = 8, nprobe: Int = 2, coarseIters: Int = 1,
+               m: Int = 4, subDim: Int = 16, ksub: Int = 16,
+               pqIters: Int = 1, nCandidates: Int = 30): DataFrame = {
+    require(nCandidates >= k, "re-rank pool must be at least k")
+    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
+    val un = CacheScope.persist(n.select(col(idCol),
+      expr("transform(emb, x -> x / greatest(nrm, CAST(1e-30 AS DOUBLE)))").as("emb")))
+    val coarse = CacheScope.persist(kmeansCentroids(un, idCol, nlist, coarseIters))
+    val cd2 = dot_d(col("emb"), col("emb")) -
+      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    val cscored = un.crossJoin(broadcast(coarse)).withColumn("d2", cd2)
+    // one row per vector: its list + its residual against the list centroid
+    val resid = CacheScope.persist(cscored
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("c_emb"))).as("b"))
+      .select(col(idCol), col("b.cid").as("lcid"),
+        expr("zip_with(b.emb, b.c_emb, (x, y) -> x - y)").as("r")))
+    // PQ codebooks trained on residual subvectors (the residual is what
+    // concentrates near zero — training on raw vectors wastes the codebook)
+    val subs = CacheScope.persist((0 until m).map { s =>
+      resid.select(col(idCol), lit(s).as("sp"),
+        expr(s"slice(r, ${s * subDim + 1}, $subDim)").as("semb"))
+    }.reduce(_ unionByName _))
+    val pqCents = CacheScope.persist((0 until m).map { s =>
+      kmeansCentroids(
+        subs.where(col("sp") === s).select(col(idCol), col("semb").as("emb")),
+        idCol, ksub, pqIters)
+        .withColumn("sp", lit(s))
+    }.reduce(_ unionByName _))
+    val sd2 = dot_d(col("semb"), col("semb")) -
+      lit(2.0) * dot_d(col("semb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    val codes = subs.join(broadcast(pqCents), "sp").withColumn("d2", sd2)
+      .groupBy(col(idCol), col("sp"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col(idCol).as("neighbor_id"), col("sp"), col("b.cid").as("cid"))
+      .join(resid.select(col(idCol).as("neighbor_id"), col("lcid")), "neighbor_id")
+    // query side: nprobe nearest lists from an IN-ROW sort of the bounded
+    // centroid distances (the q50 idiom), then one residual per probed list
+    val probes = cscored.where(queryPred)
+      .groupBy(col(idCol))
+      .agg(first(col("emb")).as("q_emb"),
+        slice(array_sort(collect_list(struct(col("d2"), col("cid"), col("c_emb")))),
+          1, nprobe).as("top"))
+      .select(col(idCol).as("query_id"), col("q_emb"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.cid").as("lcid"),
+        expr("zip_with(q_emb, t.c_emb, (x, y) -> x - y)").as("rq"))
+    // per-(query, list) ADC tables: micro-unit distance of the query's
+    // list-residual slice to every codebook entry of every subspace
+    val dq = (0 until m).map { s =>
+      probes.select(col("query_id"), col("lcid"), lit(s).as("sp"),
+        expr(s"slice(rq, ${s * subDim + 1}, $subDim)").as("semb"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(pqCents), "sp")
+      .withColumn("d2", sd2)
+      .select(col("query_id"), col("lcid"), col("sp"), col("cid"),
+        expr("CAST(round(d2 * 1e6) AS BIGINT)").as("dmu"))
+    def topkOf(kk: Int) = graft.functions.TopKAgg.columnAgg(kk)
+    // the IVF restriction: candidates are ONLY vectors whose list was
+    // probed — the join is keyed on (list, subspace, code)
+    val cands = codes.join(broadcast(dq), Seq("lcid", "sp", "cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dmu")).as("adc_mu"), count(lit(1)).as("__m"))
+      // a candidate scores only if all m subspace lookups landed (always
+      // true by construction; the guard documents the invariant)
+      .where(col("__m") === m)
+      .groupBy(col("query_id"))
+      .agg(topkOf(nCandidates)((-col("adc_mu")).cast("double"),
+        col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t._2").as("neighbor_id"))
+    val q = n.where(queryPred).select(col(idCol).as("query_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = n.select(col(idCol).as("neighbor_id"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(topkOf(k)(col("cos"), col("neighbor_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
+  }
+
   def pqKnn(emb: DataFrame, idCol: String, vecCol: String,
             queryPred: org.apache.spark.sql.Column, k: Int,
             m: Int = 4, subDim: Int = 16, ksub: Int = 16,

@@ -1103,7 +1103,16 @@ object LlmQueries {
     // See Temporal.rollingActive.
     "q167_rolling_wau" -> ((s, d) =>
       graft.operators.Temporal.rollingActive(
-        table(s, d, "events"), "user_id", "ts", windowDays = 7))
+        table(s, d, "events"), "user_id", "ts", windowDays = 7)),
+
+    // Full IVFADC (q50's coarse quantizer + q165's product quantizer,
+    // residual-encoded): 8 coarse lists, nprobe=2, 4x16 residual
+    // codebooks, per-(query, list) integer ADC tables, exact re-rank.
+    // See Similarity.ivfpqKnn.
+    "q168_ivfpq_ann" -> ((s, d) =>
+      Similarity.ivfpqKnn(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") >= 100 && col("vec_id") < 120, k = 5))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2921,6 +2930,124 @@ object LlmQueries {
         |x AS (SELECT u, d + i * INTERVAL 1 DAY AS w
         |  FROM ud, (SELECT unnest(range(0, 7)) AS i))
         |SELECT w AS day, CAST(count(DISTINCT u) AS BIGINT) AS n_active
-        |FROM x JOIN days ON days.d = x.w GROUP BY 1""".stripMargin
+        |FROM x JOIN days ON days.d = x.w GROUP BY 1""".stripMargin,
+
+    // Mirrors Similarity.ivfpqKnn: generated coarse-Lloyd + residual +
+    // per-subspace residual-Lloyd + per-(query, list) ADC + exact re-rank
+    // replay, all on the same deterministic seeds and total orders.
+    "q168_ivfpq_ann" -> {
+      def d2(v: String, c: String) =
+        s"""list_reduce(list_transform($v, x -> x*x), (a,x) -> a+x)
+           |        - 2.0 * list_reduce(list_transform(range(1, len($v)+1), i -> $v[i]*$c[i]), (a,x) -> a+x)
+           |        + list_reduce(list_transform($c, x -> x*x), (a,x) -> a+x)""".stripMargin
+      val pqBlocks = (0 until 4).map { s =>
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        s"""sub$s AS (SELECT vec_id, r[$lo:$hi] AS semb FROM resid),
+           |pc0_$s AS (SELECT vec_id AS cid, semb AS c_emb FROM sub$s WHERE vec_id < 16),
+           |pa1_$s AS (
+           |  SELECT vec_id, semb, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+           |  FROM (
+           |    SELECT t.vec_id, t.semb, c.cid,
+           |      ${d2("t.semb", "c.c_emb")} AS d2
+           |    FROM sub$s t, pc0_$s c)),
+           |pm1_$s AS (
+           |  SELECT cid, i,
+           |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+           |  FROM (SELECT cid, unnest(range(1, len(semb)+1)) AS i, unnest(semb) AS x
+           |        FROM pa1_$s WHERE crn = 1)
+           |  GROUP BY cid, i),
+           |pc1_$s AS (SELECT c.cid, coalesce(nc.c_emb, c.c_emb) AS c_emb
+           |       FROM pc0_$s c LEFT JOIN
+           |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM pm1_$s GROUP BY cid) nc
+           |       ON c.cid = nc.cid),
+           |code$s AS (SELECT vec_id AS neighbor_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+           |    FROM (
+           |      SELECT t.vec_id, c.cid,
+           |        ${d2("t.semb", "c.c_emb")} AS d2
+           |      FROM sub$s t, pc1_$s c)) WHERE crn = 1),
+           |dq$s AS (
+           |  SELECT r.query_id, r.lcid, c.cid,
+           |    CAST(round((${d2("r.semb", "c.c_emb")}) * 1e6) AS BIGINT) AS dmu
+           |  FROM (SELECT query_id, lcid, rq[$lo:$hi] AS semb FROM rq) r, pc1_$s c)""".stripMargin
+      }.mkString(",\n")
+      val codeUnion = (0 until 4)
+        .map(s => s"SELECT $s AS sp, neighbor_id, cid FROM code$s")
+        .mkString("\n        UNION ALL ")
+      val dqUnion = (0 until 4)
+        .map(s => s"SELECT $s AS sp, query_id, lcid, cid, dmu FROM dq$s")
+        .mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |n AS (SELECT vec_id, emb,
+         |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+         |      FROM e),
+         |u AS (SELECT vec_id,
+         |        list_transform(emb, x -> x / greatest(nrm, 1e-30)) AS emb
+         |      FROM n),
+         |cc0 AS (SELECT vec_id AS cid, emb AS c_emb FROM u WHERE vec_id < 8),
+         |ca1 AS (
+         |  SELECT vec_id, emb, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+         |  FROM (
+         |    SELECT t.vec_id, t.emb, c.cid,
+         |      ${d2("t.emb", "c.c_emb")} AS d2
+         |    FROM u t, cc0 c)),
+         |cm1 AS (
+         |  SELECT cid, i,
+         |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+         |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+         |        FROM ca1 WHERE crn = 1)
+         |  GROUP BY cid, i),
+         |cc1 AS (SELECT c.cid, coalesce(nc.c_emb, c.c_emb) AS c_emb
+         |       FROM cc0 c LEFT JOIN
+         |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM cm1 GROUP BY cid) nc
+         |       ON c.cid = nc.cid),
+         |csc AS (
+         |  SELECT t.vec_id, t.emb, c.cid, c.c_emb,
+         |    ${d2("t.emb", "c.c_emb")} AS d2
+         |  FROM u t, cc1 c),
+         |cass AS (SELECT vec_id, cid AS lcid, emb, c_emb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+         |    FROM csc) WHERE crn = 1),
+         |resid AS (SELECT vec_id, lcid,
+         |    list_transform(range(1, len(emb)+1), i -> emb[i] - c_emb[i]) AS r
+         |  FROM cass),
+         |prb AS (SELECT vec_id AS query_id, cid AS lcid, emb, c_emb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+         |    FROM csc WHERE vec_id >= 100 AND vec_id < 120) WHERE crn <= 2),
+         |rq AS (SELECT query_id, lcid,
+         |    list_transform(range(1, len(emb)+1), i -> emb[i] - c_emb[i]) AS rq
+         |  FROM prb),
+         |$pqBlocks,
+         |codes AS (
+         |  SELECT cu.sp, cu.neighbor_id, cu.cid, ra.lcid
+         |  FROM ($codeUnion) cu
+         |  JOIN resid ra ON ra.vec_id = cu.neighbor_id),
+         |dqa AS ($dqUnion),
+         |adc AS (
+         |  SELECT d.query_id, c.neighbor_id, CAST(sum(d.dmu) AS BIGINT) AS adc_mu
+         |  FROM codes c
+         |  JOIN dqa d ON d.lcid = c.lcid AND d.sp = c.sp AND d.cid = c.cid
+         |  WHERE d.query_id <> c.neighbor_id
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc_mu ASC, neighbor_id ASC) AS crn
+         |    FROM adc) WHERE crn <= 30),
+         |scored AS (
+         |  SELECT ca.query_id, ca.neighbor_id,
+         |    list_reduce(list_transform(range(1, len(qn.emb)+1), i -> qn.emb[i]*nn.emb[i]), (x,y) -> x+y)
+         |      / (qn.nrm * nn.nrm) AS cos
+         |  FROM cand ca
+         |  JOIN n qn ON qn.vec_id = ca.query_id
+         |  JOIN n nn ON nn.vec_id = ca.neighbor_id),
+         |rr AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |      FROM scored)
+         |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
+         |FROM rr WHERE rnk <= 5""".stripMargin
+    }
   )
 }

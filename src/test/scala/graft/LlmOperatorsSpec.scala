@@ -1273,6 +1273,29 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(re.sameElements(pq), "physical layout must not change the result")
   }
 
+  test("ivfpqKnn: residual-encoded IVFADC equals brute force on clustered data") {
+    import spark.implicits._
+    val rows = (0 until 64).map { i =>
+      val g = i % 4
+      val v = Array.fill(64)(0.0)
+      (0 until 4).foreach(s => v(s * 16 + g) = 1.0)
+      v((i / 4) % 16) = v((i / 4) % 16) + 0.05
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 8
+    val got = Similarity.ivfpqKnn(df, "vec_id", "embedding", pred, k = 5,
+        nlist = 8, nprobe = 2, coarseIters = 1,
+        m = 4, subDim = 16, ksub = 16, pqIters = 1, nCandidates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val bf = Similarity.bruteForceKnn(df, "vec_id", "embedding", pred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.sameElements(bf),
+      s"IVFADC must equal brute force on separable clusters:\ngot=${got.take(6).toSeq}\nbf=${bf.take(6).toSeq}")
+  }
+
   test("clusterSplit carve: a near-dup cluster never straddles splits") {
     val pairs = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
     val clusters = TextDedup.connectedComponents(pairs)
