@@ -225,4 +225,69 @@ object Scale {
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Data-constrained epoch allocation: given a total training-token
+    * `budget` and a per-source repeat ceiling `maxEpochs`, decide how many
+    * epochs of each source to train on. Small high-value sources get
+    * upsampled toward their temperature-mix share until the epoch cap bites
+    * (the data-constrained-scaling regime: repeating a source only helps up
+    * to a few epochs), and the budget freed by capped sources is
+    * redistributed to uncapped ones in ONE redistribution round —
+    * deterministic and closed-form, not an iterative water-fill; the
+    * residual after one round is reported in the output rather than chased.
+    *
+    * Target shares use the sqrt-mass temperature weights of
+    * [[temperatureMix]] (alpha = 0.5). All shares and sums are assembled
+    * from micro-unit BIGINTs (exact, associative); doubles appear only in
+    * final per-row formulas — the engine's standard determinism discipline.
+    *
+    * Output per source: n_tokens, p_target (temperature share),
+    * epochs (final, ≤ maxEpochs), alloc_tokens (= epochs · n_tokens),
+    * capped flag.
+    *
+    * Plan: one narrow scan → per-source aggregate (one row per source),
+    * then two 1-row roll-ups of that table broadcast back — the q164
+    * scalar-broadcast pattern. The data is read once; everything after
+    * runs on the source table. */
+  def epochAllocation(df: DataFrame, groupCol: String, textCol: String,
+                      budget: Long, maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val mass = df
+      .select(col(groupCol), (length(col(textCol)) -
+          length(replace(col(textCol), lit(" "), lit(""))) + 1)
+          .cast("bigint").as("__toks"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__toks")).as("n_tokens"))
+      .withColumn("__w_mu",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val totW = mass.agg(sum(col("__w_mu")).as("__tw"))
+    // round 1: proportional target, capped at maxEpochs
+    val r1 = mass.crossJoin(broadcast(totW))
+      .withColumn("p_target",
+        col("__w_mu").cast("double") / col("__tw").cast("double"))
+      .withColumn("__e1", least(lit(maxEpochs),
+        col("p_target") * lit(budget.toDouble) / col("n_tokens").cast("double")))
+      .withColumn("capped", col("__e1") >= lit(maxEpochs))
+      // micro-unit quantized allocation so the roll-up sum is exact BIGINT
+      .withColumn("__alloc1_mu", expr(
+        "CAST(round(__e1 * CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)"))
+    val spent = r1.agg(sum(col("__alloc1_mu")).as("__spent_mu"),
+      sum(when(!col("capped"), col("__w_mu"))).as("__w_uncapped"))
+    // round 2: hand the capped sources' unspent budget to uncapped ones,
+    // proportional to their temperature weight, re-capped at maxEpochs
+    r1.crossJoin(broadcast(spent))
+      .withColumn("__left", greatest(lit(0.0),
+        lit(budget.toDouble) - col("__spent_mu").cast("double") / lit(1e6)))
+      .withColumn("epochs", when(col("capped") || col("__w_uncapped").isNull,
+          col("__e1"))
+        .otherwise(least(lit(maxEpochs), col("__e1") +
+          col("__left") * (col("__w_mu").cast("double") /
+            col("__w_uncapped").cast("double")) / col("n_tokens").cast("double"))))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("p_target"), 9).as("p_target"),
+        round(col("epochs"), 9).as("epochs"),
+        expr("CAST(round(round(epochs, 9) * CAST(n_tokens AS DOUBLE)) AS BIGINT)")
+          .as("alloc_tokens"),
+        col("capped"))
+  }
 }

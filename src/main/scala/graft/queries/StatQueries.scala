@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.{Graphs, Relational, Scale, Stats}
+
+/** Round-9 inference + planning batch: disjunctive-predicate pricing (TPC-H
+  * Q19 shape), sole-late-supplier accountability (Q21 shape, re-expressed as
+  * one aggregation pass instead of correlated EXISTS self-joins),
+  * data-constrained epoch allocation, rater agreement (Cohen's kappa),
+  * delete-one-source jackknife, Welch's t-test, winsorized means, and a
+  * deterministic integer-arithmetic PageRank whose oracle replays all eight
+  * power iterations in SQL.
+  *
+  * Oracle discipline unchanged: exact BIGINT/DECIMAL component sums
+  * everywhere partial-aggregation order could move a double; doubles only in
+  * final per-row formulas written with the SAME operation order in both
+  * engines.
+  */
+object StatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q167's lateness threshold: a lineitem shipped more than this many days
+    * after its order date counts as late. */
+  private val lateDays = 300
+
+  /** q168's training budget (tokens) and per-source repeat ceiling — chosen
+    * so the sf0.01 corpus lands sources on BOTH sides of the cap. */
+  private val epochBudget = 80000L
+  private val epochCap = 3.0
+
+  val queries: Map[String, Q] = Map(
+
+    // TPC-H Q19-shaped disjunctive pricing: revenue from three (brand,
+    // size-range, quantity-range) AND-groups OR'd together. The point is
+    // optimizer behavior: the OR-of-ANDs must reach the scans — the common
+    // p_size/l_quantity bounds are pushable per-disjunct, and the plan
+    // keeps the partkey equi-join (never a nested-loop over the OR).
+    "q166_disjunctive_revenue" -> ((s, d) => {
+      import Relational.dec
+      val li = table(s, d, "lineitem")
+      val p = table(s, d, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(15, 35)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(30, 50)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q21-shaped sole-late-supplier count: for each supplier, the
+    // number of multi-supplier orders where THEY were the only supplier to
+    // ship late. Classic formulation is two correlated EXISTS self-joins on
+    // lineitem; this plan folds both into ONE (orderkey, suppkey) aggregate
+    // + one orderkey roll-up — two keyed shuffles over data that shrinks at
+    // each step, no self-join of the fact table against itself. Top-10 via
+    // TakeOrderedAndProject.
+    "q167_sole_late_supplier" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .join(table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+            .cast("int").as("__late"))
+      val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("__late")).as("__late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n_supps"), sum(col("__late")).as("__n_late"))
+      Relational.topK(
+        perSupp.where(col("__late") === 1)
+          .join(perOrder.where(col("__n_supps") > 1 && col("__n_late") === 1),
+            "l_orderkey")
+          .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait")),
+        10, col("numwait").desc, col("s_name").asc)
+    }),
+
+    // Data-constrained epoch allocation: budgeted repeats per source under
+    // a hard epoch cap, capped sources' leftover redistributed once. See
+    // Scale.epochAllocation.
+    "q168_epoch_allocation" -> ((s, d) =>
+      Scale.epochAllocation(table(s, d, "documents"), "source", "text",
+        budget = epochBudget, maxEpochs = epochCap)),
+
+    // Chance-corrected agreement between two heuristic quality raters
+    // (char-length gate vs token-count gate) — the sanity sheet before
+    // trusting either as a filter. See Stats.cohenKappa.
+    "q169_rater_kappa" -> ((s, d) =>
+      Stats.cohenKappa(table(s, d, "documents"),
+        col("n_chars") >= 300,
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1) >= 52)),
+
+    // Delete-one-source jackknife of mean document length: how far the
+    // corpus mean moves with each source removed, plus pseudo-value
+    // influence. See Stats.jackknifeByGroup.
+    "q170_jackknife_source" -> ((s, d) =>
+      Stats.jackknifeByGroup(table(s, d, "documents"), "source", "n_chars")),
+
+    // Welch's unequal-variance t-test: does click's value distribution
+    // differ from view's? Exact component sums, one 1-row aggregate. See
+    // Stats.welchTTest.
+    "q171_welch_ttest" -> ((s, d) =>
+      Stats.welchTTest(table(s, d, "events"), "event_type", "value",
+        groupA = "click", groupB = "view")),
+
+    // Per-type winsorized mean of event value at the exact [p05, p95]
+    // percentiles — the outlier-robust average. See Stats.winsorizedMean.
+    "q172_winsorized_mean" -> ((s, d) =>
+      Stats.winsorizedMean(table(s, d, "events"), "event_type", "value",
+        pLo = 0.05, pHi = 0.95)),
+
+    // Corpus-level TextRank: PageRank over the token-adjacency graph in
+    // exact BIGINT micro-units, eight power iterations, top-30 terms. The
+    // oracle replays the identical integer iteration in unrolled SQL. See
+    // Graphs.tokenPageRank.
+    "q173_token_pagerank" -> ((s, d) =>
+      Relational.topK(Graphs.tokenPageRank(table(s, d, "documents"), "text", iters = 8),
+        30, col("rank_mu").desc, col("node").asc)))
+
+  /** The q173 oracle: bigram graph CTEs + eight unrolled integer PageRank
+    * iterations (r1..r8), each `(15·S) // (100·n) + (85·in) // 100` with
+    * BIGINT `//` — bit-identical to the Spark loop. */
+  private def pageRankSql(iters: Int): String = {
+    val base = "(15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM n))"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |    CAST($base + (85 * coalesce(c.inw, CAST(0 AS BIGINT))) // 100
+         |      AS BIGINT) AS rank_mu
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((p.rank_mu * e.w) // o.out_w) AS BIGINT) AS inw
+         |    FROM r${k - 1} p JOIN bi e ON e.src = p.node
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |pairs AS (
+       |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS p FROM toks),
+       |bi AS (
+       |  SELECT p[1] AS src, p[2] AS dst, count(*) AS w FROM pairs
+       |  WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM bi UNION SELECT dst FROM bi),
+       |outw AS (SELECT src, sum(w) AS out_w FROM bi GROUP BY src),
+       |n AS (SELECT count(*) AS nn FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(1000000000 AS BIGINT) // (SELECT nn FROM n) AS rank_mu
+       |  FROM nodes),
+       |$steps
+       |SELECT node, rank_mu,
+       |  CAST(rank_mu AS DOUBLE) / 1000000000.0 AS rank
+       |FROM r$iters ORDER BY rank_mu DESC, node ASC LIMIT 30""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    "q166_disjunctive_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 15 AND 35)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 30 AND 50)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q167_sole_late_supplier" ->
+      s"""WITH li AS (
+         |  SELECT l.l_orderkey, l.l_suppkey,
+         |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY
+         |         THEN 1 ELSE 0 END AS late
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ps AS (
+         |  SELECT l_orderkey, l_suppkey, max(late) AS late
+         |  FROM li GROUP BY 1, 2),
+         |po AS (
+         |  SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+         |  FROM ps GROUP BY 1)
+         |SELECT s.s_name, count(*) AS numwait
+         |FROM ps JOIN po USING (l_orderkey)
+         |JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+         |WHERE ps.late = 1 AND po.n_supps > 1 AND po.n_late = 1
+         |GROUP BY s.s_name
+         |ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin,
+
+    "q168_epoch_allocation" ->
+      s"""WITH mass AS (
+         |  SELECT source,
+         |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |m2 AS (
+         |  SELECT source, n_tokens,
+         |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_mu
+         |  FROM mass),
+         |tw AS (SELECT sum(w_mu) AS tw FROM m2),
+         |r1 AS (
+         |  SELECT source, n_tokens, w_mu,
+         |    CAST(w_mu AS DOUBLE) / CAST(tw AS DOUBLE) AS p_target,
+         |    least($epochCap,
+         |      CAST(w_mu AS DOUBLE) / CAST(tw AS DOUBLE) * $epochBudget.0
+         |        / CAST(n_tokens AS DOUBLE)) AS e1
+         |  FROM m2, tw),
+         |r1b AS (
+         |  SELECT *, e1 >= $epochCap AS capped,
+         |    CAST(round(e1 * CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT) AS alloc1_mu
+         |  FROM r1),
+         |sp AS (
+         |  SELECT sum(alloc1_mu) AS spent_mu,
+         |    sum(CASE WHEN NOT capped THEN w_mu END) AS w_unc
+         |  FROM r1b),
+         |fin AS (
+         |  SELECT source, n_tokens, p_target, capped,
+         |    CASE WHEN capped OR w_unc IS NULL THEN e1
+         |         ELSE least($epochCap, e1 +
+         |           greatest(0.0, $epochBudget.0 - CAST(spent_mu AS DOUBLE) / 1e6)
+         |             * (CAST(w_mu AS DOUBLE) / CAST(w_unc AS DOUBLE))
+         |             / CAST(n_tokens AS DOUBLE)) END AS epochs
+         |  FROM r1b, sp)
+         |SELECT source, n_tokens, round(p_target, 9) AS p_target,
+         |  round(epochs, 9) AS epochs,
+         |  CAST(round(round(epochs, 9) * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+         |    AS alloc_tokens,
+         |  capped
+         |FROM fin""".stripMargin,
+
+    "q169_rater_kappa" ->
+      """WITH c AS (
+        |  SELECT
+        |    count(*) FILTER (n_chars >= 300
+        |      AND len(string_split(text, ' ')) >= 52) AS n_yy,
+        |    count(*) FILTER (n_chars >= 300
+        |      AND len(string_split(text, ' ')) < 52) AS n_yn,
+        |    count(*) FILTER (n_chars < 300
+        |      AND len(string_split(text, ' ')) >= 52) AS n_ny,
+        |    count(*) FILTER (n_chars < 300
+        |      AND len(string_split(text, ' ')) < 52) AS n_nn
+        |  FROM documents)
+        |SELECT n_yy, n_yn, n_ny, n_nn,
+        |  (CAST(n_yy AS DOUBLE) + CAST(n_nn AS DOUBLE))
+        |    / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE) AS po,
+        |  (CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)
+        |    * ((CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |  + (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |    * (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)) AS pe,
+        |  CASE WHEN (CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)
+        |    * ((CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |  + (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |    * (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)) = 1.0
+        |  THEN NULL
+        |  ELSE ((CAST(n_yy AS DOUBLE) + CAST(n_nn AS DOUBLE))
+        |      / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)
+        |    - ((CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |        / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)
+        |      * ((CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |        / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |      + (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |          / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |        * (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |          / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))))
+        |    / (1.0 - ((CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |        / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE)
+        |      * ((CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |        / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |      + (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_yn AS DOUBLE))
+        |          / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))
+        |        * (1.0 - (CAST(n_yy AS DOUBLE) + CAST(n_ny AS DOUBLE))
+        |          / CAST(n_yy + n_yn + n_ny + n_nn AS DOUBLE))))
+        |  END AS kappa
+        |FROM c""".stripMargin,
+
+    "q170_jackknife_source" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_g,
+        |    sum(CAST(n_chars AS DECIMAL(12,2))) AS s_g
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT sum(n_g) AS n, sum(s_g) AS s, count(*) AS g FROM per)
+        |SELECT source, n_g,
+        |  (CAST(s AS DOUBLE) - CAST(s_g AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST(n_g AS DOUBLE)) AS loo_mean,
+        |  CAST(g AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - (CAST(g AS DOUBLE) - 1.0)
+        |      * ((CAST(s AS DOUBLE) - CAST(s_g AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - CAST(n_g AS DOUBLE))) AS pseudo_value
+        |FROM per, tot""".stripMargin,
+
+    "q171_welch_ttest" ->
+      """WITH c AS (
+        |  SELECT
+        |    count(*) FILTER (event_type = 'click') AS n_a,
+        |    sum(CAST(value AS DECIMAL(12,2))) FILTER (event_type = 'click') AS sx_a,
+        |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+        |      FILTER (event_type = 'click') AS sxx_a,
+        |    count(*) FILTER (event_type = 'view') AS n_b,
+        |    sum(CAST(value AS DECIMAL(12,2))) FILTER (event_type = 'view') AS sx_b,
+        |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+        |      FILTER (event_type = 'view') AS sxx_b
+        |  FROM events WHERE event_type = 'click' OR event_type = 'view'),
+        |m AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+        |        / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+        |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+        |        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+        |  FROM c)
+        |SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
+        |  (mean_a - mean_b)
+        |    / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+        |    AS t_stat,
+        |  pow(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE), 2.0)
+        |    / (pow(var_a / CAST(n_a AS DOUBLE), 2.0) / (CAST(n_a AS DOUBLE) - 1.0)
+        |      + pow(var_b / CAST(n_b AS DOUBLE), 2.0) / (CAST(n_b AS DOUBLE) - 1.0))
+        |    AS welch_df
+        |FROM m""".stripMargin,
+
+    "q172_winsorized_mean" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n, b.lo, b.hi,
+        |  count(*) FILTER (e.value < b.lo) AS n_lo,
+        |  count(*) FILTER (e.value > b.hi) AS n_hi,
+        |  (coalesce(CAST(sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+        |      THEN CAST(e.value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
+        |    + CAST(count(*) FILTER (e.value < b.lo) AS DOUBLE) * b.lo
+        |    + CAST(count(*) FILTER (e.value > b.hi) AS DOUBLE) * b.hi)
+        |    / CAST(count(*) AS DOUBLE) AS winsorized_mean
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type, b.lo, b.hi""".stripMargin,
+
+    "q173_token_pagerank" -> pageRankSql(8))
+}

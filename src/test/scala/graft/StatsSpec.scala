@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graphs, Relational, Scale, Stats}
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // ---- Cohen's kappa ----
+
+  test("cohenKappa: hand-computed 2x2 (po=0.8, pe=0.5 -> kappa=0.6)") {
+    val df = (Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false))).toDF("a", "b")
+    val r = Stats.cohenKappa(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("n_yy") == 4 && r.getAs[Long]("n_nn") == 4)
+    assert(math.abs(r.getAs[Double]("po") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.6) < 1e-12)
+  }
+
+  test("cohenKappa: both raters constant -> pe=1, kappa NULL (not perfect)") {
+    val df = Seq.fill(5)((true, true)).toDF("a", "b")
+    val r = Stats.cohenKappa(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Double]("pe") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  // ---- Welch's t-test ----
+
+  test("welchTTest: hand-computed two-sample case") {
+    // A = [1,2,3]: mean 2, var 1. B = [2,4,6,8]: mean 5, var 20/3.
+    // se2a = 1/3, se2b = 5/3 -> t = -3/sqrt(2), df = 4 / (1/18 + 25/27)
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.welchTTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 4)
+    assert(math.abs(r.getAs[Double]("mean_a") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_a") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_b") - 20.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-3.0 / math.sqrt(2.0))) < 1e-12)
+    val df_expect = 4.0 / (1.0 / 18 + (25.0 / 9) / 3)
+    assert(math.abs(r.getAs[Double]("welch_df") - df_expect) < 1e-9)
+  }
+
+  test("welchTTest: components match built-in avg/var_samp on real events") {
+    val events = Graft.table(spark, sf, "events")
+    val r = Stats.welchTTest(events, "event_type", "value", "click", "view")
+      .collect().head
+    val b = events.where(col("event_type") === "click")
+      .agg(avg(col("value")), var_samp(col("value")), count(lit(1))).collect().head
+    assert(r.getAs[Long]("n_a") == b.getLong(2))
+    assert(math.abs(r.getAs[Double]("mean_a") - b.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_a") - b.getDouble(1)) < 1e-6)
+  }
+
+  // ---- jackknife ----
+
+  test("jackknifeByGroup: loo means equal brute-force filtered means") {
+    val docs = Graft.table(spark, sf, "documents")
+    val jk = Stats.jackknifeByGroup(docs, "source", "n_chars")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("loo_mean")).toMap
+    val sources = jk.keySet.take(3)
+    for (src <- sources) {
+      val direct = docs.where(col("source") =!= src)
+        .agg((sum(col("n_chars").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("m")).collect().head.getDouble(0)
+      assert(math.abs(jk(src) - direct) < 1e-9, s"loo mean mismatch for $src")
+    }
+  }
+
+  test("jackknifeByGroup: mean of pseudo-values equals the overall mean") {
+    // Σ pv_i / g = g·θ − (g−1)·(Σ θ₋ᵢ / g); for the MEAN statistic over
+    // BALANCED groups (the synthetic corpus carries 25 docs per source)
+    // the pseudo-value average collapses back to θ exactly.
+    val docs = Graft.table(spark, sf, "documents")
+    val pv = Stats.jackknifeByGroup(docs, "source", "n_chars")
+      .agg(avg(col("pseudo_value"))).collect().head.getDouble(0)
+    val theta = docs.agg(sum(col("n_chars").cast("decimal(12,2)")).cast("double") /
+      count(lit(1))).collect().head.getDouble(0)
+    assert(math.abs(pv - theta) < 1e-6)
+  }
+
+  // ---- winsorized mean ----
+
+  test("winsorizedMean: degenerate [0,1] bounds reproduce the exact mean") {
+    val events = Graft.table(spark, sf, "events")
+    val w = Stats.winsorizedMean(events, "event_type", "value", 0.0, 1.0)
+    val direct = events.groupBy(col("event_type"))
+      .agg(Relational.avgExact(col("value")).as("m"), count(lit(1)).as("n"))
+    val joined = w.join(direct, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_lo") == 0 && r.getAs[Long]("n_hi") == 0)
+      assert(math.abs(r.getAs[Double]("winsorized_mean") - r.getAs[Double]("m")) < 1e-9)
+    }
+  }
+
+  test("winsorizedMean: clamp counts match the out-of-bounds row counts") {
+    val events = Graft.table(spark, sf, "events")
+    val w = Stats.winsorizedMean(events, "event_type", "value", 0.1, 0.9).collect()
+    w.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+      val nLo = events.where(col("event_type") === et && col("value") < lo).count()
+      val nHi = events.where(col("event_type") === et && col("value") > hi).count()
+      assert(r.getAs[Long]("n_lo") == nLo && r.getAs[Long]("n_hi") == nHi)
+      assert(lo <= hi)
+      // robust mean lives inside the clamp interval
+      val m = r.getAs[Double]("winsorized_mean")
+      assert(m >= lo - 1e-9 && m <= hi + 1e-9)
+    }
+  }
+
+  // ---- PageRank ----
+
+  test("pageRank: symmetric 2-cycle holds both ranks at exactly 0.5") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "t", "w")
+    val r = Graphs.pageRank(edges, "s", "t", "w", iters = 5)
+      .collect().map(x => x.getAs[String]("node") -> x.getAs[Long]("rank_mu")).toMap
+    assert(r("a") == 500000000L && r("b") == 500000000L)
+  }
+
+  test("pageRank: sink outranks its dangling source, total mass decays") {
+    val edges = Seq(("a", "b", 1L)).toDF("s", "t", "w")
+    val out = Graphs.pageRank(edges, "s", "t", "w", iters = 8).collect()
+    val m = out.map(x => x.getAs[String]("node") -> x.getAs[Long]("rank_mu")).toMap
+    assert(m("b") > m("a"), "the pointed-at node must outrank the dangler")
+    // a keeps only the teleport floor: (15*1e9) div (100*2) = 75e6
+    assert(m("a") == 75000000L)
+    assert(m.values.sum < 1000000000L, "dangling mass drains, never inflates")
+  }
+
+  test("pageRank: weight-proportional split (2:1 edge weights)") {
+    // c feeds a and b 2:1; a and b both feed c. After convergence
+    // rank(a) > rank(b) and contributions stay integer-exact.
+    val edges = Seq(("c", "a", 2L), ("c", "b", 1L), ("a", "c", 1L), ("b", "c", 1L))
+      .toDF("s", "t", "w")
+    val m = Graphs.pageRank(edges, "s", "t", "w", iters = 12)
+      .collect().map(x => x.getAs[String]("node") -> x.getAs[Long]("rank_mu")).toMap
+    assert(m("a") > m("b"))
+    assert(m("c") > m("a"), "c receives from both — highest rank")
+  }
+
+  test("tokenPageRank: invariant under repartition (exact BIGINT arithmetic)") {
+    val docs = Graft.table(spark, sf, "documents").limit(60)
+    val a = Graphs.tokenPageRank(docs, "text", iters = 4)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_mu")).toMap
+    val b = Graphs.tokenPageRank(docs.repartition(13), "text", iters = 4)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_mu")).toMap
+    assert(a == b, "partial-agg order must not move a single micro-unit")
+  }
+
+  // ---- epoch allocation ----
+
+  test("epochAllocation: huge budget caps every source at maxEpochs") {
+    val docs = Graft.table(spark, sf, "documents")
+    val r = Scale.epochAllocation(docs, "source", "text",
+      budget = 100000000L, maxEpochs = 4.0).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Boolean]("capped"))
+      assert(math.abs(row.getAs[Double]("epochs") - 4.0) < 1e-9)
+      assert(row.getAs[Long]("alloc_tokens") ==
+        math.round(4.0 * row.getAs[Long]("n_tokens")))
+    }
+  }
+
+  test("epochAllocation: scarce budget -> nobody capped, spend ~= budget") {
+    val docs = Graft.table(spark, sf, "documents")
+    val budget = 1000L
+    val r = Scale.epochAllocation(docs, "source", "text", budget, maxEpochs = 4.0)
+      .collect()
+    assert(r.forall(!_.getAs[Boolean]("capped")))
+    val spent = r.map(row => row.getAs[Double]("epochs") *
+      row.getAs[Long]("n_tokens")).sum
+    assert(math.abs(spent - budget) < 1.0, s"uncapped spend $spent != $budget")
+    val ps = r.map(_.getAs[Double]("p_target")).sum
+    assert(math.abs(ps - 1.0) < 1e-6, "temperature shares must sum to 1")
+  }
+
+  test("epochAllocation: mixed regime redistributes but never overspends") {
+    // skewed fixture: one giant source, three tiny ones that cap out
+    val docs = (Seq.tabulate(200)(i => (s"doc$i", "big")) ++
+      Seq.tabulate(3)(i => (s"t$i", s"small$i")))
+      .toDF("text0", "source")
+      .withColumn("text", concat_ws(" ",
+        (1 to 20).map(j => concat(col("text0"), lit(s"_$j"))): _*))
+    val budget = 6000L
+    val r = Scale.epochAllocation(docs, "source", "text", budget, maxEpochs = 2.0)
+      .collect()
+    val spent = r.map(row => row.getAs[Double]("epochs") *
+      row.getAs[Long]("n_tokens")).sum
+    assert(spent <= budget + 1.0, s"overspent: $spent > $budget")
+    val smalls = r.filter(_.getAs[String]("source").startsWith("small"))
+    assert(smalls.nonEmpty && smalls.forall(_.getAs[Boolean]("capped")),
+      "tiny sources must hit the epoch cap")
+    val big = r.find(_.getAs[String]("source") == "big").get
+    assert(!big.getAs[Boolean]("capped"))
+  }
+
+  // ---- plan shapes ----
+
+  test("q167 plan: keyed joins only — no cartesian/nested-loop anywhere") {
+    val p = SparkEntry.queries("q167_sole_late_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
+  test("q166 plan: disjunctive predicate keeps the partkey equi-join") {
+    val p = SparkEntry.queries("q166_disjunctive_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
