@@ -102,28 +102,44 @@ object Similarity {
     * a seed that captures no points still exists as a (possibly empty)
     * inverted list rather than silently shrinking the quantizer. Both sides
     * of that join are nlist rows; the oracle replays the same coalesce. */
-  def kmeansCentroids(n: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(n: DataFrame, idCol: String, nlist: Int, iters: Int): DataFrame =
+    kmeansCentroidsKeyed(n.withColumn("__k", lit(0)), idCol, "__k", nlist, iters)
+      .drop("__k")
+
+  /** Keyed Lloyd: trains an INDEPENDENT `nlist`-centroid codebook per value
+    * of `keyCol`, in one set of Spark jobs. Per key, the computation is
+    * bit-identical to training that key's rows alone (seeds = the rows with
+    * `idCol < nlist`, min-struct assignment, micro-unit quantized means,
+    * carry-forward on emptied centroids) — the keyed form exists purely so
+    * product quantization trains all `m` subspace codebooks in ONE pass
+    * instead of `m` sequential job chains (the r9 q165/q168 hotspot: each
+    * per-subspace training replayed its own assignment + mean + rebuild
+    * rounds; 5 trainings serialized into the critical path). The broadcast
+    * side is keys × nlist rows — bounded by construction everywhere it is
+    * used (m·ksub codebook entries). */
+  def kmeansCentroidsKeyed(n: DataFrame, idCol: String, keyCol: String,
+                           nlist: Int, iters: Int): DataFrame = {
     var cents = n.where(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col("emb").as("c_emb"))
+      .select(col(keyCol), col(idCol).as("cid"), col("emb").as("c_emb"))
     for (_ <- 1 to iters) {
       val d2 = dot_d(col("emb"), col("emb")) -
         lit(2.0) * dot_d(col("emb"), col("c_emb")) +
         dot_d(col("c_emb"), col("c_emb"))
-      val assigned = n.crossJoin(broadcast(cents))
+      val assigned = n.join(broadcast(cents), Seq(keyCol))
         .withColumn("d2", d2)
-        .groupBy(col(idCol))
+        .groupBy(col(keyCol), col(idCol))
         .agg(min(struct(col("d2"), col("cid"), col("emb"))).as("b"))
-        .select(col("b.cid").as("cid"), col("b.emb").as("emb"))
+        .select(col(keyCol), col("b.cid").as("cid"), col("b.emb").as("emb"))
       val means = assigned
-        .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
+        .select(col(keyCol), col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
         .withColumn("q", round(col("x") * lit(1e7)).cast("long"))
-        .groupBy(col("cid"), col("i"))
+        .groupBy(col(keyCol), col("cid"), col("i"))
         .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double") / lit(1e7)).as("m"))
-      val newCents = means.groupBy(col("cid"))
+      val newCents = means.groupBy(col(keyCol), col("cid"))
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("cid"), expr("transform(im, e -> e.m)").as("c_new"))
-      cents = cents.join(broadcast(newCents), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("c_new"), col("c_emb")).as("c_emb"))
+        .select(col(keyCol), col("cid"), expr("transform(im, e -> e.m)").as("c_new"))
+      cents = cents.join(broadcast(newCents), Seq(keyCol, "cid"), "left")
+        .select(col(keyCol), col("cid"), coalesce(col("c_new"), col("c_emb")).as("c_emb"))
     }
     cents
   }
@@ -595,24 +611,28 @@ object Similarity {
         expr("zip_with(b.emb, b.c_emb, (x, y) -> x - y)").as("r")))
     // PQ codebooks trained on residual subvectors (the residual is what
     // concentrates near zero — training on raw vectors wastes the codebook)
-    val subs = CacheScope.persist((0 until m).map { s =>
-      resid.select(col(idCol), lit(s).as("sp"),
-        expr(s"slice(r, ${s * subDim + 1}, $subDim)").as("semb"))
-    }.reduce(_ unionByName _))
-    val pqCents = CacheScope.persist((0 until m).map { s =>
-      kmeansCentroids(
-        subs.where(col("sp") === s).select(col(idCol), col("semb").as("emb")),
-        idCol, ksub, pqIters)
-        .withColumn("sp", lit(s))
-    }.reduce(_ unionByName _))
+    // one scan → all m subvectors per row (posexplode of the in-row slice
+    // list), rather than an m-way union replaying the resid lineage m times
+    val subs = CacheScope.persist(resid.select(col(idCol), col("lcid"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> slice(r, s * $subDim + 1, $subDim))")).as(Seq("sp", "semb"))))
+    // all m subspace codebooks trained in ONE keyed Lloyd pass (keyed on
+    // the subspace id) — per-subspace results identical to training each
+    // alone, but the critical path holds one job chain instead of m
+    val pqCents = CacheScope.persist(
+      kmeansCentroidsKeyed(
+        subs.select(col(idCol), col("sp"), col("semb").as("emb")),
+        idCol, "sp", ksub, pqIters))
     val sd2 = dot_d(col("semb"), col("semb")) -
       lit(2.0) * dot_d(col("semb"), col("c_emb")) +
       dot_d(col("c_emb"), col("c_emb"))
+    // lcid rides along in the grouping key (constant per vector), so no
+    // join-back to resid is needed to recover each code row's list
     val codes = subs.join(broadcast(pqCents), "sp").withColumn("d2", sd2)
-      .groupBy(col(idCol), col("sp"))
+      .groupBy(col(idCol), col("lcid"), col("sp"))
       .agg(min(struct(col("d2"), col("cid"))).as("b"))
-      .select(col(idCol).as("neighbor_id"), col("sp"), col("b.cid").as("cid"))
-      .join(resid.select(col(idCol).as("neighbor_id"), col("lcid")), "neighbor_id")
+      .select(col(idCol).as("neighbor_id"), col("lcid"), col("sp"),
+        col("b.cid").as("cid"))
     // query side: nprobe nearest lists from an IN-ROW sort of the bounded
     // centroid distances (the q50 idiom), then one residual per probed list
     val probes = cscored.where(queryPred)
@@ -626,10 +646,9 @@ object Similarity {
         expr("zip_with(q_emb, t.c_emb, (x, y) -> x - y)").as("rq"))
     // per-(query, list) ADC tables: micro-unit distance of the query's
     // list-residual slice to every codebook entry of every subspace
-    val dq = (0 until m).map { s =>
-      probes.select(col("query_id"), col("lcid"), lit(s).as("sp"),
-        expr(s"slice(rq, ${s * subDim + 1}, $subDim)").as("semb"))
-    }.reduce(_ unionByName _)
+    val dq = probes.select(col("query_id"), col("lcid"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> slice(rq, s * $subDim + 1, $subDim))")).as(Seq("sp", "semb")))
       .join(broadcast(pqCents), "sp")
       .withColumn("d2", sd2)
       .select(col("query_id"), col("lcid"), col("sp"), col("cid"),
@@ -675,17 +694,15 @@ object Similarity {
     // subspace-decomposed ADC distance ranks candidates in (approximate)
     // cosine order — quantizing the RAW vector would rank by raw L2, which
     // the final cosine ranking does not follow when norms vary
-    val subs = CacheScope.persist((0 until m).map { s =>
-      n.select(col(idCol), lit(s).as("sp"),
-        expr(s"slice(transform(emb, x -> x / greatest(nrm, CAST(1e-30 AS DOUBLE))), " +
-          s"${s * subDim + 1}, $subDim)").as("semb"))
-    }.reduce(_ unionByName _))
-    val cents = CacheScope.persist((0 until m).map { s =>
-      kmeansCentroids(
-        subs.where(col("sp") === s).select(col(idCol), col("semb").as("emb")),
-        idCol, ksub, lloydIters)
-        .withColumn("sp", lit(s))
-    }.reduce(_ unionByName _))
+    val subs = CacheScope.persist(n.select(col(idCol),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), s -> slice(" +
+        "transform(emb, x -> x / greatest(nrm, CAST(1e-30 AS DOUBLE))), " +
+        s"s * $subDim + 1, $subDim))")).as(Seq("sp", "semb"))))
+    // one keyed Lloyd pass for all m subspace codebooks (see ivfpqKnn)
+    val cents = CacheScope.persist(
+      kmeansCentroidsKeyed(
+        subs.select(col(idCol), col("sp"), col("semb").as("emb")),
+        idCol, "sp", ksub, lloydIters))
     val d2 = dot_d(col("semb"), col("semb")) -
       lit(2.0) * dot_d(col("semb"), col("c_emb")) +
       dot_d(col("c_emb"), col("c_emb"))

@@ -22,11 +22,11 @@ object StatQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** q167's lateness threshold: a lineitem shipped more than this many days
+  /** q175's lateness threshold: a lineitem shipped more than this many days
     * after its order date counts as late. */
   private val lateDays = 300
 
-  /** q168's training budget (tokens) and per-source repeat ceiling — chosen
+  /** q176's training budget (tokens) and per-source repeat ceiling — chosen
     * so the sf0.01 corpus lands sources on BOTH sides of the cap. */
   private val epochBudget = 80000L
   private val epochCap = 3.0
@@ -38,7 +38,7 @@ object StatQueries {
     // optimizer behavior: the OR-of-ANDs must reach the scans — the common
     // p_size/l_quantity bounds are pushable per-disjunct, and the plan
     // keeps the partkey equi-join (never a nested-loop over the OR).
-    "q166_disjunctive_revenue" -> ((s, d) => {
+    "q174_disjunctive_revenue" -> ((s, d) => {
       import Relational.dec
       val li = table(s, d, "lineitem")
       val p = table(s, d, "part")
@@ -63,7 +63,7 @@ object StatQueries {
     // + one orderkey roll-up — two keyed shuffles over data that shrinks at
     // each step, no self-join of the fact table against itself. Top-10 via
     // TakeOrderedAndProject.
-    "q167_sole_late_supplier" -> ((s, d) => {
+    "q175_sole_late_supplier" -> ((s, d) => {
       val li = table(s, d, "lineitem")
         .join(table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
@@ -86,14 +86,14 @@ object StatQueries {
     // Data-constrained epoch allocation: budgeted repeats per source under
     // a hard epoch cap, capped sources' leftover redistributed once. See
     // Scale.epochAllocation.
-    "q168_epoch_allocation" -> ((s, d) =>
+    "q176_epoch_allocation" -> ((s, d) =>
       Scale.epochAllocation(table(s, d, "documents"), "source", "text",
         budget = epochBudget, maxEpochs = epochCap)),
 
     // Chance-corrected agreement between two heuristic quality raters
     // (char-length gate vs token-count gate) — the sanity sheet before
     // trusting either as a filter. See Stats.cohenKappa.
-    "q169_rater_kappa" -> ((s, d) =>
+    "q177_rater_kappa" -> ((s, d) =>
       Stats.cohenKappa(table(s, d, "documents"),
         col("n_chars") >= 300,
         (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1) >= 52)),
@@ -101,19 +101,19 @@ object StatQueries {
     // Delete-one-source jackknife of mean document length: how far the
     // corpus mean moves with each source removed, plus pseudo-value
     // influence. See Stats.jackknifeByGroup.
-    "q170_jackknife_source" -> ((s, d) =>
+    "q178_jackknife_source" -> ((s, d) =>
       Stats.jackknifeByGroup(table(s, d, "documents"), "source", "n_chars")),
 
     // Welch's unequal-variance t-test: does click's value distribution
     // differ from view's? Exact component sums, one 1-row aggregate. See
     // Stats.welchTTest.
-    "q171_welch_ttest" -> ((s, d) =>
+    "q179_welch_ttest" -> ((s, d) =>
       Stats.welchTTest(table(s, d, "events"), "event_type", "value",
         groupA = "click", groupB = "view")),
 
     // Per-type winsorized mean of event value at the exact [p05, p95]
     // percentiles — the outlier-robust average. See Stats.winsorizedMean.
-    "q172_winsorized_mean" -> ((s, d) =>
+    "q180_winsorized_mean" -> ((s, d) =>
       Stats.winsorizedMean(table(s, d, "events"), "event_type", "value",
         pLo = 0.05, pHi = 0.95)),
 
@@ -121,11 +121,11 @@ object StatQueries {
     // exact BIGINT micro-units, eight power iterations, top-30 terms. The
     // oracle replays the identical integer iteration in unrolled SQL. See
     // Graphs.tokenPageRank.
-    "q173_token_pagerank" -> ((s, d) =>
+    "q181_token_pagerank" -> ((s, d) =>
       Relational.topK(Graphs.tokenPageRank(table(s, d, "documents"), "text", iters = 8),
         30, col("rank_mu").desc, col("node").asc)))
 
-  /** The q173 oracle: bigram graph CTEs + eight unrolled integer PageRank
+  /** The q181 oracle: bigram graph CTEs + eight unrolled integer PageRank
     * iterations (r1..r8), each `(15·S) // (100·n) + (85·in) // 100` with
     * BIGINT `//` — bit-identical to the Spark loop. */
   private def pageRankSql(iters: Int): String = {
@@ -164,7 +164,7 @@ object StatQueries {
 
   val oracle: Map[String, String] = Map(
 
-    "q166_disjunctive_revenue" ->
+    "q174_disjunctive_revenue" ->
       """SELECT p_brand, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
@@ -177,7 +177,7 @@ object StatQueries {
         |       AND l_quantity BETWEEN 30 AND 50)
         |GROUP BY p_brand""".stripMargin,
 
-    "q167_sole_late_supplier" ->
+    "q175_sole_late_supplier" ->
       s"""WITH li AS (
          |  SELECT l.l_orderkey, l.l_suppkey,
          |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY
@@ -196,7 +196,7 @@ object StatQueries {
          |GROUP BY s.s_name
          |ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin,
 
-    "q168_epoch_allocation" ->
+    "q176_epoch_allocation" ->
       s"""WITH mass AS (
          |  SELECT source,
          |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
@@ -237,7 +237,7 @@ object StatQueries {
          |  capped
          |FROM fin""".stripMargin,
 
-    "q169_rater_kappa" ->
+    "q177_rater_kappa" ->
       """WITH c AS (
         |  SELECT
         |    count(*) FILTER (n_chars >= 300
@@ -290,7 +290,7 @@ object StatQueries {
         |  END AS kappa
         |FROM c""".stripMargin,
 
-    "q170_jackknife_source" ->
+    "q178_jackknife_source" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_g,
         |    sum(CAST(n_chars AS DECIMAL(12,2))) AS s_g
@@ -306,7 +306,7 @@ object StatQueries {
         |        / (CAST(n AS DOUBLE) - CAST(n_g AS DOUBLE))) AS pseudo_value
         |FROM per, tot""".stripMargin,
 
-    "q171_welch_ttest" ->
+    "q179_welch_ttest" ->
       """WITH c AS (
         |  SELECT
         |    count(*) FILTER (event_type = 'click') AS n_a,
@@ -337,7 +337,7 @@ object StatQueries {
         |    AS welch_df
         |FROM m""".stripMargin,
 
-    "q172_winsorized_mean" ->
+    "q180_winsorized_mean" ->
       """WITH b AS (
         |  SELECT event_type,
         |    quantile_cont(value, 0.05) AS lo,
@@ -354,5 +354,5 @@ object StatQueries {
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type, b.lo, b.hi""".stripMargin,
 
-    "q173_token_pagerank" -> pageRankSql(8))
+    "q181_token_pagerank" -> pageRankSql(8))
 }

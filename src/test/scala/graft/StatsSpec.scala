@@ -203,16 +203,16 @@ class StatsSpec extends AnyFunSuite {
 
   // ---- plan shapes ----
 
-  test("q167 plan: keyed joins only — no cartesian/nested-loop anywhere") {
-    val p = SparkEntry.queries("q167_sole_late_supplier")(spark, sf)
+  test("q175 plan: keyed joins only — no cartesian/nested-loop anywhere") {
+    val p = SparkEntry.queries("q175_sole_late_supplier")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
   }
 
-  test("q166 plan: disjunctive predicate keeps the partkey equi-join") {
-    val p = SparkEntry.queries("q166_disjunctive_revenue")(spark, sf)
+  test("q174 plan: disjunctive predicate keeps the partkey equi-join") {
+    val p = SparkEntry.queries("q174_disjunctive_revenue")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
