@@ -194,4 +194,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(kw.nonEmpty && kw.forall(_.partitionSpec.nonEmpty),
       "KS cumulative windows must partition by group")
   }
+
+  test("q182-q187: relational batch keeps keyed-join shapes") {
+    // q182 decorrelation: the correlated avg must become a per-part
+    // aggregate + equi-join — never a nested-loop re-scan per row
+    val p182 = plan("q182_small_order_revenue")
+    assert(!p182.contains("CartesianProduct") &&
+      !p182.contains("BroadcastNestedLoopJoin"), p182.linesIterator.take(8).mkString("\n"))
+    // q187's double-role nation join: two independent equi-joins, no
+    // cartesian between the aliased copies
+    val p187 = plan("q187_nation_pair_volume")
+    assert(!p187.contains("CartesianProduct"))
+    // q184/q185 scalar-threshold joins DO cross-join — but only against a
+    // broadcast 1-row aggregate (the bounded pattern); assert the logical
+    // plan hints broadcast on that side so it can never shuffle wide
+    Seq("q184_nation_balance_share", "q185_top_revenue_supplier").foreach { qn =>
+      val logical = SparkEntry.queries(qn)(spark, sf).queryExecution.logical.toString
+      assert(logical.toLowerCase.contains("resolvedhint"),
+        s"$qn must broadcast its 1-row global aggregate:\n$logical")
+    }
+    // q186: the min join-back is an equi-join on (partkey [, cost]) —
+    // no cartesian anywhere in the plan
+    assert(!plan("q186_cheapest_supplier").contains("CartesianProduct"))
+  }
 }
