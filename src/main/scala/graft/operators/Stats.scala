@@ -150,4 +150,134 @@ object Stats {
           d(col("n_lo")) * col("lo") + d(col("n_hi")) * col("hi")) / d(col("n")))
           .as("winsorized_mean"))
   }
+
+  /** Per-group simple linear regression (OLS of y on x): slope, intercept,
+    * and r² assembled from the five exact component sums (n, Σx, Σy, Σxy,
+    * Σx², Σy²) — the closed form every engine's `regr_slope` family hides,
+    * spelled out so the arithmetic is ONE final double formula on exact
+    * DECIMAL sums (cross products of DECIMAL(12,2) are DECIMAL(25,4),
+    * still exact) instead of an order-dependent double accumulation.
+    *
+    * Plan: one scan, one keyed hash aggregate; the formula runs on the
+    * group table. Degenerate groups (constant x) return NULL slope/r²
+    * rather than ±Inf. */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = dec(col(xCol))
+    val y = dec(col(yCol))
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val n = d(col("n"))
+    val sxx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val syy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val sxy = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    agg.select(col(groupCol), col("n"),
+      when(sxx === 0.0, lit(null).cast("double")).otherwise(sxy / sxx).as("slope"),
+      when(sxx === 0.0, lit(null).cast("double"))
+        .otherwise((d(col("__sy")) - (sxy / sxx) * d(col("__sx"))) / n).as("intercept"),
+      when(sxx === 0.0 || syy === 0.0, lit(null).cast("double"))
+        .otherwise((sxy * sxy) / (sxx * syy)).as("r2"))
+  }
+
+  /** Per-group Spearman rank correlation of `xCol` vs `yCol`, tie-aware:
+    * Pearson on AVERAGE ranks, with ranks doubled so ties' half-steps stay
+    * integers (2·avg_rank = 2·rank + tie_count − 1) and every component sum
+    * is exact. Correlation is scale/shift-invariant, so doubling changes
+    * nothing. The naive 1 − 6Σd²/(n(n²−1)) shortcut is WRONG under ties;
+    * this is the form that still agrees with Pearson-on-ranks.
+    *
+    * Plan: two rank windows per variable, both PARTITIONED by the group
+    * (never global — each group ranks independently, the q155 discipline),
+    * then one keyed aggregate. Doubled ranks ≤ 2n: products are cast to
+    * DECIMAL(38,0) before summing, exact up to n ≈ 3·10⁹ rows per group. */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    def dblRank(c: String) = {
+      val w = Window.partitionBy(g).orderBy(col(c))
+      val ties = Window.partitionBy(g, col(c))
+      (lit(2) * rank().over(w) + count(lit(1)).over(ties) - lit(1))
+        .cast(DecimalType(18, 0))
+    }
+    val ranked = df.select(g, dblRank(xCol).as("__a"), dblRank(yCol).as("__b"))
+    def wide(c: Column) = c.cast(DecimalType(38, 0))
+    val agg = ranked.groupBy(g).agg(
+      count(lit(1)).as("n"),
+      sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+      sum(wide(col("__a") * col("__b"))).as("__sab"),
+      sum(wide(col("__a") * col("__a"))).as("__saa"),
+      sum(wide(col("__b") * col("__b"))).as("__sbb"))
+    val n = d(col("n"))
+    val num = n * d(col("__sab")) - d(col("__sa")) * d(col("__sb"))
+    val da = n * d(col("__saa")) - d(col("__sa")) * d(col("__sa"))
+    val db = n * d(col("__sbb")) - d(col("__sb")) * d(col("__sb"))
+    agg.select(g, col("n"),
+      when(da === 0.0 || db === 0.0, lit(null).cast("double"))
+        .otherwise(num / sqrt(da * db)).as("rho"))
+  }
+
+  /** Chi-square contingency screen of `rowCol` × `colCol`: per cell the
+    * observed count, the independence-expected count, the chi-square term
+    * (o−e)²/e and the Pearson residual (o−e)/√e — the drill-down table a
+    * distribution-shift report renders (which (source, bucket) cells drive
+    * the divergence), not just one opaque statistic. The caller sums
+    * chi_term for the test statistic; emitting per-cell rows keeps every
+    * cross-row sum an exact integer, so no double accumulation order can
+    * diverge from a single-node oracle.
+    *
+    * Plan: one scan → cell counts (keyed agg); row totals and column totals
+    * are re-aggregates of the CELL table (|R|·|C| rows, never the data), and
+    * the joins back run on that bounded table — AQE broadcasts all of it. */
+  def contingencyScreen(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col(rowCol)).agg(sum(col("observed")).as("__rt"))
+    val colTot = cells.groupBy(col(colCol)).agg(sum(col("observed")).as("__ct"))
+    val grand = cells.agg(sum(col("observed")).as("__n"))
+    val e = d(col("__rt")) * d(col("__ct")) / d(col("__n"))
+    cells.join(rowTot, rowCol).join(colTot, colCol).crossJoin(broadcast(grand))
+      .select(col(rowCol), col(colCol), col("observed"),
+        e.as("expected"),
+        (pow(d(col("observed")) - e, 2.0) / e).as("chi_term"),
+        ((d(col("observed")) - e) / sqrt(e)).as("pearson_resid"))
+  }
+
+  /** Sample autocorrelation of an integer-valued regular series per key, at
+    * lags 1..maxLag: Pearson correlation between (v_t, v_{t+k}) over the
+    * pairs both sides define — the drift/seasonality probe for daily volume
+    * series (a strong lag-7 says weekly rhythm; lag-1 near 1 says trend).
+    * `tCol` must be an integer period index (e.g. days since epoch),
+    * `vCol` an integer measure (e.g. a count).
+    *
+    * Plan: the series table (one row per (key, period) — already tiny
+    * relative to the data) is equi-joined to itself on (key, t+k) after a
+    * bounded ×maxLag expansion; components are exact BIGINT sums widened to
+    * DECIMAL(38,0). No windows: a lag window would also work, but one
+    * equi-join handles ALL lags in a single shuffle. */
+  def acfByKey(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+               maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val lags = (1 to maxLag).map(l => s"($l)").mkString("VALUES ", ", ", " AS t(lag)")
+    val lagDf = df.sparkSession.sql(s"SELECT lag FROM ($lags)")
+    val x = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(vCol).cast(DecimalType(18, 0)).as("__xv"))
+    val y = df.select(col(keyCol).as("__yk"), col(tCol).cast("long").as("__yt"),
+      col(vCol).cast(DecimalType(18, 0)).as("__yv"))
+    def wide(c: Column) = c.cast(DecimalType(38, 0))
+    val agg = x.crossJoin(broadcast(lagDf))
+      .join(y, col(keyCol) === col("__yk") && col("__yt") === col("__t") + col("lag"))
+      .groupBy(col(keyCol), col("lag")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__xv")).as("__sx"), sum(col("__yv")).as("__sy"),
+        sum(wide(col("__xv") * col("__yv"))).as("__sxy"),
+        sum(wide(col("__xv") * col("__xv"))).as("__sxx"),
+        sum(wide(col("__yv") * col("__yv"))).as("__syy"))
+    val n = d(col("n_pairs"))
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val dx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val dy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    agg.select(col(keyCol), col("lag"), col("n_pairs"),
+      when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+        .otherwise(num / sqrt(dx * dy)).as("acf"))
+  }
 }

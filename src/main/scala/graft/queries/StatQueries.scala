@@ -123,7 +123,63 @@ object StatQueries {
     // Graphs.tokenPageRank.
     "q181_token_pagerank" -> ((s, d) =>
       Relational.topK(Graphs.tokenPageRank(table(s, d, "documents"), "text", iters = 8),
-        30, col("rank_mu").desc, col("node").asc)))
+        30, col("rank_mu").desc, col("node").asc)),
+
+    // TPC-H Q14-shaped promo revenue share by ship month: a conditional-
+    // aggregate ratio — one scan, one keyed agg, the CASE filter never
+    // forces a second pass. Revenue components are exact decimals; the
+    // share is one final double expression.
+    "q169_promo_share" -> ((s, d) => {
+      import Relational.dec
+      val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      table(s, d, "lineitem")
+        .join(table(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          (lit(100.0) *
+            coalesce(sum(when(col("p_type") === "PROMO", rev)).cast("double"), lit(0.0)) /
+            sum(rev).cast("double")).as("promo_share"))
+    }),
+
+    // Per-returnflag OLS of extended price on quantity: slope ≈ effective
+    // unit price, r² = how much of price variance quantity explains. See
+    // Stats.olsByGroup (closed form over five exact component sums).
+    "q170_price_qty_ols" -> ((s, d) =>
+      Stats.olsByGroup(table(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
+    // Per-type Spearman correlation between event value and event TIME —
+    // the monotone-drift probe (is value creeping up over the month?).
+    // Tie-aware Pearson-on-average-ranks; see Stats.spearmanByGroup.
+    "q171_value_time_spearman" -> ((s, d) =>
+      Stats.spearmanByGroup(
+        table(s, d, "events").withColumn("t_us", unix_micros(col("ts"))),
+        "event_type", "value", "t_us")),
+
+    // Event-type × day-of-week chi-square contingency screen: per-cell
+    // observed/expected/chi-term/Pearson-residual — the drill-down of a
+    // weekly-rhythm independence test. Day-of-week is pure integer
+    // arithmetic (days-since-epoch mod 7) so both engines bucket
+    // identically. See Stats.contingencyScreen.
+    "q172_dow_contingency" -> ((s, d) =>
+      Stats.contingencyScreen(
+        table(s, d, "events").withColumn("dow",
+          (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+            .cast("long")),
+        "event_type", "dow")),
+
+    // Daily-volume autocorrelation per event type at lags 1–3: Pearson on
+    // (v_t, v_{t+k}) pairs of the per-day count series. The series table is
+    // one row per (type, day) — the ACF join runs on that, never the raw
+    // events. See Stats.acfByKey.
+    "q173_daily_acf" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.acfByKey(daily, "event_type", "day_idx", "n_events", maxLag = 3)
+    }))
 
   /** The q181 oracle: bigram graph CTEs + eight unrolled integer PageRank
     * iterations (r1..r8), each `(15·S) // (100·n) + (85·in) // 100` with
@@ -163,6 +219,133 @@ object StatQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q169_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n_items,
+        |  100.0 * coalesce(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE), 0.0)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q170_price_qty_ols" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN dxx = 0.0 THEN NULL ELSE dxy / dxx END AS slope,
+        |  CASE WHEN dxx = 0.0 THEN NULL
+        |       ELSE (syd - (dxy / dxx) * sxd) / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN dxx = 0.0 OR dyy = 0.0 THEN NULL
+        |       ELSE (dxy * dxy) / (dxx * dyy) END AS r2
+        |FROM m""".stripMargin,
+
+    "q171_value_time_spearman" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS ra,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+        |      + count(*) OVER (PARTITION BY event_type, epoch_us(ts)) - 1 AS rb
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+        |    sum(CAST(ra AS HUGEINT) * CAST(rb AS HUGEINT)) AS sab,
+        |    sum(CAST(ra AS HUGEINT) * CAST(ra AS HUGEINT)) AS saa,
+        |    sum(CAST(rb AS HUGEINT) * CAST(rb AS HUGEINT)) AS sbb
+        |  FROM r GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS da,
+        |    CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS db
+        |  FROM a)
+        |SELECT event_type, n,
+        |  CASE WHEN da = 0.0 OR db = 0.0 THEN NULL
+        |       ELSE num / sqrt(da * db) END AS rho
+        |FROM m""".stripMargin,
+
+    "q172_dow_contingency" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS BIGINT) AS dow,
+        |    count(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS r_tot
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS c_tot
+        |       FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells),
+        |e AS (
+        |  SELECT cells.event_type, cells.dow, observed,
+        |    CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS expected
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), g)
+        |SELECT event_type, dow, observed, expected,
+        |  pow(CAST(observed AS DOUBLE) - expected, 2.0) / expected AS chi_term,
+        |  (CAST(observed AS DOUBLE) - expected) / sqrt(expected) AS pearson_resid
+        |FROM e""".stripMargin,
+
+    "q173_daily_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day_idx,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT unnest([1, 2, 3]) AS lag),
+        |p AS (
+        |  SELECT x.event_type, l.lag, x.n_events AS xv, y.n_events AS yv
+        |  FROM daily x CROSS JOIN lags l
+        |  JOIN daily y ON y.event_type = x.event_type
+        |    AND y.day_idx = x.day_idx + l.lag),
+        |a AS (
+        |  SELECT event_type, lag, count(*) AS n_pairs,
+        |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |    sum(CAST(xv AS HUGEINT) * CAST(yv AS HUGEINT)) AS sxy,
+        |    sum(CAST(xv AS HUGEINT) * CAST(xv AS HUGEINT)) AS sxx,
+        |    sum(CAST(yv AS HUGEINT) * CAST(yv AS HUGEINT)) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, lag, n_pairs,
+        |    CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+        |  FROM a)
+        |SELECT event_type, lag, n_pairs,
+        |  CASE WHEN dx = 0.0 OR dy = 0.0 THEN NULL
+        |       ELSE num / sqrt(dx * dy) END AS acf
+        |FROM m""".stripMargin,
 
     "q174_disjunctive_revenue" ->
       """SELECT p_brand, count(*) AS n_items,

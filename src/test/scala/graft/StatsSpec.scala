@@ -216,4 +216,95 @@ class StatsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- per-group OLS ----
+
+  test("olsByGroup: exact line -> slope 2, intercept 0, r2 1; constant x -> NULLs") {
+    val df = (Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).map { case (x, y) => ("line", x, y) } ++
+      Seq(("flat", 5.0, 1.0), ("flat", 5.0, 2.0))).toDF("g", "x", "y")
+    val rows = Stats.olsByGroup(df, "g", "x", "y").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val line = rows("line")
+    assert(line.getAs[Long]("n") == 3)
+    assert(math.abs(line.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(line.getAs[Double]("intercept")) < 1e-12)
+    assert(math.abs(line.getAs[Double]("r2") - 1.0) < 1e-12)
+    val flat = rows("flat")
+    assert(flat.isNullAt(flat.fieldIndex("slope")))
+    assert(flat.isNullAt(flat.fieldIndex("r2")))
+  }
+
+  test("olsByGroup: hand-computed non-trivial slope") {
+    // (0,1),(1,3),(2,2),(3,6): n=4 sx=6 sy=12 sxy=25 sxx=14
+    // slope = (100-72)/(56-36) = 1.4; intercept = (12 - 1.4*6)/4 = 0.9
+    val df = Seq((0.0, 1.0), (1.0, 3.0), (2.0, 2.0), (3.0, 6.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Stats.olsByGroup(df, "g", "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 1.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - 0.9) < 1e-12)
+  }
+
+  // ---- Spearman (tie-aware) ----
+
+  test("spearmanByGroup: monotone with ties -> rho 1; reversed -> rho -1") {
+    val df = (Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (4.0, 40.0))
+      .map { case (x, y) => ("up", x, y) } ++
+      Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).map { case (x, y) => ("down", x, y) })
+      .toDF("g", "x", "y")
+    val rows = Stats.spearmanByGroup(df, "g", "x", "y").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("rho")).toMap
+    assert(math.abs(rows("up") - 1.0) < 1e-12)
+    assert(math.abs(rows("down") + 1.0) < 1e-12)
+  }
+
+  test("spearmanByGroup: tie-free case matches the 1 - 6*sum(d^2)/(n(n^2-1)) shortcut") {
+    // ranks x=[1,2,3,4], y=[1,3,2,4]: d^2 sums to 2 -> rho = 1 - 12/60 = 0.8
+    val df = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Stats.spearmanByGroup(df, "g", "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("rho") - 0.8) < 1e-12)
+  }
+
+  // ---- chi-square contingency screen ----
+
+  test("contingencyScreen: 2x2 hand-computed cells") {
+    // yy=4 yn=1 ny=1 nn=4: all marginals 5, n=10 -> expected 2.5 everywhere;
+    // chi term (4-2.5)^2/2.5 = 0.9, (1-2.5)^2/2.5 = 0.9 -> chi2 = 3.6
+    val df = (Seq.fill(4)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq.fill(4)(("b", "y"))).toDF("r", "c")
+    val cells = Stats.contingencyScreen(df, "r", "c").collect()
+    assert(cells.length == 4)
+    cells.foreach { row =>
+      assert(math.abs(row.getAs[Double]("expected") - 2.5) < 1e-12)
+      assert(math.abs(row.getAs[Double]("chi_term") - 0.9) < 1e-12)
+    }
+    val chi2 = cells.map(_.getAs[Double]("chi_term")).sum
+    assert(math.abs(chi2 - 3.6) < 1e-12)
+    val yy = cells.find(r => r.getAs[String]("r") == "a" && r.getAs[String]("c") == "x").get
+    assert(yy.getAs[Long]("observed") == 4)
+    assert(math.abs(yy.getAs[Double]("pearson_resid") - 1.5 / math.sqrt(2.5)) < 1e-12)
+  }
+
+  // ---- autocorrelation ----
+
+  test("acfByKey: linear series -> acf 1 at every lag; constant series -> NULL") {
+    val df = ((0 to 4).map(t => ("lin", t.toLong, (t + 1).toLong)) ++
+      (0 to 4).map(t => ("const", t.toLong, 7L))).toDF("k", "t", "v")
+    val rows = Stats.acfByKey(df, "k", "t", "v", maxLag = 2).collect()
+    val lin = rows.filter(_.getAs[String]("k") == "lin")
+      .map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(lin(1).getAs[Long]("n_pairs") == 4 && lin(2).getAs[Long]("n_pairs") == 3)
+    assert(math.abs(lin(1).getAs[Double]("acf") - 1.0) < 1e-12)
+    assert(math.abs(lin(2).getAs[Double]("acf") - 1.0) < 1e-12)
+    val const = rows.filter(_.getAs[String]("k") == "const")
+    assert(const.nonEmpty && const.forall(_.isNullAt(3)))
+  }
+
+  test("acfByKey: gaps in the period index drop pairs, not fabricate them") {
+    // t = 0,1,3: lag-1 pairs only (0,1); lag-2 pairs only (1,3)
+    val df = Seq(("k", 0L, 1L), ("k", 1L, 5L), ("k", 3L, 2L)).toDF("k", "t", "v")
+    val rows = Stats.acfByKey(df, "k", "t", "v", maxLag = 2).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Long]("n_pairs")).toMap
+    assert(rows(1) == 1L && rows(2) == 1L)
+  }
 }
