@@ -55,16 +55,28 @@ object Graft {
     * so callers should express date/key selection as `.where` and let the scan
     * prune (SURVEY.md §4.1).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot represent;
-    * it is read as a nanos-since-epoch long (legacy.parquet.nanosAsLong) and
-    * normalized here to a microsecond TIMESTAMP via integer division (doubles
-    * cannot hold epoch-nanos exactly, so no float math on the raw value). */
+    * `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (unrepresentable in Spark 4, read
+    * as a nanos-since-epoch long under legacy.parquet.nanosAsLong) and plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both normalize here to the
+    * session-zoned microsecond TIMESTAMP every downstream query assumes:
+    * longs via integer division (doubles cannot hold epoch-nanos exactly, so
+    * no float math on the raw value), NTZ via a cast that is value-identical
+    * under the pinned UTC session timezone. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 }
