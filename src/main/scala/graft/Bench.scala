@@ -102,25 +102,27 @@ object Bench {
     java.nio.file.Files.write(outPath, artifact.getBytes("UTF-8"))
     // Line order serves two consumers. Tail-window fallback first: per-query
     // CHUNK lines with short keys (qNN prefix — unique by construction;
-    // ≈400 B each) and a short total line, so a truncated capture still
-    // carries per-query data. Then the driver's `parsed` field (r8 verdict
-    // item 3): it json-parses the FINAL log line, so a complete summary
-    // object goes LAST and nothing may print after it (spark.stop() runs
-    // before, in case shutdown logs share the stream). The final line uses
-    // the SHORT query keys: the full-name map is ~3.4 KB at 121 queries and
-    // the driver's tail capture is ~2 KB (the r6 lesson) — a truncated
-    // final line is unparseable AND evicts the fallback chunks. Short keys
-    // hold the whole line near 1.4 KB; the full-name map lives in the file
-    // artifact above.
+    // ≈300 B each), so a truncated capture still carries per-query data.
+    // Then the driver's `parsed` field (r8 verdict item 3): it json-parses
+    // the FINAL log line, so a complete summary object goes LAST and nothing
+    // may print after it (spark.stop() runs before, in case shutdown logs
+    // share the stream). The r9 lesson: even SHORT-keyed, a 192-query map is
+    // ~2.4 KB and the driver's tail capture is ~2.6 KB — the final line
+    // arrived head-truncated and `parsed` stayed null. So the final line now
+    // carries only the summary plus the 15 slowest queries (the ones a
+    // regression check needs first); the complete map lives in the chunk
+    // lines above and the file artifact.
     val shortKeyed = results.map { case (k, v, _) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
     val nChunks = math.max(1, (shortKeyed.size + 24) / 25)
     shortKeyed.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
       println(s"""{"metric":"queries_${i + 1}of$nChunks","q":${chunk.mkString("{", ",", "}")}}""")
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
+      .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":${shortKeyed.mkString("{", ",", "}")}$errJson}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$slowest,"queries_note":"15 slowest; full map in chunk lines + ${outPath}"$errJson}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }

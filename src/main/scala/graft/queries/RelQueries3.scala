@@ -193,10 +193,10 @@ object RelQueries3 {
 
     "q190_late_line_priority_mix" ->
       s"""SELECT l.l_returnflag,
-         |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-         |           THEN 1 ELSE 0 END) AS high_line_count,
-         |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-         |           THEN 0 ELSE 1 END) AS low_line_count
+         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o.o_orderdate < TIMESTAMP '1997-01-01'

@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * tie-keeping, and the decorrelated-aggregate equivalence. */
 class RelQueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-  val sf = "/root/testdata/sf0.001"
+  val testdataRoot = "/root/testdata"
+  val sf = s"$testdataRoot/sf0.001"
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
@@ -100,7 +101,7 @@ class RelQueriesSpec extends AnyFunSuite {
   test("q191: blacklisted suppliers never reach a group's distinct count") {
     // sf0.001 draws no negative-balance supplier, so the blacklist would be
     // vacuous there — this check runs at sf0.01 where it bites
-    val sf01 = "/root/testdata/sf0.01"
+    val sf01 = s"$testdataRoot/sf0.01"
     val bad = Graft.table(spark, sf01, "supplier")
       .where(col("s_acctbal") < 0).select(col("s_suppkey"))
       .collect().map(_.getLong(0)).toSet
@@ -128,11 +129,13 @@ class RelQueriesSpec extends AnyFunSuite {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("q"))
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getDecimal(2).doubleValue))
+        BigDecimal(r.getDecimal(2))))
+    // mirror the query's decimal-then-double discipline: sum the pair
+    // quantities exactly, cast to double only at the final comparison
     val means = pairQty.groupBy(_._1)
-      .view.mapValues(ps => ps.map(_._3).sum / ps.length).toMap
-    val bulk = pairQty.filter { case (p, _, qty) => qty > 1.5 * means(p) }
-      .map(_._2).toSet
+      .view.mapValues(ps => ps.map(_._3).sum.toDouble / ps.length).toMap
+    val bulk = pairQty.filter { case (p, _, qty) =>
+      qty.toDouble > 1.5 * means(p) }.map(_._2).toSet
     val ours = q("q192_bulk_part_suppliers").collect().map(_.getLong(0)).toSet
     assert(ours == bulk, "semi-join list must equal the by-hand bulk supplier set")
   }
