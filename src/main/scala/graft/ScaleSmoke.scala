@@ -189,6 +189,28 @@ object ScaleSmoke {
       }
     }
 
+    // Round-10 curves. NB: replicas add token OCCURRENCES, never token
+    // TYPES — the (class, token) model table is CONSTANT across factors
+    // (the lm_xent argument), so cost tracks tokenize + token-keyed joins.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"nb_confusion    $label") {
+        operators.MlOps.naiveBayesConfusion(df, "doc_id", "text", "source").count()
+      }
+    }
+    // Covariance: the Aggregator's O(d^2) buffer is constant across factors
+    // by construction — the curve must be a pure linear scan (one buffer per
+    // partition shuffled regardless of rows).
+    val emb = Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embBig = (0 until factor)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", emb), (s"${factor}x", embBig))) {
+      time(s"covariance      $label") {
+        operators.MlOps.embeddingCovariance(edf, "embedding", 64).count()
+      }
+    }
+
     // Funnel curve runs on the EVENTS table (user journeys): replicas are
     // id-shifted user populations, so frontiers grow linearly with factor
     // while per-stage joins stay user-keyed — the shrinking-frontier shape

@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.ScaleQueries.queries ++ graft.queries.StatQueries.queries ++
-      graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries
+      graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries ++
+      graft.queries.MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.LlmQueries.oracle ++
       graft.queries.ScaleQueries.oracle ++ graft.queries.StatQueries.oracle ++
-      graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle
+      graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle ++
+      graft.queries.MlQueries.oracle
 }

@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+/** Classical-ML operators a training-data pipeline runs ON the corpus itself:
+  * a multinomial naive-Bayes source classifier (the fastText-style
+  * quality/domain gate), one-pass covariance + PCA over embeddings, per-key
+  * rank normalization, rank-stability (RBO) between two orderings, a
+  * k-anonymity privacy audit, and closed-form two-feature OLS.
+  *
+  * Shared determinism discipline (same as TextLm): every log is quantized to
+  * integer micro-nats per TYPE (`round(ln(x)*1e6)` as BIGINT) so cross-row
+  * sums are exact integer arithmetic; doubles appear only in final per-row
+  * formulas written with the same operation order as the SQL oracle.
+  */
+object MlOps {
+
+  /** Train/test split + confusion matrix for a multinomial naive-Bayes
+    * classifier predicting `classCol` from whitespace tokens of `textCol`
+    * (add-one smoothing, log-space, vocabulary = train tokens).
+    * Docs with even `idCol` train; odd docs are scored.
+    *
+    * Scale design: the model is three aggregates of the train split —
+    * (class, token) counts (vocab-bounded), class totals and priors
+    * (class-bounded). Scoring is an inverted-index join: test (doc, token,
+    * tf) rows meet model rows token-keyed — never a doc × vocab product.
+    * The dense (doc × class) score matrix is linear in test size times the
+    * number of classes, which for a classifier is a bounded model property
+    * (NOT a data-driven dimension — unlike q91's cluster map, broadcasting
+    * it is size-safe by construction, the q106 label-centroid argument).
+    * Argmax runs per-doc over #class rows — a bounded window frame.
+    *
+    * Determinism: log-likelihoods are micro-nat BIGINTs per (class, token)
+    * TYPE, so per-doc sums are exact integers; ties break by class name.
+    */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
+                          classCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), col(classCol).as("__cls"),
+      explode(split(col(textCol), " ")).as("token"))
+    val train = toks.where(col("__id") % 2 === 0)
+
+    // model: per-class token counts, class token totals, doc priors, |V|
+    val cnt = train.groupBy(col("__cls").as("__mcls"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val classTot = cnt.groupBy("__mcls").agg(sum("__c").as("__tot"))
+    val priors = docs.where(col(idCol) % 2 === 0)
+      .groupBy(col(classCol).as("__mcls")).agg(count(lit(1)).as("__nd"))
+    val globals = cnt.agg(countDistinct("token").as("__v"))
+      .crossJoin(docs.where(col(idCol) % 2 === 0).agg(count(lit(1)).as("__td")))
+    val classes = classTot.join(priors, "__mcls").crossJoin(broadcast(globals))
+
+    // test term frequencies, restricted to the train vocabulary
+    val testTf = toks.where(col("__id") % 2 === 1)
+      .groupBy("__id", "__cls", "token").agg(count(lit(1)).as("__tf"))
+      .join(cnt.select("token").distinct(), Seq("token"))
+
+    // token-level log-likelihood contributions, token-keyed join to the model
+    val like = testTf.crossJoin(broadcast(classes))
+      .join(cnt, Seq("__mcls", "token"), "left")
+      .groupBy(col("__id"), col("__cls"), col("__mcls"))
+      .agg(sum(col("__tf") *
+        expr("CAST(round(ln(CAST(coalesce(__c, 0) + 1 AS DOUBLE)" +
+          " / CAST(__tot + __v AS DOUBLE)) * 1e6) AS BIGINT)")).as("__like"))
+
+    // dense doc x class base (prior only), left-joined with token evidence
+    val base = docs.where(col(idCol) % 2 === 1)
+      .select(col(idCol).as("__id"), col(classCol).as("__cls"))
+      .crossJoin(broadcast(classes))
+      .select(col("__id"), col("__cls"), col("__mcls"),
+        expr("CAST(round(ln(CAST(__nd AS DOUBLE) / CAST(__td AS DOUBLE)) * 1e6)" +
+          " AS BIGINT)").as("__prior"))
+    val scored = base.join(like, Seq("__id", "__cls", "__mcls"), "left")
+      .select(col("__id"), col("__cls"), col("__mcls"),
+        (col("__prior") + coalesce(col("__like"), lit(0L))).as("__score"))
+
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__score").desc, col("__mcls").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .groupBy(col("__cls").as("actual"), col("__mcls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Micro-unit quantization of a float-array column: each component becomes
+    * `round(x * 1e6)` as BIGINT, making all downstream sums exact. */
+  private def quantized(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+
+  /** The packed one-pass Gram sums for `vecCol`: one row, one array
+    * `[n, s_0..s_{d-1}, p_0..p_{T-1}]` (see [[graft.functions.GramMatrixAgg]]). */
+  private def gramRow(embs: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val gram = udaf(new graft.functions.GramMatrixAgg(d),
+      ExpressionEncoder[Seq[Long]]())
+    embs.select(quantized(vecCol).as("__q")).agg(gram(col("__q")).as("__g"))
+  }
+
+  /** Full population covariance matrix of a d-dim embedding column, upper
+    * triangle as (dim_i, dim_j, cov) rows.
+    *
+    * Scale design: ONE pass, O(d²) state per task (see GramMatrixAgg — the
+    * declarative posexplode+self-join plan would shuffle n*d²/2 rows; this
+    * ships one 17 KB buffer per partition). The d²-row expansion happens
+    * AFTER aggregation, joining the 1-row result against a constant
+    * d(d+1)/2-row index table. cov = (n*Sxy - Sx*Sy) / n² / 1e12 with the
+    * numerator exact in DECIMAL(38,0).
+    */
+  def embeddingCovariance(embs: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val tri = (for { i <- 0 until d; j <- i until d }
+      yield (i, j, i * d - i * (i - 1) / 2 + (j - i))).toDF("dim_i", "dim_j", "__k")
+    tri.crossJoin(broadcast(gramRow(embs, vecCol, d)))
+      .select(col("dim_i"), col("dim_j"),
+        (expr("CAST(CAST(element_at(__g, 1) AS DECIMAL(10,0))" +
+          s" * CAST(element_at(__g, 2 + $d + __k) AS DECIMAL(19,0))" +
+          " - CAST(element_at(__g, 2 + dim_i) AS DECIMAL(15,0))" +
+          " * CAST(element_at(__g, 2 + dim_j) AS DECIMAL(15,0)) AS DECIMAL(38,0))")
+          .cast("double")
+          / col("__g").getItem(0).cast("double")
+          / col("__g").getItem(0).cast("double") / lit(1e12)).as("cov"))
+  }
+
+  /** Top principal component via power iteration on the driver.
+    *
+    * The covariance matrix is a CONSTANT-size (d², dimension-bounded) model
+    * artifact — collecting it is the documented 1-row-stats pattern, not a
+    * data collect; the O(d² · iters) eigen step is microscopic next to the
+    * scan. Start vector is all-ones (deterministic); the sign is fixed by
+    * making the largest-|component| coordinate positive, so the result is a
+    * pure function of the input set.
+    */
+  def pcaTopComponent(embs: DataFrame, vecCol: String, d: Int,
+                      iters: Int = 100): Array[Double] = {
+    val g = gramRow(embs, vecCol, d).head().getSeq[Long](0).toArray
+    val n = g(0).toDouble
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val k = 1 + d + i * d - i * (i - 1) / 2 + (j - i)
+        val c = (n * g(k).toDouble -
+          g(1 + i).toDouble * g(1 + j).toDouble) / n / n / 1e12
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(d) { r =>
+        var s = 0.0; var c = 0
+        while (c < d) { s += cov(r)(c) * v(c); c += 1 }
+        s
+      }
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      v = if (norm == 0.0) v else nv.map(_ / norm)
+      it += 1
+    }
+    val maxIdx = v.indices.maxBy(idx => (math.abs(v(idx)), -idx))
+    if (v(maxIdx) < 0) v.map(x => -x) else v
+  }
+
+  /** Projection of every vector onto the top principal component, top-k rows
+    * by |projection| — the outlier/diversity screen PCA buys. The component
+    * is a broadcast d-length literal; the dot product is the codegen'd
+    * native [[graft.functions.VectorOps]] expression; top-k is
+    * TakeOrderedAndProject. Not SQL-oracle-expressible (eigenvector);
+    * spec-gated instead. */
+  def pcaProjection(embs: DataFrame, idCol: String, vecCol: String, d: Int,
+                    k: Int = 50): DataFrame = {
+    val comp = pcaTopComponent(embs, vecCol, d)
+    val proj = graft.functions.VectorFunctions.dot_d(
+      col(vecCol).cast("array<double>"), typedlit(comp.toSeq))
+    Relational.topK(
+      embs.select(col(idCol), proj.as("proj")),
+      k, abs(col("proj")).desc, col(idCol).asc)
+  }
+
+  /** Per-key rank normalization: percent_rank of `scoreCol` within `keyCol`
+    * plus the decile bucket — the cross-source score-calibration step that
+    * makes heterogeneous quality scores comparable before mixing.
+    *
+    * Ties share a rank (ORDER BY score only), so the output is independent
+    * of row order and engine. percent_rank = (rank-1)/(n-1) is an exact
+    * rational in both engines; the decile floor is computed in the same
+    * operation order. One sort-window per key — the standard exact plan;
+    * for keys too large to sort, the documented swap is the mergeable
+    * histogram quantile (q107, Sketches.histogramQuantiles). */
+  def rankNormalize(df: DataFrame, keyCol: String, scoreCol: String,
+                    idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(scoreCol).asc)
+    df.select(col(idCol), col(keyCol), col(scoreCol))
+      .withColumn("pctl", percent_rank().over(w))
+      .withColumn("decile",
+        least(floor(col("pctl") * 10), lit(9L)).cast("int"))
+  }
+
+  /** Rank-biased overlap (Webber et al., TOIS 2010) at depth `k` with
+    * persistence p = 1/2, between the top-k of two orderings of the same
+    * items per group — "how stable is my ranking under a different score".
+    *
+    * Exact-arithmetic scheme: with p = 1/2 the truncated RBO
+    * (1-p) · Σ_{dd=1..k} p^(dd-1) · A(dd)/dd  is a rational with constant
+    * denominator L·2^k (L = lcm(1..k)). Each item in both top-k lists
+    * contributes W(m) = Σ_{dd=m..k} (L/dd)·2^(k-dd) to the integer
+    * numerator, where m = max(rank1, rank2) — so the whole measure is ONE
+    * integer sum per group over a k-bounded item set, then a single double
+    * division by a constant. No floating-point accumulation anywhere.
+    *
+    * Scale: rankings come from TopKAgg partial aggregation (O(k) state per
+    * group-task, no sort window over the data); the join is (group, id)
+    * keyed over ≤ 2k rows per group.
+    */
+  /** The integer-numerator RBO weight table: item with worst-rank m
+    * contributes W(m) = Σ_{dd=m..k} (L/dd)·2^(k-dd); the measure's constant
+    * denominator is L·2^k (L = lcm(1..k), p = 1/2). Exposed so the SQL
+    * oracle interpolates the identical constants. */
+  def rboWeights(k: Int): (Seq[(Long, Long)], Long) = {
+    val lcm = (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b.toLong) * b)
+    val ws = (1 to k).map { m =>
+      (m.toLong, (m to k).map(dd => (lcm / dd) * (1L << (k - dd))).sum)
+    }
+    (ws, lcm * (1L << k))
+  }
+
+  def rboRankStability(df: DataFrame, keyCol: String, score1: String,
+                       score2: String, idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ws, denomL) = rboWeights(k)
+    val weights = ws.toDF("__m", "__w")
+    // (1-p)·Σ p^(dd-1)·A(dd)/dd with p=1/2 has constant denominator L·2^k —
+    // an exact Long (< 2^53 for k <= 20), so the double division is the only
+    // floating-point step and both engines divide the same two exact values.
+    val denom = denomL.toDouble
+
+    val r1 = Relational.topKPerKey(df, Seq(keyCol), score1, idCol, k)
+      .select(col(keyCol), col(idCol), col("rnk").as("__r1"))
+    val r2 = Relational.topKPerKey(df, Seq(keyCol), score2, idCol, k)
+      .select(col(keyCol), col(idCol), col("rnk").as("__r2"))
+    r1.join(r2, Seq(keyCol, idCol))
+      .select(col(keyCol), greatest(col("__r1"), col("__r2")).as("__m"))
+      .join(broadcast(weights), "__m")
+      .groupBy(keyCol).agg(
+        (sum(col("__w")).cast("double") / lit(denom)).as("rbo"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** k-anonymity audit over a set of quasi-identifier columns: how many
+    * QI-groups exist, how many fall below the anonymity threshold, and how
+    * many rows those small groups expose. One keyed aggregate over the QI
+    * tuple + one constant-size roll-up — the standard privacy pre-release
+    * screen, linear at any scale. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("small_groups"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_at_risk"),
+        min(col("__sz")).as("min_group"),
+        max(col("__sz")).as("max_group"))
+
+  /** Closed-form two-feature OLS with intercept: y ~ b0 + b1·x1 + b2·x2,
+    * solved by Cramer's rule on the 3×3 normal equations. All nine moment
+    * sums are exact BIGINT aggregates of integer features (ONE pass, one
+    * 1-row result); determinants are exact DECIMAL(38,0) products of those
+    * sums, and doubles appear only in the three final divisions — so the
+    * coefficients are a pure function of the input set at any scale. */
+  def ols2(df: DataFrame, x1c: Column, x2c: Column, yc: Column): DataFrame = {
+    val sums = df.select(x1c.cast("long").as("x1"), x2c.cast("long").as("x2"),
+        yc.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x1").as("sx1"), sum("x2").as("sx2"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+    // 3x3 symmetric system: [n sx1 sx2; sx1 s11 s12; sx2 s12 s22] b = [sy; s1y; s2y]
+    def d(c: String): String = s"CAST($c AS DECIMAL(12,0))"
+    val det = "(" +
+      s"${d("n")}*(${d("s11")}*${d("s22")} - ${d("s12")}*${d("s12")})" +
+      s" - ${d("sx1")}*(${d("sx1")}*${d("s22")} - ${d("s12")}*${d("sx2")})" +
+      s" + ${d("sx2")}*(${d("sx1")}*${d("s12")} - ${d("s11")}*${d("sx2")}))"
+    val det0 = "(" +
+      s"${d("sy")}*(${d("s11")}*${d("s22")} - ${d("s12")}*${d("s12")})" +
+      s" - ${d("sx1")}*(${d("s1y")}*${d("s22")} - ${d("s12")}*${d("s2y")})" +
+      s" + ${d("sx2")}*(${d("s1y")}*${d("s12")} - ${d("s11")}*${d("s2y")}))"
+    val det1 = "(" +
+      s"${d("n")}*(${d("s1y")}*${d("s22")} - ${d("s12")}*${d("s2y")})" +
+      s" - ${d("sy")}*(${d("sx1")}*${d("s22")} - ${d("s12")}*${d("sx2")})" +
+      s" + ${d("sx2")}*(${d("sx1")}*${d("s2y")} - ${d("s1y")}*${d("sx2")}))"
+    val det2 = "(" +
+      s"${d("n")}*(${d("s11")}*${d("s2y")} - ${d("s1y")}*${d("s12")})" +
+      s" - ${d("sx1")}*(${d("sx1")}*${d("s2y")} - ${d("s1y")}*${d("sx2")})" +
+      s" + ${d("sy")}*(${d("sx1")}*${d("s12")} - ${d("s11")}*${d("sx2")}))"
+    sums.select(col("n"),
+      expr(s"CAST($det0 AS DOUBLE) / CAST($det AS DOUBLE)").as("b0"),
+      expr(s"CAST($det1 AS DOUBLE) / CAST($det AS DOUBLE)").as("b1"),
+      expr(s"CAST($det2 AS DOUBLE) / CAST($det AS DOUBLE)").as("b2"))
+  }
+
+  /** Consecutive-run (gaps-and-islands) profile: maximal runs of equal
+    * `valCol` per `keyCol` ordered by `ordCols`, rolled up per value —
+    * n_runs, longest run, mean run length. Two windows per key partition
+    * (lag + running sum — both key-bounded, never global), then two keyed
+    * aggregates over data that shrinks at each step. */
+  def runProfile(df: DataFrame, keyCol: String, valCol: String,
+                 ordCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCols: _*)
+    val runs = df
+      .withColumn("__chg",
+        when(lag(col(valCol), 1).over(w).isNull ||
+          lag(col(valCol), 1).over(w) =!= col(valCol), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col(valCol), col("__run"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy(col(valCol))
+      .agg(count(lit(1)).as("n_runs"), max(col("__len")).as("max_len"),
+        (sum(col("__len")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_len"))
+  }
+}

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.MlOps
+
+/** Round-10 classical-ML batch: naive-Bayes source classification, one-pass
+  * embedding covariance + PCA, rank normalization, RBO rank stability,
+  * k-anonymity audit, closed-form 2-feature OLS, a TPC-H Q20-shaped nested
+  * threshold semi-join, and a gaps-and-islands run profile.
+  *
+  * Oracle discipline unchanged: logs quantized to micro-nat BIGINTs per
+  * TYPE, covariance/OLS numerators exact in DECIMAL(38,0), RBO as one
+  * integer sum over a constant weight table — doubles only in final
+  * same-order formulas.
+  */
+object MlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q194/q195 embedding dimensionality (the testdata tables are 64-dim). */
+  private val embDim = 64
+
+  /** q197 RBO depth. */
+  private val rboK = 20
+
+  /** q198 anonymity threshold. */
+  private val anonK = 5
+
+  val queries: Map[String, Q] = Map(
+
+    // Multinomial naive-Bayes source classifier (add-one smoothing), the
+    // fastText-style domain/quality gate: train on even doc_ids, score odd,
+    // output the confusion matrix. Model = three train-split aggregates;
+    // scoring = token-keyed inverted-index join (never doc x vocab);
+    // argmax per doc over a #class-bounded frame. See MlOps.naiveBayesConfusion.
+    "q193_nb_source_confusion" -> ((s, d) =>
+      MlOps.naiveBayesConfusion(
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // Full 64x64 covariance matrix of the embedding table in ONE pass:
+    // O(d^2) mergeable state per task (GramMatrixAgg) instead of the
+    // n*d^2/2-row shuffle the declarative explode+self-join plan pays; the
+    // d^2-row expansion joins the 1-row result against a constant index
+    // table. Micro-unit quantized, DECIMAL(38,0)-exact numerators.
+    "q194_embedding_covariance" -> ((s, d) =>
+      MlOps.embeddingCovariance(
+        table(s, d, "embeddings"), "embedding", embDim)),
+
+    // Top principal component (power iteration on the d^2 constant-size
+    // covariance — the documented 1-row-stats driver pattern), then every
+    // vector's projection, top-50 by |projection|: the PCA outlier screen.
+    // Eigenvectors are not SQL-expressible — rows-only gate + MlOpsSpec.
+    "q195_pca_projection" -> ((s, d) =>
+      MlOps.pcaProjection(
+        table(s, d, "embeddings"), "vec_id", "embedding", embDim, k = 50)),
+
+    // Per-source rank normalization of document length: percent_rank +
+    // decile — the cross-source score-calibration step before mixing.
+    // Ties share ranks (ORDER BY score only) so the result is engine- and
+    // order-independent. See MlOps.rankNormalize.
+    "q196_rank_normalize" -> ((s, d) =>
+      MlOps.rankNormalize(
+        table(s, d, "documents"), "source", "n_chars", "doc_id")),
+
+    // Rank-biased overlap (p=1/2, depth 20) between ranking docs by
+    // character count vs by token count per source — "does my ranking
+    // survive a different score". Rankings via TopKAgg partial aggregation
+    // (no sort windows over data); RBO as ONE integer sum against a
+    // constant weight table, one double division at the end.
+    "q197_rbo_rank_stability" -> ((s, d) =>
+      MlOps.rboRankStability(
+        table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens")),
+        "source", "n_chars", "n_tokens", "doc_id", rboK)),
+
+    // k-anonymity audit of (market segment, nation, order year) as
+    // quasi-identifiers over customer x orders: group count, groups below
+    // k=5, rows those groups expose. One QI-keyed aggregate + one
+    // constant-size roll-up.
+    "q198_k_anonymity" -> ((s, d) =>
+      MlOps.kAnonymityProfile(
+        table(s, d, "orders")
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            year(col("o_orderdate")).as("o_year")),
+        Seq("c_mktsegment", "c_nationkey", "o_year"), anonK)),
+
+    // Closed-form two-feature OLS with intercept: n_chars ~ b0 +
+    // b1*n_tokens + b2*n_distinct_tokens over documents. Nine exact BIGINT
+    // moment sums in one pass, Cramer determinants in DECIMAL(38,0),
+    // doubles only in the three final divisions. See MlOps.ols2.
+    "q199_ols2_length_model" -> ((s, d) =>
+      MlOps.ols2(
+        table(s, d, "documents"),
+        size(split(col("text"), " ")),
+        size(array_distinct(split(col("text"), " "))),
+        col("n_chars"))),
+
+    // TPC-H Q20-shaped nested threshold semi-join: suppliers for whom 1996
+    // shipments of blue-named parts exceed half their all-time shipments of
+    // that part. One (suppkey, partkey)-keyed conditional aggregate, an
+    // exact-decimal threshold filter on the SHRUNK table, then the supplier
+    // join — the fact table is scanned once and never self-joined.
+    "q200_threshold_part_suppliers" -> ((s, d) => {
+      import graft.operators.Relational.dec
+      val base = table(s, d, "lineitem")
+        .join(table(s, d, "part").where(col("p_name").like("%blue%"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1996, dec(col("l_quantity")))
+            .otherwise(dec(lit(0)))).as("q96"),
+          sum(dec(col("l_quantity"))).as("qall"))
+        .where(col("q96") * 2 > col("qall"))
+      base.join(table(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // Gaps-and-islands run profile: maximal runs of equal event_type per
+    // user (ordered by ts, event_id), rolled up per type — n_runs, longest,
+    // mean length. Per-user lag + running-sum windows (key-bounded, never
+    // global), then two shrinking keyed aggregates.
+    "q201_event_runs" -> ((s, d) =>
+      MlOps.runProfile(
+        table(s, d, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id"))))
+  )
+
+  private def rboWeightValues: String = {
+    val (ws, _) = MlOps.rboWeights(rboK)
+    ws.map { case (m, w) => s"($m, $w)" }.mkString(", ")
+  }
+  private def rboDenom: Long = MlOps.rboWeights(rboK)._2
+
+  val oracle: Map[String, String] = Map(
+
+    "q193_nb_source_confusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT source AS mcls, token, count(*) AS c
+        |  FROM train GROUP BY 1, 2),
+        |tot AS (SELECT mcls, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+        |pri AS (SELECT source AS mcls, count(*) AS nd
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |gl AS (SELECT (SELECT count(DISTINCT token) FROM cnt) AS v,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS td),
+        |classes AS (SELECT t.mcls, t.tot, p.nd, g.v, g.td
+        |  FROM tot t JOIN pri p ON t.mcls = p.mcls CROSS JOIN gl g),
+        |ttf AS (SELECT doc_id, source AS actual, token, count(*) AS tf
+        |  FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        |ttfv AS (SELECT * FROM ttf
+        |  WHERE token IN (SELECT DISTINCT token FROM cnt)),
+        |lik AS (SELECT t.doc_id, t.actual, cl.mcls,
+        |    sum(t.tf * CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+        |      / CAST(cl.tot + cl.v AS DOUBLE)) * 1e6) AS BIGINT)) AS lk
+        |  FROM ttfv t CROSS JOIN classes cl
+        |  LEFT JOIN cnt c ON c.mcls = cl.mcls AND c.token = t.token
+        |  GROUP BY 1, 2, 3),
+        |base AS (SELECT dd.doc_id, dd.source AS actual, cl.mcls,
+        |    CAST(round(ln(CAST(cl.nd AS DOUBLE) / CAST(cl.td AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS prior
+        |  FROM documents dd CROSS JOIN classes cl WHERE dd.doc_id % 2 = 1),
+        |sc AS (SELECT b.doc_id, b.actual, b.mcls,
+        |    b.prior + coalesce(l.lk, 0) AS score
+        |  FROM base b LEFT JOIN lik l
+        |    ON l.doc_id = b.doc_id AND l.mcls = b.mcls),
+        |pick AS (SELECT doc_id, actual, mcls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, mcls ASC) AS rn
+        |  FROM sc)
+        |SELECT actual, mcls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q194_embedding_covariance" ->
+      """WITH q AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS si FROM q GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i AS dim_i, p.j AS dim_j,
+        |  CAST(CAST(CAST(n.n AS DECIMAL(10,0)) * CAST(p.sxy AS DECIMAL(19,0))
+        |      - CAST(sa.si AS DECIMAL(15,0)) * CAST(sb.si AS DECIMAL(15,0))
+        |      AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12 AS cov
+        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+        |CROSS JOIN n""".stripMargin,
+
+    // q195_pca_projection: eigenvector computation is not SQL-expressible —
+    // deliberately omitted (driver records the rows-only gate; MlOpsSpec
+    // carries the semantic checks).
+
+    "q196_rank_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER w AS pctl,
+        |  CAST(least(floor(percent_rank() OVER w * 10), 9) AS INTEGER)
+        |    AS decile
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY n_chars ASC)""".stripMargin,
+
+    "q197_rbo_rank_stability" ->
+      s"""WITH f AS (SELECT doc_id, source, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r1 AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id ASC) AS r FROM f),
+         |r2 AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY n_tokens DESC, doc_id ASC) AS r FROM f),
+         |w(m, wt) AS (VALUES $rboWeightValues),
+         |j AS (SELECT r1.source, greatest(r1.r, r2.r) AS m
+         |  FROM r1 JOIN r2 ON r1.source = r2.source AND r1.doc_id = r2.doc_id
+         |  WHERE r1.r <= $rboK AND r2.r <= $rboK)
+         |SELECT j.source, CAST(sum(w.wt) AS DOUBLE) / CAST($rboDenom AS DOUBLE)
+         |  AS rbo
+         |FROM j JOIN w ON w.m = j.m GROUP BY 1""".stripMargin,
+
+    "q198_k_anonymity" ->
+      s"""WITH qi AS (SELECT c.c_mktsegment, c.c_nationkey,
+         |    year(o.o_orderdate) AS o_year, count(*) AS sz
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN sz < $anonK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS small_groups,
+         |  CAST(sum(CASE WHEN sz < $anonK THEN sz ELSE 0 END) AS BIGINT)
+         |    AS rows_at_risk,
+         |  CAST(min(sz) AS BIGINT) AS min_group,
+         |  CAST(max(sz) AS BIGINT) AS max_group
+         |FROM qi""".stripMargin,
+
+    "q199_ols2_length_model" ->
+      """WITH m AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+        |    n_chars AS y
+        |  FROM documents),
+        |su AS (SELECT count(*) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM m)
+        |SELECT n,
+        |  CAST((CAST(sy AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
+        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(s1y AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)))
+        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(s1y AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)))) AS DOUBLE)
+        |  / CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
+        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
+        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE) AS b0,
+        |  CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s1y AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)))
+        |    - CAST(sy AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
+        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)) - CAST(s1y AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE)
+        |  / CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
+        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
+        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE) AS b1,
+        |  CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)) - CAST(s1y AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
+        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)) - CAST(s1y AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
+        |    + CAST(sy AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE)
+        |  / CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
+        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
+        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE) AS b2
+        |FROM su""".stripMargin,
+
+    "q200_threshold_part_suppliers" ->
+      """WITH base AS (SELECT l.l_suppkey, l.l_partkey,
+        |    sum(CASE WHEN year(l.l_shipdate) = 1996
+        |      THEN CAST(l.l_quantity AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS q96,
+        |    sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS qall
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%blue%'
+        |  GROUP BY 1, 2)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM base JOIN supplier s ON base.l_suppkey = s.s_suppkey
+        |WHERE q96 * 2 > qall
+        |GROUP BY 1""".stripMargin,
+
+    "q201_event_runs" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM o),
+        |runs AS (SELECT user_id, event_type, run, count(*) AS len
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(len) AS BIGINT) AS max_len,
+        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_len
+        |FROM runs GROUP BY 1""".stripMargin
+  )
+}

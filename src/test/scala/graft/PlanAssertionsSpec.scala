@@ -217,4 +217,46 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // no cartesian anywhere in the plan
     assert(!plan("q186_cheapest_supplier").contains("CartesianProduct"))
   }
+
+  test("q193-q201: ML batch keeps its scale shapes") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q194: covariance must be ONE ObjectHashAggregate pass over the data
+    // (partial+final) — a Generate (explode) before the aggregate would be
+    // the n*d^2-row shuffle GramMatrixAgg exists to avoid
+    val p194 = plan("q194_embedding_covariance")
+    assert(p194.contains("Aggregate"), p194.linesIterator.take(6).mkString("\n"))
+    assert(!p194.contains("Generate"),
+      "covariance must not explode the vectors:\n" +
+        p194.linesIterator.take(10).mkString("\n"))
+    assert(!p194.contains("CartesianProduct"))
+    // q193: NB scoring joins are token-keyed; the only cross joins carry a
+    // broadcast hint on the class/model side (bounded by #classes), never
+    // a cartesian over data
+    assert(!plan("q193_nb_source_confusion").contains("CartesianProduct"))
+    // the per-doc argmax window partitions by doc — never global
+    val w193 = SparkEntry.queries("q193_nb_source_confusion")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(w193.nonEmpty && w193.forall(_.partitionSpec.nonEmpty),
+      "NB argmax must partition by doc")
+    // q196: the rank window partitions by source — never a global sort
+    val w196 = SparkEntry.queries("q196_rank_normalize")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(w196.nonEmpty && w196.forall(_.partitionSpec.nonEmpty),
+      "rank normalization must partition by key")
+    // q197: rankings come from TopKAgg partial aggregation — the plan must
+    // contain NO window at all
+    val w197 = SparkEntry.queries("q197_rbo_rank_stability")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(w197.isEmpty, "RBO rankings must be window-free (TopKAgg)")
+    // q200: fact table scanned once, no self-join — no cartesian and no
+    // nested-loop anywhere
+    val p200 = plan("q200_threshold_part_suppliers")
+    assert(!p200.contains("CartesianProduct") &&
+      !p200.contains("BroadcastNestedLoopJoin"))
+    // q201: both run windows partition by user
+    val w201 = SparkEntry.queries("q201_event_runs")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(w201.nonEmpty && w201.forall(_.partitionSpec.nonEmpty),
+      "run detection must partition by key")
+  }
 }
