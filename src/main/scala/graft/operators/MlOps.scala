@@ -304,6 +304,32 @@ object MlOps {
       expr(s"CAST($det2 AS DOUBLE) / CAST($det AS DOUBLE)").as("b2"))
   }
 
+  /** Effective rank (participation ratio) of the embedding covariance:
+    * tr(C)² / ‖C‖²_F = (Σλ)²/Σλ² — "how many dimensions does this embedding
+    * actually use", the collapse/anisotropy diagnostic for representation
+    * quality — WITHOUT an eigendecomposition: both traces are exact matrix
+    * functionals (Σλ = Σ C_ii, Σλ² = Σ_ij C_ij²), so one covariance pass
+    * suffices.
+    *
+    * Determinism: the covariance entries are engine-identical doubles
+    * (q194's gate); the two reductions over them run as LEFT FOLDS over the
+    * (i, j)-sorted entry list — a fixed summation order both engines replay
+    * — never an unordered SUM over doubles. The fold is over d(d+1)/2
+    * entries (dimension-bounded, constant in corpus size), so the single-row
+    * collect_list is the 1-row-stats pattern, not a data collect. */
+  def effectiveRank(embs: DataFrame, vecCol: String, d: Int): DataFrame =
+    embeddingCovariance(embs, vecCol, d)
+      .agg(array_sort(collect_list(struct(col("dim_i"), col("dim_j"),
+        col("cov")))).as("__l"))
+      .select(lit(d).as("n_dims"),
+        expr("aggregate(transform(__l, s -> CASE WHEN s.dim_i = s.dim_j" +
+          " THEN s.cov ELSE CAST(0 AS DOUBLE) END)," +
+          " CAST(0 AS DOUBLE), (a, x) -> a + x)").as("trace"),
+        expr("aggregate(transform(__l, s -> CASE WHEN s.dim_i = s.dim_j" +
+          " THEN s.cov * s.cov ELSE (s.cov * s.cov) + (s.cov * s.cov) END)," +
+          " CAST(0 AS DOUBLE), (a, x) -> a + x)").as("frob"))
+      .withColumn("eff_rank", (col("trace") * col("trace")) / col("frob"))
+
   /** Consecutive-run (gaps-and-islands) profile: maximal runs of equal
     * `valCol` per `keyCol` ordered by `ordCols`, rolled up per value —
     * n_runs, longest run, mean run length. Two windows per key partition

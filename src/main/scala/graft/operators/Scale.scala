@@ -290,4 +290,33 @@ object Scale {
           .as("alloc_tokens"),
         col("capped"))
   }
+
+  /** Materialize the corpus as sharded JSON-Lines — the standard training-
+    * data interchange format: one `shard=K/` directory per shard, each row
+    * one JSON object of all input columns. The shard is [[shardPlan]]'s
+    * assignment (`hash60(id) % nShards`) so the manifest q105 reports is
+    * the export that actually lands, and membership is a pure function of
+    * the id (replays and backfills rewrite the same shard, never shuffle a
+    * doc across shards).
+    *
+    * Scale notes: `partitionBy` + repartition on the shard key writes each
+    * shard from its own tasks (no driver funnel); text rows are
+    * gzip-compressed. Returns the number of rows written (from a count on
+    * the input — the write itself is action enough at scale; callers
+    * wanting exactly-once pair this with the ledger idempotency pattern in
+    * `pipeline/IncrementalAgg`). */
+  def exportJsonlShards(df: DataFrame, idCol: String, outDir: String,
+                        nShards: Int): Long = {
+    require(nShards > 0, "nShards must be positive")
+    val withShard = df
+      .withColumn("shard", Sketches.hash60(col(idCol)) % nShards)
+      .withColumn("__json", to_json(struct(df.columns.map(col): _*)))
+    withShard
+      .repartition(col("shard"))
+      .select(col("shard"), col("__json"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip")
+      .text(outDir)
+    df.count()
+  }
 }

@@ -248,4 +248,20 @@ object Sketches {
       .withColumn("est_jaccard",
         col("sketch_shared").cast("double") / col("sketch_size").cast("double"))
   }
+
+  /** HyperLogLog distinct estimate per group via [[graft.functions.HllAgg]]
+    * — a CONSTANT 2^p-byte register buffer per (group, task), element-wise
+    * max merge. The dense-register complement to [[kmvDistinct]]: KMV is
+    * exact below k and degrades above; HLL holds ~1.04/√m relative error at
+    * any cardinality. `exact_distinct` rides along for calibration (drop it
+    * at true scale — it is the expensive exact path the sketch replaces).
+    * Raw Flajolet estimator, exact-integer harmonic sum: bit-reproducible
+    * by a SQL oracle (see HllAgg scaladoc). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 12): DataFrame = {
+    val hll = udaf(new graft.functions.HllAgg(p), Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll(hash60(col(valueCol))).as("hll_distinct"),
+        countDistinct(col(valueCol)).as("exact_distinct"))
+  }
 }

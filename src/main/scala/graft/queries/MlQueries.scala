@@ -128,8 +128,69 @@ object MlQueries {
     "q201_event_runs" -> ((s, d) =>
       MlOps.runProfile(
         table(s, d, "events"), "user_id", "event_type",
-        Seq(col("ts"), col("event_id"))))
+        Seq(col("ts"), col("event_id")))),
+
+    // HyperLogLog distinct tokens per source: constant 4 KB register
+    // buffer per (group, task), element-wise-max merge — the dense-register
+    // complement to KMV (q77), exact-integer harmonic sum so the raw
+    // estimator is bit-reproducible in SQL. exact_distinct rides along for
+    // calibration. See functions/HllAgg.
+    "q202_hll_distinct" -> ((s, d) =>
+      graft.operators.Sketches.hllDistinct(
+        table(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token")),
+        Seq("source"), "token", p = 12)),
+
+    // Token communities by deterministic synchronous label propagation over
+    // the top-100-token adjacency graph (3 rounds, largest incident weight
+    // wins, ties to the smallest label): the topic-structure probe on the
+    // corpus's Zipf-bounded co-occurrence graph. The oracle replays all
+    // three rounds as unrolled CTEs (the q181 PageRank discipline).
+    "q203_token_communities" -> ((s, d) =>
+      graft.operators.Graphs.tokenCommunities(
+        table(s, d, "documents"), "text", topV = 100, iters = 3,
+        minW = 30L)),
+
+    // Effective rank (participation ratio) of the embedding covariance:
+    // (Σλ)²/Σλ² via the trace identities tr(C) and ‖C‖²_F — no
+    // eigendecomposition, one covariance pass; both reductions are fixed-
+    // order left folds over the (i,j)-sorted entries, never an unordered
+    // double SUM. The representation-collapse diagnostic.
+    "q204_effective_rank" -> ((s, d) =>
+      MlOps.effectiveRank(table(s, d, "embeddings"), "embedding", embDim))
   )
+
+  /** q194's oracle SELECT — also the covariance CTE q204 folds over. */
+  private val covSql: String =
+    """WITH q AS (SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+      |  FROM embeddings),
+      |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS si FROM q GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2)
+      |SELECT p.i AS dim_i, p.j AS dim_j,
+      |  CAST(CAST(CAST(n.n AS DECIMAL(10,0)) * CAST(p.sxy AS DECIMAL(19,0))
+      |      - CAST(sa.si AS DECIMAL(15,0)) * CAST(sb.si AS DECIMAL(15,0))
+      |      AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12 AS cov
+      |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+      |CROSS JOIN n""".stripMargin
+
+  /** The three unrolled label-propagation rounds of q203's oracle. */
+  private def lpaRounds(iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s"""g$k AS (SELECT s.a AS node, l.community, sum(s.w) AS sw
+         |  FROM sym s JOIN $prev l ON l.node = s.b GROUP BY 1, 2),
+         |b$k AS (SELECT node, community FROM (
+         |  SELECT node, community, row_number() OVER (PARTITION BY node
+         |    ORDER BY sw DESC, community ASC) AS rn FROM g$k) WHERE rn = 1),
+         |l$k AS (SELECT n.node, coalesce(b.community, n.node) AS community
+         |  FROM nodes n LEFT JOIN b$k b USING (node))""".stripMargin
+    }.mkString(",\n")
 
   private def rboWeightValues: String = {
     val (ws, _) = MlOps.rboWeights(rboK)
@@ -178,23 +239,7 @@ object MlQueries {
         |SELECT actual, mcls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
         |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
-    "q194_embedding_covariance" ->
-      """WITH q AS (SELECT vec_id,
-        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
-        |  FROM embeddings),
-        |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS si FROM q GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM embeddings),
-        |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
-        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |  GROUP BY 1, 2)
-        |SELECT p.i AS dim_i, p.j AS dim_j,
-        |  CAST(CAST(CAST(n.n AS DECIMAL(10,0)) * CAST(p.sxy AS DECIMAL(19,0))
-        |      - CAST(sa.si AS DECIMAL(15,0)) * CAST(sb.si AS DECIMAL(15,0))
-        |      AS DECIMAL(38,0)) AS DOUBLE)
-        |    / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12 AS cov
-        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
-        |CROSS JOIN n""".stripMargin,
+    "q194_embedding_covariance" -> covSql,
 
     // q195_pca_projection: eigenvector computation is not SQL-expressible —
     // deliberately omitted (driver records the rows-only gate; MlOpsSpec
@@ -288,6 +333,82 @@ object MlQueries {
         |FROM base JOIN supplier s ON base.l_suppkey = s.s_suppkey
         |WHERE q96 * 2 > qall
         |GROUP BY 1""".stripMargin,
+
+    "q202_hll_distinct" -> {
+      val h = ScaleQueries.duckHash60("token")
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |hv AS (SELECT DISTINCT source, token FROM tok),
+         |hh AS (SELECT source, $h AS h FROM hv),
+         |b AS (SELECT source, CAST(h >> 48 AS INTEGER) AS idx,
+         |    h & ((1::BIGINT << 48) - 1) AS rest FROM hh),
+         |r AS (SELECT source, idx,
+         |    max(CASE WHEN rest = 0 THEN 49
+         |        ELSE 48 - length(bin(rest)) + 1 END) AS mj
+         |  FROM b GROUP BY 1, 2),
+         |grid AS (SELECT s.source, g.range AS i
+         |  FROM (SELECT DISTINCT source FROM documents) s
+         |  CROSS JOIN range(0, 4096) g),
+         |reg AS (SELECT grid.source, coalesce(r.mj, 0) AS mj
+         |  FROM grid LEFT JOIN r ON r.source = grid.source AND r.idx = grid.i),
+         |sm AS (SELECT source, sum(1::HUGEINT << (62 - mj)) AS hs,
+         |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v0
+         |  FROM reg GROUP BY 1),
+         |raw AS (SELECT source, v0,
+         |    (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |      * CAST(1::BIGINT << 62 AS DOUBLE) / CAST(hs AS DOUBLE) AS r
+         |  FROM sm),
+         |ex AS (SELECT source, count(DISTINCT token) AS exact_distinct
+         |  FROM tok GROUP BY 1)
+         |SELECT raw.source,
+         |  CAST(floor(CASE WHEN r <= 2.5 * 4096.0 AND v0 > 0
+         |    THEN 4096.0 * ln(4096.0 / CAST(v0 AS DOUBLE))
+         |    ELSE r END) AS BIGINT) AS hll_distinct,
+         |  ex.exact_distinct
+         |FROM raw JOIN ex USING (source)""".stripMargin
+    },
+
+    "q203_token_communities" ->
+      s"""WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |tok AS (SELECT unnest(t) AS token FROM tt),
+         |top AS (SELECT token FROM (
+         |  SELECT token, count(*) AS c FROM tok WHERE token <> ''
+         |  GROUP BY 1 ORDER BY c DESC, token ASC LIMIT 100)),
+         |pr0 AS (SELECT unnest(
+         |    [struct_pack(a := t[i], b := t[i+1]) for i in range(1, len(t))],
+         |    recursive := true) FROM tt),
+         |pe AS (SELECT a AS src, b AS dst, count(*) AS w FROM pr0
+         |  WHERE a <> '' AND b <> '' AND a <> b
+         |    AND a IN (SELECT token FROM top)
+         |    AND b IN (SELECT token FROM top)
+         |  GROUP BY 1, 2 HAVING count(*) >= 30),
+         |sym AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src AS a, dst AS b, w FROM pe
+         |    UNION ALL SELECT dst AS a, src AS b, w FROM pe)
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |l0 AS (SELECT node, node AS community FROM nodes),
+         |${lpaRounds(3)}
+         |SELECT community, CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM l3 GROUP BY 1""".stripMargin,
+
+    "q204_effective_rank" ->
+      s"""WITH cov AS (
+         |$covSql),
+         |l AS (SELECT list(struct_pack(dim_i := dim_i, dim_j := dim_j,
+         |    cov := cov) ORDER BY dim_i, dim_j) AS l FROM cov)
+         |SELECT n_dims, trace, frob, (trace * trace) / frob AS eff_rank
+         |FROM (SELECT CAST(64 AS INTEGER) AS n_dims,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(l,
+         |    s -> CASE WHEN s.dim_i = s.dim_j THEN s.cov
+         |         ELSE CAST(0 AS DOUBLE) END)), (a, x) -> a + x) AS trace,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(l,
+         |    s -> CASE WHEN s.dim_i = s.dim_j THEN s.cov * s.cov
+         |         ELSE (s.cov * s.cov) + (s.cov * s.cov) END)),
+         |    (a, x) -> a + x) AS frob
+         |  FROM l)""".stripMargin,
 
     "q201_event_runs" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,

@@ -71,6 +71,25 @@ class MlOpsSpec extends AnyFunSuite {
     assert(top == Set(1L, 20L)) // the two endpoints of the line
   }
 
+  test("effectiveRank: rank-1 covariance gives eff_rank exactly 1; isotropic gives d") {
+    // y = 2x exactly -> covariance is rank 1 -> (Σλ)²/Σλ² = 1.
+    val embs = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val r = MlOps.effectiveRank(embs, "embedding", 2).collect().head
+    // trace = 8/3 + 32/3 = 40/3; frob = (8/3)² + 2(16/3)² + (32/3)² = 1600/9
+    assert(math.abs(r.getAs[Double]("trace") - 40.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("frob") - 1600.0 / 9) < 1e-5)
+    assert(math.abs(r.getAs[Double]("eff_rank") - 1.0) < 1e-9)
+    // two orthogonal equal-variance directions -> eff_rank = 2
+    val iso = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val r2 = MlOps.effectiveRank(iso, "embedding", 2).collect().head
+    assert(math.abs(r2.getAs[Double]("eff_rank") - 2.0) < 1e-9)
+  }
+
   // ---- rank normalization ----
 
   test("rankNormalize: percent_rank and decile, ties share ranks") {

@@ -258,5 +258,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.collect { case w: WindowExec => w }
     assert(w201.nonEmpty && w201.forall(_.partitionSpec.nonEmpty),
       "run detection must partition by key")
+    // q202: HLL is a pure aggregation — no window, no cartesian; the
+    // register buffer rides the normal partial/final aggregate exchange
+    val w202 = SparkEntry.queries("q202_hll_distinct")(spark, sf)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(w202.isEmpty, "HLL must be window-free")
+    assert(!plan("q202_hll_distinct").contains("CartesianProduct"))
+    // q203: every LPA argmax window partitions by node; the vocab joins
+    // are broadcast (Zipf-bounded top-V), never a cartesian over data
+    assert(!plan("q203_token_communities").contains("CartesianProduct"))
+    // q204: same no-explode contract as q194 — one aggregation pass
+    val p204 = plan("q204_effective_rank")
+    assert(!p204.contains("Generate"),
+      "effective rank must not explode the vectors:\n" +
+        p204.linesIterator.take(10).mkString("\n"))
   }
 }

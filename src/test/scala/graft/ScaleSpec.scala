@@ -143,6 +143,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.size <= (2 / 0.05).toInt)
   }
 
+  test("hllDistinct: estimate within the 1.04/sqrt(m) band; merge-invariant under repartition") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 5000 distinct values, p=12 (m=4096): n < 2.5m -> the linear-counting
+    // branch, accurate to ~2%; assert a generous 5% band.
+    val df = (1 to 5000).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val r = Sketches.hllDistinct(df, Seq("grp"), "v", p = 12).collect().head
+    val est = r.getAs[Long]("hll_distinct")
+    assert(r.getAs[Long]("exact_distinct") == 5000L)
+    assert(math.abs(est - 5000L) < 250, s"estimate $est outside 5% of 5000")
+    // same data, p=8 (m=256): n >> 2.5m -> the raw-estimator branch,
+    // expected error ~1.04/16 = 6.5%; assert 15%.
+    val r8 = Sketches.hllDistinct(df, Seq("grp"), "v", p = 8).collect().head
+    val est8 = r8.getAs[Long]("hll_distinct")
+    assert(math.abs(est8 - 5000L) < 750, s"raw-branch estimate $est8 off 5000")
+    // partial-aggregation order must not matter: registers merge by max
+    val r2 = Sketches.hllDistinct(df.repartition(13), Seq("grp"), "v", p = 12)
+      .collect().head
+    assert(r2.getAs[Long]("hll_distinct") == est, "repartition changed the sketch")
+    // duplicates never move registers: doubling the rows keeps the estimate
+    val r3 = Sketches.hllDistinct(df.unionByName(df), Seq("grp"), "v", p = 12)
+      .collect().head
+    assert(r3.getAs[Long]("hll_distinct") == est, "duplicates changed the sketch")
+  }
+
+  test("exportJsonlShards: JSONL roundtrip, stable shard membership, idempotent rewrite") {
+    import spark.implicits._
+    import graft.operators.Scale
+    val root = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val df = (0 until 500).map(i => (i.toLong, s"text_$i")).toDF("doc_id", "text")
+    val n = Scale.exportJsonlShards(df, "doc_id", s"$root/out", nShards = 8)
+    assert(n == 500L)
+    val back = spark.read.json(s"$root/out")
+    assert(back.count() == 500)
+    // shard is hash60(id) % nShards — the q105 shardPlan assignment, so the
+    // written layout matches the plan's manifest counts exactly
+    val planned = Scale.shardPlan(df, "doc_id", "text", nShards = 8)
+      .select(col("shard"), col("n_docs")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val landed = back.groupBy(col("shard").cast("long").as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(landed == planned, s"landed $landed != planned $planned")
+    // replay overwrites in place: same rows, same shards
+    Scale.exportJsonlShards(df, "doc_id", s"$root/out", nShards = 8)
+    assert(spark.read.json(s"$root/out").count() == 500)
+  }
+
   test("compaction: many small files become few target-sized files, data identical") {
     import spark.implicits._
     import graft.operators.Scale

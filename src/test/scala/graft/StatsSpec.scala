@@ -133,6 +133,51 @@ class StatsSpec extends AnyFunSuite {
     assert(m.values.sum < 1000000000L, "dangling mass drains, never inflates")
   }
 
+  // ---- label propagation ----
+
+  test("labelPropagation: two cliques with a weak bridge form two communities") {
+    // triangle {a,b,c} (weight 5 edges) and {x,y,z} (weight 5), bridged by
+    // one weight-1 edge c—x: after 3 rounds each triangle shares one label
+    // and the bridge does not merge them.
+    val edges = Seq(
+      ("a", "b", 5L), ("b", "c", 5L), ("a", "c", 5L),
+      ("x", "y", 5L), ("y", "z", 5L), ("x", "z", 5L),
+      ("c", "x", 1L)).toDF("s", "t", "w")
+    val m = Graphs.labelPropagation(edges, "s", "t", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a") == m("b") && m("b") == m("c"))
+    assert(m("x") == m("y") && m("y") == m("z"))
+    assert(m("a") != m("x"), s"bridge must not merge the cliques: $m")
+  }
+
+  test("labelPropagation: ties adopt the smallest label; repartition-invariant") {
+    // Round 1 only (synchronous LPA legitimately oscillates on near-
+    // bipartite graphs — determinism, not convergence, is the contract):
+    // m touches p and q with EQUAL weight -> tie breaks to the smaller
+    // label p; p's heaviest neighbor label is m; q's is m.
+    val edges = Seq(("p", "m", 3L), ("q", "m", 3L), ("p", "q", 1L))
+      .toDF("s", "t", "w")
+    val one = Graphs.labelPropagation(edges, "s", "t", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one == Map("m" -> "p", "p" -> "m", "q" -> "m"), s"got $one")
+    // even an oscillating trajectory is a pure function of the graph:
+    // identical at any partitioning, iteration count held fixed
+    val four = Graphs.labelPropagation(edges, "s", "t", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val re = Graphs.labelPropagation(edges.repartition(7), "s", "t", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(re == four, "repartitioning changed the communities")
+  }
+
+  test("tokenCommunities: labels partition the retained vocabulary") {
+    val docs = Graft.table(spark, sf, "documents")
+    val out = graft.operators.Graphs.tokenCommunities(
+      docs, "text", topV = 50, iters = 2, minW = 2L).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(out.nonEmpty && total > 0, "expected a non-empty community census")
+    assert(out.map(_.getAs[String]("community")).distinct.length == out.length)
+  }
+
   test("pageRank: weight-proportional split (2:1 edge weights)") {
     // c feeds a and b 2:1; a and b both feed c. After convergence
     // rank(a) > rank(b) and contributions stay integer-exact.
