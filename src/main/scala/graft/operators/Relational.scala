@@ -28,6 +28,100 @@ object Relational {
     * double division). */
   def avgExact(c: Column): Column = sum(dec(c)).cast("double") / count(c)
 
+  /** Null-safe row fingerprint of the given columns (md5 over a
+    * 0x01-joined, null-marked string view) — shared by [[snapshotDiff]]
+    * and its oracle. */
+  private def rowHash(cols: Seq[String]): Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
+  /** CDC-style snapshot diff: classify every key as added / removed /
+    * changed / unchanged between two versions of a table. ONE full outer
+    * join on the key with a null-safe row fingerprint per side — the
+    * change-detection pass a warehouse runs between loads, linear in both
+    * snapshots, never a row-by-row compare loop.
+    *
+    * Output: (change_type, n_rows). The non-key columns are compared via
+    * md5 of a null-marked byte-joined string view, so NULL ≠ '' and column
+    * order is fixed by the caller. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val valCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    val o = oldDf.select(keyCols.map(col) :+ rowHash(valCols).as("__ho"): _*)
+    val n = newDf.select(keyCols.map(col) :+ rowHash(valCols).as("__hn"): _*)
+    o.join(n, keyCols, "full_outer")
+      .select(
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Apply a CDC changeset to a snapshot: `changes` carries the same
+    * schema plus an `opCol` of 'upsert' | 'delete'. Upserts replace the
+    * matching key (or insert); deletes remove it. Two keyed passes —
+    * a union + keep-latest dedup for the upserts, an anti join for the
+    * deletes — both single-shuffle on the key; the snapshot is never
+    * collected or looped. The DataFrame-level twin of the JDBC UPSERT
+    * (K6, `pipeline/Upsert`). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, opCol: String,
+                   keyCols: Seq[String]): DataFrame = {
+    val dataCols = snapshot.columns.toSeq
+    val upserts = changes.where(col(opCol) === "upsert")
+      .select(dataCols.map(col): _*)
+    val deletes = changes.where(col(opCol) === "delete")
+      .select(keyCols.map(col): _*)
+    val merged = dedupeByKey(
+      snapshot.withColumn("__pri", lit(0))
+        .unionByName(upserts.withColumn("__pri", lit(1))),
+      keyCols.map(col), Seq(col("__pri").desc))
+      .drop("__pri")
+    merged.join(deletes, keyCols, "left_anti")
+  }
+
+  /** Schema-driven column profiler — the data-quality census every engine
+    * ships: per column, null count, exact distinct count, and a numeric
+    * min/max view (numerics as double, timestamps as epoch seconds, other
+    * types null). ONE scan: all per-column aggregates run in a single wide
+    * aggregate, then `stack` pivots the 1-row result into per-column rows —
+    * never a scan per column.
+    *
+    * Scale notes: the exact `countDistinct` per column is the gate-able
+    * choice; at true scale swap it for [[Sketches.hllDistinct]]'s constant-
+    * state registers (same output shape, documented trade). Output:
+    * (column_name, n_rows, n_null, n_distinct, min_num, max_num). */
+  def columnProfile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+    val fields = df.schema.fields
+    def numView(f: org.apache.spark.sql.types.StructField): Column =
+      f.dataType match {
+        case _: NumericType => col(f.name).cast("double")
+        // NTZ first to plain TIMESTAMP (identical wall time under the
+        // pinned UTC session), then to epoch seconds
+        case _: TimestampType | _: TimestampNTZType =>
+          col(f.name).cast("timestamp").cast("long").cast("double")
+        case _ => lit(null).cast("double")
+      }
+    val aggs = fields.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__null_${f.name}"),
+        countDistinct(col(f.name)).as(s"__nd_${f.name}"),
+        min(numView(f)).as(s"__min_${f.name}"),
+        max(numView(f)).as(s"__max_${f.name}"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = fields.map { f =>
+      s"'${f.name}', `__null_${f.name}`, `__nd_${f.name}`," +
+        s" `__min_${f.name}`, `__max_${f.name}`"
+    }.mkString(", ")
+    wide.select(col("__rows").as("n_rows"),
+      expr(s"stack(${fields.length}, $stackArgs)")
+        .as(Seq("column_name", "n_null", "n_distinct", "min_num", "max_num")))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+  }
+
   /** Deterministic top-k: total order via explicit tie-breaker columns.
     * Physical plan is TakeOrderedAndProject — no global sort, no full shuffle;
     * each partition keeps k rows, driver merges. Safe at any scale for small k. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -279,5 +280,65 @@ object Stats {
     agg.select(col(keyCol), col("lag"), col("n_pairs"),
       when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
         .otherwise(num / sqrt(dx * dy)).as("acf"))
+  }
+
+  /** Theil–Sen robust slope per group: the median of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over x_i < x_j — the outlier-resistant
+    * counterpart to [[olsByGroup]] (breakdown point 29% vs OLS's 0).
+    *
+    * Intended for SMALL per-group series (a per-key daily trend: n days →
+    * n(n−1)/2 pairs, e.g. 30 days → 435); the group-keyed self-join is
+    * O(n²) per group BY DEFINITION of the estimator — document-scale inputs
+    * belong in OLS/MAD instead. Requires distinct x within a group.
+    *
+    * Determinism: the median is NEVER interpolated arithmetic on an
+    * engine's internal percentile path — it is the mean of the (explicitly
+    * row_number-selected) middle one or two slopes, so both engines add the
+    * same one or two doubles (IEEE addition is commutative) and divide by
+    * the same count. */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val a = df.select(col(groupCol), col(xCol).cast("bigint").as("__x1"),
+      col(yCol).cast("bigint").as("__y1"))
+    val b = df.select(col(groupCol), col(xCol).cast("bigint").as("__x2"),
+      col(yCol).cast("bigint").as("__y2"))
+    val slopes = a.join(b, Seq(groupCol))
+      .where(col("__x1") < col("__x2"))
+      .select(col(groupCol),
+        ((col("__y2") - col("__y1")).cast("double") /
+          (col("__x2") - col("__x1")).cast("double")).as("__s"),
+        col("__x1"), col("__x2"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__s").asc, col("__x1").asc, col("__x2").asc)
+    val wc = Window.partitionBy(groupCol)
+    val ranked = slopes.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+    ranked
+      .where(col("__rn") === expr("(__cnt + 1) div 2") ||
+        col("__rn") === expr("__cnt div 2 + 1"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__cnt")).as("n_pairs"),
+        (sum(col("__s")) / count(lit(1)).cast("double")).as("ts_slope"))
+  }
+
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — all-integer arithmetic
+    * (2·cum ≥ total, never a double), one sort window per group plus one
+    * broadcast-size total join. Ties in the value column cannot change the
+    * answer (the threshold crossing lands inside the tied block, whose
+    * value is shared), so no id tie-break is needed. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("bigint")).as("__tot"))
+    df.select(col(groupCol), col(valueCol),
+        col(weightCol).cast("bigint").as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(tot, Seq(groupCol))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("w_median"))
   }
 }

@@ -157,8 +157,82 @@ object MlQueries {
     // order left folds over the (i,j)-sorted entries, never an unordered
     // double SUM. The representation-collapse diagnostic.
     "q204_effective_rank" -> ((s, d) =>
-      MlOps.effectiveRank(table(s, d, "embeddings"), "embedding", embDim))
+      MlOps.effectiveRank(table(s, d, "embeddings"), "embedding", embDim)),
+
+    // Schema-driven column profiler over lineitem: per column null count,
+    // exact distinct, numeric min/max view (timestamps as epoch seconds) —
+    // ONE wide aggregate + stack pivot, never a scan per column. The
+    // data-quality census; documented hllDistinct swap at true scale.
+    "q205_column_profile" -> ((s, d) =>
+      graft.operators.Relational.columnProfile(table(s, d, "lineitem"))),
+
+    // Theil–Sen robust slope of each event type's daily volume trend: the
+    // median of all pairwise day-slopes, selected by explicit rank (never
+    // engine percentile interpolation). The outlier-resistant counterpart
+    // to the q170 OLS trend.
+    "q206_theil_sen" -> ((s, d) =>
+      graft.operators.Stats.theilSen(
+        table(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_date(to_date(col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n")),
+
+    // Token-weighted median document length per source: smallest value
+    // whose cumulative weight reaches half the total — all-integer
+    // arithmetic, one per-key sort window. The size-what-you-train-on view
+    // (a long doc counts by its tokens, not once).
+    "q207_weighted_median" -> ((s, d) =>
+      graft.operators.Stats.weightedMedian(
+        table(s, d, "documents")
+          .select(col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("bigint").as("w")),
+        "source", "n_chars", "w")),
+
+    // CDC snapshot diff: classify every doc key as added / removed /
+    // changed / unchanged between the corpus and a deterministically
+    // mutated next-load version (drop %17, retext %10, insert 25) — one
+    // full-outer join on the key with null-safe md5 row fingerprints,
+    // linear in both snapshots. See Relational.snapshotDiff.
+    "q208_snapshot_diff" -> ((s, d) => {
+      val old = table(s, d, "documents")
+      graft.operators.Relational.snapshotDiff(
+        old, mutatedDocs(old), Seq("doc_id"))
+    }),
+
+    // CDC changeset apply (DataFrame-level MERGE): upserts replace-or-
+    // insert by key (keep-latest dedup over a union), deletes anti-join —
+    // two single-shuffle keyed passes, then a per-source census of the
+    // merged state. The spec proves merged == the directly-built next
+    // snapshot row-for-row. See Relational.applyChanges.
+    "q209_changeset_apply" -> ((s, d) => {
+      val old = table(s, d, "documents")
+      val upserts = old
+        .where(pmod(col("doc_id"), lit(10)) === 0 &&
+          pmod(col("doc_id"), lit(17)) =!= 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .unionByName(old.where(col("doc_id") < 25)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .withColumn("__op", lit("upsert"))
+      val deletes = old.where(pmod(col("doc_id"), lit(17)) === 0)
+        .withColumn("__op", lit("delete"))
+      graft.operators.Relational.applyChanges(
+          old, upserts.unionByName(deletes), "__op", Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    })
   )
+
+  /** The deterministic "next load" both CDC queries diff/merge against:
+    * drop doc_id % 17, append ' v2' to text for doc_id % 10, insert 25
+    * re-keyed clones. */
+  private def mutatedDocs(old: DataFrame): DataFrame =
+    old.where(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.where(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 100000))
 
   /** q194's oracle SELECT — also the covariance CTE q204 folds over. */
   private val covSql: String =
@@ -191,6 +265,53 @@ object MlQueries {
          |l$k AS (SELECT n.node, coalesce(b.community, n.node) AS community
          |  FROM nodes n LEFT JOIN b$k b USING (node))""".stripMargin
     }.mkString(",\n")
+
+  /** q205's profiled columns with their numeric-view kind; the oracle is
+    * generated from this list so it can never drift from the schema. */
+  private val liProfile: Seq[(String, String)] = Seq(
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"), ("l_extendedprice", "num"),
+    ("l_discount", "num"), ("l_tax", "num"), ("l_returnflag", "str"),
+    ("l_linestatus", "str"), ("l_shipdate", "ts"))
+
+  private def liProfileOracle: String = {
+    def numView(c: String, kind: String): String = kind match {
+      case "num" => s"CAST($c AS DOUBLE)"
+      case "ts" => s"CAST(CAST(epoch($c) AS BIGINT) AS DOUBLE)"
+      case _ => "CAST(NULL AS DOUBLE)"
+    }
+    val aggs = liProfile.map { case (c, k) =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_$c,
+         |    count(DISTINCT $c) AS nd_$c,
+         |    min(${numView(c, k)}) AS mn_$c, max(${numView(c, k)}) AS mx_$c"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val rows = liProfile.map { case (c, _) =>
+      s"SELECT '$c' AS column_name, n_rows, nu_$c AS n_null," +
+        s" nd_$c AS n_distinct, mn_$c AS min_num, mx_$c AS max_num FROM w"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT count(*) AS n_rows,
+       |    $aggs
+       |  FROM lineitem)
+       |$rows""".stripMargin
+  }
+
+  /** SQL twin of [[mutatedDocs]], shared by the q208/q209 oracles. */
+  private val newtSql: String =
+    """SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text,
+      |    lang, source, n_chars
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 25""".stripMargin
+
+  /** SQL twin of Relational.rowHash over the documents value columns. */
+  private val docHashSql: String =
+    "md5(concat_ws(chr(1), coalesce(CAST(text AS VARCHAR), chr(0))," +
+      " coalesce(CAST(lang AS VARCHAR), chr(0))," +
+      " coalesce(CAST(source AS VARCHAR), chr(0))," +
+      " coalesce(CAST(n_chars AS VARCHAR), chr(0))))"
 
   private def rboWeightValues: String = {
     val (ws, _) = MlOps.rboWeights(rboK)
@@ -409,6 +530,64 @@ object MlQueries {
          |         ELSE (s.cov * s.cov) + (s.cov * s.cov) END)),
          |    (a, x) -> a + x) AS frob
          |  FROM l)""".stripMargin,
+
+    "q205_column_profile" -> liProfileOracle,
+
+    "q208_snapshot_diff" ->
+      s"""WITH newt AS (
+         |$newtSql),
+         |ho AS (SELECT doc_id, $docHashSql AS h FROM documents),
+         |hn AS (SELECT doc_id, $docHashSql AS h FROM newt),
+         |j AS (SELECT ho.h AS ho, hn.h AS hn
+         |  FROM ho FULL OUTER JOIN hn USING (doc_id))
+         |SELECT CASE WHEN ho IS NULL THEN 'added'
+         |    WHEN hn IS NULL THEN 'removed'
+         |    WHEN ho <> hn THEN 'changed'
+         |    ELSE 'unchanged' END AS change_type,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "q209_changeset_apply" ->
+      s"""WITH newt AS (
+         |$newtSql)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM newt GROUP BY 1""".stripMargin,
+
+    "q206_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS s,
+        |    a.day AS x1, b.day AS x2
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |ranked AS (SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY s ASC, x1 ASC, x2 ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM pairs)
+        |SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_pairs,
+        |  sum(s) / CAST(count(*) AS DOUBLE) AS ts_slope
+        |FROM ranked
+        |WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |GROUP BY 1""".stripMargin,
+
+    "q207_weighted_median" ->
+      """WITH t AS (SELECT source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT source, n_chars, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY n_chars ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |tot AS (SELECT source, sum(w) AS tw FROM t GROUP BY 1)
+        |SELECT c.source, CAST(min(c.n_chars) AS BIGINT) AS w_median
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE c.cum * 2 >= tot.tw
+        |GROUP BY 1""".stripMargin,
 
     "q201_event_runs" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,

@@ -171,6 +171,127 @@ class MlOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("b2") - 5.0) < 1e-9)
   }
 
+  // ---- column profile ----
+
+  test("columnProfile: nulls, distincts, numeric/timestamp/string views") {
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("a"), Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))),
+      (Some(2L), None, Some("b"), None),
+      (None, Some(7.5), Some("a"), Some(java.sql.Timestamp.valueOf("2020-01-02 00:00:00")))
+    ).toDF("id", "x", "s", "ts")
+    val m = graft.operators.Relational.columnProfile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m.size == 4 && m.values.forall(_.getAs[Long]("n_rows") == 3))
+    assert(m("id").getAs[Long]("n_null") == 1 &&
+      m("id").getAs[Long]("n_distinct") == 2)
+    assert(m("id").getAs[Double]("min_num") == 1.0 &&
+      m("id").getAs[Double]("max_num") == 2.0)
+    assert(m("x").getAs[Double]("max_num") == 7.5)
+    // string column: profiled for nulls/distinct, numeric view absent
+    assert(m("s").getAs[Long]("n_distinct") == 2 &&
+      m("s").isNullAt(m("s").fieldIndex("min_num")))
+    // timestamp as epoch seconds: 2020-01-02 - 2020-01-01 = 86400
+    assert(m("ts").getAs[Double]("max_num") -
+      m("ts").getAs[Double]("min_num") == 86400.0)
+  }
+
+  // ---- Theil-Sen ----
+
+  test("theilSen: exact line recovers the slope; one wild outlier cannot move it") {
+    import graft.operators.Stats
+    // clean: y = 2x over x = 1..9 -> every pairwise slope is 2
+    val clean = (1 to 9).map(i => ("g", i.toLong, 2L * i)).toDF("g", "x", "y")
+    val r = Stats.theilSen(clean, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 36)
+    assert(r.getAs[Double]("ts_slope") == 2.0)
+    // corrupt one point hard: median of pairwise slopes stays 2 (OLS would
+    // move by ~outlier/n)
+    val dirty = ((1 to 8).map(i => ("g", i.toLong, 2L * i)) :+ ("g", 9L, 1000L))
+      .toDF("g", "x", "y")
+    val r2 = Stats.theilSen(dirty, "g", "x", "y").collect().head
+    assert(r2.getAs[Double]("ts_slope") == 2.0, s"got ${r2.getAs[Double]("ts_slope")}")
+  }
+
+  test("theilSen: even pair count averages the two middle slopes") {
+    import graft.operators.Stats
+    // x=0,1,2 with y=0,1,4 -> slopes: (0,1)=1, (1,2)=3, (0,2)=2; odd case = 2.
+    // Add x=3,y=4 -> 6 slopes: 1,3,0,2,1.5,4/3 -> sorted [1, 4/3, 1.5, 2, 0, 3]
+    // = [0? no: (2,3)=0] recompute: pairs (0,1)=1 (0,2)=2 (0,3)=4/3 (1,2)=3
+    // (1,3)=1.5 (2,3)=0 -> sorted [0, 1, 4/3, 1.5, 2, 3]; middle two 4/3, 1.5
+    // -> median = (4/3 + 1.5)/2
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 4L), ("g", 3L, 4L))
+      .toDF("g", "x", "y")
+    val r = Stats.theilSen(df, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 6)
+    assert(math.abs(r.getAs[Double]("ts_slope") - (4.0 / 3 + 1.5) / 2) < 1e-15)
+  }
+
+  // ---- weighted median ----
+
+  test("weightedMedian: weights shift the median off the unweighted middle") {
+    import graft.operators.Stats
+    // values 1..5 weight 1 -> median 3; give value 5 weight 10 -> median 5
+    val flat = (1 to 5).map(v => ("g", v.toLong, 1L)).toDF("g", "v", "w")
+    assert(Stats.weightedMedian(flat, "g", "v", "w")
+      .collect().head.getAs[Long]("w_median") == 3L)
+    val heavy = ((1 to 4).map(v => ("g", v.toLong, 1L)) :+ ("g", 5L, 10L))
+      .toDF("g", "v", "w")
+    assert(Stats.weightedMedian(heavy, "g", "v", "w")
+      .collect().head.getAs[Long]("w_median") == 5L)
+    // exact half boundary: w=[1,1] over values [1,2]: cum(1)*2 == tot -> 1
+    val half = Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("g", "v", "w")
+    assert(Stats.weightedMedian(half, "g", "v", "w")
+      .collect().head.getAs[Long]("w_median") == 1L)
+  }
+
+  // ---- CDC ----
+
+  test("snapshotDiff: added/removed/changed/unchanged; NULL is not empty string") {
+    import graft.operators.Relational
+    val old = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, None, 40L)).toDF("id", "v", "n")
+    val neu = Seq((1L, Some("a"), 10L), (2L, Some("B"), 20L),
+      (4L, Some(""), 40L), (5L, Some("e"), 50L)).toDF("id", "v", "n")
+    val m = Relational.snapshotDiff(old, neu, Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1 unchanged; 2 changed; 3 removed; 4 changed (NULL -> ''); 5 added
+    assert(m == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L), s"got $m")
+  }
+
+  test("applyChanges: upsert replaces and inserts, delete removes, merged state exact") {
+    import graft.operators.Relational
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B", "upsert"), (9L, "i", "upsert"),
+      (3L, "c", "delete"), (7L, "x", "delete")).toDF("id", "v", "__op")
+    val out = Relational.applyChanges(snap, changes, "__op", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 9L -> "i"), s"got $out")
+  }
+
+  test("q209 invariant: applyChanges reproduces the directly-built next snapshot") {
+    val old = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val direct = old.where(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.where(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    val upserts = old
+      .where(pmod(col("doc_id"), lit(10)) === 0 &&
+        pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .unionByName(old.where(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      .withColumn("__op", lit("upsert"))
+    val deletes = old.where(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("__op", lit("delete"))
+    val merged = graft.operators.Relational.applyChanges(
+      old, upserts.unionByName(deletes), "__op", Seq("doc_id"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged state must equal the directly-built snapshot row-for-row")
+  }
+
   // ---- runs ----
 
   test("runProfile: hand-built runs per key") {

@@ -272,5 +272,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p204.contains("Generate"),
       "effective rank must not explode the vectors:\n" +
         p204.linesIterator.take(10).mkString("\n"))
+    // q205: the profiler reads lineitem ONCE — a scan per column is the
+    // anti-pattern columnProfile exists to avoid
+    val p205 = plan("q205_column_profile")
+    val scans = p205.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profiler must scan once, saw $scans scans")
+    // q206/q207: rank and cumulative windows partition by their group key
+    Seq("q206_theil_sen", "q207_weighted_median").foreach { qn =>
+      val ws = SparkEntry.queries(qn)(spark, sf)
+        .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        s"$qn windows must partition by key")
+    }
+    // q208/q209: CDC passes are key-equi-joins — never a cartesian or
+    // nested loop over either snapshot
+    Seq("q208_snapshot_diff", "q209_changeset_apply").foreach { qn =>
+      val p = plan(qn)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$qn must stay key-joined:\n" + p.linesIterator.take(8).mkString("\n"))
+    }
   }
 }
