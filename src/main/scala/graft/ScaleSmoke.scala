@@ -69,6 +69,21 @@ import org.apache.spark.sql.functions._
   * the q116/q121 consumers themselves add two keyed aggs + two equi-joins
   * on top (~8 s at 10x). Growth tracks input + answer size, not a
   * wasted-candidate explosion.
+  * Round-10 additions, measured 2026-08-14 (run partly overlapped an sbt
+  * test JVM — ngram_jaccard 10x read 314 s vs its quiet 111–180 band, the
+  * documented concurrent-JVM inflation; compare SHAPES):
+  * {{{
+  *   nb_confusion   1x rows=100    1.7 s   10x rows=100    5.0 s
+  *   covariance     1x rows=2080   0.4 s   10x rows=2080   0.2 s
+  * }}}
+  * Reading: naive Bayes is ~3x cost for 10x input with CONSTANT output —
+  * replicas add token occurrences, never token TYPES, so the (class, token)
+  * model is constant across factors and cost tracks the tokenize +
+  * token-keyed joins (the lm_xent argument). Covariance is FLAT at 10x —
+  * the GramMatrixAgg buffer is O(d^2) per partition regardless of rows, so
+  * the whole job is one embarrassingly-parallel scan whose merge traffic
+  * (one 17 KB buffer per partition) does not grow with the corpus.
+  *
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer

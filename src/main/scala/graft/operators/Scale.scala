@@ -291,6 +291,33 @@ object Scale {
         col("capped"))
   }
 
+  /** Morton/Z-order interleave of the low `bits` bits of two columns — the
+    * multi-dimensional clustering key: sorting by it keeps rows close in
+    * BOTH dimensions close in the file layout, so file/row-group min-max
+    * stats prune range queries on EITHER column (a single-column sort only
+    * prunes its own column). Pure bit arithmetic (codegen'd, engine-
+    * reproducible — the oracle unrolls the same 2·bits terms). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val xs = x.cast("bigint").bitwiseAND(lit((1L << bits) - 1))
+    val ys = y.cast("bigint").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered write: range-partition on the Morton key into
+    * `nFiles` files, sort within each, drop the key. The layout makes
+    * min-max file skipping effective on both clustering columns at once —
+    * the ScaleSpec measures the file-pruning win directly. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, outDir: String,
+                  nFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
   /** Materialize the corpus as sharded JSON-Lines — the standard training-
     * data interchange format: one `shard=K/` directory per shard, each row
     * one JSON object of all input columns. The shard is [[shardPlan]]'s

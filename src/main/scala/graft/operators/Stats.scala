@@ -321,6 +321,35 @@ object Stats {
         (sum(col("__s")) / count(lit(1)).cast("double")).as("ts_slope"))
   }
 
+  /** Pairwise Pearson correlation matrix over the given (money-like 2dp)
+    * double columns in ONE pass: every moment sum (per-column, squares, and
+    * all C(k,2) cross products) runs in a single wide aggregate over exact
+    * DECIMALs; the 1-row result is exploded into per-pair rows. The q59
+    * single-pair formula, generalized — components go exact→double
+    * individually, the formula runs in doubles in a fixed order. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+        cols.map(c => sum(dec(col(c)) * dec(col(c))).as(s"q_$c")) ++
+        (for { i <- cols.indices; j <- i + 1 until cols.size }
+          yield sum(dec(col(cols(i))) * dec(col(cols(j))))
+            .as(s"p_${cols(i)}__${cols(j)}"))
+    val agg = df.agg(sums.head, sums.tail: _*)
+    def corr(a: String, b: String): Column =
+      (col("n").cast("double") * col(s"p_${a}__$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
+        (sqrt(col("n").cast("double") * col(s"q_$a").cast("double") -
+          col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
+          sqrt(col("n").cast("double") * col(s"q_$b").cast("double") -
+            col(s"s_$b").cast("double") * col(s"s_$b").cast("double")))
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        corr(cols(i), cols(j)).as("corr"))
+    agg.select(explode(array(pairs: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** Exact weighted median per group: the smallest value whose cumulative
     * weight reaches half the group's total — all-integer arithmetic
     * (2·cum ≥ total, never a double), one sort window per group plus one

@@ -220,8 +220,34 @@ object MlQueries {
           old, upserts.unionByName(deletes), "__op", Seq("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    })
+    }),
+
+    // Morton/Z-order clustering key over (partkey, suppkey): the
+    // multi-dimensional layout key whose sort keeps file min-max stats
+    // tight on BOTH columns (ScaleSpec measures the file-skipping win of
+    // the companion zorderWrite). Top-20 by z — pure bit arithmetic,
+    // TakeOrderedAndProject.
+    "q210_zorder_key" -> ((s, d) =>
+      graft.operators.Relational.topK(
+        table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            graft.operators.Scale.zValue(
+              col("l_partkey"), col("l_suppkey")).as("zval")),
+        20, col("zval").asc, col("l_orderkey").asc, col("l_linenumber").asc)),
+
+    // Pairwise Pearson correlation matrix over the four lineitem measures
+    // in ONE pass: all 14 moment sums in a single wide exact-decimal
+    // aggregate, per-pair formula in fixed-order doubles (the q59 pattern,
+    // generalized to C(4,2) pairs without rescanning).
+    "q211_corr_matrix" -> ((s, d) =>
+      graft.operators.Stats.corrMatrix(
+        table(s, d, "lineitem"), corrCols))
   )
+
+  /** q211's profiled measure columns. */
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** The deterministic "next load" both CDC queries diff/merge against:
     * drop doc_id % 17, append ' v2' to text for doc_id % 10, insert 25
@@ -312,6 +338,40 @@ object MlQueries {
       " coalesce(CAST(lang AS VARCHAR), chr(0))," +
       " coalesce(CAST(source AS VARCHAR), chr(0))," +
       " coalesce(CAST(n_chars AS VARCHAR), chr(0))))"
+
+  /** SQL twin of Scale.zValue: the unrolled 2·16-term Morton interleave. */
+  private def zValueSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(((($x & 65535) >> $i) & 1) << ${2 * i})" +
+        s" | (((($y & 65535) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  /** q211 oracle: the q59 exact-corr formula per pair, sums shared. */
+  private def corrMatrixOracle: String = {
+    def dc(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val sums =
+      corrCols.map(c => s"sum(${dc(c)}) AS s_$c") ++
+        corrCols.map(c => s"sum(${dc(c)} * ${dc(c)}) AS q_$c") ++
+        (for { i <- corrCols.indices; j <- i + 1 until corrCols.size }
+          yield s"sum(${dc(corrCols(i))} * ${dc(corrCols(j))})" +
+            s" AS p_${corrCols(i)}__${corrCols(j)}")
+    val rows = (for { i <- corrCols.indices; j <- i + 1 until corrCols.size }
+      yield {
+        val (a, b) = (corrCols(i), corrCols(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  (CAST(n AS DOUBLE) * CAST(p_${a}__$b AS DOUBLE)
+           |     - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |  / (sqrt(CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE)
+           |       - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |     * sqrt(CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE)
+           |       - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS corr
+           |FROM c""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT count(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |$rows""".stripMargin
+  }
 
   private def rboWeightValues: String = {
     val (ws, _) = MlOps.rboWeights(rboK)
@@ -532,6 +592,15 @@ object MlQueries {
          |  FROM l)""".stripMargin,
 
     "q205_column_profile" -> liProfileOracle,
+
+    "q210_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(${zValueSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval
+         |FROM lineitem
+         |ORDER BY zval ASC, l_orderkey ASC, l_linenumber ASC
+         |LIMIT 20""".stripMargin,
+
+    "q211_corr_matrix" -> corrMatrixOracle,
 
     "q208_snapshot_diff" ->
       s"""WITH newt AS (

@@ -292,5 +292,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"),
         s"$qn must stay key-joined:\n" + p.linesIterator.take(8).mkString("\n"))
     }
+    // q210: z-key top-k is TakeOrderedAndProject, never a global sort
+    assert(plan("q210_zorder_key").contains("TakeOrderedAndProject"))
+    // q211: the whole correlation matrix is ONE scan + one wide aggregate
+    val p211 = plan("q211_corr_matrix")
+    val scans211 = p211.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans211 == 1, s"corr matrix must scan once, saw $scans211")
   }
 }

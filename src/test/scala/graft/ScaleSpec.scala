@@ -190,6 +190,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.json(s"$root/out").count() == 500)
   }
 
+  test("zorderWrite: narrow y-range query skips most files; single-column sort cannot") {
+    import spark.implicits._
+    import graft.operators.Scale
+    // 256x256 grid: a y-only-sorted layout gives every file the full x
+    // range and vice versa; the Morton layout tiles BOTH dims, so a narrow
+    // y slice intersects only the files whose tile touches it
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    val grid = (for { x <- 0 until 256; y <- 0 until 256 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    Scale.zorderWrite(grid, "x", "y", s"$root/z", nFiles = 16, bits = 8)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/linear")
+    def filesTouching(dir: String): Long = {
+      import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin(col("y")).as("ymin"), fmax(col("y")).as("ymax"))
+        .where(col("ymin") <= 31 && col("ymax") >= 0)
+        .count()
+    }
+    val zTouched = filesTouching(s"$root/z")
+    val linTouched = filesTouching(s"$root/linear")
+    assert(linTouched == 16, s"x-sorted layout must touch all files, got $linTouched")
+    assert(zTouched <= 8, s"z-order must skip most files for a y slice, touched $zTouched")
+    // layout changes bytes, never rows
+    assert(spark.read.parquet(s"$root/z").count() == 256L * 256)
+  }
+
   test("compaction: many small files become few target-sized files, data identical") {
     import spark.implicits._
     import graft.operators.Scale

@@ -133,6 +133,20 @@ class StatsSpec extends AnyFunSuite {
     assert(m.values.sum < 1000000000L, "dangling mass drains, never inflates")
   }
 
+  // ---- correlation matrix ----
+
+  test("corrMatrix: perfect positive/negative pairs, one row per pair") {
+    // y = 2x -> corr(x,y)=1; z = 10-x -> corr(x,z)=-1, corr(y,z)=-1
+    val df = (1 to 8).map(i => (i.toDouble, 2.0 * i, 10.0 - i))
+      .toDF("x", "y", "z")
+    val m = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 3)
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(m(("y", "z")) + 1.0) < 1e-12)
+  }
+
   // ---- label propagation ----
 
   test("labelPropagation: two cliques with a weak bridge form two communities") {

@@ -42,6 +42,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct: windowed sketch equals the batch sketch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // the same mergeable Aggregator runs as streaming state: register max
+    // is associative/commutative/idempotent, so micro-batch partials give
+    // the IDENTICAL registers (and estimate) as one batch pass
+    val hll = udaf(new graft.functions.HllAgg(12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val input = MemoryStream[Event]
+    val events = (1 to 500).map(i =>
+      Event(i.toLong, ts("2025-01-01 10:05:00"), (i % 137).toLong, "click", 1.0)) ++
+      (1 to 300).map(i =>
+        Event(500L + i, ts("2025-01-01 11:05:00"), (i % 211).toLong, "view", 1.0))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(hll(graft.operators.Sketches.hash60($"user_id")).as("est"))
+        .select($"window.start".as("ws"), $"event_type", $"est")
+    val q = StreamingAgg.startToMemory(sketch(input.toDF()), "hll_test")
+    try {
+      // two separate micro-batches -> state merge path exercised
+      input.addData(events.take(400): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(400): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT ws, event_type, est FROM hll_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val expected = sketch(events.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+      // and the estimates are in the linear-counting accuracy band
+      val m = got.map(t => t._2 -> t._3).toMap
+      assert(math.abs(m("click") - 137L) <= 7 && math.abs(m("view") - 211L) <= 11,
+        s"estimates off: $m")
+    } finally q.stop()
+  }
+
   test("trending terms: per-window top-k finalizes once the watermark passes; ranks deterministic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
