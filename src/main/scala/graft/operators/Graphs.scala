@@ -151,6 +151,43 @@ object Graphs {
     labels
   }
 
+  /** Iterative BFS tree/DAG traversal — the engine's answer to a recursive
+    * CTE (Spark has none): starting from `roots` at depth 0, each round
+    * joins the frontier against the child→parent edge list and assigns
+    * depth d+1, until a round discovers nothing new (or `maxIters` guards a
+    * cycle). Output: (node, depth) — first-reached depth per node
+    * (dedup-min for DAGs where multiple parents reach a node).
+    *
+    * Scale design: one edge-keyed equi-join per LEVEL (O(depth) rounds,
+    * the connectedComponents O(diameter) argument), frontier checkpointed
+    * per round so round N's plan never embeds rounds 1..N−1. The per-round
+    * emptiness probe is a limit-1 action (`head(1)`), not a collect. A SQL
+    * oracle replays the whole traversal as a native WITH RECURSIVE. */
+  def treeDepths(edges: DataFrame, childCol: String, parentCol: String,
+                 roots: DataFrame, rootCol: String,
+                 maxIters: Int = 100): DataFrame = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+
+    val e = save(edges.select(col(childCol).as("__c"), col(parentCol).as("__p")))
+    var frontier = save(roots.select(col(rootCol).as("node"),
+      lit(0L).as("depth")))
+    var acc = frontier
+    var iter = 0
+    var done = frontier.isEmpty
+    while (!done && iter < maxIters) {
+      val next = save(
+        e.join(frontier.withColumnRenamed("node", "__p"), "__p")
+          .select(col("__c").as("node"), (col("depth") + 1).as("depth"))
+          .groupBy(col("node")).agg(min(col("depth")).as("depth")))
+      if (next.isEmpty) done = true
+      else { acc = save(acc.unionByName(next)); frontier = next; iter += 1 }
+    }
+    // DAG safety: keep the first (minimum) depth per node
+    acc.groupBy(col("node")).agg(min(col("depth")).as("depth"))
+  }
+
   /** Token communities: label propagation over the adjacency graph of the
     * corpus's top-`topV` tokens (deterministic Zipf cut: count DESC, token
     * ASC), edge weight = adjacent directed-pair count, edges below `minW`

@@ -242,7 +242,23 @@ object MlQueries {
     // generalized to C(4,2) pairs without rescanning).
     "q211_corr_matrix" -> ((s, d) =>
       graft.operators.Stats.corrMatrix(
-        table(s, d, "lineitem"), corrCols))
+        table(s, d, "lineitem"), corrCols)),
+
+    // Recursive hierarchy traversal (the engine's WITH RECURSIVE): BFS
+    // depth assignment over the deterministic binary-heap tree parent =
+    // (id-1) div 2, one edge-keyed join per LEVEL with checkpointed
+    // frontiers — O(depth) rounds, never a self-join explosion. Census of
+    // nodes per depth; the oracle runs the native recursive CTE.
+    "q212_tree_depth" -> ((s, d) => {
+      val nodes = table(s, d, "documents").select(col("doc_id"))
+      graft.operators.Graphs.treeDepths(
+          nodes.where(col("doc_id") > 0)
+            .select(col("doc_id").as("child"),
+              expr("(doc_id - 1) div 2").as("parent")),
+          "child", "parent",
+          nodes.where(col("doc_id") === 0), "doc_id")
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
+    })
   )
 
   /** q211's profiled measure columns. */
@@ -601,6 +617,17 @@ object MlQueries {
          |LIMIT 20""".stripMargin,
 
     "q211_corr_matrix" -> corrMatrixOracle,
+
+    "q212_tree_depth" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM documents d JOIN t ON (d.doc_id - 1) // 2 = t.node
+        |  WHERE d.doc_id > 0)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q208_snapshot_diff" ->
       s"""WITH newt AS (

@@ -147,6 +147,33 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(m(("y", "z")) + 1.0) < 1e-12)
   }
 
+  // ---- tree traversal ----
+
+  test("treeDepths: chain + branch depths; DAG node takes its minimum depth") {
+    //      r
+    //     / \
+    //    a   b        a->c, b->c (DAG: c reachable at depth 2 via both)
+    //    |   |
+    //    c <-+        c->d
+    val edges = Seq(("a", "r"), ("b", "r"), ("c", "a"), ("c", "b"), ("d", "c"))
+      .toDF("child", "parent")
+    val roots = Seq("r").toDF("n")
+    val m = Graphs.treeDepths(edges, "child", "parent", roots, "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("r" -> 0L, "a" -> 1L, "b" -> 1L, "c" -> 2L, "d" -> 3L),
+      s"got $m")
+  }
+
+  test("treeDepths: maxIters guards a cycle; unreachable nodes stay absent") {
+    val edges = Seq(("x", "y"), ("y", "x"), ("z", "w")).toDF("child", "parent")
+    val roots = Seq("x").toDF("n")
+    val m = Graphs.treeDepths(edges, "child", "parent", roots, "n", maxIters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // x at 0; y child of x at 1; x rediscovered at 2 but keeps min depth 0;
+    // z/w disconnected -> absent
+    assert(m("x") == 0L && m("y") == 1L && !m.contains("z") && !m.contains("w"))
+  }
+
   // ---- label propagation ----
 
   test("labelPropagation: two cliques with a weak bridge form two communities") {
