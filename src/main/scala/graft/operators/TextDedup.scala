@@ -673,4 +673,55 @@ object TextDedup {
         levenshtein(col("__pa"), col("__pb")).cast("bigint").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Prefix-filtered exact similarity join (the PPJoin prefix filter, Xiao
+    * et al., WWW 2008): the LOSSLESS counterpart to [[ngramJaccardPairs]]'
+    * df-capped candidates. Each doc keeps only its L = |d| − ⌈t·|d|⌉ + 1
+    * RAREST grams (a consistent global (df, hash) order); two sets with
+    * J ≥ t must share at least one such prefix gram, so joining on prefix
+    * grams alone loses NO qualifying pair — the df cap's "all shared grams
+    * too common" blind spot does not exist here. Verification is exact
+    * Jaccard on the full hashed sets.
+    *
+    * Scale design: the prefix sort is IN-ROW (array_sort over the doc's
+    * own (df, gram) structs — bounded by doc length, never a global rank
+    * window); candidates meet through a gram-keyed equi-join on the
+    * prefix's rare-by-construction grams. The classical positional and
+    * length filters stack on top for tighter candidate bounds at extreme
+    * scale — the prefix filter is the one that changes the complexity
+    * class. The oracle deliberately ignores the filter and computes ALL
+    * J ≥ t pairs brute-force: a hash-match certifies losslessness, not
+    * just agreement. */
+  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sets = CacheScope.persist(
+      charNgramHashSets(docs, idCol, textCol, n)
+        .withColumn("sz", size(col("gs")).cast("bigint"))
+        .where(col("sz") > 0))
+    val grams = sets.select(col(idCol), explode(col("gs")).as("g"))
+    val dfs = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = grams.join(dfs, "g")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .join(sets.select(col(idCol), col("sz")), Seq(idCol))
+      .select(col(idCol).as("__id"),
+        explode(expr("transform(slice(ord, 1, CAST(sz - ceil(" +
+          s"$threshold * CAST(sz AS DOUBLE)) + 1 AS INT)), s -> s.g)"))
+          .as("g"))
+    val cand = prefix.select(col("__id").as("doc_a"), col("g"))
+      .join(prefix.select(col("__id").as("doc_b"), col("g")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = sets.select(col(idCol).as("doc_a"), col("gs").as("__ga"),
+      col("sz").as("__sa"))
+    val b = sets.select(col(idCol).as("doc_b"), col("gs").as("__gb"),
+      col("sz").as("__sb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("__inter",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("bigint"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__inter").cast("double") /
+          (col("__sa") + col("__sb") - col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -244,6 +244,15 @@ object MlQueries {
       graft.operators.Stats.corrMatrix(
         table(s, d, "lineitem"), corrCols)),
 
+    // PPJoin prefix-filtered similarity join: each doc's L rarest grams
+    // (in-row sort, no global rank) are a LOSSLESS candidate filter for
+    // J >= t — the oracle computes ALL qualifying pairs brute-force, so a
+    // hash match certifies the filter loses nothing (unlike the df-capped
+    // q75 scheme, which documents its blind spot).
+    "q213_ppjoin_pairs" -> ((s, d) =>
+      graft.operators.TextDedup.ppjoinPairs(
+        table(s, d, "documents"), "doc_id", "text", n = 8, threshold = 0.5)),
+
     // Recursive hierarchy traversal (the engine's WITH RECURSIVE): BFS
     // depth assignment over the deterministic binary-heap tree parent =
     // (id-1) div 2, one edge-keyed join per LEVEL with checkpointed
@@ -617,6 +626,21 @@ object MlQueries {
          |LIMIT 20""".stripMargin,
 
     "q211_corr_matrix" -> corrMatrixOracle,
+
+    "q213_ppjoin_pairs" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 8)
+        |      for i in range(1, length(text) - 6)]) AS gs
+        |  FROM documents WHERE length(text) >= 8)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+        |    AS jaccard
+        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+        |""".stripMargin,
 
     "q212_tree_depth" ->
       """WITH RECURSIVE t AS (

@@ -1313,4 +1313,36 @@ class LlmOperatorsSpec extends AnyFunSuite {
     val total = carved.count()
     assert(total == docs.count(), "carve must cover every document exactly once")
   }
+
+  test("ppjoinPairs: equals brute-force exactly, including the df-cap blind spot") {
+    import spark.implicits._
+    // 30 docs share ONE template (every shared gram is corpus-common), and
+    // doc 100/101 are that same template verbatim: the df-capped candidate
+    // scheme drops the (100, 101) pair once the cap excludes all template
+    // grams — the prefix filter must keep it.
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0 until 30).map(i => (i.toLong, template + s" tail$i word$i")) ++
+      Seq((100L, template), (101L, template))).toDF("doc_id", "text")
+    val pp = TextDedup.ppjoinPairs(docs, "doc_id", "text", n = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over hashed sets — the ground truth
+    val sets = TextDedup.charNgramHashSets(docs, "doc_id", "text", 8)
+    val brute = sets.toDF("doc_a", "ga").crossJoin(sets.toDF("doc_b", "gb"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("ga")) + size(col("gb")) - col("inter")))
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == brute, s"ppjoin ${pp.size} pairs vs brute ${brute.size}")
+    assert(pp.contains((100L, 101L)), "the all-common-gram duplicate pair must survive")
+    // and the harsh-capped q75 scheme really does drop it on this fixture —
+    // the documented blind spot ppjoin exists to close
+    val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((100L, 101L)),
+      "fixture sanity: the df cap must exhibit its blind spot here")
+  }
 }

@@ -294,6 +294,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
     // q210: z-key top-k is TakeOrderedAndProject, never a global sort
     assert(plan("q210_zorder_key").contains("TakeOrderedAndProject"))
+    // q213: prefix-filtered join is gram-keyed — no cartesian, no nested
+    // loop, and no global rank window (the prefix sort is in-row)
+    val p213 = plan("q213_ppjoin_pairs")
+    assert(!p213.contains("CartesianProduct") &&
+      !p213.contains("BroadcastNestedLoopJoin"))
+    val w213 = SparkEntry.queries("q213_ppjoin_pairs")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(w213.isEmpty, "ppjoin prefix must not use a rank window")
     // q211: the whole correlation matrix is ONE scan + one wide aggregate
     val p211 = plan("q211_corr_matrix")
     val scans211 = p211.linesIterator.count(_.contains("Scan parquet"))
