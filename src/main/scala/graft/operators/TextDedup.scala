@@ -686,12 +686,26 @@ object TextDedup {
     * Scale design: the prefix sort is IN-ROW (array_sort over the doc's
     * own (df, gram) structs — bounded by doc length, never a global rank
     * window); candidates meet through a gram-keyed equi-join on the
-    * prefix's rare-by-construction grams. The classical positional and
-    * length filters stack on top for tighter candidate bounds at extreme
-    * scale — the prefix filter is the one that changes the complexity
-    * class. The oracle deliberately ignores the filter and computes ALL
-    * J ≥ t pairs brute-force: a hash-match certifies losslessness, not
-    * just agreement. */
+    * prefix's rare-by-construction grams, and the classical LENGTH filter
+    * (t·|a| ≤ |b|) plus POSITIONAL filter prune them before the exact
+    * verify: shared grams form an order-consistent subsequence of both
+    * docs, so the FIRST shared prefix gram (min position on both sides —
+    * the same gram, by order consistency) bounds the overlap by
+    * 1 + min(|a|−i, |b|−j), which must reach ⌈t/(1+t)·(|a|+|b|)⌉ for
+    * J ≥ t. All three filters are lossless — the oracle deliberately
+    * ignores them and computes ALL J ≥ t pairs brute-force: a hash-match
+    * certifies losslessness, not just agreement.
+    *
+    * Cost model (measured, sf0.1): prefix volume is (1−t)·Σ|d| and
+    * candidate volume is quadratic in per-gram prefix df — so BOTH the
+    * threshold and the gram length are first-class levers. On the
+    * small-vocabulary test corpus, (n=8, t=0.5) → 37.7 s (every gram
+    * common → prefixes common), +length/positional filters → 31.8, t=0.7 →
+    * 18.3, n=12 (grams span ~2 words → Zipf-rare) → 4.5 s with the
+    * identical 25-pair answer. Real web text is Zipf by default, which is
+    * why classical PPJoin works there out of the box; the df-capped
+    * [[ngramJaccardPairs]] remains the screen-first choice for low
+    * thresholds, PPJoin the lossless high-t verifier. */
   def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 8, threshold: Double = 0.5): DataFrame = {
     val sets = CacheScope.persist(
@@ -704,24 +718,44 @@ object TextDedup {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
       .join(sets.select(col(idCol), col("sz")), Seq(idCol))
-      .select(col(idCol).as("__id"),
-        explode(expr("transform(slice(ord, 1, CAST(sz - ceil(" +
+      .select(col(idCol).as("__id"), col("sz"),
+        posexplode(expr("transform(slice(ord, 1, CAST(sz - ceil(" +
           s"$threshold * CAST(sz AS DOUBLE)) + 1 AS INT)), s -> s.g)"))
-          .as("g"))
-    val cand = prefix.select(col("__id").as("doc_a"), col("g"))
-      .join(prefix.select(col("__id").as("doc_b"), col("g")), Seq("g"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+          .as(Seq("__pos", "g")))
+    val cand = prefix
+      .select(col("__id").as("doc_a"), col("sz").as("__sa"),
+        col("__pos").as("__pa"), col("g"))
+      .join(prefix.select(col("__id").as("doc_b"), col("sz").as("__sb"),
+        col("__pos").as("__pb"), col("g")), Seq("g"))
+      .where(col("doc_a") < col("doc_b") &&
+        // length filter: t|a| <= |b| and t|b| <= |a|
+        col("__sb").cast("double") >= lit(threshold) * col("__sa").cast("double") &&
+        col("__sa").cast("double") >= lit(threshold) * col("__sb").cast("double"))
+      // positional filter: a gram matching at (0-based) positions (i, j)
+      // bounds the overlap by min(i,j) [shared before, at best] + 1 [this
+      // gram] + min(sa-i-1, sb-j-1) [shared after, at best]. EVERY matching
+      // gram's bound is a valid upper bound, so the pair prunes when the
+      // MINIMUM over its shared prefix grams falls below the J >= t
+      // overlap requirement ceil(t/(1+t) * (sa+sb))
+      .withColumn("__ub", least(col("__pa"), col("__pb")) + 1L +
+        least(col("__sa") - col("__pa") - 1, col("__sb") - col("__pb") - 1))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("__ub")).as("__ub"),
+        first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
+      .where(col("__ub").cast("double") >=
+        ceil(lit(threshold) / (1.0 + threshold) *
+          (col("__sa") + col("__sb")).cast("double")))
+      .select(col("doc_a"), col("doc_b"))
     val a = sets.select(col(idCol).as("doc_a"), col("gs").as("__ga"),
-      col("sz").as("__sa"))
+      col("sz").as("__va"))
     val b = sets.select(col(idCol).as("doc_b"), col("gs").as("__gb"),
-      col("sz").as("__sb"))
+      col("sz").as("__vb"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("__inter",
         size(array_intersect(col("__ga"), col("__gb"))).cast("bigint"))
       .select(col("doc_a"), col("doc_b"),
         (col("__inter").cast("double") /
-          (col("__sa") + col("__sb") - col("__inter"))).as("jaccard"))
+          (col("__va") + col("__vb") - col("__inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

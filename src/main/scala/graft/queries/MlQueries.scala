@@ -244,14 +244,18 @@ object MlQueries {
       graft.operators.Stats.corrMatrix(
         table(s, d, "lineitem"), corrCols)),
 
-    // PPJoin prefix-filtered similarity join: each doc's L rarest grams
-    // (in-row sort, no global rank) are a LOSSLESS candidate filter for
-    // J >= t — the oracle computes ALL qualifying pairs brute-force, so a
-    // hash match certifies the filter loses nothing (unlike the df-capped
-    // q75 scheme, which documents its blind spot).
+    // PPJoin prefix-filtered similarity join at the HIGH threshold the
+    // algorithm is built for (t=0.7 -> 30% prefixes; prefix size scales as
+    // (1-t)|d|, so candidate volume falls quadratically as t rises —
+    // LSH/q75 own the low-t regime, PPJoin the high-t exact regime): each
+    // doc's L rarest grams are a LOSSLESS candidate filter, tightened by
+    // the classical length + positional filters. The oracle computes ALL
+    // qualifying pairs brute-force, so a hash match certifies the filters
+    // lose nothing (unlike the df-capped q75 scheme's documented blind
+    // spot).
     "q213_ppjoin_pairs" -> ((s, d) =>
       graft.operators.TextDedup.ppjoinPairs(
-        table(s, d, "documents"), "doc_id", "text", n = 8, threshold = 0.5)),
+        table(s, d, "documents"), "doc_id", "text", n = 12, threshold = 0.7)),
 
     // Recursive hierarchy traversal (the engine's WITH RECURSIVE): BFS
     // depth assignment over the deterministic binary-heap tree parent =
@@ -630,16 +634,16 @@ object MlQueries {
     "q213_ppjoin_pairs" ->
       """WITH sets AS (
         |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 8)
-        |      for i in range(1, length(text) - 6)]) AS gs
-        |  FROM documents WHERE length(text) >= 8)
+        |    list_distinct([substr(text, i, 12)
+        |      for i in range(1, length(text) - 10)]) AS gs
+        |  FROM documents WHERE length(text) >= 12)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
         |    AS jaccard
         |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.7
         |""".stripMargin,
 
     "q212_tree_depth" ->
