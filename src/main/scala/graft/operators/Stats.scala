@@ -350,6 +350,60 @@ object Stats {
     agg.select(explode(array(pairs: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** One-way ANOVA F-test across the groups of `groupCol` — the k-sample
+    * sibling of [[welchTTest]]: does mean `valueCol` differ across groups
+    * more than within them?
+    *
+    * Determinism: the group moment sums are exact BIGINTs; the
+    * between-groups sum Σ_g S_g²/n_g mixes per-group doubles, so it is
+    * folded LEFT over the group-name-sorted term list (the q204
+    * fixed-order discipline), never an unordered SUM over doubles. Output:
+    * one row (k, n, ss_between, ss_within, f_stat). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("bigint")).as("__s"),
+        sum(col(valueCol).cast("bigint") * col(valueCol).cast("bigint"))
+          .as("__q"))
+    g.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__s")).as("__ts"), sum(col("__q")).as("__tq"),
+        array_sort(collect_list(struct(col(groupCol).as("__g"),
+          (col("__s").cast("double") * col("__s").cast("double") /
+            col("__n").cast("double")).as("__t")))).as("__l"))
+      .select(col("k"), col("n"),
+        (expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
+          " (a, x) -> a + x)") -
+          col("__ts").cast("double") * col("__ts").cast("double") /
+            col("n").cast("double")).as("ss_between"),
+        (col("__tq").cast("double") -
+          expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
+            " (a, x) -> a + x)")).as("ss_within"))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        ((col("ss_between") / (col("k").cast("double") - 1.0)) /
+          (col("ss_within") /
+            (col("n").cast("double") - col("k").cast("double")))).as("f_stat"))
+  }
+
+  /** Exact weighted p-quantile per group (p as the rational num/den): the
+    * smallest value whose cumulative weight reaches p of the group total —
+    * the all-integer comparison den·cum ≥ num·tot, no doubles anywhere.
+    * [[weightedMedian]] is the (1, 2) case. */
+  def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, num: Long, den: Long): DataFrame = {
+    require(num > 0 && num < den, "need 0 < num/den < 1")
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("bigint")).as("__tot"))
+    df.select(col(groupCol), col(valueCol),
+        col(weightCol).cast("bigint").as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(tot, Seq(groupCol))
+      .where(col("__cum") * den >= col("__tot") * num)
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("w_quantile"))
+  }
+
   /** Exact weighted median per group: the smallest value whose cumulative
     * weight reaches half the group's total — all-integer arithmetic
     * (2·cum ≥ total, never a double), one sort window per group plus one

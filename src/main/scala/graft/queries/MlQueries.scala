@@ -257,6 +257,24 @@ object MlQueries {
       graft.operators.TextDedup.ppjoinPairs(
         table(s, d, "documents"), "doc_id", "text", n = 12, threshold = 0.7)),
 
+    // One-way ANOVA F across sources on document length — the k-sample
+    // sibling of q179's Welch t-test: exact BIGINT moment sums; the
+    // between-groups term folds LEFT over the group-sorted list (the q204
+    // fixed-order discipline), doubles only in final same-order formulas.
+    "q214_anova_f" -> ((s, d) =>
+      graft.operators.Stats.anovaF(
+        table(s, d, "documents"), "source", "n_chars")),
+
+    // Token-weighted p90 document length per source: the q207 weighted
+    // median generalized to an arbitrary rational quantile — den*cum >=
+    // num*tot stays all-integer, no doubles anywhere.
+    "q215_weighted_p90" -> ((s, d) =>
+      graft.operators.Stats.weightedQuantile(
+        table(s, d, "documents")
+          .select(col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("bigint").as("w")),
+        "source", "n_chars", "w", num = 9, den = 10)),
+
     // Recursive hierarchy traversal (the engine's WITH RECURSIVE): BFS
     // depth assignment over the deterministic binary-heap tree parent =
     // (id-1) div 2, one edge-keyed join per LEVEL with checkpointed
@@ -645,6 +663,45 @@ object MlQueries {
         |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.7
         |""".stripMargin,
+
+    "q214_anova_f" ->
+      """WITH g AS (SELECT source, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS ts, CAST(sum(q) AS BIGINT) AS tq,
+        |    list(struct_pack(g := source,
+        |      t := CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      ORDER BY source) AS l
+        |  FROM g),
+        |f AS (SELECT k, n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(l, s -> s.t)), (a, x) -> a + x)
+        |      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS ss_between,
+        |    CAST(tq AS DOUBLE)
+        |      - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(l, s -> s.t)), (a, x) -> a + x) AS ss_within
+        |  FROM t)
+        |SELECT k, n, ss_between, ss_within,
+        |  (ss_between / (CAST(k AS DOUBLE) - 1.0))
+        |    / (ss_within / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+        |FROM f""".stripMargin,
+
+    "q215_weighted_p90" ->
+      """WITH t AS (SELECT source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT source, n_chars, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY n_chars ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |tot AS (SELECT source, sum(w) AS tw FROM t GROUP BY 1)
+        |SELECT c.source, CAST(min(c.n_chars) AS BIGINT) AS w_quantile
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE c.cum * 10 >= tot.tw * 9
+        |GROUP BY 1""".stripMargin,
 
     "q212_tree_depth" ->
       """WITH RECURSIVE t AS (

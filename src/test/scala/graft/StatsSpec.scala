@@ -133,6 +133,40 @@ class StatsSpec extends AnyFunSuite {
     assert(m.values.sum < 1000000000L, "dangling mass drains, never inflates")
   }
 
+  // ---- ANOVA ----
+
+  test("anovaF: hand-computed two-group case (F = 15)") {
+    // a=[1,2,3] mean 2; b=[4,5,6,7] mean 5.5; grand mean 4.
+    // SSB = 3*4 + 4*2.25 = 21; SSW = 2 + 5 = 7; F = 21 / (7/5) = 15.
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(4L, 5L, 6L, 7L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 7)
+    assert(math.abs(r.getAs[Double]("ss_between") - 21.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ss_within") - 7.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat") - 15.0) < 1e-9)
+  }
+
+  test("anovaF: identical groups give F ~ 0") {
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(1L, 2L, 3L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect().head
+    assert(math.abs(r.getAs[Double]("ss_between")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat")) < 1e-9)
+  }
+
+  // ---- weighted quantile ----
+
+  test("weightedQuantile: p90 of unit weights; (1,2) reduces to the median") {
+    val df = (1 to 10).map(v => ("g", v.toLong, 1L)).toDF("g", "v", "w")
+    assert(Stats.weightedQuantile(df, "g", "v", "w", 9, 10)
+      .collect().head.getAs[Long]("w_quantile") == 9L)
+    val med = Stats.weightedMedian(df, "g", "v", "w")
+      .collect().head.getAs[Long]("w_median")
+    assert(Stats.weightedQuantile(df, "g", "v", "w", 1, 2)
+      .collect().head.getAs[Long]("w_quantile") == med)
+  }
+
   // ---- correlation matrix ----
 
   test("corrMatrix: perfect positive/negative pairs, one row per pair") {
