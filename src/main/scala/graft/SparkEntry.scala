@@ -20,7 +20,7 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.ScaleQueries.queries ++ graft.queries.StatQueries.queries ++
       graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries ++
-      graft.queries.MlQueries.queries
+      graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -28,5 +28,5 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++ graft.queries.LlmQueries.oracle ++
       graft.queries.ScaleQueries.oracle ++ graft.queries.StatQueries.oracle ++
       graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle ++
-      graft.queries.MlQueries.oracle
+      graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle
 }

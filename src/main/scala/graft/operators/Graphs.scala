@@ -219,4 +219,60 @@ object Graphs {
     labelPropagation(pairs, "src", "dst", "w", iters)
       .groupBy(col("community")).agg(count(lit(1)).as("n_tokens"))
   }
+
+  /** Market-basket co-occurrence with lift: for every unordered item pair
+    * that appears together in at least num/den of all baskets, the pair's
+    * basket count and lift = N·c_ab/(c_a·c_b) — the association screen a
+    * catalog/recommendation report runs (lift > 1: bought together more
+    * than independence predicts).
+    *
+    * The support threshold is a RATIONAL share of baskets (c_ab·den ≥
+    * N·num, all-integer), not an absolute count, so the same query means
+    * the same thing at sf0.01 and at 100 TB.
+    *
+    * Scale: per-basket pair expansion is bounded by basket size squared
+    * (order line counts — single digits), shuffled on the canonical
+    * (item_a < item_b) pair key; item totals and the 1-row basket count
+    * join AFTER the support filter prunes the pair table, and lift's
+    * double arithmetic happens once per surviving pair. */
+  def cooccurrenceLift(df: DataFrame, basketCol: String, itemCol: String,
+                       num: Long, den: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val nb = bi.select(col("__b")).distinct().agg(count(lit(1)).as("__n"))
+    val pairs = bi.join(bi.select(col("__b").as("__b2"), col("__i").as("__j")),
+        col("__b") === col("__b2") && col("__i") < col("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("pair_cnt"))
+    pairs.crossJoin(broadcast(nb))
+      .where(col("pair_cnt") * den >= col("__n") * num)
+      .join(itemCnt, "__i")
+      .join(itemCnt.select(col("__i").as("__j"), col("__ci").as("__cj")), "__j")
+      .select(col("__i").as("item_a"), col("__j").as("item_b"),
+        col("pair_cnt"),
+        (col("__n").cast("double") * col("pair_cnt").cast("double") /
+          (col("__ci").cast("double") * col("__cj").cast("double"))).as("lift"))
+  }
+
+  /** Per-vertex triangle participation over an undirected edge list —
+    * the clustering-structure census (a vertex in many triangles sits in a
+    * dense community; triangle-free vertices are bridges). Input edges may
+    * be in any orientation/duplication; they canonicalize to a < b first.
+    * Output: (vertex, n_triangles), one row per vertex of at least one
+    * triangle.
+    *
+    * The standard two-join distributed plan: wedges a—b—c from edges
+    * (a<b)⋈(b<c), closed against the edge set on (a,c) — every join is an
+    * equi-join on vertex keys, a<b<c canonicalization counts each
+    * triangle exactly once, and the wedge table is the only intermediate
+    * (bounded by Σ_v deg(v)² — the usual caveat: cap or threshold the
+    * edge set for power-law graphs, as the q222 support filter does). */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+      least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank-based and information-theoretic inference — the nonparametric side
+  * of [[Stats]]: distribution comparisons that survive outliers and skew
+  * (Mann-Whitney, Kruskal-Wallis, Kendall), inequality measurement (Gini),
+  * dependence without linearity (mutual information), and the
+  * multiple-testing control (Benjamini-Hochberg) every per-group screen
+  * needs before it flags "significant" drift across hundreds of sources.
+  *
+  * Determinism discipline (the q59/q204 rules): rank statistics run on the
+  * DISTINCT-VALUE GRID of an integer-valued measure, so every rank sum,
+  * tie term, and cumulative mass is an exact BIGINT assembled by keyed
+  * aggregates — doubles appear once, in a final fixed-form formula. Where
+  * a statistic must add per-group DOUBLES (Kruskal-Wallis's R²/n terms,
+  * MI's cell terms), the sum folds LEFT over the key-sorted term list,
+  * never an unordered SUM, so any partitioning — local[32] or 1000
+  * executors — is bit-identical to a single-node oracle.
+  *
+  * Scale posture: the only `Window.orderBy` sites here run over the
+  * distinct-value GRID (bounded by the measure's value range — the q158
+  * precedent) or the per-group grid, never over data rows; pair expansion
+  * (Kendall) is group-keyed and documented for small per-group series,
+  * the [[Stats.theilSen]] contract.
+  */
+object Inference {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Mann-Whitney U rank-sum test between `groupA` and `groupB` of
+    * `groupCol` over the integer-valued `valueCol`, with the tie-corrected
+    * normal approximation (no continuity correction — the oracle runs the
+    * same closed form). Output: one row — n_a, n_b, u_stat (group A's U),
+    * and z.
+    *
+    * Ranks come from the value grid: with `cum` the count of rows BELOW a
+    * value and `cnt` the rows AT it, every row at that value has average
+    * rank cum + (cnt+1)/2, kept exact by doubling (2r = 2·cum + cnt + 1).
+    * R_A doubles to Σ cntA·(2·cum + cnt + 1), a BIGINT; the tie term
+    * Σ(t³−t) is likewise exact. One scan → grid aggregate → grid-bounded
+    * cumulative window → 1-row aggregate. */
+  def rankSumTest(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol)
+    val grid = df.where(g === groupA || g === groupB)
+      .select(when(g === groupA, 1L).otherwise(0L).as("__a"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("ca"), count(lit(1)).as("cnt"))
+    // cumulative count strictly below each grid value — grid-sized window
+    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.withColumn("__below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val agg = cum.agg(
+      sum(col("ca")).as("n_a"),
+      sum(col("cnt") - col("ca")).as("n_b"),
+      sum(col("ca") * (lit(2) * col("__below") + col("cnt") + 1)).as("__r2a"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("__ties"))
+    val na = d(col("n_a")); val nb = d(col("n_b")); val n = na + nb
+    val u = d(col("__r2a")) / lit(2.0) - na * (na + lit(1.0)) / lit(2.0)
+    val sigma2 = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - d(col("__ties")) / (n * (n - lit(1.0))))
+    agg.select(col("n_a"), col("n_b"), u.as("u_stat"),
+      ((u - na * nb / lit(2.0)) / sqrt(sigma2)).as("z"))
+  }
+
+  /** Kruskal-Wallis H across ALL groups of `groupCol` over integer-valued
+    * `valueCol`, tie-corrected — the k-sample extension of [[rankSumTest]]
+    * and the rank-based sibling of [[Stats.anovaF]]. Output: one row —
+    * k, n, h_stat (tie-corrected).
+    *
+    * Per-(group, value) counts join the value-grid cumulative (below)
+    * counts, giving exact doubled rank sums 2R_g per group; the cross-group
+    * Σ R_g²/n_g mixes per-group doubles, so it folds LEFT over the
+    * group-name-sorted term list (the q204 fixed-order discipline). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val gv = df.select(col(groupCol).as("__g"), col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("cg"))
+    val av = gv.groupBy(col("__v")).agg(sum(col("cg")).as("cnt"))
+    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = av.withColumn("__below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val per = gv.join(cum, "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("cg")).as("n_g"),
+        sum(col("cg") * (lit(2) * col("__below") + col("cnt") + 1)).as("__r2"))
+    val ties = cum.agg(
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("__ties"))
+    // R_g = __r2/2; term = R_g²/n_g — folded left over the sorted group list
+    val agg = per.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        array_sort(collect_list(struct(col("__g").as("__k"),
+          (d(col("__r2")) * d(col("__r2")) / (lit(4.0) * d(col("n_g"))))
+            .as("__t")))).as("__l"))
+      .crossJoin(broadcast(ties))
+    val sumR2 = expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
+      " (a, x) -> a + x)")
+    val n = d(col("n"))
+    val h = lit(12.0) / (n * (n + lit(1.0))) * sumR2 - lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) - d(col("__ties")) / (n * n * n - n)
+    agg.select(col("k"), col("n"), (h / corr).as("h_stat"))
+  }
+
+  /** Per-group Gini coefficient of the non-negative integer-valued
+    * `valueCol` — the inequality measure a token-budget report reads (do a
+    * few giant documents own a source's character mass?). Output per
+    * group: n, total mass, gini.
+    *
+    * Fully exact until one division: on the per-group value grid with
+    * counts c_k and mass m_k = c_k·v_k, the trapezoid form
+    * G = 1 − Σ c_k·(2·cumM_k − m_k) / (n·M) has an all-BIGINT numerator
+    * (cumM inclusive cumulative mass). The cumulative window runs per
+    * group over the value GRID, never data rows. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val grid = df.select(col(groupCol).as("__g"), col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("m", col("c") * col("__v"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("__cm", sum(col("m")).over(w))
+      .groupBy(col("__g"))
+      .agg(sum(col("c")).as("n"), sum(col("m")).as("total"),
+        sum(col("c") * (lit(2) * col("__cm") - col("m"))).as("__num"))
+      .select(col("__g").as(groupCol), col("n"), col("total"),
+        (lit(1.0) - d(col("__num")) / (d(col("n")) * d(col("total"))))
+          .as("gini"))
+  }
+
+  /** Benjamini-Hochberg step-up over a per-hypothesis p-value table: rank
+    * p ascending (id tie-break), compare to i·α/m, and reject every
+    * hypothesis at or below the LARGEST passing rank — the FDR control a
+    * many-sources drift screen applies before alerting. Input is one row
+    * per hypothesis (already aggregated — tiny); both windows run over
+    * that table, never data. Output: idCol, p, p_rank, bh_crit,
+    * significant.
+    *
+    * α enters as the rational alphaNum/alphaDen so the pass predicate
+    * p·m·den ≤ i·num stays in exact terms on the p side only once. */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+            alphaNum: Long = 1, alphaDen: Long = 10): DataFrame = {
+    val m = Window.partitionBy()
+    val w = Window.orderBy(col(pCol).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("p_rank", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("bh_crit",
+        d(col("p_rank")) * lit(alphaNum.toDouble) /
+          (lit(alphaDen.toDouble) * d(col("__m"))))
+      .withColumn("__pass", col(pCol) <= col("bh_crit"))
+    val cutoff = Window.orderBy(col("p_rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("significant",
+        max(when(col("__pass"), col("p_rank"))).over(cutoff).isNotNull)
+      .drop("__m", "__pass")
+  }
+
+  /** Mutual information (nats) between two categorical columns, with both
+    * marginal entropies — the dependence screen for category pairs where
+    * chi-square's cell table (q172) already exists but one number is
+    * wanted. Output: one row — n, n_cells, mi_nats, h_row, h_col.
+    *
+    * Cell counts, row totals, and column totals are exact BIGINTs from one
+    * scan + re-aggregates of the cell table; each double term
+    * (c/n)·ln(c·n/(r·s)) and each entropy term fold LEFT over key-sorted
+    * lists (cells by (row, col), marginals by key), the q204 discipline.
+    * All joins run on the bounded cell table. */
+  def mutualInfo(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("__r")).agg(sum(col("o")).as("__rt"))
+    val ct = cells.groupBy(col("__c")).agg(sum(col("o")).as("__ct"))
+    val n = cells.agg(sum(col("o")).as("__n"))
+    def foldSum(listCol: String): Column =
+      expr(s"aggregate(transform($listCol, s -> s.__t), CAST(0 AS DOUBLE)," +
+        " (a, x) -> a + x)")
+    val miTerms = cells.join(rt, "__r").join(ct, "__c").crossJoin(broadcast(n))
+      .select(struct(col("__r"), col("__c"),
+        (d(col("o")) / d(col("__n")) *
+          log(d(col("o")) * d(col("__n")) / (d(col("__rt")) * d(col("__ct")))))
+          .as("__t")).as("__s"),
+        col("__n"), col("o"))
+      .agg(array_sort(collect_list(col("__s"))).as("__mi"),
+        max(col("__n")).as("n"), count(lit(1)).as("n_cells"))
+    def entropy(tot: DataFrame, key: String, c: String): DataFrame =
+      tot.crossJoin(broadcast(n))
+        .select(struct(col(key),
+          (-d(col(c)) / d(col("__n")) * log(d(col(c)) / d(col("__n"))))
+            .as("__t")).as("__s"))
+        .agg(array_sort(collect_list(col("__s"))).as("__l"))
+    miTerms
+      .crossJoin(broadcast(entropy(rt, "__r", "__rt")
+        .select(foldSum("__l").as("h_row"))))
+      .crossJoin(broadcast(entropy(ct, "__c", "__ct")
+        .select(foldSum("__l").as("h_col"))))
+      .select(col("n"), col("n_cells"), foldSum("__mi").as("mi_nats"),
+        col("h_row"), col("h_col"))
+  }
+
+  /** Per-group Kendall tau-b between integer-valued `xCol` and `yCol` —
+    * the concordance rank correlation whose tie handling (tau-b) keeps it
+    * honest on stepped series. Intended for SMALL per-group series (a
+    * 30-day daily trend → 435 pairs): the group-keyed self-join is O(n²)
+    * per group by definition, the [[Stats.theilSen]] contract — row-scale
+    * inputs belong in [[Stats.spearmanByGroup]]. Output per group: n,
+    * tau_b.
+    *
+    * C − D = Σ_{pairs} sign(Δx)·sign(Δy) is an exact BIGINT over the
+    * deterministic pair set x_i < x_j plus (x-tied, y-ordered) pairs; tie
+    * terms n1/n2 come from the per-group x- and y-grids. One double
+    * formula at the end. */
+  def kendallTauByGroup(df: DataFrame, groupCol: String, xCol: String,
+                        yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("bigint").as("__x"), col(yCol).cast("bigint").as("__y"))
+    val a = base.select(col("__g"), col("__x").as("__x1"), col("__y").as("__y1"))
+    val b = base.select(col("__g").as("__g2"), col("__x").as("__x2"),
+      col("__y").as("__y2"))
+    val pairs = a.join(b, col("__g") === col("__g2") &&
+        (col("__x1") < col("__x2") ||
+          (col("__x1") === col("__x2") && col("__y1") < col("__y2"))))
+      .groupBy(col("__g"))
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("bigint") *
+        signum(col("__y2") - col("__y1")).cast("bigint")).as("__cd"))
+    // tie terms kept as the (always even) Σ t(t−1) BIGINT; halved in doubles
+    def tiePairs(c: String, out: String) =
+      base.groupBy(col("__g"), col(c)).agg(count(lit(1)).as("t"))
+        .groupBy(col("__g"))
+        .agg(sum(col("t") * (col("t") - 1)).as(out),
+          sum(col("t")).as(s"__n_$out"))
+    val tx = tiePairs("__x", "__s1")
+    val ty = tiePairs("__y", "__s2").drop("__n___s2")
+    val joined = pairs.join(tx, "__g").join(ty, "__g")
+    val n = d(col("__n___s1"))
+    val n0 = n * (n - lit(1.0)) / lit(2.0)
+    joined.select(col("__g").as(groupCol), col("__n___s1").as("n"),
+      (d(col("__cd")) /
+        sqrt((n0 - d(col("__s1")) / lit(2.0)) *
+          (n0 - d(col("__s2")) / lit(2.0)))).as("tau_b"))
+  }
+}

@@ -351,4 +351,47 @@ object MlOps {
         (sum(col("__len")).cast("double") /
           count(lit(1)).cast("double")).as("avg_len"))
   }
+
+  /** Depth-1 decision stump: the single threshold on integer-valued
+    * `valueCol` that minimizes weighted Gini impurity of the boolean
+    * `label` split (v ≤ t goes left) — the first split every tree
+    * learner makes, and on its own the interpretable "is this one feature
+    * predictive at all" screen. Output: one row — threshold, gini, and
+    * the four split counts.
+    *
+    * Every candidate threshold is a grid value; left/right class counts
+    * come from cumulative sums over the value GRID (exact BIGINTs, the
+    * q158 bounded-window discipline), so the scan is one pass + one
+    * grid-sized window regardless of row count. Gini is pure algebra
+    * (no libm) — bit-identical across engines; ties on impurity break to
+    * the smallest threshold, deterministically. */
+  def decisionStump(df: DataFrame, valueCol: String, label: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val grid = df.select(col(valueCol).cast("bigint").as("__v"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("c"), sum(col("__y")).as("p"))
+    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("cn", sum(col("c")).over(w))
+      .withColumn("cp", sum(col("p")).over(w))
+    val tot = grid.agg(sum(col("c")).as("n"), sum(col("p")).as("pos"))
+    val nl = d(col("cn")); val pl = d(col("cp"))
+    val nr = d(col("n")) - nl; val pr = d(col("pos")) - pl
+    val gl = lit(1.0) - (pl / nl) * (pl / nl) -
+      ((nl - pl) / nl) * ((nl - pl) / nl)
+    val gr = lit(1.0) - (pr / nr) * (pr / nr) -
+      ((nr - pr) / nr) * ((nr - pr) / nr)
+    val scored = cum.crossJoin(broadcast(tot))
+      .where(col("cn") < col("n")) // the max value splits nothing off
+      .select(col("__v"), col("cn"), col("cp"), col("n"), col("pos"),
+        (nl / d(col("n")) * gl + nr / d(col("n")) * gr).as("g"))
+    val best = scored.agg(min(col("g")).as("__mg"))
+    val tied = scored.crossJoin(broadcast(best)).where(col("g") === col("__mg"))
+    tied.crossJoin(broadcast(tied.agg(min(col("__v")).as("__bt"))))
+      .where(col("__v") === col("__bt"))
+      .select(col("__v").as("threshold"), col("g").as("gini"),
+        col("cn").as("n_left"), col("cp").as("pos_left"),
+        (col("n") - col("cn")).as("n_right"),
+        (col("pos") - col("cp")).as("pos_right"))
+  }
 }

@@ -163,4 +163,60 @@ object Relational {
         col("col._2").as(idCol),
         col("col._1").as(scoreCol)): _*)
   }
+
+  /** Referential-integrity audit over declared FK edges: per relationship,
+    * the child row count, the count of child rows whose FK value has no
+    * parent (LEFT ANTI join — the decorrelated NOT EXISTS), and the orphan
+    * share — the pre-flight data-quality sheet a warehouse load gates on.
+    *
+    * Each edge is two aggregates over one child scan; the anti join
+    * shuffles on the key (AQE broadcasts small parents). Edges are
+    * independent 1-row results unioned at the end — embarrassingly
+    * parallel across relationships. */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, fkCol, parent, pkCol) =>
+      val orphans = child.select(col(fkCol))
+        .join(parent.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_child").cast("double"))
+            .as("orphan_share"))
+    }.reduce(_ unionByName _)
+
+  /** SCD Type-2 apply: merge a new snapshot into a versioned history in
+    * one pass — every key's row carries (valid_from, valid_to, is_current)
+    * so point-in-time joins can reconstruct any load day. `t1`/`t2` are
+    * the old/new load-day indexes.
+    *
+    * One FULL OUTER join of the two snapshots on the key (row payloads
+    * compared via the null-safe md5 fingerprint [[rowHash]]), then two
+    * projections of the joined table unioned:
+    *  - CLOSED rows — the old version where the key vanished or changed:
+    *    (old hash, t1, t2, current = false);
+    *  - OPEN rows — every key in the new snapshot: (new hash,
+    *    t1 if unchanged else t2, null, current = true).
+    * Deletes close, inserts open, changes do both, unchanged rows keep
+    * their original valid_from — the standard warehouse contract. Linear
+    * in both snapshots, one key-shuffle, no per-key history sort. */
+  def scd2Apply(old: DataFrame, next: DataFrame, keyCol: String,
+                valueCols: Seq[String], t1: Long, t2: Long): DataFrame = {
+    val o = old.select(col(keyCol).as("__k"), rowHash(valueCols).as("__ho"))
+    val n = next.select(col(keyCol).as("__k"), rowHash(valueCols).as("__hn"))
+    val j = o.join(n, Seq("__k"), "full_outer")
+    val closed = j
+      .where(col("__ho").isNotNull &&
+        (col("__hn").isNull || col("__hn") =!= col("__ho")))
+      .select(col("__k").as(keyCol), col("__ho").as("row_hash"),
+        lit(t1).as("valid_from"), lit(t2).cast("bigint").as("valid_to"),
+        lit(false).as("is_current"))
+    val open = j.where(col("__hn").isNotNull)
+      .select(col("__k").as(keyCol), col("__hn").as("row_hash"),
+        when(col("__ho").isNotNull && col("__ho") === col("__hn"), lit(t1))
+          .otherwise(lit(t2)).as("valid_from"),
+        lit(null).cast("bigint").as("valid_to"),
+        lit(true).as("is_current"))
+    closed.unionByName(open)
+  }
 }

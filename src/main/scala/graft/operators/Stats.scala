@@ -424,4 +424,35 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("w_median"))
   }
+
+  /** Benford first-digit screen over a positive money-like (2dp) column:
+    * observed leading-digit counts vs the log-law expectation
+    * n·log10(1 + 1/d), with per-digit chi-square terms — the classic
+    * fabricated-amounts / data-entry-anomaly detector. Output: 9 rows
+    * (digit, observed, expected_n, chi_term), digits with no observations
+    * included as zeros.
+    *
+    * The leading digit is extracted in exact integer space: the value's
+    * cent count (DECIMAL·100, exact) rendered as an integer string —
+    * multiplying by 100 never changes the leading significant digit, and
+    * integer-to-string is engine-portable where double formatting is not.
+    * One scan → 9-row digit table; expected/chi are rounded to 6dp
+    * because log10's last ulp is libm-dependent (the q219 discipline). */
+  def benfordScreen(df: DataFrame, valueCol: String): DataFrame = {
+    val digitOf = substring((dec(col(valueCol)) * lit(100))
+      .cast(DecimalType(14, 0)).cast("string"), 1, 1).cast("bigint")
+    val obs = df.where(dec(col(valueCol)) > 0)
+      .select(digitOf.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val digits = obs.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val tot = obs.agg(sum(col("observed")).as("__n"))
+    val e = d(col("__n")) *
+      log(lit(1.0) + lit(1.0) / d(col("digit"))) / log(lit(10.0))
+    digits.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("observed"),
+        round(e, 6).as("expected_n"),
+        round(pow(d(col("observed")) - e, 2.0) / e, 6).as("chi_term"))
+  }
 }

@@ -323,4 +323,69 @@ object Temporal {
       .select(col("__b").as("bucket"), col("n_common"),
         round(col("__mu").cast("double") / lit(1e6), 6).as("js_divergence"))
   }
+
+  /** Inter-event gap census: the time between each user's consecutive
+    * events, bucketed into human-scale bands — the engagement-cadence
+    * profile (sub-minute = bursts/bots, multi-hour = sessions apart) and
+    * the input a session-timeout choice is justified from.
+    *
+    * Plan: one lag window PARTITIONED by user (per-user frames, never
+    * global — ordered by (ts, idCol) so timestamp ties can't flap the
+    * lag), gap in exact integer microseconds, bucket by CASE, one small
+    * keyed aggregate. share is the one double, computed against the 1-row
+    * total. */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapUs = (unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(w)))
+    val m = 60L * 1000000L
+    val bucket = when(gapUs < m, "a_lt1m")
+      .when(gapUs < 10L * m, "b_1to10m")
+      .when(gapUs < 60L * m, "c_10to60m")
+      .when(gapUs < 360L * m, "d_1to6h")
+      .otherwise("e_gt6h")
+    val counts = events
+      .select(bucket.as("gap_bucket"), gapUs.as("__gap"))
+      .where(col("__gap").isNotNull)
+      .groupBy(col("gap_bucket")).agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+      .select(col("gap_bucket"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("share"))
+  }
+
+  /** Linearly-weighted k-period moving average of a per-key daily count
+    * series: wma_t = Σ_{j=0..k−1} (k−j)·c_{t−j} / (k(k+1)/2), emitted only
+    * for days with a full k-day history — the smoothed trend line a volume
+    * dashboard plots (recent days weigh more than a flat window, without
+    * EWMA's infinite tail).
+    *
+    * "Previous" means previous OBSERVED day for the key (lag over the
+    * per-key day series), which coincides with calendar days on a dense
+    * series and is stated behavior on a sparse one.
+    *
+    * Determinism: the numerator Σ(k−j)·count is an exact BIGINT (integer
+    * weights on integer counts); ONE final division. Days are epoch-day
+    * BIGINTs (every engine agrees on integer day arithmetic; truncated
+    * timestamps would re-open timezone/precision questions). The lag
+    * windows run over the per-key DAILY table (≤ days×keys rows), not
+    * events. */
+  def wmaTrend(events: DataFrame, keyCol: String, tsCol: String,
+               k: Int = 7): DataFrame = {
+    require(k >= 2, "window k must be >= 2")
+    val daily = events
+      .groupBy(col(keyCol),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+    val terms = (0 until k).map { j =>
+      lit((k - j).toLong) * lag(col("n"), j).over(w)
+    }.reduce(_ + _)
+    daily.withColumn("__num", terms)
+      .where(col("__num").isNotNull) // any missing lag nulls the whole sum
+      .select(col(keyCol), col("day_idx"), col("n"),
+        (col("__num").cast("double") / lit((k * (k + 1) / 2).toDouble))
+          .as(s"wma$k"))
+  }
 }

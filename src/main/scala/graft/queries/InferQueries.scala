@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Graft.table
+import graft.operators.{Graphs, Inference, Temporal}
+
+/** Round-10 inference + association batch: the nonparametric test bench
+  * (Mann-Whitney, Kruskal-Wallis, Kendall, BH-FDR), information measures
+  * (mutual information, Gini), market-basket association (lift + triangle
+  * census), and two temporal cadence profiles (inter-event gaps, weighted
+  * moving average).
+  *
+  * Oracle discipline: rank statistics run on integer value GRIDS (exact
+  * BIGINT rank/tie sums — the q158 precedent), cross-group double sums
+  * fold LEFT over key-sorted lists (the q204 discipline), and every final
+  * double formula is textually identical on both sides.
+  */
+object InferQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def d(c: Column): Column = c.cast("double")
+
+  /** q221/q222 support threshold: a brand pair must co-occur in at least
+    * num/den (2.2%) of all orders — a SHARE, not an absolute count, so the
+    * predicate means the same thing at every scale factor. */
+  private val supNum = 11L
+  private val supDen = 500L
+
+  val queries: Map[String, Q] = Map(
+
+    // Mann-Whitney U (tie-corrected z): are en and de document lengths
+    // drawn from the same distribution? The rank-based sibling of q179's
+    // Welch t — outlier-proof, no normality assumption. Grid-exact ranks.
+    "q216_mann_whitney" -> ((s, d) =>
+      Inference.rankSumTest(
+        table(s, d, "documents"), "lang", "n_chars", "en", "de")),
+
+    // Per-event-type Kendall tau-b between day index and daily volume —
+    // the monotone-trend screen (tau near ±1: consistent growth/decline)
+    // on the 30-row daily series; O(days²) pairs per group by definition,
+    // the Theil-Sen small-series contract.
+    "q217_kendall_daily" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      Inference.kendallTauByGroup(daily, "event_type", "day_idx", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-source Gini of document length — does a handful of giant docs
+    // own a source's character mass? All-BIGINT numerator on the length
+    // grid, one division.
+    "q218_length_gini" -> ((s, d) =>
+      Inference.giniByGroup(table(s, d, "documents"), "source", "n_chars")),
+
+    // Benjamini-Hochberg screen over per-event-type mean-shift z-scores:
+    // which types' mean value drifts from the global mean, at FDR 0.1?
+    // The z→p map is a fixed closed form (Lin's normal-tail
+    // approximation) evaluated identically on both sides; BH runs over
+    // the 5-row hypothesis table.
+    "q219_bh_fdr" -> ((s, dir) => {
+      val per = table(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(dec(col("value"))).as("__s"),
+          sum(dec(col("value")) * dec(col("value"))).as("__q"))
+      val tot = per.agg(sum(col("n_g")).as("__n"), sum(col("__s")).as("__ts"),
+        sum(col("__q")).as("__tq"))
+      val z = (d(col("__s")) / d(col("n_g")) - d(col("__ts")) / d(col("__n"))) /
+        (sqrt((d(col("__tq")) - d(col("__ts")) * d(col("__ts")) / d(col("__n"))) /
+          (d(col("__n")) - lit(1.0))) / sqrt(d(col("n_g"))))
+      val withZ = per.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_g"), z.as("z"))
+      val za = abs(col("z"))
+      // exp() is not correctly-rounded and differs across libms by 1 ulp —
+      // quantize p to 6dp (the adjacentDrift micro-unit discipline) so the
+      // BH compare and the hash are engine-stable; z itself is algebraic
+      // (IEEE-exact ops only) and needs no rounding.
+      val withP = withZ.withColumn("p",
+        round(least(lit(1.0),
+          lit(2.0) * exp(lit(-0.717) * za - lit(0.416) * za * za)), 6))
+      Inference.bhFdr(withP, "event_type", "p", alphaNum = 1, alphaDen = 10)
+        .select(col("event_type"), col("n_g"), col("z"), col("p"),
+          col("p_rank").cast("bigint").as("p_rank"), col("bh_crit"),
+          col("significant"))
+    }),
+
+    // Mutual information between order priority and return flag — the
+    // one-number dependence summary beside q172's per-cell chi-square
+    // screen. Exact cell counts; term sums fold over the sorted cell list.
+    "q220_mutual_info" -> ((s, dir) => {
+      val j = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_returnflag"))
+      Inference.mutualInfo(j, "o_orderpriority", "l_returnflag")
+    }),
+
+    // Market-basket lift over brands within orders: pairs stocked
+    // together in ≥ 2.2% of orders, with lift vs independence — the
+    // association rule screen. Per-order pair expansion bounded by order
+    // width.
+    "q221_brand_lift" -> ((s, dir) =>
+      Graphs.cooccurrenceLift(
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", supNum, supDen)),
+
+    // Triangle census of the brand co-purchase graph (edges = the q221
+    // support-filtered pairs): per-brand triangle participation — the
+    // clustering-density view of the same association structure.
+    "q222_brand_triangles" -> ((s, dir) => {
+      val edges = Graphs.cooccurrenceLift(
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", supNum, supDen)
+        .select(col("item_a"), col("item_b"))
+      Graphs.triangleCounts(edges, "item_a", "item_b")
+    }),
+
+    // Inter-event gap census: time between consecutive events per user,
+    // bucketed into cadence bands — the profile a session timeout is
+    // justified from. Per-user lag frames, exact integer microseconds.
+    "q223_interevent_gaps" -> ((s, d) =>
+      Temporal.interEventGaps(
+        table(s, d, "events"), "user_id", "ts", "event_id")),
+
+    // 7-day linearly-weighted moving average of daily volume per event
+    // type — the smoothed trend line, exact BIGINT numerator, one
+    // division; emitted only for days with full history.
+    "q224_wma_trend" -> ((s, d) =>
+      Temporal.wmaTrend(table(s, d, "events"), "event_type", "ts", k = 7)),
+
+    // Kruskal-Wallis H across all 20 sources on document length — the
+    // k-sample rank test beside q214's parametric ANOVA F; grid-exact
+    // rank sums, fixed-order fold for the cross-group term.
+    "q225_kruskal_wallis" -> ((s, d) =>
+      Inference.kruskalWallis(table(s, d, "documents"), "source", "n_chars")))
+
+  val oracle: Map[String, String] = Map(
+
+    "q216_mann_whitney" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+        |c AS (
+        |  SELECT v, ca, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS below
+        |  FROM grid),
+        |a AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt - ca) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (2 * below + cnt + 1)) AS BIGINT) AS r2a,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  CAST(r2a AS DOUBLE) / 2.0
+        |    - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_stat,
+        |  (CAST(r2a AS DOUBLE) / 2.0
+        |    - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+        |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE) /
+        |          ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+        |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))) AS z
+        |FROM a""".stripMargin,
+
+    "q217_kendall_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT) *
+        |             CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS cd
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |  GROUP BY 1),
+        |tx AS (SELECT event_type, CAST(sum(t * (t - 1)) AS BIGINT) AS s1,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (SELECT event_type, CAST(sum(t * (t - 1)) AS BIGINT) AS s2
+        |  FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT p.event_type, tx.n AS n,
+        |  CAST(cd AS DOUBLE) / sqrt(
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+        |      - CAST(s1 AS DOUBLE) / 2.0) *
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+        |      - CAST(s2 AS DOUBLE) / 2.0)) AS tau_b
+        |FROM p JOIN tx ON p.event_type = tx.event_type
+        |JOIN ty ON p.event_type = ty.event_type
+        |ORDER BY p.event_type""".stripMargin,
+
+    "q218_length_gini" ->
+      """WITH grid AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(count(*) * n_chars AS BIGINT) AS m
+        |  FROM documents GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT source, v, c, m,
+        |    CAST(sum(m) OVER (PARTITION BY source ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM grid)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS total,
+        |  1.0 - CAST(sum(c * (2 * cum - m)) AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) * CAST(sum(m) AS DOUBLE)) AS gini
+        |FROM cm GROUP BY 1""".stripMargin,
+
+    "q219_bh_fdr" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS s,
+        |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s) AS ts,
+        |    sum(q) AS tq FROM per),
+        |zt AS (
+        |  SELECT event_type, n_g,
+        |    (CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |      - CAST(ts AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (sqrt((CAST(tq AS DOUBLE)
+        |          - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) / sqrt(CAST(n_g AS DOUBLE))) AS z
+        |  FROM per CROSS JOIN tot),
+        |pt AS (
+        |  SELECT event_type, n_g, z,
+        |    round(least(1.0,
+        |      2.0 * exp(-0.717 * abs(z) - 0.416 * abs(z) * abs(z))), 6) AS p
+        |  FROM zt),
+        |rk AS (
+        |  SELECT event_type, n_g, z, p,
+        |    CAST(row_number() OVER (ORDER BY p ASC, event_type ASC) AS BIGINT)
+        |      AS p_rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt),
+        |cr AS (
+        |  SELECT event_type, n_g, z, p, p_rank,
+        |    CAST(p_rank AS DOUBLE) * 1.0 / (10.0 * CAST(m AS DOUBLE)) AS bh_crit
+        |  FROM rk)
+        |SELECT event_type, n_g, z, p, p_rank, bh_crit,
+        |  max(CASE WHEN p <= bh_crit THEN p_rank END)
+        |    OVER (ORDER BY p_rank
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    IS NOT NULL AS significant
+        |FROM cr""".stripMargin,
+
+    "q220_mutual_info" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS r, l.l_returnflag AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o
+        |  FROM j GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+        |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT max(nt.n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |    list(struct_pack(t :=
+        |      (CAST(o AS DOUBLE) / CAST(nt.n AS DOUBLE)) *
+        |        ln(CAST(o AS DOUBLE) * CAST(nt.n AS DOUBLE) /
+        |          (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE))))
+        |      ORDER BY cells.r, cells.c) AS l
+        |  FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c
+        |  CROSS JOIN nt),
+        |hr AS (
+        |  SELECT list(struct_pack(t :=
+        |      -CAST(rtot AS DOUBLE) / CAST(nt.n AS DOUBLE) *
+        |        ln(CAST(rtot AS DOUBLE) / CAST(nt.n AS DOUBLE)))
+        |      ORDER BY r) AS l
+        |  FROM rt CROSS JOIN nt),
+        |hc AS (
+        |  SELECT list(struct_pack(t :=
+        |      -CAST(ctot AS DOUBLE) / CAST(nt.n AS DOUBLE) *
+        |        ln(CAST(ctot AS DOUBLE) / CAST(nt.n AS DOUBLE)))
+        |      ORDER BY c) AS l
+        |  FROM ct CROSS JOIN nt)
+        |SELECT mi.n, mi.n_cells,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(mi.l, s -> s.t)), (a, x) -> a + x) AS mi_nats,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(hr.l, s -> s.t)), (a, x) -> a + x) AS h_row,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(hc.l, s -> s.t)), (a, x) -> a + x) AS h_col
+        |FROM mi CROSS JOIN hr CROSS JOIN hc""".stripMargin,
+
+    "q221_brand_lift" ->
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
+         |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+         |pr AS (
+         |  SELECT a.i AS ia, c2.i AS ib, CAST(count(*) AS BIGINT) AS pc
+         |  FROM bi a JOIN bi c2 ON a.b = c2.b AND a.i < c2.i GROUP BY 1, 2)
+         |SELECT pr.ia AS item_a, pr.ib AS item_b, pr.pc AS pair_cnt,
+         |  CAST(nb.n AS DOUBLE) * CAST(pr.pc AS DOUBLE) /
+         |    (CAST(x.ci AS DOUBLE) * CAST(y.ci AS DOUBLE)) AS lift
+         |FROM pr CROSS JOIN nb
+         |JOIN ic x ON pr.ia = x.i JOIN ic y ON pr.ib = y.i
+         |WHERE pr.pc * $supDen >= nb.n * $supNum""".stripMargin,
+
+    "q222_brand_triangles" ->
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+         |pr AS (
+         |  SELECT a.i AS ia, c2.i AS ib, CAST(count(*) AS BIGINT) AS pc
+         |  FROM bi a JOIN bi c2 ON a.b = c2.b AND a.i < c2.i GROUP BY 1, 2),
+         |e AS (SELECT ia AS a, ib AS b2 FROM pr CROSS JOIN nb
+         |  WHERE pc * $supDen >= nb.n * $supNum),
+         |w AS (SELECT e1.a AS a, e1.b2 AS b, e2.b2 AS c
+         |  FROM e e1 JOIN e e2 ON e1.b2 = e2.a),
+         |t AS (SELECT w.a, w.b, w.c
+         |  FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b2),
+         |v AS (SELECT unnest([a, b, c]) AS vertex FROM t)
+         |SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM v GROUP BY 1""".stripMargin,
+
+    "q223_interevent_gaps" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |b AS (
+        |  SELECT CASE WHEN gap < 60000000 THEN 'a_lt1m'
+        |    WHEN gap < 600000000 THEN 'b_1to10m'
+        |    WHEN gap < 3600000000 THEN 'c_10to60m'
+        |    WHEN gap < 21600000000 THEN 'd_1to6h'
+        |    ELSE 'e_gt6h' END AS gap_bucket
+        |  FROM g WHERE gap IS NOT NULL),
+        |c AS (SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1)
+        |SELECT gap_bucket, n, CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+        |FROM c CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS t FROM c) t""".stripMargin,
+
+    "q224_wma_trend" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day_idx, n,
+        |    7 * n + 6 * lag(n, 1) OVER w + 5 * lag(n, 2) OVER w
+        |      + 4 * lag(n, 3) OVER w + 3 * lag(n, 4) OVER w
+        |      + 2 * lag(n, 5) OVER w + 1 * lag(n, 6) OVER w AS num
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_idx ASC))
+        |SELECT event_type, day_idx, n, CAST(num AS DOUBLE) / 28.0 AS wma7
+        |FROM l WHERE num IS NOT NULL""".stripMargin,
+
+    "q225_kruskal_wallis" ->
+      """WITH gv AS (
+        |  SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS cg
+        |  FROM documents GROUP BY 1, 2),
+        |av AS (SELECT v, CAST(sum(cg) AS BIGINT) AS cnt FROM gv GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS below
+        |  FROM av),
+        |per AS (
+        |  SELECT g, CAST(sum(cg) AS BIGINT) AS n_g,
+        |    CAST(sum(cg * (2 * below + cnt + 1)) AS BIGINT) AS r2
+        |  FROM gv JOIN cum ON gv.v = cum.v GROUP BY 1),
+        |ties AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t
+        |  FROM cum),
+        |aggd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    list(struct_pack(t :=
+        |      CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+        |        (4.0 * CAST(n_g AS DOUBLE))) ORDER BY g) AS l
+        |  FROM per)
+        |SELECT k, n,
+        |  (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(l, s -> s.t)), (a, x) -> a + x)
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |  / (1.0 - CAST(t AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))) AS h_stat
+        |FROM aggd CROSS JOIN ties""".stripMargin)
+}

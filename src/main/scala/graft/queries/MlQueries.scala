@@ -299,7 +299,7 @@ object MlQueries {
   /** The deterministic "next load" both CDC queries diff/merge against:
     * drop doc_id % 17, append ' v2' to text for doc_id % 10, insert 25
     * re-keyed clones. */
-  private def mutatedDocs(old: DataFrame): DataFrame =
+  private[queries] def mutatedDocs(old: DataFrame): DataFrame =
     old.where(pmod(col("doc_id"), lit(17)) =!= 0)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(10)) === 0,
@@ -370,7 +370,7 @@ object MlQueries {
   }
 
   /** SQL twin of [[mutatedDocs]], shared by the q208/q209 oracles. */
-  private val newtSql: String =
+  private[queries] val newtSql: String =
     """SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text,
       |    lang, source, n_chars
@@ -380,7 +380,7 @@ object MlQueries {
       |  FROM documents WHERE doc_id < 25""".stripMargin
 
   /** SQL twin of Relational.rowHash over the documents value columns. */
-  private val docHashSql: String =
+  private[queries] val docHashSql: String =
     "md5(concat_ws(chr(1), coalesce(CAST(text AS VARCHAR), chr(0))," +
       " coalesce(CAST(lang AS VARCHAR), chr(0))," +
       " coalesce(CAST(source AS VARCHAR), chr(0))," +
