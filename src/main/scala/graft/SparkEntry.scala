@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.ScaleQueries.queries ++ graft.queries.StatQueries.queries ++
       graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries ++
-      graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries
+      graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries ++
+      graft.queries.WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++ graft.queries.LlmQueries.oracle ++
       graft.queries.ScaleQueries.oracle ++ graft.queries.StatQueries.oracle ++
       graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle ++
-      graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle
+      graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle ++
+      graft.queries.WarehouseQueries.oracle
 }

@@ -381,10 +381,15 @@ object MlOps {
       ((nl - pl) / nl) * ((nl - pl) / nl)
     val gr = lit(1.0) - (pr / nr) * (pr / nr) -
       ((nr - pr) / nr) * ((nr - pr) / nr)
+    // the g expression is CASE-guarded as well as filtered: the optimizer
+    // may inline it into an aggregate whose codegen evaluates the
+    // projection on pre-filter rows, and ANSI mode faults the nr = 0 row
+    // (the max grid value) instead of discarding it
     val scored = cum.crossJoin(broadcast(tot))
       .where(col("cn") < col("n")) // the max value splits nothing off
       .select(col("__v"), col("cn"), col("cp"), col("n"), col("pos"),
-        (nl / d(col("n")) * gl + nr / d(col("n")) * gr).as("g"))
+        when(col("cn") < col("n"),
+          nl / d(col("n")) * gl + nr / d(col("n")) * gr).as("g"))
     val best = scored.agg(min(col("g")).as("__mg"))
     val tied = scored.crossJoin(broadcast(best)).where(col("g") === col("__mg"))
     tied.crossJoin(broadcast(tied.agg(min(col("__v")).as("__bt"))))

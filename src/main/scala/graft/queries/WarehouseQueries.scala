@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.{MlOps, Relational, Stats}
+
+/** Round-10 warehouse/quality batch: the operational side of running a
+  * lakehouse load — a decision-stump feature screen, referential-integrity
+  * audit, Benford first-digit anomaly screen, SCD Type-2 history apply,
+  * and the explicit GROUPING SETS census that completes the
+  * rollup/cube/grouping_id family.
+  *
+  * Determinism: stump impurity is pure algebra on grid-exact counts; the
+  * Benford expectation (libm ln) quantizes to 6dp (the q219 discipline);
+  * SCD2 compares payloads via the shared null-safe md5 fingerprint used
+  * by the q208/q209 CDC pair, against the same deterministic next-load. */
+object WarehouseQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q227's declared FK edges: (label, child, fk, parent, pk). */
+  private val fkEdges = Seq(
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey",
+      "nation", "n_nationkey"))
+
+  /** q229's SCD2 payload columns — must match [[MlQueries.docHashSql]]. */
+  private val scdCols = Seq("text", "lang", "source", "n_chars")
+
+  val queries: Map[String, Q] = Map(
+
+    // Depth-1 decision stump: the single document-length threshold that
+    // best separates English from everything else — the "is this feature
+    // predictive at all" screen before training anything. Grid-exact
+    // split counts, algebra-only impurity, smallest-threshold tie-break.
+    "q226_decision_stump" -> ((s, d) =>
+      MlOps.decisionStump(
+        table(s, d, "documents"), "n_chars", col("lang") === "en")),
+
+    // Referential-integrity audit over the schema's six FK edges: child
+    // rows whose key has no parent (LEFT ANTI = decorrelated NOT
+    // EXISTS), as counts and shares — the load-gate data-quality sheet.
+    "q227_fk_orphan_audit" -> ((s, d) =>
+      Relational.fkAudit(fkEdges.map { case (name, c, fk, p, pk) =>
+        (name, table(s, d, c), fk, table(s, d, p), pk)
+      }).orderBy(col("relationship"))),
+
+    // Benford first-digit screen on order totals: observed leading-digit
+    // counts vs n·log10(1+1/d), with per-digit chi-square terms — the
+    // classic fabricated-amounts detector. Digit extraction in exact
+    // integer cents; libm-touched outputs rounded to 6dp.
+    "q228_benford_screen" -> ((s, d) =>
+      Stats.benfordScreen(table(s, d, "orders"), "o_totalprice")),
+
+    // SCD Type-2 apply: documents (load day 1) merged with the
+    // deterministic q208 next-load (day 2) into a versioned history —
+    // deletes close, inserts open, changes do both, unchanged keys keep
+    // their original valid_from. One full outer join, fingerprint
+    // compare, two projections.
+    "q229_scd2_history" -> ((s, d) => {
+      val old = table(s, d, "documents")
+      Relational.scd2Apply(old, MlQueries.mutatedDocs(old), "doc_id",
+        scdCols, t1 = 1L, t2 = 2L)
+    }),
+
+    // Explicit GROUPING SETS census over (source, lang): the one
+    // grouping shape rollup (q24/q73) and cube (q47) cannot express —
+    // an arbitrary set list, here both one-dimension margins plus the
+    // full cross and the grand total, tagged by grouping_id.
+    "q230_grouping_sets" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          grouping_id(col("source"), col("lang")).cast("bigint").as("gid"))))
+
+  /** One fkAudit oracle edge: two scalar aggregates cross-joined. */
+  private def fkEdgeSql(name: String, child: String, fk: String,
+                        parent: String, pk: String): String =
+    s"""SELECT '$name' AS relationship, c.n AS n_child, o.n AS n_orphans,
+       |  CAST(o.n AS DOUBLE) / CAST(c.n AS DOUBLE) AS orphan_share
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM $child) c
+       |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $child ch
+       |  WHERE NOT EXISTS (SELECT 1 FROM $parent pa
+       |    WHERE pa.$pk = ch.$fk)) o""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "q226_decision_stump" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c, p,
+        |    CAST(sum(c) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(sum(p) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS pos FROM grid),
+        |scored AS (
+        |  SELECT v, cn, cp, n, pos,
+        |    CAST(cn AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) *
+        |             (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |           - ((CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE)) / CAST(cn AS DOUBLE)) *
+        |             ((CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE)) / CAST(cn AS DOUBLE)))
+        |    + (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE)) / CAST(n AS DOUBLE) *
+        |      (1.0 - ((CAST(pos AS DOUBLE) - CAST(cp AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))) *
+        |             ((CAST(pos AS DOUBLE) - CAST(cp AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE)))
+        |           - (((CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))
+        |               - (CAST(pos AS DOUBLE) - CAST(cp AS DOUBLE))) /
+        |              (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))) *
+        |             (((CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))
+        |               - (CAST(pos AS DOUBLE) - CAST(cp AS DOUBLE))) /
+        |              (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE)))) AS g
+        |  FROM cum CROSS JOIN tot WHERE cn < n),
+        |best AS (SELECT min(g) AS mg FROM scored),
+        |tied AS (SELECT * FROM scored CROSS JOIN best WHERE g = mg),
+        |bt AS (SELECT min(v) AS t FROM tied)
+        |SELECT tied.v AS threshold, tied.g AS gini, tied.cn AS n_left,
+        |  tied.cp AS pos_left, tied.n - tied.cn AS n_right,
+        |  tied.pos - tied.cp AS pos_right
+        |FROM tied CROSS JOIN bt WHERE tied.v = bt.t""".stripMargin,
+
+    "q227_fk_orphan_audit" ->
+      (fkEdges.map { case (name, c, fk, p, pk) => fkEdgeSql(name, c, fk, p, pk) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")),
+
+    "q228_benford_screen" ->
+      """WITH obs AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS DECIMAL(14,0)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 0 GROUP BY 1),
+        |dg AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT) AS digit),
+        |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+        |SELECT dg.digit, CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,
+        |  round(CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(dg.digit AS DOUBLE))
+        |    / ln(10.0), 6) AS expected_n,
+        |  round(pow(CAST(coalesce(obs.observed, 0) AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(dg.digit AS DOUBLE))
+        |        / ln(10.0), 2.0)
+        |    / (CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(dg.digit AS DOUBLE))
+        |       / ln(10.0)), 6) AS chi_term
+        |FROM dg LEFT JOIN obs ON dg.digit = obs.digit CROSS JOIN tot""".stripMargin,
+
+    "q229_scd2_history" ->
+      s"""WITH newt AS (
+         |${MlQueries.newtSql}),
+         |o AS (SELECT doc_id, ${MlQueries.docHashSql} AS ho FROM documents),
+         |nn AS (SELECT doc_id, ${MlQueries.docHashSql} AS hn FROM newt),
+         |j AS (SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id, ho, hn
+         |  FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id)
+         |SELECT doc_id, ho AS row_hash, CAST(1 AS BIGINT) AS valid_from,
+         |  CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+         |FROM j WHERE ho IS NOT NULL AND (hn IS NULL OR hn <> ho)
+         |UNION ALL
+         |SELECT doc_id, hn AS row_hash,
+         |  CAST(CASE WHEN ho IS NOT NULL AND ho = hn THEN 1 ELSE 2 END
+         |    AS BIGINT) AS valid_from,
+         |  CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         |FROM j WHERE hn IS NOT NULL""".stripMargin,
+
+    "q230_grouping_sets" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  grouping(source, lang) AS gid
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""".stripMargin)
+}
