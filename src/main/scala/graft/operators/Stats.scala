@@ -455,4 +455,40 @@ object Stats {
         round(e, 6).as("expected_n"),
         round(pow(d(col("observed")) - e, 2.0) / e, 6).as("chi_term"))
   }
+
+  /** Neyman-optimal stratified sample allocation: split a fixed sampling
+    * `budget` across the strata of `groupCol` proportionally to
+    * n_h·sd_h — the allocation that minimizes the variance of the
+    * stratified mean estimator (large AND internally-diverse strata get
+    * more samples than proportional allocation would give). Output per
+    * stratum: n_h, sd_h, the share, and the rounded per-stratum budget.
+    *
+    * The per-stratum sd comes from exact integer moment sums; the
+    * cross-stratum normalizer Σ n_h·sd_h mixes per-group doubles, so it
+    * folds LEFT over the group-name-sorted term list (the q204
+    * discipline). Single-member or constant strata contribute sd 0 and
+    * get no optimal allocation — callers wanting a floor compose one. */
+  def neymanAllocation(df: DataFrame, groupCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col(valueCol).cast("bigint")).as("__s"),
+        sum(col(valueCol).cast("bigint") * col(valueCol).cast("bigint"))
+          .as("__q"))
+    val nh = d(col("n_h"))
+    val sd = sqrt((nh * d(col("__q")) - d(col("__s")) * d(col("__s"))) /
+      (nh * (nh - lit(1.0))))
+    val scored = per.select(col(groupCol), col("n_h"), sd.as("sd_h"),
+      (nh * sd).as("__w"))
+    val norm = scored
+      .agg(array_sort(collect_list(struct(col(groupCol).as("__g"),
+        col("__w").as("__t")))).as("__l"))
+      .select(expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
+        " (a, x) -> a + x)").as("__z"))
+    scored.crossJoin(broadcast(norm))
+      .select(col(groupCol), col("n_h"), col("sd_h"),
+        (col("__w") / col("__z")).as("alloc_share"),
+        round(lit(budget.toDouble) * (col("__w") / col("__z")), 0)
+          .cast("bigint").as("alloc_n"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -387,5 +387,144 @@ object Temporal {
       .select(col(keyCol), col("day_idx"), col("n"),
         (col("__num").cast("double") / lit((k * (k + 1) / 2).toDouble))
           .as(s"wma$k"))
+  }
+
+  /** Calendar gap fill with LOCF and linear interpolation: densify each
+    * key's daily value series onto the corpus's full [min, max] day range,
+    * then fill holes two ways — last-observation-carried-forward, and the
+    * linear interpolation between the surrounding observed days — the
+    * regularization step before any rolling/seasonal computation trusts
+    * "one row per day".
+    *
+    * Plan: the observed daily table (keys × observed days) left-joins a
+    * generated key × full-day-range grid (sequence over the 1-row global
+    * bounds — CALENDAR-bounded, never row-bounded); the carried
+    * previous/next observations come from 4 ignore-null running windows
+    * PARTITIONED by key over that grid. Values are exact decimal daily
+    * sums; the interpolation formula is the single double expression. */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String): DataFrame = {
+    def dayIdx(c: Column) =
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("bigint")
+    val daily = events
+      .groupBy(col(keyCol), dayIdx(col(tsCol)).as("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .as("__sv"))
+    val bounds = events.agg(min(dayIdx(col(tsCol))).as("__mn"),
+      max(dayIdx(col(tsCol))).as("__mx"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx")))
+        .as("day_idx"))
+    val j = grid.join(daily, Seq(keyCol, "day_idx"), "left")
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val v = col("__sv").cast("double")
+    val filled = j
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("__pd", last(when(col("__sv").isNotNull, col("day_idx")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("__nd", first(when(col("__sv").isNotNull, col("day_idx")),
+        ignoreNulls = true).over(wNext))
+    filled.select(col(keyCol), col("day_idx"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      col("__pv").as("v_locf"),
+      when(col("__sv").isNotNull, v)
+        .when(col("__pv").isNotNull && col("__nv").isNotNull,
+          col("__pv") + (col("__nv") - col("__pv")) *
+            (col("day_idx").cast("double") - col("__pd").cast("double")) /
+            (col("__nd").cast("double") - col("__pd").cast("double")))
+        .otherwise(coalesce(col("__pv"), col("__nv"))).as("v_interp"))
+  }
+
+  /** First-view → first-purchase conversion latency, summarized as exact
+    * minute-grid percentiles: per user the time from their first `fromEv`
+    * to their first `toEv` (counted only when the latter is strictly
+    * later), floored to whole minutes; output one row — converts, p50/p90
+    * minutes (smallest grid value reaching the cumulative share — the
+    * weightedMedian all-integer rule) and the exact mean.
+    *
+    * Plan: one conditional per-user aggregate (two min timestamps), then
+    * a minute-GRID cumulative (bounded by the corpus time range, the q158
+    * discipline) — never a sort of per-user latencies. */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromEv: String, toEv: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val per = events.where(col(typeCol) === fromEv || col(typeCol) === toEv)
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === fromEv, us)).as("__vu"),
+        min(when(col(typeCol) === toEv, us)).as("__pu"))
+      .where(col("__vu").isNotNull && col("__pu").isNotNull &&
+        col("__pu") > col("__vu"))
+    val lat = per.select(
+      expr("(__pu - __vu) div 60000000").as("lat_min"))
+      .groupBy(col("lat_min")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("lat_min"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = lat.withColumn("__cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(lat.agg(sum(col("c")).as("__n"),
+        sum(col("lat_min") * col("c")).as("__s"))))
+    cum.agg(
+      max(col("__n")).as("n_converted"),
+      min(when(col("__cum") * 2 >= col("__n"), col("lat_min"))).as("p50_min"),
+      min(when(col("__cum") * 10 >= col("__n") * 9, col("lat_min"))).as("p90_min"),
+      max(col("__s").cast("double") / col("__n").cast("double")).as("mean_min"))
+  }
+
+  /** Cumulative-uniques curve: per day, how many users were seen for the
+    * FIRST time, and the running total — audience growth. Per-user min day
+    * (one keyed aggregate over events), counts re-aggregated onto the
+    * full day grid, cumulative over that CALENDAR-bounded grid. */
+  def cumulativeUniques(events: DataFrame, userCol: String,
+                        tsCol: String): DataFrame = {
+    def dayIdx(c: Column) =
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("bigint")
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(dayIdx(col(tsCol))).as("day_idx"))
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n_new"))
+    val bounds = events.agg(min(dayIdx(col(tsCol))).as("__mn"),
+      max(dayIdx(col(tsCol))).as("__mx"))
+    val grid = bounds.select(explode(sequence(col("__mn"), col("__mx")))
+      .as("day_idx"))
+    val w = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(firstDay, Seq("day_idx"), "left")
+      .select(col("day_idx"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
+  /** Multiplicative day-of-week seasonality index per key: (that
+    * weekday's average daily volume) / (the overall average daily
+    * volume), with exact integer numerators — a lag-7 ACF (q173) says
+    * "weekly rhythm exists", this says which days carry it. Weekday
+    * slot = epoch-day mod 7 (a stable 7-bucket labeling, not tied to a
+    * locale's week start). Day counts come from the calendar grid, so
+    * weekdays absent from the data still divide correctly. */
+  def dowSeasonality(events: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame = {
+    def dayIdx(c: Column) =
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("bigint")
+    val cnt = events.groupBy(col(keyCol),
+        pmod(dayIdx(col(tsCol)), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = events.agg(min(dayIdx(col(tsCol))).as("__mn"),
+      max(dayIdx(col(tsCol))).as("__mx"))
+    val dowDays = bounds
+      .select(explode(sequence(col("__mn"), col("__mx"))).as("d"))
+      .groupBy(pmod(col("d"), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_days"))
+    val tot = cnt.groupBy(col(keyCol))
+      .agg(sum(col("n_events")).as("__te"))
+      .crossJoin(broadcast(bounds
+        .select((col("__mx") - col("__mn") + 1).as("__td"))))
+    cnt.join(broadcast(dowDays), "dow").join(tot, keyCol)
+      .select(col(keyCol), col("dow"), col("n_events"), col("n_days"),
+        ((col("n_events").cast("double") / col("n_days").cast("double")) /
+          (col("__te").cast("double") / col("__td").cast("double")))
+          .as("season_idx"))
   }
 }

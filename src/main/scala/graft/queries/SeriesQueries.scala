@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.{Stats, Temporal}
+
+/** Round-10 time-series hygiene batch: the calendar regularization and
+  * audience/allocation measures an events warehouse reports daily —
+  * gap fill with LOCF + linear interpolation, conversion-latency
+  * percentiles on the exact minute grid, Neyman-optimal sample
+  * allocation, the cumulative-uniques growth curve, and multiplicative
+  * day-of-week seasonality.
+  *
+  * Determinism: day/minute indexes are epoch-integer arithmetic; daily
+  * values are exact decimal sums; the only cross-group double sum (the
+  * Neyman normalizer) folds LEFT over the stratum-sorted list; grids are
+  * CALENDAR-bounded, never row-bounded (the q158 window discipline). */
+object SeriesQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q233's sampling budget. */
+  private val neymanBudget = 1000L
+
+  val queries: Map[String, Q] = Map(
+
+    // Calendar gap fill of the per-type daily value series: every (type,
+    // day) cell materialized, holes filled by LOCF and by linear
+    // interpolation between surrounding observed days.
+    "q231_gap_fill" -> ((s, d) =>
+      Temporal.gapFill(table(s, d, "events"), "event_type", "ts", "value")),
+
+    // First-view → first-purchase latency: converts, exact minute-grid
+    // p50/p90, and the exact mean — time-to-convert beside q108's funnel
+    // step counts.
+    "q232_conversion_latency" -> ((s, d) =>
+      Temporal.conversionLatency(
+        table(s, d, "events"), "user_id", "ts", "event_type",
+        fromEv = "view", toEv = "purchase")),
+
+    // Neyman-optimal allocation of a 1000-doc sampling budget across
+    // sources by n_h·sd_h of document length — the variance-minimizing
+    // refinement of q78's proportional stratified sample.
+    "q233_neyman_allocation" -> ((s, d) =>
+      Stats.neymanAllocation(
+        table(s, d, "documents"), "source", "n_chars", neymanBudget)),
+
+    // Audience growth: users first seen per day and the running total —
+    // the cumulative-uniques curve beside q167's rolling window actives.
+    "q234_cumulative_uniques" -> ((s, d) =>
+      Temporal.cumulativeUniques(table(s, d, "events"), "user_id", "ts")),
+
+    // Multiplicative day-of-week seasonality index per event type, with
+    // calendar-exact per-weekday day counts — which days carry the
+    // weekly rhythm q173's lag-7 ACF detects.
+    "q235_dow_seasonality" -> ((s, d) =>
+      Temporal.dowSeasonality(table(s, d, "events"), "event_type", "ts")))
+
+  val oracle: Map[String, String] = Map(
+
+    "q231_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(min(day_idx) AS BIGINT) AS mn,
+        |    CAST(max(day_idx) AS BIGINT) AS mx FROM daily),
+        |grid AS (
+        |  SELECT t.event_type,
+        |    CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS day_idx
+        |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds),
+        |j AS (
+        |  SELECT g.event_type, g.day_idx, d.n, d.sv
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.event_type = d.event_type AND g.day_idx = d.day_idx),
+        |f AS (
+        |  SELECT event_type, day_idx, n, sv,
+        |    last_value(CAST(sv AS DOUBLE) IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN sv IS NOT NULL THEN day_idx END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(CAST(sv AS DOUBLE) IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN sv IS NOT NULL THEN day_idx END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY day_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY day_idx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day_idx, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |  pv AS v_locf,
+        |  CASE WHEN sv IS NOT NULL THEN CAST(sv AS DOUBLE)
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) *
+        |        (CAST(day_idx AS DOUBLE) - CAST(pd AS DOUBLE)) /
+        |        (CAST(nd AS DOUBLE) - CAST(pd AS DOUBLE))
+        |    ELSE coalesce(pv, nv) END AS v_interp
+        |FROM f""".stripMargin,
+
+    "q232_conversion_latency" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS vu,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pu
+        |  FROM events WHERE event_type = 'view' OR event_type = 'purchase'
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT (pu - vu) // 60000000 AS lat_min FROM per
+        |  WHERE vu IS NOT NULL AND pu IS NOT NULL AND pu > vu),
+        |g AS (SELECT lat_min, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY 1),
+        |cum AS (
+        |  SELECT lat_min, c,
+        |    CAST(sum(c) OVER (ORDER BY lat_min ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |  FROM g),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(lat_min * c) AS BIGINT) AS s FROM g)
+        |SELECT max(n) AS n_converted,
+        |  min(CASE WHEN cm * 2 >= n THEN lat_min END) AS p50_min,
+        |  min(CASE WHEN cm * 10 >= n * 9 THEN lat_min END) AS p90_min,
+        |  max(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_min
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q233_neyman_allocation" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         |    CAST(sum(n_chars) AS BIGINT) AS s,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+         |  FROM documents GROUP BY 1),
+         |sc AS (
+         |  SELECT source, n_h,
+         |    sqrt((CAST(n_h AS DOUBLE) * CAST(q AS DOUBLE)
+         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         |      / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0))) AS sd_h
+         |  FROM per),
+         |sc2 AS (SELECT source, n_h, sd_h,
+         |    CAST(n_h AS DOUBLE) * sd_h AS w FROM sc),
+         |norm AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list(struct_pack(t := w) ORDER BY source),
+         |      s -> s.t)), (a, x) -> a + x) AS z
+         |  FROM sc2)
+         |SELECT source, n_h, sd_h, w / z AS alloc_share,
+         |  CAST(round($neymanBudget.0 * (w / z), 0) AS BIGINT) AS alloc_n
+         |FROM sc2 CROSS JOIN norm""".stripMargin,
+
+    "q234_cumulative_uniques" ->
+      """WITH fd AS (
+        |  SELECT user_id,
+        |    CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS day_idx
+        |  FROM events GROUP BY 1),
+        |nd AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fd GROUP BY 1),
+        |bounds AS (
+        |  SELECT CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS mn,
+        |    CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS mx
+        |  FROM events),
+        |grid AS (SELECT CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+        |    AS day_idx FROM bounds)
+        |SELECT g.day_idx, CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY g.day_idx ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM grid g LEFT JOIN nd ON g.day_idx = nd.day_idx""".stripMargin,
+
+    "q235_dow_seasonality" ->
+      """WITH cnt AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(min(dd) AS BIGINT) AS mn, CAST(max(dd) AS BIGINT) AS mx
+        |  FROM (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS dd FROM events)),
+        |dd AS (
+        |  SELECT CAST(d % 7 AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM (SELECT unnest(generate_series(mn, mx)) AS d FROM bounds)
+        |  GROUP BY 1),
+        |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS te
+        |  FROM cnt GROUP BY 1),
+        |td AS (SELECT mx - mn + 1 AS td FROM bounds)
+        |SELECT cnt.event_type, cnt.dow, cnt.n_events, dd.n_days,
+        |  (CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |  (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)) AS season_idx
+        |FROM cnt JOIN dd ON cnt.dow = dd.dow
+        |JOIN tot ON cnt.event_type = tot.event_type CROSS JOIN td""".stripMargin)
+}

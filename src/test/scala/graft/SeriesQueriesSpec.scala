@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Stats, Temporal}
+
+/** Fixture semantics for the q231–q235 series batch — above all the gap
+  * paths the dense sf0.01 calendar never exercises: interior holes
+  * (LOCF + true interpolation), leading holes (back-fill), conversion
+  * ordering rules, zero-variance strata, and weekday arithmetic. */
+class SeriesQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(day: Long, sec: Long = 0): java.sql.Timestamp =
+    new java.sql.Timestamp(day * 86400000L + sec * 1000L)
+
+  test("gapFill: interior holes interpolate, leading holes back-fill") {
+    val df = Seq(("k", ts(1), 10.0), ("k", ts(4), 40.0), ("k2", ts(3), 7.0))
+      .toDF("k", "ts", "v")
+    val rows = Temporal.gapFill(df, "k", "ts", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)), r.getDouble(4))).toMap
+    assert(rows.size == 8, "2 keys x days 1..4")
+    assert(rows(("k", 2L)) == ((0L, Some(10.0), 20.0))) // interpolated
+    assert(rows(("k", 3L)) == ((0L, Some(10.0), 30.0)))
+    assert(rows(("k", 4L)) == ((1L, Some(40.0), 40.0)))
+    assert(rows(("k2", 1L)) == ((0L, None, 7.0)))       // leading: back-fill
+    assert(rows(("k2", 4L)) == ((0L, Some(7.0), 7.0)))  // trailing: LOCF
+  }
+
+  test("conversionLatency: ordering rules, minute floor, grid percentiles") {
+    val df = Seq(
+      (1L, ts(1, 0), "view"), (1L, ts(1, 90), "purchase"),   // 1 min
+      (2L, ts(1, 0), "view"), (2L, ts(1, 30), "purchase"),   // 0 min
+      (3L, ts(1, 50), "view"), (3L, ts(1, 10), "purchase"),  // purchase first
+      (4L, ts(1, 0), "view"),                                 // never converts
+      (5L, ts(1, 0), "purchase"))                             // never viewed
+      .toDF("user_id", "ts", "event_type")
+    val r = Temporal.conversionLatency(df, "user_id", "ts", "event_type",
+      "view", "purchase").collect()(0)
+    assert(r.getLong(0) == 2)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 1) // p50, p90
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("neymanAllocation: zero-variance strata get nothing") {
+    val df = Seq(("a", 0), ("a", 10), ("b", 5), ("b", 5)).toDF("g", "v")
+    val m = Stats.neymanAllocation(df, "g", "v", budget = 10).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(math.abs(m("a")._1 - 1.0) < 1e-12 && m("a")._2 == 10)
+    assert(math.abs(m("b")._1) < 1e-12 && m("b")._2 == 0)
+  }
+
+  test("cumulativeUniques: first-seen only, dense grid, running total") {
+    val df = Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(2)), (3L, ts(3)),
+      (2L, ts(3))).toDF("user_id", "ts")
+    val rows = Temporal.cumulativeUniques(df, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 2L, 2L), (2L, 0L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("dowSeasonality: doubled weekday reads 1.75x on a two-week span") {
+    val df = (1L to 14L).flatMap { day =>
+      val n = if (day % 7 == 0) 2 else 1
+      (1 to n).map(i => ("k", ts(day, i)))
+    }.toDF("k", "ts")
+    val m = Temporal.dowSeasonality(df, "k", "ts").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(m(0L)._1 == 4L && m(0L)._2 == 2L)
+    assert(math.abs(m(0L)._3 - 1.75) < 1e-12)
+    assert((1L to 6L).forall(d => m(d)._1 == 2L && m(d)._2 == 2L &&
+      math.abs(m(d)._3 - 0.875) < 1e-12))
+  }
+}
