@@ -84,6 +84,26 @@ import org.apache.spark.sql.functions._
   * the whole job is one embarrassingly-parallel scan whose merge traffic
   * (one 17 KB buffer per partition) does not grow with the corpus.
   *
+  * Late-round-10 additions, measured 2026-08-14 on a quiet box:
+  * {{{
+  *   kruskal_wallis  1x rows=1     3.2 s   10x rows=1      1.8 s
+  *   scd2_apply      1x rows=5470  1.0 s   10x rows=54706  2.5 s
+  *   brand_lift      1x rows=176   3.2 s   10x rows=176   25.2 s
+  *   interevent_gaps 1x rows=5     1.4 s   10x rows=5      2.1 s
+  *   cum_uniques     1x rows=30    0.4 s   10x rows=30     1.1 s
+  * }}}
+  * Reading: the rank-statistic grid is FLAT across factors (replicas add
+  * counts at existing lengths, never new grid points — the length_ks
+  * argument for the whole rank family; the 10x run is faster only because
+  * the JVM is warm). scd2_apply is 2.5x cost for 10x rows in BOTH
+  * snapshots and 10x output — the linear outer-join contract. brand_lift
+  * is ~8x for 10x pair INSTANCES with constant pair TYPES and constant
+  * output (support shares are scale-invariant by construction): cost
+  * tracks the bounded per-basket pair expansion, the linear floor for
+  * co-occurrence counting. Gap census and cumulative uniques are ~flat:
+  * user-partitioned frames and a calendar-bounded grid never grow with
+  * replicas.
+  *
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -110,7 +130,13 @@ object ScaleSmoke {
       .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
 
+    // SPARK_GRAFT_SMOKE_ONLY=kruskal,brand_lift runs a comma-separated
+    // subset of curves (prefix match) — fresh operators get measured on a
+    // quiet box without re-paying the whole suite.
+    val only: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     def time(name: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.exists(p => name.trim.startsWith(p))) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"SMOKE $name%-28s rows=$rows%-9d ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -238,6 +264,63 @@ object ScaleSmoke {
       time(s"funnel          $label") {
         operators.Temporal.funnelSteps(edf, "user_id", "ts", "event_type",
           Seq("view", "click", "purchase"), stepWithinSec = 86400).count()
+      }
+    }
+
+    // Late-round-10 curves.
+    // Rank statistics: the value GRID is (distinct lengths) — replicas add
+    // counts at existing grid points, never new lengths, so the grid (and
+    // every window over it) is CONSTANT across factors; only the first
+    // count pass scales (the length_ks argument, now for the rank family).
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"kruskal_wallis  $label") {
+        operators.Inference.kruskalWallis(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "source", "n_chars").count()
+      }
+      // SCD2 apply: linear in both snapshots by construction — one
+      // key-shuffled outer join + two projections, no history sort
+      time(s"scd2_apply      $label") {
+        val next = df.where(pmod(col("doc_id"), lit(17)) =!= 0)
+          .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        operators.Relational.scd2Apply(df, next, "doc_id",
+          Seq("text", "source"), 1L, 2L).count()
+      }
+    }
+    // Association: replicas shift the BASKET id, so pair TYPES (brand
+    // pairs) are constant while pair instances scale linearly — support
+    // SHARES are invariant, the output table is constant, and cost tracks
+    // the bounded per-basket pair expansion.
+    val li = Graft.table(spark, sfDir, "lineitem")
+      .join(Graft.table(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    val liBig = (0 until factor)
+      .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, ldf) <- Seq(("1x", li), (s"${factor}x", liBig))) {
+      time(s"brand_lift      $label") {
+        operators.Graphs.cooccurrenceLift(ldf, "l_orderkey", "p_brand",
+          11L, 500L).count()
+      }
+    }
+    // Per-user cadence: replicas are new user populations — the lag
+    // windows stay user-partitioned (frames never grow), the gap-bucket
+    // output is constant, cost is the one user-keyed sort-shuffle.
+    val ev2 = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val ev2Big = (0 until factor)
+      .map(i => ev2.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", ev2), (s"${factor}x", ev2Big))) {
+      time(s"interevent_gaps $label") {
+        operators.Temporal.interEventGaps(edf, "user_id", "ts", "event_id").count()
+      }
+      // cumulative uniques: per-user min is one keyed agg; the grid
+      // cumulative runs over the CALENDAR (constant across factors)
+      time(s"cum_uniques     $label") {
+        operators.Temporal.cumulativeUniques(edf, "user_id", "ts").count()
       }
     }
     spark.stop()

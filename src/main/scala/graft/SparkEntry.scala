@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.ScaleQueries.queries ++ graft.queries.StatQueries.queries ++
       graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries ++
       graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries ++
-      graft.queries.WarehouseQueries.queries ++ graft.queries.SeriesQueries.queries
+      graft.queries.WarehouseQueries.queries ++ graft.queries.SeriesQueries.queries ++
+      graft.queries.ProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.ScaleQueries.oracle ++ graft.queries.StatQueries.oracle ++
       graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle ++
       graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle ++
-      graft.queries.WarehouseQueries.oracle ++ graft.queries.SeriesQueries.oracle
+      graft.queries.WarehouseQueries.oracle ++ graft.queries.SeriesQueries.oracle ++
+      graft.queries.ProfileQueries.oracle
 }

@@ -491,4 +491,104 @@ object Stats {
         round(lit(budget.toDouble) * (col("__w") / col("__z")), 0)
           .cast("bigint").as("alloc_n"))
   }
+
+  /** Per-group skewness and excess kurtosis of an integer-valued column,
+    * from the four raw power sums — the distribution-shape profile beside
+    * mean/variance (is a source's length distribution long-tailed or
+    * clipped?). Output per group: n, mean, m2 (population variance),
+    * skewness g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2² − 3.
+    *
+    * Σx..Σx⁴ accumulate in DECIMAL(38,0) (x⁴ ≤ 1e12 leaves ~1e26 rows of
+    * headroom — exact at any realistic corpus), and the central-moment
+    * algebra runs once on the group table in a fixed textual form. One
+    * scan, one keyed aggregate. */
+  def shapeMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DecimalType(18, 0))
+    def wide(c: Column) = c.cast(DecimalType(38, 0))
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(wide(x)).as("__s1"), sum(wide(x * x)).as("__s2"),
+      sum(wide(x * x * x)).as("__s3"),
+      sum(wide((x * x) * (x * x))).as("__s4"))
+    val n = d(col("n"))
+    val s1 = d(col("__s1")); val s2 = d(col("__s2"))
+    val s3 = d(col("__s3")); val s4 = d(col("__s4"))
+    val m2 = (s2 - s1 * s1 / n) / n
+    val m3 = (s3 - lit(3.0) * s1 * s2 / n + lit(2.0) * s1 * s1 * s1 / (n * n)) / n
+    val m4 = (s4 - lit(4.0) * s1 * s3 / n + lit(6.0) * s1 * s1 * s2 / (n * n) -
+      lit(3.0) * s1 * s1 * s1 * s1 / (n * n * n)) / n
+    agg.select(col(groupCol), col("n"), (s1 / n).as("mean"), m2.as("m2"),
+      when(m2 === 0.0, lit(null).cast("double"))
+        .otherwise(m3 / pow(m2, 1.5)).as("skewness"),
+      when(m2 === 0.0, lit(null).cast("double"))
+        .otherwise(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_ex"))
+  }
+
+  /** Pairwise audience overlap between the groups of `groupCol`: for every
+    * unordered group pair, how many entities appear in BOTH, and the
+    * Jaccard of their entity sets — which event types / sources share an
+    * audience. Output per pair: group_a, group_b, n_both, jaccard.
+    *
+    * Plan: distinct (entity, group) memberships once, per-group sizes as a
+    * keyed agg, and the intersection counts from an entity-keyed self-join
+    * (bounded per entity by the number of groups it belongs to — ≤
+    * |groups|, a constant). Output is |groups|²-bounded. */
+  def groupOverlapJaccard(df: DataFrame, entityCol: String,
+                          groupCol: String): DataFrame = {
+    val eg = df.select(col(entityCol).as("__e"), col(groupCol).as("__g")).distinct()
+    val sizes = eg.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
+    val inter = eg.join(eg.select(col("__e"), col("__g").as("__g2")), "__e")
+      .where(col("__g") < col("__g2"))
+      .groupBy(col("__g"), col("__g2")).agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes, "__g")
+      .join(sizes.select(col("__g").as("__g2"), col("__sz").as("__sz2")), "__g2")
+      .select(col("__g").as("group_a"), col("__g2").as("group_b"),
+        col("n_both"),
+        (col("n_both").cast("double") /
+          (col("__sz") + col("__sz2") - col("n_both")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Pareto coverage of a money-like measure: the smallest top slice of
+    * entities (by bucketed value, richest bucket down) whose cumulative
+    * mass reaches num/den of the total — "how many customers carry 80% of
+    * revenue", answered without ever sorting entities. Output: one row —
+    * the crossing bucket's floor (in cents), entities at or above it, and
+    * their exact mass share.
+    *
+    * Per-entity totals are exact cents; entities collapse onto a
+    * fixed-width bucket GRID (value-range bounded, the q158 discipline),
+    * the descending cumulative runs over that grid, and the crossing test
+    * den·cum ≥ num·total stays all-integer. The reported slice is the
+    * bucket-resolution answer (the first bucket whose inclusion reaches
+    * the share) — resolution is the documented knob. */
+  def paretoCoverage(df: DataFrame, entityCol: String, valueCol: String,
+                     bucketCents: Long, num: Long, den: Long): DataFrame = {
+    require(num > 0 && num < den && bucketCents > 0, "need 0 < num/den < 1")
+    val per = df.groupBy(col(entityCol))
+      .agg(sum(dec(col(valueCol)) * 100).cast(DecimalType(18, 0))
+        .cast("bigint").as("__cents"))
+    val buckets = per
+      .groupBy((col("__cents") - pmod(col("__cents"), lit(bucketCents)))
+        .as("__floor"))
+      .agg(count(lit(1)).as("__ne"), sum(col("__cents")).as("__mass"))
+    val w = Window.orderBy(col("__floor").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = buckets
+      .withColumn("__ce", sum(col("__ne")).over(w))
+      .withColumn("__cm", sum(col("__mass")).over(w))
+      .crossJoin(broadcast(buckets.agg(sum(col("__mass")).as("__tot"),
+        sum(col("__ne")).as("__totn"))))
+    // the crossing = the LARGEST floor whose cumulative mass reaches the
+    // share (cum grows downward, so all floors below it also qualify)
+    val crossing = cum.where(col("__cm") * den >= col("__tot") * num)
+      .agg(max(col("__floor")).as("__cross"))
+    cum.crossJoin(broadcast(crossing))
+      .where(col("__floor") === col("__cross"))
+      .select(col("__floor").as("bucket_floor_cents"),
+        col("__ce").as("n_top_entities"), col("__totn").as("n_entities"),
+        (col("__cm").cast("double") / col("__tot").cast("double"))
+          .as("mass_share"))
+  }
 }

@@ -527,4 +527,62 @@ object Temporal {
           (col("__te").cast("double") / col("__td").cast("double")))
           .as("season_idx"))
   }
+
+  /** CUSUM changepoint screen per key on the daily-count series: the day
+    * where the cumulative deviation from the series mean peaks in
+    * magnitude — the classic "did the level shift, and when" alarm for a
+    * volume monitor (a ramp peaks mid-series; a step change peaks at the
+    * step). Output per key: the argmax day (earliest on ties), the peak
+    * |CUSUM| (in counts), and the observed-day count.
+    *
+    * All-integer core: with S the key's total and D its day count,
+    * D·CUSUM_t = D·cum_t − rank_t·S needs no division — exact BIGINTs
+    * end to end, one division for display. Windows run over the per-key
+    * DAILY table (calendar-bounded), never events. */
+  def cusumChangepoint(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    def dayIdx(c: Column) =
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("bigint")
+    val daily = events
+      .groupBy(col(keyCol), dayIdx(col(tsCol)).as("day_idx"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+    val cum = daily
+      .withColumn("__cc", sum(col("c")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__rk", row_number().over(w).cast("bigint"))
+    val tot = daily.groupBy(col(keyCol))
+      .agg(sum(col("c")).as("__s"), count(lit(1)).as("n_days"))
+    val scored = cum.join(tot, keyCol)
+      .select(col(keyCol), col("day_idx"), col("n_days"), col("__s"),
+        abs(col("n_days") * col("__cc") - col("__rk") * col("__s"))
+          .as("__dcu"))
+    val peak = scored.groupBy(col(keyCol))
+      .agg(max(col("__dcu")).as("__mx"))
+    scored.join(peak, keyCol).where(col("__dcu") === col("__mx"))
+      .groupBy(col(keyCol))
+      .agg(min(col("day_idx")).as("change_day"), max(col("n_days")).as("n_days"),
+        (max(col("__dcu")).cast("double") / max(col("n_days")).cast("double"))
+          .as("cusum_peak"))
+  }
+
+  /** Exit census: each user's LAST event (latest ts, id tie-break) and the
+    * distribution of its type — where journeys end, the batch sibling of
+    * the q126 transition matrix's absorbing column. Per-user descending
+    * row_number window (user-partitioned frames), then one small keyed
+    * aggregate; share against the 1-row user total. */
+  def lastEventCensus(events: DataFrame, userCol: String, tsCol: String,
+                      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val last = events
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col(typeCol).as("last_event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    last.crossJoin(broadcast(last.agg(sum(col("n_users")).as("__t"))))
+      .select(col("last_event_type"), col("n_users"),
+        (col("n_users").cast("double") / col("__t").cast("double")).as("share"))
+  }
 }

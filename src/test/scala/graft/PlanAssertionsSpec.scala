@@ -308,4 +308,61 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val scans211 = p211.linesIterator.count(_.contains("Scan parquet"))
     assert(scans211 == 1, s"corr matrix must scan once, saw $scans211")
   }
+
+  test("r10 rank stats: every global window feeds on an aggregated grid, not rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    // q216/q218/q225/q226 run cumulative windows — legal at 100 TB only
+    // because the window input is the distinct-VALUE grid (an aggregate
+    // output), never the data. A WindowExec whose subtree has no aggregate
+    // below it means someone re-pointed the window at raw rows.
+    Seq("q216_mann_whitney", "q218_length_gini", "q225_kruskal_wallis",
+      "q226_decision_stump").foreach { q =>
+      val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q expects its grid window")
+      wins.foreach { w =>
+        val aggBelow = w.child.collect {
+          case h: HashAggregateExec => h: Any
+          case o: ObjectHashAggregateExec => o: Any
+        }
+        assert(aggBelow.nonEmpty, s"$q: window consumes un-aggregated rows:\n$w")
+      }
+    }
+  }
+
+  test("r10 association/audit: pair joins stay equi-keyed, no cartesian products") {
+    // q221/q222 pair expansion must meet through the basket equi-join
+    // (shuffle or broadcast HASH join); the only nested-loop allowed is
+    // the 1-row totals broadcast. q227's NOT EXISTS must be a LeftAnti
+    // hash join; q229's merge one FullOuter equi-join.
+    Seq("q221_brand_lift", "q222_brand_triangles", "q227_fk_orphan_audit",
+      "q229_scd2_history").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+    assert(plan("q227_fk_orphan_audit").contains("LeftAnti"))
+    // EliminateOuterJoin legally splits the shared FullOuter into one-sided
+    // outer joins per branch (each filter kills one null side) — what must
+    // survive is SOME outer equi-join, two branches, and hash joins only
+    val p229 = plan("q229_scd2_history")
+    assert(p229.contains("Outer"), "scd2 branches must keep outer-join semantics")
+    assert(p229.contains("Union"), "closed + open projections union")
+  }
+
+  test("r10 temporal: per-entity windows are partitioned, grids are calendar-bounded") {
+    // q223's lag and q224's WMA run per-user / per-type frames — a global
+    // (unpartitioned) sort window over events would be the scale killer.
+    val p223 = plan("q223_interevent_gaps")
+    assert(p223.contains("windowspecdefinition(user_id"),
+      "gap lag must be partitioned by user")
+    val p224 = plan("q224_wma_trend")
+    assert(p224.contains("windowspecdefinition(event_type"),
+      "WMA lags must be partitioned by key")
+    // q231/q235 materialize the calendar via explode(sequence(bounds)) —
+    // the 1-row bounds side may nested-loop, but never a true cartesian
+    Seq("q231_gap_fill", "q235_dow_seasonality").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
 }
