@@ -22,7 +22,7 @@ object SparkEntry {
       graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries ++
       graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries ++
       graft.queries.WarehouseQueries.queries ++ graft.queries.SeriesQueries.queries ++
-      graft.queries.ProfileQueries.queries
+      graft.queries.ProfileQueries.queries ++ graft.queries.EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -32,5 +32,5 @@ object SparkEntry {
       graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle ++
       graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle ++
       graft.queries.WarehouseQueries.oracle ++ graft.queries.SeriesQueries.oracle ++
-      graft.queries.ProfileQueries.oracle
+      graft.queries.ProfileQueries.oracle ++ graft.queries.EvalQueries.oracle
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators over a (score, boolean label) table —
+  * the sheets every model gate reads: exact AUC-ROC, the
+  * precision/recall curve, the decile gains/lift table, and PSI drift
+  * between two cohorts' score distributions.
+  *
+  * All four run on the integer SCORE GRID (distinct score values with
+  * positive/negative counts — the q158/q216 discipline): cumulative
+  * windows touch only the grid, counts stay exact BIGINTs, and each
+  * final ratio is one double formula the oracle mirrors textually. None
+  * of them ever sorts or ranks individual rows — a 100 TB scored corpus
+  * evaluates with one grid aggregate plus grid-sized windows.
+  */
+object ModelEval {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Exact AUC-ROC with tie handling (tied scores earn half credit) via
+    * the rank-sum identity AUC = U/(n⁺·n⁻) — the probability a random
+    * positive outranks a random negative, computed from
+    * [[Inference.rankSumTest]]'s grid-exact doubled rank sums. Output:
+    * one row — n_pos, n_neg, auc. */
+  def aucRoc(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    val tagged = df.withColumn("__lab", when(label, "pos").otherwise("neg"))
+    Inference.rankSumTest(tagged, "__lab", scoreCol, "pos", "neg")
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("u_stat") / (d(col("n_a")) * d(col("n_b")))).as("auc"))
+  }
+
+  /** Precision/recall/F1 at every distinct score threshold (predict
+    * positive when score ≥ t): TP/FP come from the descending-grid
+    * cumulative counts, FN from the positive total. Output per
+    * threshold, highest first in value (ordering left to the consumer).
+    * Thresholds where precision+recall = 0 report F1 = 0 (not NULL). */
+  def prCurve(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    val grid = df.select(col(scoreCol).cast("bigint").as("threshold"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("__tp", sum(col("__p")).over(w))
+      .withColumn("__pp", sum(col("__c")).over(w)) // predicted positive
+      .crossJoin(broadcast(grid.agg(sum(col("__p")).as("__pos"))))
+    val prec = d(col("__tp")) / d(col("__pp"))
+    val rec = d(col("__tp")) / d(col("__pos"))
+    cum.select(col("threshold"),
+      col("__tp").as("tp"), (col("__pp") - col("__tp")).as("fp"),
+      (col("__pos") - col("__tp")).as("fn"),
+      prec.as("precision"), rec.as("recall"),
+      when(prec + rec === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+  }
+
+  /** Decile gains/lift table: rows ranked by score DESCENDING collapse
+    * onto `nBins` near-equal-count bins (tied scores stay whole — a tie
+    * never splits across bins, so the table is deterministic at any
+    * partitioning; bin = ⌈cum·nBins/n⌉, all-integer). Output per bin:
+    * rows, positives, cumulative capture rate of all positives, and
+    * cumulative lift vs the base rate — "the top 20% of scores capture
+    * X% of positives at Y× random". */
+  def gainsTable(df: DataFrame, scoreCol: String, label: Column,
+                 nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val grid = df.select(col(scoreCol).cast("bigint").as("__v"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("__cn", sum(col("__c")).over(w))
+      .crossJoin(broadcast(grid.agg(sum(col("__c")).as("__n"),
+        sum(col("__p")).as("__pos"))))
+      .withColumn("bin",
+        expr(s"(__cn * $nBins + __n - 1) div __n")) // ceil, exact integers
+    val bins = cum.groupBy(col("bin"), col("__n"), col("__pos"))
+      .agg(sum(col("__c")).as("n_rows"), sum(col("__p")).as("n_pos"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bins
+      .withColumn("__cumn", sum(col("n_rows")).over(wb))
+      .withColumn("__cump", sum(col("n_pos")).over(wb))
+      .select(col("bin"), col("n_rows"), col("n_pos"),
+        (d(col("__cump")) / d(col("__pos"))).as("cum_capture"),
+        ((d(col("__cump")) / d(col("__cumn"))) /
+          (d(col("__pos")) / d(col("__n")))).as("cum_lift"))
+  }
+
+  /** Population Stability Index between cohort A's and cohort B's score
+    * distributions over `nBins` fixed-width bins of the pooled value
+    * range, with add-one (Laplace) smoothing so empty cells stay finite:
+    * PSI = Σ (p−q)·ln(p/q), folded LEFT over the bin-sorted term list
+    * (the q204 discipline). Rule of thumb: < 0.1 stable, > 0.25 shifted.
+    * Output: one row — n_a, n_b, n_bins_hit (bins with any data; empty
+    * bins contribute exactly 0 under smoothing, p = q), psi.
+    *
+    * Bin assignment is all-integer against the 1-row pooled bounds:
+    * bin = (v−mn)·nBins div (mx−mn+1). */
+  def psi(df: DataFrame, groupCol: String, groupA: String, groupB: String,
+          scoreCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val g = col(groupCol)
+    val base = df.where(g === groupA || g === groupB)
+      .select(when(g === groupA, 1L).otherwise(0L).as("__a"),
+        col(scoreCol).cast("bigint").as("__v"))
+    val bounds = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .select(col("__a"),
+        expr(s"((__v - __mn) * $nBins) div (__mx - __mn + 1)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val tot = binned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val withTot = binned.crossJoin(broadcast(tot))
+    val p = (d(col("__ca")) + lit(1.0)) / (d(col("__na")) + lit(nBins.toDouble))
+    val q = (d(col("__cb")) + lit(1.0)) / (d(col("__nb")) + lit(nBins.toDouble))
+    withTot
+      .select(col("__na"), col("__nb"),
+        struct(col("bin"), ((p - q) * log(p / q)).as("__t")).as("__s"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_bins_hit"),
+        array_sort(collect_list(col("__s"))).as("__l"))
+      .select(col("n_a"), col("n_b"), col("n_bins_hit"),
+        expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
+          " (a, x) -> a + x)").as("psi"))
+  }
+}

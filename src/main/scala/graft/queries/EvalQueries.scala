@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.ModelEval
+
+/** Round-10 model-evaluation batch: the classifier-gate sheets — exact
+  * AUC-ROC (rank-sum identity), the full precision/recall curve, the
+  * decile gains/lift table, and PSI cohort drift. The "model" under
+  * evaluation is deliberately a transparent toy (document length
+  * predicting lang = 'en') so the oracle can replay every number while
+  * the MACHINERY — grid-exact thresholds, tie handling, integer bin
+  * assignment, fold-ordered PSI terms — is the real, scale-safe thing
+  * a trained classifier's scores would flow through unchanged. */
+object EvalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q244's PSI cohorts and bin count. */
+  private val psiA = "src0"
+  private val psiB = "src1"
+  private val psiBins = 10
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact tie-aware AUC via U/(n+·n-) — q216's rank machinery read as
+    // "probability a random positive outscores a random negative".
+    "q241_auc" -> ((s, d) =>
+      ModelEval.aucRoc(table(s, d, "documents"), "n_chars",
+        col("lang") === "en")),
+
+    // Precision/recall/F1 at every distinct threshold from the
+    // descending score-grid cumulative — the full operating-point sheet.
+    "q242_pr_curve" -> ((s, d) =>
+      ModelEval.prCurve(table(s, d, "documents"), "n_chars",
+        col("lang") === "en")),
+
+    // Decile gains/lift: ties never split bins, bin = ceil(cum·10/n)
+    // all-integer — "the top decile captures X% of positives at Y×".
+    "q243_gains_table" -> ((s, d) =>
+      ModelEval.gainsTable(table(s, d, "documents"), "n_chars",
+        col("lang") === "en", nBins = 10)),
+
+    // PSI drift between src0's and src1's length distributions over 10
+    // fixed-width bins with Laplace smoothing — the score-stability
+    // monitor (< 0.1 stable, > 0.25 shifted).
+    "q244_psi" -> ((s, d) =>
+      ModelEval.psi(table(s, d, "documents"), "source", psiA, psiB,
+        "n_chars", psiBins)))
+
+  val oracle: Map[String, String] = Map(
+
+    "q241_auc" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT v, ca, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS below
+        |  FROM grid),
+        |a AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+        |    CAST(sum(cnt - ca) AS BIGINT) AS n_neg,
+        |    CAST(sum(ca * (2 * below + cnt + 1)) AS BIGINT) AS r2a
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |  (CAST(r2a AS DOUBLE) / 2.0
+        |    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        |  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        |FROM a""".stripMargin,
+
+    "q242_pr_curve" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS threshold, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT threshold,
+        |    CAST(sum(p) OVER (ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(c) OVER (ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS pos FROM grid)
+        |SELECT threshold, tp, pp - tp AS fp, pos - tp AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS "precision",
+        |  CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall,
+        |  CASE WHEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
+        |         + CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) = 0.0 THEN 0.0
+        |    ELSE 2.0 * (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+        |           * (CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE))
+        |         / (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
+        |           + CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)) END AS f1
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q243_gains_table" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS pos FROM grid),
+        |cum AS (
+        |  SELECT v, c, p,
+        |    CAST(sum(c) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |  FROM grid),
+        |bb AS (SELECT (cn * 10 + n - 1) // n AS bin, c, p, n, pos
+        |  FROM cum CROSS JOIN tot),
+        |bins AS (SELECT bin, n, pos, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(p) AS BIGINT) AS n_pos
+        |  FROM bb GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT bin, n_rows, n_pos, n, pos,
+        |    CAST(sum(n_rows) OVER (ORDER BY bin ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumn,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cump
+        |  FROM bins)
+        |SELECT bin, n_rows, n_pos,
+        |  CAST(cump AS DOUBLE) / CAST(pos AS DOUBLE) AS cum_capture,
+        |  (CAST(cump AS DOUBLE) / CAST(cumn AS DOUBLE))
+        |    / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS cum_lift
+        |FROM fin""".stripMargin,
+
+    "q244_psi" ->
+      s"""WITH base AS (
+         |  SELECT CASE WHEN source = '$psiA' THEN 1 ELSE 0 END AS a,
+         |    CAST(n_chars AS BIGINT) AS v
+         |  FROM documents WHERE source IN ('$psiA', '$psiB')),
+         |bounds AS (SELECT CAST(min(v) AS BIGINT) AS mn,
+         |    CAST(max(v) AS BIGINT) AS mx FROM base),
+         |binned AS (
+         |  SELECT ((v - mn) * $psiBins) // (mx - mn + 1) AS bin,
+         |    CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+         |  FROM base CROSS JOIN bounds GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM binned),
+         |terms AS (
+         |  SELECT bin, na, nb,
+         |    ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + $psiBins.0)
+         |      - (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + $psiBins.0))
+         |    * ln(((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + $psiBins.0))
+         |        / ((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + $psiBins.0)))
+         |      AS t
+         |  FROM binned CROSS JOIN tot)
+         |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         |  CAST(count(*) AS BIGINT) AS n_bins_hit,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list(struct_pack(t := t) ORDER BY bin), s -> s.t)),
+         |    (a, x) -> a + x) AS psi
+         |FROM terms""".stripMargin)
+}
