@@ -31,7 +31,7 @@ object Relational {
   /** Null-safe row fingerprint of the given columns (md5 over a
     * 0x01-joined, null-marked string view) — shared by [[snapshotDiff]]
     * and its oracle. */
-  private def rowHash(cols: Seq[String]): Column =
+  def rowHash(cols: Seq[String]): Column =
     md5(concat_ws("\u0001",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
 
