@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.RelQueries.queries ++ graft.queries.RelQueries3.queries ++
       graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries ++
       graft.queries.WarehouseQueries.queries ++ graft.queries.SeriesQueries.queries ++
-      graft.queries.ProfileQueries.queries ++ graft.queries.EvalQueries.queries
+      graft.queries.ProfileQueries.queries ++ graft.queries.EvalQueries.queries ++
+      graft.queries.ExperimentQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.RelQueries.oracle ++ graft.queries.RelQueries3.oracle ++
       graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle ++
       graft.queries.WarehouseQueries.oracle ++ graft.queries.SeriesQueries.oracle ++
-      graft.queries.ProfileQueries.oracle ++ graft.queries.EvalQueries.oracle
+      graft.queries.ProfileQueries.oracle ++ graft.queries.EvalQueries.oracle ++
+      graft.queries.ExperimentQueries.oracle
 }

@@ -92,6 +92,44 @@ object ModelEval {
           (d(col("__pos")) / d(col("__n")))).as("cum_lift"))
   }
 
+  /** Expected Calibration Error over `nBins` equal-width bins of a score
+    * normalized to [0,1] by the observed max: ECE = Σ (n_b/n)·|acc_b −
+    * conf_b| — "when the score says 0.8, is the positive rate 0.8?", the
+    * reliability summary beside [[aucRoc]]'s ranking quality (a model
+    * can rank perfectly and still be wildly miscalibrated). Output: one
+    * row — n, n_bins_hit, ece.
+    *
+    * Integer core: bin = score·nBins div (max+1) on the raw integer
+    * score (never a double bucket boundary); per-bin positives and score
+    * sums are exact BIGINTs; conf_b = (Σ score)/(n_b·max) as one double.
+    * The weighted |gap| sum folds LEFT over the bin-sorted list. */
+  def ece(df: DataFrame, scoreCol: String, label: Column,
+          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val base = df.select(col(scoreCol).cast("bigint").as("__v"),
+      when(label, 1L).otherwise(0L).as("__y"))
+    val mx = base.agg(max(col("__v")).as("__mx"))
+    val bins = base.crossJoin(broadcast(mx))
+      .select(expr(s"(__v * $nBins) div (__mx + 1)").as("bin"),
+        col("__v"), col("__y"), col("__mx"))
+      .groupBy(col("bin"), col("__mx"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"),
+        sum(col("__v")).as("__s"))
+    val tot = bins.agg(sum(col("__c")).as("__n"))
+    val acc = d(col("__p")) / d(col("__c"))
+    val conf = d(col("__s")) / (d(col("__c")) * d(col("__mx")))
+    bins.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        struct(col("bin"),
+          (d(col("__c")) / d(col("__n")) * abs(acc - conf)).as("__t"))
+          .as("__s2"))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_bins_hit"),
+        array_sort(collect_list(col("__s2"))).as("__l"))
+      .select(col("n"), col("n_bins_hit"),
+        expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
+          " (a, x) -> a + x)").as("ece"))
+  }
+
   /** Population Stability Index between cohort A's and cohort B's score
     * distributions over `nBins` fixed-width bins of the pooled value
     * range, with add-one (Laplace) smoothing so empty cells stay finite:

@@ -550,6 +550,33 @@ object Stats {
           .as("jaccard"))
   }
 
+  /** Two-proportion z-test: does cohort A convert at a different rate
+    * than cohort B? Inputs are per-row (cohort, success) flags; output
+    * one row — n/k per side, both rates, and the pooled-SE z statistic,
+    * the standard A/B experiment readout (1.96 ≈ the 5% line). Exact
+    * integer counts, one double formula; the test is undefined (NULL z)
+    * when the pooled rate is 0 or 1 — no successes or no failures
+    * anywhere — rather than ±Inf. One scan, one 1-row aggregate. */
+  def twoProportionZ(df: DataFrame, groupCol: String, groupA: String,
+                     groupB: String, success: Column): DataFrame = {
+    val g = col(groupCol)
+    val agg = df.where(g === groupA || g === groupB).agg(
+      count(when(g === groupA, 1)).as("n_a"),
+      count(when(g === groupA && success, 1)).as("k_a"),
+      count(when(g === groupB, 1)).as("n_b"),
+      count(when(g === groupB && success, 1)).as("k_b"))
+    val pa = d(col("k_a")) / d(col("n_a"))
+    val pb = d(col("k_b")) / d(col("n_b"))
+    val pp = (d(col("k_a")) + d(col("k_b"))) / (d(col("n_a")) + d(col("n_b")))
+    agg.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      pa.as("rate_a"), pb.as("rate_b"),
+      when(pp === 0.0 || pp === 1.0, lit(null).cast("double"))
+        .otherwise((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+        .as("z"))
+  }
+
   /** Pareto coverage of a money-like measure: the smallest top slice of
     * entities (by bucketed value, richest bucket down) whose cumulative
     * mass reaches num/den of the total — "how many customers carry 80% of

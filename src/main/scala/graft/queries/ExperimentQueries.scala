@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft.table
+import graft.operators.{ModelEval, Stats, Survival}
+
+/** Round-10 experimentation batch: the product-analytics trio — Kaplan-
+  * Meier churn survival with honest censoring, the two-proportion
+  * A/B z-test, and expected calibration error for the score pipeline.
+  * Grids and folds as everywhere; KM's survival product is exp/ln and
+  * therefore 6dp-quantized (the q219 libm discipline). */
+object ExperimentQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // Kaplan-Meier survival of user activity spans: churn = silent for
+    // the final 7 observed days; still-active users are CENSORED (leave
+    // the risk set without counting as events) — what naive average
+    // lifetime gets wrong.
+    "q245_kaplan_meier" -> ((s, d) =>
+      Survival.kaplanMeier(table(s, d, "events"), "user_id", "ts",
+        churnGapDays = 7)),
+
+    // Two-proportion z: do even- and odd-id users convert (ever
+    // purchase) at different rates? The A/B experiment readout beside
+    // q179's mean-shift Welch t.
+    "q246_two_proportion_z" -> ((s, dir) => {
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0)
+          .as("converted"))
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "even")
+          .otherwise("odd").as("cohort"), col("converted"))
+      Stats.twoProportionZ(perUser, "cohort", "even", "odd", col("converted"))
+    }),
+
+    // Expected calibration error of the toy length→English score over 10
+    // integer-assigned bins — ranking quality (q241) and calibration are
+    // different failures; this measures the second.
+    "q247_ece" -> ((s, d) =>
+      ModelEval.ece(table(s, d, "documents"), "n_chars",
+        col("lang") === "en", nBins = 10)))
+
+  val oracle: Map[String, String] = Map(
+
+    "q245_kaplan_meier" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS f,
+        |    CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS l
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT CAST(max(l) AS BIGINT) AS mx FROM spans),
+        |pu AS (SELECT l - f AS duration, (l < mx - 6) AS churned
+        |  FROM spans CROSS JOIN hz),
+        |grid AS (
+        |  SELECT duration, CAST(count(*) AS BIGINT) AS ending,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events
+        |  FROM pu GROUP BY 1),
+        |r AS (
+        |  SELECT duration, n_events,
+        |    CAST(sum(ending) OVER (ORDER BY duration DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM grid)
+        |SELECT duration, n_risk, n_events,
+        |  round(exp(sum(ln(1.0 -
+        |      CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+        |    OVER (ORDER BY duration ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |    AS survival
+        |FROM r""".stripMargin,
+
+    "q246_two_proportion_z" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (cohort = 'even') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (cohort = 'even' AND conv) AS BIGINT) AS k_a,
+        |    CAST(count(*) FILTER (cohort = 'odd') AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (cohort = 'odd' AND conv) AS BIGINT) AS k_b
+        |  FROM pu)
+        |SELECT n_a, k_a, n_b, k_b,
+        |  CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CASE WHEN (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) = 0.0
+        |      OR (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) = 1.0
+        |    THEN NULL
+        |    ELSE (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |        * (1.0 - (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM a""".stripMargin,
+
+    "q247_ece" ->
+      """WITH base AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |mx AS (SELECT CAST(max(v) AS BIGINT) AS mx FROM base),
+        |bins AS (
+        |  SELECT (v * 10) // (mx + 1) AS bin, mx,
+        |    CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(v) AS BIGINT) AS s
+        |  FROM base CROSS JOIN mx GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bins),
+        |terms AS (
+        |  SELECT bin, n,
+        |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * abs(CAST(p AS DOUBLE) / CAST(c AS DOUBLE)
+        |        - CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(mx AS DOUBLE)))
+        |      AS t
+        |  FROM bins CROSS JOIN tot)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins_hit,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list(struct_pack(t := t) ORDER BY bin), s -> s.t)),
+        |    (a, x) -> a + x) AS ece
+        |FROM terms""".stripMargin)
+}
