@@ -130,6 +130,21 @@ object Relational {
         col("n_distinct"), col("min_num"), col("max_num"))
   }
 
+  /** Deterministic per-group mode of an integer-valued column: the most
+    * frequent value, ties broken to the SMALLEST value (dropDuplicates-
+    * style arbitrariness is exactly what a reproducible profile can't
+    * have). Two keyed aggregates over the (group, value) count table —
+    * grid-sized after the first shuffle, never a sort of rows. Output:
+    * (group, mode_value, mode_count). */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol), col(valueCol).cast("bigint").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    c.groupBy(col(groupCol))
+      .agg(max(struct(col("__cnt"), (-col("__v")).as("__nv"))).as("__m"))
+      .select(col(groupCol), (-col("__m.__nv")).as("mode_value"),
+        col("__m.__cnt").as("mode_count"))
+  }
+
   /** Deterministic top-k: total order via explicit tie-breaker columns.
     * Physical plan is TakeOrderedAndProject — no global sort, no full shuffle;
     * each partition keeps k rows, driver merges. Safe at any scale for small k. */
