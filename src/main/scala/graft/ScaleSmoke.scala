@@ -91,7 +91,14 @@ import org.apache.spark.sql.functions._
   *   brand_lift      1x rows=176   3.2 s   10x rows=176   25.2 s
   *   interevent_gaps 1x rows=5     1.4 s   10x rows=5      2.1 s
   *   cum_uniques     1x rows=30    0.4 s   10x rows=30     1.1 s
+  *   kaplan_meier    1x rows=4     3.6 s   10x rows=4      2.1 s
+  *   auc_roc         1x rows=1     0.3 s   10x rows=1      0.4 s
+  *   gains_table     1x rows=10    1.2 s   10x rows=10     1.5 s
   * }}}
+  * KM/AUC/gains are FLAT at 10x: per-user spans collapse to a constant
+  * duration grid (replicas add users, never durations) and the score
+  * grid is (distinct lengths) — the rank-family argument; cost is the
+  * first keyed aggregate, the windows never grow.
   * Reading: the rank-statistic grid is FLAT across factors (replicas add
   * counts at existing lengths, never new grid points — the length_ks
   * argument for the whole rank family; the 10x run is faster only because
@@ -321,6 +328,27 @@ object ScaleSmoke {
       // cumulative runs over the CALENDAR (constant across factors)
       time(s"cum_uniques     $label") {
         operators.Temporal.cumulativeUniques(edf, "user_id", "ts").count()
+      }
+      // KM: per-user spans (one keyed agg) collapse onto the DURATION
+      // grid — replicas add users, never durations, so the grid windows
+      // and the curve length are constant across factors
+      time(s"kaplan_meier    $label") {
+        operators.Survival.kaplanMeier(edf, "user_id", "ts").count()
+      }
+    }
+    // Eval curves: the score GRID is (distinct lengths) — constant across
+    // factors (the kruskal argument): AUC cost is one grid aggregate +
+    // grid window regardless of row count; gains bins likewise.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"auc_roc         $label") {
+        operators.ModelEval.aucRoc(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "n_chars", col("doc_id") % 2 === 0).count()
+      }
+      time(s"gains_table     $label") {
+        operators.ModelEval.gainsTable(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "n_chars", col("doc_id") % 2 === 0).count()
       }
     }
     spark.stop()

@@ -318,7 +318,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // below it means someone re-pointed the window at raw rows.
     Seq("q216_mann_whitney", "q218_length_gini", "q225_kruskal_wallis",
       "q226_decision_stump", "q242_pr_curve", "q243_gains_table",
-      "q232_conversion_latency", "q245_kaplan_meier").foreach { q =>
+      "q232_conversion_latency", "q245_kaplan_meier",
+      "q240_pareto_coverage").foreach { q =>
       val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val wins = sp.collect { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$q expects its grid window")
