@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.MlQueries.queries ++ graft.queries.InferQueries.queries ++
       graft.queries.WarehouseQueries.queries ++ graft.queries.SeriesQueries.queries ++
       graft.queries.ProfileQueries.queries ++ graft.queries.EvalQueries.queries ++
-      graft.queries.ExperimentQueries.queries ++ graft.queries.FunctionQueries.queries
+      graft.queries.ExperimentQueries.queries ++ graft.queries.FunctionQueries.queries ++
+      graft.queries.FeatureQueries.queries ++ graft.queries.AffinityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.MlQueries.oracle ++ graft.queries.InferQueries.oracle ++
       graft.queries.WarehouseQueries.oracle ++ graft.queries.SeriesQueries.oracle ++
       graft.queries.ProfileQueries.oracle ++ graft.queries.EvalQueries.oracle ++
-      graft.queries.ExperimentQueries.oracle ++ graft.queries.FunctionQueries.oracle
+      graft.queries.ExperimentQueries.oracle ++ graft.queries.FunctionQueries.oracle ++
+      graft.queries.FeatureQueries.oracle ++ graft.queries.AffinityQueries.oracle
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the q251–q258 batch: the smoothing formula,
+  * bin-boundary tie direction, hash-bucket load conservation, and the
+  * basket cap + tie-break semantics the oracles can't explain. */
+class FeatureAffinitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("targetEncode: m-estimate shrinks rare categories toward global mean") {
+    val df = Seq(("A", 10.0), ("A", 20.0), ("B", 40.0)).toDF("c", "y")
+    val enc = graft.operators.Features.targetEncode(df, "c", "y", m = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val gmean = 70.0 / 3
+    assert(enc("A")._1 == 2L && math.abs(enc("A")._2 - 15.0) < 1e-12)
+    assert(math.abs(enc("A")._3 - (30.0 + gmean) / 3.0) < 1e-12)
+    assert(math.abs(enc("B")._3 - (40.0 + gmean) / 2.0) < 1e-12)
+  }
+
+  test("equidepthProfile: bins partition rows; edge value falls in lower bin") {
+    // 8 values, 4 bins -> edges at p25/p50/p75 of 1..8: (2.75, 4.5, 6.25)
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val bins = graft.operators.Features.equidepthProfile(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(bins.values.map(_._1).sum == 8L)
+    assert(bins(1L) == ((2L, 1.0, 2.0)) && bins(2L) == ((2L, 3.0, 4.0)))
+    // exact-edge membership: with edges (2,4,6) from 1..7, v=4 -> bin 2
+    val df7 = (1 to 7).map(_.toDouble).toDF("v")
+    val b7 = graft.operators.Features.equidepthProfile(df7, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(b7(2L) == 4.0, "v == edge must close the lower bin (v > e strict)")
+  }
+
+  test("hashBuckets: loads conserve keys and buckets stay in range") {
+    val df = (1L to 500L).toDF("k")
+    val rows = graft.operators.Features.hashBuckets(df, "k", 64).collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)),
+      "distinct keys: n_keys == n_distinct")
+  }
+
+  test("itemPairs: cap keeps smallest ids; marginals counted on capped rows") {
+    val df = Seq((1, 10L), (1, 20L), (1, 30L), (2, 10L), (2, 20L),
+      (3, 10L), (3, 20L), (4, 40L), (4, 50L)).toDF("b", "i")
+    val p = graft.operators.Affinity
+      .itemPairs(df, "b", "i", cap = 2, minSupport = 2).collect()
+    assert(p.length == 1, s"cap=2 drops 30 from basket 1: ${p.toSeq}")
+    val r = p.head
+    assert(r.getLong(r.fieldIndex("item_a")) == 10L &&
+      r.getLong(r.fieldIndex("item_b")) == 20L)
+    assert(r.getLong(r.fieldIndex("n_pair")) == 3L &&
+      r.getLong(r.fieldIndex("n_a")) == 3L)
+    assert(r.getDouble(r.fieldIndex("jaccard")) == 1.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("lift")) - 3.0 * 4 / 9) < 1e-12)
+  }
+
+  test("similarItems: lift ties break to the smaller neighbor id") {
+    val pairs = Seq((1L, 2L, 5L, 10L, 10L, 0.5, 2.0),
+      (1L, 3L, 5L, 10L, 10L, 0.5, 2.0))
+      .toDF("item_a", "item_b", "n_pair", "n_a", "n_b", "jaccard", "lift")
+    val top = graft.operators.Affinity.similarItems(pairs, k = 1)
+      .where($"item" === 1L).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 2L,
+      s"equal lift must keep neighbor 2 over 3: ${top.toSeq}")
+  }
+}
