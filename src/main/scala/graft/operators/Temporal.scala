@@ -585,4 +585,52 @@ object Temporal {
       .select(col("last_event_type"), col("n_users"),
         (col("n_users").cast("double") / col("__t").cast("double")).as("share"))
   }
+
+  /** Per-key daily EWMA smoothing: e_1 = v_1, e_t = α·v_t + (1-α)·e_{t-1}
+    * over each key's OBSERVED days in day order — the recursive smoother a
+    * monitoring pipeline runs over its daily series.
+    *
+    * A linear recurrence has no associative reformulation, so it cannot be
+    * a partial-aggregable tree — but it doesn't need one: the state is one
+    * double per key, and each key's series is CALENDAR-bounded (≤ #days
+    * rows regardless of corpus size, the q173/q231 argument). The fold
+    * runs in-row over the day-sorted collected series (`aggregate` HOF),
+    * one shuffle total, no windows.
+    *
+    * Determinism: daily values are exact decimal sums cast to double once;
+    * the fold visits days in sorted order with the literal-double α
+    * formula written exactly as the oracle's recursive CTE — identical
+    * IEEE operation order, identical bits. */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, alpha: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(sum(col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast("double").as("v"))
+    val a = alpha
+    val b = 1.0 - alpha
+    daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day_idx").as("day"),
+        col("v").as("v")))).as("__arr"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(
+           |  __arr,
+           |  named_struct('e', CAST(0.0 AS DOUBLE),
+           |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT,
+           |      v: DOUBLE, ew: DOUBLE>>)),
+           |  (acc, x) -> named_struct(
+           |    'e', CASE WHEN size(acc.out) = 0 THEN x.v
+           |      ELSE ${a}D * x.v + ${b}D * acc.e END,
+           |    'out', concat(acc.out, array(named_struct('day', x.day,
+           |      'v', x.v,
+           |      'ew', CASE WHEN size(acc.out) = 0 THEN x.v
+           |        ELSE ${a}D * x.v + ${b}D * acc.e END)))),
+           |  acc -> acc.out)""".stripMargin)).as("__r"))
+      .select(col(keyCol), col("__r.day").as("day_idx"), col("__r.v").as("v"),
+        col("__r.ew").as("ewma"))
+  }
 }

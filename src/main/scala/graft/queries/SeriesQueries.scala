@@ -55,9 +55,84 @@ object SeriesQueries {
     // calendar-exact per-weekday day counts — which days carry the
     // weekly rhythm q173's lag-7 ACF detects.
     "q235_dow_seasonality" -> ((s, d) =>
-      Temporal.dowSeasonality(table(s, d, "events"), "event_type", "ts")))
+      Temporal.dowSeasonality(table(s, d, "events"), "event_type", "ts")),
+
+    // Per-type daily EWMA (α=0.3) — the recursive smoother, folded
+    // in-row over the calendar-bounded day series (no windows); see
+    // Temporal.ewmaDaily for the determinism argument.
+    "q259_ewma_daily" -> ((s, d) =>
+      Temporal.ewmaDaily(table(s, d, "events"), "event_type", "ts", "value",
+        alpha = 0.3)),
+
+    // Seasonal-naive forecast screen: per type, MAE of the lag-1 naive
+    // vs the lag-7 seasonal-naive forecast of daily counts over observed
+    // days — ratio < 1 means the weekly rhythm beats persistence, the
+    // decision number behind q235's seasonality index. Integer |diff|
+    // sums (exact), one double division at the end; per-type windows
+    // over calendar-bounded frames.
+    "q260_seasonal_error" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      daily
+        .withColumn("__l1", lag(col("n"), 1).over(w))
+        .withColumn("__l7", lag(col("n"), 7).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          (sum(abs(col("n") - col("__l1"))).cast("double") /
+            count(col("__l1"))).as("mae_naive"),
+          (sum(abs(col("n") - col("__l7"))).cast("double") /
+            count(col("__l7"))).as("mae_seasonal"))
+        .select(col("event_type"), col("n_days"), col("mae_naive"),
+          col("mae_seasonal"),
+          (col("mae_seasonal") / col("mae_naive")).as("mase_ratio"))
+    }))
 
   val oracle: Map[String, String] = Map(
+
+    "q259_ewma_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_idx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day_idx, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day_idx) AS rn
+        |  FROM daily),
+        |ew AS (
+        |  SELECT event_type, day_idx, v, rn, v AS ewma FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.day_idx, r.v, r.rn,
+        |    CAST(0.3 AS DOUBLE) * r.v + CAST(0.7 AS DOUBLE) * ew.ewma
+        |  FROM r JOIN ew ON r.event_type = ew.event_type
+        |    AND r.rn = ew.rn + 1)
+        |SELECT event_type, day_idx, v, ewma FROM ew""".stripMargin,
+
+    "q260_seasonal_error" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day_idx) AS l1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day_idx) AS l7
+        |  FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(n - l1)) AS DOUBLE) / count(l1) AS mae_naive,
+        |  CAST(sum(abs(n - l7)) AS DOUBLE) / count(l7) AS mae_seasonal,
+        |  (CAST(sum(abs(n - l7)) AS DOUBLE) / count(l7))
+        |    / (CAST(sum(abs(n - l1)) AS DOUBLE) / count(l1)) AS mase_ratio
+        |FROM l GROUP BY 1""".stripMargin,
 
     "q231_gap_fill" ->
       """WITH daily AS (

@@ -73,6 +73,20 @@ object WarehouseQueries {
         scdCols, t1 = 1L, t2 = 2L)
     }),
 
+    // Declarative expectation suite (Deequ pattern): five typed checks
+    // compiled to ONE aggregation pass + an in-row unpivot. The bounds
+    // check is calibrated to fail its 0.999 threshold on purpose so the
+    // suite demonstrates a mixed verdict, not a vacuous all-pass.
+    "q256_expectation_suite" -> ((s, d) => {
+      import graft.operators.Expectations._
+      evaluate(table(s, d, "orders"), Seq(
+        Completeness("o_custkey", 1.0),
+        Distinctness("o_orderkey", 1.0),
+        Bounds("o_totalprice", 1000.0, 300000.0, 0.999),
+        Pattern("o_orderpriority", "^[1-5]-", 1.0),
+        Membership("o_orderstatus", Seq("O", "F", "P"), 1.0)))
+    }),
+
     // Explicit GROUPING SETS census over (source, lang): the one
     // grouping shape rollup (q24/q73) and cube (q47) cannot express —
     // an arbitrary set list, here both one-dimension margins plus the
@@ -98,6 +112,31 @@ object WarehouseQueries {
        |    WHERE pa.$pk = ch.$fk)) o""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q256_expectation_suite" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(count(o_custkey) AS DOUBLE) / count(*) AS m0,
+        |    CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+        |      / count(o_orderkey) AS m1,
+        |    CAST(sum(CASE WHEN o_totalprice BETWEEN 1000.0 AND 300000.0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(o_totalprice) AS m2,
+        |    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(o_orderpriority) AS m3,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(o_orderstatus) AS m4
+        |  FROM orders)
+        |SELECT 'completeness' AS check_name, 'o_custkey' AS col_name,
+        |  m0 AS metric, CAST(1.0 AS DOUBLE) AS threshold,
+        |  m0 >= 1.0 AS passed FROM m
+        |UNION ALL SELECT 'distinctness', 'o_orderkey', m1,
+        |  CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m
+        |UNION ALL SELECT 'bounds', 'o_totalprice', m2,
+        |  CAST(0.999 AS DOUBLE), m2 >= 0.999 FROM m
+        |UNION ALL SELECT 'pattern', 'o_orderpriority', m3,
+        |  CAST(1.0 AS DOUBLE), m3 >= 1.0 FROM m
+        |UNION ALL SELECT 'membership', 'o_orderstatus', m4,
+        |  CAST(1.0 AS DOUBLE), m4 >= 1.0 FROM m""".stripMargin,
 
     "q226_decision_stump" ->
       """WITH grid AS (

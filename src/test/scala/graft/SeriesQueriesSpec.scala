@@ -73,4 +73,46 @@ class SeriesQueriesSpec extends AnyFunSuite {
     assert((1L to 6L).forall(d => m(d)._1 == 2L && m(d)._2 == 2L &&
       math.abs(m(d)._3 - 0.875) < 1e-12))
   }
+
+  test("ewmaDaily: hand-computed recurrence, repartition-invariant") {
+    val df = Seq(("k", ts(1), 10.0), ("k", ts(2), 20.0), ("k", ts(3), 5.0),
+      ("j", ts(5), 8.0)).toDF("k", "ts", "v")
+    def run(parts: Int) = Temporal
+      .ewmaDaily(df.repartition(parts), "k", "ts", "v", alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val m = run(1)
+    assert(m(("k", 1L)) == ((10.0, 10.0)), "e_1 = v_1")
+    val e2 = 0.3 * 20.0 + 0.7 * 10.0
+    assert(m(("k", 2L)) == ((20.0, e2)))
+    assert(m(("k", 3L)) == ((5.0, 0.3 * 5.0 + 0.7 * e2)))
+    assert(m(("j", 5L)) == ((8.0, 8.0)), "independent key restarts")
+    assert(run(7) == m, "fold order is data-defined, not partition-defined")
+  }
+
+  test("seasonal error: q260 ratio detects a pure weekly rhythm") {
+    // 28 days, counts 1,1,1,1,1,1,8 repeating: lag-7 error is 0,
+    // lag-1 error is positive -> ratio 0.
+    val ev = (0 until 28).flatMap { d =>
+      val n = if (d % 7 == 6) 8 else 1
+      (0 until n).map(i => ("t", ts(d.toLong + 1, i.toLong)))
+    }.toDF("event_type", "ts")
+    // same plan as q260, applied to the fixture instead of the table dir
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val r = daily.withColumn("__l1", lag(col("n"), 1).over(w))
+      .withColumn("__l7", lag(col("n"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg((sum(abs(col("n") - col("__l1"))).cast("double") /
+        count(col("__l1"))).as("mae1"),
+        (sum(abs(col("n") - col("__l7"))).cast("double") /
+          count(col("__l7"))).as("mae7"))
+      .collect().head
+    assert(r.getDouble(2) == 0.0, "seasonal naive is exact on the fixture")
+    assert(r.getDouble(1) > 0.0)
+  }
 }

@@ -66,4 +66,28 @@ class WarehouseQueriesSpec extends AnyFunSuite {
     assert(rows.filter(_.getLong(4) == 2L).map(_.getLong(2)).sum == n) // by lang
     assert(rows.filter(_.getLong(4) == 0L).map(_.getLong(2)).sum == n) // full cross
   }
+
+  test("expectation suite: one pass, null handling, mixed verdicts") {
+    import graft.operators.Expectations._
+    val df = Seq((Some(1L), "A", 5.0), (Some(2L), "A", 50.0),
+      (None, "B", 7.0), (Some(3L), "C", 9.0))
+      .toDF("id", "cat", "v")
+    val out = evaluate(df, Seq(
+      Completeness("id", 1.0),              // 3/4 -> fail
+      Distinctness("id", 1.0),              // 3 distinct / 3 non-null -> pass
+      Bounds("v", 0.0, 10.0, 0.9),          // 3/4 -> fail
+      Membership("cat", Seq("A", "B"), 0.5) // 3/4 -> pass
+    )).collect().map(r => r.getString(0) ->
+      (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(out("completeness") == ((0.75, false)))
+    assert(out("distinctness") == ((1.0, true)),
+      "distinctness is over non-null values only")
+    assert(out("bounds") == ((0.75, false)))
+    assert(out("membership") == ((0.75, true)))
+    // single-pass shape: the physical plan scans the fixture once
+    val plan = evaluate(df, Seq(Completeness("id", 1.0),
+      Bounds("v", 0.0, 10.0, 0.9), Membership("cat", Seq("A"), 0.5)))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Union"), "row-level checks must share one agg")
+  }
 }
