@@ -522,4 +522,34 @@ object CorpusStats {
         round(col("__m").cast("double") /
           (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
   }
+
+  /** Per-group Shannon entropy of a categorical column — here the language
+    * mix of each source: H = -Σ p ln p, the effective category count
+    * exp(H) ("this source is really 2.3 languages"), and the dominant
+    * share. The monolingual-vs-mixed census a pretraining mix needs per
+    * source before setting language budgets.
+    *
+    * Scale: two keyed aggs on the (group, category) table — bounded by
+    * |groups|·|categories|, never by rows. Determinism: each category's
+    * ln(p) quantizes to integer micro-nats per (group, category) ROW
+    * before the weighted sum (exact BIGINT arithmetic, the q137/q219
+    * discipline); libm-touched outputs round to 6dp. */
+  def categoryEntropy(df: DataFrame, groupCol: String,
+                      catCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__n"))
+    val tot = cnt.groupBy(col(groupCol))
+      .agg(sum("__n").as("__t"), count(lit(1)).as("n_cats"),
+        max("__n").as("__mx"))
+    val h = col("__s").cast("double") / (col("__t") * lit(-1e6))
+    cnt.join(tot, groupCol)
+      .withColumn("__mu", expr(
+        "CAST(round(ln(CAST(__n AS DOUBLE) / CAST(__t AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .groupBy(col(groupCol), col("__t"), col("n_cats"), col("__mx"))
+      .agg(sum(col("__n") * col("__mu")).as("__s"))
+      .select(col(groupCol), col("__t").as("n_rows"), col("n_cats"),
+        round(h, 6).as("entropy"),
+        round(exp(h), 6).as("effective_cats"),
+        (col("__mx").cast("double") / col("__t")).as("top_share"))
+  }
 }

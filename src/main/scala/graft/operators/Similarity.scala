@@ -742,4 +742,31 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
         col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos_sim"))
   }
+
+  /** Matryoshka-style dimension-truncation recall: for each query, the
+    * overlap between its exact top-k cosine neighbors under the FULL
+    * vector and under the first `dims` dimensions — the calibration run
+    * that decides whether serving can truncate its embeddings (and cut
+    * index memory proportionally) before committing the index build.
+    *
+    * Same contract as [[bruteForceKnn]] ×2: an offline audit on a BOUNDED
+    * broadcast query sample against the corpus; the production analogue
+    * swaps the exact scans for the IVF/LSH paths, the overlap join is
+    * unchanged. Output: (query_id, n_overlap, recall). */
+  def dimTruncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: org.apache.spark.sql.Column, k: Int,
+                          dims: Int): DataFrame = {
+    val full = bruteForceKnn(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = bruteForceKnn(
+        emb.select(col(idCol), expr(s"slice($vecCol, 1, $dims)").as(vecCol)),
+        idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"),
+        count(lit(1)).as("__k"))
+      .select(col("query_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("__k")).as("recall"))
+  }
 }

@@ -1112,7 +1112,24 @@ object LlmQueries {
     "q168_ivfpq_ann" -> ((s, d) =>
       Similarity.ivfpqKnn(
         table(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") >= 100 && col("vec_id") < 120, k = 5))
+        col("vec_id") >= 100 && col("vec_id") < 120, k = 5)),
+
+    // Per-source language-mix entropy + effective language count — the
+    // monolingual-vs-mixed census behind per-source language budgets.
+    // Two aggs on the (source, lang) table; micro-nat quantized logs.
+    // See CorpusStats.categoryEntropy.
+    "q261_lang_mix_entropy" -> ((s, d) =>
+      graft.operators.CorpusStats.categoryEntropy(
+        table(s, d, "documents"), "source", "lang")),
+
+    // Matryoshka truncation audit: recall@10 of 16-dim-prefix cosine
+    // neighbors against full 64-dim neighbors on a bounded query sample
+    // — the measurement that licenses serving truncated embeddings.
+    // See Similarity.dimTruncationRecall.
+    "q262_truncation_recall" -> ((s, d) =>
+      Similarity.dimTruncationRecall(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 50, k = 10, dims = 16))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1156,6 +1173,66 @@ object LlmQueries {
       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Mirrors CorpusStats.categoryEntropy: per-(source, lang) micro-nat
+    // quantized ln(p), exact BIGINT weighted sum, 6dp-rounded outputs.
+    "q261_lang_mix_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_cats,
+        |    CAST(max(n) AS BIGINT) AS mx
+        |  FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT c.source, t.t, t.n_cats, t.mx,
+        |    CAST(sum(c.n * CAST(round(ln(CAST(c.n AS DOUBLE)
+        |      / CAST(t.t AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM c JOIN t ON c.source = t.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source, t AS n_rows, n_cats,
+        |  round(CAST(s AS DOUBLE) / (t * -1e6), 6) AS entropy,
+        |  round(exp(CAST(s AS DOUBLE) / (t * -1e6)), 6) AS effective_cats,
+        |  CAST(mx AS DOUBLE) / t AS top_share
+        |FROM s""".stripMargin,
+
+    // The q33 skeleton twice (full vs 16-dim prefix), then a per-query
+    // overlap count — neighbor SETS only, so the shared tie-break
+    // (cos DESC, neighbor ASC) is what keeps both engines aligned.
+    "q262_truncation_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |nf AS (SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x))
+        |      AS nrm FROM e),
+        |nt AS (SELECT vec_id, emb[1:16] AS emb,
+        |    sqrt(list_reduce(list_transform(emb[1:16], x -> x*x),
+        |      (a,x) -> a+x)) AS nrm FROM e),
+        |pf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(q.emb)+1),
+        |      i -> q.emb[i]*c.emb[i]), (a,x) -> a+x) / (q.nrm*c.nrm) AS cos
+        |  FROM nf q, nf c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |kf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |    FROM pf) WHERE rnk <= 10),
+        |pt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(q.emb)+1),
+        |      i -> q.emb[i]*c.emb[i]), (a,x) -> a+x) / (q.nrm*c.nrm) AS cos
+        |  FROM nt q, nt c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |kt AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |    FROM pt) WHERE rnk <= 10)
+        |SELECT kf.query_id,
+        |  CAST(sum(CASE WHEN kt.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST(sum(CASE WHEN kt.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM kf LEFT JOIN kt ON kf.query_id = kt.query_id
+        |  AND kf.neighbor_id = kt.neighbor_id
+        |GROUP BY 1""".stripMargin,
+
     "q26_text_stats" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS n_tokens,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming latency/value quantiles without per-event state: a
+  * declared-range fixed-bin histogram aggregated per (event-time window,
+  * key), finished into interpolated quantile estimates by a bounded
+  * post-aggregation — the monitoring-pipeline shape ("p95 latency per
+  * 10-minute window") that an exact streaming sort cannot provide.
+  *
+  * Split design, mirroring the batch [[graft.operators.Sketches
+  * .histogramQuantiles]] (whose data-derived [lo, hi] needs a first pass a
+  * stream doesn't get — a monitoring histogram DECLARES its range, as
+  * Prometheus buckets do; out-of-range values clamp into the edge bins):
+  *
+  *  - [[binnedCounts]] is the streaming stage: watermark + windowed
+  *    groupBy on (window, key, bin). State per group is ONE count —
+  *    O(windows × keys × bins), independent of event volume, and the
+  *    partial-agg tree is mergeable so map-side combine does its usual
+  *    work. Emits append-mode finalized rows once the watermark passes.
+  *  - [[quantilesFromBins]] finishes (batch over the sink, or any
+  *    downstream reader): per-(window, key) cumulative over ≤`bins` rows
+  *    — a partition-bounded frame, never a window over events.
+  */
+object StreamingQuantiles {
+
+  /** Streaming stage: per-(window, key) bin counts over a declared
+    * [lo, hi) range. `events` must be a streaming DataFrame with an
+    * event-time column `tsCol`. */
+  def binnedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCol: String, lo: Double, hi: Double, bins: Int,
+                   windowDur: String, watermark: String): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val v = col(valueCol)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol),
+        least(lit(bins - 1), greatest(lit(0),
+          floor((v - lit(lo)) / lit((hi - lo) / bins)).cast("int")))
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("bin"), col("cnt"))
+  }
+
+  /** Finishing stage over the sink's (window_start, key, bin, cnt) rows:
+    * interpolated quantile estimates at each p in `ps`. The cumulative
+    * window partitions by (window, key) over ≤`bins` rows. */
+  def quantilesFromBins(binRows: DataFrame, keyCol: String, lo: Double,
+                        hi: Double, bins: Int, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      "quantiles must be strictly inside (0, 1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"), col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val width = (hi - lo) / bins
+    val targets = ps.map(p => s"CAST($p AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    binRows
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"), col(keyCol))))
+      .select(col("window_start"), col(keyCol), col("bin"), col("cnt"),
+        col("cum_before"), col("n"), explode(expr(targets)).as("p"))
+      .where(col("cum_before").cast("double") <
+          col("p") * col("n").cast("double") &&
+        col("p") * col("n").cast("double") <=
+          (col("cum_before") + col("cnt")).cast("double"))
+      .select(col("window_start"), col(keyCol), col("p"),
+        (lit(lo) + lit(width) * (col("bin").cast("double") +
+          (col("p") * col("n").cast("double") -
+            col("cum_before").cast("double")) /
+            col("cnt").cast("double"))).as("est"))
+  }
+}

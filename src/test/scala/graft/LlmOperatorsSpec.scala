@@ -1345,4 +1345,33 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(!capped.contains((100L, 101L)),
       "fixture sanity: the df cap must exhibit its blind spot here")
   }
+
+  test("categoryEntropy: uniform mix reads ln(2), monoculture reads 0") {
+    import spark.implicits._
+    val df = Seq(("s1", "en"), ("s1", "fr"), ("s2", "en"), ("s2", "en"))
+      .toDF("source", "lang")
+    val m = graft.operators.CorpusStats.categoryEntropy(df, "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(math.abs(m("s1")._2 - math.log(2)) < 1e-5)
+    assert(math.abs(m("s1")._3 - 2.0) < 1e-5, "effective cats ~ 2")
+    assert(m("s1")._4 == 0.5)
+    assert(m("s2") == ((1L, -0.0, 1.0, 1.0)) || m("s2") == ((1L, 0.0, 1.0, 1.0)))
+  }
+
+  test("dimTruncationRecall: full dims give 1.0; a lossy prefix loses hits") {
+    import spark.implicits._
+    // first dim identical everywhere: a 1-dim prefix ties all cosines and
+    // the id tie-break picks vec 1, while the full vector picks vec 3
+    val emb = Seq((0L, Seq(1.0f, 10.0f)), (1L, Seq(1.0f, -10.0f)),
+      (2L, Seq(1.0f, -9.0f)), (3L, Seq(1.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    def run(dims: Int) = graft.operators.Similarity
+      .dimTruncationRecall(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") === 0L, k = 1,
+        dims = dims)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(run(2) == ((1L, 1.0)), "identical dims -> identical neighbors")
+    assert(run(1) == ((0L, 0.0)), "1-dim prefix ties break to vec 1, not 3")
+  }
 }

@@ -631,4 +631,39 @@ class StreamingSpec extends AnyFunSuite {
         s"merged session wrong: ${closed()}")
     } finally q.stop()
   }
+
+  test("streaming binned quantiles: per-window p50 from O(bins) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // window A: values 1..8; window B: one 9 plus out-of-range clamps
+    val a = (1 to 8).map(i =>
+      Event(i.toLong, ts("2025-01-01 10:0" + (i % 10) + ":00"), 1, "click",
+        i.toDouble))
+    val b = Seq(Event(9, ts("2025-01-01 11:05:00"), 1, "click", 9.0),
+      Event(10, ts("2025-01-01 11:06:00"), 1, "click", 42.0),
+      Event(11, ts("2025-01-01 11:07:00"), 1, "click", -3.0))
+    val binned = graft.streaming.StreamingQuantiles.binnedCounts(
+      input.toDF(), "ts", "event_type", "value",
+      lo = 0.0, hi = 10.0, bins = 5, windowDur = "1 hour",
+      watermark = "10 minutes")
+    val q = binned.writeStream.format("memory").queryName("binq")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      input.addData(a ++ b: _*)
+      q.processAllAvailable()
+      val sink = spark.sql(
+        "SELECT window_start, event_type, bin, max(cnt) AS cnt FROM binq " +
+        "GROUP BY 1, 2, 3") // update mode: latest emit per group wins
+      val got = graft.streaming.StreamingQuantiles.quantilesFromBins(
+          sink, "event_type", lo = 0.0, hi = 10.0, bins = 5, ps = Seq(0.5))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getDouble(3))).toMap
+      // A: bins (1,2,2,2,1), n=8, target 4 -> bin2 -> 2*(2 + 1/2) = 5.0
+      assert(got("2025-01-01 10:00:00.0") == 5.0, s"window A p50: $got")
+      // B: 9 -> bin4, 42 clamps to bin4, -3 clamps to bin0: n=3,
+      // target 1.5 -> bin4 (cum_before=1): 2*(4 + 0.5/2) = 8.5
+      assert(got("2025-01-01 11:00:00.0") == 8.5, s"window B p50: $got")
+    } finally q.stop()
+  }
 }
