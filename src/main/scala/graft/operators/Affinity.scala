@@ -61,6 +61,35 @@ object Affinity {
           (col("n_a").cast("double") * col("n_b"))).as("lift"))
   }
 
+  /** Length-3 event-path counts over each user's EARLIEST `cap` events —
+    * sequence mining with the hot-user cap applied BEFORE any per-user
+    * collection: TopKAgg on exact negated epoch-µs keeps O(cap) state per
+    * (user, map task) where a row_number window would sort-shuffle a
+    * mega-user's full history through one task; the trigram expansion
+    * then runs in-row over a ≤cap array. Ties break by event id, i.e.
+    * ORDER BY ts, id. Output: (path "a>b>c", n). */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, typeCol: String, cap: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.columnAgg(cap)
+    val sel = events
+      .select(col(userCol), col(idCol),
+        unix_micros(col(tsCol)).cast("double").as("__t"))
+      .groupBy(col(userCol))
+      .agg(topk(col("__t") * lit(-1.0), col(idCol).cast("long")).as("__tk"))
+      .select(col(userCol), explode(col("__tk")).as("e"))
+      .select(col(userCol), col("e._2").as(idCol))
+    events.join(sel, Seq(userCol, idCol))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(idCol),
+        col(typeCol).as("__ty")))).as("__s"))
+      .select(explode(expr(
+        "CASE WHEN size(__s) >= 3 THEN transform(" +
+        "sequence(1, size(__s) - 2), i -> concat_ws('>', " +
+        "__s[i-1].__ty, __s[i].__ty, __s[i+1].__ty)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+  }
+
   /** Per-item top-k neighbors by lift from the symmetric closure of
     * [[itemPairs]] output — window-free (TopKAgg, ties break to the
     * smaller neighbor id). Output: (item, rank 1..k, neighbor, lift). */

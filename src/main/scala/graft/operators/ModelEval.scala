@@ -167,4 +167,32 @@ object ModelEval {
         expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
           " (a, x) -> a + x)").as("psi"))
   }
+
+  /** NDCG@k of a (query_id, rnk, rel) ranking table: binary-relevance
+    * DCG with 1/log2(rank+1) discounts against the ideal ordering — the
+    * retrieval-quality gate beside q112's recall and q197's RBO.
+    *
+    * Determinism: each rank's discount quantizes ONCE to integer
+    * micro-units (round(1e6/log2(r+1)) — a constant ≤k-entry table), so
+    * DCG and IDCG are exact BIGINT sums; the one double is the final
+    * ratio, rounded to 6dp. IDCG sums the first n_rel discounts in-row
+    * (`aggregate` over sequence(1, n_rel)); queries with no relevant
+    * neighbor score 0 by convention. Per-query aggregation only — no
+    * windows, no cross-query state. */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+              relCol: String): DataFrame = {
+    val disc = s"CAST(round(1e6 / log2(CAST($rankCol AS DOUBLE) + 1.0)) AS BIGINT)"
+    ranked
+      .groupBy(col(queryCol))
+      .agg(sum(col(relCol)).as("n_rel"),
+        sum(expr(s"$relCol * $disc")).as("__dcg_mu"))
+      .withColumn("__idcg_mu", expr(
+        "aggregate(transform(sequence(1, CAST(n_rel AS INT)), " +
+        "i -> CAST(round(1e6 / log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col(queryCol), col("n_rel"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("__dcg_mu").cast("double") /
+            col("__idcg_mu").cast("double"), 6)).as("ndcg"))
+  }
 }

@@ -33,7 +33,20 @@ object AffinityQueries {
     // Per-item top-3 neighbors by lift over the symmetric pair table —
     // TopKAgg keyed by item, O(k) state per map task, no rank window.
     "q258_similar_items" -> ((s, d) =>
-      Affinity.similarItems(pairs(s, d), k = 3)))
+      Affinity.similarItems(pairs(s, d), k = 3)),
+
+    // Top-20 length-3 event paths over each user's EARLIEST 20 events —
+    // sequence mining with the hot-user cap applied BEFORE any per-user
+    // collection: TopKAgg on exact negated epoch-µs keeps O(cap) state
+    // per (user, map task) where a row_number window would sort-shuffle
+    // a mega-user's full history through one task; the trigram expansion
+    // then runs in-row over a ≤cap array. Ties break by event_id, same
+    // as the oracle's ORDER BY ts, event_id.
+    "q264_event_paths" -> ((s, d) =>
+      Affinity.eventPaths(table(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type", cap = 20)
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)))
 
   val oracle: Map[String, String] = Map(
 
@@ -88,5 +101,22 @@ object AffinityQueries {
         |    ORDER BY lift DESC, nb2) AS rnk
         |  FROM sym)
         |SELECT item, CAST(rnk AS BIGINT) AS rank, nb2 AS neighbor, lift
-        |FROM r WHERE rnk <= 3""".stripMargin)
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q264_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT * FROM r WHERE rn <= 20),
+        |tri AS (
+        |  SELECT event_type || '>' ||
+        |      lead(event_type, 1) OVER w || '>' ||
+        |      lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM tri WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)
 }

@@ -47,9 +47,58 @@ object EvalQueries {
     // monitor (< 0.1 stable, > 0.25 shifted).
     "q244_psi" -> ((s, d) =>
       ModelEval.psi(table(s, d, "documents"), "source", psiA, psiB,
-        "n_chars", psiBins)))
+        "n_chars", psiBins)),
+
+    // NDCG@10 of label-match relevance over the q33 exact neighbor
+    // ranking — the graded retrieval gate beside q112's recall@k and
+    // q197's RBO. Micro-unit discount table, exact BIGINT DCG/IDCG.
+    // See ModelEval.ndcgAtK.
+    "q263_ndcg" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val knn = graft.operators.Similarity.bruteForceKnn(
+        emb, "vec_id", "embedding", col("vec_id") < 50, k = 10)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val ranked = knn
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), "neighbor_id")
+        .select(col("query_id"), col("rnk"),
+          when(col("__ql") === col("__nl"), 1L).otherwise(0L).as("rel"))
+      ModelEval.ndcgAtK(ranked, "query_id", "rnk", "rel")
+    }))
 
   val oracle: Map[String, String] = Map(
+
+    "q263_ndcg" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x))
+        |      AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(q.emb)+1),
+        |      i -> q.emb[i]*c.emb[i]), (a,x) -> a+x) / (q.nrm*c.nrm) AS cos
+        |  FROM n q, n c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |k AS (SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |    FROM p) WHERE rnk <= 10),
+        |rel AS (SELECT k.query_id, k.rnk,
+        |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+        |  FROM k JOIN embeddings ql ON ql.vec_id = k.query_id
+        |    JOIN embeddings nl ON nl.vec_id = k.neighbor_id),
+        |g AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    CAST(sum(rel * CAST(round(1e6 / log2(CAST(rnk AS DOUBLE) + 1.0))
+        |      AS BIGINT)) AS BIGINT) AS dcg
+        |  FROM rel GROUP BY 1)
+        |SELECT query_id, n_rel,
+        |  CASE WHEN n_rel = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round(CAST(dcg AS DOUBLE) / CAST(list_sum(list_transform(
+        |      range(1, CAST(n_rel AS INT) + 1),
+        |      i -> CAST(round(1e6 / log2(CAST(i AS DOUBLE) + 1.0))
+        |        AS BIGINT))) AS DOUBLE), 6) END AS ndcg
+        |FROM g""".stripMargin,
 
     "q241_auc" ->
       """WITH grid AS (

@@ -59,6 +59,45 @@ class FeatureAffinitySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(r.fieldIndex("lift")) - 3.0 * 4 / 9) < 1e-12)
   }
 
+  test("ndcgAtK: micro-unit DCG/IDCG, zero-relevance scores 0") {
+    val ranked = Seq((1L, 1L, 1L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (2L, 1L, 0L), (2L, 2L, 0L)).toDF("q", "rnk", "rel")
+    val m = graft.operators.ModelEval.ndcgAtK(ranked, "q", "rnk", "rel")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def disc(r: Int) = math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+    val expected = BigDecimal((disc(1) + disc(3)).toDouble /
+      (disc(1) + disc(2)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L) == ((2L, expected)), s"got ${m(1L)}, want $expected")
+    assert(m(2L) == ((0L, 0.0)), "no relevant neighbors -> 0 by convention")
+  }
+
+  test("eventPaths: trigrams in (ts, id) order; cap truncates the tail") {
+    def ev(id: Long, user: Long, sec: Long, ty: String) =
+      (id, user, new java.sql.Timestamp(sec * 1000L), ty)
+    val base = Seq(ev(1, 1, 10, "a"), ev(2, 1, 20, "b"), ev(3, 1, 30, "c"),
+      ev(4, 1, 40, "a"), ev(5, 2, 10, "x"), ev(6, 2, 20, "y"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val paths = graft.operators.Affinity
+      .eventPaths(base, "user_id", "ts", "event_id", "event_type", cap = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths == Map("a>b>c" -> 1L, "b>c>a" -> 1L),
+      s"user 2 has no trigram: $paths")
+    // cap=3 drops event 4: only the first trigram survives
+    val capped = graft.operators.Affinity
+      .eventPaths(base, "user_id", "ts", "event_id", "event_type", cap = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a>b>c" -> 1L), s"cap must keep earliest: $capped")
+    // tie on ts: id order decides the path
+    val tie = Seq(ev(9, 3, 10, "m"), ev(7, 3, 10, "k"), ev(8, 3, 10, "l"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val t = graft.operators.Affinity
+      .eventPaths(tie, "user_id", "ts", "event_id", "event_type", cap = 20)
+      .collect().map(_.getString(0)).toSet
+    assert(t == Set("k>l>m"), s"ts ties order by event_id: $t")
+  }
+
   test("similarItems: lift ties break to the smaller neighbor id") {
     val pairs = Seq((1L, 2L, 5L, 10L, 10L, 0.5, 2.0),
       (1L, 3L, 5L, 10L, 10L, 0.5, 2.0))
