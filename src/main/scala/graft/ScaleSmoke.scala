@@ -111,6 +111,22 @@ import org.apache.spark.sql.functions._
   * user-partitioned frames and a calendar-bounded grid never grow with
   * replicas.
   *
+  * q251-q264 batch, measured 2026-08-14 on a quiet box:
+  * {{{
+  *   item_pairs      1x rows=3,569  4.3 s   10x rows=1,195,189  6.7 s
+  *   event_paths     1x rows=125    1.8 s   10x rows=125        2.7 s
+  *   ewma_daily      1x rows=150    0.8 s   10x rows=150        1.2 s
+  *   equidepth       1x rows=8      1.0 s   10x rows=8          1.9 s
+  *   expectations    1x rows=3      0.3 s   10x rows=3          0.7 s
+  * }}}
+  * Reading: item_pairs returns 335x MORE true pairs (replica baskets
+  * repeat every pair, pushing support past the threshold) for 1.6x cost —
+  * the capped in-row expansion is answer-bound, never a basket self-join
+  * blowup. event_paths and ewma_daily are ~1.5x for 10x input with
+  * CONSTANT output (path types and the calendar grid don't grow with
+  * users); equidepth and the expectation suite are pure scan shapes
+  * (~2x for 10x rows, constant outputs) — the single-agg designs hold.
+  *
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -349,6 +365,64 @@ object ScaleSmoke {
         operators.ModelEval.gainsTable(
           df.withColumn("n_chars", length(col("text")).cast("bigint")),
           "n_chars", col("doc_id") % 2 === 0).count()
+      }
+    }
+    // q251-q264 curves.
+    // Co-occurrence: replicas shift BASKET ids (order keys), so pair TYPES
+    // are constant while instances scale — the brand_lift argument at part
+    // granularity, with the basket cap bounding in-row expansion.
+    val li2 = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val li2Big = (0 until factor)
+      .map(i => li2.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, ldf) <- Seq(("1x", li2), (s"${factor}x", li2Big))) {
+      time(s"item_pairs      $label") {
+        operators.Affinity.itemPairs(ldf, "l_orderkey", "l_partkey",
+          cap = 12, minSupport = 2).count()
+      }
+    }
+    // Event paths: replicas are new USER populations — per-user TopKAgg
+    // state is O(cap) per map task, path TYPES are constant, so cost is
+    // the one user-keyed shuffle and output never grows.
+    for ((label, edf) <- Seq(("1x", ev2), (s"${factor}x", ev2Big))) {
+      time(s"event_paths     $label") {
+        operators.Affinity.eventPaths(
+          edf.withColumn("event_type",
+            concat(lit("t"), pmod(col("event_id"), lit(5)))),
+          "user_id", "ts", "event_id", "event_type", cap = 20).count()
+      }
+      // EWMA: the fold runs over the CALENDAR-bounded day series per key
+      // (constant across factors); only the daily aggregate pass scales.
+      time(s"ewma_daily      $label") {
+        operators.Temporal.ewmaDaily(
+          edf.withColumn("event_type",
+              concat(lit("t"), pmod(col("event_id"), lit(5))))
+            .withColumn("value", (col("event_id") % 100).cast("double")),
+          "event_type", "ts", "value", alpha = 0.3).count()
+      }
+    }
+    // Equi-depth + expectation suite: pure scan shapes — a 1-row
+    // percentile aggregate (edges) + one conditional-sum agg; both must
+    // track the scan linearly with constant-size outputs.
+    val ord = Graft.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val ordBig = (0 until factor)
+      .map(i => ord.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, odf) <- Seq(("1x", ord), (s"${factor}x", ordBig))) {
+      time(s"equidepth       $label") {
+        operators.Features.equidepthProfile(
+          odf.select("o_totalprice"), "o_totalprice", 8).count()
+      }
+      time(s"expectations    $label") {
+        operators.Expectations.evaluate(odf, Seq(
+          operators.Expectations.Completeness("o_orderkey", 1.0),
+          operators.Expectations.Bounds("o_totalprice", 0.0, 1e6, 0.999),
+          operators.Expectations.Membership("o_orderstatus",
+            Seq("O", "F", "P"), 1.0))).count()
       }
     }
     spark.stop()

@@ -367,4 +367,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
       assert(!plan(q).contains("CartesianProduct"), q)
     }
   }
+
+  test("q251-q264 batch: the new operators keep their scale shapes") {
+    // q253: equi-depth bins come from a 1-row percentile aggregate —
+    // NO ntile/rank window and no global sort anywhere
+    val p253 = plan("q253_equidepth_bins")
+    assert(!p253.contains("Window"), "equi-depth must not plan an ntile")
+    // q257/q258/q264: window-free affinity chain (TopKAgg partials +
+    // TakeOrderedAndProject for the global top-20s)
+    val p257 = plan("q257_item_cooccurrence")
+    assert(p257.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(!p257.contains("CartesianProduct"))
+    Seq("q258_similar_items", "q264_event_paths").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+        s"$q must stay window-free (TopKAgg)")
+    }
+    // q259: the EWMA fold is in-row — no window, no cross join
+    val p259 = plan("q259_ewma_daily")
+    assert(!p259.contains("Window") && !p259.contains("CartesianProduct"))
+    // q252/q255: marginal joins must not hard-hint broadcast of the
+    // category tables in the logical plan beyond the bounded 1-row stats
+    val l252 = SparkEntry.queries("q252_target_encoding")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!l252.contains("CartesianProduct"))
+  }
 }
