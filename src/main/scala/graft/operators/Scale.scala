@@ -346,4 +346,35 @@ object Scale {
       .text(outDir)
     df.count()
   }
+
+  /** Exact-k weighted sampling WITHOUT replacement per group — the A-Res
+    * reservoir (Efraimidis–Spirakis): each row draws a deterministic
+    * uniform u from its id hash and ranks by the exponential key
+    * -ln(u)/w; the k smallest keys per group are a true weighted sample.
+    * The Bernoulli sampler (q79) gives an EXPECTED rate; this gives an
+    * exact count — the quota-filling primitive behind "5 exemplar docs
+    * per language, length-weighted".
+    *
+    * Scale: the per-group selection is a cap-bounded TopKAgg — O(k) state
+    * per (group, map task), no rank window, the q102 posture. Determinism:
+    * u = (hash60(id)+1)/2^60 is engine-independent; the ln-touched key
+    * quantizes to integer micro-units BEFORE ranking, so the order
+    * (key_mu, id) is exact integer comparison on both engines.
+    * Output: (group, rank 1..k, id, key_mu); weights join back by id. */
+  def weightedReservoir(df: DataFrame, groupCol: String, idCol: String,
+                        weight: Column, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.columnAgg(k)
+    val u = (Sketches.hash60(col(idCol)) + lit(1L)) / lit((1L << 60).toDouble)
+    df.withColumn("__w", weight.cast("double"))
+      .withColumn("__key_mu",
+        round(-log(u) / col("__w") * lit(1e6)).cast("bigint"))
+      .select(col(groupCol), col(idCol), col("__w"), col("__key_mu"))
+      .groupBy(col(groupCol))
+      .agg(topk(-col("__key_mu").cast("double"), col(idCol).cast("long"))
+        .as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("bigint").as("rank"),
+        col("__e._2").as(idCol),
+        (-col("__e._1")).cast("bigint").as("key_mu"))
+  }
 }

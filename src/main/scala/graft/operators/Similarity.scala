@@ -769,4 +769,51 @@ object Similarity {
       .select(col("query_id"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("__k")).as("recall"))
   }
+
+  /** Margin-scored MUTUAL nearest-neighbor pairs across two sides of an
+    * embedding table (bitext-mining shape, Artetxe & Schwenk's ratio
+    * margin): a pair (a, b) survives iff b is a's top cross-side neighbor
+    * AND a is b's, scored by cos(a,b) divided by the mean of both sides'
+    * top-k cosines — the filter that separates true translations from
+    * hubness artifacts.
+    *
+    * Contract mirrors [[bruteForceKnn]]: BOTH sides here are bounded
+    * samples (the offline calibration shape); the production path swaps
+    * the exact cross product for per-side ANN top-k retrieval and keeps
+    * the mutual join + margin stage unchanged. Top-k selection is the
+    * window-free TopKAgg; the margin denominator sums 6dp-quantized
+    * cosines in integer micro-units so both engines add exactly.
+    * Output: (id_a, id_b, cos_sim, margin), both rounded to 6dp. */
+  def marginMutualPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        sideA: org.apache.spark.sql.Column,
+                        k: Int): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val a = n.where(sideA).select(col(idCol).as("id_a"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val b = n.where(!sideA).select(col(idCol).as("id_b"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val cos = broadcast(a).crossJoin(b)
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+    val topk = graft.functions.TopKAgg.columnAgg(k)
+    def side(keyCol: String, nbCol: String) = cos
+      .groupBy(col(keyCol))
+      .agg(topk(col("cos"), col(nbCol)).as("__tk"))
+      .select(col(keyCol),
+        col("__tk").getItem(0).getField("_2").as("best"),
+        col("__tk").getItem(0).getField("_1").as("top_cos"),
+        expr("aggregate(__tk, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + CAST(round(x._1 * 1e6) AS BIGINT))")
+          .as("sum_mu"))
+    // disjoint names: the two sides share the `cos` lineage, so the join
+    // must not reference any column name both sides carry
+    val aTop = side("id_a", "id_b").toDF("id_a", "a_best", "a_cos", "a_sum")
+    val bTop = side("id_b", "id_a").toDF("id_b", "b_best", "b_cos", "b_sum")
+    aTop.join(bTop, col("a_best") === col("id_b") &&
+        col("b_best") === col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        round(col("a_cos"), 6).as("cos_sim"),
+        round(col("a_cos") /
+          ((col("a_sum") + col("b_sum")).cast("double") /
+            lit(2.0 * k * 1e6)), 6).as("margin"))
+  }
 }

@@ -1129,7 +1129,16 @@ object LlmQueries {
     "q262_truncation_recall" -> ((s, d) =>
       Similarity.dimTruncationRecall(
         table(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 50, k = 10, dims = 16))
+        col("vec_id") < 50, k = 10, dims = 16)),
+
+    // Bitext-mining gate: margin-scored MUTUAL nearest neighbors between
+    // the even side and the odd side of a bounded embedding sample
+    // (ratio margin, k=4) — only pairs that pick each other survive.
+    // See Similarity.marginMutualPairs.
+    "q265_mutual_margin" -> ((s, d) =>
+      Similarity.marginMutualPairs(
+        table(s, d, "embeddings").where(col("vec_id") < 200),
+        "vec_id", "embedding", sideA = col("vec_id") % 2 === 0, k = 4))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1232,6 +1241,40 @@ object LlmQueries {
         |FROM kf LEFT JOIN kt ON kf.query_id = kt.query_id
         |  AND kf.neighbor_id = kt.neighbor_id
         |GROUP BY 1""".stripMargin,
+
+    // Mirrors Similarity.marginMutualPairs: same tie-break (cos DESC, id
+    // ASC), same 6dp-quantized micro-unit denominator, k=4 ratio margin.
+    "q265_mutual_margin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings WHERE vec_id < 200),
+        |n AS (SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x))
+        |      AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.emb)+1),
+        |      i -> a.emb[i]*b.emb[i]), (a2,x) -> a2+x) / (a.nrm*b.nrm) AS cos
+        |  FROM n a, n b WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |ra AS (SELECT id_a, id_b, cos, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM p),
+        |sa AS (SELECT id_a,
+        |    min(CASE WHEN rn = 1 THEN id_b END) AS best_b,
+        |    min(CASE WHEN rn = 1 THEN cos END) AS cos_a,
+        |    CAST(sum(CASE WHEN rn <= 4
+        |      THEN CAST(round(cos * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS sum_mu_a
+        |  FROM ra GROUP BY 1),
+        |rb AS (SELECT id_a, id_b, cos, row_number() OVER (
+        |    PARTITION BY id_b ORDER BY cos DESC, id_a) AS rn FROM p),
+        |sb AS (SELECT id_b,
+        |    min(CASE WHEN rn = 1 THEN id_a END) AS best_a,
+        |    CAST(sum(CASE WHEN rn <= 4
+        |      THEN CAST(round(cos * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS sum_mu_b
+        |  FROM rb GROUP BY 1)
+        |SELECT sa.id_a, sb.id_b, round(sa.cos_a, 6) AS cos_sim,
+        |  round(sa.cos_a / (CAST(sa.sum_mu_a + sb.sum_mu_b AS DOUBLE)
+        |    / CAST(8000000 AS DOUBLE)), 6) AS margin
+        |FROM sa JOIN sb ON sa.best_b = sb.id_b AND sb.best_a = sa.id_a""".stripMargin,
 
     "q26_text_stats" ->
       """SELECT doc_id,

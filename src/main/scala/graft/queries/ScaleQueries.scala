@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Graft.table
-import graft.operators.{CacheScope, Relational, Sketches, Temporal, TextDedup, TextRank}
+import graft.operators.{CacheScope, Relational, Scale, Sketches, Temporal, TextDedup, TextRank}
 
 /** Round-5 scale operators: sketch-based cardinality estimation, bloom-filter
   * join pruning, n-gram Jaccard dedup, deterministic stratified/weighted
@@ -84,6 +84,14 @@ object ScaleQueries {
         .where(col("u") <
           least(lit(1.0), col("n_chars").cast("double") / lit(400.0)))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Exact-k length-weighted sample per language (A-Res reservoir):
+    // q79's Bernoulli sampler hits an EXPECTED rate; this fills an exact
+    // quota of 5, window-free via the cap-bounded TopKAgg on integer
+    // micro-unit exponential keys. See Scale.weightedReservoir.
+    "q266_weighted_reservoir" -> ((s, d) =>
+      Scale.weightedReservoir(table(s, d, "documents"), "lang", "doc_id",
+        col("n_chars"), k = 5)),
 
     // Incremental dedup — the standing shape for continuously-ingested
     // corpora: fingerprint the new batch, dedupe within it, anti-join against
@@ -733,6 +741,25 @@ object ScaleQueries {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
          |      < least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE))""".stripMargin
+    },
+
+    // Mirrors Scale.weightedReservoir: u = (hash60+1)/2^60 with the +1 in
+    // INTEGER space (2^60 > 2^53 — float-then-add would round differently),
+    // exponential key quantized to micro-units before the rank.
+    "q266_weighted_reservoir" -> {
+      val h = duckHash60("doc_id")
+      s"""WITH w AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(-ln(CAST($h + 1 AS DOUBLE)
+         |        / CAST(1152921504606846976 AS DOUBLE))
+         |      / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_mu
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, key_mu, row_number() OVER (
+         |    PARTITION BY lang ORDER BY key_mu, doc_id) AS rn
+         |  FROM w)
+         |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, key_mu
+         |FROM r WHERE rn <= 5""".stripMargin
     },
 
     "q80_incremental_dedup" ->

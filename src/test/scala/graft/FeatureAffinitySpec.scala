@@ -98,6 +98,44 @@ class FeatureAffinitySpec extends AnyFunSuite {
     assert(t == Set("k>l>m"), s"ts ties order by event_id: $t")
   }
 
+  test("marginMutualPairs: only mutually-best pairs survive; margin >= 1") {
+    // a1=(1,0) and b1=(.9,.1) pick each other; a2=(.5,.5) also picks b1
+    // but b1 doesn't pick back, and b2=(0,1) picks a2 unreciprocated.
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f)),
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.marginMutualPairs(
+        emb, "vec_id", "embedding",
+        sideA = org.apache.spark.sql.functions.col("vec_id") < 10, k = 2)
+      .collect()
+    assert(got.length == 1, s"exactly one mutual pair: ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 10L)
+    assert(r.getDouble(3) >= 1.0, "top cos over mean-of-topk is >= 1")
+  }
+
+  test("weightedReservoir: exact quota, dense ranks, repartition-invariant") {
+    val df = (1L to 40L).map(i => (if (i <= 30) "g" else "h", i, i * 100L))
+      .toDF("grp", "id", "w")
+    def run(parts: Int) = graft.operators.Scale
+      .weightedReservoir(df.repartition(parts),
+        "grp", "id", org.apache.spark.sql.functions.col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    val one = run(1)
+    assert(one.count(_._1 == "g") == 5 && one.count(_._1 == "h") == 5,
+      "exact quota per group")
+    assert(one.filter(_._1 == "g").map(_._2).toSeq == (1L to 5L),
+      "dense ranks")
+    assert(run(8).toSeq == one.toSeq, "partition-count invariant")
+    // a group smaller than k returns all members
+    val small = graft.operators.Scale.weightedReservoir(
+      Seq(("s", 1L, 10L), ("s", 2L, 20L)).toDF("grp", "id", "w"),
+      "grp", "id", org.apache.spark.sql.functions.col("w"), k = 5)
+      .collect()
+    assert(small.length == 2)
+  }
+
   test("similarItems: lift ties break to the smaller neighbor id") {
     val pairs = Seq((1L, 2L, 5L, 10L, 10L, 0.5, 2.0),
       (1L, 3L, 5L, 10L, 10L, 0.5, 2.0))
