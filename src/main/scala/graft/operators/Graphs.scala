@@ -275,4 +275,66 @@ object Graphs {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Link prediction over an undirected graph: every NON-edge pair within
+    * two hops, scored by common-neighbor count and Adamic–Adar
+    * (Σ 1/ln(deg(z)) over shared neighbors z — rarer mutual friends count
+    * more). The "customers who bought X also ended up buying Y"
+    * candidate generator.
+    *
+    * Scale: the two-hop expansion is a self-join keyed on the MIDDLE
+    * node, so each middle contributes deg² wedge pairs — the classic
+    * hub blowup. `maxDeg` drops super-hub middles before the join (their
+    * AA contribution ~1/ln(deg) is asymptotically negligible, the
+    * standard cap, same trade as the dedup df caps); everything else is
+    * keyed equi-joins. Determinism: 1/ln(deg) quantizes to integer
+    * micro-units per middle, so AA sums are exact BIGINTs.
+    * Output: (item_a < item_b, cn, aa_mu, aa). */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxDeg: Int): DataFrame = {
+    val e = edges.select(
+      least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+    val mid = und.select(col("b").as("z"), col("a").as("x"))
+      .join(deg.where(col("deg").between(2, maxDeg)), "z")
+      .withColumn("aa_mu",
+        expr("CAST(round(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"))
+    val m1 = mid.select(col("z"), col("x"), col("aa_mu"))
+      .toDF("z", "xa", "aa_mu")
+    val m2 = mid.select(col("z"), col("x")).toDF("z", "xb")
+    val cand = m1.join(m2, "z")
+      .where(col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb"))
+      .agg(count(lit(1)).as("cn"), sum(col("aa_mu")).as("aa_mu"))
+    cand.join(e, cand("xa") === e("a") && cand("xb") === e("b"), "left_anti")
+      .select(col("xa").as("item_a"), col("xb").as("item_b"), col("cn"),
+        col("aa_mu"),
+        round(col("aa_mu").cast("double") / lit(1e6), 6).as("aa"))
+  }
+
+  /** Bounded-round k-core peel: repeatedly drop vertices with degree < k
+    * (and their edges) for `rounds` rounds, then report survivors with
+    * their core degree — the standard "dense engagement core" carve.
+    * Fixed rounds make the iteration a deterministic, oracle-replayable
+    * contract (the q181 unrolled-iteration pattern); each round is two
+    * keyed joins + one keyed agg, localCheckpointed so plan size stays
+    * constant (the connected-components discipline). A round that
+    * removes nothing is a fixpoint — extra rounds are no-ops. */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+                rounds: Int): DataFrame = {
+    val e0 = edges.select(
+      least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("a"))
+      und = und.join(keep, "a")
+        .join(keep.withColumnRenamed("a", "b"), "b")
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    und.groupBy(col("a").as("vertex")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -264,6 +264,27 @@ object MlOps {
         min(col("__sz")).as("min_group"),
         max(col("__sz")).as("max_group"))
 
+  /** l-diversity audit — k-anonymity's necessary companion: a quasi-group
+    * can be large yet still leak if every member shares one SENSITIVE
+    * value (the homogeneity attack k-anonymity misses). Reports, per
+    * distinct-sensitive-value count l, how many quasi-groups have exactly
+    * that diversity and how many rows they hold — the l-histogram a
+    * release gate thresholds ("no group below l=3").
+    *
+    * Scale: one QI+sensitive-keyed aggregate, one QI-keyed aggregate,
+    * one census over the (small) l-histogram — all bounded by group
+    * cardinality, never by rows. */
+  def lDiversityProfile(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String): DataFrame = {
+    val perGroup = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    perGroup.groupBy(col("__l").as("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__sz")).as("n_rows"),
+        min(col("__sz")).as("min_group"), max(col("__sz")).as("max_group"))
+  }
+
   /** Closed-form two-feature OLS with intercept: y ~ b0 + b1·x1 + b2·x2,
     * solved by Cramer's rule on the 3×3 normal equations. All nine moment
     * sums are exact BIGINT aggregates of integer features (ONE pass, one

@@ -141,9 +141,84 @@ object InferQueries {
     // k-sample rank test beside q214's parametric ANOVA F; grid-exact
     // rank sums, fixed-order fold for the cross-group term.
     "q225_kruskal_wallis" -> ((s, d) =>
-      Inference.kruskalWallis(table(s, d, "documents"), "source", "n_chars")))
+      Inference.kruskalWallis(table(s, d, "documents"), "source", "n_chars")),
+
+    // Link prediction on the q221 brand graph: Adamic-Adar scored
+    // two-hop NON-edges (hub middles capped) — the "ends up buying next"
+    // candidate generator. See Graphs.linkPrediction.
+    "q267_link_prediction" -> ((s, dir) =>
+      Graphs.linkPrediction(brandEdges(s, dir), "item_a", "item_b",
+        maxDeg = 100)),
+
+    // 3-core of the same graph by 6 bounded peel rounds (fixpoint within
+    // the round budget at this SF) — the dense-core carve, unrolled so
+    // the oracle replays every round. See Graphs.kCorePeel.
+    "q268_kcore" -> ((s, dir) =>
+      Graphs.kCorePeel(brandEdges(s, dir), "item_a", "item_b",
+        k = 3, rounds = 6)))
+
+  /** The q221/q222 support-filtered brand co-purchase edge set, shared by
+    * the graph queries. */
+  private def brandEdges(s: SparkSession, dir: String): DataFrame =
+    Graphs.cooccurrenceLift(
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")),
+      "l_orderkey", "p_brand", supNum, supDen)
+      .select(col("item_a"), col("item_b"))
+
+  /** Shared oracle prefix: the same edge set as [[brandEdges]], ending at
+    * `e(a, b2)` (a < b2) and its symmetric closure `und`. */
+  private val brandEdgeCte: String =
+    s"""WITH bi AS (
+       |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+       |pr AS (
+       |  SELECT a.i AS ia, c2.i AS ib, CAST(count(*) AS BIGINT) AS pc
+       |  FROM bi a JOIN bi c2 ON a.b = c2.b AND a.i < c2.i GROUP BY 1, 2),
+       |e AS (SELECT ia AS a, ib AS b2 FROM pr CROSS JOIN nb
+       |  WHERE pc * $supDen >= nb.n * $supNum),
+       |und AS (SELECT a, b2 FROM e UNION ALL SELECT b2, a FROM e)""".stripMargin
+
+  /** q268's 6 unrolled peel rounds over `und`. */
+  private val kcoreSql: String = {
+    val rounds = (1 to 6).map { r =>
+      val prev = if (r == 1) "und" else s"u${r - 1}"
+      s""",
+         |k$r AS (SELECT a FROM $prev GROUP BY a HAVING count(*) >= 3),
+         |u$r AS (SELECT u.a, u.b2 FROM $prev u
+         |  JOIN k$r x ON u.a = x.a JOIN k$r y ON u.b2 = y.a)""".stripMargin
+    }.mkString
+    brandEdgeCte + rounds +
+      "\nSELECT a AS vertex, CAST(count(*) AS BIGINT) AS core_deg " +
+      "FROM u6 GROUP BY 1"
+  }
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Graphs.linkPrediction on the shared brand edge set: capped
+    // middles, micro-unit Adamic-Adar, NOT EXISTS anti-join.
+    "q267_link_prediction" -> (brandEdgeCte +
+      """,
+        |deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |mid AS (SELECT u.b2 AS z, u.a AS x,
+        |    CAST(round(1e6 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT) AS aa_mu
+        |  FROM und u JOIN deg d ON u.b2 = d.z
+        |  WHERE d.deg BETWEEN 2 AND 100),
+        |cand AS (SELECT m1.x AS xa, m2.x AS xb,
+        |    CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(m1.aa_mu) AS BIGINT) AS aa_mu
+        |  FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.x < m2.x
+        |  GROUP BY 1, 2)
+        |SELECT xa AS item_a, xb AS item_b, cn, aa_mu,
+        |  round(CAST(aa_mu AS DOUBLE) / 1e6, 6) AS aa
+        |FROM cand c
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.a = c.xa AND e.b2 = c.xb)""".stripMargin),
+
+    "q268_kcore" -> kcoreSql,
 
     "q216_mann_whitney" ->
       """WITH grid AS (

@@ -89,6 +89,19 @@ object MlQueries {
             year(col("o_orderdate")).as("o_year")),
         Seq("c_mktsegment", "c_nationkey", "o_year"), anonK)),
 
+    // l-diversity over the SAME quasi-identifiers with order priority as
+    // the sensitive attribute — the homogeneity-attack audit q198's size
+    // counts cannot see: a big group whose every order is 1-URGENT still
+    // leaks. Output: the l-histogram. See MlOps.lDiversityProfile.
+    "q269_l_diversity" -> ((s, d) =>
+      MlOps.lDiversityProfile(
+        table(s, d, "orders")
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            year(col("o_orderdate")).as("o_year"), col("o_orderpriority")),
+        Seq("c_mktsegment", "c_nationkey", "o_year"), "o_orderpriority")),
+
     // Closed-form two-feature OLS with intercept: n_chars ~ b0 +
     // b1*n_tokens + b2*n_distinct_tokens over documents. Nine exact BIGINT
     // moment sums in one pass, Cramer determinants in DECIMAL(38,0),
@@ -510,6 +523,19 @@ object MlQueries {
          |  CAST(min(sz) AS BIGINT) AS min_group,
          |  CAST(max(sz) AS BIGINT) AS max_group
          |FROM qi""".stripMargin,
+
+    "q269_l_diversity" ->
+      """WITH qi AS (SELECT c.c_mktsegment, c.c_nationkey,
+        |    year(o.o_orderdate) AS o_year,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(min(sz) AS BIGINT) AS min_group,
+        |  CAST(max(sz) AS BIGINT) AS max_group
+        |FROM qi GROUP BY 1""".stripMargin,
 
     "q199_ols2_length_model" ->
       """WITH m AS (SELECT

@@ -2,9 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Hand-computed fixtures for the q251–q258 batch: the smoothing formula,
-  * bin-boundary tie direction, hash-bucket load conservation, and the
-  * basket cap + tie-break semantics the oracles can't explain. */
+/** Hand-computed fixtures for the q251+ session batches: the smoothing
+  * formula, bin-boundary tie direction, hash-bucket load conservation,
+  * basket caps and tie-breaks, micro-unit NDCG, mutual-NN filtering,
+  * reservoir quotas, link-prediction scores, k-core peeling, and the
+  * l-diversity histogram — the semantics the oracles can't explain. */
 class FeatureAffinitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -134,6 +136,43 @@ class FeatureAffinitySpec extends AnyFunSuite {
       "grp", "id", org.apache.spark.sql.functions.col("w"), k = 5)
       .collect()
     assert(small.length == 2)
+  }
+
+  test("linkPrediction: square graph scores its two diagonals; cap empties") {
+    // square 1-2-3-4-1: non-edges (1,3) and (2,4), each via two deg-2
+    // middles -> cn=2, aa_mu = 2 * round(1e6/ln 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = graft.operators.Graphs.linkPrediction(edges, "a", "b", 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val aa2 = 2L * math.round(1e6 / math.log(2.0))
+    assert(got == Map((1L, 3L) -> ((2L, aa2)), (2L, 4L) -> ((2L, aa2))),
+      s"got $got")
+    assert(graft.operators.Graphs.linkPrediction(edges, "a", "b", 1)
+      .count() == 0, "maxDeg below 2 admits no middles")
+  }
+
+  test("kCorePeel: triangle survives, tails and chains peel away") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val core = graft.operators.Graphs.kCorePeel(tri, "a", "b", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"tail vertex 4 must peel: $core")
+    // a path has no 2-core: successive rounds eat it from both ends
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(graft.operators.Graphs.kCorePeel(path, "a", "b", 2, 4)
+      .count() == 0, "k=2 core of a path is empty")
+  }
+
+  test("lDiversityProfile: homogeneous groups land in the l=1 bucket") {
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y")).toDF("qi", "s")
+    val h = graft.operators.MlOps.lDiversityProfile(df, Seq("qi"), "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(h == Map(1L -> ((1L, 3L)), 2L -> ((1L, 2L))),
+      s"A is size-3 yet l=1 (the leak q198 can't see): $h")
   }
 
   test("similarItems: lift ties break to the smaller neighbor id") {
