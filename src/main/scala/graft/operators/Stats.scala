@@ -618,4 +618,32 @@ object Stats {
         (col("__cm").cast("double") / col("__tot").cast("double"))
           .as("mass_share"))
   }
+
+  /** Hill estimator of the tail index per group: over the k largest
+    * values x_(1) ≥ … ≥ x_(k) with reference x_(k+1),
+    * hill = (1/k)·Σ ln(x_(i)/x_(k+1)) and α = 1/hill — the power-law
+    * exponent check beside q125's Zipf slope (is this length/degree
+    * distribution genuinely heavy-tailed, and how heavy?).
+    *
+    * Scale: the ONLY order statistics needed are the top k+1 per group —
+    * a cap-bounded TopKAgg (O(k) state per map task), never a per-group
+    * sort; the ratio logs quantize to integer micro-units per element so
+    * the in-row fold is exact BIGINT arithmetic. Ties order by id
+    * (matching ORDER BY value DESC, id). Groups with fewer than k+1
+    * rows are dropped. Output: (group, x_ref, hill, alpha). */
+  def hillTailIndex(df: DataFrame, groupCol: String, valueCol: String,
+                    idCol: String, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.columnAgg(k + 1)
+    df.groupBy(col(groupCol))
+      .agg(topk(col(valueCol).cast("double"), col(idCol).cast("long"))
+        .as("__tk"))
+      .where(size(col("__tk")) === k + 1)
+      .withColumn("__xref", element_at(col("__tk"), k + 1).getField("_1"))
+      .withColumn("__mu", expr(
+        s"aggregate(slice(__tk, 1, $k), CAST(0 AS BIGINT), " +
+        "(a, x) -> a + CAST(round(ln(x._1 / __xref) * 1e6) AS BIGINT))"))
+      .select(col(groupCol), col("__xref").cast("bigint").as("x_ref"),
+        round(col("__mu").cast("double") / lit(k * 1e6), 6).as("hill"),
+        round(lit(k * 1e6) / col("__mu").cast("double"), 6).as("alpha"))
+  }
 }

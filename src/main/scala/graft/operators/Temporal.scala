@@ -633,4 +633,78 @@ object Temporal {
       .select(col(keyCol), col("__r.day").as("day_idx"), col("__r.v").as("v"),
         col("__r.ew").as("ewma"))
   }
+
+  /** Holt linear (double-exponential) smoothing per key: level + trend
+    * state, l_1 = v_1 and b_1 = 0, then
+    * l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1}) and
+    * b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, with the one-step-ahead
+    * forecast l_t + b_t — [[ewmaDaily]]'s trend-aware sibling, same
+    * in-row fold over the calendar-bounded day series (two doubles of
+    * state per key), same bit-identical-order oracle contract. */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(sum(col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast("double").as("v"))
+    val (a, b) = (alpha, beta)
+    val (na, nb) = (1.0 - alpha, 1.0 - beta)
+    // newL appears twice (in 'l' and inside 'b') — written out identically
+    // both times, exactly as the oracle's recursive CTE recomputes it
+    val newL = s"${a}D * x.v + ${na}D * (acc.l + acc.b)"
+    daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day_idx").as("day"),
+        col("v").as("v")))).as("__arr"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(
+           |  __arr,
+           |  named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+           |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, v: DOUBLE,
+           |      l: DOUBLE, b: DOUBLE>>)),
+           |  (acc, x) -> named_struct(
+           |    'l', CASE WHEN size(acc.out) = 0 THEN x.v ELSE $newL END,
+           |    'b', CASE WHEN size(acc.out) = 0 THEN CAST(0.0 AS DOUBLE)
+           |      ELSE ${b}D * (($newL) - acc.l) + ${nb}D * acc.b END,
+           |    'out', concat(acc.out, array(named_struct('day', x.day,
+           |      'v', x.v,
+           |      'l', CASE WHEN size(acc.out) = 0 THEN x.v ELSE $newL END,
+           |      'b', CASE WHEN size(acc.out) = 0 THEN CAST(0.0 AS DOUBLE)
+           |        ELSE ${b}D * (($newL) - acc.l) + ${nb}D * acc.b END)))),
+           |  acc -> acc.out)""".stripMargin)).as("__r"))
+      .select(col(keyCol), col("__r.day").as("day_idx"), col("__r.v").as("v"),
+        col("__r.l").as("level"), col("__r.b").as("trend"),
+        (col("__r.l") + col("__r.b")).as("forecast_next"))
+  }
+
+  /** New-extreme detector: per (key, day), the daily value against the
+    * min/max of the PREVIOUS `win` observed days (full-history gate —
+    * the first `win` days emit no verdict). Frames are row-bounded at
+    * `win` within calendar-bounded per-key partitions — the q224 WMA
+    * window discipline. Output: (key, day_idx, v, lo, hi,
+    * is_new_high, is_new_low). */
+  def rollingExtremes(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, win: Int): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(sum(col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast("double").as("v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+      .rowsBetween(-win, -1)
+    daily
+      .withColumn("__lo", min(col("v")).over(w))
+      .withColumn("__hi", max(col("v")).over(w))
+      .withColumn("__n", count(col("v")).over(w))
+      .where(col("__n") === win)
+      .select(col(keyCol), col("day_idx"), col("v"),
+        col("__lo").as("lo"), col("__hi").as("hi"),
+        (col("v") > col("__hi")).as("is_new_high"),
+        (col("v") < col("__lo")).as("is_new_low"))
+  }
 }

@@ -1138,7 +1138,16 @@ object LlmQueries {
     "q265_mutual_margin" -> ((s, d) =>
       Similarity.marginMutualPairs(
         table(s, d, "embeddings").where(col("vec_id") < 200),
-        "vec_id", "embedding", sideA = col("vec_id") % 2 === 0, k = 4))
+        "vec_id", "embedding", sideA = col("vec_id") % 2 === 0, k = 4)),
+
+    // Hill tail-index of the per-LANGUAGE length distribution over the
+    // top 50 order statistics — "is this tail genuinely power-law, and
+    // how heavy" beside q125's Zipf slope; top-(k+1) via TopKAgg, never
+    // a per-group sort. Languages (not sources) so every group clears
+    // the k+1 = 51 order statistics at sf0.01. See Stats.hillTailIndex.
+    "q271_hill_tail" -> ((s, d) =>
+      graft.operators.Stats.hillTailIndex(
+        table(s, d, "documents"), "lang", "n_chars", "doc_id", k = 50))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1275,6 +1284,30 @@ object LlmQueries {
         |  round(sa.cos_a / (CAST(sa.sum_mu_a + sb.sum_mu_b AS DOUBLE)
         |    / CAST(8000000 AS DOUBLE)), 6) AS margin
         |FROM sa JOIN sb ON sa.best_b = sb.id_b AND sb.best_a = sa.id_a""".stripMargin,
+
+    // Mirrors Stats.hillTailIndex: same (value DESC, id) order, micro-unit
+    // ratio logs, groups without 51 members dropped.
+    "q271_hill_tail" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, max(CASE WHEN rn = 51 THEN v END) AS xref,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM r WHERE rn <= 51 GROUP BY 1),
+        |s AS (
+        |  SELECT r.lang, g.xref,
+        |    CAST(sum(CAST(round(ln(r.v / g.xref) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS mu
+        |  FROM r JOIN g ON r.lang = g.lang
+        |  WHERE r.rn <= 50 AND g.n = 51
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(xref AS BIGINT) AS x_ref,
+        |  round(CAST(mu AS DOUBLE) / 50000000.0, 6) AS hill,
+        |  round(50000000.0 / CAST(mu AS DOUBLE), 6) AS alpha
+        |FROM s""".stripMargin,
 
     "q26_text_stats" ->
       """SELECT doc_id,

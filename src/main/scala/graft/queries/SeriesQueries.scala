@@ -90,9 +90,72 @@ object SeriesQueries {
         .select(col("event_type"), col("n_days"), col("mae_naive"),
           col("mae_seasonal"),
           (col("mae_seasonal") / col("mae_naive")).as("mase_ratio"))
-    }))
+    }),
+
+    // Holt linear smoothing (α=0.5, β=0.3): q259's trend-aware sibling —
+    // level + trend state folded in-row, one-step forecast emitted.
+    // See Temporal.holtLinear.
+    "q270_holt_linear" -> ((s, d) =>
+      Temporal.holtLinear(table(s, d, "events"), "event_type", "ts",
+        "value", alpha = 0.5, beta = 0.3)),
+
+    // New-extreme detector: daily value vs the min/max of the previous 7
+    // observed days (full-history gate) — the monitoring screen between
+    // q120's z-score anomalies and q236's CUSUM. See
+    // Temporal.rollingExtremes.
+    "q272_rolling_extremes" -> ((s, d) =>
+      Temporal.rollingExtremes(table(s, d, "events"), "event_type", "ts",
+        "value", win = 7)))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Temporal.holtLinear: the recursive CTE recomputes newL
+    // inside the trend column exactly as the Spark fold writes it twice.
+    "q270_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_idx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day_idx, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day_idx) AS rn
+        |  FROM daily),
+        |h AS (
+        |  SELECT event_type, day_idx, v, rn, v AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.day_idx, r.v, r.rn,
+        |    CAST(0.5 AS DOUBLE) * r.v + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+        |    CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * r.v
+        |        + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+        |      + CAST(0.7 AS DOUBLE) * h.b
+        |  FROM r JOIN h ON r.event_type = h.event_type
+        |    AND r.rn = h.rn + 1)
+        |SELECT event_type, day_idx, v, l AS level, b AS trend,
+        |  l + b AS forecast_next
+        |FROM h""".stripMargin,
+
+    "q272_rolling_extremes" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_idx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day_idx, v,
+        |    min(v) OVER f AS lo, max(v) OVER f AS hi,
+        |    count(v) OVER f AS n
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day_idx
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day_idx, v, lo, hi,
+        |  v > hi AS is_new_high, v < lo AS is_new_low
+        |FROM w WHERE n = 7""".stripMargin,
 
     "q259_ewma_daily" ->
       """WITH RECURSIVE daily AS (

@@ -90,6 +90,63 @@ class SeriesQueriesSpec extends AnyFunSuite {
     assert(run(7) == m, "fold order is data-defined, not partition-defined")
   }
 
+  test("holtLinear: level tracks, trend learns a ramp, forecast = l + b") {
+    val df = Seq(("k", ts(1), 10.0), ("k", ts(2), 20.0), ("k", ts(3), 30.0))
+      .toDF("k", "ts", "v")
+    val m = graft.operators.Temporal
+      .holtLinear(df, "k", "ts", "v", alpha = 0.5, beta = 0.3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m(1L) == ((10.0, 0.0, 10.0)), "l_1 = v_1, b_1 = 0")
+    val l2 = 0.5 * 20.0 + 0.5 * (10.0 + 0.0)
+    val b2 = 0.3 * (l2 - 10.0) + 0.7 * 0.0
+    assert(m(2L) == ((l2, b2, l2 + b2)))
+    val l3 = 0.5 * 30.0 + 0.5 * (l2 + b2)
+    val b3 = 0.3 * (l3 - l2) + 0.7 * b2
+    assert(m(3L) == ((l3, b3, l3 + b3)), s"got ${m(3L)}")
+  }
+
+  test("rollingExtremes: full-history gate, strict new-high detection") {
+    // key with 5 days, win=3: only days 4 and 5 emit; day 4 value 9
+    // beats max(1,2,3)=3; day 5 value 2 sits inside [2,9]... prior
+    // window for day 5 is days 2,3,4 -> [2,9], v=2 is not < lo (strict)
+    val df = Seq(("k", ts(1), 1.0), ("k", ts(2), 2.0), ("k", ts(3), 3.0),
+      ("k", ts(4), 9.0), ("k", ts(5), 2.0)).toDF("k", "ts", "v")
+    val m = graft.operators.Temporal
+      .rollingExtremes(df, "k", "ts", "v", win = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(m.keySet == Set(4L, 5L), s"first 3 days gated: ${m.keySet}")
+    assert(m(4L) == ((1.0, 3.0, true, false)))
+    assert(m(5L) == ((2.0, 9.0, false, false)), "boundary value is not new")
+  }
+
+  test("hillTailIndex: exact Pareto tail recovers its exponent") {
+    // x_(i) = (k+1-i+1)^(-1/a) scaled: use v_i = C / i^(1/a) with a=2 ->
+    // hill over top-k vs ref x_(k+1) equals (1/k) sum ln((x_i/x_ref)) =
+    // (1/a)*(1/k) sum ln((k+1)/i); just assert against the directly
+    // computed expectation on the fixture (micro-quantized like the op).
+    val a = 2.0
+    val k = 10
+    val rows = (1 to (k + 1)).map(i =>
+      ("g", math.round(1e6 / math.pow(i, 1.0 / a)), i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    val got = graft.operators.Stats.hillTailIndex(df, "g", "v", "id", k)
+      .collect().head
+    val xref = rows(k)._2.toDouble
+    val mu = (0 until k).map(i =>
+      math.round(math.log(rows(i)._2 / xref) * 1e6)).sum
+    val hill = BigDecimal(mu.toDouble / (k * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) == hill, s"got ${got.getDouble(2)}, want $hill")
+    assert(math.abs(got.getDouble(3) - a) < 0.3,
+      s"alpha approximates 2 up to the known small-k bias: ${got.getDouble(3)}")
+    // under-k groups are dropped
+    assert(graft.operators.Stats.hillTailIndex(
+      df.where($"id" <= 5), "g", "v", "id", k).count() == 0)
+  }
+
   test("seasonal error: q260 ratio detects a pure weekly rhythm") {
     // 28 days, counts 1,1,1,1,1,1,8 repeating: lag-7 error is 0,
     // lag-1 error is positive -> ratio 0.
