@@ -104,25 +104,13 @@ object InferQueries {
     // together in ≥ 2.2% of orders, with lift vs independence — the
     // association rule screen. Per-order pair expansion bounded by order
     // width.
-    "q221_brand_lift" -> ((s, dir) =>
-      Graphs.cooccurrenceLift(
-        table(s, dir, "lineitem")
-          .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey"), col("p_brand")),
-        "l_orderkey", "p_brand", supNum, supDen)),
+    "q221_brand_lift" -> ((s, dir) => brandLift(s, dir)),
 
     // Triangle census of the brand co-purchase graph (edges = the q221
     // support-filtered pairs): per-brand triangle participation — the
     // clustering-density view of the same association structure.
-    "q222_brand_triangles" -> ((s, dir) => {
-      val edges = Graphs.cooccurrenceLift(
-        table(s, dir, "lineitem")
-          .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey"), col("p_brand")),
-        "l_orderkey", "p_brand", supNum, supDen)
-        .select(col("item_a"), col("item_b"))
-      Graphs.triangleCounts(edges, "item_a", "item_b")
-    }),
+    "q222_brand_triangles" -> ((s, dir) =>
+      Graphs.triangleCounts(brandEdges(s, dir), "item_a", "item_b")),
 
     // Inter-event gap census: time between consecutive events per user,
     // bucketed into cadence bands — the profile a session timeout is
@@ -157,15 +145,29 @@ object InferQueries {
       Graphs.kCorePeel(brandEdges(s, dir), "item_a", "item_b",
         k = 3, rounds = 6)))
 
-  /** The q221/q222 support-filtered brand co-purchase edge set, shared by
-    * the graph queries. */
+  /** The q221 brand-lift table, computed once per (session, sf dir) and
+    * persisted — four queries (q221/q222/q267/q268) consume the same
+    * support-filtered co-purchase graph, exactly the nearDupPairs
+    * shared-graph pattern (the lift table is |brand-pairs|-bounded, so
+    * the persist is tiny and survives CacheScope's per-query drain). */
+  private val brandLiftCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def brandLift(s: SparkSession, dir: String): DataFrame = {
+    brandLiftCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    brandLiftCache.getOrElseUpdate((s, dir),
+      Graphs.cooccurrenceLift(
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", supNum, supDen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The support-filtered brand co-purchase edge set, shared by the
+    * graph queries. */
   private def brandEdges(s: SparkSession, dir: String): DataFrame =
-    Graphs.cooccurrenceLift(
-      table(s, dir, "lineitem")
-        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")),
-      "l_orderkey", "p_brand", supNum, supDen)
-      .select(col("item_a"), col("item_b"))
+    brandLift(s, dir).select(col("item_a"), col("item_b"))
 
   /** Shared oracle prefix: the same edge set as [[brandEdges]], ending at
     * `e(a, b2)` (a < b2) and its symmetric closure `und`. */
