@@ -392,4 +392,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!l252.contains("CartesianProduct"))
   }
+
+  test("q265-q271: margin mining broadcasts bounded sides; rank ops stay window-free") {
+    // q265: the all-pairs stage is the DOCUMENTED bounded-sample broadcast
+    // (the q33 contract) — never an unhinted cartesian
+    val p265 = plan("q265_mutual_margin")
+    assert(p265.contains("BroadcastNestedLoopJoin"),
+      "bounded sides should broadcast")
+    assert(!p265.contains("CartesianProduct"))
+    // q266/q271: reservoir + Hill order statistics rank via TopKAgg —
+    // no per-group sort window anywhere
+    Seq("q266_weighted_reservoir", "q271_hill_tail").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+        s"$q must stay window-free (TopKAgg)")
+    }
+  }
 }
