@@ -127,6 +127,24 @@ import org.apache.spark.sql.functions._
   * users); equidepth and the expectation suite are pure scan shapes
   * (~2x for 10x rows, constant outputs) — the single-agg designs hold.
   *
+  * Late-session additions (quiet box, 2026-08-14; 1x numbers are
+  * cold-JVM, 10x warm — compare shapes):
+  * {{{
+  *   holt_linear     1x rows=150  3.6 s   10x rows=150  1.9 s
+  *   weighted_resv   1x rows=100  1.1 s   10x rows=100  1.3 s
+  *   hill_tail       1x rows=20   0.4 s   10x rows=20   0.8 s
+  *   link_predict    1x rows=124  5.8 s   10x rows=124  9.4 s
+  *   kcore_peel      1x rows=24   8.5 s   10x rows=24   7.0 s
+  * }}}
+  * Holt/reservoir/Hill are FLAT — calendar grid and O(k) TopKAgg state
+  * never grow with rows. Link prediction is 1.6x for 10x input: the
+  * brand EDGE SET is identical across factors (replicas shift basket
+  * ids, support shares are scale-invariant), so only the first
+  * co-occurrence count pass scales. kcore_peel went flat once the
+  * initial symmetric edge set was checkpointed before the peel loop —
+  * round 1's degree filter and edge join had been recomputing the
+  * upstream co-occurrence twice (3.4x growth before, ≤1x after).
+  *
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -406,6 +424,51 @@ object ScaleSmoke {
     // Equi-depth + expectation suite: pure scan shapes — a 1-row
     // percentile aggregate (edges) + one conditional-sum agg; both must
     // track the scan linearly with constant-size outputs.
+    // Holt/reservoir/Hill: the same constant-grid arguments — Holt folds
+    // the calendar-bounded day series (state two doubles per key);
+    // the reservoir and Hill keep O(k) TopKAgg state per (group, task)
+    // no matter how many rows a group gains.
+    for ((label, edf) <- Seq(("1x", ev2), (s"${factor}x", ev2Big))) {
+      time(s"holt_linear     $label") {
+        operators.Temporal.holtLinear(
+          edf.withColumn("event_type",
+              concat(lit("t"), pmod(col("event_id"), lit(5))))
+            .withColumn("value", (col("event_id") % 100).cast("double")),
+          "event_type", "ts", "value", alpha = 0.5, beta = 0.3).count()
+      }
+    }
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"weighted_resv   $label") {
+        operators.Scale.weightedReservoir(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "source", "doc_id", col("n_chars"), k = 5).count()
+      }
+      time(s"hill_tail       $label") {
+        operators.Stats.hillTailIndex(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "source", "n_chars", "doc_id", k = 50).count()
+      }
+    }
+    // Link prediction / k-core on the brand graph: replicas shift basket
+    // ids, so the EDGE SET (brand pairs above the rational support) is
+    // IDENTICAL across factors — both curves must be flat after the
+    // first co-occurrence count pass.
+    for ((label, ldf) <- Seq(("1x", li2), (s"${factor}x", li2Big))) {
+      def brandEdges = operators.Graphs.cooccurrenceLift(
+        ldf.join(Graft.table(spark, sfDir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", 11L, 500L)
+        .select(col("item_a"), col("item_b"))
+      time(s"link_predict    $label") {
+        operators.Graphs.linkPrediction(brandEdges, "item_a", "item_b",
+          100).count()
+      }
+      time(s"kcore_peel      $label") {
+        operators.Graphs.kCorePeel(brandEdges, "item_a", "item_b",
+          3, 6).count()
+      }
+    }
     val ord = Graft.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     val ordBig = (0 until factor)

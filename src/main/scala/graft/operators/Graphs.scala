@@ -327,7 +327,11 @@ object Graphs {
     val e0 = edges.select(
       least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // checkpoint BEFORE the loop: round 1's degree filter and its edge
+    // join both consume `und` — without this the (possibly expensive)
+    // upstream edge derivation runs twice
     var und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = und.groupBy(col("a")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k).select(col("a"))
