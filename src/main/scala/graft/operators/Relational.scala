@@ -234,4 +234,30 @@ object Relational {
         lit(true).as("is_current"))
     closed.unionByName(open)
   }
+
+  /** Erasure-impact report (the GDPR right-to-erasure dry run): given a
+    * subject cohort, count the rows that would cascade along each
+    * declared FK chain before anything is deleted — per chain stage:
+    * affected rows and their share of the table. Each stage is a
+    * LEFT SEMI join against the previous stage's keys (never a
+    * materialized delete, never a collect); the shares come from 1-row
+    * total aggregates broadcast onto the |stages|-row result.
+    * `chain` stages: (label, table, keyCol selecting rows by the
+    * previous stage's output key, outKeyCol feeding the next stage). */
+  def erasureImpact(subjects: DataFrame, subjectKey: String,
+                    chain: Seq[(String, DataFrame, String, String)]):
+      DataFrame = {
+    var keys = subjects.select(col(subjectKey).as("__key")).distinct()
+    val stages = chain.map { case (label, tbl, inKey, outKey) =>
+      val hit = tbl.join(keys, tbl(inKey) === col("__key"), "left_semi")
+      keys = hit.select(col(outKey).as("__key")).distinct()
+        .localCheckpoint()
+      val counts = hit.agg(count(lit(1)).as("n_affected"))
+        .crossJoin(broadcast(tbl.agg(count(lit(1)).as("__tot"))))
+      counts.select(lit(label).as("stage"), col("n_affected"),
+        col("__tot").as("n_total"),
+        (col("n_affected").cast("double") / col("__tot")).as("share"))
+    }
+    stages.reduce(_ unionByName _)
+  }
 }

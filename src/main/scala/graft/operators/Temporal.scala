@@ -680,6 +680,60 @@ object Temporal {
         (col("__r.l") + col("__r.b")).as("forecast_next"))
   }
 
+  /** STL-lite seasonal decomposition of the per-key daily COUNT series:
+    * trend = centered 7-day moving average (full-window gate), weekday
+    * effect = per-(key, dow) mean of the detrended series, residual =
+    * count − trend − weekday effect, flagged when |residual| exceeds
+    * `madK`× the key's median absolute residual — "unusual for a Tuesday
+    * in a slow week", the anomaly q120's plain z-score and q236's CUSUM
+    * both miss when trend and weekly rhythm coexist.
+    *
+    * Scale + determinism: the trend window is a 7-row frame inside
+    * calendar-bounded per-key partitions; every fractional quantity is
+    * quantized to integer micro-units at its FIRST appearance (trend_mu
+    * from an integer 7-day sum, dow effect from an exact BIGINT sum of
+    * r1_mu, residual as BIGINT subtraction), so cross-row aggregation is
+    * exact integer arithmetic; the MAD is an exact interpolated
+    * percentile of BIGINTs per key (day-grid bounded, the q49 posture).
+    * Output: (key, day_idx, n, trend, resid, is_anomaly). */
+  def seasonalResiduals(events: DataFrame, keyCol: String, tsCol: String,
+                        madK: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w7 = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__s7", sum(col("n")).over(w7))
+      .withColumn("__c7", count(col("n")).over(w7))
+      .where(col("__c7") === 7)
+      .withColumn("trend_mu",
+        round(col("__s7").cast("double") * lit(1e6) / lit(7.0))
+          .cast("bigint"))
+      .withColumn("r1_mu", col("n") * lit(1000000L) - col("trend_mu"))
+      .withColumn("dow", pmod(col("day_idx") + 4, lit(7)))
+    // fresh names on the aggregated side: dow/key derive from `trended`,
+    // so joining on the same attribute would be trivially true
+    val dowEff = trended.groupBy(col(keyCol).as("__k"), col("dow").as("__dw"))
+      .agg(round(sum(col("r1_mu")).cast("double") / count(lit(1)))
+        .cast("bigint").as("dow_mu"))
+      .toDF("__k", "__dw", "dow_mu")
+    val resid = trended
+      .join(dowEff, col(keyCol) === col("__k") && col("dow") === col("__dw"))
+      .select(col(keyCol), col("day_idx"), col("n"), col("trend_mu"),
+        (col("r1_mu") - col("dow_mu")).as("resid_mu"))
+    val mad = resid.groupBy(col(keyCol).as("__k2"))
+      .agg(expr("percentile(abs(resid_mu), 0.5D)").as("__mad"))
+    resid.join(broadcast(mad), resid(keyCol) === col("__k2"))
+      .select(resid(keyCol), col("day_idx"), col("n"),
+        (col("trend_mu").cast("double") / lit(1e6)).as("trend"),
+        (col("resid_mu").cast("double") / lit(1e6)).as("resid"),
+        (abs(col("resid_mu")).cast("double") > lit(madK) * col("__mad"))
+          .as("is_anomaly"))
+  }
+
   /** New-extreme detector: per (key, day), the daily value against the
     * min/max of the PREVIOUS `win` observed days (full-history gate —
     * the first `win` days emit no verdict). Frames are row-bounded at

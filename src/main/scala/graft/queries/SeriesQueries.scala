@@ -105,9 +105,59 @@ object SeriesQueries {
     // Temporal.rollingExtremes.
     "q272_rolling_extremes" -> ((s, d) =>
       Temporal.rollingExtremes(table(s, d, "events"), "event_type", "ts",
-        "value", win = 7)))
+        "value", win = 7)),
+
+    // STL-lite residual anomalies: count minus centered-7d trend minus
+    // weekday effect, flagged beyond 3x the per-type median absolute
+    // residual — "unusual for a Tuesday in a slow week". See
+    // Temporal.seasonalResiduals.
+    "q273_seasonal_residuals" -> ((s, d) =>
+      Temporal.seasonalResiduals(table(s, d, "events"), "event_type",
+        "ts", madK = 3.0)))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Temporal.seasonalResiduals: micro-units fixed at first
+    // appearance (trend from the integer 7-day sum, dow effect from the
+    // exact BIGINT residual sum), exact-percentile MAD per type.
+    "q273_seasonal_residuals" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day_idx, n,
+        |    CAST(sum(n) OVER f AS BIGINT) AS s7, count(n) OVER f AS c7
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day_idx
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |g AS (
+        |  SELECT event_type, day_idx, n,
+        |    CAST(round(CAST(s7 AS DOUBLE) * 1e6 / 7.0) AS BIGINT)
+        |      AS trend_mu,
+        |    n * 1000000 - CAST(round(CAST(s7 AS DOUBLE) * 1e6 / 7.0)
+        |      AS BIGINT) AS r1_mu,
+        |    (day_idx + 4) % 7 AS dow
+        |  FROM t WHERE c7 = 7),
+        |de AS (
+        |  SELECT event_type, dow,
+        |    CAST(round(CAST(sum(r1_mu) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS dow_mu
+        |  FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g.event_type, g.day_idx, g.n, g.trend_mu,
+        |    g.r1_mu - de.dow_mu AS resid_mu
+        |  FROM g JOIN de ON g.event_type = de.event_type
+        |    AND g.dow = de.dow),
+        |m AS (SELECT event_type, quantile_cont(abs(resid_mu), 0.5) AS mad
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, r.day_idx, r.n,
+        |  CAST(r.trend_mu AS DOUBLE) / 1e6 AS trend,
+        |  CAST(r.resid_mu AS DOUBLE) / 1e6 AS resid,
+        |  CAST(abs(r.resid_mu) AS DOUBLE) > 3.0 * m.mad AS is_anomaly
+        |FROM r JOIN m ON r.event_type = m.event_type""".stripMargin,
 
     // Mirrors Temporal.holtLinear: the recursive CTE recomputes newL
     // inside the trend column exactly as the Spark fold writes it twice.

@@ -87,6 +87,19 @@ object WarehouseQueries {
         Membership("o_orderstatus", Seq("O", "F", "P"), 1.0)))
     }),
 
+    // Right-to-erasure dry run: negative-balance AUTOMOBILE customers as
+    // the subject cohort, cascaded customer -> orders -> lineitem along
+    // the q227 FK edges — affected rows and table shares per stage,
+    // BEFORE any delete runs. See Relational.erasureImpact.
+    "q274_erasure_impact" -> ((s, d) => {
+      val subjects = table(s, d, "customer")
+        .where(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") < 0)
+      Relational.erasureImpact(subjects, "c_custkey", Seq(
+        ("customer", table(s, d, "customer"), "c_custkey", "c_custkey"),
+        ("orders", table(s, d, "orders"), "o_custkey", "o_orderkey"),
+        ("lineitem", table(s, d, "lineitem"), "l_orderkey", "l_orderkey")))
+    }),
+
     // Explicit GROUPING SETS census over (source, lang): the one
     // grouping shape rollup (q24/q73) and cube (q47) cannot express —
     // an arbitrary set list, here both one-dimension margins plus the
@@ -112,6 +125,28 @@ object WarehouseQueries {
        |    WHERE pa.$pk = ch.$fk)) o""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q274_erasure_impact" ->
+      """WITH subj AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0),
+        |okeys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM subj)),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey IN (SELECT k FROM subj)),
+        |onn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM subj)),
+        |ln AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |  WHERE l_orderkey IN (SELECT k FROM okeys)),
+        |tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM customer),
+        |toc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders),
+        |tl AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lineitem)
+        |SELECT 'customer' AS stage, cn.n AS n_affected, tc.t AS n_total,
+        |  CAST(cn.n AS DOUBLE) / tc.t AS share FROM cn, tc
+        |UNION ALL SELECT 'orders', onn.n, toc.t,
+        |  CAST(onn.n AS DOUBLE) / toc.t FROM onn, toc
+        |UNION ALL SELECT 'lineitem', ln.n, tl.t,
+        |  CAST(ln.n AS DOUBLE) / tl.t FROM ln, tl""".stripMargin,
 
     "q256_expectation_suite" ->
       """WITH m AS (

@@ -147,6 +147,35 @@ class SeriesQueriesSpec extends AnyFunSuite {
       df.where($"id" <= 5), "g", "v", "id", k).count() == 0)
   }
 
+  test("seasonalResiduals: constant series is all-zero; a spike flags") {
+    // pure constant series: trend = count, dow effect 0 -> residual 0
+    val flat = (1 to 21).flatMap(d => (0 until 2).map(i =>
+      ("t", ts(d.toLong, i.toLong)))).toDF("event_type", "ts")
+    val quiet = graft.operators.Temporal
+      .seasonalResiduals(flat, "event_type", "ts", madK = 3.0)
+      .collect().map(r => (r.getDouble(4), r.getBoolean(5)))
+    assert(quiet.length == 15, "centered-7 gate trims 3+3 days")
+    assert(quiet.forall(q => q._1 == 0.0 && !q._2), s"flat is quiet: ${quiet.toSeq}")
+    // a spike day: flagged, and carries the max |residual| — neighbors
+    // legitimately pick up small residuals (the spike lifts their trend
+    // window and its dow mean), which is why the MAD gate exists
+    val ev = (1 to 21).flatMap { d =>
+      val n = if (d == 11) 9 else 2
+      (0 until n).map(i => ("t", ts(d.toLong, i.toLong)))
+    }.toDF("event_type", "ts")
+    val rows = graft.operators.Temporal
+      .seasonalResiduals(ev, "event_type", "ts", madK = 3.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(4), r.getBoolean(5))).toMap
+    val spike = rows(11L)
+    assert(spike._1 == 9L && spike._3, s"spike must flag: $spike")
+    assert(rows.values.map(v => math.abs(v._2)).max == math.abs(spike._2),
+      "spike residual dominates")
+    // near-flat interior days stay inside the 3-MAD band
+    assert(Seq(8L, 9L, 12L, 13L).forall(d => !rows(d)._3),
+      s"half-count wobble must not flag: $rows")
+  }
+
   test("seasonal error: q260 ratio detects a pure weekly rhythm") {
     // 28 days, counts 1,1,1,1,1,1,8 repeating: lag-7 error is 0,
     // lag-1 error is positive -> ratio 0.

@@ -90,4 +90,24 @@ class WarehouseQueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Union"), "row-level checks must share one agg")
   }
+
+  test("erasureImpact: counts cascade down the FK chain with exact shares") {
+    val cust = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("ck", "subject")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 3L), (13L, 4L))
+      .toDF("ok", "ck")
+    val items = Seq((10L, 1), (10L, 2), (11L, 1), (12L, 1), (13L, 1))
+      .toDF("ok", "line")
+    val got = graft.operators.Relational.erasureImpact(
+      cust.where($"subject"), "ck", Seq(
+        ("customer", cust, "ck", "ck"),
+        ("orders", orders, "ck", "ok"),
+        ("lineitem", items, "ok", "ok")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("customer") == ((2L, 4L, 0.5)))
+    assert(got("orders") == ((2L, 4L, 0.5)), "orders of customers 1+2")
+    assert(got("lineitem") == ((3L, 5L, 3.0 / 5)),
+      s"3 lines under orders 10/11: $got")
+  }
 }
