@@ -347,6 +347,43 @@ object Scale {
     df.count()
   }
 
+  /** Data-skipping effectiveness audit: simulate file-level min/max
+    * pruning (the parquet row-group / Delta file-stats mechanism) for a
+    * predicate `valueCol > threshold` against a declared file grouping.
+    * Per group: row count, min/max of the column, and whether its stats
+    * alone prove the predicate empty (max <= threshold → the whole file
+    * never opens); plus each group's share of total rows — summing the
+    * skippable shares gives the scan fraction a clustered layout saves,
+    * the measurement behind the q210 Z-order choice.
+    *
+    * One keyed aggregate + one 1-row total broadcast; the audit never
+    * touches more than |groups| rows after the scan. */
+  def skippingAudit(df: DataFrame, groupCol: Column, valueCol: String,
+                    threshold: Double): DataFrame = {
+    val stats = df.groupBy(groupCol.as("file_group"))
+      .agg(count(lit(1)).as("n_rows"), min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+    stats.crossJoin(broadcast(stats.agg(sum(col("n_rows")).as("__tot"))))
+      .select(col("file_group"), col("n_rows"), col("min_v"), col("max_v"),
+        (col("max_v") <= lit(threshold)).as("skippable"),
+        (col("n_rows").cast("double") / col("__tot")).as("row_share"))
+  }
+
+  /** Compaction planner — the DRY-RUN sibling of [[compact]]: per
+    * partition key, row count, estimated bytes (rows × an avg-row-bytes
+    * estimate measured from a declared width expression), and the
+    * planned output file count ceil(bytes / target). The small-file
+    * report a table-maintenance service reviews before rewriting
+    * anything; pure aggregates, no filesystem access, no writes. */
+  def compactionPlan(df: DataFrame, partCol: Column, rowBytes: Column,
+                     targetFileBytes: Long): DataFrame =
+    df.groupBy(partCol.as("part"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+      .select(col("part"), col("n_rows"), col("est_bytes"),
+        greatest(lit(1L),
+          ceil(col("est_bytes").cast("double") / lit(targetFileBytes.toDouble))
+            .cast("bigint")).as("planned_files"))
+
   /** Exact-k weighted sampling WITHOUT replacement per group — the A-Res
     * reservoir (Efraimidis–Spirakis): each row draws a deterministic
     * uniform u from its id hash and ranks by the exponential key

@@ -93,6 +93,34 @@ object ScaleQueries {
       Scale.weightedReservoir(table(s, d, "documents"), "lang", "doc_id",
         col("n_chars"), k = 5)),
 
+    // Data-skipping audit for `o_totalprice > 400000` under two layouts:
+    // the natural ingest layout (month files — orderkeys and prices are
+    // uncorrelated, nothing skips) vs a price-clustered layout (50k
+    // bands — everything below the predicate band skips). The measured
+    // contrast is the justification behind the q210 Z-order layout.
+    // See Scale.skippingAudit.
+    "q275_skipping_audit" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      Scale.skippingAudit(o,
+          date_format(col("o_orderdate"), "yyyy-MM"),
+          "o_totalprice", 400000.0)
+        .withColumn("layout", lit("ingest_month"))
+        .unionByName(Scale.skippingAudit(o,
+            concat(lit("band_"),
+              floor(col("o_totalprice") / 50000).cast("bigint")),
+            "o_totalprice", 400000.0)
+          .withColumn("layout", lit("price_clustered")))
+    }),
+
+    // Compaction dry run: per ship-month, row count, estimated bytes at
+    // a declared 128 B/row, and planned output files at a 1 MiB target
+    // — the small-file report reviewed before any rewrite.
+    // See Scale.compactionPlan.
+    "q276_compaction_plan" -> ((s, d) =>
+      Scale.compactionPlan(table(s, d, "lineitem"),
+        date_format(col("l_shipdate"), "yyyy-MM"), lit(128L),
+        targetFileBytes = 1L << 20)),
+
     // Incremental dedup — the standing shape for continuously-ingested
     // corpora: fingerprint the new batch, dedupe within it, anti-join against
     // the existing store's fingerprints. The batch here is the next 10
@@ -742,6 +770,41 @@ object ScaleQueries {
          |WHERE CAST($h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)
          |      < least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE))""".stripMargin
     },
+
+    "q275_skipping_audit" ->
+      """WITH a AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS file_group,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        |  FROM orders GROUP BY 1),
+        |ta AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM a),
+        |b AS (
+        |  SELECT 'band_' || CAST(CAST(floor(o_totalprice / 50000)
+        |      AS BIGINT) AS VARCHAR) AS file_group,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        |  FROM orders GROUP BY 1),
+        |tb AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM b)
+        |SELECT file_group, n_rows, min_v, max_v,
+        |  max_v <= 400000.0 AS skippable,
+        |  CAST(n_rows AS DOUBLE) / ta.t AS row_share,
+        |  'ingest_month' AS layout
+        |FROM a, ta
+        |UNION ALL
+        |SELECT file_group, n_rows, min_v, max_v,
+        |  max_v <= 400000.0 AS skippable,
+        |  CAST(n_rows AS DOUBLE) / tb.t AS row_share,
+        |  'price_clustered' AS layout
+        |FROM b, tb""".stripMargin,
+
+    "q276_compaction_plan" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) * 128 AS BIGINT) AS est_bytes,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(ceil(CAST(count(*) * 128 AS DOUBLE) / 1048576.0)
+        |      AS BIGINT)) AS planned_files
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // Mirrors Scale.weightedReservoir: u = (hash60+1)/2^60 with the +1 in
     // INTEGER space (2^60 > 2^53 — float-then-add would round differently),

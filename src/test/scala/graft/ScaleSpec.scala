@@ -458,4 +458,31 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(re.sortBy(_._1).toSeq == order.sortBy(_._1).toSeq)
   }
+
+  test("skippingAudit: boundary max is skippable; shares sum to 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g1", 10.0), ("g1", 50.0), ("g2", 60.0), ("g2", 90.0))
+      .toDF("g", "v")
+    val rows = Scale.skippingAudit(df, col("g"), "v", threshold = 50.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(4), r.getDouble(5))).toMap
+    assert(rows("g1") == ((2L, true, 0.5)),
+      "max == threshold proves `v > t` empty — skippable")
+    assert(rows("g2") == ((2L, false, 0.5)))
+    assert(rows.values.map(_._3).sum == 1.0)
+  }
+
+  test("compactionPlan: ceil boundary and the 1-file floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // part a: 3 rows x 100 B = 300 B -> 2 files at 256 B target;
+    // part b: 1 row -> floor of 1 file
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("p", "x")
+    val plan = Scale.compactionPlan(df, col("p"), lit(100L), 256L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(plan("a") == ((3L, 300L, 2L)))
+    assert(plan("b") == ((1L, 100L, 1L)))
+  }
 }
