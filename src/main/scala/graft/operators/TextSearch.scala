@@ -49,4 +49,50 @@ object TextSearch {
       .where(col("n_matches") > 0)
       .select(col(idCol), col("n_matches"))
   }
+
+  /** Dictionary (blocklist) phrase matching — [[phraseSearch]] with
+    * PHRASES AS DATA: every exact token-sequence occurrence of every
+    * dictionary phrase, in one pass over the corpus. The corpus-cleaning
+    * primitive behind banned-phrase filters and policy screens, where
+    * the dictionary is thousands of phrases and scanning once per phrase
+    * is not an option.
+    *
+    * Plan: postings filter to the dictionary's token SET via a broadcast
+    * semi-join (a blocklist is small by contract — the decontamination
+    * posture), ONE doc-keyed aggregation builds the surviving pos→term
+    * map, anchors join phrase first-tokens term-keyed, and the adjacency
+    * probe folds over the phrase's own length against the map. Per-doc
+    * state is bounded by that doc's dictionary-term occurrences;
+    * candidates by first-token occurrences — never |docs| × |phrases|.
+    * Output: (idCol, phraseIdCol, n_matches > 0), overlapping matches
+    * counted individually (the phraseSearch contract). */
+  def blocklistMatches(docs: DataFrame, idCol: String, textCol: String,
+                       phrases: DataFrame, phraseIdCol: String,
+                       phraseCol: String): DataFrame = {
+    val ptoks = phrases.select(col(phraseIdCol).as("__pid"),
+      split(col(phraseCol), " ").as("__pt"))
+    val dictTokens = ptoks.select(explode(col("__pt")).as("term")).distinct()
+    val post = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .join(broadcast(dictTokens), "term")
+    val pm = post.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("term"))))
+        .as("pm"))
+    val anchors = post.join(
+      broadcast(ptoks.withColumn("term", col("__pt").getItem(0))), "term")
+    // probe positions pos+1 … pos+len-1; single-token phrases match at
+    // the anchor itself (sequence(1, 0) is DESCENDING in Spark — guard)
+    anchors.join(pm, idCol)
+      .withColumn("__hit", expr(
+        "CASE WHEN size(__pt) = 1 THEN CAST(1 AS BIGINT) " +
+        "ELSE IF(aggregate(sequence(1, size(__pt) - 1), true, " +
+        "(a, k) -> a AND try_element_at(pm, pos + k) = " +
+        "element_at(__pt, k + 1)), CAST(1 AS BIGINT), CAST(0 AS BIGINT)) " +
+        "END"))
+      .groupBy(col(idCol), col("__pid"))
+      .agg(sum(col("__hit")).as("n_matches"))
+      .where(col("n_matches") > 0)
+      .select(col(idCol), col("__pid").as(phraseIdCol), col("n_matches"))
+  }
 }

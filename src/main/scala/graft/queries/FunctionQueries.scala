@@ -40,6 +40,25 @@ object FunctionQueries {
           expr("exists(__t, t -> t = 'spark')").as("has_spark"),
           concat_ws("-", slice(col("__t"), 1, 3)).as("head3"))),
 
+    // ANSI FILTER-clause aggregates: per-condition aggregation WITHOUT
+    // self-joins or CASE pyramids — one pass, every conditional metric a
+    // FILTER on the same aggregate tree (identical surface in DuckDB).
+    // Decimal discipline carried through the filtered sums.
+    "q278_filtered_aggregates" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_all"),
+          expr("count(*) FILTER (WHERE l_quantity > 25)")
+            .cast("bigint").as("n_bulk"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) " +
+            "FILTER (WHERE l_discount > 0.05) AS DOUBLE)")
+            .as("rev_discounted"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) " +
+            "FILTER (WHERE l_tax < 0.03) AS DOUBLE) / " +
+            "count(*) FILTER (WHERE l_tax < 0.03)").as("avg_qty_lowtax"),
+          expr("max(l_shipdate) FILTER (WHERE l_linestatus = 'F')")
+            .as("last_f_ship"))),
+
     // ANSI-safe arithmetic: division and casts that yield NULL instead
     // of faulting — the error-handling surface an ANSI-mode pipeline
     // needs; the oracle states the same semantics as explicit CASE.
@@ -55,6 +74,20 @@ object FunctionQueries {
             .as("mod3_filled"))))
 
   val oracle: Map[String, String] = Map(
+
+    "q278_filtered_aggregates" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+        |    AS n_bulk,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+        |    FILTER (WHERE l_tax < 0.03) AS DOUBLE)
+        |    / (count(*) FILTER (WHERE l_tax < 0.03)) AS avg_qty_lowtax,
+        |  max(l_shipdate) FILTER (WHERE l_linestatus = 'F')
+        |    AS last_f_ship
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q248_mode_per_group" ->
       """WITH c AS (

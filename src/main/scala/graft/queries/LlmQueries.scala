@@ -1140,6 +1140,18 @@ object LlmQueries {
         table(s, d, "embeddings").where(col("vec_id") < 200),
         "vec_id", "embedding", sideA = col("vec_id") % 2 === 0, k = 4)),
 
+    // Blocklist phrase filter: every occurrence of every dictionary
+    // phrase in ONE corpus pass (phrases as data — never a per-phrase
+    // scan, never |docs| x |phrases|). The banned-phrase screen of a
+    // corpus-cleaning stage. See TextSearch.blocklistMatches.
+    "q277_blocklist_phrases" -> ((s, d) => {
+      import s.implicits._
+      val dict = Seq(("p1", "table hash"), ("p2", "slow key"),
+        ("p3", "spark"), ("p4", "merge group")).toDF("pid", "phrase")
+      graft.operators.TextSearch.blocklistMatches(
+        table(s, d, "documents"), "doc_id", "text", dict, "pid", "phrase")
+    }),
+
     // Hill tail-index of the per-LANGUAGE length distribution over the
     // top 50 order statistics — "is this tail genuinely power-law, and
     // how heavy" beside q125's Zipf slope; top-(k+1) via TopKAgg, never
@@ -1284,6 +1296,25 @@ object LlmQueries {
         |  round(sa.cos_a / (CAST(sa.sum_mu_a + sb.sum_mu_b AS DOUBLE)
         |    / CAST(8000000 AS DOUBLE)), 6) AS margin
         |FROM sa JOIN sb ON sa.best_b = sb.id_b AND sb.best_a = sa.id_a""".stripMargin,
+
+    // Mirrors TextSearch.blocklistMatches: positional slice equality per
+    // start index, overlapping matches counted, empty ranges for short docs.
+    "q277_blocklist_phrases" ->
+      """WITH ph(pid, p) AS (VALUES
+        |    ('p1', 'table hash'), ('p2', 'slow key'),
+        |    ('p3', 'spark'), ('p4', 'merge group')),
+        |pt AS (SELECT pid, string_split(p, ' ') AS pts FROM ph),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT toks.doc_id, pt.pid, CAST(count(*) AS BIGINT)
+        |    AS n_matches
+        |  FROM toks CROSS JOIN pt,
+        |    unnest([i for i in range(1, len(toks.t) - len(pt.pts) + 2)])
+        |      AS u(i)
+        |  WHERE toks.t[i:i + len(pt.pts) - 1] = pt.pts
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, pid, n_matches FROM m""".stripMargin,
 
     // Mirrors Stats.hillTailIndex: same (value DESC, id) order, micro-unit
     // ratio logs, groups without 51 members dropped.

@@ -1346,6 +1346,24 @@ class LlmOperatorsSpec extends AnyFunSuite {
       "fixture sanity: the df cap must exhibit its blind spot here")
   }
 
+  test("blocklistMatches: overlaps count, single tokens match, no leakage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b c"),        // "a a" overlaps twice; "b c" once
+      (2L, "x b c y b c"),      // "b c" twice
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val dict = Seq(("d1", "a a"), ("d2", "b c"), ("d3", "x"),
+      ("d4", "absent phrase")).toDF("pid", "phrase")
+    val got = graft.operators.TextSearch
+      .blocklistMatches(docs, "doc_id", "text", dict, "pid", "phrase")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, "d1") -> 2L, (1L, "d2") -> 1L,
+      (2L, "d2") -> 2L, (2L, "d3") -> 1L),
+      s"got $got")
+  }
+
   test("categoryEntropy: uniform mix reads ln(2), monoculture reads 0") {
     import spark.implicits._
     val df = Seq(("s1", "en"), ("s1", "fr"), ("s2", "en"), ("s2", "en"))
