@@ -680,6 +680,56 @@ object Temporal {
         (col("__r.l") + col("__r.b")).as("forecast_next"))
   }
 
+  /** Multi-touch attribution: credit each conversion's preceding touches
+    * within a lookback window under three models at once — last-touch
+    * (1.0 to the latest touch), first-touch (1.0 to the earliest), and
+    * linear (1/n to each) — reported as per-(channel, model) credit
+    * totals. The marketing-attribution report every events warehouse
+    * ships; the three models share ONE touch-expansion pass.
+    *
+    * Scale: the (conversion, touch) expansion joins user-keyed and is
+    * bounded by touches-per-user-window (a hot-user cap upstream is the
+    * q264 recipe if a user can touch unboundedly); rank windows
+    * partition per CONVERSION (frames = that conversion's touches).
+    * Determinism: linear credit quantizes 1/n to integer micro-units per
+    * touch row, so credit sums are exact BIGINTs; ties on touch ts break
+    * by touch id, matching the oracle's ORDER BY. Output:
+    * (channel, model, credit, n_touches). */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, channelCol: Column,
+                  convType: String, touchTypes: Seq[String],
+                  lookbackSec: Long): DataFrame = {
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ct"),
+        col(idCol).as("__cid"))
+    val touch = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tt"),
+        col(idCol).as("__tid"), channelCol.as("channel"))
+    val pairs = conv.join(touch, Seq("__u"))
+      .where(col("__tt") <= col("__ct") &&
+        col("__tt") >= col("__ct") - expr(s"INTERVAL $lookbackSec SECONDS"))
+    val wLast = Window.partitionBy(col("__cid"))
+      .orderBy(col("__tt").desc, col("__tid").desc)
+    val wFirst = Window.partitionBy(col("__cid"))
+      .orderBy(col("__tt").asc, col("__tid").asc)
+    val wN = Window.partitionBy(col("__cid"))
+    val credited = pairs
+      .withColumn("__rl", row_number().over(wLast))
+      .withColumn("__rf", row_number().over(wFirst))
+      .withColumn("__n", count(lit(1)).over(wN))
+    def model(name: String, creditMu: Column) = credited
+      .groupBy(col("channel"))
+      .agg(sum(creditMu).as("__mu"), count(lit(1)).as("n_touches"))
+      .select(col("channel"), lit(name).as("model"),
+        (col("__mu").cast("double") / lit(1e6)).as("credit"),
+        col("n_touches"))
+    model("last", when(col("__rl") === 1, 1000000L).otherwise(0L))
+      .unionByName(model("first",
+        when(col("__rf") === 1, 1000000L).otherwise(0L)))
+      .unionByName(model("linear",
+        round(lit(1e6) / col("__n")).cast("bigint")))
+  }
+
   /** STL-lite seasonal decomposition of the per-key daily COUNT series:
     * trend = centered 7-day moving average (full-window gate), weekday
     * effect = per-(key, dow) mean of the detrended series, residual =

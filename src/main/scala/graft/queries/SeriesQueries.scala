@@ -113,9 +113,59 @@ object SeriesQueries {
     // Temporal.seasonalResiduals.
     "q273_seasonal_residuals" -> ((s, d) =>
       Temporal.seasonalResiduals(table(s, d, "events"), "event_type",
-        "ts", madK = 3.0)))
+        "ts", madK = 3.0)),
+
+    // Multi-touch attribution of purchases to prior view/click touches
+    // within a 7-day lookback, under last/first/linear credit models in
+    // one touch-expansion pass; channel derived from the event's JSON
+    // payload. See Temporal.attribution.
+    "q279_attribution" -> ((s, d) =>
+      Temporal.attribution(table(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type",
+        channelCol = concat(lit("ch"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3))),
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSec = 7L * 86400)))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Temporal.attribution: same (ts, id) tie-breaks, linear
+    // credit micro-quantized per touch row before summing.
+    "q279_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, ts AS ct, event_id AS cid FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS u, ts AS tt, event_id AS tid,
+        |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      % 3 AS VARCHAR) AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (
+        |  SELECT conv.cid, t.channel, t.tt, t.tid
+        |  FROM conv JOIN t ON conv.u = t.u
+        |    AND t.tt <= conv.ct
+        |    AND t.tt >= conv.ct - INTERVAL '604800 seconds'),
+        |r AS (
+        |  SELECT cid, channel,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY tt DESC, tid DESC) AS rl,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY tt ASC, tid ASC) AS rf,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM p)
+        |SELECT channel, 'last' AS model,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1000000 ELSE 0 END) AS DOUBLE)
+        |    / 1e6 AS credit,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM r GROUP BY 1
+        |UNION ALL SELECT channel, 'first',
+        |  CAST(sum(CASE WHEN rf = 1 THEN 1000000 ELSE 0 END) AS DOUBLE)
+        |    / 1e6, CAST(count(*) AS BIGINT)
+        |FROM r GROUP BY 1
+        |UNION ALL SELECT channel, 'linear',
+        |  CAST(sum(CAST(round(1e6 / n) AS BIGINT)) AS DOUBLE) / 1e6,
+        |  CAST(count(*) AS BIGINT)
+        |FROM r GROUP BY 1""".stripMargin,
 
     // Mirrors Temporal.seasonalResiduals: micro-units fixed at first
     // appearance (trend from the integer 7-day sum, dow effect from the

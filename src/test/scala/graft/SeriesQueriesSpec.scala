@@ -176,6 +176,35 @@ class SeriesQueriesSpec extends AnyFunSuite {
       s"half-count wobble must not flag: $rows")
   }
 
+  test("attribution: window clipping, tie-breaks, micro-exact linear split") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    // purchase at t=100; touches at 10 (chA), 20 (chB), 30 (chA);
+    // a touch at t=300 (after) and one at t=1 with tiny lookback excluded
+    def row(id: Long, sec: Long, ty: String, ch: String) =
+      (id, ts(0, sec), 7L, ty, ch)
+    val ev = Seq(row(1, 10, "view", "A"), row(2, 20, "click", "B"),
+      row(3, 30, "view", "A"), row(4, 100, "purchase", "-"),
+      row(5, 300, "click", "B"))
+      .toDF("event_id", "ts", "user_id", "event_type", "channel")
+    val got = graft.operators.Temporal.attribution(ev, "user_id", "ts",
+        "event_id", "event_type", channelCol = col("channel"),
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSec = 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got(("A", "last")) == ((1.0, 2L)), "latest touch is t=30 chA")
+    assert(got(("B", "last")) == ((0.0, 1L)))
+    assert(got(("A", "first")) == ((1.0, 2L)), "earliest is t=10 chA")
+    assert(got(("A", "linear")) == ((0.666666, 2L)),
+      "2 x round(1e6/3) micro-units")
+    assert(got(("B", "linear")) == ((0.333333, 1L)))
+    // shrink the lookback to 50s: only t=100-50..100 remains -> nothing
+    // but... t=30 is 70s before, excluded; no touches -> empty result
+    assert(graft.operators.Temporal.attribution(ev, "user_id", "ts",
+      "event_id", "event_type", col("channel"), "purchase",
+      Seq("view", "click"), lookbackSec = 50L).count() == 0)
+  }
+
   test("seasonal error: q260 ratio detects a pure weekly rhythm") {
     // 28 days, counts 1,1,1,1,1,1,8 repeating: lag-7 error is 0,
     // lag-1 error is positive -> ratio 0.
