@@ -170,26 +170,33 @@ object InferQueries {
     brandLift(s, dir).select(col("item_a"), col("item_b"))
 
   /** Shared oracle prefix: the same edge set as [[brandEdges]], ending at
-    * `e(a, b2)` (a < b2) and its symmetric closure `und`. */
+    * `e(a, b2)` (a < b2) and its symmetric closure `und`. MATERIALIZED:
+    * DuckDB inlines plain CTEs, and the multi-reference consumers (q267
+    * references `und` twice + `e` once; q268's unrolled rounds reference
+    * each predecessor three times → ~3^6 copies of the pair-expansion
+    * join, measured >10 min vs 0.07 s materialized). */
   private val brandEdgeCte: String =
-    s"""WITH bi AS (
+    s"""WITH bi AS MATERIALIZED (
        |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
-       |pr AS (
+       |nb AS MATERIALIZED (
+       |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+       |pr AS MATERIALIZED (
        |  SELECT a.i AS ia, c2.i AS ib, CAST(count(*) AS BIGINT) AS pc
        |  FROM bi a JOIN bi c2 ON a.b = c2.b AND a.i < c2.i GROUP BY 1, 2),
-       |e AS (SELECT ia AS a, ib AS b2 FROM pr CROSS JOIN nb
+       |e AS MATERIALIZED (SELECT ia AS a, ib AS b2 FROM pr CROSS JOIN nb
        |  WHERE pc * $supDen >= nb.n * $supNum),
-       |und AS (SELECT a, b2 FROM e UNION ALL SELECT b2, a FROM e)""".stripMargin
+       |und AS MATERIALIZED (
+       |  SELECT a, b2 FROM e UNION ALL SELECT b2, a FROM e)""".stripMargin
 
   /** q268's 6 unrolled peel rounds over `und`. */
   private val kcoreSql: String = {
     val rounds = (1 to 6).map { r =>
       val prev = if (r == 1) "und" else s"u${r - 1}"
       s""",
-         |k$r AS (SELECT a FROM $prev GROUP BY a HAVING count(*) >= 3),
-         |u$r AS (SELECT u.a, u.b2 FROM $prev u
+         |k$r AS MATERIALIZED (
+         |  SELECT a FROM $prev GROUP BY a HAVING count(*) >= 3),
+         |u$r AS MATERIALIZED (SELECT u.a, u.b2 FROM $prev u
          |  JOIN k$r x ON u.a = x.a JOIN k$r y ON u.b2 = y.a)""".stripMargin
     }.mkString
     brandEdgeCte + rounds +
