@@ -77,6 +77,49 @@ class SessionPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("holt with beta = 0 degenerates to the EWMA recurrence exactly") {
+    check("holt-ewma", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 500))) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("k", new java.sql.Timestamp((i + 1) * 86400000L), v.toDouble)
+      }.toDF("k", "ts", "v")
+      val ewma = graft.operators.Temporal
+        .ewmaDaily(df, "k", "ts", "v", alpha = 0.4)
+        .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+      val holt = graft.operators.Temporal
+        .holtLinear(df, "k", "ts", "v", alpha = 0.4, beta = 0.0)
+        .collect().map(r => r.getLong(1) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      holt.forall { case (d, (level, trend)) =>
+        trend == 0.0 && level == ewma(d)
+      }
+    })
+  }
+
+  test("attribution credit conserves: each model sums to the conversions") {
+    check("attribution", Prop.forAll(
+      Gen.listOfN(10, Gen.zip(Gen.choose(1L, 3L), Gen.choose(1, 500),
+        Gen.oneOf("view", "click", "purchase")))) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, sec, ty), i) =>
+        (i.toLong, new java.sql.Timestamp(sec * 1000L), u, ty,
+          s"ch${i % 2}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "channel")
+      val out = graft.operators.Temporal.attribution(df, "user_id", "ts",
+        "event_id", "event_type",
+        org.apache.spark.sql.functions.col("channel"),
+        "purchase", Seq("view", "click"), lookbackSec = 1000L)
+        .collect().map(r => (r.getString(1), r.getDouble(2)))
+      val byModel = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      // conversions with >= 1 touch in window; every model must credit
+      // each such conversion exactly 1.0 (linear: up to micro rounding)
+      byModel.isEmpty || {
+        val n = byModel("last")
+        math.abs(byModel("first") - n) < 1e-9 &&
+          math.abs(byModel("linear") - n) < 1e-4 * math.max(1.0, n)
+      }
+    })
+  }
+
   test("equi-depth bins partition the rows exactly") {
     check("bins", Prop.forAll(
       Gen.listOfN(20, Gen.choose(0, 100))) { vs =>
