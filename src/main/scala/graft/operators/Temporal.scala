@@ -497,6 +497,32 @@ object Temporal {
       .withColumn("cum_users", sum(col("n_new")).over(w))
   }
 
+  /** Daily active users split into NEW (first ever seen that day) vs
+    * RETURNING — the growth-vs-retention product metric next to
+    * [[cumulativeUniques]]' total curve. Two keyed aggregates (per-user
+    * first day; distinct per-day actives) joined on the day — never a
+    * day × history rescan; new_share is the one double.
+    * Output: (day_idx, n_active, n_new, n_returning, new_share). */
+  def newVsReturning(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    def dayIdx(c: Column) =
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("bigint")
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(dayIdx(col(tsCol))).as("day_idx"))
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n_new"))
+    val actives = events
+      .select(dayIdx(col(tsCol)).as("day_idx"), col(userCol).as("__u"))
+      .distinct()
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n_active"))
+    actives.join(firstDay, Seq("day_idx"), "left")
+      .select(col("day_idx"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_active") - coalesce(col("n_new"), lit(0L)))
+          .as("n_returning"),
+        (coalesce(col("n_new"), lit(0L)).cast("double") / col("n_active"))
+          .as("new_share"))
+  }
+
   /** Multiplicative day-of-week seasonality index per key: (that
     * weekday's average daily volume) / (the overall average daily
     * volume), with exact integer numerators — a lag-7 ACF (q173) says

@@ -39,11 +39,66 @@ object ExperimentQueries {
     // Expected calibration error of the toy length→English score over 10
     // integer-assigned bins — ranking quality (q241) and calibration are
     // different failures; this measures the second.
+    // Experiment-planning sheet: per event type, the users needed PER ARM
+    // to detect a +1pp absolute lift in its user-share at alpha=.05 /
+    // 80% power (two-proportion closed form), and the days of traffic
+    // that implies at the observed daily-active rate split 50/50. Exact
+    // integer counts feed one fixed-order double formula; z constants
+    // are shared literals. The "can we even run this test" gate beside
+    // q246's verdict on a finished one.
+    "q281_mde_planning" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val perType = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val totals = ev.agg(
+        countDistinct(col("user_id")).as("__tu"),
+        countDistinct(col("user_id"),
+          to_date(col("ts"))).as("__uad"),
+        countDistinct(to_date(col("ts"))).as("__nd"))
+      val z = "(1.959964 + 0.841621)"
+      perType.crossJoin(broadcast(totals))
+        .withColumn("p", col("n_users").cast("double") / col("__tu"))
+        .withColumn("__daily",
+          col("__uad").cast("double") / col("__nd") / 2.0)
+        .select(col("event_type"), col("n_users"), col("p"),
+          ceil(expr(s"2.0 * p * (1.0 - p) * $z * $z * 10000.0"))
+            .cast("bigint").as("n_per_arm"),
+          ceil(expr(s"ceil(2.0 * p * (1.0 - p) * $z * $z * 10000.0)" +
+            " / __daily").cast("double")).cast("bigint").as("days_needed"))
+    }),
+
     "q247_ece" -> ((s, d) =>
       ModelEval.ece(table(s, d, "documents"), "n_chars",
         col("lang") === "en", nBins = 10)))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors q281: identical literal text for the closed form (the
+    // delta^-2 written as *10000.0 — a decimal 0.01*0.01 would divide
+    // through a different representation than Spark's double).
+    "q281_mde_planning" ->
+      """WITH pt AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS tu,
+        |    CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+        |      AS uad,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS nd
+        |  FROM events)
+        |SELECT event_type, n_users,
+        |  CAST(n_users AS DOUBLE) / tu AS p,
+        |  CAST(ceil(2.0 * (CAST(n_users AS DOUBLE) / tu)
+        |    * (1.0 - CAST(n_users AS DOUBLE) / tu)
+        |    * (1.959964 + 0.841621) * (1.959964 + 0.841621) * 10000.0)
+        |    AS BIGINT) AS n_per_arm,
+        |  CAST(ceil(CAST(ceil(2.0 * (CAST(n_users AS DOUBLE) / tu)
+        |    * (1.0 - CAST(n_users AS DOUBLE) / tu)
+        |    * (1.959964 + 0.841621) * (1.959964 + 0.841621) * 10000.0)
+        |    AS BIGINT) / (CAST(uad AS DOUBLE) / nd / 2.0)) AS BIGINT)
+        |    AS days_needed
+        |FROM pt, t""".stripMargin,
 
     "q245_kaplan_meier" ->
       """WITH spans AS (

@@ -125,9 +125,35 @@ object SeriesQueries {
         channelCol = concat(lit("ch"),
           pmod(get_json_object(col("props"), "$.k").cast("long"), lit(3))),
         convType = "purchase", touchTypes = Seq("view", "click"),
-        lookbackSec = 7L * 86400)))
+        lookbackSec = 7L * 86400)),
+
+    // Daily actives split new vs returning — the growth-vs-retention
+    // product metric beside q234's cumulative curve. Two keyed aggs,
+    // one day-keyed join. See Temporal.newVsReturning.
+    "q280_new_vs_returning" -> ((s, d) =>
+      Temporal.newVsReturning(table(s, d, "events"), "user_id", "ts")))
 
   val oracle: Map[String, String] = Map(
+
+    "q280_new_vs_returning" ->
+      """WITH fd AS (
+        |  SELECT user_id,
+        |    CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS day_idx
+        |  FROM events GROUP BY 1),
+        |nw AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fd GROUP BY 1),
+        |act AS (
+        |  SELECT day_idx, CAST(count(*) AS BIGINT) AS n_active FROM (
+        |    SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day_idx, user_id
+        |    FROM events) GROUP BY 1)
+        |SELECT act.day_idx, act.n_active,
+        |  coalesce(nw.n_new, 0) AS n_new,
+        |  act.n_active - coalesce(nw.n_new, 0) AS n_returning,
+        |  CAST(coalesce(nw.n_new, 0) AS DOUBLE) / act.n_active
+        |    AS new_share
+        |FROM act LEFT JOIN nw ON act.day_idx = nw.day_idx""".stripMargin,
 
     // Mirrors Temporal.attribution: same (ts, id) tie-breaks, linear
     // credit micro-quantized per touch row before summing.

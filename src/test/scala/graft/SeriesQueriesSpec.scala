@@ -176,6 +176,17 @@ class SeriesQueriesSpec extends AnyFunSuite {
       s"half-count wobble must not flag: $rows")
   }
 
+  test("newVsReturning: first day counts as new, revisits as returning") {
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(2)), (3L, ts(2)),
+      (1L, ts(2, 60))) // same-day duplicate must not double-count
+      .toDF("user_id", "ts")
+    val m = graft.operators.Temporal.newVsReturning(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((2L, 2L, 0L, 1.0)))
+    assert(m(2L) == ((2L, 1L, 1L, 0.5)), s"user 1 returns on day 2: $m")
+  }
+
   test("attribution: window clipping, tie-breaks, micro-exact linear split") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit}
     // purchase at t=100; touches at 10 (chA), 20 (chB), 30 (chA);
