@@ -145,6 +145,17 @@ import org.apache.spark.sql.functions._
   * round 1's degree filter and edge join had been recomputing the
   * upstream co-occurrence twice (3.4x growth before, ≤1x after).
   *
+  * Attribution / new-vs-returning (same quiet run, 2026-08-14):
+  * {{{
+  *   attribution     1x rows=9   4.1 s   10x rows=9   3.4 s
+  *   new_vs_return   1x rows=30  0.7 s   10x rows=30  1.0 s
+  * }}}
+  * Both FLAT-to-sublinear at 10x users: the touch expansion is
+  * user-keyed (per-conversion frames never grow — replicas add
+  * conversions, not touches per conversion), channel×model output is
+  * constant, and the DAU split is two keyed aggs over a constant day
+  * grid.
+  *
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -467,6 +478,27 @@ object ScaleSmoke {
       time(s"kcore_peel      $label") {
         operators.Graphs.kCorePeel(brandEdges, "item_a", "item_b",
           3, 6).count()
+      }
+    }
+    // Attribution / new-vs-returning: replicas are new USER populations,
+    // so conversions and touches scale linearly while per-conversion
+    // frames and the day grid stay constant — both must track the one
+    // user-keyed shuffle.
+    val ev3 = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val ev3Big = (0 until factor)
+      .map(i => ev3.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", ev3), (s"${factor}x", ev3Big))) {
+      time(s"attribution     $label") {
+        operators.Temporal.attribution(edf, "user_id", "ts", "event_id",
+          "event_type",
+          concat(lit("ch"), pmod(col("event_id"), lit(3))),
+          "purchase", Seq("view", "click"), lookbackSec = 7L * 86400).count()
+      }
+      time(s"new_vs_return   $label") {
+        operators.Temporal.newVsReturning(edf, "user_id", "ts").count()
       }
     }
     val ord = Graft.table(spark, sfDir, "orders")
