@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness (r8-r10 verdicts): downstream tooling
+// json-parses the FINAL stdout line of `sbt "runMain graft.Bench"`.
+// sbt's default LoggedOutput wraps every forked-process line in
+// "[info] " (unparseable) and appends its own "[success] Total time"
+// line after the run; StdoutOutput passes the process's stdout through
+// raw, and showSuccess/showTiming=false drop sbt's trailing lines, so
+// Bench's one-line summary JSON really is the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,6 +26,13 @@ object SparkEntry {
       graft.queries.ExperimentQueries.queries ++ graft.queries.FunctionQueries.queries ++
       graft.queries.FeatureQueries.queries ++ graft.queries.AffinityQueries.queries
 
+  /** Oracles whose SQL embeds a Spark-computed constant (the q195
+    * eigenvector). Verify evaluates these against the dump's sfDir and
+    * merges them into oracle_sql.json, so the driver's DuckDB compare
+    * hash-gates them like any static oracle. */
+  def oracleDynamic: Map[String, (SparkSession, String) => String] =
+    graft.queries.MlQueries.oracleDynamic
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =

@@ -43,7 +43,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Dynamic oracles (q195's eigenvector constants) evaluate against the
+    // SAME sfDir the queries just ran on, then dump as plain static SQL.
+    val dynamic = SparkEntry.oracleDynamic.map { case (k, f) =>
+      k -> f(spark, sfDir) }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

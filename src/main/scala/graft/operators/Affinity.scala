@@ -45,7 +45,7 @@ object Affinity {
       .groupBy("__i").agg(count(lit(1)).as("__n"))
     val nBaskets = baskets.agg(count(lit(1)).as("__nb"))
     pairCnt
-      .select(shiftright(col("__p"), 32).as("item_a"),
+      .select(shiftrightunsigned(col("__p"), 32).as("item_a"),
         (col("__p").bitwiseAND(lit(0xFFFFFFFFL))).as("item_b"),
         col("n_pair"))
       .join(itemCnt.withColumnRenamed("__i", "item_a")

@@ -70,18 +70,31 @@ object Features {
 
   /** Hashing-trick bucket audit: Knuth multiplicative hash of an integral
     * key into `buckets` buckets, with per-bucket load and the collision
-    * profile a fixed-width feature space implies. The hash is plain
-    * BIGINT arithmetic ((k * 2654435761) mod 2^32 mod buckets) so any
-    * engine reproduces it bit-for-bit — the property that makes hashed
-    * feature spaces portable across train/serve stacks.
+    * profile a fixed-width feature space implies. The hash is
+    * (k mod 2^32) * 2654435761 mod 2^32 mod buckets, computed via a
+    * 16-bit split of the key so no intermediate exceeds ~2^33: the naive
+    * single multiply wraps 64-bit for keys ≳ 3.46e9 (and engines like
+    * DuckDB ERROR on BIGINT overflow instead of wrapping), which broke
+    * the bit-for-bit portability claim outside small key ranges
+    * (ADVICE r10). All arithmetic stays in safely-positive BIGINT range,
+    * so any engine reproduces it bit-for-bit for any non-negative key.
     */
-  def hashBuckets(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
-    df.select(((col(keyCol) * lit(2654435761L)) % lit(4294967296L) %
-        lit(buckets.toLong)).as("bucket"), col(keyCol).as("__k"))
+  def hashBuckets(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    val c = 2654435761L
+    val k32 = col(keyCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val kh = shiftrightunsigned(k32, 16)                 // high 16 bits
+    val kl = k32.bitwiseAND(lit(0xFFFFL))                // low 16 bits
+    // (kh*2^16 + kl)*c mod 2^32 = ((kh*c mod 2^16)*2^16 + kl*c) mod 2^32;
+    // max intermediate 65535*c + 2^32 ≈ 1.7e14 — no 64-bit wrap anywhere.
+    val prod = (kl * lit(c) +
+        (kh * lit(c)).bitwiseAND(lit(0xFFFFL)) * lit(65536L))
+      .bitwiseAND(lit(0xFFFFFFFFL))
+    df.select((prod % lit(buckets.toLong)).as("bucket"), col(keyCol).as("__k"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_keys"),
         countDistinct(col("__k")).as("n_distinct"),
         min("__k").as("min_key"), max("__k").as("max_key"))
+  }
 
   /** Crossed-categorical frequency with independence lift:
     * lift = n_cell * N / (n_row * n_col). One keyed agg per marginal

@@ -168,8 +168,10 @@ object MlOps {
     * by |projection| — the outlier/diversity screen PCA buys. The component
     * is a broadcast d-length literal; the dot product is the codegen'd
     * native [[graft.functions.VectorOps]] expression; top-k is
-    * TakeOrderedAndProject. Not SQL-oracle-expressible (eigenvector);
-    * spec-gated instead. */
+    * TakeOrderedAndProject. The eigenvector is not SQL-derivable, but the
+    * projection is hash-gated by a DYNAMIC oracle (MlQueries.oracleDynamic)
+    * that feeds DuckDB the Spark-computed component as exact literals;
+    * MlOpsSpec carries the eigen-alignment semantics. */
   def pcaProjection(embs: DataFrame, idCol: String, vecCol: String, d: Int,
                     k: Int = 50): DataFrame = {
     val comp = pcaTopComponent(embs, vecCol, d)

@@ -718,8 +718,11 @@ object Temporal {
     * q264 recipe if a user can touch unboundedly); rank windows
     * partition per CONVERSION (frames = that conversion's touches).
     * Determinism: linear credit quantizes 1/n to integer micro-units per
-    * touch row, so credit sums are exact BIGINTs; ties on touch ts break
-    * by touch id, matching the oracle's ORDER BY. Output:
+    * touch row, with the rounding remainder 1e6 − (n−1)·round(1e6/n)
+    * assigned to the LAST touch (rl = 1) so each conversion's credit sums
+    * to EXACTLY 1.0 — round(1e6/n) alone leaves ±(n/2) µ per conversion
+    * for n = 3, 6, 7, … (ADVICE r10); ties on touch ts break by touch id,
+    * matching the oracle's ORDER BY. Output:
     * (channel, model, credit, n_touches). */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
                   idCol: String, typeCol: String, channelCol: Column,
@@ -753,7 +756,9 @@ object Temporal {
       .unionByName(model("first",
         when(col("__rf") === 1, 1000000L).otherwise(0L)))
       .unionByName(model("linear",
-        round(lit(1e6) / col("__n")).cast("bigint")))
+        when(col("__rl") === 1, lit(1000000L) -
+            (col("__n") - 1) * round(lit(1e6) / col("__n")).cast("bigint"))
+          .otherwise(round(lit(1e6) / col("__n")).cast("bigint"))))
   }
 
   /** STL-lite seasonal decomposition of the per-key daily COUNT series:

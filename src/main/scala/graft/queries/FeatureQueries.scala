@@ -108,11 +108,15 @@ object FeatureQueries {
         |FROM b GROUP BY 1""".stripMargin,
 
     "q254_hash_features" ->
-      """SELECT (p_partkey * 2654435761) % 4294967296 % 64 AS bucket,
+      """WITH h AS (SELECT p_partkey, p_partkey % 4294967296 AS k32
+        |  FROM part)
+        |SELECT ((k32 % 65536) * 2654435761
+        |    + ((k32 // 65536) * 2654435761) % 65536 * 65536)
+        |    % 4294967296 % 64 AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_distinct,
         |  min(p_partkey) AS min_key, max(p_partkey) AS max_key
-        |FROM part GROUP BY 1""".stripMargin,
+        |FROM h GROUP BY 1""".stripMargin,
 
     "q255_feature_cross" ->
       """WITH j AS (

@@ -36,9 +36,12 @@ object StreamingQuantiles {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col(keyCol),
-        least(lit(bins - 1), greatest(lit(0),
-          floor((v - lit(lo)) / lit((hi - lo) / bins)).cast("int")))
-          .as("bin"))
+        // clamp on the LONG floor result BEFORE the narrowing cast: a value
+        // > ~2^31 bin-widths past lo would wrap a long-to-int cast negative
+        // and land the extreme HIGH outlier in the LOWEST bin (ADVICE r10)
+        least(lit(bins - 1).cast("long"), greatest(lit(0L),
+          floor((v - lit(lo)) / lit((hi - lo) / bins))))
+          .cast("int").as("bin"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("bin"), col("cnt"))

@@ -206,9 +206,13 @@ class SeriesQueriesSpec extends AnyFunSuite {
     assert(got(("A", "last")) == ((1.0, 2L)), "latest touch is t=30 chA")
     assert(got(("B", "last")) == ((0.0, 1L)))
     assert(got(("A", "first")) == ((1.0, 2L)), "earliest is t=10 chA")
-    assert(got(("A", "linear")) == ((0.666666, 2L)),
-      "2 x round(1e6/3) micro-units")
+    // n=3: round(1e6/3)=333333 per touch, remainder 333334 to the LAST
+    // touch (t=30, chA) — credit sums to exactly 1.0 (ADVICE r10)
+    assert(got(("A", "linear")) == ((0.666667, 2L)),
+      "round(1e6/3) + remainder micro-units")
     assert(got(("B", "linear")) == ((0.333333, 1L)))
+    assert(got(("A", "linear"))._1 + got(("B", "linear"))._1 == 1.0,
+      "linear credit conserves exactly")
     // shrink the lookback to 50s: only t=100-50..100 remains -> nothing
     // but... t=30 is 70s before, excluded; no touches -> empty result
     assert(graft.operators.Temporal.attribution(ev, "user_id", "ts",
