@@ -156,6 +156,25 @@ import org.apache.spark.sql.functions._
   * constant, and the DAU split is two keyed aggs over a constant day
   * grid.
   *
+  * Round-11 curves, measured 2026-08-14 on a quiet box (1x cold-JVM,
+  * 10x warm — compare shapes):
+  * {{{
+  *   bootstrap_ci  1x rows=5     8.1 s   10x rows=5     7.2 s
+  *   markov_stat   1x rows=5     5.2 s   10x rows=5     4.9 s
+  *   dp_noisy      1x rows=125   0.3 s   10x rows=125   0.6 s
+  *   er_match      1x rows=4755  0.7 s   10x rows=4755  1.2 s
+  *   mmr_rerank    1x rows=100   2.4 s   10x rows=100   3.8 s
+  * }}}
+  * Reading: bootstrap's n×B expansion combines map-side into a constant
+  * |groups|·B shuffle, so 10x input rides the scan (warm 10x beat the
+  * cold 1x). Markov's transition table is |types|²-bounded — the lead
+  * window is the whole cost. DP release is one keyed count. er_match
+  * returns the IDENTICAL 4755 pairs at 10x: replicas inflate every brand
+  * block tenfold and the cap keeps the same 100 smallest ids — the
+  * blocking-cap contract observed directly. MMR's greedy rounds are
+  * m²-bounded per query; only the broadcast-query relevance scan grows
+  * (1.6x for 10x corpus).
+  *
   * Reading: exact dedup is sublinear (3.5x cost for 10x input). The
   * near-dup pipelines return 1000x MORE TRUE PAIRS (every 10-clique is 45
   * real J=1.0 pairs) for 12x / 30x cost — growth tracks input + answer
@@ -518,6 +537,77 @@ object ScaleSmoke {
           operators.Expectations.Bounds("o_totalprice", 0.0, 1e6, 0.999),
           operators.Expectations.Membership("o_orderstatus",
             Seq("O", "F", "P"), 1.0))).count()
+      }
+    }
+    // Round-11 curves.
+    // Bootstrap: replicas are new order ids with the SAME priorities —
+    // the replicate grid is constant (B rows) and the per-(group,
+    // replicate) sums combine map-side, so the shuffle is |groups|·B rows
+    // at any factor; cost must track the n×B scan linearly.
+    // Markov: replicas are new USER populations over the same event
+    // types — the transition table is |types|²-bounded (constant), so
+    // cost is the one per-user lead-window pass.
+    val ord2 = Graft.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val ord2Big = (0 until factor)
+      .map(i => ord2.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, odf) <- Seq(("1x", ord2), (s"${factor}x", ord2Big))) {
+      time(s"bootstrap_ci    $label") {
+        operators.Inference.bootstrapCi(odf, "o_orderpriority",
+          "o_orderkey", "o_totalprice", b = 32).count()
+      }
+    }
+    for ((label, edf) <- Seq(("1x", ev3), (s"${factor}x", ev3Big))) {
+      time(s"markov_stat     $label") {
+        operators.Temporal.markovStationary(edf, "user_id", "ts",
+          "event_type", "event_id", iters = 12).count()
+      }
+    }
+    // DP release: replicas multiply per-group counts, never groups — one
+    // keyed count + per-ROW closed-form noise, so the curve is the scan.
+    val cust = Graft.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val custBig = (0 until factor)
+      .map(i => cust.withColumn("c_custkey",
+        col("c_custkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, cdf) <- Seq(("1x", cust), (s"${factor}x", custBig))) {
+      time(s"dp_noisy        $label") {
+        operators.MlOps.dpNoisyCounts(cdf,
+          Seq("c_mktsegment", "c_nationkey"), epsilon = 0.5).count()
+      }
+    }
+    // ER: replicas land in their original's brand block, pushing block
+    // sizes ×factor — the ADVERSARIAL case the cap exists for: capped
+    // blocks keep their `cap` smallest ids, so the pair expansion (and
+    // the answer) stays CONSTANT while only the rank-window pass scales.
+    val prt = Graft.table(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val prtBig = (0 until factor)
+      .map(i => prt.withColumn("p_partkey",
+        col("p_partkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, pdf) <- Seq(("1x", prt), (s"${factor}x", prtBig))) {
+      time(s"er_match        $label") {
+        operators.EntityRes.blockedNameMatch(pdf, "p_partkey", "p_name",
+          Seq("p_brand"), cap = 100, threshold = 0.88).count()
+      }
+    }
+    // MMR: the query batch and candidate count are FIXED (20 queries ×
+    // m=20), so the m²-pair greedy rounds are constant across factors —
+    // only the broadcast-query relevance scan grows with the corpus.
+    val emb2 = Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val emb2Big = (0 until factor)
+      .map(i => emb2.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", emb2), (s"${factor}x", emb2Big))) {
+      time(s"mmr_rerank      $label") {
+        operators.Similarity.mmrRerank(edf, "vec_id", "embedding",
+          col("vec_id") < 20, m = 20, k = 5).count()
       }
     }
     spark.stop()

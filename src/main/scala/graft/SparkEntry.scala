@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.WarehouseQueries.queries ++ graft.queries.SeriesQueries.queries ++
       graft.queries.ProfileQueries.queries ++ graft.queries.EvalQueries.queries ++
       graft.queries.ExperimentQueries.queries ++ graft.queries.FunctionQueries.queries ++
-      graft.queries.FeatureQueries.queries ++ graft.queries.AffinityQueries.queries
+      graft.queries.FeatureQueries.queries ++ graft.queries.AffinityQueries.queries ++
+      graft.queries.EntityResQueries.queries
 
   /** Oracles whose SQL embeds a Spark-computed constant (the q195
     * eigenvector). Verify evaluates these against the dump's sfDir and
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.WarehouseQueries.oracle ++ graft.queries.SeriesQueries.oracle ++
       graft.queries.ProfileQueries.oracle ++ graft.queries.EvalQueries.oracle ++
       graft.queries.ExperimentQueries.oracle ++ graft.queries.FunctionQueries.oracle ++
-      graft.queries.FeatureQueries.oracle ++ graft.queries.AffinityQueries.oracle
+      graft.queries.FeatureQueries.oracle ++ graft.queries.AffinityQueries.oracle ++
+      graft.queries.EntityResQueries.oracle
 }

@@ -240,4 +240,69 @@ object Inference {
         sqrt((n0 - d(col("__s1")) / lit(2.0)) *
           (n0 - d(col("__s2")) / lit(2.0)))).as("tau_b"))
   }
+
+  /** Poisson(1) CDF thresholds for weights 0..4 (mass beyond 5 truncates,
+    * ≈ 3.7e-4) — shared LITERAL doubles; the oracle carries the identical
+    * strings cast from VARCHAR so both engines compare the same bits. */
+  private val poissonCdf = Seq(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238463, 0.9963401531726563)
+
+  /** Poisson-bootstrap percentile CI for the per-group mean — the
+    * resampling answer to "how sure is this average", where the
+    * closed-form SE (q179) needs distributional faith the data may not
+    * earn. Replicates are DETERMINISTIC: row `id`'s weight in replicate
+    * `j` is Poisson(1) read off the shared md5 uniform hash60(id#j)
+    * (Sketches.hash60 — the q79/q266 sampling hash) through fixed CDF
+    * thresholds, so any engine and any partitioning rebuilds the
+    * identical B resamples; no rand() anywhere. Poisson bootstrap (each
+    * row's multiplicity drawn independently) is the STREAMING/SHARDED
+    * form of the classic n-out-of-n bootstrap — exactly what a
+    * distributed engine wants, since no replicate ever needs a global
+    * sample of fixed size.
+    *
+    * Exactness: replicate means divide an exact DECIMAL(12,2)-sum
+    * numerator by an exact BIGINT weight sum (the q59 float rule);
+    * the CI percentiles interpolate over the B-row replicate-mean grid
+    * per group (grid-bounded, the q49 posture).
+    *
+    * Scale: the n×B expansion is an in-row crossJoin against the
+    * broadcast B-row replicate grid and combines map-side, so the
+    * shuffle carries |groups|·B rows, independent of data size.
+    * Output: (groupCol, n, point_mean, ci_lo, ci_hi, n_replicates). */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                  valCol: String, b: Int = 32, lo: Double = 0.025,
+                  hi: Double = 0.975): DataFrame = {
+    require(b >= 2 && lo > 0 && hi < 1 && lo < hi, "bad bootstrap params")
+    val reps = broadcast(
+      df.sparkSession.range(1, b + 1).toDF("__r"))
+    val u = Sketches.hash60(concat(col("__id").cast("string"), lit("#"),
+      col("__r").cast("string"))) / lit((1L << 60).toDouble)
+    val wgt = poissonCdf.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
+        acc.when(u < lit(t), k.toLong) }
+      .otherwise(poissonCdf.size.toLong)
+    val means = df
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(valCol).cast(DecimalType(12, 2)).as("__v"))
+      .crossJoin(reps)
+      .select(col("__g"), col("__r"), wgt.as("__w"), col("__v"))
+      .groupBy(col("__g"), col("__r"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__v")).as("__swx"))
+      .where(col("__sw") > 0)
+      .select(col("__g"),
+        (col("__swx").cast("double") / col("__sw").cast("double"))
+          .as("__mean_r"))
+    val ci = means.groupBy(col("__g"))
+      .agg(expr(s"percentile(__mean_r, CAST($lo AS DOUBLE))").as("ci_lo"),
+        expr(s"percentile(__mean_r, CAST($hi AS DOUBLE))").as("ci_hi"),
+        count(lit(1)).as("n_replicates"))
+    val point = df.groupBy(col(groupCol).as("__g2"))
+      .agg(count(col(valCol)).as("n"),
+        (sum(col(valCol).cast(DecimalType(12, 2))).cast("double") /
+          count(col(valCol)).cast("double")).as("point_mean"))
+    point.join(ci, col("__g2") === col("__g"))
+      .select(col("__g2").as(groupCol), col("n"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"), col("n_replicates"))
+  }
 }

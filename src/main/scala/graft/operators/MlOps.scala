@@ -287,6 +287,47 @@ object MlOps {
         min(col("__sz")).as("min_group"), max(col("__sz")).as("max_group"))
   }
 
+  /** ε-differentially-private count release (Laplace mechanism, Dwork et
+    * al. 2006): per-group counts plus Laplace(1/ε) noise — the third leg
+    * of the privacy family after [[kAnonymityProfile]] (size) and
+    * [[lDiversityProfile]] (homogeneity): what you PUBLISH when the
+    * groups themselves may not leave the building. Count queries have
+    * sensitivity 1, so scale b = 1/ε.
+    *
+    * Determinism (the no-rand() house rule): noise is the Laplace
+    * inverse-CDF −b·sign(u−½)·ln(1−2·|u−½|) of the shared md5 uniform
+    * hash60("dp#" ++ group key) — a pure function of the group, replayed
+    * identically by any engine/partitioning (and by the oracle). A
+    * PRODUCTION release would swap the hash seed per release epoch; the
+    * mechanism's ε analysis is unchanged. Noise is quantized to integer
+    * micro-units at its only appearance (the q101 libm discipline:
+    * round(1e6·x) absorbs sub-µ ln() differences between libms); the ln
+    * argument clamps at 1e-12 so the measure-zero u=1 edge cannot emit
+    * −inf.
+    *
+    * Scale: one keyed count + per-ROW closed-form noise — nothing after
+    * the aggregate depends on data size.
+    * Output: groupCols, n, noise_mu, n_noisy, epsilon. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val u = (Sketches.hash60(concat_ws("#",
+        lit("dp") +: groupCols.map(c => col(c).cast("string")): _*))
+      + lit(0.5)) / lit((1L << 60).toDouble)
+    val v = u - lit(0.5)
+    val noiseMu = round(lit(1e6) * (lit(-b) * signum(v) *
+        log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(v)))))
+      .cast("bigint")
+    counts.select(groupCols.map(col) ++ Seq(col("n"),
+      noiseMu.as("noise_mu"),
+      ((col("n") * lit(1000000L) + noiseMu).cast("double") / lit(1e6))
+        .as("n_noisy"),
+      lit(epsilon).as("epsilon")): _*)
+  }
+
   /** Closed-form two-feature OLS with intercept: y ~ b0 + b1·x1 + b2·x2,
     * solved by Cramer's rule on the 3×3 normal equations. All nine moment
     * sums are exact BIGINT aggregates of integer features (ONE pass, one

@@ -73,6 +73,68 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): per query, greedily select `k` of its top-`m` cosine
+    * candidates maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected — the diversity-aware retrieval stage that plain top-k
+    * (q33) lacks: near-duplicate hits crowd a result list top-k cannot
+    * fix. The first pick scores pure relevance.
+    *
+    * Determinism: relevance and pairwise sims carry the file's 6-dp
+    * cosine discipline; λ = 0.5 and the score 0.5·rel − 0.5·msim are
+    * exact double ops on those 6-dp values; ties break by candidate id.
+    * The oracle replays the greedy rounds as unrolled CTEs.
+    *
+    * Scale: the query batch is bounded (queryPred — the q33 contract);
+    * per query the candidate set is m rows and the pair-sim table m²,
+    * so each of the k greedy rounds is a bounded keyed join + a rank
+    * window over ≤ m rows per query partition. Rounds are checkpointed
+    * (the PageRank lineage discipline). Output:
+    * (query_id, mmr_rank, neighbor_id, score). */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: org.apache.spark.sql.Column, m: Int, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    def save(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val cand = save(bruteForceKnn(emb, idCol, vecCol, queryPred, m)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cos_sim").as("rel")))
+    val n = withNorm(emb, idCol, vecCol)
+    val ce = cand.select(col("query_id"), col("cand"))
+      .join(n, col("cand") === col(idCol))
+      .select(col("query_id"), col("cand"), col("emb"), col("nrm"))
+    val x = ce.toDF("query_id", "a", "q_emb", "q_nrm")
+    val y = ce.toDF("query_id", "b", "c_emb", "c_nrm")
+    val sims = save(x.join(y, "query_id").where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(dot / (col("q_nrm") * col("c_nrm")), 6).as("sim")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    var acc = save(cand.withColumn("score", col("rel"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("query_id"), col("cand"), col("score"),
+        lit(1L).as("mmr_rank")))
+    for (t <- 2 to k) {
+      val maxSim = sims
+        .join(acc.select(col("query_id"), col("cand").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("cand"))
+        .agg(max(col("sim")).as("__msim"))
+      val next = cand
+        .join(acc.select(col("query_id"), col("cand")),
+          Seq("query_id", "cand"), "left_anti")
+        .join(maxSim, Seq("query_id", "cand"))
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__msim"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("query_id"), col("cand"), col("score"),
+          lit(t.toLong).as("mmr_rank"))
+      acc = save(acc.unionByName(next))
+    }
+    acc.select(col("query_id"), col("mmr_rank"),
+      col("cand").as("neighbor_id"), col("score"))
+  }
+
   /** Lloyd-trained coarse quantizer for [[ivfKnn]]: `iters` k-means rounds
     * from a deterministic seed (centroids = the first `nlist` vectors by id;
     * `iters = 0` returns the seed unchanged). Each round assigns every vector

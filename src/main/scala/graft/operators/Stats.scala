@@ -181,6 +181,37 @@ object Stats {
         .otherwise((sxy * sxy) / (sxx * syy)).as("r2"))
   }
 
+  /** Simpson's-paradox audit: per-stratum OLS slope of y on x beside the
+    * POOLED slope, flagging strata whose sign disagrees with the
+    * aggregate — the confounding screen (Simpson 1951) a training-data
+    * pipeline runs before trusting any pooled correlation: "value rises
+    * with volume overall" can be FALSE inside every segment when segment
+    * mix drives the aggregate.
+    *
+    * Both slope families are [[olsByGroup]]'s closed form — exact
+    * DECIMAL component sums, doubles only in the final divisions — so
+    * the flags are a pure function of the data, engine-independent.
+    * Degenerate strata (constant x) carry a null slope and a null flag.
+    *
+    * Plan: two keyed aggregates (one per stratum, one global 1-row) and
+    * a broadcast of the 1-row pooled slope — nothing after the
+    * aggregates depends on data size. Output:
+    * (stratumCol, n, slope, pooled_slope, reversed). */
+  def simpsonAudit(df: DataFrame, stratumCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val per = olsByGroup(df, stratumCol, xCol, yCol)
+      .select(col(stratumCol), col("n"), col("slope"))
+    val pooled = olsByGroup(df.withColumn("__all", lit("all")), "__all",
+        xCol, yCol)
+      .select(col("slope").as("pooled_slope"))
+    per.crossJoin(broadcast(pooled))
+      .select(col(stratumCol), col("n"), col("slope"), col("pooled_slope"),
+        when(col("slope").isNull || col("pooled_slope").isNull,
+          lit(null).cast("boolean"))
+          .otherwise(signum(col("slope")) =!= signum(col("pooled_slope")))
+          .as("reversed"))
+  }
+
   /** Per-group Spearman rank correlation of `xCol` vs `yCol`, tie-aware:
     * Pearson on AVERAGE ranks, with ranks doubled so ties' half-steps stay
     * integers (2·avg_rank = 2·rank + tie_count − 1) and every component sum

@@ -52,6 +52,43 @@ object Temporal {
       .drop("__tag", "__p")
   }
 
+  /** Nearest-in-time as-of join: for each left row, the right row in the
+    * same key group MINIMIZING |right.ts − left.ts| in either direction —
+    * the sensor-fusion / nearest-quote lookup that backward ([[asofJoin]])
+    * and forward (q97) each get wrong half the time. Equidistant matches
+    * resolve BACKWARD (the past is known; the future is lookahead).
+    *
+    * The right `ts` is prepended to the payload struct internally so the
+    * distance compare needs no second scan of the right side. Output:
+    * left columns + `__match` (nullable payload struct, ts first) +
+    * `__dir` ("backward" / "forward", null when unmatched).
+    *
+    * Plan: two directed passes of the SAME single-shuffle tagged-union
+    * window (each O(1) state per row, key-partitioned), then an in-row
+    * CASE on the microsecond distances — no join between the passes: the
+    * second pass runs over the first's output and carries its match
+    * column through the union untouched. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, payload: Seq[String]): DataFrame = {
+    val full = ts +: payload.filterNot(_ == ts)
+    val back = asofJoinDirected(left, right, key, ts, full, forward = false)
+      .withColumnRenamed("__match", "__mb")
+    val both = asofJoinDirected(back, right, key, ts, full, forward = true)
+      .withColumnRenamed("__match", "__mf")
+    val db = unix_micros(col(ts)) - unix_micros(col("__mb").getField(ts))
+    val df = unix_micros(col("__mf").getField(ts)) - unix_micros(col(ts))
+    both.withColumn("__dir",
+        when(col("__mb").isNull && col("__mf").isNull, lit(null))
+          .when(col("__mf").isNull, lit("backward"))
+          .when(col("__mb").isNull, lit("forward"))
+          .when(db <= df, lit("backward"))
+          .otherwise(lit("forward")))
+      .withColumn("__match",
+        when(col("__dir") === "backward", col("__mb"))
+          .when(col("__dir") === "forward", col("__mf")))
+      .drop("__mb", "__mf")
+  }
+
   /** Interval-overlap join at second granularity: all pairs (a, b) with
     * `a.start <= b.end AND b.start <= a.end` (closed intervals). Inputs carry
     * (id, startSec, endSec) columns as epoch-second longs.
@@ -176,6 +213,64 @@ object Temporal {
     pairs.join(broadcast(totals), typeCol) // |states| rows — always tiny
       .select(col(typeCol), col("next_type"), col("n"),
         (col("n").cast("double") / col("__t").cast("double")).as("p_next"))
+  }
+
+  /** Stationary distribution of the per-key event-type Markov chain —
+    * "where does a user journey spend its time in the long run", the
+    * steady-state companion to [[transitionMatrix]]'s one-step view.
+    *
+    * Chain: transition counts from consecutive (ts, tie)-ordered events
+    * per key (same successor relation as [[transitionMatrix]]), then
+    * `iters` synchronous power-iteration steps in EXACT integer
+    * micro-probability arithmetic — the q181 PageRank discipline: a state
+    * starts with 1e9 DIV |states| µ of mass and each edge forwards
+    * (pi_mu · w) DIV out_w per round, floor division per edge, so any
+    * engine replays the trajectory bit-for-bit (the oracle unrolls the
+    * rounds as CTEs). No damping: flooring leaks ≤ |edges| µ of mass per
+    * round (deterministically), and a sink state (no outgoing edges)
+    * absorbs permanently — both documented properties of the exact
+    * replayable scheme, not numerical accidents.
+    *
+    * Scale: the chain itself is a |states|²-bounded model artifact; each
+    * round is one keyed join + one keyed agg over that constant-size edge
+    * table, checkpointed so round N's plan never embeds rounds 1..N−1.
+    * The data-sized work is the single lead-window pass building the
+    * counts (per-key partitions, never a global sort).
+    * Output: (state, pi_mu BIGINT, pi DOUBLE). */
+  def markovStationary(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String,
+                       iters: Int = 12): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val reliable =
+      events.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(typeCol).as("src"), lead(col(typeCol), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val outw = counts.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .toDF("__s", "out_w")
+    val e = save(counts.join(broadcast(outw), col("src") === col("__s"))
+      .select(col("src"), col("dst"), col("w"), col("out_w")))
+    val states = save(e.select(col("src").as("state"))
+      .unionByName(e.select(col("dst").as("state"))).distinct())
+    val n1 = states.agg(count(lit(1)).as("__n"))
+    var pi = save(states.crossJoin(broadcast(n1))
+      .select(col("state"),
+        expr("CAST(1000000000 AS BIGINT) DIV __n").as("pi_mu")))
+    for (_ <- 1 to iters) {
+      val in = pi.toDF("__src", "__pi")
+        .join(e, col("__src") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(__pi * w) DIV out_w")).as("in_mu"))
+        .toDF("__dst", "in_mu")
+      pi = save(states.join(in, col("state") === col("__dst"), "left")
+        .select(col("state"), coalesce(col("in_mu"), lit(0L)).as("pi_mu")))
+    }
+    pi.select(col("state"), col("pi_mu"),
+      (col("pi_mu").cast("double") / lit(1e9)).as("pi"))
   }
 
   /** Burst detection: per key, the `topK` time buckets whose event count

@@ -66,9 +66,78 @@ object EvalQueries {
         .select(col("query_id"), col("rnk"),
           when(col("__ql") === col("__nl"), 1L).otherwise(0L).as("rel"))
       ModelEval.ndcgAtK(ranked, "query_id", "rnk", "rel")
-    }))
+    }),
+
+    // MMR-diversified top-5 from each query's top-20 cosine candidates
+    // (λ=0.5) — the diversity-aware rerank plain top-k (q33) lacks and
+    // RRF (q109) does not address. Greedy rounds as bounded keyed
+    // joins; 6-dp cosine discipline throughout. See Similarity.mmrRerank.
+    "q284_mmr_rerank" -> ((s, d) =>
+      graft.operators.Similarity.mmrRerank(table(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 20, m = 20, k = 5)))
+
+  /** The q284 oracle: q33's candidate CTEs + the pairwise candidate sims
+    * + k unrolled greedy MMR rounds (each: max-sim-to-selected, score,
+    * per-query argmax with id tie-break), mirroring Similarity.mmrRerank
+    * round for round. */
+  private def mmrSql(m: Int, k: Int): String = {
+    val rounds = (2 to k).map { t =>
+      s"""sc$t AS (
+         |  SELECT c.query_id, c.cand, 0.5 * c.rel - 0.5 * mx.msim AS score
+         |  FROM cand c
+         |  JOIN (SELECT s.query_id, s.a AS cand, max(s.sim) AS msim
+         |        FROM s JOIN acc${t - 1} z
+         |          ON s.query_id = z.query_id AND s.b = z.cand
+         |        GROUP BY 1, 2) mx
+         |    ON c.query_id = mx.query_id AND c.cand = mx.cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} z2
+         |    WHERE z2.query_id = c.query_id AND z2.cand = c.cand)),
+         |acc$t AS (
+         |  SELECT query_id, cand, score, mmr_rank FROM acc${t - 1}
+         |  UNION ALL
+         |  SELECT query_id, cand, score, $t AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand ASC) AS rn
+         |    FROM sc$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x))
+       |      AS nrm
+       |  FROM e),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand,
+       |    list_reduce(list_transform(range(1, len(q.emb)+1),
+       |      i -> q.emb[i]*c.emb[i]), (a,x) -> a+x) / (q.nrm * c.nrm)
+       |      AS cos
+       |  FROM n q, n c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, cand, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand ASC) AS rnk
+       |  FROM p),
+       |cand AS (SELECT query_id, cand, round(cos, 6) AS rel
+       |  FROM r WHERE rnk <= $m),
+       |ce AS (SELECT c.query_id, c.cand, n.emb, n.nrm
+       |  FROM cand c JOIN n ON c.cand = n.vec_id),
+       |s AS (SELECT x.query_id, x.cand AS a, y.cand AS b,
+       |    round(list_reduce(list_transform(range(1, len(x.emb)+1),
+       |      i -> x.emb[i]*y.emb[i]), (aa,xx) -> aa+xx)
+       |      / (x.nrm * y.nrm), 6) AS sim
+       |  FROM ce x JOIN ce y
+       |    ON x.query_id = y.query_id AND x.cand <> y.cand),
+       |acc1 AS (SELECT query_id, cand, rel AS score, 1 AS mmr_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       |  cand AS neighbor_id, score
+       |FROM acc$k""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+
+    "q284_mmr_rerank" -> mmrSql(20, 5),
 
     "q263_ndcg" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb

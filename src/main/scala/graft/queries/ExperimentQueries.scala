@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Graft.table
-import graft.operators.{ModelEval, Stats, Survival}
+import graft.operators.{Inference, ModelEval, Stats, Survival}
 
 /** Round-10 experimentation batch: the product-analytics trio — Kaplan-
   * Meier churn survival with honest censoring, the two-proportion
@@ -69,9 +69,57 @@ object ExperimentQueries {
 
     "q247_ece" -> ((s, d) =>
       ModelEval.ece(table(s, d, "documents"), "n_chars",
-        col("lang") === "en", nBins = 10)))
+        col("lang") === "en", nBins = 10)),
+
+    // Deterministic Poisson-bootstrap 95% CI for mean order value per
+    // priority — B=32 hash-seeded resamples, exact decimal replicate
+    // sums, percentiles over the replicate grid. The resampling
+    // companion to q179's closed-form Welch interval. See
+    // Inference.bootstrapCi for the streaming/sharded-bootstrap scale
+    // argument.
+    "q282_bootstrap_ci" -> ((s, d) =>
+      Inference.bootstrapCi(table(s, d, "orders"), "o_orderpriority",
+        "o_orderkey", "o_totalprice", b = 32)))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Inference.bootstrapCi µ for µ: same md5 uniform, identical
+    // CDF threshold literals (STRING-cast to DOUBLE — bare numeric
+    // literals parse as DECIMAL, the q195 lesson), exact DECIMAL/BIGINT
+    // replicate sums, quantile_cont == percentile on the B-row grid.
+    "q282_bootstrap_ci" -> {
+      val u = "CAST(" + ScaleQueries.duckHash60("o_orderkey || '#' || CAST(r AS VARCHAR)") +
+        " AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)"
+      s"""WITH reps AS (SELECT range AS r FROM range(1, 33)),
+         |x AS (
+         |  SELECT o_orderpriority AS g, r,
+         |    CASE WHEN $u < '0.36787944117144233'::DOUBLE THEN 0
+         |         WHEN $u < '0.7357588823428847'::DOUBLE THEN 1
+         |         WHEN $u < '0.9196986029286058'::DOUBLE THEN 2
+         |         WHEN $u < '0.9810118431238463'::DOUBLE THEN 3
+         |         WHEN $u < '0.9963401531726563'::DOUBLE THEN 4
+         |         ELSE 5 END AS w,
+         |    CAST(o_totalprice AS DECIMAL(12,2)) AS v
+         |  FROM orders CROSS JOIN reps),
+         |m AS (
+         |  SELECT g, r, CAST(sum(w * v) AS DOUBLE)
+         |      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_r
+         |  FROM x GROUP BY 1, 2 HAVING sum(w) > 0),
+         |ci AS (
+         |  SELECT g, quantile_cont(mean_r, 0.025) AS ci_lo,
+         |    quantile_cont(mean_r, 0.975) AS ci_hi,
+         |    CAST(count(*) AS BIGINT) AS n_replicates
+         |  FROM m GROUP BY 1),
+         |pt AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(count(o_totalprice) AS BIGINT) AS n,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |      / CAST(count(o_totalprice) AS DOUBLE) AS point_mean
+         |  FROM orders GROUP BY 1)
+         |SELECT pt.g AS o_orderpriority, pt.n, pt.point_mean,
+         |  ci.ci_lo, ci.ci_hi, ci.n_replicates
+         |FROM pt JOIN ci ON pt.g = ci.g""".stripMargin
+    },
 
     // Mirrors q281: identical literal text for the closed form (the
     // delta^-2 written as *10000.0 — a decimal 0.01*0.01 would divide

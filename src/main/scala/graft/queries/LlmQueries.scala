@@ -239,6 +239,25 @@ object LlmQueries {
           col("__match.value").as("purchase_value"))
     }),
 
+    // Nearest-in-time as-of: each click's CLOSEST purchase in either
+    // direction (ties resolve backward) — the sensor-fusion lookup q43
+    // (backward) and q97 (forward) each get wrong half the time. Two
+    // directed single-shuffle passes + an in-row distance CASE; see
+    // Temporal.asofNearest.
+    "q290_asof_nearest" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofNearest(clicks, purchases, "user_id",
+        "ts", payload = Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("__match.ts")).as("purchase_sec"),
+          col("__match.value").as("purchase_value"),
+          col("__dir").as("direction"))
+    }),
+
     // Range join via time-bucketed equi-join (never a theta join): pairs of
     // clicks by the same user within 30 minutes; each pair meets in exactly
     // one bucket, so no dedup pass.
@@ -1575,6 +1594,41 @@ object LlmQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Mirrors Temporal.asofNearest: two directed ASOF joins, microsecond
+    // distance CASE, ties backward.
+    "q290_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (
+        |  SELECT c.event_id, p.ts AS fts, p.value AS fval
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts),
+        |j AS (SELECT b.*, f.fts, f.fval
+        |  FROM b JOIN f ON b.event_id = f.event_id),
+        |d AS (SELECT *,
+        |    CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+        |         WHEN fts IS NULL THEN 'backward'
+        |         WHEN bts IS NULL THEN 'forward'
+        |         WHEN epoch_us(ts) - epoch_us(bts)
+        |           <= epoch_us(fts) - epoch_us(ts) THEN 'backward'
+        |         ELSE 'forward' END AS direction
+        |  FROM j)
+        |SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second',
+        |    CASE WHEN direction = 'backward' THEN bts
+        |         WHEN direction = 'forward' THEN fts END)) AS BIGINT)
+        |    AS purchase_sec,
+        |  CASE WHEN direction = 'backward' THEN bval
+        |       WHEN direction = 'forward' THEN fval END AS purchase_value,
+        |  direction
+        |FROM d""".stripMargin,
 
     "q43_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

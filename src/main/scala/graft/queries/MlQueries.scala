@@ -102,6 +102,14 @@ object MlQueries {
             year(col("o_orderdate")).as("o_year"), col("o_orderpriority")),
         Seq("c_mktsegment", "c_nationkey", "o_year"), "o_orderpriority")),
 
+    // ε-DP noisy customer census per (segment, nation) — the Laplace
+    // release leg of the privacy family (q198 size, q269 homogeneity):
+    // deterministic inverse-CDF noise from the shared md5 uniform,
+    // micro-unit quantized. See MlOps.dpNoisyCounts.
+    "q286_dp_noisy_counts" -> ((s, d) =>
+      MlOps.dpNoisyCounts(table(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), epsilon = 0.5)),
+
     // Closed-form two-feature OLS with intercept: n_chars ~ b0 +
     // b1*n_tokens + b2*n_distinct_tokens over documents. Nine exact BIGINT
     // moment sums in one pass, Cramer determinants in DECIMAL(38,0),
@@ -481,6 +489,29 @@ object MlQueries {
         |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
     "q194_embedding_covariance" -> covSql,
+
+    // Mirrors MlOps.dpNoisyCounts µ for µ: same md5 uniform, same
+    // inverse-CDF operation order, round(1e6·x) absorbing sub-µ libm ln
+    // differences (the q101 discipline).
+    "q286_dp_noisy_counts" -> {
+      val u = "(CAST(" + ScaleQueries.duckHash60(
+        "concat_ws('#', 'dp', c_mktsegment, CAST(c_nationkey AS VARCHAR))") +
+        " AS DOUBLE) + 0.5) / CAST(1152921504606846976 AS DOUBLE)"
+      s"""WITH c AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |u AS (SELECT *, $u AS uu FROM c),
+         |z AS (SELECT *, CAST(round(1e6 * (CAST(-2.0 AS DOUBLE)
+         |    * sign(uu - 0.5)
+         |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(uu - 0.5)))))
+         |    AS BIGINT) AS noise_mu
+         |  FROM u)
+         |SELECT c_mktsegment, c_nationkey, n, noise_mu,
+         |  CAST(n * 1000000 + noise_mu AS DOUBLE) / 1e6 AS n_noisy,
+         |  CAST(0.5 AS DOUBLE) AS epsilon
+         |FROM z""".stripMargin
+    },
 
     // q195_pca_projection: the EIGENVECTOR is not SQL-derivable, but the
     // projection step is SQL-expressible once the component is a constant —

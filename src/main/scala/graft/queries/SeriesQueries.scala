@@ -131,9 +131,57 @@ object SeriesQueries {
     // product metric beside q234's cumulative curve. Two keyed aggs,
     // one day-keyed join. See Temporal.newVsReturning.
     "q280_new_vs_returning" -> ((s, d) =>
-      Temporal.newVsReturning(table(s, d, "events"), "user_id", "ts")))
+      Temporal.newVsReturning(table(s, d, "events"), "user_id", "ts")),
+
+    // Stationary distribution of the user-journey Markov chain — 12
+    // exact integer micro-probability power-iteration rounds over the
+    // |types|²-bounded transition table (q181's PageRank discipline);
+    // the steady-state companion to q126's one-step matrix. See
+    // Temporal.markovStationary.
+    "q285_markov_stationary" -> ((s, d) =>
+      Temporal.markovStationary(table(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id", iters = 12)))
+
+  /** The q285 oracle: transition-chain CTEs + `iters` unrolled integer
+    * power-iteration rounds, mirroring Temporal.markovStationary µ for µ
+    * (per-edge floor division, BIGINT mass — the q181 pageRankSql
+    * pattern). */
+  private def markovSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT st.state, coalesce(c.in_mu, CAST(0 AS BIGINT)) AS pi_mu
+         |  FROM st LEFT JOIN (
+         |    SELECT e.dst AS state,
+         |      CAST(sum((p.pi_mu * e.w) // e.out_w) AS BIGINT) AS in_mu
+         |    FROM r${i - 1} p JOIN e ON p.state = e.src
+         |    GROUP BY e.dst) c ON st.state = c.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nx AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+       |  FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w
+       |  FROM e0 JOIN ow ON e0.src = ow.src),
+       |st AS (SELECT src AS state FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT count(*) AS nn FROM st),
+       |r0 AS (
+       |  SELECT state,
+       |    CAST(1000000000 AS BIGINT) // (SELECT nn FROM n) AS pi_mu
+       |  FROM st),
+       |$rounds
+       |SELECT state, pi_mu,
+       |  CAST(pi_mu AS DOUBLE) / 1e9 AS pi
+       |FROM r$iters""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+
+    "q285_markov_stationary" -> markovSql(12),
 
     "q280_new_vs_returning" ->
       """WITH fd AS (

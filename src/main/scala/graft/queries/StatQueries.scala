@@ -148,6 +148,16 @@ object StatQueries {
       Stats.olsByGroup(table(s, d, "lineitem"), "l_returnflag",
         "l_quantity", "l_extendedprice")),
 
+    // Simpson's-paradox screen: per-ship-month price~quantity slope
+    // beside the pooled slope with a sign-reversal flag — the
+    // confounding/stability audit before trusting q170's aggregate
+    // relationship. See Stats.simpsonAudit.
+    "q288_simpson_audit" -> ((s, d) =>
+      Stats.simpsonAudit(
+        table(s, d, "lineitem")
+          .withColumn("ship_month", month(col("l_shipdate"))),
+        "ship_month", "l_quantity", "l_extendedprice")),
+
     // Per-type Spearman correlation between event value and event TIME —
     // the monotone-drift probe (is value creeping up over the month?).
     // Tie-aware Pearson-on-average-ranks; see Stats.spearmanByGroup.
@@ -231,6 +241,52 @@ object StatQueries {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+
+    // Mirrors Stats.simpsonAudit: the q170 closed form per stratum and
+    // pooled, sign comparison on the identical final doubles.
+    "q288_simpson_audit" ->
+      """WITH a AS (
+        |  SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |    count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |per AS (
+        |  SELECT ship_month, n,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN NULL
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope
+        |  FROM a),
+        |ap AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+        |  FROM lineitem),
+        |pool AS (
+        |  SELECT CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN NULL
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+        |      AS pooled_slope
+        |  FROM ap)
+        |SELECT per.ship_month, per.n, per.slope, pool.pooled_slope,
+        |  CASE WHEN per.slope IS NULL OR pool.pooled_slope IS NULL
+        |    THEN NULL
+        |    ELSE sign(per.slope) <> sign(pool.pooled_slope) END AS reversed
+        |FROM per CROSS JOIN pool""".stripMargin,
 
     "q170_price_qty_ols" ->
       """WITH a AS (

@@ -408,4 +408,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"$q must stay window-free (TopKAgg)")
     }
   }
+
+  test("q282-q286: round-11 operators keep their scale shapes") {
+    // q282: the n×B expansion is a BROADCAST of the B-row replicate grid
+    // (never a cartesian), and replicate sums partial-aggregate map-side
+    val p282 = plan("q282_bootstrap_ci")
+    assert(p282.contains("BroadcastNestedLoopJoin"),
+      "replicate grid must broadcast")
+    assert(!p282.contains("CartesianProduct"))
+    assert(p282.contains("HashAggregate"))
+    // q283: ER candidates join EQUI-KEYED on the block — a cartesian or
+    // nested-loop here is the all-pairs explosion blocking exists to stop
+    val p283 = plan("q283_er_name_match")
+    assert(!p283.contains("CartesianProduct"))
+    assert(!p283.contains("BroadcastNestedLoopJoin"),
+      "block join must be an equi-join, not a nested loop")
+    // q284: the candidate stage inherits q33's bounded-broadcast contract;
+    // greedy rounds are checkpointed so no cartesian can survive into them
+    val p284 = plan("q284_mmr_rerank")
+    assert(!p284.contains("CartesianProduct"))
+    // q285/q286: the only non-equi join is the broadcast 1-row state count
+    Seq("q285_markov_stationary", "q286_dp_noisy_counts").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
+    }
+  }
 }
