@@ -165,6 +165,20 @@ import org.apache.spark.sql.functions._
   *   er_match      1x rows=4755  0.7 s   10x rows=4755  1.2 s
   *   mmr_rerank    1x rows=100   2.4 s   10x rows=100   3.8 s
   * }}}
+  * Batch-2 round-11 curves (same quiet box, 2026-08-14):
+  * {{{
+  *   ransac_fit    1x rows=1      5.8 s   10x rows=1       4.0 s
+  *   simpson_audit 1x rows=12     0.8 s   10x rows=12      0.9 s
+  *   ppr_seeded    1x rows=31     4.5 s   10x rows=31      4.5 s
+  *   asof_nearest  1x rows=19863  0.3 s   10x rows=198630  0.6 s
+  * }}}
+  * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
+  * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
+  * bigram occurrences, never token types, so the graph and its 8 rounds
+  * are constant (the q181 vocabulary argument with teleport). Nearest
+  * as-of returns 10x the rows for 2x the cost — two key-partitioned
+  * O(1)-state windows, the linear floor.
+  *
   * Reading: bootstrap's n×B expansion combines map-side into a constant
   * |groups|·B shuffle, so 10x input rides the scan (warm 10x beat the
   * cold 1x). Markov's transition table is |types|²-bounded — the lead
@@ -593,6 +607,53 @@ object ScaleSmoke {
       time(s"er_match        $label") {
         operators.EntityRes.blockedNameMatch(pdf, "p_partkey", "p_name",
           Seq("p_brand"), cap = 100, threshold = 0.88).count()
+      }
+    }
+    // RANSAC: seed selection is O(nModels) TopKAgg state per task and
+    // the inlier pass scans against the broadcast 32-model table — the
+    // whole fit must track the scan with a constant-size answer.
+    // Simpson: two keyed aggregates — pure scan shape.
+    for ((label, odf) <- Seq(("1x", ord2), (s"${factor}x", ord2Big))) {
+      time(s"ransac_fit      $label") {
+        operators.Robust.ransacLine(odf, "o_orderkey",
+          pmod(col("o_orderkey"), lit(1000L)),
+          col("o_totalprice"), nModels = 32, tol = 10000.0).count()
+      }
+      time(s"simpson_audit   $label") {
+        operators.Stats.simpsonAudit(
+          odf.withColumn("g", pmod(col("o_orderkey"), lit(12L))),
+          "g", "o_orderkey", "o_totalprice").count()
+      }
+    }
+    // PPR: the bigram graph is vocab-bounded (replicas add occurrences,
+    // never token types), so the 8 rounds are constant — only the bigram
+    // count pass scales. Nearest as-of: two key-partitioned windows.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"ppr_seeded      $label") {
+        val toks = df.select(split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 2)
+        val bigrams = toks
+          .select(posexplode(col("t")).as(Seq("__i", "__a")), col("t"))
+          .where(col("__i") < size(col("t")) - 1)
+          .select(col("__a").as("src"),
+            col("t").getItem(col("__i") + 1).as("dst"))
+          .where(col("src") =!= "" && col("dst") =!= "")
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        val seeds = df.where(col("doc_id") % 10000000L === 0)
+          .select(explode(split(col("text"), " ")).as("node"))
+          .where(col("node") =!= "")
+        operators.Graphs.personalizedPageRank(bigrams, "src", "dst", "w",
+          seeds, iters = 8).count()
+      }
+    }
+    for ((label, edf) <- Seq(("1x", ev3), (s"${factor}x", ev3Big))) {
+      time(s"asof_nearest    $label") {
+        operators.Temporal.asofNearest(
+          edf.where(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          edf.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          "user_id", "ts", Seq("ts")).count()
       }
     }
     // MMR: the query batch and candidate count are FIXED (20 queries ×

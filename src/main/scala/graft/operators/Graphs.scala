@@ -79,6 +79,61 @@ object Graphs {
       (col("rank_mu").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003): [[pageRank]] with the
+    * teleport mass returning to a SEED set instead of uniformly — "rank
+    * relative to these starting points", the graph-proximity score behind
+    * related-item recommendation and seed-expansion labeling that global
+    * PageRank (q181) flattens away.
+    *
+    * Same exact-integer discipline: seeds IN THE GRAPH (the intersection
+    * is taken; off-graph seeds are ignored) start with scale DIV |S| µ,
+    * non-seeds with 0; each round gives seeds the (15·scale) DIV (100·|S|)
+    * teleport floor plus damped in-mass, non-seeds damped in-mass only.
+    * Floor division per edge, checkpointed rounds, oracle unrolls them.
+    * Output: (node, rank_mu, rank, is_seed). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seedCol: DataFrame,
+                           iters: Int = 8,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+
+    val e = save(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("bigint").as("w")))
+    val nodes = save(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val seeds = save(nodes.join(
+      seedCol.toDF("node").distinct(), Seq("node"), "left_semi"))
+    val outW = save(e.groupBy(col("src")).agg(sum(col("w")).as("out_w")))
+    val ew = save(e.join(outW, "src"))
+    val nSeeds = save(seeds.agg(count(lit(1)).as("__s")))
+
+    val marked = save(nodes.join(
+        seeds.select(col("node"), lit(1).as("__seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed")))
+    var ranks = save(marked.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("__seed"),
+        when(col("__seed") === 1, expr(s"${scale}L div __s"))
+          .otherwise(lit(0L)).as("rank_mu")))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("rank_mu")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(rank_mu * w) div out_w")).as("__in"))
+      ranks = save(marked.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nSeeds))
+        .select(col("node"), col("__seed"),
+          (when(col("__seed") === 1,
+            expr(s"(15 * ${scale}L) div (100 * __s)")).otherwise(lit(0L)) +
+            expr("(85 * coalesce(__in, 0L)) div 100")).as("rank_mu")))
+    }
+    ranks.select(col("node"), col("rank_mu"),
+      (col("rank_mu").cast("double") / lit(scale.toDouble)).as("rank"),
+      (col("__seed") === 1).as("is_seed"))
+  }
+
   /** Token co-occurrence PageRank over a corpus: nodes are tokens, edge
     * (a, b) weight = corpus count of the ADJACENT ordered pair — the global
     * TextRank term-importance sheet. Vocab is Zipf-bounded, so node and

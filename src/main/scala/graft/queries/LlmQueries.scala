@@ -115,6 +115,29 @@ object LlmQueries {
         table(s, d, "documents"), "doc_id", "text",
         nBands = 4, maxHamming = 8)),
 
+    // Dedup-method agreement matrix: which near-dup pairs do MinHash
+    // (q31), SimHash (q32) and n-gram Jaccard (q75) each find — the
+    // three-method Venn that calibrates band/threshold choices before
+    // trusting any single detector (q150's calibration, cross-method).
+    // Three bounded pair sets full-outer-joined on the pair key; the
+    // oracle composes all three pair oracles verbatim.
+    "q291_dedup_agreement" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      def side(df: DataFrame, flag: String) =
+        df.select(col("doc_a"), col("doc_b")).withColumn(flag, lit(1))
+      side(nearDupPairs(s, d), "__mh")
+        .join(side(TextDedup.simhashNearDupPairs(docs, "doc_id", "text",
+          nBands = 4, maxHamming = 8), "__sh"),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .join(side(TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2), "__ng"),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .groupBy((coalesce(col("__mh"), lit(0)) === 1).as("in_minhash"),
+          (coalesce(col("__sh"), lit(0)) === 1).as("in_simhash"),
+          (coalesce(col("__ng"), lit(0)) === 1).as("in_ngram"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Brute-force cosine top-10 for a bounded query set — the exactness
     // baseline for ANN. Query side broadcast; candidates scanned once.
     "q33_knn_bruteforce" -> ((s, d) =>
@@ -1221,6 +1244,67 @@ object LlmQueries {
       |  UNION
       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
 
+  /** q31/q32 oracle texts as shared vals: q291 composes all three
+    * pair-method oracles into one agreement matrix. */
+  private[queries] val minhashPairsSql: String =
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
+        |    FROM toks)),
+        |sig AS (
+        |  SELECT doc_id, band,
+        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
+        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+        |  GROUP BY doc_a, doc_b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b)
+        |WHERE jaccard >= 0.5""".stripMargin
+
+  private[queries] val simhashPairsSql: String =
+      """WITH th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(substr(tok, i, 1))::HUGEINT for i in range(1, length(tok)+1)]),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS shu
+        |  FROM votes GROUP BY doc_id),
+        |sg AS (
+        |  SELECT doc_id, shu,
+        |    CAST(CASE WHEN shu >= (1::HUGEINT << 63)
+        |      THEN shu - 18446744073709551616::HUGEINT ELSE shu END AS BIGINT) AS sh64
+        |  FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
+        |FROM sg a, sg b
+        |WHERE a.doc_id < b.doc_id
+        |  AND EXISTS (SELECT 1 FROM (SELECT unnest([0,1,2,3]) AS band)
+        |              WHERE (a.shu // (1::HUGEINT << (band*16))) % 65536
+        |                  = (b.shu // (1::HUGEINT << (band*16))) % 65536)
+        |  AND bit_count(xor(a.sh64, b.sh64)) <= 8""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Mirrors CorpusStats.categoryEntropy: per-(source, lang) micro-nat
     // quantized ln(p), exact BIGINT weighted sum, 6dp-rounded outputs.
@@ -1411,68 +1495,39 @@ object LlmQueries {
          |     / len(string_split(text,' ')) >= 0.05) AS is_quality
          |FROM documents""".stripMargin,
 
-    "q31_minhash_lsh_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-        |  WHERE len(string_split(text,' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
-        |    FROM toks)),
-        |sig AS (
-        |  SELECT doc_id, band,
-        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
-        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
-        |  GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = doc_a
-        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
-        |  GROUP BY doc_a, doc_b),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT doc_a, doc_b,
-        |    CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
-        |  FROM inter
-        |  JOIN sizes na ON na.doc_id = doc_a
-        |  JOIN sizes nb ON nb.doc_id = doc_b)
-        |WHERE jaccard >= 0.5""".stripMargin,
+    "q31_minhash_lsh_pairs" -> minhashPairsSql,
+
+    // Composes the q31/q32/q75 pair oracles verbatim into the method-
+    // agreement Venn.
+    "q291_dedup_agreement" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+         |sh AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+         |ng AS (SELECT doc_a, doc_b
+         |  FROM (${ScaleQueries.oracle("q75_ngram_jaccard_pairs")})),
+         |allp AS (
+         |  SELECT doc_a, doc_b FROM mh UNION
+         |  SELECT doc_a, doc_b FROM sh UNION
+         |  SELECT doc_a, doc_b FROM ng),
+         |f AS (SELECT p.doc_a, p.doc_b,
+         |    EXISTS (SELECT 1 FROM mh
+         |      WHERE mh.doc_a = p.doc_a AND mh.doc_b = p.doc_b)
+         |      AS in_minhash,
+         |    EXISTS (SELECT 1 FROM sh
+         |      WHERE sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b)
+         |      AS in_simhash,
+         |    EXISTS (SELECT 1 FROM ng
+         |      WHERE ng.doc_a = p.doc_a AND ng.doc_b = p.doc_b)
+         |      AS in_ngram
+         |  FROM allp p)
+         |SELECT in_minhash, in_simhash, in_ngram,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM f GROUP BY 1, 2, 3""".stripMargin,
 
     // FNV-1a's unsigned-64-bit wraparound is mirrored exactly with HUGEINT
     // arithmetic mod 2^64 (the corpus is ASCII, so unicode(char) == the UTF-8
     // byte SimHash64 hashes); votes and banding then replay the native
     // expression bit-for-bit.
-    "q32_simhash_pairs" ->
-      """WITH th AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(14695981039346656037::HUGEINT,
-        |      [unicode(substr(tok, i, 1))::HUGEINT for i in range(1, length(tok)+1)]),
-        |    (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-        |votes AS (
-        |  SELECT doc_id, j, sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th, (SELECT unnest(range(0, 64)) AS j)
-        |  GROUP BY doc_id, j),
-        |sh AS (
-        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::HUGEINT << j ELSE 0::HUGEINT END) AS shu
-        |  FROM votes GROUP BY doc_id),
-        |sg AS (
-        |  SELECT doc_id, shu,
-        |    CAST(CASE WHEN shu >= (1::HUGEINT << 63)
-        |      THEN shu - 18446744073709551616::HUGEINT ELSE shu END AS BIGINT) AS sh64
-        |  FROM sh)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
-        |FROM sg a, sg b
-        |WHERE a.doc_id < b.doc_id
-        |  AND EXISTS (SELECT 1 FROM (SELECT unnest([0,1,2,3]) AS band)
-        |              WHERE (a.shu // (1::HUGEINT << (band*16))) % 65536
-        |                  = (b.shu // (1::HUGEINT << (band*16))) % 65536)
-        |  AND bit_count(xor(a.sh64, b.sh64)) <= 8""".stripMargin,
+    "q32_simhash_pairs" -> simhashPairsSql,
 
     // Rolling hash (h = h*1000003 + byte mod 2^64) and SimHash via the same
     // HUGEINT-mod-2^64 mirror as q32.

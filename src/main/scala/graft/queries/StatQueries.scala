@@ -125,6 +125,30 @@ object StatQueries {
       Relational.topK(Graphs.tokenPageRank(table(s, d, "documents"), "text", iters = 8),
         30, col("rank_mu").desc, col("node").asc)),
 
+    // Personalized PageRank on the token bigram graph, teleporting to
+    // doc 0's tokens — graph proximity to a seed vocabulary, the
+    // seed-expansion score q181's global ranking flattens away. Same
+    // exact integer iteration; see Graphs.personalizedPageRank.
+    "q289_personalized_ppr" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val toks = docs.select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+      val bigrams = toks
+        .select(posexplode(col("t")).as(Seq("__i", "__a")), col("t"))
+        .where(col("__i") < size(col("t")) - 1)
+        .select(col("__a").as("src"),
+          col("t").getItem(col("__i") + 1).as("dst"))
+        .where(col("src") =!= "" && col("dst") =!= "")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val seeds = docs.where(col("doc_id") === 0)
+        .select(explode(split(col("text"), " ")).as("node"))
+        .where(col("node") =!= "")
+      Relational.topK(
+        Graphs.personalizedPageRank(bigrams, "src", "dst", "w", seeds,
+          iters = 8),
+        30, col("rank_mu").desc, col("node").asc)
+    }),
+
     // TPC-H Q14-shaped promo revenue share by ship month: a conditional-
     // aggregate ratio — one scan, one keyed agg, the CASE filter never
     // forces a second pass. Revenue components are exact decimals; the
@@ -157,6 +181,15 @@ object StatQueries {
         table(s, d, "lineitem")
           .withColumn("ship_month", month(col("l_shipdate"))),
         "ship_month", "l_quantity", "l_extendedprice")),
+
+    // Deterministic RANSAC consensus line of n_chars on token count —
+    // the outlier-surviving fit beside q199's OLS and q206's Theil-Sen:
+    // 32 hash-seeded two-point models, inliers within 200 chars, best
+    // consensus wins. See Robust.ransacLine.
+    "q287_ransac_fit" -> ((s, d) =>
+      graft.operators.Robust.ransacLine(table(s, d, "documents"),
+        "doc_id", size(split(col("text"), " ")), col("n_chars"),
+        nModels = 32, tol = 200.0)),
 
     // Per-type Spearman correlation between event value and event TIME —
     // the monotone-drift probe (is value creeping up over the month?).
@@ -228,7 +261,62 @@ object StatQueries {
        |FROM r$iters ORDER BY rank_mu DESC, node ASC LIMIT 30""".stripMargin
   }
 
+  /** The q289 oracle: the q181 bigram-graph CTEs + seed marking +
+    * `iters` unrolled personalized-teleport rounds, mirroring
+    * Graphs.personalizedPageRank µ for µ. */
+  private def pprSql(iters: Int): String = {
+    val floor =
+      "(15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT ss FROM ns))"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT m.node, m.seed,
+         |    CAST(CASE WHEN m.seed = 1 THEN $floor
+         |        ELSE CAST(0 AS BIGINT) END
+         |      + (85 * coalesce(c.inw, CAST(0 AS BIGINT))) // 100
+         |      AS BIGINT) AS rank_mu
+         |  FROM mark m LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((p.rank_mu * e.w) // o.out_w) AS BIGINT) AS inw
+         |    FROM r${k - 1} p JOIN bi e ON e.src = p.node
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |pairs AS (
+       |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS p
+       |  FROM toks),
+       |bi AS (
+       |  SELECT p[1] AS src, p[2] AS dst, count(*) AS w FROM pairs
+       |  WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM bi UNION SELECT dst FROM bi),
+       |outw AS (SELECT src, sum(w) AS out_w FROM bi GROUP BY src),
+       |seeds0 AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS node
+       |  FROM documents WHERE doc_id = 0),
+       |sd AS (SELECT n2.node FROM nodes n2
+       |  JOIN seeds0 s0 ON n2.node = s0.node WHERE n2.node <> ''),
+       |ns AS (SELECT count(*) AS ss FROM sd),
+       |mark AS (SELECT nodes.node,
+       |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+       |  FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
+       |r0 AS (
+       |  SELECT node, seed,
+       |    CASE WHEN seed = 1
+       |      THEN CAST(1000000000 AS BIGINT) // (SELECT ss FROM ns)
+       |      ELSE CAST(0 AS BIGINT) END AS rank_mu
+       |  FROM mark),
+       |$steps
+       |SELECT node, rank_mu,
+       |  CAST(rank_mu AS DOUBLE) / 1000000000.0 AS rank,
+       |  seed = 1 AS is_seed
+       |FROM r$iters ORDER BY rank_mu DESC, node ASC LIMIT 30""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q289_personalized_ppr" -> pprSql(8),
 
     "q169_promo_share" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -241,6 +329,50 @@ object StatQueries {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+
+    // Mirrors Robust.ransacLine seed-for-seed: rank by the hash AS
+    // DOUBLE (TopKAgg's score domain — the long→double rounding is
+    // identical in both engines) with id tie-break, pair consecutive
+    // ranks, same slope/intercept/residual operation order.
+    "q287_ransac_fit" -> {
+      val h = ScaleQueries.duckHash60("doc_id")
+      s"""WITH pts AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |    n_chars AS y
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (
+         |    ORDER BY CAST($h AS DOUBLE) ASC, id ASC) AS rn
+         |  FROM (SELECT *, id AS doc_id FROM pts)),
+         |seeds AS (SELECT (rn - 1) // 2 AS model_id, (rn - 1) % 2 AS half,
+         |    x, y
+         |  FROM r WHERE rn <= 64),
+         |m0 AS (SELECT model_id,
+         |    min(CASE WHEN half = 0 THEN x END) AS x1,
+         |    min(CASE WHEN half = 0 THEN y END) AS y1,
+         |    min(CASE WHEN half = 1 THEN x END) AS x2,
+         |    min(CASE WHEN half = 1 THEN y END) AS y2
+         |  FROM seeds GROUP BY 1),
+         |m1 AS (SELECT model_id,
+         |    (CAST(y2 AS DOUBLE) - CAST(y1 AS DOUBLE))
+         |      / (CAST(x2 AS DOUBLE) - CAST(x1 AS DOUBLE)) AS slope,
+         |    x1, y1
+         |  FROM m0 WHERE x1 <> x2),
+         |m AS (SELECT model_id, slope,
+         |    CAST(y1 AS DOUBLE) - slope * CAST(x1 AS DOUBLE) AS intercept
+         |  FROM m1),
+         |sc AS (SELECT m.model_id, m.slope, m.intercept,
+         |    CAST(sum(CASE WHEN abs(CAST(p.y AS DOUBLE)
+         |        - (m.intercept + m.slope * CAST(p.x AS DOUBLE)))
+         |      <= CAST(200.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_inliers,
+         |    CAST(count(*) AS BIGINT) AS n_total
+         |  FROM pts p CROSS JOIN m GROUP BY 1, 2, 3)
+         |SELECT model_id, slope, intercept, n_inliers, n_total,
+         |  CAST(n_inliers AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |    AS inlier_frac
+         |FROM sc ORDER BY n_inliers DESC, model_id ASC LIMIT 1""".stripMargin
+    },
 
     // Mirrors Stats.simpsonAudit: the q170 closed form per stratum and
     // pooled, sign comparison on the identical final doubles.

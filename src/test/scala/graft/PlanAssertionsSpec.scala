@@ -432,5 +432,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }
+    // q287: inlier counting scans against the BROADCAST model table;
+    // q289's per-round joins and q291's pair-set joins stay equi-keyed
+    val p287 = plan("q287_ransac_fit")
+    assert(p287.contains("BroadcastNestedLoopJoin"),
+      "the bounded model table must broadcast")
+    assert(!p287.contains("CartesianProduct"))
+    Seq("q288_simpson_audit", "q289_personalized_ppr",
+        "q290_asof_nearest", "q291_dedup_agreement").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
+    }
   }
 }

@@ -181,6 +181,43 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert((tie.getDouble(0), tie.getString(1)) == ((5.0, "backward")))
   }
 
+  test("ransacLine: consensus recovers the exact line through gross outliers") {
+    // 90 points on y = 3x + 2 exactly; 10 gross outliers far beyond tol.
+    // Any two clean seed points give slope 3 / intercept 2 EXACTLY
+    // (integer coordinates), and that model's consensus (90) beats any
+    // outlier-contaminated model's.
+    val clean = (1L to 90L).map(i => (i, i, 3 * i + 2))
+    val junk = (91L to 100L).map(i => (i, i, 100000 + i))
+    val df = (clean ++ junk).toDF("id", "x", "y")
+    val r = graft.operators.Robust.ransacLine(df, "id", col("x"), col("y"),
+      nModels = 16, tol = 10.0).head()
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0,
+      s"consensus must be the exact clean line: $r")
+    assert(r.getLong(3) == 90L && r.getLong(4) == 100L,
+      s"every clean point is an inlier, no outlier is: $r")
+  }
+
+  test("personalizedPageRank: mass stays in the seed's component") {
+    // two disconnected 2-cycles; seed in the first: the second holds zero
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L),
+      ("c", "d", 1L), ("d", "c", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val r = graft.operators.Graphs.personalizedPageRank(
+        edges, "src", "dst", "w", seeds, iters = 6)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getBoolean(3))).toMap
+    assert(r("a")._1 > 0 && r("b")._1 > 0, s"seed component ranks: $r")
+    assert(r("c")._1 == 0 && r("d")._1 == 0,
+      s"no teleport, no path -> no mass: $r")
+    assert(r("a")._2 && !r("b")._2 && !r("c")._2, s"is_seed flags: $r")
+    // off-graph seeds are ignored; seeds get the teleport floor forever
+    val r2 = graft.operators.Graphs.personalizedPageRank(
+        edges, "src", "dst", "w", Seq("a", "zz").toDF("node"), iters = 6)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(!r2.contains("zz") && r2("a") == r("a")._1,
+      s"unknown seed must not change the denominator: $r2 vs $r")
+  }
+
   test("mmrRerank: diversity beats the near-duplicate at rank 2") {
     // query 0 at 0°; candidate 10 at 20° (most relevant), candidate 11 at
     // 21° (its near-dup), candidate 12 at -70° (diverse, orthogonal to 20°)
