@@ -251,10 +251,16 @@ object Inference {
     * resampling answer to "how sure is this average", where the
     * closed-form SE (q179) needs distributional faith the data may not
     * earn. Replicates are DETERMINISTIC: row `id`'s weight in replicate
-    * `j` is Poisson(1) read off the shared md5 uniform hash60(id#j)
-    * (Sketches.hash60 — the q79/q266 sampling hash) through fixed CDF
-    * thresholds, so any engine and any partitioning rebuilds the
-    * identical B resamples; no rand() anywhere. Poisson bootstrap (each
+    * `j` is Poisson(1) read off a uniform built from ONE md5 per row
+    * (Sketches.hash60 — the q79/q266 sampling hash) mixed per replicate
+    * by a Weyl-increment XOR + Knuth multiply mod 2^32 (16-bit split, so
+    * no intermediate wraps 64-bit — the hashBuckets discipline; pure
+    * BIGINT arithmetic any engine replays bit-for-bit). The first cut
+    * evaluated md5 PER (row, replicate) — B=32 digests per row was 85%
+    * of the query's warmed cost (8.3 s at sf0.1; 1 digest + 32 integer
+    * mixes is the scale-correct form). PRNG-grade, not crypto-grade,
+    * independence across replicates — exactly what bootstrap weights
+    * need. Poisson bootstrap (each
     * row's multiplicity drawn independently) is the STREAMING/SHARDED
     * form of the classic n-out-of-n bootstrap — exactly what a
     * distributed engine wants, since no replicate ever needs a global
@@ -275,24 +281,39 @@ object Inference {
     require(b >= 2 && lo > 0 && hi < 1 && lo < hi, "bad bootstrap params")
     val reps = broadcast(
       df.sparkSession.range(1, b + 1).toDF("__r"))
-    val u = Sketches.hash60(concat(col("__id").cast("string"), lit("#"),
-      col("__r").cast("string"))) / lit((1L << 60).toDouble)
+    // per-replicate uniform: xor the row hash's low 32 bits with the
+    // replicate's Weyl step, then Knuth-multiply mod 2^32 via the 16-bit
+    // split (max intermediate ~1.7e14 — no 64-bit wrap, ANSI-safe)
+    val knuth = 2654435761L
+    val m = col("__h32").bitwiseXOR(
+      (col("__r") * lit(0x9E3779B9L)).bitwiseAND(lit(0xFFFFFFFFL)))
+    val u32 = (m.bitwiseAND(lit(0xFFFFL)) * lit(knuth) +
+        (shiftrightunsigned(m, 16) * lit(knuth)).bitwiseAND(lit(0xFFFFL)) *
+          lit(65536L))
+      .bitwiseAND(lit(0xFFFFFFFFL))
+    val u = u32.cast("double") / lit(4294967296.0)
     val wgt = poissonCdf.zipWithIndex
       .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
         acc.when(u < lit(t), k.toLong) }
       .otherwise(poissonCdf.size.toLong)
+    // weighted sums ride in exact integer CENTS (decimal-quantized once
+    // per row, BEFORE the ×B expansion): long arithmetic through the hot
+    // n×B aggregate instead of decimal
     val means = df
-      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
-        col(valCol).cast(DecimalType(12, 2)).as("__v"))
+      .select(col(groupCol).as("__g"),
+        Sketches.hash60(col(idCol)).bitwiseAND(lit(0xFFFFFFFFL))
+          .as("__h32"),
+        (col(valCol).cast(DecimalType(12, 2)) * lit(100)).cast("long")
+          .as("__vc"))
       .crossJoin(reps)
-      .select(col("__g"), col("__r"), wgt.as("__w"), col("__v"))
+      .select(col("__g"), col("__r"), wgt.as("__w"), col("__vc"))
       .groupBy(col("__g"), col("__r"))
       .agg(sum(col("__w")).as("__sw"),
-        sum(col("__w") * col("__v")).as("__swx"))
+        sum(col("__w") * col("__vc")).as("__swc"))
       .where(col("__sw") > 0)
       .select(col("__g"),
-        (col("__swx").cast("double") / col("__sw").cast("double"))
-          .as("__mean_r"))
+        (col("__swc").cast("double") / lit(100.0) /
+          col("__sw").cast("double")).as("__mean_r"))
     val ci = means.groupBy(col("__g"))
       .agg(expr(s"percentile(__mean_r, CAST($lo AS DOUBLE))").as("ci_lo"),
         expr(s"percentile(__mean_r, CAST($hi AS DOUBLE))").as("ci_hi"),

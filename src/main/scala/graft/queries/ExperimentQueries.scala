@@ -88,21 +88,30 @@ object ExperimentQueries {
     // literals parse as DECIMAL, the q195 lesson), exact DECIMAL/BIGINT
     // replicate sums, quantile_cont == percentile on the B-row grid.
     "q282_bootstrap_ci" -> {
-      val u = "CAST(" + ScaleQueries.duckHash60("o_orderkey || '#' || CAST(r AS VARCHAR)") +
-        " AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)"
+      val h32 = "(" + ScaleQueries.duckHash60("o_orderkey") + ") % 4294967296"
+      val m = s"xor(h32, (r * 2654435769) % 4294967296)"
+      val u = s"CAST(((($m) % 65536) * 2654435761" +
+        s" + ((($m) // 65536) * 2654435761) % 65536 * 65536)" +
+        s" % 4294967296 AS DOUBLE) / 4294967296.0"
       s"""WITH reps AS (SELECT range AS r FROM range(1, 33)),
+         |h AS (
+         |  SELECT o_orderpriority AS g, $h32 AS h32,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS vc
+         |  FROM orders),
          |x AS (
-         |  SELECT o_orderpriority AS g, r,
+         |  SELECT g, r,
          |    CASE WHEN $u < '0.36787944117144233'::DOUBLE THEN 0
          |         WHEN $u < '0.7357588823428847'::DOUBLE THEN 1
          |         WHEN $u < '0.9196986029286058'::DOUBLE THEN 2
          |         WHEN $u < '0.9810118431238463'::DOUBLE THEN 3
          |         WHEN $u < '0.9963401531726563'::DOUBLE THEN 4
          |         ELSE 5 END AS w,
-         |    CAST(o_totalprice AS DECIMAL(12,2)) AS v
-         |  FROM orders CROSS JOIN reps),
+         |    vc
+         |  FROM h CROSS JOIN reps),
          |m AS (
-         |  SELECT g, r, CAST(sum(w * v) AS DOUBLE)
+         |  SELECT g, r, CAST(CAST(sum(w * vc) AS BIGINT) AS DOUBLE)
+         |      / 100.0
          |      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_r
          |  FROM x GROUP BY 1, 2 HAVING sum(w) > 0),
          |ci AS (
