@@ -172,6 +172,16 @@ import org.apache.spark.sql.functions._
   *   ppr_seeded    1x rows=31     4.5 s   10x rows=31      4.5 s
   *   asof_nearest  1x rows=19863  0.3 s   10x rows=198630  0.6 s
   * }}}
+  * Batch-3 (same quiet box):
+  * {{{
+  *   w1_drift        1x rows=190  4.6 s   10x rows=190  2.2 s
+  *   split_conformal 1x rows=1    1.4 s   10x rows=1    1.4 s
+  * }}}
+  * W1 is FLAT (faster warm at 10x): replicas add neither lengths nor
+  * sources, so the value grid, the pair join and the 190-row answer are
+  * constant — the length_ks argument extended to the transport metric.
+  * Conformal is flat: three narrow scans into 1-row aggregates.
+  *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
   * bigram occurrences, never token types, so the graph and its 8 rounds
@@ -654,6 +664,24 @@ object ScaleSmoke {
           edf.where(col("event_type") === "purchase")
             .select(col("user_id"), col("ts")),
           "user_id", "ts", Seq("ts")).count()
+      }
+    }
+    // W1 drift: the grid is (distinct n_chars) × |sources| — replicas
+    // add neither lengths nor sources, so the grid, the pair join and
+    // the output are CONSTANT; only the first count pass scales (the
+    // length_ks argument for the whole drift family). Conformal: three
+    // narrow scans ending in 1-row aggregates + one calibration-split
+    // quantile.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"w1_drift        $label") {
+        operators.CorpusStats.wassersteinDrift(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "source", "n_chars").count()
+      }
+      time(s"split_conformal $label") {
+        operators.ModelEval.splitConformal(
+          df.withColumn("n_chars", length(col("text")).cast("bigint")),
+          "doc_id", size(split(col("text"), " ")), col("n_chars")).count()
       }
     }
     // MMR: the query batch and candidate count are FIXED (20 queries ×

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-level term statistics for LLM-data analysis: collocation mining
   * (PMI) and Zipf-law fit — the "what is IN this corpus" companions to the
@@ -521,6 +522,57 @@ object CorpusStats {
         col("n_g").as("n_group"), col("n_r").as("n_rest"),
         round(col("__m").cast("double") /
           (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between every PAIR of
+    * groups' integer-value distributions — the drift family's third axis:
+    * JS ([[q137 divergence]]) weighs mass overlap, KS ([[ksDrift]]) the
+    * worst single CDF gap, W1 the total TRANSPORT WORK ("how far apart",
+    * in value units, not just "how different"). For 1-D, W1 = ∫|F_a−F_b|.
+    *
+    * Exactness — NO fold-order anywhere: on the global distinct-value
+    * grid, each step contributes |cum_a·n_b − cum_b·n_a| · gap, an exact
+    * integer (products widened to DECIMAL(38,0) before the order-free
+    * sum), and the single division by n_a·n_b happens once at the end —
+    * so the distance is a pure rational of the data, identical in any
+    * engine and under any partitioning.
+    *
+    * Scale: the grid is value-range bounded (the q158 argument) and the
+    * pair expansion is an equi-join on the grid value — |groups|²·|grid|
+    * rows, never data×data. Output: (src_a < src_b, n_a, n_b, w1). */
+  def wassersteinDrift(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("bigint").as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("c"))
+    val allv = gv.select(col("__v")).distinct()
+    val groups = gv.select(col("__g")).distinct()
+    val grid = allv.crossJoin(broadcast(groups))
+      .join(gv, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"), coalesce(col("c"), lit(0L)).as("cg"))
+    val cumW = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gapW = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val cum = grid
+      .withColumn("cum", sum(col("cg")).over(cumW))
+      .withColumn("gap",
+        coalesce(lead(col("__v"), 1).over(gapW) - col("__v"), lit(0L)))
+    val totals = gv.groupBy(col("__g")).agg(sum(col("c")).as("n"))
+    val side = cum.join(totals, "__g")
+      .select(col("__g"), col("__v"), col("cum"), col("gap"), col("n"))
+    val a = side.toDF("ga", "va", "cuma", "gapa", "na")
+    val b = side.toDF("gb", "vb", "cumb", "gapb", "nb")
+    a.join(b, col("va") === col("vb") && col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        (abs(col("cuma").cast(DecimalType(38, 0)) * col("nb") -
+          col("cumb").cast(DecimalType(38, 0)) * col("na")) *
+          col("gapa")).as("__t"))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        (col("__s").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("w1"))
   }
 
   /** Per-group Shannon entropy of a categorical column — here the language

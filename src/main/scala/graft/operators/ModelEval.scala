@@ -195,4 +195,67 @@ object ModelEval {
           .otherwise(round(col("__dcg_mu").cast("double") /
             col("__idcg_mu").cast("double"), 6)).as("ndcg"))
   }
+
+  /** Split-conformal prediction interval (Papadopoulos et al. 2002 /
+    * Lei et al. 2018) for a one-feature linear model: fit y ~ a + b·x on
+    * the TRAIN split (id mod 3 = 0), set the interval half-width q_hat
+    * to the `level` quantile of |residual| on the CALIBRATION split
+    * (mod 3 = 1), and report the EMPIRICAL coverage of ŷ ± q_hat on the
+    * held-out TEST split (mod 3 = 2) — the distribution-free "how wide
+    * must my error bars be" sheet beside q282's bootstrap CI (which
+    * bounds the MEAN, not a new observation). Production refinement
+    * noted: the finite-sample-exact convention uses the
+    * ⌈(n+1)(level)⌉-th order statistic; the interpolated quantile here
+    * differs by O(1/n) and keeps the query one fixed-literal pass.
+    *
+    * Exactness: the fit is the q170 closed form (exact DECIMAL moments,
+    * doubles only in the two final divisions); residuals share one
+    * operation order; coverage divides two exact BIGINTs. Splits by id
+    * hash the same rows in any engine.
+    *
+    * Scale: three scans of a narrow projection (one per split), each
+    * ending in a 1-row aggregate; the model and q_hat broadcast back.
+    * The calibration quantile is the one per-split sort — swap in the
+    * histogram sketch (q107) when a calibration split outgrows it.
+    * Output one row: (n_train, n_cal, n_test, slope, intercept, q_hat,
+    * coverage, level). */
+  def splitConformal(df: DataFrame, idCol: String, xCol: Column,
+                     yCol: Column, level: Double = 0.9): DataFrame = {
+    require(level > 0 && level < 1, "level in (0,1)")
+    val base = CacheScope.persist(df.select(
+      pmod(col(idCol), lit(3)).as("__s"),
+      xCol.cast("long").as("__x"), yCol.cast("long").as("__y")))
+    import Relational.dec
+    val mom = base.where(col("__s") === 0).agg(
+      count(lit(1)).as("n_train"),
+      sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
+    val model = mom.select(col("n_train"),
+        ((d(col("n_train")) * d(col("__sxy")) -
+          d(col("__sx")) * d(col("__sy"))) /
+          (d(col("n_train")) * d(col("__sxx")) -
+            d(col("__sx")) * d(col("__sx")))).as("slope"),
+        col("__sx"), col("__sy"))
+      .select(col("n_train"), col("slope"),
+        ((d(col("__sy")) - col("slope") * d(col("__sx"))) /
+          d(col("n_train"))).as("intercept"))
+    val resid = abs(d(col("__y")) -
+      (col("intercept") + col("slope") * d(col("__x"))))
+    val cal = base.where(col("__s") === 1).crossJoin(broadcast(model))
+      .agg(count(lit(1)).as("n_cal"),
+        expr(s"percentile(abs(CAST(__y AS DOUBLE) - " +
+          s"(intercept + slope * CAST(__x AS DOUBLE)))," +
+          s" CAST($level AS DOUBLE))").as("q_hat"))
+    val test = base.where(col("__s") === 2).crossJoin(broadcast(model))
+      .crossJoin(broadcast(cal))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(resid <= col("q_hat"), 1L).otherwise(0L)).as("__cov"))
+    model.crossJoin(broadcast(cal)).crossJoin(broadcast(test))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        col("slope"), col("intercept"), col("q_hat"),
+        (col("__cov").cast("double") / col("n_test").cast("double"))
+          .as("coverage"),
+        lit(level).as("level"))
+  }
 }

@@ -74,7 +74,15 @@ object EvalQueries {
     // joins; 6-dp cosine discipline throughout. See Similarity.mmrRerank.
     "q284_mmr_rerank" -> ((s, d) =>
       graft.operators.Similarity.mmrRerank(table(s, d, "embeddings"),
-        "vec_id", "embedding", col("vec_id") < 20, m = 20, k = 5)))
+        "vec_id", "embedding", col("vec_id") < 20, m = 20, k = 5)),
+
+    // Split-conformal 90% interval for the n_chars ~ tokens line:
+    // train/calibrate/test by id mod 3, residual-quantile half-width,
+    // empirical held-out coverage — distribution-free error bars beside
+    // q282's bootstrap (mean) CI. See ModelEval.splitConformal.
+    "q293_split_conformal" -> ((s, d) =>
+      ModelEval.splitConformal(table(s, d, "documents"), "doc_id",
+        size(split(col("text"), " ")), col("n_chars"), level = 0.9)))
 
   /** The q284 oracle: q33's candidate CTEs + the pairwise candidate sims
     * + k unrolled greedy MMR rounds (each: max-sim-to-selected, score,
@@ -138,6 +146,55 @@ object EvalQueries {
   val oracle: Map[String, String] = Map(
 
     "q284_mmr_rerank" -> mmrSql(20, 5),
+
+    // Mirrors ModelEval.splitConformal: q170-form fit on split 0,
+    // quantile_cont == percentile on split 1's residuals, exact BIGINT
+    // coverage on split 2; one shared residual operation order.
+    "q293_split_conformal" ->
+      """WITH b AS (
+        |  SELECT doc_id % 3 AS s,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |    n_chars AS y
+        |  FROM documents),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_train,
+        |    sum(CAST(x AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(y AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2)))
+        |      AS sxy,
+        |    sum(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2)))
+        |      AS sxx
+        |  FROM b WHERE s = 0),
+        |m1 AS (
+        |  SELECT n_train,
+        |    (CAST(n_train AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |    sx, sy
+        |  FROM mom),
+        |m2 AS (
+        |  SELECT n_train, slope,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(n_train AS DOUBLE) AS intercept
+        |  FROM m1),
+        |cal AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |    quantile_cont(abs(CAST(y AS DOUBLE)
+        |      - (intercept + slope * CAST(x AS DOUBLE))), 0.9) AS q_hat
+        |  FROM b, m2 WHERE s = 1),
+        |tst AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(CAST(y AS DOUBLE)
+        |        - (intercept + slope * CAST(x AS DOUBLE))) <= q_hat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cov
+        |  FROM b, m2, cal WHERE s = 2)
+        |SELECT m2.n_train, cal.n_cal, tst.n_test, m2.slope,
+        |  m2.intercept, cal.q_hat,
+        |  CAST(tst.cov AS DOUBLE) / CAST(tst.n_test AS DOUBLE)
+        |    AS coverage,
+        |  '0.9'::DOUBLE AS level
+        |FROM m2, cal, tst""".stripMargin,
 
     "q263_ndcg" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb

@@ -903,6 +903,14 @@ object LlmQueries {
       graft.operators.CorpusStats.jsDivergence(
         table(s, d, "documents"), "source", "text", topV = 200)),
 
+    // Pairwise exact Wasserstein-1 between per-source length
+    // distributions — the TRANSPORT distance beside q137's JS (mass
+    // overlap) and q158's KS (worst gap): fully integer on the global
+    // value grid, one terminal division. See CorpusStats.wassersteinDrift.
+    "q292_wasserstein_drift" -> ((s, d) =>
+      graft.operators.CorpusStats.wassersteinDrift(
+        table(s, d, "documents"), "source", "n_chars")),
+
     // Per-source OOV occurrence rate against the corpus top-1000 vocab —
     // the tokenizer-coverage planning stat (high OOV = byte-fallback
     // blowup). See CorpusStats.oovRate.
@@ -1496,6 +1504,36 @@ object LlmQueries {
          |FROM documents""".stripMargin,
 
     "q31_minhash_lsh_pairs" -> minhashPairsSql,
+
+    // Mirrors CorpusStats.wassersteinDrift: identical grid, identical
+    // integer step terms, one terminal division.
+    "q292_wasserstein_drift" ->
+      """WITH gv AS (
+        |  SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |allv AS (SELECT DISTINCT v FROM gv),
+        |groups AS (SELECT DISTINCT g FROM gv),
+        |grid AS (
+        |  SELECT groups.g, allv.v, coalesce(gv.c, 0) AS cg
+        |  FROM groups CROSS JOIN allv
+        |  LEFT JOIN gv ON gv.g = groups.g AND gv.v = allv.v),
+        |cum AS (
+        |  SELECT g, v,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0)
+        |      AS gap
+        |  FROM grid),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gv GROUP BY 1),
+        |sides AS (
+        |  SELECT cum.g, cum.v, cum.cum, cum.gap, tot.n
+        |  FROM cum JOIN tot ON cum.g = tot.g)
+        |SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b,
+        |  CAST(CAST(sum(abs(a.cum * b.n - b.cum * a.n) * a.gap)
+        |    AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(a.n * b.n AS DOUBLE) AS w1
+        |FROM sides a JOIN sides b ON a.v = b.v AND a.g < b.g
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // Composes the q31/q32/q75 pair oracles verbatim into the method-
     // agreement Venn.

@@ -218,6 +218,36 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       s"unknown seed must not change the denominator: $r2 vs $r")
   }
 
+  test("wassersteinDrift: hand-computed transport, exact rationals") {
+    // A={0,10}, B={5,5}: |F_A-F_B| is 0.5 on [0,5) and 0.5 on [5,10) -> 5
+    // A={0,0},  C={10,10}: all mass moves 10 -> 10
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L),
+      ("C", 10L), ("C", 10L), ("A2", 0L), ("A2", 0L))
+      .toDF("g", "v")
+    val r = graft.operators.CorpusStats.wassersteinDrift(df, "g", "v")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(4))
+      .toMap
+    assert(r(("A", "B")) == 5.0, s"split-vs-point transport: $r")
+    assert(r(("A2", "C")) == 10.0, s"full-mass move over 10 units: $r")
+    assert(r(("B", "C")) == 5.0, s"point-to-point distance: $r")
+    assert(r.size == 6 && r.keys.forall { case (a, b) => a < b },
+      s"each unordered pair once: $r")
+  }
+
+  test("splitConformal: exact-line data collapses the interval, coverage 1") {
+    // y = 4x + 7 exactly across all three splits -> residuals 0
+    val df = (1L to 300L).map(i => (i, i % 50 + 1, 4 * (i % 50 + 1) + 7))
+      .toDF("id", "x", "y")
+    val r = graft.operators.ModelEval.splitConformal(df, "id",
+      col("x"), col("y"), level = 0.9).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L &&
+      r.getLong(2) == 100L, s"balanced splits: $r")
+    assert(r.getDouble(3) == 4.0 && r.getDouble(4) == 7.0,
+      s"exact fit: $r")
+    assert(r.getDouble(5) == 0.0, s"zero residuals -> zero width: $r")
+    assert(r.getDouble(6) == 1.0, s"every test point covered: $r")
+  }
+
   test("mmrRerank: diversity beats the near-duplicate at rank 2") {
     // query 0 at 0°; candidate 10 at 20° (most relevant), candidate 11 at
     // 21° (its near-dup), candidate 12 at -70° (diverse, orthogonal to 20°)
