@@ -181,6 +181,10 @@ import org.apache.spark.sql.functions._
   * sources, so the value grid, the pair join and the 190-row answer are
   * constant — the length_ks argument extended to the transport metric.
   * Conformal is flat: three narrow scans into 1-row aggregates.
+  * Experimentation pair (same run): cuped 1.8→0.5 s (one user-keyed agg
+  * + a 1-row moment aggregate — pure scan), aa_calibration 1.5→1.6 s
+  * for 10x users (the unit×20-split expansion combines map-side into
+  * 40 groups — the bootstrap-shape argument observed flat).
   *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
@@ -682,6 +686,39 @@ object ScaleSmoke {
         operators.ModelEval.splitConformal(
           df.withColumn("n_chars", length(col("text")).cast("bigint")),
           "doc_id", size(split(col("text"), " ")), col("n_chars")).count()
+      }
+    }
+    // CUPED is one 1-row moment aggregate over per-user sums; AA
+    // calibration is the q282 bootstrap shape (unit×splits in-row
+    // expansion, map-side combined into |splits|×2 groups) — both must
+    // track the user-keyed scan with constant outputs.
+    val evv = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val evvBig = (0 until factor)
+      .map(i => evv.withColumn("user_id",
+        col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", evv), (s"${factor}x", evvBig))) {
+      time(s"cuped           $label") {
+        val z = lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        val pu = edf
+          .groupBy(col("user_id"))
+          .agg(sum(when(dayofmonth(col("ts")) <= 15,
+              col("value").cast(
+                org.apache.spark.sql.types.DecimalType(12, 2)))
+            .otherwise(z)).cast("double").as("pre"),
+            sum(when(dayofmonth(col("ts")) >= 16,
+              col("value").cast(
+                org.apache.spark.sql.types.DecimalType(12, 2)))
+            .otherwise(z)).cast("double").as("post"))
+        operators.Stats.cuped(pu, "pre", "post").count()
+      }
+      time(s"aa_calibration  $label") {
+        val pu = edf.groupBy(col("user_id"))
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) > 0).as("conv"))
+        operators.Stats.aaCalibration(pu, "user_id", col("conv"),
+          nSplits = 20, zCrit = 1.959964).count()
       }
     }
     // MMR: the query batch and candidate count are FIXED (20 queries ×

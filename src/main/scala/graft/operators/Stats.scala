@@ -181,6 +181,81 @@ object Stats {
         .otherwise((sxy * sxy) / (sxx * syy)).as("r2"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * θ = cov(pre, post)/var(pre) from pre-experiment data, and the
+    * variance the adjusted metric y − θ·(x − x̄) would have — the
+    * standard experiment-sensitivity booster, reported as the audit
+    * ("how much smaller could my MDE be") rather than as mutated rows.
+    * var_cuped = var_post·(1 − ρ²) computed in closed form from the SAME
+    * one-pass moments: no second scan, no per-row adjustment needed to
+    * answer the sizing question.
+    *
+    * One 1-row aggregate of exact DECIMAL moments (the q170 rule);
+    * doubles only in the final fixed-order formulas. Degenerate pre
+    * (zero variance) yields null θ and var_cuped = var_post. Output:
+    * (n, theta, var_post, var_cuped, var_reduction). */
+  def cuped(perUser: DataFrame, preCol: String, postCol: String): DataFrame = {
+    val x = dec(col(preCol))
+    val y = dec(col(postCol))
+    val agg = perUser.agg(count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val n = d(col("n"))
+    val dxx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val dyy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val dxy = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    agg.select(col("n"),
+      when(dxx === 0.0, lit(null).cast("double"))
+        .otherwise(dxy / dxx).as("theta"),
+      (dyy / (n * n)).as("var_post"),
+      when(dxx === 0.0, dyy / (n * n))
+        .otherwise((dyy - (dxy / dxx) * dxy) / (n * n)).as("var_cuped"),
+      when(dxx === 0.0 || dyy === 0.0, lit(0.0))
+        .otherwise((dxy / dxx) * dxy / dyy).as("var_reduction"))
+  }
+
+  /** A/A-test calibration: rerun the q246 two-proportion z across
+    * `nSplits` INDEPENDENT hash-randomized null splits of the same
+    * population and flag which cross `zCrit` — the meta-experiment that
+    * certifies the testing pipeline itself (a calibrated rig crosses
+    * ≈ α of the time; clustering, mixed units, or a broken randomizer
+    * show up here before they corrupt a real experiment).
+    *
+    * Split s assigns each unit to arm hash60(id#s) mod 2 — the
+    * deterministic no-rand() randomizer, identically replayed by the
+    * oracle. One unit×nSplits in-row expansion against the broadcast
+    * split grid, one (split, arm)-keyed count — the q282 bootstrap
+    * shape. z shares [[twoProportionZ]]'s exact-count formula and
+    * operation order. Output per split:
+    * (split, n_a, k_a, n_b, k_b, z, false_positive). */
+  def aaCalibration(perUser: DataFrame, idCol: String, successCol: Column,
+                    nSplits: Int, zCrit: Double): DataFrame = {
+    require(nSplits >= 1, "need at least one split")
+    val splits = broadcast(
+      perUser.sparkSession.range(1, nSplits + 1).toDF("split"))
+    val armed = perUser.crossJoin(splits)
+      .select(col("split"),
+        pmod(Sketches.hash60(concat(col(idCol).cast("string"), lit("#"),
+          col("split").cast("string"))), lit(2)).as("__arm"),
+        successCol.as("__s"))
+    val agg = armed.groupBy(col("split")).agg(
+      count(when(col("__arm") === 0, 1)).as("n_a"),
+      count(when(col("__arm") === 0 && col("__s"), 1)).as("k_a"),
+      count(when(col("__arm") === 1, 1)).as("n_b"),
+      count(when(col("__arm") === 1 && col("__s"), 1)).as("k_b"))
+    val pa = d(col("k_a")) / d(col("n_a"))
+    val pb = d(col("k_b")) / d(col("n_b"))
+    val pp = (d(col("k_a")) + d(col("k_b"))) / (d(col("n_a")) + d(col("n_b")))
+    val z = when(pp === 0.0 || pp === 1.0, lit(null).cast("double"))
+      .otherwise((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+    agg.select(col("split"), col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      z.as("z"),
+      when(z.isNull, lit(false)).otherwise(abs(z) > lit(zCrit))
+        .as("false_positive"))
+  }
+
   /** Simpson's-paradox audit: per-stratum OLS slope of y on x beside the
     * POOLED slope, flagging strata whose sign disagrees with the
     * aggregate — the confounding screen (Simpson 1951) a training-data

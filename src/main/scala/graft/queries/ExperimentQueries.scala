@@ -79,9 +79,120 @@ object ExperimentQueries {
     // argument.
     "q282_bootstrap_ci" -> ((s, d) =>
       Inference.bootstrapCi(table(s, d, "orders"), "o_orderpriority",
-        "o_orderkey", "o_totalprice", b = 32)))
+        "o_orderkey", "o_totalprice", b = 32)),
+
+    // CUPED sensitivity audit: per-user first-half-month value as the
+    // pre-experiment covariate for second-half value — theta and the
+    // variance reduction the adjustment would buy (how much smaller the
+    // q281 MDE could be). See Stats.cuped.
+    "q294_cuped" -> ((s, dir) => {
+      val z = lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) <= 15,
+            col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .otherwise(z)).cast("double").as("pre"),
+          sum(when(dayofmonth(col("ts")) >= 16,
+            col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .otherwise(z)).cast("double").as("post"))
+      Stats.cuped(perUser, "pre", "post")
+    }),
+
+    // A/A-test calibration: the q246 z-test replayed across 20
+    // hash-randomized NULL splits of the same users — the false-positive
+    // census that certifies the experimentation rig itself. See
+    // Stats.aaCalibration.
+    "q295_aa_calibration" -> ((s, dir) => {
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) > 0).as("converted"))
+      Stats.aaCalibration(perUser, "user_id", col("converted"),
+        nSplits = 20, zCrit = 1.959964)
+    }))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Stats.cuped: exact decimal moments over the per-user
+    // pre/post sums, identical final-formula operation order.
+    "q294_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day(ts) <= 15
+        |      THEN CAST(value AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS pre,
+        |    CAST(sum(CASE WHEN day(ts) >= 16
+        |      THEN CAST(value AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS post
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(pre AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(post AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(pre AS DECIMAL(12,2)) * CAST(post AS DECIMAL(12,2)))
+        |      AS sxy,
+        |    sum(CAST(pre AS DECIMAL(12,2)) * CAST(pre AS DECIMAL(12,2)))
+        |      AS sxx,
+        |    sum(CAST(post AS DECIMAL(12,2)) * CAST(post AS DECIMAL(12,2)))
+        |      AS syy
+        |  FROM pu),
+        |m AS (SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |  FROM a)
+        |SELECT n,
+        |  CASE WHEN dxx = 0.0 THEN NULL ELSE dxy / dxx END AS theta,
+        |  dyy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_post,
+        |  CASE WHEN dxx = 0.0
+        |    THEN dyy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    ELSE (dyy - (dxy / dxx) * dxy)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END AS var_cuped,
+        |  CASE WHEN dxx = 0.0 OR dyy = 0.0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE (dxy / dxx) * dxy / dyy END AS var_reduction
+        |FROM m""".stripMargin,
+
+    // Mirrors Stats.aaCalibration: same md5 split randomizer, the q246
+    // z formula with identical operation order.
+    "q295_aa_calibration" -> {
+      val h = ScaleQueries.duckHash60(
+        "user_id || '#' || CAST(split AS VARCHAR)")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+         |      AS conv
+         |  FROM events GROUP BY 1),
+         |sp AS (SELECT range AS split FROM range(1, 21)),
+         |armed AS (
+         |  SELECT sp.split, ($h) % 2 AS arm, pu.conv
+         |  FROM pu CROSS JOIN sp),
+         |a AS (
+         |  SELECT split,
+         |    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(count(CASE WHEN arm = 0 AND conv THEN 1 END) AS BIGINT)
+         |      AS k_a,
+         |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         |    CAST(count(CASE WHEN arm = 1 AND conv THEN 1 END) AS BIGINT)
+         |      AS k_b
+         |  FROM armed GROUP BY 1),
+         |p AS (SELECT *,
+         |    (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+         |  FROM a),
+         |zz AS (SELECT *,
+         |    CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+         |      ELSE (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |          - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |        / sqrt(pp * (1.0 - pp)
+         |          * (1.0 / CAST(n_a AS DOUBLE)
+         |            + 1.0 / CAST(n_b AS DOUBLE))) END AS z
+         |  FROM p)
+         |SELECT split, n_a, k_a, n_b, k_b, z,
+         |  CASE WHEN z IS NULL THEN false
+         |    ELSE abs(z) > '1.959964'::DOUBLE END AS false_positive
+         |FROM zz""".stripMargin
+    },
 
     // Mirrors Inference.bootstrapCi µ for µ: same md5 uniform, identical
     // CDF threshold literals (STRING-cast to DOUBLE — bare numeric

@@ -248,6 +248,45 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 1.0, s"every test point covered: $r")
   }
 
+  test("cuped: perfectly correlated covariate removes all variance") {
+    // post = 2*pre exactly -> rho^2 = 1: var_cuped 0, reduction 1, theta 2
+    val perfect = (1L to 100L).map(i => ((i % 10).toDouble, 2.0 * (i % 10)))
+      .toDF("pre", "post")
+    val r = graft.operators.Stats.cuped(perfect, "pre", "post").head()
+    assert(r.getDouble(1) == 2.0, s"theta: $r")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0,
+      s"perfect covariate zeroes the variance: $r")
+    // constant pre: theta null, adjustment buys nothing
+    val flat = (1L to 50L).map(i => (5.0, (i % 7).toDouble))
+      .toDF("pre", "post")
+    val f = graft.operators.Stats.cuped(flat, "pre", "post").head()
+    assert(f.isNullAt(1) && f.getDouble(3) == f.getDouble(2) &&
+      f.getDouble(4) == 0.0, s"degenerate pre: $f")
+  }
+
+  test("aaCalibration: splits partition the population, degenerate rates yield null z") {
+    val users = (1L to 400L).map(i => (i, i % 3 == 0)).toDF("id", "conv")
+    val r = graft.operators.Stats.aaCalibration(users, "id", col("conv"),
+      nSplits = 12, zCrit = 1.959964).collect()
+    assert(r.length == 12)
+    r.foreach { x =>
+      assert(x.getLong(1) + x.getLong(3) == 400L,
+        s"every user lands in exactly one arm: $x")
+      assert(x.getLong(2) + x.getLong(4) == 133L,
+        s"conversions conserved across arms: $x")
+    }
+    // determinism across partitioning
+    val r2 = graft.operators.Stats.aaCalibration(users.repartition(7), "id",
+      col("conv"), nSplits = 12, zCrit = 1.959964).collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+    // all-converted population: pooled rate 1 -> null z, no flag
+    val all = (1L to 40L).map(i => (i, true)).toDF("id", "conv")
+    val a = graft.operators.Stats.aaCalibration(all, "id", col("conv"),
+      nSplits = 3, zCrit = 1.959964).collect()
+    assert(a.forall(x => x.isNullAt(5) && !x.getBoolean(6)),
+      s"degenerate pooled rate: ${a.mkString(";")}")
+  }
+
   test("mmrRerank: diversity beats the near-duplicate at rank 2") {
     // query 0 at 0°; candidate 10 at 20° (most relevant), candidate 11 at
     // 21° (its near-dup), candidate 12 at -70° (diverse, orthogonal to 20°)
