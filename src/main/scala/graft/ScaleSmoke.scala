@@ -185,6 +185,9 @@ import org.apache.spark.sql.functions._
   * + a 1-row moment aggregate — pure scan), aa_calibration 1.5→1.6 s
   * for 10x users (the unit×20-split expansion combines map-side into
   * 40 groups — the bootstrap-shape argument observed flat).
+  * Batch-5 (same run): seq_monitor 2.6→1.6 s (calendar-grid windows
+  * never grow), capture_recap 0.3→0.3 s, vocab_coverage 0.5→0.6 s
+  * (Zipf-bounded type table — replicas add occurrences, never types).
   *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
@@ -719,6 +722,29 @@ object ScaleSmoke {
             .otherwise(0L)) > 0).as("conv"))
         operators.Stats.aaCalibration(pu, "user_id", col("conv"),
           nSplits = 20, zCrit = 1.959964).count()
+      }
+    }
+    // Sequential monitor: cumulative windows over the CALENDAR grid
+    // (constant across factors); only the (user, day) aggregate scales.
+    // Capture-recapture: one multi-distinct aggregate — the documented
+    // Expand pricing (q205), with the production path keeping only the
+    // capture counts.
+    for ((label, edf) <- Seq(("1x", ev3), (s"${factor}x", ev3Big))) {
+      time(s"seq_monitor     $label") {
+        operators.Stats.sequentialMonitor(edf, "user_id", "ts",
+          col("event_type") === "purchase", zCrit = 1.959964).count()
+      }
+      time(s"capture_recap   $label") {
+        operators.Sketches.captureRecapture(edf, "user_id",
+          rate = 4).count()
+      }
+    }
+    // Vocab coverage: the type table is Zipf-bounded — replicas add
+    // occurrences, never types, so the panel is constant and cost is
+    // the tokenize + (group, token) count.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"vocab_coverage  $label") {
+        operators.CorpusStats.vocabCoverage(df, "source", "text").count()
       }
     }
     // MMR: the query batch and candidate count are FIXED (20 queries ×

@@ -524,6 +524,40 @@ object CorpusStats {
           (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
   }
 
+  /** Vocabulary-coverage panel per group: Good-Turing unseen mass
+    * (P₀ = N₁/N — the probability the NEXT token is a never-seen type;
+    * Good 1953) and the bias-corrected Chao1 richness estimate
+    * (V + N₁(N₁−1)/(2(N₂+1)); Chao 1984) from the frequency-of-
+    * frequencies — "how much vocabulary is this source still hiding",
+    * the coverage question Zipf slope (q125) and OOV rate (q138) skirt.
+    *
+    * Two keyed aggregates: (group, token) counts, then one row per group
+    * off the Zipf-bounded type table. All inputs to the two estimator
+    * formulas are exact BIGINTs; each formula is one fixed-order double
+    * expression the oracle mirrors textually. The bias-corrected Chao1
+    * form is total (no N₂ = 0 divide-by-zero arm needed). Output:
+    * (groupCol, v_obs, n_tokens, n1, n2, gt_unseen_mass, chao1). */
+  def vocabCoverage(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val tok = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t") =!= "")
+    tok.groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("f"))
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as("v_obs"),
+        sum(col("f")).as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("__g").as(groupCol), col("v_obs"), col("n_tokens"),
+        col("n1"), col("n2"),
+        (col("n1").cast("double") / col("n_tokens").cast("double"))
+          .as("gt_unseen_mass"),
+        (col("v_obs").cast("double") +
+          col("n1").cast("double") * (col("n1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("n2").cast("double") + lit(1.0))))
+          .as("chao1"))
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) distance between every PAIR of
     * groups' integer-value distributions — the drift family's third axis:
     * JS ([[q137 divergence]]) weighs mass overlap, KS ([[ksDrift]]) the

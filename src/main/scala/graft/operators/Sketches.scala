@@ -23,6 +23,42 @@ object Sketches {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Capture-recapture distinct-count estimate (Chapman-corrected
+    * Lincoln-Petersen): two independent hash-drawn "captures" at rate
+    * 1/`rate`, n̂ = (n₁+1)(n₂+1)/(m+1) − 1 from their sizes and overlap —
+    * the ecology estimator read as a distinct-count audit: unlike KMV
+    * (q77) / HLL (q202) it needs only MEMBERSHIP tests on two samples,
+    * the shape that works when the "stream" is two partial logs you can
+    * intersect but never fully deduplicate. The exact countDistinct
+    * column is the calibration truth and is the multi-distinct Expand
+    * this estimator replaces at scale (the q205 pricing; production
+    * keeps only the two capture counts). Captures draw by
+    * hash60(id#cap1/2) mod rate — deterministic, independent, replayed
+    * by the oracle. Chapman's +1s make the estimate total (no zero-
+    * overlap divide). Output one row:
+    * (n1, n2, m, n_hat, n_exact, rel_err). */
+  def captureRecapture(df: DataFrame, idCol: String,
+                       rate: Int = 4): DataFrame = {
+    require(rate >= 2, "capture rate must subsample")
+    val in1 = pmod(hash60(concat(col(idCol).cast("string"), lit("#cap1"))),
+      lit(rate)) === 0
+    val in2 = pmod(hash60(concat(col(idCol).cast("string"), lit("#cap2"))),
+      lit(rate)) === 0
+    val d = (c: Column) => c.cast("double")
+    df.agg(
+        countDistinct(when(in1, col(idCol))).as("n1"),
+        countDistinct(when(in2, col(idCol))).as("n2"),
+        countDistinct(when(in1 && in2, col(idCol))).as("m"),
+        countDistinct(col(idCol)).as("n_exact"))
+      .select(col("n1"), col("n2"), col("m"),
+        (((col("n1") + 1) * (col("n2") + 1)).cast("double") /
+          (col("m") + 1).cast("double") - lit(1.0)).as("n_hat"),
+        col("n_exact"))
+      .select(col("n1"), col("n2"), col("m"), col("n_hat"), col("n_exact"),
+        ((col("n_hat") - d(col("n_exact"))) / d(col("n_exact")))
+          .as("rel_err"))
+  }
+
   /** Distinct-count estimate per group via the KMV sketch, next to the exact
     * count for calibration. The sketch aggregates map-side (bounded k-long
     * buffer per group per task); the exact `count(DISTINCT)` column is there

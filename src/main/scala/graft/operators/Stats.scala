@@ -181,6 +181,61 @@ object Stats {
         .otherwise((sxy * sxy) / (sxx * syy)).as("r2"))
   }
 
+  /** Group-sequential experiment monitor: the cumulative two-proportion z
+    * per DAY with an O'Brien-Fleming-style spending boundary
+    * zCrit·√(T/t) — the peeking-safe readout (Pocock/O'Brien-Fleming;
+    * Johari et al.'s always-valid framing is the modern kin): looking at
+    * z_t against a FIXED 1.96 every day inflates false positives several-
+    * fold; against the shrinking-α boundary the whole trajectory spends
+    * one α. The sibling of [[aaCalibration]] (which certifies the rig)
+    * and [[twoProportionZ]] (the single terminal look).
+    *
+    * Unit = (user, active day); success = purchased that day; arms split
+    * even/odd by unit id — replace with the real assignment column in a
+    * live experiment. Cumulative counts are exact BIGINT windows over
+    * the CALENDAR-bounded day grid (the q158 discipline); z shares the
+    * q246 operation order; boundary ratios are exact day integers under
+    * one sqrt. Output per day:
+    * (day_idx, n_a, k_a, n_b, k_b, z, boundary, crossed). */
+  def sequentialMonitor(events: DataFrame, userCol: String, tsCol: String,
+                        success: Column, zCrit: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol).as("__u"),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("__conv"))
+      .select(col("day_idx"), pmod(col("__u"), lit(2)).as("__arm"),
+        col("__conv"))
+    val perDay = daily.groupBy(col("day_idx")).agg(
+      count(when(col("__arm") === 0, 1)).as("__da"),
+      sum(when(col("__arm") === 0, col("__conv")).otherwise(0L)).as("__ca"),
+      count(when(col("__arm") === 1, 1)).as("__db"),
+      sum(when(col("__arm") === 1, col("__conv")).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perDay
+      .withColumn("n_a", sum(col("__da")).over(w))
+      .withColumn("k_a", sum(col("__ca")).over(w))
+      .withColumn("n_b", sum(col("__db")).over(w))
+      .withColumn("k_b", sum(col("__cb")).over(w))
+      .withColumn("__t", row_number().over(Window.orderBy(col("day_idx")))
+        .cast("bigint"))
+    val tMax = cum.agg(max(col("__t")).as("__tm"))
+    val pa = d(col("k_a")) / d(col("n_a"))
+    val pb = d(col("k_b")) / d(col("n_b"))
+    val pp = (d(col("k_a")) + d(col("k_b"))) / (d(col("n_a")) + d(col("n_b")))
+    val z = when(pp === 0.0 || pp === 1.0, lit(null).cast("double"))
+      .otherwise((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+    val boundary = lit(zCrit) * sqrt(d(col("__tm")) / d(col("__t")))
+    cum.crossJoin(broadcast(tMax))
+      .select(col("day_idx"), col("n_a"), col("k_a"), col("n_b"),
+        col("k_b"), z.as("z"), boundary.as("boundary"),
+        when(z.isNull, lit(false)).otherwise(abs(z) > boundary)
+          .as("crossed"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
     * θ = cov(pre, post)/var(pre) from pre-experiment data, and the
     * variance the adjusted metric y − θ·(x − x̄) would have — the

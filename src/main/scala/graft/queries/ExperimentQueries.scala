@@ -97,6 +97,14 @@ object ExperimentQueries {
       Stats.cuped(perUser, "pre", "post")
     }),
 
+    // Group-sequential monitor: daily cumulative two-proportion z
+    // against the O'Brien-Fleming-style zCrit*sqrt(T/t) boundary — the
+    // peeking-safe daily readout beside q246's single terminal look.
+    // See Stats.sequentialMonitor.
+    "q296_sequential_monitor" -> ((s, dir) =>
+      Stats.sequentialMonitor(table(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase", zCrit = 1.959964)),
+
     // A/A-test calibration: the q246 z-test replayed across 20
     // hash-randomized NULL splits of the same users — the false-positive
     // census that certifies the experimentation rig itself. See
@@ -110,6 +118,54 @@ object ExperimentQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Stats.sequentialMonitor: calendar-grid cumulative counts,
+    // the q246 z operation order, exact day integers under one sqrt.
+    "q296_sequential_monitor" ->
+      """WITH daily AS (
+        |  SELECT user_id AS u,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_idx,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT day_idx,
+        |    CAST(count(CASE WHEN u % 2 = 0 THEN 1 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN u % 2 = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(count(CASE WHEN u % 2 = 1 THEN 1 END) AS BIGINT) AS db,
+        |    CAST(sum(CASE WHEN u % 2 = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT day_idx,
+        |    CAST(sum(da) OVER wcum AS BIGINT) AS n_a,
+        |    CAST(sum(ca) OVER wcum AS BIGINT) AS k_a,
+        |    CAST(sum(db) OVER wcum AS BIGINT) AS n_b,
+        |    CAST(sum(cb) OVER wcum AS BIGINT) AS k_b,
+        |    CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS t
+        |  FROM pd
+        |  WINDOW wcum AS (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)),
+        |tm AS (SELECT max(t) AS tmx FROM c),
+        |p AS (SELECT c.*, tm.tmx,
+        |    (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM c, tm),
+        |zz AS (SELECT *,
+        |    CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+        |      ELSE (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / sqrt(pp * (1.0 - pp)
+        |          * (1.0 / CAST(n_a AS DOUBLE)
+        |            + 1.0 / CAST(n_b AS DOUBLE))) END AS z,
+        |    '1.959964'::DOUBLE
+        |      * sqrt(CAST(tmx AS DOUBLE) / CAST(t AS DOUBLE)) AS boundary
+        |  FROM p)
+        |SELECT day_idx, n_a, k_a, n_b, k_b, z, boundary,
+        |  CASE WHEN z IS NULL THEN false
+        |    ELSE abs(z) > boundary END AS crossed
+        |FROM zz""".stripMargin,
 
     // Mirrors Stats.cuped: exact decimal moments over the per-user
     // pre/post sums, identical final-formula operation order.

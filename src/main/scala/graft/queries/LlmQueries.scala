@@ -911,6 +911,15 @@ object LlmQueries {
       graft.operators.CorpusStats.wassersteinDrift(
         table(s, d, "documents"), "source", "n_chars")),
 
+    // Per-source vocabulary coverage: Good-Turing unseen mass + the
+    // bias-corrected Chao1 richness estimate from the frequency-of-
+    // frequencies — "how much vocabulary is this source still hiding",
+    // beside q125's Zipf slope and q138's OOV rate. See
+    // CorpusStats.vocabCoverage.
+    "q297_vocab_coverage" -> ((s, d) =>
+      graft.operators.CorpusStats.vocabCoverage(
+        table(s, d, "documents"), "source", "text")),
+
     // Per-source OOV occurrence rate against the corpus top-1000 vocab —
     // the tokenizer-coverage planning stat (high OOV = byte-fallback
     // blowup). See CorpusStats.oovRate.
@@ -1504,6 +1513,29 @@ object LlmQueries {
          |FROM documents""".stripMargin,
 
     "q31_minhash_lsh_pairs" -> minhashPairsSql,
+
+    // Mirrors CorpusStats.vocabCoverage: same tokenize/filter order,
+    // exact frequency-of-frequency BIGINTs into the two estimator
+    // formulas with identical operation order.
+    "q297_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT g, t, CAST(count(*) AS BIGINT) AS f
+        |  FROM tok WHERE t <> '' GROUP BY 1, 2),
+        |a AS (SELECT g,
+        |    CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1)
+        |SELECT g AS source, v_obs, n_tokens, n1, n2,
+        |  CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS gt_unseen_mass,
+        |  CAST(v_obs AS DOUBLE)
+        |    + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+        |      / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)) AS chao1
+        |FROM a""".stripMargin,
 
     // Mirrors CorpusStats.wassersteinDrift: identical grid, identical
     // integer step terms, one terminal division.

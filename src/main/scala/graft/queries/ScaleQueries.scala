@@ -62,6 +62,14 @@ object ScaleQueries {
       Sketches.kmvDistinct(table(s, d, "events"),
         Seq("event_type"), "user_id", k = 64)),
 
+    // Capture-recapture (Chapman) distinct-user estimate from two 25%
+    // hash captures + the exact truth for calibration — the membership-
+    // only distinct audit beside KMV (q77) and HLL (q202). See
+    // Sketches.captureRecapture.
+    "q298_capture_recapture" -> ((s, d) =>
+      Sketches.captureRecapture(table(s, d, "events"), "user_id",
+        rate = 4)),
+
     // Stratified sampling: exactly 10 docs per language stratum, chosen by
     // md5(doc_id) order — deterministic on any engine and any partitioning,
     // and per-stratum exact sizes (rand()-based sampling gives neither).
@@ -705,6 +713,35 @@ object ScaleQueries {
       "(a, x) -> a * 16 + x)"
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Sketches.captureRecapture: same md5 capture draws, the
+    // Chapman formula in one shared operation order.
+    "q298_capture_recapture" -> {
+      val h1 = duckHash60("user_id || '#cap1'")
+      val h2 = duckHash60("user_id || '#cap2'")
+      s"""WITH h AS (
+         |  SELECT user_id,
+         |    ($h1) % 4 = 0 AS in1,
+         |    ($h2) % 4 = 0 AS in2
+         |  FROM events),
+         |a AS (SELECT
+         |    CAST(count(DISTINCT CASE WHEN in1 THEN user_id END)
+         |      AS BIGINT) AS n1,
+         |    CAST(count(DISTINCT CASE WHEN in2 THEN user_id END)
+         |      AS BIGINT) AS n2,
+         |    CAST(count(DISTINCT CASE WHEN in1 AND in2 THEN user_id END)
+         |      AS BIGINT) AS m,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM h),
+         |e AS (SELECT *,
+         |    CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+         |      - 1.0 AS n_hat
+         |  FROM a)
+         |SELECT n1, n2, m, n_hat, n_exact,
+         |  (n_hat - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         |    AS rel_err
+         |FROM e""".stripMargin
+    },
 
     "q75_ngram_jaccard_pairs" ->
       """WITH sets AS (

@@ -441,7 +441,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
     Seq("q288_simpson_audit", "q289_personalized_ppr",
         "q290_asof_nearest", "q291_dedup_agreement",
         "q292_wasserstein_drift", "q293_split_conformal",
-        "q294_cuped", "q295_aa_calibration").foreach { q =>
+        "q294_cuped", "q295_aa_calibration", "q296_sequential_monitor",
+        "q297_vocab_coverage", "q298_capture_recapture").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }

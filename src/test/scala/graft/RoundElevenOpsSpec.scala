@@ -287,6 +287,51 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       s"degenerate pooled rate: ${a.mkString(";")}")
   }
 
+  test("sequentialMonitor: boundary decays to zCrit, cumulative counts add up") {
+    // 3 days, 4 users per day alternating arms; user 2 purchases daily
+    val ev = (0 until 3).flatMap { day =>
+      (1L to 4L).map(u => (u, ts(day + 1, u),
+        if (u == 2L) "purchase" else "view"))
+    }.toDF("user_id", "ts", "event_type")
+    val r = graft.operators.Stats.sequentialMonitor(ev, "user_id", "ts",
+        col("event_type") === "purchase", zCrit = 2.0)
+      .orderBy("day_idx").collect()
+    assert(r.length == 3)
+    assert(r.map(_.getLong(1)) sameElements Array(2L, 4L, 6L),
+      "arm-0 units accumulate: " + r.mkString(";"))
+    assert(r.map(_.getLong(2)) sameElements Array(1L, 2L, 3L),
+      "user 2's daily purchases accumulate")
+    assert(r.last.getDouble(6) == 2.0,
+      s"the final look's boundary is exactly zCrit: ${r.last}")
+    assert(r.head.getDouble(6) > r.last.getDouble(6),
+      "earlier looks demand more evidence")
+  }
+
+  test("vocabCoverage: hand frequency-of-frequencies") {
+    // "a a b c": V=3, N=4, N1=2, N2=1 -> P0=0.5, chao1=3+2*1/(2*2)=3.5
+    val docs = Seq(("g", "a a b c"), ("h", "x x")).toDF("src", "text")
+    val r = graft.operators.CorpusStats.vocabCoverage(docs, "src", "text")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6))).toMap
+    assert(r("g") == ((3L, 4L, 2L, 1L, 0.5, 3.5)), s"panel: $r")
+    // one type seen twice: N1=0 -> no unseen mass, chao1 = V
+    assert(r("h") == ((1L, 2L, 0L, 1L, 0.0, 1.0)), s"saturated: $r")
+  }
+
+  test("captureRecapture: overlap bounds, exact truth, repartition invariance") {
+    val df = (1L to 500L).flatMap(i => Seq(i, i, i)).toDF("id")
+    val r = graft.operators.Sketches.captureRecapture(df, "id", rate = 4)
+      .head()
+    assert(r.getLong(4) == 500L, s"exact distinct: $r")
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)),
+      s"overlap within both captures: $r")
+    assert(r.getDouble(3) > 0.0, s"Chapman estimate is total: $r")
+    val r2 = graft.operators.Sketches.captureRecapture(
+      df.repartition(11), "id", rate = 4).head()
+    assert(r == r2, "captures are pure functions of ids")
+  }
+
   test("mmrRerank: diversity beats the near-duplicate at rank 2") {
     // query 0 at 0°; candidate 10 at 20° (most relevant), candidate 11 at
     // 21° (its near-dup), candidate 12 at -70° (diverse, orthogonal to 20°)
