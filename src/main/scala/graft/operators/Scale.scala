@@ -414,4 +414,28 @@ object Scale {
         col("__e._2").as(idCol),
         (-col("__e._1")).cast("bigint").as("key_mu"))
   }
+
+  /** Kish effective sample size per group: ESS = (Σw)²/Σw² of an
+    * integer weight column (Kish 1965) — "my weighted corpus is really
+    * only N documents": the design-effect audit any importance-weighted
+    * mix (q123's temperature weights, q151's DSIR weights) owes its
+    * training-budget math, since a handful of huge weights can hollow a
+    * million rows down to a few thousand effective ones.
+    *
+    * One keyed aggregate of exact BIGINT Σw and Σw²; ESS and the
+    * ess/n efficiency ratio are two fixed-order double divisions.
+    * Output: (groupCol, n, sum_w, sum_w2, ess, efficiency). */
+  def kishEss(df: DataFrame, groupCol: String,
+              weightCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = weightCol.cast("bigint")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(w).as("sum_w"),
+        sum(w * w).as("sum_w2"))
+      .select(col(groupCol), col("n"), col("sum_w"), col("sum_w2"),
+        (col("sum_w").cast("double") * col("sum_w").cast("double") /
+          col("sum_w2").cast("double")).as("ess"),
+        (col("sum_w").cast("double") * col("sum_w").cast("double") /
+          col("sum_w2").cast("double") / col("n").cast("double"))
+          .as("efficiency"))
+  }
 }
