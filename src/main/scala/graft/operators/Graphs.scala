@@ -106,6 +106,12 @@ object Graphs {
       .unionByName(e.select(col("dst").as("node"))).distinct())
     val seeds = save(nodes.join(
       seedCol.toDF("node").distinct(), Seq("node"), "left_semi"))
+    // An empty seed∩nodes intersection would make the teleport mass
+    // `scale div __s` null-divide downstream (and a SQL mirror would
+    // error) — fail fast with a named cause instead (mirrors the
+    // `iters >= 1` require above).
+    require(!seeds.isEmpty,
+      "personalizedPageRank: no seed id intersects the graph's nodes")
     val outW = save(e.groupBy(col("src")).agg(sum(col("w")).as("out_w")))
     val ew = save(e.join(outW, "src"))
     val nSeeds = save(seeds.agg(count(lit(1)).as("__s")))

@@ -271,45 +271,38 @@ object Inference {
     * the CI percentiles interpolate over the B-row replicate-mean grid
     * per group (grid-bounded, the q49 posture).
     *
-    * Scale: the n×B expansion is an in-row crossJoin against the
-    * broadcast B-row replicate grid and combines map-side, so the
-    * shuffle carries |groups|·B rows, independent of data size.
+    * Scale: the B replicate sums ride in ONE mergeable 2B-long buffer
+    * per group ([[graft.functions.PoissonBootstrapAgg]]) — the n×B row
+    * expansion the earlier crossJoin form paid (every row hashed B
+    * times into the partial aggregate) collapses to B in-register adds
+    * per row, one pass, |groups|·2B longs of shuffle. The aggregator
+    * replays the identical Weyl-xor-Knuth mix, so no bits move.
+    * Null discipline: rows with a null value column are dropped BEFORE
+    * hashing, so replicate means and the point mean see the same rows
+    * (a null used to contribute weight to Σw but nothing to Σw·v).
     * Output: (groupCol, n, point_mean, ci_lo, ci_hi, n_replicates). */
   def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
                   valCol: String, b: Int = 32, lo: Double = 0.025,
                   hi: Double = 0.975): DataFrame = {
     require(b >= 2 && lo > 0 && hi < 1 && lo < hi, "bad bootstrap params")
-    val reps = broadcast(
-      df.sparkSession.range(1, b + 1).toDF("__r"))
-    // per-replicate uniform: xor the row hash's low 32 bits with the
-    // replicate's Weyl step, then Knuth-multiply mod 2^32 via the 16-bit
-    // split (max intermediate ~1.7e14 — no 64-bit wrap, ANSI-safe)
-    val knuth = 2654435761L
-    val m = col("__h32").bitwiseXOR(
-      (col("__r") * lit(0x9E3779B9L)).bitwiseAND(lit(0xFFFFFFFFL)))
-    val u32 = (m.bitwiseAND(lit(0xFFFFL)) * lit(knuth) +
-        (shiftrightunsigned(m, 16) * lit(knuth)).bitwiseAND(lit(0xFFFFL)) *
-          lit(65536L))
-      .bitwiseAND(lit(0xFFFFFFFFL))
-    val u = u32.cast("double") / lit(4294967296.0)
-    val wgt = poissonCdf.zipWithIndex
-      .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
-        acc.when(u < lit(t), k.toLong) }
-      .otherwise(poissonCdf.size.toLong)
+    val bootAgg = udaf(new graft.functions.PoissonBootstrapAgg(
+        b, poissonCdf.toArray),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
     // weighted sums ride in exact integer CENTS (decimal-quantized once
-    // per row, BEFORE the ×B expansion): long arithmetic through the hot
-    // n×B aggregate instead of decimal
+    // per row): long arithmetic through the hot aggregate, not decimal
     val means = df
+      .where(col(valCol).isNotNull)
       .select(col(groupCol).as("__g"),
         Sketches.hash60(col(idCol)).bitwiseAND(lit(0xFFFFFFFFL))
           .as("__h32"),
         (col(valCol).cast(DecimalType(12, 2)) * lit(100)).cast("long")
           .as("__vc"))
-      .crossJoin(reps)
-      .select(col("__g"), col("__r"), wgt.as("__w"), col("__vc"))
-      .groupBy(col("__g"), col("__r"))
-      .agg(sum(col("__w")).as("__sw"),
-        sum(col("__w") * col("__vc")).as("__swc"))
+      .groupBy(col("__g"))
+      .agg(bootAgg(col("__h32"), col("__vc")).as("__reps"))
+      .select(col("__g"), explode(col("__reps")).as("__e"))
+      .select(col("__g"), col("__e._1").as("__sw"), col("__e._2").as("__swc"))
       .where(col("__sw") > 0)
       .select(col("__g"),
         (col("__swc").cast("double") / lit(100.0) /

@@ -851,9 +851,12 @@ object Temporal {
       .unionByName(model("first",
         when(col("__rf") === 1, 1000000L).otherwise(0L)))
       .unionByName(model("linear",
+        // floor-div (not round) so the last-touch remainder
+        // 1e6 − (n−1)·⌊1e6/n⌋ is non-negative for every n; totals
+        // still sum to exactly 1e6 micro-units per conversion.
         when(col("__rl") === 1, lit(1000000L) -
-            (col("__n") - 1) * round(lit(1e6) / col("__n")).cast("bigint"))
-          .otherwise(round(lit(1e6) / col("__n")).cast("bigint"))))
+            (col("__n") - 1) * expr("1000000L div __n"))
+          .otherwise(expr("1000000L div __n"))))
   }
 
   /** STL-lite seasonal decomposition of the per-key daily COUNT series:

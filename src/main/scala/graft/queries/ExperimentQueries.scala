@@ -265,7 +265,7 @@ object ExperimentQueries {
          |  SELECT o_orderpriority AS g, $h32 AS h32,
          |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
          |      AS vc
-         |  FROM orders),
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
          |x AS (
          |  SELECT g, r,
          |    CASE WHEN $u < '0.36787944117144233'::DOUBLE THEN 0

@@ -1561,7 +1561,8 @@ object LlmQueries {
         |  SELECT cum.g, cum.v, cum.cum, cum.gap, tot.n
         |  FROM cum JOIN tot ON cum.g = tot.g)
         |SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b,
-        |  CAST(CAST(sum(abs(a.cum * b.n - b.cum * a.n) * a.gap)
+        |  CAST(CAST(sum(abs(CAST(a.cum AS HUGEINT) * b.n
+        |      - CAST(b.cum AS HUGEINT) * a.n) * a.gap)
         |    AS DECIMAL(38,0)) AS DOUBLE)
         |    / CAST(a.n * b.n AS DOUBLE) AS w1
         |FROM sides a JOIN sides b ON a.v = b.v AND a.g < b.g

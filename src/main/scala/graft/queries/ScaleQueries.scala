@@ -70,6 +70,14 @@ object ScaleQueries {
       Sketches.captureRecapture(table(s, d, "events"), "user_id",
         rate = 4)),
 
+    // Kish effective sample size of the length-weighted corpus per
+    // language: ESS = (Σw)²/Σw² with w = n_chars — the design-effect
+    // audit importance-weighted training mixes (q123 temperature
+    // weights, q151 DSIR weights) owe their token-budget math. One
+    // exact BIGINT keyed aggregate; see Scale.kishEss.
+    "q299_kish_ess" -> ((s, d) =>
+      Scale.kishEss(table(s, d, "documents"), "lang", col("n_chars"))),
+
     // Stratified sampling: exactly 10 docs per language stratum, chosen by
     // md5(doc_id) order — deterministic on any engine and any partitioning,
     // and per-stratum exact sizes (rand()-based sampling gives neither).
@@ -742,6 +750,22 @@ object ScaleQueries {
          |    AS rel_err
          |FROM e""".stripMargin
     },
+
+    // Mirrors Scale.kishEss: DuckDB's BIGINT sum returns HUGEINT, so both
+    // sums are cast back before the two fixed-order double divisions.
+    "q299_kish_ess" ->
+      """WITH a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_w,
+        |    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+        |      AS BIGINT) AS sum_w2
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n, sum_w, sum_w2,
+        |  CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+        |    / CAST(sum_w2 AS DOUBLE) AS ess,
+        |  CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+        |    / CAST(sum_w2 AS DOUBLE) / CAST(n AS DOUBLE) AS efficiency
+        |FROM a""".stripMargin,
 
     "q75_ngram_jaccard_pairs" ->
       """WITH sets AS (

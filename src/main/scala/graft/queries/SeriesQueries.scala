@@ -238,8 +238,8 @@ object SeriesQueries {
         |FROM r GROUP BY 1
         |UNION ALL SELECT channel, 'linear',
         |  CAST(sum(CASE WHEN rl = 1
-        |    THEN 1000000 - (n - 1) * CAST(round(1e6 / n) AS BIGINT)
-        |    ELSE CAST(round(1e6 / n) AS BIGINT) END) AS DOUBLE) / 1e6,
+        |    THEN 1000000 - (n - 1) * (1000000 // n)
+        |    ELSE 1000000 // n END) AS DOUBLE) / 1e6,
         |  CAST(count(*) AS BIGINT)
         |FROM r GROUP BY 1""".stripMargin,
 

@@ -410,13 +410,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("q282-q286: round-11 operators keep their scale shapes") {
-    // q282: the n×B expansion is a BROADCAST of the B-row replicate grid
-    // (never a cartesian), and replicate sums partial-aggregate map-side
+    // q282: all B replicate sums ride in ONE mergeable buffer per group
+    // (PoissonBootstrapAgg, an ObjectHashAggregate) — no replicate-grid
+    // join of ANY kind survives in the plan since the r12 rework
     val p282 = plan("q282_bootstrap_ci")
-    assert(p282.contains("BroadcastNestedLoopJoin"),
-      "replicate grid must broadcast")
-    assert(!p282.contains("CartesianProduct"))
-    assert(p282.contains("HashAggregate"))
+    assert(p282.contains("ObjectHashAggregate"),
+      "replicate sums must ride the mergeable bootstrap buffer")
+    assert(!p282.contains("BroadcastNestedLoopJoin") &&
+      !p282.contains("CartesianProduct"),
+      "the n×B replicate expansion must not reappear as a join")
     // q283: ER candidates join EQUI-KEYED on the block — a cartesian or
     // nested-loop here is the all-pairs explosion blocking exists to stop
     val p283 = plan("q283_er_name_match")
@@ -442,7 +444,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q290_asof_nearest", "q291_dedup_agreement",
         "q292_wasserstein_drift", "q293_split_conformal",
         "q294_cuped", "q295_aa_calibration", "q296_sequential_monitor",
-        "q297_vocab_coverage", "q298_capture_recapture").foreach { q =>
+        "q297_vocab_coverage", "q298_capture_recapture",
+        "q299_kish_ess").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }

@@ -42,6 +42,23 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       s"CI should bracket the point mean for a well-behaved sample: $a")
   }
 
+  test("bootstrapCi: null-valued rows are invisible to both estimators") {
+    // a null value row must not contribute Poisson weight to any
+    // replicate's denominator (it used to, biasing replicate means low
+    // while the point mean's count(valCol) excluded it)
+    val clean = (1L to 200L).map(id => ("g", id, java.lang.Double.valueOf(3.5)))
+      .toDF("g", "id", "v")
+    val withNulls = ((1L to 200L).map(id => ("g", id, java.lang.Double.valueOf(3.5))) ++
+      (201L to 260L).map(id => ("g", id, null.asInstanceOf[java.lang.Double])))
+      .toDF("g", "id", "v")
+    val a = Inference.bootstrapCi(clean, "g", "id", "v", b = 16).collect().head
+    val b = Inference.bootstrapCi(withNulls, "g", "id", "v", b = 16).collect().head
+    assert(b.getLong(1) == 200L, "n counts non-null rows only")
+    assert(a.getDouble(2) == b.getDouble(2) && a.getDouble(3) == b.getDouble(3) &&
+      a.getDouble(4) == b.getDouble(4),
+      s"null rows changed the estimate: clean=$a nulls=$b")
+  }
+
   test("markovStationary: a 2-cycle holds the uniform split exactly") {
     // one user alternating A,B,A,B,... -> P(A->B)=P(B->A)=1; the uniform
     // 0.5/0.5 start is stationary and the integer masses swap losslessly

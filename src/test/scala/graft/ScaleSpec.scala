@@ -473,6 +473,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.values.map(_._3).sum == 1.0)
   }
 
+  test("kishEss: equal weights give ESS = n; one dominant weight drives ESS toward 1") {
+    import spark.implicits._
+    val eq = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L)).toDF("g", "w")
+    val r1 = Scale.kishEss(eq, "g", col("w")).collect().head
+    assert(r1.getLong(1) == 4L)            // n
+    assert(r1.getDouble(4) == 4.0)         // ess == n under equal weights
+    assert(r1.getDouble(5) == 1.0)         // efficiency == 1
+    // one weight 1e6, three weight 1: ESS = (1e6+3)^2 / (1e12+3) ~ 1.000006
+    val skew = Seq(("b", 1000000L), ("b", 1L), ("b", 1L), ("b", 1L)).toDF("g", "w")
+    val r2 = Scale.kishEss(skew, "g", col("w")).collect().head
+    assert(r2.getDouble(4) > 1.0 && r2.getDouble(4) < 1.001,
+      s"dominant weight should hollow ESS to ~1, got ${r2.getDouble(4)}")
+    assert(r2.getDouble(5) < 0.26)         // efficiency ~ 1/4
+  }
+
   test("compactionPlan: ceil boundary and the 1-file floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
