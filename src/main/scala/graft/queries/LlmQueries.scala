@@ -38,6 +38,24 @@ object LlmQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** q75's n-gram Jaccard pair set, shared the same way: its inverted-
+    * index candidate build is the suite's single most expensive stage
+    * (~5 s warmed at sf0.1), and q291's agreement Venn used to re-pay it
+    * in full. Computed once per (session, sf dir); what persists is only
+    * the verified pairs above threshold — tiny. Queries remain standalone
+    * in semantics: each consumer rebuilds identically if run alone. */
+  private val ngramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    ngramCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ngramCache.getOrElseUpdate((s, d),
+      TextDedup.ngramJaccardPairs(
+        table(s, d, "documents"), "doc_id", "text",
+        n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
@@ -129,8 +147,7 @@ object LlmQueries {
         .join(side(TextDedup.simhashNearDupPairs(docs, "doc_id", "text",
           nBands = 4, maxHamming = 8), "__sh"),
           Seq("doc_a", "doc_b"), "full_outer")
-        .join(side(TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2), "__ng"),
+        .join(side(ngramPairs(s, d), "__ng"),
           Seq("doc_a", "doc_b"), "full_outer")
         .groupBy((coalesce(col("__mh"), lit(0)) === 1).as("in_minhash"),
           (coalesce(col("__sh"), lit(0)) === 1).as("in_simhash"),

@@ -37,10 +37,11 @@ object ScaleQueries {
     // The oracle computes the SAME integer intersection by plain list
     // overlap on the same candidate set — mechanism differs, result is
     // bit-identical.
-    "q75_ngram_jaccard_pairs" -> ((s, d) =>
-      TextDedup.ngramJaccardPairs(
-        table(s, d, "documents"), "doc_id", "text",
-        n = 8, maxDfFrac = 0.02, threshold = 0.5, minShared = 2)),
+    // The pair set is built once per (session, sf dir) and shared with
+    // q291's agreement Venn (LlmQueries.ngramPairs) — the candidate
+    // build is the suite's most expensive stage; the persisted result is
+    // only the verified pairs above threshold.
+    "q75_ngram_jaccard_pairs" -> ((s, d) => LlmQueries.ngramPairs(s, d)),
 
     // Bloom-filter semi-join: dim-side BloomFilterAggregate sketch probes the
     // fact scan BEFORE the shuffle (same expression pair Spark's runtime
