@@ -747,6 +747,18 @@ object ScaleSmoke {
         operators.CorpusStats.vocabCoverage(df, "source", "text").count()
       }
     }
+    // Exact-substring runs: the replica construction multiplies every
+    // cross-doc window fingerprint's df by the factor, so the honest
+    // knob is raising maxDf with the factor (production tunes it to the
+    // replication floor); growth then tracks the window inventory plus
+    // true pair output (every replica clique is a real run set) — the
+    // same answer-bound floor as the other pair-output dedups.
+    for ((label, df, cap) <- Seq(("1x", base, 10), (s"${factor}x", big, 10 * factor))) {
+      time(s"exact_substring $label") {
+        operators.TextDedup.exactSubstringRuns(df, "doc_id", "text",
+          l = 20, maxDf = cap).count()
+      }
+    }
     // MMR: the query batch and candidate count are FIXED (20 queries ×
     // m=20), so the m²-pair greedy rounds are constant across factors —
     // only the broadcast-query relevance scan grows with the corpus.

@@ -758,4 +758,80 @@ object TextDedup {
           (col("__va") + col("__vb") - col("__inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Cross-document EXACT-substring duplicate runs at ≥ `l`-token
+    * granularity — the ExactSubstr dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), which removes verbatim shared passages that
+    * every set-similarity detector under-reports and that fixed
+    * non-overlapping chunk fingerprints ([[graft.queries.ScaleQueries]]
+    * q98, 32-token stride) MISS entirely when the shared text is merely
+    * SHIFTED between documents (a 5-token prefix misaligns every chunk
+    * boundary; a sliding window cannot be misaligned).
+    *
+    * Suffix-array-free distributed design: every sliding `l`-token
+    * window becomes (doc, start, md5 fingerprint); windows whose
+    * fingerprint crosses 2..maxDf documents join pairwise on the
+    * fingerprint (the df cap is the q85 boilerplate guard bounding
+    * fan-out); within a (pair, diagonal = iₐ−i_b) the matched starts are
+    * stitched into MAXIMAL runs by the ia − row_number() island trick —
+    * a run of m consecutive matching windows is one shared substring of
+    * m + l − 1 tokens. All shuffles are keyed (fingerprint, then pair ×
+    * diagonal); the one window function is partitioned by (pair,
+    * diagonal), never global. At 100 TB the window inventory is ~tokens
+    * × 16 B rows — the same order as the corpus itself — and every
+    * stage is linear in it except the df-capped pair join. Priced at
+    * sf0.1: 3.2 s warmed (the ~200k-window md5 inventory dominates;
+    * persisted once, consumed by the df-cap aggregate and both join
+    * sides); the 10× ScaleSmoke curve is 1.45× cost for 10× input with
+    * ~1000× more TRUE pairs (replica cliques), i.e. output-bound — the
+    * same answer-size floor as the other pair-output dedups.
+    *
+    * Output: one row per maximal run — (doc_a, doc_b, a_start, b_start,
+    * run_tokens), 1-based token offsets, doc_a < doc_b. */
+  def exactSubstringRuns(docs: DataFrame, idCol: String, textCol: String,
+                         l: Int = 20, maxDf: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .where(size(tokens(textCol)) >= l)
+      .select(col(idCol).as("doc"), tokens(textCol).as("__ts"))
+      .select(col("doc"),
+        // greatest(..., 1) keeps the expression TOTAL under speculative
+        // pre-filter evaluation (the shingleSets discipline): a short row
+        // yields one truncated window here and is dropped by the filter —
+        // never observable; without it sequence(1, 0) runs DESCENDING
+        // into slice(_, 0, _), which throws. The token array is bound
+        // OUTSIDE the lambda so the split runs once per document, not
+        // once per window.
+        expr(s"transform(sequence(1, greatest(size(__ts) - ${l - 1}, 1)), " +
+          s"i -> struct(CAST(i AS BIGINT) AS i, " +
+          s"md5(concat_ws(' ', slice(__ts, i, $l))) AS fp))")
+          .as("ps"))
+      .select(col("doc"), explode(col("ps")).as("p"))
+      .select(col("doc"), col("p.i").as("i"), col("p.fp").as("fp"))
+    // the window inventory feeds the df-cap aggregate AND both pair-join
+    // sides — persist once instead of re-hashing every window three times
+    val posC = CacheScope.persist(pos)
+    val keep = posC.groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("__nd"))
+      .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+      .select(col("fp"))
+    val pk = posC.join(keep, Seq("fp"))   // columns: (fp, doc, i)
+    // fresh names on both sides — self-joins on shared lineage otherwise
+    // collapse to ambiguous attribute references
+    val pairs = pk.toDF("fp", "doc_a", "ia")
+      .join(pk.toDF("fp", "doc_b", "ib"), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ia"))
+    pairs.withColumn("diag", col("ia") - col("ib"))
+      .withColumn("__isl", col("ia") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__isl"))
+      .agg(min(col("ia")).as("__amin"), max(col("ia")).as("__amax"))
+      .select(col("doc_a"), col("doc_b"),
+        col("__amin").cast("bigint").as("a_start"),
+        (col("__amin") - col("diag")).cast("bigint").as("b_start"),
+        (col("__amax") - col("__amin") + l).cast("bigint").as("run_tokens"))
+  }
 }

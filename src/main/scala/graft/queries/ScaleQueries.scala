@@ -71,6 +71,18 @@ object ScaleQueries {
       Sketches.captureRecapture(table(s, d, "events"), "user_id",
         rate = 4)),
 
+    // Exact-substring dedup (Lee et al. 2022 ExactSubstr): maximal
+    // cross-document verbatim runs at >= 20-token granularity via
+    // sliding-window fingerprints + per-(pair, diagonal) island
+    // stitching — catches SHIFTED duplicates that q98's fixed
+    // non-overlapping 32-token chunks provably miss (spec plants one).
+    // l=20 is the scaled-down stand-in for the paper's 50 on this
+    // corpus's ~55-token median documents. See
+    // TextDedup.exactSubstringRuns.
+    "q300_exact_substring" -> ((s, d) =>
+      TextDedup.exactSubstringRuns(table(s, d, "documents"),
+        "doc_id", "text", l = 20, maxDf = 10)),
+
     // Kish effective sample size of the length-weighted corpus per
     // language: ESS = (Σw)²/Σw² with w = n_chars — the design-effect
     // audit importance-weighted training mixes (q123 temperature
@@ -751,6 +763,38 @@ object ScaleQueries {
          |    AS rel_err
          |FROM e""".stripMargin
     },
+
+    // Mirrors TextDedup.exactSubstringRuns stage for stage: sliding
+    // 20-token window md5 fingerprints, 2..10 distinct-doc df cap, pair
+    // join on the fingerprint, ia − row_number() island stitching per
+    // (pair, diagonal).
+    "q300_exact_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, split(text, ' ') AS ts FROM documents
+        |  WHERE len(split(text, ' ')) >= 20),
+        |pos AS (
+        |  SELECT doc_id, CAST(u.s.i AS BIGINT) AS i, u.s.fp AS fp
+        |  FROM toks,
+        |    unnest([struct_pack(i := i,
+        |        fp := md5(array_to_string(ts[i:i+19], ' ')))
+        |      for i in range(1, len(ts) - 18)]) AS u(s)),
+        |keep AS (
+        |  SELECT fp FROM pos GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+        |pk AS (SELECT pos.* FROM pos JOIN keep USING (fp)),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+        |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |st AS (
+        |  SELECT doc_a, doc_b, ia, ia - ib AS diag,
+        |    ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+        |      ORDER BY ia) AS isl
+        |  FROM pr)
+        |SELECT doc_a, doc_b,
+        |  CAST(min(ia) AS BIGINT) AS a_start,
+        |  CAST(min(ia) - diag AS BIGINT) AS b_start,
+        |  CAST(max(ia) - min(ia) + 20 AS BIGINT) AS run_tokens
+        |FROM st GROUP BY doc_a, doc_b, diag, isl""".stripMargin,
 
     // Mirrors Scale.kishEss: DuckDB's BIGINT sum returns HUGEINT, so both
     // sums are cast back before the two fixed-order double divisions.

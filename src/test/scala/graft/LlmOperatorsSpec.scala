@@ -255,6 +255,47 @@ class LlmOperatorsSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("exact substring runs: a shifted duplicate q98's fixed chunks provably miss") {
+    import spark.implicits._
+    // doc 2 = 5-token preamble + doc 1's 40 tokens verbatim: every fixed
+    // non-overlapping 32-token chunk boundary misaligns, so chunk-level
+    // dedup (q98's shape) sees ZERO shared fingerprints — the sliding
+    // window cannot be misaligned and must report one maximal 40-token run
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),
+      (2L, "intro preamble tokens go here " + shared),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    // q98's exact shape on this corpus: no chunk fingerprint is shared
+    val chunks = graft.operators.TextPrep.chunk(docs, "doc_id", "text",
+        size = 32, stride = 32)
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+    val sharedChunks = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") > 1)
+    assert(sharedChunks.count() == 0L,
+      "misaligned chunks must share nothing — else the plant is invalid")
+    val runs = TextDedup.exactSubstringRuns(docs, "doc_id", "text",
+        l = 20, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // one maximal run: doc 1 tokens 1..40 == doc 2 tokens 6..45
+    assert(runs == Seq((1L, 2L, 1L, 6L, 40L)),
+      s"expected the single stitched 40-token run, got $runs")
+  }
+
+  test("exact substring runs: df cap suppresses boilerplate fingerprints") {
+    import spark.implicits._
+    // the same 20-token banner in 4 docs with maxDf = 3 -> every window
+    // fingerprint crosses 4 docs and is dropped; raising the cap emits
+    // all 6 pairs
+    val banner = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 4L).map(id => (id, banner)).toDF("doc_id", "text")
+    assert(TextDedup.exactSubstringRuns(docs, "doc_id", "text",
+      l = 20, maxDf = 3).count() == 0L)
+    assert(TextDedup.exactSubstringRuns(docs, "doc_id", "text",
+      l = 20, maxDf = 4).count() == 6L)
+  }
+
   test("ngram jaccard: planted near-dup found with exact score; unrelated docs absent") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again today"

@@ -449,5 +449,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }
+    // q300: the pair join is EQUI-KEYED on the window fingerprint and the
+    // island-stitching window is partitioned by (pair, diagonal) — a
+    // nested-loop or cartesian here is the all-pairs substring explosion
+    val p300 = plan("q300_exact_substring")
+    assert(!p300.contains("CartesianProduct") &&
+      !p300.contains("BroadcastNestedLoopJoin"),
+      "fingerprint join must stay equi-keyed")
   }
 }
