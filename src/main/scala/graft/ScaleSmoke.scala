@@ -723,6 +723,24 @@ object ScaleSmoke {
         operators.Stats.aaCalibration(pu, "user_id", col("conv"),
           nSplits = 20, zCrit = 1.959964).count()
       }
+      // Stratified CUPED: same user-keyed moment scan, |strata| output
+      // rows — the grouped aggregate must track cuped's curve exactly.
+      time(s"cuped_strat     $label") {
+        val z = lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        val pu = edf
+          .groupBy(col("user_id"))
+          .agg(sum(when(dayofmonth(col("ts")) <= 15,
+              col("value").cast(
+                org.apache.spark.sql.types.DecimalType(12, 2)))
+            .otherwise(z)).cast("double").as("pre"),
+            sum(when(dayofmonth(col("ts")) >= 16,
+              col("value").cast(
+                org.apache.spark.sql.types.DecimalType(12, 2)))
+            .otherwise(z)).cast("double").as("post"))
+          .select(pmod(col("user_id"), lit(4)).as("cohort"),
+            col("pre"), col("post"))
+        operators.Stats.cupedStratified(pu, "cohort", "pre", "post").count()
+      }
     }
     // Sequential monitor: cumulative windows over the CALENDAR grid
     // (constant across factors); only the (user, day) aggregate scales.
@@ -737,6 +755,13 @@ object ScaleSmoke {
       time(s"capture_recap   $label") {
         operators.Sketches.captureRecapture(edf, "user_id",
           rate = 4).count()
+      }
+      // SPRT shares seq_monitor's (user, day) grain; the LLR fold is
+      // per-day arithmetic over the constant calendar grid.
+      time(s"sprt            $label") {
+        operators.Stats.sprt(edf, "user_id", "ts",
+          col("event_type") === "purchase", p0 = 0.10, p1 = 0.15,
+          alpha = 0.05, beta = 0.2).count()
       }
     }
     // Vocab coverage: the type table is Zipf-bounded — replicas add

@@ -269,6 +269,87 @@ object Stats {
         .otherwise((dxy / dxx) * dxy / dyy).as("var_reduction"))
   }
 
+  /** Stratified CUPED: the q294 audit per stratum — θ_s fitted WITHIN
+    * each stratum, so a covariate whose slope differs across cohorts
+    * (Simpson-style, the q288 failure mode) gets its honest per-stratum
+    * variance reduction instead of one pooled θ that under-serves every
+    * cohort. Same exact one-pass DECIMAL moments as [[cuped]], grouped:
+    * one keyed aggregate, |strata| output rows, doubles only in the
+    * final fixed-order formulas. Degenerate strata (zero pre-variance)
+    * degrade exactly as the pooled form. Output: (strataCol, n, theta,
+    * var_post, var_cuped, var_reduction). */
+  def cupedStratified(perUser: DataFrame, strataCol: String,
+                      preCol: String, postCol: String): DataFrame = {
+    val x = dec(col(preCol))
+    val y = dec(col(postCol))
+    val agg = perUser.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val n = d(col("n"))
+    val dxx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val dyy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val dxy = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    agg.select(col(strataCol), col("n"),
+      when(dxx === 0.0, lit(null).cast("double"))
+        .otherwise(dxy / dxx).as("theta"),
+      (dyy / (n * n)).as("var_post"),
+      when(dxx === 0.0, dyy / (n * n))
+        .otherwise((dyy - (dxy / dxx) * dxy) / (n * n)).as("var_cuped"),
+      when(dxx === 0.0 || dyy === 0.0, lit(0.0))
+        .otherwise((dxy / dxx) * dxy / dyy).as("var_reduction"))
+  }
+
+  /** Wald SPRT (Wald 1945, "Sequential Tests of Statistical
+    * Hypotheses") on a daily Bernoulli conversion stream: after t days
+    * the cumulative log-likelihood ratio of H1: p = p1 against
+    * H0: p = p0 over n trials / k successes is
+    * LLR = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)), compared to the
+    * fixed Wald bounds upper = ln((1−β)/α) (stop, reject H0) and
+    * lower = ln(β/(1−α)) (stop, accept H0) — the always-valid
+    * stop-any-day companion to [[sequentialMonitor]]'s
+    * spend-the-alpha-across-T-looks boundary.
+    *
+    * Determinism: the four ln(...) values are computed ONCE driver-side
+    * and shipped as shared double literals (Scala's Double.toString
+    * round-trips; the oracle carries the identical strings cast from
+    * VARCHAR), so NO libm call runs inside either engine — LLR is
+    * k·c1 + (n−k)·c2 in one fixed order over exact BIGINT counts.
+    * Trials are (user, day) activity grains, success = any qualifying
+    * event that day (the [[sequentialMonitor]] grain); cumulative sums
+    * ride a calendar-grid window over per-day aggregates — day-bounded,
+    * never per-row. Output: (day_idx, n, k, llr, stop_upper,
+    * stop_lower, decision). */
+  def sprt(events: DataFrame, userCol: String, tsCol: String,
+           success: Column, p0: Double, p1: Double,
+           alpha: Double, beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "need distinct interior hypotheses")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "bad errors")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val perDay = events
+      .groupBy(col(userCol).as("__u"),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("__conv"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("__dn"), sum(col("__conv")).as("__dk"))
+    val w = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val llr = d(col("k")) * lit(c1) + (d(col("n")) - d(col("k"))) * lit(c2)
+    perDay
+      .withColumn("n", sum(col("__dn")).over(w))
+      .withColumn("k", sum(col("__dk")).over(w))
+      .select(col("day_idx"), col("n"), col("k"), llr.as("llr"),
+        lit(upper).as("stop_upper"), lit(lower).as("stop_lower"),
+        when(llr >= lit(upper), "reject_h0")
+          .when(llr <= lit(lower), "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** A/A-test calibration: rerun the q246 two-proportion z across
     * `nSplits` INDEPENDENT hash-randomized null splits of the same
     * population and flag which cross `zCrit` — the meta-experiment that

@@ -97,6 +97,34 @@ object ExperimentQueries {
       Stats.cuped(perUser, "pre", "post")
     }),
 
+    // Stratified CUPED: q294's audit with theta fitted WITHIN each
+    // user_id%4 cohort — the per-stratum variance reduction a covariate
+    // with cohort-dependent slope earns (one pooled theta under-serves
+    // every cohort, the q288 Simpson lesson). See Stats.cupedStratified.
+    "q301_cuped_stratified" -> ((s, dir) => {
+      val z = lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val perUser = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(col("ts")) <= 15,
+            col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .otherwise(z)).cast("double").as("pre"),
+          sum(when(dayofmonth(col("ts")) >= 16,
+            col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .otherwise(z)).cast("double").as("post"))
+        .select(pmod(col("user_id"), lit(4)).as("cohort"),
+          col("pre"), col("post"))
+      Stats.cupedStratified(perUser, "cohort", "pre", "post")
+    }),
+
+    // Wald SPRT on the daily purchase-conversion stream: H0 p=0.10 vs
+    // H1 p=0.15, alpha=.05 / beta=.2 — the stop-any-day sequential test
+    // beside q296's fixed-horizon group-sequential boundary. All four
+    // ln constants are shared driver-computed literals; no libm runs in
+    // either engine. See Stats.sprt.
+    "q302_sprt" -> ((s, dir) =>
+      Stats.sprt(table(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase", p0 = 0.10, p1 = 0.15,
+        alpha = 0.05, beta = 0.2)),
+
     // Group-sequential monitor: daily cumulative two-proportion z
     // against the O'Brien-Fleming-style zCrit*sqrt(T/t) boundary — the
     // peeking-safe daily readout beside q246's single terminal look.
@@ -208,6 +236,84 @@ object ExperimentQueries {
         |  CASE WHEN dxx = 0.0 OR dyy = 0.0 THEN CAST(0.0 AS DOUBLE)
         |    ELSE (dxy / dxx) * dxy / dyy END AS var_reduction
         |FROM m""".stripMargin,
+
+    // Mirrors q294 stage for stage with the cohort key threaded through.
+    "q301_cuped_stratified" ->
+      """WITH pu AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    CAST(sum(CASE WHEN day(ts) <= 15
+        |      THEN CAST(value AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS pre,
+        |    CAST(sum(CASE WHEN day(ts) >= 16
+        |      THEN CAST(value AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS post
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(pre AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(post AS DECIMAL(12,2))) AS sy,
+        |    sum(CAST(pre AS DECIMAL(12,2)) * CAST(post AS DECIMAL(12,2)))
+        |      AS sxy,
+        |    sum(CAST(pre AS DECIMAL(12,2)) * CAST(pre AS DECIMAL(12,2)))
+        |      AS sxx,
+        |    sum(CAST(post AS DECIMAL(12,2)) * CAST(post AS DECIMAL(12,2)))
+        |      AS syy
+        |  FROM pu GROUP BY 1),
+        |m AS (SELECT cohort, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |  FROM a)
+        |SELECT cohort, n,
+        |  CASE WHEN dxx = 0.0 THEN NULL ELSE dxy / dxx END AS theta,
+        |  dyy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_post,
+        |  CASE WHEN dxx = 0.0
+        |    THEN dyy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    ELSE (dyy - (dxy / dxx) * dxy)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END AS var_cuped,
+        |  CASE WHEN dxx = 0.0 OR dyy = 0.0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE (dxy / dxx) * dxy / dyy END AS var_reduction
+        |FROM m""".stripMargin,
+
+    // Mirrors Stats.sprt: the identical driver-computed ln literals
+    // (Double.toString round-trips; DuckDB's VARCHAR->DOUBLE cast is
+    // correctly-rounded strtod), exact BIGINT cumulative counts, LLR in
+    // one shared operation order.
+    "q302_sprt" -> {
+      val c1 = math.log(0.15 / 0.10)
+      val c2 = math.log((1.0 - 0.15) / (1.0 - 0.10))
+      val up = math.log((1.0 - 0.2) / 0.05)
+      val lo = math.log(0.2 / (1.0 - 0.05))
+      s"""WITH ud AS (
+         |  SELECT user_id,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day_idx,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events GROUP BY 1, 2),
+         |pd AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS dn,
+         |    CAST(sum(conv) AS BIGINT) AS dk FROM ud GROUP BY 1),
+         |c AS (SELECT day_idx,
+         |    CAST(sum(dn) OVER (ORDER BY day_idx
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+         |    CAST(sum(dk) OVER (ORDER BY day_idx
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k
+         |  FROM pd),
+         |l AS (SELECT day_idx, n, k,
+         |    CAST(k AS DOUBLE) * '$c1'::DOUBLE
+         |      + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * '$c2'::DOUBLE
+         |      AS llr
+         |  FROM c)
+         |SELECT day_idx, n, k, llr,
+         |  '$up'::DOUBLE AS stop_upper, '$lo'::DOUBLE AS stop_lower,
+         |  CASE WHEN llr >= '$up'::DOUBLE THEN 'reject_h0'
+         |       WHEN llr <= '$lo'::DOUBLE THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM l""".stripMargin
+    },
 
     // Mirrors Stats.aaCalibration: same md5 split randomizer, the q246
     // z formula with identical operation order.
