@@ -723,6 +723,15 @@ object ScaleSmoke {
         operators.Stats.aaCalibration(pu, "user_id", col("conv"),
           nSplits = 20, zCrit = 1.959964).count()
       }
+      // Jackknife: |days| replicate rows over exact block sums — the
+      // leave-one-out grid is calendar-bounded, cost is the scan.
+      time(s"jackknife       $label") {
+        operators.Inference.jackknifeRatio(edf,
+          datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)), lit(1L)).count()
+      }
       // Stratified CUPED: same user-keyed moment scan, |strata| output
       // rows — the grouped aggregate must track cuped's curve exactly.
       time(s"cuped_strat     $label") {
@@ -763,13 +772,35 @@ object ScaleSmoke {
           col("event_type") === "purchase", p0 = 0.10, p1 = 0.15,
           alpha = 0.05, beta = 0.2).count()
       }
+      // CMH: 7 strata of exact counts; EB shrink: one entity-keyed
+      // aggregate + a broadcast 1-row prior — both scan-bound.
+      time(s"cmh_test        $label") {
+        val grain = edf.groupBy(col("user_id"),
+            pmod(datediff(col("ts").cast("date"),
+              lit("1970-01-01").cast("date")).cast("bigint"), lit(7L))
+              .as("__dow"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("__conv"))
+        operators.Inference.cmhTest(grain, col("__dow"),
+          pmod(col("user_id"), lit(2)) === 0, col("__conv") === 1L).count()
+      }
+      time(s"eb_shrink       $label") {
+        operators.Inference.ebBetaShrink(edf, "user_id", lit(1L),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)).count()
+      }
     }
     // Vocab coverage: the type table is Zipf-bounded — replicas add
     // occurrences, never types, so the panel is constant and cost is
     // the tokenize + (group, token) count.
+    // Heaps curve: same tokenize; the grid is a CONSTANT `buckets` rows
+    // and the (token → min bucket) aggregate is type-bounded.
     for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
       time(s"vocab_coverage  $label") {
         operators.CorpusStats.vocabCoverage(df, "source", "text").count()
+      }
+      time(s"heaps_law       $label") {
+        operators.CorpusStats.heapsLaw(df, "doc_id", "text",
+          buckets = 50).count()
       }
     }
     // Exact-substring runs: the replica construction multiplies every

@@ -638,4 +638,58 @@ object CorpusStats {
         round(exp(h), 6).as("effective_cats"),
         (col("__mx").cast("double") / col("__t")).as("top_share"))
   }
+
+  /** Heaps'-law vocabulary-growth curve V(N) ≈ K·N^β (Heaps 1978; Herdan
+    * 1960) over a deterministic id-ordered corpus prefix, plus the fitted
+    * growth exponent β — the companion curve to Zipf rank-frequency
+    * (q125) and the Good-Turing/Chao1 unseen-mass panel (q297): sublinear
+    * β ≈ 0.4–0.6 is the healthy-natural-text signature, β → 1 flags
+    * id-heavy or synthetic-junk corpora whose "vocabulary" never
+    * saturates.
+    *
+    * Scale: the curve is sampled at `buckets` fixed id-range checkpoints,
+    * NOT per document — new-type counts come from one (token → min
+    * bucket) aggregate, cumulative sums ride the bucket grid (≤ `buckets`
+    * rows, a constant), and the β fit is a least-squares slope over that
+    * same grid. ln is the one libm call: each ln is quantized to integer
+    * micro-units at first appearance (the q219 discipline), so the fit's
+    * sums are exact BIGINTs and β is a fixed-order double formula.
+    * Output: (bucket, n_tokens, new_types, cum_tokens, cum_vocab,
+    * heaps_beta) — β repeated per row. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 100): DataFrame = {
+    require(buckets >= 2, "need at least two checkpoints to fit a slope")
+    val mx = docs.agg(max(col(idCol)).cast("bigint").as("__mx"))
+    val tok = docs.crossJoin(broadcast(mx))
+      .select(expr(s"CAST($idCol AS BIGINT) * $buckets DIV (__mx + 1)")
+        .as("__b"), explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t") =!= "")
+    val perB = tok.groupBy(col("__b")).agg(count(lit(1)).as("n_tokens"))
+    val newV = tok.groupBy(col("__t")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = perB.join(newV, Seq("__b"), "left")
+      .select(col("__b").as("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_types")).over(w))
+      .withColumn("__x",
+        round(log(col("cum_tokens").cast("double")) * lit(1e6))
+          .cast("bigint"))
+      .withColumn("__y",
+        round(log(col("cum_vocab").cast("double")) * lit(1e6))
+          .cast("bigint"))
+    val fit = grid.agg(count(lit(1)).as("__j"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val beta = (col("__j").cast("double") * col("__sxy").cast("double") -
+        col("__sx").cast("double") * col("__sy").cast("double")) /
+      (col("__j").cast("double") * col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double"))
+    grid.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_vocab"), beta.as("heaps_beta"))
+  }
 }

@@ -319,4 +319,138 @@ object Inference {
       .select(col("__g2").as(groupCol), col("n"), col("point_mean"),
         col("ci_lo"), col("ci_hi"), col("n_replicates"))
   }
+
+  /** Delete-one-block jackknife (Quenouille 1956; Tukey 1958) for a
+    * ratio-of-sums metric R = Σnum/Σden over `blockCol` blocks — the
+    * standard error for ratio metrics (revenue per event, CTR) whose
+    * within-block correlation the naive per-row SE ignores; days or
+    * cohorts are the blocks, exactly the deleted-bucket jackknife search
+    * eval runs. The resampling sibling of [[bootstrapCi]]: J determinate
+    * replicates instead of B seeded ones.
+    *
+    * Exactness: block sums are exact DECIMAL/BIGINT; each leave-one-out
+    * ratio is quantized to integer micro-units at first appearance, so
+    * the replicate moments are exact BIGINT sums and the SE is one
+    * fixed-order double formula. |blocks| rows of state — grid-bounded.
+    * Blocks whose deletion empties the denominator yield a null ratio
+    * and are excluded (n_blocks counts the kept ones). Output: (n_blocks,
+    * r_point, r_jack_mean, se_jack). */
+  def jackknifeRatio(df: DataFrame, blockCol: Column,
+                     numCol: Column, denCol: Column): DataFrame = {
+    val perB = df
+      .select(blockCol.as("__b"), numCol.cast(DecimalType(12, 2)).as("__x"),
+        denCol.cast("bigint").as("__y"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__x")).as("__bx"), sum(col("__y")).as("__by"))
+    val tot = perB.agg(sum(col("__bx")).as("__tx"),
+      sum(col("__by")).as("__ty"))
+    val rMu = when(col("__ty") - col("__by") === 0,
+        lit(null).cast("bigint"))
+      .otherwise(round((d(col("__tx")) - d(col("__bx"))) /
+        (d(col("__ty")) - d(col("__by"))) * lit(1e6)).cast("bigint"))
+    val reps = perB.crossJoin(broadcast(tot))
+      .select(col("__tx"), col("__ty"), rMu.as("__r"))
+      .where(col("__r").isNotNull)
+    reps.groupBy(col("__tx"), col("__ty"))
+      .agg(count(lit(1)).as("__j"), sum(col("__r")).as("__sr"),
+        sum(col("__r") * col("__r")).as("__sr2"))
+      .select(col("__j").as("n_blocks"),
+        (d(col("__tx")) / d(col("__ty"))).as("r_point"),
+        (d(col("__sr")) / d(col("__j")) / lit(1e6)).as("r_jack_mean"),
+        (sqrt((d(col("__j")) - lit(1.0)) / d(col("__j")) *
+          (d(col("__sr2")) - d(col("__sr")) * d(col("__sr")) /
+            d(col("__j")))) / lit(1e6)).as("se_jack"))
+  }
+
+  /** Cochran-Mantel-Haenszel test (Mantel & Haenszel 1959) for a common
+    * treatment-outcome association ACROSS strata of 2×2 tables — the
+    * confounding-adjusted companion to the q288 Simpson audit: q288
+    * DETECTS the reversal, CMH tests the association with the strata
+    * held fixed. Uncorrected statistic (no Yates continuity term,
+    * documented), plus the Mantel-Haenszel pooled odds ratio ΣR_k/ΣS_k.
+    *
+    * Exactness: each stratum's expectation E_k, variance V_k and OR
+    * terms R_k/S_k are fixed-order doubles of exact BIGINT counts,
+    * quantized to integer micro-units at first appearance; the
+    * across-strata sums are then exact BIGINTs (no double fold), and χ²
+    * is one terminal fixed-order formula. |strata| rows of intermediate
+    * state. Output: one row (n_strata, sum_a, e_mu, v_mu, cmh_chi2,
+    * or_mh). */
+  def cmhTest(df: DataFrame, strataCol: Column, armCol: Column,
+              outcomeCol: Column): DataFrame = {
+    val cells = df
+      .select(strataCol.as("__s"), armCol.cast("boolean").as("__a"),
+        outcomeCol.cast("boolean").as("__o"))
+      .groupBy(col("__s"))
+      .agg(count(when(col("__a") && col("__o"), 1)).as("n11"),
+        count(when(col("__a") && !col("__o"), 1)).as("n10"),
+        count(when(!col("__a") && col("__o"), 1)).as("n01"),
+        count(when(!col("__a") && !col("__o"), 1)).as("n00"))
+      .withColumn("__n", col("n11") + col("n10") + col("n01") + col("n00"))
+      .where(col("__n") >= 2)
+    val eMu = round(d(col("n11") + col("n10")) * d(col("n11") + col("n01")) /
+      d(col("__n")) * lit(1e6)).cast("bigint")
+    val vMu = round(d(col("n11") + col("n10")) * d(col("n01") + col("n00")) *
+      d(col("n11") + col("n01")) * d(col("n10") + col("n00")) /
+      (d(col("__n")) * d(col("__n")) * (d(col("__n")) - lit(1.0))) *
+      lit(1e6)).cast("bigint")
+    val rMu = round(d(col("n11")) * d(col("n00")) / d(col("__n")) * lit(1e6))
+      .cast("bigint")
+    val sMu = round(d(col("n10")) * d(col("n01")) / d(col("__n")) * lit(1e6))
+      .cast("bigint")
+    cells
+      .select(col("n11"), eMu.as("__e"), vMu.as("__v"),
+        rMu.as("__rk"), sMu.as("__sk"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("n11")).as("sum_a"),
+        sum(col("__e")).as("e_mu"), sum(col("__v")).as("v_mu"),
+        sum(col("__rk")).as("__r"), sum(col("__sk")).as("__s"))
+      .select(col("n_strata"), col("sum_a"), col("e_mu"), col("v_mu"),
+        when(col("v_mu") === 0, lit(null).cast("double"))
+          .otherwise((d(col("sum_a")) - d(col("e_mu")) / lit(1e6)) *
+            (d(col("sum_a")) - d(col("e_mu")) / lit(1e6)) /
+            (d(col("v_mu")) / lit(1e6))).as("cmh_chi2"),
+        when(col("__s") === 0, lit(null).cast("double"))
+          .otherwise(d(col("__r")) / d(col("__s"))).as("or_mh"))
+  }
+
+  /** Empirical-Bayes beta-binomial shrinkage (Robbins 1956; the
+    * method-of-moments recipe of Morris 1983) of per-entity success
+    * rates: fit a Beta(α, β) prior to the observed per-entity rates,
+    * then report each entity's posterior-mean rate
+    * (k + α)/(n + α + β) — small-sample entities pull toward the grand
+    * mean, heavy-sample ones keep their data; the ranking fix for
+    * "3-for-3 beats 900-for-1000" rate leaderboards.
+    *
+    * Exactness: each entity's rate is the exact integer micro-unit
+    * k·1e6 div n, so the prior's two moments are exact BIGINT sums; α,
+    * α+β and every shrunk rate are fixed-order double formulas of those
+    * sums. Degenerate prior (zero between-entity variance) yields null
+    * α and shrunk = raw. One entity-keyed aggregate + a broadcast 1-row
+    * prior. Output: (idCol, n, k, raw_rate, shrunk_rate, alpha, beta). */
+  def ebBetaShrink(df: DataFrame, idCol: String, trialCol: Column,
+                   successCol: Column): DataFrame = {
+    val perId = df
+      .select(col(idCol).as("__id"), trialCol.cast("bigint").as("__t"),
+        successCol.cast("bigint").as("__k"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__t")).as("n"), sum(col("__k")).as("k"))
+      .where(col("n") > 0)
+      .withColumn("__p", expr("k * 1000000L div n"))
+    val prior = perId.agg(count(lit(1)).as("__j"),
+      sum(col("__p")).as("__sp"), sum(col("__p") * col("__p")).as("__sp2"))
+    val m = d(col("__sp")) / d(col("__j")) / lit(1e6)
+    val v = (d(col("__sp2")) / d(col("__j")) -
+      (d(col("__sp")) / d(col("__j"))) * (d(col("__sp")) / d(col("__j")))) /
+      lit(1e12)
+    val abSum = when(v <= 0.0, lit(null).cast("double"))
+      .otherwise(m * (lit(1.0) - m) / v - lit(1.0))
+    perId.crossJoin(broadcast(prior))
+      .select(col("__id").as(idCol), col("n"), col("k"),
+        (d(col("k")) / d(col("n"))).as("raw_rate"),
+        when(abSum.isNull || abSum <= 0.0, d(col("k")) / d(col("n")))
+          .otherwise((d(col("k")) + m * abSum) / (d(col("n")) + abSum))
+          .as("shrunk_rate"),
+        (m * abSum).as("alpha"),
+        ((lit(1.0) - m) * abSum).as("beta"))
+  }
 }

@@ -59,6 +59,43 @@ object InferQueries {
     "q218_length_gini" -> ((s, d) =>
       Inference.giniByGroup(table(s, d, "documents"), "source", "n_chars")),
 
+    // Delete-one-day jackknife SE for revenue-per-event — the ratio-
+    // metric error bar whose within-day correlation the naive per-row
+    // SE ignores; the determinate-replicate sibling of q282's seeded
+    // bootstrap. See Inference.jackknifeRatio.
+    "q304_jackknife_ratio" -> ((s, dir) =>
+      Inference.jackknifeRatio(table(s, dir, "events"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint"),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)),
+        lit(1L))),
+
+    // Cochran-Mantel-Haenszel: does even-id treatment associate with
+    // purchasing once the day-of-week stratum is held fixed? The test
+    // companion to q288's Simpson reversal detector, on (user, dow)
+    // grains. See Inference.cmhTest.
+    "q305_cmh_test" -> ((s, dir) => {
+      val grain = table(s, dir, "events")
+        .groupBy(col("user_id"),
+          pmod(datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint"), lit(7L))
+            .as("__dow"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__conv"))
+      Inference.cmhTest(grain, col("__dow"),
+        pmod(col("user_id"), lit(2)) === 0, col("__conv") === 1L)
+    }),
+
+    // Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    // rates: method-of-moments Beta prior from the rate table, posterior
+    // means pull small-sample users toward the grand mean — the
+    // leaderboard fix beside q241's ranking AUC. See
+    // Inference.ebBetaShrink.
+    "q306_eb_shrinkage" -> ((s, dir) =>
+      Inference.ebBetaShrink(table(s, dir, "events"), "user_id", lit(1L),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))),
+
     // Benjamini-Hochberg screen over per-event-type mean-shift z-scores:
     // which types' mean value drifts from the global mean, at FDR 0.1?
     // The z→p map is a fixed closed form (Lin's normal-tail
@@ -306,6 +343,121 @@ object InferQueries {
         |  1.0 - CAST(sum(c * (2 * cum - m)) AS DOUBLE) /
         |    (CAST(sum(c) AS DOUBLE) * CAST(sum(m) AS DOUBLE)) AS gini
         |FROM cm GROUP BY 1""".stripMargin,
+
+    // Mirrors Inference.jackknifeRatio: exact DECIMAL/BIGINT block sums,
+    // leave-one-out ratios micro-quantized, one fixed-order SE formula.
+    "q304_jackknife_ratio" ->
+      """WITH pb AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS b,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS bx,
+        |    CAST(count(*) AS BIGINT) AS by
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(bx) AS tx, CAST(sum(by) AS BIGINT) AS ty
+        |  FROM pb),
+        |r AS (
+        |  SELECT t.tx, t.ty,
+        |    CAST(round((CAST(t.tx AS DOUBLE) - CAST(pb.bx AS DOUBLE))
+        |      / (CAST(t.ty AS DOUBLE) - CAST(pb.by AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS rj
+        |  FROM pb CROSS JOIN t WHERE t.ty - pb.by <> 0),
+        |a AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS j,
+        |    CAST(sum(rj) AS BIGINT) AS sr,
+        |    CAST(sum(rj * rj) AS BIGINT) AS sr2
+        |  FROM r GROUP BY 1, 2)
+        |SELECT j AS n_blocks,
+        |  CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE) AS r_point,
+        |  CAST(sr AS DOUBLE) / CAST(j AS DOUBLE) / 1e6 AS r_jack_mean,
+        |  sqrt((CAST(j AS DOUBLE) - 1.0) / CAST(j AS DOUBLE)
+        |    * (CAST(sr2 AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |        / CAST(j AS DOUBLE))) / 1e6 AS se_jack
+        |FROM a""".stripMargin,
+
+    // Mirrors Inference.cmhTest: per-stratum E/V/OR terms micro-
+    // quantized from exact counts, exact BIGINT across-strata sums, one
+    // terminal chi-square formula.
+    "q305_cmh_test" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) % 7 AS s,
+        |    user_id % 2 = 0 AS a,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |      AS o
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT s,
+        |    CAST(count(CASE WHEN a AND o THEN 1 END) AS BIGINT) AS n11,
+        |    CAST(count(CASE WHEN a AND NOT o THEN 1 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(count(CASE WHEN NOT a AND o THEN 1 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(count(CASE WHEN NOT a AND NOT o THEN 1 END) AS BIGINT)
+        |      AS n00
+        |  FROM g GROUP BY 1),
+        |k AS (SELECT *, n11 + n10 + n01 + n00 AS n FROM c
+        |  WHERE n11 + n10 + n01 + n00 >= 2),
+        |mu AS (SELECT n11,
+        |    CAST(round(CAST(n11 + n10 AS DOUBLE)
+        |      * CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS e,
+        |    CAST(round(CAST(n11 + n10 AS DOUBLE)
+        |      * CAST(n01 + n00 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |      * CAST(n10 + n00 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT) AS v,
+        |    CAST(round(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS rk,
+        |    CAST(round(CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS sk
+        |  FROM k),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(n11) AS BIGINT) AS sum_a,
+        |    CAST(sum(e) AS BIGINT) AS e_mu,
+        |    CAST(sum(v) AS BIGINT) AS v_mu,
+        |    CAST(sum(rk) AS BIGINT) AS r, CAST(sum(sk) AS BIGINT) AS s2
+        |  FROM mu)
+        |SELECT n_strata, sum_a, e_mu, v_mu,
+        |  CASE WHEN v_mu = 0 THEN NULL ELSE
+        |    (CAST(sum_a AS DOUBLE) - CAST(e_mu AS DOUBLE) / 1e6)
+        |    * (CAST(sum_a AS DOUBLE) - CAST(e_mu AS DOUBLE) / 1e6)
+        |    / (CAST(v_mu AS DOUBLE) / 1e6) END AS cmh_chi2,
+        |  CASE WHEN s2 = 0 THEN NULL
+        |    ELSE CAST(r AS DOUBLE) / CAST(s2 AS DOUBLE) END AS or_mh
+        |FROM f""".stripMargin,
+
+    // Mirrors Inference.ebBetaShrink: exact integer micro-unit rates,
+    // exact BIGINT prior moments, fixed-order posterior formulas.
+    "q306_eb_shrinkage" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT *, k * 1000000 // n AS pmu FROM p WHERE n > 0),
+        |pr AS (SELECT CAST(count(*) AS BIGINT) AS j,
+        |    CAST(sum(pmu) AS BIGINT) AS sp,
+        |    CAST(sum(pmu * pmu) AS BIGINT) AS sp2 FROM q),
+        |c AS (SELECT q.user_id, q.n, q.k,
+        |    CAST(pr.sp AS DOUBLE) / CAST(pr.j AS DOUBLE) / 1e6 AS m,
+        |    (CAST(pr.sp2 AS DOUBLE) / CAST(pr.j AS DOUBLE)
+        |      - (CAST(pr.sp AS DOUBLE) / CAST(pr.j AS DOUBLE))
+        |        * (CAST(pr.sp AS DOUBLE) / CAST(pr.j AS DOUBLE))) / 1e12
+        |      AS v
+        |  FROM q CROSS JOIN pr),
+        |s AS (SELECT *, CASE WHEN v <= 0.0 THEN NULL
+        |    ELSE m * (1.0 - m) / v - 1.0 END AS ab FROM c)
+        |SELECT user_id, n, k,
+        |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+        |  CASE WHEN ab IS NULL OR ab <= 0.0
+        |    THEN CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |    ELSE (CAST(k AS DOUBLE) + m * ab) / (CAST(n AS DOUBLE) + ab)
+        |    END AS shrunk_rate,
+        |  m * ab AS alpha, (1.0 - m) * ab AS beta
+        |FROM s""".stripMargin,
 
     "q219_bh_fdr" ->
       """WITH per AS (

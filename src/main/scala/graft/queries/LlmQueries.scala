@@ -937,6 +937,15 @@ object LlmQueries {
       graft.operators.CorpusStats.vocabCoverage(
         table(s, d, "documents"), "source", "text")),
 
+    // Heaps'-law vocabulary-growth curve over 50 id-range checkpoints +
+    // the fitted growth exponent beta — the V(N) ~ K*N^beta companion to
+    // Zipf (q125) and the Good-Turing panel (q297); beta near 1 flags
+    // synthetic-junk corpora whose vocabulary never saturates. See
+    // CorpusStats.heapsLaw.
+    "q303_heaps_law" -> ((s, d) =>
+      graft.operators.CorpusStats.heapsLaw(
+        table(s, d, "documents"), "doc_id", "text", buckets = 50)),
+
     // Per-source OOV occurrence rate against the corpus top-1000 vocab —
     // the tokenizer-coverage planning stat (high OOV = byte-fallback
     // blowup). See CorpusStats.oovRate.
@@ -1534,6 +1543,50 @@ object LlmQueries {
     // Mirrors CorpusStats.vocabCoverage: same tokenize/filter order,
     // exact frequency-of-frequency BIGINTs into the two estimator
     // formulas with identical operation order.
+    // Mirrors CorpusStats.heapsLaw: same integer bucket fold, ln
+    // micro-quantized at first appearance, exact BIGINT fit sums.
+    "q303_heaps_law" ->
+      """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+        |  FROM documents),
+        |tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) * 50 // (mx.mx + 1) AS b,
+        |    u.t AS t
+        |  FROM documents, mx, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |perb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY 1),
+        |newv AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM (SELECT t, min(b) AS fb FROM tok GROUP BY 1)
+        |  GROUP BY 1),
+        |grid AS (
+        |  SELECT perb.b AS bucket, perb.n_tokens,
+        |    coalesce(newv.new_types, 0) AS new_types
+        |  FROM perb LEFT JOIN newv ON newv.b = perb.b),
+        |cum AS (
+        |  SELECT bucket, n_tokens, new_types,
+        |    CAST(sum(n_tokens) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |    CAST(sum(new_types) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |  FROM grid),
+        |q AS (SELECT *,
+        |    CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS y
+        |  FROM cum),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS j,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM q)
+        |SELECT bucket, n_tokens, new_types, cum_tokens, cum_vocab,
+        |  (CAST(j AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(j AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta
+        |FROM q CROSS JOIN fit""".stripMargin,
+
     "q297_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT source AS g, unnest(string_split(text, ' ')) AS t

@@ -445,7 +445,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q292_wasserstein_drift", "q293_split_conformal",
         "q294_cuped", "q295_aa_calibration", "q296_sequential_monitor",
         "q297_vocab_coverage", "q298_capture_recapture",
-        "q299_kish_ess", "q301_cuped_stratified", "q302_sprt").foreach { q =>
+        "q299_kish_ess", "q301_cuped_stratified", "q302_sprt",
+        "q303_heaps_law", "q304_jackknife_ratio", "q305_cmh_test",
+        "q306_eb_shrinkage").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }

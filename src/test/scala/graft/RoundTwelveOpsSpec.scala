@@ -38,6 +38,71 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       f.getDouble(5) == 0.0, s"degenerate pre: $f")
   }
 
+  test("heapsLaw: exact cumulative counts and the 2-point slope") {
+    // bucket 0 (ids 0-4): "a b" x1 doc -> 2 tokens, 2 new types
+    // bucket 1 (ids 5-9): "a b c d" -> 4 tokens, 2 new types
+    val docs = Seq((0L, "a b"), (7L, "a b c d")).toDF("doc_id", "text")
+    val r = graft.operators.CorpusStats.heapsLaw(docs, "doc_id", "text",
+      buckets = 2).orderBy("bucket").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(3), x.getLong(4))).toSeq ==
+      Seq((0L, 2L, 2L), (1L, 6L, 4L)), s"curve: ${r.mkString(";")}")
+    // 2-point fit: slope of micro-quantized lns, replayed by hand
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    val beta = (2.0 * (q(2) * q(2) + q(6) * q(4)) -
+        (q(2) + q(6)).toDouble * (q(2) + q(4))) /
+      (2.0 * (q(2) * q(2) + q(6) * q(6)) -
+        (q(2) + q(6)).toDouble * (q(2) + q(6)))
+    assert(r.head.getDouble(5) == beta && beta > 0 && beta < 1,
+      s"slope ${r.head.getDouble(5)} vs hand $beta")
+  }
+
+  test("jackknifeRatio: identical blocks collapse the SE to zero") {
+    // three days, each contributing 6.00 over 3 events -> every
+    // leave-one-out ratio is exactly 2.0
+    val df = (1 to 3).flatMap(day => (1 to 3).map(i =>
+      (day.toLong, 2.0, 1L))).toDF("b", "x", "y")
+    val r = graft.operators.Inference.jackknifeRatio(df, col("b"),
+      col("x"), col("y")).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0 &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == 0.0,
+      s"degenerate jackknife: $r")
+  }
+
+  test("cmhTest: per-stratum independence gives chi2 = 0 and OR_MH = 1") {
+    // both strata perfectly balanced: a - E = 0 in each
+    val rows =
+      (1 to 10).map(i => ("s1", true, i <= 5)) ++
+      (1 to 10).map(i => ("s1", false, i <= 5)) ++
+      (1 to 4).map(i => ("s2", true, i <= 1)) ++
+      (1 to 4).map(i => ("s2", false, i <= 1))
+    val df = rows.toDF("s", "a", "o")
+    val r = graft.operators.Inference.cmhTest(df, col("s"), col("a"),
+      col("o")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L, s"strata/sum_a: $r")
+    assert(r.getDouble(4) == 0.0, s"balanced tables: chi2 must be 0: $r")
+    assert(r.getDouble(5) == 1.0, s"OR_MH must be exactly 1: $r")
+  }
+
+  test("ebBetaShrink: small samples shrink harder; uniform rates disable the prior") {
+    // trials/successes per entity: A 100/10, B 4/2, C 100/30
+    val df = Seq(("A", 100L, 10L), ("B", 4L, 2L), ("C", 100L, 30L))
+      .toDF("id", "t", "k")
+    val r = graft.operators.Inference.ebBetaShrink(df, "id", col("t"),
+        col("k")).collect()
+      .map(x => x.getString(0) -> (x.getDouble(3), x.getDouble(4))).toMap
+    val pull = (id: String) => math.abs(r(id)._2 - r(id)._1)
+    assert(pull("B") > pull("A") && pull("B") > pull("C"),
+      s"the n=4 entity must move most: $r")
+    assert(r("B")._2 < r("B")._1 && r("B")._2 > r("A")._1,
+      "B shrinks toward the grand mean without crossing it")
+    // uniform rates: zero between-entity variance -> shrunk == raw
+    val flat = Seq(("X", 10L, 5L), ("Y", 20L, 10L)).toDF("id", "t", "k")
+    val f = graft.operators.Inference.ebBetaShrink(flat, "id", col("t"),
+      col("k")).collect()
+    assert(f.forall(x => x.getDouble(4) == x.getDouble(3) && x.isNullAt(5)),
+      s"degenerate prior must fall back to raw rates: ${f.mkString(";")}")
+  }
+
   test("sprt: hand-computed LLR, both stopping decisions, bit-exact constants") {
     // day 1: users 1,2,3 active, user 1 purchases -> n=3, k=1
     // day 2: users 1,2 active, both purchase     -> n=5, k=3 cumulative
