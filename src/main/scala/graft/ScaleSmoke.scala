@@ -830,6 +830,28 @@ object ScaleSmoke {
           col("vec_id") < 20, m = 20, k = 5).count()
       }
     }
+    // MMD drift: the state is the (|labels| x dim) mean table — scan-
+    // bound, pair stage constant. Labels ride along in emb2Big replicas.
+    val emb3 = Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val emb3Big = (0 until factor)
+      .map(i => emb3.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", emb3), (s"${factor}x", emb3Big))) {
+      time(s"embedding_mmd   $label") {
+        operators.Similarity.linearMmdDrift(edf, "label",
+          "embedding").count()
+      }
+    }
+    // Benford: a 9-row digit grid off one keyed count — pure scan.
+    val ordP = Graft.table(spark, sfDir, "orders").select(col("o_totalprice"))
+    val ordPBig = (0 until factor).map(_ => ordP).reduce(_ unionByName _)
+    for ((label, odf) <- Seq(("1x", ordP), (s"${factor}x", ordPBig))) {
+      time(s"benford         $label") {
+        operators.Inference.benfordAudit(odf, col("o_totalprice")).count()
+      }
+    }
     spark.stop()
   }
 }

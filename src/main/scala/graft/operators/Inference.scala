@@ -413,6 +413,49 @@ object Inference {
           .otherwise(d(col("__r")) / d(col("__s"))).as("or_mh"))
   }
 
+  /** Benford first-digit audit (Newcomb 1881; Benford 1938): observed
+    * leading-digit shares of a positive amount column against the
+    * log10(1 + 1/d) law, with the χ² goodness-of-fit statistic — the
+    * classic fabricated-or-truncated-data smell test for financial and
+    * telemetry amounts (an amount column that fails Benford hard was
+    * usually capped, minimum-priced, or synthesized).
+    *
+    * Determinism: amounts quantize to exact integer cents, the leading
+    * digit is the first character of the BIGINT's decimal string (no
+    * log10 on data), the nine expected shares are driver-computed
+    * literals shared with the oracle, and each digit's χ² term
+    * micro-quantizes before an exact BIGINT sum. State: a 9-row digit
+    * grid. Output per digit: (digit, n_obs, obs_share, exp_share,
+    * chi2) — χ² repeated on every row. */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val probs = (1 to 9).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
+    val cents = (valueCol.cast(DecimalType(12, 2)) * lit(100))
+      .cast("bigint")
+    // full 1..9 grid so an absent digit still contributes its n·p term
+    val perDigit = df.sparkSession.range(1, 10).toDF("digit")
+      .join(df.select(cents.as("__c")).where(col("__c") > 0)
+        .select(substring(col("__c").cast("string"), 1, 1).cast("bigint")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("__no")),
+        Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("__no"), lit(0L)).as("n_obs"))
+    val tot = perDigit.agg(sum(col("n_obs")).as("__n"))
+    val expShare = probs.foldLeft(when(lit(false), 0.0)) {
+      case (acc, (dd, p)) => acc.when(col("digit") === dd, lit(p)) }
+    val withE = perDigit.crossJoin(broadcast(tot))
+      .withColumn("exp_share", expShare)
+      .withColumn("__t", round(
+        (d(col("n_obs")) - d(col("__n")) * col("exp_share")) *
+          (d(col("n_obs")) - d(col("__n")) * col("exp_share")) /
+          (d(col("__n")) * col("exp_share")) * lit(1e6)).cast("bigint"))
+    val chi = withE.agg(sum(col("__t")).as("__chi_mu"))
+    withE.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        (d(col("n_obs")) / d(col("__n"))).as("obs_share"),
+        col("exp_share"),
+        (d(col("__chi_mu")) / lit(1e6)).as("chi2"))
+  }
+
   /** Empirical-Bayes beta-binomial shrinkage (Robbins 1956; the
     * method-of-moments recipe of Morris 1983) of per-entity success
     * rates: fit a Beta(α, β) prior to the observed per-entity rates,

@@ -878,4 +878,48 @@ object Similarity {
           ((col("a_sum") + col("b_sum")).cast("double") /
             lit(2.0 * k * 1e6)), 6).as("margin"))
   }
+
+  /** Pairwise linear-kernel MMD² between every two label groups'
+    * embedding distributions: MMD²_lin(a, b) = ‖μ_a − μ_b‖² (Gretton et
+    * al., JMLR 2012 — the linear kernel collapses the full kernel MMD to
+    * a mean-embedding distance) — the distribution-level drift check for
+    * embedding spaces, beside the scalar drift family (JS q137 / KS
+    * q158 / W1 q292): "did the encoder or the corpus move" between two
+    * slices, without any pairwise example comparison.
+    *
+    * Exactness (the q292 discipline): each float component quantizes to
+    * integer micro-units at FIRST appearance, per-(group, dim) sums are
+    * exact BIGINTs, each dim's cross-group difference s_a·n_b − s_b·n_a
+    * stays integer, its square widens to DECIMAL(38,0) before the
+    * order-free sum, and ONE terminal division produces the double.
+    *
+    * Scale: state is the (|groups| × dim) mean table — the data scan is
+    * one posexplode + keyed aggregate; the pair stage is an equi-join on
+    * the dim index, |groups|²·dim rows, never data×data. Output:
+    * (label_a < label_b, n_a, n_b, mmd2). */
+  def linearMmdDrift(emb: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    val comp = emb
+      .select(col(labelCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__d", "__c")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(sum(round(col("__c").cast("double") * lit(1e6)).cast("bigint"))
+        .as("__s"), count(lit(1)).as("__n"))
+    val a = comp.toDF("ga", "da", "sa", "na")
+    val b = comp.toDF("gb", "db", "sb", "nb")
+    a.join(b, col("da") === col("db") && col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        (col("sa") * col("nb") - col("sb") * col("na")).as("__num"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        (col("__num").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          col("__num").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+          .as("__sq"))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(sum(col("__sq")).as("__ss"))
+      .select(col("ga").as("label_a"), col("gb").as("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        (col("__ss").cast("double") /
+          (col("na") * col("nb") * col("na") * col("nb")).cast("double") /
+          lit(1e12)).as("mmd2"))
+  }
 }

@@ -59,6 +59,15 @@ object InferQueries {
     "q218_length_gini" -> ((s, d) =>
       Inference.giniByGroup(table(s, d, "documents"), "source", "n_chars")),
 
+    // Benford first-digit audit of order amounts: observed leading-digit
+    // shares vs the log10(1+1/d) law + chi-square — the fabricated/
+    // truncated-amount smell test. Digits come from the exact-cents
+    // decimal string (no log10 on data); the nine expected shares are
+    // driver literals shared with the oracle. See Inference.benfordAudit.
+    "q308_benford" -> ((s, dir) =>
+      Inference.benfordAudit(table(s, dir, "orders"),
+        col("o_totalprice"))),
+
     // Delete-one-day jackknife SE for revenue-per-event — the ratio-
     // metric error bar whose within-day correlation the naive per-row
     // SE ignores; the determinate-replicate sibling of q282's seeded
@@ -343,6 +352,41 @@ object InferQueries {
         |  1.0 - CAST(sum(c * (2 * cum - m)) AS DOUBLE) /
         |    (CAST(sum(c) AS DOUBLE) * CAST(sum(m) AS DOUBLE)) AS gini
         |FROM cm GROUP BY 1""".stripMargin,
+
+    // Mirrors Inference.benfordAudit: identical driver-computed
+    // log10(1+1/d) literals, exact-cents digit extraction, micro-
+    // quantized chi-square terms summed as BIGINTs.
+    "q308_benford" -> {
+      val terms = (1 to 9).map(dd =>
+        s"WHEN $dd THEN '${math.log10(1.0 + 1.0 / dd)}'::DOUBLE")
+        .mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |    AS BIGINT) AS c
+         |  FROM orders),
+         |pd AS (
+         |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+         |      AS digit,
+         |    CAST(count(*) AS BIGINT) AS no
+         |  FROM c WHERE c > 0 GROUP BY 1),
+         |g AS (SELECT range AS digit FROM range(1, 10)),
+         |pg AS (SELECT g.digit, coalesce(pd.no, 0) AS n_obs
+         |  FROM g LEFT JOIN pd ON pd.digit = g.digit),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM pg),
+         |e AS (SELECT pg.digit, pg.n_obs, t.n,
+         |    CASE pg.digit $terms END AS exp_share
+         |  FROM pg CROSS JOIN t),
+         |w AS (SELECT *, CAST(round(
+         |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
+         |    * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
+         |    / (CAST(n AS DOUBLE) * exp_share) * 1e6) AS BIGINT) AS tmu
+         |  FROM e),
+         |chi AS (SELECT CAST(sum(tmu) AS BIGINT) AS cmu FROM w)
+         |SELECT digit, n_obs,
+         |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+         |  exp_share, CAST(chi.cmu AS DOUBLE) / 1e6 AS chi2
+         |FROM w CROSS JOIN chi""".stripMargin
+    },
 
     // Mirrors Inference.jackknifeRatio: exact DECIMAL/BIGINT block sums,
     // leave-one-out ratios micro-quantized, one fixed-order SE formula.

@@ -30,6 +30,15 @@ object MlQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Pairwise linear-kernel MMD^2 between label groups' embedding
+    // distributions: ||mu_a - mu_b||^2 from exact micro-quantized
+    // per-(group, dim) sums — "did the encoder or corpus move between
+    // slices", the embedding-space drift beside JS/KS/W1. See
+    // Similarity.linearMmdDrift.
+    "q307_embedding_mmd" -> ((s, d) =>
+      graft.operators.Similarity.linearMmdDrift(
+        table(s, d, "embeddings"), "label", "embedding")),
+
     // Multinomial naive-Bayes source classifier (add-one smoothing), the
     // fastText-style domain/quality gate: train on even doc_ids, score odd,
     // output the confusion matrix. Model = three train-split aggregates;
@@ -448,6 +457,29 @@ object MlQueries {
   private def rboDenom: Long = MlOps.rboWeights(rboK)._2
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Similarity.linearMmdDrift: the q194 component
+    // quantization, exact per-(group, dim) BIGINT sums, DECIMAL(38,0)
+    // squares, one terminal division.
+    "q307_embedding_mmd" ->
+      """WITH comp AS (
+        |  SELECT label AS g,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS d,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS c
+        |  FROM embeddings),
+        |m AS (SELECT g, d, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM comp GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.g AS label_a, b.g AS label_b, a.n AS n_a, b.n AS n_b,
+        |    a.s * b.n - b.s * a.n AS num
+        |  FROM m a JOIN m b ON a.d = b.d AND a.g < b.g)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  CAST(sum(CAST(num AS DECIMAL(19,0)) * CAST(num AS DECIMAL(19,0)))
+        |      AS DOUBLE)
+        |    / CAST(n_a * n_b * n_a * n_b AS DOUBLE) / 1e12 AS mmd2
+        |FROM pr GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q193_nb_source_confusion" ->
       """WITH tok AS (

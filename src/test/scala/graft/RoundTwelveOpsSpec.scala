@@ -103,6 +103,40 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       s"degenerate prior must fall back to raw rates: ${f.mkString(";")}")
   }
 
+  test("linearMmdDrift: identical groups give 0; orthogonal unit means give 2") {
+    val same = Seq((0, Seq(1.0f, 0.5f)), (0, Seq(0.0f, 0.5f)),
+      (1, Seq(1.0f, 0.5f)), (1, Seq(0.0f, 0.5f)))
+      .toDF("label", "embedding")
+    val s = graft.operators.Similarity.linearMmdDrift(same, "label",
+      "embedding").head()
+    assert(s.getDouble(4) == 0.0, s"identical distributions: $s")
+    // mu_a = (1,0), mu_b = (0,1) -> ||diff||^2 = 2 exactly in micro units
+    val ortho = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val o = graft.operators.Similarity.linearMmdDrift(ortho, "label",
+      "embedding").head()
+    assert(o.getDouble(4) == 2.0, s"orthogonal unit means: $o")
+  }
+
+  test("benfordAudit: all-digit-1 amounts, hand chi-square, full 9-row grid") {
+    // 40 amounts of 1xx.xx cents -> every leading digit is 1
+    val df = (1 to 40).map(i => 10.0 + i * 0.01).toDF("v")
+    val r = graft.operators.Inference.benfordAudit(df, col("v"))
+      .orderBy("digit").collect()
+    assert(r.length == 9, "absent digits still occupy the grid")
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 40L &&
+      r.head.getDouble(2) == 1.0, s"all mass on digit 1: ${r.head}")
+    assert(r.tail.forall(_.getLong(1) == 0L))
+    // hand chi2 with the operator's exact micro-quantization
+    val chi = (1 to 9).map { dd =>
+      val p = math.log10(1.0 + 1.0 / dd)
+      val obs = if (dd == 1) 40.0 else 0.0
+      math.round((obs - 40.0 * p) * (obs - 40.0 * p) / (40.0 * p) * 1e6)
+    }.sum / 1e6
+    assert(r.forall(_.getDouble(4) == chi),
+      s"chi2 ${r.head.getDouble(4)} vs hand $chi, repeated on every row")
+  }
+
   test("sprt: hand-computed LLR, both stopping decisions, bit-exact constants") {
     // day 1: users 1,2,3 active, user 1 purchases -> n=3, k=1
     // day 2: users 1,2 active, both purchase     -> n=5, k=3 cumulative
