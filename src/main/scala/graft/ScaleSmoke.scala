@@ -830,6 +830,16 @@ object ScaleSmoke {
           col("vec_id") < 20, m = 20, k = 5).count()
       }
     }
+    // aHash media dedup: one mapPartitions pass mints 4 band sigs per
+    // payload; candidates are band-bucket collisions (replica cliques
+    // are real pairs — the same answer-bound floor as q31/q75/q300).
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"media_ahash     $label") {
+        operators.Multimodal.ahashNearDup(
+          operators.Multimodal.fromText(spark, df, "doc_id", "text",
+            "image"), maxHamming = 12).count()
+      }
+    }
     // MMD drift: the state is the (|labels| x dim) mean table — scan-
     // bound, pair stage constant. Labels ride along in emb2Big replicas.
     val emb3 = Graft.table(spark, sfDir, "embeddings")

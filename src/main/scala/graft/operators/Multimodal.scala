@@ -101,4 +101,78 @@ object Multimodal {
         col(textCol).cast("binary").as("content"))
       .as[Media]
   }
+
+  /** Average-hash (aHash — the classic perceptual-hash family's simplest
+    * member) banded signatures over raw payload BYTES: the payload is cut
+    * into `cells` contiguous byte ranges, each cell's bit is "cell mean >
+    * payload mean" (compared CROSS-MULTIPLIED in exact integers — no
+    * division), and the `cells` bits split into `bands` LSH bands of
+    * cells/bands bits each. A real image aHash downsamples pixels to an
+    * 8×8 grid first; here the byte grid IS the stub decode (the
+    * [[stubDecode]] contract: swap in a real codec, the banding/join
+    * shape stays). Payloads shorter than `cells` bytes are dropped —
+    * under one byte per cell the grid carries no signal.
+    *
+    * One `mapPartitions` pass per payload (the module's batching shape) —
+    * no shuffle, no per-row closure setup. Output: (media_id, band, sig). */
+  def ahashSigs(media: Dataset[Media], cells: Int = 64,
+                bands: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    require(cells % bands == 0 && cells / bands <= 62,
+      "bands must tile the cells and fit a long signature")
+    val perBand = cells / bands
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val bs = m.content
+        val ln = bs.length
+        if (ln < cells) Iterator.empty
+        else {
+          val cellSum = new Array[Long](cells)
+          val cellCnt = new Array[Long](cells)
+          var tot = 0L
+          var p = 0
+          while (p < ln) {
+            val c = ((p.toLong * cells) / ln).toInt
+            val v = (bs(p) & 0xFF).toLong
+            cellSum(c) += v; cellCnt(c) += 1; tot += v
+            p += 1
+          }
+          (0 until bands).iterator.map { b =>
+            var sig = 0L
+            var j = 0
+            while (j < perBand) {
+              val c = b * perBand + j
+              if (cellSum(c) * ln > tot * cellCnt(c)) sig |= (1L << j)
+              j += 1
+            }
+            (m.media_id, b, sig)
+          }
+        }
+      }
+    }.toDF("media_id", "band", "sig")
+  }
+
+  /** Perceptual near-duplicate pairs over media payloads: band-bucket
+    * LSH candidates (a pair collides iff SOME band's 16 bits agree
+    * exactly — never all-pairs), verified by the full Hamming distance
+    * over all bands' signatures. The multimodal member of the dedup
+    * family (MinHash q31 / SimHash q32 / n-gram q75 / exact-substring
+    * q300), with the same bucketed-join scale posture. Output:
+    * (media_a, media_b, hamming ≤ maxHamming). */
+  def ahashNearDup(media: Dataset[Media], maxHamming: Int = 8,
+                   cells: Int = 64, bands: Int = 4): DataFrame = {
+    val sigs = CacheScope.persist(ahashSigs(media, cells, bands))
+    val cand = sigs.toDF("media_a", "band", "sig")
+      .join(sigs.toDF("media_b", "band", "sig"), Seq("band", "sig"))
+      .where(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    cand
+      .join(sigs.toDF("media_a", "band", "sig_a"), "media_a")
+      .join(sigs.toDF("media_b", "band", "sig_b"), Seq("media_b", "band"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(sum(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+        .cast("bigint")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
 }

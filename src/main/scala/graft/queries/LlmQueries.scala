@@ -195,6 +195,16 @@ object LlmQueries {
     // Multimodal: opaque binary payload column + typed metadata (byte size,
     // leading-bytes hex, content fingerprint) — the metadata layer every
     // media pipeline needs before any codec runs.
+    // Perceptual near-dup over media payloads: aHash byte-grid bits,
+    // 4×16-bit LSH bands, full-Hamming verify — the multimodal member of
+    // the dedup family. Payload bytes come from fromText (the q36/q37
+    // minting path); a real image codec swaps into stubDecode without
+    // touching the banding/join shape. See Multimodal.ahashNearDup.
+    "q309_media_ahash_dedup" -> ((s, d) =>
+      graft.operators.Multimodal.ahashNearDup(
+        graft.operators.Multimodal.fromText(s, table(s, d, "documents"),
+          "doc_id", "text", "image"), maxHamming = 12)),
+
     "q36_binary_meta" -> ((s, d) =>
       table(s, d, "documents").select(
         col("doc_id"),
@@ -1543,6 +1553,48 @@ object LlmQueries {
     // Mirrors CorpusStats.vocabCoverage: same tokenize/filter order,
     // exact frequency-of-frequency BIGINTs into the two estimator
     // formulas with identical operation order.
+    // Mirrors Multimodal.ahashNearDup on the text-minted payloads: byte
+    // values via ord, exact cross-multiplied cell bits, identical band
+    // packing and Hamming verify.
+    "q309_media_ahash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    [ord(substr(text, i, 1)) for i in range(1, length(text) + 1)]
+        |      AS l
+        |  FROM documents WHERE length(text) >= 64),
+        |pos AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS p,
+        |    CAST(unnest(l) AS BIGINT) AS v, CAST(len(l) AS BIGINT) AS ln
+        |  FROM d),
+        |cellv AS (SELECT doc_id, ln, p * 64 // ln AS c, v FROM pos),
+        |cs AS (SELECT doc_id, ln, c, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM cellv GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot
+        |  FROM cellv GROUP BY 1),
+        |bits AS (SELECT cs.doc_id, cs.c // 16 AS band, cs.c % 16 AS off,
+        |    CASE WHEN cs.s * cs.ln > tt.tot * cs.k THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM cs JOIN tt ON cs.doc_id = tt.doc_id),
+        |sigs AS (SELECT doc_id, band,
+        |    CAST(sum(bit * (1 << off)) AS BIGINT) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT cand.media_a, cand.media_b,
+        |    CAST(sum(bit_count(xor(sa.sig, sb.sig))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.media_a
+        |  JOIN sigs sb ON sb.doc_id = cand.media_b AND sb.band = sa.band
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, hamming FROM h
+        |WHERE hamming <= 12""".stripMargin,
+
     // Mirrors CorpusStats.heapsLaw: same integer bucket fold, ln
     // micro-quantized at first appearance, exact BIGINT fit sums.
     "q303_heaps_law" ->

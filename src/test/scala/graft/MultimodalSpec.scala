@@ -57,4 +57,32 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("frame_idx").collect()
     assert(one.forall(_.getAs[Array[Byte]]("frame").length <= 8))
   }
+
+  test("ahash near-dup: exact copies at hamming 0, perturbed copy close, short payloads dropped") {
+    import spark.implicits._
+    val base = ("x" * 40 + "y" * 40 + "z" * 48) // 128 bytes, strong profile
+    // mean-PRESERVING two-cell swap (+2 twice in cell 2, -2 twice in
+    // cell 60): only those two cells' bits can flip — a perturbation
+    // that shifts the global mean would flip every borderline cell
+    val perturbed = base.updated(4, 'z').updated(5, 'z')
+      .updated(120, 'x').updated(121, 'x').toString
+    val df = Seq((1L, base), (2L, base), (3L, perturbed),
+      (4L, "short payload"), // < 64 bytes -> dropped before hashing
+      (5L, ("q" * 64) + ("m" * 64))) // different profile entirely
+      .toDF("doc_id", "text")
+    val m = Multimodal.fromText(spark, df, "doc_id", "text", "image")
+    val sigs = Multimodal.ahashSigs(m)
+    assert(sigs.where(col("media_id") === 4L).count() == 0,
+      "sub-64-byte payloads carry no grid signal")
+    assert(sigs.groupBy("media_id").count().collect()
+      .forall(_.getLong(1) == 4L), "four bands per surviving payload")
+    val pairs = Multimodal.ahashNearDup(m, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, s"exact copies must be hamming 0: $pairs")
+    assert(pairs.get((1L, 3L)).exists(h => h > 0L && h <= 12L),
+      s"two flipped bytes stay within the band+verify gate: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      s"the disjoint profile must not pair: $pairs")
+    graft.operators.CacheScope.drain()
+  }
 }

@@ -447,8 +447,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q297_vocab_coverage", "q298_capture_recapture",
         "q299_kish_ess", "q301_cuped_stratified", "q302_sprt",
         "q303_heaps_law", "q304_jackknife_ratio", "q305_cmh_test",
-        "q306_eb_shrinkage", "q307_embedding_mmd", "q308_benford")
-      .foreach { q =>
+        "q306_eb_shrinkage", "q307_embedding_mmd", "q308_benford",
+        "q309_media_ahash_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }
