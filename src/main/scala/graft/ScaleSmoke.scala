@@ -789,6 +789,20 @@ object ScaleSmoke {
           when(col("event_type") === "purchase", 1L).otherwise(0L)).count()
       }
     }
+    // DiD: four broadcast cells + a calendar-bounded slope grid — the
+    // (user, day) grain aggregate is the whole cost.
+    for ((label, edf) <- Seq(("1x", evv), (s"${factor}x", evvBig))) {
+      time(s"diff_in_diff    $label") {
+        val grain = edf.groupBy(col("user_id"),
+            dayofmonth(col("ts")).cast("bigint").as("__day"))
+          .agg(sum(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("__val"))
+        operators.Stats.diffInDiff(grain,
+          pmod(col("user_id"), lit(2)) === 0,
+          col("__day") >= 16, col("__day"), col("__val")).count()
+      }
+    }
     // Vocab coverage: the type table is Zipf-bounded — replicas add
     // occurrences, never types, so the panel is constant and cost is
     // the tokenize + (group, token) count.

@@ -300,6 +300,62 @@ object Stats {
         .otherwise((dxy / dxx) * dxy / dyy).as("var_reduction"))
   }
 
+  /** Difference-in-differences (the Card & Krueger 1994 design) on a
+    * (unit, day, outcome) grain with a parallel-trends pre-audit:
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), plus the
+    * pre-period daily-mean slope gap between treated and control — the
+    * assumption check that decides whether the DiD is believable at
+    * all (diverging pre-trends fake an effect).
+    *
+    * Exactness: the four cell means divide exact DECIMAL sums by exact
+    * counts in one fixed order; the pre-trend slopes micro-quantize
+    * each pre-day's group mean at first appearance (the q303 fit
+    * discipline) so both slope fits run on exact BIGINT sums, and the
+    * gap is one terminal subtraction. State: 4 cells + a calendar-
+    * bounded (group, day) grid. Output: one row (n/mean per cell ×4,
+    * did, slope_t_pre, slope_c_pre, pretrend_gap). */
+  def diffInDiff(grain: DataFrame, treatCol: Column, postCol: Column,
+                 dayCol: Column, valueCol: Column): DataFrame = {
+    val base = grain.select(treatCol.cast("boolean").as("__t"),
+      postCol.cast("boolean").as("__p"), dayCol.cast("bigint").as("__d"),
+      dec(valueCol).as("__v"))
+    val cells = base.groupBy(col("__t"), col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .select(col("__t"), col("__p"), col("__n"),
+        (d(col("__s")) / d(col("__n"))).as("__m"))
+    def cell(t: Boolean, p: Boolean, suffix: String) =
+      cells.where(col("__t") === t && col("__p") === p)
+        .select(col("__n").as(s"n_$suffix"), col("__m").as(s"mean_$suffix"))
+    val wide = broadcast(cell(true, false, "t_pre"))
+      .crossJoin(broadcast(cell(true, true, "t_post")))
+      .crossJoin(broadcast(cell(false, false, "c_pre")))
+      .crossJoin(broadcast(cell(false, true, "c_post")))
+    // pre-period slope per group over the day grid, micro-quantized
+    val preDay = base.where(!col("__p"))
+      .groupBy(col("__t"), col("__d"))
+      .agg(round(d(sum(col("__v"))) / d(count(lit(1))) * lit(1e6))
+        .cast("bigint").as("__mmu"))
+    val fits = preDay.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__j"), sum(col("__d")).as("__sx"),
+        sum(col("__mmu")).as("__sy"),
+        sum(col("__d") * col("__mmu")).as("__sxy"),
+        sum(col("__d") * col("__d")).as("__sxx"))
+      .select(col("__t"),
+        ((d(col("__j")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+          (d(col("__j")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))) /
+          lit(1e6)).as("__slope"))
+    val st = fits.where(col("__t")).select(col("__slope").as("slope_t_pre"))
+    val sc = fits.where(!col("__t")).select(col("__slope").as("slope_c_pre"))
+    wide.crossJoin(broadcast(st)).crossJoin(broadcast(sc))
+      .select(col("n_t_pre"), col("mean_t_pre"), col("n_t_post"),
+        col("mean_t_post"), col("n_c_pre"), col("mean_c_pre"),
+        col("n_c_post"), col("mean_c_post"),
+        ((col("mean_t_post") - col("mean_t_pre")) -
+          (col("mean_c_post") - col("mean_c_pre"))).as("did"),
+        col("slope_t_pre"), col("slope_c_pre"),
+        (col("slope_t_pre") - col("slope_c_pre")).as("pretrend_gap"))
+  }
+
   /** Wald SPRT (Wald 1945, "Sequential Tests of Statistical
     * Hypotheses") on a daily Bernoulli conversion stream: after t days
     * the cumulative log-likelihood ratio of H1: p = p1 against

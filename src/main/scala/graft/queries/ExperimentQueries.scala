@@ -115,6 +115,21 @@ object ExperimentQueries {
       Stats.cupedStratified(perUser, "cohort", "pre", "post")
     }),
 
+    // Difference-in-differences: even-id users "treated" in the second
+    // half-month, outcome = per-(user, day) value; DiD point estimate
+    // from the four exact cell means plus the parallel-trends pre-audit
+    // (pre-period daily-mean slope gap). See Stats.diffInDiff.
+    "q310_diff_in_diff" -> ((s, dir) => {
+      val grain = table(s, dir, "events")
+        .groupBy(col("user_id"),
+          dayofmonth(col("ts")).cast("bigint").as("__day"))
+        .agg(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("__val"))
+      Stats.diffInDiff(grain, pmod(col("user_id"), lit(2)) === 0,
+        col("__day") >= 16, col("__day"), col("__val"))
+    }),
+
     // Wald SPRT on the daily purchase-conversion stream: H0 p=0.10 vs
     // H1 p=0.15, alpha=.05 / beta=.2 — the stop-any-day sequential test
     // beside q296's fixed-horizon group-sequential boundary. All four
@@ -277,6 +292,48 @@ object ExperimentQueries {
         |  CASE WHEN dxx = 0.0 OR dyy = 0.0 THEN CAST(0.0 AS DOUBLE)
         |    ELSE (dxy / dxx) * dxy / dyy END AS var_reduction
         |FROM m""".stripMargin,
+
+    // Mirrors Stats.diffInDiff: exact DECIMAL cell sums, one fixed-order
+    // mean division per cell, micro-quantized pre-day means feeding
+    // exact BIGINT slope fits.
+    "q310_diff_in_diff" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(day(ts) AS BIGINT) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id % 2 = 0 AS t, d >= 16 AS p, d,
+        |    CAST(v AS DECIMAL(12,2)) AS v FROM g),
+        |cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM b GROUP BY 1, 2),
+        |pre AS (SELECT t, d, CAST(round(CAST(sum(v) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS mmu
+        |  FROM b WHERE NOT p GROUP BY 1, 2),
+        |fits AS (SELECT t, CAST(count(*) AS BIGINT) AS j,
+        |    CAST(sum(d) AS BIGINT) AS sx,
+        |    CAST(sum(mmu) AS BIGINT) AS sy,
+        |    CAST(sum(d * mmu) AS BIGINT) AS sxy,
+        |    CAST(sum(d * d) AS BIGINT) AS sxx
+        |  FROM pre GROUP BY 1),
+        |sl AS (SELECT t, (CAST(j AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(j AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e6 AS slope
+        |  FROM fits)
+        |SELECT
+        |  tp.n AS n_t_pre, tp.m AS mean_t_pre,
+        |  tq.n AS n_t_post, tq.m AS mean_t_post,
+        |  cp.n AS n_c_pre, cp.m AS mean_c_pre,
+        |  cq.n AS n_c_post, cq.m AS mean_c_post,
+        |  (tq.m - tp.m) - (cq.m - cp.m) AS did,
+        |  st.slope AS slope_t_pre, sc.slope AS slope_c_pre,
+        |  st.slope - sc.slope AS pretrend_gap
+        |FROM (SELECT n, m FROM cells WHERE t AND NOT p) tp,
+        |     (SELECT n, m FROM cells WHERE t AND p) tq,
+        |     (SELECT n, m FROM cells WHERE NOT t AND NOT p) cp,
+        |     (SELECT n, m FROM cells WHERE NOT t AND p) cq,
+        |     (SELECT slope FROM sl WHERE t) st,
+        |     (SELECT slope FROM sl WHERE NOT t) sc""".stripMargin,
 
     // Mirrors Stats.sprt: the identical driver-computed ln literals
     // (Double.toString round-trips; DuckDB's VARCHAR->DOUBLE cast is

@@ -103,6 +103,27 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       s"degenerate prior must fall back to raw rates: ${f.mkString(";")}")
   }
 
+  test("diffInDiff: planted +3 effect under exactly parallel trends") {
+    // control follows v = d, treated v = d + 5 pre and d + 8 post:
+    // parallel unit slopes, a clean +3 treatment effect
+    val preDays = Seq(1L, 2L, 3L, 4L); val postDays = Seq(16L, 17L)
+    val rows =
+      preDays.map(dd => (false, false, dd, dd.toDouble)) ++
+      postDays.map(dd => (false, true, dd, dd.toDouble)) ++
+      preDays.map(dd => (true, false, dd, dd + 5.0)) ++
+      postDays.map(dd => (true, true, dd, dd + 8.0))
+    val df = rows.toDF("t", "p", "d", "v")
+    val r = graft.operators.Stats.diffInDiff(df, col("t"), col("p"),
+      col("d"), col("v")).head()
+    assert(r.getDouble(1) == 7.5 && r.getDouble(3) == 24.5 &&
+      r.getDouble(5) == 2.5 && r.getDouble(7) == 16.5,
+      s"cell means: $r")
+    assert(r.getDouble(8) == 3.0, s"DiD must recover the planted +3: $r")
+    assert(r.getDouble(9) == 1.0 && r.getDouble(10) == 1.0 &&
+      r.getDouble(11) == 0.0,
+      s"exactly parallel pre-trends, zero gap: $r")
+  }
+
   test("linearMmdDrift: identical groups give 0; orthogonal unit means give 2") {
     val same = Seq((0, Seq(1.0f, 0.5f)), (0, Seq(0.0f, 0.5f)),
       (1, Seq(1.0f, 0.5f)), (1, Seq(0.0f, 0.5f)))
