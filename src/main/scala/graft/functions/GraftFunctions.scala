@@ -69,6 +69,11 @@ object GraftFunctions {
         arity("token_top_ngram_count", args, 2)
         TokenTopNgramCount(args(0), intLit(args(1), "token_top_ngram_count", 2))
       }),
+    ("token_window_hashes", classOf[TokenWindowHashes],
+      (args: Seq[Expression]) => {
+        arity("token_window_hashes", args, 2)
+        TokenWindowHashes(args(0), intLit(args(1), "token_window_hashes", 2))
+      }),
     ("packed_pairs", classOf[PackedPairs],
       (args: Seq[Expression]) => {
         arity("packed_pairs", args, 1); PackedPairs(args(0))

@@ -124,12 +124,38 @@ object TokenNgrams {
     top(0)
   }
 
+  /** ALL k-token windows (positional, NOT deduplicated) as FNV-1a hashes
+    * of their byte spans — the inventory form for position-aware shingle
+    * pipelines (exact-substring dedup): window w of row r is element w,
+    * so `posexplode` recovers (start, fingerprint) with no token array,
+    * no window strings, no digest. Rows with fewer than k tokens return
+    * an EMPTY array — the expression is total, so speculative pre-filter
+    * evaluation can never throw. */
+  def windowHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val starts = tokenStarts(bytes)
+    val windows = math.max(starts.length - 1 - k + 1, 0)
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val b0 = starts(w); val b1 = starts(w + k) - 1
+      var h = -3750763034362895579L // FNV-1a offset basis
+      var j = b0
+      while (j < b1) { h = (h ^ (bytes(j) & 0xffL)) * 1099511628211L; j += 1 }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def token_ngram_distinct_count(c: Column, n: Int): Column =
     GraftShims.column(TokenNgramDistinctCount(GraftShims.expression(c), n))
   def token_ngram_distinct_hashes(c: Column, n: Int): Column =
     GraftShims.column(TokenNgramDistinctHashes(GraftShims.expression(c), n))
   def token_top_ngram_count(c: Column, n: Int): Column =
     GraftShims.column(TokenTopNgramCount(GraftShims.expression(c), n))
+  def token_window_hashes(c: Column, n: Int): Column =
+    GraftShims.column(TokenWindowHashes(GraftShims.expression(c), n))
 }
 
 private[functions] trait TokenNgramExpr extends UnaryExpression {
@@ -169,6 +195,22 @@ case class TokenNgramDistinctHashes(child: Expression, n: Int) extends TokenNgra
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TokenNgrams.hashes($c, $n);")
   override protected def withNewChildInternal(c: Expression): TokenNgramDistinctHashes =
+    copy(child = c)
+}
+
+/** ALL k-token windows as positional FNV-1a byte-span hashes — see
+  * [[TokenNgrams.windowHashes]]. Join identity only (a 64-bit collision
+  * merges two windows the way the md5 form's would at 128 bits — the q75
+  * hashed-gram-identity precedent). */
+case class TokenWindowHashes(child: Expression, n: Int) extends TokenNgramExpr {
+  override def fnName: String = "token_window_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TokenNgrams.windowHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenNgrams.windowHashes($c, $n);")
+  override protected def withNewChildInternal(c: Expression): TokenWindowHashes =
     copy(child = c)
 }
 

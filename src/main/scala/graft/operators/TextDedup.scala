@@ -781,34 +781,33 @@ object TextDedup {
     * diagonal), never global. At 100 TB the window inventory is ~tokens
     * × 16 B rows — the same order as the corpus itself — and every
     * stage is linear in it except the df-capped pair join. Priced at
-    * sf0.1: 3.2 s warmed (the ~200k-window md5 inventory dominates;
-    * persisted once, consumed by the df-cap aggregate and both join
-    * sides); the 10× ScaleSmoke curve is 1.45× cost for 10× input with
-    * ~1000× more TRUE pairs (replica cliques), i.e. output-bound — the
-    * same answer-size floor as the other pair-output dedups.
+    * sf0.1: 3.2 s warmed with the first-cut md5(concat_ws(slice))
+    * inventory → **1.2 s** after token_window_hashes minted the
+    * fingerprints natively (one codegen'd pass, 8-byte join keys, no
+    * window strings); inventory persisted once for its three consumers.
+    * The 10× ScaleSmoke curve is output-bound (~1000× more TRUE pairs
+    * from replica cliques) — the same answer-size floor as the other
+    * pair-output dedups.
     *
     * Output: one row per maximal run — (doc_a, doc_b, a_start, b_start,
     * run_tokens), 1-based token offsets, doc_a < doc_b. */
   def exactSubstringRuns(docs: DataFrame, idCol: String, textCol: String,
                          l: Int = 20, maxDf: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One native single-pass expression mints every window's 64-bit
+    // FNV-1a byte-span fingerprint (token_window_hashes): no token
+    // array, no window strings, no digest — fingerprints are JOIN
+    // IDENTITY only, so swapping the md5 form moved no output bits (the
+    // q75 hashed-gram-identity precedent; the DuckDB oracle keeps
+    // md5(window) as ITS key — both are the same partition of windows).
+    // The expression is total (short rows → empty array), so no
+    // speculative-evaluation guard is needed.
     val pos = docs
-      .where(size(tokens(textCol)) >= l)
-      .select(col(idCol).as("doc"), tokens(textCol).as("__ts"))
-      .select(col("doc"),
-        // greatest(..., 1) keeps the expression TOTAL under speculative
-        // pre-filter evaluation (the shingleSets discipline): a short row
-        // yields one truncated window here and is dropped by the filter —
-        // never observable; without it sequence(1, 0) runs DESCENDING
-        // into slice(_, 0, _), which throws. The token array is bound
-        // OUTSIDE the lambda so the split runs once per document, not
-        // once per window.
-        expr(s"transform(sequence(1, greatest(size(__ts) - ${l - 1}, 1)), " +
-          s"i -> struct(CAST(i AS BIGINT) AS i, " +
-          s"md5(concat_ws(' ', slice(__ts, i, $l))) AS fp))")
-          .as("ps"))
-      .select(col("doc"), explode(col("ps")).as("p"))
-      .select(col("doc"), col("p.i").as("i"), col("p.fp").as("fp"))
+      .select(col(idCol).as("doc"),
+        posexplode(graft.functions.TokenNgrams.token_window_hashes(
+          col(textCol), l)).as(Seq("__p0", "fp")))
+      .select(col("doc"), (col("__p0") + 1).cast("bigint").as("i"),
+        col("fp"))
     // the window inventory feeds the df-cap aggregate AND both pair-join
     // sides — persist once instead of re-hashing every window three times
     val posC = CacheScope.persist(pos)

@@ -53,6 +53,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)) == ((2L, 2L, 3, 2L)))
   }
 
+  test("token_window_hashes: positional inventory, byte-span identity, total on short rows") {
+    import spark.implicits._
+    // 'a b a b': 2-token windows are [a b], [b a], [a b] — positions
+    // 0 and 2 must carry the SAME hash, 1 a different one
+    val r = spark.sql("SELECT token_window_hashes('a b a b', 2) AS h").head()
+      .getSeq[Long](0)
+    assert(r.length == 3 && r(0) == r(2) && r(0) != r(1), s"windows: $r")
+    // parity with the distinct form: same first-seen distinct hashes
+    val distinct = spark.sql(
+      "SELECT token_ngram_distinct_hashes('a b a b', 2) AS h").head().getSeq[Long](0)
+    assert(distinct == Seq(r(0), r(1)))
+    // shorter than k tokens -> EMPTY array, never an error
+    assert(spark.sql("SELECT token_window_hashes('a', 2) AS h").head()
+      .getSeq[Long](0).isEmpty)
+    // Column path agrees with SQL path
+    val df = Seq("x y z x y").toDF("text")
+    assert(df.select(graft.functions.TokenNgrams
+        .token_window_hashes(col("text"), 3).as("h")).head().getSeq[Long](0)
+      == df.selectExpr("token_window_hashes(text, 3) AS h").head().getSeq[Long](0))
+  }
+
   test("term_counts matches filter(split(...)) per term, incl. unicode/empties") {
     import spark.implicits._
     val df = Seq(
