@@ -868,12 +868,14 @@ object ScaleSmoke {
           "embedding").count()
       }
     }
-    // Benford: a 9-row digit grid off one keyed count — pure scan.
-    val ordP = Graft.table(spark, sfDir, "orders").select(col("o_totalprice"))
+    // Benford: a |groups|x9 digit grid off one keyed count — pure scan.
+    val ordP = Graft.table(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
     val ordPBig = (0 until factor).map(_ => ordP).reduce(_ unionByName _)
     for ((label, odf) <- Seq(("1x", ordP), (s"${factor}x", ordPBig))) {
       time(s"benford         $label") {
-        operators.Inference.benfordAudit(odf, col("o_totalprice")).count()
+        operators.Inference.benfordByGroup(odf, "o_orderpriority",
+          col("o_totalprice")).count()
       }
     }
     spark.stop()

@@ -413,47 +413,55 @@ object Inference {
           .otherwise(d(col("__r")) / d(col("__s"))).as("or_mh"))
   }
 
-  /** Benford first-digit audit (Newcomb 1881; Benford 1938): observed
-    * leading-digit shares of a positive amount column against the
-    * log10(1 + 1/d) law, with the χ² goodness-of-fit statistic — the
-    * classic fabricated-or-truncated-data smell test for financial and
-    * telemetry amounts (an amount column that fails Benford hard was
-    * usually capped, minimum-priced, or synthesized).
+  /** Grouped Benford χ² audit (Newcomb 1881; Benford 1938) — "WHICH
+    * segment fails the first-digit law": per group, the 8-df χ²
+    * goodness-of-fit of the group's leading-digit counts against
+    * log10(1 + 1/d), with a pass/fail flag at the caller's critical
+    * value. The test-statistic companion to q228's global per-digit
+    * screen ([[Stats.benfordScreen]] shows WHERE the global shape
+    * deviates; this says WHICH slice deviates significantly — the
+    * segment whose amounts were capped, minimum-priced, or synthesized).
     *
     * Determinism: amounts quantize to exact integer cents, the leading
     * digit is the first character of the BIGINT's decimal string (no
     * log10 on data), the nine expected shares are driver-computed
-    * literals shared with the oracle, and each digit's χ² term
-    * micro-quantizes before an exact BIGINT sum. State: a 9-row digit
-    * grid. Output per digit: (digit, n_obs, obs_share, exp_share,
-    * chi2) — χ² repeated on every row. */
-  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    * literals shared with the oracle, and each (group, digit) χ² term
+    * micro-quantizes before an exact BIGINT per-group sum — absent
+    * digits still contribute their n·p term through the group×digit
+    * grid. State: |groups|×9 rows. Output per group: (groupCol,
+    * n_amounts, chi2, fails_benford). */
+  def benfordByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+                     chi2Crit: Double = 15.507313): DataFrame = {
     val probs = (1 to 9).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
     val cents = (valueCol.cast(DecimalType(12, 2)) * lit(100))
       .cast("bigint")
-    // full 1..9 grid so an absent digit still contributes its n·p term
-    val perDigit = df.sparkSession.range(1, 10).toDF("digit")
-      .join(df.select(cents.as("__c")).where(col("__c") > 0)
-        .select(substring(col("__c").cast("string"), 1, 1).cast("bigint")
+    val obs = df.select(col(groupCol).as("__g"), cents.as("__c"))
+      .where(col("__c") > 0)
+      .select(col("__g"),
+        substring(col("__c").cast("string"), 1, 1).cast("bigint")
           .as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("__no")),
-        Seq("digit"), "left")
-      .select(col("digit"), coalesce(col("__no"), lit(0L)).as("n_obs"))
-    val tot = perDigit.agg(sum(col("n_obs")).as("__n"))
+      .groupBy(col("__g"), col("digit")).agg(count(lit(1)).as("__no"))
+    // full group×digit grid so an absent digit still contributes n·p
+    val grid = obs.select(col("__g")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(1, 10).toDF("digit")))
+      .join(obs, Seq("__g", "digit"), "left")
+      .select(col("__g"), col("digit"),
+        coalesce(col("__no"), lit(0L)).as("n_obs"))
+    val tot = grid.groupBy(col("__g")).agg(sum(col("n_obs")).as("__n"))
     val expShare = probs.foldLeft(when(lit(false), 0.0)) {
       case (acc, (dd, p)) => acc.when(col("digit") === dd, lit(p)) }
-    val withE = perDigit.crossJoin(broadcast(tot))
-      .withColumn("exp_share", expShare)
+    grid.join(tot, "__g")
       .withColumn("__t", round(
-        (d(col("n_obs")) - d(col("__n")) * col("exp_share")) *
-          (d(col("n_obs")) - d(col("__n")) * col("exp_share")) /
-          (d(col("__n")) * col("exp_share")) * lit(1e6)).cast("bigint"))
-    val chi = withE.agg(sum(col("__t")).as("__chi_mu"))
-    withE.crossJoin(broadcast(chi))
-      .select(col("digit"), col("n_obs"),
-        (d(col("n_obs")) / d(col("__n"))).as("obs_share"),
-        col("exp_share"),
-        (d(col("__chi_mu")) / lit(1e6)).as("chi2"))
+        (d(col("n_obs")) - d(col("__n")) * expShare) *
+          (d(col("n_obs")) - d(col("__n")) * expShare) /
+          (d(col("__n")) * expShare) * lit(1e6)).cast("bigint"))
+      .groupBy(col("__g"), col("__n"))
+      .agg(sum(col("__t")).as("__chi_mu"))
+      .select(col("__g").as(groupCol), col("__n").as("n_amounts"),
+        (d(col("__chi_mu")) / lit(1e6)).as("chi2"),
+        (d(col("__chi_mu")) / lit(1e6) > lit(chi2Crit))
+          .as("fails_benford"))
   }
 
   /** Empirical-Bayes beta-binomial shrinkage (Robbins 1956; the

@@ -300,6 +300,25 @@ object Stats {
         .otherwise((dxy / dxx) * dxy / dyy).as("var_reduction"))
   }
 
+  /** Sample-ratio-mismatch check (the FIRST sanity gate of any A/B
+    * rig — Fabijan et al. 2019 catalog SRM as the most common silent
+    * experiment invalidator): χ² of the observed two-arm unit counts
+    * against the intended 50/50 split, flagged at the given critical
+    * value. A triggered SRM invalidates the experiment before any
+    * metric is read. One exact-count aggregate; χ² is two fixed-order
+    * terms. Output: (n_a, n_b, chi2, srm). */
+  def srmCheck(units: DataFrame, armCol: Column,
+               chi2Crit: Double = 3.841459): DataFrame = {
+    val agg = units.agg(
+      count(when(armCol === 0, 1)).as("n_a"),
+      count(when(armCol === 1, 1)).as("n_b"))
+    val e = (d(col("n_a")) + d(col("n_b"))) / lit(2.0)
+    val chi2 = (d(col("n_a")) - e) * (d(col("n_a")) - e) / e +
+      (d(col("n_b")) - e) * (d(col("n_b")) - e) / e
+    agg.select(col("n_a"), col("n_b"), chi2.as("chi2"),
+      (chi2 > lit(chi2Crit)).as("srm"))
+  }
+
   /** Difference-in-differences (the Card & Krueger 1994 design) on a
     * (unit, day, outcome) grain with a parallel-trends pre-audit:
     * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), plus the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal join operators Spark has no built-in for — composed from
   * window/equi-join primitives (SURVEY.md §2.9 "range/as-of" row), per the
@@ -356,6 +357,83 @@ object Temporal {
           .as("retention"))
   }
 
+  /** Cohort LTV curve — the revenue companion to [[cohortRetention]]:
+    * users grouped by first-activity week, each (cohort, weeks-since)
+    * cell accumulating the cohort's revenue so far per original member
+    * (denominator = cohort SIZE, not survivors — the LTV convention).
+    * Output: (cohort_week, week_k, n_users, cum_value_per_user).
+    *
+    * Scale: one user-keyed min, a (cohort, week)-keyed cents sum, a
+    * cumulative window per cohort over the calendar-bounded week grid,
+    * and a broadcast size join. Exactness: revenue rides integer cents
+    * to the single terminal division. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                value: Column): DataFrame = {
+    val base = events.select(col(userCol).as("__u"),
+      expr(s"CAST(datediff(CAST($tsCol AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT)")
+        .as("__w"),
+      (value.cast(DecimalType(12, 2)) * lit(100)).cast("bigint").as("__c"))
+    val cohorts = base.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    val sizes = cohorts.groupBy(col("__cw")).agg(count(lit(1)).as("n_users"))
+    val win = Window.partitionBy(col("__cw")).orderBy(col("week_k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(cohorts, "__u")
+      .groupBy(col("__cw"), (col("__w") - col("__cw")).as("week_k"))
+      .agg(sum(col("__c")).as("__cents"))
+      .withColumn("__cum", sum(col("__cents")).over(win))
+      .join(broadcast(sizes), "__cw")
+      .select(col("__cw").as("cohort_week"), col("week_k"), col("n_users"),
+        (col("__cum").cast("double") / lit(100.0) /
+          col("n_users").cast("double")).as("cum_value_per_user"))
+  }
+
+  /** RFM segmentation (Hughes 1994) — the retail-analytics classic: per
+    * user, Recency (days since last event, against the data horizon),
+    * Frequency (event count) and Monetary (exact purchase cents), each
+    * scored 1–5 against the population's quintile cutoffs, concatenated
+    * into the familiar "555"-style segment label.
+    *
+    * Scale + determinism: cutoffs are ONE broadcast 1-row aggregate of
+    * interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` on the same exact integers — the q282 grid
+    * precedent); scores are per-row comparisons against those four
+    * doubles — no rank window over the user table (an `ntile` would
+    * single-partition it). Recency scores INVERTED (most recent = 5).
+    * Output: (userCol, recency_days, frequency, monetary_cents,
+    * r_score, f_score, m_score, segment). */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  monetary: Column): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"),
+      lit("1970-01-01").cast("date")).cast("bigint")
+    val per = events.groupBy(col(userCol))
+      .agg(max(day).as("__last"), count(lit(1)).as("frequency"),
+        (sum(monetary.cast(DecimalType(12, 2))) * lit(100)).cast("bigint")
+          .as("monetary_cents"))
+    val horizon = per.agg(max(col("__last")).as("__h"))
+    val pu = per.crossJoin(broadcast(horizon))
+      .select(col(userCol), (col("__h") - col("__last")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val cuts = pu.agg(
+      expr("percentile(CAST(recency_days AS DOUBLE), array(0.2D, 0.4D, 0.6D, 0.8D))").as("__rc"),
+      expr("percentile(CAST(frequency AS DOUBLE), array(0.2D, 0.4D, 0.6D, 0.8D))").as("__fc"),
+      expr("percentile(CAST(monetary_cents AS DOUBLE), array(0.2D, 0.4D, 0.6D, 0.8D))").as("__mc"))
+    pu.crossJoin(broadcast(cuts))
+      .withColumn("r_score",
+        (lit(1) + expr("size(filter(__rc, c -> CAST(recency_days AS DOUBLE) < c))"))
+          .cast("bigint"))
+      .withColumn("f_score",
+        (lit(1) + expr("size(filter(__fc, c -> CAST(frequency AS DOUBLE) > c))"))
+          .cast("bigint"))
+      .withColumn("m_score",
+        (lit(1) + expr("size(filter(__mc, c -> CAST(monetary_cents AS DOUBLE) > c))"))
+          .cast("bigint"))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
   /** Rolling N-day active users (DAU→WAU family): for each calendar day,
     * the distinct users active in the trailing `windowDays` window. The
     * naive formulation is a distinct-count over a RANGE window (a
@@ -504,7 +582,7 @@ object Temporal {
     val daily = events
       .groupBy(col(keyCol), dayIdx(col(tsCol)).as("day_idx"))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        sum(col(valueCol).cast(DecimalType(12, 2)))
           .as("__sv"))
     val bounds = events.agg(min(dayIdx(col(tsCol))).as("__mn"),
       max(dayIdx(col(tsCol))).as("__mx"))
@@ -729,7 +807,7 @@ object Temporal {
         datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
           .cast("bigint").as("day_idx"))
       .agg(sum(col(valueCol)
-          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(DecimalType(12, 2)))
         .cast("double").as("v"))
     val a = alpha
     val b = 1.0 - alpha
@@ -769,7 +847,7 @@ object Temporal {
         datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
           .cast("bigint").as("day_idx"))
       .agg(sum(col(valueCol)
-          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(DecimalType(12, 2)))
         .cast("double").as("v"))
     val (a, b) = (alpha, beta)
     val (na, nb) = (1.0 - alpha, 1.0 - beta)
@@ -926,7 +1004,7 @@ object Temporal {
         datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
           .cast("bigint").as("day_idx"))
       .agg(sum(col(valueCol)
-          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(DecimalType(12, 2)))
         .cast("double").as("v"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day_idx"))
       .rowsBetween(-win, -1)

@@ -59,13 +59,14 @@ object InferQueries {
     "q218_length_gini" -> ((s, d) =>
       Inference.giniByGroup(table(s, d, "documents"), "source", "n_chars")),
 
-    // Benford first-digit audit of order amounts: observed leading-digit
-    // shares vs the log10(1+1/d) law + chi-square — the fabricated/
-    // truncated-amount smell test. Digits come from the exact-cents
-    // decimal string (no log10 on data); the nine expected shares are
-    // driver literals shared with the oracle. See Inference.benfordAudit.
-    "q308_benford" -> ((s, dir) =>
-      Inference.benfordAudit(table(s, dir, "orders"),
+    // Grouped Benford chi-square audit: WHICH order-priority segment
+    // fails the first-digit law (8-df GOF at alpha=.05) — the test-
+    // statistic companion to q228's global per-digit screen. Exact-cents
+    // digits, driver-literal expected shares, micro-quantized per-
+    // (group, digit) terms summed as BIGINTs. See
+    // Inference.benfordByGroup.
+    "q308_benford_by_group" -> ((s, dir) =>
+      Inference.benfordByGroup(table(s, dir, "orders"), "o_orderpriority",
         col("o_totalprice"))),
 
     // Delete-one-day jackknife SE for revenue-per-event — the ratio-
@@ -353,39 +354,46 @@ object InferQueries {
         |    (CAST(sum(c) AS DOUBLE) * CAST(sum(m) AS DOUBLE)) AS gini
         |FROM cm GROUP BY 1""".stripMargin,
 
-    // Mirrors Inference.benfordAudit: identical driver-computed
+    // Mirrors Inference.benfordByGroup: identical driver-computed
     // log10(1+1/d) literals, exact-cents digit extraction, micro-
-    // quantized chi-square terms summed as BIGINTs.
-    "q308_benford" -> {
+    // quantized chi-square terms summed as BIGINTs per group over the
+    // full group x digit grid.
+    "q308_benford_by_group" -> {
       val terms = (1 to 9).map(dd =>
         s"WHEN $dd THEN '${math.log10(1.0 + 1.0 / dd)}'::DOUBLE")
         .mkString(" ")
       s"""WITH c AS (
-         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-         |    AS BIGINT) AS c
+         |  SELECT o_orderpriority AS g,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT) AS c
          |  FROM orders),
          |pd AS (
-         |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+         |  SELECT g, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
          |      AS digit,
          |    CAST(count(*) AS BIGINT) AS no
-         |  FROM c WHERE c > 0 GROUP BY 1),
-         |g AS (SELECT range AS digit FROM range(1, 10)),
-         |pg AS (SELECT g.digit, coalesce(pd.no, 0) AS n_obs
-         |  FROM g LEFT JOIN pd ON pd.digit = g.digit),
-         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM pg),
-         |e AS (SELECT pg.digit, pg.n_obs, t.n,
-         |    CASE pg.digit $terms END AS exp_share
-         |  FROM pg CROSS JOIN t),
-         |w AS (SELECT *, CAST(round(
-         |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
-         |    * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
-         |    / (CAST(n AS DOUBLE) * exp_share) * 1e6) AS BIGINT) AS tmu
+         |  FROM c WHERE c > 0 GROUP BY 1, 2),
+         |gs AS (SELECT DISTINCT g FROM pd),
+         |dg AS (SELECT range AS digit FROM range(1, 10)),
+         |grid AS (SELECT gs.g, dg.digit, coalesce(pd.no, 0) AS n_obs
+         |  FROM gs CROSS JOIN dg
+         |  LEFT JOIN pd ON pd.g = gs.g AND pd.digit = dg.digit),
+         |t AS (SELECT g, CAST(sum(n_obs) AS BIGINT) AS n
+         |  FROM grid GROUP BY 1),
+         |e AS (SELECT grid.g, grid.digit, grid.n_obs, t.n,
+         |    CASE grid.digit $terms END AS p
+         |  FROM grid JOIN t ON grid.g = t.g),
+         |w AS (SELECT g, n, CAST(round(
+         |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+         |    * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+         |    / (CAST(n AS DOUBLE) * p) * 1e6) AS BIGINT) AS tmu
          |  FROM e),
-         |chi AS (SELECT CAST(sum(tmu) AS BIGINT) AS cmu FROM w)
-         |SELECT digit, n_obs,
-         |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
-         |  exp_share, CAST(chi.cmu AS DOUBLE) / 1e6 AS chi2
-         |FROM w CROSS JOIN chi""".stripMargin
+         |f AS (SELECT g, n, CAST(sum(tmu) AS BIGINT) AS cmu
+         |  FROM w GROUP BY 1, 2)
+         |SELECT g AS o_orderpriority, n AS n_amounts,
+         |  CAST(cmu AS DOUBLE) / 1e6 AS chi2,
+         |  CAST(cmu AS DOUBLE) / 1e6 > '15.507313'::DOUBLE
+         |    AS fails_benford
+         |FROM f""".stripMargin
     },
 
     // Mirrors Inference.jackknifeRatio: exact DECIMAL/BIGINT block sums,

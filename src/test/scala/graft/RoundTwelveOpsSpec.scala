@@ -139,23 +139,29 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(o.getDouble(4) == 2.0, s"orthogonal unit means: $o")
   }
 
-  test("benfordAudit: all-digit-1 amounts, hand chi-square, full 9-row grid") {
-    // 40 amounts of 1xx.xx cents -> every leading digit is 1
-    val df = (1 to 40).map(i => 10.0 + i * 0.01).toDF("v")
-    val r = graft.operators.Inference.benfordAudit(df, col("v"))
-      .orderBy("digit").collect()
-    assert(r.length == 9, "absent digits still occupy the grid")
-    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 40L &&
-      r.head.getDouble(2) == 1.0, s"all mass on digit 1: ${r.head}")
-    assert(r.tail.forall(_.getLong(1) == 0L))
-    // hand chi2 with the operator's exact micro-quantization
-    val chi = (1 to 9).map { dd =>
-      val p = math.log10(1.0 + 1.0 / dd)
-      val obs = if (dd == 1) 40.0 else 0.0
-      math.round((obs - 40.0 * p) * (obs - 40.0 * p) / (40.0 * p) * 1e6)
-    }.sum / 1e6
-    assert(r.forall(_.getDouble(4) == chi),
-      s"chi2 ${r.head.getDouble(4)} vs hand $chi, repeated on every row")
+  test("benfordByGroup: hand chi-square per group, absent digits still charged") {
+    // group A: all 40 amounts lead with digit 1 (fails Benford hard);
+    // group B: 9 amounts hitting each digit once (much closer)
+    val a = (1 to 40).map(i => ("A", 10.0 + i * 0.01))
+    val b = (1 to 9).map(dd => ("B", dd * 1.0))
+    val r = graft.operators.Inference.benfordByGroup(
+        (a ++ b).toDF("g", "v"), "g", col("v"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getBoolean(3))).toMap
+    def hand(counts: Map[Int, Long]): Double = {
+      val n = counts.values.sum.toDouble
+      (1 to 9).map { dd =>
+        val p = math.log10(1.0 + 1.0 / dd)
+        val obs = counts.getOrElse(dd, 0L).toDouble
+        math.round((obs - n * p) * (obs - n * p) / (n * p) * 1e6)
+      }.sum / 1e6
+    }
+    val chiA = hand(Map(1 -> 40L))
+    val chiB = hand((1 to 9).map(_ -> 1L).toMap)
+    assert(r("A") == ((40L, chiA, true)),
+      s"single-digit group must fail at 8-df alpha=.05: ${r("A")} vs $chiA")
+    assert(r("B")._2 == chiB && !r("B")._3,
+      s"uniform digits are non-Benford but under the gate: ${r("B")} vs $chiB")
   }
 
   test("sprt: hand-computed LLR, both stopping decisions, bit-exact constants") {
