@@ -789,6 +789,28 @@ object ScaleSmoke {
           when(col("event_type") === "purchase", 1L).otherwise(0L)).count()
       }
     }
+    // RFM / cohort LTV: user-keyed aggregates + broadcast cutoffs or a
+    // calendar-bounded week grid — scan-bound, output tracks users.
+    // SRM: one exact-count aggregate over distinct units.
+    for ((label, edf) <- Seq(("1x", evv), (s"${factor}x", evvBig))) {
+      time(s"rfm_segments    $label") {
+        operators.Temporal.rfmSegments(edf, "user_id", "ts",
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).count()
+      }
+      time(s"cohort_ltv      $label") {
+        operators.Temporal.cohortLtv(edf, "user_id", "ts",
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).count()
+      }
+      time(s"srm_check       $label") {
+        operators.Stats.srmCheck(edf.select(col("user_id")).distinct(),
+          pmod(col("user_id"), lit(2))).count()
+      }
+    }
+    // q311 incremental-agg maintenance is three keyed aggregates + two
+    // tiny joins over the SAME scan shapes as q76/q05 — bounded by
+    // construction, no separate replication curve needed.
     // DiD: four broadcast cells + a calendar-bounded slope grid — the
     // (user, day) grain aggregate is the whole cost.
     for ((label, edf) <- Seq(("1x", evv), (s"${factor}x", evvBig))) {

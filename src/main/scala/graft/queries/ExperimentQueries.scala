@@ -115,6 +115,15 @@ object ExperimentQueries {
       Stats.cupedStratified(perUser, "cohort", "pre", "post")
     }),
 
+    // Sample-ratio-mismatch gate: chi-square of the even/odd user-id
+    // split against the intended 50/50 — the first sanity check of any
+    // A/B rig (a triggered SRM invalidates the experiment before any
+    // metric is read). See Stats.srmCheck.
+    "q313_srm_check" -> ((s, dir) =>
+      Stats.srmCheck(
+        table(s, dir, "events").select(col("user_id")).distinct(),
+        pmod(col("user_id"), lit(2)))),
+
     // Difference-in-differences: even-id users "treated" in the second
     // half-month, outcome = per-(user, day) value; DiD point estimate
     // from the four exact cell means plus the parallel-trends pre-audit
@@ -292,6 +301,41 @@ object ExperimentQueries {
         |  CASE WHEN dxx = 0.0 OR dyy = 0.0 THEN CAST(0.0 AS DOUBLE)
         |    ELSE (dxy / dxx) * dxy / dyy END AS var_reduction
         |FROM m""".stripMargin,
+
+    // Mirrors Stats.srmCheck: exact distinct-unit counts, the identical
+    // fixed-order two-term chi-square.
+    "q313_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  (CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |  + (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    AS chi2,
+        |  (CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |  + (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    > '3.841459'::DOUBLE AS srm
+        |FROM a""".stripMargin,
 
     // Mirrors Stats.diffInDiff: exact DECIMAL cell sums, one fixed-order
     // mean division per cell, micro-quantized pre-day means feeding

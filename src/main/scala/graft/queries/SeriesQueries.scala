@@ -25,6 +25,25 @@ object SeriesQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // RFM segmentation: per-user recency/frequency/monetary quintile
+    // scores against broadcast percentile cutoffs (window-free — an
+    // ntile would single-partition the user table), recency inverted so
+    // the most recent scores 5, concatenated "555"-style label. See
+    // Temporal.rfmSegments.
+    "q312_rfm_segments" -> ((s, d) =>
+      Temporal.rfmSegments(table(s, d, "events"), "user_id", "ts",
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))),
+
+    // Cohort LTV curve: per first-activity-week cohort, cumulative
+    // purchase value per ORIGINAL member by weeks-since — the revenue
+    // companion to q166's retention matrix. Exact cents to the terminal
+    // division. See Temporal.cohortLtv.
+    "q314_cohort_ltv" -> ((s, d) =>
+      Temporal.cohortLtv(table(s, d, "events"), "user_id", "ts",
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))),
+
     // Calendar gap fill of the per-type daily value series: every (type,
     // day) cell materialized, holes filled by LOCF and by linear
     // interpolation between surrounding observed days.
@@ -180,6 +199,75 @@ object SeriesQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Temporal.rfmSegments: same exact integer R/F/M values,
+    // quantile_cont ≡ percentile cutoffs, strict-compare bucket scores.
+    "q312_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(max(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE))) AS BIGINT) AS lastd,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(12,2))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) * 100 AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(lastd) AS h FROM per),
+        |pu AS (SELECT user_id, h.h - lastd AS recency_days, frequency,
+        |    monetary_cents
+        |  FROM per, h),
+        |cuts AS (SELECT
+        |    quantile_cont(CAST(recency_days AS DOUBLE),
+        |      [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(CAST(frequency AS DOUBLE),
+        |      [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(CAST(monetary_cents AS DOUBLE),
+        |      [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM pu),
+        |sc AS (SELECT pu.user_id, pu.recency_days, pu.frequency,
+        |    pu.monetary_cents,
+        |    CAST(1 + len(list_filter(cuts.rc,
+        |      c -> CAST(pu.recency_days AS DOUBLE) < c)) AS BIGINT)
+        |      AS r_score,
+        |    CAST(1 + len(list_filter(cuts.fc,
+        |      c -> CAST(pu.frequency AS DOUBLE) > c)) AS BIGINT)
+        |      AS f_score,
+        |    CAST(1 + len(list_filter(cuts.mc,
+        |      c -> CAST(pu.monetary_cents AS DOUBLE) > c)) AS BIGINT)
+        |      AS m_score
+        |  FROM pu CROSS JOIN cuts)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc""".stripMargin,
+
+    // Mirrors Temporal.cohortLtv: per-row exact cents, integer week
+    // folds, cumulative window per cohort, one terminal division.
+    "q314_cohort_ltv" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS w,
+        |    CAST(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(12,2))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END * 100 AS BIGINT) AS c
+        |  FROM events),
+        |co AS (SELECT user_id, min(w) AS cw FROM b GROUP BY 1),
+        |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM co GROUP BY 1),
+        |cell AS (SELECT co.cw, b.w - co.cw AS week_k,
+        |    CAST(sum(b.c) AS BIGINT) AS cents
+        |  FROM b JOIN co ON b.user_id = co.user_id GROUP BY 1, 2),
+        |cum AS (SELECT cw, week_k,
+        |    CAST(sum(cents) OVER (PARTITION BY cw ORDER BY week_k
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+        |  FROM cell)
+        |SELECT cum.cw AS cohort_week, cum.week_k, sz.n_users,
+        |  CAST(cumc AS DOUBLE) / 100.0 / CAST(sz.n_users AS DOUBLE)
+        |    AS cum_value_per_user
+        |FROM cum JOIN sz ON cum.cw = sz.cw""".stripMargin,
 
     "q285_markov_stationary" -> markovSql(12),
 

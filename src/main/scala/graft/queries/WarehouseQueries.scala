@@ -43,6 +43,40 @@ object WarehouseQueries {
     // best separates English from everything else — the "is this feature
     // predictive at all" screen before training anything. Grid-exact
     // split counts, algebra-only impurity, smallest-threshold tie-break.
+    // Incremental aggregate maintenance (classic warehouse IVM): the
+    // maintained gold state (orders strictly before the newest load day)
+    // merged with that day's delta must equal the full recompute —
+    // count/sum per priority, all-DECIMAL until the terminal cast, with
+    // the consistency flag materialized per row. The aggregate-level
+    // companion to the row-level K6 upsert contract.
+    "q311_incremental_agg" -> ((s, d) => {
+      val z = lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val o = table(s, d, "orders")
+        .crossJoin(broadcast(table(s, d, "orders")
+          .agg(max(col("o_orderdate")).as("__mx"))))
+        .select(col("o_orderpriority"), col("o_orderdate"), col("__mx"),
+          col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("__v"))
+      def agg(dfx: org.apache.spark.sql.DataFrame, n: String, sm: String) =
+        dfx.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as(n), sum(col("__v")).as(sm))
+      val base = agg(o.where(col("o_orderdate") < col("__mx")), "__nb", "__sb")
+      val delta = agg(o.where(col("o_orderdate") === col("__mx")), "__nd", "__sd")
+      val full = agg(o, "n_full", "__sf")
+      base.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("__nb"), lit(0L)) + coalesce(col("__nd"), lit(0L)))
+            .as("n_merged"),
+          (coalesce(col("__sb"), z) + coalesce(col("__sd"), z)).as("__sm"))
+        .join(full, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_full"),
+          col("__sf").cast("double").as("sum_full"), col("n_merged"),
+          col("__sm").cast("double").as("sum_merged"),
+          (col("n_merged") === col("n_full") &&
+            col("__sm").cast("double") === col("__sf").cast("double"))
+            .as("consistent"))
+    }),
+
     "q226_decision_stump" -> ((s, d) =>
       MlOps.decisionStump(
         table(s, d, "documents"), "n_chars", col("lang") === "en")),
@@ -125,6 +159,35 @@ object WarehouseQueries {
        |    WHERE pa.$pk = ch.$fk)) o""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors q311: DECIMAL partial sums merged before the terminal
+    // double cast; DuckDB's DECIMAL sum widens, so values stay exact on
+    // both sides.
+    "q311_incremental_agg" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        |b AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nb,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sb
+        |  FROM orders, mx WHERE o_orderdate < mx.m GROUP BY 1),
+        |dl AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nd,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sd
+        |  FROM orders, mx WHERE o_orderdate = mx.m GROUP BY 1),
+        |f AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nf,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sf
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT
+        |    coalesce(b.o_orderpriority, dl.o_orderpriority) AS p,
+        |    coalesce(b.nb, 0) + coalesce(dl.nd, 0) AS n_merged,
+        |    coalesce(b.sb, CAST(0 AS DECIMAL(12,2)))
+        |      + coalesce(dl.sd, CAST(0 AS DECIMAL(12,2))) AS sm
+        |  FROM b FULL OUTER JOIN dl
+        |    ON b.o_orderpriority = dl.o_orderpriority)
+        |SELECT f.o_orderpriority, f.nf AS n_full,
+        |  CAST(f.sf AS DOUBLE) AS sum_full,
+        |  m.n_merged, CAST(m.sm AS DOUBLE) AS sum_merged,
+        |  m.n_merged = f.nf
+        |    AND CAST(m.sm AS DOUBLE) = CAST(f.sf AS DOUBLE)
+        |    AS consistent
+        |FROM f JOIN m ON f.o_orderpriority = m.p""".stripMargin,
 
     "q274_erasure_impact" ->
       """WITH subj AS (

@@ -448,7 +448,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q299_kish_ess", "q301_cuped_stratified", "q302_sprt",
         "q303_heaps_law", "q304_jackknife_ratio", "q305_cmh_test",
         "q306_eb_shrinkage", "q307_embedding_mmd", "q308_benford_by_group",
-        "q309_media_ahash_dedup", "q310_diff_in_diff").foreach { q =>
+        "q309_media_ahash_dedup", "q310_diff_in_diff",
+        "q311_incremental_agg", "q312_rfm_segments", "q313_srm_check",
+        "q314_cohort_ltv").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }

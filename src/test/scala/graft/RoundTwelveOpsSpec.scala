@@ -103,6 +103,72 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       s"degenerate prior must fall back to raw rates: ${f.mkString(";")}")
   }
 
+  test("incremental agg maintenance: merged state equals the full recompute on real data") {
+    val r = graft.queries.WarehouseQueries.queries("q311_incremental_agg")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getBoolean(5)),
+      s"base+delta must reproduce the full aggregate: ${r.mkString(";")}")
+    assert(r.forall(x => x.getLong(1) == x.getLong(3) &&
+      x.getDouble(2) == x.getDouble(4)))
+  }
+
+  test("rfmSegments: extreme users earn the extreme scores; cents exact") {
+    def ev(u: Long, day: Int, kind: String, v: Double) =
+      (u, ts(day, u), kind, v)
+    // u1: recent + frequent + big spender; u2: stale single viewer;
+    // u3/u4/u5: middles to give the quintile cutoffs support
+    val rows =
+      (1 to 10).map(i => ev(1L, 20 + (i % 5), "purchase", 10.0)) ++
+      Seq(ev(2L, 1, "view", 0.0)) ++
+      (1 to 4).map(i => ev(3L, 10, if (i % 2 == 0) "purchase" else "view", 1.0)) ++
+      (1 to 3).map(i => ev(4L, 12, "view", 0.0)) ++
+      (1 to 2).map(i => ev(5L, 15, "purchase", 2.5))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val r = graft.operators.Temporal.rfmSegments(df, "user_id", "ts",
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(6),
+          x.getString(7))).toMap
+    val (r1rec, r1cents, r1r, r1m, r1seg) = r(1L)
+    assert(r1rec == 0L && r1cents == 10000L && r1r == 5L && r1m == 5L,
+      s"the recent big spender maxes R and M: ${r(1L)}")
+    assert(r1seg.length == 3 && r1seg == "555")
+    assert(r(2L)._3 == 1L && r(2L)._4 == 1L,
+      s"the stale non-spender bottoms out: ${r(2L)}")
+  }
+
+  test("srmCheck: balanced split passes with chi2 0; 90/10 fails with exactly 64") {
+    val even = (1L to 100L).map(i => Tuple1(i)).toDF("id")
+    val b = graft.operators.Stats.srmCheck(even, pmod(col("id"), lit(2))).head()
+    assert(b.getLong(0) == 50L && b.getLong(1) == 50L &&
+      b.getDouble(2) == 0.0 && !b.getBoolean(3), s"balanced: $b")
+    // 90 zeros / 10 ones: chi2 = 2*(40^2)/50 = 64 exactly
+    val skew = ((1L to 90L).map(_ => 0L) ++ (1L to 10L).map(_ => 1L))
+      .map(Tuple1(_)).toDF("arm")
+    val sRes = graft.operators.Stats.srmCheck(skew, col("arm")).head()
+    assert(sRes.getDouble(2) == 64.0 && sRes.getBoolean(3),
+      s"skewed split must trip the gate: $sRes")
+  }
+
+  test("cohortLtv: cumulative per-member value, cohorts independent") {
+    val df = Seq(
+      (1L, ts(1, 1), "purchase", 1.0),  // week 0 cohort, week 0
+      (2L, ts(2, 2), "view", 0.0),      // week 0 cohort member, no spend
+      (1L, ts(9, 1), "purchase", 3.0),  // week 0 cohort, week 1
+      (3L, ts(9, 3), "purchase", 7.0))  // week 1 cohort, week 0
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = graft.operators.Temporal.cohortLtv(df, "user_id", "ts",
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r((0L, 0L)) == ((2L, 0.5)), s"week-0 cell: $r")
+    assert(r((0L, 1L)) == ((2L, 2.0)), "cumulative (1+3)/2 members")
+    assert(r((1L, 0L)) == ((1L, 7.0)), "the week-1 cohort is its own curve")
+  }
+
   test("diffInDiff: planted +3 effect under exactly parallel trends") {
     // control follows v = d, treated v = d + 5 pre and d + 8 post:
     // parallel unit slopes, a clean +3 treatment effect
