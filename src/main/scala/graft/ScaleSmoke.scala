@@ -807,6 +807,13 @@ object ScaleSmoke {
         operators.Stats.srmCheck(edf.select(col("user_id")).distinct(),
           pmod(col("user_id"), lit(2))).count()
       }
+      // Markov attribution: the chain is a |channels|+3 grid regardless
+      // of users — cost is the journey windows + a constant number of
+      // in-row matvec steps on ≤ |channels|+1 scenario rows.
+      time(s"markov_attrib   $label") {
+        operators.Temporal.markovRemovalAttribution(edf, "user_id", "ts",
+          "event_type", "user_id", "purchase", iters = 12).count()
+      }
     }
     // q311 incremental-agg maintenance is three keyed aggregates + two
     // tiny joins over the SAME scan shapes as q76/q05 — bounded by

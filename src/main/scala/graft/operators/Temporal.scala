@@ -357,6 +357,121 @@ object Temporal {
           .as("retention"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016, the
+    * data-driven alternative to q279's first/last/linear heuristics):
+    * journeys are per-user event sequences truncated at the FIRST
+    * conversion; a first-order chain over (start, channels, conv, null)
+    * absorbs mass into conv/null, and each channel's credit is its
+    * REMOVAL EFFECT — how much conversion probability disappears when
+    * the channel's node is removed (its outgoing edges dropped, inbound
+    * mass redirected to null) — normalized across channels.
+    *
+    * Scale + determinism: the chain lives on a |channels|+3 state grid;
+    * per (scenario = baseline ∪ one-per-channel) the whole transition
+    * structure is ONE collected entries array per row, and the `iters`
+    * absorption steps run as in-row integer matvecs (masses in 1e-9
+    * units, per-edge `mass·w DIV out_w` then an order-free integer sum)
+    * with a localCheckpoint per step so no plan nesting compounds —
+    * the q285/PPR iteration discipline. Truncation bias of the integer
+    * div leaks ≤ out_w−1 micro-mass per (state, step) — identical in
+    * any engine. Output per channel: (channel, p_conv, p_conv_removed,
+    * removal_effect, attribution). */
+  def markovRemovalAttribution(events: DataFrame, userCol: String,
+                               tsCol: String, typeCol: String,
+                               tieCol: String, convType: String,
+                               iters: Int = 12): DataFrame = {
+    require(iters >= 1, "need at least one absorption step")
+    val reliable =
+      events.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val ev0 = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(tieCol).as("__tie"), col(typeCol).as("__t"))
+    val cut = ev0
+      .withColumn("__isc", when(col("__t") === convType, 1L).otherwise(0L))
+      .withColumn("__ccum", sum(col("__isc")).over(w))
+      .where(col("__ccum") === 0 ||
+        (col("__ccum") === 1 && col("__isc") === 1))
+    val s2 = cut
+      .withColumn("__nxt", lead(col("__t"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    def conv(c: Column) = when(c === convType, "conv").otherwise(c)
+    val edges = s2.where(col("__rn") === 1)
+      .select(lit("start").as("src"), conv(col("__t")).as("dst"))
+      .unionByName(s2.where(col("__nxt").isNotNull)
+        .select(col("__t").as("src"), conv(col("__nxt")).as("dst")))
+      .unionByName(s2.where(col("__nxt").isNull && col("__t") =!= convType)
+        .select(col("__t").as("src"), lit("null").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val scen = edges.select(col("src").as("scenario"))
+      .where(col("scenario") =!= "start").distinct()
+      .unionByName(edges.sparkSession.range(1)
+        .select(lit("__baseline").as("scenario")))
+    val se = edges.crossJoin(broadcast(scen))
+      .where(col("src") =!= col("scenario"))
+      .select(col("scenario"), col("src"),
+        when(col("dst") === col("scenario"), lit("null"))
+          .otherwise(col("dst")).as("dst"), col("w"))
+      .groupBy(col("scenario"), col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+      .unionByName(scen
+        .select(col("scenario"),
+          explode(array(lit("conv"), lit("null"))).as("src"))
+        .select(col("scenario"), col("src"), col("src").as("dst"),
+          lit(1L).as("w")))
+    val withO = se.join(
+      se.groupBy(col("scenario"), col("src")).agg(sum(col("w")).as("out_w")),
+      Seq("scenario", "src"))
+    val idx = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n")))
+      .unionByName(edges.sparkSession.range(1).select(lit("null").as("n")))
+      .unionByName(edges.sparkSession.range(1).select(lit("conv").as("n")))
+      .unionByName(edges.sparkSession.range(1).select(lit("start").as("n")))
+      .distinct()
+      // ≤ |channels|+3 rows: the one global window is grid-bounded
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("n"))) - 1).cast("int"))
+    val meta = idx.agg(count(lit(1)).cast("int").as("n_states"),
+      max(when(col("n") === "start", col("idx"))).as("start_idx"),
+      max(when(col("n") === "conv", col("idx"))).as("conv_idx"))
+    val rows = withO
+      .join(broadcast(idx.toDF("__sn", "si")), col("src") === col("__sn"))
+      .join(broadcast(idx.toDF("__dn", "di")), col("dst") === col("__dn"))
+      .groupBy(col("scenario"))
+      .agg(collect_list(struct(col("si"), col("di"), col("w"),
+        col("out_w"))).as("M"))
+      .crossJoin(broadcast(meta))
+    var cur = rows.withColumn("dist", expr(
+      "transform(sequence(0, n_states - 1), " +
+        "j -> CAST(IF(j = start_idx, 1000000000, 0) AS BIGINT))"))
+    // one save per step: an un-checkpointed chain lets Catalyst inline
+    // each dist into the next lambda, and the nested HOF re-evaluates
+    // the whole prior level per (state, edge) — measured 2x SLOWER at
+    // a 4-step checkpoint stride than per-step materialization
+    for (_ <- 1 to iters)
+      cur = save(cur).withColumn("dist", expr(
+        "transform(sequence(0, n_states - 1), " +
+          "j -> aggregate(filter(M, e -> e.di = j), CAST(0 AS BIGINT), " +
+          "(s, e) -> s + (element_at(dist, e.si + 1) * e.w) DIV e.out_w))"))
+    val p = cur.select(col("scenario"),
+      expr("element_at(dist, conv_idx + 1)").as("__p"))
+    val base = p.where(col("scenario") === "__baseline")
+      .select(col("__p").as("__pb"))
+    val rem = p.where(col("scenario") =!= "__baseline")
+      .crossJoin(broadcast(base))
+    val tot = rem.agg(sum(col("__pb") - col("__p")).as("__te"))
+    rem.crossJoin(broadcast(tot))
+      .select(col("scenario").as("channel"),
+        (col("__pb").cast("double") / lit(1e9)).as("p_conv"),
+        (col("__p").cast("double") / lit(1e9)).as("p_conv_removed"),
+        ((col("__pb") - col("__p")).cast("double") / lit(1e9))
+          .as("removal_effect"),
+        when(col("__te") === 0, lit(null).cast("double"))
+          .otherwise((col("__pb") - col("__p")).cast("double") /
+            col("__te").cast("double")).as("attribution"))
+  }
+
   /** Cohort LTV curve — the revenue companion to [[cohortRetention]]:
     * users grouped by first-activity week, each (cohort, weeks-since)
     * cell accumulating the cohort's revenue so far per original member

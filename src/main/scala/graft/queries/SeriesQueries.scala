@@ -25,6 +25,17 @@ object SeriesQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Markov removal-effect attribution: journeys truncated at first
+    // purchase, absorption into conv/null on the channel chain, credit =
+    // normalized conversion-probability loss when each channel's node is
+    // removed — the data-driven model beside q279's heuristics and
+    // q285's stationary distribution. See
+    // Temporal.markovRemovalAttribution.
+    "q315_markov_attribution" -> ((s, d) =>
+      Temporal.markovRemovalAttribution(table(s, d, "events"), "user_id",
+        "ts", "event_type", "event_id", convType = "purchase",
+        iters = 12)),
+
     // RFM segmentation: per-user recency/frequency/monetary quintile
     // scores against broadcast percentile cutoffs (window-free — an
     // ntile would single-partition the user table), recency inverted so
@@ -199,6 +210,101 @@ object SeriesQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Temporal.markovRemovalAttribution: identical journey
+    // windows, scenario edge munging, and a recursive-CTE replay of the
+    // integer matvec absorption (per-edge div then order-free integer
+    // sums — list order cannot matter).
+    "q315_markov_attribution" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS u, ts, event_id AS tie, event_type AS t
+        |  FROM events),
+        |o AS (SELECT *,
+        |    CASE WHEN t = 'purchase' THEN 1 ELSE 0 END AS isc,
+        |    sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY ts, tie
+        |        ROWS UNBOUNDED PRECEDING) AS ccum
+        |  FROM ev),
+        |cut AS (SELECT * FROM o
+        |  WHERE ccum = 0 OR (ccum = 1 AND isc = 1)),
+        |s2 AS (SELECT *,
+        |    lead(t) OVER (PARTITION BY u ORDER BY ts, tie) AS nxt,
+        |    row_number() OVER (PARTITION BY u ORDER BY ts, tie) AS rn
+        |  FROM cut),
+        |es AS (
+        |  SELECT 'start' AS src,
+        |    CASE WHEN t = 'purchase' THEN 'conv' ELSE t END AS dst
+        |  FROM s2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t, CASE WHEN nxt = 'purchase' THEN 'conv' ELSE nxt END
+        |  FROM s2 WHERE nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT t, 'null' FROM s2
+        |  WHERE nxt IS NULL AND t <> 'purchase'),
+        |eg AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM es GROUP BY 1, 2),
+        |sc AS (SELECT '__baseline' AS scenario
+        |  UNION ALL SELECT DISTINCT src FROM eg WHERE src <> 'start'),
+        |se AS (SELECT sc.scenario, eg.src,
+        |    CASE WHEN eg.dst = sc.scenario THEN 'null' ELSE eg.dst END
+        |      AS dst, eg.w
+        |  FROM eg CROSS JOIN sc WHERE eg.src <> sc.scenario),
+        |se2 AS (SELECT scenario, src, dst, CAST(sum(w) AS BIGINT) AS w
+        |  FROM se GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT sc.scenario, l.s, l.s, CAST(1 AS BIGINT)
+        |  FROM sc, unnest(['conv', 'null']) AS l(s)),
+        |ow AS (SELECT scenario, src, CAST(sum(w) AS BIGINT) AS out_w
+        |  FROM se2 GROUP BY 1, 2),
+        |wo AS (SELECT se2.scenario, se2.src, se2.dst, se2.w, ow.out_w
+        |  FROM se2 JOIN ow
+        |    ON se2.scenario = ow.scenario AND se2.src = ow.src),
+        |stn AS (SELECT DISTINCT n FROM (
+        |  SELECT src AS n FROM eg UNION SELECT dst FROM eg
+        |  UNION SELECT 'conv' UNION SELECT 'null' UNION SELECT 'start')),
+        |idx AS (SELECT n,
+        |    CAST(row_number() OVER (ORDER BY n) - 1 AS INTEGER) AS idx
+        |  FROM stn),
+        |meta AS (SELECT CAST(count(*) AS INTEGER) AS n_states,
+        |    CAST(max(CASE WHEN n = 'start' THEN idx END) AS INTEGER)
+        |      AS start_idx,
+        |    CAST(max(CASE WHEN n = 'conv' THEN idx END) AS INTEGER)
+        |      AS conv_idx
+        |  FROM idx),
+        |m AS (SELECT wo.scenario,
+        |    list(struct_pack(si := a.idx, di := b.idx, w := wo.w,
+        |      out_w := wo.out_w)) AS M
+        |  FROM wo JOIN idx a ON a.n = wo.src JOIN idx b ON b.n = wo.dst
+        |  GROUP BY 1),
+        |it AS (
+        |  SELECT m.scenario, m.M, meta.n_states, meta.start_idx,
+        |    meta.conv_idx, 0 AS k,
+        |    list_transform(range(0, meta.n_states),
+        |      j -> CAST(CASE WHEN j = meta.start_idx THEN 1000000000
+        |        ELSE 0 END AS BIGINT)) AS dist
+        |  FROM m CROSS JOIN meta
+        |  UNION ALL
+        |  SELECT scenario, M, n_states, start_idx, conv_idx, k + 1,
+        |    list_transform(range(0, n_states),
+        |      j -> CAST(coalesce(list_sum(list_transform(
+        |        list_filter(M, e -> e.di = j),
+        |        e -> (dist[e.si + 1] * e.w) // e.out_w)), 0) AS BIGINT))
+        |  FROM it WHERE k < 12),
+        |p AS (SELECT scenario, dist[conv_idx + 1] AS p_mu
+        |  FROM it WHERE k = 12),
+        |base AS (SELECT p_mu AS pb FROM p WHERE scenario = '__baseline'),
+        |rem AS (SELECT scenario AS channel, p_mu FROM p
+        |  WHERE scenario <> '__baseline'),
+        |tot AS (SELECT CAST(sum(base.pb - rem.p_mu) AS BIGINT) AS te
+        |  FROM rem, base)
+        |SELECT channel,
+        |  CAST(pb AS DOUBLE) / 1e9 AS p_conv,
+        |  CAST(p_mu AS DOUBLE) / 1e9 AS p_conv_removed,
+        |  CAST(pb - p_mu AS DOUBLE) / 1e9 AS removal_effect,
+        |  CASE WHEN te = 0 THEN NULL
+        |    ELSE CAST(pb - p_mu AS DOUBLE) / CAST(te AS DOUBLE) END
+        |    AS attribution
+        |FROM rem, base, tot""".stripMargin,
 
     // Mirrors Temporal.rfmSegments: same exact integer R/F/M values,
     // quantile_cont ≡ percentile cutoffs, strict-compare bucket scores.

@@ -169,6 +169,27 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(r((1L, 0L)) == ((1L, 7.0)), "the week-1 cohort is its own curve")
   }
 
+  test("markovRemovalAttribution: hand chain with exact removal effects") {
+    // u1 view->purchase, u2 view->(null), u3/u4 click->purchase:
+    // P = 1/2*1/2 + 1/2*1 = 3/4; remove view -> 1/2; remove click -> 1/4
+    val ev = Seq(
+      (1L, ts(1, 1), 1L, "view"), (1L, ts(2, 1), 2L, "purchase"),
+      (2L, ts(1, 2), 3L, "view"),
+      (3L, ts(1, 3), 4L, "click"), (3L, ts(2, 3), 5L, "purchase"),
+      (4L, ts(1, 4), 6L, "click"), (4L, ts(2, 4), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = graft.operators.Temporal.markovRemovalAttribution(ev,
+        "user_id", "ts", "event_type", "event_id", "purchase", iters = 8)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(r.keySet == Set("view", "click"))
+    assert(r("view") == ((0.75, 0.5, 0.25, 250000000.0 / 750000000.0)),
+      s"view removal: ${r("view")}")
+    assert(r("click") == ((0.75, 0.25, 0.5, 500000000.0 / 750000000.0)),
+      s"click removal: ${r("click")}")
+  }
+
   test("diffInDiff: planted +3 effect under exactly parallel trends") {
     // control follows v = d, treated v = d + 5 pre and d + 8 post:
     // parallel unit slopes, a clean +3 treatment effect
