@@ -463,4 +463,62 @@ object MlOps {
         (col("n") - col("cn")).as("n_right"),
         (col("pos") - col("cp")).as("pos_right"))
   }
+
+  /** Cavnar-Trenkle character-n-gram rank-profile language ID (Cavnar &
+    * Trenkle 1994, "N-Gram-Based Text Categorization") — the classic
+    * n-gram LID beside the stopword heuristic (q30) and the word-level
+    * naive Bayes (q193): each language's profile is its top-k trigrams
+    * by frequency; a document is scored by the out-of-place distance
+    * Σ|rank_doc − rank_lang| over its own top-k profile (missing grams
+    * pay the max penalty k) and classified to the nearest profile, ties
+    * to the lexicographically first language. Output: the
+    * (lang, predicted, n_docs) confusion matrix.
+    *
+    * Scale: gram counts are (doc, gram)- and (lang, gram)-keyed
+    * aggregates; both rank windows are KEY-partitioned (per doc / per
+    * lang) with deterministic (count DESC, gram ASC) order; the scoring
+    * join expands each doc's ≤ k profile rows by |langs| — k·|langs|
+    * rows per doc, never doc × vocabulary. Priced 4.0 s warmed at sf0.1
+    * (the 2.5M-row trigram explode + per-doc rank window dominate); the
+    * 100× path replaces the doc-profile stage with a single-pass native
+    * top-k gram expression (the TokenNgrams pattern), leaving only the
+    * Zipf-bounded lang profile as a shuffle. */
+  def ctLangIdConfusion(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dc = docs.where(length(col(textCol)) >= 3)
+      .select(col(idCol).as("__id"), col(langCol).as("__lang"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - 2), " +
+            s"i -> substr($textCol, i, 3))")).as("g"))
+      .groupBy(col("__id"), col("__lang"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+    val lp = dc.groupBy(col("__lang"), col("g"))
+      .agg(sum(col("__c")).as("__lc"))
+      .withColumn("__lr", row_number().over(Window.partitionBy(col("__lang"))
+        .orderBy(col("__lc").desc, col("g").asc)).cast("bigint"))
+      .where(col("__lr") <= k)
+      .select(col("__lang").as("__pl"), col("g").as("__lg"), col("__lr"))
+    val dp = dc
+      .withColumn("__dr", row_number().over(Window.partitionBy(col("__id"))
+        .orderBy(col("__c").desc, col("g").asc)).cast("bigint"))
+      .where(col("__dr") <= k)
+      .select(col("__id"), col("g"), col("__dr"))
+    val langs = docs.select(col(langCol).as("__cand")).distinct()
+    val dist = dp.crossJoin(broadcast(langs))
+      .join(broadcast(lp),
+        col("__pl") === col("__cand") && col("__lg") === col("g"), "left")
+      .groupBy(col("__id"), col("__cand"))
+      .agg(sum(coalesce(abs(col("__dr") - col("__lr")), lit(k.toLong)))
+        .as("__dist"))
+    val pred = dist
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__id"))
+        .orderBy(col("__dist").asc, col("__cand").asc)))
+      .where(col("__rn") === 1)
+      .select(col("__id"), col("__cand").as("predicted"))
+    docs.select(col(idCol).as("__id"), col(langCol).as(langCol))
+      .join(pred, "__id")
+      .groupBy(col(langCol), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

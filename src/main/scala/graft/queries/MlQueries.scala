@@ -39,6 +39,14 @@ object MlQueries {
       graft.operators.Similarity.linearMmdDrift(
         table(s, d, "embeddings"), "label", "embedding")),
 
+    // Cavnar-Trenkle trigram rank-profile language ID: top-20 gram
+    // profiles per language, out-of-place distance, nearest-profile
+    // classification -> confusion matrix — the classic n-gram LID
+    // beside q30's stopword heuristic. See MlOps.ctLangIdConfusion.
+    "q316_ct_langid" -> ((s, d) =>
+      MlOps.ctLangIdConfusion(table(s, d, "documents"), "doc_id", "text",
+        "lang", k = 20)),
+
     // Multinomial naive-Bayes source classifier (add-one smoothing), the
     // fastText-style domain/quality gate: train on even doc_ids, score odd,
     // output the confusion matrix. Model = three train-split aggregates;
@@ -457,6 +465,43 @@ object MlQueries {
   private def rboDenom: Long = MlOps.rboWeights(rboK)._2
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors MlOps.ctLangIdConfusion: identical (count DESC, gram ASC)
+    // rank windows, out-of-place distance with the k=20 penalty, ties to
+    // the lexicographically first language.
+    "q316_ct_langid" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, u.g AS g
+        |  FROM (SELECT doc_id, lang,
+        |      [substr(text, i, 3) for i in range(1, length(text) - 1)]
+        |        AS gs
+        |    FROM documents WHERE length(text) >= 3) t,
+        |    unnest(gs) AS u(g)),
+        |dc AS (SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |lp AS (SELECT lang AS pl, g, rnk FROM (
+        |  SELECT lang, g, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sum(c) DESC, g ASC) AS BIGINT) AS rnk
+        |  FROM dc GROUP BY lang, g) WHERE rnk <= 20),
+        |dp AS (SELECT doc_id, g, rnk FROM (
+        |  SELECT doc_id, g, CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, g ASC) AS BIGINT) AS rnk
+        |  FROM dc) WHERE rnk <= 20),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |dist AS (
+        |  SELECT dp.doc_id, langs.cand,
+        |    CAST(sum(coalesce(abs(dp.rnk - lp.rnk), 20)) AS BIGINT)
+        |      AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.pl = langs.cand AND lp.g = dp.g
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, cand AS predicted FROM (
+        |  SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY dist ASC, cand ASC) AS rn
+        |  FROM dist) WHERE rn = 1)
+        |SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // Mirrors Similarity.linearMmdDrift: the q194 component
     // quantization, exact per-(group, dim) BIGINT sums, DECIMAL(38,0)

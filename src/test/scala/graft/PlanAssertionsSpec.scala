@@ -450,7 +450,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q306_eb_shrinkage", "q307_embedding_mmd", "q308_benford_by_group",
         "q309_media_ahash_dedup", "q310_diff_in_diff",
         "q311_incremental_agg", "q312_rfm_segments", "q313_srm_check",
-        "q314_cohort_ltv", "q315_markov_attribution").foreach { q =>
+        "q314_cohort_ltv", "q315_markov_attribution",
+        "q316_ct_langid").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not go cartesian")
     }

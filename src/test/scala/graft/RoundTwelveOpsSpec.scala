@@ -169,6 +169,22 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(r((1L, 0L)) == ((1L, 7.0)), "the week-1 cohort is its own curve")
   }
 
+  test("ctLangIdConfusion: disjoint trigram profiles classify perfectly") {
+    // two synthetic "languages" with disjoint character inventories: the
+    // rank profiles share no grams, so every doc's own language wins and
+    // the confusion matrix is exactly diagonal
+    val docs = (
+      (1L to 5L).map(i => (i, "aab aab aba baa aab", "aa")) ++
+      (6L to 10L).map(i => (i, "zzy zyz yzz zzy zyy", "zz")))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.MlOps.ctLangIdConfusion(docs, "doc_id",
+        "text", "lang", k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(("aa", "aa") -> 5L, ("zz", "zz") -> 5L),
+      s"diagonal confusion expected: $r")
+  }
+
   test("markovRemovalAttribution: hand chain with exact removal effects") {
     // u1 view->purchase, u2 view->(null), u3/u4 click->purchase:
     // P = 1/2*1/2 + 1/2*1 = 3/4; remove view -> 1/2; remove click -> 1/4
