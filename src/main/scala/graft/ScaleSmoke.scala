@@ -189,6 +189,18 @@ import org.apache.spark.sql.functions._
   * never grow), capture_recap 0.3→0.3 s, vocab_coverage 0.5→0.6 s
   * (Zipf-bounded type table — replicas add occurrences, never types).
   *
+  * Round-13 curves (quiet box, 2026-08-14 — the two r12 checklist
+  * stragglers, measured after the q316 shuffle-free rework):
+  * {{{
+  *   ct_langid     1x rows=25   2.4 s   10x rows=25   2.9 s
+  *   kish_ess      1x rows=5    0.2 s   10x rows=5    0.3 s
+  * }}}
+  * CT lang-ID is FLAT-to-sublinear at 10x docs: replicas add gram
+  * counts, never grams, so the mergeable profile state and the 1-row
+  * broadcast are constant and cost tracks the two text scans (the doc
+  * side is shuffle-free — in-row profile slice + in-row scoring).
+  * Kish ESS is one keyed (n, Σw, Σw²) aggregate — pure scan.
+  *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
   * bigram occurrences, never token types, so the graph and its 8 rounds
@@ -696,7 +708,8 @@ object ScaleSmoke {
     // expansion, map-side combined into |splits|×2 groups) — both must
     // track the user-keyed scan with constant outputs.
     val evv = Graft.table(spark, sfDir, "events")
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        col("event_id"))
     val evvBig = (0 until factor)
       .map(i => evv.withColumn("user_id",
         col("user_id") + lit(i * 10000000L)))
@@ -812,7 +825,7 @@ object ScaleSmoke {
       // in-row matvec steps on ≤ |channels|+1 scenario rows.
       time(s"markov_attrib   $label") {
         operators.Temporal.markovRemovalAttribution(edf, "user_id", "ts",
-          "event_type", "user_id", "purchase", iters = 12).count()
+          "event_type", "event_id", "purchase", iters = 12).count()
       }
     }
     // q311 incremental-agg maintenance is three keyed aggregates + two
@@ -895,6 +908,27 @@ object ScaleSmoke {
       time(s"embedding_mmd   $label") {
         operators.Similarity.linearMmdDrift(edf, "label",
           "embedding").count()
+      }
+    }
+    // CT lang-ID: doc side is shuffle-free (native per-doc profile +
+    // in-row scoring against the 1-row broadcast of lang profiles);
+    // lang profiles are a mergeable gram-map aggregate whose state is
+    // the Zipf-bounded trigram vocabulary — replicas add counts, never
+    // grams, so growth tracks the two text scans.
+    val docL = Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val docLBig = (0 until factor)
+      .map(i => docL.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, df) <- Seq(("1x", docL), (s"${factor}x", docLBig))) {
+      time(s"ct_langid       $label") {
+        operators.MlOps.ctLangIdConfusion(df, "doc_id", "text", "lang",
+          k = 20).count()
+      }
+      // Kish ESS: one exact keyed aggregate (n, Σw, Σw²) per group —
+      // pure scan, output bounded by |groups|.
+      time(s"kish_ess        $label") {
+        operators.Scale.kishEss(df, "lang", col("n_chars")).count()
       }
     }
     // Benford: a |groups|x9 digit grid off one keyed count — pure scan.

@@ -74,6 +74,11 @@ object GraftFunctions {
         arity("token_window_hashes", args, 2)
         TokenWindowHashes(args(0), intLit(args(1), "token_window_hashes", 2))
       }),
+    ("char_ngram_counts", classOf[CharNgramCountsExpr],
+      (args: Seq[Expression]) => {
+        arity("char_ngram_counts", args, 2)
+        CharNgramCountsExpr(args(0), intLit(args(1), "char_ngram_counts", 2))
+      }),
     ("packed_pairs", classOf[PackedPairs],
       (args: Seq[Expression]) => {
         arity("packed_pairs", args, 1); PackedPairs(args(0))

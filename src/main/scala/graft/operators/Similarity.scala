@@ -889,9 +889,13 @@ object Similarity {
     *
     * Exactness (the q292 discipline): each float component quantizes to
     * integer micro-units at FIRST appearance, per-(group, dim) sums are
-    * exact BIGINTs, each dim's cross-group difference s_a·n_b − s_b·n_a
-    * stays integer, its square widens to DECIMAL(38,0) before the
-    * order-free sum, and ONE terminal division produces the double.
+    * exact BIGINTs, and each dim's mean difference s_a/n_a − s_b/n_b
+    * re-quantizes to micro-units (one IEEE division + round per
+    * (pair, dim) — deterministic in both engines) so the squared terms
+    * and their sum stay exact BIGINTs regardless of group size: no
+    * s·n cross-product and no n_a²·n_b² quartic, which overflowed Long
+    * once a group passed ~55k vectors. |md| ≤ ~2·10⁶, so the summed
+    * square is ≤ dims·4·10¹² — BIGINT-safe at any row count.
     *
     * Scale: state is the (|groups| × dim) mean table — the data scan is
     * one posexplode + keyed aggregate; the pair stage is an equi-join on
@@ -909,17 +913,13 @@ object Similarity {
     val b = comp.toDF("gb", "db", "sb", "nb")
     a.join(b, col("da") === col("db") && col("ga") < col("gb"))
       .select(col("ga"), col("gb"), col("na"), col("nb"),
-        (col("sa") * col("nb") - col("sb") * col("na")).as("__num"))
-      .select(col("ga"), col("gb"), col("na"), col("nb"),
-        (col("__num").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
-          col("__num").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
-          .as("__sq"))
+        round(col("sa").cast("double") / col("na").cast("double") -
+          col("sb").cast("double") / col("nb").cast("double"))
+          .cast("bigint").as("__md"))
       .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
-      .agg(sum(col("__sq")).as("__ss"))
+      .agg(sum(col("__md") * col("__md")).as("__ss"))
       .select(col("ga").as("label_a"), col("gb").as("label_b"),
         col("na").as("n_a"), col("nb").as("n_b"),
-        (col("__ss").cast("double") /
-          (col("na") * col("nb") * col("na") * col("nb")).cast("double") /
-          lit(1e12)).as("mmd2"))
+        (col("__ss").cast("double") / lit(1e12)).as("mmd2"))
   }
 }

@@ -85,4 +85,17 @@ class MultimodalSpec extends AnyFunSuite {
       s"the disjoint profile must not pair: $pairs")
     graft.operators.CacheScope.drain()
   }
+
+  test("oracle byte/char equivalence holds: corpus is ASCII") {
+    // The q309 DuckDB mirror reads code points (ord/substr/length) while
+    // ahashSigs hashes raw UTF-8 bytes; they agree only on pure-ASCII
+    // text. Guard the assumption the oracle documents: every generated
+    // document must have octet_length == char length.
+    val nonAscii = spark.read.parquet(s"$sf/documents.parquet")
+      .where(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii non-ASCII documents — rewrite the q309 oracle over " +
+        "blob bytes before trusting the char-based mirror")
+  }
 }

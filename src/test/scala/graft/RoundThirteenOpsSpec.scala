@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 rework guarantees: the native char_ngram_counts expression
+  * against its HOF-and-window reference formulation (including
+  * multi-byte code points the ASCII corpus never exercises), and full
+  * output parity of the shuffle-free ctLangIdConfusion against the r12
+  * window-based formulation on the real sf0.001 corpus. */
+class RoundThirteenOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("char_ngram_counts: matches explode+count+sort reference, code-point slicing") {
+    // includes 2- and 3-byte UTF-8 code points: grams must be cut at
+    // code-point boundaries exactly like substr(text, i, 3)
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "aaaa"),
+      (3L, "ab"), // shorter than n -> empty profile
+      (4L, "café café déjà €€€"))
+      .toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        graft.functions.CharNgramCounts.char_ngram_counts(col("text"), 3)
+          .as("gc"))
+      .select(col("doc_id"), posexplode(col("gc")))
+      .select(col("doc_id"), col("pos"), col("col.g").as("g"),
+        col("col.c").as("c"))
+    val reference = docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("g").asc)) - 1)
+      .select(col("doc_id"), col("pos").cast("int"), col("g"), col("c"))
+    assert(native.exceptAll(reference).isEmpty &&
+      reference.exceptAll(native).isEmpty,
+      "native profile must equal the explode/count/rank reference " +
+        s"native=${native.collect().toSeq} ref=${reference.collect().toSeq}")
+    assert(native.where(col("doc_id") === 3L).count() == 0,
+      "sub-n rows carry an empty profile")
+  }
+
+  test("ctLangIdConfusion: shuffle-free rework is row-identical to the r12 window formulation on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val k = 20
+    // the r12 formulation, verbatim shape: per-occurrence explode,
+    // (doc, gram) counts, two rank windows, k x |langs| scoring join
+    def r12(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val dc = docs.where(length(col("text")) >= 3)
+        .select(col("doc_id").as("__id"), col("lang").as("__lang"),
+          explode(expr("transform(sequence(1, length(text) - 2), " +
+            "i -> substr(text, i, 3))")).as("g"))
+        .groupBy(col("__id"), col("__lang"), col("g"))
+        .agg(count(lit(1)).as("__c"))
+      val lp = dc.groupBy(col("__lang"), col("g"))
+        .agg(sum(col("__c")).as("__lc"))
+        .withColumn("__lr", row_number().over(Window.partitionBy(col("__lang"))
+          .orderBy(col("__lc").desc, col("g").asc)).cast("bigint"))
+        .where(col("__lr") <= k)
+        .select(col("__lang").as("__pl"), col("g").as("__lg"), col("__lr"))
+      val dp = dc
+        .withColumn("__dr", row_number().over(Window.partitionBy(col("__id"))
+          .orderBy(col("__c").desc, col("g").asc)).cast("bigint"))
+        .where(col("__dr") <= k)
+        .select(col("__id"), col("g"), col("__dr"))
+      val langs = docs.select(col("lang").as("__cand")).distinct()
+      val dist = dp.crossJoin(broadcast(langs))
+        .join(broadcast(lp),
+          col("__pl") === col("__cand") && col("__lg") === col("g"), "left")
+        .groupBy(col("__id"), col("__cand"))
+        .agg(sum(coalesce(abs(col("__dr") - col("__lr")), lit(k.toLong)))
+          .as("__dist"))
+      val pred = dist
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("__id"))
+          .orderBy(col("__dist").asc, col("__cand").asc)))
+        .where(col("__rn") === 1)
+        .select(col("__id"), col("__cand").as("predicted"))
+      docs.select(col("doc_id").as("__id"), col("lang"))
+        .join(pred, "__id")
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }
+    val now = graft.operators.MlOps
+      .ctLangIdConfusion(docs, "doc_id", "text", "lang", k)
+    val old = r12(docs)
+    assert(now.exceptAll(old).isEmpty && old.exceptAll(now).isEmpty,
+      s"confusion matrices diverge: now=${now.collect().toSeq} " +
+        s"old=${old.collect().toSeq}")
+  }
+
+  test("GramProfileAgg: partition-shape invariant, equals per-gram total rank profile") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(length(col("text")) >= 3)
+    val agg = udaf(new graft.functions.GramProfileAgg(3, 20),
+      org.apache.spark.sql.Encoders.STRING)
+    def profile(df: DataFrame) = df.groupBy(col("lang"))
+      .agg(agg(col("text")).as("p"))
+      .select(col("lang"), posexplode(col("p")))
+      .select(col("lang"), col("pos"), col("col._1").as("g"),
+        col("col._2").as("c"))
+    val p1 = profile(docs.repartition(1))
+    val p32 = profile(docs.repartition(32, col("doc_id")))
+    assert(p1.exceptAll(p32).isEmpty && p32.exceptAll(p1).isEmpty,
+      "profile must not depend on partitioning / merge shape")
+    // reference: explode per-doc counts, total per (lang, gram), rank
+    val ref = docs.select(col("lang"),
+        explode(graft.functions.CharNgramCounts
+          .char_ngram_counts(col("text"), 3)).as("e"))
+      .groupBy(col("lang"), col("e.g").as("g"))
+      .agg(sum(col("e.c")).as("c"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("g").asc)) - 1)
+      .where(col("pos") < 20)
+      .select(col("lang"), col("pos").cast("int"), col("g"), col("c"))
+    assert(p32.exceptAll(ref).isEmpty && ref.exceptAll(p32).isEmpty,
+      "aggregator profile must equal the explode/total/rank reference")
+  }
+
+  test("q141/q213 session caches: cached result identical to a cold direct build, keyed per sf dir") {
+    val d1 = "/root/testdata/sf0.001"
+    val d2 = "/root/testdata/sf0.01"
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // first access populates the cache; the cold rebuild is a direct
+    // operator call bypassing the cache entirely
+    val winCached = SparkEntry.queries("q141_winnow_pairs")(spark, d1)
+    val winCold = graft.operators.TextDedup.winnowNearDupPairs(
+      spark.read.parquet(s"$d1/documents.parquet"), "doc_id", "text",
+      k = 5, w = 4, minShared = 2, maxDf = 20)
+    assert(same(winCached, winCold), "winnow cache must not change results")
+    val ppCached = SparkEntry.queries("q213_ppjoin_pairs")(spark, d1)
+    val ppCold = graft.operators.TextDedup.ppjoinPairs(
+      spark.read.parquet(s"$d1/documents.parquet"), "doc_id", "text",
+      n = 12, threshold = 0.7)
+    assert(same(ppCached, ppCold), "ppjoin cache must not change results")
+    // a different sf dir must NOT read the d1 entry
+    val winD2 = SparkEntry.queries("q141_winnow_pairs")(spark, d2)
+    assert(winD2.count() != winCached.count() || !same(winD2, winCached),
+      "cache key must include the sf dir")
+    graft.operators.CacheScope.drain()
+  }
+
+  test("ctLangIdConfusion: profile-less candidate lang still competes with max penalty") {
+    // lang "qq" appears only in a 2-char doc: it builds no profile, but
+    // the oracle's candidate set includes it — its null map must charge
+    // k per probe, never win against a real profile, and the short doc
+    // itself is excluded from scoring
+    val docs = (
+      (1L to 4L).map(i => (i, "aab aab aba baa aab", "aa")) ++
+      Seq((9L, "zz", "qq")))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.MlOps
+      .ctLangIdConfusion(docs, "doc_id", "text", "lang", k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(("aa", "aa") -> 4L),
+      s"only the real-profile lang classifies, short doc drops: $r")
+  }
+}
