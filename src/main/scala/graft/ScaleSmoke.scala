@@ -200,6 +200,14 @@ import org.apache.spark.sql.functions._
   * broadcast are constant and cost tracks the two text scans (the doc
   * side is shuffle-free — in-row profile slice + in-row scoring).
   * Kish ESS is one keyed (n, Σw, Σw²) aggregate — pure scan.
+  * {{{
+  *   sketch_quantile 1x rows=5   2.3 s   10x rows=5   2.1 s
+  * }}}
+  * The q317 rank sketch is FLAT at 10x events: per-(group, task) state
+  * is the k=1024 bottom-k buffer and the audit pass broadcasts the
+  * |groups|×5 estimate table, so both passes are pure scans whose
+  * fixed overhead still dominates at sf0.01×10 — event volume moves
+  * only the scan term.
   *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
@@ -929,6 +937,23 @@ object ScaleSmoke {
       // pure scan, output bounded by |groups|.
       time(s"kish_ess        $label") {
         operators.Scale.kishEss(df, "lang", col("n_chars")).count()
+      }
+    }
+    // q317 rank-sketch quantile: the bottom-k sample rides the partial-agg
+    // tree (k-bounded buffer per (group, task)) and the rank audit is one
+    // broadcast-joined conditional-count scan — two pure scans, constant
+    // output, so growth must track input size with no shuffle inflation.
+    // Replicas shift event_id so sample keys stay row-unique.
+    val evQ = Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val evQBig = (0 until factor)
+      .map(i => evQ.withColumn("event_id",
+        col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for ((label, df) <- Seq(("1x", evQ), (s"${factor}x", evQBig))) {
+      time(s"sketch_quantile $label") {
+        operators.Sketches.rankSketchQuantiles(df, "event_type",
+          "event_id", "value", k = 1024).count()
       }
     }
     // Benford: a |groups|x9 digit grid off one keyed count — pure scan.

@@ -300,4 +300,63 @@ object Sketches {
       .agg(hll(hash60(col(valueCol))).as("hll_distinct"),
         countDistinct(col(valueCol)).as("exact_distinct"))
   }
+
+  /** Unknown-range quantile estimates per group from a mergeable bottom-k
+    * hash-sample rank sketch ([[graft.functions.BottomKSampleAgg]] — see
+    * its scaladoc for why this merge-invariant sample replaces KLL/
+    * t-digest under this repo's determinism discipline), with a built-in
+    * error-band AUDIT: each estimate's true rank is measured against the
+    * full data and gated at `band` (≥ the DKW bound sqrt(ln(2/δ)/(2k)) ≈
+    * 0.051 for k=1024, δ=0.01). Output per group, wide (the q96 shape):
+    * n, est_p50/est_p90/est_p99 (interpolated percentile OVER THE SAMPLE
+    * — the same percentile semantics q96 proves cross-engine exact),
+    * rank_p50/rank_p90/rank_p99 (true CDF at each estimate, one exact
+    * conditional-count scan), and within_band (all three |rank−p| ≤
+    * band). At production scale the rank columns are the calibration
+    * truth to drop — the sketch pass alone never sorts: each map task
+    * ships one ≤k buffer per group, and the percentile runs over |groups|
+    * × ≤k sampled rows, not the data.
+    *
+    * The sample key is hash60(idCol) — idCol must be row-unique (the
+    * determinism spine); ties beyond (hash, value) are interchangeable.
+    * Oracle: `row_number() OVER (PARTITION BY g ORDER BY hash60, value)
+    * <= k` then quantile_cont, replayed verbatim. */
+  def rankSketchQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                          valueCol: String, k: Int = 1024,
+                          band: Double = 0.06): DataFrame = {
+    require(k >= 2 && band > 0.0, "need k >= 2 and band > 0")
+    val samp = df.groupBy(col(groupCol))
+      .agg(graft.functions.BottomKSampleAgg.columnAgg(k)(
+        hash60(col(idCol)), col(valueCol)).as("__s"),
+        count(lit(1)).as("n"))
+    val est = samp
+      .select(col(groupCol), col("n"), explode(col("__s")).as("__e"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(expr("percentile(__e._2, array(CAST(0.5 AS DOUBLE), " +
+        "CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)))").as("__q"))
+      .select(col(groupCol), col("n"),
+        col("__q").getItem(0).as("est_p50"),
+        col("__q").getItem(1).as("est_p90"),
+        col("__q").getItem(2).as("est_p99"))
+    // audit pass: exact rank of each estimate in the FULL data — the
+    // |groups|×5-row estimate table broadcasts into one conditional-count
+    // scan; ranks are a division of exact BIGINTs by n
+    val bandL = lit(band)
+    df.select(col(groupCol), col(valueCol).as("__v"))
+      .join(broadcast(est), Seq(groupCol))
+      .groupBy(col(groupCol), col("n"),
+        col("est_p50"), col("est_p90"), col("est_p99"))
+      .agg(sum(when(col("__v") <= col("est_p50"), 1L).otherwise(0L)).as("__c50"),
+        sum(when(col("__v") <= col("est_p90"), 1L).otherwise(0L)).as("__c90"),
+        sum(when(col("__v") <= col("est_p99"), 1L).otherwise(0L)).as("__c99"))
+      .select(col(groupCol), col("n"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        (col("__c50").cast("double") / col("n").cast("double")).as("rank_p50"),
+        (col("__c90").cast("double") / col("n").cast("double")).as("rank_p90"),
+        (col("__c99").cast("double") / col("n").cast("double")).as("rank_p99"))
+      .withColumn("within_band",
+        abs(col("rank_p50") - lit(0.5)) <= bandL &&
+          abs(col("rank_p90") - lit(0.9)) <= bandL &&
+          abs(col("rank_p99") - lit(0.99)) <= bandL)
+  }
 }

@@ -592,6 +592,17 @@ object ScaleQueries {
         table(s, d, "events"), "value", bins = 256,
         ps = Seq(0.5, 0.9, 0.99))),
 
+    // Unknown-range quantiles per event type from the mergeable bottom-k
+    // hash-sample rank sketch, with the per-group DKW error-band audit —
+    // the monitoring quantile q107's declared-range histogram can't be
+    // (no [lo, hi] up front) and exact q96 can't afford (full sort). See
+    // Sketches.rankSketchQuantiles / BottomKSampleAgg for why this
+    // merge-invariant sample stands in for KLL/t-digest here.
+    "q317_sketch_quantile" -> ((s, d) =>
+      graft.operators.Sketches.rankSketchQuantiles(
+        table(s, d, "events"), "event_type", "event_id", "value",
+        k = 1024, band = 0.06)),
+
     // Deterministic 90/5/5 train/val/test carve with per-split sizing —
     // membership is a pure function of doc_id (never hops as the corpus
     // grows). See Scale.splitPlan.
@@ -1356,6 +1367,50 @@ object ScaleQueries {
     // interpolation expression per quantile in the same operation order.
     // The quantile literals are CAST to DOUBLE (bare 0.5 is DECIMAL in
     // both engines and decimal math would diverge).
+    // Mirrors Sketches.rankSketchQuantiles: same 60-bit md5 sample keys,
+    // same (hash, value) bottom-1024 selection via row_number, same
+    // continuous-interpolation percentile over the sample (the q96-proven
+    // cross-engine-exact pair percentile ↔ quantile_cont), exact BIGINT
+    // conditional counts for the rank audit, one terminal division each.
+    "q317_sketch_quantile" -> {
+      val h = duckHash60("event_id")
+      s"""WITH h AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY $h, value) AS rn
+         |  FROM events),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM events GROUP BY 1),
+         |e AS (
+         |  SELECT event_type,
+         |    quantile_cont(value, 0.5) AS est_p50,
+         |    quantile_cont(value, 0.9) AS est_p90,
+         |    quantile_cont(value, 0.99) AS est_p99
+         |  FROM h WHERE rn <= 1024 GROUP BY 1),
+         |r AS (
+         |  SELECT v.event_type,
+         |    CAST(sum(CASE WHEN v.value <= e.est_p50 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c50,
+         |    CAST(sum(CASE WHEN v.value <= e.est_p90 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c90,
+         |    CAST(sum(CASE WHEN v.value <= e.est_p99 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c99
+         |  FROM events v JOIN e USING (event_type) GROUP BY 1),
+         |f AS (
+         |  SELECT e.event_type, n.n, e.est_p50, e.est_p90, e.est_p99,
+         |    CAST(r.c50 AS DOUBLE) / CAST(n.n AS DOUBLE) AS rank_p50,
+         |    CAST(r.c90 AS DOUBLE) / CAST(n.n AS DOUBLE) AS rank_p90,
+         |    CAST(r.c99 AS DOUBLE) / CAST(n.n AS DOUBLE) AS rank_p99
+         |  FROM e JOIN n USING (event_type) JOIN r USING (event_type))
+         |SELECT event_type, n, est_p50, est_p90, est_p99,
+         |  rank_p50, rank_p90, rank_p99,
+         |  (abs(rank_p50 - CAST(0.5 AS DOUBLE)) <= CAST(0.06 AS DOUBLE)
+         |   AND abs(rank_p90 - CAST(0.9 AS DOUBLE)) <= CAST(0.06 AS DOUBLE)
+         |   AND abs(rank_p99 - CAST(0.99 AS DOUBLE)) <= CAST(0.06 AS DOUBLE))
+         |    AS within_band
+         |FROM f""".stripMargin
+    },
+
     "q107_histogram_quantile" ->
       """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
         |             CAST(count(*) AS BIGINT) AS n FROM events),

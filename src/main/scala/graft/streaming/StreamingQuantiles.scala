@@ -77,4 +77,57 @@ object StreamingQuantiles {
             col("cum_before").cast("double")) /
             col("cnt").cast("double"))).as("est"))
   }
+
+  /** UNKNOWN-range streaming quantile stage: per-(window, key) bottom-k
+    * hash-sample rank sketch ([[graft.functions.BottomKSampleAgg]]) —
+    * what the monitoring shelf uses when it cannot declare [lo, hi]
+    * buckets up front (new metrics, unbounded latencies). State per
+    * group is the ≤`k` (hash, value) buffer — O(windows × keys × k),
+    * independent of event volume — and because the sample is a
+    * merge-invariant pure function of the window's row multiset, the
+    * emitted sketch is identical however events split across
+    * micro-batches (the KLL property a streaming sketch MUST have, here
+    * by semilattice construction rather than by distribution). `idCol`
+    * must be row-unique. Emits (window_start, key, sample, n). */
+  def sketchSamples(events: DataFrame, tsCol: String, keyCol: String,
+                    idCol: String, valueCol: String, k: Int,
+                    windowDur: String, watermark: String): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val bk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKSampleAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(bk(graft.operators.Sketches.hash60(col(idCol)),
+        col(valueCol)).as("sample"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("sample"), col("n"))
+  }
+
+  /** Finishing stage over the sink's (window_start, key, sample, n)
+    * rows: interpolated quantile estimates at each p in `ps` from the
+    * sampled values — a ≤k-row-per-group aggregate, never a sort over
+    * events. Same percentile semantics as the batch
+    * [[graft.operators.Sketches.rankSketchQuantiles]]. */
+  def quantilesFromSamples(sampleRows: DataFrame, keyCol: String,
+                           ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      "quantiles must be strictly inside (0, 1)")
+    val targets = ps.map(p => s"CAST($p AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    sampleRows
+      .select(col("window_start"), col(keyCol), col("n"),
+        explode(col("sample")).as("__e"))
+      .groupBy(col("window_start"), col(keyCol), col("n"))
+      .agg(expr(s"percentile(__e._2, $targets)").as("__q"))
+      .select(col("window_start"), col(keyCol), col("n"),
+        explode(arrays_zip(expr(targets).as("p"), col("__q").as("est")))
+          .as("__z"))
+      .select(col("window_start"), col(keyCol), col("n"),
+        col("__z.p").as("p"), col("__z.est").as("est"))
+  }
 }

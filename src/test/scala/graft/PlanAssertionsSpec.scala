@@ -463,4 +463,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p300.contains("BroadcastNestedLoopJoin"),
       "fingerprint join must stay equi-keyed")
   }
+
+  test("q317: rank sketch is a mergeable partial aggregate; audit join broadcasts the estimate table") {
+    val p = plan("q317_sketch_quantile")
+    // the bottom-k sample buffer must ride Spark's partial-agg tree
+    // (ObjectHashAggregate for the udaf) — a sort-based fallback or a
+    // window here would mean the sketch shuffles rows, not buffers
+    assert(p.contains("ObjectHashAggregate"),
+      "bottom-k sample must be a mergeable (partial) aggregate")
+    // the rank-audit scan joins the |groups|x5 estimate table broadcast —
+    // never a shuffle of the event side on a non-key, never cartesian
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "estimate table must broadcast into the audit scan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "audit join must stay equi-keyed")
+  }
 }

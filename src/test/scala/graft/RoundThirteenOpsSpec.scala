@@ -148,6 +148,36 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("rankSketchQuantiles: repartition/merge-shape invariant, exact when n <= k, band audit") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    def run(df: DataFrame, k: Int) = graft.operators.Sketches
+      .rankSketchQuantiles(df, "event_type", "event_id", "value", k = k,
+        band = 0.06)
+    // merge invariance: the bottom-k sample is a pure function of the
+    // row multiset, so every partitioning must give identical output
+    val r1 = run(ev.repartition(1), 64)
+    val r32 = run(ev.repartition(32, col("event_id")), 64)
+    val r7 = run(ev.repartition(7), 64)
+    assert(r1.exceptAll(r32).isEmpty && r32.exceptAll(r1).isEmpty &&
+      r1.exceptAll(r7).isEmpty && r7.exceptAll(r1).isEmpty,
+      "sketch must not depend on partitioning / merge shape")
+    // n <= k degenerates to the exact percentile (sample = everything)
+    val big = run(ev, k = 1000000).select(col("event_type"),
+      col("est_p50"), col("est_p90"), col("est_p99"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(CAST(0.5 AS DOUBLE), " +
+        "CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)))").as("q"))
+      .select(col("event_type"), col("q").getItem(0).as("est_p50"),
+        col("q").getItem(1).as("est_p90"), col("q").getItem(2).as("est_p99"))
+    assert(big.exceptAll(exact).isEmpty && exact.exceptAll(big).isEmpty,
+      "k >= n sample must reproduce the exact percentile")
+    // the DKW audit holds at the shipped k on real data
+    val out = run(ev, 1024).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("within_band")),
+      s"every group inside the rank band: ${out.toSeq}")
+  }
+
   test("ctLangIdConfusion: profile-less candidate lang still competes with max penalty") {
     // lang "qq" appears only in a 2-char doc: it builds no profile, but
     // the oracle's candidate set includes it — its null map must charge

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode, expr}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingAgg
@@ -664,6 +665,54 @@ class StreamingSpec extends AnyFunSuite {
       // B: 9 -> bin4, 42 clamps to bin4, -3 clamps to bin0: n=3,
       // target 1.5 -> bin4 (cum_before=1): 2*(4 + 0.5/2) = 8.5
       assert(got("2025-01-01 11:00:00.0") == 8.5, s"window B p50: $got")
+    } finally q.stop()
+  }
+
+  test("streaming rank-sketch quantiles: micro-batch split invariant, matches batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // one window, values 1..40 — fed across TWO micro-batches so the
+    // emitted sample must come from a cross-batch state merge
+    val evs = (1 to 40).map(i =>
+      Event(i.toLong, ts(f"2025-01-01 10:${i % 60}%02d:00"), 1, "click",
+        i.toDouble))
+    val sk = graft.streaming.StreamingQuantiles.sketchSamples(
+      input.toDF(), "ts", "event_type", "event_id", "value", k = 16,
+      windowDur = "1 hour", watermark = "10 minutes")
+    val q = sk.writeStream.format("memory").queryName("sketchq")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      input.addData(evs.take(13): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(13): _*)
+      q.processAllAvailable()
+      // update mode: keep each group's LAST emit (max n)
+      val sink = spark.sql(
+        """SELECT window_start, event_type, sample, n FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY window_start,
+          |    event_type ORDER BY n DESC) AS rn FROM sketchq)
+          |WHERE rn = 1""".stripMargin)
+      val streamed = graft.streaming.StreamingQuantiles
+        .quantilesFromSamples(sink, "event_type", Seq(0.5, 0.9))
+        .collect().map(r => (r.getDouble(3), r.getDouble(4))).toMap
+      // batch reference: identical aggregator over the same 40 rows
+      val batch = evs.toDF()
+        .groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.udaf(
+          new graft.functions.BottomKSampleAgg(16),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaDouble))(
+          graft.operators.Sketches.hash60(col("event_id")),
+          col("value")).as("sample"))
+        .select(explode(col("sample")).as("e"))
+        .agg(expr("percentile(e._2, array(CAST(0.5 AS DOUBLE), " +
+          "CAST(0.9 AS DOUBLE)))").as("q"))
+        .collect().head.getSeq[Double](0)
+      assert(streamed(0.5) == batch(0), s"p50: $streamed vs $batch")
+      assert(streamed(0.9) == batch(1), s"p90: $streamed vs $batch")
+      assert(streamed.size == 2)
     } finally q.stop()
   }
 }
