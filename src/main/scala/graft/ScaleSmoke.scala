@@ -208,6 +208,14 @@ import org.apache.spark.sql.functions._
   * |groups|×5 estimate table, so both passes are pure scans whose
   * fixed overhead still dominates at sf0.01×10 — event volume moves
   * only the scan term.
+  * {{{
+  *   cross_run_dedup 1x rows=333  4.2 s   10x rows=3333  2.9 s
+  *   classifier_gate 1x rows=250  3.2 s   10x rows=2500  5.2 s
+  * }}}
+  * q318 is flat-to-sublinear (1x pays session warmup): signature scans
+  * grow linearly but every join stays (band, sig)-keyed. q319 grows
+  * ~1.6x at 10x docs — the three token scans and per-doc score rows are
+  * linear while the NB/LID/LM models stay vocab-/class-bounded.
   *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
@@ -954,6 +962,31 @@ object ScaleSmoke {
       time(s"sketch_quantile $label") {
         operators.Sketches.rankSketchQuantiles(df, "event_type",
           "event_id", "value", k = 1024).count()
+      }
+    }
+    // q318 cross-run dedup: signature generation is one native MinHash
+    // pass; the store probe and bucket minima are (band, sig)-keyed —
+    // replicas multiply rows per bucket but never widen any join beyond
+    // its key, so growth must track the two signature scans.
+    // q319 classifier gate: three bounded-model stages (vocab/class/|langs|
+    // broadcasts) composed by id-keyed joins — replicas grow the token
+    // scans and the per-doc score rows linearly, the models stay fixed.
+    val docG = Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val docGBig = (0 until factor)
+      .map(i => docG.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, df) <- Seq(("1x", docG), (s"${factor}x", docGBig))) {
+      time(s"cross_run_dedup $label") {
+        operators.TextDedup.crossRunVerdicts(
+          operators.TextDedup.bandSignatureRows(
+            df.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text"),
+          df.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text").count()
+      }
+      time(s"classifier_gate $label") {
+        operators.MlOps.classifierEnsembleGate(
+          df, "doc_id", "text", "lang", "source").count()
       }
     }
     // Benford: a |groups|x9 digit grid off one keyed count — pure scan.

@@ -37,12 +37,21 @@ object MlOps {
     * TYPE, so per-doc sums are exact integers; ties break by class name.
     */
   def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
-                          classCol: String): DataFrame = {
+                          classCol: String): DataFrame =
+    naiveBayesPredictions(docs, idCol, textCol, classCol)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-document argmax of [[naiveBayesConfusion]]'s scored test half —
+    * (idCol, actual, predicted) for every doc the model did NOT train on
+    * (odd ids; gating on training docs would leak the fit). Same scoring
+    * pipeline verbatim up to the confusion groupBy; the doc-partitioned
+    * argmax window is bounded by |classes| rows per doc. */
+  def naiveBayesPredictions(docs: DataFrame, idCol: String, textCol: String,
+                            classCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"), col(classCol).as("__cls"),
       explode(split(col(textCol), " ")).as("token"))
     val train = toks.where(col("__id") % 2 === 0)
-
-    // model: per-class token counts, class token totals, doc priors, |V|
     val cnt = train.groupBy(col("__cls").as("__mcls"), col("token"))
       .agg(count(lit(1)).as("__c"))
     val classTot = cnt.groupBy("__mcls").agg(sum("__c").as("__tot"))
@@ -51,21 +60,15 @@ object MlOps {
     val globals = cnt.agg(countDistinct("token").as("__v"))
       .crossJoin(docs.where(col(idCol) % 2 === 0).agg(count(lit(1)).as("__td")))
     val classes = classTot.join(priors, "__mcls").crossJoin(broadcast(globals))
-
-    // test term frequencies, restricted to the train vocabulary
     val testTf = toks.where(col("__id") % 2 === 1)
       .groupBy("__id", "__cls", "token").agg(count(lit(1)).as("__tf"))
       .join(cnt.select("token").distinct(), Seq("token"))
-
-    // token-level log-likelihood contributions, token-keyed join to the model
     val like = testTf.crossJoin(broadcast(classes))
       .join(cnt, Seq("__mcls", "token"), "left")
       .groupBy(col("__id"), col("__cls"), col("__mcls"))
       .agg(sum(col("__tf") *
         expr("CAST(round(ln(CAST(coalesce(__c, 0) + 1 AS DOUBLE)" +
           " / CAST(__tot + __v AS DOUBLE)) * 1e6) AS BIGINT)")).as("__like"))
-
-    // dense doc x class base (prior only), left-joined with token evidence
     val base = docs.where(col(idCol) % 2 === 1)
       .select(col(idCol).as("__id"), col(classCol).as("__cls"))
       .crossJoin(broadcast(classes))
@@ -75,12 +78,61 @@ object MlOps {
     val scored = base.join(like, Seq("__id", "__cls", "__mcls"), "left")
       .select(col("__id"), col("__cls"), col("__mcls"),
         (col("__prior") + coalesce(col("__like"), lit(0L))).as("__score"))
-
     val w = Window.partitionBy("__id")
       .orderBy(col("__score").desc, col("__mcls").asc)
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .groupBy(col("__cls").as("actual"), col("__mcls").as("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
+      .select(col("__id").as(idCol), col("__cls").as("actual"),
+        col("__mcls").as("predicted"))
+  }
+
+  /** Doc-level quality gate from an ensemble of CLASSIFIER signals — the
+    * model-driven complement to the rule funnel (q114) and the rank
+    * ensemble of cheap heuristics (q159): each vote comes from a model
+    * fit on the corpus itself, the fastText-style gate a pretraining
+    * pipeline runs before mixing.
+    *
+    * Votes, one per certified component query:
+    *  - source_ok — the naive-Bayes source classifier (q193) re-derives
+    *    the doc's claimed `classCol`: a miss means the text does not look
+    *    like its provenance says it should.
+    *  - lang_ok — the Cavnar-Trenkle trigram LID (q316) agrees with the
+    *    doc's `langCol` label (false when the doc is too short to
+    *    profile).
+    *  - lm_ok — corpus bigram-LM cross-entropy (q140's scorer) lands in
+    *    [xentLo, xentHi]: below is degenerate repetition, above is
+    *    gibberish (false when the doc has no scorable bigram).
+    *
+    * keep = majority (>= 2 of 3). Gated docs are the NB TEST half only
+    * (odd ids) — gating docs the classifier trained on would leak the
+    * fit. Output: idCol, source_ok, xent, lang_ok, lm_ok, votes, keep.
+    *
+    * Scale: three bounded-model stages (vocab-/class-/|langs|-bounded
+    * broadcasts, id-keyed joins — each argued at its component query)
+    * composed by doc-id equi-joins; the gate itself adds one narrow
+    * 3-way join and in-row boolean math. */
+  def classifierEnsembleGate(docs: DataFrame, idCol: String, textCol: String,
+                             langCol: String, classCol: String, k: Int = 20,
+                             xentLo: Double = 3.0,
+                             xentHi: Double = 3.6): DataFrame = {
+    val nb = naiveBayesPredictions(docs, idCol, textCol, classCol)
+      .select(col(idCol), (col("predicted") === col("actual")).as("source_ok"))
+    val lid = ctLangIdPredictions(docs, idCol, textCol, langCol, k)
+      .select(col(idCol), (col("predicted") === col(langCol)).as("__lid"))
+    val lm = TextLm.bigramCrossEntropy(docs, idCol, textCol)
+      .select(col(idCol), col("xent"))
+    docs.where(col(idCol) % 2 === 1)
+      .select(col(idCol))
+      .join(nb, Seq(idCol))
+      .join(lid, Seq(idCol), "left")
+      .join(lm, Seq(idCol), "left")
+      .withColumn("lang_ok", coalesce(col("__lid"), lit(false)))
+      .withColumn("lm_ok", col("xent").isNotNull &&
+        col("xent") >= lit(xentLo) && col("xent") <= lit(xentHi))
+      .drop("__lid")
+      .withColumn("votes",
+        (col("source_ok").cast("int") + col("lang_ok").cast("int") +
+          col("lm_ok").cast("int")).cast("bigint"))
+      .withColumn("keep", col("votes") >= 2L)
   }
 
   /** Micro-unit quantization of a float-array column: each component becomes
@@ -488,7 +540,17 @@ object MlOps {
     * aggregate, two per-doc rank windows, k·|langs| scoring shuffle —
     * measured 4.2 s warmed at sf0.1; semantics and oracle unchanged.) */
   def ctLangIdConfusion(docs: DataFrame, idCol: String, textCol: String,
-                        langCol: String, k: Int = 20): DataFrame = {
+                        langCol: String, k: Int = 20): DataFrame =
+    ctLangIdPredictions(docs, idCol, textCol, langCol, k)
+      .groupBy(col(langCol), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-document prediction stage of [[ctLangIdConfusion]] — (idCol,
+    * langCol, predicted) for every doc long enough to profile (length >=
+    * 3; shorter docs have no trigram evidence and drop out). Same
+    * shuffle-free doc side and 1-row broadcast profile scoring. */
+  def ctLangIdPredictions(docs: DataFrame, idCol: String, textCol: String,
+                          langCol: String, k: Int = 20): DataFrame = {
     val counted = docs.where(length(col(textCol)) >= 3)
       .select(col(idCol).as("__id"), col(langCol).as("__lang"),
         graft.functions.CharNgramCounts
@@ -531,7 +593,7 @@ object MlOps {
              |               - try_element_at(p.pm, x.g)), $kL)),
              |         CAST(0 AS BIGINT), (a, b) -> a + b),
              |  'c', p.cand)))""".stripMargin).getField("c").as("predicted"))
-    pred.groupBy(col("__lang").as(langCol), col("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
+    pred.select(col("__id").as(idCol), col("__lang").as(langCol),
+      col("predicted"))
   }
 }

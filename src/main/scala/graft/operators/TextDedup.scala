@@ -61,6 +61,69 @@ object TextDedup {
     * Candidates come from a self-join on (band, sig) — bucketed, never
     * all-pairs; the exact Jaccard filter then removes false positives.
     */
+  /** The (id, band, sig) signature vocabulary of the persistent cross-run
+    * dedup store: per-band MinHash rows (band 0..bands-1, one native
+    * [[graft.functions.MinHashSigs]] pass) plus one exact-md5 SENTINEL row
+    * per doc (band = -1) so short documents that yield no shingles are
+    * still collision-guarded. Shared by the streaming ingest gate
+    * ([[graft.streaming.IncrementalNearDup]]) and the batch twin
+    * [[crossRunVerdicts]] — one signature scheme, two consumption modes. */
+  def bandSignatureRows(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    require(bands <= 4, "2 draws/band x 4-hex-char slices must fit one md5 digest")
+    val stacked = (0 until bands)
+      .map(b => s"$b, concat(mh[${2 * b}], mh[${2 * b + 1}])").mkString(", ")
+    val banded = docs
+      .select(col(idCol), graft.functions.MinHashSigs.minhash_sigs(
+        split(col(textCol), " "), shingleK, 2 * bands).as("mh"))
+      .where(col("mh").isNotNull)
+      .select(col(idCol), expr(s"stack($bands, $stacked) AS (band, sig)"))
+    val sentinels = docs.select(col(idCol),
+      lit(-1).as("band"), md5(col(textCol)).as("sig"))
+    banded.unionByName(sentinels)
+  }
+
+  /** BATCH cross-run near-dup gate: verdict every batch document against
+    * a persisted signature store from previous runs — the batch twin of
+    * the streaming [[graft.streaming.IncrementalNearDup]], for the
+    * "monthly crawl lands as one 100 TB batch" shape where a foreachBatch
+    * micro-ingest is the wrong tool. `storeSigs` is any frame with the
+    * store's (band, sig) rows (the per-doc store layout written by the
+    * streaming gate reads directly); semantics mirror the streaming rule:
+    * a doc is rejected when ANY of its rows — banded or sentinel —
+    * collides with ANY store row, or shares a bucket with a smaller-id
+    * batch doc (within-batch minima computed over the FULL batch first,
+    * the replay-stable order). A doc already in the store is reported as
+    * rejected-by-store here (sentinel collision), where the streaming
+    * form silently drops it — a gate reports, an ingester skips.
+    *
+    * Output per batch doc: store_hits / batch_prior_hits (exact counts
+    * over its ≤ bands+1 signature rows) and accepted = both zero. The
+    * survivors' [[bandSignatureRows]] are what a caller appends to the
+    * store to close the run.
+    *
+    * Scale: everything is (band, sig)-keyed — the bucket-minimum
+    * aggregate, the store probe (store side bucketed on (band, sig) at
+    * warehouse scale), and the per-doc verdict aggregate; nothing is
+    * all-pairs, and the store is never materialized per-doc. */
+  def crossRunVerdicts(storeSigs: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    val sigs = bandSignatureRows(batch, idCol, textCol, bands, shingleK)
+    val storeKeys = storeSigs.select(col("band"), col("sig")).distinct()
+    val minPerBucket = sigs.groupBy(col("band"), col("sig"))
+      .agg(min(col(idCol)).as("__min_id"))
+    sigs
+      .join(minPerBucket, Seq("band", "sig"))
+      .join(storeKeys.withColumn("__st", lit(1L)), Seq("band", "sig"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__st"), lit(0L))).as("store_hits"),
+        sum(when(col("__min_id") < col(idCol), 1L).otherwise(0L))
+          .as("batch_prior_hits"))
+      .withColumn("accepted",
+        col("store_hits") === lit(0L) && col("batch_prior_hits") === lit(0L))
+  }
+
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {

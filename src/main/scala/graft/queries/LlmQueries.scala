@@ -141,6 +141,21 @@ object LlmQueries {
     // verified). Finds the corpus's planted ~0.98-Jaccard pairs.
     "q31_minhash_lsh_pairs" -> ((s, d) => nearDupPairs(s, d)),
 
+    // Batch cross-run dedup against a persisted signature store — the
+    // batch twin of the streaming IncrementalNearDup gate: every third
+    // doc (doc_id % 3 == 0) plays the already-ingested prior runs whose
+    // banded-MinHash + md5-sentinel rows form the store; the rest arrive
+    // as today's batch and are verdict'd against the store AND against
+    // smaller-id batch docs. See TextDedup.crossRunVerdicts.
+    "q318_cross_run_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val prior = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      TextDedup.crossRunVerdicts(
+        TextDedup.bandSignatureRows(prior, "doc_id", "text"),
+        batch, "doc_id", "text")
+    }),
+
     // SimHash banded near-dup pairs — native codegen'd SimHash64 expression.
     // Oracled: DuckDB mirrors FNV-1a's unsigned wraparound with HUGEINT
     // arithmetic mod 2^64 (ASCII corpus => unicode(char) == UTF-8 byte);
@@ -1563,6 +1578,46 @@ object LlmQueries {
          |FROM documents""".stripMargin,
 
     "q31_minhash_lsh_pairs" -> minhashPairsSql,
+
+    // Mirrors TextDedup.crossRunVerdicts on the q31 signature scheme:
+    // same 3-token shingles, same per-band (md5-slice min || min) sigs,
+    // same md5(text) sentinels, store = doc_id % 3 == 0, batch-first
+    // bucket minima, exact BIGINT hit counts.
+    "q318_cross_run_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+        |      for i in range(1, len(t)-1)]) AS sh
+        |    FROM toks)),
+        |sig AS (
+        |  SELECT doc_id, band,
+        |    min(substr(md5(sh), band*8+1, 4)) ||
+        |      min(substr(md5(sh), band*8+5, 4)) AS sig
+        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+        |  GROUP BY doc_id, band),
+        |rows_all AS (
+        |  SELECT doc_id, band, sig FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, -1 AS band, md5(text) AS sig FROM documents),
+        |store AS (
+        |  SELECT DISTINCT band, sig FROM rows_all WHERE doc_id % 3 = 0),
+        |b AS (SELECT * FROM rows_all WHERE doc_id % 3 <> 0),
+        |mins AS (
+        |  SELECT band, sig, min(doc_id) AS min_id FROM b GROUP BY 1, 2),
+        |per AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN s.band IS NOT NULL THEN 1 ELSE 0 END AS st,
+        |    CASE WHEN m.min_id < b.doc_id THEN 1 ELSE 0 END AS pr
+        |  FROM b
+        |  JOIN mins m ON m.band = b.band AND m.sig = b.sig
+        |  LEFT JOIN store s ON s.band = b.band AND s.sig = b.sig)
+        |SELECT doc_id, CAST(sum(st) AS BIGINT) AS store_hits,
+        |  CAST(sum(pr) AS BIGINT) AS batch_prior_hits,
+        |  (sum(st) = 0 AND sum(pr) = 0) AS accepted
+        |FROM per GROUP BY 1""".stripMargin,
 
     // Mirrors CorpusStats.vocabCoverage: same tokenize/filter order,
     // exact frequency-of-frequency BIGINTs into the two estimator

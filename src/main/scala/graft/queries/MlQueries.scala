@@ -72,6 +72,20 @@ object MlQueries {
       MlOps.naiveBayesConfusion(
         table(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Classifier-ensemble keep/drop gate over the NB test half: NB
+    // source agreement (q193) + CT trigram LID agreement (q316) + bigram
+    // LM cross-entropy band (q140's scorer), majority vote — the
+    // model-driven gate beside the q114 rule funnel and q159 heuristic
+    // rank ensemble. On THIS corpus the NB vote fails for every doc
+    // (the 20 synthetic sources are stylistically identical, so no text
+    // corroborates its provenance label) — which is the gate's point:
+    // one dead signal must not decide alone, and majority voting keeps
+    // the verdict on the other two. RoundThirteenOpsSpec pins each vote
+    // flipping on a separable fixture. See MlOps.classifierEnsembleGate.
+    "q319_classifier_gate" -> ((s, d) =>
+      MlOps.classifierEnsembleGate(
+        table(s, d, "documents"), "doc_id", "text", "lang", "source")),
+
     // Full 64x64 covariance matrix of the embedding table in ONE pass:
     // O(d^2) mergeable state per task (GramMatrixAgg) instead of the
     // n*d^2/2-row shuffle the declarative explode+self-join plan pays; the
@@ -582,6 +596,112 @@ object MlQueries {
         |  FROM sc)
         |SELECT actual, mcls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
         |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors MlOps.classifierEnsembleGate: the q193 NB pipeline to its
+    // per-doc argmax, the q316 CT-LID pipeline to its per-doc argmin, the
+    // q140 bigram-LM scorer to its 6-dp per-doc xent, composed by doc_id
+    // left-joins with the same coalesce(false) missing-evidence rule.
+    "q319_classifier_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT source AS mcls, token, count(*) AS c
+        |  FROM train GROUP BY 1, 2),
+        |tot AS (SELECT mcls, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+        |pri AS (SELECT source AS mcls, count(*) AS nd
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |gl AS (SELECT (SELECT count(DISTINCT token) FROM cnt) AS v,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS td),
+        |classes AS (SELECT t.mcls, t.tot, p.nd, g.v, g.td
+        |  FROM tot t JOIN pri p ON t.mcls = p.mcls CROSS JOIN gl g),
+        |ttf AS (SELECT doc_id, source AS actual, token, count(*) AS tf
+        |  FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        |ttfv AS (SELECT * FROM ttf
+        |  WHERE token IN (SELECT DISTINCT token FROM cnt)),
+        |lik AS (SELECT t.doc_id, t.actual, cl.mcls,
+        |    sum(t.tf * CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+        |      / CAST(cl.tot + cl.v AS DOUBLE)) * 1e6) AS BIGINT)) AS lk
+        |  FROM ttfv t CROSS JOIN classes cl
+        |  LEFT JOIN cnt c ON c.mcls = cl.mcls AND c.token = t.token
+        |  GROUP BY 1, 2, 3),
+        |base AS (SELECT dd.doc_id, dd.source AS actual, cl.mcls,
+        |    CAST(round(ln(CAST(cl.nd AS DOUBLE) / CAST(cl.td AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS prior
+        |  FROM documents dd CROSS JOIN classes cl WHERE dd.doc_id % 2 = 1),
+        |sc AS (SELECT b.doc_id, b.actual, b.mcls,
+        |    b.prior + coalesce(l.lk, 0) AS score
+        |  FROM base b LEFT JOIN lik l
+        |    ON l.doc_id = b.doc_id AND l.mcls = b.mcls),
+        |pick AS (SELECT doc_id, actual, mcls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, mcls ASC) AS rn
+        |  FROM sc),
+        |nbp AS (SELECT doc_id, (mcls = actual) AS source_ok
+        |  FROM pick WHERE rn = 1),
+        |g AS (
+        |  SELECT doc_id, lang, u.g AS g
+        |  FROM (SELECT doc_id, lang,
+        |      [substr(text, i, 3) for i in range(1, length(text) - 1)]
+        |        AS gs
+        |    FROM documents WHERE length(text) >= 3) t,
+        |    unnest(gs) AS u(g)),
+        |dc AS (SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |lp AS (SELECT lang AS pl, g, rnk FROM (
+        |  SELECT lang, g, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sum(c) DESC, g ASC) AS BIGINT) AS rnk
+        |  FROM dc GROUP BY lang, g) WHERE rnk <= 20),
+        |dp AS (SELECT doc_id, g, rnk FROM (
+        |  SELECT doc_id, g, CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, g ASC) AS BIGINT) AS rnk
+        |  FROM dc) WHERE rnk <= 20),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |dist AS (
+        |  SELECT dp.doc_id, langs.cand,
+        |    CAST(sum(coalesce(abs(dp.rnk - lp.rnk), 20)) AS BIGINT)
+        |      AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.pl = langs.cand AND lp.g = dp.g
+        |  GROUP BY 1, 2),
+        |lidp AS (SELECT doc_id, cand AS predicted FROM (
+        |  SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY dist ASC, cand ASC) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |xtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |db AS (
+        |  SELECT doc_id, w1, w2, count(*) AS occ FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |    FROM xtoks)
+        |  GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w1 FROM xtoks) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |model AS (
+        |  SELECT big.w1, big.w2,
+        |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
+        |  FROM big JOIN uni ON big.w1 = uni.w1 CROSS JOIN v),
+        |xsc AS (SELECT db.doc_id,
+        |    round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6)
+        |      / CAST(sum(occ) AS DOUBLE), 6) AS xent
+        |  FROM db JOIN model USING (w1, w2) GROUP BY doc_id),
+        |gate AS (
+        |  SELECT d.doc_id, nbp.source_ok, x.xent,
+        |    coalesce(lidp.predicted = d.lang, false) AS lang_ok,
+        |    coalesce(x.xent >= CAST(3.0 AS DOUBLE)
+        |      AND x.xent <= CAST(3.6 AS DOUBLE), false) AS lm_ok
+        |  FROM documents d
+        |  JOIN nbp ON nbp.doc_id = d.doc_id
+        |  LEFT JOIN lidp ON lidp.doc_id = d.doc_id
+        |  LEFT JOIN xsc x ON x.doc_id = d.doc_id
+        |  WHERE d.doc_id % 2 = 1)
+        |SELECT doc_id, source_ok, xent, lang_ok, lm_ok,
+        |  CAST(CAST(source_ok AS INT) + CAST(lang_ok AS INT)
+        |    + CAST(lm_ok AS INT) AS BIGINT) AS votes,
+        |  (CAST(source_ok AS INT) + CAST(lang_ok AS INT)
+        |    + CAST(lm_ok AS INT) >= 2) AS keep
+        |FROM gate""".stripMargin,
 
     "q194_embedding_covariance" -> covSql,
 

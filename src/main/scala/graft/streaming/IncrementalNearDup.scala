@@ -39,18 +39,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (band, sig) at warehouse scale; nothing is ever all-pairs. */
 object IncrementalNearDup {
 
-  private def bandSigs(batch: DataFrame, bands: Int, shingleK: Int): DataFrame = {
-    val stacked = (0 until bands)
-      .map(b => s"$b, concat(mh[${2 * b}], mh[${2 * b + 1}])").mkString(", ")
-    val banded = batch
-      .select(col("doc_id"), graft.functions.MinHashSigs.minhash_sigs(
-        split(col("text"), " "), shingleK, 2 * bands).as("mh"))
-      .where(col("mh").isNotNull)
-      .select(col("doc_id"), expr(s"stack($bands, $stacked) AS (band, sig)"))
-    val sentinels = batch.select(col("doc_id"),
-      lit(-1).as("band"), md5(col("text")).as("sig"))
-    banded.unionByName(sentinels)
-  }
+  // one signature scheme for the store, shared with the batch twin
+  // (TextDedup.crossRunVerdicts) — see TextDedup.bandSignatureRows
+  private def bandSigs(batch: DataFrame, bands: Int, shingleK: Int): DataFrame =
+    graft.operators.TextDedup.bandSignatureRows(
+      batch, "doc_id", "text", bands, shingleK)
 
   /** One ingest step: reject near-dups of the store and of smaller-id batch
     * docs, append the survivors' signatures, return the number of ACCEPTED

@@ -464,6 +464,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "fingerprint join must stay equi-keyed")
   }
 
+  test("q318/q319: cross-run store probe and classifier gate stay keyed") {
+    // q318: bucket-minimum aggregate and store probe are (band, sig)-keyed
+    // equi-joins — a cartesian/nested-loop here is the all-pairs explosion
+    // the signature store exists to avoid
+    val p318 = plan("q318_cross_run_dedup")
+    assert(!p318.contains("CartesianProduct") &&
+      !p318.contains("BroadcastNestedLoopJoin"),
+      "store probe must stay (band, sig) equi-keyed")
+    // q319: the only cross joins are the bounded model broadcasts (NB
+    // classes, LID profile row, vocab size); doc-side composition is
+    // id-keyed — no cartesian anywhere
+    val p319 = plan("q319_classifier_gate")
+    assert(!p319.contains("CartesianProduct"), "gate must not go cartesian")
+  }
+
   test("q317: rank sketch is a mergeable partial aggregate; audit join broadcasts the estimate table") {
     val p = plan("q317_sketch_quantile")
     // the bottom-k sample buffer must ride Spark's partial-agg tree

@@ -178,6 +178,91 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       s"every group inside the rank band: ${out.toSeq}")
   }
 
+  test("crossRunVerdicts: store/batch/novel verdicts; equals the streaming gate on a shared store") {
+    val base = "the quick brown fox jumps over the lazy dog today " * 3
+    val prior = Seq((3L, base + "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + "alpha beta delta"), // near-dup of stored 3 -> store hit
+      (11L, "an entirely different novel document about spark physical plans and shuffle exchanges in query execution"),
+      (12L, "an entirely different novel document about spark physical plans and shuffle exchanges in query execution"), // dup of 11 in-batch
+      (13L, "xy")) // short: sentinel only, novel
+      .toDF("doc_id", "text")
+    val v = graft.operators.TextDedup.crossRunVerdicts(
+        graft.operators.TextDedup.bandSignatureRows(prior, "doc_id", "text"),
+        batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(v(10L)._1 > 0 && !v(10L)._3, s"10 rejected via store: $v")
+    assert(v(11L) == ((0L, 0L, true)), s"11 accepted: $v")
+    assert(v(12L)._1 == 0 && v(12L)._2 > 0 && !v(12L)._3,
+      s"12 rejected via smaller batch id only: $v")
+    assert(v(13L) == ((0L, 0L, true)), s"13 short-doc accepted: $v")
+    // one semantics, two consumption modes: the streaming gate over the
+    // same store accepts exactly the batch-twin's accepted set
+    val dir = java.nio.file.Files.createTempDirectory("xrun").toString + "/store"
+    graft.streaming.IncrementalNearDup.processBatch(prior, dir)
+    // pin the pre-batch store: the second processBatch appends to dir and
+    // a lazy read would otherwise list the new files at action time
+    val storeSigs = spark.read.parquet(dir).localCheckpoint()
+    val accepted = graft.streaming.IncrementalNearDup.processBatch(batch, dir)
+    val streamAccepted = spark.read.parquet(dir)
+      .where(col("member") && col("doc_id") > 9L)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val batchAccepted = graft.operators.TextDedup.crossRunVerdicts(
+        storeSigs, batch, "doc_id", "text")
+      .where(col("accepted")).collect().map(_.getLong(0)).toSet
+    assert(accepted == batchAccepted.size.toLong &&
+      streamAccepted == batchAccepted,
+      s"stream=$streamAccepted batch=$batchAccepted n=$accepted")
+  }
+
+  test("classifierEnsembleGate: each vote flips on a separable fixture; majority decides") {
+    // two token families with disjoint vocab; evens train the NB model,
+    // odds are gated. 7 = X text mislabeled srcY (source vote fails),
+    // 9 = X text mislabeled lang ly (LID vote fails), 11 = degenerate
+    // repetition with wrong source (LM + source votes fail -> drop)
+    val xText = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val yText = "omega psi chi phi upsilon tau sigma rho " * 4
+    val docs = Seq(
+      (1L, xText, "lx", "srcX"), (3L, xText, "lx", "srcX"),
+      (5L, yText, "ly", "srcY"),
+      (7L, xText, "lx", "srcY"),
+      (9L, xText, "ly", "srcX"),
+      (11L, "alpha alpha alpha alpha alpha alpha alpha alpha", "lx", "srcY"),
+      (2L, xText, "lx", "srcX"), (4L, xText, "lx", "srcX"),
+      (6L, xText, "lx", "srcX"), (8L, yText, "ly", "srcY"),
+      (10L, yText, "ly", "srcY"), (12L, yText, "ly", "srcY"))
+      .toDF("doc_id", "text", "lang", "source")
+    // place the LM band from the fixture's own scores: doc 11's lone
+    // "alpha alpha" bigram is corpus-RARE, so it scores far ABOVE every
+    // natural doc — the gibberish end of the band
+    val xents = graft.operators.TextLm
+      .bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val normals = (xents - 11L).values
+    assert(xents(11L) > normals.max,
+      s"rare-bigram doc must score highest: $xents")
+    val lo = normals.min - 1.0
+    val hi = (normals.max + xents(11L)) / 2.0
+    val got = graft.operators.MlOps.classifierEnsembleGate(
+        docs, "doc_id", "text", "lang", "source", k = 10,
+        xentLo = lo, xentHi = hi)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Boolean]("source_ok"), r.getAs[Boolean]("lang_ok"),
+          r.getAs[Boolean]("lm_ok"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((true, true, true, true)), s"clean doc: $got")
+    assert(got(7L) == ((false, true, true, true)),
+      s"source vote alone must not drop: $got")
+    assert(got(9L) == ((true, false, true, true)),
+      s"lang vote alone must not drop: $got")
+    assert(got(11L)._1 == false && got(11L)._3 == false &&
+      got(11L)._4 == false, s"two failed votes drop the doc: $got")
+    assert(got.keySet == Set(1L, 3L, 5L, 7L, 9L, 11L),
+      s"only the NB test half is gated: $got")
+  }
+
   test("ctLangIdConfusion: profile-less candidate lang still competes with max penalty") {
     // lang "qq" appears only in a 2-char doc: it builds no profile, but
     // the oracle's candidate set includes it — its null map must charge
