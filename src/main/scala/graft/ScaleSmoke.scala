@@ -989,6 +989,16 @@ object ScaleSmoke {
           df, "doc_id", "text", "lang", "source").count()
       }
     }
+    // q320 sketch profiler: one Expand-free scan, 11 constant 4 KB
+    // register buffers per task — growth must track the single scan
+    // (its exact twin q205 replicates every row 11x through Expand).
+    val liP = Graft.table(spark, sfDir, "lineitem")
+    val liPBig = (0 until factor).map(_ => liP).reduce(_ unionByName _)
+    for ((label, ldf) <- Seq(("1x", liP), (s"${factor}x", liPBig))) {
+      time(s"profile_sketch  $label") {
+        operators.Relational.columnProfileSketch(ldf).count()
+      }
+    }
     // Benford: a |groups|x9 digit grid off one keyed count — pure scan.
     val ordP = Graft.table(spark, sfDir, "orders")
       .select(col("o_orderpriority"), col("o_totalprice"))

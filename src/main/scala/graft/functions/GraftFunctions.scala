@@ -42,6 +42,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("dot_d", args, 2); DotProduct(args(0), args(1)) }),
     ("rolling_hash", classOf[RollingHash],
       (args: Seq[Expression]) => { arity("rolling_hash", args, 1); RollingHash(args(0)) }),
+    ("hash60", classOf[Hash60],
+      (args: Seq[Expression]) => { arity("hash60", args, 1); Hash60(args(0)) }),
     ("simhash64", classOf[SimHash64],
       (args: Seq[Expression]) => { arity("simhash64", args, 1); SimHash64(args(0)) }),
     ("ngram_distinct_count", classOf[NgramDistinctCount],

@@ -130,6 +130,70 @@ object Relational {
         col("n_distinct"), col("min_num"), col("max_num"))
   }
 
+  /** The Expand-free scale form of [[columnProfile]] — the documented
+    * q205 switch made real: per-column null counts and numeric min/max
+    * stay exact in the SAME one wide aggregate pass, but each column's
+    * distinct count comes from a [[graft.functions.HllAgg]] sketch
+    * (constant 2^p-byte register buffer per (column, task), element-wise
+    * max merge) instead of `count(DISTINCT ...)` — whose physical plan
+    * replicates EVERY row once per profiled column through an Expand
+    * node, the term that dominates q205 at 11 columns and would be fatal
+    * at 100 TB. One scan, no Expand, no second aggregate.
+    *
+    * Values hash through the canonical STRING form a SQL oracle can
+    * reproduce byte-for-byte: integers and strings as-is, doubles via
+    * DECIMAL(18,2) (exact for currency/ratio columns; a double column
+    * with more precision would need a wider canonical — widening it is a
+    * caller decision, not a silent loss), timestamps as epoch seconds.
+    * NULLs contribute the reserved hash key 0 (so a column with nulls
+    * estimates distinct-values-plus-one; n_null reports the exact count
+    * beside it) — mirrored in the oracle. Raw-Flajolet + linear-counting
+    * estimate, bit-reproducible per HllAgg's scaladoc. */
+  def columnProfileSketch(df: DataFrame, p: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, NumericType, StringType, TimestampNTZType, TimestampType}
+    val fields = df.schema.fields
+    def numView(f: org.apache.spark.sql.types.StructField): Column =
+      f.dataType match {
+        case _: NumericType => col(f.name).cast("double")
+        case _: TimestampType | _: TimestampNTZType =>
+          col(f.name).cast("timestamp").cast("long").cast("double")
+        case _ => lit(null).cast("double")
+      }
+    def canon(f: org.apache.spark.sql.types.StructField): Column =
+      f.dataType match {
+        case DoubleType | FloatType =>
+          col(f.name).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .cast("string")
+        case _: NumericType => col(f.name).cast("string")
+        case _: TimestampType | _: TimestampNTZType =>
+          col(f.name).cast("timestamp").cast("long").cast("string")
+        case StringType => col(f.name)
+        case _ => col(f.name).cast("string")
+      }
+    // ONE bank aggregator call per row (k register banks in one buffer)
+    // instead of k udaf columns — the codegen→Scala boundary is crossed
+    // once per row, not once per (row, column)
+    val bank = graft.functions.HllBankAgg.columnAgg(p, fields.length)
+    val hashes = array(fields.map(f =>
+      coalesce(Sketches.hash60(canon(f)), lit(0L))): _*)
+    val aggs = fields.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__null_${f.name}"),
+        min(numView(f)).as(s"__min_${f.name}"),
+        max(numView(f)).as(s"__max_${f.name}"))
+    } :+ bank(hashes).as("__nds")
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      s"'${f.name}', `__null_${f.name}`, element_at(__nds, ${i + 1})," +
+        s" `__min_${f.name}`, `__max_${f.name}`"
+    }.mkString(", ")
+    wide.select(col("__rows").as("n_rows"),
+      expr(s"stack(${fields.length}, $stackArgs)")
+        .as(Seq("column_name", "n_null", "hll_distinct", "min_num", "max_num")))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("hll_distinct"), col("min_num"), col("max_num"))
+  }
+
   /** Deterministic per-group mode of an integer-valued column: the most
     * frequent value, ties broken to the SMALLEST value (dropDuplicates-
     * style arbitrariness is exactly what a reproducible profile can't

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.BinaryType
 object Sketches {
 
   /** 60-bit uniform hash of `c` on the md5 hex domain — positive, identical
-    * in any engine with md5 (DuckDB: fold the same 15 hex chars). */
+    * in any engine with md5 (DuckDB: fold the same 15 hex chars). Since
+    * r13 this is the native [[graft.functions.Hash60]] codegen expression
+    * (digest-byte fold, no hex-string round-trip) — bit-identical to the
+    * composed conv(substring(md5(..), 1, 15), 16, 10) it replaces
+    * (RoundThirteenOpsSpec pins the parity on real data). */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Hash60.hash60(c.cast("string"))
 
   /** Capture-recapture distinct-count estimate (Chapman-corrected
     * Lincoln-Petersen): two independent hash-drawn "captures" at rate

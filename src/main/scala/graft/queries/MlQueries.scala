@@ -234,6 +234,16 @@ object MlQueries {
     "q205_column_profile" -> ((s, d) =>
       graft.operators.Relational.columnProfile(table(s, d, "lineitem"))),
 
+    // The Expand-free scale form of q205: same one-pass nulls/min/max,
+    // per-column distincts from mergeable HllAgg sketches over canonical
+    // string hashes instead of the 11-way count(DISTINCT) Expand — the
+    // profiler a 100 TB census actually runs; q205's exact counts stay
+    // beside it as the calibration truth. See
+    // Relational.columnProfileSketch.
+    "q320_profile_sketch" -> ((s, d) =>
+      graft.operators.Relational.columnProfileSketch(
+        table(s, d, "lineitem"))),
+
     // Theil–Sen robust slope of each event type's daily volume trend: the
     // median of all pairwise day-slopes, selected by explicit rank (never
     // engine percentile interpolation). The outlier-resistant counterpart
@@ -430,6 +440,65 @@ object MlQueries {
         s" nd_$c AS n_distinct, mn_$c AS min_num, mx_$c AS max_num FROM w"
     }.mkString("\nUNION ALL\n")
     s"""WITH w AS (SELECT count(*) AS n_rows,
+       |    $aggs
+       |  FROM lineitem)
+       |$rows""".stripMargin
+  }
+
+  /** SQL twin of Relational.columnProfileSketch over lineitem: per column
+    * the canonical-string hash60 (nulls -> key 0), the full 2^12 register
+    * pipeline from the q202 HLL oracle, raw-Flajolet + linear-counting
+    * estimate, exact nulls/min/max beside it. */
+  private def liProfileSketchOracle: String = {
+    def numView(c: String, kind: String): String = kind match {
+      case "num" => s"CAST($c AS DOUBLE)"
+      case "ts" => s"CAST(CAST(epoch($c) AS BIGINT) AS DOUBLE)"
+      case _ => "CAST(NULL AS DOUBLE)"
+    }
+    // canonical string form per column kind (doubles via DECIMAL(18,2) —
+    // the lineitem doubles are currency/ratio columns, exact at 2dp)
+    def canon(c: String, kind: String): String = kind match {
+      case "dbl" => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+      case "ts" => s"CAST(CAST(epoch($c) AS BIGINT) AS VARCHAR)"
+      case "str" => c
+      case _ => s"CAST($c AS VARCHAR)"
+    }
+    val kinds = Map("l_quantity" -> "dbl", "l_extendedprice" -> "dbl",
+      "l_discount" -> "dbl", "l_tax" -> "dbl")
+    val perCol = liProfile.map { case (c, k) =>
+      val h = ScaleQueries.duckHash60(canon(c, kinds.getOrElse(c, k)))
+      s"""hh_$c AS (SELECT DISTINCT coalesce($h, 0) AS h FROM lineitem),
+         |r_$c AS (SELECT CAST(h >> 48 AS INTEGER) AS idx,
+         |    max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+         |        ELSE 48 - length(bin(h & ((1::BIGINT << 48) - 1))) + 1 END)
+         |      AS mj
+         |  FROM hh_$c GROUP BY 1),
+         |reg_$c AS (SELECT coalesce(r_$c.mj, 0) AS mj
+         |  FROM range(0, 4096) g LEFT JOIN r_$c ON r_$c.idx = g.range),
+         |sm_$c AS (SELECT sum(1::HUGEINT << (62 - mj)) AS hs,
+         |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v0 FROM reg_$c),
+         |est_$c AS (SELECT CAST(floor(CASE
+         |    WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |        * CAST(1::BIGINT << 62 AS DOUBLE) / CAST(hs AS DOUBLE)
+         |      <= 2.5 * 4096.0 AND v0 > 0
+         |    THEN 4096.0 * ln(4096.0 / CAST(v0 AS DOUBLE))
+         |    ELSE (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |        * CAST(1::BIGINT << 62 AS DOUBLE) / CAST(hs AS DOUBLE)
+         |    END) AS BIGINT) AS nd FROM sm_$c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val aggs = liProfile.map { case (c, k) =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_$c,
+         |    min(${numView(c, k)}) AS mn_$c, max(${numView(c, k)}) AS mx_$c"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val rows = liProfile.map { case (c, _) =>
+      s"SELECT '$c' AS column_name, n_rows, nu_$c AS n_null," +
+        s" est_$c.nd AS hll_distinct, mn_$c AS min_num, mx_$c AS max_num" +
+        s" FROM w, est_$c"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $perCol,
+       |w AS (SELECT count(*) AS n_rows,
        |    $aggs
        |  FROM lineitem)
        |$rows""".stripMargin
@@ -914,6 +983,7 @@ object MlQueries {
          |  FROM l)""".stripMargin,
 
     "q205_column_profile" -> liProfileOracle,
+    "q320_profile_sketch" -> liProfileSketchOracle,
 
     "q210_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

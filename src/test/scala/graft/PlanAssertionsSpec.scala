@@ -479,6 +479,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p319.contains("CartesianProduct"), "gate must not go cartesian")
   }
 
+  test("q320: sketch profiler has NO Expand node (the q205 term it exists to remove)") {
+    val p205 = plan("q205_column_profile")
+    assert(p205.contains("Expand"),
+      "exact multi-distinct q205 pays the Expand (the priced baseline)")
+    val p320 = plan("q320_profile_sketch")
+    assert(!p320.contains("Expand"),
+      "HLL profiler must not replicate rows per column")
+    assert(p320.contains("ObjectHashAggregate"),
+      "per-column HLL registers must ride the mergeable partial-agg tree")
+  }
+
   test("q317: rank sketch is a mergeable partial aggregate; audit join broadcasts the estimate table") {
     val p = plan("q317_sketch_quantile")
     // the bottom-k sample buffer must ride Spark's partial-agg tree

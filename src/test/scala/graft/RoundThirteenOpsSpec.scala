@@ -263,6 +263,77 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       s"only the NB test half is gated: $got")
   }
 
+  test("columnProfileSketch: partition-invariant, exact-at-small-cardinality, nulls keyed to 0") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = graft.operators.Relational.columnProfileSketch(li.repartition(1))
+    val b = graft.operators.Relational.columnProfileSketch(
+      li.repartition(16, col("l_orderkey")))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sketch profile must not depend on partitioning / merge shape")
+    // calibration vs the exact profiler: small cardinalities exact
+    // (linear counting), everything within the HLL band
+    val est = a.collect().map(r =>
+      r.getString(0) -> r.getLong(3)).toMap
+    val exact = graft.operators.Relational.columnProfile(li)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((c, ex) <- exact) {
+      val e = est(c)
+      if (ex <= 100) assert(e == ex, s"$c: small cardinality must be exact ($e vs $ex)")
+      else assert(math.abs(e - ex).toDouble / ex <= 0.05,
+        s"$c: $e vs $ex outside the 5% band")
+    }
+    // nulls: exact n_null beside a sketch that charges ONE key-0 slot
+    val withNulls = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("b")))
+      .toDF("id", "s")
+    val p = graft.operators.Relational.columnProfileSketch(withNulls)
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(p("s") == ((2L, 3L)),
+      s"2 exact nulls, distinct = {a, b, null-key}: $p")
+    assert(p("id") == ((0L, 4L)), s"id column clean: $p")
+  }
+
+  test("native hash60 is bit-identical to the composed conv/substring/md5 form") {
+    // every hash60 consumer (splits, captures, KMV, samples, the q320
+    // profiler) and every DuckDB oracle assumes EXACTLY the first-15-hex-
+    // digit value of the md5 digest — pin the native fold against the
+    // composed form on real ids, tokens, and edge strings
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string").as("s"))
+      .unionByName(spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("s")))
+      .unionByName(Seq("", " ", "0", "café €", "a\nb").toDF("s"))
+    val cmp = docs.select(
+      graft.functions.Hash60.hash60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+        .as("composed"))
+    assert(cmp.where(col("native") =!= col("composed")).count() == 0,
+      cmp.where(col("native") =!= col("composed")).take(3).mkString(","))
+    // interpreted path (no codegen) agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit0 = graft.functions.Hash60(Literal("spark")).eval(null)
+    val ref = cmp.sparkSession.sql(
+      "SELECT CAST(conv(substring(md5('spark'), 1, 15), 16, 10) AS BIGINT)")
+      .head().getLong(0)
+    assert(lit0 == ref, s"interpreted eval: $lit0 vs $ref")
+  }
+
+  test("HllBankAgg: bank j equals a standalone HllAgg over the same column") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val single = udaf(new graft.functions.HllAgg(12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = graft.operators.Sketches
+    val lone = li.agg(
+        single(sk.hash60(col("l_orderkey"))).as("a"),
+        single(sk.hash60(col("l_returnflag"))).as("b"))
+      .head()
+    val banked = li.agg(graft.functions.HllBankAgg.columnAgg(12, 2)(
+        array(sk.hash60(col("l_orderkey")), sk.hash60(col("l_returnflag"))))
+        .as("v"))
+      .head().getSeq[Long](0)
+    assert(banked == Seq(lone.getLong(0), lone.getLong(1)),
+      s"bank must equal standalone sketches: $banked vs $lone")
+  }
+
   test("ctLangIdConfusion: profile-less candidate lang still competes with max penalty") {
     // lang "qq" appears only in a 2-char doc: it builds no profile, but
     // the oracle's candidate set includes it — its null map must charge
