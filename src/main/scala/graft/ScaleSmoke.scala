@@ -217,6 +217,23 @@ import org.apache.spark.sql.functions._
   * ~1.6x at 10x docs — the three token scans and per-doc score rows are
   * linear while the NB/LID/LM models stay vocab-/class-bounded.
   *
+  * Round-13 shelf curves (quiet box, 2026-08-14, sf0.001×10):
+  * {{{
+  *   fs_linkage      1x rows=752  3.9 s   10x rows=79920  2.4 s
+  *   fd_profile      1x rows=1    0.4 s   10x rows=1      0.3 s
+  *   ind_discovery   1x rows=1    0.2 s   10x rows=1      0.5 s
+  *   ips_eval        1x rows=1    0.8 s   10x rows=1      1.0 s
+  *   forecast_bt     1x rows=1    0.7 s   10x rows=1      1.7 s
+  * }}}
+  * fs_linkage's 10x is FASTER warm than the 1x cold run while emitting
+  * 100x the pairs — the pair space tracks Σ_b min(|b|,cap)² (blocks of
+  * 8 → 80 under the id-shifted replicas, still under the cap), and the
+  * u-stats are keyed scans. FD/IND/IPS are flat: their cell grids,
+  * distinct sets and (context, action) cells are data-bounded, so 10x
+  * rows only move the scan term. forecast_bt is scan-linear on the
+  * daily aggregate; the day-grid self-joins and metric reduce are
+  * calendar-constant.
+  *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
   * bigram occurrences, never token types, so the graph and its 8 rounds
@@ -1007,6 +1024,66 @@ object ScaleSmoke {
       time(s"benford         $label") {
         operators.Inference.benfordByGroup(odf, "o_orderpriority",
           col("o_totalprice")).count()
+      }
+    }
+    // r13 shelf. fs_linkage: replicas shift partkeys so brand blocks grow
+    // 10x — the cap must keep the pair space at Σ_b cap² (the er_match
+    // argument), leaving only the u-stat scans to grow.
+    val partF = Graft.table(spark, sfDir, "part")
+    val partFBig = (0 until factor)
+      .map(i => partF.withColumn("p_partkey",
+        col("p_partkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, pdf) <- Seq(("1x", partF), (s"${factor}x", partFBig))) {
+      time(s"fs_linkage      $label") {
+        operators.EntityRes.fsLinkage(pdf, "p_partkey", "p_name",
+          "p_brand", "p_type", "p_size", "p_retailprice", cap = 100,
+          jwThreshold = 0.92, mType = 0.95, mSize = 0.85, mBand = 0.80,
+          mName = 0.90, upperMicro = 4000000L, lowerMicro = 0L).count()
+      }
+      // fd_profile: cost ∝ distinct (det, dep) cells — replicas multiply
+      // per-cell counts, never cells, so the curve must be flat-to-scan.
+      time(s"fd_profile      $label") {
+        operators.SchemaDiscovery.fdStrength(pdf,
+          "part.p_brand->p_type", "p_brand", "p_type").count()
+      }
+    }
+    // ind_discovery: distinct-projections never grow under replication —
+    // only the two scans do.
+    val liD = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"))
+    val liDBig = (0 until factor).map(_ => liD).reduce(_ unionByName _)
+    for ((label, ldf) <- Seq(("1x", liD), (s"${factor}x", liDBig))) {
+      time(s"ind_discovery   $label") {
+        operators.SchemaDiscovery.indContainment(ldf, "l_partkey",
+          partF, "p_partkey", "li.l_partkey<part.p_partkey").count()
+      }
+    }
+    // ips_eval: everything collapses to the (context, action) cell grid
+    // before any double exists — replicas multiply cell counts, never
+    // cells, so the estimate is one keyed aggregate riding the scan.
+    val evI = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    val evIBig = (0 until factor).map(_ => evI).reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", evI), (s"${factor}x", evIBig))) {
+      time(s"ips_eval        $label") {
+        operators.ModelEval.ipsEval(edf, pmod(col("user_id"), lit(8)),
+          "event_type", "value",
+          Seq("purchase" -> 0.4, "signup" -> 0.2, "click" -> 0.2,
+            "view" -> 0.1, "error" -> 0.1), clip = 1.5).count()
+      }
+    }
+    // forecast_backtest: the day grid is CALENDAR-bounded — replicas
+    // scale daily cents, never days, so both self-joins and the metric
+    // reduce stay constant while the daily aggregate rides the scan.
+    val ordF = Graft.table(spark, sfDir, "orders")
+      .select(col("o_orderdate"), col("o_totalprice"))
+    val ordFBig = (0 until factor).map(_ => ordF).reduce(_ unionByName _)
+    for ((label, odf) <- Seq(("1x", ordF), (s"${factor}x", ordFBig))) {
+      time(s"forecast_bt     $label") {
+        operators.Temporal.forecastBacktest(odf, "o_orderdate",
+          "o_totalprice",
+          java.time.LocalDate.of(2001, 5, 1).toEpochDay).count()
       }
     }
     spark.stop()

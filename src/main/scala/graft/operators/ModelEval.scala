@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Classifier-evaluation operators over a (score, boolean label) table —
   * the sheets every model gate reads: exact AUC-ROC, the
@@ -257,5 +258,71 @@ object ModelEval {
         (col("__cov").cast("double") / col("n_test").cast("double"))
           .as("coverage"),
         lit(level).as("level"))
+  }
+
+  /** Off-policy evaluation of a declared target policy against logged
+    * (context, action, reward) rows whose logging propensities are the
+    * exact per-context empirical action frequencies: IPS, self-normalized
+    * IPS (SNIPS), their clipped variants (weights capped at `clip` —
+    * Ionides 2008's truncated importance sampling), and the effective
+    * sample size (Σcw)²/Σcw² of the weight distribution.
+    *
+    * With EXACT empirical propensities and full support, Σ over the
+    * sample of w equals n identically, so snips = ips is the built-in
+    * A/A-style calibration check of the estimator plumbing — only the
+    * CLIPPED pair moves, which is the bias/variance dial the query is
+    * for.
+    *
+    * Everything collapses to the (context, action) CELL grid before any
+    * double appears: per-cell reward sums are exact DECIMAL, each cell's
+    * weighted term is micro-quantized at first appearance, and the grid
+    * (|contexts|·|actions|) is constant in rows — a 100 TB log evaluates
+    * with one keyed aggregate. Output: one row — n, n_cells, w_max, ips,
+    * snips, ips_clip, snips_clip, ess. */
+  def ipsEval(df: DataFrame, contextExpr: Column, actionCol: String,
+              rewardCol: String, targetPolicy: Seq[(String, Double)],
+              clip: Double): DataFrame = {
+    val p1 = targetPolicy.foldLeft(lit(0.0)) { case (acc, (a, p)) =>
+      when(col("__a") === a, lit(p)).otherwise(acc) }
+    val cells = df
+      .groupBy(contextExpr.cast("bigint").as("__ctx"),
+        col(actionCol).as("__a"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col(rewardCol).cast(DecimalType(12, 2))).as("__sv"))
+    val nb = cells.groupBy(col("__ctx").as("__ctx2"))
+      .agg(sum(col("__c")).as("__nb"))
+    val w = cells.join(nb, col("__ctx") === col("__ctx2"))
+      .withColumn("__p1", p1)
+      .withColumn("__w", col("__p1") * col("__nb").cast("double") /
+        col("__c").cast("double"))
+      .withColumn("__wc", least(col("__w"), lit(clip)))
+    val micro = w.select(col("__c"), col("__w"),
+      round(col("__w") * col("__sv").cast("double") * lit(1e6))
+        .cast("long").as("__num"),
+      round(col("__wc") * col("__sv").cast("double") * lit(1e6))
+        .cast("long").as("__numc"),
+      round(col("__w") * col("__c").cast("double") * lit(1e6))
+        .cast("long").as("__den"),
+      round(col("__wc") * col("__c").cast("double") * lit(1e6))
+        .cast("long").as("__denc"),
+      round(col("__w") * col("__w") * col("__c").cast("double") * lit(1e6))
+        .cast("long").as("__den2"))
+    micro.agg(sum(col("__c")).cast("long").as("n"),
+        count(lit(1)).as("n_cells"),
+        max(col("__w")).as("w_max"),
+        sum(col("__num")).as("snum"), sum(col("__numc")).as("snumc"),
+        sum(col("__den")).as("sden"), sum(col("__denc")).as("sdenc"),
+        sum(col("__den2")).as("sden2"))
+      .select(col("n"), col("n_cells"), col("w_max"),
+        (col("snum").cast("double") / lit(1e6) / col("n").cast("double"))
+          .as("ips"),
+        (col("snum").cast("double") / col("sden").cast("double"))
+          .as("snips"),
+        (col("snumc").cast("double") / lit(1e6) / col("n").cast("double"))
+          .as("ips_clip"),
+        (col("snumc").cast("double") / col("sdenc").cast("double"))
+          .as("snips_clip"),
+        ((col("sden").cast("double") * col("sden").cast("double")) /
+          (lit(1e6) * col("sden2").cast("double"))).as("ess"))
   }
 }

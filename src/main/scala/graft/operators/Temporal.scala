@@ -1133,4 +1133,63 @@ object Temporal {
         (col("v") > col("__hi")).as("is_new_high"),
         (col("v") < col("__lo")).as("is_new_low"))
   }
+
+  /** Forecast backtest: score a seasonal-naive forecast (day d predicted
+    * by day d−`season`) of the daily revenue series on the holdout days
+    * at/after `cutoffDay`, with the error metrics a forecast review
+    * actually reads — MAE, pinball loss at τ = .1/.5/.9, MASE (scaled by
+    * the in-sample naive lag-1 MAE, Hyndman & Koehler 2006), and sMAPE.
+    *
+    * Determinism is the all-integer-core discipline: daily revenue is
+    * exact BIGINT cents, forecast errors stay BIGINT, and each pinball
+    * term is computed ×10 in integers (τ=k/10 ⇒ max(k·e, (k−10)·e)), so
+    * every metric numerator is an exact BIGINT sum — no fold order. The
+    * only per-day double (the sMAPE ratio) is micro-quantized at first
+    * appearance. Scale: one keyed daily aggregate, two self-joins on the
+    * CALENDAR-bounded day grid, two 1-row reduces. */
+  def forecastBacktest(orders: DataFrame, dateCol: String,
+                       amountCol: String, cutoffDay: Long,
+                       season: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(col(dateCol).cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint").as("day"))
+      .agg(sum((col(amountCol).cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(18, 0))).cast("long").as("cents"))
+    val a = daily.toDF("day", "ac").where(col("day") >= cutoffDay)
+    val f = daily.toDF("fday", "fc")
+    val terms = a.join(f, col("fday") === col("day") - season)
+      .withColumn("e", col("ac") - col("fc"))
+      .select(abs(col("e")).as("ae"),
+        greatest(col("e"), col("e") * -9).as("p10"),
+        greatest(col("e") * 5, col("e") * -5).as("p50"),
+        greatest(col("e") * 9, col("e") * -1).as("p90"),
+        when(col("ac") + col("fc") === 0, 0L)
+          .otherwise(round(lit(2.0) * abs(col("e")).cast("double") /
+            (col("ac") + col("fc")).cast("double") * lit(1e6))
+            .cast("long")).as("sm"))
+    val te = terms.agg(count(lit(1)).as("n_test"), sum("ae").as("sae"),
+      sum("p10").as("p10s"), sum("p50").as("p50s"), sum("p90").as("p90s"),
+      sum("sm").as("ssm"))
+    val t0 = daily.toDF("d0", "c0").where(col("d0") < cutoffDay)
+    val t1 = daily.toDF("d1", "c1").where(col("d1") < cutoffDay)
+    val tr = t0.join(t1, col("d1") === col("d0") + 1)
+      .agg(count(lit(1)).as("n_train_pairs"),
+        sum(abs(col("c1") - col("c0"))).as("scale_sum"))
+    te.crossJoin(broadcast(tr)).select(
+      col("n_test").cast("long").as("n_test"),
+      col("n_train_pairs").cast("long").as("n_train_pairs"),
+      (col("sae").cast("double") / col("n_test").cast("double") /
+        lit(100.0)).as("mae"),
+      (col("p10s").cast("double") / col("n_test").cast("double") /
+        lit(1000.0)).as("pinball_p10"),
+      (col("p50s").cast("double") / col("n_test").cast("double") /
+        lit(1000.0)).as("pinball_p50"),
+      (col("p90s").cast("double") / col("n_test").cast("double") /
+        lit(1000.0)).as("pinball_p90"),
+      ((col("sae").cast("double") * col("n_train_pairs").cast("double")) /
+        (col("n_test").cast("double") * col("scale_sum").cast("double")))
+        .as("mase"),
+      (col("ssm").cast("double") / lit(1e6) / col("n_test").cast("double"))
+        .as("smape"))
+  }
 }

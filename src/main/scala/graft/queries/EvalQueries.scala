@@ -22,6 +22,11 @@ object EvalQueries {
   private val psiB = "src1"
   private val psiBins = 10
 
+  /** q322's declared target policy (shared verbatim with the oracle). */
+  private val ipsTargetPolicy: Seq[(String, Double)] = Seq(
+    "purchase" -> 0.4, "signup" -> 0.2, "click" -> 0.2,
+    "view" -> 0.1, "error" -> 0.1)
+
   val queries: Map[String, Q] = Map(
 
     // Exact tie-aware AUC via U/(n+·n-) — q216's rank machinery read as
@@ -82,7 +87,17 @@ object EvalQueries {
     // q282's bootstrap (mean) CI. See ModelEval.splitConformal.
     "q293_split_conformal" -> ((s, d) =>
       ModelEval.splitConformal(table(s, d, "documents"), "doc_id",
-        size(split(col("text"), " ")), col("n_chars"), level = 0.9)))
+        size(split(col("text"), " ")), col("n_chars"), level = 0.9)),
+
+    // Off-policy evaluation: score the declared purchase-leaning target
+    // policy against the logged event stream — IPS / SNIPS and their
+    // clip-1.5 truncated variants plus weight ESS, with per-(user-bucket)
+    // empirical logging propensities. snips == ips certifies the exact
+    // propensities (full-support identity, see ModelEval.ipsEval);
+    // the clipped pair is the decision number.
+    "q322_ips_eval" -> ((s, d) =>
+      ModelEval.ipsEval(table(s, d, "events"), pmod(col("user_id"), lit(8)),
+        "event_type", "value", ipsTargetPolicy, clip = 1.5)))
 
   /** The q284 oracle: q33's candidate CTEs + the pairwise candidate sims
     * + k unrolled greedy MMR rounds (each: max-sim-to-selected, score,
@@ -143,7 +158,60 @@ object EvalQueries {
        |FROM acc$k""".stripMargin
   }
 
+  /** q322's policy CASE, generated from the same Seq the query uses. */
+  private def ipsPolicySql: String =
+    ipsTargetPolicy.map { case (a, p) =>
+      s"WHEN '$a' THEN '$p'::DOUBLE" }.mkString(" ") + " ELSE '0.0'::DOUBLE"
+
   val oracle: Map[String, String] = Map(
+
+    // Mirrors ModelEval.ipsEval: cell-grid aggregate, exact DECIMAL
+    // reward sums, identical (p1*nb)/c weight sequence, micro-quantized
+    // cell terms, exact BIGINT totals into the same final divisions.
+    "q322_ips_eval" ->
+      s"""WITH cells AS (
+         |  SELECT CAST(user_id % 8 AS BIGINT) AS ctx, event_type AS a,
+         |    CAST(count(*) AS BIGINT) AS c,
+         |    sum(CAST(value AS DECIMAL(12,2))) AS sv
+         |  FROM events GROUP BY 1, 2),
+         |nb AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS nb
+         |  FROM cells GROUP BY 1),
+         |w AS (
+         |  SELECT c, CAST(sv AS DOUBLE) AS svd,
+         |    (CASE a $ipsPolicySql END)
+         |      * CAST(nb.nb AS DOUBLE) / CAST(c AS DOUBLE) AS w
+         |  FROM cells JOIN nb USING (ctx)),
+         |m AS (SELECT c, w, least(w, '1.5'::DOUBLE) AS wc, svd FROM w),
+         |t AS (
+         |  SELECT c, w,
+         |    CAST(round(w * svd * '1000000'::DOUBLE) AS BIGINT) AS num,
+         |    CAST(round(wc * svd * '1000000'::DOUBLE) AS BIGINT) AS numc,
+         |    CAST(round(w * CAST(c AS DOUBLE) * '1000000'::DOUBLE)
+         |      AS BIGINT) AS den,
+         |    CAST(round(wc * CAST(c AS DOUBLE) * '1000000'::DOUBLE)
+         |      AS BIGINT) AS denc,
+         |    CAST(round(w * w * CAST(c AS DOUBLE) * '1000000'::DOUBLE)
+         |      AS BIGINT) AS den2
+         |  FROM m),
+         |g AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_cells, max(w) AS w_max,
+         |    CAST(sum(num) AS BIGINT) AS snum,
+         |    CAST(sum(numc) AS BIGINT) AS snumc,
+         |    CAST(sum(den) AS BIGINT) AS sden,
+         |    CAST(sum(denc) AS BIGINT) AS sdenc,
+         |    CAST(sum(den2) AS BIGINT) AS sden2
+         |  FROM t)
+         |SELECT n, n_cells, w_max,
+         |  CAST(snum AS DOUBLE) / '1000000'::DOUBLE
+         |    / CAST(n AS DOUBLE) AS ips,
+         |  CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE) AS snips,
+         |  CAST(snumc AS DOUBLE) / '1000000'::DOUBLE
+         |    / CAST(n AS DOUBLE) AS ips_clip,
+         |  CAST(snumc AS DOUBLE) / CAST(sdenc AS DOUBLE) AS snips_clip,
+         |  (CAST(sden AS DOUBLE) * CAST(sden AS DOUBLE))
+         |    / ('1000000'::DOUBLE * CAST(sden2 AS DOUBLE)) AS ess
+         |FROM g""".stripMargin,
 
     "q284_mmr_rerank" -> mmrSql(20, 5),
 

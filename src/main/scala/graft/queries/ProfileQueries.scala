@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Graft.table
-import graft.operators.{Stats, Temporal}
+import graft.operators.{SchemaDiscovery, Stats, Temporal}
 
 /** Round-10 distribution-profiling batch: where does a series shift
   * (CUSUM changepoint), where do journeys end (exit census), what shape
@@ -60,9 +60,108 @@ object ProfileQueries {
     // crossing test on the bucket grid.
     "q240_pareto_coverage" -> ((s, d) =>
       Stats.paretoCoverage(table(s, d, "orders"), "o_custkey",
-        "o_totalprice", paretoBucket, paretoNum, paretoDen)))
+        "o_totalprice", paretoBucket, paretoNum, paretoDen)),
+
+    // Approximate functional-dependency profiler: g3 strength of five
+    // declared det→dep candidates (a key FD as positive control, a
+    // known-violated pair, and three plausible-but-false dependencies)
+    // — the constraint-discovery stage before q256's expectation suite
+    // asserts anything. Cost ∝ distinct cells, keyed on the determinant.
+    "q323_fd_profile" -> ((s, d) => {
+      val part = table(s, d, "part")
+      SchemaDiscovery.fdStrength(part,
+          "part.p_name->p_brand", "p_name", "p_brand")
+        .unionByName(SchemaDiscovery.fdStrength(part,
+          "part.p_brand->p_type", "p_brand", "p_type"))
+        .unionByName(SchemaDiscovery.fdStrength(part,
+          "part.p_partkey->p_brand", "p_partkey", "p_brand"))
+        .unionByName(SchemaDiscovery.fdStrength(table(s, d, "orders"),
+          "orders.o_custkey->o_orderpriority", "o_custkey",
+          "o_orderpriority"))
+        .unionByName(SchemaDiscovery.fdStrength(table(s, d, "customer"),
+          "customer.c_nationkey->c_mktsegment", "c_nationkey",
+          "c_mktsegment"))
+    }),
+
+    // Inclusion-dependency discovery: distinct-set containment for six
+    // candidate (child ⊆ parent) column pairs — the three real FKs of
+    // the star schema (full INDs), two partial overlaps, and one
+    // near-miss — the FK-candidate screen q227's orphan audit would
+    // consume. Distinct-project both sides, then a keyed left join.
+    "q324_ind_discovery" -> ((s, d) => {
+      val li = table(s, d, "lineitem"); val part = table(s, d, "part")
+      val sup = table(s, d, "supplier"); val nat = table(s, d, "nation")
+      SchemaDiscovery.indContainment(li, "l_partkey", part, "p_partkey",
+          "lineitem.l_partkey<part.p_partkey")
+        .unionByName(SchemaDiscovery.indContainment(li, "l_suppkey", sup,
+          "s_suppkey", "lineitem.l_suppkey<supplier.s_suppkey"))
+        .unionByName(SchemaDiscovery.indContainment(table(s, d, "orders"),
+          "o_custkey", table(s, d, "customer"), "c_custkey",
+          "orders.o_custkey<customer.c_custkey"))
+        .unionByName(SchemaDiscovery.indContainment(part, "p_size", nat,
+          "n_nationkey", "part.p_size<nation.n_nationkey"))
+        .unionByName(SchemaDiscovery.indContainment(sup, "s_nationkey",
+          nat, "n_nationkey", "supplier.s_nationkey<nation.n_nationkey"))
+        .unionByName(SchemaDiscovery.indContainment(nat, "n_nationkey",
+          part, "p_size", "nation.n_nationkey<part.p_size"))
+    }))
+
+  /** One q323 oracle branch: mirrors SchemaDiscovery.fdStrength — cell
+    * counts, per-determinant max/sum, then the 1-row g3 reduce. */
+  private def fdBranch(lbl: String, tbl: String, det: String,
+                       dep: String): String =
+    s"""SELECT '$lbl' AS fd, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_det,
+       |  CAST(sum(ndep) AS BIGINT) AS n_pairs,
+       |  CAST(sum(cnt - mx) AS BIGINT) AS violations,
+       |  round(1.0 - CAST(sum(cnt - mx) AS DOUBLE)
+       |    / CAST(sum(cnt) AS DOUBLE), 6) AS strength
+       |FROM (
+       |  SELECT max(c) AS mx, sum(c) AS cnt, count(*) AS ndep
+       |  FROM (SELECT $det, $dep, CAST(count(*) AS BIGINT) AS c
+       |        FROM $tbl GROUP BY 1, 2)
+       |  GROUP BY $det)""".stripMargin
+
+  /** One q324 oracle branch: mirrors SchemaDiscovery.indContainment —
+    * null-filtered distinct projections, keyed left join, 1-row reduce. */
+  private def indBranch(lbl: String, childTbl: String, childCol: String,
+                        parentTbl: String, parentCol: String): String =
+    s"""SELECT '$lbl' AS ind, CAST(count(*) AS BIGINT) AS n_child_distinct,
+       |  CAST(sum(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_missing,
+       |  round(1.0 - CAST(sum(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS containment,
+       |  sum(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END) = 0 AS is_ind
+       |FROM (SELECT DISTINCT CAST($childCol AS BIGINT) AS v FROM $childTbl
+       |      WHERE $childCol IS NOT NULL) a
+       |LEFT JOIN (SELECT DISTINCT CAST($parentCol AS BIGINT) AS v
+       |           FROM $parentTbl WHERE $parentCol IS NOT NULL) b
+       |  ON a.v = b.v""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q323_fd_profile" -> Seq(
+      fdBranch("part.p_name->p_brand", "part", "p_name", "p_brand"),
+      fdBranch("part.p_brand->p_type", "part", "p_brand", "p_type"),
+      fdBranch("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+      fdBranch("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+        "o_orderpriority"),
+      fdBranch("customer.c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment")).mkString("\nUNION ALL\n"),
+
+    "q324_ind_discovery" -> Seq(
+      indBranch("lineitem.l_partkey<part.p_partkey", "lineitem",
+        "l_partkey", "part", "p_partkey"),
+      indBranch("lineitem.l_suppkey<supplier.s_suppkey", "lineitem",
+        "l_suppkey", "supplier", "s_suppkey"),
+      indBranch("orders.o_custkey<customer.c_custkey", "orders",
+        "o_custkey", "customer", "c_custkey"),
+      indBranch("part.p_size<nation.n_nationkey", "part", "p_size",
+        "nation", "n_nationkey"),
+      indBranch("supplier.s_nationkey<nation.n_nationkey", "supplier",
+        "s_nationkey", "nation", "n_nationkey"),
+      indBranch("nation.n_nationkey<part.p_size", "nation", "n_nationkey",
+        "part", "p_size")).mkString("\nUNION ALL\n"),
 
     "q236_cusum_changepoint" ->
       """WITH daily AS (

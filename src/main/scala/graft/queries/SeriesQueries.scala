@@ -23,6 +23,11 @@ object SeriesQueries {
   /** q233's sampling budget. */
   private val neymanBudget = 1000L
 
+  /** q325's holdout cutoff (epoch day of 2001-05-01 — the last ~3 months
+    * of the generated order calendar), shared verbatim with the oracle. */
+  private val fcCutoffDay: Long =
+    java.time.LocalDate.of(2001, 5, 1).toEpochDay
+
   val queries: Map[String, Q] = Map(
 
     // Markov removal-effect attribution: journeys truncated at first
@@ -170,7 +175,16 @@ object SeriesQueries {
     // Temporal.markovStationary.
     "q285_markov_stationary" -> ((s, d) =>
       Temporal.markovStationary(table(s, d, "events"), "user_id", "ts",
-        "event_type", "event_id", iters = 12)))
+        "event_type", "event_id", iters = 12)),
+
+    // Forecast backtest: seasonal-naive (lag-7) daily-revenue forecast
+    // scored on the 2001-05-01+ holdout — MAE, pinball .1/.5/.9, MASE
+    // vs the in-sample naive scale, sMAPE; the acceptance gate q251's
+    // forecast shape and q270's Holt smoother would be judged by.
+    // All-integer metric numerators on BIGINT cents (see operator doc).
+    "q325_forecast_backtest" -> ((s, d) =>
+      Temporal.forecastBacktest(table(s, d, "orders"), "o_orderdate",
+        "o_totalprice", fcCutoffDay)))
 
   /** The q285 oracle: transition-chain CTEs + `iters` unrolled integer
     * power-iteration rounds, mirroring Temporal.markovStationary µ for µ
@@ -210,6 +224,59 @@ object SeriesQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Temporal.forecastBacktest: exact BIGINT cents, ×10 integer
+    // pinball terms, micro-quantized sMAPE ratio, identical division
+    // sequences ('x'::DOUBLE literals — DuckDB numeric literals parse as
+    // DECIMAL).
+    "q325_forecast_backtest" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS DECIMAL(18,0))) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |terms AS (
+         |  SELECT abs(a.cents - f.cents) AS ae,
+         |    greatest(a.cents - f.cents, (a.cents - f.cents) * -9) AS p10,
+         |    greatest((a.cents - f.cents) * 5,
+         |      (a.cents - f.cents) * -5) AS p50,
+         |    greatest((a.cents - f.cents) * 9,
+         |      (a.cents - f.cents) * -1) AS p90,
+         |    CASE WHEN a.cents + f.cents = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(round('2'::DOUBLE
+         |        * CAST(abs(a.cents - f.cents) AS DOUBLE)
+         |        / CAST(a.cents + f.cents AS DOUBLE)
+         |        * '1000000'::DOUBLE) AS BIGINT) END AS sm
+         |  FROM daily a JOIN daily f ON f.day = a.day - 7
+         |  WHERE a.day >= $fcCutoffDay),
+         |te AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(ae) AS BIGINT) AS sae,
+         |    CAST(sum(p10) AS BIGINT) AS p10s,
+         |    CAST(sum(p50) AS BIGINT) AS p50s,
+         |    CAST(sum(p90) AS BIGINT) AS p90s,
+         |    CAST(sum(sm) AS BIGINT) AS ssm
+         |  FROM terms),
+         |tr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_train_pairs,
+         |    CAST(sum(abs(t1.cents - t0.cents)) AS BIGINT) AS scale_sum
+         |  FROM daily t0 JOIN daily t1 ON t1.day = t0.day + 1
+         |  WHERE t0.day < $fcCutoffDay AND t1.day < $fcCutoffDay)
+         |SELECT n_test, n_train_pairs,
+         |  CAST(sae AS DOUBLE) / CAST(n_test AS DOUBLE)
+         |    / '100'::DOUBLE AS mae,
+         |  CAST(p10s AS DOUBLE) / CAST(n_test AS DOUBLE)
+         |    / '1000'::DOUBLE AS pinball_p10,
+         |  CAST(p50s AS DOUBLE) / CAST(n_test AS DOUBLE)
+         |    / '1000'::DOUBLE AS pinball_p50,
+         |  CAST(p90s AS DOUBLE) / CAST(n_test AS DOUBLE)
+         |    / '1000'::DOUBLE AS pinball_p90,
+         |  (CAST(sae AS DOUBLE) * CAST(n_train_pairs AS DOUBLE))
+         |    / (CAST(n_test AS DOUBLE) * CAST(scale_sum AS DOUBLE)) AS mase,
+         |  CAST(ssm AS DOUBLE) / '1000000'::DOUBLE
+         |    / CAST(n_test AS DOUBLE) AS smape
+         |FROM te CROSS JOIN tr""".stripMargin,
 
     // Mirrors Temporal.markovRemovalAttribution: identical journey
     // windows, scenario edge munging, and a recursive-CTE replay of the

@@ -505,4 +505,45 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "audit join must stay equi-keyed")
   }
+
+  test("q321: FS pair space is the block-keyed join; no cartesian anywhere") {
+    // the candidate join must shuffle on p_brand (the Σ|b|² bound); the
+    // only nested-loop joins are the 1-row u-stat broadcasts
+    val p = plan("q321_fs_linkage")
+    assert(!p.contains("CartesianProduct"), "no unbounded cartesian")
+    // every BroadcastNestedLoopJoin in this plan is a 1-row stats frame;
+    // the pair join itself must appear as an equi-join on the block key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "blocked pair join must stay brand-equi-keyed")
+  }
+
+  test("q322/q323/q324: discovery and OPE queries are pure keyed aggregates") {
+    // q322 collapses to the (context, action) cell grid — no window, no
+    // cartesian; the context rollup is a keyed equi-join
+    val p322 = plan("q322_ips_eval")
+    assert(!p322.contains("WindowExec") && !p322.contains("CartesianProduct"),
+      "IPS must stay on the cell grid")
+    // q323/q324: keyed aggregates / distinct-projections + left equi-join
+    // — a window or cartesian here breaks the cell-bounded cost claim
+    val p323 = plan("q323_fd_profile")
+    assert(!p323.contains("WindowExec") && !p323.contains("CartesianProduct")
+      && !p323.contains("BroadcastNestedLoopJoin"),
+      "FD profiler is aggregate-only")
+    val p324 = plan("q324_ind_discovery")
+    assert(!p324.contains("WindowExec") && !p324.contains("CartesianProduct")
+      && !p324.contains("BroadcastNestedLoopJoin"),
+      "IND discovery must stay value-equi-keyed")
+  }
+
+  test("q325: backtest joins ride the day grid; scans prune to the two referenced columns") {
+    // both self-joins key on the calendar day; the only nested-loop is
+    // the broadcast of the 1-row train-scale frame
+    val p = plan("q325_forecast_backtest")
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"),
+      "lag must come from the day-grid self-join, not a window")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate")
+      && !p.contains("o_orderpriority"),
+      "scan must prune to (o_totalprice, o_orderdate)")
+  }
 }

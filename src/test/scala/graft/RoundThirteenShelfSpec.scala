@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EntityRes, ModelEval, SchemaDiscovery, Temporal}
+
+/** Round-13 additive shelf: schema discovery (FD strength, IND
+  * containment), Fellegi-Sunter probabilistic linkage, off-policy IPS
+  * evaluation, and the seasonal-naive forecast backtest — each pinned
+  * on hand-computable fixtures, plus the estimator identities the
+  * operators document (snips == ips under exact propensities; zero
+  * error on a perfectly 7-periodic series).
+  */
+class RoundThirteenShelfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fdStrength: g3 violations and strength on a known table") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("det", "dep")
+    val r = SchemaDiscovery.fdStrength(df, "t.det->dep", "det", "dep")
+      .collect().head
+    assert(r.getAs[String]("fd") == "t.det->dep")
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_det") == 2L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("violations") == 1L) // a: 3 rows, majority 2
+    assert(r.getAs[Double]("strength") == 0.75)
+    // exact FD: zero violations, strength 1.0
+    val exact = SchemaDiscovery.fdStrength(
+      Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("det", "dep"),
+      "e", "det", "dep").collect().head
+    assert(exact.getAs[Long]("violations") == 0L &&
+      exact.getAs[Double]("strength") == 1.0)
+  }
+
+  test("indContainment: partial and full inclusion, nulls excluded") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(4L), Some(2L), None)
+      .toDF("c")
+    val parent = Seq(1L, 2L, 6L).toDF("p")
+    val r = SchemaDiscovery.indContainment(child, "c", parent, "p", "c<p")
+      .collect().head
+    assert(r.getAs[Long]("n_child_distinct") == 4L) // null dropped
+    assert(r.getAs[Long]("n_missing") == 2L)        // 3 and 4 absent
+    assert(r.getAs[Double]("containment") == 0.5)
+    assert(!r.getAs[Boolean]("is_ind"))
+    val full = SchemaDiscovery.indContainment(
+      Seq(1L, 2L).toDF("c"), "c", parent, "p", "full").collect().head
+    assert(full.getAs[Long]("n_missing") == 0L &&
+      full.getAs[Boolean]("is_ind"))
+  }
+
+  /** Orders-shaped daily fixture: one row per epoch day. */
+  private def ordersFixture(vals: Seq[(Long, Double)]) =
+    vals.map { case (d, v) =>
+      (java.time.LocalDate.ofEpochDay(d).toString, v) }
+      .toDF("o_orderdate", "o_totalprice")
+
+  test("forecastBacktest: zero error on a 7-periodic series; known metrics on a level shift") {
+    // v(d) = 100 + (d mod 7): seasonal-naive is exact on the holdout
+    val periodic = ordersFixture(
+      (0L to 27L).map(d => d -> (100.0 + (d % 7))))
+    val r0 = Temporal.forecastBacktest(periodic, "o_orderdate",
+      "o_totalprice", cutoffDay = 21L).collect().head
+    assert(r0.getAs[Long]("n_test") == 7L)
+    assert(r0.getAs[Double]("mae") == 0.0 &&
+      r0.getAs[Double]("pinball_p10") == 0.0 &&
+      r0.getAs[Double]("pinball_p50") == 0.0 &&
+      r0.getAs[Double]("pinball_p90") == 0.0 &&
+      r0.getAs[Double]("mase") == 0.0 &&
+      r0.getAs[Double]("smape") == 0.0)
+    // train alternates ±$1 (scale = 1400c/20 pairs = 70c); holdout runs
+    // $3.00 above its lag-7 source -> e = +300c on all 7 test days
+    val shifted = ordersFixture(
+      (0L to 13L).map(d => d -> (100.0 + (d % 2))) ++
+        (14L to 20L).map(d => d -> 100.0) ++
+        (21L to 27L).map(d => d -> 103.0))
+    val r = Temporal.forecastBacktest(shifted, "o_orderdate",
+      "o_totalprice", cutoffDay = 21L).collect().head
+    assert(r.getAs[Long]("n_test") == 7L)
+    assert(r.getAs[Long]("n_train_pairs") == 20L)
+    assert(r.getAs[Double]("mae") == 3.0)
+    // pinball(tau): e > 0 (under-forecast) costs tau*e
+    assert(math.abs(r.getAs[Double]("pinball_p10") - 0.3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pinball_p50") - 1.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pinball_p90") - 2.7) < 1e-12)
+    // mase = (2100 * 20) / (7 * 1400)
+    assert(math.abs(r.getAs[Double]("mase") - 42000.0 / 9800.0) < 1e-12)
+    // per-day smape term 2*300/20300 micro-quantized to 29557
+    assert(math.abs(r.getAs[Double]("smape") - 0.029557) < 1e-12)
+  }
+
+  test("ipsEval: w=1 when target equals the logging policy; snips==ips; clip bites") {
+    val ev = Seq(
+      (0L, "a", 1.0), (0L, "a", 3.0), (0L, "b", 2.0), (0L, "b", 6.0),
+      (1L, "a", 4.0), (1L, "b", 8.0))
+      .toDF("user_id", "event_type", "value")
+    val policy5050 = Seq("a" -> 0.5, "b" -> 0.5)
+    // both contexts log a/b uniformly -> every weight is exactly 1
+    val flat = ModelEval.ipsEval(ev.where(col("user_id") === 0L),
+      pmod(col("user_id"), lit(8)), "event_type", "value",
+      policy5050, clip = 10.0).collect().head
+    assert(flat.getAs[Double]("w_max") == 1.0)
+    assert(flat.getAs[Double]("ips") == 3.0) // mean reward
+    assert(flat.getAs[Double]("snips") == 3.0)
+    assert(flat.getAs[Double]("ess") == 4.0) // all weights 1 -> n
+    // skewed logging in ctx1 (1 a, 1 b is still uniform) -> build a real
+    // skew: 3 a's vs 1 b in ctx0
+    val skewEv = Seq(
+      (0L, "a", 1.0), (0L, "a", 1.0), (0L, "a", 1.0), (0L, "b", 9.0))
+      .toDF("user_id", "event_type", "value")
+    val r = ModelEval.ipsEval(skewEv, pmod(col("user_id"), lit(8)),
+      "event_type", "value", policy5050, clip = 10.0).collect().head
+    // w(a) = .5*4/3 = 2/3, w(b) = .5*4/1 = 2
+    assert(math.abs(r.getAs[Double]("w_max") - 2.0) < 1e-12)
+    // ips = (3 * 2/3 * 1 + 2 * 9)/4 = 5.0; snips identical (full support)
+    assert(math.abs(r.getAs[Double]("ips") - 5.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("snips") - r.getAs[Double]("ips"))
+      < 1e-9)
+    // clip at 1.0 caps w(b): ips_clip = (2 + 9)/4, snips_clip = 11/3
+    val c = ModelEval.ipsEval(skewEv, pmod(col("user_id"), lit(8)),
+      "event_type", "value", policy5050, clip = 1.0).collect().head
+    assert(math.abs(c.getAs[Double]("ips_clip") - 2.75) < 1e-6)
+    assert(math.abs(c.getAs[Double]("snips_clip") - 11.0 / 3.0) < 1e-6)
+    assert(c.getAs[Double]("ips_clip") < c.getAs[Double]("ips"))
+  }
+
+  test("fsLinkage: agreement vector, micro-nat weights and decisions replay the FS formula") {
+    // one block, three records: 1 and 2 identical on every field, 3
+    // disagrees on everything; enough distinct singleton values in other
+    // blocks to keep the categorical u's small
+    val parts = (Seq(
+      (1L, "widget alpha", "B1", "T1", 10, 100.0),
+      (2L, "widget alpha", "B1", "T1", 10, 100.0),
+      (3L, "zzz omega", "B1", "T2", 20, 900.0)) ++
+      (4L to 13L).map(i =>
+        (i, s"filler $i", s"B$i", s"T$i", 100 + i.toInt, 10.0 * i)))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val out = EntityRes.fsLinkage(parts, "p_partkey", "p_name", "p_brand",
+      "p_type", "p_size", "p_retailprice", cap = 100, jwThreshold = 0.92,
+      mType = 0.95, mSize = 0.85, mBand = 0.80, mName = 0.90,
+      upperMicro = 4000000L, lowerMicro = 0L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    assert(out.size == 3) // only block B1 has pairs
+    val dup = out((1L, 2L))
+    assert(dup.getAs[Int]("agr_type") == 1 && dup.getAs[Int]("agr_size") == 1
+      && dup.getAs[Int]("agr_band") == 1 && dup.getAs[Int]("agr_name") == 1)
+    // replay the weights: n=13; type freqs: T1 twice, rest singletons ->
+    // sum f^2 = 4 + 11; size: 10 twice -> 15; band (price DIV 100$):
+    // bands 1,1,9,0(x9 for 10..90$? no: 10i dollars -> bands 0,1,..,1)
+    // -> compute from data instead of hand-arithmetic:
+    def sq(colName: String): Long = {
+      val base = parts.withColumn("__band",
+        expr("CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS " +
+          "DECIMAL(18,0)) AS BIGINT) DIV 10000"))
+      base.groupBy(col(colName)).count()
+        .agg(sum(col("count") * col("count"))).collect().head.getLong(0)
+    }
+    val n = 13.0
+    def uOf(s: Long): Double = s.toDouble / (n * n)
+    def wAgree(m: Double, u: Double): Long =
+      math.round(math.log(m / u) * 1e6)
+    val uName = 1.0 / 3.0 // 1 agreeing pair of the 3 candidates
+    val expected = wAgree(0.95, uOf(sq("p_type"))) +
+      wAgree(0.85, uOf(sq("p_size"))) +
+      wAgree(0.80, uOf(sq("__band"))) +
+      wAgree(0.90, uName)
+    assert(dup.getAs[Long]("weight_micro") == expected,
+      s"got ${dup.getAs[Long]("weight_micro")} expected $expected")
+    assert(dup.getAs[String]("decision") == "match")
+    // the all-disagree pairs score negative on every field
+    val mis = out((1L, 3L))
+    assert(mis.getAs[Int]("agr_type") == 0 && mis.getAs[Int]("agr_name") == 0)
+    assert(mis.getAs[Long]("weight_micro") < 0L)
+    assert(mis.getAs[String]("decision") == "non_match")
+  }
+}
