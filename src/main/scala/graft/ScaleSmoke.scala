@@ -233,6 +233,16 @@ import org.apache.spark.sql.functions._
   * rows only move the scan term. forecast_bt is scan-linear on the
   * daily aggregate; the day-grid self-joins and metric reduce are
   * calendar-constant.
+  * {{{
+  *   hits            1x rows=31   9.7 s   10x rows=31   4.7 s
+  *   join_size_est   1x rows=1    0.5 s   10x rows=1    0.6 s
+  *   holt_winters    1x rows=150  0.9 s   10x rows=150  0.8 s
+  * }}}
+  * HITS is flat (1x pays the 16 checkpointed half-steps' fixed
+  * overhead cold): replicas multiply edge weights, never the
+  * Zipf-bounded node/edge tables, so every round runs on the identical
+  * graph. join_size_est and holt_winters are flat-to-scan — key sets
+  * and the calendar day grid are data-bounded.
   *
   * RANSAC and Simpson are flat — broadcast 32-model consensus scan and
   * two keyed aggregates respectively. PPR is EXACTLY flat: replicas add
@@ -1084,6 +1094,39 @@ object ScaleSmoke {
         operators.Temporal.forecastBacktest(odf, "o_orderdate",
           "o_totalprice",
           java.time.LocalDate.of(2001, 5, 1).toEpochDay).count()
+      }
+    }
+    // hits: the bigram graph is Zipf-bounded — replicas multiply edge
+    // WEIGHTS, never nodes or edges, so all 16 half-steps run on a
+    // constant graph and cost tracks the one tokenizing scan.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"hits            $label") {
+        operators.Graphs.hits(
+          operators.Graphs.tokenBigramEdges(df, "text"),
+          "src", "dst", "w", iters = 8).count()
+      }
+    }
+    // join_size_estimate: per-key counts grow, the key set doesn't —
+    // the audit join and 1-row reduce are key-bounded, cost is the scans.
+    val liJ = Graft.table(spark, sfDir, "lineitem").select(col("l_orderkey"))
+    val liJBig = (0 until factor).map(_ => liJ).reduce(_ unionByName _)
+    val ordJ = Graft.table(spark, sfDir, "orders").select(col("o_orderkey"))
+    for ((label, ldf) <- Seq(("1x", liJ), (s"${factor}x", liJBig))) {
+      time(s"join_size_est   $label") {
+        operators.SchemaDiscovery.joinSizeEstimate(ldf, "l_orderkey",
+          ordJ, "o_orderkey", "li=ord").count()
+      }
+    }
+    // holt_winters: the fold state is (2 + period) doubles per key and
+    // the day series is calendar-bounded — replicas move daily sums,
+    // never the series length, so the smoother rides the scan.
+    val evH = Graft.table(spark, sfDir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val evHBig = (0 until factor).map(_ => evH).reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", evH), (s"${factor}x", evHBig))) {
+      time(s"holt_winters    $label") {
+        operators.Temporal.holtWinters(edf, "event_type", "ts", "value",
+          alpha = 0.4, beta = 0.2, gamma = 0.3, period = 7).count()
       }
     }
     spark.stop()

@@ -144,16 +144,85 @@ object Graphs {
     * (a, b) weight = corpus count of the ADJACENT ordered pair — the global
     * TextRank term-importance sheet. Vocab is Zipf-bounded, so node and
     * edge tables stay small relative to the corpus at any scale. */
-  def tokenPageRank(docs: DataFrame, textCol: String, iters: Int = 8): DataFrame = {
+  def tokenPageRank(docs: DataFrame, textCol: String, iters: Int = 8): DataFrame =
+    pageRank(tokenBigramEdges(docs, textCol), "src", "dst", "w", iters)
+
+  /** The corpus's ADJACENT-ordered-pair token graph: (src, dst, w =
+    * corpus count) — the Zipf-bounded edge table behind q181's PageRank
+    * and q326's HITS. */
+  def tokenBigramEdges(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(split(col(textCol), " ").as("t"))
       .where(size(col("t")) >= 2)
-    val bigrams = toks.select(posexplode(col("t")).as(Seq("__i", "__a")),
+    toks.select(posexplode(col("t")).as(Seq("__i", "__a")),
         col("t"))
       .where(col("__i") < size(col("t")) - 1)
       .select(col("__a").as("src"), col("t").getItem(col("__i") + 1).as("dst"))
       .where(col("src") =!= "" && col("dst") =!= "")
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-    pageRank(bigrams, "src", "dst", "w", iters)
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on a weighted directed
+    * graph, fixed `iters` rounds of the alternating update h = W·a,
+    * a = Wᵀ·h with L1 normalization each half-step (Σ = `scale` in
+    * integer micro-units) — the two-sided importance sheet PageRank's
+    * single score flattens: a node can matter as a POINTER (hub) or as
+    * a TARGET (authority), and the bigram graph's function words split
+    * exactly that way.
+    *
+    * Exact-integer discipline (the [[pageRank]] posture): masses are
+    * BIGINT micro-units, each half-step is one dst- or src-keyed
+    * aggregate plus a 1-row L1 total broadcast into the floor-division
+    * normalize ((raw·scale) div S — at most 1 µ lost per node), rounds
+    * are checkpointed so round N's plan does not embed rounds 1..N−1.
+    * Magnitude bound: raw·scale ≤ max_mass·(Σw)·scale must stay under
+    * 2⁶³ — with scale = 1e6 that holds to ~10⁶-node vocabularies and
+    * ~10⁹ total edge weight; beyond that, widen to DECIMAL(38,0) on
+    * both engines. A zero L1 total (empty graph) floors to all-zero
+    * masses via the greatest(S, 1) guard instead of dividing by zero.
+    * Output: (node, hub_mu, auth_mu, hub, authority). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+           iters: Int = 8, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+
+    val e = save(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("bigint").as("w")))
+    val nodes = save(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val nNodes = save(nodes.agg(count(lit(1)).as("__n")))
+
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val s = full.agg(sum(col("__raw")).as("__s"))
+      save(full.crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"(__raw * ${scale}L) div greatest(__s, 1L)").as(outCol)))
+    }
+
+    var auth = save(nodes.crossJoin(broadcast(nNodes))
+      .select(col("node"), expr(s"${scale}L div __n").as("a_mu")))
+    var hub: DataFrame = auth.select(col("node"), col("a_mu").as("h_mu"))
+    // each half-step is checkpointed: a round-boundary-only variant was
+    // measured SLOWER (the un-saved half-step's sub-plan re-evaluates
+    // inside the next materialization job, deepening every stage) — the
+    // per-half-step save keeps each of the 2·iters jobs shallow.
+    for (_ <- 1 to iters) {
+      hub = normalize(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(expr("w * a_mu")).as("__raw")), "h_mu")
+      auth = normalize(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("w * h_mu")).as("__raw")), "a_mu")
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h_mu").as("hub_mu"), col("a_mu").as("auth_mu"),
+        (col("h_mu").cast("double") / lit(scale.toDouble)).as("hub"),
+        (col("a_mu").cast("double") / lit(scale.toDouble)).as("authority"))
   }
 
   /** Deterministic synchronous label propagation (Raghavan et al., 2007),

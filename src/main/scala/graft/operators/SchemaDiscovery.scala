@@ -66,4 +66,39 @@ object SchemaDiscovery {
           col("n_child_distinct").cast("double"), 6).as("containment"),
         (col("n_missing") === 0L).as("is_ind"))
   }
+
+  /** Equi-join output-cardinality estimation audit — the optimizer
+    * statistic behind every join-order decision: exact |A ⋈ B| =
+    * Σ_k cA(k)·cB(k) from the two per-key count tables, next to the
+    * end-biased KEY-sampled estimate (keep keys with hash60(k) ≡ 0
+    * mod `rate`, scale the sampled product mass by `rate` — sampling
+    * KEYS, not rows, keeps each key's contribution exact, the classic
+    * distinct-value sampling posture). rel_err is the audit number: how
+    * far the 1/`rate` sketch lands from truth on this key distribution.
+    * Two keyed aggregates + one key-equi join; the per-key hash gate is
+    * the same deterministic hash60 the sampling shelf replays. One row:
+    * join_cand, n_keys, exact_rows, sampled_keys, est_rows, rel_err. */
+  def joinSizeEstimate(child: DataFrame, childCol: String, parent: DataFrame,
+                       parentCol: String, label: String,
+                       rate: Int = 16): DataFrame = {
+    val a = child.groupBy(col(childCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val b = parent.groupBy(col(parentCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val j = a.join(b, "__k").select(
+      (col("__ca") * col("__cb")).as("__p"),
+      (pmod(Sketches.hash60(col("__k")), lit(rate)) === 0)
+        .cast("int").as("__in"))
+    j.agg(count(lit(1)).as("n_keys"), sum(col("__p")).as("__exact"),
+        sum(col("__in")).as("__sk"),
+        (lit(rate) * sum(when(col("__in") === 1, col("__p"))
+          .otherwise(0L))).as("__est"))
+      .select(lit(label).as("join_cand"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("__exact").cast("long").as("exact_rows"),
+        col("__sk").cast("long").as("sampled_keys"),
+        col("__est").cast("long").as("est_rows"),
+        round(abs(col("__est") - col("__exact")).cast("double") /
+          col("__exact").cast("double"), 6).as("rel_err"))
+  }
 }

@@ -994,6 +994,75 @@ object Temporal {
         (col("__r.l") + col("__r.b")).as("forecast_next"))
   }
 
+  /** Holt-Winters ADDITIVE seasonal smoothing (online form): level,
+    * trend and a `period`-slot seasonal vector updated per observed day
+    * — [[holtLinear]] plus the seasonality q235 proves the data has.
+    * Seasonal slots are CALENDAR (day_idx mod period, day-of-week for
+    * period 7), so gaps never shift the alignment; seasonals start at 0
+    * and are learned online (γ-updates from the first row — the
+    * deterministic alternative to the classic first-cycle
+    * initialization, scaladoc'd so the contract is explicit). period
+    * must be ≥ 2 (forecast_next reads the NEXT day's slot from the
+    * pre-update vector, which only differs from the just-updated slot
+    * when period > 1).
+    *
+    * Same scale/determinism posture as [[holtLinear]]: one in-row fold
+    * per key over the calendar-bounded day series (state: 2 doubles +
+    * `period` doubles), every recurrence written textually once per
+    * appearance so the oracle's recursive CTE replays the identical
+    * IEEE sequence. Output: (key, day_idx, v, level, trend, season,
+    * forecast_next). */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, alpha: Double, beta: Double,
+                  gamma: Double, period: Int = 7): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val daily = events
+      .groupBy(col(keyCol),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_idx"))
+      .agg(sum(col(valueCol)
+          .cast(DecimalType(12, 2)))
+        .cast("double").as("v"))
+    val (a, b, g, m) = (alpha, beta, gamma, period)
+    val (na, nb, ng) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    val idx = s"CAST(x.day % $m AS INT)"
+    val prevS = s"element_at(acc.s, $idx + 1)"
+    // the recurrences appear multiple times each — written out
+    // identically every time, exactly as the oracle's recursive CTE
+    // recomputes them
+    val newL = s"CASE WHEN size(acc.out) = 0 THEN x.v " +
+      s"ELSE ${a}D * (x.v - $prevS) + ${na}D * (acc.l + acc.b) END"
+    val newB = s"CASE WHEN size(acc.out) = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE ${b}D * (($newL) - acc.l) + ${nb}D * acc.b END"
+    val newSe = s"${g}D * (x.v - ($newL)) + ${ng}D * $prevS"
+    val fcNext = s"($newL) + ($newB) + " +
+      s"element_at(acc.s, CAST((x.day + 1) % $m AS INT) + 1)"
+    daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day_idx").as("day"),
+        col("v").as("v")))).as("__arr"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(
+           |  __arr,
+           |  named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+           |    's', transform(sequence(0, ${m - 1}), i -> CAST(0.0 AS DOUBLE)),
+           |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, v: DOUBLE,
+           |      l: DOUBLE, b: DOUBLE, se: DOUBLE, fc: DOUBLE>>)),
+           |  (acc, x) -> named_struct(
+           |    'l', $newL,
+           |    'b', $newB,
+           |    's', transform(sequence(0, ${m - 1}), i ->
+           |      CASE WHEN i = $idx THEN $newSe
+           |        ELSE element_at(acc.s, i + 1) END),
+           |    'out', concat(acc.out, array(named_struct('day', x.day,
+           |      'v', x.v, 'l', $newL, 'b', $newB, 'se', $newSe,
+           |      'fc', $fcNext)))),
+           |  acc -> acc.out)""".stripMargin)).as("__r"))
+      .select(col(keyCol), col("__r.day").as("day_idx"), col("__r.v").as("v"),
+        col("__r.l").as("level"), col("__r.b").as("trend"),
+        col("__r.se").as("season"), col("__r.fc").as("forecast_next"))
+  }
+
   /** Multi-touch attribution: credit each conversion's preceding touches
     * within a lookback window under three models at once — last-touch
     * (1.0 to the latest touch), first-touch (1.0 to the earliest), and

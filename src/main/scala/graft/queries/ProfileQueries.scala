@@ -104,6 +104,23 @@ object ProfileQueries {
           nat, "n_nationkey", "supplier.s_nationkey<nation.n_nationkey"))
         .unionByName(SchemaDiscovery.indContainment(nat, "n_nationkey",
           part, "p_size", "nation.n_nationkey<part.p_size"))
+    }),
+
+    // Join-cardinality estimation audit for the three star-schema FK
+    // joins: exact Σ cA·cB next to the 1/16 hash60 key-sampled estimate
+    // with its relative error — the optimizer statistic q324's FK
+    // discovery feeds. Keyed count aggregates + one key join each.
+    "q327_join_size_estimate" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      SchemaDiscovery.joinSizeEstimate(li, "l_orderkey",
+          table(s, d, "orders"), "o_orderkey",
+          "lineitem.l_orderkey=orders.o_orderkey")
+        .unionByName(SchemaDiscovery.joinSizeEstimate(li, "l_partkey",
+          table(s, d, "part"), "p_partkey",
+          "lineitem.l_partkey=part.p_partkey"))
+        .unionByName(SchemaDiscovery.joinSizeEstimate(
+          table(s, d, "orders"), "o_custkey", table(s, d, "customer"),
+          "c_custkey", "orders.o_custkey=customer.c_custkey"))
     }))
 
   /** One q323 oracle branch: mirrors SchemaDiscovery.fdStrength — cell
@@ -138,7 +155,41 @@ object ProfileQueries {
        |           FROM $parentTbl WHERE $parentCol IS NOT NULL) b
        |  ON a.v = b.v""".stripMargin
 
+  /** One q327 oracle branch: mirrors SchemaDiscovery.joinSizeEstimate —
+    * per-key counts, product mass, hash60-gated 1/16 key sample. */
+  private def jseBranch(lbl: String, childTbl: String, childCol: String,
+                        parentTbl: String, parentCol: String): String = {
+    val h = ScaleQueries.duckHash60("k")
+    s"""SELECT '$lbl' AS join_cand, n_keys, exact_rows, sampled_keys,
+       |  est_rows,
+       |  round(CAST(abs(est_rows - exact_rows) AS DOUBLE)
+       |    / CAST(exact_rows AS DOUBLE), 6) AS rel_err
+       |FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(p) AS BIGINT) AS exact_rows,
+       |    CAST(sum(s) AS BIGINT) AS sampled_keys,
+       |    CAST(16 * sum(CASE WHEN s = 1 THEN p ELSE 0 END) AS BIGINT)
+       |      AS est_rows
+       |  FROM (
+       |    SELECT a.ca * b.cb AS p,
+       |      CASE WHEN ($h) % 16 = 0 THEN 1 ELSE 0 END AS s, k
+       |    FROM (SELECT CAST($childCol AS BIGINT) AS k,
+       |            CAST(count(*) AS BIGINT) AS ca
+       |          FROM $childTbl GROUP BY 1) a
+       |    JOIN (SELECT CAST($parentCol AS BIGINT) AS k,
+       |            CAST(count(*) AS BIGINT) AS cb
+       |          FROM $parentTbl GROUP BY 1) b USING (k)))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q327_join_size_estimate" -> Seq(
+      jseBranch("lineitem.l_orderkey=orders.o_orderkey", "lineitem",
+        "l_orderkey", "orders", "o_orderkey"),
+      jseBranch("lineitem.l_partkey=part.p_partkey", "lineitem",
+        "l_partkey", "part", "p_partkey"),
+      jseBranch("orders.o_custkey=customer.c_custkey", "orders",
+        "o_custkey", "customer", "c_custkey")).mkString("\nUNION ALL\n"),
 
     "q323_fd_profile" -> Seq(
       fdBranch("part.p_name->p_brand", "part", "p_name", "p_brand"),

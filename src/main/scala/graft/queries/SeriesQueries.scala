@@ -177,6 +177,15 @@ object SeriesQueries {
       Temporal.markovStationary(table(s, d, "events"), "user_id", "ts",
         "event_type", "event_id", iters = 12)),
 
+    // Holt-Winters additive seasonal smoothing of the per-type daily
+    // value series (online form, calendar day-of-week slots) — q270's
+    // Holt plus the weekly seasonality q235 proves is there; the same
+    // in-row fold / recursive-CTE bit-identity contract. See
+    // Temporal.holtWinters.
+    "q328_holt_winters" -> ((s, d) =>
+      Temporal.holtWinters(table(s, d, "events"), "event_type", "ts",
+        "value", alpha = 0.4, beta = 0.2, gamma = 0.3, period = 7)),
+
     // Forecast backtest: seasonal-naive (lag-7) daily-revenue forecast
     // scored on the 2001-05-01+ holdout — MAE, pinball .1/.5/.9, MASE
     // vs the in-sample naive scale, sMAPE; the acceptance gate q251's
@@ -223,7 +232,58 @@ object SeriesQueries {
        |FROM r$iters""".stripMargin
   }
 
+  /** The q328 oracle: recursive CTE over per-type day ranks carrying the
+    * (l, b, s[7]) state as a LIST column, every recurrence written out
+    * textually exactly as Temporal.holtWinters writes it (newL appears
+    * inside b/se/fc, newB inside fc — identical IEEE sequences). */
+  private def holtWintersSql(a: Double, b: Double, g: Double): String = {
+    val (na, nb, ng) = (1.0 - a, 1.0 - b, 1.0 - g)
+    val idx = "CAST(r.day_idx % 7 AS INT)"
+    val prevS = s"h.s[$idx + 1]"
+    val newL = s"CAST($a AS DOUBLE) * (r.v - $prevS) " +
+      s"+ CAST($na AS DOUBLE) * (h.l + h.b)"
+    val newB = s"CAST($b AS DOUBLE) * (($newL) - h.l) " +
+      s"+ CAST($nb AS DOUBLE) * h.b"
+    val newSe = s"CAST($g AS DOUBLE) * (r.v - ($newL)) " +
+      s"+ CAST($ng AS DOUBLE) * $prevS"
+    val fc = s"($newL) + ($newB) + " +
+      s"h.s[CAST((r.day_idx + 1) % 7 AS INT) + 1]"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT) AS day_idx,
+       |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, day_idx, v,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY day_idx) AS rn
+       |  FROM daily),
+       |h AS (
+       |  SELECT event_type, day_idx, v, rn, v AS l,
+       |    CAST(0.0 AS DOUBLE) AS b,
+       |    [CAST(0.0 AS DOUBLE) for i in range(0, 7)] AS s,
+       |    CAST(0.0 AS DOUBLE) AS se,
+       |    v AS fc
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.day_idx, r.v, r.rn,
+       |    $newL,
+       |    $newB,
+       |    [CASE WHEN i = $idx THEN $newSe
+       |      ELSE h.s[i + 1] END for i in range(0, 7)],
+       |    $newSe,
+       |    $fc
+       |  FROM r JOIN h ON r.event_type = h.event_type
+       |    AND r.rn = h.rn + 1)
+       |SELECT event_type, day_idx, v, l AS level, b AS trend,
+       |  se AS season, fc AS forecast_next
+       |FROM h""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q328_holt_winters" -> holtWintersSql(0.4, 0.2, 0.3),
 
     // Mirrors Temporal.forecastBacktest: exact BIGINT cents, ×10 integer
     // pinball terms, micro-quantized sMAPE ratio, identical division

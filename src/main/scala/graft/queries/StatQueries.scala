@@ -125,6 +125,15 @@ object StatQueries {
       Relational.topK(Graphs.tokenPageRank(table(s, d, "documents"), "text", iters = 8),
         30, col("rank_mu").desc, col("node").asc)),
 
+    // HITS hubs & authorities on the same token bigram graph — the
+    // two-sided importance sheet beside q181's single PageRank score:
+    // alternating h = W·a / a = Wᵀ·h in exact BIGINT micro-units with
+    // per-half-step L1 floor-div normalization, eight rounds unrolled
+    // verbatim in the oracle. See Graphs.hits.
+    "q326_hits" -> ((s, d) =>
+      Graphs.hits(Graphs.tokenBigramEdges(table(s, d, "documents"), "text"),
+        "src", "dst", "w", iters = 8)),
+
     // Personalized PageRank on the token bigram graph, teleporting to
     // doc 0's tokens — graph proximity to a seed vocabulary, the
     // seed-expansion score q181's global ranking flattens away. Same
@@ -259,6 +268,54 @@ object StatQueries {
        |SELECT node, rank_mu,
        |  CAST(rank_mu AS DOUBLE) / 1000000000.0 AS rank
        |FROM r$iters ORDER BY rank_mu DESC, node ASC LIMIT 30""".stripMargin
+  }
+
+  /** The q326 oracle: q181's bigram-graph CTEs + `iters` unrolled HITS
+    * rounds, each half-step mirroring Graphs.hits µ for µ — raw mass as
+    * an exact BIGINT sum, L1 total, (raw·scale) // greatest(S, 1)
+    * normalize. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""hf$k AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(r.raw, CAST(0 AS BIGINT)) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, CAST(sum(e.w * p.a) AS BIGINT) AS raw
+         |    FROM a${k - 1} p JOIN bi e ON e.dst = p.node
+         |    GROUP BY e.src) r ON r.node = nd.node),
+         |sh$k AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM hf$k),
+         |h$k AS MATERIALIZED (SELECT node, CAST((raw * 1000000)
+         |    // greatest((SELECT s FROM sh$k), 1) AS BIGINT) AS h
+         |  FROM hf$k),
+         |af$k AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(r.raw, CAST(0 AS BIGINT)) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(e.w * p.h) AS BIGINT) AS raw
+         |    FROM h$k p JOIN bi e ON e.src = p.node
+         |    GROUP BY e.dst) r ON r.node = nd.node),
+         |sa$k AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM af$k),
+         |a$k AS MATERIALIZED (SELECT node, CAST((raw * 1000000)
+         |    // greatest((SELECT s FROM sa$k), 1) AS BIGINT) AS a
+         |  FROM af$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |pairs AS (
+       |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS p FROM toks),
+       |bi AS MATERIALIZED (
+       |  SELECT p[1] AS src, p[2] AS dst, count(*) AS w FROM pairs
+       |  WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM bi UNION SELECT dst FROM bi),
+       |n AS (SELECT count(*) AS nn FROM nodes),
+       |a0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) // (SELECT nn FROM n) AS a
+       |  FROM nodes),
+       |$steps
+       |SELECT h$iters.node, h$iters.h AS hub_mu, a$iters.a AS auth_mu,
+       |  CAST(h$iters.h AS DOUBLE) / 1000000.0 AS hub,
+       |  CAST(a$iters.a AS DOUBLE) / 1000000.0 AS authority
+       |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node""".stripMargin
   }
 
   /** The q289 oracle: the q181 bigram-graph CTEs + seed marking +
@@ -725,5 +782,7 @@ object StatQueries {
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type, b.lo, b.hi""".stripMargin,
 
-    "q181_token_pagerank" -> pageRankSql(8))
+    "q181_token_pagerank" -> pageRankSql(8),
+
+    "q326_hits" -> hitsSql(8))
 }

@@ -546,4 +546,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       && !p.contains("o_orderpriority"),
       "scan must prune to (o_totalprice, o_orderdate)")
   }
+
+  test("q326/q327/q328: graph rounds, cardinality audit and HW fold keep their scale shapes") {
+    // q326: rounds are checkpointed, so the final plan is the node-keyed
+    // hub⋈auth join over checkpointed scans — no cartesian may survive
+    val p326 = plan("q326_hits")
+    assert(!p326.contains("CartesianProduct"), "HITS must stay node-keyed")
+    // q327: two per-key count aggregates + a key join + a 1-row reduce
+    val p327 = plan("q327_join_size_estimate")
+    assert(!p327.contains("WindowExec") && !p327.contains("CartesianProduct")
+      && !p327.contains("BroadcastNestedLoopJoin"),
+      "cardinality audit must stay key-equi-joined")
+    // q328: one keyed collect + in-row fold — a WindowExec or cartesian
+    // here would mean the recurrence left the row
+    val p328 = plan("q328_holt_winters")
+    assert(!p328.contains("WindowExec") && !p328.contains("CartesianProduct"),
+      "HW fold must stay in-row per key")
+    assert(p328.contains("ObjectHashAggregate"),
+      "day series must ride the partial-agg collect")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{EntityRes, ModelEval, SchemaDiscovery, Temporal}
+import graft.operators.{EntityRes, Graphs, ModelEval, SchemaDiscovery, Temporal}
 
 /** Round-13 additive shelf: schema discovery (FD strength, IND
   * containment), Fellegi-Sunter probabilistic linkage, off-policy IPS
@@ -174,5 +174,89 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(mis.getAs[Int]("agr_type") == 0 && mis.getAs[Int]("agr_name") == 0)
     assert(mis.getAs[Long]("weight_micro") < 0L)
     assert(mis.getAs[String]("decision") == "non_match")
+  }
+
+  test("hits: authorities and hubs separate on a star; L1-normalized; weight-scale invariant") {
+    // a and c point at b; b points at d: b is THE authority, a/c the hubs
+    val edges = Seq(("a", "b", 2L), ("c", "b", 2L), ("b", "d", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graphs.hits(edges, "src", "dst", "w", iters = 8)
+      .collect().map(x => x.getAs[String]("node") -> x).toMap
+    assert(r.size == 4)
+    val auth = r.view.mapValues(_.getAs[Long]("auth_mu")).toMap
+    val hub = r.view.mapValues(_.getAs[Long]("hub_mu")).toMap
+    assert(auth("b") > auth("d") && auth("b") > auth("a"),
+      s"b must dominate authorities: $auth")
+    assert(hub("a") == hub("c") && hub("a") > hub("b"),
+      s"a/c must dominate hubs symmetrically: $hub")
+    // L1 totals: each normalize loses < 1 micro-unit per node to floors
+    assert(math.abs(auth.values.sum - 1000000L) <= 4)
+    assert(math.abs(hub.values.sum - 1000000L) <= 4)
+    // L1 normalization makes the masses invariant to a global weight scale
+    val scaled = Graphs.hits(
+      edges.withColumn("w", col("w") * 1000L), "src", "dst", "w", iters = 8)
+      .collect().map(x => x.getAs[String]("node") ->
+        (x.getAs[Long]("hub_mu"), x.getAs[Long]("auth_mu"))).toMap
+    r.keys.foreach { n =>
+      assert(scaled(n) == ((hub(n), auth(n))), s"scale variance at $n") }
+  }
+
+  test("joinSizeEstimate: exact product mass; rate=1 sampling is lossless") {
+    val child = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val parent = Seq(1L, 2L, 2L).toDF("p")
+    val r1 = SchemaDiscovery.joinSizeEstimate(child, "k", parent, "p",
+      "c=p", rate = 1).collect().head
+    assert(r1.getAs[Long]("n_keys") == 2L)        // keys 1 and 2 match
+    assert(r1.getAs[Long]("exact_rows") == 4L)    // 2*1 + 1*2
+    assert(r1.getAs[Long]("sampled_keys") == 2L)  // rate 1 keeps all
+    assert(r1.getAs[Long]("est_rows") == 4L && r1.getAs[Double]("rel_err") == 0.0)
+    // exact_rows equals the materialized join count on real-shaped data
+    val c2 = Seq.tabulate(200)(i => (i % 37).toLong).toDF("k")
+    val p2 = Seq.tabulate(50)(i => (i % 41).toLong).toDF("p")
+    val r2 = SchemaDiscovery.joinSizeEstimate(c2, "k", p2, "p", "x",
+      rate = 16).collect().head
+    val trueJoin = c2.join(p2, col("k") === col("p")).count()
+    assert(r2.getAs[Long]("exact_rows") == trueJoin)
+    assert(r2.getAs[Long]("est_rows") % 16 == 0)
+    assert(r2.getAs[Long]("sampled_keys") <= r2.getAs[Long]("n_keys"))
+  }
+
+  test("holtWinters: replays the additive recurrence exactly; calendar slots survive gaps") {
+    // one key, days 0..9 with day 6 missing (a gap), plus day 14 (same
+    // slot as days 0 and 7)
+    val days = Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 14L)
+    val vals = Seq(10.0, 12.0, 9.0, 11.0, 13.0, 8.0, 10.5, 12.5, 9.5, 11.5)
+    val ev = days.zip(vals).map { case (d, v) =>
+      ("k", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.ofEpochDay(d).atStartOfDay()), v) }
+      .toDF("event_type", "ts", "value")
+    val out = Temporal.holtWinters(ev, "event_type", "ts", "value",
+      alpha = 0.4, beta = 0.2, gamma = 0.3, period = 7)
+      .orderBy("day_idx").collect()
+    // reference fold in plain Scala doubles, same operation order
+    var l = 0.0; var b = 0.0; val s = Array.fill(7)(0.0); var first = true
+    val exp = days.zip(vals).map { case (d, v) =>
+      val i = (d % 7).toInt
+      val prevS = s(i)
+      val nl = if (first) v else 0.4 * (v - prevS) + 0.6 * (l + b)
+      val nb = if (first) 0.0 else 0.2 * (nl - l) + 0.8 * b
+      val se = 0.3 * (v - nl) + 0.7 * prevS
+      val fc = nl + nb + s(((d + 1) % 7).toInt)
+      l = nl; b = nb; s(i) = se; first = false
+      (d, v, nl, nb, se, fc)
+    }
+    assert(out.length == exp.length)
+    out.zip(exp).foreach { case (row, (d, v, nl, nb, se, fc)) =>
+      assert(row.getAs[Long]("day_idx") == d)
+      assert(row.getAs[Double]("v") == v)
+      assert(row.getAs[Double]("level") == nl, s"level at day $d")
+      assert(row.getAs[Double]("trend") == nb, s"trend at day $d")
+      assert(row.getAs[Double]("season") == se, s"season at day $d")
+      assert(row.getAs[Double]("forecast_next") == fc, s"fc at day $d")
+    }
+    // days 0, 7 and 14 share seasonal slot 0 despite the gap at day 6:
+    // day 14's update must chain off day 7's seasonal, not day 9's
+    val slot0 = exp.filter(e => e._1 % 7 == 0).map(_._5)
+    assert(slot0.length == 3)
   }
 }
