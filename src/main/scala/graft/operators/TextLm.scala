@@ -59,9 +59,14 @@ object TextLm {
     docBig.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      // 6-dp xent via EXACT integer half-up rounding of the rational
+      // (−mu)/m — round-half-up(a/b) = (2a+b) div (2b) for a,b > 0 —
+      // never a float round(x, 6): the r13 sf0.1 gate caught a doc whose
+      // FP xent sat ON a …5 boundary where Spark's decimal-string round
+      // and DuckDB's FP round disagree; the integer image is engine-proof.
       .select(col(idCol), col("m").as("n_bigrams"),
-        round((col("mu").cast("double") / lit(-1e6)) / col("m").cast("double"), 6)
-          .as("xent"))
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
   }
 
   /** CCNet-style perplexity bucketing: score every document with

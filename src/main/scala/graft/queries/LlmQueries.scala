@@ -2372,7 +2372,8 @@ object LlmQueries {
         |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
         |  FROM big JOIN uni ON big.w1 = uni.w1 CROSS JOIN v)
         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
-        |  round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6) / CAST(sum(occ) AS DOUBLE), 6) AS xent
+        |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
         |FROM db JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
 
@@ -2896,8 +2897,8 @@ object LlmQueries {
         |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
         |  FROM big JOIN uni ON big.w1 = uni.w1 CROSS JOIN v),
         |sc AS (SELECT db.doc_id,
-        |    CAST(round(round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6)
-        |      / CAST(sum(occ) AS DOUBLE), 6) * 1e6) AS BIGINT) AS xmu
+        |    CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS xmu
         |  FROM db JOIN model USING (w1, w2) GROUP BY doc_id),
         |sg AS (SELECT sc.doc_id, d.source AS g, sc.xmu
         |       FROM sc JOIN documents d USING (doc_id)),

@@ -752,8 +752,8 @@ object MlQueries {
         |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
         |  FROM big JOIN uni ON big.w1 = uni.w1 CROSS JOIN v),
         |xsc AS (SELECT db.doc_id,
-        |    round((CAST(sum(occ * lp_mu) AS DOUBLE) / -1e6)
-        |      / CAST(sum(occ) AS DOUBLE), 6) AS xent
+        |    CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
         |  FROM db JOIN model USING (w1, w2) GROUP BY doc_id),
         |gate AS (
         |  SELECT d.doc_id, nbp.source_ok, x.xent,
