@@ -715,4 +715,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size == 2)
     } finally q.stop()
   }
+
+  test("streaming Holt-Winters: closed days are bit-equal to the batch fold across any batch split; late events drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 10 days with 2 events each (days 0-9 of 1970), values exercising
+    // the cents quantization; the batch boundary lands MID-day-5
+    val evs = (0 until 10).flatMap { d =>
+      Seq(
+        StreamingAgg.Event(d * 2L, ts(s"1970-01-${"%02d".format(d + 1)} 08:00:00"),
+          1L, "click", 10.0 + d + 0.005),
+        StreamingAgg.Event(d * 2L + 1, ts(s"1970-01-${"%02d".format(d + 1)} 18:00:00"),
+          1L, "click", 5.0 + (d % 3)))
+    }
+    val input = MemoryStream[StreamingAgg.Event]
+    val q = StreamingAgg.startToMemory(
+      graft.streaming.StreamingHoltWinters.smoothed(input.toDS()).toDF(),
+      "hw_stream_test")
+    try {
+      input.addData(evs.take(11): _*)  // through the FIRST event of day 5
+      q.processAllAvailable()
+      // a late event (day 2 arriving after day 5 opened) must be dropped
+      input.addData(StreamingAgg.Event(99L, ts("1970-01-03 23:00:00"),
+        1L, "click", 1000.0))
+      input.addData(evs.drop(11): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT day_idx, v, level, trend, season, forecast_next " +
+          "FROM hw_stream_test").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      // batch reference over the SAME events (late row excluded by the
+      // drop contract); the trailing day 9 is still pending in the stream
+      val batch = graft.operators.Temporal.holtWinters(
+        evs.toDF(), "event_type", "ts", "value",
+        alpha = 0.4, beta = 0.2, gamma = 0.3, period = 7)
+        .where(col("day_idx") < 9).collect()
+        .map(r => r.getAs[Long]("day_idx") -> (r.getAs[Double]("v"),
+          r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("season"), r.getAs[Double]("forecast_next")))
+        .toMap
+      assert(streamed.keySet == (0L to 8L).toSet,
+        s"closed days 0-8 emitted, 9 pending: ${streamed.keySet}")
+      assert(streamed == batch,
+        s"streamed fold must be bit-equal to batch: $streamed vs $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
