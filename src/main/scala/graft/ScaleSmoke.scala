@@ -1129,6 +1129,24 @@ object ScaleSmoke {
           alpha = 0.4, beta = 0.2, gamma = 0.3, period = 7).count()
       }
     }
+    // c4_span_dedup: replicas duplicate every tile, so the keeper
+    // aggregate's GROUP count is CONSTANT across factors while the tile
+    // inventory (and removal count) grows linearly — cost must track the
+    // two tile-keyed shuffles + per-doc rebuild, never pairs.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"c4_span_dedup   $label") {
+        operators.TextDedup.c4SpanDedup(df, "doc_id", "text",
+          tileTokens = 4).count()
+      }
+    }
+    // logistic_gate: 7 constant-width aggregate passes over the cached
+    // feature projection; state per pass is 8 longs. Cost is steps x scan
+    // — the flattest curve on this list by construction.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"logistic_gate   $label") {
+        operators.MlOps.logisticTeacherGate(df, "text").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -109,6 +109,16 @@ object LlmQueries {
         .select(col("doc_id"), col("fingerprint"))
     }),
 
+    // C4-style corpus-wide span removal (Raffel et al. 2020): 4-token
+    // tiles, keep ONE occurrence of every duplicated span (pinned to min
+    // (doc_id, tile_pos) corpus order), rebuild each doc from survivors.
+    // The destructive keep-first gate beside q98's overlap scorer and
+    // q300's run reporter. One tile-keyed min-aggregate + one join back —
+    // never pairwise. See TextDedup.c4SpanDedup.
+    "q329_c4_span_dedup" -> ((s, d) =>
+      TextDedup.c4SpanDedup(table(s, d, "documents"), "doc_id", "text",
+        tileTokens = 4)),
+
     // Character-trigram profile (n-gram analysis surface). The distinct
     // count runs through the native single-pass NgramDistinctCount
     // expression — no per-row slice array, no interpreted hash set; the
@@ -1388,6 +1398,38 @@ object LlmQueries {
         |  AND bit_count(xor(a.sh64, b.sh64)) <= 8""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Mirrors TextDedup.c4SpanDedup stage for stage: 4-token tiles via the
+    // list-comprehension unnest, keeper = min packed (doc_id, tpos) per
+    // tile text, keep-first flag, ordered string_agg rebuild (NULL when a
+    // doc keeps nothing — string_agg over zero rows, matching Spark's
+    // explicit NULL guard).
+    "q329_c4_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS ts FROM documents),
+        |t0 AS (
+        |  SELECT doc_id,
+        |    [array_to_string(ts[(i*4+1):(i*4+4)], ' ')
+        |      for i in range(0, (len(ts) + 3) // 4)] AS tl
+        |  FROM toks),
+        |tiles AS (
+        |  SELECT doc_id, CAST(generate_subscripts(tl, 1) - 1 AS BIGINT)
+        |      AS tpos,
+        |    unnest(tl) AS tile
+        |  FROM t0),
+        |k AS (
+        |  SELECT tile, min(doc_id * 100000 + tpos) AS keeper
+        |  FROM tiles GROUP BY tile),
+        |f AS (
+        |  SELECT t.doc_id, t.tpos, t.tile,
+        |    (t.doc_id * 100000 + t.tpos = k.keeper) AS keep
+        |  FROM tiles t JOIN k USING (tile))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tiles,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_tiles,
+        |  string_agg(CASE WHEN keep THEN tile END, ' ' ORDER BY tpos)
+        |    AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin,
+
     // Mirrors CorpusStats.categoryEntropy: per-(source, lang) micro-nat
     // quantized ln(p), exact BIGINT weighted sum, 6dp-rounded outputs.
     "q261_lang_mix_entropy" ->

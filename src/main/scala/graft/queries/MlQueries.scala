@@ -72,6 +72,16 @@ object MlQueries {
       MlOps.naiveBayesConfusion(
         table(s, d, "documents"), "doc_id", "text", "source")),
 
+    // In-engine logistic-regression quality gate: 6 full-batch GD steps
+    // against a deterministic linear teacher over integer text features,
+    // sigmoid via a shared 321-entry literal LUT (zero libm in either
+    // engine), exact BIGINT gradient micro-sums, sign-split half-up
+    // weight updates. The TRAINED classifier beside q193's NB counter
+    // and q319's vote ensemble; the oracle re-derives the whole training
+    // loop in unrolled materialized CTEs. See MlOps.logisticTeacherGate.
+    "q330_logistic_gate" -> ((s, d) =>
+      MlOps.logisticTeacherGate(table(s, d, "documents"), "text")),
+
     // Classifier-ensemble keep/drop gate over the NB test half: NB
     // source agreement (q193) + CT trigram LID agreement (q316) + bigram
     // LM cross-entropy band (q140's scorer), majority vote — the
@@ -561,7 +571,84 @@ object MlQueries {
   }
   private def rboDenom: Long = MlOps.rboWeights(rboK)._2
 
+  /** Unrolled-CTE mirror of MlOps.logisticTeacherGate: the full GD loop
+    * re-derived in DuckDB from the same integer constants and the same
+    * literal sigmoid LUT. Every CTE is MATERIALIZED — weight CTEs are
+    * referenced by the next step's scoring AND the final projection, and
+    * DuckDB re-executes non-materialized CTEs multiplicatively (the q326
+    * HITS lesson). Pass k scores under w_{k-1}; step k's output row pairs
+    * w_k with pass k+1's eval counts, exactly like the Spark loop. */
+  private def logisticGateSql(steps: Int, lrNum: Long, lrDen: Long): String = {
+    val lut = MlOps.SigmoidLutMicros.mkString("[", ", ", "]")
+    def zExpr(w: String) =
+      s"$w.w0*f.x0 + $w.w1*f.x1 + $w.w2*f.x2 + $w.w3*f.x3 + $w.w4*f.x4"
+    def gCte(k: Int) = {
+      val z = zExpr("w")
+      val sig = s"l[CAST((2*(least(greatest($z, -8000000), 8000000)" +
+        s" + 8000000) + 50000) // 100000 AS BIGINT) + 1]"
+      val sums = (0 to 4).map(j =>
+        s"CAST(sum((sig - y*1000000) * x$j) AS BIGINT) AS g$j")
+        .mkString(",\n      ")
+      s"""g$k AS MATERIALIZED (
+         |  SELECT $sums,
+         |      CAST(sum(CASE WHEN sig >= 500000 THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS np,
+         |      CAST(sum(CASE WHEN (CASE WHEN sig >= 500000 THEN 1 ELSE 0
+         |        END) = y THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |  FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3, f.x4, $sig AS sig
+         |        FROM f, w${k - 1} w, lut))""".stripMargin
+    }
+    def wCte(k: Int) = {
+      val upd = (0 to 4).map { j =>
+        s"""CAST(w.w$j - (CASE WHEN g.g$j >= 0
+           |    THEN (2*$lrNum*g.g$j + $lrDen*c.n) // (2*$lrDen*c.n)
+           |    ELSE -((2*$lrNum*(-g.g$j) + $lrDen*c.n)
+           |      // (2*$lrDen*c.n)) END) AS BIGINT) AS w$j""".stripMargin
+      }.mkString(",\n    ")
+      s"""w$k AS MATERIALIZED (
+         |  SELECT $upd
+         |  FROM w${k - 1} w, g$k g, cnt c)""".stripMargin
+    }
+    val stepCtes = (1 to steps).map(k => gCte(k) + ",\n" + wCte(k)) :+
+      gCte(steps + 1)
+    val rows = (1 to steps).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |  CAST(w.w0 AS DOUBLE)/1e6 AS w_bias,
+         |  CAST(w.w1 AS DOUBLE)/1e6 AS w_tokens,
+         |  CAST(w.w2 AS DOUBLE)/1e6 AS w_scan,
+         |  CAST(w.w3 AS DOUBLE)/1e6 AS w_join,
+         |  CAST(w.w4 AS DOUBLE)/1e6 AS w_distinct,
+         |  g.np AS n_pred_pos, g.nc AS n_correct
+         |FROM w$k w, g${k + 1} g""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH lut AS MATERIALIZED (SELECT $lut::BIGINT[] AS l),
+       |base AS (
+       |  SELECT len(split(text, ' ')) AS nt,
+       |    len(list_distinct(split(text, ' '))) AS dt,
+       |    len(list_filter(split(text, ' '), t -> t = 'scan')) AS sc,
+       |    len(list_filter(split(text, ' '), t -> t = 'join')) AS jn
+       |  FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS x0,
+       |    CAST(CASE WHEN nt - 54 >= 0 THEN (2*(nt-54) + 8) // 16
+       |      ELSE -((2*(54-nt) + 8) // 16) END AS BIGINT) AS x1,
+       |    CAST(sc AS BIGINT) AS x2, CAST(jn AS BIGINT) AS x3,
+       |    CAST(CASE WHEN dt - 23 >= 0 THEN (2*(dt-23) + 4) // 8
+       |      ELSE -((2*(23-dt) + 4) // 8) END AS BIGINT) AS x4,
+       |    CAST(CASE WHEN 2*nt + 120*sc + 90*jn > 482 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS y
+       |  FROM base),
+       |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0,
+       |  CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+       |  CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
+       |${stepCtes.mkString(",\n")}
+       |$rows""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q330_logistic_gate" -> logisticGateSql(6, 3, 2),
+
 
     // Mirrors MlOps.ctLangIdConfusion: identical (count DESC, gram ASC)
     // rank windows, out-of-place distance with the k=20 penalty, ties to

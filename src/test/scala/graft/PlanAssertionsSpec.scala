@@ -565,4 +565,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p328.contains("ObjectHashAggregate"),
       "day series must ride the partial-agg collect")
   }
+
+  test("q329/q330: span dedup stays tile-keyed; the trainer output is the constant-size trace") {
+    // q329: ONE tile-keyed min-aggregate + ONE tile equi-join + per-doc
+    // rebuild — a window, cartesian or nested-loop here means the
+    // keep-first choice degenerated to pairwise work
+    val p329 = plan("q329_c4_span_dedup")
+    assert(!p329.contains("WindowExec") && !p329.contains("CartesianProduct")
+      && !p329.contains("BroadcastNestedLoopJoin"),
+      "span dedup must stay tile-keyed")
+    assert(p329.contains("ObjectHashAggregate"),
+      "doc rebuild must ride the partial-agg collect")
+    // q330: the engine-side work is 7 constant-width aggregate passes;
+    // what the query RETURNS is the step trace — a driver-built
+    // constant-size model artifact, so its plan must be a local relation
+    // (anything bigger would mean per-doc data leaked into the output)
+    val p330 = plan("q330_logistic_gate")
+    assert(p330.contains("LocalTableScan"),
+      "trainer output must be the constant-size step trace")
+  }
 }

@@ -259,4 +259,56 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     val slot0 = exp.filter(e => e._1 % 7 == 0).map(_._5)
     assert(slot0.length == 3)
   }
+
+  test("c4SpanDedup: keep-first by corpus order, intra-doc dups, NULL when nothing survives") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // both tiles unique-first
+      (2L, "a b c d x"),                // first tile duplicates doc 1's
+      (3L, "a b c d"),                  // its ONLY tile is a dup -> NULL
+      (4L, "p q r s p q r s"))          // intra-doc dup: second tile goes
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextDedup
+      .c4SpanDedup(docs, "doc_id", "text", tileTokens = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tiles"), x.getAs[Long]("kept_tiles"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(r(1L) == ((2L, 2L, "a b c d e f g h")))
+    assert(r(2L) == ((2L, 1L, "x")))      // short last tile survives alone
+    assert(r(3L) == ((1L, 0L, null)))
+    assert(r(4L) == ((2L, 1L, "p q r s")))
+  }
+
+  test("logisticTeacherGate: exact step-1 closed form and learning on a separable corpus") {
+    // with w0 = 0 every sigmoid is exactly 500000 micros, so step 1 has
+    // the closed form w_j = -halfUp(lrNum * 5e5 * sum((1-2y) x_j), lrDen n)
+    // doc 1: 10x'scan' -> nt=10 sc=10 dt=1, y=1 (20+1200 > 482)
+    //        x = (1, -6, 10, 0, -6)
+    // doc 2: "the the" -> nt=2 sc=0 dt=1, y=0; x = (1, -7, 0, 0, -6)
+    val two = Seq((1L, Seq.fill(10)("scan").mkString(" ")), (2L, "the the"))
+      .toDF("doc_id", "text")
+    val t = graft.operators.MlOps.logisticTeacherGate(two, "text")
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(t.length == 6)
+    val s1 = t.head
+    assert(s1.getAs[Double]("w_bias") == 0.0)
+    assert(s1.getAs[Double]("w_tokens") == 0.375)   // -halfUp(3*-5e5, 4)/1e6
+    assert(s1.getAs[Double]("w_scan") == 3.75)      // -halfUp(3*-5e6, 4)/1e6
+    assert(s1.getAs[Double]("w_join") == 0.0)
+    assert(s1.getAs[Double]("w_distinct") == 0.0)
+    // the step-1 weights already separate the two docs
+    assert(s1.getAs[Long]("n_pred_pos") == 1L)
+    assert(s1.getAs[Long]("n_correct") == 2L)
+    // a separable 30-doc corpus: the trainer must LEARN (accuracy climbs
+    // to perfect) and stay deterministic across runs
+    val corpus = ((0 until 15).map(i =>
+      (i.toLong, Seq.fill(8)("scan").mkString(" "))) ++
+      (15 until 30).map(i => (i.toLong, "a b"))).toDF("doc_id", "text")
+    val runs = Seq.fill(2)(
+      graft.operators.MlOps.logisticTeacherGate(corpus, "text")
+        .collect().sortBy(_.getAs[Long]("step")))
+    assert(runs(0).map(_.toString).sameElements(runs(1).map(_.toString)))
+    val acc = runs.head.map(_.getAs[Long]("n_correct"))
+    assert(acc.last == 30L, s"final accuracy ${acc.last}/30")
+    assert(acc.last >= acc.head)
+  }
 }
