@@ -1147,6 +1147,15 @@ object ScaleSmoke {
         operators.MlOps.logisticTeacherGate(df, "text").count()
       }
     }
+    // bpe_train: the only corpus-scale step is the word-type aggregate;
+    // exact replicas scale every pair count uniformly, so all 10 merge
+    // decisions are IDENTICAL and round cost stays vocab-bounded — the
+    // curve is the one scan.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"bpe_train       $label") {
+        operators.TextPrep.bpeTrain(df, "text", merges = 10).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -119,6 +119,16 @@ object LlmQueries {
       TextDedup.c4SpanDedup(table(s, d, "documents"), "doc_id", "text",
         tileTokens = 4)),
 
+    // BPE vocabulary TRAINER (Sennrich et al. 2016): 10 greedy merge
+    // rounds over the word-type table -> the merge table the tokenizer
+    // operators downstream would load. One corpus-scale aggregate; every
+    // round is vocab-bounded. All-integer; the oracle re-derives the
+    // whole training loop (unrolled materialized CTEs). See
+    // TextPrep.bpeTrain.
+    "q331_bpe_train" -> ((s, d) =>
+      graft.operators.TextPrep.bpeTrain(table(s, d, "documents"), "text",
+        merges = 10)),
+
     // Character-trigram profile (n-gram analysis surface). The distinct
     // count runs through the native single-pass NgramDistinctCount
     // expression — no per-row slice array, no interpreted hash set; the
@@ -1397,7 +1407,49 @@ object LlmQueries {
         |                  = (b.shu // (1::HUGEINT << (band*16))) % 65536)
         |  AND bit_count(xor(a.sh64, b.sh64)) <= 8""".stripMargin
 
+  /** Unrolled-CTE mirror of TextPrep.bpeTrain: per round, bigram pair
+    * counts over the word-type table, (count DESC, pair ASC) argmax, and
+    * the left-to-right non-overlapping replace rewrite — the same integer
+    * loop DuckDB re-derives end to end. Word and best-pair CTEs are
+    * MATERIALIZED (each is read by the next round AND the final
+    * projection; non-materialized chains re-execute multiplicatively —
+    * the q326 lesson). */
+  private def bpeTrainSql(merges: Int): String = {
+    def round(k: Int) =
+      s"""p$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq,
+         |      unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+         |        AS pair
+         |    FROM (SELECT freq, split(sym, ' ') AS s FROM w${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS MATERIALIZED (
+         |  SELECT pair, pair_count FROM p$k
+         |  ORDER BY pair_count DESC, pair LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w, freq, replace(sym, b.pair, replace(b.pair, ' ', ''))
+         |      AS sym
+         |  FROM w${k - 1}, b$k b),
+         |v$k AS MATERIALIZED (
+         |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
+         |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
+    val rows = (1 to merges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, b.pair,
+         |  replace(b.pair, ' ', '') AS merged, b.pair_count, v.vocab_size
+         |FROM b$k b, v$k v""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    array_to_string(split(w, ''), ' ') || ' </w>' AS sym
+       |  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |${(1 to merges).map(round).mkString(",\n")}
+       |$rows""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q331_bpe_train" -> bpeTrainSql(10),
+
     // Mirrors TextDedup.c4SpanDedup stage for stage: 4-token tiles via the
     // list-comprehension unnest, keeper = min packed (doc_id, tpos) per
     // tile text, keep-first flag, ordered string_agg rebuild (NULL when a

@@ -584,4 +584,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p330.contains("LocalTableScan"),
       "trainer output must be the constant-size step trace")
   }
+
+  test("q331: BPE rounds ride 1-row broadcasts over checkpointed vocab tables") {
+    // every join in the merge-table union is a broadcast of a 1-row
+    // artifact (best pair / vocab count) against the Heaps-bounded
+    // word-type table — a SortMergeJoin, window or cartesian here means a
+    // round outgrew its vocab bound
+    val p = plan("q331_bpe_train")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("WindowExec"),
+      "BPE rounds must stay 1-row-broadcast-joined")
+  }
 }

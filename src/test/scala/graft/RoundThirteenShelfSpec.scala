@@ -311,4 +311,30 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(acc.last == 30L, s"final accuracy ${acc.last}/30")
     assert(acc.last >= acc.head)
   }
+
+  test("bpeTrain: classic low/lower merges and left-to-right non-overlapping replacement") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val r = graft.operators.TextPrep.bpeTrain(docs, "text", merges = 3)
+      .collect().sortBy(_.getAs[Long]("round"))
+    // round 1: 'l o' (3) beats 'o w' (3) on the pair-ASC tie-break
+    assert(r(0).getAs[String]("pair") == "l o" &&
+      r(0).getAs[Long]("pair_count") == 3L &&
+      r(0).getAs[String]("merged") == "lo")
+    assert(r(0).getAs[Long]("vocab_size") == 5L) // lo w </w> e r
+    assert(r(1).getAs[String]("pair") == "lo w" &&
+      r(1).getAs[Long]("pair_count") == 3L)
+    assert(r(2).getAs[String]("pair") == "low </w>" &&
+      r(2).getAs[Long]("pair_count") == 2L)
+    // overlap semantics: 'aaa' = 'a a a </w>'; merging 'a a' goes
+    // left-to-right non-overlapping -> 'aa a </w>' (never 'a aa </w>'),
+    // so round 2's argmax over the survivors is 'a </w>' and round 3
+    // stitches the whole word
+    val t = graft.operators.TextPrep
+      .bpeTrain(Seq((1L, "aaa")).toDF("doc_id", "text"), "text", merges = 3)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(t(0).getAs[String]("pair") == "a a" &&
+      t(0).getAs[Long]("pair_count") == 2L)
+    assert(t(1).getAs[String]("pair") == "a </w>")
+    assert(t(2).getAs[String]("pair") == "aa a</w>")
+  }
 }
