@@ -1147,6 +1147,13 @@ object ScaleSmoke {
         operators.MlOps.logisticTeacherGate(df, "text").count()
       }
     }
+    // logistic_calibration: q330's training passes + ONE scoring
+    // aggregate into a <= 10-row bin table — flat like the trainer.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"logistic_calib  $label") {
+        operators.MlOps.logisticCalibration(df, "text").count()
+      }
+    }
     // bpe_train: the only corpus-scale step is the word-type aggregate;
     // exact replicas scale every pair count uniformly, so all 10 merge
     // decisions are IDENTICAL and round cost stays vocab-bounded — the

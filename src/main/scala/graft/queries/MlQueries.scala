@@ -82,6 +82,14 @@ object MlQueries {
     "q330_logistic_gate" -> ((s, d) =>
       MlOps.logisticTeacherGate(table(s, d, "documents"), "text")),
 
+    // Probability-calibration audit of the q330 trained model: ten fixed
+    // 0.1 reliability bins (n, positives, mean predicted vs observed
+    // rate) + corpus ECE and Brier — exact BIGINT bin sums over the LUT
+    // micro-probabilities, two fixed-order double divisions at the end.
+    // See MlOps.logisticCalibration.
+    "q332_model_calibration" -> ((s, d) =>
+      MlOps.logisticCalibration(table(s, d, "documents"), "text")),
+
     // Classifier-ensemble keep/drop gate over the NB test half: NB
     // source agreement (q193) + CT trigram LID agreement (q316) + bigram
     // LM cross-entropy band (q140's scorer), majority vote — the
@@ -578,14 +586,23 @@ object MlQueries {
     * DuckDB re-executes non-materialized CTEs multiplicatively (the q326
     * HITS lesson). Pass k scores under w_{k-1}; step k's output row pairs
     * w_k with pass k+1's eval counts, exactly like the Spark loop. */
-  private def logisticGateSql(steps: Int, lrNum: Long, lrDen: Long): String = {
+  /** The LUT-sigmoid scoring expression under weight CTE alias `w` —
+    * shared by every training pass and by q332's calibration scoring. */
+  private def logisticSigSql: String = {
+    val z = "w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4"
+    s"l[CAST((2*(least(greatest($z, -8000000), 8000000)" +
+      s" + 8000000) + 50000) // 100000 AS BIGINT) + 1]"
+  }
+
+  /** The WITH-chain shared by q330 and q332: lut/features/cnt/w0, then per
+    * training step the gradient+eval CTE and the weight-update CTE;
+    * `withEval` appends the extra pass that evaluates w_steps (q330 needs
+    * it for the last trace row; q332 scores w_steps itself). Returned
+    * WITHOUT a final SELECT so each query attaches its own. */
+  private def logisticPrefixSql(steps: Int, lrNum: Long, lrDen: Long,
+                                withEval: Boolean): String = {
     val lut = MlOps.SigmoidLutMicros.mkString("[", ", ", "]")
-    def zExpr(w: String) =
-      s"$w.w0*f.x0 + $w.w1*f.x1 + $w.w2*f.x2 + $w.w3*f.x3 + $w.w4*f.x4"
     def gCte(k: Int) = {
-      val z = zExpr("w")
-      val sig = s"l[CAST((2*(least(greatest($z, -8000000), 8000000)" +
-        s" + 8000000) + 50000) // 100000 AS BIGINT) + 1]"
       val sums = (0 to 4).map(j =>
         s"CAST(sum((sig - y*1000000) * x$j) AS BIGINT) AS g$j")
         .mkString(",\n      ")
@@ -595,7 +612,8 @@ object MlQueries {
          |        AS BIGINT) AS np,
          |      CAST(sum(CASE WHEN (CASE WHEN sig >= 500000 THEN 1 ELSE 0
          |        END) = y THEN 1 ELSE 0 END) AS BIGINT) AS nc
-         |  FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3, f.x4, $sig AS sig
+         |  FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3, f.x4,
+         |          $logisticSigSql AS sig
          |        FROM f, w${k - 1} w, lut))""".stripMargin
     }
     def wCte(k: Int) = {
@@ -609,18 +627,8 @@ object MlQueries {
          |  SELECT $upd
          |  FROM w${k - 1} w, g$k g, cnt c)""".stripMargin
     }
-    val stepCtes = (1 to steps).map(k => gCte(k) + ",\n" + wCte(k)) :+
-      gCte(steps + 1)
-    val rows = (1 to steps).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS step,
-         |  CAST(w.w0 AS DOUBLE)/1e6 AS w_bias,
-         |  CAST(w.w1 AS DOUBLE)/1e6 AS w_tokens,
-         |  CAST(w.w2 AS DOUBLE)/1e6 AS w_scan,
-         |  CAST(w.w3 AS DOUBLE)/1e6 AS w_join,
-         |  CAST(w.w4 AS DOUBLE)/1e6 AS w_distinct,
-         |  g.np AS n_pred_pos, g.nc AS n_correct
-         |FROM w$k w, g${k + 1} g""".stripMargin)
-      .mkString("\nUNION ALL\n")
+    val stepCtes = (1 to steps).map(k => gCte(k) + ",\n" + wCte(k)) ++
+      (if (withEval) Seq(gCte(steps + 1)) else Nil)
     s"""WITH lut AS MATERIALIZED (SELECT $lut::BIGINT[] AS l),
        |base AS (
        |  SELECT len(split(text, ' ')) AS nt,
@@ -642,11 +650,58 @@ object MlQueries {
        |w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0,
        |  CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
        |  CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
-       |${stepCtes.mkString(",\n")}
-       |$rows""".stripMargin
+       |${stepCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def logisticGateSql(steps: Int, lrNum: Long, lrDen: Long): String = {
+    val rows = (1 to steps).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |  CAST(w.w0 AS DOUBLE)/1e6 AS w_bias,
+         |  CAST(w.w1 AS DOUBLE)/1e6 AS w_tokens,
+         |  CAST(w.w2 AS DOUBLE)/1e6 AS w_scan,
+         |  CAST(w.w3 AS DOUBLE)/1e6 AS w_join,
+         |  CAST(w.w4 AS DOUBLE)/1e6 AS w_distinct,
+         |  g.np AS n_pred_pos, g.nc AS n_correct
+         |FROM w$k w, g${k + 1} g""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    logisticPrefixSql(steps, lrNum, lrDen, withEval = true) + "\n" + rows
+  }
+
+  /** Mirrors MlOps.logisticCalibration: the q330 chain through w_steps,
+    * then one LUT scoring pass, ten fixed 0.1 bins (micro-integer floor
+    * division, 1.0 clamped into bin 9), exact BIGINT bin sums, and the
+    * two fixed-order double divisions for each reported rate. */
+  private def logisticCalibrationSql(steps: Int, lrNum: Long, lrDen: Long)
+  : String = {
+    logisticPrefixSql(steps, lrNum, lrDen, withEval = false) +
+      s""",
+         |sc AS MATERIALIZED (
+         |  SELECT sig, y, CAST(least(sig // 100000, 9) AS BIGINT) AS bin
+         |  FROM (SELECT f.y, $logisticSigSql AS sig
+         |        FROM f, w$steps w, lut)),
+         |bt AS MATERIALIZED (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(sig) AS BIGINT) AS sum_pred,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM sc GROUP BY bin),
+         |gl AS MATERIALIZED (
+         |  SELECT CAST(sum(abs(n_pos*1000000 - sum_pred)) AS BIGINT) AS s,
+         |    CAST(sum(n) AS BIGINT) AS nn
+         |  FROM bt),
+         |br AS MATERIALIZED (
+         |  SELECT CAST(sum((sig - y*1000000)*(sig - y*1000000)) AS BIGINT)
+         |      AS b
+         |  FROM sc)
+         |SELECT bin, n, n_pos,
+         |  CAST(sum_pred AS DOUBLE)/1e6/CAST(n AS DOUBLE) AS mean_pred,
+         |  CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE) AS obs_rate,
+         |  CAST(s AS DOUBLE)/1e6/CAST(nn AS DOUBLE) AS ece,
+         |  CAST(b AS DOUBLE)/1e12/CAST(nn AS DOUBLE) AS brier
+         |FROM bt, gl, br""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
+    "q332_model_calibration" -> logisticCalibrationSql(6, 3, 2),
     "q330_logistic_gate" -> logisticGateSql(6, 3, 2),
 
 

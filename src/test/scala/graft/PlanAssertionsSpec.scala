@@ -595,4 +595,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       && !p.contains("WindowExec"),
       "BPE rounds must stay 1-row-broadcast-joined")
   }
+
+  test("q332: calibration is one scoring aggregate + 1-row broadcasts") {
+    // the bin table is a <= 10-row aggregate; ECE/Brier ride broadcast
+    // 1-row artifacts — a shuffle join or window here means per-doc data
+    // escaped the aggregate
+    val p = plan("q332_model_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("WindowExec"),
+      "calibration must stay aggregate-shaped")
+    assert(p.contains("HashAggregate"), "bin table must be an aggregate")
+  }
 }

@@ -312,6 +312,34 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(acc.last >= acc.head)
   }
 
+  test("logisticCalibration: bin identities and near-zero ECE/Brier on a separable corpus") {
+    val corpus = ((0 until 15).map(i =>
+      (i.toLong, Seq.fill(8)("scan").mkString(" "))) ++
+      (15 until 30).map(i => (i.toLong, "a b"))).toDF("doc_id", "text")
+    val rows = graft.operators.MlOps.logisticCalibration(corpus, "text")
+      .collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 30L)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val mp = r.getAs[Double]("mean_pred")
+      // a bin's mean prediction must live inside the bin (bin 9 also
+      // holds the clamped 1.0 edge)
+      assert(mp >= bin / 10.0 && mp <= (bin + 1) / 10.0,
+        s"bin $bin mean_pred $mp")
+      assert(r.getAs[Double]("obs_rate") >= 0.0 &&
+        r.getAs[Double]("obs_rate") <= 1.0)
+    }
+    // the trained model is confidently correct on both classes (q330's
+    // spec pins perfect accuracy), so the reliability gap and Brier score
+    // collapse to the LUT clipping floor (sigma(+-8) ~ 3.4e-4)
+    val ece = rows.head.getAs[Double]("ece")
+    val brier = rows.head.getAs[Double]("brier")
+    assert(ece >= 0.0 && ece < 0.001, s"ece $ece")
+    assert(brier >= 0.0 && brier < 0.001, s"brier $brier")
+    // ece/brier are corpus-level constants, identical on every row
+    assert(rows.forall(r => r.getAs[Double]("ece") == ece))
+  }
+
   test("bpeTrain: classic low/lower merges and left-to-right non-overlapping replacement") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val r = graft.operators.TextPrep.bpeTrain(docs, "text", merges = 3)
