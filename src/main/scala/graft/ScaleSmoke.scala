@@ -1154,6 +1154,22 @@ object ScaleSmoke {
         operators.MlOps.logisticCalibration(df, "text").count()
       }
     }
+    // shapley_attrib: replicas add USERS (ids shifted), so the mask
+    // table's key space and the 2^n coalition grid stay constant while
+    // journey windows and mask counts scale — cost is the per-user cut,
+    // never the Shapley algebra.
+    val evSh = Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val evShBig = (0 until factor).map(i => evSh
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", evSh), (s"${factor}x", evShBig))) {
+      time(s"shapley_attrib  $label") {
+        operators.Temporal.shapleyAttribution(edf, "user_id", "ts",
+          "event_type", "event_id", convType = "purchase").count()
+      }
+    }
     // bpe_train: the only corpus-scale step is the word-type aggregate;
     // exact replicas scale every pair count uniformly, so all 10 merge
     // decisions are IDENTICAL and round cost stays vocab-bounded — the

@@ -41,6 +41,15 @@ object SeriesQueries {
         "ts", "event_type", "event_id", convType = "purchase",
         iters = 12)),
 
+    // EXACT Shapley-value attribution over channel coalitions — the
+    // game-theoretic model beside q315's Markov removal effect: v(S) =
+    // converted users whose pre-conversion channel set is ⊆ S, credit =
+    // the exact factorial-weighted Shapley sum (all-integer, 2^n grid,
+    // n = event-type vocabulary). See Temporal.shapleyAttribution.
+    "q333_shapley_attribution" -> ((s, d) =>
+      Temporal.shapleyAttribution(table(s, d, "events"), "user_id",
+        "ts", "event_type", "event_id", convType = "purchase")),
+
     // RFM segmentation: per-user recency/frequency/monetary quintile
     // scores against broadcast percentile cutoffs (window-free — an
     // ntile would single-partition the user table), recency inverted so
@@ -337,6 +346,68 @@ object SeriesQueries {
          |  CAST(ssm AS DOUBLE) / '1000000'::DOUBLE
          |    / CAST(n_test AS DOUBLE) AS smape
          |FROM te CROSS JOIN tr""".stripMargin,
+
+    // Mirrors Temporal.shapleyAttribution: the q315 journey cut, channel
+    // bitmasks over the name-ASC index, subset-sum coalition values on
+    // the 2^n grid (65536 row cap, filtered to 1<<n), and the exact
+    // factorial-weighted Shapley sum from the shared 0!..16! literals.
+    "q333_shapley_attribution" -> {
+      val f = graft.operators.Temporal.Factorials.mkString("[", ", ", "]")
+      s"""WITH ev AS (
+         |  SELECT user_id AS u, ts, event_id AS tie, event_type AS t
+         |  FROM events),
+         |o AS (SELECT *,
+         |    CASE WHEN t = 'purchase' THEN 1 ELSE 0 END AS isc,
+         |    sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY u ORDER BY ts, tie
+         |        ROWS UNBOUNDED PRECEDING) AS ccum
+         |  FROM ev),
+         |cut AS MATERIALIZED (SELECT * FROM o
+         |  WHERE ccum = 0 OR (ccum = 1 AND isc = 1)),
+         |chan AS MATERIALIZED (
+         |  SELECT t AS channel,
+         |    CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT) AS idx
+         |  FROM (SELECT DISTINCT t FROM cut WHERE t <> 'purchase')),
+         |cu AS (SELECT DISTINCT u FROM cut WHERE t = 'purchase'),
+         |ti AS (SELECT DISTINCT cut.u, chan.idx
+         |  FROM cut JOIN cu USING (u) JOIN chan ON chan.channel = cut.t
+         |  WHERE cut.t <> 'purchase'),
+         |um AS (SELECT u, CAST(sum(1 << idx) AS BIGINT) AS mask
+         |  FROM ti GROUP BY u),
+         |mc AS MATERIALIZED (
+         |  SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM um GROUP BY mask),
+         |nf AS MATERIALIZED (SELECT CAST(count(*) AS INTEGER) AS n,
+         |    CAST(($f)[CAST(count(*) AS INTEGER) + 1] AS BIGINT) AS nfact
+         |  FROM chan),
+         |grid AS (SELECT CAST(g.range AS BIGINT) AS s
+         |  FROM range(0, 65536) g, nf WHERE g.range < (1 << nf.n)),
+         |v AS MATERIALIZED (
+         |  SELECT grid.s, CAST(coalesce(sum(mc.cnt), 0) AS BIGINT) AS v
+         |  FROM grid LEFT JOIN mc ON (mc.mask & grid.s) = mc.mask
+         |  GROUP BY grid.s),
+         |tch AS (SELECT chan.channel,
+         |    CAST(coalesce(sum(mc.cnt), 0) AS BIGINT) AS touched
+         |  FROM chan LEFT JOIN mc ON (mc.mask & (1 << chan.idx)) <> 0
+         |  GROUP BY chan.channel),
+         |vt AS (SELECT v.v AS vtot FROM v, nf WHERE v.s = (1 << nf.n) - 1),
+         |fl AS (SELECT $f::BIGINT[] AS f),
+         |phi AS (
+         |  SELECT c.channel,
+         |    CAST(sum((f.f[bit_count(v0.s) + 1]
+         |        * f.f[nf.n - bit_count(v0.s)]) * (v1.v - v0.v))
+         |      AS BIGINT) AS phi_num
+         |  FROM chan c
+         |  CROSS JOIN nf CROSS JOIN fl f
+         |  JOIN v v0 ON (v0.s & (1 << c.idx)) = 0
+         |  JOIN v v1 ON v1.s = v0.s + (1 << c.idx)
+         |  GROUP BY c.channel)
+         |SELECT p.channel, t.touched, p.phi_num,
+         |  CAST(p.phi_num AS DOUBLE) / CAST(nf.nfact AS DOUBLE) AS phi,
+         |  CAST(p.phi_num AS DOUBLE) / CAST(nf.nfact AS DOUBLE)
+         |    / CAST(vt.vtot AS DOUBLE) AS share
+         |FROM phi p JOIN tch t USING (channel), nf, vt""".stripMargin
+    },
 
     // Mirrors Temporal.markovRemovalAttribution: identical journey
     // windows, scenario edge munging, and a recursive-CTE replay of the

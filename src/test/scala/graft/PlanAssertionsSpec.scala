@@ -606,4 +606,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "calibration must stay aggregate-shaped")
     assert(p.contains("HashAggregate"), "bin table must be an aggregate")
   }
+
+  test("q333: Shapley grid joins are coalition-bounded, journey window is per-user") {
+    // the only window is the per-user journey cut; every grid join rides
+    // a broadcast of the 2^n coalition/mask artifacts — a cartesian or a
+    // global (unpartitioned) window means the bound was lost
+    val p = plan("q333_shapley_attribution")
+    assert(!p.contains("CartesianProduct"),
+      "coalition joins must broadcast their bounded side")
+    assert(!p.contains("PartitionBy: []"), "journey window must be keyed")
+  }
 }

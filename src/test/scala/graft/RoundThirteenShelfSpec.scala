@@ -340,6 +340,32 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Double]("ece") == ece))
   }
 
+  test("shapleyAttribution: exact two-channel hand values; direct and non-converters excluded") {
+    // u1 click->buy, u2 view->buy, u3 click,view->buy, u4 click only
+    // (never converts), u5 direct buy (no touch -> no channel evidence),
+    // u6 buys FIRST then clicks (post-conversion touch must not count)
+    val ev = Seq(
+      (1L, 1L, 10L, "click"), (2L, 1L, 20L, "buy"),
+      (3L, 2L, 10L, "view"), (4L, 2L, 20L, "buy"),
+      (5L, 3L, 10L, "click"), (6L, 3L, 20L, "view"), (7L, 3L, 30L, "buy"),
+      (8L, 4L, 10L, "click"),
+      (9L, 5L, 10L, "buy"),
+      (10L, 6L, 10L, "buy"), (11L, 6L, 20L, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = graft.operators.Temporal.shapleyAttribution(
+      ev, "user_id", "ts", "event_type", "event_id", convType = "buy")
+      .collect().sortBy(_.getAs[String]("channel"))
+    // v({c})=1, v({v})=1, v({c,v})=3:
+    // phi_c num = 0!1!*(1-0) + 1!0!*(3-1) = 3 -> phi 1.5, share 0.5
+    assert(r.map(_.getAs[String]("channel")).toSeq == Seq("click", "view"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("touched") == 2L)
+      assert(row.getAs[Long]("phi_num") == 3L)
+      assert(row.getAs[Double]("phi") == 1.5)
+      assert(row.getAs[Double]("share") == 0.5)
+    }
+  }
+
   test("bpeTrain: classic low/lower merges and left-to-right non-overlapping replacement") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val r = graft.operators.TextPrep.bpeTrain(docs, "text", merges = 3)
