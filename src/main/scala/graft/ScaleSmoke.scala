@@ -1179,6 +1179,15 @@ object ScaleSmoke {
         operators.TextPrep.bpeTrain(df, "text", merges = 10).count()
       }
     }
+    // bpe_encode: training plus ONE word-keyed dictionary join — the
+    // join's build side is the Heaps-bounded word-type table, so the
+    // apply pass rides the corpus scan.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"bpe_encode      $label") {
+        operators.TextPrep.bpeEncode(df, "doc_id", "text",
+          merges = 10).count()
+      }
+    }
     spark.stop()
   }
 }

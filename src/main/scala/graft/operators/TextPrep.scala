@@ -107,7 +107,44 @@ object TextPrep {
     * leaves the vocabulary table.
     */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int = 10)
-  : DataFrame = {
+  : DataFrame = bpeMergeLoop(docs, textCol, merges)._1
+
+  /** Encode the corpus with its own trained BPE vocabulary ([[bpeTrain]]'s
+    * `merges` rounds) and report per-document compression: word count,
+    * initial symbol count (chars + one `</w>` per word), encoded symbol
+    * count, and the compression ratio — the train→apply round trip that
+    * proves the merge table actually tokenizes.
+    *
+    * Closed-vocab contract: encoding joins each word against the trained
+    * word-type dictionary (the corpus trains on itself, so there are no
+    * OOV words; an open-vocab encode would fall back to character
+    * symbols). Scale: the dictionary is the Heaps-bounded word-type
+    * table — ONE word-keyed join + per-doc aggregate on top of training.
+    *
+    * ScaleSmoke 10x (sf0.1, local[32]): see bpe_encode — flat like
+    * bpe_train (identical merges on replicas, one extra keyed join).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int = 10): DataFrame = {
+    val wt = bpeMergeLoop(docs, textCol, merges)._2
+    val dict = wt.select(col("w"),
+      size(split(col("sym"), " ")).cast("long").as("__ns"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(dict, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")) + 1).cast("long").as("n_syms_init"),
+        sum(col("__ns")).as("n_syms"))
+      .select(col(idCol), col("n_words"), col("n_syms_init"), col("n_syms"),
+        (col("n_syms_init").cast("double") / col("n_syms").cast("double"))
+          .as("compression"))
+  }
+
+  /** The shared merge loop: returns (merge-table rows, final word-type
+    * table with each word's post-merge symbol string). */
+  private def bpeMergeLoop(docs: DataFrame, textCol: String, merges: Int)
+  : (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
@@ -147,6 +184,6 @@ object TextPrep {
           expr("replace(pair, ' ', '')").as("merged"),
           col("pair_count"), col("vocab_size"))
     }
-    rows.result().reduce(_ unionByName _)
+    (rows.result().reduce(_ unionByName _), wt)
   }
 }

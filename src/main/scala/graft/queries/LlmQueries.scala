@@ -129,6 +129,14 @@ object LlmQueries {
       graft.operators.TextPrep.bpeTrain(table(s, d, "documents"), "text",
         merges = 10)),
 
+    // BPE ENCODE — the train->apply round trip: q331's 10 merges, then
+    // every doc re-tokenized through the trained word-type dictionary;
+    // per-doc symbol counts and compression ratio. One word-keyed join
+    // on top of training. See TextPrep.bpeEncode.
+    "q334_bpe_encode" -> ((s, d) =>
+      graft.operators.TextPrep.bpeEncode(table(s, d, "documents"),
+        "doc_id", "text", merges = 10)),
+
     // Character-trigram profile (n-gram analysis surface). The distinct
     // count runs through the native single-pass NgramDistinctCount
     // expression — no per-row slice array, no interpreted hash set; the
@@ -1415,6 +1423,17 @@ object LlmQueries {
     * projection; non-materialized chains re-execute multiplicatively —
     * the q326 lesson). */
   private def bpeTrainSql(merges: Int): String = {
+    val rows = (1 to merges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, b.pair,
+         |  replace(b.pair, ' ', '') AS merged, b.pair_count, v.vocab_size
+         |FROM b$k b, v$k v""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    bpePrefixSql(merges) + "\n" + rows
+  }
+
+  /** The q331/q334 shared WITH-chain: word-type table w0 and the `merges`
+    * unrolled rounds (pair counts, argmax, rewrite, vocab count). */
+  private def bpePrefixSql(merges: Int): String = {
     def round(k: Int) =
       s"""p$k AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
@@ -1433,22 +1452,37 @@ object LlmQueries {
          |v$k AS MATERIALIZED (
          |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
          |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
-    val rows = (1 to merges).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS round, b.pair,
-         |  replace(b.pair, ' ', '') AS merged, b.pair_count, v.vocab_size
-         |FROM b$k b, v$k v""".stripMargin)
-      .mkString("\nUNION ALL\n")
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |    array_to_string(split(w, ''), ' ') || ' </w>' AS sym
        |  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 GROUP BY w),
-       |${(1 to merges).map(round).mkString(",\n")}
-       |$rows""".stripMargin
+       |${(1 to merges).map(round).mkString(",\n")}""".stripMargin
   }
+
+  /** Mirrors TextPrep.bpeEncode: the shared training chain through
+    * w_merges, then one word-keyed dictionary join + per-doc aggregate. */
+  private def bpeEncodeSql(merges: Int): String =
+    bpePrefixSql(merges) +
+      s""",
+         |tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |dict AS MATERIALIZED (
+         |  SELECT w, CAST(len(split(sym, ' ')) AS BIGINT) AS ns
+         |  FROM w$merges)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(w) + 1) AS BIGINT) AS n_syms_init,
+         |  CAST(sum(ns) AS BIGINT) AS n_syms,
+         |  CAST(sum(len(w) + 1) AS DOUBLE) / CAST(sum(ns) AS DOUBLE)
+         |    AS compression
+         |FROM tok JOIN dict USING (w) GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q331_bpe_train" -> bpeTrainSql(10),
+    "q334_bpe_encode" -> bpeEncodeSql(10),
 
     // Mirrors TextDedup.c4SpanDedup stage for stage: 4-token tiles via the
     // list-comprehension unnest, keeper = min packed (doc_id, tpos) per

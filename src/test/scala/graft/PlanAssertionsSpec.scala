@@ -616,4 +616,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "coalition joins must broadcast their bounded side")
     assert(!p.contains("PartitionBy: []"), "journey window must be keyed")
   }
+
+  test("q334: BPE encode is one word-keyed dictionary join + per-doc aggregate") {
+    val p = plan("q334_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"),
+      "encode must stay word-keyed")
+    assert(p.contains("HashAggregate"), "per-doc stats must aggregate")
+  }
 }

@@ -391,4 +391,19 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(t(1).getAs[String]("pair") == "a </w>")
     assert(t(2).getAs[String]("pair") == "aa a</w>")
   }
+
+  test("bpeEncode: the train->apply round trip compresses by the learned merges") {
+    // after 3 merges on "low low lower": 'low' -> one symbol 'low</w>',
+    // 'lower' -> 'low e r </w>' (4 symbols)
+    val docs = Seq((7L, "low low lower")).toDF("doc_id", "text")
+    val r = graft.operators.TextPrep
+      .bpeEncode(docs, "doc_id", "text", merges = 3).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[Long]("n_words") == 3L)
+    assert(row.getAs[Long]("n_syms_init") == 14L) // 4 + 4 + 6
+    assert(row.getAs[Long]("n_syms") == 6L)       // 1 + 1 + 4
+    assert(row.getAs[Double]("compression") == 14.0 / 6.0)
+  }
 }
