@@ -1179,6 +1179,25 @@ object ScaleSmoke {
         operators.TextPrep.bpeTrain(df, "text", merges = 10).count()
       }
     }
+    // uplift_qini: replicated users multiply every grid count uniformly;
+    // the distinct-score grid and the bin grid stay CONSTANT, so the
+    // curve is the per-user aggregate scan.
+    for ((label, edf) <- Seq(("1x", evSh), (s"${factor}x", evShBig))) {
+      time(s"uplift_qini     $label") {
+        val units = edf.groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("score"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("np"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("nv"))
+        operators.ModelEval.upliftQini(
+          units.withColumn("conv",
+            when(col("np") > col("nv"), 1L).otherwise(0L)),
+          "score", pmod(col("user_id"), lit(2)) === 1,
+          col("conv") === 1).count()
+      }
+    }
     // bpe_encode: training plus ONE word-keyed dictionary join — the
     // join's build side is the Heaps-bounded word-type table, so the
     // apply pass rides the corpus scan.

@@ -325,4 +325,85 @@ object ModelEval {
         ((col("sden").cast("double") * col("sden").cast("double")) /
           (lit(1e6) * col("sden2").cast("double"))).as("ess"))
   }
+
+  /** Uplift decile table + Qini curve (Radcliffe 2007) for a randomized
+    * experiment: units carry an integer targeting score, a treatment
+    * flag and a binary outcome; units are ranked score-DESC into
+    * `nBins` cumulative bins (ties share a bin — value cutoffs, never a
+    * per-row rank, the [[gainsTable]] discipline), and each row reports
+    * the cumulative treated/control counts and conversions, cumulative
+    * uplift, the Qini y-value qini_y = cum_conv_t − cum_conv_c·(cum_n_t /
+    * cum_n_c), and the discrete Qini coefficient (mean gap between the
+    * curve and the random-targeting diagonal, one corpus-level constant
+    * column) — "does targeting by this score put the incremental
+    * conversions first".
+    *
+    * Exactness: counts are exact BIGINTs through both grid cumulations
+    * (score grid, then bin grid); uplift/qini are fixed-order double
+    * formulas over them. Windows ride AGGREGATED grids (distinct scores,
+    * then ≤ nBins rows), never unit rows.
+    *
+    * ScaleSmoke 10x (sf0.1, local[32], users replicated): 5.7 s at 1x ->
+    * 3.3 s at 10x — flat (both grids constant; cost is the unit
+    * aggregate).
+    */
+  def upliftQini(units: DataFrame, scoreCol: String, treatCol: Column,
+                 outcomeCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val grid = units.select(col(scoreCol).cast("bigint").as("__v"),
+        when(treatCol, 1L).otherwise(0L).as("__t"),
+        when(outcomeCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col("__t")).as("__nt"),
+        sum(when(col("__t") === 1L, col("__y"))).as("__ct"),
+        sum(when(col("__t") === 0L, col("__y"))).as("__cc"))
+    val w = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum(col("__c")).as("__n")).localCheckpoint()
+    val binned = grid.withColumn("__cn", sum(col("__c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("(__cn * " + nBins + " + __n - 1) div __n"))
+    val bins = binned.groupBy(col("bin"))
+      .agg(sum(col("__c")).as("__bc"), sum(col("__nt")).as("__bnt"),
+        coalesce(sum(col("__ct")), lit(0L)).as("__bct"),
+        coalesce(sum(col("__cc")), lit(0L)).as("__bcc"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cum_n_t", sum(col("__bnt")).over(wb))
+      .withColumn("cum_n_c",
+        sum(col("__bc") - col("__bnt")).over(wb))
+      .withColumn("cum_conv_t", sum(col("__bct")).over(wb))
+      .withColumn("cum_conv_c", sum(col("__bcc")).over(wb))
+    // NULL when a cumulative group is empty (a one-armed top bin) — both
+    // engines' SUM then skips the row instead of casting an infinity
+    val qy = when(col("cum_n_c") > 0,
+      col("cum_conv_t").cast("double") -
+        col("cum_conv_c").cast("double") * col("cum_n_t").cast("double") /
+          col("cum_n_c").cast("double"))
+    val scored = cum.withColumn("qini_y", qy)
+      .withColumn("__cum_n", col("cum_n_t") + col("cum_n_c"))
+    // the random-targeting diagonal ends at the FULL-population qini_y;
+    // the coefficient is the mean vertical gap over the bins. Each gap is
+    // floor-quantized to micro-units FIRST (floor of an identical double
+    // is engine-independent; a HALF-UP round of these RATIONAL gaps could
+    // sit on a .5 boundary — the q319 divergence class), then the sum is
+    // exact.
+    val fin = scored.orderBy(col("bin").desc).limit(1)
+      .select(col("qini_y").as("__qfin"), col("__cum_n").as("__nn"))
+    val term = floor((col("qini_y") -
+      col("__qfin") * col("__cum_n").cast("double") /
+        col("__nn").cast("double")) * lit(1e6)).cast("long")
+    val coefTbl = scored.crossJoin(broadcast(fin))
+      .agg((sum(term).cast("double") / lit(1e6 * nBins)).as("qini_coef"))
+    scored.crossJoin(broadcast(coefTbl))
+      .select(col("bin"), col("cum_n_t"), col("cum_n_c"),
+        col("cum_conv_t"), col("cum_conv_c"),
+        when(col("cum_n_t") > 0 && col("cum_n_c") > 0,
+          col("cum_conv_t").cast("double") / col("cum_n_t").cast("double")
+            - col("cum_conv_c").cast("double")
+            / col("cum_n_c").cast("double")).as("uplift_cum"),
+        col("qini_y"), col("qini_coef"))
+  }
 }

@@ -97,7 +97,31 @@ object EvalQueries {
     // the clipped pair is the decision number.
     "q322_ips_eval" -> ((s, d) =>
       ModelEval.ipsEval(table(s, d, "events"), pmod(col("user_id"), lit(8)),
-        "event_type", "value", ipsTargetPolicy, clip = 1.5)))
+        "event_type", "value", ipsTargetPolicy, clip = 1.5)),
+
+    // Uplift decile table + Qini curve over the synthetic randomized
+    // assignment (treatment = user parity, declared): users ranked by
+    // click-count targeting score into ten cumulative bins, per-bin
+    // treated/control conversions, cumulative uplift, Qini y and the
+    // discrete Qini coefficient. Randomized parity makes near-zero
+    // uplift the EXPECTED reading (the null-honest audit, q313's SRM
+    // spirit); the spec pins a real-uplift fixture. See
+    // ModelEval.upliftQini.
+    "q335_uplift_qini" -> ((s, d) => {
+      // outcome = purchases outnumber views (scale-free ~50/50 split;
+      // a has-any-purchase outcome saturates at 100% on this stream)
+      val units = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("__np"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("__nv"))
+      ModelEval.upliftQini(units.withColumn("conv",
+          when(col("__np") > col("__nv"), 1L).otherwise(0L)),
+        "score", pmod(col("user_id"), lit(2)) === 1, col("conv") === 1)
+    }))
 
   /** The q284 oracle: q33's candidate CTEs + the pairwise candidate sims
     * + k unrolled greedy MMR rounds (each: max-sim-to-selected, score,
@@ -164,6 +188,68 @@ object EvalQueries {
       s"WHEN '$a' THEN '$p'::DOUBLE" }.mkString(" ") + " ELSE '0.0'::DOUBLE"
 
   val oracle: Map[String, String] = Map(
+    // Mirrors ModelEval.upliftQini: per-user units, the score-grid ceil
+    // binning, two grid cumulations, NULL-guarded ratios and the
+    // floor-micro-quantized Qini-coefficient sum.
+    "q335_uplift_qini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |        ELSE 0 END)
+        |      > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(t) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS cc
+        |  FROM u GROUP BY v),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        |b AS (
+        |  SELECT g.*, CAST((sum(c) OVER (ORDER BY v DESC
+        |      ROWS UNBOUNDED PRECEDING) * 10 + n1.n - 1) // n1.n
+        |    AS BIGINT) AS bin
+        |  FROM g, n1),
+        |bb AS (
+        |  SELECT bin, CAST(sum(c) AS BIGINT) AS bc,
+        |    CAST(sum(nt) AS BIGINT) AS bnt,
+        |    CAST(sum(ct) AS BIGINT) AS bct,
+        |    CAST(sum(cc) AS BIGINT) AS bcc
+        |  FROM b GROUP BY bin),
+        |cm AS (
+        |  SELECT bin,
+        |    CAST(sum(bnt) OVER wc AS BIGINT) AS cum_n_t,
+        |    CAST(sum(bc - bnt) OVER wc AS BIGINT) AS cum_n_c,
+        |    CAST(sum(bct) OVER wc AS BIGINT) AS cum_conv_t,
+        |    CAST(sum(bcc) OVER wc AS BIGINT) AS cum_conv_c
+        |  FROM bb WINDOW wc AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+        |q AS (
+        |  SELECT cm.*,
+        |    CASE WHEN cum_n_c > 0 THEN CAST(cum_conv_t AS DOUBLE)
+        |      - CAST(cum_conv_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE)
+        |        / CAST(cum_n_c AS DOUBLE) END AS qini_y,
+        |    cum_n_t + cum_n_c AS cum_n
+        |  FROM cm),
+        |fin AS (SELECT qini_y AS qfin, cum_n AS nn FROM q
+        |  ORDER BY bin DESC LIMIT 1),
+        |cf AS (
+        |  SELECT CAST(sum(CAST(floor((q.qini_y - fin.qfin
+        |      * CAST(q.cum_n AS DOUBLE) / CAST(fin.nn AS DOUBLE)) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS smu
+        |  FROM q, fin)
+        |SELECT q.bin, q.cum_n_t, q.cum_n_c, q.cum_conv_t, q.cum_conv_c,
+        |  CASE WHEN q.cum_n_t > 0 AND q.cum_n_c > 0 THEN
+        |    CAST(q.cum_conv_t AS DOUBLE) / CAST(q.cum_n_t AS DOUBLE)
+        |    - CAST(q.cum_conv_c AS DOUBLE) / CAST(q.cum_n_c AS DOUBLE)
+        |    END AS uplift_cum,
+        |  q.qini_y,
+        |  CAST(cf.smu AS DOUBLE) / CAST('1e7' AS DOUBLE) AS qini_coef
+        |FROM q, cf""".stripMargin,
+
 
     // Mirrors ModelEval.ipsEval: cell-grid aggregate, exact DECIMAL
     // reward sums, identical (p1*nb)/c weight sequence, micro-quantized

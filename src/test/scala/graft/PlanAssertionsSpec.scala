@@ -623,4 +623,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "encode must stay word-keyed")
     assert(p.contains("HashAggregate"), "per-doc stats must aggregate")
   }
+
+  test("q335: uplift windows ride aggregated grids; joins broadcast 1-row artifacts") {
+    // the two global cumulations run over the distinct-score grid and
+    // the <= nBins bin grid — both downstream of HashAggregate — and the
+    // totals/final/coefficient joins broadcast 1-row tables
+    val p = plan("q335_uplift_qini")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "uplift joins must broadcast their bounded side")
+    assert(p.contains("HashAggregate"),
+      "score grid must be aggregated before any window")
+  }
 }

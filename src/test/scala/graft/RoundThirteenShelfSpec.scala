@@ -392,6 +392,28 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(t(2).getAs[String]("pair") == "aa a</w>")
   }
 
+  test("upliftQini: hand-computed curve on a constructed-uplift experiment") {
+    // per score 1..10: one treated, one control; treated convert iff
+    // score >= 6, control never. 5 bins of 4 units each.
+    val units = (1 to 10).flatMap(s =>
+      Seq((s.toLong, true, s >= 6), (s.toLong, false, false)))
+      .toDF("score", "t", "y")
+    val r = graft.operators.ModelEval
+      .upliftQini(units, "score", col("t"), col("y"), nBins = 5)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(r.map(_.getAs[Long]("bin")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.map(_.getAs[Long]("cum_conv_t")).toSeq ==
+      Seq(2L, 4L, 5L, 5L, 5L))
+    assert(r.map(_.getAs[Long]("cum_conv_c")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L))
+    assert(r.head.getAs[Double]("uplift_cum") == 1.0)
+    assert(r.last.getAs[Double]("uplift_cum") == 0.5)
+    assert(r.map(_.getAs[Double]("qini_y")).toSeq ==
+      Seq(2.0, 4.0, 5.0, 5.0, 5.0))
+    // diagonal hits 1,2,3,4,5 -> gaps 1,2,2,1,0 -> mean 1.2
+    assert(r.head.getAs[Double]("qini_coef") == 1.2)
+  }
+
   test("bpeEncode: the train->apply round trip compresses by the learned merges") {
     // after 3 merges on "low low lower": 'low' -> one symbol 'low</w>',
     // 'lower' -> 'low e r </w>' (4 symbols)
