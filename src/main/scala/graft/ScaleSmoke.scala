@@ -1170,6 +1170,13 @@ object ScaleSmoke {
           "event_type", "event_id", convType = "purchase").count()
       }
     }
+    // isotonic_calib: training + one scoring aggregate, then everything
+    // is G²-bounded on the ≤321-value LUT grid — flat by construction.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"isotonic_calib  $label") {
+        operators.MlOps.isotonicCalibration(df, "text").count()
+      }
+    }
     // bpe_train: the only corpus-scale step is the word-type aggregate;
     // exact replicas scale every pair count uniformly, so all 10 merge
     // decisions are IDENTICAL and round cost stays vocab-bounded — the

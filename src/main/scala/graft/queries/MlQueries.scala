@@ -90,6 +90,12 @@ object MlQueries {
     "q332_model_calibration" -> ((s, d) =>
       MlOps.logisticCalibration(table(s, d, "documents"), "text")),
 
+    // Isotonic (PAV) calibration map for the q330 model via the minimax
+    // closed form — no sequential pooling loop, G²-bounded on the ≤321
+    // LUT grid; monotone by construction. See MlOps.isotonicCalibration.
+    "q336_isotonic_calibration" -> ((s, d) =>
+      MlOps.isotonicCalibration(table(s, d, "documents"), "text")),
+
     // Classifier-ensemble keep/drop gate over the NB test half: NB
     // source agreement (q193) + CT trigram LID agreement (q316) + bigram
     // LM cross-entropy band (q140's scorer), majority vote — the
@@ -700,8 +706,45 @@ object MlQueries {
          |FROM bt, gl, br""".stripMargin
   }
 
+  /** Mirrors MlOps.isotonicCalibration: the shared chain through
+    * w_steps, one scoring pass, the occupied-sigmoid grid with prefix
+    * sums, the G² interval-mean table, per-i suffix-min window and the
+    * grouped max — the same minimax PAV closed form. */
+  private def isotonicSql(steps: Int, lrNum: Long, lrDen: Long): String =
+    logisticPrefixSql(steps, lrNum, lrDen, withEval = false) +
+      s""",
+         |sc2 AS MATERIALIZED (
+         |  SELECT sig, y FROM (SELECT f.y, $logisticSigSql AS sig
+         |    FROM f, w$steps w, lut)),
+         |gg AS MATERIALIZED (
+         |  SELECT sig, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS p
+         |  FROM sc2 GROUP BY sig),
+         |cc AS MATERIALIZED (
+         |  SELECT sig, n, p,
+         |    CAST(row_number() OVER (ORDER BY sig) AS BIGINT) AS r,
+         |    CAST(sum(n) OVER (ORDER BY sig ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cn,
+         |    CAST(sum(p) OVER (ORDER BY sig ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cp
+         |  FROM gg),
+         |aij AS (
+         |  SELECT lo.r AS i, hi.r AS j,
+         |    CAST(hi.cp - (lo.cp - lo.p) AS DOUBLE)
+         |      / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS a
+         |  FROM cc lo JOIN cc hi ON lo.r <= hi.r),
+         |sm2 AS (
+         |  SELECT i, j, min(a) OVER (PARTITION BY i ORDER BY j DESC
+         |    ROWS UNBOUNDED PRECEDING) AS sm
+         |  FROM aij),
+         |io AS (SELECT j, max(sm) AS iso FROM sm2 GROUP BY j)
+         |SELECT cc.sig AS sig_micro, cc.n, cc.p AS n_pos,
+         |  CAST(cc.sig AS DOUBLE)/1e6 AS raw, io.iso
+         |FROM cc JOIN io ON cc.r = io.j""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q332_model_calibration" -> logisticCalibrationSql(6, 3, 2),
+    "q336_isotonic_calibration" -> isotonicSql(6, 3, 2),
     "q330_logistic_gate" -> logisticGateSql(6, 3, 2),
 
 

@@ -634,4 +634,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"),
       "score grid must be aggregated before any window")
   }
+
+  test("q336: isotonic interval table is grid-bounded; windows ride the grid") {
+    // the i<=j interval join must broadcast the LUT-bounded grid side,
+    // and every window runs over grid rows, never corpus rows
+    val p = plan("q336_isotonic_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "interval join must broadcast the grid")
+    assert(p.contains("HashAggregate"),
+      "scores must aggregate to the grid before the interval join")
+  }
 }

@@ -414,6 +414,28 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(r.head.getAs[Double]("qini_coef") == 1.2)
   }
 
+  test("isotonicOnScores: classic PAV pooling and monotone output on the real fit") {
+    // rates by score 1..4: 0.2, 0.6, 0.4, 0.8 (5 obs each) — PAV pools
+    // the 0.6/0.4 violation into 0.5
+    val pairs = Seq(1 -> 1, 2 -> 3, 3 -> 2, 4 -> 4).flatMap {
+      case (s, pos) => (0 until 5).map(i =>
+        (s.toLong, if (i < pos) 1L else 0L)) }
+    val r = graft.operators.MlOps
+      .isotonicOnScores(pairs.toDF("__sig", "y"))
+      .collect().sortBy(_.getAs[Long]("sig_micro"))
+    assert(r.map(_.getAs[Long]("sig_micro")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_.getAs[Double]("iso")).toSeq == Seq(0.2, 0.5, 0.5, 0.8))
+    // on the real trained fit: monotone, probability-bounded
+    val corpus = ((0 until 15).map(i =>
+      (i.toLong, Seq.fill(8)("scan").mkString(" "))) ++
+      (15 until 30).map(i => (i.toLong, "a b"))).toDF("doc_id", "text")
+    val fit = graft.operators.MlOps.isotonicCalibration(corpus, "text")
+      .collect().sortBy(_.getAs[Long]("sig_micro"))
+    val isos = fit.map(_.getAs[Double]("iso"))
+    assert(isos.zip(isos.tail).forall { case (a, b) => a <= b })
+    assert(isos.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
   test("bpeEncode: the train->apply round trip compresses by the learned merges") {
     // after 3 merges on "low low lower": 'low' -> one symbol 'low</w>',
     // 'lower' -> 'low e r </w>' (4 symbols)
