@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, explode, lit}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingAgg.Event
+
+class StreamingTopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // one skewed window (10:00): "aaa" x36 (60% share — beyond the
+  // estimator's 2/sqrt(k)=0.5 separation bound at k=16), "bbb" x12,
+  // 12 singleton tail terms — plus one tiny window (12:00) with 5
+  // occurrences < k, where the sample IS the window and estimates
+  // must be exact
+  private def corpus: Seq[Event] = {
+    val big = (1 to 36).map(i => Event(i.toLong,
+      ts(f"2025-01-01 10:${i % 60}%02d:00"), 1L, "aaa", 1.0)) ++
+      (37 to 48).map(i => Event(i.toLong,
+        ts(f"2025-01-01 10:${i % 60}%02d:00"), 1L, "bbb", 1.0)) ++
+      (49 to 60).map(i => Event(i.toLong,
+        ts(f"2025-01-01 10:${i % 60}%02d:00"), 1L, f"t${i - 48}%02d", 1.0))
+    val tiny = Seq("x", "x", "x", "y", "z").zipWithIndex.map { case (t, i) =>
+      Event(100L + i, ts("2025-01-01 12:05:00"), 1L, t, 1.0)
+    }
+    big ++ tiny
+  }
+
+  test("streaming top-k terms: micro-batch split invariant, exact when n <= k, heavy term on top") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val evs = corpus
+    val sk = graft.streaming.StreamingTopK.termSamples(
+      input.toDF(), "ts", "event_id", "event_type", k = 16,
+      windowDur = "1 hour", watermark = "10 minutes")
+    val q = sk.writeStream.format("memory").queryName("topk_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // split lands MID-window so the emitted sample must come from a
+      // cross-batch state merge
+      input.addData(evs.take(17): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(17): _*)
+      q.processAllAvailable()
+      // update mode: keep each window's LAST emit (max n)
+      val sink = spark.sql(
+        """SELECT window_start, sample, n FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY window_start
+          |    ORDER BY n DESC) AS rn FROM topk_stream)
+          |WHERE rn = 1""".stripMargin)
+      val streamed = graft.streaming.StreamingTopK
+        .topKFromSamples(sink, k = 16, topN = 3)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+
+      // batch reference: the IDENTICAL aggregator + finisher over the
+      // same rows in one pass, repartitioned differently — semilattice
+      // merge makes both invariant, so equality is bit-for-bit
+      val bk = graft.functions.BottomKTermSampleAgg.columnAgg(16)
+      val batchSink = evs.toDF().repartition(7)
+        .groupBy(org.apache.spark.sql.functions
+          .window(col("ts"), "1 hour"))
+        .agg(bk(graft.operators.Sketches.hash60(col("event_id")),
+          col("event_type")).as("sample"), count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("sample"), col("n"))
+      val batch = graft.streaming.StreamingTopK
+        .topKFromSamples(batchSink, k = 16, topN = 3)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(streamed == batch,
+        s"streamed top-k must be bit-equal to batch: $streamed vs $batch")
+
+      // the 40%-share term dominates the 10:00 window's rank 1
+      val big = streamed.filter(_._1 == ts("2025-01-01 10:00:00"))
+      assert(big.exists(t => t._2 == "aaa" && t._3 == 1),
+        s"heavy term aaa must rank 1: $big")
+
+      // tiny window (n=5 < k=16): sample is the window, estimates exact
+      val tiny = streamed.filter(_._1 == ts("2025-01-01 12:00:00"))
+        .map(t => (t._2, t._3, t._4, t._6)).toList.sortBy(_._2)
+      assert(tiny == List(("x", 1, 3L, 3.0), ("y", 2, 1L, 1.0),
+        ("z", 3, 1L, 1.0)), s"tiny window must be exact: $tiny")
+    } finally q.stop()
+  }
+
+  test("bottom-k term sample is repartition-invariant and caps at k") {
+    import spark.implicits._
+    val df = corpus.toDF()
+    val bk = graft.functions.BottomKTermSampleAgg.columnAgg(16)
+    def sample(parts: Int) = df.repartition(parts)
+      .agg(bk(graft.operators.Sketches.hash60(col("event_id")),
+        col("event_type")).as("sample"))
+      .select(explode(col("sample"))).collect()
+      .map(r => r.getStruct(0)).map(s => (s.getLong(0), s.getString(1))).toList
+    val a = sample(1); val b = sample(13)
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.length == 16 && a == a.sorted, "sorted, capped at k")
+  }
+}
