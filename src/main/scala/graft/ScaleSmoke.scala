@@ -1214,6 +1214,21 @@ object ScaleSmoke {
           merges = 10).count()
       }
     }
+    // kcenter coreset: k checkpointed narrow passes over the point set
+    // (literal-vector dmin updates + 1-row argmax trees) — cost is
+    // k scans, so growth tracks the replicated point count linearly.
+    val embK = Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embKBig = (0 until factor)
+      .map(i => embK.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, edf) <- Seq(("1x", embK), (s"${factor}x", embKBig))) {
+      time(s"kcenter_coreset $label") {
+        operators.Similarity.kcenterCoreset(edf, "vec_id", "embedding",
+          k = 8).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -28,6 +28,11 @@ object MlQueries {
   /** q198 anonymity threshold. */
   private val anonK = 5
 
+  /** q337 coreset size — small enough that the unrolled oracle stays
+    * readable, large enough that the greedy's running-min update and
+    * tie-breaking are exercised across 7 real rounds. */
+  private val kcenterK = 8
+
   /** q213's PPJoin pair set, session-keyed like LlmQueries.ngramPairs
     * (the r12 verdict's other ≥4 s dedup heavy): the n=12 gram-set
     * inventory + prefix-filtered candidate join is the cost; what
@@ -95,6 +100,16 @@ object MlQueries {
     // LUT grid; monotone by construction. See MlOps.isotonicCalibration.
     "q336_isotonic_calibration" -> ((s, d) =>
       MlOps.isotonicCalibration(table(s, d, "documents"), "text")),
+
+    // k-center greedy coreset (Gonzalez farthest-first): 8 spanning
+    // exemplars over the embedding table — the diversity selection dual
+    // to SemDeDup's redundancy removal (q142). Exact micro-unit BIGINT
+    // distances, (dmin DESC, id ASC) argmax ties; the oracle unrolls the
+    // same 8 greedy rounds in materialized CTEs. See
+    // Similarity.kcenterCoreset.
+    "q337_kcenter_coreset" -> ((s, d) =>
+      graft.operators.Similarity.kcenterCoreset(
+        table(s, d, "embeddings"), "vec_id", "embedding", k = kcenterK)),
 
     // Classifier-ensemble keep/drop gate over the NB test half: NB
     // source agreement (q193) + CT trigram LID agreement (q316) + bigram
@@ -742,10 +757,56 @@ object MlQueries {
          |  CAST(cc.sig AS DOUBLE)/1e6 AS raw, io.iso
          |FROM cc JOIN io ON cc.r = io.j""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.kcenterCoreset]]: the same k
+    * greedy rounds unrolled — seed = min id, then per round the
+    * (dmin DESC, id ASC) argmax and a least() running-min update against
+    * the pick's vector. Every CTE referenced more than once is
+    * MATERIALIZED (DuckDB re-executes plain CTEs multiplicatively — the
+    * q326 lesson); distances are the identical micro-unit BIGINT folds. */
+  private def kcenterSql(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"""CAST(list_reduce(list_transform(range(1, len($a.xmu) + 1),
+         |      i -> ($a.xmu[i] - $b.xmu[i]) * ($a.xmu[i] - $b.xmu[i])),
+         |    (acc, v) -> acc + v) AS BIGINT)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT id, xmu, dmin FROM d${r - 1}
+         |  ORDER BY dmin DESC, id ASC LIMIT 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT m.id, m.xmu,
+         |    least(m.dmin, ${dist("m", "s")}) AS dmin
+         |  FROM d${r - 1} m, s$r s WHERE m.id <> s.id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k).map(r =>
+      s"SELECT $r AS rnk, id AS center_id, dmin AS sel_dist_mu2 FROM s$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH mu AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1e6) AS BIGINT)) AS xmu
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id, xmu FROM mu ORDER BY id ASC LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT m.id, m.xmu, ${dist("m", "c")} AS dmin
+       |  FROM mu m, c1 c WHERE m.id <> c.id),
+       |$rounds,
+       |fr AS (SELECT coalesce(max(dmin), CAST(0 AS BIGINT))
+       |    AS final_radius_mu2 FROM d$k),
+       |sel AS (
+       |  SELECT 1 AS rnk, id AS center_id, CAST(0 AS BIGINT) AS sel_dist_mu2
+       |  FROM c1
+       |  UNION ALL $sel)
+       |SELECT CAST(sel.rnk AS BIGINT) AS rnk, sel.center_id,
+       |  CAST(sel.sel_dist_mu2 AS BIGINT) AS sel_dist_mu2,
+       |  fr.final_radius_mu2
+       |FROM sel, fr""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q332_model_calibration" -> logisticCalibrationSql(6, 3, 2),
     "q336_isotonic_calibration" -> isotonicSql(6, 3, 2),
     "q330_logistic_gate" -> logisticGateSql(6, 3, 2),
+    "q337_kcenter_coreset" -> kcenterSql(8),
 
 
     // Mirrors MlOps.ctLangIdConfusion: identical (count DESC, gram ASC)

@@ -644,4 +644,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"),
       "scores must aggregate to the grid before the interval join")
   }
+
+  test("q337: coreset output is the constant-size pick trace; rounds are narrow passes") {
+    // like the q330 weight trace: the result is k driver-assembled rows.
+    // The per-round work (literal-vector dmin update + 1-row argmax) has
+    // already run by now — each round is a checkpointed narrow map over
+    // the point set with NO join (the pick ships as a literal), so the
+    // trace plan carrying anything but a local scan means selection
+    // leaked into the output query
+    val p = plan("q337_kcenter_coreset")
+    assert(p.contains("LocalTableScan"),
+      "coreset output must be the constant-size pick trace")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      "no join/shuffle may survive into the k-row artifact")
+  }
 }

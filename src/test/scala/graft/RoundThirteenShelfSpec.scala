@@ -450,4 +450,54 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_syms") == 6L)       // 1 + 1 + 4
     assert(row.getAs[Double]("compression") == 14.0 / 6.0)
   }
+
+  test("kcenterCoreset: replays the greedy farthest-first by hand in 1-D") {
+    // micro-units: 0 / 1e5 / 4e5 / 1e6. Seed = min id (0). Round 2 picks
+    // id 3 (dist 1e12); round 3 picks id 2 (min(1.6e11, 3.6e11)); the
+    // unpicked id 1 keeps dmin (1e5)^2 = 1e10 = the final radius.
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.1f)), (2L, Array(0.4f)),
+      (3L, Array(1.0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .kcenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toList == List(
+      (1L, 0L, 0L, 10000000000L),
+      (2L, 3L, 1000000000000L, 10000000000L),
+      (3L, 2L, 160000000000L, 10000000000L)))
+  }
+
+  test("kcenterCoreset: equidistant argmax ties break to the smaller id; exhausted set => radius 0") {
+    val emb = Seq((0L, Array(0.0f)), (1L, Array(0.2f)), (2L, Array(-0.2f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .kcenterCoreset(emb, "vec_id", "embedding", k = 2)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toList == List(
+      (1L, 0L, 0L, 40000000000L), (2L, 1L, 40000000000L, 40000000000L)))
+    // picking everything drives the coverage radius to zero
+    val all = graft.operators.Similarity
+      .kcenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect()
+    assert(all.length == 3 && all.forall(_.getLong(3) == 0L))
+  }
+
+  test("kcenterCoreset: partition-invariant; selection distances are non-increasing") {
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j =>
+        (((i * 37 + j * 11) % 97) / 97.0f) - 0.5f))).toDF("vec_id", "embedding")
+    def run(parts: Int) = graft.operators.Similarity
+      .kcenterCoreset(emb.repartition(parts), "vec_id", "embedding", k = 6)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
+    val a = run(1); val b = run(13)
+    assert(a == b, "greedy selection must not depend on partitioning")
+    assert(a.map(_._2).distinct.size == 6, "centers are distinct points")
+    val dists = a.tail.map(_._3)
+    assert(dists.zip(dists.tail).forall { case (x, y) => x >= y },
+      s"max-min coverage shrinks monotonically: $dists")
+    assert(a.head._4 <= dists.last, "final radius <= last selection distance")
+  }
 }
