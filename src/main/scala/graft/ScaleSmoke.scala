@@ -1214,6 +1214,13 @@ object ScaleSmoke {
           merges = 10).count()
       }
     }
+    // pii census: one codegen regexp pass + a (source, type)-keyed
+    // aggregate over a constant detector battery — pure scan growth.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"pii_census      $label") {
+        operators.TextPrep.piiCensus(df, "text", "source").count()
+      }
+    }
     // kcenter coreset: k checkpointed narrow passes over the point set
     // (literal-vector dmin updates + 1-row argmax trees) — cost is
     // k scans, so growth tracks the replicated point count linearly.

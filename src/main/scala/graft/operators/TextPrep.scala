@@ -186,4 +186,54 @@ object TextPrep {
     }
     (rows.result().reduce(_ unionByName _), wt)
   }
+
+  /** The PII detector battery for [[piiCensus]]: (type, pattern) pairs.
+    * Patterns deliberately use only the Java-regex ∩ RE2 common subset
+    * (character classes, bounded/unbounded repetition, groups, literal
+    * escapes — no backrefs, no lookaround), so Spark's `regexp_count`
+    * and DuckDB's `len(regexp_extract_all(...))` count the IDENTICAL
+    * non-overlapping leftmost matches. Shared verbatim by the q338
+    * oracle generator — one constant, two engines. */
+  val piiDetectors: Seq[(String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+    ("digit_run", "[0-9]{8,}"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}"),
+    ("hex_secret", "[0-9a-f]{32,}"),
+    ("url", "https?://[^ ]+"))
+
+  /** Per-(source, detector) PII prevalence census — the compliance audit
+    * a pipeline runs BEFORE training (and before q53's redaction decides
+    * what to scrub): for every source and every detector in
+    * [[piiDetectors]], how many documents hit, how many total matches,
+    * and the hit rate. A census reports; the redactor acts.
+    *
+    * Output: (source, pii_type, docs, docs_hit, matches, hit_rate) with
+    * every (source, type) cell present (zero-hit cells included — an
+    * auditor needs the explicit zero). hit_rate goes through the house
+    * exact integer half-up form ((2a+b) div 2b of the micro rate, then
+    * /1e6) so both engines produce the identical double.
+    *
+    * Scale: ONE narrow scan computes all detector counts per row
+    * (codegen regexp_count, no explode of matches), the stack to long
+    * form multiplies rows by the constant detector count, and the only
+    * shuffle is the (source, type)-keyed aggregate — |sources|×|types|
+    * result rows. Nothing is per-match. */
+  def piiCensus(docs: DataFrame, textCol: String,
+                srcCol: String): DataFrame = {
+    val counts = docs.select(
+      col(srcCol).as("source") +:
+        piiDetectors.map { case (n, p) =>
+          regexp_count(col(textCol), lit(p)).cast("bigint").as(n)
+        }: _*)
+    val stacked = piiDetectors.map(d => s"'${d._1}', ${d._1}")
+      .mkString(s"stack(${piiDetectors.size}, ", ", ", ") AS (pii_type, m)")
+    counts.select(col("source"), expr(stacked))
+      .groupBy(col("source"), col("pii_type"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("m") > 0L, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("m")).as("matches"))
+      .withColumn("hit_rate",
+        expr("CAST((2 * docs_hit * 1000000 + docs) div (2 * docs) AS DOUBLE)")
+          / lit(1e6))
+  }
 }

@@ -19,6 +19,19 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q338 deterministic PII seeding — (modulus, suffix) appended to every
+    * doc with doc_id % modulus == 0 (the q53 salting trick, widened to
+    * all five detector shapes). The mod-11 hex token deliberately also
+    * contains a 10-digit run, so the census proves detectors count
+    * independently on shared text. Apostrophe-free: the suffixes embed
+    * verbatim in the single-quoted SQL oracle. */
+  private val piiSalts: Seq[(Int, String)] = Seq(
+    (5, " reach alice.smith@corp-mail.example or bob@ex.io via" +
+      " https://portal.example/login?next=home"),
+    (7, " card 4111222233334444 backup 88887777 ok"),
+    (11, " host 192.168.10.254 token" +
+      " deadbeefcafebabe0123456789abcdef0123"))
+
   /** The MinHash-LSH near-dup pair set is consumed by three queries (q31
     * pairs, q60 edit distances, q61 clustering). Computed once per
     * (session, sf dir) and persisted — exactly how a production dedup
@@ -445,6 +458,20 @@ object LlmQueries {
         graft.operators.TextPrep.redact(
           concat(substring(col("text"), 1, 40),
             lit(" contact bob@example.com id 12345678 end"))).as("clean_text"))),
+
+    // PII prevalence census per (source, detector): the compliance audit
+    // run BEFORE q53's redaction decides what to scrub. Corpus salted
+    // deterministically (the q53 trick) so the census has real positives;
+    // detector patterns live in TextPrep.piiDetectors and feed the oracle
+    // verbatim. See TextPrep.piiCensus.
+    "q338_pii_census" -> ((s, d) => {
+      val salted = table(s, d, "documents").withColumn("__t", concat(
+        col("text") +: piiSalts.map { case (m, sf) =>
+          when(pmod(col("doc_id"), lit(m)) === 0, lit(sf)).otherwise(lit(""))
+        }: _*))
+      graft.operators.TextPrep.piiCensus(
+        salted.select(col("source"), col("__t")), "__t", "source")
+    }),
 
     // Document chunking: 32-token windows, stride 24 (8-token overlap) — the
     // standard context-window preprocessing; one row per chunk.
@@ -1480,6 +1507,37 @@ object LlmQueries {
          |    AS compression
          |FROM tok JOIN dict USING (w) GROUP BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.operators.TextPrep.piiCensus]] over the identically
+    * salted corpus: the detector patterns are embedded VERBATIM from
+    * `TextPrep.piiDetectors` (Java-regex ∩ RE2 subset), salts verbatim
+    * from [[piiSalts]], the hit rate is the same exact integer half-up
+    * micro form. The per-doc count CTE is MATERIALIZED because the long
+    * form references it once per detector. */
+  private def piiCensusSql: String = {
+    val saltedExpr = "text" + piiSalts.map { case (m, sf) =>
+      s" || CASE WHEN doc_id % $m = 0 THEN '$sf' ELSE '' END"
+    }.mkString
+    val detCols = graft.operators.TextPrep.piiDetectors.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS $n"
+    }.mkString(",\n    ")
+    val unions = graft.operators.TextPrep.piiDetectors.map { case (n, _) =>
+      s"SELECT source, '$n' AS pii_type, $n AS m FROM c"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (SELECT source, doc_id, $saltedExpr AS t FROM documents),
+       |c AS MATERIALIZED (SELECT source,
+       |    $detCols
+       |  FROM s),
+       |l AS (
+       |  $unions)
+       |SELECT source, pii_type, CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       |  CAST(sum(m) AS BIGINT) AS matches,
+       |  CAST((2 * CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |        * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6
+       |    AS hit_rate
+       |FROM l GROUP BY 1, 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q331_bpe_train" -> bpeTrainSql(10),
     "q334_bpe_encode" -> bpeEncodeSql(10),
@@ -2227,6 +2285,8 @@ object LlmQueries {
         |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text
         |FROM documents""".stripMargin,
+
+    "q338_pii_census" -> piiCensusSql,
 
     "q54_chunking" ->
       """WITH t AS (

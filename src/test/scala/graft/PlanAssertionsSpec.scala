@@ -658,4 +658,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Exchange"),
       "no join/shuffle may survive into the k-row artifact")
   }
+
+  test("q338: PII census is one scan, no join/window, detector counts codegen per row") {
+    // all five regexp_count columns ride the single document scan; the
+    // stack to long form is a Generate, and the only shuffle is the
+    // (source, type)-keyed aggregate — a Join or Window here means the
+    // census stopped being a narrow audit pass
+    val p = plan("q338_pii_census")
+    assert(!p.contains("Join") && !p.contains("WindowExec"),
+      "census must stay a narrow scan + keyed aggregate")
+    assert(p.contains("HashAggregate"), "keyed (source,type) aggregate")
+  }
 }

@@ -86,4 +86,37 @@ class TextPrepSpec extends AnyFunSuite {
       .select(TextPrep.redact(col("t"))).collect().head.getString(0)
     assert(out == "mail <EMAIL> num <NUM> keep 123 end")
   }
+
+  test("piiCensus: per-detector counts on hand fixtures; zero cells present; half-up rate") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "contact a@b.co and c.d@e-f.org now"),          // 2 emails
+      ("a", "run 123456789 and 9999999 short"),             // 1 digit run
+      ("a", "ip 10.0.0.1 hex deadbeefdeadbeefdeadbeefdeadbeef go https://x.y/z"),
+      ("b", "nothing suspicious here at all")
+    ).toDF("source", "t")
+    val r = TextPrep.piiCensus(docs, "t", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r.size == 10, "every (source, type) cell present, zeros included")
+    assert(r(("a", "email")) == (3L, 1L, 2L, 0.333333))       // 1/3 half-up micro
+    assert(r(("a", "digit_run")) == (3L, 1L, 1L, 0.333333))
+    assert(r(("a", "ipv4")) == (3L, 1L, 1L, 0.333333))
+    assert(r(("a", "hex_secret")) == (3L, 1L, 1L, 0.333333))
+    assert(r(("a", "url")) == (3L, 1L, 1L, 0.333333))
+    assert(r(("b", "email")) == (1L, 0L, 0L, 0.0))
+    assert(r(("b", "url")) == (1L, 0L, 0L, 0.0))
+    // an exact .5 rate survives the integer half-up form
+    val half = TextPrep.piiCensus(Seq(
+      ("c", "x a@b.co y"), ("c", "clean")).toDF("source", "t"), "t", "source")
+      .where(col("pii_type") === "email").collect().head
+    assert(half.getDouble(5) == 0.5)
+    // detectors count independently on shared text: a 36-char hex token
+    // is one hex_secret AND one embedded 10-digit run
+    val both = TextPrep.piiCensus(Seq(
+      ("d", "token deadbeefcafebabe0123456789abcdef0123")).toDF("source", "t"),
+      "t", "source").collect()
+      .map(x => x.getString(1) -> x.getLong(4)).toMap
+    assert(both("hex_secret") == 1L && both("digit_run") == 1L)
+  }
 }
