@@ -1214,6 +1214,20 @@ object ScaleSmoke {
           merges = 10).count()
       }
     }
+    // sampled top terms: the occurrence stream collapses map-side into
+    // one <=k buffer per (source, task) — growth is the token explode,
+    // the shuffle stays k-bounded per key.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"sampled_topk    $label") {
+        operators.Sketches.sampledTopTerms(
+          df.select(col("source"), col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+            .select(col("source"),
+              concat(col("doc_id").cast("string"), lit("#"),
+                col("pos").cast("string")).as("occ_id"), col("term")),
+          "source", "occ_id", "term", k = 64, topN = 3).count()
+      }
+    }
     // pii census: one codegen regexp pass + a (source, type)-keyed
     // aggregate over a constant detector battery — pure scan growth.
     for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {

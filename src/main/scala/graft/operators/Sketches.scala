@@ -363,4 +363,49 @@ object Sketches {
           abs(col("rank_p90") - lit(0.9)) <= bandL &&
           abs(col("rank_p99") - lit(0.99)) <= bandL)
   }
+
+  /** Sampled per-key top terms with O(k) state per key — the batch twin
+    * of [[graft.streaming.StreamingTopK]] (same
+    * [[graft.functions.BottomKTermSampleAgg]] semilattice, same
+    * estimator): a bottom-k hash sample of term OCCURRENCES per key,
+    * finished into the `topN` terms by in-sample count with estimated
+    * share s_cnt/k' and count s_cnt·n/k' (k' = min(k, n); keys with
+    * n ≤ k degrade to exact counts). Where [[sampledHeavyHitters]]
+    * answers "which terms exceed a frequency floor" with exact counts,
+    * this answers "what are each key's top terms" at FIXED state —
+    * the shape that survives an unbounded vocabulary.
+    *
+    * `idCol` must be occurrence-unique (it seeds the sample hash).
+    * Deterministic: sample membership is the (hash ASC, term ASC)
+    * bottom-k — a pure function of the occurrence multiset, replayed in
+    * SQL as `row_number() OVER (ORDER BY hash, term) <= k` — and the
+    * final rank ties break (s_cnt DESC, term ASC).
+    *
+    * Scale: the aggregate ships one k-bounded buffer per key per map
+    * task (map-side combined, never the occurrence stream); the finish
+    * stage's window orders ≤k sampled-term rows per key, never data. */
+  def sampledTopTerms(occ: DataFrame, keyCol: String, idCol: String,
+                      termCol: String, k: Int, topN: Int): DataFrame = {
+    require(k >= 2 && topN >= 1, "need k >= 2, topN >= 1")
+    val bk = graft.functions.BottomKTermSampleAgg.columnAgg(k)
+    val g = occ.groupBy(col(keyCol))
+      .agg(bk(hash60(col(idCol)), col(termCol)).as("sample"),
+        count(lit(1)).as("n"))
+    val perTerm = g
+      .select(col(keyCol), col("n"), explode(col("sample")).as("__e"))
+      .groupBy(col(keyCol), col("n"), col("__e._2").as("term"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("s_cnt").desc, col("term"))
+    perTerm
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= topN)
+      .withColumn("__ke", least(lit(k.toLong), col("n")))
+      .select(col(keyCol), col("rnk"), col("term"), col("s_cnt"),
+        (col("s_cnt").cast("double") / col("__ke").cast("double"))
+          .as("est_share"),
+        (col("s_cnt").cast("double") * col("n").cast("double") /
+          col("__ke").cast("double")).as("est_cnt"),
+        col("n"))
+  }
 }

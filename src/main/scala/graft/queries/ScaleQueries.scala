@@ -328,6 +328,24 @@ object ScaleQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
         "token", "doc_id", sampleMod = 10, minFrac = 0.01)),
 
+    // Sampled per-source top terms at O(k) state per source — the batch
+    // twin of the streaming top-k gate, oracled: DuckDB replays the
+    // bottom-k sample as row_number() OVER (ORDER BY hash, term) <= k.
+    // Where q89 reports exceeders of a frequency floor with exact
+    // counts, this reports each key's ranked top at fixed state — the
+    // unbounded-vocabulary shape. See Sketches.sampledTopTerms.
+    "q339_sampled_topk_terms" -> ((s, d) => {
+      val tok = table(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .select(col("source"),
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("pos").cast("string")).as("occ_id"),
+          col("term"))
+      Sketches.sampledTopTerms(tok, "source", "occ_id", "term",
+        k = 64, topN = 3)
+    }),
+
     // Two-stage quantized re-rank ANN: int8 max-abs quantization scores the
     // corpus (integer dot products), top-50 candidates per query, exact
     // double cosine re-ranks to top-10. Queries = first 5 vectors.
@@ -1166,6 +1184,43 @@ object ScaleQueries {
         |  CAST(start_tok % 256 AS BIGINT) AS seq_offset,
         |  n_tokens
         |FROM c""".stripMargin,
+
+    // Mirrors Sketches.sampledTopTerms: the bottom-k occurrence sample is
+    // row_number() OVER (ORDER BY hash ASC, term ASC) <= k — the exact
+    // SQL replay the BottomKTermSampleAgg semilattice guarantees — then
+    // in-sample counts ranked (s_cnt DESC, term ASC); share/count
+    // estimates are the same single divisions of the same exact longs.
+    "q339_sampled_topk_terms" -> {
+      val h = duckHash60("doc_id || '#' || CAST(pos AS VARCHAR)")
+      s"""WITH tok AS (
+         |  SELECT source, doc_id,
+         |    unnest(string_split(text, ' ')) AS term,
+         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |  FROM documents),
+         |occ AS MATERIALIZED (
+         |  SELECT source, term, $h AS h FROM tok),
+         |nn AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM occ GROUP BY 1),
+         |samp AS (
+         |  SELECT source, term,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY h ASC, term ASC) AS rn
+         |  FROM occ),
+         |sc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS s_cnt
+         |  FROM samp WHERE rn <= 64 GROUP BY 1, 2),
+         |r AS (SELECT source, term, s_cnt,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY s_cnt DESC, term ASC) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT r.source, r.rnk, r.term, r.s_cnt,
+         |  CAST(r.s_cnt AS DOUBLE) / CAST(least(64, nn.n) AS DOUBLE)
+         |    AS est_share,
+         |  CAST(r.s_cnt AS DOUBLE) * CAST(nn.n AS DOUBLE)
+         |    / CAST(least(64, nn.n) AS DOUBLE) AS est_cnt,
+         |  nn.n
+         |FROM r JOIN nn ON r.source = nn.source
+         |WHERE r.rnk <= 3""".stripMargin
+    },
 
     "q89_heavy_hitters" ->
       """WITH toks AS (

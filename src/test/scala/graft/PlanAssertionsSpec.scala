@@ -669,4 +669,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "census must stay a narrow scan + keyed aggregate")
     assert(p.contains("HashAggregate"), "keyed (source,type) aggregate")
   }
+
+  test("q339: sampled top terms aggregate k-bounded buffers; rank window is keyed") {
+    // the occurrence stream must collapse through the mergeable bottom-k
+    // aggregator (ObjectHashAggregate ships one <=k buffer per key per
+    // map task); the final rank orders <=k sampled-term rows per key —
+    // a global (unpartitioned) window or a join means the O(k) state
+    // contract broke
+    val p = plan("q339_sampled_topk_terms")
+    assert(p.contains("ObjectHashAggregate"),
+      "bottom-k sample must run as a partial-aggregating udaf")
+    assert(!p.contains("PartitionBy: []"), "rank window must be keyed")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no join may enter the sampled finish stage")
+  }
 }

@@ -88,6 +88,27 @@ class StreamingTopKSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sampledTopTerms (batch twin): exact when n <= k; repartition-invariant") {
+    import spark.implicits._
+    val occ = Seq(
+      ("s1", "o1", "aa"), ("s1", "o2", "aa"), ("s1", "o3", "aa"),
+      ("s1", "o4", "bb"), ("s1", "o5", "cc"),
+      ("s2", "o6", "zz")).toDF("source", "occ_id", "term")
+    def run(parts: Int) = graft.operators.Sketches
+      .sampledTopTerms(occ.repartition(parts), "source", "occ_id", "term",
+        k = 16, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    val a = run(1)
+    // n < k in both keys: the sample is the key's occurrence set, so
+    // counts, shares and estimated counts are all exact
+    assert(a == Set(
+      ("s1", 1L, "aa", 3L, 0.6, 3.0, 5L),
+      ("s1", 2L, "bb", 1L, 0.2, 1.0, 5L),
+      ("s2", 1L, "zz", 1L, 1.0, 1.0, 1L)))
+    assert(run(7) == a, "estimator must not depend on partitioning")
+  }
+
   test("bottom-k term sample is repartition-invariant and caps at k") {
     import spark.implicits._
     val df = corpus.toDF()
