@@ -1235,6 +1235,21 @@ object ScaleSmoke {
         operators.TextPrep.piiCensus(df, "text", "source").count()
       }
     }
+    // max-coverage greedy: k rounds of one item-keyed anti-join + per-doc
+    // count + 1-row argmax — growth is the trigram pair build; the
+    // covered side stays bounded by the picks' items.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"max_coverage    $label") {
+        val pairs = df
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), i -> " +
+              "concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("gram"))
+        operators.Scale.maxCoverageSelect(pairs, "doc_id", "gram",
+          k = 6).count()
+      }
+    }
     // kcenter coreset: k checkpointed narrow passes over the point set
     // (literal-vector dmin updates + 1-row argmax trees) — cost is
     // k scans, so growth tracks the replicated point count linearly.

@@ -438,4 +438,70 @@ object Scale {
           col("sum_w2").cast("double") / col("n").cast("double"))
           .as("efficiency"))
   }
+
+  /** Greedy max-coverage document selection (the CELF/lazy-greedy
+    * textbook objective at its exact form): pick up to k documents
+    * maximizing the marginal number of NEW distinct coverage items each
+    * adds — the (1 − 1/e)-approximate submodular cover that
+    * data-selection pipelines run when the budget is "k exemplar docs"
+    * and the utility is coverage of a discrete universe (trigram phrases
+    * in q340 — the raw 31-word testdata vocabulary is covered by a
+    * single doc, so the phrase universe is where the greedy actually
+    * works). The discrete dual of [[Similarity.kcenterCoreset]]'s
+    * space-spanning picks.
+    *
+    * Input: (id, item) pair rows (duplicates fine — deduped here).
+    * Output: one row per pick — (rnk 1..≤k, doc_id, gain = new items
+    * contributed at selection, covered_total = distinct items covered
+    * AFTER the pick). Stops early when every item is covered (a fully
+    * covered doc has zero marginal gain and by construction never
+    * re-enters the candidate aggregate).
+    *
+    * Deterministic: gains are exact distinct counts, argmax ties break
+    * to the smaller doc_id, so a SQL oracle unrolls the identical
+    * rounds. Scale: each round is ONE anti-join of the (doc, item)
+    * pairs against the covered-item table (item-keyed — at warehouse
+    * scale the covered side is the smaller, broadcast or bucketed) +
+    * ONE per-doc count and a 1-row argmax; the covered table grows by
+    * the pick's items only and is localCheckpoint'd per round, k
+    * bounded passes total — never pairwise across documents. */
+  def maxCoverageSelect(pairs: DataFrame, idCol: String, itemCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val tok = pairs.select(col(idCol).cast("bigint").as("id"),
+      col(itemCol).as("token"))
+      .distinct().localCheckpoint(true)
+    var covered = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+    val picks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    var coveredTotal = 0L
+    var done = false
+    var r = 1
+    while (r <= k && !done) {
+      val sel = tok.join(covered, Seq("token"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+        .agg(max(struct(col("gain").as("g"), (-col("id")).as("nid"))).as("m"))
+        .select(col("m.g"), col("m.nid")).head()
+      if (sel.isNullAt(0)) done = true
+      else {
+        val (gain, selId) = (sel.getLong(0), -sel.getLong(1))
+        // the anti-join only tests membership, so the covered side can
+        // carry a pick's already-covered duplicates — no distinct needed;
+        // and since a gain counts exactly the NEW items, the covered
+        // total is the running gain sum — no count job needed
+        covered = covered
+          .unionByName(tok.where(col("id") === selId).select(col("token")))
+          .localCheckpoint(true)
+        coveredTotal += gain
+        picks += ((r.toLong, selId, gain, coveredTotal))
+        r += 1
+      }
+    }
+    picks.result().toDF("rnk", "doc_id", "gain", "covered_total")
+  }
 }

@@ -328,6 +328,22 @@ object ScaleQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
         "token", "doc_id", sampleMod = 10, minFrac = 0.01)),
 
+    // Greedy max-coverage selection: 6 docs maximizing marginal distinct
+    // TRIGRAM coverage (the 31-word testdata vocabulary is covered by one
+    // doc — phrases are the universe where the greedy works) — the
+    // submodular (1-1/e) cover, the discrete dual of q337's k-center
+    // picks. The oracle unrolls the same 6 greedy rounds. See
+    // Scale.maxCoverageSelect.
+    "q340_max_coverage" -> ((s, d) => {
+      val pairs = table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 3), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("gram"))
+      Scale.maxCoverageSelect(pairs, "doc_id", "gram", k = 6)
+    }),
+
     // Sampled per-source top terms at O(k) state per source — the batch
     // twin of the streaming top-k gate, oracled: DuckDB replays the
     // bottom-k sample as row_number() OVER (ORDER BY hash, term) <= k.
@@ -1184,6 +1200,45 @@ object ScaleQueries {
         |  CAST(start_tok % 256 AS BIGINT) AS seq_offset,
         |  n_tokens
         |FROM c""".stripMargin,
+
+    // Mirrors Scale.maxCoverageSelect: the same 6 greedy rounds unrolled —
+    // per round the (gain DESC, doc_id ASC) argmax over docs' NEW-token
+    // counts against the covered set, covered set unioned forward. An
+    // exhausted round leaves s_r empty and every later round empty too,
+    // which is exactly the operator's early stop. Round CTEs referenced
+    // more than once are MATERIALIZED (the q326 lesson).
+    "q340_max_coverage" -> {
+      val rounds = (2 to 6).map { r =>
+        s"""g$r AS (SELECT t.doc_id, count(*) AS c
+           |  FROM tok t LEFT JOIN c${r - 1} cv ON t.token = cv.token
+           |  WHERE cv.token IS NULL GROUP BY 1),
+           |s$r AS MATERIALIZED (SELECT doc_id, CAST(c AS BIGINT) AS c
+           |  FROM g$r ORDER BY c DESC, doc_id ASC LIMIT 1),
+           |c$r AS MATERIALIZED (SELECT token FROM c${r - 1}
+           |  UNION SELECT t.token FROM tok t, s$r s WHERE t.doc_id = s.doc_id),
+           |n$r AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM c$r)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 6).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rnk, s$r.doc_id, s$r.c AS gain, " +
+          s"n$r.nc AS covered_total FROM s$r, n$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id,
+         |      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |        for i in range(1, len(w) - 1)]) AS token
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents)
+         |    WHERE len(w) >= 3)),
+         |g1 AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+         |s1 AS MATERIALIZED (SELECT doc_id, CAST(c AS BIGINT) AS c
+         |  FROM g1 ORDER BY c DESC, doc_id ASC LIMIT 1),
+         |c1 AS MATERIALIZED (
+         |  SELECT t.token FROM tok t, s1 s WHERE t.doc_id = s.doc_id),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM c1),
+         |$rounds
+         |$sel""".stripMargin
+    },
 
     // Mirrors Sketches.sampledTopTerms: the bottom-k occurrence sample is
     // row_number() OVER (ORDER BY hash ASC, term ASC) <= k — the exact

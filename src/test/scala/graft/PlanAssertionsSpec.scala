@@ -683,4 +683,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "no join may enter the sampled finish stage")
   }
+
+  test("q340: max-coverage output is the constant-size pick trace") {
+    // like q337: the greedy's per-round anti-join + argmax already ran;
+    // the result is <=k driver-assembled rows
+    val p = plan("q340_max_coverage")
+    assert(p.contains("LocalTableScan"),
+      "coverage output must be the pick trace")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      "no join/shuffle may survive into the k-row artifact")
+  }
 }

@@ -500,4 +500,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("a") == ((3L, 300L, 2L)))
     assert(plan("b") == ((1L, 100L, 1L)))
   }
+
+  test("maxCoverageSelect: greedy picks, marginal gains, early stop when covered") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "a"), // dup deduped
+      (2L, "a"), (2L, "b"), (2L, "e"),
+      (3L, "e"), (3L, "f"), (3L, "g"),
+      (4L, "c")).toDF("doc_id", "item")
+    val r = Scale.maxCoverageSelect(pairs, "doc_id", "item", k = 4)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // d1 covers {a,b,c,d}; d3 adds {e,f,g}; then every item is covered
+    // and the greedy stops two picks short of k
+    assert(r.toList == List((1L, 1L, 4L, 4L), (2L, 3L, 3L, 7L)))
+  }
+
+  test("maxCoverageSelect: equal-gain ties break to the smaller doc id; partition-invariant") {
+    import spark.implicits._
+    val pairs = Seq((7L, "x"), (7L, "y"), (2L, "p"), (2L, "q"))
+      .toDF("doc_id", "item")
+    def run(parts: Int) = Scale.maxCoverageSelect(
+      pairs.repartition(parts), "doc_id", "item", k = 2)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
+    val a = run(1)
+    assert(a == List((1L, 2L, 2L, 2L), (2L, 7L, 2L, 4L)))
+    assert(run(5) == a)
+  }
 }
