@@ -1235,6 +1235,39 @@ object ScaleSmoke {
         operators.TextPrep.piiCensus(df, "text", "source").count()
       }
     }
+    // join-IVM audit: one flagged equi-join + conditional DECIMAL cells —
+    // growth is the join itself; replicate ORDERS (and let lineitem fan
+    // out against it) by shifting both keys.
+    val ordIvm = Graft.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val liIvm = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ordIvmBig = (0 until factor).map(i => ordIvm.withColumn("o_orderkey",
+      col("o_orderkey") + lit(i * 1000000000L))).reduce(_ unionByName _)
+    val liIvmBig = (0 until factor).map(i => liIvm.withColumn("l_orderkey",
+      col("l_orderkey") + lit(i * 1000000000L))).reduce(_ unionByName _)
+    for ((label, oj, lj) <- Seq(("1x", ordIvm, liIvm),
+        (s"${factor}x", ordIvmBig, liIvmBig))) {
+      time(s"join_ivm        $label") {
+        val dt = org.apache.spark.sql.types.DecimalType(12, 2)
+        val z = lit(0).cast(dt)
+        def cell(p: org.apache.spark.sql.Column) =
+          sum(when(p, col("__v")).otherwise(z))
+        oj.select(col("o_orderkey"), col("o_orderpriority"),
+            (pmod(col("o_orderkey"), lit(7)) === 0).as("__do"))
+          .join(lj.select(col("l_orderkey"),
+            col("l_extendedprice").cast(dt).as("__v"),
+            (col("l_linenumber") >= 5).as("__dl")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(cell(!col("__do") && !col("__dl")).as("vb"),
+            cell(col("__do") && !col("__dl")).as("vdo"),
+            cell(!col("__do") && col("__dl")).as("vdl"),
+            cell(col("__do") && col("__dl")).as("vdd"),
+            sum(col("__v")).as("vf"))
+          .count()
+      }
+    }
     // max-coverage greedy: k rounds of one item-keyed anti-join + per-doc
     // count + 1-row argmax — growth is the trigram pair build; the
     // covered side stays bounded by the picks' items.

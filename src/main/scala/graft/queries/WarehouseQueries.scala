@@ -81,6 +81,47 @@ object WarehouseQueries {
       MlOps.decisionStump(
         table(s, d, "documents"), "n_chars", col("lang") === "en")),
 
+    // JOIN-view incremental maintenance (the bilinear delta rule): for a
+    // revenue-per-priority view over orders ⋈ lineitem with BOTH sides
+    // carrying deltas (ΔO = orderkey % 7 = 0, ΔL = linenumber >= 5), the
+    // maintained value v_base + (ΔO⋈L_b + O_b⋈ΔL + ΔO⋈ΔL) must equal the
+    // full recompute — Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the join companion
+    // to q311's aggregate IVM. The audit materializes all four cells
+    // from ONE flagged join + conditional DECIMAL sums (a production
+    // maintainer computes only the three delta terms, each joining a
+    // small delta side — broadcastable; the full recompute exists here
+    // BECAUSE this is the consistency check). Equality is tested on the
+    // exact DECIMAL sums before any cast to double.
+    "q341_join_ivm" -> ((s, d) => {
+      val dt = org.apache.spark.sql.types.DecimalType(12, 2)
+      val z = lit(0).cast(dt)
+      val o = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        (pmod(col("o_orderkey"), lit(7)) === 0).as("__do"))
+      val l = table(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice").cast(dt).as("__v"),
+        (col("l_linenumber") >= 5).as("__dl"))
+      def cell(p: org.apache.spark.sql.Column) =
+        sum(when(p, col("__v")).otherwise(z))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(cell(!col("__do") && !col("__dl")).as("__vb"),
+          cell(col("__do") && !col("__dl")).as("__vdo"),
+          cell(!col("__do") && col("__dl")).as("__vdl"),
+          cell(col("__do") && col("__dl")).as("__vdd"),
+          sum(col("__v")).as("__vf"))
+        .select(col("o_orderpriority"),
+          col("__vb").cast("double").as("v_base"),
+          col("__vdo").cast("double").as("dv_orders"),
+          col("__vdl").cast("double").as("dv_lines"),
+          col("__vdd").cast("double").as("dv_both"),
+          (col("__vb") + col("__vdo") + col("__vdl") + col("__vdd"))
+            .cast("double").as("v_incr"),
+          col("__vf").cast("double").as("v_full"),
+          ((col("__vb") + col("__vdo") + col("__vdl") + col("__vdd"))
+            === col("__vf")).as("consistent"))
+    }),
+
     // Referential-integrity audit over the schema's six FK edges: child
     // rows whose key has no parent (LEFT ANTI = decorrelated NOT
     // EXISTS), as counts and shares — the load-gate data-quality sheet.
@@ -163,6 +204,38 @@ object WarehouseQueries {
     // Mirrors q311: DECIMAL partial sums merged before the terminal
     // double cast; DuckDB's DECIMAL sum widens, so values stay exact on
     // both sides.
+    // Mirrors q341: the same flagged join and conditional DECIMAL cell
+    // sums; consistency compared on exact decimals, doubles only at the
+    // terminal casts.
+    "q341_join_ivm" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |    (o.o_orderkey % 7 = 0) AS is_do,
+        |    (l.l_linenumber >= 5) AS is_dl,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2)) AS v
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |c AS (
+        |  SELECT o_orderpriority,
+        |    sum(CASE WHEN NOT is_do AND NOT is_dl THEN v
+        |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS vb,
+        |    sum(CASE WHEN is_do AND NOT is_dl THEN v
+        |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS vdo,
+        |    sum(CASE WHEN NOT is_do AND is_dl THEN v
+        |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS vdl,
+        |    sum(CASE WHEN is_do AND is_dl THEN v
+        |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS vdd,
+        |    sum(v) AS vf
+        |  FROM j GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CAST(vb AS DOUBLE) AS v_base,
+        |  CAST(vdo AS DOUBLE) AS dv_orders,
+        |  CAST(vdl AS DOUBLE) AS dv_lines,
+        |  CAST(vdd AS DOUBLE) AS dv_both,
+        |  CAST(vb + vdo + vdl + vdd AS DOUBLE) AS v_incr,
+        |  CAST(vf AS DOUBLE) AS v_full,
+        |  (vb + vdo + vdl + vdd = vf) AS consistent
+        |FROM c""".stripMargin,
+
     "q311_incremental_agg" ->
       """WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
         |b AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nb,

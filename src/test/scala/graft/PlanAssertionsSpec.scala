@@ -684,6 +684,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "no join may enter the sampled finish stage")
   }
 
+  test("q341: join-IVM audit is ONE equi-join + conditional cells, no re-scan per term") {
+    // the four IVM cells and the recompute all come from conditional sums
+    // over a single orders-lineitem equi-join — a second Join or a
+    // cartesian means the audit started re-scanning per delta term
+    val p = plan("q341_join_ivm")
+    assert(!p.contains("CartesianProduct"), "equi-join only")
+    assert(p.contains("HashAggregate"), "conditional cell sums must aggregate")
+    // exactly one orders scan and one lineitem scan — per-cell
+    // formulations re-scan the join inputs once per delta term
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      "one scan per join side, never per-cell re-scans")
+  }
+
   test("q340: max-coverage output is the constant-size pick trace") {
     // like q337: the greedy's per-round anti-join + argmax already ran;
     // the result is <=k driver-assembled rows

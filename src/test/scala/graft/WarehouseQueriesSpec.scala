@@ -110,4 +110,28 @@ class WarehouseQueriesSpec extends AnyFunSuite {
     assert(got("lineitem") == ((3L, 5L, 3.0 / 5)),
       s"3 lines under orders 10/11: $got")
   }
+
+  test("q341: join-IVM delta cells reconcile with an independent full recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q341_join_ivm")(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Boolean]("consistent")),
+      "bilinear delta rule must hold exactly on every priority")
+    assert(r.forall(x => x.getAs[Double]("v_incr") == x.getAs[Double]("v_full")))
+    // deltas are non-trivial: both change sides carry real mass
+    assert(r.exists(_.getAs[Double]("dv_orders") > 0.0))
+    assert(r.exists(_.getAs[Double]("dv_lines") > 0.0))
+    // independent recompute of the view, different formulation
+    val full = graft.Graft.table(spark, sf, "orders")
+      .join(graft.Graft.table(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("v"))
+      .collect().map(x => x.getString(0) ->
+        x.getDecimal(1).doubleValue).toMap
+    r.foreach(x => assert(
+      x.getAs[Double]("v_full") == full(x.getString(0)),
+      s"recompute mismatch for ${x.getString(0)}"))
+  }
 }
