@@ -103,14 +103,18 @@ object EntityRes {
       "band_a")
     val b = ranked.toDF(blockCol, "id_b", "name_b", "type_b", "size_b",
       "band_b")
-    val pairs = a.join(b, blockCol)
+    // the capped pair join with its per-pair Jaro-Winkler is the
+    // operator's dominant stage and feeds BOTH the name-agreement
+    // aggregate and the weighted output — persist (query-scoped, drained
+    // by the harness) so it runs once instead of twice
+    val pairs = CacheScope.persist(a.join(b, blockCol)
       .where(col("id_a") < col("id_b"))
       .select(col(blockCol), col("id_a"), col("id_b"),
         (col("type_a") === col("type_b")).cast("int").as("agr_type"),
         (col("size_a") === col("size_b")).cast("int").as("agr_size"),
         (col("band_a") === col("band_b")).cast("int").as("agr_band"),
         (jaro_winkler(col("name_a"), col("name_b")) >= lit(jwThreshold))
-          .cast("int").as("agr_name"))
+          .cast("int").as("agr_name")))
     val nameStats = pairs.agg(count(lit(1)).as("__np"),
       sum(col("agr_name")).as("__na"))
     def fsW(agr: Column, m: Double, u: Column): Column =

@@ -204,7 +204,9 @@ object Graphs {
 
     var auth = save(nodes.crossJoin(broadcast(nNodes))
       .select(col("node"), expr(s"${scale}L div __n").as("a_mu")))
-    var hub: DataFrame = auth.select(col("node"), col("a_mu").as("h_mu"))
+    // hub derives purely from auth each round (iters >= 1): no initial
+    // hub mass exists in the data flow
+    var hub: DataFrame = null
     // each half-step is checkpointed: a round-boundary-only variant was
     // measured SLOWER (the un-saved half-step's sub-plan re-evaluates
     // inside the next materialization job, deepening every stage) — the

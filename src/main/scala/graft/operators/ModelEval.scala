@@ -284,11 +284,15 @@ object ModelEval {
               clip: Double): DataFrame = {
     val p1 = targetPolicy.foldLeft(lit(0.0)) { case (acc, (a, p)) =>
       when(col("__a") === a, lit(p)).otherwise(acc) }
+    // the (context, action) cell table is the only corpus-scale
+    // aggregate and is read by both the per-context totals and the
+    // weighted join — checkpoint so the scan runs once
     val cells = df
       .groupBy(contextExpr.cast("bigint").as("__ctx"),
         col(actionCol).as("__a"))
       .agg(count(lit(1)).as("__c"),
         sum(col(rewardCol).cast(DecimalType(12, 2))).as("__sv"))
+      .localCheckpoint()
     val nb = cells.groupBy(col("__ctx").as("__ctx2"))
       .agg(sum(col("__c")).as("__nb"))
     val w = cells.join(nb, col("__ctx") === col("__ctx2"))
@@ -350,6 +354,9 @@ object ModelEval {
   def upliftQini(units: DataFrame, scoreCol: String, treatCol: Column,
                  outcomeCol: Column, nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least two bins")
+    // the distinct-score grid is the only corpus-scale aggregate and is
+    // consumed by the bin cut, the Qini coefficient AND the final
+    // projection — checkpoint so the unit scan runs once
     val grid = units.select(col(scoreCol).cast("bigint").as("__v"),
         when(treatCol, 1L).otherwise(0L).as("__t"),
         when(outcomeCol, 1L).otherwise(0L).as("__y"))
@@ -358,6 +365,7 @@ object ModelEval {
         sum(col("__t")).as("__nt"),
         sum(when(col("__t") === 1L, col("__y"))).as("__ct"),
         sum(when(col("__t") === 0L, col("__y"))).as("__cc"))
+      .localCheckpoint()
     val w = Window.orderBy(col("__v").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = grid.agg(sum(col("__c")).as("__n")).localCheckpoint()

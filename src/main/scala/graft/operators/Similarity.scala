@@ -965,24 +965,37 @@ object Similarity {
     def distTo(vec: Seq[Long]) = expr(
       s"aggregate(zip_with(xmu, array(${vec.mkString(", ")}), " +
         "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, v) -> s + v)")
-    // seed: smallest id (struct-min carries its vector out in one job)
-    val seed = mu.agg(min(struct(col("id"), col("xmu"))).as("m"))
+    // seed: smallest id (struct-min carries its vector out in one job);
+    // an empty input yields an empty trace, and exhausting the point set
+    // before k picks stops early (the max over an empty frame is NULL) —
+    // the same early-stop contract as Scale.maxCoverageSelect
+    val seedRow = mu.agg(min(struct(col("id"), col("xmu"))).as("m"))
       .select(col("m.id"), col("m.xmu")).head()
-    var picks = List((1L, seed.getLong(0), 0L))
-    var pts = mu.where(col("id") =!= seed.getLong(0))
-      .withColumn("dmin", distTo(seed.getSeq[Long](1)))
+    if (seedRow.isNullAt(0)) return Seq.empty[(Long, Long, Long)]
+      .toDF("rnk", "center_id", "sel_dist_mu2")
+      .withColumn("final_radius_mu2", lit(0L))
+    var picks = List((1L, seedRow.getLong(0), 0L))
+    var pts = mu.where(col("id") =!= seedRow.getLong(0))
+      .withColumn("dmin", distTo(seedRow.getSeq[Long](1)))
       .localCheckpoint(true)
-    for (r <- 2 to k) {
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
       // argmax dmin, ties to the smallest id; the carried xmu never
       // participates in the comparison because id is unique
       val sel = pts.agg(max(struct(col("dmin").as("d"),
           (-col("id")).as("nid"), col("xmu").as("v"))).as("m"))
         .select(col("m.d"), col("m.nid"), col("m.v")).head()
-      val (selDist, selId) = (sel.getLong(0), -sel.getLong(1))
-      picks = (r.toLong, selId, selDist) :: picks
-      pts = pts.where(col("id") =!= selId)
-        .withColumn("dmin", least(col("dmin"), distTo(sel.getSeq[Long](2))))
-        .localCheckpoint(true)
+      if (sel.isNullAt(0)) exhausted = true
+      else {
+        val (selDist, selId) = (sel.getLong(0), -sel.getLong(1))
+        picks = (r.toLong, selId, selDist) :: picks
+        pts = pts.where(col("id") =!= selId)
+          .withColumn("dmin",
+            least(col("dmin"), distTo(sel.getSeq[Long](2))))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     val finalRadius = pts.agg(coalesce(max(col("dmin")), lit(0L))).head().getLong(0)
     picks.reverse.toDF("rnk", "center_id", "sel_dist_mu2")

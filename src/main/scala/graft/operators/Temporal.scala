@@ -1025,7 +1025,10 @@ object Temporal {
         .cast("double").as("v"))
     val (a, b, g, m) = (alpha, beta, gamma, period)
     val (na, nb, ng) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
-    val idx = s"CAST(x.day % $m AS INT)"
+    // floor-mod: a pre-1970 timestamp makes day negative, and % would
+    // hand element_at a non-positive index (index 0 errors; negatives
+    // silently read from the END of the seasonal vector)
+    val idx = s"CAST(pmod(x.day, $m) AS INT)"
     val prevS = s"element_at(acc.s, $idx + 1)"
     // the recurrences appear multiple times each — written out
     // identically every time, exactly as the oracle's recursive CTE
@@ -1036,7 +1039,7 @@ object Temporal {
       s"ELSE ${b}D * (($newL) - acc.l) + ${nb}D * acc.b END"
     val newSe = s"${g}D * (x.v - ($newL)) + ${ng}D * $prevS"
     val fcNext = s"($newL) + ($newB) + " +
-      s"element_at(acc.s, CAST((x.day + 1) % $m AS INT) + 1)"
+      s"element_at(acc.s, CAST(pmod(x.day + 1, $m) AS INT) + 1)"
     daily
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("day_idx").as("day"),

@@ -157,7 +157,9 @@ object TextPrep {
         i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("sym"))
       .localCheckpoint()
     val rows = Seq.newBuilder[DataFrame]
-    for (k <- 1 to merges) {
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
       val s = split(col("sym"), " ")
       // zip_with over the two shifted slices is total: a fully-merged
       // 1-symbol word yields empty slices -> no pairs (sequence(1, 0)
@@ -171,18 +173,33 @@ object TextPrep {
         .orderBy(col("pair_count").desc, col("pair").asc)
         .limit(1)
         .localCheckpoint()
-      wt = wt.crossJoin(broadcast(
-          best.select(col("pair").as("__p"))))
-        .select(col("w"), col("freq"),
-          expr("replace(sym, __p, replace(__p, ' ', ''))").as("sym"))
-        .localCheckpoint()
-      val vocab = wt
-        .select(explode(split(col("sym"), " ")).as("s"))
-        .agg(countDistinct(col("s")).as("vocab_size"))
-      rows += best.crossJoin(vocab)
-        .select(lit(k.toLong).as("round"), col("pair"),
-          expr("replace(pair, ' ', '')").as("merged"),
-          col("pair_count"), col("vocab_size"))
+      // a corpus can fully merge before `merges` rounds: an empty best
+      // must STOP the loop, not cross-join the word table to nothing
+      if (best.isEmpty) exhausted = true
+      else {
+        // boundary-safe rewrite: each symbol is matched with BOTH its
+        // delimiters by doubling the inter-symbol spaces, so the pair
+        // can never match a symbol's suffix/prefix ("b d</w>" inside
+        // "ab d</w>") and adjacent occurrences still merge left-to-right
+        // non-overlapping, the canonical BPE order ("a a a a" -> "aa aa")
+        wt = wt.crossJoin(broadcast(
+            best.select(col("pair").as("__p"))))
+          .select(col("w"), col("freq"),
+            expr("trim(replace(replace(" +
+              "concat(' ', replace(sym, ' ', '  '), ' '), " +
+              "concat(' ', replace(__p, ' ', '  '), ' '), " +
+              "concat(' ', replace(__p, ' ', ''), ' ')), '  ', ' '))")
+              .as("sym"))
+          .localCheckpoint()
+        val vocab = wt
+          .select(explode(split(col("sym"), " ")).as("s"))
+          .agg(countDistinct(col("s")).as("vocab_size"))
+        rows += best.crossJoin(vocab)
+          .select(lit(k.toLong).as("round"), col("pair"),
+            expr("replace(pair, ' ', '')").as("merged"),
+            col("pair_count"), col("vocab_size"))
+        k += 1
+      }
     }
     (rows.result().reduce(_ unionByName _), wt)
   }

@@ -1473,8 +1473,10 @@ object LlmQueries {
          |  SELECT pair, pair_count FROM p$k
          |  ORDER BY pair_count DESC, pair LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT w, freq, replace(sym, b.pair, replace(b.pair, ' ', ''))
-         |      AS sym
+         |  SELECT w, freq,
+         |    trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+         |      ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |      ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS sym
          |  FROM w${k - 1}, b$k b),
          |v$k AS MATERIALIZED (
          |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size

@@ -247,7 +247,8 @@ object SeriesQueries {
     * inside b/se/fc, newB inside fc — identical IEEE sequences). */
   private def holtWintersSql(a: Double, b: Double, g: Double): String = {
     val (na, nb, ng) = (1.0 - a, 1.0 - b, 1.0 - g)
-    val idx = "CAST(r.day_idx % 7 AS INT)"
+    // floor-mod mirror of the operator's pmod (negative-day safety)
+    val idx = "CAST(((r.day_idx % 7) + 7) % 7 AS INT)"
     val prevS = s"h.s[$idx + 1]"
     val newL = s"CAST($a AS DOUBLE) * (r.v - $prevS) " +
       s"+ CAST($na AS DOUBLE) * (h.l + h.b)"
@@ -256,7 +257,7 @@ object SeriesQueries {
     val newSe = s"CAST($g AS DOUBLE) * (r.v - ($newL)) " +
       s"+ CAST($ng AS DOUBLE) * $prevS"
     val fc = s"($newL) + ($newB) + " +
-      s"h.s[CAST((r.day_idx + 1) % 7 AS INT) + 1]"
+      s"h.s[CAST((((r.day_idx + 1) % 7) + 7) % 7 AS INT) + 1]"
     s"""WITH RECURSIVE daily AS (
        |  SELECT event_type,
        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

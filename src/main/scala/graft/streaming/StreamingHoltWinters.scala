@@ -35,8 +35,13 @@ object StreamingHoltWinters {
                          level: Double, trend: Double, season: Double,
                          forecast_next: Double)
 
-  private def epochDay(ts: java.sql.Timestamp): Long =
-    ts.toLocalDateTime.toLocalDate.toEpochDay
+  /** Event-time day in the SESSION time zone — the batch twin buckets
+    * days via `cast(ts AS DATE)`, which follows
+    * spark.sql.session.timeZone, NOT the JVM default; deriving the day
+    * from the JVM zone would silently break the bit-parity contract in
+    * any deployment where the two differ. */
+  private def epochDay(ts: java.sql.Timestamp, zone: String): Long =
+    ts.toInstant.atZone(java.time.ZoneId.of(zone)).toLocalDate.toEpochDay
 
   /** Exact DECIMAL(12,2) cents of one event value — the same HALF_UP
     * rounding Spark's cast(value AS DECIMAL(12,2)) performs. */
@@ -45,7 +50,8 @@ object StreamingHoltWinters {
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()
 
-  class Processor(alpha: Double, beta: Double, gamma: Double, period: Int)
+  class Processor(alpha: Double, beta: Double, gamma: Double, period: Int,
+                  zone: String)
       extends StatefulProcessor[String, Event, HwRow] {
     private val (na, nb, ng) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
     @transient private var st: ValueState[HwState] = _
@@ -59,14 +65,15 @@ object StreamingHoltWinters {
       * expression by RoundThirteenShelfSpec's Scala replay). */
     private def fold(key: String, s: HwState): (HwState, HwRow) = {
       val v = s.cents / 100.0
-      val i = (s.pendingDay % period).toInt
+      val i = java.lang.Math.floorMod(s.pendingDay, period.toLong).toInt
       val prevS = s.s(i)
       val nl = if (!s.hasModel) v
         else alpha * (v - prevS) + na * (s.l + s.b)
       val nbv = if (!s.hasModel) 0.0
         else beta * (nl - s.l) + nb * s.b
       val se = gamma * (v - nl) + ng * prevS
-      val fc = nl + nbv + s.s(((s.pendingDay + 1) % period).toInt)
+      val fc = nl + nbv +
+        s.s(java.lang.Math.floorMod(s.pendingDay + 1, period.toLong).toInt)
       (s.copy(hasModel = true, l = nl, b = nbv, s = s.s.updated(i, se)),
         HwRow(key, s.pendingDay, v, nl, nbv, se, fc))
     }
@@ -80,9 +87,9 @@ object StreamingHoltWinters {
       // within-batch determinism: day, then event time, then id — the
       // StatefulFirstSeen buffering argument (one key's batch slice)
       val ordered = rows.toArray
-        .sortBy(e => (epochDay(e.ts), e.ts.getTime, e.event_id))
+        .sortBy(e => (epochDay(e.ts, zone), e.ts.getTime, e.event_id))
       ordered.foreach { e =>
-        val d = epochDay(e.ts)
+        val d = epochDay(e.ts, zone)
         if (s.pendingDay < 0L)
           s = s.copy(pendingDay = d, cents = eventCents(e.value))
         else if (d == s.pendingDay)
@@ -104,8 +111,9 @@ object StreamingHoltWinters {
                period: Int = 7): Dataset[HwRow] = {
     import events.sparkSession.implicits._
     require(period >= 2, "period must be >= 2")
+    val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
     events.groupByKey(_.event_type)
-      .transformWithState(new Processor(alpha, beta, gamma, period),
+      .transformWithState(new Processor(alpha, beta, gamma, period, zone),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -93,11 +93,7 @@ object StreamingQuantiles {
                     idCol: String, valueCol: String, k: Int,
                     windowDur: String, watermark: String): DataFrame = {
     require(k >= 2, "need k >= 2")
-    val bk = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BottomKSampleAgg(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaDouble))
+    val bk = graft.functions.BottomKSampleAgg.columnAgg(k)
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))

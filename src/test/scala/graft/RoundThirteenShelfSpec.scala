@@ -451,6 +451,32 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(row.getAs[Double]("compression") == 14.0 / 6.0)
   }
 
+  test("bpeEncode: a selected pair never merges across symbol boundaries") {
+    // round 4 selects pair 'b d</w>' (count 2, the two 'bd' words); the
+    // word 'abd' is 'ab d</w>' at that point and contains the pair as a
+    // SUBSTRING ('b' is the suffix of symbol 'ab') but not as adjacent
+    // symbols — the rewrite must leave it at 2 symbols
+    val docs = Seq((1L, "bd bd abd ab ab ab")).toDF("doc_id", "text")
+    val r = graft.operators.TextPrep
+      .bpeEncode(docs, "doc_id", "text", merges = 4).collect().head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_syms_init") == 19L)
+    // bd -> 'bd</w>' (1) x2, ab -> 'ab</w>' (1) x3, abd -> 'ab d</w>' (2)
+    assert(r.getAs[Long]("n_syms") == 7L,
+      s"boundary-crossing merge detected: ${r}")
+  }
+
+  test("bpeEncode: training stops early when the corpus is fully merged") {
+    // 'aaa' is one symbol after 3 merges; round 4 has no pairs and must
+    // STOP, not empty the word table (which returned zero rows)
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val r = graft.operators.TextPrep
+      .bpeEncode(docs, "doc_id", "text", merges = 4).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_syms") == 1L)
+    assert(r.head.getAs[Double]("compression") == 4.0)
+  }
+
   test("kcenterCoreset: replays the greedy farthest-first by hand in 1-D") {
     // micro-units: 0 / 1e5 / 4e5 / 1e6. Seed = min id (0). Round 2 picks
     // id 3 (dist 1e12); round 3 picks id 2 (min(1.6e11, 3.6e11)); the
@@ -482,6 +508,12 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
       .kcenterCoreset(emb, "vec_id", "embedding", k = 3)
       .orderBy("rnk").collect()
     assert(all.length == 3 && all.forall(_.getLong(3) == 0L))
+    // k beyond the point count stops early instead of failing on the
+    // empty argmax (3 points, k = 8 -> 3 picks)
+    val over = graft.operators.Similarity
+      .kcenterCoreset(emb, "vec_id", "embedding", k = 8)
+      .orderBy("rnk").collect()
+    assert(over.length == 3 && over.forall(_.getLong(3) == 0L))
   }
 
   test("kcenterCoreset: partition-invariant; selection distances are non-increasing") {
