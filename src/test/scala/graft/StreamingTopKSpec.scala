@@ -88,6 +88,43 @@ class StreamingTopKSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII census: per-window detector counts match the batch census across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = Seq(
+      (ts("2025-01-01 10:05:00"), "contact a@b.co and c.d@e-f.org now"),
+      (ts("2025-01-01 10:15:00"), "run 123456789 plain"),
+      (ts("2025-01-01 10:25:00"), "ip 10.0.0.1 go https://x.y/z"),
+      (ts("2025-01-01 12:05:00"), "nothing suspicious"))
+    val q = graft.streaming.StreamingPiiCensus
+      .windowedCensus(input.toDF().toDF("ts", "text"), "ts", "text",
+        windowDur = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT window_start, pii_type, docs, docs_hit, matches FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY window_start,
+          |    pii_type ORDER BY docs DESC) AS rn FROM pii_stream)
+          |WHERE rn = 1""".stripMargin).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val w1 = ts("2025-01-01 10:00:00")
+      assert(got((w1, "email")) == (3L, 1L, 2L))
+      assert(got((w1, "digit_run")) == (3L, 1L, 1L))
+      assert(got((w1, "ipv4")) == (3L, 1L, 1L))
+      assert(got((w1, "url")) == (3L, 1L, 1L))
+      assert(got((w1, "hex_secret")) == (3L, 0L, 0L))
+      assert(got((ts("2025-01-01 12:00:00"), "email")) == (1L, 0L, 0L))
+      assert(got.size == 10, s"every (window, type) cell present: $got")
+    } finally q.stop()
+  }
+
   test("sampledTopTerms (batch twin): exact when n <= k; repartition-invariant") {
     import spark.implicits._
     val occ = Seq(
