@@ -473,11 +473,10 @@ object Scale {
     val tok = pairs.select(col(idCol).cast("bigint").as("id"),
       col(itemCol).as("token"))
       .distinct().localCheckpoint(true)
-    var covered = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("token",
-          org.apache.spark.sql.types.StringType))))
+    // empty seed carved from tok itself so the covered table's item type
+    // always matches (hardcoding StringType failed analysis for any
+    // non-string itemCol on the first anti-join)
+    var covered = tok.where(lit(false)).select(col("token"))
     val picks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
     var coveredTotal = 0L
     var done = false

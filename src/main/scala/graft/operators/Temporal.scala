@@ -1283,6 +1283,16 @@ object Temporal {
     * Exactness: coalition values and the weighted sum are ALL-integer
     * (factorial weights from the shared 0!..16! literal list); the only
     * doubles are the two fixed-order terminal divisions (φ and share).
+    * Overflow envelope (phi_num is a BIGINT sum, mirrored by the q333
+    * oracle): Σ_{S∌i} |S|!(n−1−|S|)! = n! exactly, and every Δv is in
+    * [0, v(full)], so |phi_num| ≤ n!·attributed_conversions. At the
+    * n = 16 cap (16! ≈ 2.09e13) Long overflows once attributed
+    * conversions exceed ~4.4e5; at n ≤ 12 (12! ≈ 4.8e8) the envelope
+    * is ~1.9e10 conversions and at n ≤ 8 effectively unbounded. A
+    * >12-channel run at warehouse conversion volume must widen the
+    * weighted sum to DECIMAL(38,0) in BOTH engines (the MMD/gradient
+    * precedent); kept BIGINT here because the oracle's hash gate
+    * compares the integer column verbatim.
     *
     * Scale: the per-user journey cut is the q315 window (per-entity,
     * partitioned); everything after collapses to the channel-set MASK

@@ -201,7 +201,18 @@ object TextPrep {
         k += 1
       }
     }
-    (rows.result().reduce(_ unionByName _), wt)
+    // zero completed rounds (empty corpus / all-empty texts): return an
+    // explicitly-schema'd empty merge table instead of letting reduce()
+    // throw on the empty builder — the early-stop contract the greedy
+    // siblings (maxCoverageSelect / kcenterCoreset) already honor
+    val merged = rows.result() match {
+      case Seq() => wt.sparkSession.range(0)
+        .select(col("id").as("round"), lit("").as("pair"),
+          lit("").as("merged"), col("id").as("pair_count"),
+          col("id").as("vocab_size"))
+      case rs => rs.reduce(_ unionByName _)
+    }
+    (merged, wt)
   }
 
   /** The PII detector battery for [[piiCensus]]: (type, pattern) pairs.

@@ -352,6 +352,10 @@ object SeriesQueries {
     // bitmasks over the name-ASC index, subset-sum coalition values on
     // the 2^n grid (65536 row cap, filtered to 1<<n), and the exact
     // factorial-weighted Shapley sum from the shared 0!..16! literals.
+    // phi_num is BIGINT on BOTH sides; |phi_num| ≤ n!·conversions, so
+    // the shared overflow envelope is ~4.4e5 conversions at n = 16
+    // (see the operator scaladoc) — widen both to DECIMAL(38,0) before
+    // running >12 channels at warehouse conversion volume.
     "q333_shapley_attribution" -> {
       val f = graft.operators.Temporal.Factorials.mkString("[", ", ", "]")
       s"""WITH ev AS (

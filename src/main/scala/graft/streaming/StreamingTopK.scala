@@ -58,11 +58,17 @@ object StreamingTopK {
     * the `topN` terms per window by in-sample count, with the
     * estimated share and count. Every aggregate and window here runs
     * over ≤k rows per window — never over events. */
-  def topKFromSamples(sampleRows: DataFrame, k: Int, topN: Int): DataFrame = {
+  def topKFromSamples(sampleRows: DataFrame, topN: Int): DataFrame = {
     require(topN >= 1, "need topN >= 1")
+    // k_eff is the ACTUAL sample size, read off the data: size(sample) is
+    // exactly min(k, n) for the k used at sampling time, so no caller-
+    // supplied k can drift from it and skew est_share/est_cnt
     val perTerm = sampleRows
-      .select(col("window_start"), col("n"), explode(col("sample")).as("__e"))
-      .groupBy(col("window_start"), col("n"), col("__e._2").as("term"))
+      .select(col("window_start"), col("n"),
+        size(col("sample")).cast("bigint").as("k_eff"),
+        explode(col("sample")).as("__e"))
+      .groupBy(col("window_start"), col("n"), col("k_eff"),
+        col("__e._2").as("term"))
       .agg(count(lit(1)).as("s_cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_start"))
@@ -70,7 +76,6 @@ object StreamingTopK {
     perTerm
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= topN)
-      .withColumn("k_eff", least(lit(k.toLong), col("n")))
       .select(col("window_start"), col("term"), col("rnk"), col("s_cnt"),
         (col("s_cnt").cast("double") / col("k_eff").cast("double"))
           .as("est_share"),

@@ -392,6 +392,18 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(t(2).getAs[String]("pair") == "aa a</w>")
   }
 
+  test("bpeTrain: empty corpus yields an empty, correctly-schema'd merge table") {
+    val docs = Seq((1L, ""), (2L, " ")).toDF("doc_id", "text")
+    val r = graft.operators.TextPrep.bpeTrain(docs, "text", merges = 3)
+    assert(r.columns.toSeq ==
+      Seq("round", "pair", "merged", "pair_count", "vocab_size"))
+    assert(r.count() == 0L)
+    // and a truly empty frame too (zero input rows)
+    val e = graft.operators.TextPrep.bpeTrain(
+      docs.where(lit(false)), "text", merges = 2)
+    assert(e.count() == 0L)
+  }
+
   test("upliftQini: hand-computed curve on a constructed-uplift experiment") {
     // per score 1..10: one treated, one control; treated convert iff
     // score >= 6, control never. 5 bins of 4 units each.

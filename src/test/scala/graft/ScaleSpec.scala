@@ -516,6 +516,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.toList == List((1L, 1L, 4L, 4L), (2L, 3L, 3L, 7L)))
   }
 
+  test("maxCoverageSelect: non-string item type (the covered seed follows tok's schema)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L), (3L, 30L))
+      .toDF("doc_id", "item")
+    val r = Scale.maxCoverageSelect(pairs, "doc_id", "item", k = 3)
+      .orderBy("rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toList == List((1L, 1L, 2L, 2L), (2L, 2L, 1L, 3L)))
+  }
+
   test("maxCoverageSelect: equal-gain ties break to the smaller doc id; partition-invariant") {
     import spark.implicits._
     val pairs = Seq((7L, "x"), (7L, "y"), (2L, "p"), (2L, "q"))

@@ -54,7 +54,7 @@ class StreamingTopKSpec extends AnyFunSuite {
           |    ORDER BY n DESC) AS rn FROM topk_stream)
           |WHERE rn = 1""".stripMargin)
       val streamed = graft.streaming.StreamingTopK
-        .topKFromSamples(sink, k = 16, topN = 3)
+        .topKFromSamples(sink, topN = 3)
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
           r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
 
@@ -69,7 +69,7 @@ class StreamingTopKSpec extends AnyFunSuite {
           col("event_type")).as("sample"), count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("sample"), col("n"))
       val batch = graft.streaming.StreamingTopK
-        .topKFromSamples(batchSink, k = 16, topN = 3)
+        .topKFromSamples(batchSink, topN = 3)
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
           r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
       assert(streamed == batch,
