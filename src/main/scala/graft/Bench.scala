@@ -70,7 +70,6 @@ object Bench {
     // Sorted order => per-query times are comparable across rounds.
     // SPARK_GRAFT_ONLY=q75,q50 restricts the run for local iteration; the
     // driver never sets it (full suite).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // SPARK_GRAFT_REPEAT=N runs the suite N times in ONE JVM. Pass 1 is the
     // cold-ish run (post-JIT-warmup but cold codegen caches for each query);
     // passes 2+ are fully warmed — the basis for BASELINE.md anchor numbers.
@@ -78,6 +77,26 @@ object Bench {
     // JSON artifact; the summary LINES report the LAST pass, matching the
     // driver's single-pass contract.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Pre-materialize the session-shared caches (graft.queries.SharedCaches)
+    // at the TIMED sf dir, so no timed query pays — or skips — a sibling's
+    // build depending on run order (the false-spike generator of r12/r13:
+    // q291/q221/q213 swung 0.1↔17 s purely on which consumer ran first).
+    // Build cost is reported as its own line and artifact field. Skipped
+    // under SPARK_GRAFT_ONLY: an isolated single-query anchor SHOULD carry
+    // its own build (that's what the per-query BASELINE rows price).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val cacheBuilds: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else graft.queries.SharedCaches.builders.toSeq.sortBy(_._1).map {
+        case (n, b) =>
+          val t0 = System.nanoTime()
+          b(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (n, (System.nanoTime() - t0) / 1e9)
+      }
+    val cacheJson = cacheBuilds
+      .map { case (n, v) => s"\"" + n + "\":" + sec(v) }.mkString("{", ",", "}")
+    if (cacheBuilds.nonEmpty)
+      println(s"""{"metric":"shared_cache_build","value":${sec(cacheBuilds.map(_._2).sum)},"unit":"sec","builds":$cacheJson}""")
     val passes = (1 to repeat).map { p =>
       val r = runPass(spark, sfDir, only)
       if (repeat > 1)
@@ -94,7 +113,7 @@ object Bench {
       val passJson = passes.zipWithIndex.map { case (r, i) =>
         s"""{"pass":${i + 1},"total":${sec(r.map(_._2).sum)},"queries":${queriesJson(r)}}"""
       }.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":${queriesJson(results)}$errJson,"passes":$passJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","shared_cache_build":$cacheJson,"queries":${queriesJson(results)}$errJson,"passes":$passJson}"""
     }
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))

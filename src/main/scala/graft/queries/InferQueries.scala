@@ -200,7 +200,7 @@ object InferQueries {
   private val brandLiftCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def brandLift(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def brandLift(s: SparkSession, dir: String): DataFrame = {
     brandLiftCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     brandLiftCache.getOrElseUpdate((s, dir),
       Graphs.cooccurrenceLift(

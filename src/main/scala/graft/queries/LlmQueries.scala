@@ -41,7 +41,7 @@ object LlmQueries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     // evict entries of stopped sessions so neither their cached blocks nor
     // the session object graphs are pinned forever
     pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)

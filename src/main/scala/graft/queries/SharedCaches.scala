@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the SESSION-SHARED persisted intermediates — the cross-query
+  * caches that deliberately survive [[graft.operators.CacheScope.drain]]
+  * because several queries consume one expensive build (the production
+  * shape: one candidate graph feeds every dedup consumer).
+  *
+  * Why a registry: per-query bench times must not depend on RUN ORDER.
+  * Before this existed, whichever consumer ran first paid the whole build
+  * (q221 17.4 s vs 0.12 s warmed; q213, q291 likewise across rounds) and
+  * the round bench minted a false "spike" that cost an adjudication cycle
+  * each time. `graft.Bench` now pre-materializes every entry here before
+  * the timed pass and reports the build cost as its own summary line, so
+  * consumers always measure steady-state cost. Queries stay standalone in
+  * SEMANTICS: each builder memoizes per (session, sf dir) and a cold call
+  * rebuilds identically (specs pin this).
+  *
+  * Adding a shared cache without registering it here re-opens the
+  * order-attribution hole — BenchCacheSpec asserts the registry covers
+  * every TrieMap-memoized builder in graft.queries.
+  */
+object SharedCaches {
+
+  /** name -> builder returning the session-shared persisted frame. */
+  val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_pair_graph" -> (LlmQueries.nearDupPairs _),
+    "ngram_jaccard_pairs" -> (LlmQueries.ngramPairs _),
+    "winnow_pairs" -> (LlmQueries.winnowPairs _),
+    "ppjoin_pairs" -> (MlQueries.ppjoinPairsShared _),
+    "brand_lift" -> (InferQueries.brandLift _))
+}
