@@ -69,6 +69,73 @@ object TextLm {
           / lit(1e6)).as("xent"))
   }
 
+  /** Interpolated Kneser-Ney bigram cross-entropy — the production upgrade
+    * of [[bigramCrossEntropy]]: CCNet/DSIR-style pipelines score with
+    * KN-smoothed n-gram models, not add-one. Absolute discounting with the
+    * KN continuation distribution (Kneser & Ney 1995; Chen & Goodman 1998),
+    * with the discount fixed at the rational D = 3/4 so every probability
+    * is a ratio of two BIGINTs:
+    *
+    *   p(w2|w1) = (c(w1,w2) − D)/c(w1) + D·N1+(w1,·)/c(w1) · p_cont(w2)
+    *   p_cont(w2) = (N1+(·,w2) + 1) / (T + V)          [add-one floored]
+    *
+    * where c(w1) = Σ_x c(w1,x) is the HISTORY count (not the raw unigram
+    * count — a document-final token is no bigram history), N1+(w1,·) /
+    * N1+(·,w2) are distinct-continuation/-history type counts, T = observed
+    * bigram types, V = vocabulary size. The +1/(T+V) floor on the
+    * continuation keeps p_cont total and strictly positive (the same role
+    * the uniform bottom layer plays in full interpolated KN), which lets
+    * the SAME model form serve the DSIR variant where a scored bigram can
+    * be target-unseen. With D = 3/4 every observed bigram's probability is
+    * exactly
+    *
+    *   [ (4·c2 − 3)·(T+V) + 3·n1p·(nc+1) ] / [ 4·c1·(T+V) ]
+    *
+    * — all integers — so the per-TYPE micro-nat quantization
+    * (round(ln(num/den)·1e6) as BIGINT) is a deterministic function of
+    * integer model counts and the oracle re-derives the whole model in one
+    * SQL pass. Scale: identical plan shape to [[bigramCrossEntropy]] — the
+    * model is the observed-bigram TYPE table (Zipf-bounded) joined to two
+    * type-count tables keyed by w1/w2 plus one broadcast (T, V) row.
+    * Overflow envelope: num ≤ 4·c2·(T+V) must stay under 2^63 — safe while
+    * occurrence-count × type-count < ~5.7e17 (a ~30 B-token corpus with
+    * ~1e8 types); beyond that widen num/den to DECIMAL(38,0) in BOTH
+    * engines before the ln.
+    *
+    * Output: doc_id, n_bigrams, xent (nats, exact-integer half-up 6 dp) —
+    * the [[bigramCrossEntropy]] contract. */
+  def knCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    val pairs = toks.select(col(idCol),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBig = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
+      toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val model = big.join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lp_mu", expr(
+        """CAST(round(ln(
+          |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+          |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
+          .stripMargin))
+      .select(col("w1"), col("w2"), col("lp_mu"))
+    docBig.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col(idCol), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with
     * [[bigramCrossEntropy]], split each group's score distribution into
     * head / middle / tail terciles (head = most fluent), and report the
@@ -90,8 +157,22 @@ object TextLm {
     * |groups|·2-row broadcast; bucket assignment is one integer compare
     * per document. */
   def crossEntropyMix(docs: DataFrame, idCol: String, textCol: String,
-                      groupCol: String): DataFrame = {
-    val scored = bigramCrossEntropy(docs, idCol, textCol)
+                      groupCol: String): DataFrame =
+    tercileMix(bigramCrossEntropy(docs, idCol, textCol), docs, idCol, groupCol)
+
+  /** [[crossEntropyMix]] on the [[knCrossEntropy]] scores — the same
+    * head/middle/tail integer-order-statistic terciles, driven by the
+    * KN-smoothed model (the CCNet production pairing: KN perplexity +
+    * tercile mix). Output contract identical to [[crossEntropyMix]]. */
+  def knMix(docs: DataFrame, idCol: String, textCol: String,
+            groupCol: String): DataFrame =
+    tercileMix(knCrossEntropy(docs, idCol, textCol), docs, idCol, groupCol)
+
+  /** Shared tercile stage over a (idCol, n_bigrams, xent) scored frame —
+    * see [[crossEntropyMix]] for the exact-integer cutoff semantics. */
+  private def tercileMix(scoredDocs: DataFrame, docs: DataFrame,
+                         idCol: String, groupCol: String): DataFrame = {
+    val scored = scoredDocs
       .join(docs.select(col(idCol), col(groupCol).as("__g")), idCol)
       // xent is rounded to 6 dp, so this recovers its exact integer image
       .withColumn("__xmu", expr("CAST(round(xent * 1e6) AS BIGINT)"))
@@ -174,6 +255,85 @@ object TextLm {
           |  / CAST(coalesce(tc1, 0) + tv AS DOUBLE)) * 1e6) AS BIGINT)
           |- CAST(round(ln(CAST(gc2 + 1 AS DOUBLE)
           |  / CAST(gc1 + gv AS DOUBLE)) * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy(col("__g"))
+      .agg(sum(col("occ") * col("lr_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col("__g").as(groupCol), col("m").as("n_bigrams"),
+        round((col("mu").cast("double") / lit(1e6)) / col("m").cast("double"), 6)
+          .as("avg_logratio"))
+  }
+
+  /** DSIR importance weights with BOTH models Kneser-Ney smoothed — the
+    * [[importanceWeights]] upgrade matching [[knCrossEntropy]]'s model
+    * form (D = 3/4 absolute discounting, add-one-floored continuation).
+    * The production recipe scores with KN-smoothed models on both sides
+    * of the ratio; add-one's over-flat unseen mass systematically shrinks
+    * |log-ratio| for rare target bigrams.
+    *
+    * A scored bigram is always observed in the GENERAL model (trained on
+    * the scoring corpus) but can be target-unseen, so the target side
+    * runs the full interpolation ladder, every rung a BIGINT rational:
+    *  - bigram observed: the [[knCrossEntropy]] formula;
+    *  - history observed, bigram unseen: the discounted term is
+    *    max(4·c2−3, 0) = 0, leaving λ(w1)·p_cont(w2) — SAME formula with
+    *    c2 = 0 clamped;
+    *  - history unseen: p = p_cont(w2) = (nc+1)/(T_t+V_t), nc = 0 if the
+    *    continuation is target-unseen too.
+    *
+    * Determinism and plan shape as [[importanceWeights]]: per-TYPE
+    * micro-nat quantization of both log-probs, exact occ-weighted integer
+    * sums, bigram-/history-/continuation-keyed joins over Zipf-bounded
+    * model tables, one broadcast (T_g, V_g, T_t, V_t) row.
+    * Output: group, n_bigrams, avg_logratio (nats, 6 dp). */
+  def knImportanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, targetPred: Column): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol).as("__g"),
+      targetPred.as("__tgt"), split(col(textCol), " ").as("t"))
+    val pairs = base.select(col(idCol), col("__g"), col("__tgt"),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("__g"), col("__tgt"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBig = pairs.groupBy(col(idCol), col("__g"), col("__tgt"),
+        col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    // general model (observed for every scored bigram by construction)
+    val gBig = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("gc2"))
+    val gHist = gBig.groupBy(col("w1"))
+      .agg(sum(col("gc2")).as("gc1"), count(lit(1)).as("gn1p"))
+    val gCont = gBig.groupBy(col("w2")).agg(count(lit(1)).as("gnc"))
+    // target model: filtered re-aggregate of the same doc-level counts
+    val tBig = docBig.where(col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("tc2"))
+    val tHist = tBig.groupBy(col("w1"))
+      .agg(sum(col("tc2")).as("tc1"), count(lit(1)).as("tn1p"))
+    val tCont = tBig.groupBy(col("w2")).agg(count(lit(1)).as("tnc"))
+    val sizes = gBig.agg(count(lit(1)).as("gt")).crossJoin(
+        base.select(explode(col("t")).as("w"))
+          .agg(countDistinct(col("w")).as("gv")))
+      .crossJoin(tBig.agg(count(lit(1)).as("tt")))
+      .crossJoin(base.where(col("__tgt"))
+        .select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("tv")))
+    docBig
+      .join(gBig, Seq("w1", "w2"))
+      .join(gHist, Seq("w1"))
+      .join(gCont, Seq("w2"))
+      .join(tBig, Seq("w1", "w2"), "left")
+      .join(tHist, Seq("w1"), "left")
+      .join(tCont, Seq("w2"), "left")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lr_mu", expr(
+        """CAST(round(ln(CASE WHEN tc1 IS NULL
+          |    THEN CAST(coalesce(tnc, 0) + 1 AS DOUBLE) / CAST(tt + tv AS DOUBLE)
+          |    ELSE CAST(greatest(4 * coalesce(tc2, 0) - 3, 0) * (tt + tv)
+          |          + 3 * tn1p * (coalesce(tnc, 0) + 1) AS DOUBLE)
+          |      / CAST(4 * tc1 * (tt + tv) AS DOUBLE)
+          |  END) * 1e6) AS BIGINT)
+          |- CAST(round(ln(
+          |    CAST((4 * gc2 - 3) * (gt + gv) + 3 * gn1p * (gnc + 1) AS DOUBLE)
+          |    / CAST(4 * gc1 * (gt + gv) AS DOUBLE)) * 1e6) AS BIGINT)"""
+          .stripMargin))
       .groupBy(col("__g"))
       .agg(sum(col("occ") * col("lr_mu")).as("mu"), sum(col("occ")).as("m"))
       .select(col("__g").as(groupCol), col("m").as("n_bigrams"),

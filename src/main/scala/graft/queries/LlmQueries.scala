@@ -1338,12 +1338,69 @@ object LlmQueries {
     // the k+1 = 51 order statistics at sf0.01. See Stats.hillTailIndex.
     "q271_hill_tail" -> ((s, d) =>
       graft.operators.Stats.hillTailIndex(
-        table(s, d, "documents"), "lang", "n_chars", "doc_id", k = 50))
+        table(s, d, "documents"), "lang", "n_chars", "doc_id", k = 50)),
+
+    // Interpolated Kneser-Ney bigram cross-entropy (D = 3/4 absolute
+    // discount + add-one-floored KN continuation): the production
+    // upgrade of q101's add-one model — same per-TYPE micro-nat
+    // quantization and exact integer per-doc sums, model derived
+    // entirely from the observed-bigram type table. See
+    // TextLm.knCrossEntropy.
+    "q342_kn_xent" -> ((s, d) =>
+      graft.operators.TextLm.knCrossEntropy(
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // q140's CCNet tercile mix driven by the KN scores: identical exact
+    // integer order-statistic cutoffs, production smoothing. See
+    // TextLm.knMix.
+    "q343_kn_ppl_mix" -> ((s, d) =>
+      graft.operators.TextLm.knMix(
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // q151's DSIR importance weights with BOTH models KN-smoothed; the
+    // target side runs the full interpolation ladder (bigram observed /
+    // history-only / continuation-only), every rung a BIGINT rational.
+    // See TextLm.knImportanceWeights.
+    "q344_kn_importance_weights" -> ((s, d) =>
+      graft.operators.TextLm.knImportanceWeights(
+        table(s, d, "documents"), "doc_id", "text", "source",
+        col("lang") === "en"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
     * components (the same `nearDupPairs` -> `connectedComponents` lineage the
     * Spark side shares between q61 and q91): ends at `reach(id, r)`. */
+  /** Shared CTE chain deriving the interpolated-KN bigram model (q342 +
+    * q343): doc-level bigram counts `db`, observed-type table `big`,
+    * history sums/continuation-type counts, the (T, V) size row, and the
+    * per-TYPE micro-nat `model` from the exact D = 3/4 rational — the
+    * verbatim mirror of TextLm.knCrossEntropy's model. Multiply-
+    * referenced CTEs are MATERIALIZED (DuckDB re-executes plain CTEs per
+    * reference — the r13 lesson). */
+  private val knModelCte =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |db AS MATERIALIZED (
+      |  SELECT doc_id, w1, w2, count(*) AS occ FROM (
+      |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |    FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |big AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+      |hist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM big GROUP BY 1),
+      |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS t_types,
+      |    (SELECT CAST(count(DISTINCT w1) AS BIGINT)
+      |       FROM (SELECT unnest(t) AS w1 FROM toks)) AS v),
+      |model AS (
+      |  SELECT big.w1, big.w2,
+      |    CAST(round(ln(
+      |      CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+      |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
+      |  FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tv)"""
+      .stripMargin
+
   private val clusterCte =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
       |  WHERE len(string_split(text,' ')) >= 3),
@@ -3802,6 +3859,109 @@ object LlmQueries {
          |      FROM scored)
          |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cos_sim
          |FROM rr WHERE rnk <= 5""".stripMargin
-    }
+    },
+
+    // Mirrors TextLm.knCrossEntropy: model counts all derived from the
+    // observed-bigram TYPE table (c1 = history sums, n1p/nc = distinct
+    // continuation/history type counts, T = types, V = distinct tokens),
+    // the exact D = 3/4 rational [(4c2-3)(T+V) + 3*n1p*(nc+1)] /
+    // [4*c1*(T+V)], per-TYPE micro-nat quantization, and the house
+    // exact-integer half-up 6 dp division.
+    "q342_kn_xent" ->
+      s"""$knModelCte
+        |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
+        |FROM db JOIN model USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextLm.knMix: the q342 scores through the q140 tercile
+    // stage (integer micro-unit order statistics, ties to the lower
+    // bucket).
+    "q343_kn_ppl_mix" ->
+      s"""$knModelCte,
+        |sc AS (SELECT db.doc_id,
+        |    CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS xmu
+        |  FROM db JOIN model USING (w1, w2) GROUP BY doc_id),
+        |sg AS (SELECT sc.doc_id, d.source AS g, sc.xmu
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |vals AS (SELECT g, xmu, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1, 2),
+        |cum AS (SELECT g, xmu, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY xmu) AS BIGINT) AS cm
+        |  FROM vals),
+        |tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |cuts AS (SELECT cum.g,
+        |    min(CASE WHEN cm * 3 >= n THEN xmu END) AS cut1,
+        |    min(CASE WHEN cm * 3 >= n * 2 THEN xmu END) AS cut2
+        |  FROM cum JOIN tt USING (g) GROUP BY 1),
+        |bk AS (SELECT sg.g, sg.xmu,
+        |    CASE WHEN sg.xmu <= cuts.cut1 THEN 'head'
+        |         WHEN sg.xmu <= cuts.cut2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM sg JOIN cuts USING (g))
+        |SELECT g AS source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((CAST(sum(xmu) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_xent
+        |FROM bk GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextLm.knImportanceWeights: both models KN-smoothed from
+    // the shared doc-level bigram counts; the target side replays the
+    // interpolation ladder (observed bigram / history-only via the
+    // clamped discount / continuation-only when the history is
+    // target-unseen) with the identical BIGINT rationals.
+    "q344_kn_importance_weights" ->
+      """WITH base AS (SELECT doc_id, source, lang = 'en' AS tgt,
+        |    string_split(text,' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, source, tgt, t[i] AS w1, t[i+1] AS w2
+        |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |docbig AS (SELECT doc_id, source, tgt, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS occ
+        |  FROM pairs GROUP BY 1, 2, 3, 4, 5),
+        |gbig AS MATERIALIZED (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS gc2
+        |  FROM docbig GROUP BY 1, 2),
+        |ghist AS (SELECT w1, CAST(sum(gc2) AS BIGINT) AS gc1,
+        |    CAST(count(*) AS BIGINT) AS gn1p FROM gbig GROUP BY 1),
+        |gcont AS (SELECT w2, CAST(count(*) AS BIGINT) AS gnc FROM gbig GROUP BY 1),
+        |tbig AS MATERIALIZED (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS tc2
+        |  FROM docbig WHERE tgt GROUP BY 1, 2),
+        |thist AS (SELECT w1, CAST(sum(tc2) AS BIGINT) AS tc1,
+        |    CAST(count(*) AS BIGINT) AS tn1p FROM tbig GROUP BY 1),
+        |tcont AS (SELECT w2, CAST(count(*) AS BIGINT) AS tnc FROM tbig GROUP BY 1),
+        |sizes AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM gbig) AS gt,
+        |    (SELECT CAST(count(DISTINCT w1) AS BIGINT)
+        |       FROM (SELECT unnest(t) AS w1 FROM base)) AS gv,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tbig) AS tt,
+        |    (SELECT CAST(count(DISTINCT w1) AS BIGINT)
+        |       FROM (SELECT unnest(t) AS w1 FROM base WHERE tgt)) AS tv),
+        |scored AS (
+        |  SELECT d.source, d.occ,
+        |    CAST(round(ln(CASE WHEN th.tc1 IS NULL
+        |        THEN CAST(coalesce(tc.tnc, 0) + 1 AS DOUBLE)
+        |          / CAST(sizes.tt + sizes.tv AS DOUBLE)
+        |        ELSE CAST(greatest(4 * coalesce(tb.tc2, 0) - 3, 0)
+        |              * (sizes.tt + sizes.tv)
+        |            + 3 * th.tn1p * (coalesce(tc.tnc, 0) + 1) AS DOUBLE)
+        |          / CAST(4 * th.tc1 * (sizes.tt + sizes.tv) AS DOUBLE)
+        |      END) * 1e6) AS BIGINT)
+        |    - CAST(round(ln(
+        |        CAST((4 * gb.gc2 - 3) * (sizes.gt + sizes.gv)
+        |            + 3 * gh.gn1p * (gc.gnc + 1) AS DOUBLE)
+        |        / CAST(4 * gh.gc1 * (sizes.gt + sizes.gv) AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS lr_mu
+        |  FROM docbig d
+        |  JOIN gbig gb ON gb.w1 = d.w1 AND gb.w2 = d.w2
+        |  JOIN ghist gh ON gh.w1 = d.w1
+        |  JOIN gcont gc ON gc.w2 = d.w2
+        |  LEFT JOIN tbig tb ON tb.w1 = d.w1 AND tb.w2 = d.w2
+        |  LEFT JOIN thist th ON th.w1 = d.w1
+        |  LEFT JOIN tcont tc ON tc.w2 = d.w2
+        |  CROSS JOIN sizes)
+        |SELECT source, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  round((CAST(sum(occ * lr_mu) AS DOUBLE) / 1e6)
+        |    / CAST(sum(occ) AS DOUBLE), 6) AS avg_logratio
+        |FROM scored GROUP BY 1""".stripMargin
   )
 }

@@ -474,6 +474,40 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("knCrossEntropy: hand-computed interpolated Kneser-Ney on a tiny corpus") {
+    import spark.implicits._
+    // bigram types: (a,b)=2, (b,a)=1, (b,c)=1 -> T=3; vocab {a,b,c} -> V=3;
+    // hist: c1(a)=2 n1p(a)=1, c1(b)=2 n1p(b)=2; cont: nc(a)=nc(b)=nc(c)=1
+    // p(b|a) = [(4*2-3)*6 + 3*1*2] / [4*2*6] = 36/48 = 0.75  -> -287682
+    // p(a|b) = p(c|b) = [(4*1-3)*6 + 3*2*2] / 48 = 18/48 = 0.375 -> -980829
+    // d1 "a b a b": (2*287682 + 980829)/3 = 1556193/3 = 518731 exactly
+    // d2 "b c": 980829
+    val tiny = Seq(1L -> "a b a b", 2L -> "b c").toDF("doc_id", "text")
+    val out = graft.operators.TextLm.knCrossEntropy(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 0.518731), (2L, 1L, 0.980829)))
+  }
+
+  test("knImportanceWeights: hand-computed ladder — observed / history-only / unseen-history") {
+    import spark.implicits._
+    // target = d1 "a b"; general adds d2 "a c b"
+    // general: types (a,b),(a,c),(c,b) -> gt=3, gv=3 -> gt+gv=6
+    //   p_g(b|a) = [1*6 + 3*2*(2+1)]/48 = 24/48 = 0.5        -> -693147
+    //   p_g(c|a) = [6 + 3*2*2]/48      = 18/48 = 0.375       -> -980829
+    //   p_g(b|c) = [6 + 3*1*3]/24      = 15/24 = 0.625       -> -470004
+    // target: type (a,b) only -> tt=1, tv=2 -> tt+tv=3
+    //   observed      (a,b): [1*3 + 3*1*2]/12 = 9/12 = 0.75  -> -287682
+    //   history-only  (a,c): [0 + 3*1*(0+1)]/12 = 3/12 = 0.25 -> -1386294
+    //   unseen-history(c,b): (tnc(b)+1)/3 = 2/3               -> -405465
+    // s1: (405465)/1e6 = 0.405465 ; s2: (-405465 + 64539)/2e6 = -0.170463
+    val df = Seq((1L, "s1", "en", "a b"), (2L, "s2", "de", "a c b"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = graft.operators.TextLm.knImportanceWeights(
+        df, "doc_id", "text", "source", col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(("s1", 1L, 0.405465), ("s2", 2L, -0.170463)))
+  }
+
   test("capPerKey: bit-identical to the row_number formulation, window-free plan, cap respected") {
     val d = docs.select(col("doc_id"), col("source"))
     val capped = graft.operators.Scale.capPerKey(d, "source", "doc_id", cap = 3)
