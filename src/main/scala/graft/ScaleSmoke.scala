@@ -217,6 +217,22 @@ import org.apache.spark.sql.functions._
   * ~1.6x at 10x docs — the three token scans and per-doc score rows are
   * linear while the NB/LID/LM models stay vocab-/class-bounded.
   *
+  * Round-14 curves (quiet box, 2026-08-15, sf0.1×10):
+  * {{{
+  *   kn_xent         1x rows=5000   4.3 s   10x rows=50000  5.7 s
+  *   kn_dsir         1x rows=20     1.7 s   10x rows=20     4.3 s
+  *   dedup_pipeline  1x rows=5000   8.9 s   10x rows=50000  39.2 s
+  * }}}
+  * The KN curves repeat the lm_xent/dsir_weights argument: replicas add
+  * occurrences, never bigram TYPES, so the whole KN model (history sums,
+  * continuation type counts, T, V) is constant across factors — 1.3x /
+  * 2.5x cost at 10x input is tokenize + doc-keyed aggregation. The
+  * pipeline's 4.4x at 10x is the minhash stage's own adversarial
+  * replica curve (every replica pair is a true J=1.0 pair; candidates
+  * grow ~factor² per original) — the exact stage then removes 90% of
+  * the corpus, so components + semantic run on a survivor set constant
+  * across factors, exactly the funnel design.
+  *
   * Round-13 shelf curves (quiet box, 2026-08-14, sf0.001×10):
   * {{{
   *   fs_linkage      1x rows=752  3.9 s   10x rows=79920  2.4 s
@@ -1296,6 +1312,39 @@ object ScaleSmoke {
       time(s"kcenter_coreset $label") {
         operators.Similarity.kcenterCoreset(edf, "vec_id", "embedding",
           k = 8).count()
+      }
+    }
+    // KN LM curves: like lm_xent/dsir_weights, exact replicas add
+    // occurrences but no bigram TYPES, so the whole KN model (history
+    // sums, continuation type counts, T, V) is constant across factors —
+    // cost must track the tokenize + doc-keyed aggregates only.
+    for ((label, df) <- Seq(("1x", base), (s"${factor}x", big))) {
+      time(s"kn_xent         $label") {
+        operators.TextLm.knCrossEntropy(df, "doc_id", "text").count()
+      }
+      time(s"kn_dsir         $label") {
+        operators.TextLm.knImportanceWeights(df, "doc_id", "text",
+          "source", col("doc_id") % 5 === 0).count()
+      }
+    }
+    // End-to-end pipeline: replicas are exact dups, so the EXACT stage
+    // absorbs (factor-1)/factor of the corpus and the near-dup/semantic
+    // stages run on a survivor set that is CONSTANT across factors — the
+    // designed funnel shape (each stage shrinks the next stage's input).
+    val embP = Graft.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embPBig = (0 until factor)
+      .map(i => embP.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    for ((label, df, edf) <- Seq(("1x", base, embP),
+        (s"${factor}x", big, embPBig))) {
+      time(s"dedup_pipeline  $label") {
+        operators.TextDedup.dedupPipeline(df, "doc_id", "text",
+          operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
+            threshold = 0.5).select(col("doc_a"), col("doc_b")),
+          operators.Similarity.semanticDupPairs(edf, "vec_id", "embedding",
+            threshold = 0.3, nlist = 8, lloydIters = 2)).count()
       }
     }
     spark.stop()

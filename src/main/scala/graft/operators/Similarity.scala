@@ -509,30 +509,60 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int = 8,
                     lloydIters: Int = 2): DataFrame = {
-    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
-    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
-    val dist2 = dot_d(col("emb"), col("emb")) -
-      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
-      dot_d(col("c_emb"), col("c_emb"))
-    val assign = n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
-      .select(col(idCol), col("b.cid").as("cid"),
-        col("b.emb").as("emb"), col("b.nrm").as("nrm"))
-    val a = assign.select(col("cid"), col(idCol).as("id_a"),
-      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val b = assign.select(col("cid"), col(idCol).as("id_b"),
-      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val dropped = a.join(b, "cid")
-      .where(col("id_a") > col("id_b"))
-      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
-      .where(col("cos") >= threshold)
+    val assign = semAssignment(emb, idCol, vecCol, nlist, lloydIters)
+    val dropped = semPairsFromAssignment(assign, idCol, threshold)
       .select(col("id_a")).distinct()
       .withColumn("__drop", lit(1L))
     assign.select(col(idCol), col("cid"))
       .join(dropped.withColumnRenamed("id_a", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cid"),
         when(col("__drop").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** The semantic duplicate PAIR set behind [[semanticDedup]]'s keep/drop
+    * verdicts: within-cell pairs (id_a > id_b) whose cosine reaches
+    * `threshold`, one row per pair. This is the composable form the
+    * end-to-end dedup pipeline consumes (filter the pair graph to the
+    * stage's survivors, then apply the anchor-greedy policy) — computed
+    * once on the FULL corpus, like every pair graph in the lineage.
+    * Output: id_a, id_b, cid. Same plan shape as [[semanticDedup]]
+    * (cell-confined equi-join, never corpus x corpus). */
+  def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nlist: Int = 8,
+                       lloydIters: Int = 2): DataFrame =
+    semPairsFromAssignment(
+      semAssignment(emb, idCol, vecCol, nlist, lloydIters), idCol, threshold)
+      .select(col("id_a"), col("id_b"), col("cid"))
+
+  /** Shared [[semanticDedup]]/[[semanticDupPairs]] stage 1: Lloyd-trained
+    * cell assignment with each vector's embedding + norm attached. */
+  private def semAssignment(emb: DataFrame, idCol: String, vecCol: String,
+                            nlist: Int, lloydIters: Int): DataFrame = {
+    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
+    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
+    val dist2 = dot_d(col("emb"), col("emb")) -
+      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
+      .select(col(idCol), col("b.cid").as("cid"),
+        col("b.emb").as("emb"), col("b.nrm").as("nrm"))
+  }
+
+  /** Shared stage 2: the within-cell qualifying pairs (id_a > id_b,
+    * cos >= threshold). */
+  private def semPairsFromAssignment(assign: DataFrame, idCol: String,
+                                     threshold: Double): DataFrame = {
+    val a = assign.select(col("cid"), col(idCol).as("id_a"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val b = assign.select(col("cid"), col(idCol).as("id_b"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    a.join(b, "cid")
+      .where(col("id_a") > col("id_b"))
+      .withColumn("cos", dot / (col("q_nrm") * col("c_nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cid"), col("cos"))
   }
 
   /** Hard-negative mining for contrastive training: for each query vector,

@@ -963,4 +963,92 @@ object TextDedup {
         when(col("kept_tiles") === 0, lit(null: String))
           .otherwise(col("__txt")).as("clean_text"))
   }
+
+  /** End-to-end dedup pipeline — the run-this-first worklist a corpus
+    * curation job actually ships: exact → MinHash near-dup → semantic,
+    * applied IN ORDER with min-id retention at each stage, emitting one
+    * row per document with its fate and the doc it was deduplicated
+    * against. This composes the existing lineage (q28 fingerprints, the
+    * q31/q61 pair graph + components, the q142 semantic pair policy) into
+    * ONE operator rather than re-deriving any of it.
+    *
+    * Stage semantics (each stage sees only the previous stage's
+    * survivors):
+    *  1. exact — md5(text) groups; keep min doc_id, attribute the rest to
+    *     it;
+    *  2. near_dup — `nearPairs` (doc_a < doc_b, the FULL-corpus MinHash
+    *     pair graph) restricted to pairs with BOTH endpoints surviving;
+    *     connected components; keep the component min, attribute members
+    *     to it;
+    *  3. semantic — `semPairs` (id_a > id_b, the full-corpus within-cell
+    *     cosine pairs) restricted to surviving endpoints; the
+    *     [[graft.operators.Similarity.semanticDedup]] anchor-greedy rule
+    *     (drop id_a if ANY surviving smaller id qualifies), survivor
+    *     attribution = the smallest such anchor (which, anchor-greedy,
+    *     need not itself survive the stage — the documented q142 policy).
+    *
+    * Pair graphs are computed ONCE on the full corpus and filtered per
+    * stage — the 100 TB shape (signatures/pairs are the expensive
+    * artifacts; retention is cheap joins over them), and what makes the
+    * stage order well-defined: stage k's removals can only shrink later
+    * stages' pair sets. Running the pipeline again on its own survivors
+    * removes nothing (components are collapsed to one member; every
+    * semantic anchor pair has been cut) — the idempotence the spec pins.
+    *
+    * Output: (doc_id, stage ∈ exact|near_dup|semantic|retained,
+    * survivor_id; retained rows carry their own id). Exactly one row per
+    * input document. Scale: fingerprint groupBy + pair-keyed joins +
+    * id-keyed anti-joins; the only iteration is inside
+    * [[connectedComponents]] (component-diameter rounds over the near-dup
+    * graph, cliques in practice). Worklists are persisted per stage via
+    * [[CacheScope]] — each survivor set feeds three consumers. */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    nearPairs: DataFrame, semPairs: DataFrame): DataFrame = {
+    val fp = CacheScope.persist(docs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("__f")))
+    val k1 = fp.groupBy(col("__f")).agg(min(col("doc_id")).as("survivor_id"))
+    val tagged = CacheScope.persist(fp.join(k1, "__f"))
+    val ex = tagged.where(col("doc_id") =!= col("survivor_id"))
+      .select(col("doc_id"), lit("exact").as("stage"), col("survivor_id"))
+    val s1 = CacheScope.persist(
+      tagged.where(col("doc_id") === col("survivor_id")).select(col("doc_id")))
+    val p2 = nearPairs
+      .join(s1.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(s1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"))
+    val nd = CacheScope.persist(connectedComponents(p2)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit("near_dup").as("stage"),
+        col("cluster_id").as("survivor_id")))
+    val s2 = CacheScope.persist(
+      s1.join(nd.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val sem = CacheScope.persist(semPairs
+      .join(s2.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(s2.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("survivor_id"))
+      .select(col("id_a").as("doc_id"), lit("semantic").as("stage"),
+        col("survivor_id")))
+    val retained = s2.join(sem.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("retained").as("stage"),
+        col("doc_id").as("survivor_id"))
+    ex.unionByName(nd).unionByName(sem).unionByName(retained)
+  }
+
+  /** The [[dedupPipeline]] funnel: per-stage docs_in / docs_removed /
+    * docs_out in stage order — the attrition report a curation run logs.
+    * One 1-row aggregate over the worklist, stacked to three rows. */
+  def dedupFunnel(worklist: DataFrame): DataFrame =
+    worklist.agg(
+        count(lit(1)).as("__total"),
+        coalesce(sum(when(col("stage") === "exact", 1L)), lit(0L)).as("__r1"),
+        coalesce(sum(when(col("stage") === "near_dup", 1L)), lit(0L)).as("__r2"),
+        coalesce(sum(when(col("stage") === "semantic", 1L)), lit(0L)).as("__r3"))
+      .select(expr(
+        """stack(3,
+          |  CAST(1 AS BIGINT), 'exact',    __total,               __r1,
+          |  CAST(2 AS BIGINT), 'near_dup', __total - __r1,        __r2,
+          |  CAST(3 AS BIGINT), 'semantic', __total - __r1 - __r2, __r3)
+          |AS (stage_order, stage, docs_in, docs_removed)""".stripMargin))
+      .withColumn("docs_out", col("docs_in") - col("docs_removed"))
 }

@@ -86,6 +86,28 @@ object LlmQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** The q345/q346 end-to-end dedup worklist (exact → near-dup →
+    * semantic, per-doc fate + survivor), session-shared like
+    * [[nearDupPairs]]: the worklist query and its funnel both consume one
+    * build, and the persisted result is |docs| rows. The near-dup stage
+    * reuses the shared MinHash pair graph; the semantic pair set is the
+    * q142 cell lineage's pair form. Standalone semantics: a cold call
+    * rebuilds identically. */
+  private val worklistCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def dedupWorklist(s: SparkSession, d: String): DataFrame = {
+    worklistCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    worklistCache.getOrElseUpdate((s, d),
+      TextDedup.dedupPipeline(
+        table(s, d, "documents"), "doc_id", "text",
+        nearDupPairs(s, d),
+        Similarity.semanticDupPairs(
+          table(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, nlist = 8, lloydIters = 2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
@@ -1364,12 +1386,139 @@ object LlmQueries {
     "q344_kn_importance_weights" -> ((s, d) =>
       graft.operators.TextLm.knImportanceWeights(
         table(s, d, "documents"), "doc_id", "text", "source",
-        col("lang") === "en"))
+        col("lang") === "en")),
+
+    // End-to-end dedup pipeline worklist: exact → MinHash near-dup →
+    // semantic in sequence (each stage sees the previous stage's
+    // survivors; pair graphs computed once on the full corpus), one row
+    // per document with its fate + survivor attribution. Composes the
+    // q28/q31/q61/q91/q142 lineage into the run-this-first curation
+    // recipe. See TextDedup.dedupPipeline.
+    "q345_dedup_pipeline" -> ((s, d) => dedupWorklist(s, d)),
+
+    // The q345 funnel: per-stage docs_in / docs_removed / docs_out in
+    // stage order — the attrition report a curation run logs. One 1-row
+    // aggregate over the shared worklist. See TextDedup.dedupFunnel.
+    "q346_dedup_funnel" -> ((s, d) =>
+      TextDedup.dedupFunnel(dedupWorklist(s, d)))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
     * components (the same `nearDupPairs` -> `connectedComponents` lineage the
     * Spark side shares between q61 and q91): ends at `reach(id, r)`. */
+  /** Shared CTE chain (no WITH keyword) deriving the q142 SemDeDup cell
+    * ASSIGNMENT — embeddings, norms, 2 Lloyd rounds from the vec_id<8
+    * seeds, final cell + emb + nrm per vector as `assign`. Reused by the
+    * q142 oracle and the q345/q346 pipeline composition. */
+  private lazy val semAssignCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
+        |      FROM e),
+        |c0 AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, emb, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM (
+        |    SELECT e.vec_id, e.emb, c.cid,
+        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
+        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |    FROM e, c0 c)),
+        |m1 AS (
+        |  SELECT cid, i,
+        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+        |        FROM a1 WHERE crn = 1)
+        |  GROUP BY cid, i),
+        |c1 AS (SELECT c0.cid, coalesce(nc.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN
+        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1 GROUP BY cid) nc
+        |       ON c0.cid = nc.cid),
+        |a2 AS (
+        |  SELECT vec_id, emb, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM (
+        |    SELECT e.vec_id, e.emb, c.cid,
+        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
+        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |    FROM e, c1 c)),
+        |m2 AS (
+        |  SELECT cid, i,
+        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
+        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
+        |        FROM a2 WHERE crn = 1)
+        |  GROUP BY cid, i),
+        |c2 AS (SELECT c1.cid, coalesce(nc.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN
+        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m2 GROUP BY cid) nc
+        |       ON c1.cid = nc.cid),
+        |dists AS (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cid,
+        |    list_reduce(list_transform(n.emb, x -> x*x), (a,x) -> a+x)
+        |      - 2.0 * list_reduce(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*c.c_emb[i]), (a,x) -> a+x)
+        |      + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
+        |  FROM n, c2 c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
+        |  FROM dists),
+        |assign AS MATERIALIZED (SELECT vec_id, cid, emb, nrm FROM ranked WHERE crn = 1)"""
+      .stripMargin
+
+  /** Full q345/q346 pipeline CTE chain ending in the worklist `wl`:
+    * the exact-fingerprint stage, components over the MinHash pairs
+    * restricted to exact survivors ([[minhashPairsCte]] + filtered
+    * edges), and the q142 anchor-greedy semantic stage
+    * ([[semAssignCte]]'s cells) restricted to near-dup survivors —
+    * the verbatim mirror of TextDedup.dedupPipeline. */
+  private lazy val dedupPipelineCte =
+    "WITH RECURSIVE " + minhashPairsCte + ",\n" + semAssignCte + """,
+      |fp AS MATERIALIZED (SELECT doc_id, md5(text) AS f FROM documents),
+      |k1 AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f),
+      |tagged AS MATERIALIZED (
+      |  SELECT fp.doc_id, k1.keeper FROM fp JOIN k1 USING (f)),
+      |ex AS (SELECT doc_id, 'exact' AS stage, keeper AS survivor_id
+      |       FROM tagged WHERE doc_id <> keeper),
+      |s1 AS MATERIALIZED (SELECT doc_id FROM tagged WHERE doc_id = keeper),
+      |p2 AS (SELECT p.doc_a, p.doc_b FROM pairs p
+      |       JOIN s1 sa ON sa.doc_id = p.doc_a
+      |       JOIN s1 sb ON sb.doc_id = p.doc_b),
+      |edges AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p2
+      |  UNION SELECT doc_b, doc_a FROM p2),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |cl AS MATERIALIZED (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |nd AS MATERIALIZED (
+      |  SELECT doc_id, 'near_dup' AS stage, cluster_id AS survivor_id
+      |  FROM cl WHERE doc_id <> cluster_id),
+      |s2 AS MATERIALIZED (
+      |  SELECT s1.doc_id FROM s1 LEFT JOIN nd USING (doc_id)
+      |  WHERE nd.doc_id IS NULL),
+      |sp AS MATERIALIZED (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM assign a JOIN assign b
+      |    ON a.cid = b.cid AND a.vec_id > b.vec_id
+      |  WHERE list_reduce(list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*b.emb[i]), (x,y) -> x+y)
+      |      / (a.nrm * b.nrm) >= 0.3),
+      |p3 AS (SELECT sp.id_a, sp.id_b FROM sp
+      |       JOIN s2 sa ON sa.doc_id = sp.id_a
+      |       JOIN s2 sb ON sb.doc_id = sp.id_b),
+      |sem AS MATERIALIZED (
+      |  SELECT id_a AS doc_id, 'semantic' AS stage,
+      |    min(id_b) AS survivor_id
+      |  FROM p3 GROUP BY id_a),
+      |ret AS (SELECT s2.doc_id, 'retained' AS stage,
+      |    s2.doc_id AS survivor_id
+      |  FROM s2 LEFT JOIN sem USING (doc_id) WHERE sem.doc_id IS NULL),
+      |wl AS (SELECT * FROM ex UNION ALL SELECT * FROM nd
+      |       UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM ret)"""
+      .stripMargin
+
   /** Shared CTE chain deriving the interpolated-KN bigram model (q342 +
     * q343): doc-level bigram counts `db`, observed-type table `big`,
     * history sums/continuation-type counts, the (T, V) size row, and the
@@ -1401,10 +1550,14 @@ object LlmQueries {
       |  FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tv)"""
       .stripMargin
 
-  private val clusterCte =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+  /** Shared CTE chain (no WITH) from tokenized docs to the verified
+    * MinHash near-dup pair set `pairs` — the q31 lineage. Composed by
+    * [[clusterCte]] (components over ALL pairs) and by the q345/q346
+    * pipeline oracle (components over the exact-stage survivors only). */
+  private lazy val minhashPairsCte =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
       |  WHERE len(string_split(text,' ')) >= 3),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
       |    FROM toks)),
@@ -1423,14 +1576,16 @@ object LlmQueries {
       |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
       |  GROUP BY doc_a, doc_b),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT doc_a, doc_b,
       |      CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
       |    FROM inter
       |    JOIN sizes na ON na.doc_id = doc_a
       |    JOIN sizes nb ON nb.doc_id = doc_b)
-      |  WHERE jaccard >= 0.5),
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
+  private lazy val clusterCte = "WITH RECURSIVE " + minhashPairsCte + """,
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION SELECT doc_b, doc_a FROM pairs),
       |reach(id, r) AS (
@@ -3196,60 +3351,7 @@ object LlmQueries {
     // micro-unit exact means, emptied centroids carried forward), then
     // within-cluster pairs against earlier ids at the same sequential-fold
     // cosine.
-    "q142_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb,
-        |        sqrt(list_reduce(list_transform(emb, x -> x*x), (a,x) -> a+x)) AS nrm
-        |      FROM e),
-        |c0 AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, emb, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
-        |  FROM (
-        |    SELECT e.vec_id, e.emb, c.cid,
-        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
-        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
-        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
-        |    FROM e, c0 c)),
-        |m1 AS (
-        |  SELECT cid, i,
-        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
-        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
-        |        FROM a1 WHERE crn = 1)
-        |  GROUP BY cid, i),
-        |c1 AS (SELECT c0.cid, coalesce(nc.c_emb, c0.c_emb) AS c_emb
-        |       FROM c0 LEFT JOIN
-        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m1 GROUP BY cid) nc
-        |       ON c0.cid = nc.cid),
-        |a2 AS (
-        |  SELECT vec_id, emb, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
-        |  FROM (
-        |    SELECT e.vec_id, e.emb, c.cid,
-        |      list_reduce(list_transform(e.emb, x -> x*x), (a,x) -> a+x)
-        |        - 2.0 * list_reduce(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*c.c_emb[i]), (a,x) -> a+x)
-        |        + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
-        |    FROM e, c1 c)),
-        |m2 AS (
-        |  SELECT cid, i,
-        |    CAST(sum(CAST(round(x * 1e7) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e7 AS m
-        |  FROM (SELECT cid, unnest(range(1, len(emb)+1)) AS i, unnest(emb) AS x
-        |        FROM a2 WHERE crn = 1)
-        |  GROUP BY cid, i),
-        |c2 AS (SELECT c1.cid, coalesce(nc.c_emb, c1.c_emb) AS c_emb
-        |       FROM c1 LEFT JOIN
-        |         (SELECT cid, list(m ORDER BY i) AS c_emb FROM m2 GROUP BY cid) nc
-        |       ON c1.cid = nc.cid),
-        |dists AS (
-        |  SELECT n.vec_id, n.emb, n.nrm, c.cid,
-        |    list_reduce(list_transform(n.emb, x -> x*x), (a,x) -> a+x)
-        |      - 2.0 * list_reduce(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*c.c_emb[i]), (a,x) -> a+x)
-        |      + list_reduce(list_transform(c.c_emb, x -> x*x), (a,x) -> a+x) AS d2
-        |  FROM n, c2 c),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS crn
-        |  FROM dists),
-        |assign AS (SELECT vec_id, cid, emb, nrm FROM ranked WHERE crn = 1),
+    "q142_semantic_dedup" -> ("WITH " + semAssignCte + """,
         |p AS (
         |  SELECT a.vec_id AS id_a
         |  FROM assign a JOIN assign b
@@ -3259,7 +3361,9 @@ object LlmQueries {
         |dr AS (SELECT DISTINCT id_a FROM p)
         |SELECT a.vec_id, a.cid,
         |  CAST(CASE WHEN dr.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM assign a LEFT JOIN dr ON a.vec_id = dr.id_a""".stripMargin,
+        |FROM assign a LEFT JOIN dr ON a.vec_id = dr.id_a""".stripMargin),
+
+
 
     // Mirrors q143 over the shared cluster lineage: the q91 keep rule, then
     // one per-source rollup.
@@ -3962,6 +4066,28 @@ object LlmQueries {
         |SELECT source, CAST(sum(occ) AS BIGINT) AS n_bigrams,
         |  round((CAST(sum(occ * lr_mu) AS DOUBLE) / 1e6)
         |    / CAST(sum(occ) AS DOUBLE), 6) AS avg_logratio
-        |FROM scored GROUP BY 1""".stripMargin
+        |FROM scored GROUP BY 1""".stripMargin,
+
+    // Mirrors TextDedup.dedupPipeline over the composed lineage (minhash
+    // pairs + semantic cells + the exact/near/semantic worklist chain).
+    "q345_dedup_pipeline" -> (dedupPipelineCte + """
+        |SELECT doc_id, stage, survivor_id FROM wl""".stripMargin),
+
+    // Mirrors TextDedup.dedupFunnel: one 1-row aggregate over the same
+    // worklist, stacked to stage-ordered funnel rows.
+    "q346_dedup_funnel" -> (dedupPipelineCte + """,
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(coalesce(sum(CASE WHEN stage = 'exact' THEN 1 END), 0) AS BIGINT) AS r1,
+        |    CAST(coalesce(sum(CASE WHEN stage = 'near_dup' THEN 1 END), 0) AS BIGINT) AS r2,
+        |    CAST(coalesce(sum(CASE WHEN stage = 'semantic' THEN 1 END), 0) AS BIGINT) AS r3
+        |  FROM wl)
+        |SELECT CAST(1 AS BIGINT) AS stage_order, 'exact' AS stage,
+        |  total AS docs_in, r1 AS docs_removed, total - r1 AS docs_out FROM agg
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'near_dup', total - r1, r2,
+        |  total - r1 - r2 FROM agg
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'semantic', total - r1 - r2, r3,
+        |  total - r1 - r2 - r3 FROM agg""".stripMargin)
   )
 }

@@ -29,5 +29,6 @@ object SharedCaches {
     "ngram_jaccard_pairs" -> (LlmQueries.ngramPairs _),
     "winnow_pairs" -> (LlmQueries.winnowPairs _),
     "ppjoin_pairs" -> (MlQueries.ppjoinPairsShared _),
-    "brand_lift" -> (InferQueries.brandLift _))
+    "brand_lift" -> (InferQueries.brandLift _),
+    "dedup_worklist" -> (LlmQueries.dedupWorklist _))
 }
