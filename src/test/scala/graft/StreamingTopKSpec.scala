@@ -125,6 +125,62 @@ class StreamingTopKSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MMD drift: emitted cells bit-equal to the batch fold across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Seq[Float])]
+    // two windows; window 10:00 carries two drifted groups (a ~ +1 on
+    // dim 0, b ~ -1), window 12:00 one group only (no pair emitted)
+    val vecs = Seq(
+      (ts("2025-01-01 10:05:00"), "a", Seq(1.0f, 0.25f)),
+      (ts("2025-01-01 10:10:00"), "a", Seq(0.5f, 0.75f)),
+      (ts("2025-01-01 10:15:00"), "a", Seq(1.5f, 0.125f)),
+      (ts("2025-01-01 10:20:00"), "b", Seq(-1.0f, 0.25f)),
+      (ts("2025-01-01 10:25:00"), "b", Seq(-0.5f, 0.33f)),
+      (ts("2025-01-01 12:05:00"), "a", Seq(0.0f, 0.0f)))
+    val q = graft.streaming.StreamingMmdDrift.componentSums(
+        input.toDF().toDF("ts", "g", "embedding"), "ts", "g", "embedding",
+        windowDur = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("mmd_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // adversarial split: group a's window-1 rows straddle the batches
+      input.addData(vecs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(vecs.drop(2): _*)
+      q.processAllAvailable()
+      val sink = spark.sql(
+        """SELECT window_start, g, d, s, n FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY window_start, g, d
+          |    ORDER BY n DESC) AS rn FROM mmd_stream)
+          |WHERE rn = 1""".stripMargin)
+      val streamed = graft.streaming.StreamingMmdDrift.mmdFromSums(sink)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      // batch reference: the SAME rows through the batch operator,
+      // per-window — micro-unit-at-first-appearance makes it bit-equal
+      val batch = vecs.toDF("ts", "g", "embedding")
+        .withColumn("w", org.apache.spark.sql.functions
+          .window(col("ts"), "1 hour").getField("start"))
+        .groupBy(col("w")).agg(count(lit(1)).as("__n"))
+        .collect().map(_.getTimestamp(0)).flatMap { w =>
+          graft.operators.Similarity.linearMmdDrift(
+              vecs.toDF("ts", "g", "embedding")
+                .where(org.apache.spark.sql.functions
+                  .window(col("ts"), "1 hour").getField("start") === w),
+              "g", "embedding")
+            .collect().map(r => (w, r.getString(0), r.getString(1),
+              r.getLong(2), r.getLong(3), r.getDouble(4)))
+        }.toSet
+      assert(streamed == batch,
+        s"streamed MMD must be bit-equal to batch: $streamed vs $batch")
+      // window 1 has the constructed pair; window 2 has one group -> none
+      assert(streamed.exists(t => t._1 == ts("2025-01-01 10:00:00") &&
+        t._2 == "a" && t._3 == "b" && t._4 == 3L && t._5 == 2L && t._6 > 1.0))
+      assert(!streamed.exists(_._1 == ts("2025-01-01 12:00:00")))
+    } finally q.stop()
+  }
+
   test("sampledTopTerms (batch twin): exact when n <= k; repartition-invariant") {
     import spark.implicits._
     val occ = Seq(
