@@ -570,6 +570,13 @@ object MlQueries {
   /** q211 oracle: the q59 exact-corr formula per pair, sums shared. */
   private def corrMatrixOracle: String = {
     def dc(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    // decimal -> double must go THROUGH VARCHAR: DuckDB's direct
+    // DECIMAL->DOUBLE cast double-rounds (int128 -> double, then /10^scale
+    // — measured 1 ulp off on the sf0.1 Σx² sums, whose unscaled values
+    // pass 2^63), while Spark's BigDecimal.doubleValue and DuckDB's
+    // string parse are both correctly rounded. Exact sums below 2^53
+    // unscaled are unaffected either way.
+    def dd(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
     val sums =
       corrCols.map(c => s"sum(${dc(c)}) AS s_$c") ++
         corrCols.map(c => s"sum(${dc(c)} * ${dc(c)}) AS q_$c") ++
@@ -580,12 +587,12 @@ object MlQueries {
       yield {
         val (a, b) = (corrCols(i), corrCols(j))
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
-           |  (CAST(n AS DOUBLE) * CAST(p_${a}__$b AS DOUBLE)
-           |     - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
-           |  / (sqrt(CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE)
-           |       - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
-           |     * sqrt(CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE)
-           |       - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS corr
+           |  (CAST(n AS DOUBLE) * ${dd(s"p_${a}__$b")}
+           |     - ${dd(s"s_$a")} * ${dd(s"s_$b")})
+           |  / (sqrt(CAST(n AS DOUBLE) * ${dd(s"q_$a")}
+           |       - ${dd(s"s_$a")} * ${dd(s"s_$a")})
+           |     * sqrt(CAST(n AS DOUBLE) * ${dd(s"q_$b")}
+           |       - ${dd(s"s_$b")} * ${dd(s"s_$b")})) AS corr
            |FROM c""".stripMargin
       }).mkString("\nUNION ALL\n")
     s"""WITH c AS (SELECT count(*) AS n,

@@ -402,8 +402,14 @@ object ScaleQueries {
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(Relational.sumExact(
-            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        // decimal-FIRST product (the q14/q146 pattern): casting the raw
+        // 2-dp doubles to DECIMAL is engine-stable, multiplying doubles
+        // BEFORE the cast is not — the sf0.1 gate caught one product on a
+        // half-cent boundary where Spark's and DuckDB's double->decimal
+        // roundings disagreed by a cent
+        .agg(sum(Relational.dec(col("l_extendedprice")) *
+            (lit(1) - Relational.dec(col("l_discount"))))
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))),
 
     // TPC-H Q8-shaped market share: per order-year within region ASIA,
@@ -1630,7 +1636,8 @@ object ScaleQueries {
 
     "q133_region_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(12,2)))
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))))
         |    AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM customer JOIN orders ON c_custkey = o_custkey
