@@ -221,6 +221,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   kn_xent         1x rows=5000   4.3 s   10x rows=50000  5.7 s
   *   kn_dsir         1x rows=20     1.7 s   10x rows=20     4.3 s
+  *   kn3_xent        1x rows=5000   6.9 s   10x rows=50000  11.0 s
   *   dedup_pipeline  1x rows=5000   8.9 s   10x rows=50000  39.2 s
   * }}}
   * The KN curves repeat the lm_xent/dsir_weights argument: replicas add
@@ -1325,6 +1326,9 @@ object ScaleSmoke {
       time(s"kn_dsir         $label") {
         operators.TextLm.knImportanceWeights(df, "doc_id", "text",
           "source", col("doc_id") % 5 === 0).count()
+      }
+      time(s"kn3_xent        $label") {
+        operators.TextLm.kn3CrossEntropy(df, "doc_id", "text").count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

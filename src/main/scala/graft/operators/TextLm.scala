@@ -136,6 +136,96 @@ object TextLm {
           / lit(1e6)).as("xent"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM cross-entropy — the full KN
+    * recursion [[knCrossEntropy]]'s bigram form is the base case of
+    * (production LM-quality pipelines run KN-smoothed higher-order
+    * models; the recursion below is Chen & Goodman 1998's interpolated
+    * form at order 3, D = 3/4 at every level):
+    *
+    *   p3(w3|w1w2) = (c(w1w2w3) − D)⁺/c(w1w2)
+    *               + D·N1+(w1w2·)/c(w1w2) · p2(w3|w2)
+    *   p2(w3|w2)   = (N1+(·w2w3) − D)⁺/N1+(·w2·)
+    *               + D·N1+(w2·)/N1+(·w2·) · p1(w3)     [continuation cnts]
+    *   p1(w3)      = (N1+(·w3) + 1)/(T2 + V)           [add-one floored]
+    *
+    * where the middle level runs on TRIGRAM-TYPE counts (N1+(·w2w3) =
+    * distinct w1 preceding (w2,w3); N1+(·w2·) = trigram types with middle
+    * w2) and the bottom on BIGRAM-TYPE counts — the defining KN property
+    * that lower orders model CONTEXT DIVERSITY, not raw frequency.
+    *
+    * Determinism: every count is an exact BIGINT; the three-level value is
+    * computed per trigram TYPE in FIXED-ORDER double arithmetic (each
+    * operand an exactly-representable integer; the formula text is
+    * identical in both engines, and IEEE ops at fixed order are
+    * deterministic — the q59/q211 components-exact-formula-in-doubles
+    * discipline; exact three-level rationals overflow Long at warehouse
+    * type counts, so doubles-at-fixed-order is the scalable form), then
+    * micro-nat quantized once; per-doc sums are exact occ-weighted BIGINT
+    * sums with the house half-up terminal division. Counts stay exactly
+    * representable while trigram occurrences < 2^51 per history.
+    *
+    * Scale: the model is three Zipf-bounded TYPE tables (trigram, its two
+    * marginal projections, bigram) joined on trigram/bigram/word keys plus
+    * one broadcast (T2, V) row — same shape class as [[knCrossEntropy]],
+    * one order deeper. Docs with fewer than three tokens have no trigrams
+    * and are omitted. Output: doc_id, n_trigrams, xent. */
+  def kn3CrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    // the >= 3 guard keeps slice's length argument non-negative (Spark
+    // slice THROWS on negative length; a 1-token doc would pass -1)
+    val tris = toks.where(size(col("t")) >= 3).select(col(idCol),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 2)").as("w1"),
+          expr("slice(t, 2, size(t) - 2)").as("w2"),
+          expr("slice(t, 3, size(t) - 2)").as("w3"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+    val docTri = tris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("occ"))
+    val tri = docTri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("occ")).as("c3"))
+    val hist12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("npt"))
+    val sub23 = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ns"))
+    val mid2 = sub23.groupBy(col("w2")).agg(sum(col("ns")).as("nm"))
+    // bigram TYPE table for the bottom two levels' continuation stats
+    val big = toks.select(
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("b1"),
+          expr("slice(t, 2, size(t) - 1)").as("b2"))).as("p"))
+      .select(col("p.b1").as("b1"), col("p.b2").as("b2")).distinct()
+    val npb = big.groupBy(col("b1")).agg(count(lit(1)).as("npb"))
+      .withColumnRenamed("b1", "w2")
+    val cont = big.groupBy(col("b2")).agg(count(lit(1)).as("nc"))
+      .withColumnRenamed("b2", "w3")
+    val sizes = big.agg(count(lit(1)).as("t2")).crossJoin(
+      toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val model = tri
+      .join(hist12, Seq("w1", "w2"))
+      .join(sub23, Seq("w2", "w3"))
+      .join(mid2, Seq("w2"))
+      .join(npb, Seq("w2"))
+      .join(cont, Seq("w3"))
+      .crossJoin(broadcast(sizes))
+      .withColumn("lp_mu", expr(
+        """CAST(round(ln(
+          |  CAST(greatest(4 * c3 - 3, 0) AS DOUBLE) / CAST(4 * c12 AS DOUBLE)
+          |  + CAST(3 * npt AS DOUBLE) / CAST(4 * c12 AS DOUBLE)
+          |    * (CAST(greatest(4 * ns - 3, 0) AS DOUBLE) / CAST(4 * nm AS DOUBLE)
+          |       + CAST(3 * npb AS DOUBLE) / CAST(4 * nm AS DOUBLE)
+          |         * (CAST(nc + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE)))
+          |) * 1e6) AS BIGINT)""".stripMargin))
+      .select(col("w1"), col("w2"), col("w3"), col("lp_mu"))
+    docTri.join(model, Seq("w1", "w2", "w3"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col(idCol), col("m").as("n_trigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with
     * [[bigramCrossEntropy]], split each group's score distribution into
     * head / middle / tail terciles (head = most fluent), and report the

@@ -1400,7 +1400,16 @@ object LlmQueries {
     // stage order — the attrition report a curation run logs. One 1-row
     // aggregate over the shared worklist. See TextDedup.dedupFunnel.
     "q346_dedup_funnel" -> ((s, d) =>
-      TextDedup.dedupFunnel(dedupWorklist(s, d)))
+      TextDedup.dedupFunnel(dedupWorklist(s, d))),
+
+    // Full interpolated Kneser-Ney at order 3: discounted trigram layer
+    // backing into CONTINUATION-count bigram and unigram layers (the
+    // defining KN property), fixed-order double evaluation per trigram
+    // TYPE, micro-nat quantization, exact per-doc sums. See
+    // TextLm.kn3CrossEntropy.
+    "q347_kn3_xent" -> ((s, d) =>
+      graft.operators.TextLm.kn3CrossEntropy(
+        table(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -4088,6 +4097,55 @@ object LlmQueries {
         |  total - r1 - r2 FROM agg
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'semantic', total - r1 - r2, r3,
-        |  total - r1 - r2 - r3 FROM agg""".stripMargin)
+        |  total - r1 - r2 - r3 FROM agg""".stripMargin),
+
+    // Mirrors TextLm.kn3CrossEntropy: trigram/bigram TYPE tables and
+    // their marginals, the identical fixed-order double formula per
+    // trigram type (operand-for-operand — IEEE ops at fixed order are
+    // engine-deterministic), micro-nat quantization, exact per-doc sums.
+    "q347_kn3_xent" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, w1, w2, w3, count(*) AS occ FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
+        |      unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3
+        |    FROM toks WHERE len(t) >= 3)
+        |  GROUP BY 1, 2, 3, 4),
+        |tri AS MATERIALIZED (
+        |  SELECT w1, w2, w3, CAST(sum(occ) AS BIGINT) AS c3
+        |  FROM dt GROUP BY 1, 2, 3),
+        |h12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+        |    CAST(count(*) AS BIGINT) AS npt FROM tri GROUP BY 1, 2),
+        |s23 AS MATERIALIZED (SELECT w2, w3,
+        |    CAST(count(*) AS BIGINT) AS ns FROM tri GROUP BY 1, 2),
+        |m2 AS (SELECT w2, CAST(sum(ns) AS BIGINT) AS nm FROM s23 GROUP BY 1),
+        |big AS MATERIALIZED (SELECT DISTINCT b1, b2 FROM (
+        |    SELECT unnest(t[1:len(t)-1]) AS b1, unnest(t[2:len(t)]) AS b2
+        |    FROM toks)),
+        |npb AS (SELECT b1 AS w2, CAST(count(*) AS BIGINT) AS npb
+        |        FROM big GROUP BY 1),
+        |cont AS (SELECT b2 AS w3, CAST(count(*) AS BIGINT) AS nc
+        |         FROM big GROUP BY 1),
+        |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS t2,
+        |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+        |       FROM (SELECT unnest(t) AS w FROM toks)) AS v),
+        |model AS (
+        |  SELECT tri.w1, tri.w2, tri.w3,
+        |    CAST(round(ln(
+        |      CAST(greatest(4 * c3 - 3, 0) AS DOUBLE) / CAST(4 * c12 AS DOUBLE)
+        |      + CAST(3 * npt AS DOUBLE) / CAST(4 * c12 AS DOUBLE)
+        |        * (CAST(greatest(4 * ns - 3, 0) AS DOUBLE) / CAST(4 * nm AS DOUBLE)
+        |           + CAST(3 * npb AS DOUBLE) / CAST(4 * nm AS DOUBLE)
+        |             * (CAST(nc + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE)))
+        |    ) * 1e6) AS BIGINT) AS lp_mu
+        |  FROM tri JOIN h12 USING (w1, w2) JOIN s23 USING (w2, w3)
+        |  JOIN m2 USING (w2) JOIN npb USING (w2) JOIN cont USING (w3)
+        |  CROSS JOIN tv)
+        |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_trigrams,
+        |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
+        |FROM dt JOIN model USING (w1, w2, w3)
+        |GROUP BY doc_id""".stripMargin
   )
 }
