@@ -134,13 +134,20 @@ object ModelEval {
   /** Population Stability Index between cohort A's and cohort B's score
     * distributions over `nBins` fixed-width bins of the pooled value
     * range, with add-one (Laplace) smoothing so empty cells stay finite:
-    * PSI = Σ (p−q)·ln(p/q), folded LEFT over the bin-sorted term list
-    * (the q204 discipline). Rule of thumb: < 0.1 stable, > 0.25 shifted.
+    * PSI = Σ (p−q)·ln(p/q). Rule of thumb: < 0.1 stable, > 0.25 shifted.
     * Output: one row — n_a, n_b, n_bins_hit (bins with any data; empty
     * bins contribute exactly 0 under smoothing, p = q), psi.
     *
-    * Bin assignment is all-integer against the 1-row pooled bounds:
-    * bin = (v−mn)·nBins div (mx−mn+1). */
+    * Determinism: with B = nBins, p − q =
+    * [(ca+1)(nb+B) − (cb+1)(na+B)] / [(na+B)(nb+B)] — an exact BIGINT
+    * numerator over a bin-independent denominator — and ln(p/q) gets the
+    * house micro-nat quantization (its argument is one division of two
+    * exactly-representable integer products), so the per-bin terms sum as
+    * exact BIGINTs in ANY order and psi is two fixed-order terminal
+    * divisions. The previous left-fold over raw double terms still let a
+    * 1-ulp Math.log-vs-libm difference through (caught by the sf0.1
+    * gate); the quantization absorbs it. Bin assignment is all-integer
+    * against the 1-row pooled bounds: bin = (v−mn)·nBins div (mx−mn+1). */
   def psi(df: DataFrame, groupCol: String, groupA: String, groupB: String,
           scoreCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least two bins")
@@ -155,18 +162,21 @@ object ModelEval {
       .groupBy(col("bin"))
       .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
     val tot = binned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    val withTot = binned.crossJoin(broadcast(tot))
-    val p = (d(col("__ca")) + lit(1.0)) / (d(col("__na")) + lit(nBins.toDouble))
-    val q = (d(col("__cb")) + lit(1.0)) / (d(col("__nb")) + lit(nBins.toDouble))
-    withTot
+    binned.crossJoin(broadcast(tot))
       .select(col("__na"), col("__nb"),
-        struct(col("bin"), ((p - q) * log(p / q)).as("__t")).as("__s"))
+        expr(s"(__ca + 1) * (__nb + $nBins) - (__cb + 1) * (__na + $nBins)")
+          .as("__num"),
+        expr(s"""CAST(round(ln(
+            CAST((__ca + 1) * (__nb + $nBins) AS DOUBLE)
+            / CAST((__cb + 1) * (__na + $nBins) AS DOUBLE)) * 1e6) AS BIGINT)""")
+          .as("__lr_mu"))
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         count(lit(1)).as("n_bins_hit"),
-        array_sort(collect_list(col("__s"))).as("__l"))
+        sum(col("__num") * col("__lr_mu")).as("__smu"))
       .select(col("n_a"), col("n_b"), col("n_bins_hit"),
-        expr("aggregate(transform(__l, s -> s.__t), CAST(0 AS DOUBLE)," +
-          " (a, x) -> a + x)").as("psi"))
+        (col("__smu").cast("double") /
+          expr(s"CAST((n_a + $nBins) * (n_b + $nBins) AS DOUBLE)") / lit(1e6))
+          .as("psi"))
   }
 
   /** NDCG@k of a (query_id, rnk, rel) ranking table: binary-relevance

@@ -474,16 +474,17 @@ object EvalQueries {
          |    CAST(sum(cb) AS BIGINT) AS nb FROM binned),
          |terms AS (
          |  SELECT bin, na, nb,
-         |    ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + $psiBins.0)
-         |      - (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + $psiBins.0))
-         |    * ln(((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + $psiBins.0))
-         |        / ((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + $psiBins.0)))
-         |      AS t
+         |    CAST((ca + 1) * (nb + $psiBins)
+         |       - (cb + 1) * (na + $psiBins) AS BIGINT) AS num,
+         |    CAST(round(ln(
+         |      CAST((ca + 1) * (nb + $psiBins) AS DOUBLE)
+         |      / CAST((cb + 1) * (na + $psiBins) AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS lr_mu
          |  FROM binned CROSS JOIN tot)
          |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
          |  CAST(count(*) AS BIGINT) AS n_bins_hit,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(list(struct_pack(t := t) ORDER BY bin), s -> s.t)),
-         |    (a, x) -> a + x) AS psi
+         |  CAST(CAST(sum(num * lr_mu) AS BIGINT) AS DOUBLE)
+         |    / CAST((max(na) + $psiBins) * (max(nb) + $psiBins) AS DOUBLE)
+         |    / 1e6 AS psi
          |FROM terms""".stripMargin)
 }
