@@ -397,7 +397,10 @@ object MlOps {
         sum(col("x1") * col("y")).as("s1y"),
         sum(col("x2") * col("y")).as("s2y"))
     // 3x3 symmetric system: [n sx1 sx2; sx1 s11 s12; sx2 s12 s22] b = [sy; s1y; s2y]
-    def d(c: String): String = s"CAST($c AS DECIMAL(12,0))"
+    // DECIMAL(38,0): the triple products reach sy·s11·s22 ≈ 2e34 at sf0.1
+    // (DECIMAL(12) overflowed there); 38 digits hold to ~sf10. The oracle
+    // mirrors with HUGEINT (same 1e38 envelope).
+    def d(c: String): String = s"CAST($c AS DECIMAL(38,0))"
     val det = "(" +
       s"${d("n")}*(${d("s11")}*${d("s22")} - ${d("s12")}*${d("s12")})" +
       s" - ${d("sx1")}*(${d("sx1")}*${d("s22")} - ${d("s12")}*${d("sx2")})" +

@@ -835,8 +835,11 @@ object Stats {
     val m4 = (s4 - lit(4.0) * s1 * s3 / n + lit(6.0) * s1 * s1 * s2 / (n * n) -
       lit(3.0) * s1 * s1 * s1 * s1 / (n * n * n)) / n
     agg.select(col(groupCol), col("n"), (s1 / n).as("mean"), m2.as("m2"),
+      // m2*sqrt(m2), not pow(m2,1.5): sqrt/*// are IEEE correctly-rounded in
+      // both engines, pow is not (Math.pow vs libm diverge at 1 ulp — seen
+      // at sf0.1), so this form is bit-deterministic cross-engine.
       when(m2 === 0.0, lit(null).cast("double"))
-        .otherwise(m3 / pow(m2, 1.5)).as("skewness"),
+        .otherwise(m3 / (m2 * sqrt(m2))).as("skewness"),
       when(m2 === 0.0, lit(null).cast("double"))
         .otherwise(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_ex"))
   }

@@ -1124,24 +1124,24 @@ object MlQueries {
         |    CAST(sum(x2 * y) AS BIGINT) AS s2y
         |  FROM m)
         |SELECT n,
-        |  CAST((CAST(sy AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
-        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(s1y AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)))
-        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(s1y AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)))) AS DOUBLE)
-        |  / CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
-        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
-        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE) AS b0,
-        |  CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s1y AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)))
-        |    - CAST(sy AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
-        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)) - CAST(s1y AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE)
-        |  / CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
-        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
-        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE) AS b1,
-        |  CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)) - CAST(s1y AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
-        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s2y AS DECIMAL(12,0)) - CAST(s1y AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
-        |    + CAST(sy AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE)
-        |  / CAST((CAST(n AS DECIMAL(12,0)) * (CAST(s11 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)))
-        |    - CAST(sx1 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s22 AS DECIMAL(12,0)) - CAST(s12 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))
-        |    + CAST(sx2 AS DECIMAL(12,0)) * (CAST(sx1 AS DECIMAL(12,0)) * CAST(s12 AS DECIMAL(12,0)) - CAST(s11 AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(12,0)))) AS DOUBLE) AS b2
+        |  CAST((CAST(sy AS HUGEINT) * (CAST(s11 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(s12 AS HUGEINT))
+        |    - CAST(sx1 AS HUGEINT) * (CAST(s1y AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(s2y AS HUGEINT))
+        |    + CAST(sx2 AS HUGEINT) * (CAST(s1y AS HUGEINT) * CAST(s12 AS HUGEINT) - CAST(s11 AS HUGEINT) * CAST(s2y AS HUGEINT))) AS DOUBLE)
+        |  / CAST((CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(s12 AS HUGEINT))
+        |    - CAST(sx1 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(sx2 AS HUGEINT))
+        |    + CAST(sx2 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s12 AS HUGEINT) - CAST(s11 AS HUGEINT) * CAST(sx2 AS HUGEINT))) AS DOUBLE) AS b0,
+        |  CAST((CAST(n AS HUGEINT) * (CAST(s1y AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(s2y AS HUGEINT))
+        |    - CAST(sy AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(sx2 AS HUGEINT))
+        |    + CAST(sx2 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s2y AS HUGEINT) - CAST(s1y AS HUGEINT) * CAST(sx2 AS HUGEINT))) AS DOUBLE)
+        |  / CAST((CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(s12 AS HUGEINT))
+        |    - CAST(sx1 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(sx2 AS HUGEINT))
+        |    + CAST(sx2 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s12 AS HUGEINT) - CAST(s11 AS HUGEINT) * CAST(sx2 AS HUGEINT))) AS DOUBLE) AS b1,
+        |  CAST((CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * CAST(s2y AS HUGEINT) - CAST(s1y AS HUGEINT) * CAST(s12 AS HUGEINT))
+        |    - CAST(sx1 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s2y AS HUGEINT) - CAST(s1y AS HUGEINT) * CAST(sx2 AS HUGEINT))
+        |    + CAST(sy AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s12 AS HUGEINT) - CAST(s11 AS HUGEINT) * CAST(sx2 AS HUGEINT))) AS DOUBLE)
+        |  / CAST((CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(s12 AS HUGEINT))
+        |    - CAST(sx1 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s22 AS HUGEINT) - CAST(s12 AS HUGEINT) * CAST(sx2 AS HUGEINT))
+        |    + CAST(sx2 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * CAST(s12 AS HUGEINT) - CAST(s11 AS HUGEINT) * CAST(sx2 AS HUGEINT))) AS DOUBLE) AS b2
         |FROM su""".stripMargin,
 
     "q200_threshold_part_suppliers" ->

@@ -284,7 +284,7 @@ object ProfileQueries {
         |      / CAST(n AS DOUBLE) AS m4
         |  FROM a)
         |SELECT source, n, mean, m2,
-        |  CASE WHEN m2 = 0.0 THEN NULL ELSE m3 / pow(m2, 1.5) END AS skewness,
+        |  CASE WHEN m2 = 0.0 THEN NULL ELSE m3 / (m2 * sqrt(m2)) END AS skewness,
         |  CASE WHEN m2 = 0.0 THEN NULL ELSE m4 / (m2 * m2) - 3.0 END
         |    AS kurtosis_ex
         |FROM m""".stripMargin,
