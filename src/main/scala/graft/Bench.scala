@@ -87,7 +87,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val cacheBuilds: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
-      else graft.queries.SharedCaches.builders.toSeq.sortBy(_._1).map {
+      else graft.queries.SharedCaches.builders.map {
         case (n, b) =>
           val t0 = System.nanoTime()
           b(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -135,19 +135,26 @@ object ModelEval {
     * distributions over `nBins` fixed-width bins of the pooled value
     * range, with add-one (Laplace) smoothing so empty cells stay finite:
     * PSI = Σ (p−q)·ln(p/q). Rule of thumb: < 0.1 stable, > 0.25 shifted.
-    * Output: one row — n_a, n_b, n_bins_hit (bins with any data; empty
-    * bins contribute exactly 0 under smoothing, p = q), psi.
+    * Output: one row — n_a, n_b, n_bins_hit, psi. The sum runs over
+    * OCCUPIED bins only (bins with data in either cohort): a bin empty in
+    * both cohorts never materializes here, and its smoothed term
+    * (1/(na+B) − 1/(nb+B))·ln((nb+B)/(na+B)) is dropped — exactly 0 when
+    * n_a = n_b, a small constant per all-empty bin otherwise (the oracle
+    * mirrors the same occupied-bins semantics).
     *
     * Determinism: with B = nBins, p − q =
     * [(ca+1)(nb+B) − (cb+1)(na+B)] / [(na+B)(nb+B)] — an exact BIGINT
     * numerator over a bin-independent denominator — and ln(p/q) gets the
     * house micro-nat quantization (its argument is one division of two
     * exactly-representable integer products), so the per-bin terms sum as
-    * exact BIGINTs in ANY order and psi is two fixed-order terminal
-    * divisions. The previous left-fold over raw double terms still let a
-    * 1-ulp Math.log-vs-libm difference through (caught by the sf0.1
-    * gate); the quantization absorbs it. Bin assignment is all-integer
-    * against the 1-row pooled bounds: bin = (v−mn)·nBins div (mx−mn+1). */
+    * exact DECIMAL(38,0)s in ANY order and psi is two fixed-order
+    * terminal divisions. The previous left-fold over raw double terms
+    * still let a 1-ulp Math.log-vs-libm difference through (caught by the
+    * sf0.1 gate); the quantization absorbs it. The weighted sum is
+    * DECIMAL(38,0) (oracle: HUGEINT), not BIGINT: num·lr_mu reaches
+    * ~na·nb·3e7 ≈ 3e19 > 2⁶³ at 1M-row cohorts — 38 digits hold to
+    * ~na·nb ≈ 3e30. Bin assignment is all-integer against the 1-row
+    * pooled bounds: bin = (v−mn)·nBins div (mx−mn+1). */
   def psi(df: DataFrame, groupCol: String, groupA: String, groupB: String,
           scoreCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least two bins")
@@ -172,7 +179,7 @@ object ModelEval {
           .as("__lr_mu"))
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         count(lit(1)).as("n_bins_hit"),
-        sum(col("__num") * col("__lr_mu")).as("__smu"))
+        sum(col("__num").cast(DecimalType(38, 0)) * col("__lr_mu")).as("__smu"))
       .select(col("n_a"), col("n_b"), col("n_bins_hit"),
         (col("__smu").cast("double") /
           expr(s"CAST((n_a + $nBins) * (n_b + $nBins) AS DOUBLE)") / lit(1e6))

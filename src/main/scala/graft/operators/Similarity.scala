@@ -934,23 +934,42 @@ object Similarity {
   def linearMmdDrift(emb: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {
     val comp = emb
-      .select(col(labelCol).as("__g"),
-        posexplode(col(vecCol)).as(Seq("__d", "__c")))
-      .groupBy(col("__g"), col("__d"))
-      .agg(sum(round(col("__c").cast("double") * lit(1e6)).cast("bigint"))
-        .as("__s"), count(lit(1)).as("__n"))
-    val a = comp.toDF("ga", "da", "sa", "na")
-    val b = comp.toDF("gb", "db", "sb", "nb")
-    a.join(b, col("da") === col("db") && col("ga") < col("gb"))
-      .select(col("ga"), col("gb"), col("na"), col("nb"),
+      .select(col(labelCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("d", "c")))
+      .groupBy(col("g"), col("d"))
+      .agg(sum(round(col("c").cast("double") * lit(1e6)).cast("bigint"))
+        .as("s"), count(lit(1)).as("n"))
+    mmdPairsFromComponentSums(comp, Seq.empty)
+  }
+
+  /** The shared finish of the linear-MMD twins: given per-(key…, group,
+    * dim) EXACT micro-unit component sums — columns `keyCols ++ (g, d, s,
+    * n)` — compute per-key pairwise MMD²: per-dim mean differences
+    * re-quantized to micro-units (one IEEE division + round per (pair,
+    * dim)), squared and summed as exact BIGINTs, one /1e12 finish.
+    * [[linearMmdDrift]] (keyCols = ∅) and
+    * [[graft.streaming.StreamingMmdDrift.mmdFromSums]] (keyCols =
+    * window_start) both route through THIS, so their bit-equality is
+    * structural rather than two hand-synced copies of the algebra.
+    * Output: keyCols ++ (label_a < label_b, n_a, n_b, mmd2). */
+  private[graft] def mmdPairsFromComponentSums(
+      comp: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val a = comp.toDF(keyCols ++ Seq("ga", "da", "sa", "na"): _*)
+    val b = comp.toDF(keyCols.map(_ + "__kb") ++ Seq("gb", "db", "sb", "nb"): _*)
+    val cond = keyCols.foldLeft(
+        col("da") === col("db") && col("ga") < col("gb")) {
+      (c, k) => c && col(k) === col(k + "__kb") }
+    val keyC = keyCols.map(col)
+    a.join(b, cond)
+      .select(keyC ++ Seq(col("ga"), col("gb"), col("na"), col("nb"),
         round(col("sa").cast("double") / col("na").cast("double") -
           col("sb").cast("double") / col("nb").cast("double"))
-          .cast("bigint").as("__md"))
-      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+          .cast("bigint").as("__md")): _*)
+      .groupBy(keyC ++ Seq(col("ga"), col("gb"), col("na"), col("nb")): _*)
       .agg(sum(col("__md") * col("__md")).as("__ss"))
-      .select(col("ga").as("label_a"), col("gb").as("label_b"),
+      .select(keyC ++ Seq(col("ga").as("label_a"), col("gb").as("label_b"),
         col("na").as("n_a"), col("nb").as("n_b"),
-        (col("__ss").cast("double") / lit(1e12)).as("mmd2"))
+        (col("__ss").cast("double") / lit(1e12)).as("mmd2")): _*)
   }
 
   /** k-center greedy coreset (Gonzalez 1985 farthest-first traversal) —

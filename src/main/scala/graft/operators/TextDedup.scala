@@ -1004,8 +1004,13 @@ object TextDedup {
     * [[CacheScope]] — each survivor set feeds three consumers. */
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     nearPairs: DataFrame, semPairs: DataFrame): DataFrame = {
+    // coalesce: md5(NULL) is NULL and NULL keys never equi-join, so a
+    // NULL-text doc would vanish from the worklist entirely — breaking the
+    // one-row-per-document contract. NULL text fingerprints as "" (groups
+    // with empty docs; the oracle mirrors the same coalesce).
     val fp = CacheScope.persist(docs
-      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("__f")))
+      .select(col(idCol).as("doc_id"),
+        md5(coalesce(col(textCol), lit(""))).as("__f")))
     val k1 = fp.groupBy(col("__f")).agg(min(col("doc_id")).as("survivor_id"))
     val tagged = CacheScope.persist(fp.join(k1, "__f"))
     val ex = tagged.where(col("doc_id") =!= col("survivor_id"))

@@ -413,8 +413,13 @@ object TextLm {
       .join(tHist, Seq("w1"), "left")
       .join(tCont, Seq("w2"), "left")
       .crossJoin(broadcast(sizes))
+      // tt + tv = 0 ⇔ targetPred matched no documents: there IS no target
+      // model, so the ratio is undefined — NULL (→ NULL avg_logratio), not
+      // ln(1/0) = Inf, whose BIGINT cast is Long.MaxValue on Spark and an
+      // error on DuckDB (silent garbage vs failure). Oracle mirrors.
       .withColumn("lr_mu", expr(
-        """CAST(round(ln(CASE WHEN tc1 IS NULL
+        """CAST(round(ln(CASE WHEN tt + tv = 0 THEN NULL
+          |    WHEN tc1 IS NULL
           |    THEN CAST(coalesce(tnc, 0) + 1 AS DOUBLE) / CAST(tt + tv AS DOUBLE)
           |    ELSE CAST(greatest(4 * coalesce(tc2, 0) - 3, 0) * (tt + tv)
           |          + 3 * tn1p * (coalesce(tnc, 0) + 1) AS DOUBLE)

@@ -483,7 +483,7 @@ object EvalQueries {
          |  FROM binned CROSS JOIN tot)
          |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
          |  CAST(count(*) AS BIGINT) AS n_bins_hit,
-         |  CAST(CAST(sum(num * lr_mu) AS BIGINT) AS DOUBLE)
+         |  CAST(sum(CAST(num AS HUGEINT) * lr_mu) AS DOUBLE)
          |    / CAST((max(na) + $psiBins) * (max(nb) + $psiBins) AS DOUBLE)
          |    / 1e6 AS psi
          |FROM terms""".stripMargin)

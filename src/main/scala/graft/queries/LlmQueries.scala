@@ -1483,7 +1483,8 @@ object LlmQueries {
     * the verbatim mirror of TextDedup.dedupPipeline. */
   private lazy val dedupPipelineCte =
     "WITH RECURSIVE " + minhashPairsCte + ",\n" + semAssignCte + """,
-      |fp AS MATERIALIZED (SELECT doc_id, md5(text) AS f FROM documents),
+      |fp AS MATERIALIZED (
+      |  SELECT doc_id, md5(coalesce(text, '')) AS f FROM documents),
       |k1 AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f),
       |tagged AS MATERIALIZED (
       |  SELECT fp.doc_id, k1.keeper FROM fp JOIN k1 USING (f)),
@@ -4051,7 +4052,8 @@ object LlmQueries {
         |       FROM (SELECT unnest(t) AS w1 FROM base WHERE tgt)) AS tv),
         |scored AS (
         |  SELECT d.source, d.occ,
-        |    CAST(round(ln(CASE WHEN th.tc1 IS NULL
+        |    CAST(round(ln(CASE WHEN sizes.tt + sizes.tv = 0 THEN NULL
+        |        WHEN th.tc1 IS NULL
         |        THEN CAST(coalesce(tc.tnc, 0) + 1 AS DOUBLE)
         |          / CAST(sizes.tt + sizes.tv AS DOUBLE)
         |        ELSE CAST(greatest(4 * coalesce(tb.tc2, 0) - 3, 0)

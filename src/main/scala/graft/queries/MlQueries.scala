@@ -570,13 +570,10 @@ object MlQueries {
   /** q211 oracle: the q59 exact-corr formula per pair, sums shared. */
   private def corrMatrixOracle: String = {
     def dc(c: String) = s"CAST($c AS DECIMAL(12,2))"
-    // decimal -> double must go THROUGH VARCHAR: DuckDB's direct
-    // DECIMAL->DOUBLE cast double-rounds (int128 -> double, then /10^scale
-    // — measured 1 ulp off on the sf0.1 Σx² sums, whose unscaled values
-    // pass 2^63), while Spark's BigDecimal.doubleValue and DuckDB's
-    // string parse are both correctly rounded. Exact sums below 2^53
-    // unscaled are unaffected either way.
-    def dd(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    // decimal -> double through VARCHAR — see OracleSql.decToDouble for
+    // the double-rounding rationale (shared; use it in any oracle whose
+    // exact sums can pass 2^53 unscaled).
+    def dd(x: String) = OracleSql.decToDouble(x)
     val sums =
       corrCols.map(c => s"sum(${dc(c)}) AS s_$c") ++
         corrCols.map(c => s"sum(${dc(c)} * ${dc(c)}) AS q_$c") ++

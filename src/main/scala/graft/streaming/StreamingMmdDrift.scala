@@ -46,23 +46,12 @@ object StreamingMmdDrift {
 
   /** Finishing stage over the sink's (window_start, g, d, s, n) rows:
     * per-window pairwise MMD², bit-equal to
-    * [[graft.operators.Similarity.linearMmdDrift]] on the same rows.
+    * [[graft.operators.Similarity.linearMmdDrift]] on the same rows —
+    * structurally: both twins call the SAME
+    * [[graft.operators.Similarity.mmdPairsFromComponentSums]] algebra
+    * (this one keyed by window_start), not two hand-synced copies.
     * Output: (window_start, label_a < label_b, n_a, n_b, mmd2). */
-  def mmdFromSums(rows: DataFrame): DataFrame = {
-    val a = rows.toDF("window_start", "ga", "da", "sa", "na")
-    val b = rows.toDF("wb", "gb", "db", "sb", "nb")
-    a.join(b, col("window_start") === col("wb") &&
-        col("da") === col("db") && col("ga") < col("gb"))
-      .select(col("window_start"), col("ga"), col("gb"), col("na"),
-        col("nb"),
-        round(col("sa").cast("double") / col("na").cast("double") -
-          col("sb").cast("double") / col("nb").cast("double"))
-          .cast("bigint").as("__md"))
-      .groupBy(col("window_start"), col("ga"), col("gb"), col("na"),
-        col("nb"))
-      .agg(sum(col("__md") * col("__md")).as("__ss"))
-      .select(col("window_start"), col("ga").as("label_a"),
-        col("gb").as("label_b"), col("na").as("n_a"), col("nb").as("n_b"),
-        (col("__ss").cast("double") / lit(1e12)).as("mmd2"))
-  }
+  def mmdFromSums(rows: DataFrame): DataFrame =
+    graft.operators.Similarity.mmdPairsFromComponentSums(
+      rows.toDF("window_start", "g", "d", "s", "n"), Seq("window_start"))
 }

@@ -28,6 +28,15 @@ class BenchCacheSpec extends AnyFunSuite {
         "SharedCaches.builders — register the new cache (see scaladoc)")
   }
 
+  test("registry is dependency-ordered: dedup_worklist builds AFTER minhash_pair_graph") {
+    // dedup_worklist memoizes THROUGH nearDupPairs; if it built first it
+    // would absorb minhash's whole pair-graph build and the bench
+    // breakdown would misattribute the cost (Bench builds in Seq order).
+    val names = graft.queries.SharedCaches.builders.map(_._1)
+    assert(names.indexOf("minhash_pair_graph") < names.indexOf("dedup_worklist"),
+      s"dependency order violated in SharedCaches.builders: $names")
+  }
+
   test("each registered builder memoizes: second call returns the same plan instance") {
     graft.queries.SharedCaches.builders.foreach { case (name, b) =>
       val first = b(spark, sf)

@@ -33,6 +33,19 @@ class DedupPipelineSpec extends AnyFunSuite {
       (4L, "semantic", 1L), (5L, "retained", 5L), (6L, "semantic", 5L)))
   }
 
+  test("NULL text keeps its row: fingerprints as '' (one fate per doc)") {
+    import spark.implicits._
+    // md5(NULL) is NULL and NULL keys never equi-join — before the
+    // coalesce, doc 1 vanished from the worklist entirely. NULL groups
+    // with the empty string: {1 (null), 2 ("")} -> survivor 1, 2 exact.
+    val docs = Seq((1L, null), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val sem = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(wl(docs, none, sem) == List(
+      (1L, "retained", 1L), (2L, "exact", 1L), (3L, "retained", 3L)))
+  }
+
   test("near-dup stage is transitive over exact survivors only") {
     import spark.implicits._
     // chain 1-2-3 collapses to component min 1; pair (4,5) with 4 removed

@@ -508,6 +508,19 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("s1", 1L, 0.405465), ("s2", 2L, -0.170463)))
   }
 
+  test("knImportanceWeights: empty target -> NULL avg_logratio, not Inf-cast garbage") {
+    import spark.implicits._
+    // tt + tv = 0: no target model exists. The ratio must surface as NULL
+    // (DuckDB would error on CAST(Inf AS BIGINT); Spark would silently
+    // yield Long.MaxValue) — n_bigrams still counts the scored bigrams.
+    val df = Seq((1L, "s1", "en", "a b"), (2L, "s2", "de", "a c b"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = graft.operators.TextLm.knImportanceWeights(
+        df, "doc_id", "text", "source", col("lang") === "zz")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.isNullAt(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(("s1", 1L, true), ("s2", 2L, true)))
+  }
+
   test("kn3CrossEntropy: hand-computed three-level KN recursion on a tiny corpus") {
     import spark.implicits._
     // trigram types (a,b,a):1, (b,a,b):1; bigram types (a,b),(b,a),(b,c)
