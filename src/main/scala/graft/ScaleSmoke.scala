@@ -1330,6 +1330,13 @@ object ScaleSmoke {
       time(s"kn3_xent        $label") {
         operators.TextLm.kn3CrossEntropy(df, "doc_id", "text").count()
       }
+      // excess-loss select: BOTH models constant across replicas (no new
+      // bigram types), the cut grid is (groups x distinct-excess)-bounded
+      // — cost must track the shared tokenize + doc-keyed aggregates.
+      time(s"excess_select   $label") {
+        operators.TextLm.excessLossSelect(df, "doc_id", "text",
+          "source").count()
+      }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage
     // absorbs (factor-1)/factor of the corpus and the near-dup/semantic

@@ -258,6 +258,101 @@ object TextLm {
             groupCol: String): DataFrame =
     tercileMix(knCrossEntropy(docs, idCol, textCol), docs, idCol, groupCol)
 
+  /** RHO-style excess-loss selection (Mindermann et al. 2022, "Prioritized
+    * Training on Points that are Learnable, Worth Learning, and Not Yet
+    * Learnt"; Lin et al. 2024, RHO-1 — public papers): score each document
+    * by its EXCESS loss — cross-entropy under a weak model minus
+    * cross-entropy under a strong reference model — and keep the top
+    * keepNum/keepDen fraction per group. High excess = the document is
+    * poorly fit by the weak model but well explained by the reference:
+    * learnable signal, not noise (noise scores high under BOTH models and
+    * cancels). In-engine proxy for the two models: the add-one bigram LM
+    * ([[bigramCrossEntropy]], the weak "current" model) and the
+    * interpolated-KN bigram LM ([[knCrossEntropy]], the strong reference)
+    * — same corpus, same tokenization, so the excess isolates what better
+    * smoothing explains.
+    *
+    * Plan: ONE tokenize + per-doc bigram aggregate (persisted — it feeds
+    * both models and the scoring join); both models are observed-bigram
+    * TYPE tables (Zipf-bounded) derived from the SAME type-count frame;
+    * per-doc scoring is one double model join + one aggregate. The
+    * per-group cut is an integer order statistic over the (group,
+    * excess)-GRID (value-keyed aggregate + grid window — never a window
+    * over data rows): cut = min excess with cum·den ≥ n·(den−num);
+    * selected ⇔ excess > cut, ties at the cut fall to the unselected side
+    * (the q140/q343 tie-to-lower discipline — so ≤ num/den·n docs are
+    * selected, exact at distinct-value boundaries).
+    *
+    * Determinism: both per-doc xents are the exact integer half-up
+    * micro-nat images ((2·(−mu)+m) div (2·m) — the house form), so the
+    * excess is a BIGINT difference, the cut is integer arithmetic, and
+    * the only doubles are the final 6-dp group means.
+    * Output: (groupCol, selected, n_docs, mean_excess — nats, 6 dp). */
+  def excessLossSelect(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, keepNum: Int = 1,
+                       keepDen: Int = 4): DataFrame = {
+    require(keepNum > 0 && keepDen > keepNum, "need 0 < keepNum < keepDen")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    val docBig = CacheScope.persist(toks.select(col(idCol),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ")))
+    val big = CacheScope.persist(
+      docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2")))
+    // weak model: add-one bigram (bigramCrossEntropy's formula verbatim)
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1u"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val amodel = big.join(uni, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), expr(
+        "CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1u + v AS DOUBLE)) * 1e6) AS BIGINT)")
+        .as("lpa"))
+    // reference model: interpolated KN (knCrossEntropy's formula verbatim)
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
+      toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val kmodel = big.join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(sizes))
+      .select(col("w1"), col("w2"), expr(
+        """CAST(round(ln(
+          |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+          |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
+          .stripMargin).as("lpk"))
+    val scored = docBig
+      .join(amodel, Seq("w1", "w2")).join(kmodel, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lpa")).as("mua"),
+        sum(col("occ") * col("lpk")).as("muk"), sum(col("occ")).as("m"))
+      .select(col(idCol),
+        (expr("CAST((2 * (-mua) + m) DIV (2 * m) AS BIGINT)")
+          - expr("CAST((2 * (-muk) + m) DIV (2 * m) AS BIGINT)")).as("__e"))
+      .join(docs.select(col(idCol), col(groupCol).as("__g")), idCol)
+    val vals = CacheScope.persist(scored.groupBy(col("__g"), col("__e"))
+      .agg(count(lit(1)).as("__c")))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("__cum", sum(col("__c")).over(cumW))
+    val totals = vals.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val cuts = cum.join(totals, "__g")
+      .groupBy(col("__g"))
+      .agg(min(when(col("__cum") * keepDen >= col("__n") * (keepDen - keepNum),
+        col("__e"))).as("__cut"))
+    scored.join(broadcast(cuts), "__g")
+      .withColumn("selected", col("__e") > col("__cut"))
+      .groupBy(col("__g"), col("selected"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__e")).as("__se"))
+      .select(col("__g").as(groupCol), col("selected"), col("n_docs"),
+        round((col("__se").cast("double") / lit(1e6))
+          / col("n_docs").cast("double"), 6).as("mean_excess"))
+  }
+
   /** Shared tercile stage over a (idCol, n_bigrams, xent) scored frame —
     * see [[crossEntropyMix]] for the exact-integer cutoff semantics. */
   private def tercileMix(scoredDocs: DataFrame, docs: DataFrame,

@@ -1409,7 +1409,15 @@ object LlmQueries {
     // TextLm.kn3CrossEntropy.
     "q347_kn3_xent" -> ((s, d) =>
       graft.operators.TextLm.kn3CrossEntropy(
-        table(s, d, "documents"), "doc_id", "text"))
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // RHO-style excess-loss selection: per-doc xent under the weak
+    // add-one bigram LM minus xent under the strong KN reference, top
+    // quarter per source kept by an integer-order-statistic cut (ties
+    // fall to the unselected side). See TextLm.excessLossSelect.
+    "q348_excess_loss_select" -> ((s, d) =>
+      graft.operators.TextLm.excessLossSelect(
+        table(s, d, "documents"), "doc_id", "text", "source"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -4148,6 +4156,46 @@ object LlmQueries {
         |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
         |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
         |FROM dt JOIN model USING (w1, w2, w3)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextLm.excessLossSelect: the shared knModelCte reference
+    // model + the q101 add-one model from the SAME type counts, per-doc
+    // integer half-up xent images for both, excess = xa - xk, top-quarter
+    // cut per source by ascending cumulative counts (cum*4 >= n*3; ties
+    // at the cut fall to the unselected side).
+    "q348_excess_loss_select" ->
+      s"""$knModelCte,
+        |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1u
+        |        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |amodel AS (
+        |  SELECT big.w1, big.w2,
+        |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE)
+        |      / CAST(uni.c1u + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lpa
+        |  FROM big JOIN uni USING (w1) CROSS JOIN vv),
+        |sc AS (SELECT db.doc_id,
+        |    CAST((2 * (-sum(occ * a.lpa)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT)
+        |    - CAST((2 * (-sum(occ * m.lp_mu)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS e
+        |  FROM db JOIN model m USING (w1, w2) JOIN amodel a USING (w1, w2)
+        |  GROUP BY 1),
+        |ex AS MATERIALIZED (SELECT sc.doc_id, d.source AS g, sc.e
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |vals AS MATERIALIZED (
+        |  SELECT g, e, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1, 2),
+        |cum AS (SELECT g, e, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY e) AS BIGINT) AS cm
+        |  FROM vals),
+        |tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |cuts AS (SELECT cum.g,
+        |    min(CASE WHEN cm * 4 >= n * 3 THEN e END) AS cut
+        |  FROM cum JOIN tt USING (g) GROUP BY 1)
+        |SELECT ex.g AS source, ex.e > cuts.cut AS selected,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((CAST(sum(ex.e) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_excess
+        |FROM ex JOIN cuts USING (g)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

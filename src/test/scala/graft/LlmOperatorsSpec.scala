@@ -1498,4 +1498,44 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(run(2) == ((1L, 1.0)), "identical dims -> identical neighbors")
     assert(run(1) == ((0L, 0.0)), "1-dim prefix ties break to vec 1, not 3")
   }
+
+  test("excessLossSelect: excess = addone-xent - kn-xent; top-half cut, ties below") {
+    import spark.implicits._
+    // Expected excess per doc is derived from the two component operators
+    // (each pinned by its own hand fixture): exc_mu = xmu_a - xmu_k.
+    val docs = Seq((1L, "s1", "a b a b"), (2L, "s1", "b c"),
+        (3L, "s1", "a c b"), (4L, "s1", "c c"))
+      .toDF("doc_id", "source", "text")
+    def xmu(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) ->
+        math.round(r.getDouble(2) * 1e6)).toMap
+    val xa = xmu(graft.operators.TextLm.bigramCrossEntropy(docs, "doc_id", "text"))
+    val xk = xmu(graft.operators.TextLm.knCrossEntropy(docs, "doc_id", "text"))
+    val exc = xa.keys.map(k => k -> (xa(k) - xk(k))).toMap
+    // top-half (1/2): ascending cut = min e with cum*2 >= n*1; selected
+    // are the docs with e strictly above the cut.
+    val sortedE = exc.values.toSeq.sorted
+    val cut = sortedE((sortedE.size + 1) / 2 - 1)
+    val expSel = exc.filter(_._2 > cut)
+    assert(expSel.nonEmpty && expSel.size < exc.size, "fixture must split")
+    val out = graft.operators.TextLm.excessLossSelect(
+        docs, "doc_id", "text", "source", keepNum = 1, keepDen = 2)
+      .collect().map(r => r.getBoolean(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(true)._1 == expSel.size)
+    assert(out(false)._1 == exc.size - expSel.size)
+    def mean6(vs: Iterable[Long]) =
+      BigDecimal(vs.sum.toDouble / 1e6 / vs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(true)._2 - mean6(expSel.values)) < 2e-6)
+    assert(math.abs(out(false)._2 -
+      mean6(exc.filter(_._2 <= cut).values)) < 2e-6)
+    // plan: models are type-table equi-joins, the only nested loops are
+    // the broadcast 1-row (vocab / T,V) and |groups|-row cut frames, and
+    // the cut window runs over the (group, excess) value GRID, never data
+    // rows — a cartesian here is the all-pairs degeneration.
+    val p = graft.operators.TextLm.excessLossSelect(
+        docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "excess-loss must not go cartesian")
+  }
 }
