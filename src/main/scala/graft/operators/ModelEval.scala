@@ -143,17 +143,19 @@ object ModelEval {
     * mirrors the same occupied-bins semantics).
     *
     * Determinism: with B = nBins, p − q =
-    * [(ca+1)(nb+B) − (cb+1)(na+B)] / [(na+B)(nb+B)] — an exact BIGINT
+    * [(ca+1)(nb+B) − (cb+1)(na+B)] / [(na+B)(nb+B)] — an exact integer
     * numerator over a bin-independent denominator — and ln(p/q) gets the
     * house micro-nat quantization (its argument is one division of two
     * exactly-representable integer products), so the per-bin terms sum as
     * exact DECIMAL(38,0)s in ANY order and psi is two fixed-order
     * terminal divisions. The previous left-fold over raw double terms
     * still let a 1-ulp Math.log-vs-libm difference through (caught by the
-    * sf0.1 gate); the quantization absorbs it. The weighted sum is
-    * DECIMAL(38,0) (oracle: HUGEINT), not BIGINT: num·lr_mu reaches
-    * ~na·nb·3e7 ≈ 3e19 > 2⁶³ at 1M-row cohorts — 38 digits hold to
-    * ~na·nb ≈ 3e30. Bin assignment is all-integer against the 1-row
+    * sf0.1 gate); the quantization absorbs it. Every cross-product
+    * ((ca+1)(nb+B), the num difference, num·lr_mu, and the terminal
+    * (na+B)(nb+B)) is evaluated in DECIMAL(38,0) (oracle: HUGEINT), not
+    * BIGINT: the products reach ~na·nb, which wraps 2⁶³ at ~3e9-row
+    * cohorts — 38 digits hold the num to ~na·nb ≈ 3e30 and num·lr_mu to
+    * ~na·nb·3e7 ≈ 1e23. Bin assignment is all-integer against the 1-row
     * pooled bounds: bin = (v−mn)·nBins div (mx−mn+1). */
   def psi(df: DataFrame, groupCol: String, groupA: String, groupB: String,
           scoreCol: String, nBins: Int = 10): DataFrame = {
@@ -169,20 +171,27 @@ object ModelEval {
       .groupBy(col("bin"))
       .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
     val tot = binned.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    // Counts widen to DECIMAL(38,0) BEFORE the cross-products (oracle:
+    // HUGEINT): (ca+1)*(nb+B) reaches na*nb, which wraps BIGINT past
+    // 2^63 (~3e9-row cohorts) — the 38-digit envelope (na*nb < ~3e30)
+    // only holds if the products themselves are decimal. At sub-2^63
+    // scale every product is the same exact integer on either path, so
+    // the widening is value-neutral at test SFs.
     binned.crossJoin(broadcast(tot))
       .select(col("__na"), col("__nb"),
-        expr(s"(__ca + 1) * (__nb + $nBins) - (__cb + 1) * (__na + $nBins)")
+        expr(s"""CAST(__ca + 1 AS DECIMAL(38,0)) * (__nb + $nBins)
+            - CAST(__cb + 1 AS DECIMAL(38,0)) * (__na + $nBins)""")
           .as("__num"),
         expr(s"""CAST(round(ln(
-            CAST((__ca + 1) * (__nb + $nBins) AS DOUBLE)
-            / CAST((__cb + 1) * (__na + $nBins) AS DOUBLE)) * 1e6) AS BIGINT)""")
+            CAST(CAST(__ca + 1 AS DECIMAL(38,0)) * (__nb + $nBins) AS DOUBLE)
+            / CAST(CAST(__cb + 1 AS DECIMAL(38,0)) * (__na + $nBins) AS DOUBLE)) * 1e6) AS BIGINT)""")
           .as("__lr_mu"))
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         count(lit(1)).as("n_bins_hit"),
-        sum(col("__num").cast(DecimalType(38, 0)) * col("__lr_mu")).as("__smu"))
+        sum(col("__num") * col("__lr_mu")).as("__smu"))
       .select(col("n_a"), col("n_b"), col("n_bins_hit"),
         (col("__smu").cast("double") /
-          expr(s"CAST((n_a + $nBins) * (n_b + $nBins) AS DOUBLE)") / lit(1e6))
+          expr(s"CAST(CAST(n_a + $nBins AS DECIMAL(38,0)) * (n_b + $nBins) AS DOUBLE)") / lit(1e6))
           .as("psi"))
   }
 

@@ -148,10 +148,13 @@ object TextLm {
     *               + D·N1+(w2·)/N1+(·w2·) · p1(w3)     [continuation cnts]
     *   p1(w3)      = (N1+(·w3) + 1)/(T2 + V)           [add-one floored]
     *
-    * where the middle level runs on TRIGRAM-TYPE counts (N1+(·w2w3) =
-    * distinct w1 preceding (w2,w3); N1+(·w2·) = trigram types with middle
-    * w2) and the bottom on BIGRAM-TYPE counts — the defining KN property
-    * that lower orders model CONTEXT DIVERSITY, not raw frequency.
+    * where the middle level runs ENTIRELY on TRIGRAM-TYPE counts
+    * (N1+(·w2w3) = distinct w1 preceding (w2,w3); N1+(·w2·) = trigram
+    * types with middle w2; N1+(w2·) = |{w3 : N1+(·w2w3) > 0}| — distinct
+    * continuations OF the continuation distribution, so the p2 layer's
+    * mass is exactly 1) and the bottom on BIGRAM-TYPE counts — the
+    * defining KN property that lower orders model CONTEXT DIVERSITY, not
+    * raw frequency.
     *
     * Determinism: every count is an exact BIGINT; the three-level value is
     * computed per trigram TYPE in FIXED-ORDER double arithmetic (each
@@ -189,14 +192,19 @@ object TextLm {
     val sub23 = tri.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("ns"))
     val mid2 = sub23.groupBy(col("w2")).agg(sum(col("ns")).as("nm"))
-    // bigram TYPE table for the bottom two levels' continuation stats
+    // the middle level's interpolation weight counts CONTINUATIONS OF THE
+    // CONTINUATION DISTRIBUTION — N1+(w2·) = |{w3 : N1+(·w2w3) > 0}| =
+    // rows per w2 in the s23 table (Chen & Goodman 1998's exact count),
+    // NOT raw bigram types per w2: a bigram occurring only as a document's
+    // opening two tokens is never any trigram's trailing bigram, and
+    // counting it would supernormalize the p2 layer (mass > 1)
+    val npb = sub23.groupBy(col("w2")).agg(count(lit(1)).as("npb"))
+    // bigram TYPE table for the BOTTOM level's continuation stats
     val big = toks.select(
         explode(arrays_zip(
           expr("slice(t, 1, size(t) - 1)").as("b1"),
           expr("slice(t, 2, size(t) - 1)").as("b2"))).as("p"))
       .select(col("p.b1").as("b1"), col("p.b2").as("b2")).distinct()
-    val npb = big.groupBy(col("b1")).agg(count(lit(1)).as("npb"))
-      .withColumnRenamed("b1", "w2")
     val cont = big.groupBy(col("b2")).agg(count(lit(1)).as("nc"))
       .withColumnRenamed("b2", "w3")
     val sizes = big.agg(count(lit(1)).as("t2")).crossJoin(

@@ -473,18 +473,21 @@ object EvalQueries {
          |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
          |    CAST(sum(cb) AS BIGINT) AS nb FROM binned),
          |terms AS (
+         |  -- cross-products in HUGEINT (Spark: DECIMAL(38,0)) — they reach
+         |  -- ~na*nb, which errors BIGINT past 2^63 (~3e9-row cohorts);
+         |  -- value-neutral below that (same exact integers either way)
          |  SELECT bin, na, nb,
-         |    CAST((ca + 1) * (nb + $psiBins)
-         |       - (cb + 1) * (na + $psiBins) AS BIGINT) AS num,
+         |    CAST(ca + 1 AS HUGEINT) * (nb + $psiBins)
+         |       - CAST(cb + 1 AS HUGEINT) * (na + $psiBins) AS num,
          |    CAST(round(ln(
-         |      CAST((ca + 1) * (nb + $psiBins) AS DOUBLE)
-         |      / CAST((cb + 1) * (na + $psiBins) AS DOUBLE)) * 1e6) AS BIGINT)
+         |      CAST(CAST(ca + 1 AS HUGEINT) * (nb + $psiBins) AS DOUBLE)
+         |      / CAST(CAST(cb + 1 AS HUGEINT) * (na + $psiBins) AS DOUBLE)) * 1e6) AS BIGINT)
          |      AS lr_mu
          |  FROM binned CROSS JOIN tot)
          |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
          |  CAST(count(*) AS BIGINT) AS n_bins_hit,
-         |  CAST(sum(CAST(num AS HUGEINT) * lr_mu) AS DOUBLE)
-         |    / CAST((max(na) + $psiBins) * (max(nb) + $psiBins) AS DOUBLE)
+         |  CAST(sum(num * lr_mu) AS DOUBLE)
+         |    / CAST(CAST(max(na) + $psiBins AS HUGEINT) * (max(nb) + $psiBins) AS DOUBLE)
          |    / 1e6 AS psi
          |FROM terms""".stripMargin)
 }

@@ -4133,8 +4133,8 @@ object LlmQueries {
         |big AS MATERIALIZED (SELECT DISTINCT b1, b2 FROM (
         |    SELECT unnest(t[1:len(t)-1]) AS b1, unnest(t[2:len(t)]) AS b2
         |    FROM toks)),
-        |npb AS (SELECT b1 AS w2, CAST(count(*) AS BIGINT) AS npb
-        |        FROM big GROUP BY 1),
+        |npb AS (SELECT w2, CAST(count(*) AS BIGINT) AS npb
+        |        FROM s23 GROUP BY 1),
         |cont AS (SELECT b2 AS w3, CAST(count(*) AS BIGINT) AS nc
         |         FROM big GROUP BY 1),
         |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS t2,

@@ -1634,11 +1634,14 @@ object ScaleQueries {
         |    / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
         |FROM documents""".stripMargin,
 
+    // Final DECIMAL sum -> DOUBLE routed through VARCHAR (the
+    // OracleSql.decToDouble form): DuckDB's direct DECIMAL->DOUBLE cast
+    // double-rounds once the unscaled sum crosses 2^53 (~sf10 here).
     "q133_region_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |      * (1 - CAST(l_discount AS DECIMAL(12,2))))
-        |    AS DOUBLE) AS revenue,
+        |    AS VARCHAR) AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey

@@ -524,15 +524,17 @@ class LlmOperatorsSpec extends AnyFunSuite {
   test("kn3CrossEntropy: hand-computed three-level KN recursion on a tiny corpus") {
     import spark.implicits._
     // trigram types (a,b,a):1, (b,a,b):1; bigram types (a,b),(b,a),(b,c)
-    // -> T2=3, V=3 -> T2+V=6; all continuation counts nc = 1
-    // (a,b,a): p1(a)=2/6, p2(a|b)=1/4 + (3*2/4)*(1/3) = 0.75,
-    //          p3 = 1/4 + (3/4)*0.75 = 0.8125            -> -207639
+    // -> T2=3, V=3 -> T2+V=6; nc(a)=nc(b)=1; s23 rows (b,a) and (a,b) so
+    // npb(a)=npb(b)=1 (the exact C&G |{w3 : N1+(.w2w3)>0}| — NOT raw
+    // bigram types per w2, which would give npb(b)=2 via (b,c))
+    // (a,b,a): p1(a)=2/6, p2(a|b)=1/4 + (3*1/4)*(1/3) = 0.5,
+    //          p3 = 1/4 + (3/4)*0.5 = 0.625              -> -470004
     // (b,a,b): p2(b|a)=1/4 + (3/4)*(1/3) = 0.5, p3 = 0.625 -> -470004
-    // d1: (207639+470004)/2 -> half-up 338822; d2 "b c" has no trigrams
+    // d1: (470004+470004)/2 = 470004; d2 "b c" has no trigrams
     val tiny = Seq(1L -> "a b a b", 2L -> "b c").toDF("doc_id", "text")
     val out = graft.operators.TextLm.kn3CrossEntropy(tiny, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.toList == List((1L, 2L, 0.338822)))
+    assert(out.toList == List((1L, 2L, 0.470004)))
     // 1-token docs must not reach slice with a negative length
     val one = Seq(1L -> "x", 2L -> "p q r").toDF("doc_id", "text")
     assert(graft.operators.TextLm.kn3CrossEntropy(one, "doc_id", "text")
