@@ -1040,6 +1040,64 @@ object TextDedup {
     ex.unionByName(nd).unionByName(sem).unionByName(retained)
   }
 
+  /** Line-level dedup with document reconstruction — the CCNet/FineWeb
+    * curation stage between [[c4SpanDedup]]'s keep-one span removal and
+    * q98's chunk SCORING: a "line" duplicated across `minDocs` OR MORE
+    * documents is boilerplate (headers, navigation, license banners) and
+    * is dropped from EVERY document (no keeper — unlike C4's keep-first
+    * rule), then each document is rebuilt from its surviving lines in
+    * order.
+    *
+    * Line proxy: this corpus has no newlines, so a line is a consecutive
+    * non-overlapping `lineTokens`-token window (the [[c4SpanDedup]] tile
+    * rule; the last line may be short) — on newline-delimited text, split
+    * on the delimiter upstream and pass lineTokens-sized lines through
+    * unchanged. Duplication counts DISTINCT documents (a line repeated
+    * inside one document is not cross-doc boilerplate).
+    *
+    * Scale design: the line inventory is linear in token count; the
+    * document-frequency table is ONE line-keyed distinct + aggregate
+    * (map-side combinable) joined back once; the rebuild is a per-doc
+    * sort of the doc's own lines. No windows, no pairwise joins — the
+    * same shape as [[c4SpanDedup]]. At 100 TB, key the join on a 64-bit
+    * line fingerprint instead of the text (the q75/q300 hash-identity
+    * swap).
+    *
+    * Output per doc (every input doc, even fully-boilerplate ones):
+    * n_lines, n_lines_dropped, n_tokens_kept, clean_md5 (md5 of the
+    * space-rejoined surviving text; md5("") for fully-dropped docs — the
+    * hash travels instead of the text so the result stays narrow). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(lineTokens >= 1 && minDocs >= 2, "need lineTokens>=1, minDocs>=2")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("ts"))
+    val nLines = greatest(
+      floor((size(col("ts")) + lit(lineTokens - 1)) / lit(lineTokens))
+        .cast("int"), lit(1))
+    val lines = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nLines - 1),
+          i => slice(col("ts"), i * lineTokens + 1, lit(lineTokens))))
+          .as(Seq("lpos", "lts")))
+      .select(col("doc_id"), col("lpos").cast("long").as("lpos"),
+        array_join(col("lts"), " ").as("line"),
+        size(col("lts")).cast("long").as("ntoks"))
+    val docFreq = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+    val flagged = lines.join(docFreq, Seq("line"))
+      .withColumn("__keep", col("__df") < minDocs)
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_lines_dropped"),
+        sum(when(col("__keep"), col("ntoks")).otherwise(0L)).as("n_tokens_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("lpos"), col("line"))))),
+            t => t.getField("line")), " ")).as("clean_md5"))
+  }
+
   /** The [[dedupPipeline]] funnel: per-stage docs_in / docs_removed /
     * docs_out in stage order — the attrition report a curation run logs.
     * One 1-row aggregate over the worklist, stacked to three rows. */

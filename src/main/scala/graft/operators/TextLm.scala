@@ -234,6 +234,108 @@ object TextLm {
           / lit(1e6)).as("xent"))
   }
 
+  /** Per-bigram-type MODIFIED Kneser-Ney probability as engine-shared SQL
+    * text (the q338 verbatim-shared-constant discipline: Spark's `expr`
+    * and the DuckDB oracle evaluate the IDENTICAL character string, so
+    * the fixed-order double arithmetic cannot diverge). Columns in scope:
+    * c2 (bigram count), c1 (history count), m1/m2c/m3p (history's
+    * count-1 / count-2 / count-≥3 continuation type counts), nc
+    * (N1+(·w2)), t_types, v, and the global count-of-counts n1..n4.
+    *
+    * Chen & Goodman 1998's count-specific discounts, estimated from the
+    * corpus's own count-of-counts (Y = n1/(n1+2n2); D1 = 1−2Y·n2/n1;
+    * D2 = 2−3Y·n3/n2; D3+ = 3−4Y·n4/n3), each clamped into [0, i] so the
+    * discounted numerator (c − D(c))⁺ and the backoff weight γ stay
+    * nonnegative on adversarial corpora; if any of n1/n2/n3 is zero the
+    * estimator is undefined and all three fall back to the fixed D = 3/4
+    * of [[knCrossEntropy]] (mirrored verbatim in the oracle). */
+  val mknProbSql: String = {
+    val y = "(CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE))"
+    def clamp(raw: String, hi: Int) =
+      s"least(greatest($raw, CAST(0 AS DOUBLE)), CAST($hi AS DOUBLE))"
+    def disc(i: Int, num: String, den: String) =
+      s"""(CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN CAST(0.75 AS DOUBLE)
+         | ELSE ${clamp(s"CAST($i AS DOUBLE) - CAST(${i + 1} AS DOUBLE) * $y" +
+             s" * (CAST($num AS DOUBLE) / CAST($den AS DOUBLE))", i)} END)"""
+        .stripMargin.replaceAll("\n\\s*", " ")
+    val d1 = disc(1, "n2", "n1")
+    val d2 = disc(2, "n3", "n2")
+    val d3 = disc(3, "n4", "n3")
+    val dOfC = s"(CASE WHEN c2 = 1 THEN $d1 WHEN c2 = 2 THEN $d2 ELSE $d3 END)"
+    s"""(greatest(CAST(c2 AS DOUBLE) - $dOfC, CAST(0 AS DOUBLE))
+       |   / CAST(c1 AS DOUBLE)
+       | + (($d1 * CAST(m1 AS DOUBLE) + $d2 * CAST(m2c AS DOUBLE)
+       |     + $d3 * CAST(m3p AS DOUBLE)) / CAST(c1 AS DOUBLE))
+       |   * (CAST(nc + 1 AS DOUBLE) / CAST(t_types + v AS DOUBLE)))"""
+      .stripMargin.replaceAll("\n\\s*", " ")
+  }
+
+  /** MODIFIED Kneser-Ney bigram cross-entropy — the production form of
+    * [[knCrossEntropy]] (Chen & Goodman 1998 §: "modified Kneser-Ney", the
+    * smoothing every production LM toolkit defaults to): instead of one
+    * fixed discount D, three count-specific discounts D1/D2/D3+ are
+    * ESTIMATED FROM THE CORPUS'S OWN COUNT-OF-COUNTS n1..n4 (the number
+    * of bigram types occurring exactly 1/2/3/4 times):
+    *
+    *   Y = n1/(n1 + 2·n2); D1 = 1 − 2Y·n2/n1; D2 = 2 − 3Y·n3/n2;
+    *   D3+ = 3 − 4Y·n4/n3
+    *   p(w2|w1) = (c(w1,w2) − D(c))⁺/c(w1) + γ(w1)·p_cont(w2)
+    *   γ(w1) = (D1·N1(w1·) + D2·N2(w1·) + D3+·N3+(w1·))/c(w1)
+    *   p_cont(w2) = (N1+(·w2) + 1)/(T + V)          [add-one floored]
+    *
+    * where N_i(w1·) counts continuation types of w1 with count exactly i
+    * (≥3 for the last). Discounts are clamped and degenerate
+    * count-of-counts fall back to D = 3/4 — see [[mknProbSql]], the
+    * engine-shared formula text.
+    *
+    * Determinism: the count-of-counts are a 4-column broadcast constant
+    * beside (T, V); the per-TYPE probability is fixed-order double
+    * arithmetic over exactly-representable integers with the formula text
+    * shared VERBATIM between engines, then micro-nat quantized once;
+    * per-doc sums are exact occ-weighted BIGINT sums with the house
+    * half-up terminal division. Scale: identical plan shape to
+    * [[knCrossEntropy]] — one extra conditional count triple on the
+    * history aggregate and four on the 1-row sizes aggregate; the model
+    * stays the Zipf-bounded observed-bigram TYPE table.
+    *
+    * Output: doc_id, n_bigrams, xent — the [[bigramCrossEntropy]]
+    * contract. */
+  def mknCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    val pairs = toks.select(col(idCol),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBig = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"),
+        count(when(col("c2") === 1, lit(1))).as("m1"),
+        count(when(col("c2") === 2, lit(1))).as("m2c"),
+        count(when(col("c2") >= 3, lit(1))).as("m3p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val sizes = big.agg(count(lit(1)).as("t_types"),
+        count(when(col("c2") === 1, lit(1))).as("n1"),
+        count(when(col("c2") === 2, lit(1))).as("n2"),
+        count(when(col("c2") === 3, lit(1))).as("n3"),
+        count(when(col("c2") === 4, lit(1))).as("n4"))
+      .crossJoin(toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val model = big.join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lp_mu",
+        expr(s"CAST(round(ln($mknProbSql) * 1e6) AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("lp_mu"))
+    docBig.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col(idCol), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with
     * [[bigramCrossEntropy]], split each group's score distribution into
     * head / middle / tail terciles (head = most fluent), and report the

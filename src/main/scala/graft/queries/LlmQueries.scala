@@ -1417,7 +1417,23 @@ object LlmQueries {
     // fall to the unselected side). See TextLm.excessLossSelect.
     "q348_excess_loss_select" -> ((s, d) =>
       graft.operators.TextLm.excessLossSelect(
-        table(s, d, "documents"), "doc_id", "text", "source"))
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // MODIFIED Kneser-Ney bigram cross-entropy: count-specific discounts
+    // D1/D2/D3+ estimated from the corpus's own count-of-counts n1..n4
+    // (Chen & Goodman 1998) — the smoothing production LM toolkits
+    // default to; formula text shared verbatim with the oracle. See
+    // TextLm.mknCrossEntropy.
+    "q349_mkn_xent" -> ((s, d) =>
+      graft.operators.TextLm.mknCrossEntropy(
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // Line-level dedup with document reconstruction (CCNet/FineWeb):
+    // drop every line (3-token tile) occurring in >= 3 distinct docs,
+    // rebuild each doc from its surviving lines in order; the md5 of the
+    // rebuilt text travels instead of the text. See TextDedup.lineDedup.
+    "q351_line_dedup" -> ((s, d) =>
+      TextDedup.lineDedup(table(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -4196,6 +4212,79 @@ object LlmQueries {
         |  round((CAST(sum(ex.e) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE), 6)
         |    AS mean_excess
         |FROM ex JOIN cuts USING (g)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextLm.mknCrossEntropy: same db/big lineage as knModelCte,
+    // history aggregate widened with exact-count-1/2/>=3 continuation
+    // type counts, the global count-of-counts row, and the per-TYPE
+    // probability evaluated from TextLm.mknProbSql — the IDENTICAL
+    // character string Spark's expr parses, so the fixed-order double
+    // arithmetic cannot diverge.
+    "q349_mkn_xent" ->
+      s"""WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |db AS MATERIALIZED (
+        |  SELECT doc_id, w1, w2, count(*) AS occ FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |    FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |big AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |hist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |    CAST(count(CASE WHEN c2 = 1 THEN 1 END) AS BIGINT) AS m1,
+        |    CAST(count(CASE WHEN c2 = 2 THEN 1 END) AS BIGINT) AS m2c,
+        |    CAST(count(CASE WHEN c2 >= 3 THEN 1 END) AS BIGINT) AS m3p
+        |  FROM big GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM big GROUP BY 1),
+        |sizes AS (SELECT CAST(count(*) AS BIGINT) AS t_types,
+        |    CAST(count(CASE WHEN c2 = 1 THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN c2 = 2 THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(count(CASE WHEN c2 = 3 THEN 1 END) AS BIGINT) AS n3,
+        |    CAST(count(CASE WHEN c2 = 4 THEN 1 END) AS BIGINT) AS n4
+        |  FROM big),
+        |vv AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v
+        |       FROM (SELECT unnest(t) AS w1 FROM toks)),
+        |model AS (
+        |  SELECT big.w1, big.w2,
+        |    CAST(round(ln(${graft.operators.TextLm.mknProbSql}) * 1e6) AS BIGINT)
+        |      AS lp_mu
+        |  FROM big JOIN hist USING (w1) JOIN cont USING (w2)
+        |  CROSS JOIN sizes CROSS JOIN vv)
+        |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
+        |FROM db JOIN model USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextDedup.lineDedup: 3-token non-overlapping tiles as
+    // lines, distinct-doc frequency per line text, drop at >= 3 docs,
+    // per-doc rebuild via ORDER BY line position (string_agg skips the
+    // dropped NULLs; coalesce('') matches Spark's empty-array join).
+    "q351_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents),
+        |lns AS MATERIALIZED (
+        |  SELECT doc_id, i AS lpos,
+        |    array_to_string(ts[i*3+1 : i*3+3], ' ') AS line,
+        |    CAST(len(ts[i*3+1 : i*3+3]) AS BIGINT) AS ntoks
+        |  FROM (SELECT doc_id, ts,
+        |      unnest(generate_series(0,
+        |        greatest((len(ts) + 2) // 3, 1) - 1)) AS i
+        |    FROM toks)),
+        |df AS (
+        |  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS ldf
+        |  FROM lns GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN ldf >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lines_dropped,
+        |  CAST(sum(CASE WHEN ldf < 3 THEN ntoks ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN ldf < 3 THEN line END, ' ' ORDER BY lpos),
+        |    '')) AS clean_md5
+        |FROM lns JOIN df USING (line)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -116,4 +116,46 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       p.linesIterator.take(10).mkString("\n"))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("lineDedup: cross-doc boilerplate dropped everywhere, order-preserving rebuild") {
+    import spark.implicits._
+    // "x y z" occurs in docs 1,2,3,5 (>= 3) -> dropped from ALL of them
+    // (no keeper); every other 3-token line is unique -> kept. Doc 4's
+    // last line is short (1 token). Doc 5 has the boilerplate in the
+    // MIDDLE — rebuild must stitch "m n o" + "p q r" in order.
+    val docs = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"),
+      (4L, "q r s t"), (5L, "m n o x y z p q r")).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(docs, "doc_id", "text",
+        lineTokens = 3, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toList
+    assert(out == List(
+      (1L, 2L, 1L, 3L, md5hex("a b c")),
+      (2L, 2L, 1L, 3L, md5hex("d e f")),
+      (3L, 2L, 1L, 3L, md5hex("g h i")),
+      (4L, 2L, 0L, 4L, md5hex("q r s t")),
+      (5L, 3L, 1L, 6L, md5hex("m n o p q r"))))
+  }
+
+  test("lineDedup: fully-boilerplate doc keeps its row with md5('') and zero tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(docs, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1).toList
+    assert(out == List(
+      (1L, 1L, 0L, md5hex("")), (2L, 1L, 0L, md5hex("")),
+      (3L, 1L, 0L, md5hex("")), (4L, 0L, 3L, md5hex("u v w"))))
+    // in-doc repetition is not cross-doc boilerplate: 2 distinct docs < 3
+    val rep = Seq((1L, "a b c a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val kept = TextDedup.lineDedup(rep, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toList
+    assert(kept == List((1L, 0L), (2L, 0L)))
+  }
 }

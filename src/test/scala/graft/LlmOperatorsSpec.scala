@@ -541,6 +541,34 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("mknCrossEntropy: hand-computed count-of-counts discounts on a tiny corpus") {
+    import spark.implicits._
+    // bigram counts: (a,b)=3,(b,a)=2,(c,d)=4,(d,c)=4,(e,f)=1
+    // -> n1=1,n2=1,n3=1,n4=2; Y=1/3; D1=1/3, D2=1, D3+=3-8/3=1/3
+    // T=5, V=6, all nc=1 -> pcont=2/11
+    //   p(b|a)=(3-1/3)/3 + (D3*1/3)*(2/11) = 10/11      -> -95310
+    //   p(a|b)=(2-1)/2   + (D2*1/2)*(2/11) = 13/22      -> -526093
+    //   p(d|c)=p(c|d)=(4-1/3)/4 + (D3*1/4)*(2/11)=41/44 -> -70618
+    //   p(f|e)=(1-1/3)/1 + (D1*1/1)*(2/11) = 8/11       -> -318454
+    // d1: (3*95310+2*526093)/5 -> 0.267623 (5 bigrams)
+    // d2: 70618 (8); d3: 318454 (1)
+    val tiny = Seq(1L -> "a b a b a b", 2L -> "c d c d c d c d c",
+      3L -> "e f").toDF("doc_id", "text")
+    val out = graft.operators.TextLm.mknCrossEntropy(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toList == List((1L, 5L, 0.267623), (2L, 8L, 0.070618),
+      (3L, 1L, 0.318454)))
+    // degenerate count-of-counts (every bigram count = 1 -> n2 = 0):
+    // discounts fall back to the fixed D = 3/4 => identical to the
+    // interpolated-KN scorer on the same corpus
+    val deg = Seq(1L -> "p q r", 2L -> "r p").toDF("doc_id", "text")
+    val mkn = graft.operators.TextLm.mknCrossEntropy(deg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    val kn = graft.operators.TextLm.knCrossEntropy(deg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(mkn.toList == kn.toList)
+  }
+
   test("capPerKey: bit-identical to the row_number formulation, window-free plan, cap respected") {
     val d = docs.select(col("doc_id"), col("source"))
     val capped = graft.operators.Scale.capPerKey(d, "source", "doc_id", cap = 3)
