@@ -215,6 +215,111 @@ object TextPrep {
     (merged, wt)
   }
 
+  /** Unigram-LM (SentencePiece) tokenizer training step — one hard-EM
+    * iteration over a seeded subword vocabulary with Viterbi segmentation
+    * (Kudo 2018, "Subword Regularization", public paper; Kudo's full EM
+    * uses forward–backward expected counts — the Viterbi/hard-EM variant
+    * here assigns each word type its single best segmentation, the
+    * standard deterministic approximation). The missing half of the
+    * tokenizer shelf beside [[bpeTrain]]: BPE grows a vocabulary by
+    * merging, unigram-LM starts from a large seed vocabulary and
+    * re-estimates piece probabilities (pruning then iterates — one
+    * iteration is the oracled unit here).
+    *
+    * Semantics, pinned for cross-engine exactness:
+    *  1. SEED: every substring of every word type with length
+    *     1..`maxPieceLen` is a piece; seed count = Σ_word freq(word) ×
+    *     (occurrences of the substring position in the word); seed
+    *     log-prob = micro-nat-quantized ln(count/total) — a BIGINT per
+    *     piece TYPE.
+    *  2. E-STEP (Viterbi): each word type's best segmentation maximizes
+    *     the sum of piece log-probs — an EXACT INTEGER DP over micro-nat
+    *     scores (best[i] = max over pieces ending at i of best[start] +
+    *     lp), so ties are exact and broken deterministically toward the
+    *     SMALLEST start (the longest final piece) during backtrace.
+    *     Single-character pieces are always in the vocabulary, so every
+    *     position is reachable.
+    *  3. M-STEP: piece count = Σ_word freq(word) × (uses in the word's
+    *     Viterbi path); updated log-prob = micro-nat ln(count/total′)
+    *     over pieces actually used.
+    *
+    * Words longer than `maxWordLen` chars are excluded (bounds the DP;
+    * production SentencePiece bounds sentence length the same way).
+    *
+    * Scale design: the corpus is touched ONCE (the word-type aggregate —
+    * token-keyed, map-side combinable); everything after runs on the
+    * Heaps-bounded word-TYPE table: the piece inventory is |types| ×
+    * len × maxPieceLen rows, the DP is a per-word-type fold over arrays
+    * of ≤ maxWordLen × maxPieceLen candidate structs (no joins, no
+    * shuffles inside the DP), and the two model tables are
+    * vocabulary-bounded. The DP arithmetic is all-BIGINT — no doubles
+    * until the final display division, so Spark and the DuckDB oracle
+    * (which replays the DP as unrolled per-position CTE levels) agree
+    * bit-for-bit.
+    *
+    * Output: (piece, em_count, lp0, lp1) for every piece with em_count >
+    * 0 — piece, its Viterbi usage count, seed and re-estimated log-probs
+    * (nats, 6 dp). */
+  def unigramLmTrainStep(docs: DataFrame, textCol: String,
+                         maxPieceLen: Int = 4, maxWordLen: Int = 16)
+  : DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+      "need maxPieceLen >= 1 and maxWordLen >= maxPieceLen")
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val inv = words.select(col("w"), col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(w) - 1),
+             |  s -> transform(sequence(1, least($maxPieceLen, length(w) - s)),
+             |    l -> named_struct('s', s, 'e', s + l,
+             |      'piece', substr(w, s + 1, l)))))""".stripMargin)).as("c"))
+      .select(col("w"), col("freq"), col("c.s").as("s"), col("c.e").as("e"),
+        col("c.piece").as("piece"))
+    val seed = inv.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val t0 = seed.agg(sum(col("cnt")).as("t0"))
+    val lp0 = CacheScope.persist(seed.crossJoin(broadcast(t0))
+      .select(col("piece"), expr(
+        "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t0 AS DOUBLE)) * 1e6) AS BIGINT)")
+        .as("lp0_mu")))
+    val cands = inv.join(lp0, Seq("piece"))
+      .groupBy(col("w"), col("freq"))
+      .agg(collect_list(struct(col("s"), col("e"),
+        col("lp0_mu").as("lp"))).as("cands"))
+    // DP forward pass, then boundary backtrace — both pure integer folds
+    // over the word's own candidate array (c.s/c.e are 0-based positions;
+    // Spark's [] array access is 0-based, element_at is 1-based with -1 =
+    // last). bounds descends len -> ... -> 0; pieces re-derive from the
+    // boundary pairs by substr, so the fold carries only ints.
+    val dp = cands
+      .withColumn("best", expr(
+        """aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+          |  (acc, i) -> concat(acc, array(
+          |    array_max(transform(filter(cands, c -> c.e = i),
+          |      c -> acc[c.s] + c.lp)))))""".stripMargin))
+      .withColumn("bounds", expr(
+        """aggregate(sequence(1, length(w)), array(length(w)),
+          |  (acc, x) -> IF(element_at(acc, -1) = 0, acc,
+          |    concat(acc, array(
+          |      array_min(transform(
+          |        filter(cands, c -> c.e = element_at(acc, -1)
+          |          AND best[c.s] + c.lp = best[element_at(acc, -1)]),
+          |        c -> c.s))))))""".stripMargin))
+      .withColumn("pieces", expr(
+        """transform(sequence(1, size(bounds) - 1),
+          |  j -> substr(w, element_at(bounds, j + 1) + 1,
+          |    element_at(bounds, j) - element_at(bounds, j + 1)))"""
+          .stripMargin))
+    val em = dp.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("em_count"))
+    val t1 = em.agg(sum(col("em_count")).as("t1"))
+    em.crossJoin(broadcast(t1)).join(lp0, Seq("piece"))
+      .select(col("piece"), col("em_count"),
+        (col("lp0_mu").cast("double") / lit(1e6)).as("lp0"),
+        (expr("CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("lp1"))
+  }
+
   /** The PII detector battery for [[piiCensus]]: (type, pattern) pairs.
     * Patterns deliberately use only the Java-regex ∩ RE2 common subset
     * (character classes, bounded/unbounded repetition, groups, literal

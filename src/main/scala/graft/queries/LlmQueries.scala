@@ -1428,6 +1428,14 @@ object LlmQueries {
       graft.operators.TextLm.mknCrossEntropy(
         table(s, d, "documents"), "doc_id", "text")),
 
+    // Unigram-LM (SentencePiece) tokenizer training step: seed subword
+    // vocabulary (all substrings <= 4 chars), one hard-EM iteration with
+    // exact-integer Viterbi segmentation per word TYPE, min-start
+    // tie-break. See TextPrep.unigramLmTrainStep.
+    "q350_unigram_lm_em" -> ((s, d) =>
+      graft.operators.TextPrep.unigramLmTrainStep(
+        table(s, d, "documents"), "text")),
+
     // Line-level dedup with document reconstruction (CCNet/FineWeb):
     // drop every line (3-token tile) occurring in >= 3 distinct docs,
     // rebuild each doc from its surviving lines in order; the md5 of the
@@ -1583,6 +1591,77 @@ object LlmQueries {
       |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
       |  FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tv)"""
       .stripMargin
+
+  /** Unrolled-CTE mirror of TextPrep.unigramLmTrainStep: the Viterbi DP
+    * (best[i] = max over candidate pieces ending at i of best[start] +
+    * lp) runs as `maxWord` per-position levels b1..bN — each level ONE
+    * keyed aggregate over the previous levels' rows, every b_i/s_i
+    * MATERIALIZED because each is referenced twice and DuckDB re-executes
+    * plain CTEs per reference (the r13 multiplicative-CTE lesson).
+    * The backtrace replays as `maxWord` argmin steps (min(c.s) among
+    * candidates achieving best[pos] — the min-start tie-break the Spark
+    * fold pins), each emitting its chosen piece via substr. All DP
+    * arithmetic is BIGINT micro-nats, so equality tests are exact. */
+  private def unigramLmOracle(maxPiece: Int, maxWord: Int): String = {
+    val dp = (1 to maxWord).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT * FROM b${i - 1} UNION ALL
+         |  SELECT c.w, CAST($i AS BIGINT), max(b.best + c.lp)
+         |  FROM b${i - 1} b
+         |  JOIN cands c ON c.w = b.w AND c.s = b.pos AND c.e = $i
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val back = (1 to maxWord).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.w, p.freq, p.pos AS pe, min(c.s) AS ns
+         |  FROM p${i - 1} p
+         |  JOIN cands c ON c.w = p.w AND c.e = p.pos
+         |  JOIN best bs ON bs.w = p.w AND bs.pos = c.s
+         |  JOIN best be ON be.w = p.w AND be.pos = p.pos
+         |  WHERE p.pos > 0 AND bs.best + c.lp = be.best
+         |  GROUP BY 1, 2, 3),
+         |p$i AS (SELECT w, freq, ns AS pos FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val segs = (1 to maxWord)
+      .map(i => s"SELECT w, freq, substr(w, ns + 1, pe - ns) AS piece FROM s$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1 AND len(w) <= $maxWord GROUP BY 1),
+       |inv AS MATERIALIZED (
+       |  SELECT w, freq, s, s + l AS e, substr(w, s + 1, l) AS piece
+       |  FROM (SELECT w, freq,
+       |      unnest(generate_series(0, len(w) - 1)) AS s FROM words),
+       |    (SELECT unnest(generate_series(1, $maxPiece)) AS l)
+       |  WHERE s + l <= len(w)),
+       |seed AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |         FROM inv GROUP BY 1),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t0 FROM seed),
+       |lp0 AS MATERIALIZED (
+       |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE)
+       |    / CAST(t0 AS DOUBLE)) * 1e6) AS BIGINT) AS lp0_mu
+       |  FROM seed CROSS JOIN t0),
+       |cands AS MATERIALIZED (
+       |  SELECT inv.w, inv.s, inv.e, lp0.lp0_mu AS lp
+       |  FROM inv JOIN lp0 USING (piece)),
+       |b0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS best
+       |       FROM words),
+       |$dp,
+       |best AS MATERIALIZED (SELECT * FROM b$maxWord),
+       |p0 AS (SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM words),
+       |$back,
+       |segs AS (
+       |  $segs),
+       |em AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS em_count
+       |  FROM segs GROUP BY 1),
+       |t1 AS (SELECT CAST(sum(em_count) AS BIGINT) AS t1 FROM em)
+       |SELECT em.piece, em.em_count,
+       |  CAST(lp0.lp0_mu AS DOUBLE) / 1e6 AS lp0,
+       |  CAST(CAST(round(ln(CAST(em_count AS DOUBLE)
+       |    / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS lp1
+       |FROM em JOIN lp0 USING (piece) CROSS JOIN t1""".stripMargin
+  }
 
   /** Shared CTE chain (no WITH) from tokenized docs to the verified
     * MinHash near-dup pair set `pairs` — the q31 lineage. Composed by
@@ -4255,6 +4334,9 @@ object LlmQueries {
         |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
         |FROM db JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextPrep.unigramLmTrainStep — see unigramLmOracle.
+    "q350_unigram_lm_em" -> unigramLmOracle(4, 16),
 
     // Mirrors TextDedup.lineDedup: 3-token non-overlapping tiles as
     // lines, distinct-doc frequency per line text, drop at >= 3 docs,

@@ -119,4 +119,46 @@ class TextPrepSpec extends AnyFunSuite {
       .map(x => x.getString(1) -> x.getLong(4)).toMap
     assert(both("hex_secret") == 1L && both("digit_run") == 1L)
   }
+
+  private def unigramRows(texts: Seq[String], maxPiece: Int = 4,
+                          maxWord: Int = 16): List[(String, Long, Double, Double)] = {
+    import spark.implicits._
+    val out = TextPrep.unigramLmTrainStep(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "text", maxPiece, maxWord)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toList
+    graft.operators.CacheScope.drain()
+    out
+  }
+
+  test("unigramLmTrainStep: hand-computed seed, Viterbi segmentation, and M-step") {
+    // words ab:3, b:3 -> seed a:3, ab:3, b:6, T0=12
+    // lp0: a/ab -> ln(1/4) = -1386294 mu; b -> ln(1/2) = -693147
+    // Viterbi "ab": [ab] (-1386294) beats [a][b] (-2079441); "b": [b]
+    // em: ab:3, b:3, T1=6 -> lp1 both ln(1/2); piece "a" unused -> absent
+    assert(unigramRows(Seq("ab ab b", "ab b b")) == List(
+      ("ab", 3L, -1.386294, -0.693147), ("b", 3L, -0.693147, -0.693147)))
+  }
+
+  test("unigramLmTrainStep: exact integer tie breaks to the longest piece (min start)") {
+    // words ab:2, a:2, b:4 -> seed a:4, ab:2, b:6, T0=12 — engineered so
+    // 2/12 = (4/12)*(6/12) EXACTLY: mu(ab) = -1791759 = mu(a) + mu(b)
+    // = -1098612 - 693147. Viterbi "ab" ties [ab] vs [a][b]; the
+    // backtrace must take min start s=0 => piece "ab" (em ab:2, a:2, b:4,
+    // T1=8). A max-start tiebreak would yield em a:4, b:6, ab absent.
+    assert(unigramRows(Seq("ab ab a a b b b b")) == List(
+      ("a", 2L, -1.098612, -1.386294),
+      ("ab", 2L, -1.791759, -1.386294),
+      ("b", 4L, -0.693147, -0.693147)))
+  }
+
+  test("unigramLmTrainStep: multi-use pieces count with multiplicity; long words excluded") {
+    // maxPieceLen=2: seed a:4, aa:3, c:2, cc:1 (T0=10); Viterbi
+    // "aaaa" = [aa][aa] (two uses of "aa" in ONE word), "cc" = [cc];
+    // T1 = 3. The 17-char word is over maxWordLen=16 and contributes
+    // nothing (neither seed nor em).
+    assert(unigramRows(Seq("aaaa cc abcdefghijklmnopq"), maxPiece = 2) == List(
+      ("aa", 2L, -1.203973, -0.405465), ("cc", 1L, -2.302585, -1.098612)))
+  }
 }
