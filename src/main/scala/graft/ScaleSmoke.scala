@@ -224,6 +224,22 @@ import org.apache.spark.sql.functions._
   *   kn3_xent        1x rows=5000   6.9 s   10x rows=50000  11.0 s
   *   dedup_pipeline  1x rows=5000   8.9 s   10x rows=50000  39.2 s
   * }}}
+  * Round-15 curves (quiet box, 2026-08-15, sf0.1×10):
+  * {{{
+  *   mkn_xent        1x rows=5000   4.7 s   10x rows=50000  5.7 s
+  *   unigram_lm      1x rows=43     3.0 s   10x rows=43     2.0 s
+  *   line_dedup      1x rows=5000   1.1 s   10x rows=50000  2.4 s
+  * }}}
+  * Modified-KN rides the kn_xent curve (1.2x at 10x: the TYPE-table
+  * model is constant; the count-of-counts shift under replication but
+  * stay a 1-row broadcast). unigram_lm is the flattest curve in the
+  * file by design — replicas scale word-type frequencies uniformly, so
+  * the seed model, every Viterbi DP, and the 43-piece answer are
+  * IDENTICAL across factors; only the word-type aggregate's scan grows.
+  * line_dedup is scan-linear (2.2x at 10x; replicas push every line
+  * over the minDocs threshold, so the 10x run drops more while the
+  * line-TYPE df table stays bounded).
+  *
   * The KN curves repeat the lm_xent/dsir_weights argument: replicas add
   * occurrences, never bigram TYPES, so the whole KN model (history sums,
   * continuation type counts, T, V) is constant across factors — 1.3x /
@@ -1336,6 +1352,29 @@ object ScaleSmoke {
       time(s"excess_select   $label") {
         operators.TextLm.excessLossSelect(df, "doc_id", "text",
           "source").count()
+      }
+      // modified-KN: the count-of-counts n1..n4 SHIFT under replication
+      // (a count-1 type at 1x is a count-factor type at factor-x) so the
+      // discounts differ — but the model stays the constant TYPE table
+      // and cost must track tokenize + doc-keyed aggregation, the
+      // kn_xent curve.
+      time(s"mkn_xent        $label") {
+        operators.TextLm.mknCrossEntropy(df, "doc_id", "text").count()
+      }
+      // unigram-LM EM: replicas multiply word-type frequencies uniformly
+      // — the seed model, every Viterbi DP, and the piece table are
+      // IDENTICAL across factors; only the one corpus-scale word-type
+      // aggregate sees more rows. The flattest curve in the file by
+      // design.
+      time(s"unigram_lm      $label") {
+        operators.TextPrep.unigramLmTrainStep(df, "text").count()
+      }
+      // line dedup: line inventory is scan-linear; replicas push every
+      // line's doc-frequency over minDocs (each line gains factor-1
+      // exact copies), so the 10x run drops MORE — the df table stays
+      // line-TYPE-bounded either way.
+      time(s"line_dedup      $label") {
+        operators.TextDedup.lineDedup(df, "doc_id", "text").count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

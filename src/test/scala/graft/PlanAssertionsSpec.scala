@@ -697,6 +697,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "one scan per join side, never per-cell re-scans")
   }
 
+  test("q349/q350/q351: round-15 text operators stay keyed; only 1-row frames broadcast") {
+    // q349 modified-KN: model joins are bigram-/history-/continuation-
+    // keyed; the only nested-loop is the broadcast 1-row (T,V,n1..n4)
+    // count-of-counts frame
+    val p349 = plan("q349_mkn_xent")
+    assert(!p349.contains("CartesianProduct"), "mkn model joins must stay keyed")
+    // q350 unigram-LM: the Viterbi DP is an in-row fold — no join, window
+    // or shuffle may appear between the cands aggregate and the em
+    // explode; the piece-keyed model joins stay equi-keyed
+    val p350 = plan("q350_unigram_lm_em")
+    assert(!p350.contains("CartesianProduct"), "unigram-LM joins must stay keyed")
+    assert(!p350.contains("Window"), "the DP must be an in-row fold, not a window")
+    // q351 line dedup: ONE line-keyed equi-join (df table back onto the
+    // inventory); a nested-loop or cartesian is the all-pairs explosion
+    // the df aggregate exists to avoid
+    val p351 = plan("q351_line_dedup")
+    assert(!p351.contains("CartesianProduct") &&
+      !p351.contains("BroadcastNestedLoopJoin"),
+      "line-frequency join must stay equi-keyed")
+    assert(!p351.contains("Window"), "rebuild must be an aggregate, not a window")
+  }
+
   test("q340: max-coverage output is the constant-size pick trace") {
     // like q337: the greedy's per-round anti-join + argmax already ran;
     // the result is <=k driver-assembled rows
