@@ -248,7 +248,12 @@ import org.apache.spark.sql.functions._
   * replica curve (every replica pair is a true J=1.0 pair; candidates
   * grow ~factor² per original) — the exact stage then removes 90% of
   * the corpus, so components + semantic run on a survivor set constant
-  * across factors, exactly the funnel design.
+  * across factors, exactly the funnel design. MEASURED attribution
+  * (r15, same box, same run): pipeline 8.2→43.8 s vs minhash_lsh alone
+  * 6.1→28.4 s and exact_dedup 0.7→0.9 s — the pair-graph build is ~65%
+  * of the 10x total and carries the whole slope; the ~14 s remainder
+  * (semantic pairs + CC + stage joins) is the flat survivor-set part.
+  * See TextDedup.dedupPipeline's scaladoc for the envelope.
   *
   * Round-13 shelf curves (quiet box, 2026-08-14, sf0.001×10):
   * {{{

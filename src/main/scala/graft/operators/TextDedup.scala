@@ -1001,7 +1001,20 @@ object TextDedup {
     * id-keyed anti-joins; the only iteration is inside
     * [[connectedComponents]] (component-diameter rounds over the near-dup
     * graph, cliques in practice). Worklists are persisted per stage via
-    * [[CacheScope]] — each survivor set feeds three consumers. */
+    * [[CacheScope]] — each survivor set feeds three consumers.
+    *
+    * 10× cost envelope (measured, sf0.1×10 quiet box, r15): pipeline
+    * 8.2 → 43.8 s, of which the MinHash pair-graph build ALONE is
+    * 6.1 → 28.4 s (~65% of the 10× total) — the replica corpus is the
+    * adversarial case for LSH (every replica pair is a true J=1.0 pair,
+    * candidates grow ~factor² per original). The exact stage is
+    * 0.7 → 0.9 s, and the remainder (~14 s: semantic pair graph + CC
+    * rounds + stage joins) is flat-to-linear because components and the
+    * semantic stage run on the exact-stage SURVIVOR set, constant across
+    * replication factors. So the pipeline's growth curve IS the pair
+    * graphs' curve — by design, they are the expensive 100 TB artifacts
+    * — and the CC iteration never dominates; a large-star/small-star CC
+    * variant would shave the flat remainder, not the slope. */
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     nearPairs: DataFrame, semPairs: DataFrame): DataFrame = {
     // coalesce: md5(NULL) is NULL and NULL keys never equi-join, so a
