@@ -228,6 +228,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   mkn_xent        1x rows=5000   4.7 s   10x rows=50000  5.7 s
   *   unigram_lm      1x rows=43     3.0 s   10x rows=43     2.0 s
+  *   unigram_fert    1x rows=20     5.6 s   10x rows=20     3.8 s
   *   line_dedup      1x rows=5000   1.1 s   10x rows=50000  2.4 s
   * }}}
   * Modified-KN rides the kn_xent curve (1.2x at 10x: the TYPE-table
@@ -1373,6 +1374,12 @@ object ScaleSmoke {
       // design.
       time(s"unigram_lm      $label") {
         operators.TextPrep.unigramLmTrainStep(df, "text").count()
+      }
+      // fertility apply-pass: the DP side is identical across factors
+      // (same TYPE table); the apply join is one word-keyed equi-join on
+      // the exploded corpus — scan-linear like bpe_encode.
+      time(s"unigram_fert    $label") {
+        operators.TextPrep.unigramLmFertility(df, "text", "source").count()
       }
       // line dedup: line inventory is scan-linear; replicas push every
       // line's doc-frequency over minDocs (each line gains factor-1

@@ -263,6 +263,58 @@ object TextPrep {
   def unigramLmTrainStep(docs: DataFrame, textCol: String,
                          maxPieceLen: Int = 4, maxWordLen: Int = 16)
   : DataFrame = {
+    val (dp, lp0) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    val em = dp.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("em_count"))
+    val t1 = em.agg(sum(col("em_count")).as("t1"))
+    em.crossJoin(broadcast(t1)).join(lp0, Seq("piece"))
+      .select(col("piece"), col("em_count"),
+        (col("lp0_mu").cast("double") / lit(1e6)).as("lp0"),
+        (expr("CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("lp1"))
+  }
+
+  /** Per-source segmentation FERTILITY under the unigram-LM seed model —
+    * the train→apply round trip for [[unigramLmTrainStep]], exactly as
+    * [[bpeEncode]] is to [[bpeTrain]]: segment every word type with the
+    * Viterbi DP (same model, same min-start tie-break), then charge each
+    * source its occurrence-weighted piece count. Fertility
+    * (pieces/word) is THE tokenizer-quality number a corpus report
+    * tracks per language/source (high fertility = the vocabulary fits
+    * that source badly).
+    *
+    * Scale: the DP runs ONCE per word TYPE (Heaps-bounded); the apply
+    * side is one word-keyed join from the exploded corpus onto the
+    * |types|-row piece-count table plus a per-source aggregate — the
+    * bpeEncode shape. Words over `maxWordLen` are excluded from both
+    * the model and the count (mirrored in the oracle).
+    *
+    * Output: (source, n_words, n_pieces, fertility) with fertility the
+    * house exact-integer half-up 6-dp rational. */
+  def unigramLmFertility(docs: DataFrame, textCol: String, srcCol: String,
+                         maxPieceLen: Int = 4, maxWordLen: Int = 16)
+  : DataFrame = {
+    val (dp, _) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    val perWord = dp.select(col("w"),
+      (size(col("bounds")) - 1).cast("long").as("np"))
+    docs.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .join(perWord, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        (expr("CAST((2 * n_pieces * 1000000 + n_words) DIV (2 * n_words) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("fertility"))
+  }
+
+  /** Shared seed-model + Viterbi chain for [[unigramLmTrainStep]] /
+    * [[unigramLmFertility]]: returns (dp, lp0) where dp carries one row
+    * per word type with its DP `best` array, backtrace `bounds`, and
+    * decoded `pieces`, and lp0 is the persisted seed log-prob table. */
+  private def unigramViterbi(docs: DataFrame, textCol: String,
+                             maxPieceLen: Int, maxWordLen: Int)
+  : (DataFrame, DataFrame) = {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 1 and maxWordLen >= maxPieceLen")
     val words = docs.select(explode(split(col(textCol), " ")).as("w"))
@@ -310,14 +362,7 @@ object TextPrep {
           |  j -> substr(w, element_at(bounds, j + 1) + 1,
           |    element_at(bounds, j) - element_at(bounds, j + 1)))"""
           .stripMargin))
-    val em = dp.select(col("freq"), explode(col("pieces")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("freq")).as("em_count"))
-    val t1 = em.agg(sum(col("em_count")).as("t1"))
-    em.crossJoin(broadcast(t1)).join(lp0, Seq("piece"))
-      .select(col("piece"), col("em_count"),
-        (col("lp0_mu").cast("double") / lit(1e6)).as("lp0"),
-        (expr("CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT)")
-          .cast("double") / lit(1e6)).as("lp1"))
+    (dp, lp0)
   }
 
   /** The PII detector battery for [[piiCensus]]: (type, pattern) pairs.

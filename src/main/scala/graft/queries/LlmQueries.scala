@@ -1441,7 +1441,15 @@ object LlmQueries {
     // rebuild each doc from its surviving lines in order; the md5 of the
     // rebuilt text travels instead of the text. See TextDedup.lineDedup.
     "q351_line_dedup" -> ((s, d) =>
-      TextDedup.lineDedup(table(s, d, "documents"), "doc_id", "text"))
+      TextDedup.lineDedup(table(s, d, "documents"), "doc_id", "text")),
+
+    // Per-source segmentation fertility under the unigram-LM seed model
+    // — the train->apply round trip for q350 (as q334 is to q331's BPE):
+    // Viterbi piece counts per word TYPE, occurrence-weighted per
+    // source. See TextPrep.unigramLmFertility.
+    "q352_unigram_fertility" -> ((s, d) =>
+      graft.operators.TextPrep.unigramLmFertility(
+        table(s, d, "documents"), "text", "source"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1602,7 +1610,36 @@ object LlmQueries {
     * candidates achieving best[pos] — the min-start tie-break the Spark
     * fold pins), each emitting its chosen piece via substr. All DP
     * arithmetic is BIGINT micro-nats, so equality tests are exact. */
-  private def unigramLmOracle(maxPiece: Int, maxWord: Int): String = {
+  private def unigramLmOracle(maxPiece: Int, maxWord: Int): String =
+    s"""${unigramLmChain(maxPiece, maxWord)},
+       |em AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS em_count
+       |  FROM segs GROUP BY 1),
+       |t1 AS (SELECT CAST(sum(em_count) AS BIGINT) AS t1 FROM em)
+       |SELECT em.piece, em.em_count,
+       |  CAST(lp0.lp0_mu AS DOUBLE) / 1e6 AS lp0,
+       |  CAST(CAST(round(ln(CAST(em_count AS DOUBLE)
+       |    / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS lp1
+       |FROM em JOIN lp0 USING (piece) CROSS JOIN t1""".stripMargin
+
+  /** q352 final over the same chain: per-word Viterbi piece counts from
+    * the backtrace rows, joined onto the source-exploded corpus, with
+    * the house exact half-up 6-dp fertility. */
+  private def unigramLmFertilityOracle(maxPiece: Int, maxWord: Int): String =
+    s"""${unigramLmChain(maxPiece, maxWord)},
+       |npw AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM segs GROUP BY 1),
+       |wsrc AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1 AND len(w) <= $maxWord)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(CAST((2 * sum(np) * 1000000 + count(*))
+       |    // (2 * count(*)) AS BIGINT) AS DOUBLE) / 1e6 AS fertility
+       |FROM wsrc JOIN npw USING (w)
+       |GROUP BY 1""".stripMargin
+
+  private def unigramLmChain(maxPiece: Int, maxWord: Int): String = {
     val dp = (1 to maxWord).map { i =>
       s"""b$i AS MATERIALIZED (SELECT * FROM b${i - 1} UNION ALL
          |  SELECT c.w, CAST($i AS BIGINT), max(b.best + c.lp)
@@ -1650,17 +1687,8 @@ object LlmQueries {
        |best AS MATERIALIZED (SELECT * FROM b$maxWord),
        |p0 AS (SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM words),
        |$back,
-       |segs AS (
-       |  $segs),
-       |em AS MATERIALIZED (
-       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS em_count
-       |  FROM segs GROUP BY 1),
-       |t1 AS (SELECT CAST(sum(em_count) AS BIGINT) AS t1 FROM em)
-       |SELECT em.piece, em.em_count,
-       |  CAST(lp0.lp0_mu AS DOUBLE) / 1e6 AS lp0,
-       |  CAST(CAST(round(ln(CAST(em_count AS DOUBLE)
-       |    / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS lp1
-       |FROM em JOIN lp0 USING (piece) CROSS JOIN t1""".stripMargin
+       |segs AS MATERIALIZED (
+       |  $segs)""".stripMargin
   }
 
   /** Shared CTE chain (no WITH) from tokenized docs to the verified
@@ -4337,6 +4365,10 @@ object LlmQueries {
 
     // Mirrors TextPrep.unigramLmTrainStep — see unigramLmOracle.
     "q350_unigram_lm_em" -> unigramLmOracle(4, 16),
+
+    // Mirrors TextPrep.unigramLmFertility over the SAME unrolled-DP
+    // chain — see unigramLmFertilityOracle.
+    "q352_unigram_fertility" -> unigramLmFertilityOracle(4, 16),
 
     // Mirrors TextDedup.lineDedup: 3-token non-overlapping tiles as
     // lines, distinct-doc frequency per line text, drop at >= 3 docs,

@@ -709,6 +709,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p350 = plan("q350_unigram_lm_em")
     assert(!p350.contains("CartesianProduct"), "unigram-LM joins must stay keyed")
     assert(!p350.contains("Window"), "the DP must be an in-row fold, not a window")
+    // q352 fertility: same DP discipline as q350 plus ONE word-keyed
+    // apply join — still window-free, still no cartesian
+    val p352 = plan("q352_unigram_fertility")
+    assert(!p352.contains("CartesianProduct") && !p352.contains("Window"),
+      "fertility apply join must stay keyed; DP stays an in-row fold")
     // q351 line dedup: ONE line-keyed equi-join (df table back onto the
     // inventory); a nested-loop or cartesian is the all-pairs explosion
     // the df aggregate exists to avoid

@@ -161,4 +161,21 @@ class TextPrepSpec extends AnyFunSuite {
     assert(unigramRows(Seq("aaaa cc abcdefghijklmnopq"), maxPiece = 2) == List(
       ("aa", 2L, -1.203973, -0.405465), ("cc", 1L, -2.302585, -1.098612)))
   }
+
+  test("unigramLmFertility: occurrence-weighted pieces per word, per source") {
+    import spark.implicits._
+    // model from the FULL corpus: aaaa freq 2, cc freq 1 (the 17-char
+    // word is over maxWordLen and excluded from model AND counts) ->
+    // seed a:8, aa:6, c:2, cc:1, T0=17; Viterbi "aaaa"=[aa][aa] (2),
+    // "cc"=[cc] (1). s1: 2 words, 3 pieces -> 1.5; s2: 1 word (the long
+    // one dropped), 2 pieces -> 2.0
+    val docs = Seq((1L, "aaaa cc", "s1"), (2L, "aaaa abcdefghijklmnopq", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextPrep.unigramLmFertility(docs, "text", "source",
+        maxPieceLen = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toList
+    graft.operators.CacheScope.drain()
+    assert(out == List(("s1", 2L, 3L, 1.5), ("s2", 1L, 2L, 2.0)))
+  }
 }
