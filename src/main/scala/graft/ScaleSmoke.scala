@@ -229,6 +229,7 @@ import org.apache.spark.sql.functions._
   *   mkn_xent        1x rows=5000   4.7 s   10x rows=50000  5.7 s
   *   unigram_lm      1x rows=43     3.0 s   10x rows=43     2.0 s
   *   unigram_fert    1x rows=20     5.6 s   10x rows=20     3.8 s
+  *   unigram_prune   1x rows=1      10.5 s  10x rows=1      4.7 s
   *   line_dedup      1x rows=5000   1.1 s   10x rows=50000  2.4 s
   * }}}
   * Modified-KN rides the kn_xent curve (1.2x at 10x: the TYPE-table
@@ -1380,6 +1381,13 @@ object ScaleSmoke {
       // the exploded corpus — scan-linear like bpe_encode.
       time(s"unigram_fert    $label") {
         operators.TextPrep.unigramLmFertility(df, "text", "source").count()
+      }
+      // prune step: TWO type-table DP passes + grid cut — like
+      // unigram_lm, everything after the word-type aggregate is
+      // identical across factors (usage counts scale uniformly, so the
+      // cut keeps the same pieces).
+      time(s"unigram_prune   $label") {
+        operators.TextPrep.unigramLmPrune(df, "text").count()
       }
       // line dedup: line inventory is scan-linear; replicas push every
       // line's doc-frequency over minDocs (each line gains factor-1

@@ -263,7 +263,7 @@ object TextPrep {
   def unigramLmTrainStep(docs: DataFrame, textCol: String,
                          maxPieceLen: Int = 4, maxWordLen: Int = 16)
   : DataFrame = {
-    val (dp, lp0) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    val (dp, lp0, _) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
     val em = dp.select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("em_count"))
     val t1 = em.agg(sum(col("em_count")).as("t1"))
@@ -294,7 +294,7 @@ object TextPrep {
   def unigramLmFertility(docs: DataFrame, textCol: String, srcCol: String,
                          maxPieceLen: Int = 4, maxWordLen: Int = 16)
   : DataFrame = {
-    val (dp, _) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    val (dp, _, _) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
     val perWord = dp.select(col("w"),
       (size(col("bounds")) - 1).cast("long").as("np"))
     docs.select(col(srcCol).as("source"),
@@ -308,13 +308,90 @@ object TextPrep {
           .cast("double") / lit(1e6)).as("fertility"))
   }
 
+  /** Unigram-LM vocabulary PRUNING step (Kudo 2018 §3: after each EM
+    * round, SentencePiece drops the lowest-contribution pieces and
+    * re-estimates — usage count is the deterministic contribution proxy
+    * here): keep the top `keepNum/keepDen` fraction of MULTI-character
+    * pieces by EM usage count (single-character pieces are always kept —
+    * they guarantee every word stays segmentable), re-normalize the
+    * model over the kept set with an add-one floor (zero-usage single
+    * chars stay finite), re-run the Viterbi segmentation under the
+    * pruned model, and report the vocabulary/fertility deltas.
+    *
+    * The cut is the house integer order statistic over the (usage-count)
+    * VALUE GRID — cut = min count with cum·den ≥ n·(den−num), kept ⇔
+    * count > cut, ties dropped (the q343/q348 tie-to-lower rule). The
+    * grid window runs over DISTINCT usage counts (Zipf-bounded — the
+    * q107 histogram-table argument), never over pieces.
+    *
+    * Output (one row): seed_vocab (all seed pieces), active_vocab
+    * (pieces the EM step used), kept_vocab (post-prune), n_words
+    * (corpus occurrences of modeled words), pieces_before/pieces_after
+    * (occurrence-weighted Viterbi piece totals under seed vs pruned
+    * model), fertility_before/fertility_after (house exact half-up
+    * 6 dp). Scale: two TYPE-table Viterbi passes + three 1-row
+    * aggregates — nothing new touches the corpus. */
+  def unigramLmPrune(docs: DataFrame, textCol: String,
+                     keepNum: Int = 1, keepDen: Int = 2,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16)
+  : DataFrame = {
+    require(keepNum > 0 && keepDen > keepNum, "need 0 < keepNum < keepDen")
+    val (dp, _, inv0) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    val inv = CacheScope.persist(inv0)
+    val em = CacheScope.persist(
+      dp.select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("em")))
+    val multi = em.where(length(col("piece")) > 1)
+    val vals = multi.groupBy(col("em")).agg(count(lit(1)).as("__c"))
+    val cumW = Window.orderBy(col("em"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cut = vals.withColumn("__cum", sum(col("__c")).over(cumW))
+      .crossJoin(broadcast(vals.agg(sum(col("__c")).as("__n"))))
+      .agg(min(when(col("__cum") * keepDen >= col("__n") * (keepDen - keepNum),
+        col("em"))).as("__cut"))
+    val keptMulti = multi.crossJoin(broadcast(cut))
+      .where(col("em") > col("__cut")).select(col("piece"), col("em"))
+    val singles = inv.where(length(col("piece")) === 1)
+      .select(col("piece")).distinct()
+      .join(em, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("em"), lit(0L)).as("em"))
+    val kept = CacheScope.persist(singles.unionByName(keptMulti))
+    val sizes = kept.agg(sum(col("em")).as("t2"), count(lit(1)).as("k"))
+    val lp2 = kept.crossJoin(broadcast(sizes))
+      .select(col("piece"), expr(
+        "CAST(round(ln(CAST(em + 1 AS DOUBLE) / CAST(t2 + k AS DOUBLE)) * 1e6) AS BIGINT)")
+        .as("lp"))
+    val dp2 = viterbiFold(inv.join(lp2, Seq("piece"))
+      .groupBy(col("w"), col("freq"))
+      .agg(collect_list(struct(col("s"), col("e"), col("lp"))).as("cands")))
+    val before = dp.select(col("w"), col("freq"),
+      (size(col("bounds")) - 1).cast("long").as("np1"))
+    val after = dp2.select(col("w"),
+      (size(col("bounds")) - 1).cast("long").as("np2"))
+    before.join(after, Seq("w"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("np1")).as("pieces_before"),
+        sum(col("freq") * col("np2")).as("pieces_after"))
+      .crossJoin(broadcast(
+        inv.agg(countDistinct(col("piece")).as("seed_vocab"))))
+      .crossJoin(broadcast(em.agg(count(lit(1)).as("active_vocab"))))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("kept_vocab"))))
+      .select(col("seed_vocab"), col("active_vocab"), col("kept_vocab"),
+        col("n_words"), col("pieces_before"), col("pieces_after"),
+        (expr("CAST((2 * pieces_before * 1000000 + n_words) DIV (2 * n_words) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("fertility_before"),
+        (expr("CAST((2 * pieces_after * 1000000 + n_words) DIV (2 * n_words) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("fertility_after"))
+  }
+
   /** Shared seed-model + Viterbi chain for [[unigramLmTrainStep]] /
-    * [[unigramLmFertility]]: returns (dp, lp0) where dp carries one row
-    * per word type with its DP `best` array, backtrace `bounds`, and
-    * decoded `pieces`, and lp0 is the persisted seed log-prob table. */
+    * [[unigramLmFertility]]: returns (dp, lp0, inv) where dp carries one
+    * row per word type with its DP `best` array, backtrace `bounds`, and
+    * decoded `pieces`, lp0 is the persisted seed log-prob table, and inv
+    * the per-word piece-position inventory. */
   private def unigramViterbi(docs: DataFrame, textCol: String,
                              maxPieceLen: Int, maxWordLen: Int)
-  : (DataFrame, DataFrame) = {
+  : (DataFrame, DataFrame, DataFrame) = {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 1 and maxWordLen >= maxPieceLen")
     val words = docs.select(explode(split(col(textCol), " ")).as("w"))
@@ -338,12 +415,18 @@ object TextPrep {
       .groupBy(col("w"), col("freq"))
       .agg(collect_list(struct(col("s"), col("e"),
         col("lp0_mu").as("lp"))).as("cands"))
-    // DP forward pass, then boundary backtrace — both pure integer folds
-    // over the word's own candidate array (c.s/c.e are 0-based positions;
-    // Spark's [] array access is 0-based, element_at is 1-based with -1 =
-    // last). bounds descends len -> ... -> 0; pieces re-derive from the
-    // boundary pairs by substr, so the fold carries only ints.
-    val dp = cands
+    (viterbiFold(cands), lp0, inv)
+  }
+
+  /** The Viterbi DP + backtrace over a (w, freq, cands) frame — pure
+    * integer folds over the word's own candidate array (c.s/c.e are
+    * 0-based positions; Spark's [] array access is 0-based, element_at
+    * is 1-based with -1 = last). bounds descends len -> ... -> 0; pieces
+    * re-derive from the boundary pairs by substr, so the fold carries
+    * only ints. Shared by the seed pass and [[unigramLmPrune]]'s second
+    * pass over the restricted vocabulary. */
+  private def viterbiFold(cands: DataFrame): DataFrame =
+    cands
       .withColumn("best", expr(
         """aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
           |  (acc, i) -> concat(acc, array(
@@ -362,8 +445,6 @@ object TextPrep {
           |  j -> substr(w, element_at(bounds, j + 1) + 1,
           |    element_at(bounds, j) - element_at(bounds, j + 1)))"""
           .stripMargin))
-    (dp, lp0)
-  }
 
   /** The PII detector battery for [[piiCensus]]: (type, pattern) pairs.
     * Patterns deliberately use only the Java-regex ∩ RE2 common subset

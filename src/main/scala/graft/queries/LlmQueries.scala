@@ -1449,7 +1449,17 @@ object LlmQueries {
     // source. See TextPrep.unigramLmFertility.
     "q352_unigram_fertility" -> ((s, d) =>
       graft.operators.TextPrep.unigramLmFertility(
-        table(s, d, "documents"), "text", "source"))
+        table(s, d, "documents"), "text", "source")),
+
+    // Unigram-LM vocabulary pruning (Kudo 2018 §3): drop the bottom half
+    // of multi-char pieces by EM usage (order-statistic cut, ties drop;
+    // single chars always kept), re-normalize with an add-one floor,
+    // re-segment, report vocab + fertility deltas. Completes the
+    // SentencePiece trio q350 (train) / q352 (apply) / q353 (prune).
+    // See TextPrep.unigramLmPrune.
+    "q353_unigram_prune" -> ((s, d) =>
+      graft.operators.TextPrep.unigramLmPrune(
+        table(s, d, "documents"), "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1639,28 +1649,44 @@ object LlmQueries {
        |FROM wsrc JOIN npw USING (w)
        |GROUP BY 1""".stripMargin
 
-  private def unigramLmChain(maxPiece: Int, maxWord: Int): String = {
+  /** One unrolled Viterbi DP + backtrace over candidate table `cands`,
+    * with every CTE name prefixed by `pfx` so the pruning oracle can run
+    * a SECOND pass over a restricted vocabulary in the same query. Ends
+    * at `${pfx}segs` (w, freq, piece — one row per backtrace step). */
+  private def unigramDpBlock(maxWord: Int, pfx: String,
+                             cands: String): String = {
     val dp = (1 to maxWord).map { i =>
-      s"""b$i AS MATERIALIZED (SELECT * FROM b${i - 1} UNION ALL
+      s"""${pfx}b$i AS MATERIALIZED (SELECT * FROM ${pfx}b${i - 1} UNION ALL
          |  SELECT c.w, CAST($i AS BIGINT), max(b.best + c.lp)
-         |  FROM b${i - 1} b
-         |  JOIN cands c ON c.w = b.w AND c.s = b.pos AND c.e = $i
+         |  FROM ${pfx}b${i - 1} b
+         |  JOIN $cands c ON c.w = b.w AND c.s = b.pos AND c.e = $i
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     val back = (1 to maxWord).map { i =>
-      s"""s$i AS MATERIALIZED (
+      s"""${pfx}s$i AS MATERIALIZED (
          |  SELECT p.w, p.freq, p.pos AS pe, min(c.s) AS ns
-         |  FROM p${i - 1} p
-         |  JOIN cands c ON c.w = p.w AND c.e = p.pos
-         |  JOIN best bs ON bs.w = p.w AND bs.pos = c.s
-         |  JOIN best be ON be.w = p.w AND be.pos = p.pos
+         |  FROM ${pfx}p${i - 1} p
+         |  JOIN $cands c ON c.w = p.w AND c.e = p.pos
+         |  JOIN ${pfx}best bs ON bs.w = p.w AND bs.pos = c.s
+         |  JOIN ${pfx}best be ON be.w = p.w AND be.pos = p.pos
          |  WHERE p.pos > 0 AND bs.best + c.lp = be.best
          |  GROUP BY 1, 2, 3),
-         |p$i AS (SELECT w, freq, ns AS pos FROM s$i)""".stripMargin
+         |${pfx}p$i AS (SELECT w, freq, ns AS pos FROM ${pfx}s$i)""".stripMargin
     }.mkString(",\n")
     val segs = (1 to maxWord)
-      .map(i => s"SELECT w, freq, substr(w, ns + 1, pe - ns) AS piece FROM s$i")
+      .map(i => s"SELECT w, freq, substr(w, ns + 1, pe - ns) AS piece FROM ${pfx}s$i")
       .mkString("\n  UNION ALL\n  ")
+    s"""${pfx}b0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS best
+       |       FROM words),
+       |$dp,
+       |${pfx}best AS MATERIALIZED (SELECT * FROM ${pfx}b$maxWord),
+       |${pfx}p0 AS (SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM words),
+       |$back,
+       |${pfx}segs AS MATERIALIZED (
+       |  $segs)""".stripMargin
+  }
+
+  private def unigramLmChain(maxPiece: Int, maxWord: Int): String = {
     s"""WITH words AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1681,15 +1707,62 @@ object LlmQueries {
        |cands AS MATERIALIZED (
        |  SELECT inv.w, inv.s, inv.e, lp0.lp0_mu AS lp
        |  FROM inv JOIN lp0 USING (piece)),
-       |b0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS best
-       |       FROM words),
-       |$dp,
-       |best AS MATERIALIZED (SELECT * FROM b$maxWord),
-       |p0 AS (SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM words),
-       |$back,
-       |segs AS MATERIALIZED (
-       |  $segs)""".stripMargin
+       |${unigramDpBlock(maxWord, "", "cands")}""".stripMargin
   }
+
+  /** q353 final: EM counts from the seed-pass segs, the order-statistic
+    * cut over multi-char usage counts, the kept set (singles always in,
+    * em coalesced to 0), the add-one re-normalized lp2 model, a SECOND
+    * unrolled DP pass (prefix `r`) over the restricted candidates, and
+    * the 1-row vocab/fertility delta report. */
+  private def unigramLmPruneOracle(maxPiece: Int, maxWord: Int,
+                                   keepNum: Int, keepDen: Int): String =
+    s"""${unigramLmChain(maxPiece, maxWord)},
+       |em AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS em
+       |  FROM segs GROUP BY 1),
+       |multi AS MATERIALIZED (SELECT * FROM em WHERE len(piece) > 1),
+       |vals AS MATERIALIZED (
+       |  SELECT em, CAST(count(*) AS BIGINT) AS c FROM multi GROUP BY 1),
+       |cm AS (SELECT em, CAST(sum(c) OVER (ORDER BY em) AS BIGINT) AS cum
+       |       FROM vals),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vals),
+       |cut AS (SELECT min(CASE WHEN cum * $keepDen >= n * ${keepDen - keepNum}
+       |    THEN em END) AS cut
+       |  FROM cm CROSS JOIN tt),
+       |keptm AS (SELECT piece, em FROM multi CROSS JOIN cut WHERE em > cut),
+       |sing AS (SELECT s.piece, CAST(coalesce(em.em, 0) AS BIGINT) AS em
+       |  FROM (SELECT DISTINCT piece FROM inv WHERE len(piece) = 1) s
+       |  LEFT JOIN em USING (piece)),
+       |kept AS MATERIALIZED (
+       |  SELECT * FROM sing UNION ALL SELECT * FROM keptm),
+       |kz AS (SELECT CAST(sum(em) AS BIGINT) AS t2,
+       |    CAST(count(*) AS BIGINT) AS k FROM kept),
+       |lp2 AS MATERIALIZED (
+       |  SELECT piece, CAST(round(ln(CAST(em + 1 AS DOUBLE)
+       |    / CAST(t2 + k AS DOUBLE)) * 1e6) AS BIGINT) AS lp2_mu
+       |  FROM kept CROSS JOIN kz),
+       |cands2 AS MATERIALIZED (
+       |  SELECT inv.w, inv.s, inv.e, lp2.lp2_mu AS lp
+       |  FROM inv JOIN lp2 USING (piece)),
+       |${unigramDpBlock(maxWord, "r", "cands2")},
+       |np1 AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM segs GROUP BY 1),
+       |np2 AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM rsegs GROUP BY 1),
+       |sv AS (SELECT CAST(count(DISTINCT piece) AS BIGINT) AS seed_vocab
+       |       FROM inv),
+       |av AS (SELECT CAST(count(*) AS BIGINT) AS active_vocab FROM em),
+       |kv AS (SELECT CAST(count(*) AS BIGINT) AS kept_vocab FROM kept),
+       |agg AS (SELECT CAST(sum(words.freq) AS BIGINT) AS n_words,
+       |    CAST(sum(words.freq * np1.np) AS BIGINT) AS pieces_before,
+       |    CAST(sum(words.freq * np2.np) AS BIGINT) AS pieces_after
+       |  FROM words JOIN np1 USING (w) JOIN np2 USING (w))
+       |SELECT seed_vocab, active_vocab, kept_vocab, n_words,
+       |  pieces_before, pieces_after,
+       |  CAST(CAST((2 * pieces_before * 1000000 + n_words)
+       |    // (2 * n_words) AS BIGINT) AS DOUBLE) / 1e6 AS fertility_before,
+       |  CAST(CAST((2 * pieces_after * 1000000 + n_words)
+       |    // (2 * n_words) AS BIGINT) AS DOUBLE) / 1e6 AS fertility_after
+       |FROM sv CROSS JOIN av CROSS JOIN kv CROSS JOIN agg""".stripMargin
 
   /** Shared CTE chain (no WITH) from tokenized docs to the verified
     * MinHash near-dup pair set `pairs` — the q31 lineage. Composed by
@@ -4369,6 +4442,10 @@ object LlmQueries {
     // Mirrors TextPrep.unigramLmFertility over the SAME unrolled-DP
     // chain — see unigramLmFertilityOracle.
     "q352_unigram_fertility" -> unigramLmFertilityOracle(4, 16),
+
+    // Mirrors TextPrep.unigramLmPrune: seed DP pass + order-statistic
+    // prune + SECOND unrolled DP pass over the restricted vocabulary.
+    "q353_unigram_prune" -> unigramLmPruneOracle(4, 16, 1, 2),
 
     // Mirrors TextDedup.lineDedup: 3-token non-overlapping tiles as
     // lines, distinct-doc frequency per line text, drop at >= 3 docs,

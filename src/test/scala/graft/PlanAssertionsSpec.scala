@@ -714,6 +714,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p352 = plan("q352_unigram_fertility")
     assert(!p352.contains("CartesianProduct") && !p352.contains("Window"),
       "fertility apply join must stay keyed; DP stays an in-row fold")
+    // q353 prune: the only window is the cumulative sum over the
+    // DISTINCT usage-count grid (Zipf-bounded); both DP passes stay
+    // in-row folds, joins keyed
+    val p353 = plan("q353_unigram_prune")
+    assert(!p353.contains("CartesianProduct"), "prune joins must stay keyed")
     // q351 line dedup: ONE line-keyed equi-join (df table back onto the
     // inventory); a nested-loop or cartesian is the all-pairs explosion
     // the df aggregate exists to avoid

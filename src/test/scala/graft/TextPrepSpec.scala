@@ -178,4 +178,32 @@ class TextPrepSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
     assert(out == List(("s1", 2L, 3L, 1.5), ("s2", 1L, 2L, 2.0)))
   }
+
+  private def pruneRow(texts: Seq[String], maxPiece: Int = 4)
+  : (Long, Long, Long, Long, Long, Long, Double, Double) = {
+    import spark.implicits._
+    val out = TextPrep.unigramLmPrune(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "text", maxPieceLen = maxPiece).collect().head
+    graft.operators.CacheScope.drain()
+    (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getLong(5), out.getDouble(6), out.getDouble(7))
+  }
+
+  test("unigramLmPrune: order-statistic cut over multi-char pieces, singles always kept") {
+    // tie corpus (see train-step spec): em ab:2, a:2, b:4. The only
+    // multi-char piece "ab" sits AT the keep-1/2 cut -> dropped (ties
+    // drop). kept = {a em 2, b em 4}; lp2 = add-one over T2=6, K=2.
+    // Re-segmentation forces "ab" -> [a][b]: pieces 8 -> 10 over 8 word
+    // occurrences, fertility 1.0 -> 1.25. seed vocab {a, b, ab} = 3,
+    // active = 3, kept = 2.
+    assert(pruneRow(Seq("ab ab a a b b b b")) ==
+      (3L, 3L, 2L, 8L, 8L, 10L, 1.0, 1.25))
+    // "aaaa cc": multi pieces aa em 2, cc em 1 -> cut=1 keeps only aa;
+    // kept = {a 0, c 0, aa 2}. "cc" re-segments as [c][c]: pieces 3 -> 4
+    // over 2 words (1.5 -> 2.0). seed vocab {a, aa, c, cc} = 4,
+    // active = 2 (aa, cc), kept = 3.
+    assert(pruneRow(Seq("aaaa cc"), maxPiece = 2) ==
+      (4L, 2L, 3L, 2L, 3L, 4L, 1.5, 2.0))
+  }
 }
