@@ -770,4 +770,83 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming line dedup: boilerplate emitted once at the distinct-doc threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingLineDedup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingLineDedup.Doc]
+    val q = StreamingAgg.startToMemory(
+      StreamingLineDedup.boilerplateLines(input.toDS(), lineTokens = 3,
+        minDocs = 3).toDF(), "line_dedup_test")
+    def emitted() = spark.sql("SELECT line, n_docs FROM line_dedup_test")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    try {
+      // two docs share "x y z": below threshold, nothing emits; doc 5's
+      // WITHIN-doc repeat of "m m m" counts as ONE doc
+      input.addData(
+        StreamingLineDedup.Doc(1L, "x y z a b c"),
+        StreamingLineDedup.Doc(2L, "x y z d e f"),
+        StreamingLineDedup.Doc(5L, "m m m m m m"))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, s"below threshold: ${emitted()}")
+      // doc 3 crosses "x y z" to 3 distinct docs -> exactly one emission
+      input.addData(StreamingLineDedup.Doc(3L, "x y z g h i"))
+      q.processAllAvailable()
+      assert(emitted() == List(("x y z", 3L)))
+      // doc 4 re-delivers the already-emitted line (no re-emission) and
+      // docs 6/7 push "m m m" to 3 distinct docs
+      input.addData(
+        StreamingLineDedup.Doc(4L, "x y z t u v"),
+        StreamingLineDedup.Doc(6L, "m m m p q r"),
+        StreamingLineDedup.Doc(7L, "m m m s t u"))
+      q.processAllAvailable()
+      assert(emitted().toSet == Set(("x y z", 3L), ("m m m", 3L)),
+        s"once per line: ${emitted()}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming line dedup: emitted set is micro-batch-split invariant (matches batch census)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingLineDedup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Seq(
+      StreamingLineDedup.Doc(1L, "x y z a b c"),
+      StreamingLineDedup.Doc(2L, "x y z d e f"),
+      StreamingLineDedup.Doc(3L, "x y z g h i"),
+      StreamingLineDedup.Doc(4L, "q r s t"),
+      StreamingLineDedup.Doc(5L, "m n o x y z p q r"))
+    // all five docs in ONE batch: the emitted set must equal the
+    // three-batch run's set AND the batch operator's drop set (the lines
+    // lineDedup drops are exactly the census lines)
+    val input = MemoryStream[StreamingLineDedup.Doc]
+    val q = StreamingAgg.startToMemory(
+      StreamingLineDedup.boilerplateLines(input.toDS(), 3, 3).toDF(),
+      "line_dedup_split_test")
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT line FROM line_dedup_split_test")
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("x y z"), s"one-batch run: $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
