@@ -929,21 +929,9 @@ object TextDedup {
     */
   def c4SpanDedup(docs: DataFrame, idCol: String, textCol: String,
                   tileTokens: Int = 4): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(col(textCol), " ").as("ts"))
-    // sequence() must stay ascending (sequence(1,0) DESCENDS): every doc
-    // has >= 1 token so nTiles >= 1, but greatest() keeps the lambda total.
-    val nTiles = greatest(
-      floor((size(col("ts")) + lit(tileTokens - 1)) / lit(tileTokens))
-        .cast("int"), lit(1))
-    val tiles = toks
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nTiles - 1),
-          i => array_join(
-            slice(col("ts"), i * tileTokens + 1, lit(tileTokens)), " ")))
-          .as(Seq("tpos", "tile")))
-      .select(col("doc_id"), col("tpos").cast("long").as("tpos"),
-        col("tile"))
+    val tiles = tileInventory(docs, idCol, textCol, tileTokens)
+      .select(col("doc_id"), col("tpos"),
+        array_join(col("lts"), " ").as("tile"))
     val packed = col("doc_id") * 100000L + col("tpos")
     val keeper = tiles.groupBy(col("tile"))
       .agg(min(packed).as("__keeper"))
@@ -1083,17 +1071,8 @@ object TextDedup {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 lineTokens: Int = 3, minDocs: Int = 3): DataFrame = {
     require(lineTokens >= 1 && minDocs >= 2, "need lineTokens>=1, minDocs>=2")
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(coalesce(col(textCol), lit("")), " ").as("ts"))
-    val nLines = greatest(
-      floor((size(col("ts")) + lit(lineTokens - 1)) / lit(lineTokens))
-        .cast("int"), lit(1))
-    val lines = toks
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nLines - 1),
-          i => slice(col("ts"), i * lineTokens + 1, lit(lineTokens))))
-          .as(Seq("lpos", "lts")))
-      .select(col("doc_id"), col("lpos").cast("long").as("lpos"),
+    val lines = tileInventory(docs, idCol, textCol, lineTokens)
+      .select(col("doc_id"), col("tpos").as("lpos"),
         array_join(col("lts"), " ").as("line"),
         size(col("lts")).cast("long").as("ntoks"))
     val docFreq = lines.select(col("doc_id"), col("line")).distinct()
@@ -1109,6 +1088,28 @@ object TextDedup {
             array_sort(collect_list(
               when(col("__keep"), struct(col("lpos"), col("line"))))),
             t => t.getField("line")), " ")).as("clean_md5"))
+  }
+
+  /** The ONE tile rule, shared by [[c4SpanDedup]] and [[lineDedup]] so the
+    * two operators can never drift: non-overlapping `tileTokens`-token
+    * windows over the whitespace tokens, one row per (doc_id, tpos, lts)
+    * with lts the tile's token ARRAY (last tile may be short; callers
+    * derive the joined text / token count they need). NULL text tiles as
+    * "" (one single-empty-token tile) so no document vanishes.
+    * sequence() must stay ascending (sequence(1,0) DESCENDS): every doc
+    * yields >= 1 tile via the greatest() guard. */
+  private def tileInventory(docs: DataFrame, idCol: String, textCol: String,
+                            tileTokens: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("ts"))
+    val nTiles = greatest(
+      floor((size(col("ts")) + lit(tileTokens - 1)) / lit(tileTokens))
+        .cast("int"), lit(1))
+    toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nTiles - 1),
+          i => slice(col("ts"), i * tileTokens + 1, lit(tileTokens))))
+          .as(Seq("tpos", "lts")))
+      .select(col("doc_id"), col("tpos").cast("long").as("tpos"), col("lts"))
   }
 
   /** The [[dedupPipeline]] funnel: per-stage docs_in / docs_removed /

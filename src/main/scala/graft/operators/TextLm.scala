@@ -191,14 +191,15 @@ object TextLm {
       .agg(sum(col("c3")).as("c12"), count(lit(1)).as("npt"))
     val sub23 = tri.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("ns"))
-    val mid2 = sub23.groupBy(col("w2")).agg(sum(col("ns")).as("nm"))
-    // the middle level's interpolation weight counts CONTINUATIONS OF THE
-    // CONTINUATION DISTRIBUTION — N1+(w2·) = |{w3 : N1+(·w2w3) > 0}| =
-    // rows per w2 in the s23 table (Chen & Goodman 1998's exact count),
+    // ONE w2-keyed aggregate carries both middle-level stats: nm =
+    // N1+(·w2·), and npb = the interpolation weight's CONTINUATIONS OF
+    // THE CONTINUATION DISTRIBUTION — N1+(w2·) = |{w3 : N1+(·w2w3) > 0}|
+    // = rows per w2 in the s23 table (Chen & Goodman 1998's exact count),
     // NOT raw bigram types per w2: a bigram occurring only as a document's
     // opening two tokens is never any trigram's trailing bigram, and
     // counting it would supernormalize the p2 layer (mass > 1)
-    val npb = sub23.groupBy(col("w2")).agg(count(lit(1)).as("npb"))
+    val mid2 = sub23.groupBy(col("w2"))
+      .agg(sum(col("ns")).as("nm"), count(lit(1)).as("npb"))
     // bigram TYPE table for the BOTTOM level's continuation stats
     val big = toks.select(
         explode(arrays_zip(
@@ -214,7 +215,6 @@ object TextLm {
       .join(hist12, Seq("w1", "w2"))
       .join(sub23, Seq("w2", "w3"))
       .join(mid2, Seq("w2"))
-      .join(npb, Seq("w2"))
       .join(cont, Seq("w3"))
       .crossJoin(broadcast(sizes))
       .withColumn("lp_mu", expr(

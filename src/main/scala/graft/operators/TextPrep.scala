@@ -336,7 +336,10 @@ object TextPrep {
                      maxPieceLen: Int = 4, maxWordLen: Int = 16)
   : DataFrame = {
     require(keepNum > 0 && keepDen > keepNum, "need 0 < keepNum < keepDen")
-    val (dp, _, inv0) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    val (dp0, _, inv0) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+    // the seed DP feeds BOTH the em aggregate and the `before` piece
+    // counts — persisted so the dominant fold runs once, not twice
+    val dp = CacheScope.persist(dp0)
     val inv = CacheScope.persist(inv0)
     val em = CacheScope.persist(
       dp.select(col("freq"), explode(col("pieces")).as("piece"))

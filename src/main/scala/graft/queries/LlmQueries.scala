@@ -4325,12 +4325,11 @@ object LlmQueries {
         |    CAST(count(*) AS BIGINT) AS npt FROM tri GROUP BY 1, 2),
         |s23 AS MATERIALIZED (SELECT w2, w3,
         |    CAST(count(*) AS BIGINT) AS ns FROM tri GROUP BY 1, 2),
-        |m2 AS (SELECT w2, CAST(sum(ns) AS BIGINT) AS nm FROM s23 GROUP BY 1),
+        |m2 AS (SELECT w2, CAST(sum(ns) AS BIGINT) AS nm,
+        |       CAST(count(*) AS BIGINT) AS npb FROM s23 GROUP BY 1),
         |big AS MATERIALIZED (SELECT DISTINCT b1, b2 FROM (
         |    SELECT unnest(t[1:len(t)-1]) AS b1, unnest(t[2:len(t)]) AS b2
         |    FROM toks)),
-        |npb AS (SELECT w2, CAST(count(*) AS BIGINT) AS npb
-        |        FROM s23 GROUP BY 1),
         |cont AS (SELECT b2 AS w3, CAST(count(*) AS BIGINT) AS nc
         |         FROM big GROUP BY 1),
         |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS t2,
@@ -4346,7 +4345,7 @@ object LlmQueries {
         |             * (CAST(nc + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE)))
         |    ) * 1e6) AS BIGINT) AS lp_mu
         |  FROM tri JOIN h12 USING (w1, w2) JOIN s23 USING (w2, w3)
-        |  JOIN m2 USING (w2) JOIN npb USING (w2) JOIN cont USING (w3)
+        |  JOIN m2 USING (w2) JOIN cont USING (w3)
         |  CROSS JOIN tv)
         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_trigrams,
         |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))

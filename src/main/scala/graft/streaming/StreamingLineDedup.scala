@@ -85,8 +85,12 @@ object StreamingLineDedup {
                        minDocs: Int = 3): Dataset[Boilerplate] = {
     require(lineTokens >= 1 && minDocs >= 2, "need lineTokens>=1, minDocs>=2")
     import docs.sparkSession.implicits._
+    // split(" ", -1) + null-coalesce mirror the batch operator exactly:
+    // Spark SQL's split keeps trailing empty tokens (text "a b " tiles as
+    // ["a","b",""]), and NULL text tiles as "" instead of NPE-ing the
+    // query — the emitted set must stay equal to the batch drop set
     docs.flatMap { d =>
-        d.text.split(" ").grouped(lineTokens)
+        Option(d.text).getOrElse("").split(" ", -1).grouped(lineTokens)
           .map(g => LineOcc(g.mkString(" "), d.doc_id)).toSeq
       }
       .groupByKey(_.line)

@@ -797,12 +797,14 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(StreamingLineDedup.Doc(3L, "x y z g h i"))
       q.processAllAvailable()
       assert(emitted() == List(("x y z", 3L)))
-      // doc 4 re-delivers the already-emitted line (no re-emission) and
-      // docs 6/7 push "m m m" to 3 distinct docs
+      // doc 4 re-delivers the already-emitted line (no re-emission),
+      // docs 6/7 push "m m m" to 3 distinct docs, and NULL-text doc 8
+      // must tile as "" (the batch coalesce semantics), not NPE the query
       input.addData(
         StreamingLineDedup.Doc(4L, "x y z t u v"),
         StreamingLineDedup.Doc(6L, "m m m p q r"),
-        StreamingLineDedup.Doc(7L, "m m m s t u"))
+        StreamingLineDedup.Doc(7L, "m m m s t u"),
+        StreamingLineDedup.Doc(8L, null))
       q.processAllAvailable()
       assert(emitted().toSet == Set(("x y z", 3L), ("m m m", 3L)),
         s"once per line: ${emitted()}")
