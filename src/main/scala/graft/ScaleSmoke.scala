@@ -227,6 +227,7 @@ import org.apache.spark.sql.functions._
   * Round-15 curves (quiet box, 2026-08-15, sf0.1×10):
   * {{{
   *   mkn_xent        1x rows=5000   4.7 s   10x rows=50000  5.7 s
+  *   mink_prob       1x rows=5000   4.3 s   10x rows=50000  5.7 s
   *   unigram_lm      1x rows=43     3.0 s   10x rows=43     2.0 s
   *   unigram_fert    1x rows=20     5.6 s   10x rows=20     3.8 s
   *   unigram_prune   1x rows=1      10.5 s  10x rows=1      4.7 s
@@ -1359,6 +1360,12 @@ object ScaleSmoke {
       time(s"excess_select   $label") {
         operators.TextLm.excessLossSelect(df, "doc_id", "text",
           "source").count()
+      }
+      // min-k% prob: the KN model is constant across replicas (the
+      // kn_xent argument); the per-doc (lp, occ) arrays are doc-bounded
+      // — cost must track tokenize + the doc-keyed collect.
+      time(s"mink_prob       $label") {
+        operators.TextLm.minKProb(df, "doc_id", "text").count()
       }
       // modified-KN: the count-of-counts n1..n4 SHIFT under replication
       // (a count-1 type at 1x is a count-factor type at factor-x) so the

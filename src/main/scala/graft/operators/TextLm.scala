@@ -336,6 +336,72 @@ object TextLm {
           / lit(1e6)).as("xent"))
   }
 
+  /** Min-K% Prob membership/contamination score (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models" — public
+    * paper): score each document by the mean negative log-probability of
+    * its k% LEAST LIKELY tokens under the corpus LM (here the
+    * [[knCrossEntropy]] interpolated-KN bigram model — formula reused
+    * verbatim). A LOW score means even the document's most surprising
+    * n-grams are well explained — the memorized/contaminated signature;
+    * the mean over ALL tokens (plain xent) washes that signal out, which
+    * is the paper's point. The audit sheet beside the q85/q118/q135
+    * n-gram-overlap contamination checks: those need the eval set, this
+    * flags suspicious documents from the model side alone.
+    *
+    * Exactness: per-doc token multiset = (lp_mu, occ) pairs; the bottom
+    * ceil(m·kNum/kDen) INSTANCES are taken by an in-row fold over the
+    * lp-sorted pair array (`least(occ, kk − taken)` splits the boundary
+    * type exactly); instances sharing an lp value are interchangeable, so
+    * the take is order-free. All arithmetic BIGINT micro-nats; one house
+    * half-up 6-dp division per doc at the end. Plan shape =
+    * [[knCrossEntropy]] plus one per-doc collect_list of the doc's OWN
+    * distinct bigram types (doc-bounded arrays, no windows).
+    *
+    * Output: doc_id, n_bigrams, mink_xent (nats, 6 dp; docs with <2
+    * tokens omitted — the [[bigramCrossEntropy]] contract). */
+  def minKProb(docs: DataFrame, idCol: String, textCol: String,
+               kNum: Int = 1, kDen: Int = 5): DataFrame = {
+    require(kNum > 0 && kDen >= kNum, "need 0 < kNum <= kDen")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    val pairs = toks.select(col(idCol),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBig = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
+      toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val model = big.join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lp_mu", expr(
+        """CAST(round(ln(
+          |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+          |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
+          .stripMargin))
+      .select(col("w1"), col("w2"), col("lp_mu"))
+    docBig.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("lp_mu"), col("occ"))).as("lst"),
+        sum(col("occ")).as("m"))
+      .withColumn("kk", expr(s"(m * $kNum + ${kDen - 1}) DIV $kDen"))
+      .withColumn("agg", expr(
+        """aggregate(array_sort(lst), named_struct('t', CAST(0 AS BIGINT),
+          |    's', CAST(0 AS BIGINT)),
+          |  (acc, x) -> IF(acc.t >= kk, acc,
+          |    named_struct('t', acc.t + least(x.occ, kk - acc.t),
+          |      's', acc.s + least(x.occ, kk - acc.t) * x.lp_mu)))"""
+          .stripMargin))
+      .select(col(idCol), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-agg.s) + agg.t) DIV (2 * agg.t) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("mink_xent"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with
     * [[bigramCrossEntropy]], split each group's score distribution into
     * head / middle / tail terciles (head = most fluent), and report the

@@ -1459,7 +1459,15 @@ object LlmQueries {
     // See TextPrep.unigramLmPrune.
     "q353_unigram_prune" -> ((s, d) =>
       graft.operators.TextPrep.unigramLmPrune(
-        table(s, d, "documents"), "text"))
+        table(s, d, "documents"), "text")),
+
+    // Min-K% Prob membership/contamination score (Shi et al. 2023): mean
+    // xent of each doc's 20% least-likely bigram instances under the KN
+    // model — low = memorized/contaminated signature. The model-side
+    // audit beside the q85/q118/q135 overlap checks. See TextLm.minKProb.
+    "q354_mink_prob" -> ((s, d) =>
+      graft.operators.TextLm.minKProb(
+        table(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -4434,6 +4442,29 @@ object LlmQueries {
         |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
         |FROM db JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextLm.minKProb: the shared KN model, occurrence-expanded
+    // per-doc instances (generate_series), bottom ceil(m/5) by lp rank
+    // (instances sharing an lp are interchangeable, so rank tie order is
+    // value-free), house half-up mean.
+    "q354_mink_prob" ->
+      s"""$knModelCte,
+        |ex AS MATERIALIZED (
+        |  SELECT doc_id, lp_mu FROM (
+        |    SELECT db.doc_id, m.lp_mu,
+        |      unnest(generate_series(1, db.occ)) AS i
+        |    FROM db JOIN model m USING (w1, w2))),
+        |mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+        |       FROM ex GROUP BY 1),
+        |rk AS (SELECT doc_id, lp_mu,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY lp_mu) AS rn
+        |  FROM ex)
+        |SELECT rk.doc_id, mm.m AS n_bigrams,
+        |  CAST(CAST((2 * (-sum(lp_mu)) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS DOUBLE) / 1e6 AS mink_xent
+        |FROM rk JOIN mm USING (doc_id)
+        |WHERE rn <= (m * 1 + 4) // 5
+        |GROUP BY 1, 2""".stripMargin,
 
     // Mirrors TextPrep.unigramLmTrainStep — see unigramLmOracle.
     "q350_unigram_lm_em" -> unigramLmOracle(4, 16),

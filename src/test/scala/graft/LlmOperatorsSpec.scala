@@ -569,6 +569,24 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(mkn.toList == kn.toList)
   }
 
+  test("minKProb: bottom-k% instance take splits the boundary type exactly") {
+    import spark.implicits._
+    // KN model on {(a,b) c2=2, (b,a) c2=2, (a,c) c2=1}: lp(a,b)=-538997,
+    // lp(b,a)=-287682, lp(a,c)=-1386294. d1 m=4 -> kk=1: ONE instance of
+    // the lowest type (a,b) even though its occ=2 (the least() split);
+    // d2 m=1 -> its single bigram
+    val docs = Seq(1L -> "a b a b a", 2L -> "a c").toDF("doc_id", "text")
+    val out = graft.operators.TextLm.minKProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toList == List((1L, 4L, 0.538997), (2L, 1L, 1.386294)))
+    // cross-type take: m=6 -> kk=2 spans the occ-1 lowest type (c,a)
+    // AND one instance of the next ((b,a)): (470004+207639)/2 -> 338822
+    val d3 = Seq(1L -> "c a b a b a b").toDF("doc_id", "text")
+    val out3 = graft.operators.TextLm.minKProb(d3, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out3.toList == List((6L, 0.338822)))
+  }
+
   test("capPerKey: bit-identical to the row_number formulation, window-free plan, cap respected") {
     val d = docs.select(col("doc_id"), col("source"))
     val capped = graft.operators.Scale.capPerKey(d, "source", "doc_id", cap = 3)

@@ -714,6 +714,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p352 = plan("q352_unigram_fertility")
     assert(!p352.contains("CartesianProduct") && !p352.contains("Window"),
       "fertility apply join must stay keyed; DP stays an in-row fold")
+    // q354 min-k%: the bottom-k take is an in-row fold over the doc's
+    // own (lp, occ) array — window-free; model joins keyed
+    val p354 = plan("q354_mink_prob")
+    assert(!p354.contains("CartesianProduct") && !p354.contains("Window"),
+      "min-k take must be an in-row fold over doc-bounded arrays")
     // q353 prune: the only window is the cumulative sum over the
     // DISTINCT usage-count grid (Zipf-bounded); both DP passes stay
     // in-row folds, joins keyed
