@@ -232,6 +232,7 @@ import org.apache.spark.sql.functions._
   *   unigram_fert    1x rows=20     5.6 s   10x rows=20     3.8 s
   *   unigram_prune   1x rows=1      10.5 s  10x rows=1      4.7 s
   *   line_dedup      1x rows=5000   1.1 s   10x rows=50000  2.4 s
+  *   unimax_mix      1x rows=20     0.6 s   10x rows=20     0.8 s
   * }}}
   * Modified-KN rides the kn_xent curve (1.2x at 10x: the TYPE-table
   * model is constant; the count-of-counts shift under replication but
@@ -1402,6 +1403,10 @@ object ScaleSmoke {
       // line-TYPE-bounded either way.
       time(s"line_dedup      $label") {
         operators.TextDedup.lineDedup(df, "doc_id", "text").count()
+      }
+      // unimax: ONE source-keyed aggregate + grid arithmetic — pure scan
+      time(s"unimax_mix      $label") {
+        operators.Scale.unimaxMix(df, "source", "text").count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

@@ -503,4 +503,61 @@ object Scale {
     }
     picks.result().toDF("rnk", "doc_id", "gain", "covered_total")
   }
+
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling" — public
+    * paper): split a token budget B across sources as UNIFORMLY as
+    * possible subject to the per-source cap of `epochCap` epochs —
+    * allocation_i = min(epochCap·s_i, L) with the water level L the
+    * LARGEST integer with Σ_i min(cap_i, L) ≤ B. The fairness-first
+    * alternative to q123's temperature sampling (which still
+    * over-samples heads) and q94's fixed quotas: small sources get up to
+    * epochCap full epochs, large sources split the remainder evenly.
+    * B = ts·budgetNum/budgetDen of the corpus's total token count, so
+    * the whole computation is exact integers derived from the data.
+    *
+    * Exact waterfilling, no iteration: on the cap VALUE GRID (distinct
+    * cap values with prefix counts k and prefix sums p — bounded by
+    * |sources|), every segment's candidate ⌊(B − p)/(n − k)⌋ is a lower
+    * bound of L* (the segment's affine Σ-formula upper-bounds the true
+    * one beyond its range), and the segment containing L* attains it —
+    * so L* = max over segments (plus the empty prefix) of the candidate.
+    * Segments with p > B are dropped: the k = 0 candidate ≥ 0 always
+    * survives, and the guard keeps every evaluated division nonnegative
+    * (negative integer division rounds differently across engines).
+    *
+    * Output per source: n_tokens, cap, allocation, epochs (house exact
+    * half-up 6-dp of allocation/n_tokens). Leftover budget = B − Σ
+    * allocation is the under-cap residue (≤ n − 1 unless every source
+    * capped). Scale: one source-keyed aggregate over the corpus, then
+    * grid-bounded arithmetic + two 1-row broadcasts. */
+  def unimaxMix(docs: DataFrame, srcCol: String, textCol: String,
+                epochCap: Int = 2, budgetNum: Int = 1, budgetDen: Int = 2)
+  : DataFrame = {
+    require(epochCap >= 1 && budgetNum > 0 && budgetDen >= budgetNum,
+      "need epochCap >= 1 and 0 < budgetNum <= budgetDen")
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(size(split(coalesce(col(textCol), lit("")), " ")))
+        .cast("long").as("s"))
+    val caps = CacheScope.persist(
+      per.select(col("source"), col("s"), (col("s") * epochCap).as("cap")))
+    val tot = caps.agg(sum(col("s")).as("ts"), count(lit(1)).as("n"))
+    val grid = caps.groupBy(col("cap"))
+      .agg(count(lit(1)).as("__c"), sum(col("cap")).as("__sc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cap"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val segs = grid
+      .select(sum(col("__c")).over(w).as("k"), sum(col("__sc")).over(w).as("p"))
+      .unionByName(grid.agg(lit(0L).as("k"), lit(0L).as("p")))
+    val lvl = segs.crossJoin(broadcast(tot))
+      .where(col("k") < col("n") &&
+        expr(s"ts * $budgetNum DIV $budgetDen") >= col("p"))
+      .agg(max(expr(s"(ts * $budgetNum DIV $budgetDen - p) DIV (n - k)"))
+        .as("lvl"))
+    caps.crossJoin(broadcast(lvl))
+      .select(col("source"), col("s").as("n_tokens"), col("cap"),
+        least(col("cap"), col("lvl")).as("allocation"),
+        (expr("CAST((2 * least(cap, lvl) * 1000000 + s) DIV (2 * s) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("epochs"))
+  }
 }

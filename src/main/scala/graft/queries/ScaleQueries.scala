@@ -525,6 +525,13 @@ object ScaleQueries {
       Relational.topKPerKey(table(s, d, "orders"),
         Seq("o_orderpriority"), "o_totalprice", "o_orderkey", k = 3)),
 
+    // UniMax epoch-capped budget allocation (Chung et al. 2023): exact
+    // integer waterfilling of half the corpus's token budget across
+    // sources with a 2-epoch per-source cap. See Scale.unimaxMix.
+    "q355_unimax_mix" -> ((s, d) =>
+      graft.operators.Scale.unimaxMix(
+        table(s, d, "documents"), "source", "text")),
+
     // Token-budget source mixing: each source contributes documents in
     // md5(doc_id) order until its 600-token budget is crossed (the doc
     // crossing the line is kept — budgets are floors, not ceilings). The
@@ -1401,6 +1408,35 @@ object ScaleQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3""".stripMargin,
+
+    // Mirrors Scale.unimaxMix: per-source token sums, cap grid with
+    // prefix counts/sums, water level = max over nonneg-guarded segment
+    // candidates (negative integer division rounds differently across
+    // engines — the guard keeps every division nonnegative; the k=0
+    // candidate always survives), capped allocations + house epochs.
+    "q355_unimax_mix" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |caps AS MATERIALIZED (SELECT source, s, s * 2 AS cap FROM per),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+        |    CAST(count(*) AS BIGINT) AS n FROM caps),
+        |grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(cap) AS BIGINT) AS sc FROM caps GROUP BY 1),
+        |segs AS (
+        |  SELECT CAST(sum(c) OVER (ORDER BY cap) AS BIGINT) AS k,
+        |    CAST(sum(sc) OVER (ORDER BY cap) AS BIGINT) AS p FROM grid
+        |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |lvl AS (
+        |  SELECT CAST(max((ts * 1 // 2 - p) // (n - k)) AS BIGINT) AS lvl
+        |  FROM segs CROSS JOIN tot
+        |  WHERE k < n AND ts * 1 // 2 >= p)
+        |SELECT source, s AS n_tokens, CAST(cap AS BIGINT) AS cap,
+        |  CAST(least(cap, lvl) AS BIGINT) AS allocation,
+        |  CAST(CAST((2 * least(cap, lvl) * 1000000 + s)
+        |    // (2 * s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs
+        |FROM caps CROSS JOIN lvl""".stripMargin,
 
     "q94_token_budget_mix" ->
       """WITH t AS (

@@ -719,6 +719,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p354 = plan("q354_mink_prob")
     assert(!p354.contains("CartesianProduct") && !p354.contains("Window"),
       "min-k take must be an in-row fold over doc-bounded arrays")
+    // q355 unimax: one source-keyed aggregate; the only window runs
+    // over the |sources|-bounded cap grid
+    val p355 = plan("q355_unimax_mix")
+    assert(!p355.contains("CartesianProduct"), "unimax must stay keyed")
     // q353 prune: the only window is the cumulative sum over the
     // DISTINCT usage-count grid (Zipf-bounded); both DP passes stay
     // in-row folds, joins keyed

@@ -538,4 +538,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(a == List((1L, 2L, 2L, 2L), (2L, 7L, 2L, 4L)))
     assert(run(5) == a)
   }
+
+  test("unimaxMix: exact integer waterfilling with epoch caps") {
+    import spark.implicits._
+    // sources A=10, B=20, C=100 tokens; E=2 -> caps {20,40,200};
+    // B = 130/2 = 65. Water level: max(65/3=21, (65-20)/2=22,
+    // (65-60)/1=5) = 22 -> allocations 20/22/22 (sum 64, leftover 1),
+    // epochs 2.0 / 1.1 / 0.22
+    def txt(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(("A", txt(10)), ("B", txt(20)),
+      ("C", txt(50)), ("C", txt(50))).toDF("source", "text")
+    val out = Scale.unimaxMix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toList
+    graft.operators.CacheScope.drain()
+    assert(out == List(("A", 10L, 20L, 20L, 2.0), ("B", 20L, 40L, 22L, 1.1),
+      ("C", 100L, 200L, 22L, 0.22)))
+    // budget >= total caps: every source gets its full cap (the level
+    // exceeds the max cap with no special-casing)
+    val full = Scale.unimaxMix(docs, "source", "text",
+        epochCap = 1, budgetNum = 1, budgetDen = 1)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toList
+    graft.operators.CacheScope.drain()
+    assert(full == List(("A", 10L, 1.0), ("B", 20L, 1.0), ("C", 100L, 1.0)))
+  }
 }
