@@ -557,7 +557,11 @@ object Scale {
     caps.crossJoin(broadcast(lvl))
       .select(col("source"), col("s").as("n_tokens"), col("cap"),
         least(col("cap"), col("lvl")).as("allocation"),
-        (expr("CAST((2 * least(cap, lvl) * 1000000 + s) DIV (2 * s) AS BIGINT)")
+        // 2·alloc·1e6 wraps BIGINT once a source holds > ~4.6e12 tokens
+        // — below the 100 TB design point — so the rational evaluates in
+        // DECIMAL(38,0) (oracle: HUGEINT); value-neutral under 2^63
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * least(cap, lvl) * 1000000 + s)" +
+            " DIV (2 * s) AS BIGINT)")
           .cast("double") / lit(1e6)).as("epochs"))
   }
 }

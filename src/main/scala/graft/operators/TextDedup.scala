@@ -921,7 +921,10 @@ object TextDedup {
     * exploded inventory (hash-identity swap, the q75/q300 precedent).
     *
     * Output per doc: n_tiles, kept_tiles, clean_text (NULL when every tile
-    * of the doc occurred earlier elsewhere).
+    * of the doc occurred earlier elsewhere). NULL text tiles as "" (one
+    * single-empty-token tile, the shared [[tileInventory]] rule since the
+    * q351 landing): a NULL-text doc competes for the "" span like any
+    * other instead of vanishing — the oracle mirrors with coalesce.
     *
     * ScaleSmoke 10x (sf0.1, local[32]): 5.3 s at 1x -> 4.1 s at 10x —
     * sub-linear because the 10x corpus is exact replicas (constant keeper

@@ -304,7 +304,10 @@ object TextPrep {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
       .select(col("source"), col("n_words"), col("n_pieces"),
-        (expr("CAST((2 * n_pieces * 1000000 + n_words) DIV (2 * n_words) AS BIGINT)")
+        // DECIMAL(38,0) product: 2·n_pieces·1e6 wraps BIGINT past
+        // ~4.6e12 pieces per source (oracle's sum() is already HUGEINT)
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_pieces * 1000000 + n_words)" +
+            " DIV (2 * n_words) AS BIGINT)")
           .cast("double") / lit(1e6)).as("fertility"))
   }
 
@@ -381,9 +384,13 @@ object TextPrep {
       .crossJoin(broadcast(kept.agg(count(lit(1)).as("kept_vocab"))))
       .select(col("seed_vocab"), col("active_vocab"), col("kept_vocab"),
         col("n_words"), col("pieces_before"), col("pieces_after"),
-        (expr("CAST((2 * pieces_before * 1000000 + n_words) DIV (2 * n_words) AS BIGINT)")
+        // DECIMAL(38,0): same >~4.6e12-piece BIGINT-wrap guard as
+        // unigramLmFertility (oracle sums are already HUGEINT)
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * pieces_before * 1000000 + n_words)" +
+            " DIV (2 * n_words) AS BIGINT)")
           .cast("double") / lit(1e6)).as("fertility_before"),
-        (expr("CAST((2 * pieces_after * 1000000 + n_words) DIV (2 * n_words) AS BIGINT)")
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * pieces_after * 1000000 + n_words)" +
+            " DIV (2 * n_words) AS BIGINT)")
           .cast("double") / lit(1e6)).as("fertility_after"))
   }
 
@@ -495,7 +502,9 @@ object TextPrep {
         sum(when(col("m") > 0L, 1L).otherwise(0L)).as("docs_hit"),
         sum(col("m")).as("matches"))
       .withColumn("hit_rate",
-        expr("CAST((2 * docs_hit * 1000000 + docs) div (2 * docs) AS DOUBLE)")
+        // same wrap guard: 2·docs_hit·1e6 exceeds 2^63 past ~4.6e12 docs
+        expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * docs_hit * 1000000 + docs)" +
+            " div (2 * docs) AS BIGINT) AS DOUBLE)")
           / lit(1e6))
   }
 }

@@ -1968,7 +1968,7 @@ object LlmQueries {
        |SELECT source, pii_type, CAST(count(*) AS BIGINT) AS docs,
        |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
        |  CAST(sum(m) AS BIGINT) AS matches,
-       |  CAST((2 * CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |  CAST((CAST(2 AS HUGEINT) * sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)
        |        * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6
        |    AS hit_rate
        |FROM l GROUP BY 1, 2""".stripMargin
@@ -1984,7 +1984,8 @@ object LlmQueries {
     // doc keeps nothing — string_agg over zero rows, matching Spark's
     // explicit NULL guard).
     "q329_c4_span_dedup" ->
-      """WITH toks AS (SELECT doc_id, split(text, ' ') AS ts FROM documents),
+      """WITH toks AS (
+        |  SELECT doc_id, split(coalesce(text, ''), ' ') AS ts FROM documents),
         |t0 AS (
         |  SELECT doc_id,
         |    [array_to_string(ts[(i*4+1):(i*4+4)], ' ')

@@ -1434,7 +1434,7 @@ object ScaleQueries {
         |  WHERE k < n AND ts * 1 // 2 >= p)
         |SELECT source, s AS n_tokens, CAST(cap AS BIGINT) AS cap,
         |  CAST(least(cap, lvl) AS BIGINT) AS allocation,
-        |  CAST(CAST((2 * least(cap, lvl) * 1000000 + s)
+        |  CAST(CAST((CAST(2 AS HUGEINT) * least(cap, lvl) * 1000000 + s)
         |    // (2 * s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs
         |FROM caps CROSS JOIN lvl""".stripMargin,
 

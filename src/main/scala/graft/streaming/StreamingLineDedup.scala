@@ -22,11 +22,13 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
   * partitioned by the stream's key hash; no global structure.
   *
   * Determinism: the emitted SET over a full stream is micro-batch-split
-  * invariant (distinct-doc counting is order-free; within a batch a key's
-  * rows are buffer-sorted by doc_id so the crossing row — and the state
-  * left behind — never depends on shuffle arrival order). Emission TIMING
-  * (which batch) naturally depends on the split, as with every streaming
-  * threshold monitor here; the spec pins the set. */
+  * invariant, with no buffering or sorting needed — distinct-doc counting
+  * is order-free: a key emits iff prior-state count + its batch's new
+  * distinct doc ids reaches `minDocs` (n_docs is then exactly minDocs),
+  * and the residual sub-threshold state is ALL new ids; neither depends
+  * on shuffle arrival order. Emission TIMING (which batch) naturally
+  * depends on the split, as with every streaming threshold monitor here;
+  * the spec pins the set. */
 object StreamingLineDedup {
 
   final case class Doc(doc_id: Long, text: String)
@@ -50,28 +52,31 @@ object StreamingLineDedup {
     override def handleInputRows(key: String, rows: Iterator[LineOcc],
                                  timers: TimerValues): Iterator[Boilerplate] = {
       if (emitted.exists()) return Iterator.empty
-      // buffer-sort one key's batch slice by doc_id: the crossing point
-      // (and the residual sub-threshold state) must not depend on shuffle
-      // arrival order — the StatefulFirstSeen discipline
-      val ordered = rows.toArray.sortBy(_.doc_id)
+      // single streaming pass, NO batch-slice buffering: a hot boilerplate
+      // line can flood one batch with millions of rows, but only new
+      // distinct doc ids matter and at most minDocs − prior-count of them
+      // can appear before the threshold crosses — so the local set is
+      // bounded by minDocs regardless of slice size. Order-free (see
+      // object doc), so the old buffer-sort bought nothing.
+      val prev = if (n.exists()) n.get() else 0L
+      val fresh = scala.collection.mutable.HashSet.empty[Long]
       var out: Option[Boilerplate] = None
-      var i = 0
-      while (i < ordered.length && out.isEmpty) {
-        val d = ordered(i).doc_id
-        if (!docs.containsKey(d)) {
-          val cnt = (if (n.exists()) n.get() else 0L) + 1L
-          if (cnt >= minDocs) {
-            out = Some(Boilerplate(key, cnt))
+      while (rows.hasNext && out.isEmpty) {
+        val d = rows.next().doc_id
+        if (!fresh.contains(d) && !docs.containsKey(d)) {
+          fresh += d
+          if (prev + fresh.size >= minDocs) {
+            out = Some(Boilerplate(key, prev + fresh.size))
             emitted.update(true)
             // threshold reached: drop the doc set — hot lines keep one flag
             docs.clear()
             n.clear()
-          } else {
-            docs.updateValue(d, true)
-            n.update(cnt)
           }
         }
-        i += 1
+      }
+      if (out.isEmpty && fresh.nonEmpty) {
+        fresh.foreach(d => docs.updateValue(d, true))
+        n.update(prev + fresh.size)
       }
       out.iterator
     }
