@@ -22,16 +22,45 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
 
   private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for the next [[drain]]. */
+  /** Mark `df`'s PLAN as session-pinned: [[drain]] will never unpersist a
+    * registered frame whose canonicalized plan matches a pinned one.
+    * Session-shared builders (SharedCaches) pin their frames so a
+    * standalone operator that happens to [[persist]] the IDENTICAL plan
+    * (Spark's CacheManager keys entries by canonicalized plan, so the two
+    * frames share ONE cache entry) cannot evict the shared cache out from
+    * under every cross-query consumer at its drain. */
+  def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for the next [[drain]].
+    *
+    * No-op when the PLAN is already cached: Spark's CacheManager keys
+    * cache entries by canonicalized plan, so "persisting" a frame whose
+    * plan equals an existing entry (typically a SESSION-SHARED builder's
+    * — e.g. a standalone operator building the exact frame SharedCaches
+    * already holds) adopts someone else's cache — and the next [[drain]]
+    * would EVICT it out from under every cross-query consumer. Skipping
+    * registration keeps drain scoped to blocks this query actually
+    * created. */
   def persist(df: DataFrame): DataFrame = {
-    reg.add(df)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (df.storageLevel == StorageLevel.NONE) {
+      reg.add(df)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    } else df
   }
 
-  /** Unpersist (non-blocking) everything registered since the last drain. */
+  /** Unpersist (non-blocking) everything registered since the last drain —
+    * except frames whose plan is [[pin]]ned (their cache entry belongs to
+    * a session-shared builder). */
   def drain(): Unit = {
+    import scala.jdk.CollectionConverters._
     var d = reg.poll()
-    while (d != null) { d.unpersist(blocking = false); d = reg.poll() }
+    while (d != null) {
+      val shared = pinned.iterator().asScala.exists(
+        _.queryExecution.analyzed.sameResult(d.queryExecution.analyzed))
+      if (!shared) d.unpersist(blocking = false)
+      d = reg.poll()
+    }
   }
 }

@@ -105,36 +105,70 @@ object TextLm {
     * Output: doc_id, n_bigrams, xent (nats, exact-integer half-up 6 dp) —
     * the [[bigramCrossEntropy]] contract. */
   def knCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
-    val pairs = toks.select(col(idCol),
+    val docBig = docBigrams(docs, idCol, textCol)
+    knCrossEntropyFrom(docBig, knBigramModel(docBig, docs, textCol), idCol)
+  }
+
+  /** Shared tokenize + per-doc bigram aggregate — (idCol, w1, w2, occ),
+    * one row per (document, observed bigram TYPE): the frame every
+    * bigram-LM operator here starts from. Scoring joins consume it
+    * directly and every model is a RE-AGGREGATE of it — never a second
+    * corpus pass. Exposed so the query layer can build it once per
+    * session (the SharedCaches `kn_doc_bigrams` entry) and feed all the
+    * KN-family consumers (q342/q343/q344/q347/q348/q349/q354). */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol),
         explode(arrays_zip(
           expr("slice(t, 1, size(t) - 1)").as("w1"),
           expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBig = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("occ"))
+
+  /** The interpolated-KN per-bigram-type log-probability in micro-nats —
+    * [[knCrossEntropy]]'s D = 3/4 closed form over columns
+    * c2/c1/n1p/nc/t_types/v. ONE constant so its three Spark consumers
+    * ([[knBigramModel]], and the reference/general sides the *From
+    * variants of [[excessLossSelect]]/[[knImportanceWeights]] inherit
+    * through the shared model) can never drift. */
+  private[graft] val knLpSql: String =
+    """CAST(round(ln(
+      |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+      |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
+      .stripMargin
+
+  /** Interpolated-KN bigram model TYPE table (w1, w2, lp_mu micro-nats)
+    * from a prebuilt [[docBigrams]] aggregate; `docs` supplies only the
+    * vocabulary count (a 1-row broadcast — a single-token document
+    * carries a word but no bigram, so V is not derivable from the bigram
+    * table). Zipf-bounded: one row per OBSERVED bigram type. Session-
+    * shared as SharedCaches `kn_bigram_model`. */
+  def knBigramModel(docBig: DataFrame, docs: DataFrame, textCol: String): DataFrame = {
     val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
     val hist = big.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
     val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
-      toks.select(explode(col("t")).as("w"))
+      docs.select(explode(split(col(textCol), " ")).as("w"))
         .agg(countDistinct(col("w")).as("v")))
-    val model = big.join(hist, "w1").join(cont, "w2")
+    big.join(hist, "w1").join(cont, "w2")
       .crossJoin(broadcast(sizes))
-      .withColumn("lp_mu", expr(
-        """CAST(round(ln(
-          |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
-          |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
-          .stripMargin))
+      .withColumn("lp_mu", expr(knLpSql))
       .select(col("w1"), col("w2"), col("lp_mu"))
+  }
+
+  /** [[knCrossEntropy]]'s scoring stage over prebuilt inputs: one model
+    * equi-join + one per-doc aggregate — the marginal cost a consumer
+    * pays when the session shares the model build. */
+  def knCrossEntropyFrom(docBig: DataFrame, model: DataFrame,
+                         idCol: String): DataFrame =
     docBig.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
       .select(col(idCol), col("m").as("n_bigrams"),
         (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
           / lit(1e6)).as("xent"))
-  }
 
   /** Interpolated Kneser-Ney TRIGRAM cross-entropy — the full KN
     * recursion [[knCrossEntropy]]'s bigram form is the base case of
@@ -172,7 +206,20 @@ object TextLm {
     * one broadcast (T2, V) row — same shape class as [[knCrossEntropy]],
     * one order deeper. Docs with fewer than three tokens have no trigrams
     * and are omitted. Output: doc_id, n_trigrams, xent. */
-  def kn3CrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def kn3CrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    kn3CrossEntropyImpl(docs, idCol, textCol, None)
+
+  /** [[kn3CrossEntropy]] with the bottom level's bigram TYPE table derived
+    * from a prebuilt [[docBigrams]] aggregate (its distinct (w1, w2)
+    * projection — the same type set) instead of a second corpus tokenize:
+    * the shared-cache consumer form. */
+  def kn3CrossEntropyFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    kn3CrossEntropyImpl(docs, idCol, textCol, Some(docBig))
+
+  private def kn3CrossEntropyImpl(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  docBigPre: Option[DataFrame]): DataFrame = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
     // the >= 3 guard keeps slice's length argument non-negative (Spark
     // slice THROWS on negative length; a 1-token doc would pass -1)
@@ -200,12 +247,18 @@ object TextLm {
     // counting it would supernormalize the p2 layer (mass > 1)
     val mid2 = sub23.groupBy(col("w2"))
       .agg(sum(col("ns")).as("nm"), count(lit(1)).as("npb"))
-    // bigram TYPE table for the BOTTOM level's continuation stats
-    val big = toks.select(
-        explode(arrays_zip(
-          expr("slice(t, 1, size(t) - 1)").as("b1"),
-          expr("slice(t, 2, size(t) - 1)").as("b2"))).as("p"))
-      .select(col("p.b1").as("b1"), col("p.b2").as("b2")).distinct()
+    // bigram TYPE table for the BOTTOM level's continuation stats — the
+    // distinct (w1, w2) projection of the shared doc-bigram aggregate
+    // when one is supplied (identical type set, one corpus pass saved)
+    val big = docBigPre match {
+      case Some(db) =>
+        db.select(col("w1").as("b1"), col("w2").as("b2")).distinct()
+      case None => toks.select(
+          explode(arrays_zip(
+            expr("slice(t, 1, size(t) - 1)").as("b1"),
+            expr("slice(t, 2, size(t) - 1)").as("b2"))).as("p"))
+        .select(col("p.b1").as("b1"), col("p.b2").as("b2")).distinct()
+    }
     val cont = big.groupBy(col("b2")).agg(count(lit(1)).as("nc"))
       .withColumnRenamed("b2", "w3")
     val sizes = big.agg(count(lit(1)).as("t2")).crossJoin(
@@ -300,15 +353,14 @@ object TextLm {
     *
     * Output: doc_id, n_bigrams, xent — the [[bigramCrossEntropy]]
     * contract. */
-  def mknCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
-    val pairs = toks.select(col(idCol),
-        explode(arrays_zip(
-          expr("slice(t, 1, size(t) - 1)").as("w1"),
-          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBig = pairs.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("occ"))
+  def mknCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mknCrossEntropyFrom(docBigrams(docs, idCol, textCol), docs, idCol, textCol)
+
+  /** [[mknCrossEntropy]] over a prebuilt [[docBigrams]] aggregate — the
+    * shared-cache consumer form (the MKN model itself stays query-local:
+    * its count-specific discounts are not the shared KN model's). */
+  def mknCrossEntropyFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
     val hist = big.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"),
@@ -321,7 +373,7 @@ object TextLm {
         count(when(col("c2") === 2, lit(1))).as("n2"),
         count(when(col("c2") === 3, lit(1))).as("n3"),
         count(when(col("c2") === 4, lit(1))).as("n4"))
-      .crossJoin(toks.select(explode(col("t")).as("w"))
+      .crossJoin(docs.select(explode(split(col(textCol), " ")).as("w"))
         .agg(countDistinct(col("w")).as("v")))
     val model = big.join(hist, "w1").join(cont, "w2")
       .crossJoin(broadcast(sizes))
@@ -361,30 +413,16 @@ object TextLm {
     * tokens omitted — the [[bigramCrossEntropy]] contract). */
   def minKProb(docs: DataFrame, idCol: String, textCol: String,
                kNum: Int = 1, kDen: Int = 5): DataFrame = {
+    val docBig = docBigrams(docs, idCol, textCol)
+    minKProbFrom(docBig, knBigramModel(docBig, docs, textCol), idCol,
+      kNum, kDen)
+  }
+
+  /** [[minKProb]]'s bottom-k fold over prebuilt inputs — the shared-cache
+    * consumer form (one model join + one per-doc aggregate). */
+  def minKProbFrom(docBig: DataFrame, model: DataFrame, idCol: String,
+                   kNum: Int = 1, kDen: Int = 5): DataFrame = {
     require(kNum > 0 && kDen >= kNum, "need 0 < kNum <= kDen")
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
-    val pairs = toks.select(col(idCol),
-        explode(arrays_zip(
-          expr("slice(t, 1, size(t) - 1)").as("w1"),
-          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBig = pairs.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("occ"))
-    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
-    val hist = big.groupBy(col("w1"))
-      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
-    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
-    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
-      toks.select(explode(col("t")).as("w"))
-        .agg(countDistinct(col("w")).as("v")))
-    val model = big.join(hist, "w1").join(cont, "w2")
-      .crossJoin(broadcast(sizes))
-      .withColumn("lp_mu", expr(
-        """CAST(round(ln(
-          |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
-          |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
-          .stripMargin))
-      .select(col("w1"), col("w2"), col("lp_mu"))
     docBig.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("lp_mu"), col("occ"))).as("lst"),
@@ -434,6 +472,13 @@ object TextLm {
             groupCol: String): DataFrame =
     tercileMix(knCrossEntropy(docs, idCol, textCol), docs, idCol, groupCol)
 
+  /** [[knMix]] over an already-scored (idCol, n_bigrams, xent) frame —
+    * the shared-cache consumer form (the scores come from
+    * [[knCrossEntropyFrom]] on the session-shared model). */
+  def knMixFrom(scoredDocs: DataFrame, docs: DataFrame, idCol: String,
+                groupCol: String): DataFrame =
+    tercileMix(scoredDocs, docs, idCol, groupCol)
+
   /** RHO-style excess-loss selection (Mindermann et al. 2022, "Prioritized
     * Training on Points that are Learnable, Worth Learning, and Not Yet
     * Learnt"; Lin et al. 2024, RHO-1 — public papers): score each document
@@ -467,39 +512,31 @@ object TextLm {
   def excessLossSelect(docs: DataFrame, idCol: String, textCol: String,
                        groupCol: String, keepNum: Int = 1,
                        keepDen: Int = 4): DataFrame = {
+    val docBig = CacheScope.persist(docBigrams(docs, idCol, textCol))
+    excessLossSelectFrom(docBig, knBigramModel(docBig, docs, textCol),
+      docs, idCol, textCol, groupCol, keepNum, keepDen)
+  }
+
+  /** [[excessLossSelect]] over a prebuilt [[docBigrams]] aggregate and
+    * shared KN reference model — the shared-cache consumer form; only the
+    * weak add-one model (one token-count aggregate + one type-table join)
+    * is built locally. */
+  def excessLossSelectFrom(docBig: DataFrame, knModel: DataFrame,
+                           docs: DataFrame, idCol: String, textCol: String,
+                           groupCol: String, keepNum: Int = 1,
+                           keepDen: Int = 4): DataFrame = {
     require(keepNum > 0 && keepDen > keepNum, "need 0 < keepNum < keepDen")
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
-    val docBig = CacheScope.persist(toks.select(col(idCol),
-        explode(arrays_zip(
-          expr("slice(t, 1, size(t) - 1)").as("w1"),
-          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("occ")))
-    val big = CacheScope.persist(
-      docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2")))
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
     // weak model: add-one bigram (bigramCrossEntropy's formula verbatim)
-    val uni = toks.select(explode(col("t")).as("w1"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1u"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val amodel = big.join(uni, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"), expr(
         "CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1u + v AS DOUBLE)) * 1e6) AS BIGINT)")
         .as("lpa"))
-    // reference model: interpolated KN (knCrossEntropy's formula verbatim)
-    val hist = big.groupBy(col("w1"))
-      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
-    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
-    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
-      toks.select(explode(col("t")).as("w"))
-        .agg(countDistinct(col("w")).as("v")))
-    val kmodel = big.join(hist, "w1").join(cont, "w2")
-      .crossJoin(broadcast(sizes))
-      .select(col("w1"), col("w2"), expr(
-        """CAST(round(ln(
-          |  CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
-          |  / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)"""
-          .stripMargin).as("lpk"))
+    // reference model: the shared interpolated-KN model (knLpSql)
+    val kmodel = knModel.select(col("w1"), col("w2"), col("lp_mu").as("lpk"))
     val scored = docBig
       .join(amodel, Seq("w1", "w2")).join(kmodel, Seq("w1", "w2"))
       .groupBy(col(idCol))
@@ -647,39 +684,40 @@ object TextLm {
     * Output: group, n_bigrams, avg_logratio (nats, 6 dp). */
   def knImportanceWeights(docs: DataFrame, idCol: String, textCol: String,
                           groupCol: String, targetPred: Column): DataFrame = {
-    val base = docs.select(col(idCol), col(groupCol).as("__g"),
-      targetPred.as("__tgt"), split(col(textCol), " ").as("t"))
-    val pairs = base.select(col(idCol), col("__g"), col("__tgt"),
-        explode(arrays_zip(
-          expr("slice(t, 1, size(t) - 1)").as("w1"),
-          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
-      .select(col(idCol), col("__g"), col("__tgt"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBig = pairs.groupBy(col(idCol), col("__g"), col("__tgt"),
-        col("w1"), col("w2"))
-      .agg(count(lit(1)).as("occ"))
-    // general model (observed for every scored bigram by construction)
-    val gBig = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("gc2"))
-    val gHist = gBig.groupBy(col("w1"))
-      .agg(sum(col("gc2")).as("gc1"), count(lit(1)).as("gn1p"))
-    val gCont = gBig.groupBy(col("w2")).agg(count(lit(1)).as("gnc"))
+    val docBig = docBigrams(docs, idCol, textCol)
+    knImportanceWeightsFrom(docBig, knBigramModel(docBig, docs, textCol),
+      docs, idCol, textCol, groupCol, targetPred)
+  }
+
+  /** [[knImportanceWeights]] over a prebuilt [[docBigrams]] aggregate and
+    * shared KN model — the shared-cache consumer form. The GENERAL side
+    * of the ratio IS the shared model (same corpus, same [[knLpSql]]
+    * closed form, so its quantized log-prob is reused as-is); only the
+    * target-filtered model is built locally, from a filtered re-aggregate
+    * of the shared doc-bigram frame — still no second corpus pass. Group
+    * and target flags rejoin by id (they are per-document attributes;
+    * the join is id-keyed and exact). */
+  def knImportanceWeightsFrom(docBig: DataFrame, knModel: DataFrame,
+                              docs: DataFrame, idCol: String, textCol: String,
+                              groupCol: String, targetPred: Column)
+  : DataFrame = {
+    val flags = docs.select(col(idCol), col(groupCol).as("__g"),
+      targetPred.as("__tgt"))
+    val dflag = docBig.join(flags, idCol)
     // target model: filtered re-aggregate of the same doc-level counts
-    val tBig = docBig.where(col("__tgt"))
+    val tBig = dflag.where(col("__tgt"))
       .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("tc2"))
     val tHist = tBig.groupBy(col("w1"))
       .agg(sum(col("tc2")).as("tc1"), count(lit(1)).as("tn1p"))
     val tCont = tBig.groupBy(col("w2")).agg(count(lit(1)).as("tnc"))
-    val sizes = gBig.agg(count(lit(1)).as("gt")).crossJoin(
-        base.select(explode(col("t")).as("w"))
-          .agg(countDistinct(col("w")).as("gv")))
-      .crossJoin(tBig.agg(count(lit(1)).as("tt")))
-      .crossJoin(base.where(col("__tgt"))
-        .select(explode(col("t")).as("w"))
+    val sizes = tBig.agg(count(lit(1)).as("tt")).crossJoin(
+      docs.where(targetPred)
+        .select(explode(split(col(textCol), " ")).as("w"))
         .agg(countDistinct(col("w")).as("tv")))
-    docBig
-      .join(gBig, Seq("w1", "w2"))
-      .join(gHist, Seq("w1"))
-      .join(gCont, Seq("w2"))
+    dflag
+      // general side: the shared model's lp_mu (every scored bigram is
+      // observed in it by construction — inner join is a no-op filter)
+      .join(knModel, Seq("w1", "w2"))
       .join(tBig, Seq("w1", "w2"), "left")
       .join(tHist, Seq("w1"), "left")
       .join(tCont, Seq("w2"), "left")
@@ -696,10 +734,7 @@ object TextLm {
           |          + 3 * tn1p * (coalesce(tnc, 0) + 1) AS DOUBLE)
           |      / CAST(4 * tc1 * (tt + tv) AS DOUBLE)
           |  END) * 1e6) AS BIGINT)
-          |- CAST(round(ln(
-          |    CAST((4 * gc2 - 3) * (gt + gv) + 3 * gn1p * (gnc + 1) AS DOUBLE)
-          |    / CAST(4 * gc1 * (gt + gv) AS DOUBLE)) * 1e6) AS BIGINT)"""
-          .stripMargin))
+          |- lp_mu""".stripMargin))
       .groupBy(col("__g"))
       .agg(sum(col("occ") * col("lr_mu")).as("mu"), sum(col("occ")).as("m"))
       .select(col("__g").as(groupCol), col("m").as("n_bigrams"),

@@ -108,6 +108,42 @@ object LlmQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** The KN-family shared tokenize + per-doc bigram aggregate (doc_id,
+    * w1, w2, occ) — SEVEN queries start from this one frame
+    * (q342/q343/q344/q347/q348/q349/q354), and before r16 each rebuilt
+    * it (~1.5–4.7 s apiece at sf0.1). Session-shared like
+    * [[nearDupPairs]]; |rows| ≈ corpus bigram instances collapsed to
+    * per-doc types. Standalone semantics: a cold call rebuilds
+    * identically (TextLmSharedSpec pins shared == standalone). */
+  private val knDocBigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def knDocBigrams(s: SparkSession, d: String): DataFrame = {
+    knDocBigCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    knDocBigCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        graft.operators.TextLm.docBigrams(
+          table(s, d, "documents"), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
+  /** The interpolated-KN bigram model TYPE table (w1, w2, lp_mu),
+    * memoized THROUGH [[knDocBigrams]] (so it must build AFTER it in
+    * SharedCaches — the dedup_worklist ordering precedent). Consumed
+    * directly by q342/q343/q354, as the reference model by q348, and as
+    * the general ratio side by q344. Zipf-bounded type table — tiny. */
+  private val knModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def knModelShared(s: SparkSession, d: String): DataFrame = {
+    knModelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    knModelCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        graft.operators.TextLm.knBigramModel(
+          knDocBigrams(s, d), table(s, d, "documents"), "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
@@ -1369,22 +1405,25 @@ object LlmQueries {
     // entirely from the observed-bigram type table. See
     // TextLm.knCrossEntropy.
     "q342_kn_xent" -> ((s, d) =>
-      graft.operators.TextLm.knCrossEntropy(
-        table(s, d, "documents"), "doc_id", "text")),
+      graft.operators.TextLm.knCrossEntropyFrom(
+        knDocBigrams(s, d), knModelShared(s, d), "doc_id")),
 
     // q140's CCNet tercile mix driven by the KN scores: identical exact
     // integer order-statistic cutoffs, production smoothing. See
     // TextLm.knMix.
     "q343_kn_ppl_mix" -> ((s, d) =>
-      graft.operators.TextLm.knMix(
-        table(s, d, "documents"), "doc_id", "text", "source")),
+      graft.operators.TextLm.knMixFrom(
+        graft.operators.TextLm.knCrossEntropyFrom(
+          knDocBigrams(s, d), knModelShared(s, d), "doc_id"),
+        table(s, d, "documents"), "doc_id", "source")),
 
     // q151's DSIR importance weights with BOTH models KN-smoothed; the
     // target side runs the full interpolation ladder (bigram observed /
     // history-only / continuation-only), every rung a BIGINT rational.
     // See TextLm.knImportanceWeights.
     "q344_kn_importance_weights" -> ((s, d) =>
-      graft.operators.TextLm.knImportanceWeights(
+      graft.operators.TextLm.knImportanceWeightsFrom(
+        knDocBigrams(s, d), knModelShared(s, d),
         table(s, d, "documents"), "doc_id", "text", "source",
         col("lang") === "en")),
 
@@ -1408,15 +1447,16 @@ object LlmQueries {
     // TYPE, micro-nat quantization, exact per-doc sums. See
     // TextLm.kn3CrossEntropy.
     "q347_kn3_xent" -> ((s, d) =>
-      graft.operators.TextLm.kn3CrossEntropy(
-        table(s, d, "documents"), "doc_id", "text")),
+      graft.operators.TextLm.kn3CrossEntropyFrom(
+        knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
 
     // RHO-style excess-loss selection: per-doc xent under the weak
     // add-one bigram LM minus xent under the strong KN reference, top
     // quarter per source kept by an integer-order-statistic cut (ties
     // fall to the unselected side). See TextLm.excessLossSelect.
     "q348_excess_loss_select" -> ((s, d) =>
-      graft.operators.TextLm.excessLossSelect(
+      graft.operators.TextLm.excessLossSelectFrom(
+        knDocBigrams(s, d), knModelShared(s, d),
         table(s, d, "documents"), "doc_id", "text", "source")),
 
     // MODIFIED Kneser-Ney bigram cross-entropy: count-specific discounts
@@ -1425,8 +1465,8 @@ object LlmQueries {
     // default to; formula text shared verbatim with the oracle. See
     // TextLm.mknCrossEntropy.
     "q349_mkn_xent" -> ((s, d) =>
-      graft.operators.TextLm.mknCrossEntropy(
-        table(s, d, "documents"), "doc_id", "text")),
+      graft.operators.TextLm.mknCrossEntropyFrom(
+        knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
 
     // Unigram-LM (SentencePiece) tokenizer training step: seed subword
     // vocabulary (all substrings <= 4 chars), one hard-EM iteration with
@@ -1466,8 +1506,8 @@ object LlmQueries {
     // model — low = memorized/contaminated signature. The model-side
     // audit beside the q85/q118/q135 overlap checks. See TextLm.minKProb.
     "q354_mink_prob" -> ((s, d) =>
-      graft.operators.TextLm.minKProb(
-        table(s, d, "documents"), "doc_id", "text"))
+      graft.operators.TextLm.minKProbFrom(
+        knDocBigrams(s, d), knModelShared(s, d), "doc_id"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected

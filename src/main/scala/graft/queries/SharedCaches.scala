@@ -36,5 +36,7 @@ object SharedCaches {
     "winnow_pairs" -> (LlmQueries.winnowPairs _),
     "ppjoin_pairs" -> (MlQueries.ppjoinPairsShared _),
     "brand_lift" -> (InferQueries.brandLift _),
-    "dedup_worklist" -> (LlmQueries.dedupWorklist _))
+    "dedup_worklist" -> (LlmQueries.dedupWorklist _),
+    "kn_doc_bigrams" -> (LlmQueries.knDocBigrams _),
+    "kn_bigram_model" -> (LlmQueries.knModelShared _))
 }

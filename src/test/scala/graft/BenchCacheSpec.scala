@@ -35,6 +35,9 @@ class BenchCacheSpec extends AnyFunSuite {
     val names = graft.queries.SharedCaches.builders.map(_._1)
     assert(names.indexOf("minhash_pair_graph") < names.indexOf("dedup_worklist"),
       s"dependency order violated in SharedCaches.builders: $names")
+    // kn_bigram_model memoizes THROUGH kn_doc_bigrams — same rule
+    assert(names.indexOf("kn_doc_bigrams") < names.indexOf("kn_bigram_model"),
+      s"dependency order violated in SharedCaches.builders: $names")
   }
 
   test("each registered builder memoizes: second call returns the same plan instance") {
