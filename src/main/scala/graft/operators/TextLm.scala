@@ -566,6 +566,108 @@ object TextLm {
           / col("n_docs").cast("double"), 6).as("mean_excess"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * public paper): per-domain EXCESS LOSS under a proxy model vs a
+    * reference model drives multiplicative weight updates over a fixed
+    * number of Group-DRO rounds, with uniform smoothing each round. The
+    * in-engine proxy pair is the q348 shelf: add-one bigram LM (the weak
+    * "proxy") vs interpolated-KN bigram LM (the "reference") on the same
+    * corpus — domains whose documents the better smoothing explains much
+    * better (high clamped excess) get upweighted.
+    *
+    * Recipe (doc-granular proxy of DoReMi Algorithm 1, η = 1):
+    *  - per-doc excess e_d = max(0, xent_proxy − xent_ref), both the
+    *    house half-up micro-nat images (the q348 `__e`, clamped);
+    *  - per-domain λ_g = bigram-weighted mean of e_d (exact half-up
+    *    micro-nats), boost_g = round(exp(min(λ_g, 10 nats)) · 1e6) — the
+    *    ONLY libm value, quantized at first appearance (the 10-nat clip
+    *    is the overflow/stability guard: e^10·1e6 ≈ 2.2e10 keeps every
+    *    BIGINT product in range at any corpus size; DoReMi's per-step
+    *    update is similarly bounded by its learning rate);
+    *  - w_0 = uniform; round t: num_g = w_{t−1,g}·boost_g, normalize
+    *    a_g = half-up(num_g·1e6/Σnum) (evaluated in DECIMAL(38,0) /
+    *    HUGEINT — num·1e6 can pass 2^63), then smooth
+    *    w_t = half-up(((den−num)·a_g·k + num·1e6)/(den·k)) with
+    *    c = smoothNum/smoothDen and k = |domains| (DoReMi's
+    *    (1−c)·α + c·u step on the 6-dp integer grid).
+    *
+    * Every round is exact integer arithmetic on a |domains|-row frame —
+    * the rounds unroll as grid-bounded plan stages (the q181/q330
+    * discipline), and the oracle replays them as materialized CTE
+    * levels. Scale: ONE pass over the corpus (the shared doc-bigram
+    * aggregate + two model joins); everything after the λ aggregate is
+    * |domains|-bounded.
+    *
+    * Output: (round, source, n_docs, excess, weight) for round 0..rounds
+    * — the weight trajectory a mixing stage consumes (excess in nats,
+    * 6 dp; weight on the 6-dp probability grid). */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, rounds: Int = 4, smoothNum: Int = 1,
+                    smoothDen: Int = 5): DataFrame = {
+    val docBig = CacheScope.persist(docBigrams(docs, idCol, textCol))
+    doremiWeightsFrom(docBig, knBigramModel(docBig, docs, textCol),
+      docs, idCol, textCol, srcCol, rounds, smoothNum, smoothDen)
+  }
+
+  /** [[doremiWeights]] over the shared doc-bigram aggregate and KN model
+    * — the shared-cache consumer form (only the weak add-one model and
+    * the |domains|-row round ladder are built locally). */
+  def doremiWeightsFrom(docBig: DataFrame, knModel: DataFrame,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, rounds: Int = 4, smoothNum: Int = 1,
+                        smoothDen: Int = 5): DataFrame = {
+    require(rounds >= 1 && smoothNum > 0 && smoothDen > smoothNum,
+      "need rounds >= 1 and 0 < smoothNum < smoothDen")
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1u"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val amodel = big.join(uni, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), expr(
+        "CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1u + v AS DOUBLE)) * 1e6) AS BIGINT)")
+        .as("lpa"))
+    val kmodel = knModel.select(col("w1"), col("w2"), col("lp_mu").as("lpk"))
+    val perDoc = docBig
+      .join(amodel, Seq("w1", "w2")).join(kmodel, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lpa")).as("mua"),
+        sum(col("occ") * col("lpk")).as("muk"), sum(col("occ")).as("m"))
+      .select(col(idCol), col("m"),
+        greatest(
+          expr("CAST((2 * (-mua) + m) DIV (2 * m) AS BIGINT)")
+            - expr("CAST((2 * (-muk) + m) DIV (2 * m) AS BIGINT)"),
+          lit(0L)).as("__e"))
+    val lam = perDoc
+      .join(docs.select(col(idCol), col(srcCol).as("source")), idCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e") * col("m")).as("__se"), sum(col("m")).as("__sm"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST((2 * __se + __sm) DIV (2 * __sm) AS BIGINT)").as("lam_mu"))
+    val base = CacheScope.persist(lam
+      .withColumn("boost", expr(
+        "CAST(round(exp(CAST(least(lam_mu, 10000000) AS DOUBLE) / 1e6) * 1e6) AS BIGINT)"))
+      .crossJoin(broadcast(lam.agg(count(lit(1)).as("k")))))
+    val w0 = base.withColumn("w", expr("(2 * 1000000 + k) DIV (2 * k)"))
+    val ws = Iterator.iterate(w0) { prev =>
+      val s = prev.agg(sum(col("w") * col("boost")).as("ss"))
+      prev.crossJoin(broadcast(s))
+        .withColumn("a", expr(
+          "CAST((CAST(2 AS DECIMAL(38,0)) * w * boost * 1000000 + ss) DIV (2 * ss) AS BIGINT)"))
+        .withColumn("w", expr(
+          s"(2 * (${smoothDen - smoothNum} * a * k + $smoothNum * 1000000)" +
+            s" + $smoothDen * k) DIV (2 * $smoothDen * k)"))
+        .select(col("source"), col("n_docs"), col("lam_mu"), col("boost"),
+          col("k"), col("w"))
+    }.take(rounds + 1).toSeq
+    ws.zipWithIndex.map { case (f, r) =>
+        f.select(lit(r.toLong).as("rnd"), col("source"), col("n_docs"),
+          (col("lam_mu").cast("double") / lit(1e6)).as("excess"),
+          (col("w").cast("double") / lit(1e6)).as("weight"))
+      }.reduce(_.unionByName(_))
+  }
+
   /** Shared tercile stage over a (idCol, n_bigrams, xent) scored frame —
     * see [[crossEntropyMix]] for the exact-integer cutoff semantics. */
   private def tercileMix(scoredDocs: DataFrame, docs: DataFrame,

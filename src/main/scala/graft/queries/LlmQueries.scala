@@ -1507,7 +1507,18 @@ object LlmQueries {
     // audit beside the q85/q118/q135 overlap checks. See TextLm.minKProb.
     "q354_mink_prob" -> ((s, d) =>
       graft.operators.TextLm.minKProbFrom(
-        knDocBigrams(s, d), knModelShared(s, d), "doc_id"))
+        knDocBigrams(s, d), knModelShared(s, d), "doc_id")),
+
+    // DoReMi-style domain reweighting (Xie et al. 2023): per-source
+    // clamped excess loss (add-one proxy vs KN reference — the q348
+    // shelf) drives 4 Group-DRO multiplicative-update rounds with 1/5
+    // uniform smoothing, every round exact integer arithmetic on the
+    // |sources|-row grid. Output = the round-by-round weight trajectory.
+    // See TextLm.doremiWeights.
+    "q356_doremi_weights" -> ((s, d) =>
+      graft.operators.TextLm.doremiWeightsFrom(
+        knDocBigrams(s, d), knModelShared(s, d),
+        table(s, d, "documents"), "doc_id", "text", "source"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -1657,6 +1668,70 @@ object LlmQueries {
       |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT) AS lp_mu
       |  FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tv)"""
       .stripMargin
+
+  /** Unrolled-CTE mirror of TextLm.doremiWeights: the q348 per-doc
+    * excess chain (shared knModelCte + add-one model), clamped at 0 and
+    * bigram-weighted into per-source λ, the single quantized exp boost,
+    * then `rounds` materialized CTE levels w1..wR — each ONE
+    * normalize-and-smooth step in exact integer arithmetic (HUGEINT for
+    * the num·1e6 product, mirroring Spark's DECIMAL(38,0)), stacked with
+    * w0 into the (rnd, source, …) trajectory. */
+  private def doremiOracle(rounds: Int, smoothNum: Int,
+                           smoothDen: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT source, n_docs, lam_mu, boost, k,
+         |    (2 * (${smoothDen - smoothNum} * a * k + $smoothNum * 1000000)
+         |      + $smoothDen * k) // (2 * $smoothDen * k) AS w
+         |  FROM (
+         |    SELECT w${t - 1}.*,
+         |      CAST((CAST(2 AS HUGEINT) * w * boost * 1000000
+         |          + (SELECT CAST(sum(w * boost) AS BIGINT) FROM w${t - 1}))
+         |        // (2 * (SELECT CAST(sum(w * boost) AS BIGINT) FROM w${t - 1}))
+         |        AS BIGINT) AS a
+         |    FROM w${t - 1}))""".stripMargin
+    }.mkString(",\n")
+    val stack = (0 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS rnd, source, n_docs,
+         |  CAST(lam_mu AS DOUBLE) / 1e6 AS excess,
+         |  CAST(w AS DOUBLE) / 1e6 AS weight FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""$knModelCte,
+       |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1u
+       |        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |amodel AS (
+       |  SELECT big.w1, big.w2,
+       |    CAST(round(ln(CAST(big.c2 + 1 AS DOUBLE)
+       |      / CAST(uni.c1u + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lpa
+       |  FROM big JOIN uni USING (w1) CROSS JOIN vv),
+       |pd AS (SELECT db.doc_id,
+       |    greatest(
+       |      CAST((2 * (-sum(occ * a.lpa)) + sum(occ))
+       |        // (2 * sum(occ)) AS BIGINT)
+       |      - CAST((2 * (-sum(occ * m.lp_mu)) + sum(occ))
+       |        // (2 * sum(occ)) AS BIGINT),
+       |      CAST(0 AS BIGINT)) AS e,
+       |    CAST(sum(occ) AS BIGINT) AS m
+       |  FROM db JOIN model m USING (w1, w2) JOIN amodel a USING (w1, w2)
+       |  GROUP BY 1),
+       |lam AS MATERIALIZED (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST((2 * sum(pd.e * pd.m) + sum(pd.m))
+       |      // (2 * sum(pd.m)) AS BIGINT) AS lam_mu
+       |  FROM pd JOIN documents d USING (doc_id)
+       |  GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT source, n_docs, lam_mu,
+       |    CAST(round(exp(CAST(least(lam_mu, 10000000) AS DOUBLE) / 1e6)
+       |      * 1e6) AS BIGINT) AS boost,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lam) AS k,
+       |    (2 * 1000000 + (SELECT CAST(count(*) AS BIGINT) FROM lam))
+       |      // (2 * (SELECT CAST(count(*) AS BIGINT) FROM lam)) AS w
+       |  FROM lam),
+       |$steps
+       |$stack""".stripMargin
+  }
 
   /** Unrolled-CTE mirror of TextPrep.unigramLmTrainStep: the Viterbi DP
     * (best[i] = max over candidate pieces ending at i of best[start] +
@@ -4441,6 +4516,12 @@ object LlmQueries {
         |    AS mean_excess
         |FROM ex JOIN cuts USING (g)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextLm.doremiWeights: q348's excess chain clamped at 0,
+    // bigram-weighted per-source lambda, one quantized exp boost, then
+    // four materialized normalize-and-smooth rounds (HUGEINT products),
+    // stacked to the (rnd, source, ...) trajectory.
+    "q356_doremi_weights" -> doremiOracle(4, 1, 5),
 
     // Mirrors TextLm.mknCrossEntropy: same db/big lineage as knModelCte,
     // history aggregate widened with exact-count-1/2/>=3 continuation

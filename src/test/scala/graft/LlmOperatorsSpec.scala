@@ -1586,4 +1586,85 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "excess-loss must not go cartesian")
   }
+
+  test("doremiWeights: hand-computed symmetric fixture — constant uniform trajectory") {
+    import spark.implicits._
+    // X "a b", Y "c d": types (a,b),(c,d) -> T=2, V=4, T+V=6.
+    // KN p = (1*6 + 3*1*2)/24 = 0.5 -> xk = 693147; add-one p = 2/5
+    // -> xa = 916291; e = 223144 BOTH sources -> lambda = 223144,
+    // boost = round(exp(0.223144)*1e6) = 1250001 (exp(ln 1.25 + 4.5e-7)
+    // = 1250000.56 — far from the .5 boundary). k = 2: w0 = 500000 and
+    // every normalize-and-smooth round maps 500000 -> 500000 exactly, so
+    // the whole 5-round trajectory is uniform at weight 0.5.
+    val docs = Seq((1L, "X", "a b"), (2L, "Y", "c d"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextLm.doremiWeights(
+        docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(x => (x._1, x._2)).toList
+    graft.operators.CacheScope.drain()
+    assert(out == (0 to 4).flatMap(t => Seq(
+      (t.toLong, "X", 1L, 0.223144, 0.5),
+      (t.toLong, "Y", 1L, 0.223144, 0.5))).toList)
+  }
+
+  test("doremiWeights: asymmetric trajectory == independent integer-ladder replay") {
+    import spark.implicits._
+    // The per-source lambdas are derived from the two component operators
+    // (each pinned by its own hand fixture); the 4 normalize-and-smooth
+    // rounds are replayed in driver-side BigInt arithmetic — a third,
+    // independent implementation of the ladder.
+    val docs = Seq((1L, "s1", "a b a b"), (2L, "s1", "b c"),
+        (3L, "s2", "a c b"), (4L, "s2", "c c"))
+      .toDF("doc_id", "source", "text")
+    val src = Map(1L -> "s1", 2L -> "s1", 3L -> "s2", 4L -> "s2")
+    def comp(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), math.round(r.getDouble(2) * 1e6)))).toMap
+    val xa = comp(graft.operators.TextLm.bigramCrossEntropy(docs, "doc_id", "text"))
+    val xk = comp(graft.operators.TextLm.knCrossEntropy(docs, "doc_id", "text"))
+    def halfUp(a: BigInt, b: BigInt): Long = ((2 * a + b) / (2 * b)).toLong
+    val lam = src.values.toSeq.distinct.sorted.map { g =>
+      val ds = src.filter(_._2 == g).keys
+      val se = ds.map(d => math.max(0L, xa(d)._2 - xk(d)._2) * xa(d)._1).sum
+      val sm = ds.map(d => xa(d)._1).sum
+      g -> halfUp(se, sm)
+    }
+    val boost = lam.map { case (g, l) =>
+      g -> math.round(math.exp(math.min(l, 10000000L) / 1e6) * 1e6) }.toMap
+    val k = lam.size
+    var w = lam.map { case (g, _) => g -> halfUp(1000000, k) }.toMap
+    val expTraj = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
+    lam.foreach { case (g, _) => expTraj += ((0L, g, w(g) / 1e6)) }
+    (1 to 4).foreach { t =>
+      val s = lam.map { case (g, _) => BigInt(w(g)) * boost(g) }.sum
+      w = lam.map { case (g, _) =>
+        val a = halfUp(BigInt(w(g)) * boost(g) * 1000000, s)
+        g -> halfUp(BigInt(4) * a * k + 1000000, BigInt(5) * k)
+      }.toMap
+      lam.foreach { case (g, _) => expTraj += ((t.toLong, g, w(g) / 1e6)) }
+    }
+    // the fixture must actually be asymmetric, or the test proves nothing
+    assert(lam.map(_._2).distinct.size > 1, "fixture lambdas must differ")
+    val out = graft.operators.TextLm.doremiWeights(
+        docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+      .sortBy(x => (x._1, x._2)).toList
+    graft.operators.CacheScope.drain()
+    assert(out == expTraj.sortBy(x => (x._1, x._2)).toList)
+    // higher-excess source must never lose weight round over round, and
+    // each round's weights stay a 6-dp distribution up to quantization
+    val hi = lam.maxBy(_._2)._1
+    val hiW = out.filter(_._2 == hi).map(_._3)
+    assert(hiW.zip(hiW.tail).forall { case (p, n) => n >= p })
+    (0 to 4).foreach { t =>
+      val sumW = out.filter(_._1 == t).map(_._3).sum
+      assert(math.abs(sumW - 1.0) <= k * 1e-6 + 1e-9)
+    }
+    val p = graft.operators.TextLm.doremiWeights(
+        docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    graft.operators.CacheScope.drain()
+    assert(!p.contains("CartesianProduct"), "doremi must not go cartesian")
+  }
 }
