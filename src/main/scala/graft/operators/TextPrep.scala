@@ -125,37 +125,56 @@ object TextPrep {
     * bpe_train (identical merges on replicas, one extra keyed join).
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Int = 10): DataFrame = {
-    val wt = bpeMergeLoop(docs, textCol, merges)._2
-    val dict = wt.select(col("w"),
-      size(split(col("sym"), " ")).cast("long").as("__ns"))
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .where(length(col("w")) > 0)
-      .join(dict, Seq("w"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w")) + 1).cast("long").as("n_syms_init"),
-        sum(col("__ns")).as("n_syms"))
-      .select(col(idCol), col("n_words"), col("n_syms_init"), col("n_syms"),
-        (col("n_syms_init").cast("double") / col("n_syms").cast("double"))
-          .as("compression"))
-  }
+                merges: Int = 10): DataFrame =
+    encodeWithDict(docs, idCol, textCol, bpeMergeLoop(docs, textCol, merges)._2)
+
+  /** WordPiece vocabulary TRAINER (Schuster & Nakajima 2012, "Japanese
+    * and Korean Voice Search"; the BERT tokenizer — Devlin et al. 2019 —
+    * as specified in Wu et al. 2016 §3.1): the third tokenizer family
+    * beside [[bpeTrain]] (count-greedy) and [[unigramLmTrainStep]]
+    * (prune-from-large). Same greedy merge loop as BPE over the same
+    * word-type table, but each round merges the adjacent pair with the
+    * highest LIKELIHOOD-RATIO score
+    *
+    *   score(a, b) = count(ab) / (count(a) · count(b))
+    *
+    * — the merge that most increases the corpus likelihood under a
+    * unigram symbol model, so rare-but-collocated symbol pairs win over
+    * merely frequent ones (the defining WordPiece/BERT property).
+    *
+    * Determinism: count(ab), count(a), count(b) are exact BIGINTs from
+    * freq-weighted aggregates; the score is ONE IEEE division of two
+    * exactly-representable integers (count(a)·count(b) computed in
+    * BIGINT, exact in a double below 2^53) — deterministic on any IEEE
+    * engine, no libm anywhere. Argmax order is (score DESC, pair_count
+    * DESC, pair ASC) — the two-level tie-break the spec pins: equal
+    * scores fall to the more frequent pair, then lexicographic.
+    * Envelope: count(a)·count(b) must stay < 2^53 for the double to be
+    * exact (~9.4e7 occurrences per symbol side at the boundary); beyond
+    * that compare cross-products in DECIMAL(38,0) on both engines.
+    *
+    * Scale design identical to [[bpeTrain]]: one corpus-scale word-type
+    * aggregate, then Heaps-bounded rounds (pair explode + TWO keyed
+    * sums — pairs and symbol counts — + 1-row argmax), rounds
+    * localCheckpointed. Output adds the score column:
+    * (round, pair, merged, pair_count, score, vocab_size). */
+  def wordpieceTrain(docs: DataFrame, textCol: String, merges: Int = 10)
+  : DataFrame = wordpieceMergeLoop(docs, textCol, merges)._1
+
+  /** Encode the corpus with its own trained WordPiece vocabulary — the
+    * train→apply round trip, contract identical to [[bpeEncode]]
+    * (closed-vocab dictionary join + per-doc compression report). */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Int = 10): DataFrame =
+    encodeWithDict(docs, idCol, textCol,
+      wordpieceMergeLoop(docs, textCol, merges)._2)
 
   /** The shared merge loop: returns (merge-table rows, final word-type
     * table with each word's post-merge symbol string). */
   private def bpeMergeLoop(docs: DataFrame, textCol: String, merges: Int)
   : (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    // chars via substr (split-on-empty-regex trails an empty string on
-    // some engines; substr is unambiguous), then the end-of-word marker
-    var wt = words.select(col("w"), col("freq"),
-      concat(array_join(transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("sym"))
-      .localCheckpoint()
+    var wt = seedWordTypes(docs, textCol)
     val rows = Seq.newBuilder[DataFrame]
     var k = 1
     var exhausted = false
@@ -177,24 +196,8 @@ object TextPrep {
       // must STOP the loop, not cross-join the word table to nothing
       if (best.isEmpty) exhausted = true
       else {
-        // boundary-safe rewrite: each symbol is matched with BOTH its
-        // delimiters by doubling the inter-symbol spaces, so the pair
-        // can never match a symbol's suffix/prefix ("b d</w>" inside
-        // "ab d</w>") and adjacent occurrences still merge left-to-right
-        // non-overlapping, the canonical BPE order ("a a a a" -> "aa aa")
-        wt = wt.crossJoin(broadcast(
-            best.select(col("pair").as("__p"))))
-          .select(col("w"), col("freq"),
-            expr("trim(replace(replace(" +
-              "concat(' ', replace(sym, ' ', '  '), ' '), " +
-              "concat(' ', replace(__p, ' ', '  '), ' '), " +
-              "concat(' ', replace(__p, ' ', ''), ' ')), '  ', ' '))")
-              .as("sym"))
-          .localCheckpoint()
-        val vocab = wt
-          .select(explode(split(col("sym"), " ")).as("s"))
-          .agg(countDistinct(col("s")).as("vocab_size"))
-        rows += best.crossJoin(vocab)
+        wt = mergeRewritten(wt, best)
+        rows += best.crossJoin(vocabSize(wt))
           .select(lit(k.toLong).as("round"), col("pair"),
             expr("replace(pair, ' ', '')").as("merged"),
             col("pair_count"), col("vocab_size"))
@@ -213,6 +216,112 @@ object TextPrep {
       case rs => rs.reduce(_ unionByName _)
     }
     (merged, wt)
+  }
+
+  /** [[wordpieceTrain]]'s loop — [[bpeMergeLoop]] with the argmax driven
+    * by the likelihood-ratio score (count(ab)/(count(a)·count(b)), one
+    * exact IEEE division) instead of the raw pair count. */
+  private def wordpieceMergeLoop(docs: DataFrame, textCol: String,
+                                 merges: Int): (DataFrame, DataFrame) = {
+    require(merges >= 1, "need at least one merge round")
+    var wt = seedWordTypes(docs, textCol)
+    val rows = Seq.newBuilder[DataFrame]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val s = split(col("sym"), " ")
+      val pairs = wt.select(col("freq"),
+          explode(zip_with(
+            slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      // freq-weighted unigram symbol counts of the CURRENT segmentation —
+      // the denominator model the likelihood ratio scores against
+      val syms = wt
+        .select(col("freq"), explode(split(col("sym"), " ")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .withColumn("__sa", expr("split(pair, ' ')[0]"))
+        .withColumn("__sb", expr("split(pair, ' ')[1]"))
+        .join(syms.select(col("s").as("__sa"), col("cnt").as("__ca")), "__sa")
+        .join(syms.select(col("s").as("__sb"), col("cnt").as("__cb")), "__sb")
+        // BIGINT product (exact), exact double below 2^53, ONE IEEE
+        // division — deterministic on both engines, no libm
+        .select(col("pair"), col("pair_count"),
+          expr("CAST(pair_count AS DOUBLE) / CAST(__ca * __cb AS DOUBLE)")
+            .as("score"))
+        .orderBy(col("score").desc, col("pair_count").desc, col("pair").asc)
+        .limit(1)
+        .localCheckpoint()
+      if (best.isEmpty) exhausted = true
+      else {
+        wt = mergeRewritten(wt, best)
+        rows += best.crossJoin(vocabSize(wt))
+          .select(lit(k.toLong).as("round"), col("pair"),
+            expr("replace(pair, ' ', '')").as("merged"),
+            col("pair_count"), col("score"), col("vocab_size"))
+        k += 1
+      }
+    }
+    val merged = rows.result() match {
+      case Seq() => wt.sparkSession.range(0)
+        .select(col("id").as("round"), lit("").as("pair"),
+          lit("").as("merged"), col("id").as("pair_count"),
+          col("id").cast("double").as("score"), col("id").as("vocab_size"))
+      case rs => rs.reduce(_ unionByName _)
+    }
+    (merged, wt)
+  }
+
+  /** Corpus word-TYPE seed shared by both merge loops: (w, freq, sym)
+    * with sym the space-joined characters + `</w>` marker. Chars via
+    * substr (split-on-empty-regex trails an empty string on some
+    * engines; substr is unambiguous). */
+  private def seedWordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        concat(array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("sym"))
+      .localCheckpoint()
+
+  /** The ONE boundary-safe pair rewrite, shared by both merge loops:
+    * each symbol is matched with BOTH its delimiters by doubling the
+    * inter-symbol spaces, so the pair can never match a symbol's
+    * suffix/prefix ("b d</w>" inside "ab d</w>") and adjacent
+    * occurrences still merge left-to-right non-overlapping, the
+    * canonical order ("a a a a" -> "aa aa"). */
+  private def mergeRewritten(wt: DataFrame, best: DataFrame): DataFrame =
+    wt.crossJoin(broadcast(best.select(col("pair").as("__p"))))
+      .select(col("w"), col("freq"),
+        expr("trim(replace(replace(" +
+          "concat(' ', replace(sym, ' ', '  '), ' '), " +
+          "concat(' ', replace(__p, ' ', '  '), ' '), " +
+          "concat(' ', replace(__p, ' ', ''), ' ')), '  ', ' '))")
+          .as("sym"))
+      .localCheckpoint()
+
+  private def vocabSize(wt: DataFrame): DataFrame =
+    wt.select(explode(split(col("sym"), " ")).as("s"))
+      .agg(countDistinct(col("s")).as("vocab_size"))
+
+  /** Closed-vocab encode against a trained word-type dictionary — the
+    * shared apply stage of [[bpeEncode]] / [[wordpieceEncode]]. */
+  private def encodeWithDict(docs: DataFrame, idCol: String,
+                             textCol: String, wt: DataFrame): DataFrame = {
+    val dict = wt.select(col("w"),
+      size(split(col("sym"), " ")).cast("long").as("__ns"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(dict, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")) + 1).cast("long").as("n_syms_init"),
+        sum(col("__ns")).as("n_syms"))
+      .select(col(idCol), col("n_words"), col("n_syms_init"), col("n_syms"),
+        (col("n_syms_init").cast("double") / col("n_syms").cast("double"))
+          .as("compression"))
   }
 
   /** Unigram-LM (SentencePiece) tokenizer training step — one hard-EM

@@ -208,6 +208,22 @@ object LlmQueries {
       graft.operators.TextPrep.bpeEncode(table(s, d, "documents"),
         "doc_id", "text", merges = 10)),
 
+    // WordPiece TRAINER (Schuster & Nakajima; the BERT tokenizer) — the
+    // third tokenizer family: q331's merge loop with the argmax driven
+    // by the likelihood-ratio score count(ab)/(count(a)*count(b)) (one
+    // exact IEEE division of exact BIGINTs — no libm), tie-break
+    // (score, pair_count, pair). See TextPrep.wordpieceTrain.
+    "q357_wordpiece_train" -> ((s, d) =>
+      graft.operators.TextPrep.wordpieceTrain(table(s, d, "documents"),
+        "text", merges = 10)),
+
+    // WordPiece ENCODE — the train->apply round trip over q357's merge
+    // table, same closed-vocab dictionary-join contract as q334. See
+    // TextPrep.wordpieceEncode.
+    "q358_wordpiece_encode" -> ((s, d) =>
+      graft.operators.TextPrep.wordpieceEncode(table(s, d, "documents"),
+        "doc_id", "text", merges = 10)),
+
     // Character-trigram profile (n-gram analysis surface). The distinct
     // count runs through the native single-pass NgramDistinctCount
     // expression — no per-row slice array, no interpreted hash set; the
@@ -2058,6 +2074,79 @@ object LlmQueries {
          |    AS compression
          |FROM tok JOIN dict USING (w) GROUP BY doc_id""".stripMargin
 
+  /** The q357/q358 shared WITH-chain — [[bpePrefixSql]]'s loop with the
+    * WordPiece likelihood-ratio argmax: per round, pair counts p$k PLUS
+    * freq-weighted symbol counts c$k (MATERIALIZED — referenced twice),
+    * best = max (score DESC, pair_count DESC, pair ASC) where score is
+    * the one exact IEEE division CAST(pair_count AS DOUBLE) /
+    * CAST(cnt_a * cnt_b AS DOUBLE) — both engines divide the same two
+    * exactly-representable integers, so the doubles are bit-identical. */
+  private def wordpiecePrefixSql(merges: Int): String = {
+    def round(k: Int) =
+      s"""p$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq,
+         |      unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+         |        AS pair
+         |    FROM (SELECT freq, split(sym, ' ') AS s FROM w${k - 1}))
+         |  GROUP BY pair),
+         |c$k AS MATERIALIZED (
+         |  SELECT s, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(split(sym, ' ')) AS s FROM w${k - 1})
+         |  GROUP BY s),
+         |b$k AS MATERIALIZED (
+         |  SELECT pair, pair_count,
+         |    CAST(pair_count AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE)
+         |      AS score
+         |  FROM p$k
+         |  JOIN c$k ca ON ca.s = string_split(pair, ' ')[1]
+         |  JOIN c$k cb ON cb.s = string_split(pair, ' ')[2]
+         |  ORDER BY score DESC, pair_count DESC, pair LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+         |      ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |      ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS sym
+         |  FROM w${k - 1}, b$k b),
+         |v$k AS MATERIALIZED (
+         |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
+         |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    array_to_string(split(w, ''), ' ') || ' </w>' AS sym
+       |  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |${(1 to merges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def wordpieceTrainSql(merges: Int): String = {
+    val rows = (1 to merges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, b.pair,
+         |  replace(b.pair, ' ', '') AS merged, b.pair_count, b.score,
+         |  v.vocab_size
+         |FROM b$k b, v$k v""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    wordpiecePrefixSql(merges) + "\n" + rows
+  }
+
+  private def wordpieceEncodeSql(merges: Int): String =
+    wordpiecePrefixSql(merges) +
+      s""",
+         |tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |dict AS MATERIALIZED (
+         |  SELECT w, CAST(len(split(sym, ' ')) AS BIGINT) AS ns
+         |  FROM w$merges)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(w) + 1) AS BIGINT) AS n_syms_init,
+         |  CAST(sum(ns) AS BIGINT) AS n_syms,
+         |  CAST(sum(len(w) + 1) AS DOUBLE) / CAST(sum(ns) AS DOUBLE)
+         |    AS compression
+         |FROM tok JOIN dict USING (w) GROUP BY doc_id""".stripMargin
+
   /** Mirrors [[graft.operators.TextPrep.piiCensus]] over the identically
     * salted corpus: the detector patterns are embedded VERBATIM from
     * `TextPrep.piiDetectors` (Java-regex ∩ RE2 subset), salts verbatim
@@ -2092,6 +2181,8 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q331_bpe_train" -> bpeTrainSql(10),
     "q334_bpe_encode" -> bpeEncodeSql(10),
+    "q357_wordpiece_train" -> wordpieceTrainSql(10),
+    "q358_wordpiece_encode" -> wordpieceEncodeSql(10),
 
     // Mirrors TextDedup.c4SpanDedup stage for stage: 4-token tiles via the
     // list-comprehension unnest, keeper = min packed (doc_id, tpos) per

@@ -544,4 +544,47 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
       s"max-min coverage shrinks monotonically: $dists")
     assert(a.head._4 <= dists.last, "final radius <= last selection distance")
   }
+
+  test("wordpieceTrain: likelihood-ratio argmax diverges from BPE; score tie breaks to pair_count then pair") {
+    import spark.implicits._
+    // words ab x4, cd x2, a x6, b x6. Round-1 pairs/counts: (a,b)=4,
+    // (b,</w>)=4+6=10, (c,d)=2, (d,</w>)=2, (a,</w>)=6; symbol counts
+    // a=10, b=10, c=2, d=2, </w>=18. BPE would merge (b,</w>) (count 10);
+    // WordPiece scores 2/(2*2)=0.5 for (c,d) — rare but perfectly
+    // collocated — and merges IT first, the defining family difference.
+    // Round 2: (b,</w>) 10/180 EXACTLY EQUALS (cd,</w>) 2/36 in IEEE
+    // (both round 1/18) — the score tie falls to pair_count 10 > 2.
+    // Round 3: (cd,</w>) 2/(2*16)... counts then are a=10, b</w>=10,
+    // cd=2, </w>=8: (a,b</w>)=4/100, (cd,</w>)=2/16=0.125 wins, (a,</w>)
+    // =6/80.
+    val text = (Seq.fill(4)("ab") ++ Seq.fill(2)("cd") ++
+      Seq.fill(6)("a") ++ Seq.fill(6)("b")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.operators.TextPrep.wordpieceTrain(docs, "text", merges = 3)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getDouble(4), x.getLong(5))).sortBy(_._1).toList
+    assert(r == List(
+      (1L, "c d", "cd", 2L, 0.5, 4L),
+      (2L, "b </w>", "b</w>", 10L, 10.0 / 180.0, 4L),
+      (3L, "cd </w>", "cd</w>", 2L, 0.125, 4L)))
+    // the BPE trainer on the same corpus picks the raw-count argmax
+    val bpe1 = graft.operators.TextPrep.bpeTrain(docs, "text", merges = 1)
+      .collect().head
+    assert(bpe1.getString(1) == "b </w>" && bpe1.getLong(3) == 10L)
+  }
+
+  test("wordpieceEncode: the train->apply round trip under the trained dictionary") {
+    import spark.implicits._
+    // After the 3 merges above: ab -> "a b</w>" (2 syms), cd -> "cd</w>"
+    // (1), a -> "a </w>" (2), b -> "b</w>" (1). n_words 18, init syms
+    // 4*3 + 2*3 + 6*2 + 6*2 = 42, encoded 4*2+2*1+6*2+6*1 = 28 -> 1.5.
+    val text = (Seq.fill(4)("ab") ++ Seq.fill(2)("cd") ++
+      Seq.fill(6)("a") ++ Seq.fill(6)("b")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val e = graft.operators.TextPrep.wordpieceEncode(
+        docs, "doc_id", "text", merges = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4))).toList
+    assert(e == List((1L, 18L, 42L, 28L, 1.5)))
+  }
 }
