@@ -1072,17 +1072,9 @@ object TextDedup {
     * space-rejoined surviving text; md5("") for fully-dropped docs — the
     * hash travels instead of the text so the result stays narrow). */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                lineTokens: Int = 3, minDocs: Int = 3): DataFrame = {
-    require(lineTokens >= 1 && minDocs >= 2, "need lineTokens>=1, minDocs>=2")
-    val lines = tileInventory(docs, idCol, textCol, lineTokens)
-      .select(col("doc_id"), col("tpos").as("lpos"),
-        array_join(col("lts"), " ").as("line"),
-        size(col("lts")).cast("long").as("ntoks"))
-    val docFreq = lines.select(col("doc_id"), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
-    val flagged = lines.join(docFreq, Seq("line"))
-      .withColumn("__keep", col("__df") < minDocs)
-    flagged.groupBy(col("doc_id"))
+                lineTokens: Int = 3, minDocs: Int = 3): DataFrame =
+    lineFlagged(docs, idCol, textCol, lineTokens, minDocs)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_lines_dropped"),
         sum(when(col("__keep"), col("ntoks")).otherwise(0L)).as("n_tokens_kept"),
@@ -1091,6 +1083,64 @@ object TextDedup {
             array_sort(collect_list(
               when(col("__keep"), struct(col("lpos"), col("line"))))),
             t => t.getField("line")), " ")).as("clean_md5"))
+
+  /** [[lineDedup]]'s flagged line inventory — (doc_id, lpos, line, ntoks,
+    * __keep) with __keep false exactly for boilerplate lines (document
+    * frequency >= minDocs) — shared with [[cleanTextRebuild]] so the keep
+    * rule can never drift between the census and the rebuild. */
+  private def lineFlagged(docs: DataFrame, idCol: String, textCol: String,
+                          lineTokens: Int, minDocs: Int): DataFrame = {
+    require(lineTokens >= 1 && minDocs >= 2, "need lineTokens>=1, minDocs>=2")
+    val lines = tileInventory(docs, idCol, textCol, lineTokens)
+      .select(col("doc_id"), col("tpos").as("lpos"),
+        array_join(col("lts"), " ").as("line"),
+        size(col("lts")).cast("long").as("ntoks"))
+    val docFreq = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+    lines.join(docFreq, Seq("line"))
+      .withColumn("__keep", col("__df") < minDocs)
+  }
+
+  /** [[lineDedup]]'s rebuild in TEXT form: one row per input document
+    * with its boilerplate-stripped text ("" when every line was dropped)
+    * — the frame downstream CLEAN-TEXT consumers start from (the census
+    * form ships clean_md5 so the result stays narrow; this form exists
+    * for composition). */
+  def cleanTextRebuild(docs: DataFrame, idCol: String, textCol: String,
+                       lineTokens: Int = 3, minDocs: Int = 3): DataFrame =
+    lineFlagged(docs, idCol, textCol, lineTokens, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("lpos"), col("line"))))),
+          t => t.getField("line")), " ").as("clean_text"))
+
+  /** Paragraph-granular MinHash near-dup pairs over boilerplate-stripped
+    * text — the FineWeb ordering: line-level dedup FIRST
+    * ([[cleanTextRebuild]]), THEN the [[minhashNearDupPairs]] stage on
+    * the rebuilt corpus. Running near-dup detection on raw web text
+    * pairs documents that merely share navigation chrome; stripping the
+    * shared lines first makes the pair graph about actual content (and
+    * conversely keeps true content twins paired — their clean texts
+    * still match). Documents whose clean text has fewer than `shingleK`
+    * tokens drop out of the pair stage (the q31 contract, applied to the
+    * clean text on both engines).
+    *
+    * Pure composition of the two shared-rule operators — the new
+    * guarantee is the ORDER; the rebuilt corpus is persisted because the
+    * pair stage consumes it twice (signatures + verification sets).
+    * Scale: [[lineDedup]]'s scan-shaped stages plus the bucketed pair
+    * stage — no new shuffle classes. Output: (doc_a, doc_b, jaccard) on
+    * clean shingles. */
+  def paragraphMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                            lineTokens: Int = 3, minDocs: Int = 3,
+                            shingleK: Int = 3, bands: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    val clean = CacheScope.persist(
+      cleanTextRebuild(docs, idCol, textCol, lineTokens, minDocs))
+    minhashNearDupPairs(clean, "doc_id", "clean_text",
+      shingleK, bands, threshold)
   }
 
   /** The ONE tile rule, shared by [[c4SpanDedup]] and [[lineDedup]] so the

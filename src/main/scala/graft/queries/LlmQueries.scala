@@ -1499,6 +1499,15 @@ object LlmQueries {
     "q351_line_dedup" -> ((s, d) =>
       TextDedup.lineDedup(table(s, d, "documents"), "doc_id", "text")),
 
+    // Paragraph-granular MinHash near-dup pairs over the q351 rebuilt
+    // clean text — the FineWeb ordering (strip shared boilerplate lines
+    // FIRST, then near-dup on content): composition of the two
+    // shared-rule operators; pairs are on clean-text shingles. See
+    // TextDedup.paragraphMinhashPairs.
+    "q359_paragraph_minhash" -> ((s, d) =>
+      TextDedup.paragraphMinhashPairs(
+        table(s, d, "documents"), "doc_id", "text")),
+
     // Per-source segmentation fertility under the unigram-LM seed model
     // — the train->apply round trip for q350 (as q334 is to q331's BPE):
     // Viterbi piece counts per word TYPE, occurrence-weighted per
@@ -1948,36 +1957,70 @@ object LlmQueries {
 
   /** q31/q32 oracle texts as shared vals: q291 composes all three
     * pair-method oracles into one agreement matrix. */
+  /** The q31 MinHash-LSH chain body over an arbitrary (doc_id, text)
+    * relation — shared by the raw-corpus q31 oracle and the q359
+    * clean-text composition so the two can never drift. */
+  private def minhashChainSql(rel: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM $rel
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
+       |    FROM toks)),
+       |sig AS (
+       |  SELECT doc_id, band,
+       |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+       |  GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+       |  GROUP BY doc_a, doc_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val minhashFinalSelect: String =
+    """SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes na ON na.doc_id = doc_a
+      |  JOIN sizes nb ON nb.doc_id = doc_b)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   private[queries] val minhashPairsSql: String =
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
-        |  WHERE len(string_split(text,' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh
-        |    FROM toks)),
-        |sig AS (
-        |  SELECT doc_id, band,
-        |    min(substr(md5(sh), band*8+1, 4)) || min(substr(md5(sh), band*8+5, 4)) AS sig
-        |  FROM sh, (SELECT unnest([0,1,2,3]) AS band)
-        |  GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = doc_a
-        |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
-        |  GROUP BY doc_a, doc_b),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT doc_a, doc_b,
-        |    CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
-        |  FROM inter
-        |  JOIN sizes na ON na.doc_id = doc_a
-        |  JOIN sizes nb ON nb.doc_id = doc_b)
-        |WHERE jaccard >= 0.5""".stripMargin
+    "WITH " + minhashChainSql("documents") + "\n" + minhashFinalSelect
+
+  /** Mirrors TextDedup.paragraphMinhashPairs: the q351 line inventory +
+    * document-frequency drop + ordered rebuild (clean text, "" when all
+    * lines dropped), then the SHARED q31 MinHash chain over the rebuilt
+    * relation. */
+  private[queries] val paragraphMinhashSql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+       |  FROM documents),
+       |lns AS MATERIALIZED (
+       |  SELECT doc_id, i AS lpos,
+       |    array_to_string(ts[i*3+1 : i*3+3], ' ') AS line
+       |  FROM (SELECT doc_id, ts,
+       |      unnest(generate_series(0,
+       |        greatest((len(ts) + 2) // 3, 1) - 1)) AS i
+       |    FROM toks0)),
+       |ldf AS (
+       |  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+       |  FROM lns GROUP BY 1),
+       |clean AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(
+       |      string_agg(CASE WHEN dfc < 3 THEN line END, ' ' ORDER BY lpos),
+       |      '') AS text
+       |  FROM lns JOIN ldf USING (line) GROUP BY doc_id),
+       |${minhashChainSql("clean")}
+       |$minhashFinalSelect""".stripMargin
 
   private[queries] val simhashPairsSql: String =
       """WITH th AS (
@@ -4719,6 +4762,8 @@ object LlmQueries {
         |    string_agg(CASE WHEN ldf < 3 THEN line END, ' ' ORDER BY lpos),
         |    '')) AS clean_md5
         |FROM lns JOIN df USING (line)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    "q359_paragraph_minhash" -> paragraphMinhashSql
   )
 }

@@ -587,4 +587,44 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
         x.getLong(3), x.getDouble(4))).toList
     assert(e == List((1L, 18L, 42L, 28L, 1.5)))
   }
+
+  test("paragraphMinhashPairs: boilerplate-only raw pairs vanish, content twins survive; rebuild is idempotent on tile-aligned docs") {
+    import spark.implicits._
+    // docs 1-3: 18 shared boilerplate tokens (6 aligned 3-token lines,
+    // df = 3 >= minDocs) + 6 unique tokens each. Raw shingles overlap
+    // heavily (boilerplate chrome), so RAW MinHash pairs them; after the
+    // line strip their clean texts share nothing. docs 4-5: identical
+    // 12-token content, only 2 copies (< minDocs) — their lines survive
+    // and the CLEAN pair keeps jaccard 1.0.
+    val boiler = (1 to 18).map(i => s"nav$i").mkString(" ")
+    def uniq(d: Int) = (1 to 6).map(i => s"u${d}x$i").mkString(" ")
+    val twin = (1 to 12).map(i => s"story$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq(1)}"), (2L, s"$boiler ${uniq(2)}"),
+      (3L, s"$boiler ${uniq(3)}"), (4L, twin), (5L, twin))
+      .toDF("doc_id", "text")
+    val raw = graft.operators.TextDedup.minhashNearDupPairs(
+        docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.CacheScope.drain()
+    assert(raw.contains((1L, 2L)) && raw.contains((4L, 5L)),
+      s"raw chrome-dominated docs must pair: $raw")
+    val clean = graft.operators.TextDedup.paragraphMinhashPairs(
+        docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.CacheScope.drain()
+    assert(clean == Set((4L, 5L, 1.0)),
+      s"clean pairs must keep only the content twin: $clean")
+    // idempotence: every kept line here is an aligned 3-token tile, so
+    // re-tiling the rebuilt text reproduces the surviving lines exactly
+    // and a second pass strips nothing further
+    val r1 = graft.operators.TextDedup.cleanTextRebuild(docs, "doc_id", "text")
+    val r2 = graft.operators.TextDedup.cleanTextRebuild(
+      r1.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+    val m1 = r1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = r2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.operators.CacheScope.drain()
+    assert(m1 == m2, "second rebuild pass must be a no-op")
+    assert(m1(1L) == uniq(1) && m1(4L) == twin)
+  }
 }
