@@ -244,6 +244,24 @@ import org.apache.spark.sql.functions._
   * over the minDocs threshold, so the 10x run drops more while the
   * line-TYPE df table stays bounded).
   *
+  * Round-16 curves (2026-08-15, sf0.1×10):
+  * {{{
+  *   doremi_weights  1x rows=100    9.0 s   10x rows=100    12.2 s
+  *   wordpiece_train 1x rows=10     3.9 s   10x rows=10      2.8 s
+  *   wordpiece_enc   1x rows=5000   3.3 s   10x rows=50000   4.7 s
+  *   para_minhash    1x rows=100    3.3 s   10x rows=0       3.6 s
+  * }}}
+  * doremi rides the excess_select dual-model floor (both LM TYPE tables
+  * constant across factors; the round ladder is |sources|-bounded and
+  * localCheckpointed — 1.35x at 10x). wordpiece_train is flat like
+  * bpe_train: replication scales every count uniformly, so the
+  * likelihood ratios shrink by 1/factor UNIFORMLY and the merge table is
+  * replication-invariant. para_minhash COLLAPSES at 10x by design: exact
+  * replicas push every line's df over minDocs, all text strips, and the
+  * pair stage sees empty docs (0 pairs, scan-bounded cost) — the
+  * composition absorbs the factor^2 raw-pair volume instead of paying
+  * it.
+  *
   * The KN curves repeat the lm_xent/dsir_weights argument: replicas add
   * occurrences, never bigram TYPES, so the whole KN model (history sums,
   * continuation type counts, T, V) is constant across factors — 1.3x /
@@ -1407,6 +1425,30 @@ object ScaleSmoke {
       // unimax: ONE source-keyed aggregate + grid arithmetic — pure scan
       time(s"unimax_mix      $label") {
         operators.Scale.unimaxMix(df, "source", "text").count()
+      }
+      // DoReMi: both LM models are constant across replicas (the lm_xent
+      // argument twice over) and the round ladder is |sources|-bounded —
+      // cost must track tokenize + the doc-keyed aggregates.
+      time(s"doremi_weights  $label") {
+        operators.TextLm.doremiWeights(df, "doc_id", "text", "source").count()
+      }
+      // WordPiece: replication scales every count uniformly, so the
+      // likelihood ratio c_ab/(c_a*c_b) shrinks by 1/factor UNIFORMLY —
+      // argmax order (and the merge table) is replication-invariant;
+      // cost tracks the one word-type aggregate, the bpe_train curve.
+      time(s"wordpiece_train $label") {
+        operators.TextPrep.wordpieceTrain(df, "text").count()
+      }
+      time(s"wordpiece_enc   $label") {
+        operators.TextPrep.wordpieceEncode(df, "doc_id", "text").count()
+      }
+      // paragraph minhash: exact replicas are the dedup-adversarial AND
+      // line-strip-degenerate case — at factor x every line's df crosses
+      // minDocs, ALL text strips, and the pair stage sees empty docs: the
+      // composition must COLLAPSE (0 pairs, scan-bounded cost), never
+      // explode into the factor^2 raw-pair volume minhash_lsh absorbs.
+      time(s"para_minhash    $label") {
+        operators.TextDedup.paragraphMinhashPairs(df, "doc_id", "text").count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

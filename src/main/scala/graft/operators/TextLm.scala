@@ -638,18 +638,26 @@ object TextLm {
           expr("CAST((2 * (-mua) + m) DIV (2 * m) AS BIGINT)")
             - expr("CAST((2 * (-muk) + m) DIV (2 * m) AS BIGINT)"),
           lit(0L)).as("__e"))
-    val lam = perDoc
+    // lam is persisted because TWO subplans consume it (the boost frame
+    // and the 1-row k count) — without the persist each would re-run the
+    // whole two-model scoring pass
+    val lam = CacheScope.persist(perDoc
       .join(docs.select(col(idCol), col(srcCol).as("source")), idCol)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__e") * col("m")).as("__se"), sum(col("m")).as("__sm"))
       .select(col("source"), col("n_docs"),
-        expr("CAST((2 * __se + __sm) DIV (2 * __sm) AS BIGINT)").as("lam_mu"))
+        expr("CAST((2 * __se + __sm) DIV (2 * __sm) AS BIGINT)").as("lam_mu")))
     val base = CacheScope.persist(lam
       .withColumn("boost", expr(
         "CAST(round(exp(CAST(least(lam_mu, 10000000) AS DOUBLE) / 1e6) * 1e6) AS BIGINT)"))
       .crossJoin(broadcast(lam.agg(count(lit(1)).as("k")))))
+    // each round is localCheckpointed (the q326/bpe iterative cadence):
+    // round t's plan references round t−1 TWICE (the 1-row sum subquery
+    // and the main frame), so without lineage truncation the plan — and
+    // its count of tiny broadcast jobs — doubles per round
     val w0 = base.withColumn("w", expr("(2 * 1000000 + k) DIV (2 * k)"))
+      .localCheckpoint()
     val ws = Iterator.iterate(w0) { prev =>
       val s = prev.agg(sum(col("w") * col("boost")).as("ss"))
       prev.crossJoin(broadcast(s))
@@ -660,6 +668,7 @@ object TextLm {
             s" + $smoothDen * k) DIV (2 * $smoothDen * k)"))
         .select(col("source"), col("n_docs"), col("lam_mu"), col("boost"),
           col("k"), col("w"))
+        .localCheckpoint()
     }.take(rounds + 1).toSeq
     ws.zipWithIndex.map { case (f, r) =>
         f.select(lit(r.toLong).as("rnd"), col("source"), col("n_docs"),

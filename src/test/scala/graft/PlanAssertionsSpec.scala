@@ -738,6 +738,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p351.contains("Window"), "rebuild must be an aggregate, not a window")
   }
 
+  test("q356-q359: round-16 operators stay keyed, window-free, cartesian-free") {
+    // q356 DoReMi: two model equi-joins + one source-keyed aggregate;
+    // the round ladder runs on localCheckpointed |sources|-row frames —
+    // the only nested loops are broadcast 1-row (vocab / T,V / k / sum)
+    // frames, never a data-scale cartesian; no window anywhere
+    val p356 = plan("q356_doremi_weights")
+    assert(!p356.contains("CartesianProduct"), "doremi joins must stay keyed")
+    assert(!p356.contains("Window"), "the round ladder is grid arithmetic, not a window")
+    // q357 WordPiece: pair/symbol counts are keyed aggregates over the
+    // word-TYPE table; the argmax is a 1-row TakeOrdered, the rewrite a
+    // broadcast of that 1 row
+    val p357 = plan("q357_wordpiece_train")
+    assert(!p357.contains("CartesianProduct"), "wordpiece counts must stay keyed")
+    assert(!p357.contains("Window"), "the argmax is a limit, not a window")
+    // q358 encode: one word-keyed dictionary join + per-doc aggregate
+    val p358 = plan("q358_wordpiece_encode")
+    assert(!p358.contains("CartesianProduct") && !p358.contains("Window"))
+    // q359 paragraph minhash: the line-df join and every pair-stage join
+    // stay equi-keyed — a cartesian is the all-pairs explosion both
+    // composed operators exist to avoid
+    val p359 = plan("q359_paragraph_minhash")
+    assert(!p359.contains("CartesianProduct"), "clean-text pair stage must stay keyed")
+    assert(!p359.contains("Window"), "rebuild and pair stages are aggregates")
+  }
+
   test("q340: max-coverage output is the constant-size pick trace") {
     // like q337: the greedy's per-round anti-join + argmax already ran;
     // the result is <=k driver-assembled rows
