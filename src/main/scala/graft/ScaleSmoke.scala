@@ -250,6 +250,8 @@ import org.apache.spark.sql.functions._
   *   wordpiece_train 1x rows=10     3.9 s   10x rows=10      2.8 s
   *   wordpiece_enc   1x rows=5000   3.3 s   10x rows=50000   4.7 s
   *   para_minhash    1x rows=100    3.3 s   10x rows=0       3.6 s
+  *   dsir_resample   1x rows=100    4.9 s   10x rows=100     5.2 s
+  *   decontam        1x rows=4707   0.7 s   10x rows=46911   1.3 s
   * }}}
   * doremi rides the excess_select dual-model floor (both LM TYPE tables
   * constant across factors; the round ladder is |sources|-bounded and
@@ -1449,6 +1451,21 @@ object ScaleSmoke {
       // explode into the factor^2 raw-pair volume minhash_lsh absorbs.
       time(s"para_minhash    $label") {
         operators.TextDedup.paragraphMinhashPairs(df, "doc_id", "text").count()
+      }
+      // Gumbel-top-k resample: both add-one models constant across
+      // replicas (the dsir_weights argument); per-doc sums + one
+      // TakeOrdered(100) — cost tracks tokenize + doc-keyed aggregates.
+      time(s"dsir_resample   $label") {
+        operators.TextLm.dsirResample(df, "doc_id", "text",
+          col("source") === "src1", k = 100).count()
+      }
+      // span decontamination: eval tile set is |eval|-bounded (1/16 of
+      // docs); the train side is the linear tile inventory + one keyed
+      // join — scan-linear like line_dedup.
+      time(s"decontam        $label") {
+        operators.TextDedup.decontaminateSpans(df, "doc_id", "text",
+          operators.Sketches.hash60(concat_ws("#", lit("ev"),
+            col("doc_id").cast("string"))) < lit(72057594037927936L)).count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

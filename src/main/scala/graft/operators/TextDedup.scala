@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale document corpora.
@@ -1143,8 +1143,58 @@ object TextDedup {
       shingleK, bands, threshold)
   }
 
-  /** The ONE tile rule, shared by [[c4SpanDedup]] and [[lineDedup]] so the
-    * two operators can never drift: non-overlapping `tileTokens`-token
+  /** Span-level EVAL-SET DECONTAMINATION with document reconstruction —
+    * the surgical form of q135's containment gate (production
+    * decontamination à la PaLM / GPT-4 removes the overlapping WINDOWS
+    * from training documents rather than dropping whole documents —
+    * Chowdhery et al. 2022 §6; OpenAI GPT-4 technical report, appendix C
+    * — both public): every `tileTokens`-token tile of a TRAIN document
+    * whose text equals any tile of any EVAL document is removed, and the
+    * train document is rebuilt from its surviving tiles in order.
+    *
+    * Uses the ONE shared [[tileInventory]] rule (q329/q351), so span
+    * granularity can never drift from the other span operators; the
+    * train/eval carve is a caller-supplied predicate (the q361 query
+    * derives it from the house md5-fold — membership a pure function of
+    * id, the q113 carve discipline).
+    *
+    * Scale: the eval tile set is |eval|-bounded and DISTINCT (tiny next
+    * to the corpus — broadcastable in practice, tile-keyed join either
+    * way); the train side is the linear tile inventory + ONE keyed left
+    * join + per-doc rebuild aggregate. No windows, no pairs. At 100 TB
+    * key the join on a 64-bit tile fingerprint (the q75/q300 swap).
+    *
+    * Output per train doc: n_tiles, n_tiles_dropped, n_tokens_kept,
+    * clean_md5 — the [[lineDedup]] narrow contract (md5("") when every
+    * tile matched the eval set). */
+  def decontaminateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column, tileTokens: Int = 4): DataFrame = {
+    require(tileTokens >= 1, "need tileTokens >= 1")
+    val evalTiles = tileInventory(docs.where(evalPred), idCol, textCol,
+        tileTokens)
+      .select(array_join(col("lts"), " ").as("tile")).distinct()
+    val train = tileInventory(docs.where(!evalPred), idCol, textCol,
+        tileTokens)
+      .select(col("doc_id"), col("tpos"),
+        array_join(col("lts"), " ").as("tile"),
+        size(col("lts")).cast("long").as("ntoks"))
+    train
+      .join(evalTiles.withColumn("__hit", lit(1L)), Seq("tile"), "left")
+      .withColumn("__keep", col("__hit").isNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_tiles_dropped"),
+        sum(when(col("__keep"), col("ntoks")).otherwise(0L)).as("n_tokens_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("tpos"), col("tile"))))),
+            t => t.getField("tile")), " ")).as("clean_md5"))
+  }
+
+  /** The ONE tile rule, shared by [[c4SpanDedup]], [[lineDedup]] and
+    * [[decontaminateSpans]] so the span operators can never drift:
+    * non-overlapping `tileTokens`-token
     * windows over the whitespace tokens, one row per (doc_id, tpos, lts)
     * with lts the tile's token ARRAY (last tile may be short; callers
     * derive the joined text / token count they need). NULL text tiles as

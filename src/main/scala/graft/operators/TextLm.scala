@@ -771,6 +771,85 @@ object TextLm {
           .as("avg_logratio"))
   }
 
+  /** DSIR importance RESAMPLING draw — the selection step
+    * [[importanceWeights]] computes the signal for (Xie et al. 2023 §2:
+    * after scoring, DSIR samples the corpus WITHOUT replacement with
+    * probability ∝ the importance weight). Sampling ∝ exp(log-weight)
+    * without replacement is exactly Gumbel-top-k (Vieira 2014; Kool et
+    * al. 2019 — public): add an independent Gumbel draw to each doc's
+    * log-weight and take the k largest perturbed scores.
+    *
+    *  - log-weight lw_d = Σ occ·lr_mu over the doc's bigrams — the
+    *    exact-integer SUM of the same per-TYPE micro-nat add-one
+    *    log-ratios q151 aggregates (the sum is the doc's full
+    *    importance log-weight; q151 reports token-weighted means as a
+    *    per-group signal);
+    *  - Gumbel g_d = −ln(−ln(u_d)) with u_d = (h_d + 0.5)/2^60 from the
+    *    house 60-bit md5 fold salted 'rs#' (the q286 draw form — u is
+    *    strictly inside (0,1), so the ln ladder never hits ±inf),
+    *    micro-nat-quantized at its only appearance;
+    *  - score_mu = lw_mu + g_mu (exact BIGINT), top k by
+    *    (score DESC, id ASC).
+    *
+    * Deterministic end-to-end: re-running the draw reproduces the same
+    * sample bit-for-bit on either engine — the reproducibility a data-
+    * selection audit needs. Docs with < 2 tokens have no bigrams and are
+    * omitted (the q101 contract); requires a non-empty target (the q151
+    * contract). Scale: the q151 model plan + one per-doc aggregate +
+    * TakeOrdered(k) — the only window orders the k selected rows.
+    * Output: (rnk, idCol, log_weight, gumbel, score) — nats, 6 dp. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, k: Int = 100): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val base = docs.select(col(idCol), targetPred.as("__tgt"),
+      split(col(textCol), " ").as("t"))
+    val pairs = base.select(col(idCol), col("__tgt"),
+        explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)").as("w1"),
+          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
+      .select(col(idCol), col("__tgt"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBig = pairs.groupBy(col(idCol), col("__tgt"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val gBig = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("gc2"))
+    val gUni = base.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("gc1"))
+    val tBig = docBig.where(col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("tc2"))
+    val tUni = base.where(col("__tgt")).select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("tc1"))
+    val sizes = gUni.agg(count(lit(1)).as("gv"))
+      .crossJoin(tUni.agg(count(lit(1)).as("tv")))
+    val lw = docBig
+      .join(gBig, Seq("w1", "w2"))
+      .join(gUni, Seq("w1"))
+      .join(tBig, Seq("w1", "w2"), "left")
+      .join(tUni, Seq("w1"), "left")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lr_mu", expr(
+        """CAST(round(ln(CAST(coalesce(tc2, 0) + 1 AS DOUBLE)
+          |  / CAST(coalesce(tc1, 0) + tv AS DOUBLE)) * 1e6) AS BIGINT)
+          |- CAST(round(ln(CAST(gc2 + 1 AS DOUBLE)
+          |  / CAST(gc1 + gv AS DOUBLE)) * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lr_mu")).as("lw_mu"))
+    val u = (Sketches.hash60(concat_ws("#", lit("rs"),
+        col(idCol).cast("string"))) + lit(0.5)) / lit((1L << 60).toDouble)
+    val scored = lw
+      .withColumn("g_mu",
+        round(lit(1e6) * -log(-log(u))).cast("bigint"))
+      .withColumn("score_mu", col("lw_mu") + col("g_mu"))
+      .orderBy(col("score_mu").desc, col(idCol).asc).limit(k)
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_mu").desc, col(idCol).asc)).cast("long"))
+      .select(col("rnk"), col(idCol),
+        (col("lw_mu").cast("double") / lit(1e6)).as("log_weight"),
+        (col("g_mu").cast("double") / lit(1e6)).as("gumbel"),
+        (col("score_mu").cast("double") / lit(1e6)).as("score"))
+  }
+
   /** DSIR importance weights with BOTH models Kneser-Ney smoothed — the
     * [[importanceWeights]] upgrade matching [[knCrossEntropy]]'s model
     * form (D = 3/4 absolute discounting, add-one-floored continuation).

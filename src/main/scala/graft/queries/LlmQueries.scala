@@ -1508,6 +1508,27 @@ object LlmQueries {
       TextDedup.paragraphMinhashPairs(
         table(s, d, "documents"), "doc_id", "text")),
 
+    // DSIR importance RESAMPLING draw — the q151 weights turned into an
+    // actual deterministic sample: Gumbel-top-k over per-doc SUM
+    // log-ratios (sampling without replacement ∝ exp(log-weight)); the
+    // Gumbel comes from the house md5-fold uniform, quantized once. See
+    // TextLm.dsirResample.
+    "q360_dsir_resample" -> ((s, d) =>
+      graft.operators.TextLm.dsirResample(
+        table(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", k = 100)),
+
+    // Span-level eval-set decontamination with reconstruction — the
+    // surgical form of q135's whole-doc gate: 4-token tiles of train
+    // docs that appear anywhere in the eval split (house md5 carve,
+    // 1/16 of docs — membership a pure function of id) are removed and
+    // the doc rebuilt; md5 travels. See TextDedup.decontaminateSpans.
+    "q361_decontam_rebuild" -> ((s, d) =>
+      TextDedup.decontaminateSpans(
+        table(s, d, "documents"), "doc_id", "text",
+        graft.operators.Sketches.hash60(concat_ws("#", lit("ev"),
+          col("doc_id").cast("string"))) < lit(72057594037927936L))),
+
     // Per-source segmentation fertility under the unigram-LM seed model
     // — the train->apply round trip for q350 (as q334 is to q331's BPE):
     // Viterbi piece counts per word TYPE, occurrence-weighted per
@@ -4764,6 +4785,94 @@ object LlmQueries {
         |FROM lns JOIN df USING (line)
         |GROUP BY doc_id""".stripMargin,
 
-    "q359_paragraph_minhash" -> paragraphMinhashSql
+    "q359_paragraph_minhash" -> paragraphMinhashSql,
+
+    // Mirrors TextLm.dsirResample: q151's per-doc chain summed (not
+    // meaned), the q286 uniform (h+0.5)/2^60 salted 'rs', one quantized
+    // Gumbel, exact-integer perturbed score, top-100 by (score, doc_id).
+    "q360_dsir_resample" -> {
+      val h = ScaleQueries.duckHash60(
+        "concat_ws('#', 'rs', CAST(d2.doc_id AS VARCHAR))")
+      s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+         |    string_split(text,' ') AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, tgt, t[i] AS w1, t[i+1] AS w2
+         |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |docbig AS (SELECT doc_id, tgt, w1, w2,
+         |    CAST(count(*) AS BIGINT) AS occ
+         |  FROM pairs GROUP BY 1, 2, 3, 4),
+         |gbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS gc2
+         |  FROM docbig GROUP BY 1, 2),
+         |guni AS (SELECT w1, CAST(count(*) AS BIGINT) AS gc1
+         |  FROM (SELECT unnest(t) AS w1 FROM base) GROUP BY 1),
+         |tbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS tc2
+         |  FROM docbig WHERE tgt GROUP BY 1, 2),
+         |tuni AS (SELECT w1, CAST(count(*) AS BIGINT) AS tc1
+         |  FROM (SELECT unnest(t) AS w1 FROM base WHERE tgt) GROUP BY 1),
+         |sizes AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM guni) AS gv,
+         |                 (SELECT CAST(count(*) AS BIGINT) FROM tuni) AS tv),
+         |lwt AS MATERIALIZED (
+         |  SELECT d.doc_id, CAST(sum(d.occ *
+         |    (CAST(round(ln(CAST(coalesce(tb.tc2, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(tu.tc1, 0) + sizes.tv AS DOUBLE)) * 1e6) AS BIGINT)
+         |    - CAST(round(ln(CAST(gb.gc2 + 1 AS DOUBLE)
+         |      / CAST(gu.gc1 + sizes.gv AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT)
+         |    AS lw_mu
+         |  FROM docbig d
+         |  JOIN gbig gb ON gb.w1 = d.w1 AND gb.w2 = d.w2
+         |  JOIN guni gu ON gu.w1 = d.w1
+         |  LEFT JOIN tbig tb ON tb.w1 = d.w1 AND tb.w2 = d.w2
+         |  LEFT JOIN tuni tu ON tu.w1 = d.w1
+         |  CROSS JOIN sizes
+         |  GROUP BY 1),
+         |g AS (SELECT d2.doc_id, d2.lw_mu,
+         |    CAST(round(1e6 * (-ln(-ln((CAST($h AS DOUBLE) + 0.5)
+         |      / CAST(1152921504606846976 AS DOUBLE))))) AS BIGINT) AS g_mu
+         |  FROM lwt d2),
+         |s AS (SELECT doc_id, lw_mu, g_mu, lw_mu + g_mu AS score_mu,
+         |    row_number() OVER (ORDER BY lw_mu + g_mu DESC, doc_id) AS rnk
+         |  FROM g)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |  CAST(lw_mu AS DOUBLE) / 1e6 AS log_weight,
+         |  CAST(g_mu AS DOUBLE) / 1e6 AS gumbel,
+         |  CAST(score_mu AS DOUBLE) / 1e6 AS score
+         |FROM s WHERE rnk <= 100""".stripMargin
+    },
+
+    // Mirrors TextDedup.decontaminateSpans: the shared 4-token tile rule
+    // (q329's comprehension form with the q351 ntoks/ordering), eval
+    // membership = house md5 carve h < 2^60/16 (exact integer compare),
+    // tile-keyed LEFT JOIN drop + ordered string_agg rebuild.
+    "q361_decontam_rebuild" -> {
+      val h = ScaleQueries.duckHash60(
+        "concat_ws('#', 'ev', CAST(doc_id AS VARCHAR))")
+      s"""WITH t0 AS (
+         |  SELECT doc_id, split(coalesce(text, ''), ' ') AS ts
+         |  FROM documents),
+         |tiles AS MATERIALIZED (
+         |  SELECT doc_id, i AS tpos,
+         |    array_to_string(ts[i*4+1 : i*4+4], ' ') AS tile,
+         |    CAST(len(ts[i*4+1 : i*4+4]) AS BIGINT) AS ntoks
+         |  FROM (SELECT doc_id, ts,
+         |      unnest(generate_series(0,
+         |        greatest((len(ts) + 3) // 4, 1) - 1)) AS i
+         |    FROM t0)),
+         |ev AS MATERIALIZED (
+         |  SELECT DISTINCT tile FROM tiles
+         |  WHERE ($h) < 72057594037927936),
+         |tr AS (SELECT * FROM tiles
+         |  WHERE NOT (($h) < 72057594037927936))
+         |SELECT tr.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tiles,
+         |  CAST(sum(CASE WHEN ev.tile IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_tiles_dropped,
+         |  CAST(sum(CASE WHEN ev.tile IS NULL THEN ntoks ELSE 0 END)
+         |    AS BIGINT) AS n_tokens_kept,
+         |  md5(coalesce(
+         |    string_agg(CASE WHEN ev.tile IS NULL THEN tr.tile END,
+         |      ' ' ORDER BY tpos), '')) AS clean_md5
+         |FROM tr LEFT JOIN ev ON ev.tile = tr.tile
+         |GROUP BY tr.doc_id""".stripMargin
+    }
   )
 }

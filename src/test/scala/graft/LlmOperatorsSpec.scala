@@ -1667,4 +1667,38 @@ class LlmOperatorsSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
     assert(!p.contains("CartesianProduct"), "doremi must not go cartesian")
   }
+
+  test("dsirResample: Gumbel-top-k is deterministic, exactly additive, and weight-dominant") {
+    import spark.implicits._
+    // 6 target-like docs repeat target bigrams 40x (log-weight sums grow
+    // with length; the Gumbel perturbation does not), 6 off-target docs
+    // likewise — the amplified weight gap must dominate every Gumbel
+    // draw, so the top-6 draw is exactly the target-like set.
+    val en = (("alpha beta ") * 40).trim
+    val de = (("zeta eta ") * 40).trim
+    val docs = ((1L to 6L).map(i => (i, "en", en)) ++
+      (7L to 12L).map(i => (i, "de", de))).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextLm.dsirResample(
+        docs, "doc_id", "text", col("lang") === "en", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(out.map(_._2).toSet == (1L to 6L).toSet,
+      s"amplified target weights must dominate the Gumbel noise: $out")
+    // rnk is 1..k in strictly non-increasing score order
+    assert(out.map(_._1) == (1L to 6L).toList)
+    assert(out.map(_._5).zip(out.map(_._5).tail).forall { case (a, b) => a >= b })
+    // score is the EXACT micro-nat sum of log_weight and gumbel
+    out.foreach { case (_, _, lw, g, s) =>
+      assert(math.round(s * 1e6) == math.round(lw * 1e6) + math.round(g * 1e6))
+    }
+    // the draw is a pure function of the corpus: bit-identical on re-run
+    val again = graft.operators.TextLm.dsirResample(
+        docs, "doc_id", "text", col("lang") === "en", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(again == out, "resample must be deterministic")
+    // identical docs differ ONLY by their id-salted Gumbel draws
+    val lws = out.map(_._3).distinct
+    assert(lws.size == 1 && out.map(_._4).distinct.size == 6)
+  }
 }

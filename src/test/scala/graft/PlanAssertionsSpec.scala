@@ -761,6 +761,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p359 = plan("q359_paragraph_minhash")
     assert(!p359.contains("CartesianProduct"), "clean-text pair stage must stay keyed")
     assert(!p359.contains("Window"), "rebuild and pair stages are aggregates")
+    // q360 Gumbel-top-k: model joins keyed; the selection is a
+    // TakeOrdered, and the only window orders the k SELECTED rows
+    val p360 = plan("q360_dsir_resample")
+    assert(!p360.contains("CartesianProduct"), "resample joins must stay keyed")
+    assert(p360.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrdered, not a global sort")
+    // q361 decontamination: ONE tile-keyed left join; a cartesian or
+    // nested loop is the train x eval explosion the tile join avoids
+    val p361 = plan("q361_decontam_rebuild")
+    assert(!p361.contains("CartesianProduct") &&
+      !p361.contains("BroadcastNestedLoopJoin"),
+      "eval-tile join must stay equi-keyed")
+    assert(!p361.contains("Window"), "rebuild must be an aggregate")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {

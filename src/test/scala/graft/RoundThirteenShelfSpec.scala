@@ -627,4 +627,41 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(m1 == m2, "second rebuild pass must be a no-op")
     assert(m1(1L) == uniq(1) && m1(4L) == twin)
   }
+
+  test("decontaminateSpans: eval tiles removed from train docs, eval docs excluded, clean docs untouched") {
+    import spark.implicits._
+    // eval doc 100 holds the benchmark text "q1 q2 q3 q4 q5 q6 q7 q8"
+    // (two aligned 4-token tiles). Train doc 1 embeds its first tile at
+    // an ALIGNED position; doc 2 embeds it UNALIGNED (tiles differ, so
+    // span granularity correctly leaves it — the documented tile
+    // contract); doc 3 is clean.
+    val bench = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (100L, bench),
+      (1L, s"a1 a2 a3 a4 q1 q2 q3 q4 b1 b2 b3 b4"),
+      (2L, s"c1 q1 q2 q3 q4 c2 c3 c4 c5 c6 c7 c8"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.decontaminateSpans(
+        docs, "doc_id", "text", col("doc_id") === 100L, tileTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    graft.operators.CacheScope.drain()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.keySet == Set(1L, 2L, 3L), "eval docs must not appear")
+    assert(out(1L) == ((3L, 1L, 8L, m("a1 a2 a3 a4 b1 b2 b3 b4"))),
+      s"aligned benchmark tile must drop: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 12L,
+      m("c1 q1 q2 q3 q4 c2 c3 c4 c5 c6 c7 c8"))),
+      "unaligned overlap stays — the tile-granularity contract")
+    assert(out(3L) == ((2L, 0L, 8L, m("d1 d2 d3 d4 d5 d6 d7 d8"))))
+    // fully-contaminated doc -> md5("") row, never a vanished doc
+    val all = graft.operators.TextDedup.decontaminateSpans(
+        Seq((100L, bench), (4L, bench)).toDF("doc_id", "text"),
+        "doc_id", "text", col("doc_id") === 100L, tileTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4))).toList
+    graft.operators.CacheScope.drain()
+    assert(all == List((4L, 2L, m(""))))
+  }
 }
