@@ -252,6 +252,7 @@ import org.apache.spark.sql.functions._
   *   para_minhash    1x rows=100    3.3 s   10x rows=0       3.6 s
   *   dsir_resample   1x rows=100    4.9 s   10x rows=100     5.2 s
   *   decontam        1x rows=4707   0.7 s   10x rows=46911   1.3 s
+  *   proto_band      1x rows=24     9.3 s   10x rows=24      7.2 s
   * }}}
   * doremi rides the excess_select dual-model floor (both LM TYPE tables
   * constant across factors; the round ladder is |sources|-bounded and
@@ -1486,6 +1487,13 @@ object ScaleSmoke {
             threshold = 0.5).select(col("doc_a"), col("doc_b")),
           operators.Similarity.semanticDupPairs(edf, "vec_id", "embedding",
             threshold = 0.3, nlist = 8, lloydIters = 2)).count()
+      }
+      // prototypicality bands: the q142 assignment curve (nlist-row
+      // broadcast x one scan) + per-cluster VALUE-grid cuts — replicas
+      // multiply counts on the same grid, so the cut stage is constant.
+      time(s"proto_band      $label") {
+        operators.Similarity.prototypicalityBand(edf, "vec_id", "embedding")
+          .count()
       }
     }
     spark.stop()

@@ -534,6 +534,75 @@ object Similarity {
       semAssignment(emb, idCol, vecCol, nlist, lloydIters), idCol, threshold)
       .select(col("id_a"), col("id_b"), col("cid"))
 
+  /** D4-style prototypicality BAND report (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification" — public paper): after semantic clustering, the
+    * points CLOSEST to their cluster centroid are templated/prototypical
+    * (redundant — D4 drops them), the FARTHEST are outliers, and the
+    * middle band carries the diverse signal. The band-selection dual of
+    * [[semanticDedup]] (pairwise redundancy) and the q337 k-center
+    * coreset (global diversity picks).
+    *
+    * Mechanics: the q142 assignment lineage verbatim (norms, nlist seed
+    * centroids, `lloydIters` quantized-mean rounds, min-(d2, cid)
+    * assignment), then cos(point, OWN centroid) — fixed-order IEEE fold,
+    * micro-quantized ONCE per vector; the two band cuts are EXACT
+    * integer order statistics over each cluster's (cid, cos) VALUE GRID:
+    * cut1 = min v with cum·loDen ≥ n·loNum (the outlier fraction),
+    * cut2 = min v with cum·hiDen ≥ n·(hiDen−hiNum) (the prototype
+    * fraction); band = outlier_drop (cos ≤ cut1) / kept (≤ cut2) /
+    * proto_drop, ties to the lower band — the q140/q343 discipline.
+    *
+    * Scale: the assignment is an nlist-row broadcast against one corpus
+    * scan (the q142 contract); the cut windows run over per-cluster
+    * distinct-value grids, never data rows.
+    * Output: (cid, band, n_vecs, mean_cos — 6 dp). */
+  def prototypicalityBand(emb: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int = 8, lloydIters: Int = 2,
+                          loNum: Int = 1, loDen: Int = 4,
+                          hiNum: Int = 1, hiDen: Int = 4): DataFrame = {
+    require(loNum > 0 && loDen > loNum && hiNum > 0 && hiDen > hiNum,
+      "band fractions must sit strictly inside (0, 1)")
+    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
+    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
+    val dist2 = dot_d(col("emb"), col("emb")) -
+      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
+      dot_d(col("c_emb"), col("c_emb"))
+    val assign = n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
+      .select(col(idCol), col("b.cid").as("cid"),
+        col("b.emb").as("emb"), col("b.nrm").as("nrm"))
+    val scored = CacheScope.persist(assign
+      .join(broadcast(cents), "cid")
+      .withColumn("cmu", round(lit(1e6) *
+          dot_d(col("emb"), col("c_emb")) /
+          (col("nrm") * sqrt(dot_d(col("c_emb"), col("c_emb")))))
+        .cast("bigint"))
+      .select(col("cid"), col(idCol), col("cmu")))
+    val vals = scored.groupBy(col("cid"), col("cmu"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col("cid")).orderBy(col("cmu"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("__cum", sum(col("__c")).over(cumW))
+    val totals = vals.groupBy(col("cid")).agg(sum(col("__c")).as("__n"))
+    val cuts = cum.join(totals, "cid").groupBy(col("cid"))
+      .agg(min(when(col("__cum") * loDen >= col("__n") * loNum,
+          col("cmu"))).as("__cut1"),
+        min(when(col("__cum") * hiDen >= col("__n") * (hiDen - hiNum),
+          col("cmu"))).as("__cut2"))
+    scored.join(broadcast(cuts), "cid")
+      .withColumn("band",
+        when(col("cmu") <= col("__cut1"), lit("outlier_drop"))
+          .when(col("cmu") <= col("__cut2"), lit("kept"))
+          .otherwise(lit("proto_drop")))
+      .groupBy(col("cid"), col("band"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cmu")).as("__s"))
+      .select(col("cid"), col("band"), col("n_vecs"),
+        round((col("__s").cast("double") / lit(1e6))
+          / col("n_vecs").cast("double"), 6).as("mean_cos"))
+  }
+
   /** Shared [[semanticDedup]]/[[semanticDupPairs]] stage 1: Lloyd-trained
     * cell assignment with each vector's embedding + norm attached. */
   private def semAssignment(emb: DataFrame, idCol: String, vecCol: String,

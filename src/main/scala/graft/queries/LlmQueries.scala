@@ -1529,6 +1529,15 @@ object LlmQueries {
         graft.operators.Sketches.hash60(concat_ws("#", lit("ev"),
           col("doc_id").cast("string"))) < lit(72057594037927936L))),
 
+    // D4-style prototypicality band report (Tirumala et al. 2023): the
+    // q142 cluster lineage, cos(point, own centroid) micro-quantized
+    // once, quartile band cuts as exact integer order statistics over
+    // each cluster's value grid — outlier_drop / kept / proto_drop. See
+    // Similarity.prototypicalityBand.
+    "q362_proto_band" -> ((s, d) =>
+      Similarity.prototypicalityBand(
+        table(s, d, "embeddings"), "vec_id", "embedding")),
+
     // Per-source segmentation fertility under the unigram-LM seed model
     // — the train->apply round trip for q350 (as q334 is to q331's BPE):
     // Viterbi piece counts per word TYPE, occurrence-weighted per
@@ -4873,6 +4882,42 @@ object LlmQueries {
          |      ' ' ORDER BY tpos), '')) AS clean_md5
          |FROM tr LEFT JOIN ev ON ev.tile = tr.tile
          |GROUP BY tr.doc_id""".stripMargin
-    }
+    },
+
+    // Mirrors Similarity.prototypicalityBand: the shared semAssignCte
+    // (assignment + final centroids c2), cos-to-own-centroid quantized
+    // once, per-cluster quartile cuts over the (cid, cmu) grid, band
+    // aggregate.
+    "q362_proto_band" ->
+      s"""WITH $semAssignCte,
+         |sc AS MATERIALIZED (
+         |  SELECT a.cid, a.vec_id,
+         |    CAST(round(1e6 *
+         |      list_reduce(list_transform(range(1, len(a.emb)+1),
+         |        i -> a.emb[i] * c.c_emb[i]), (s0, x0) -> s0 + x0)
+         |      / (a.nrm * sqrt(list_reduce(
+         |          list_transform(c.c_emb, x -> x*x), (s0, x0) -> s0 + x0))))
+         |      AS BIGINT) AS cmu
+         |  FROM assign a JOIN c2 c USING (cid)),
+         |vals AS MATERIALIZED (
+         |  SELECT cid, cmu, CAST(count(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1, 2),
+         |cum AS (SELECT cid, cmu, c,
+         |    CAST(sum(c) OVER (PARTITION BY cid ORDER BY cmu) AS BIGINT) AS cm
+         |  FROM vals),
+         |tt AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+         |cuts AS (SELECT cum.cid,
+         |    min(CASE WHEN cm * 4 >= n * 1 THEN cmu END) AS cut1,
+         |    min(CASE WHEN cm * 4 >= n * 3 THEN cmu END) AS cut2
+         |  FROM cum JOIN tt USING (cid) GROUP BY 1),
+         |b AS (SELECT sc.cid, sc.cmu,
+         |    CASE WHEN sc.cmu <= cuts.cut1 THEN 'outlier_drop'
+         |         WHEN sc.cmu <= cuts.cut2 THEN 'kept'
+         |         ELSE 'proto_drop' END AS band
+         |  FROM sc JOIN cuts USING (cid))
+         |SELECT cid, band, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round((CAST(sum(cmu) AS DOUBLE) / 1e6)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_cos
+         |FROM b GROUP BY 1, 2""".stripMargin
   )
 }

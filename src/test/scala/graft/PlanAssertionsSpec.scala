@@ -774,6 +774,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p361.contains("BroadcastNestedLoopJoin"),
       "eval-tile join must stay equi-keyed")
     assert(!p361.contains("Window"), "rebuild must be an aggregate")
+    // q362 prototypicality: the only nested loop is the nlist-row
+    // centroid broadcast (the q142 contract); the cut windows run over
+    // per-cluster VALUE grids, never data rows — asserted by the cid
+    // partition key being present on every Window
+    val p362 = plan("q362_proto_band")
+    assert(!p362.contains("CartesianProduct"), "band cuts must stay grid-bounded")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {

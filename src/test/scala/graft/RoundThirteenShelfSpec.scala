@@ -664,4 +664,45 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
     assert(all == List((4L, 2L, m(""))))
   }
+
+  test("prototypicalityBand: quartile bands and exact means on one symmetric cluster") {
+    import spark.implicits._
+    // 8 unit-ish vectors at ±10/±30/±60/±80 degrees, nlist=1: the ±
+    // pairs make every quantized-mean y-component cancel EXACTLY (BIGINT
+    // micro-rounds of ±y sum to 0), so the trained centroid lies on the
+    // x-axis and cos-to-centroid ordering is the angle ordering. Grid of
+    // 4 distinct cos values x2 each, n=8: cut1 (cum*4>=8) = cos80 ->
+    // outlier_drop = the ±80 pair; cut2 (cum*4>=24) = cos30 -> kept =
+    // ±60/±30; proto_drop = ±10 (closest to the centroid).
+    val thetas = Seq(10.0, -10.0, 30.0, -30.0, 60.0, -60.0, 80.0, -80.0)
+    val vecs = thetas.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(math.cos(math.toRadians(t)).toFloat,
+        math.sin(math.toRadians(t)).toFloat))
+    }
+    val out = graft.operators.Similarity.prototypicalityBand(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nlist = 1, lloydIters = 2)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    graft.operators.CacheScope.drain()
+    assert(out.keySet == Set("outlier_drop", "kept", "proto_drop"))
+    assert(out("outlier_drop")._1 == 2L && out("kept")._1 == 4L &&
+      out("proto_drop")._1 == 2L)
+    // exact replay of the quantized-mean centroid + cos arithmetic
+    val xs = vecs.map(_._2(0).toDouble)
+    val ys = vecs.map(_._2(1).toDouble)
+    assert(ys.map(y => math.round(y * 1e7)).sum == 0L, "± pairs must cancel")
+    val cx = xs.map(x => math.round(x * 1e7)).sum.toDouble / 8.0 / 1e7
+    def cmu(i: Int): Long = {
+      val nrm = math.sqrt(xs(i) * xs(i) + ys(i) * ys(i))
+      val cnrm = math.sqrt(cx * cx + 0.0 * 0.0)
+      math.round(1e6 * (xs(i) * cx + ys(i) * 0.0) / (nrm * cnrm))
+    }
+    def mean6(is: Seq[Int]) =
+      BigDecimal(is.map(cmu).sum.toDouble / 1e6 / is.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out("outlier_drop")._2 - mean6(Seq(6, 7))) < 2e-6)
+    assert(math.abs(out("kept")._2 - mean6(Seq(2, 3, 4, 5))) < 2e-6)
+    assert(math.abs(out("proto_drop")._2 - mean6(Seq(0, 1))) < 2e-6)
+  }
 }
