@@ -31,7 +31,15 @@ object CacheScope {
     * (Spark's CacheManager keys entries by canonicalized plan, so the two
     * frames share ONE cache entry) cannot evict the shared cache out from
     * under every cross-query consumer at its drain. */
-  def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+  def pin(df: DataFrame): DataFrame = {
+    // evict pins of stopped sessions (the TrieMap builders' filterInPlace
+    // discipline): a stale pin retains its session's plan graph forever
+    // and could sameResult-match — and so suppress the drain of — a LIVE
+    // session's frame over the same data
+    pinned.removeIf(p => p.sparkSession.sparkContext.isStopped)
+    pinned.add(df)
+    df
+  }
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for the next [[drain]].
     *

@@ -563,21 +563,18 @@ object Similarity {
                           hiNum: Int = 1, hiDen: Int = 4): DataFrame = {
     require(loNum > 0 && loDen > loNum && hiNum > 0 && hiDen > hiNum,
       "band fractions must sit strictly inside (0, 1)")
-    val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
-    val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
-    val dist2 = dot_d(col("emb"), col("emb")) -
-      lit(2.0) * dot_d(col("emb"), col("c_emb")) +
-      dot_d(col("c_emb"), col("c_emb"))
-    val assign = n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
-      .select(col(idCol), col("b.cid").as("cid"),
-        col("b.emb").as("emb"), col("b.nrm").as("nrm"))
+    val (assign, cents) = semAssignmentWithCents(emb, idCol, vecCol,
+      nlist, lloydIters)
     val scored = CacheScope.persist(assign
       .join(broadcast(cents), "cid")
+      .withColumn("__cnrm", sqrt(dot_d(col("c_emb"), col("c_emb"))))
+      // zero-norm vectors — and cells whose quantized mean cancelled to
+      // the zero vector — are EXCLUDED, not banded: 0/0 is NaN, whose
+      // BIGINT cast is 0 on Spark but an error on DuckDB (the known
+      // divergence class); detecting zero vectors is q147's hygiene job
+      .where(col("nrm") > lit(0.0) && col("__cnrm") > lit(0.0))
       .withColumn("cmu", round(lit(1e6) *
-          dot_d(col("emb"), col("c_emb")) /
-          (col("nrm") * sqrt(dot_d(col("c_emb"), col("c_emb")))))
+          dot_d(col("emb"), col("c_emb")) / (col("nrm") * col("__cnrm")))
         .cast("bigint"))
       .select(col("cid"), col(idCol), col("cmu")))
     val vals = scored.groupBy(col("cid"), col("cmu"))
@@ -606,17 +603,28 @@ object Similarity {
   /** Shared [[semanticDedup]]/[[semanticDupPairs]] stage 1: Lloyd-trained
     * cell assignment with each vector's embedding + norm attached. */
   private def semAssignment(emb: DataFrame, idCol: String, vecCol: String,
-                            nlist: Int, lloydIters: Int): DataFrame = {
+                            nlist: Int, lloydIters: Int): DataFrame =
+    semAssignmentWithCents(emb, idCol, vecCol, nlist, lloydIters)._1
+
+  /** The ONE assignment lineage (norms, seed centroids, Lloyd rounds,
+    * min-(d2, cid) assignment), also returning the trained centroid
+    * frame — shared by [[semAssignment]] and [[prototypicalityBand]] so
+    * the tie-break/quantization semantics can never drift. */
+  private def semAssignmentWithCents(emb: DataFrame, idCol: String,
+                                     vecCol: String, nlist: Int,
+                                     lloydIters: Int)
+  : (DataFrame, DataFrame) = {
     val n = CacheScope.persist(withNorm(emb, idCol, vecCol))
     val cents = kmeansCentroids(n, idCol, nlist, lloydIters)
     val dist2 = dot_d(col("emb"), col("emb")) -
       lit(2.0) * dot_d(col("emb"), col("c_emb")) +
       dot_d(col("c_emb"), col("c_emb"))
-    n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
+    val assign = n.crossJoin(broadcast(cents)).withColumn("d2", dist2)
       .groupBy(col(idCol))
       .agg(min(struct(col("d2"), col("cid"), col("emb"), col("nrm"))).as("b"))
       .select(col(idCol), col("b.cid").as("cid"),
         col("b.emb").as("emb"), col("b.nrm").as("nrm"))
+    (assign, cents)
   }
 
   /** Shared stage 2: the within-cell qualifying pairs (id_a > id_b,

@@ -644,8 +644,12 @@ object TextLm {
     val lam = CacheScope.persist(perDoc
       .join(docs.select(col(idCol), col(srcCol).as("source")), idCol)
       .groupBy(col("source"))
+      // __e·m sums in DECIMAL(38,0): a source with ~5e12 bigrams at ~2
+      // nats clamped excess passes 2^63 in BIGINT (oracle sum is HUGEINT
+      // already) — the same wrap class as the unimax/fertility rationals
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("__e") * col("m")).as("__se"), sum(col("m")).as("__sm"))
+        sum(expr("CAST(__e AS DECIMAL(38,0))") * col("m")).as("__se"),
+        sum(col("m")).as("__sm"))
       .select(col("source"), col("n_docs"),
         expr("CAST((2 * __se + __sm) DIV (2 * __sm) AS BIGINT)").as("lam_mu")))
     val base = CacheScope.persist(lam
@@ -799,24 +803,27 @@ object TextLm {
     * TakeOrdered(k) — the only window orders the k selected rows.
     * Output: (rnk, idCol, log_weight, gumbel, score) — nats, 6 dp. */
   def dsirResample(docs: DataFrame, idCol: String, textCol: String,
-                   targetPred: Column, k: Int = 100): DataFrame = {
+                   targetPred: Column, k: Int = 100): DataFrame =
+    dsirResampleFrom(docBigrams(docs, idCol, textCol), docs, idCol, textCol,
+      targetPred, k)
+
+  /** [[dsirResample]] over a prebuilt [[docBigrams]] aggregate — the
+    * shared-cache consumer form (target flags rejoin by id, the
+    * [[knImportanceWeightsFrom]] discipline; only the token-count
+    * aggregates and the |docs|-row draw are built locally). */
+  def dsirResampleFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, targetPred: Column,
+                       k: Int = 100): DataFrame = {
     require(k >= 1, "need k >= 1")
-    val base = docs.select(col(idCol), targetPred.as("__tgt"),
-      split(col(textCol), " ").as("t"))
-    val pairs = base.select(col(idCol), col("__tgt"),
-        explode(arrays_zip(
-          expr("slice(t, 1, size(t) - 1)").as("w1"),
-          expr("slice(t, 2, size(t) - 1)").as("w2"))).as("p"))
-      .select(col(idCol), col("__tgt"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBig = pairs.groupBy(col(idCol), col("__tgt"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("occ"))
+    val dflag = docBig.join(
+      docs.select(col(idCol), targetPred.as("__tgt")), idCol)
     val gBig = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("gc2"))
-    val gUni = base.select(explode(col("t")).as("w1"))
+    val gUni = docs.select(explode(split(col(textCol), " ")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("gc1"))
-    val tBig = docBig.where(col("__tgt"))
+    val tBig = dflag.where(col("__tgt"))
       .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("tc2"))
-    val tUni = base.where(col("__tgt")).select(explode(col("t")).as("w1"))
+    val tUni = docs.where(targetPred)
+      .select(explode(split(col(textCol), " ")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("tc1"))
     val sizes = gUni.agg(count(lit(1)).as("gv"))
       .crossJoin(tUni.agg(count(lit(1)).as("tv")))

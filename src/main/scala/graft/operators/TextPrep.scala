@@ -494,7 +494,8 @@ object TextPrep {
       .select(col("seed_vocab"), col("active_vocab"), col("kept_vocab"),
         col("n_words"), col("pieces_before"), col("pieces_after"),
         // DECIMAL(38,0): same >~4.6e12-piece BIGINT-wrap guard as
-        // unigramLmFertility (oracle sums are already HUGEINT)
+        // unigramLmFertility (q353's oracle widens with CAST(2 AS
+        // HUGEINT) — its agg CTE pre-casts the piece sums to BIGINT)
         (expr("CAST((CAST(2 AS DECIMAL(38,0)) * pieces_before * 1000000 + n_words)" +
             " DIV (2 * n_words) AS BIGINT)")
           .cast("double") / lit(1e6)).as("fertility_before"),

@@ -1514,8 +1514,8 @@ object LlmQueries {
     // Gumbel comes from the house md5-fold uniform, quantized once. See
     // TextLm.dsirResample.
     "q360_dsir_resample" -> ((s, d) =>
-      graft.operators.TextLm.dsirResample(
-        table(s, d, "documents"), "doc_id", "text",
+      graft.operators.TextLm.dsirResampleFrom(
+        knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text",
         col("lang") === "en", k = 100)),
 
     // Span-level eval-set decontamination with reconstruction — the
@@ -1936,9 +1936,9 @@ object LlmQueries {
        |  FROM words JOIN np1 USING (w) JOIN np2 USING (w))
        |SELECT seed_vocab, active_vocab, kept_vocab, n_words,
        |  pieces_before, pieces_after,
-       |  CAST(CAST((2 * pieces_before * 1000000 + n_words)
+       |  CAST(CAST((CAST(2 AS HUGEINT) * pieces_before * 1000000 + n_words)
        |    // (2 * n_words) AS BIGINT) AS DOUBLE) / 1e6 AS fertility_before,
-       |  CAST(CAST((2 * pieces_after * 1000000 + n_words)
+       |  CAST(CAST((CAST(2 AS HUGEINT) * pieces_after * 1000000 + n_words)
        |    // (2 * n_words) AS BIGINT) AS DOUBLE) / 1e6 AS fertility_after
        |FROM sv CROSS JOIN av CROSS JOIN kv CROSS JOIN agg""".stripMargin
 
@@ -2112,10 +2112,12 @@ object LlmQueries {
          |  ORDER BY pair_count DESC, pair LIMIT 1),
          |w$k AS MATERIALIZED (
          |  SELECT w, freq,
-         |    trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
-         |      ' ' || replace(b.pair, ' ', '  ') || ' ',
-         |      ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS sym
-         |  FROM w${k - 1}, b$k b),
+         |    CASE WHEN b.pair IS NULL THEN sym ELSE
+         |      trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+         |        ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |        ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' '))
+         |    END AS sym
+         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE),
          |v$k AS MATERIALIZED (
          |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
          |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
@@ -2177,10 +2179,12 @@ object LlmQueries {
          |  ORDER BY score DESC, pair_count DESC, pair LIMIT 1),
          |w$k AS MATERIALIZED (
          |  SELECT w, freq,
-         |    trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
-         |      ' ' || replace(b.pair, ' ', '  ') || ' ',
-         |      ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS sym
-         |  FROM w${k - 1}, b$k b),
+         |    CASE WHEN b.pair IS NULL THEN sym ELSE
+         |      trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+         |        ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |        ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' '))
+         |    END AS sym
+         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE),
          |v$k AS MATERIALIZED (
          |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
          |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
@@ -4891,14 +4895,16 @@ object LlmQueries {
     "q362_proto_band" ->
       s"""WITH $semAssignCte,
          |sc AS MATERIALIZED (
-         |  SELECT a.cid, a.vec_id,
-         |    CAST(round(1e6 *
+         |  SELECT cid, vec_id,
+         |    CAST(round(1e6 * dp / (nrm * cnrm)) AS BIGINT) AS cmu
+         |  FROM (
+         |    SELECT a.cid, a.vec_id, a.nrm,
          |      list_reduce(list_transform(range(1, len(a.emb)+1),
-         |        i -> a.emb[i] * c.c_emb[i]), (s0, x0) -> s0 + x0)
-         |      / (a.nrm * sqrt(list_reduce(
-         |          list_transform(c.c_emb, x -> x*x), (s0, x0) -> s0 + x0))))
-         |      AS BIGINT) AS cmu
-         |  FROM assign a JOIN c2 c USING (cid)),
+         |        i -> a.emb[i] * c.c_emb[i]), (s0, x0) -> s0 + x0) AS dp,
+         |      sqrt(list_reduce(list_transform(c.c_emb, x -> x*x),
+         |        (s0, x0) -> s0 + x0)) AS cnrm
+         |    FROM assign a JOIN c2 c USING (cid))
+         |  WHERE nrm > 0 AND cnrm > 0),
          |vals AS MATERIALIZED (
          |  SELECT cid, cmu, CAST(count(*) AS BIGINT) AS c
          |  FROM sc GROUP BY 1, 2),

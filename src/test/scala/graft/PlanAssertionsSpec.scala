@@ -776,10 +776,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p361.contains("Window"), "rebuild must be an aggregate")
     // q362 prototypicality: the only nested loop is the nlist-row
     // centroid broadcast (the q142 contract); the cut windows run over
-    // per-cluster VALUE grids, never data rows — asserted by the cid
-    // partition key being present on every Window
+    // per-cluster VALUE grids — every Window node must carry the cid
+    // partition key (an unpartitioned window here would be data-scale)
     val p362 = plan("q362_proto_band")
     assert(!p362.contains("CartesianProduct"), "band cuts must stay grid-bounded")
+    val winLines = p362.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("cid")),
+      s"every q362 window must be cid-partitioned:\n${winLines.mkString("\n")}")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {
