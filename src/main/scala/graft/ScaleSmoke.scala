@@ -253,6 +253,8 @@ import org.apache.spark.sql.functions._
   *   dsir_resample   1x rows=100    4.9 s   10x rows=100     5.2 s
   *   decontam        1x rows=4707   0.7 s   10x rows=46911   1.3 s
   *   proto_band      1x rows=24     9.3 s   10x rows=24      7.2 s
+  *   intradoc_dedup  1x rows=5000   5.7 s   10x rows=50000   4.8 s
+  *   heldout_xent    1x rows=20     2.5 s   10x rows=20      6.1 s
   * }}}
   * doremi rides the excess_select dual-model floor (both LM TYPE tables
   * constant across factors; the round ladder is |sources|-bounded and
@@ -1467,6 +1469,17 @@ object ScaleSmoke {
         operators.TextDedup.decontaminateSpans(df, "doc_id", "text",
           operators.Sketches.hash60(concat_ws("#", lit("ev"),
             col("doc_id").cast("string"))) < lit(72057594037927936L)).count()
+      }
+      // intra-doc dedup: zero corpus-global state (every shuffle carries
+      // the doc id) — must be the flattest dedup curve in the file.
+      time(s"intradoc_dedup  $label") {
+        operators.TextDedup.intraDocLineDedup(df, "doc_id", "text").count()
+      }
+      // held-out xent: both model and ladder are filtered re-aggregates
+      // of one doc-bigram frame — the kn_xent curve on a 7/8 slice.
+      time(s"heldout_xent    $label") {
+        operators.TextLm.heldoutKnXent(df, "doc_id", "text", "source")
+          .count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

@@ -1073,8 +1073,42 @@ object TextDedup {
     * hash travels instead of the text so the result stays narrow). */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 lineTokens: Int = 3, minDocs: Int = 3): DataFrame =
-    lineFlagged(docs, idCol, textCol, lineTokens, minDocs)
-      .groupBy(col("doc_id"))
+    rebuildFlagged(lineFlagged(docs, idCol, textCol, lineTokens, minDocs))
+
+  /** INTRA-document line dedup with reconstruction — the CCNet "remove
+    * repeated paragraphs within a document" stage, the WITHIN-doc
+    * complement of [[lineDedup]]'s cross-doc rule: a line repeated
+    * inside ONE document (per-section cookie banners, copy-paste spam)
+    * is invisible to the cross-doc document-frequency rule when the
+    * page itself is unique; here every repeat after a line's FIRST
+    * occurrence in its own document is dropped and the doc rebuilt.
+    * Same tile rule ([[tileInventory]]), same narrow output contract.
+    *
+    * Scale: one (doc, line)-keyed min aggregate + one join back + the
+    * per-doc rebuild — all shuffles carry the doc id, so the stage is
+    * embarrassingly doc-parallel; no cross-doc structure AT ALL (the
+    * rare dedup stage with zero corpus-global state).
+    * Output per doc: n_lines, n_lines_dropped, n_tokens_kept,
+    * clean_md5. */
+  def intraDocLineDedup(docs: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int = 3): DataFrame = {
+    require(lineTokens >= 1, "need lineTokens >= 1")
+    val lines = tileInventory(docs, idCol, textCol, lineTokens)
+      .select(col("doc_id"), col("tpos").as("lpos"),
+        array_join(col("lts"), " ").as("line"),
+        size(col("lts")).cast("long").as("ntoks"))
+    val first = lines.groupBy(col("doc_id"), col("line"))
+      .agg(min(col("lpos")).as("__kpos"))
+    rebuildFlagged(lines.join(first, Seq("doc_id", "line"))
+      .withColumn("__keep", col("lpos") === col("__kpos")))
+  }
+
+  /** The ONE per-doc rebuild aggregate over a __keep-flagged (doc_id,
+    * lpos, line, ntoks) frame — shared by [[lineDedup]] and
+    * [[intraDocLineDedup]] so the census/rebuild contract can never
+    * drift between the cross-doc and within-doc rules. */
+  private def rebuildFlagged(flagged: DataFrame): DataFrame =
+    flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_lines_dropped"),
         sum(when(col("__keep"), col("ntoks")).otherwise(0L)).as("n_tokens_kept"),

@@ -857,6 +857,73 @@ object TextLm {
         (col("score_mu").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** HELD-OUT interpolated-KN cross-entropy per source — the
+    * self-scoring-bias-free form of [[knCrossEntropy]]: every LM-quality
+    * signal in this shelf trains on the corpus it scores, which
+    * systematically favors duplicated/templated text (the model has seen
+    * it); the proper evaluation trains on a TRAIN carve and scores only
+    * the HELD-OUT docs. Split = the house md5 carve (salt 'ho', test ⇔
+    * h < 2^60/8 — an exact integer compare, membership a pure function
+    * of id, the q113 discipline). The KN model (D = 3/4, [[knLpSql]]'s
+    * closed form) is trained on TRAIN bigrams only; held-out bigrams run
+    * the FULL interpolation ladder (the [[knImportanceWeightsFrom]]
+    * target-side ladder): observed → the standard formula; history
+    * observed, bigram unseen → the c2 = 0 clamp leaves λ(w1)·p_cont;
+    * history unseen → p_cont = (nc+1)/(T+V) with nc = 0 when the
+    * continuation is unseen too. An EMPTY train side (degenerate carve)
+    * yields NULL xent, never ln(1/0) (the q344 NULL discipline; oracle
+    * mirrors).
+    *
+    * Output per source: n_docs (held-out docs scored), n_bigrams, xent
+    * (token-weighted pooled nats, exact half-up 6 dp). Scale: the q342
+    * model plan on the train slice + one left-ladder join over the
+    * held-out slice — both filtered re-aggregates of the ONE shared
+    * doc-bigram frame; no second corpus pass. */
+  def heldoutKnXent(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String): DataFrame =
+    heldoutKnXentFrom(docBigrams(docs, idCol, textCol), docs, idCol,
+      textCol, srcCol)
+
+  /** [[heldoutKnXent]] over a prebuilt [[docBigrams]] aggregate — the
+    * shared-cache consumer form. */
+  def heldoutKnXentFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, srcCol: String): DataFrame = {
+    val hoExpr = Sketches.hash60(concat_ws("#", lit("ho"),
+      col(idCol).cast("string"))) < lit(144115188075855872L)
+    val dflag = docBig.join(
+      docs.select(col(idCol), col(srcCol).as("source"),
+        hoExpr.as("__ho")), idCol)
+    val big = dflag.where(!col("__ho"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
+      docs.where(!hoExpr)
+        .select(explode(split(col(textCol), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    dflag.where(col("__ho"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(sizes))
+      .withColumn("lp_mu", expr(
+        """CAST(round(ln(CASE WHEN t_types + v = 0 THEN NULL
+          |    WHEN c1 IS NULL
+          |    THEN CAST(coalesce(nc, 0) + 1 AS DOUBLE)
+          |      / CAST(t_types + v AS DOUBLE)
+          |    ELSE CAST(greatest(4 * coalesce(c2, 0) - 3, 0) * (t_types + v)
+          |          + 3 * n1p * (coalesce(nc, 0) + 1) AS DOUBLE)
+          |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)
+          |  END) * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col("source"), col("n_docs"), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+  }
+
   /** DSIR importance weights with BOTH models Kneser-Ney smoothed — the
     * [[importanceWeights]] upgrade matching [[knCrossEntropy]]'s model
     * form (D = 3/4 absolute discounting, add-one-floored continuation).

@@ -1529,6 +1529,15 @@ object LlmQueries {
         graft.operators.Sketches.hash60(concat_ws("#", lit("ev"),
           col("doc_id").cast("string"))) < lit(72057594037927936L))),
 
+    // Intra-document line dedup with reconstruction — the CCNet
+    // within-page stage: repeats of a line AFTER its first occurrence
+    // in its own doc are dropped, doc rebuilt; zero corpus-global state
+    // (every shuffle carries the doc id). See
+    // TextDedup.intraDocLineDedup.
+    "q363_intradoc_line_dedup" -> ((s, d) =>
+      TextDedup.intraDocLineDedup(
+        table(s, d, "documents"), "doc_id", "text")),
+
     // D4-style prototypicality band report (Tirumala et al. 2023): the
     // q142 cluster lineage, cos(point, own centroid) micro-quantized
     // once, quartile band cuts as exact integer order statistics over
@@ -1537,6 +1546,16 @@ object LlmQueries {
     "q362_proto_band" -> ((s, d) =>
       Similarity.prototypicalityBand(
         table(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // Held-out KN cross-entropy per source — train the KN model on the
+    // md5-carve train split, score ONLY the held-out eighth with the
+    // full interpolation ladder: the self-scoring-bias-free quality
+    // signal (q342 scores the corpus with itself). Rides the shared
+    // doc-bigram cache. See TextLm.heldoutKnXent.
+    "q364_heldout_kn_xent" -> ((s, d) =>
+      graft.operators.TextLm.heldoutKnXentFrom(
+        knDocBigrams(s, d), table(s, d, "documents"),
+        "doc_id", "text", "source")),
 
     // Per-source segmentation fertility under the unigram-LM seed model
     // — the train->apply round trip for q350 (as q334 is to q331's BPE):
@@ -4886,6 +4905,84 @@ object LlmQueries {
          |      ' ' ORDER BY tpos), '')) AS clean_md5
          |FROM tr LEFT JOIN ev ON ev.tile = tr.tile
          |GROUP BY tr.doc_id""".stripMargin
+    },
+
+    // Mirrors TextDedup.intraDocLineDedup: the q351 line inventory, a
+    // (doc, line)-keyed min(lpos), keep-first flag, ordered rebuild.
+    "q363_intradoc_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents),
+        |lns AS MATERIALIZED (
+        |  SELECT doc_id, i AS lpos,
+        |    array_to_string(ts[i*3+1 : i*3+3], ' ') AS line,
+        |    CAST(len(ts[i*3+1 : i*3+3]) AS BIGINT) AS ntoks
+        |  FROM (SELECT doc_id, ts,
+        |      unnest(generate_series(0,
+        |        greatest((len(ts) + 2) // 3, 1) - 1)) AS i
+        |    FROM toks)),
+        |k AS (SELECT doc_id, line, CAST(min(lpos) AS BIGINT) AS kpos
+        |  FROM lns GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN lpos = kpos THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_lines_dropped,
+        |  CAST(sum(CASE WHEN lpos = kpos THEN ntoks ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN lpos = kpos THEN line END, ' ' ORDER BY lpos),
+        |    '')) AS clean_md5
+        |FROM lns JOIN k USING (doc_id, line)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextLm.heldoutKnXent: db split by the 'ho' md5 carve
+    // (h < 2^60/8 exact integer compare), KN model from the train side
+    // only, the q344 target-side ladder over held-out bigrams, pooled
+    // per-source half-up xent.
+    "q364_heldout_kn_xent" -> {
+      val h = ScaleQueries.duckHash60(
+        "concat_ws('#', 'ho', CAST(doc_id AS VARCHAR))")
+      s"""WITH base AS (SELECT doc_id, source,
+         |    ($h) < 144115188075855872 AS ho,
+         |    string_split(text,' ') AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, source, ho, t[i] AS w1, t[i+1] AS w2
+         |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |db AS MATERIALIZED (SELECT doc_id, source, ho, w1, w2,
+         |    CAST(count(*) AS BIGINT) AS occ
+         |  FROM pairs GROUP BY 1, 2, 3, 4, 5),
+         |big AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+         |  FROM db WHERE NOT ho GROUP BY 1, 2),
+         |hist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc
+         |  FROM big GROUP BY 1),
+         |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS t_types,
+         |    (SELECT CAST(count(DISTINCT w1) AS BIGINT)
+         |       FROM (SELECT unnest(t) AS w1 FROM base WHERE NOT ho)) AS v),
+         |sc AS (
+         |  SELECT d.doc_id, d.source, d.occ,
+         |    CAST(round(ln(CASE WHEN tv.t_types + tv.v = 0 THEN NULL
+         |        WHEN h1.c1 IS NULL
+         |        THEN CAST(coalesce(cn.nc, 0) + 1 AS DOUBLE)
+         |          / CAST(tv.t_types + tv.v AS DOUBLE)
+         |        ELSE CAST(greatest(4 * coalesce(b.c2, 0) - 3, 0)
+         |              * (tv.t_types + tv.v)
+         |              + 3 * h1.n1p * (coalesce(cn.nc, 0) + 1) AS DOUBLE)
+         |          / CAST(4 * h1.c1 * (tv.t_types + tv.v) AS DOUBLE)
+         |      END) * 1e6) AS BIGINT) AS lp_mu
+         |  FROM db d
+         |  LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+         |  LEFT JOIN hist h1 ON h1.w1 = d.w1
+         |  LEFT JOIN cont cn ON cn.w2 = d.w2
+         |  CROSS JOIN tv
+         |  WHERE d.ho)
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+         |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
+         |FROM sc GROUP BY 1""".stripMargin
     },
 
     // Mirrors Similarity.prototypicalityBand: the shared semAssignCte

@@ -783,6 +783,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val winLines = p362.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.nonEmpty && winLines.forall(_.contains("cid")),
       s"every q362 window must be cid-partitioned:\n${winLines.mkString("\n")}")
+    // q363 intra-doc dedup: every shuffle carries the doc id — no
+    // cross-doc structure at all; window-free, cartesian-free
+    val p363 = plan("q363_intradoc_line_dedup")
+    assert(!p363.contains("CartesianProduct") && !p363.contains("Window"),
+      "intra-doc dedup must stay doc-keyed aggregates")
+    // q364 held-out xent: train-side model joins + the LEFT ladder
+    // joins all stay bigram-/history-/continuation-keyed; the only
+    // nested loop is the broadcast 1-row (T, V) frame
+    val p364 = plan("q364_heldout_kn_xent")
+    assert(!p364.contains("CartesianProduct"), "ladder joins must stay keyed")
+    assert(!p364.contains("Window"), "pooled xent is an aggregate")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {

@@ -705,4 +705,84 @@ class RoundThirteenShelfSpec extends AnyFunSuite {
     assert(math.abs(out("kept")._2 - mean6(Seq(2, 3, 4, 5))) < 2e-6)
     assert(math.abs(out("proto_drop")._2 - mean6(Seq(0, 1))) < 2e-6)
   }
+
+  test("intraDocLineDedup: within-doc repeats drop keep-first; invisible to the cross-doc rule") {
+    import spark.implicits._
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 repeats its first line at tile position 2; doc 2 is clean
+    val docs = Seq((1L, "x y z a b c x y z"), (2L, "d e f g h i"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.intraDocLineDedup(
+        docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    graft.operators.CacheScope.drain()
+    assert(out(1L) == ((3L, 1L, 6L, m("x y z a b c"))))
+    assert(out(2L) == ((2L, 0L, 6L, m("d e f g h i"))))
+    // the cross-doc rule does NOT touch it: "x y z" has df = 1 < minDocs
+    val cross = graft.operators.TextDedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.operators.CacheScope.drain()
+    assert(cross(1L) == 0L, "within-doc repeat must be invisible cross-doc")
+  }
+
+  test("heldoutKnXent: full backoff ladder replayed over the real md5 carve") {
+    import spark.implicits._
+    // 64 docs, two sources; every 7th doc carries an unseen-bigram /
+    // unseen-history shape so held-out scoring exercises all three
+    // ladder paths whichever docs the carve holds out.
+    val docs = (0L until 64L).map { i =>
+      val src = if (i % 2 == 0) "s1" else "s2"
+      val text =
+        if (i % 7 == 0) s"a b u$i"
+        else if (i % 7 == 1) s"z$i q a"
+        else s"a b c a t${i % 3}"
+      (i, src, text)
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val hoM = df.select(col("doc_id"),
+        (graft.operators.Sketches.hash60(concat_ws("#", lit("ho"),
+          col("doc_id").cast("string"))) < lit(144115188075855872L)).as("ho"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hoM.values.exists(identity) && hoM.values.exists(!_),
+      "the 1/8 carve must split this fixture")
+    // pure-Scala model + ladder replay (train side only)
+    def bigrams(t: String) = {
+      val w = t.split(" "); w.dropRight(1).zip(w.drop(1)).toSeq
+    }
+    val train = docs.filter(d => !hoM(d._1))
+    val test = docs.filter(d => hoM(d._1))
+    val big = train.flatMap(d => bigrams(d._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = big.toSeq.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val n1p = big.toSeq.groupBy(_._1._1).map { case (k, v) => k -> v.size.toLong }
+    val nc = big.toSeq.groupBy(_._1._2).map { case (k, v) => k -> v.size.toLong }
+    val tT = big.size.toLong
+    val vV = train.flatMap(_._3.split(" ")).distinct.size.toLong
+    def lp(w1: String, w2: String): Long = {
+      val p =
+        if (!c1.contains(w1))
+          (nc.getOrElse(w2, 0L) + 1).toDouble / (tT + vV).toDouble
+        else
+          (math.max(4L * big.getOrElse((w1, w2), 0L) - 3L, 0L) * (tT + vV)
+            + 3L * n1p(w1) * (nc.getOrElse(w2, 0L) + 1L)).toDouble /
+            (4L * c1(w1) * (tT + vV)).toDouble
+      math.round(math.log(p) * 1e6)
+    }
+    val expected = test.groupBy(_._2).map { case (src, ds) =>
+      val rows = ds.flatMap(d => bigrams(d._3).groupBy(identity)
+        .map { case (k, v) => (k, v.size.toLong) })
+      val mu = rows.map { case (k, o) => o * lp(k._1, k._2) }.sum
+      val mm = rows.map(_._2).sum
+      src -> ((ds.size.toLong, mm,
+        ((2L * -mu + mm) / (2L * mm)).toDouble / 1e6))
+    }
+    val out = graft.operators.TextLm.heldoutKnXent(
+        df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.operators.CacheScope.drain()
+    assert(out == expected, s"engine $out vs replay $expected")
+  }
 }
