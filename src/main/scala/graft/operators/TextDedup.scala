@@ -218,6 +218,77 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** BLEU-2 diagnostic over a near-duplicate candidate pair set — the MT
+    * metric (Papineni et al. 2002, public) reused as a dedup audit: MinHash
+    * Jaccard on 3-shingle SETS is blind to how much of the candidate's
+    * token MASS the match covers (a doc that repeats its twin's text 5×
+    * still has Jaccard 1.0), while BLEU's clipped n-gram precisions with a
+    * brevity penalty measure exactly that. Scoring each surviving pair with
+    * both separates true mirrors (both high) from set-equal/mass-skewed
+    * pairs (Jaccard high, BLEU low) — the audit a dedup run logs before
+    * trusting its KEEP/DROP policy on asymmetric pairs.
+    *
+    * Per pair (doc_a = candidate, doc_b = reference; pairs are oriented
+    * a < b upstream): p_n = Σ_g min(cnt_a(g), cnt_b(g)) / (n_a − n + 1)
+    * for n = 1, 2, and log_bleu2 = min(0, 1 − n_b/n_a) + (ln p1 + ln p2)/2,
+    * micro-quantized ONCE (6-dp half-up on the full expression — single
+    * deterministic double evaluation, the q364 ln discipline); zero overlap
+    * at either order → NULL, never ln(0) (the q344 NULL rule).
+    *
+    * Scale: gram count tables are built ONLY for documents appearing in
+    * some pair (one semi-join — the [[minhashNearDupPairs]] verification
+    * discipline); clipping is a gram-keyed join of the pair's two count
+    * tables (never a corpus-wide join); everything downstream of the pair
+    * set is proportional to |pairs|, not |corpus|.
+    * Output per pair: doc_a, doc_b, p1, p2, log_bleu2. */
+  def pairBleu(pairs: DataFrame, docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val candIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("cand_id"))
+      .distinct()
+    val toks = CacheScope.persist(docs
+      .join(candIds, col(idCol) === col("cand_id"), "left_semi")
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t")))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(col("doc_id"), explode(expr(
+        // size(t) < 2 must yield an EMPTY array (sequence(1, 0) would
+        // descend), so single-token docs simply have no bigram rows
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+          "i -> concat_ws(' ', slice(t, i, 2))) " +
+          "ELSE slice(t, 1, 0) END")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def clipped(grams: DataFrame, out: String): DataFrame = {
+      val ga = grams.toDF("doc_a", "g", "ca")
+      val gb = grams.toDF("doc_b", "g", "cb")
+      pairs.select(col("doc_a"), col("doc_b"))
+        .join(ga, Seq("doc_a"))
+        .join(gb, Seq("doc_b", "g"), "left")
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), coalesce(col("cb"), lit(0L)))).as(out))
+    }
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(lens.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(lens.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .join(clipped(uni, "m1"), Seq("doc_a", "doc_b"), "left")
+      .join(clipped(bi, "m2"), Seq("doc_a", "doc_b"), "left")
+      .withColumn("p1",
+        coalesce(col("m1"), lit(0L)).cast("double") / col("n_a").cast("double"))
+      .withColumn("p2", when(col("n_a") >= 2L,
+        coalesce(col("m2"), lit(0L)).cast("double") /
+          (col("n_a") - 1L).cast("double")))
+      .withColumn("log_bleu2", expr(
+        """CAST(round((least(0.0, 1.0 - CAST(n_b AS DOUBLE) / CAST(n_a AS DOUBLE))
+          |  + 0.5 * (ln(CASE WHEN p1 > 0 THEN p1 END)
+          |         + ln(CASE WHEN p2 > 0 THEN p2 END))) * 1e6) AS BIGINT)
+          |""".stripMargin).cast("double") / lit(1e6))
+      .select(col("doc_a"), col("doc_b"), col("p1"), col("p2"),
+        col("log_bleu2"))
+  }
+
   /** Distinct character n-grams of `textCol` as ONE array per document (rows
     * shorter than n chars are dropped) — the set representation for
     * [[ngramJaccardPairs]]. */
@@ -1235,6 +1306,79 @@ object TextDedup {
     * "" (one single-empty-token tile) so no document vanishes.
     * sequence() must stay ascending (sequence(1,0) DESCENDS): every doc
     * yields >= 1 tile via the greatest() guard. */
+  /** Bloom-filter paragraph-dedup calibration census — the Dolma "BFF"
+    * (Bloom Filter deduper, Soldaini et al. 2024; Groeneveld's bff tool —
+    * public) read as an audit: production web-scale dedup often trades the
+    * exact line-keyed aggregate ([[lineDedup]]) for an m-bit Bloom filter
+    * (constant memory, no shuffle), accepting false positives — distinct
+    * paragraphs wrongly dropped because earlier inserts already set all k
+    * of their probe bits. This operator measures that trade on the real
+    * corpus: for each k in 1..maxK it reports how many distinct line
+    * TYPES a (mBits, k) filter would falsely flag, next to the true-dup
+    * mass (repeat occurrences) any filter catches by design.
+    *
+    * Order-free formulation: BFF's outcome depends on insertion order, so
+    * the census fixes the CANONICAL deterministic order — ascending 60-bit
+    * md5 order key o = h60('bfford#'||line) over line types (any fixed
+    * order is a valid BFF run; md5 order makes membership a pure function
+    * of the text, the q113 carve discipline). Probe bit i of a type is
+    * b_i = h60('bffbit<i>#'||line) mod mBits. A type is FALSELY flagged
+    * under k iff for EVERY i <= k some other type with smaller o sets bit
+    * b_i — i.e. minSetter_k(b_i) < o, where minSetter_k(b) is the least o
+    * over all (type, slot <= k) probes of b. Strict '<' excludes the
+    * type's own probes, so true first-insertions are never flagged.
+    *
+    * Scale: one tile pass + one line-keyed TYPE aggregate (the
+    * [[lineDedup]] frame); probes are 3 narrow hash columns; per-bit
+    * first-setter tables are bounded by mBits·maxK (CONSTANTS — the
+    * whole point of a Bloom filter); per-k flags are one bit-keyed join +
+    * one type-keyed all-slots-seen aggregate. Nothing is per-occurrence
+    * after the type aggregate. Output row per k: k, n_types, n_fp_types,
+    * fp_rate (6-dp half-up), n_bits_set, n_dup_occ (k-independent). */
+  def bloomDedupCensus(docs: DataFrame, idCol: String, textCol: String,
+                       lineTokens: Int = 3, mBits: Long = 1L << 16,
+                       maxK: Int = 3): DataFrame = {
+    require(mBits > 0 && maxK >= 1 && maxK <= 8, "need mBits>0, 1<=maxK<=8")
+    val types = CacheScope.persist(
+      tileInventory(docs, idCol, textCol, lineTokens)
+        .select(col("doc_id"), array_join(col("lts"), " ").as("line"))
+        .groupBy(col("line")).agg(count(lit(1)).as("occ"))
+        .select(col("line"), col("occ"),
+          graft.operators.Sketches.hash60(
+            concat(lit("bfford#"), col("line"))).as("o")))
+    val slots = CacheScope.persist(types.select(col("o"),
+      posexplode(array((1 to maxK).map(i =>
+        graft.operators.Sketches.hash60(
+          concat(lit(s"bffbit$i#"), col("line"))) % lit(mBits)): _*))
+        .as(Seq("i0", "b")))
+      .select(col("o"), (col("i0") + 1).as("slot"), col("b")))
+    // per-(bit, slot) first setter — bounded by mBits * maxK rows
+    val bitSlotMin = slots.groupBy(col("b"), col("slot"))
+      .agg(min(col("o")).as("mo"))
+    val dupOcc = types.agg(
+      (sum(col("occ")) - count(lit(1))).as("n_dup_occ"))
+    val perK = (1 to maxK).map { k =>
+      val bitMin = bitSlotMin.where(col("slot") <= k)
+        .groupBy(col("b")).agg(min(col("mo")).as("mo"))
+      val flagged = slots.where(col("slot") <= k)
+        .join(bitMin, Seq("b"))
+        .groupBy(col("o"))
+        .agg(min(when(col("mo") < col("o"), 1L).otherwise(0L)).as("fp"))
+      val bitsSet = slots.where(col("slot") <= k)
+        .agg(countDistinct(col("b")).as("n_bits_set"))
+      flagged.agg(count(lit(1)).as("n_types"),
+          sum(col("fp")).as("n_fp_types"))
+        .select(lit(k.toLong).as("k"), col("n_types"), col("n_fp_types"),
+          // DECIMAL(38,0) wrap guard: 2·n_fp_types·1e6 passes 2^63 once
+          // the corpus holds ~4.6e12 line types (the q338/q355 discipline)
+          (expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_fp_types * 1000000" +
+              " + n_types) div (2 * n_types) AS BIGINT) AS DOUBLE)")
+            / lit(1e6)).as("fp_rate"))
+        .crossJoin(broadcast(bitsSet))
+    }
+    perK.reduce(_.unionByName(_)).crossJoin(broadcast(dupOcc))
+  }
+
   private def tileInventory(docs: DataFrame, idCol: String, textCol: String,
                             tileTokens: Int): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),

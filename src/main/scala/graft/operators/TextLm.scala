@@ -1005,4 +1005,289 @@ object TextLm {
         round((col("mu").cast("double") / lit(1e6)) / col("m").cast("double"), 6)
           .as("avg_logratio"))
   }
+
+  /** Data-scaling-law fit (Kaplan et al. 2020; Hoffmann et al. 2022
+    * "Chinchilla" — public papers), in-engine: held-out cross-entropy of
+    * the interpolated-KN bigram LM at NESTED train-data fractions, plus
+    * the log-linear slope — the measurement a data-curation team runs to
+    * ask "is more of THIS corpus still buying loss?". The held-out eighth
+    * is [[heldoutKnXent]]'s md5 carve (salt 'ho', h < 2^57 — deliberately
+    * THE SAME carve, so the k = 7 point is q364's model evaluated pooled);
+    * train set k uses the docs with h >= (8−k)·2^57, k ∈ ks — nested by
+    * construction (train_1 ⊂ train_2 ⊂ … ), the way a real scaling sweep
+    * subsamples one corpus.
+    *
+    * Per k the FULL q364 interpolation ladder runs against the k-carve
+    * model (observed / history-only / unseen-history; empty train → NULL
+    * xent, the q344 rule). The fit is OLS of xent on ln(train tokens)
+    * over the non-NULL points, with BOTH coordinates micro-quantized
+    * BIGINTs (x = round(1e6·ln n), y = the half-up micro-nat xent), so
+    * slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is a single division of two
+    * exact integers — no FP accumulation order anywhere (the q170 OLS
+    * discipline, integer-hardened). Fewer than 2 points or zero variance
+    * → NULL slope. Slope unit: nats per e-fold of training tokens
+    * (negative = more data still helps).
+    *
+    * Scale: the carve flag joins the SHARED doc-bigram frame once and the
+    * per-doc unigram frame once (both persisted); every per-k model is a
+    * filtered re-aggregate of those two frames — Zipf-bounded TYPE
+    * tables, no second corpus pass, |ks| small and fixed. Output per k:
+    * train_eighths, n_train_tokens, n_bigrams (held-out scored), xent,
+    * slope (the fit, repeated — it IS the result). */
+  def dataScalingFit(docs: DataFrame, idCol: String, textCol: String,
+                     ks: Seq[Int] = Seq(1, 2, 4, 7)): DataFrame =
+    dataScalingFitFrom(docBigrams(docs, idCol, textCol), docs, idCol,
+      textCol, ks)
+
+  /** [[dataScalingFit]] over a prebuilt [[docBigrams]] aggregate — the
+    * shared-cache consumer form.
+    *
+    * Per-carve models are NOT per-k corpus re-aggregates: the shared
+    * frames are collapsed ONCE to per-eighth-BUCKET type tables
+    * ((w1, w2, bucket) and (w, bucket), bucket = floor(h/2^57)), and
+    * every carve's model is a grid ROLLUP of the buckets >= 8−k —
+    * Zipf-bounded work per k regardless of corpus size (nested carves
+    * are unions of buckets, so sums of bucket sums equal the carve
+    * sums exactly). Only the held-out ladder join runs per k, against
+    * the fixed held-out eighth. */
+  def dataScalingFitFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String,
+                         ks: Seq[Int] = Seq(1, 2, 4, 7)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 7) &&
+      ks == ks.sorted && ks.distinct == ks, "need sorted distinct ks in 1..7")
+    val eighth = 144115188075855872L // 2^57 = 2^60 / 8
+    val flags = docs.select(col(idCol),
+      Sketches.hash60(concat_ws("#", lit("ho"),
+        col(idCol).cast("string"))).as("__h"))
+    val dflag = docBig.join(flags, idCol)
+      // integer div, NOT `/`: h spans 60 bits, past double's 53-bit
+      // mantissa — FP division would misbucket near eighth boundaries
+      .withColumn("__bkt", expr(s"__h div $eighth"))
+    // held-out eighth (bucket 0) — the one frame the per-k ladders scan
+    val ho = CacheScope.persist(dflag.where(col("__bkt") === 0L))
+    // per-bucket TYPE tables, built once (buckets 1..7 feed train carves)
+    val bigB = CacheScope.persist(dflag.where(col("__bkt") >= 1L)
+      .groupBy(col("w1"), col("w2"), col("__bkt"))
+      .agg(sum(col("occ")).as("c2b")))
+    val uniB = CacheScope.persist(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .join(flags, idCol)
+      .withColumn("__bkt", expr(s"__h div $eighth"))
+      .where(col("__bkt") >= 1L)
+      .groupBy(col("w"), col("__bkt")).agg(count(lit(1)).as("uoccb")))
+    val points = ks.map { k =>
+      val bktLo = 8L - k
+      val big = bigB.where(col("__bkt") >= bktLo)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c2b")).as("c2"))
+      val hist = big.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+      val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+      val trainUni = uniB.where(col("__bkt") >= bktLo)
+      val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
+        trainUni.agg(countDistinct(col("w")).as("v"),
+          coalesce(sum(col("uoccb")), lit(0L)).as("n_train_tokens")))
+      ho
+        .join(big, Seq("w1", "w2"), "left")
+        .join(hist, Seq("w1"), "left")
+        .join(cont, Seq("w2"), "left")
+        .crossJoin(broadcast(sizes))
+        .withColumn("lp_mu", expr(
+          """CAST(round(ln(CASE WHEN t_types + v = 0 THEN NULL
+            |    WHEN c1 IS NULL
+            |    THEN CAST(coalesce(nc, 0) + 1 AS DOUBLE)
+            |      / CAST(t_types + v AS DOUBLE)
+            |    ELSE CAST(greatest(4 * coalesce(c2, 0) - 3, 0) * (t_types + v)
+            |          + 3 * n1p * (coalesce(nc, 0) + 1) AS DOUBLE)
+            |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)
+            |  END) * 1e6) AS BIGINT)""".stripMargin))
+        .groupBy()
+        .agg(max(col("n_train_tokens")).as("n_train_tokens"),
+          sum(col("occ")).as("n_bigrams"),
+          sum(col("occ") * col("lp_mu")).as("mu"))
+        .select(lit(k.toLong).as("train_eighths"), col("n_train_tokens"),
+          col("n_bigrams"),
+          expr("CAST(CASE WHEN mu IS NOT NULL THEN" +
+            " (2 * (-mu) + n_bigrams) DIV (2 * n_bigrams) END AS BIGINT)")
+            .as("y_mu"))
+    }
+    val curve = CacheScope.persist(points.reduce(_.unionByName(_)))
+    val fit = curve
+      .where(col("y_mu").isNotNull && col("n_train_tokens") > 0L)
+      .select(expr("CAST(round(ln(CAST(n_train_tokens AS DOUBLE)) * 1e6)" +
+        " AS BIGINT)").as("x_mu"), col("y_mu"))
+      .agg(count(lit(1)).as("np"), sum(col("x_mu")).as("sx"),
+        sum(col("y_mu")).as("sy"),
+        sum(col("x_mu") * col("y_mu")).as("sxy"),
+        sum(col("x_mu") * col("x_mu")).as("sxx"))
+      .select(expr(
+        """CASE WHEN np >= 2 AND np * sxx - sx * sx <> 0
+          |THEN round(CAST(np * sxy - sx * sy AS DOUBLE)
+          |         / CAST(np * sxx - sx * sx AS DOUBLE), 6)
+          |END""".stripMargin).as("slope"))
+    curve
+      .crossJoin(broadcast(fit))
+      .select(col("train_eighths"), col("n_train_tokens"), col("n_bigrams"),
+        (col("y_mu").cast("double") / lit(1e6)).as("xent"), col("slope"))
+  }
+
+  /** PER-GROUP interpolated-KN cross-entropy with per-group MODELS — the
+    * multilingual CCNet production shape (Wenzek et al. 2020, public):
+    * one LM per language, each trained on ITS OWN slice, each scoring
+    * only its own documents. A single corpus-global model (q342) makes
+    * minority languages look uniformly "bad" because the model is mostly
+    * the majority language; per-group models measure within-group
+    * fluency, the signal a per-language quality filter actually needs.
+    *
+    * Model tables are the [[knBigramModel]] aggregates with the group
+    * key PREPENDED — (g, w1, w2) counts, (g, w1) histories, (g, w2)
+    * continuations, and a |groups|-row (t_types, v) table joined by
+    * group (broadcast — groups are languages, a constant). Every scored
+    * bigram is observed in its own group's model by construction (the
+    * q342 self-scoring shape, sharded by group), so the closed-form
+    * [[knLpSql]] applies with no ladder.
+    *
+    * Scale: every join and every shuffle carries the group key, so the
+    * whole computation shards by language with zero cross-group traffic
+    * — the rare LM operator that gets CHEAPER per partition as the
+    * corpus gets more multilingual. One corpus pass (the doc-bigram
+    * aggregate); everything downstream is Zipf-bounded per group.
+    * Output per group: grpCol, n_docs, n_bigrams, xent (pooled
+    * token-weighted nats, exact half-up 6 dp). */
+  def groupedKnXent(docs: DataFrame, idCol: String, textCol: String,
+                    grpCol: String): DataFrame =
+    groupedKnXentFrom(docBigrams(docs, idCol, textCol), docs, idCol,
+      textCol, grpCol)
+
+  /** [[groupedKnXent]] over a prebuilt [[docBigrams]] aggregate — the
+    * shared-cache consumer form (the group flag rejoins by id). */
+  def groupedKnXentFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, grpCol: String): DataFrame = {
+    val dflag = docBig
+      .join(docs.select(col(idCol), col(grpCol).as("__g")), idCol)
+    val big = dflag.groupBy(col("__g"), col("w1"), col("w2"))
+      .agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("__g"), col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("__g"), col("w2"))
+      .agg(count(lit(1)).as("nc"))
+    val sizes = big.groupBy(col("__g"))
+      .agg(count(lit(1)).as("t_types"))
+      .join(docs.select(col(grpCol).as("__g"),
+          explode(split(col(textCol), " ")).as("w"))
+        .groupBy(col("__g")).agg(countDistinct(col("w")).as("v")),
+        Seq("__g"))
+    dflag
+      .join(big, Seq("__g", "w1", "w2"))
+      .join(hist, Seq("__g", "w1"))
+      .join(cont, Seq("__g", "w2"))
+      .join(broadcast(sizes), Seq("__g"))
+      .withColumn("lp_mu", expr(knLpSql))
+      .groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col("__g").as(grpCol), col("n_docs"), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+  }
+
+  /** Jelinek-Mercer deleted-interpolation EM (Jelinek & Mercer 1980;
+    * Chen & Goodman 1998 §2.4 — public): the CLASSIC way to set an
+    * interpolation weight, estimating λ in
+    * p(w2|w1) = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2) by EM on HELD-OUT data
+    * — the ancestor of every smoothing knob on this shelf, and the one
+    * whose value is LEARNED from the corpus rather than fixed (KN's
+    * D = 3/4). Train side supplies the ML bigram model (c2/c1; unseen
+    * bigram or history → 0) and the add-one unigram (cu+1)/(N+V);
+    * held-out bigram instances drive `rounds` EM updates from
+    * λ0 = 1/2:  λ' = Σ occ·q / Σ occ  with per-TYPE posterior
+    * q = λ·p_b / (λ·p_b + (1−λ)·p_uni). Split = the house 'ho' md5
+    * carve (the q364/q368 split, deliberately the same).
+    *
+    * Determinism: p_b and p_uni are fixed-order exact-int-ratio doubles
+    * computed ONCE per held-out type; each round's posterior is
+    * micro-quantized per type (6-dp half-up), λ is the exact half-up
+    * integer division of BIGINT sums, and the round's held-out
+    * cross-entropy re-enters λ only as that exact integer — so the
+    * whole trajectory is replayable bit-for-bit (the DoReMi q356
+    * round-ladder discipline). A zero mixture (possible only at the
+    * λ = 1 boundary on an unseen bigram) scores NULL, never ln(0).
+    *
+    * Scale: one corpus pass (the shared doc-bigram frame split by the
+    * carve flag); model and held-out tables are Zipf-bounded TYPE
+    * tables; each round is one broadcast of the 1-row λ + one aggregate
+    * over the held-out TYPE table — constant rounds, no corpus re-scan.
+    * Output per round r = 1..rounds: round, lambda (λ_r, 6 dp),
+    * n_bigrams (held-out instances), heldout_xent (under λ_r). */
+  def jmDeletedInterpolation(docs: DataFrame, idCol: String, textCol: String,
+                             rounds: Int = 3): DataFrame =
+    jmDeletedInterpolationFrom(docBigrams(docs, idCol, textCol), docs,
+      idCol, textCol, rounds)
+
+  /** [[jmDeletedInterpolation]] over a prebuilt [[docBigrams]] aggregate —
+    * the shared-cache consumer form. */
+  def jmDeletedInterpolationFrom(docBig: DataFrame, docs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "need 1 <= rounds <= 8")
+    val eighth = 144115188075855872L // 2^57 = 2^60 / 8
+    val flags = docs.select(col(idCol),
+      (Sketches.hash60(concat_ws("#", lit("ho"),
+        col(idCol).cast("string"))) < lit(eighth)).as("__ho"))
+    val dflag = docBig.join(flags, idCol)
+    val big = dflag.where(!col("__ho"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = docs.join(flags, idCol).where(!col("__ho"))
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val sizes = uni.agg(
+      (coalesce(sum(col("cu")), lit(0L)) + count(lit(1))).as("nv"))
+    // held-out TYPE table with both component probabilities, fixed-order
+    // doubles from exact integers — computed once, reused every round
+    val scored = CacheScope.persist(dflag.where(col("__ho"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("occ"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(sizes))
+      .withColumn("pb", expr(
+        """CASE WHEN c1 IS NULL THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(coalesce(c2, 0) AS DOUBLE) / CAST(c1 AS DOUBLE) END"""
+          .stripMargin))
+      // nv = 0 <=> the train side is empty: there IS no unigram model, so
+      // the mixture is undefined — NULL (-> NULL xent), never 1/0 = Inf
+      .withColumn("pu", expr(
+        """CASE WHEN nv = 0 THEN NULL
+          |ELSE CAST(coalesce(cu, 0) + 1 AS DOUBLE) / CAST(nv AS DOUBLE)
+          |END""".stripMargin))
+      .select(col("occ"), col("pb"), col("pu")))
+    val mixSql =
+      """(CAST(lmu AS DOUBLE) / 1e6) * pb
+        |+ (1.0 - CAST(lmu AS DOUBLE) / 1e6) * pu""".stripMargin
+    var lam = scored.sparkSession.range(1)
+      .select(lit(500000L).as("lmu"))
+    val rows = (1 to rounds).map { r =>
+      val nextLam = scored.crossJoin(broadcast(lam))
+        .withColumn("q_mu", expr(
+          s"""CAST(round(CASE WHEN pb = 0 THEN CAST(0 AS DOUBLE)
+             |ELSE ((CAST(lmu AS DOUBLE) / 1e6) * pb) / ($mixSql)
+             |END * 1e6) AS BIGINT)""".stripMargin))
+        .agg(expr("CAST((2 * sum(occ * q_mu) + sum(occ))" +
+          " DIV (2 * sum(occ)) AS BIGINT)").as("lmu"))
+      lam = nextLam.localCheckpoint(true)
+      scored.crossJoin(broadcast(lam))
+        .withColumn("lp_mu", expr(
+          s"""CAST(round(ln(CASE WHEN ($mixSql) > 0 THEN ($mixSql) END)
+             | * 1e6) AS BIGINT)""".stripMargin))
+        .agg(max(col("lmu")).as("lmu"),
+          sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+        .select(lit(r.toLong).as("round"),
+          (col("lmu").cast("double") / lit(1e6)).as("lambda"),
+          col("m").as("n_bigrams"),
+          (expr("CAST(CASE WHEN mu IS NOT NULL THEN" +
+            " (2 * (-mu) + m) DIV (2 * m) END AS BIGINT)").cast("double")
+            / lit(1e6)).as("heldout_xent"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }

@@ -617,4 +617,66 @@ object TextPrep {
             " div (2 * docs) AS BIGINT) AS DOUBLE)")
           / lit(1e6))
   }
+
+  /** SentencePiece-style character-coverage alphabet selection (Kudo &
+    * Richardson 2018 §4.1, `--character_coverage` — public paper/tool):
+    * the stage that runs BEFORE every tokenizer trainer on this shelf
+    * (BPE q331, WordPiece q357, unigram-LM q350). Characters are ranked
+    * by corpus frequency and the KEPT alphabet is the minimal prefix of
+    * that ranking covering >= covNum/covDen of all character occurrences;
+    * everything outside it is the byte-fallback/UNK tail. Output is the
+    * per-source audit a corpus card reports: total char occurrences,
+    * occurrences outside the kept alphabet, the 6-dp OOV rate, and the
+    * (corpus-global) kept alphabet size.
+    *
+    * Exact-integer discipline: the keep rule is the minimal-prefix
+    * closed form — a char is kept iff the cumulative count of STRICTLY
+    * HIGHER-RANKED chars has not yet reached coverage, i.e.
+    * (cum − cnt)·covDen < total·covNum — so membership is one BIGINT
+    * compare, ties broken (count desc, char asc), no percentile
+    * interpolation. The oov_rate is the house half-up 6-dp rational:
+    * (2·oov·1e6 + n) div (2·n), DECIMAL(38,0)-widened against the
+    * 2^63 wrap past ~4.6e12 occurrences per source.
+    *
+    * Scale: ONE tokenize-to-chars pass feeds both the global char grid
+    * and the per-(source, char) aggregate; the ranking window runs over
+    * the DISTINCT-CHAR grid (alphabet-bounded — a constant in corpus
+    * size, the q107 histogram-table argument), never over data rows; the
+    * kept set rejoins the per-source aggregate char-keyed (broadcast-
+    * sized). Nothing is per-occurrence after the first aggregate. */
+  def charCoverage(docs: DataFrame, textCol: String, srcCol: String,
+                   covNum: Long = 99L, covDen: Long = 100L): DataFrame = {
+    require(covNum >= 0 && covNum <= covDen && covDen > 0,
+      "need 0 <= covNum/covDen <= 1")
+    val chars = docs.select(col(srcCol).as("source"),
+      explode(split(coalesce(col(textCol), lit("")), "")).as("ch"))
+      .where(col("ch") =!= "")
+    val bySrc = CacheScope.persist(chars
+      .groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("cnt")))
+    val grid = bySrc.groupBy(col("ch")).agg(sum(col("cnt")).as("gcnt"))
+    val total = grid.agg(sum(col("gcnt")).as("gtotal"))
+    val ranked = grid
+      .withColumn("cum", sum(col("gcnt")).over(
+        Window.orderBy(col("gcnt").desc, col("ch").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      // kept <=> the prefix ABOVE this char hasn't reached coverage yet
+      .withColumn("kept",
+        (col("cum") - col("gcnt")) * lit(covDen) < col("gtotal") * lit(covNum))
+    val alpha = ranked.agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("alphabet_size"))
+    bySrc
+      .join(ranked.select(col("ch"), col("kept")), Seq("ch"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_char_occ"),
+        sum(when(!col("kept"), col("cnt")).otherwise(0L)).as("n_oov_occ"))
+      .crossJoin(broadcast(alpha))
+      .withColumn("oov_rate",
+        expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_oov_occ * 1000000" +
+            " + n_char_occ) div (2 * n_char_occ) AS BIGINT) AS DOUBLE)")
+          / lit(1e6))
+      .select(col("source"), col("n_char_occ"), col("n_oov_occ"),
+        col("oov_rate"), col("alphabet_size"))
+  }
 }

@@ -1557,6 +1557,61 @@ object LlmQueries {
         knDocBigrams(s, d), table(s, d, "documents"),
         "doc_id", "text", "source")),
 
+    // SentencePiece-style character-coverage alphabet selection (Kudo &
+    // Richardson 2018 §4.1): minimal char-frequency prefix covering 99%
+    // of occurrences; per-source OOV audit. The stage that runs BEFORE
+    // every tokenizer trainer on this shelf (q331/q350/q357). See
+    // TextPrep.charCoverage.
+    "q365_char_coverage" -> ((s, d) =>
+      graft.operators.TextPrep.charCoverage(
+        table(s, d, "documents"), "text", "source")),
+
+    // Bloom-filter paragraph-dedup calibration census (Dolma BFF): for
+    // k = 1..3 probe hashes into a 2^16-bit filter, how many distinct
+    // line types would be FALSELY flagged under the canonical md5
+    // insertion order, next to the true-dup mass any filter catches.
+    // See TextDedup.bloomDedupCensus.
+    "q366_bloom_dedup" -> ((s, d) =>
+      TextDedup.bloomDedupCensus(
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // BLEU-2 diagnostic over the shared MinHash near-dup pair set: clipped
+    // n-gram precisions + brevity penalty separate true mirrors from
+    // set-equal/mass-skewed pairs that shingle-set Jaccard cannot tell
+    // apart. See TextDedup.pairBleu.
+    "q367_pair_bleu" -> ((s, d) =>
+      TextDedup.pairBleu(
+        nearDupPairs(s, d), table(s, d, "documents"), "doc_id", "text")),
+
+    // Data-scaling-law fit: held-out KN cross-entropy at nested train
+    // carves (1/8, 2/8, 4/8, 7/8 of the corpus — q364's md5 carve) plus
+    // the integer-hardened OLS slope of xent on ln(train tokens) — "is
+    // more of THIS corpus still buying loss?". Rides the shared
+    // doc-bigram cache. See TextLm.dataScalingFit.
+    "q368_scaling_fit" -> ((s, d) =>
+      graft.operators.TextLm.dataScalingFitFrom(
+        knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
+
+    // PER-LANGUAGE KN models, each scoring its own slice — the
+    // multilingual CCNet shape (a corpus-global model makes minority
+    // languages look uniformly "bad"); every join carries the lang key,
+    // so the whole computation shards by language. Rides the shared
+    // doc-bigram cache. See TextLm.groupedKnXent.
+    "q369_lang_kn_xent" -> ((s, d) =>
+      graft.operators.TextLm.groupedKnXentFrom(
+        knDocBigrams(s, d), table(s, d, "documents"),
+        "doc_id", "text", "lang")),
+
+    // Jelinek-Mercer deleted-interpolation EM: lambda in
+    // p = lambda*p_ML + (1-lambda)*p_uni LEARNED from held-out data
+    // (the house 'ho' carve) over 3 exactly-replayable integer EM
+    // rounds — the classic smoothing-weight estimation beside KN's
+    // fixed D = 3/4. Rides the shared doc-bigram cache. See
+    // TextLm.jmDeletedInterpolation.
+    "q370_jm_lambda_em" -> ((s, d) =>
+      graft.operators.TextLm.jmDeletedInterpolationFrom(
+        knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
+
     // Per-source segmentation fertility under the unigram-LM seed model
     // — the train->apply round trip for q350 (as q334 is to q331's BPE):
     // Viterbi piece counts per word TYPE, occurrence-weighted per
@@ -4983,6 +5038,325 @@ object LlmQueries {
          |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
          |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
          |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // Mirrors TextPrep.charCoverage: char-frequency grid, cumulative
+    // ranking (count desc, char asc), minimal-prefix keep rule
+    // (cum − cnt)·1000 < total·995, per-source OOV census with the
+    // HUGEINT-widened half-up 6-dp rate.
+    "q365_char_coverage" ->
+      """WITH ch AS (
+        |  SELECT source, unnest(string_split(coalesce(text, ''), '')) AS c
+        |  FROM documents),
+        |chf AS MATERIALIZED (
+        |  SELECT source, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |grid AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS gcnt
+        |  FROM chf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtotal FROM grid),
+        |rk AS (SELECT c, gcnt,
+        |    CAST(sum(gcnt) OVER (ORDER BY gcnt DESC, c ASC) AS BIGINT) AS cum
+        |  FROM grid),
+        |kp AS (SELECT c, (cum - gcnt) * 100 < gtotal * 99 AS kept
+        |  FROM rk, tot),
+        |al AS (SELECT CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS alphabet_size FROM kp)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_char_occ,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE cnt END) AS BIGINT) AS n_oov_occ,
+        |  CAST(CAST((CAST(2 AS HUGEINT) * sum(CASE WHEN kept THEN 0 ELSE cnt END)
+        |      * 1000000 + sum(cnt)) // (2 * sum(cnt)) AS BIGINT) AS DOUBLE)
+        |    / 1e6 AS oov_rate,
+        |  (SELECT alphabet_size FROM al) AS alphabet_size
+        |FROM chf JOIN kp USING (c)
+        |GROUP BY source""".stripMargin,
+
+    // Mirrors TextDedup.bloomDedupCensus: the q363 line-tile inventory
+    // collapsed to line TYPES, md5 canonical order key + 3 probe-bit
+    // hashes, per-(bit, slot) first-setter minima, per-k strict-< flags.
+    "q366_bloom_dedup" -> {
+      val o = ScaleQueries.duckHash60("'bfford#' || line")
+      def bit(i: Int) = ScaleQueries.duckHash60(s"'bffbit$i#' || line")
+      val perK = (1 to 3).map { k =>
+        s"""f$k AS (
+           |  SELECT s.o, min(CASE WHEN bm.mo < s.o THEN 1 ELSE 0 END) AS fp
+           |  FROM sl s JOIN (SELECT b, min(mo) AS mo FROM bsm
+           |                  WHERE slot <= $k GROUP BY 1) bm USING (b)
+           |  WHERE s.slot <= $k GROUP BY 1),
+           |r$k AS (
+           |  SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(count(*) AS BIGINT) AS n_types,
+           |    CAST(sum(fp) AS BIGINT) AS n_fp_types,
+           |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM sl
+           |     WHERE slot <= $k) AS n_bits_set
+           |  FROM f$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+         |  FROM documents),
+         |lns AS (
+         |  SELECT doc_id, array_to_string(ts[i*3+1 : i*3+3], ' ') AS line
+         |  FROM (SELECT doc_id, ts,
+         |      unnest(generate_series(0,
+         |        greatest((len(ts) + 2) // 3, 1) - 1)) AS i
+         |    FROM toks)),
+         |ty AS MATERIALIZED (
+         |  SELECT line, CAST(count(*) AS BIGINT) AS occ, ($o) AS o
+         |  FROM lns GROUP BY 1),
+         |sl AS MATERIALIZED (
+         |  SELECT o, i AS slot,
+         |    (CASE i WHEN 1 THEN (${bit(1)}) WHEN 2 THEN (${bit(2)})
+         |      ELSE (${bit(3)}) END) % 65536 AS b
+         |  FROM ty, (SELECT unnest([1, 2, 3]) AS i)),
+         |bsm AS MATERIALIZED (
+         |  SELECT b, slot, min(o) AS mo FROM sl GROUP BY 1, 2),
+         |dup AS (SELECT CAST(sum(occ) - count(*) AS BIGINT) AS n_dup_occ
+         |  FROM ty),
+         |$perK
+         |SELECT k, n_types, n_fp_types,
+         |  CAST(CAST((CAST(2 AS HUGEINT) * n_fp_types * 1000000 + n_types)
+         |    // (2 * n_types) AS BIGINT) AS DOUBLE) / 1e6 AS fp_rate,
+         |  n_bits_set, (SELECT n_dup_occ FROM dup) AS n_dup_occ
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |      UNION ALL SELECT * FROM r3)""".stripMargin
+    },
+
+    // Mirrors TextDedup.pairBleu: the SHARED q31 MinHash chain feeds the
+    // pair set; clipped uni/bigram counts over pair docs only; the
+    // single-quantized log-BLEU2 with brevity penalty, NULL at zero
+    // overlap.
+    "q367_pair_bleu" ->
+      s"""WITH ${minhashChainSql("documents")},
+         |prs AS MATERIALIZED (
+         |$minhashFinalSelect),
+         |ids AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM prs
+         |  UNION ALL SELECT doc_b FROM prs)),
+         |t2 AS MATERIALIZED (
+         |  SELECT d.doc_id, string_split(d.text, ' ') AS t
+         |  FROM documents d JOIN ids USING (doc_id)),
+         |lenz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM t2),
+         |u AS MATERIALIZED (
+         |  SELECT doc_id, w AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM t2) GROUP BY 1, 2),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, gm AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id,
+         |      unnest([array_to_string(t[i:i+1], ' ')
+         |              for i in range(1, len(t))]) AS gm
+         |    FROM t2) GROUP BY 1, 2),
+         |m1 AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(least(ua.c, coalesce(ub.c, 0))) AS BIGINT) AS m
+         |  FROM prs p JOIN u ua ON ua.doc_id = p.doc_a
+         |  LEFT JOIN u ub ON ub.doc_id = p.doc_b AND ub.g = ua.g
+         |  GROUP BY 1, 2),
+         |m2 AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(least(ba.c, coalesce(bb.c, 0))) AS BIGINT) AS m
+         |  FROM prs p JOIN bg ba ON ba.doc_id = p.doc_a
+         |  LEFT JOIN bg bb ON bb.doc_id = p.doc_b AND bb.g = ba.g
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT p.doc_a, p.doc_b, la.n AS n_a, lb.n AS n_b,
+         |    CAST(coalesce(m1.m, 0) AS DOUBLE) / CAST(la.n AS DOUBLE) AS p1,
+         |    CASE WHEN la.n >= 2 THEN CAST(coalesce(m2.m, 0) AS DOUBLE)
+         |      / CAST(la.n - 1 AS DOUBLE) END AS p2
+         |  FROM prs p
+         |  JOIN lenz la ON la.doc_id = p.doc_a
+         |  JOIN lenz lb ON lb.doc_id = p.doc_b
+         |  LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
+         |  LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b)
+         |SELECT doc_a, doc_b, p1, p2,
+         |  CAST(CAST(round((least(0.0,
+         |      1.0 - CAST(n_b AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |    + 0.5 * (ln(CASE WHEN p1 > 0 THEN p1 END)
+         |           + ln(CASE WHEN p2 > 0 THEN p2 END))) * 1e6) AS BIGINT)
+         |    AS DOUBLE) / 1e6 AS log_bleu2
+         |FROM sc""".stripMargin,
+
+    // Mirrors TextLm.dataScalingFit: q364's 'ho' carve, per-k nested
+    // train models as filtered re-aggregates of the ONE db/uni pair, the
+    // full ladder over the fixed held-out eighth, integer-hardened OLS
+    // slope over the non-NULL points.
+    "q368_scaling_fit" -> {
+      val h = ScaleQueries.duckHash60(
+        "concat_ws('#', 'ho', CAST(doc_id AS VARCHAR))")
+      val eighth = 144115188075855872L // 2^57 = 2^60/8
+      val ks = Seq(1, 2, 4, 7)
+      val perK = ks.map { k =>
+        val lo = (8L - k) * eighth
+        s"""big$k AS MATERIALIZED (
+           |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+           |  FROM db WHERE h >= $lo GROUP BY 1, 2),
+           |hist$k AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+           |    CAST(count(*) AS BIGINT) AS n1p FROM big$k GROUP BY 1),
+           |cont$k AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc
+           |  FROM big$k GROUP BY 1),
+           |tv$k AS (SELECT
+           |    (SELECT CAST(count(*) AS BIGINT) FROM big$k) AS t_types,
+           |    (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM uni
+           |     WHERE h >= $lo) AS v,
+           |    (SELECT CAST(coalesce(sum(uocc), 0) AS BIGINT) FROM uni
+           |     WHERE h >= $lo) AS n_train_tokens),
+           |sc$k AS (SELECT d.occ, tv.n_train_tokens,
+           |    CAST(round(ln(CASE WHEN tv.t_types + tv.v = 0 THEN NULL
+           |        WHEN h1.c1 IS NULL
+           |        THEN CAST(coalesce(cn.nc, 0) + 1 AS DOUBLE)
+           |          / CAST(tv.t_types + tv.v AS DOUBLE)
+           |        ELSE CAST(greatest(4 * coalesce(b.c2, 0) - 3, 0)
+           |              * (tv.t_types + tv.v)
+           |              + 3 * h1.n1p * (coalesce(cn.nc, 0) + 1) AS DOUBLE)
+           |          / CAST(4 * h1.c1 * (tv.t_types + tv.v) AS DOUBLE)
+           |      END) * 1e6) AS BIGINT) AS lp_mu
+           |  FROM db d
+           |  LEFT JOIN big$k b ON b.w1 = d.w1 AND b.w2 = d.w2
+           |  LEFT JOIN hist$k h1 ON h1.w1 = d.w1
+           |  LEFT JOIN cont$k cn ON cn.w2 = d.w2
+           |  CROSS JOIN tv$k tv
+           |  WHERE d.h < $eighth),
+           |pt$k AS (SELECT CAST($k AS BIGINT) AS train_eighths,
+           |    CAST(max(n_train_tokens) AS BIGINT) AS n_train_tokens,
+           |    CAST(sum(occ) AS BIGINT) AS n_bigrams,
+           |    CAST(CASE WHEN sum(occ * lp_mu) IS NOT NULL THEN
+           |      (2 * (-sum(occ * lp_mu)) + sum(occ)) // (2 * sum(occ))
+           |      END AS BIGINT) AS y_mu
+           |  FROM sc$k)""".stripMargin
+      }.mkString(",\n")
+      val unions = ks.map(k => s"SELECT * FROM pt$k")
+        .mkString("\n      UNION ALL ")
+      s"""WITH base AS (SELECT doc_id, ($h) AS h,
+         |    string_split(text, ' ') AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, h, t[i] AS w1, t[i+1] AS w2
+         |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |db AS MATERIALIZED (SELECT doc_id, h, w1, w2,
+         |    CAST(count(*) AS BIGINT) AS occ
+         |  FROM pairs GROUP BY 1, 2, 3, 4),
+         |uni AS MATERIALIZED (SELECT doc_id, h, w,
+         |    CAST(count(*) AS BIGINT) AS uocc
+         |  FROM (SELECT doc_id, h, unnest(t) AS w FROM base)
+         |  GROUP BY 1, 2, 3),
+         |$perK,
+         |curve AS ($unions),
+         |fpts AS (SELECT
+         |    CAST(round(ln(CAST(n_train_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS x_mu, y_mu
+         |  FROM curve WHERE y_mu IS NOT NULL AND n_train_tokens > 0),
+         |fit AS (SELECT CASE WHEN count(*) >= 2
+         |      AND count(*) * sum(x_mu * x_mu) - sum(x_mu) * sum(x_mu) <> 0
+         |    THEN round(CAST(count(*) * sum(x_mu * y_mu)
+         |          - sum(x_mu) * sum(y_mu) AS DOUBLE)
+         |      / CAST(count(*) * sum(x_mu * x_mu)
+         |          - sum(x_mu) * sum(x_mu) AS DOUBLE), 6)
+         |    END AS slope FROM fpts)
+         |SELECT train_eighths, n_train_tokens, n_bigrams,
+         |  CAST(y_mu AS DOUBLE) / 1e6 AS xent, slope
+         |FROM curve, fit""".stripMargin
+    },
+
+    // Mirrors TextLm.groupedKnXent: the knModelCte chain with the lang
+    // key prepended to every model table; self-scoring per group, so
+    // every scored bigram is observed in its own group's model (no
+    // ladder).
+    "q369_lang_kn_xent" ->
+      """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |db AS MATERIALIZED (SELECT doc_id, lang, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS occ
+        |  FROM pairs GROUP BY 1, 2, 3, 4),
+        |big AS MATERIALIZED (
+        |  SELECT lang, w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+        |  FROM db GROUP BY 1, 2, 3),
+        |hist AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1, 2),
+        |cont AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS nc
+        |  FROM big GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS t_types
+        |  FROM big GROUP BY 1),
+        |vv AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT lang, unnest(t) AS w FROM base) GROUP BY 1),
+        |sc AS (SELECT d.doc_id, d.lang, d.occ,
+        |    CAST(round(ln(
+        |      CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+        |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS lp_mu
+        |  FROM db d
+        |  JOIN big b ON b.lang = d.lang AND b.w1 = d.w1 AND b.w2 = d.w2
+        |  JOIN hist h ON h.lang = d.lang AND h.w1 = d.w1
+        |  JOIN cont cn ON cn.lang = d.lang AND cn.w2 = d.w2
+        |  JOIN tt ON tt.lang = d.lang
+        |  JOIN vv ON vv.lang = d.lang)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+        |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // Mirrors TextLm.jmDeletedInterpolation: train-side ML bigram +
+    // add-one unigram components computed once per held-out TYPE, three
+    // unrolled EM rounds, each a 1-row lambda CTE feeding a
+    // micro-quantized posterior aggregate, xent under each round's
+    // lambda.
+    "q370_jm_lambda_em" -> {
+      val h = ScaleQueries.duckHash60(
+        "concat_ws('#', 'ho', CAST(doc_id AS VARCHAR))")
+      val mix = "(CAST(lmu AS DOUBLE) / 1e6) * pb " +
+        "+ (1.0 - CAST(lmu AS DOUBLE) / 1e6) * pu"
+      val rounds = (1 to 3).map { r =>
+        s"""l$r AS (SELECT CAST((2 * sum(occ * q_mu) + sum(occ))
+           |    // (2 * sum(occ)) AS BIGINT) AS lmu
+           |  FROM (SELECT occ,
+           |      CAST(round(CASE WHEN pb = 0 THEN CAST(0 AS DOUBLE)
+           |        ELSE ((CAST(lmu AS DOUBLE) / 1e6) * pb) / ($mix)
+           |        END * 1e6) AS BIGINT) AS q_mu
+           |    FROM sc, l${r - 1})),
+           |r$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |    CAST(max(lmu) AS DOUBLE) / 1e6 AS lambda,
+           |    CAST(sum(occ) AS BIGINT) AS n_bigrams,
+           |    CAST(CAST(CASE WHEN sum(occ * lp_mu) IS NOT NULL THEN
+           |      (2 * (-sum(occ * lp_mu)) + sum(occ)) // (2 * sum(occ))
+           |      END AS BIGINT) AS DOUBLE) / 1e6 AS heldout_xent
+           |  FROM (SELECT occ, lmu,
+           |      CAST(round(ln(CASE WHEN ($mix) > 0 THEN ($mix) END)
+           |       * 1e6) AS BIGINT) AS lp_mu
+           |    FROM sc, l$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT doc_id, ($h) < 144115188075855872 AS ho,
+         |    string_split(text, ' ') AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, ho, t[i] AS w1, t[i+1] AS w2
+         |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |db AS MATERIALIZED (SELECT doc_id, ho, w1, w2,
+         |    CAST(count(*) AS BIGINT) AS occ
+         |  FROM pairs GROUP BY 1, 2, 3, 4),
+         |big AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+         |  FROM db WHERE NOT ho GROUP BY 1, 2),
+         |hist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM big GROUP BY 1),
+         |uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(t) AS w FROM base WHERE NOT ho) GROUP BY 1),
+         |nvv AS (SELECT CAST(coalesce(sum(cu), 0) + count(*) AS BIGINT)
+         |    AS nv FROM uni),
+         |sc AS MATERIALIZED (SELECT hb.occ,
+         |    CASE WHEN h1.c1 IS NULL THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(coalesce(b.c2, 0) AS DOUBLE) / CAST(h1.c1 AS DOUBLE)
+         |      END AS pb,
+         |    CASE WHEN nvv.nv = 0 THEN NULL
+         |      ELSE CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)
+         |        / CAST(nvv.nv AS DOUBLE)
+         |      END AS pu
+         |  FROM (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS occ
+         |        FROM db WHERE ho GROUP BY 1, 2) hb
+         |  LEFT JOIN big b ON b.w1 = hb.w1 AND b.w2 = hb.w2
+         |  LEFT JOIN hist h1 ON h1.w1 = hb.w1
+         |  LEFT JOIN uni u ON u.w = hb.w2
+         |  CROSS JOIN nvv),
+         |l0 AS (SELECT CAST(500000 AS BIGINT) AS lmu),
+         |$rounds
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |UNION ALL SELECT * FROM r3""".stripMargin
     },
 
     // Mirrors Similarity.prototypicalityBand: the shared semAssignCte

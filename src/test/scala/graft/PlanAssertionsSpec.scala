@@ -796,6 +796,48 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p364.contains("Window"), "pooled xent is an aggregate")
   }
 
+  test("q365-q368: continuation operators stay keyed; grids stay bounded") {
+    // q365 char coverage: the ONLY window runs over the distinct-char
+    // grid (alphabet-bounded, constant in corpus size); the kept-set
+    // join back to the per-source aggregate is char-keyed; the two
+    // nested loops are broadcast 1-row (total / alphabet-size) frames
+    val p365 = plan("q365_char_coverage")
+    assert(!p365.contains("CartesianProduct"), "kept-set join must stay keyed")
+    assert(p365.contains("Window"), "the ranking window over the char grid")
+    // q366 bloom census: per-bit first-setter tables are mBits-bounded;
+    // flags are one bit-keyed join + type-keyed aggregate per k —
+    // window-free, cartesian-free
+    val p366 = plan("q366_bloom_dedup")
+    assert(!p366.contains("CartesianProduct") && !p366.contains("Window"),
+      "bloom census must be keyed aggregates over bounded bit tables")
+    // q367 pair BLEU: gram tables exist only for pair docs (semi-join);
+    // clipping is gram-keyed; everything after the pair set is
+    // |pairs|-proportional — no cartesian, no window
+    val p367 = plan("q367_pair_bleu")
+    assert(!p367.contains("CartesianProduct") && !p367.contains("Window"),
+      "clipped counts must stay gram-keyed")
+    // q368 scaling fit: every per-carve model is a filtered re-aggregate;
+    // ladder joins stay bigram-/history-/continuation-keyed; the only
+    // nested loops are broadcast 1-row (sizes / fit) frames
+    val p368 = plan("q368_scaling_fit")
+    assert(!p368.contains("CartesianProduct"), "ladder joins must stay keyed")
+    assert(!p368.contains("Window"), "curve and fit are aggregates")
+    // q369 per-group models: EVERY model join carries the group key —
+    // the computation shards by language with zero cross-group traffic;
+    // the sizes table is the one broadcast (|groups| rows)
+    val p369 = plan("q369_lang_kn_xent")
+    assert(!p369.contains("CartesianProduct") &&
+      !p369.contains("BroadcastNestedLoopJoin"),
+      "grouped model joins must all be group-keyed equi-joins")
+    assert(!p369.contains("Window"), "pooled xent is an aggregate")
+    // q370 JM EM: component probabilities are one keyed join pass over
+    // the held-out TYPE table; each round is a broadcast 1-row lambda +
+    // one aggregate — no corpus re-scan, no window
+    val p370 = plan("q370_jm_lambda_em")
+    assert(!p370.contains("CartesianProduct"), "EM rounds ride 1-row broadcasts")
+    assert(!p370.contains("Window"), "rounds are aggregates")
+  }
+
   test("q340: max-coverage output is the constant-size pick trace") {
     // like q337: the greedy's per-round anti-join + argmax already ran;
     // the result is <=k driver-assembled rows
