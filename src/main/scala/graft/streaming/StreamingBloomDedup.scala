@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TimeMode, TTLConfig, TimerValues, ValueState}
+
+/** Streaming twin of `TextDedup.bloomDedupCensus` — the Dolma "BFF" run
+  * AS a stream processor: every incoming line (non-overlapping
+  * `lineTokens`-token tile, the house line proxy) is probed against an
+  * m-bit Bloom filter and emitted with its KEEP/DROP decision; kept
+  * lines insert their probe bits. This is the exact production shape the
+  * batch census (q366) prices: constant memory, per-occurrence
+  * decisions, false positives accepted.
+  *
+  * Sharding — the reason this scales: the bit space is split into
+  * `nShards` INDEPENDENT sub-filters and a line is routed to shard
+  * h60(line) mod nShards, so all k of its probe bits live in ONE shard's
+  * filter (bff's own sharding; FP behavior per shard is that of an
+  * (mBits/nShards)-bit filter over its slice). State per key is a FIXED
+  * byte array of mBits/nShards/8 bytes — bounded by construction, never
+  * growing with the stream; hot shards stay the same size as cold ones.
+  *
+  * Determinism: true duplicates are caught unconditionally (bits never
+  * clear, so every occurrence after a line's first KEEP is flagged);
+  * which of two same-batch occurrences of one line is "the keep" and
+  * whether a borderline FALSE positive fires can depend on arrival
+  * order — inherent to any streaming Bloom run (the batch census fixes a
+  * canonical order for exactly this reason). Order-FREE invariants the
+  * spec pins: per line type, keeps + dups = occurrences; every keep sets
+  * >= 1 new bit, so total keeps <= mBits (pigeonhole — past saturation
+  * everything is flagged, the q366 saturation regime live).
+  *
+  * The per-batch decision vector is materialized before the single state
+  * write (output size EQUALS input size here, so unlike the line-dedup
+  * monitor's census there is no asymptotic buffering win to chase). */
+object StreamingBloomDedup {
+
+  final case class Doc(doc_id: Long, text: String)
+  final case class LineOcc(shard: Int, line: String, doc_id: Long)
+  final case class Decision(doc_id: Long, line: String, dup: Boolean)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The house 60-bit md5 fold (`Sketches.hash60`'s contract) in plain
+    * Scala — same salts as the batch census, so the two agree on probe
+    * geometry. */
+  private[streaming] def h60(s: String): Long =
+    md5hex(s).take(15).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+
+  class Processor(shardBits: Int, k: Int)
+      extends StatefulProcessor[Int, LineOcc, Decision] {
+    @transient private var filt: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      filt = getHandle.getValueState("bits", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[LineOcc],
+                                 timers: TimerValues): Iterator[Decision] = {
+      val bytes =
+        if (filt.exists()) filt.get() else new Array[Byte](shardBits / 8)
+      var changed = false
+      val out = rows.map { r =>
+        val bits = (1 to k).map(i =>
+          (h60(s"bffbit$i#${r.line}") % shardBits).toInt)
+        val dup = bits.forall(b => (bytes(b / 8) & (1 << (b % 8))) != 0)
+        if (!dup) {
+          bits.foreach(b =>
+            bytes(b / 8) = (bytes(b / 8) | (1 << (b % 8))).toByte)
+          changed = true
+        }
+        Decision(r.doc_id, r.line, dup)
+      }.toVector
+      if (changed) filt.update(bytes)
+      out.iterator
+    }
+  }
+
+  /** Append-mode KEEP/DROP decision feed over a document stream. The
+    * session must run the RocksDB state store provider
+    * (transformWithState's requirement). Tiling mirrors the batch
+    * operators (split(" ", -1), NULL text tiles as ""). */
+  def dedupDecisions(docs: Dataset[Doc], lineTokens: Int = 3,
+                     mBits: Int = 1 << 16, nShards: Int = 8,
+                     k: Int = 3): Dataset[Decision] = {
+    require(lineTokens >= 1 && k >= 1, "need lineTokens>=1, k>=1")
+    require(nShards >= 1 && mBits % (nShards * 8) == 0,
+      "need mBits divisible by nShards*8 (whole bytes per shard)")
+    val shardBits = mBits / nShards
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+        Option(d.text).getOrElse("").split(" ", -1).grouped(lineTokens)
+          .map { g =>
+            val line = g.mkString(" ")
+            LineOcc((h60(s"bffshard#$line") % nShards).toInt, line, d.doc_id)
+          }.toSeq
+      }
+      .groupByKey(_.shard)
+      .transformWithState(new Processor(shardBits, k), TimeMode.None(),
+        OutputMode.Append())
+  }
+}

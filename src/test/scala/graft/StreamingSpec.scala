@@ -851,4 +851,82 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming bloom dedup: one keep per type on a roomy filter; cross-batch dups flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingBloomDedup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingBloomDedup.Doc]
+    // 2^16 bits for ~8 line types: FP probability ~0, so decisions must
+    // equal exact first-occurrence dedup whatever the arrival order
+    val q = StreamingAgg.startToMemory(
+      StreamingBloomDedup.dedupDecisions(input.toDS(), lineTokens = 3,
+        mBits = 1 << 16, nShards = 8, k = 3).toDF(), "bloom_dedup_test")
+    def decisions() = spark.sql("SELECT line, dup FROM bloom_dedup_test")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    try {
+      input.addData(
+        StreamingBloomDedup.Doc(1L, "x y z a b c"),
+        StreamingBloomDedup.Doc(2L, "x y z d e f"),
+        StreamingBloomDedup.Doc(3L, "g h i g h i")) // within-doc repeat
+      q.processAllAvailable()
+      val d1 = decisions()
+      val occ1 = d1.groupBy(_._1).view.mapValues(_.size).toMap
+      val keeps1 = d1.filter(!_._2).groupBy(_._1).view.mapValues(_.size).toMap
+      assert(occ1.keySet.forall(l => keeps1.getOrElse(l, 0) == 1),
+        s"exactly one keep per type: $d1")
+      assert(d1.count(p => p._1 == "x y z" && p._2) == 1 &&
+        d1.count(p => p._1 == "g h i" && p._2) == 1,
+        s"cross-doc and within-doc repeats flagged: $d1")
+      // a later batch re-delivering an old line must flag it (bits persist)
+      input.addData(StreamingBloomDedup.Doc(4L, "x y z p q r"))
+      q.processAllAvailable()
+      val d2 = decisions()
+      assert(d2.count(p => p._1 == "x y z" && p._2) == 2,
+        s"cross-batch dup flagged: $d2")
+      assert(d2.count(p => p._1 == "p q r" && !p._2) == 1)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming bloom dedup: past saturation keeps are pigeonhole-bounded by mBits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingBloomDedup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingBloomDedup.Doc]
+    // 16 bits total for 100 distinct lines: every keep sets >= 1 new bit,
+    // so keeps <= 16 REGARDLESS of arrival order — the order-free
+    // saturation invariant (the q366 census's saturation regime, live)
+    val q = StreamingAgg.startToMemory(
+      StreamingBloomDedup.dedupDecisions(input.toDS(), lineTokens = 3,
+        mBits = 16, nShards = 2, k = 3).toDF(), "bloom_sat_test")
+    try {
+      input.addData((0L until 100L).map(i =>
+        StreamingBloomDedup.Doc(i, s"u$i v$i w$i")): _*)
+      q.processAllAvailable()
+      val d = spark.sql("SELECT dup FROM bloom_sat_test")
+        .collect().map(_.getBoolean(0))
+      assert(d.length == 100)
+      val keeps = d.count(!_)
+      assert(keeps <= 16, s"pigeonhole: $keeps keeps > 16 bits")
+      assert(keeps >= 1 && d.count(identity) >= 84)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
