@@ -1190,6 +1190,140 @@ object TextLm {
           / lit(1e6)).as("xent"))
   }
 
+  /** Min-K%++ membership score (Zhang et al. 2024, "Min-K%++: Improved
+    * Baselines for Detecting Pre-training Data from LLMs" — public
+    * paper): q354's Min-K% with each token's log-probability NORMALIZED
+    * by its context's next-token distribution — z = (ln p(w2|w1) − μ(w1))
+    * / σ(w1), where μ/σ are the mean and standard deviation of
+    * ln p(·|w1) UNDER p(·|w1) (μ = −entropy of the next-token
+    * distribution). The paper's insight: raw Min-K% confuses "this token
+    * is rare" with "this context is high-entropy"; the z-score asks
+    * whether the token is a LOCAL MODE of its own context — the actual
+    * memorization signature. Doc score = mean z of the bottom kNum/kDen
+    * instances (the q354 in-row fold).
+    *
+    * The hard part at scale is μ/σ: they are moments over the FULL vocab
+    * for EVERY history — naively |histories|·|V| work. Closed form
+    * instead: under interpolated KN, p(v|w1) for v UNSEEN after w1 is
+    * λ(w1)·p_cont(v) with λ(w1) = 3·n1p/(4·c1), so
+    * Σ_unseen p·(ln p)^j expands into λ·Σ_unseen p_cont·(ln λ +
+    * ln p_cont)^j — and Σ_unseen f(p_cont) = GLOBAL_f − Σ_observed
+    * f(p_cont). The global sums are THREE numbers over the (nc+1)-VALUE
+    * GRID (continuation counts are Zipf — the grid is tiny and constant
+    * in corpus size); the observed sums are per-history aggregates over
+    * the bigram TYPE table. Total work: one grid pass + one type-table
+    * pass — never |histories|·|V|.
+    *
+    * Determinism: every summed term (observed p·(ln p)^j, observed
+    * p_cont·(ln p_cont)^j, grid gcnt·p_cont·(ln p_cont)^j) is quantized
+    * to an exact pico-unit BIGINT (1e-12) per TYPE/grid row, so all
+    * cross-row sums are integer; μ/σ are then single fixed-order double
+    * expressions of those integers per history (grid-row vs per-type
+    * rounding differ by ≤1 pico-unit per row — a defined, deterministic
+    * approximation both engines share). σ = 0 → NULL z (excluded, with
+    * n_bigrams counting scored instances only). Output: doc_id,
+    * n_bigrams, minkpp (mean bottom-k z, 6 dp — typically negative). */
+  def minKppProb(docs: DataFrame, idCol: String, textCol: String,
+                 kNum: Int = 1, kDen: Int = 5): DataFrame =
+    minKppProbFrom(docBigrams(docs, idCol, textCol), docs, idCol, textCol,
+      kNum, kDen)
+
+  /** [[minKppProb]] over a prebuilt [[docBigrams]] aggregate — the
+    * shared-cache consumer form. */
+  def minKppProbFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String, kNum: Int = 1,
+                     kDen: Int = 5): DataFrame = {
+    require(kNum > 0 && kDen >= kNum, "need 0 < kNum <= kDen")
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .join(cont.withColumnRenamed("w2", "w"), Seq("w"), "left")
+      .select(col("w"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
+      vocab.agg(count(lit(1)).as("v")))
+    // continuation probability / full KN probability — ONE formula text
+    // each, shared by the grid, the observed sums and the scoring join
+    val pc = "CAST(nc + 1 AS DOUBLE) / CAST(t_types + v AS DOUBLE)"
+    val pf = "CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1)" +
+      " AS DOUBLE) / CAST(4 * c1 * (t_types + v) AS DOUBLE)"
+    // global p_cont moments over the (nc+1)-value grid, pico-quantized
+    // per grid row then integer-summed
+    val glob = vocab.groupBy(col("nc")).agg(count(lit(1)).as("gcnt"))
+      .crossJoin(broadcast(sizes))
+      .select(
+        expr(s"CAST(round(CAST(gcnt AS DOUBLE) * ($pc) * 1e12) AS BIGINT)")
+          .as("g0r"),
+        expr(s"CAST(round(CAST(gcnt AS DOUBLE) * ($pc) * ln($pc) * 1e12)" +
+          " AS BIGINT)").as("g1r"),
+        expr(s"CAST(round(CAST(gcnt AS DOUBLE) * ($pc) * ln($pc) * ln($pc)" +
+          " * 1e12) AS BIGINT)").as("g2r"))
+      .agg(sum(col("g0r")).as("g0"), sum(col("g1r")).as("g1"),
+        sum(col("g2r")).as("g2"))
+    // per-history observed sums: full-p moments (a1, a2) and p_cont
+    // moments (b0, b1, b2), pico-quantized per bigram TYPE
+    val obs = big.join(hist, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(sizes))
+      .select(col("w1"),
+        expr(s"CAST(round(($pf) * ln($pf) * 1e12) AS BIGINT)").as("a1r"),
+        expr(s"CAST(round(($pf) * ln($pf) * ln($pf) * 1e12) AS BIGINT)")
+          .as("a2r"),
+        expr(s"CAST(round(($pc) * 1e12) AS BIGINT)").as("b0r"),
+        expr(s"CAST(round(($pc) * ln($pc) * 1e12) AS BIGINT)").as("b1r"),
+        expr(s"CAST(round(($pc) * ln($pc) * ln($pc) * 1e12) AS BIGINT)")
+          .as("b2r"))
+      .groupBy(col("w1"))
+      .agg(sum(col("a1r")).as("a1"), sum(col("a2r")).as("a2"),
+        sum(col("b0r")).as("b0"), sum(col("b1r")).as("b1"),
+        sum(col("b2r")).as("b2"))
+    val hstats = hist.join(obs, Seq("w1"))
+      .crossJoin(broadcast(glob))
+      .withColumn("lam", expr(
+        "CAST(3 * n1p AS DOUBLE) / CAST(4 * c1 AS DOUBLE)"))
+      .withColumn("mu_h", expr(
+        """CAST(a1 AS DOUBLE) / 1e12 + lam * (ln(lam)
+          | * (CAST(g0 - b0 AS DOUBLE) / 1e12)
+          | + CAST(g1 - b1 AS DOUBLE) / 1e12)""".stripMargin))
+      .withColumn("sg_h", expr(
+        """sqrt(greatest(CAST(a2 AS DOUBLE) / 1e12 + lam * (ln(lam) * ln(lam)
+          | * (CAST(g0 - b0 AS DOUBLE) / 1e12)
+          | + 2 * ln(lam) * (CAST(g1 - b1 AS DOUBLE) / 1e12)
+          | + CAST(g2 - b2 AS DOUBLE) / 1e12) - mu_h * mu_h, 0))"""
+          .stripMargin))
+      .select(col("w1"), col("mu_h"), col("sg_h"))
+    val scoredTypes = big.join(hist, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(sizes))
+      .join(hstats, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr(s"""CASE WHEN sg_h > 0 THEN
+          |CAST(round((ln($pf) - mu_h) / sg_h * 1e6) AS BIGINT) END"""
+          .stripMargin).as("z_mu"))
+    docBig.join(scoredTypes, Seq("w1", "w2"))
+      .where(col("z_mu").isNotNull)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("z_mu"), col("occ"))).as("lst"),
+        sum(col("occ")).as("m"))
+      .withColumn("kk", expr(s"(m * $kNum + ${kDen - 1}) DIV $kDen"))
+      .withColumn("agg", expr(
+        """aggregate(array_sort(lst), named_struct('t', CAST(0 AS BIGINT),
+          |    's', CAST(0 AS BIGINT)),
+          |  (acc, x) -> IF(acc.t >= kk, acc,
+          |    named_struct('t', acc.t + least(x.occ, kk - acc.t),
+          |      's', acc.s + least(x.occ, kk - acc.t) * x.z_mu)))"""
+          .stripMargin))
+      .select(col(idCol), col("m").as("n_bigrams"),
+        // SIGNED half-up integer division (z sums can be negative; a
+        // double round() hits decimal-boundary disagreements between
+        // engines — one sf0.01 row did)
+        (expr("""CAST(CASE WHEN agg.s >= 0
+          |  THEN (2 * agg.s + agg.t) DIV (2 * agg.t)
+          |  ELSE -((2 * (-agg.s) + agg.t) DIV (2 * agg.t))
+          |  END AS BIGINT)""".stripMargin).cast("double") / lit(1e6))
+          .as("minkpp"))
+  }
+
   /** Jelinek-Mercer deleted-interpolation EM (Jelinek & Mercer 1980;
     * Chen & Goodman 1998 §2.4 — public): the CLASSIC way to set an
     * interpolation weight, estimating λ in

@@ -1612,6 +1612,16 @@ object LlmQueries {
       graft.operators.TextLm.jmDeletedInterpolationFrom(
         knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
 
+    // Min-K%++ membership score (Zhang et al. 2024): q354's Min-K% with
+    // each token z-NORMALIZED by its context's next-token distribution
+    // (mu = -entropy, sigma over the FULL vocab — closed-form via the
+    // (nc+1)-value grid minus per-history observed sums, never
+    // |histories|x|V| work). Rides the shared doc-bigram cache. See
+    // TextLm.minKppProb.
+    "q371_minkpp_prob" -> ((s, d) =>
+      graft.operators.TextLm.minKppProbFrom(
+        knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
+
     // Per-source segmentation fertility under the unigram-LM seed model
     // — the train->apply round trip for q350 (as q334 is to q331's BPE):
     // Viterbi piece counts per word TYPE, occurrence-weighted per
@@ -5357,6 +5367,101 @@ object LlmQueries {
          |$rounds
          |SELECT * FROM r1 UNION ALL SELECT * FROM r2
          |UNION ALL SELECT * FROM r3""".stripMargin
+    },
+
+    // Mirrors TextLm.minKppProb: pico-quantized per-row moment terms
+    // summed as BIGINTs, per-history mu/sigma from the grid-minus-
+    // observed closed form, z-scored types, the q354 bottom-k take.
+    "q371_minkpp_prob" -> {
+      val pc = "CAST(nc + 1 AS DOUBLE) / CAST(t_types + v AS DOUBLE)"
+      val pf = "CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1)" +
+        " AS DOUBLE) / CAST(4 * c1 * (t_types + v) AS DOUBLE)"
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |db AS MATERIALIZED (
+         |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM (
+         |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+         |      unnest(t[2:len(t)]) AS w2 FROM toks)
+         |  GROUP BY 1, 2, 3),
+         |big AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+         |  FROM db GROUP BY 1, 2),
+         |hist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc
+         |  FROM big GROUP BY 1),
+         |vocab AS MATERIALIZED (
+         |  SELECT w, CAST(coalesce(nc, 0) AS BIGINT) AS nc
+         |  FROM (SELECT DISTINCT unnest(t) AS w FROM toks) vs
+         |  LEFT JOIN cont ON cont.w2 = vs.w),
+         |tv AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM big) AS t_types,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS v),
+         |gmom AS (SELECT CAST(sum(g0r) AS BIGINT) AS g0,
+         |    CAST(sum(g1r) AS BIGINT) AS g1,
+         |    CAST(sum(g2r) AS BIGINT) AS g2
+         |  FROM (SELECT
+         |      CAST(round(CAST(gcnt AS DOUBLE) * ($pc) * 1e12) AS BIGINT)
+         |        AS g0r,
+         |      CAST(round(CAST(gcnt AS DOUBLE) * ($pc) * ln($pc) * 1e12)
+         |        AS BIGINT) AS g1r,
+         |      CAST(round(CAST(gcnt AS DOUBLE) * ($pc) * ln($pc) * ln($pc)
+         |        * 1e12) AS BIGINT) AS g2r
+         |    FROM (SELECT nc, CAST(count(*) AS BIGINT) AS gcnt
+         |          FROM vocab GROUP BY 1), tv)),
+         |obs AS (SELECT w1, CAST(sum(a1r) AS BIGINT) AS a1,
+         |    CAST(sum(a2r) AS BIGINT) AS a2,
+         |    CAST(sum(b0r) AS BIGINT) AS b0,
+         |    CAST(sum(b1r) AS BIGINT) AS b1,
+         |    CAST(sum(b2r) AS BIGINT) AS b2
+         |  FROM (SELECT w1,
+         |      CAST(round(($pf) * ln($pf) * 1e12) AS BIGINT) AS a1r,
+         |      CAST(round(($pf) * ln($pf) * ln($pf) * 1e12) AS BIGINT)
+         |        AS a2r,
+         |      CAST(round(($pc) * 1e12) AS BIGINT) AS b0r,
+         |      CAST(round(($pc) * ln($pc) * 1e12) AS BIGINT) AS b1r,
+         |      CAST(round(($pc) * ln($pc) * ln($pc) * 1e12) AS BIGINT)
+         |        AS b2r
+         |    FROM big JOIN hist USING (w1) JOIN cont USING (w2), tv)
+         |  GROUP BY 1),
+         |hstats AS (
+         |  SELECT w1, mu_h,
+         |    sqrt(greatest(CAST(a2 AS DOUBLE) / 1e12 + lam * (ln(lam) * ln(lam)
+         |     * (CAST(g0 - b0 AS DOUBLE) / 1e12)
+         |     + 2 * ln(lam) * (CAST(g1 - b1 AS DOUBLE) / 1e12)
+         |     + CAST(g2 - b2 AS DOUBLE) / 1e12) - mu_h * mu_h, 0)) AS sg_h
+         |  FROM (
+         |    SELECT w1, a2, b0, b1, b2, g0, g1, g2, lam,
+         |      CAST(a1 AS DOUBLE) / 1e12 + lam * (ln(lam)
+         |       * (CAST(g0 - b0 AS DOUBLE) / 1e12)
+         |       + CAST(g1 - b1 AS DOUBLE) / 1e12) AS mu_h
+         |    FROM (SELECT h.w1, o.a1, o.a2, o.b0, o.b1, o.b2,
+         |        g.g0, g.g1, g.g2,
+         |        CAST(3 * h.n1p AS DOUBLE) / CAST(4 * h.c1 AS DOUBLE) AS lam
+         |      FROM hist h JOIN obs o USING (w1), gmom g))),
+         |sc AS MATERIALIZED (
+         |  SELECT b.w1, b.w2,
+         |    CASE WHEN hs.sg_h > 0 THEN
+         |      CAST(round((ln($pf) - hs.mu_h) / hs.sg_h * 1e6) AS BIGINT)
+         |      END AS z_mu
+         |  FROM big b JOIN hist USING (w1) JOIN cont USING (w2)
+         |  CROSS JOIN tv JOIN hstats hs ON hs.w1 = b.w1),
+         |ex AS (SELECT doc_id, z_mu FROM (
+         |    SELECT db.doc_id, s.z_mu, unnest(generate_series(1, db.occ)) AS i
+         |    FROM db JOIN sc s USING (w1, w2) WHERE s.z_mu IS NOT NULL)),
+         |mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+         |  FROM ex GROUP BY 1),
+         |rk AS (SELECT doc_id, z_mu,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY z_mu) AS rn
+         |  FROM ex)
+         |SELECT rk.doc_id, mm.m AS n_bigrams,
+         |  CAST(CAST(CASE WHEN sum(z_mu) >= 0
+         |    THEN (2 * sum(z_mu) + count(*)) // (2 * count(*))
+         |    ELSE -((2 * (-sum(z_mu)) + count(*)) // (2 * count(*)))
+         |    END AS BIGINT) AS DOUBLE) / 1e6 AS minkpp
+         |FROM rk JOIN mm USING (doc_id)
+         |WHERE rn <= (m * 1 + 4) // 5
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // Mirrors Similarity.prototypicalityBand: the shared semAssignCte

@@ -836,6 +836,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p370 = plan("q370_jm_lambda_em")
     assert(!p370.contains("CartesianProduct"), "EM rounds ride 1-row broadcasts")
     assert(!p370.contains("Window"), "rounds are aggregates")
+    // q371 Min-K%++: moments come from the grid + per-history TYPE
+    // aggregates (never |histories|x|V|); joins stay w1-/bigram-keyed;
+    // the bottom-k take is the q354 in-row fold — window-free
+    val p371 = plan("q371_minkpp_prob")
+    assert(!p371.contains("CartesianProduct"), "moment joins must stay keyed")
+    assert(!p371.contains("Window"), "the bottom-k take is an in-row fold")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {

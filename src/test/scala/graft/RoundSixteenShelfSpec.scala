@@ -217,6 +217,95 @@ class RoundSixteenShelfSpec extends AnyFunSuite {
       "lambda must stay a probability")
   }
 
+  test("minKppProb: engine == algorithm replay; closed-form moments == brute force") {
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "b a b d"), (3L, "x y x y x"),
+      (4L, "a b c d a"), (5L, "y x y q"))
+    val df = docs.toDF("doc_id", "text")
+    def bigrams(t: String) = {
+      val w = t.split(" "); w.dropRight(1).zip(w.drop(1)).toSeq
+    }
+    val docBig = docs.flatMap { case (id, t) =>
+      bigrams(t).groupBy(identity).map { case (g, v) => (id, g, v.size.toLong) }
+    }
+    val big = docBig.groupBy(_._2).map { case (g, v) => g -> v.map(_._3).sum }
+    val c1 = big.toSeq.groupBy(_._1._1).map { case (w, v) => w -> v.map(_._2).sum }
+    val n1p = big.toSeq.groupBy(_._1._1).map { case (w, v) => w -> v.size.toLong }
+    val nc = big.toSeq.groupBy(_._1._2).map { case (w, v) => w -> v.size.toLong }
+    val vocab = docs.flatMap(_._2.split(" ")).distinct
+      .map(w => w -> nc.getOrElse(w, 0L))
+    val tT = big.size.toLong
+    val vV = vocab.size.toLong
+    def pcOf(n: Long) = (n + 1).toDouble / (tT + vV).toDouble
+    def pfOf(g: (String, String)) =
+      ((4L * big(g) - 3L) * (tT + vV)
+        + 3L * n1p(g._1) * (nc.getOrElse(g._2, 0L) + 1L)).toDouble /
+        (4L * c1(g._1) * (tT + vV)).toDouble
+    // grid-quantized global moments
+    val grid = vocab.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+    def gq(j: Int) = grid.map { case (n, gcnt) =>
+      val pc = pcOf(n)
+      // explicit ln chains, NOT pow: the engine text is pc*ln(pc)*ln(pc)
+      val t = j match {
+        case 0 => gcnt.toDouble * pc * 1e12
+        case 1 => gcnt.toDouble * pc * math.log(pc) * 1e12
+        case _ => gcnt.toDouble * pc * math.log(pc) * math.log(pc) * 1e12
+      }
+      math.round(t)
+    }.sum
+    val (g0, g1, g2) = (gq(0), gq(1), gq(2))
+    // per-history observed sums (pico-quantized per type), mu/sigma
+    val byHist = big.keys.toSeq.groupBy(_._1)
+    val hstats = byHist.map { case (w1, gs) =>
+      def s(f: ((String, String)) => Double) = gs.map(g => math.round(f(g))).sum
+      val a1 = s(g => pfOf(g) * math.log(pfOf(g)) * 1e12)
+      val a2 = s(g => pfOf(g) * math.log(pfOf(g)) * math.log(pfOf(g)) * 1e12)
+      val b0 = s(g => pcOf(nc.getOrElse(g._2, 0L)) * 1e12)
+      val b1 = s { g => val p = pcOf(nc.getOrElse(g._2, 0L)); p * math.log(p) * 1e12 }
+      val b2 = s { g => val p = pcOf(nc.getOrElse(g._2, 0L))
+        p * math.log(p) * math.log(p) * 1e12 }
+      val lam = (3L * n1p(w1)).toDouble / (4L * c1(w1)).toDouble
+      val ll = math.log(lam)
+      val mu = a1.toDouble / 1e12 +
+        lam * (ll * ((g0 - b0).toDouble / 1e12) + (g1 - b1).toDouble / 1e12)
+      val sg = math.sqrt(math.max(a2.toDouble / 1e12 +
+        lam * (ll * ll * ((g0 - b0).toDouble / 1e12)
+          + 2 * ll * ((g1 - b1).toDouble / 1e12)
+          + (g2 - b2).toDouble / 1e12) - mu * mu, 0))
+      w1 -> ((mu, sg))
+    }
+    // brute force over the FULL vocab validates the decomposition algebra
+    hstats.foreach { case (w1, (mu, sg)) =>
+      val lam = (3L * n1p(w1)).toDouble / (4L * c1(w1)).toDouble
+      val ps = vocab.map { case (v, n) =>
+        if (big.contains((w1, v))) pfOf((w1, v)) else lam * pcOf(n)
+      }
+      assert(math.abs(ps.sum - 1.0) < 1e-9, s"p(.|$w1) must be a distribution")
+      val muBf = ps.map(p => p * math.log(p)).sum
+      val e2Bf = ps.map(p => p * math.log(p) * math.log(p)).sum
+      assert(math.abs(mu - muBf) < 1e-6 &&
+        math.abs(sg - math.sqrt(e2Bf - muBf * muBf)) < 1e-6,
+        s"closed form vs brute force at $w1: ($mu,$sg) vs ($muBf)")
+    }
+    // per-doc bottom-k take with the signed half-up mean
+    val expected = docs.map { case (id, t) =>
+      val inst = bigrams(t).flatMap { g =>
+        val (mu, sg) = hstats(g._1)
+        if (sg > 0) Some(math.round((math.log(pfOf(g)) - mu) / sg * 1e6))
+        else None
+      }.sorted
+      val m = inst.size.toLong
+      val kk = (m * 1 + 4) / 5
+      val s = inst.take(kk.toInt).sum
+      val v = if (s >= 0) (2 * s + kk) / (2 * kk) else -((2 * -s + kk) / (2 * kk))
+      (id, m, v.toDouble / 1e6)
+    }.toSet
+    val out = graft.operators.TextLm.minKppProb(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.CacheScope.drain()
+    assert(out == expected, s"engine $out vs replay $expected")
+  }
+
   test("dataScalingFit: per-carve ladder and integer OLS slope replayed exactly") {
     // the q364 fixture: 64 docs, every 7th carries unseen-bigram /
     // unseen-history shapes so the ladder's three paths are exercised
