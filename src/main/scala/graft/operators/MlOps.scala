@@ -339,6 +339,70 @@ object MlOps {
         min(col("__sz")).as("min_group"), max(col("__sz")).as("max_group"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — public paper):
+    * the third leg of the release-gate triad after [[kAnonymityProfile]]
+    * (group SIZE) and [[lDiversityProfile]] (value COUNT): a quasi-group
+    * can be large and diverse yet still leak when its sensitive-value
+    * DISTRIBUTION differs sharply from the table's (the skewness attack
+    * l-diversity misses — a group that is 90% one priority tells you that
+    * priority with 90% confidence). Per quasi-group, the Earth-Mover
+    * Distance between the group's sensitive distribution and the global
+    * one over the ORDERED value grid: EMD = Σ_i |cumP_i − cumQ_i| /
+    * (m − 1) (Wasserstein-1 with unit-spaced ordinal values, the paper's
+    * ordered-attribute form; the sensitive column's lexicographic order
+    * is the domain order for TPC-H priorities).
+    *
+    * Exactness: cumulative differences are cross-multiplied integers —
+    * |cumGC·total − cumTC·groupSz| — summed in DECIMAL(38,0) (counts at
+    * 100 TB put the product past 2^63; oracle: HUGEINT), and t is ONE
+    * half-up 6-dp division of exact integers. The above-threshold flag
+    * compares micro-units (t_mu > tNum·1e6/tDen as integers), never
+    * doubles.
+    *
+    * Scale: one (QI, value)-keyed aggregate; the cumulative window runs
+    * over groups × the VALUE GRID (|groups|·m rows — m is the sensitive
+    * domain, a constant), partitioned by group; the global distribution
+    * is an m-row broadcast. Output per quasi-group: quasiCols, group_sz,
+    * t (6 dp), above_t. */
+  def tClosenessProfile(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, tNum: Long = 1L,
+                        tDen: Long = 5L): DataFrame = {
+    require(tNum >= 0 && tDen > 0, "need a t threshold >= 0")
+    val qs = quasiCols.map(col)
+    val gv = df.groupBy(qs :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__gc"))
+    val gsz = gv.groupBy(qs: _*).agg(sum(col("__gc")).as("__gsz"))
+    val tv = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__tc"))
+    val mTot = tv.agg(count(lit(1)).as("__m"), sum(col("__tc")).as("__tot"))
+    // groups x value grid (grid-bounded), zeros filled, cumulative walk
+    val gridded = gsz.crossJoin(broadcast(tv))
+      .join(gv, quasiCols :+ "__v", "left")
+      .withColumn("__gc0", coalesce(col("__gc"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    gridded
+      .withColumn("__cgc", sum(col("__gc0")).over(w))
+      .withColumn("__ctc", sum(col("__tc")).over(w))
+      .crossJoin(broadcast(mTot))
+      .groupBy(qs :+ col("__gsz").as("group_sz"): _*)
+      .agg(expr(
+        """sum(abs(CAST(__cgc AS DECIMAL(38,0)) * __tot
+          |        - CAST(__ctc AS DECIMAL(38,0)) * __gsz))""".stripMargin)
+        .as("__s"),
+        max(col("__m")).as("__m"), max(col("__tot")).as("__tot"))
+      .withColumn("__t_mu", expr(
+        """CAST((2 * __s * 1000000
+          |  + CAST(group_sz AS DECIMAL(38,0)) * __tot * (__m - 1))
+          | div (2 * CAST(group_sz AS DECIMAL(38,0)) * __tot * (__m - 1))
+          | AS BIGINT)""".stripMargin))
+      .select(qs ++ Seq(col("group_sz"),
+        (col("__t_mu").cast("double") / lit(1e6)).as("t"),
+        (col("__t_mu") * lit(tDen) > lit(tNum * 1000000L)).as("above_t")): _*)
+  }
+
   /** ε-differentially-private count release (Laplace mechanism, Dwork et
     * al. 2006): per-group counts plus Laplace(1/ε) noise — the third leg
     * of the privacy family after [[kAnonymityProfile]] (size) and

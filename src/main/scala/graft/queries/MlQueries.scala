@@ -196,6 +196,23 @@ object MlQueries {
       MlOps.dpNoisyCounts(table(s, d, "customer"),
         Seq("c_mktsegment", "c_nationkey"), epsilon = 0.5)),
 
+    // t-closeness over the SAME quasi-identifiers and sensitive
+    // attribute as q269 — the skewness-attack audit l-diversity misses
+    // (a large, diverse group that is 90% one priority still leaks):
+    // exact-integer EMD between each group's priority distribution and
+    // the global one over the ordered value grid, flag at t > 0.2.
+    // Completes the k (size) / l (count) / t (distribution) triad. See
+    // MlOps.tClosenessProfile.
+    "q372_t_closeness" -> ((s, d) =>
+      MlOps.tClosenessProfile(
+        table(s, d, "orders")
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            year(col("o_orderdate")).cast("bigint").as("o_year"),
+            col("o_orderpriority")),
+        Seq("c_mktsegment", "c_nationkey", "o_year"), "o_orderpriority")),
+
     // Closed-form two-feature OLS with intercept: n_chars ~ b0 +
     // b1*n_tokens + b2*n_distinct_tokens over documents. Nine exact BIGINT
     // moment sums in one pass, Cramer determinants in DECIMAL(38,0),
@@ -1104,6 +1121,50 @@ object MlQueries {
         |  CAST(min(sz) AS BIGINT) AS min_group,
         |  CAST(max(sz) AS BIGINT) AS max_group
         |FROM qi GROUP BY 1""".stripMargin,
+
+    // Mirrors MlOps.tClosenessProfile: groups x ordered value grid,
+    // zeros filled, cumulative cross-multiplied integer EMD, HUGEINT-
+    // widened half-up 6-dp t, micro-unit threshold flag.
+    "q372_t_closeness" ->
+      """WITH base AS (SELECT c.c_mktsegment, c.c_nationkey,
+        |    year(o.o_orderdate) AS o_year, o.o_orderpriority AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |gv AS (SELECT c_mktsegment, c_nationkey, o_year, v,
+        |    CAST(count(*) AS BIGINT) AS gc
+        |  FROM base GROUP BY 1, 2, 3, 4),
+        |gsz AS (SELECT c_mktsegment, c_nationkey, o_year,
+        |    CAST(sum(gc) AS BIGINT) AS group_sz
+        |  FROM gv GROUP BY 1, 2, 3),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS tc
+        |  FROM base GROUP BY 1),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(tc) AS BIGINT) AS tot FROM tv),
+        |gr AS (SELECT g.c_mktsegment, g.c_nationkey, g.o_year, g.group_sz,
+        |    tv.v, tv.tc, coalesce(gv.gc, 0) AS gc0
+        |  FROM gsz g CROSS JOIN tv
+        |  LEFT JOIN gv ON gv.c_mktsegment = g.c_mktsegment
+        |    AND gv.c_nationkey = g.c_nationkey
+        |    AND gv.o_year = g.o_year AND gv.v = tv.v),
+        |cum AS (SELECT c_mktsegment, c_nationkey, o_year, group_sz,
+        |    CAST(sum(gc0) OVER (PARTITION BY c_mktsegment, c_nationkey,
+        |      o_year ORDER BY v) AS BIGINT) AS cgc,
+        |    CAST(sum(tc) OVER (PARTITION BY c_mktsegment, c_nationkey,
+        |      o_year ORDER BY v) AS BIGINT) AS ctc
+        |  FROM gr),
+        |sm AS (SELECT c_mktsegment, c_nationkey, o_year, group_sz,
+        |    sum(abs(CAST(cgc AS HUGEINT) * (SELECT tot FROM mt)
+        |          - CAST(ctc AS HUGEINT) * group_sz)) AS s
+        |  FROM cum GROUP BY 1, 2, 3, 4),
+        |tt AS (SELECT c_mktsegment, c_nationkey, o_year, group_sz,
+        |    CAST((2 * s * 1000000
+        |      + CAST(group_sz AS HUGEINT) * mt.tot * (mt.m - 1))
+        |     // (2 * CAST(group_sz AS HUGEINT) * mt.tot * (mt.m - 1))
+        |     AS BIGINT) AS t_mu
+        |  FROM sm, mt)
+        |SELECT c_mktsegment, c_nationkey, o_year, group_sz,
+        |  CAST(t_mu AS DOUBLE) / 1e6 AS t,
+        |  t_mu * 5 > 1000000 AS above_t
+        |FROM tt""".stripMargin,
 
     "q199_ols2_length_model" ->
       """WITH m AS (SELECT

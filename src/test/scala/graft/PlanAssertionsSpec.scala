@@ -842,6 +842,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p371 = plan("q371_minkpp_prob")
     assert(!p371.contains("CartesianProduct"), "moment joins must stay keyed")
     assert(!p371.contains("Window"), "the bottom-k take is an in-row fold")
+    // q372 t-closeness: the cumulative walk runs over groups x the
+    // m-row VALUE grid and every window carries the quasi-identifier
+    // partition keys — an unpartitioned window here would sort the
+    // whole release table through one task
+    val p372 = plan("q372_t_closeness")
+    assert(!p372.contains("CartesianProduct"), "grid joins must broadcast")
+    val w372 = p372.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w372.nonEmpty && w372.forall(_.contains("c_mktsegment")),
+      s"every q372 window must be QI-partitioned:\n${w372.mkString("\n")}")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {

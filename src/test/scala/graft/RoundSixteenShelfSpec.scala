@@ -217,6 +217,23 @@ class RoundSixteenShelfSpec extends AnyFunSuite {
       "lambda must stay a probability")
   }
 
+  test("tClosenessProfile: hand-computed ordered EMD, exact half-up t, threshold flag") {
+    // global: a x3, b x2, c x4 (tot 9, m 3, ordered a < b < c)
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "c"), ("g2", "c"), ("g2", "c"),
+      ("g3", "a"), ("g3", "b"), ("g3", "c")).toDF("g", "v")
+    val out = graft.operators.MlOps.tClosenessProfile(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // g1 cum (2,3,3) vs global (3,5,9): S = 9+12+0 = 21, D = 3*9*2 = 54
+    assert(out("g1") == ((3L, 0.388889, true)))
+    // g2 cum (0,0,3): S = 9+15+0 = 24
+    assert(out("g2") == ((3L, 0.444444, true)))
+    // g3 matches the global shape: S = 0+3+0 = 3 -> t = 3/54, below 0.2
+    assert(out("g3") == ((3L, 0.055556, false)))
+  }
+
   test("minKppProb: engine == algorithm replay; closed-form moments == brute force") {
     val docs = Seq(
       (1L, "a b a b c"), (2L, "b a b d"), (3L, "x y x y x"),
