@@ -488,6 +488,56 @@ object Similarity {
           col("n_exact").cast("double")).as("recall"))
   }
 
+  /** Johnson-Lindenstrauss random-projection recall gate (Achlioptas
+    * 2003's ±1 database-friendly projections — public): project the
+    * embedding space to `dOut` dimensions with a DETERMINISTIC ±1 sign
+    * matrix (sign(i,j) = parity of the house md5 hash of "jl#i#j" — a
+    * pure function of the coordinates, replayed identically by any
+    * engine; no stored matrix, no RNG) and report per-query recall@k of
+    * the projected-space exact top-k against the full-dimension exact
+    * top-k — the audit a pipeline runs before swapping full vectors for
+    * cheap projections in its candidate generator. Complements q112
+    * (sign-LSH recall): LSH approximates the SEARCH, JL approximates the
+    * SPACE.
+    *
+    * Scale: the sign matrix is ONE broadcast row (dims·dOut entries,
+    * constants); projection is an in-row fixed-order fold (narrow, no
+    * shuffle); both top-k sides are [[bruteForceKnn]]'s bounded-query
+    * broadcast scan; the compare is the [[annRecall]] keyed semi-join.
+    * Output: query_id, n_exact, recall. */
+  def jlRecall(emb: DataFrame, idCol: String, vecCol: String,
+               queryPred: org.apache.spark.sql.Column, k: Int = 5,
+               dOut: Int = 16): DataFrame = {
+    require(k >= 1 && dOut >= 1, "need k >= 1, dOut >= 1")
+    val dims = emb.agg(max(size(col(vecCol))).as("d"))
+    val signs = dims.select(expr(
+      s"""transform(sequence(0, ${dOut - 1}), j ->
+         |  transform(sequence(0, d - 1), i ->
+         |    CASE WHEN CAST(conv(substring(md5(concat('jl#',
+         |        CAST(i AS STRING), '#', CAST(j AS STRING))), 1, 15),
+         |        16, 10) AS BIGINT) % 2 = 0
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))"""
+        .stripMargin).as("sm"))
+    val proj = emb.crossJoin(broadcast(signs))
+      .select(col(idCol), expr(
+        s"""transform(sequence(0, ${dOut - 1}), j ->
+           |  aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS DOUBLE),
+           |    (s, i) -> s + CAST(element_at($vecCol, i + 1) AS DOUBLE)
+           |      * element_at(element_at(sm, j + 1), i + 1)))"""
+          .stripMargin).as("proj"))
+    val exact = bruteForceKnn(emb, idCol, vecCol, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = bruteForceKnn(proj, idCol, "proj", queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
     * the corpus with a k-means coarse quantizer ([[kmeansCentroids]] — the
     * same deterministic Lloyd the IVF index trains), then inside each

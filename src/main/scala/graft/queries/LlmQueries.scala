@@ -1612,6 +1612,15 @@ object LlmQueries {
       graft.operators.TextLm.jmDeletedInterpolationFrom(
         knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
 
+    // Johnson-Lindenstrauss ±1 projection recall gate (Achlioptas 2003):
+    // 64 -> 16 dims with a deterministic md5-parity sign matrix (one
+    // broadcast row), projected-space exact top-5 vs full-dimension
+    // exact top-5 per query — LSH (q112) approximates the SEARCH, JL
+    // approximates the SPACE. See Similarity.jlRecall.
+    "q373_jl_recall" -> ((s, d) =>
+      Similarity.jlRecall(table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 100, k = 5, dOut = 16)),
+
     // Min-K%++ membership score (Zhang et al. 2024): q354's Min-K% with
     // each token z-NORMALIZED by its context's next-token distribution
     // (mu = -entropy, sigma over the FULL vocab — closed-form via the
@@ -5367,6 +5376,71 @@ object LlmQueries {
          |$rounds
          |SELECT * FROM r1 UNION ALL SELECT * FROM r2
          |UNION ALL SELECT * FROM r3""".stripMargin
+    },
+
+    // Mirrors Similarity.jlRecall: same md5-parity sign matrix, same
+    // ascending-index projection folds, both exact top-5 rankings, the
+    // q112 recall compare.
+    "q373_jl_recall" -> {
+      // grid columns are gi/gj, NOT i/j: duckHash60's fold lambda uses
+      // i/a/x internally and would shadow same-named outer columns
+      val sg = ScaleQueries.duckHash60(
+        "'jl#' || CAST(gi AS VARCHAR) || '#' || CAST(gj AS VARCHAR)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |dd AS (SELECT max(len(emb)) AS d FROM e),
+         |-- sign grid built RELATIONALLY (one hash per (i, j) row), not in
+         |-- a nested lambda: duckHash60's own fold variable is also 'i'
+         |-- and would shadow a comprehension's 'i' (it silently built a
+         |-- constant matrix when first written that way)
+         |sg0 AS (SELECT gi, gj,
+         |    CASE WHEN ($sg) % 2 = 0 THEN CAST(1 AS DOUBLE)
+         |      ELSE CAST(-1 AS DOUBLE) END AS s
+         |  FROM (SELECT unnest(range(0, d)) AS gi FROM dd),
+         |       (SELECT unnest(range(0, 16)) AS gj)),
+         |smr AS (SELECT gj, list(s ORDER BY gi) AS srow
+         |  FROM sg0 GROUP BY gj),
+         |smx AS (SELECT list(srow ORDER BY gj) AS sm FROM smr),
+         |n AS (SELECT vec_id, emb,
+         |    sqrt(list_reduce(list_transform(emb, x -> x*x),
+         |      (a,x) -> a+x)) AS nrm FROM e),
+         |p AS (SELECT vec_id,
+         |    [list_reduce(list_transform(range(1, len(emb)+1),
+         |        i -> emb[i] * sm[j+1][i]), (a,x) -> a+x)
+         |     for j in range(0, 16)] AS emb
+         |  FROM e, smx),
+         |pn AS (SELECT vec_id, emb,
+         |    sqrt(list_reduce(list_transform(emb, x -> x*x),
+         |      (a,x) -> a+x)) AS nrm FROM p),
+         |xp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, len(q.emb)+1),
+         |      i -> q.emb[i]*c.emb[i]), (a,x) -> a+x) / (q.nrm * c.nrm)
+         |      AS cos
+         |  FROM n q, n c WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |      AS rnk FROM xp) WHERE rnk <= 5),
+         |ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, len(q.emb)+1),
+         |      i -> q.emb[i]*c.emb[i]), (a,x) -> a+x) / (q.nrm * c.nrm)
+         |      AS cos
+         |  FROM pn q, pn c WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |      AS rnk FROM ap) WHERE rnk <= 5),
+         |hits AS (SELECT e2.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM exact e2 JOIN approx a ON a.query_id = e2.query_id
+         |    AND a.neighbor_id = e2.neighbor_id
+         |  GROUP BY 1),
+         |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM exact GROUP BY 1)
+         |SELECT base.query_id, n_exact,
+         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         |    AS recall
+         |FROM base LEFT JOIN hits ON hits.query_id = base.query_id"""
+        .stripMargin
     },
 
     // Mirrors TextLm.minKppProb: pico-quantized per-row moment terms

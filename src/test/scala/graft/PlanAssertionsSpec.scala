@@ -851,6 +851,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val w372 = p372.linesIterator.filter(_.contains("Window")).toSeq
     assert(w372.nonEmpty && w372.forall(_.contains("c_mktsegment")),
       s"every q372 window must be QI-partitioned:\n${w372.mkString("\n")}")
+    // q373 JL recall: the sign matrix is a 1-row broadcast; projection
+    // is narrow; rank windows are per-query (the q33 contract); no
+    // CartesianProduct may appear (the knn broadcasted-query nested
+    // loop is the allowed BNLJ form)
+    val p373 = plan("q373_jl_recall")
+    assert(!p373.contains("CartesianProduct"), "knn sides must broadcast")
+    val w373 = p373.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w373.forall(_.contains("query_id")),
+      s"q373 rank windows must be query-partitioned:\n${w373.mkString("\n")}")
   }
 
   test("q340: max-coverage output is the constant-size pick trace") {

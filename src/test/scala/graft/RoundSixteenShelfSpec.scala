@@ -217,6 +217,37 @@ class RoundSixteenShelfSpec extends AnyFunSuite {
       "lambda must stay a probability")
   }
 
+  test("jlRecall: engine == full pure-Scala replay (signs, projection, both rankings)") {
+    // 24 vectors in 8 dims from a deterministic integer pattern
+    val vecs = (0L until 24L).map { v =>
+      (v, (0 until 8).map(i =>
+        (((v * 7 + i * 13) % 19).toFloat - 9f) / 5f).toArray.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val signs = (0 until 4).map(j => (0 until 8).map(i =>
+      if (h60(s"jl#$i#$j") % 2 == 0) 1.0 else -1.0))
+    def topk(m: Map[Long, Seq[Double]], q: Long, k: Int): Seq[Long] =
+      m.collect { case (vid, v) if vid != q =>
+        val qv = m(q)
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        val c = dot / (math.sqrt(qv.map(x => x * x).sum) *
+          math.sqrt(v.map(x => x * x).sum))
+        (vid, c)
+      }.toSeq.sortBy { case (vid, c) => (-c, vid) }.take(k).map(_._1)
+    val full = vecs.map { case (v, e) => v -> e.map(_.toDouble) }.toMap
+    val proj = full.view.mapValues(e =>
+      (0 until 4).map(j => e.indices.map(i => e(i) * signs(j)(i)).sum).toSeq)
+      .toMap
+    val expected = (0L until 10L).map { q =>
+      val ex = topk(full, q, 3); val ap = topk(proj, q, 3)
+      (q, ex.size.toLong, ex.toSet.intersect(ap.toSet).size.toDouble / ex.size)
+    }.toSet
+    val out = graft.operators.Similarity.jlRecall(
+        df, "vec_id", "embedding", col("vec_id") < 10, k = 3, dOut = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == expected, s"engine $out vs replay $expected")
+  }
+
   test("tClosenessProfile: hand-computed ordered EMD, exact half-up t, threshold flag") {
     // global: a x3, b x2, c x4 (tot 9, m 3, ordered a < b < c)
     val df = Seq(
