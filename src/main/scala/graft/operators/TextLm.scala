@@ -1161,7 +1161,54 @@ object TextLm {
   /** [[groupedKnXent]] over a prebuilt [[docBigrams]] aggregate — the
     * shared-cache consumer form (the group flag rejoins by id). */
   def groupedKnXentFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
-                        textCol: String, grpCol: String): DataFrame = {
+                        textCol: String, grpCol: String): DataFrame =
+    groupedKnXentFromScored(
+      groupedKnScoredFrom(docBig, docs, idCol, textCol, grpCol),
+      idCol, grpCol)
+
+  /** [[groupedKnXentFrom]]'s pooling stage over a prebuilt
+    * [[groupedKnScoredFrom]] frame — the shared-cache consumer form. */
+  def groupedKnXentFromScored(scored: DataFrame, idCol: String,
+                              grpCol: String): DataFrame =
+    scored
+      .groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col("__g").as(grpCol), col("n_docs"), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+
+  /** PER-DOCUMENT cross-entropy under the per-group models — the
+    * [[knCrossEntropyFrom]] output contract (idCol, n_bigrams, xent),
+    * each document scored by ITS OWN group's KN model. The frame the
+    * multilingual CCNet mix composes with [[knMixFrom]] (per-language
+    * terciles over per-language models — q374). */
+  def groupedKnXentPerDocFrom(docBig: DataFrame, docs: DataFrame,
+                              idCol: String, textCol: String,
+                              grpCol: String): DataFrame =
+    groupedKnXentPerDocFromScored(
+      groupedKnScoredFrom(docBig, docs, idCol, textCol, grpCol), idCol)
+
+  /** [[groupedKnXentPerDocFrom]]'s per-doc stage over a prebuilt
+    * [[groupedKnScoredFrom]] frame — the shared-cache consumer form. */
+  def groupedKnXentPerDocFromScored(scored: DataFrame,
+                                    idCol: String): DataFrame =
+    scored
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col(idCol), col("m").as("n_bigrams"),
+        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
+          / lit(1e6)).as("xent"))
+
+  /** The ONE grouped-model scoring stage behind [[groupedKnXentFrom]]
+    * and [[groupedKnXentPerDocFrom]] — group-keyed model aggregates, the
+    * [[knLpSql]] closed form per (group, bigram) type. One row per
+    * (doc, group, bigram type) with columns (idCol, __g, occ, lp_mu, …);
+    * session-shared as the `lang_kn_scored` SharedCaches entry (it feeds
+    * q369 AND q374). */
+  def groupedKnScoredFrom(docBig: DataFrame, docs: DataFrame,
+                          idCol: String, textCol: String,
+                          grpCol: String): DataFrame = {
     val dflag = docBig
       .join(docs.select(col(idCol), col(grpCol).as("__g")), idCol)
     val big = dflag.groupBy(col("__g"), col("w1"), col("w2"))
@@ -1182,12 +1229,6 @@ object TextLm {
       .join(cont, Seq("__g", "w2"))
       .join(broadcast(sizes), Seq("__g"))
       .withColumn("lp_mu", expr(knLpSql))
-      .groupBy(col("__g"))
-      .agg(countDistinct(col(idCol)).as("n_docs"),
-        sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
-      .select(col("__g").as(grpCol), col("n_docs"), col("m").as("n_bigrams"),
-        (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
-          / lit(1e6)).as("xent"))
   }
 
   /** Min-K%++ membership score (Zhang et al. 2024, "Min-K%++: Improved

@@ -144,6 +144,25 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
+  /** The per-language KN scored TYPE frame (one row per (doc, lang,
+    * bigram type) with lp_mu under the doc's OWN language model) — feeds
+    * q369 (pooled) and q374 (per-doc + tercile mix). Session-shared like
+    * [[knDocBigrams]]; memoizes THROUGH it, so it registers AFTER it in
+    * SharedCaches. Standalone semantics: a cold call rebuilds
+    * identically (TextLmSharedSpec pins shared == standalone). */
+  private val langScoredCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def langKnScored(s: SparkSession, d: String): DataFrame = {
+    langScoredCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    langScoredCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        graft.operators.TextLm.groupedKnScoredFrom(
+          knDocBigrams(s, d), table(s, d, "documents"),
+          "doc_id", "text", "lang")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
@@ -1598,9 +1617,8 @@ object LlmQueries {
     // so the whole computation shards by language. Rides the shared
     // doc-bigram cache. See TextLm.groupedKnXent.
     "q369_lang_kn_xent" -> ((s, d) =>
-      graft.operators.TextLm.groupedKnXentFrom(
-        knDocBigrams(s, d), table(s, d, "documents"),
-        "doc_id", "text", "lang")),
+      graft.operators.TextLm.groupedKnXentFromScored(
+        langKnScored(s, d), "doc_id", "lang")),
 
     // Jelinek-Mercer deleted-interpolation EM: lambda in
     // p = lambda*p_ML + (1-lambda)*p_uni LEARNED from held-out data
@@ -1611,6 +1629,24 @@ object LlmQueries {
     "q370_jm_lambda_em" -> ((s, d) =>
       graft.operators.TextLm.jmDeletedInterpolationFrom(
         knDocBigrams(s, d), table(s, d, "documents"), "doc_id", "text")),
+
+    // The COMPLETE multilingual CCNet recipe (Wenzek et al. 2020): each
+    // language's docs scored by ITS OWN KN model (q369's grouped
+    // models, per-doc form), then head/middle/tail terciles WITHIN each
+    // language (q343's integer order-statistic mix) — per-language
+    // models + per-language cuts, so no language's distribution skews
+    // another's buckets. Rides the shared doc-bigram cache. See
+    // TextLm.groupedKnXentPerDocFrom + knMixFrom.
+    "q374_lang_kn_mix" -> ((s, d) =>
+      graft.operators.TextLm.knMixFrom(
+        // per-doc scores off the shared lang_kn_scored frame, persisted:
+        // the tercile stage references the scored docs three times
+        // (value grid, totals, bucket join) — unpersisted, Spark rebuilt
+        // the chain per reference (measured 21.9 s at sf0.1)
+        graft.operators.CacheScope.persist(
+          graft.operators.TextLm.groupedKnXentPerDocFromScored(
+            langKnScored(s, d), "doc_id")),
+        table(s, d, "documents"), "doc_id", "lang")),
 
     // Johnson-Lindenstrauss ±1 projection recall gate (Achlioptas 2003):
     // 64 -> 16 dims with a deterministic md5-parity sign matrix (one
@@ -1793,6 +1829,42 @@ object LlmQueries {
     * verbatim mirror of TextLm.knCrossEntropy's model. Multiply-
     * referenced CTEs are MATERIALIZED (DuckDB re-executes plain CTEs per
     * reference — the r13 lesson). */
+  /** The per-language KN model + scored-types chain shared by the q369
+    * and q374 oracles — knModelCte's shape with the lang key prepended
+    * to every model table. Ends at `sc` (one row per (doc, lang, bigram
+    * type) with lp_mu) so consumers append their own final stage. */
+  private val langKnScoredCte =
+    """base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+      |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+      |db AS MATERIALIZED (SELECT doc_id, lang, w1, w2,
+      |    CAST(count(*) AS BIGINT) AS occ
+      |  FROM pairs GROUP BY 1, 2, 3, 4),
+      |big AS MATERIALIZED (
+      |  SELECT lang, w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+      |  FROM db GROUP BY 1, 2, 3),
+      |hist AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1, 2),
+      |cont AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS nc
+      |  FROM big GROUP BY 1, 2),
+      |tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS t_types
+      |  FROM big GROUP BY 1),
+      |vv AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT lang, unnest(t) AS w FROM base) GROUP BY 1),
+      |sc AS MATERIALIZED (SELECT d.doc_id, d.lang, d.occ,
+      |    CAST(round(ln(
+      |      CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
+      |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS lp_mu
+      |  FROM db d
+      |  JOIN big b ON b.lang = d.lang AND b.w1 = d.w1 AND b.w2 = d.w2
+      |  JOIN hist h ON h.lang = d.lang AND h.w1 = d.w1
+      |  JOIN cont cn ON cn.lang = d.lang AND cn.w2 = d.w2
+      |  JOIN tt ON tt.lang = d.lang
+      |  JOIN vv ON vv.lang = d.lang)""".stripMargin
+
   private val knModelCte =
     """WITH toks AS MATERIALIZED (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -5274,43 +5346,43 @@ object LlmQueries {
     // Mirrors TextLm.groupedKnXent: the knModelCte chain with the lang
     // key prepended to every model table; self-scoring per group, so
     // every scored bigram is observed in its own group's model (no
-    // ladder).
+    // ladder). Shares langKnScoredCte with q374.
     "q369_lang_kn_xent" ->
-      """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
-        |  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
-        |db AS MATERIALIZED (SELECT doc_id, lang, w1, w2,
-        |    CAST(count(*) AS BIGINT) AS occ
-        |  FROM pairs GROUP BY 1, 2, 3, 4),
-        |big AS MATERIALIZED (
-        |  SELECT lang, w1, w2, CAST(sum(occ) AS BIGINT) AS c2
-        |  FROM db GROUP BY 1, 2, 3),
-        |hist AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1,
-        |    CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1, 2),
-        |cont AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS nc
-        |  FROM big GROUP BY 1, 2),
-        |tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS t_types
-        |  FROM big GROUP BY 1),
-        |vv AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS v
-        |  FROM (SELECT lang, unnest(t) AS w FROM base) GROUP BY 1),
-        |sc AS (SELECT d.doc_id, d.lang, d.occ,
-        |    CAST(round(ln(
-        |      CAST((4 * c2 - 3) * (t_types + v) + 3 * n1p * (nc + 1) AS DOUBLE)
-        |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)
-        |      AS lp_mu
-        |  FROM db d
-        |  JOIN big b ON b.lang = d.lang AND b.w1 = d.w1 AND b.w2 = d.w2
-        |  JOIN hist h ON h.lang = d.lang AND h.w1 = d.w1
-        |  JOIN cont cn ON cn.lang = d.lang AND cn.w2 = d.w2
-        |  JOIN tt ON tt.lang = d.lang
-        |  JOIN vv ON vv.lang = d.lang)
-        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(sum(occ) AS BIGINT) AS n_bigrams,
-        |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
-        |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
-        |FROM sc GROUP BY 1""".stripMargin,
+      s"""WITH $langKnScoredCte
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |  CAST(CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+         |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    // Mirrors TextLm.groupedKnXentPerDocFrom |> knMixFrom: the SAME
+    // per-lang scored chain collapsed per doc, then the q343 tercile
+    // stage partitioned by lang.
+    "q374_lang_kn_mix" ->
+      s"""WITH $langKnScoredCte,
+         |sd AS (SELECT doc_id, lang AS g,
+         |    CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+         |      // (2 * sum(occ)) AS BIGINT) AS xmu
+         |  FROM sc GROUP BY 1, 2),
+         |vals AS (SELECT g, xmu, CAST(count(*) AS BIGINT) AS c
+         |  FROM sd GROUP BY 1, 2),
+         |cum AS (SELECT g, xmu, c,
+         |    CAST(sum(c) OVER (PARTITION BY g ORDER BY xmu) AS BIGINT) AS cm
+         |  FROM vals),
+         |tt2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+         |cuts AS (SELECT cum.g,
+         |    min(CASE WHEN cm * 3 >= n THEN xmu END) AS cut1,
+         |    min(CASE WHEN cm * 3 >= n * 2 THEN xmu END) AS cut2
+         |  FROM cum JOIN tt2 USING (g) GROUP BY 1),
+         |bk AS (SELECT sd.g, sd.xmu,
+         |    CASE WHEN sd.xmu <= cuts.cut1 THEN 'head'
+         |         WHEN sd.xmu <= cuts.cut2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM sd JOIN cuts USING (g))
+         |SELECT g AS lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round((CAST(sum(xmu) AS DOUBLE) / 1e6)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_xent
+         |FROM bk GROUP BY 1, 2""".stripMargin,
 
     // Mirrors TextLm.jmDeletedInterpolation: train-side ML bigram +
     // add-one unigram components computed once per held-out TYPE, three

@@ -38,5 +38,6 @@ object SharedCaches {
     "brand_lift" -> (InferQueries.brandLift _),
     "dedup_worklist" -> (LlmQueries.dedupWorklist _),
     "kn_doc_bigrams" -> (LlmQueries.knDocBigrams _),
-    "kn_bigram_model" -> (LlmQueries.knModelShared _))
+    "kn_bigram_model" -> (LlmQueries.knModelShared _),
+    "lang_kn_scored" -> (LlmQueries.langKnScored _))
 }

@@ -35,7 +35,14 @@ class TextLmSharedSpec extends AnyFunSuite {
       "q348_excess_loss_select" -> TextLm.excessLossSelect(
         docs, "doc_id", "text", "source"),
       "q349_mkn_xent" -> TextLm.mknCrossEntropy(docs, "doc_id", "text"),
-      "q354_mink_prob" -> TextLm.minKProb(docs, "doc_id", "text"))
+      "q354_mink_prob" -> TextLm.minKProb(docs, "doc_id", "text"),
+      "q369_lang_kn_xent" -> TextLm.groupedKnXent(
+        docs, "doc_id", "text", "lang"),
+      "q374_lang_kn_mix" -> TextLm.knMixFrom(
+        TextLm.groupedKnXentPerDocFrom(
+          TextLm.docBigrams(docs, "doc_id", "text"), docs,
+          "doc_id", "text", "lang"),
+        docs, "doc_id", "lang"))
     standalone.foreach { case (name, solo) =>
       val viaCache = shared(name)(spark, sf)
       assert(viaCache.columns.toSeq == solo.columns.toSeq,
