@@ -393,11 +393,16 @@ object MlOps {
           |        - CAST(__ctc AS DECIMAL(38,0)) * __gsz))""".stripMargin)
         .as("__s"),
         max(col("__m")).as("__m"), max(col("__tot")).as("__tot"))
+      // m = 1 (a single-value sensitive domain) makes every distribution
+      // equal by construction: t = 0 exactly, never a 0/0 NULL (and the
+      // oracle's HUGEINT division would error instead of NULL — the two
+      // engines would diverge without this guard)
       .withColumn("__t_mu", expr(
-        """CAST((2 * __s * 1000000
+        """CAST(CASE WHEN __m <= 1 THEN 0 ELSE
+          | (2 * __s * 1000000
           |  + CAST(group_sz AS DECIMAL(38,0)) * __tot * (__m - 1))
           | div (2 * CAST(group_sz AS DECIMAL(38,0)) * __tot * (__m - 1))
-          | AS BIGINT)""".stripMargin))
+          | END AS BIGINT)""".stripMargin))
       .select(qs ++ Seq(col("group_sz"),
         (col("__t_mu").cast("double") / lit(1e6)).as("t"),
         (col("__t_mu") * lit(tDen) > lit(tNum * 1000000L)).as("above_t")): _*)

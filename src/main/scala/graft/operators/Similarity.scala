@@ -474,11 +474,22 @@ object Similarity {
     * ≤ |Q|·k rows. Queries with zero ANN hits still appear (left join,
     * recall 0), so a collapsed index cannot hide as missing rows. */
   def annRecall(emb: DataFrame, idCol: String, vecCol: String,
-                queryPred: org.apache.spark.sql.Column, k: Int, nBits: Int): DataFrame = {
-    val exact = bruteForceKnn(emb, idCol, vecCol, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = lshKnn(emb, idCol, vecCol, queryPred, k, nBits)
-      .select(col("query_id"), col("neighbor_id"))
+                queryPred: org.apache.spark.sql.Column, k: Int, nBits: Int): DataFrame =
+    recallCompare(
+      bruteForceKnn(emb, idCol, vecCol, queryPred, k)
+        .select(col("query_id"), col("neighbor_id")),
+      lshKnn(emb, idCol, vecCol, queryPred, k, nBits)
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** The ONE exact-vs-approx recall compare behind [[annRecall]] and
+    * [[jlRecall]] — a (query, neighbor)-keyed semi-join plus two tiny
+    * keyed aggregates over ≤ |Q|·k rows. The exact side is persisted:
+    * it is referenced twice (hits + totals) and carries the full
+    * brute-force scan, which would otherwise run twice. Queries with
+    * zero approx hits still appear (left join, recall 0), so a
+    * collapsed index cannot hide as missing rows. */
+  private def recallCompare(exactRaw: DataFrame, approx: DataFrame): DataFrame = {
+    val exact = CacheScope.persist(exactRaw)
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
@@ -525,17 +536,11 @@ object Similarity {
            |    (s, i) -> s + CAST(element_at($vecCol, i + 1) AS DOUBLE)
            |      * element_at(element_at(sm, j + 1), i + 1)))"""
           .stripMargin).as("proj"))
-    val exact = bruteForceKnn(emb, idCol, vecCol, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = bruteForceKnn(proj, idCol, "proj", queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_exact").cast("double")).as("recall"))
+    recallCompare(
+      bruteForceKnn(emb, idCol, vecCol, queryPred, k)
+        .select(col("query_id"), col("neighbor_id")),
+      bruteForceKnn(proj, idCol, "proj", queryPred, k)
+        .select(col("query_id"), col("neighbor_id")))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition

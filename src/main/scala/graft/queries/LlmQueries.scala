@@ -1576,8 +1576,8 @@ object LlmQueries {
         knDocBigrams(s, d), table(s, d, "documents"),
         "doc_id", "text", "source")),
 
-    // SentencePiece-style character-coverage alphabet selection (Kudo &
-    // Richardson 2018 §4.1): minimal char-frequency prefix covering 99%
+    // SentencePiece-style character-coverage alphabet selection (Kudo
+    // & Richardson 2018 §4.1): minimal char-frequency prefix covering 99%
     // of occurrences; per-source OOV audit. The stage that runs BEFORE
     // every tokenizer trainer on this shelf (q331/q350/q357). See
     // TextPrep.charCoverage.
@@ -5133,7 +5133,7 @@ object LlmQueries {
 
     // Mirrors TextPrep.charCoverage: char-frequency grid, cumulative
     // ranking (count desc, char asc), minimal-prefix keep rule
-    // (cum − cnt)·1000 < total·995, per-source OOV census with the
+    // (cum − cnt)·100 < total·99, per-source OOV census with the
     // HUGEINT-widened half-up 6-dp rate.
     "q365_char_coverage" ->
       """WITH ch AS (

@@ -1156,10 +1156,11 @@ object MlQueries {
         |          - CAST(ctc AS HUGEINT) * group_sz)) AS s
         |  FROM cum GROUP BY 1, 2, 3, 4),
         |tt AS (SELECT c_mktsegment, c_nationkey, o_year, group_sz,
-        |    CAST((2 * s * 1000000
+        |    CAST(CASE WHEN mt.m <= 1 THEN 0 ELSE
+        |     (2 * s * 1000000
         |      + CAST(group_sz AS HUGEINT) * mt.tot * (mt.m - 1))
         |     // (2 * CAST(group_sz AS HUGEINT) * mt.tot * (mt.m - 1))
-        |     AS BIGINT) AS t_mu
+        |     END AS BIGINT) AS t_mu
         |  FROM sm, mt)
         |SELECT c_mktsegment, c_nationkey, o_year, group_sz,
         |  CAST(t_mu AS DOUBLE) / 1e6 AS t,

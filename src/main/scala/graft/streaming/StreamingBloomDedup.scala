@@ -39,15 +39,26 @@ object StreamingBloomDedup {
   final case class LineOcc(shard: Int, line: String, doc_id: Long)
   final case class Decision(doc_id: Long, line: String, dup: Boolean)
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val mdPool =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
-  /** The house 60-bit md5 fold (`Sketches.hash60`'s contract) in plain
-    * Scala — same salts as the batch census, so the two agree on probe
-    * geometry. */
-  private[streaming] def h60(s: String): Long =
-    md5hex(s).take(15).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+  /** The house 60-bit md5 hash (`Sketches.hash60`'s contract) in plain
+    * Scala, via the SAME digest-byte fold the native expression uses
+    * (`Hash60.fold` — no hex-string round trip; thread-local digest, no
+    * per-call allocation). Salts match the batch census (q366), so the
+    * two agree on probe IDENTITY; probe GEOMETRY matches only at
+    * nShards = 1 — a sharded filter probes h60 mod (mBits/nShards), so
+    * per-line bit positions (and individual FP decisions) differ from
+    * the unsharded census while aggregate FP statistics stay
+    * comparable. */
+  private[streaming] def h60(s: String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    graft.functions.Hash60.fold(md.digest(s.getBytes("UTF-8")))
+  }
 
   class Processor(shardBits: Int, k: Int)
       extends StatefulProcessor[Int, LineOcc, Decision] {
@@ -85,8 +96,9 @@ object StreamingBloomDedup {
                      mBits: Int = 1 << 16, nShards: Int = 8,
                      k: Int = 3): Dataset[Decision] = {
     require(lineTokens >= 1 && k >= 1, "need lineTokens>=1, k>=1")
-    require(nShards >= 1 && mBits % (nShards * 8) == 0,
-      "need mBits divisible by nShards*8 (whole bytes per shard)")
+    require(nShards >= 1 && mBits >= nShards * 8 &&
+      mBits % (nShards * 8) == 0,
+      "need mBits >= nShards*8 and divisible by it (whole bytes per shard)")
     val shardBits = mBits / nShards
     import docs.sparkSession.implicits._
     docs.flatMap { d =>

@@ -858,7 +858,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p373 = plan("q373_jl_recall")
     assert(!p373.contains("CartesianProduct"), "knn sides must broadcast")
     val w373 = p373.linesIterator.filter(_.contains("Window")).toSeq
-    assert(w373.forall(_.contains("query_id")),
+    assert(w373.nonEmpty && w373.forall(_.contains("query_id")),
       s"q373 rank windows must be query-partitioned:\n${w373.mkString("\n")}")
   }
 
