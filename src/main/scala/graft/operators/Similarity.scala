@@ -515,21 +515,33 @@ object Similarity {
     * constants); projection is an in-row fixed-order fold (narrow, no
     * shuffle); both top-k sides are [[bruteForceKnn]]'s bounded-query
     * broadcast scan; the compare is the [[annRecall]] keyed semi-join.
-    * Output: query_id, n_exact, recall. */
+    * Empty embedding rows are excluded from both rankings (a zero-norm
+    * vector has no cosine; unguarded it would also drive the descending
+    * sequence(0, -1) trap in the projection fold). Output: query_id,
+    * n_exact, recall. */
   def jlRecall(emb: DataFrame, idCol: String, vecCol: String,
                queryPred: org.apache.spark.sql.Column, k: Int = 5,
                dOut: Int = 16): DataFrame = {
     require(k >= 1 && dOut >= 1, "need k >= 1, dOut >= 1")
-    val dims = emb.agg(max(size(col(vecCol))).as("d"))
+    // sequence() DESCENDS below its start (sequence(0, -1) = [0, -1]), so
+    // an empty embedding would drive element_at(vec, 0) in the projection
+    // fold — and a zero projection would then divide by zero in the ANSI
+    // cosine. Empty vectors carry no direction (cosine is undefined at
+    // zero norm), so they are excluded from BOTH rankings up front — the
+    // pairBleu size-guard discipline; greatest(d, 1) keeps the sign-matrix
+    // sequence ascending even when the filtered table is empty (it also
+    // absorbs the NULL max of an empty table).
+    val emb1 = emb.where(size(col(vecCol)) >= 1)
+    val dims = emb1.agg(max(size(col(vecCol))).as("d"))
     val signs = dims.select(expr(
       s"""transform(sequence(0, ${dOut - 1}), j ->
-         |  transform(sequence(0, d - 1), i ->
+         |  transform(sequence(0, greatest(d, 1) - 1), i ->
          |    CASE WHEN CAST(conv(substring(md5(concat('jl#',
          |        CAST(i AS STRING), '#', CAST(j AS STRING))), 1, 15),
          |        16, 10) AS BIGINT) % 2 = 0
          |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))"""
         .stripMargin).as("sm"))
-    val proj = emb.crossJoin(broadcast(signs))
+    val proj = emb1.crossJoin(broadcast(signs))
       .select(col(idCol), expr(
         s"""transform(sequence(0, ${dOut - 1}), j ->
            |  aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS DOUBLE),
@@ -537,7 +549,7 @@ object Similarity {
            |      * element_at(element_at(sm, j + 1), i + 1)))"""
           .stripMargin).as("proj"))
     recallCompare(
-      bruteForceKnn(emb, idCol, vecCol, queryPred, k)
+      bruteForceKnn(emb1, idCol, vecCol, queryPred, k)
         .select(col("query_id"), col("neighbor_id")),
       bruteForceKnn(proj, idCol, "proj", queryPred, k)
         .select(col("query_id"), col("neighbor_id")))

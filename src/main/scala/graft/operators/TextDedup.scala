@@ -1328,6 +1328,18 @@ object TextDedup {
     * over all (type, slot <= k) probes of b. Strict '<' excludes the
     * type's own probes, so true first-insertions are never flagged.
     *
+    * INSERT-ALWAYS assumption: minSetter counts probe bits from ALL
+    * smaller-o types — including types that are themselves falsely
+    * flagged — i.e. the census models a filter that inserts EVERY
+    * queried item (classic BFF: query and insert are one combined op).
+    * [[graft.streaming.StreamingBloomDedup]] inserts bits only for KEPT
+    * lines, so even at nShards = 1 its decisions are not this census's
+    * canonical-order decisions, and the census slightly OVERSTATES FP
+    * counts relative to a keep-only run (a flagged type's bits never
+    * enter a keep-only filter, so it can't cascade further flags). Read
+    * the census as an upper bound on the keep-only streaming filter, not
+    * its exact price.
+    *
     * Scale: one tile pass + one line-keyed TYPE aggregate (the
     * [[lineDedup]] frame); probes are 3 narrow hash columns; per-bit
     * first-setter tables are bounded by mBits·maxK (CONSTANTS — the

@@ -627,7 +627,11 @@ object TextPrep {
     * everything outside it is the byte-fallback/UNK tail. Output is the
     * per-source audit a corpus card reports: total char occurrences,
     * occurrences outside the kept alphabet, the 6-dp OOV rate, and the
-    * (corpus-global) kept alphabet size.
+    * (corpus-global) kept alphabet size. "Character" means Unicode CODE
+    * POINT on both engines — the Spark side tokenizes with the one-code-
+    * point regex '(?s).' (split(text, "") would shear astral-plane
+    * characters into lone UTF-16 surrogates), matching DuckDB's
+    * code-point string_split(text, '').
     *
     * Exact-integer discipline: the keep rule is the minimal-prefix
     * closed form — a char is kept iff the cumulative count of STRICTLY
@@ -648,8 +652,15 @@ object TextPrep {
                    covNum: Long = 99L, covDen: Long = 100L): DataFrame = {
     require(covNum >= 0 && covNum <= covDen && covDen > 0,
       "need 0 <= covNum/covDen <= 1")
+    // code-POINT tokenization, not code units: split(text, "") Java-regex-
+    // splits astral-plane characters (emoji, CJK extensions) into two lone
+    // UTF-16 surrogates, while DuckDB's string_split(text, '') is
+    // code-point-based — '(?s).' matches exactly one code point in Java
+    // regex, so both engines see the same alphabet (non-BMP fixture in
+    // RoundSixteenShelfSpec pins this)
     val chars = docs.select(col(srcCol).as("source"),
-      explode(split(coalesce(col(textCol), lit("")), "")).as("ch"))
+      explode(regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit("(?s)."), lit(0))).as("ch"))
       .where(col("ch") =!= "")
     val bySrc = CacheScope.persist(chars
       .groupBy(col("source"), col("ch"))

@@ -53,7 +53,11 @@ object StreamingBloomDedup {
     * nShards = 1 — a sharded filter probes h60 mod (mBits/nShards), so
     * per-line bit positions (and individual FP decisions) differ from
     * the unsharded census while aggregate FP statistics stay
-    * comparable. */
+    * comparable. INSERT POLICY also differs even at nShards = 1: this
+    * processor inserts bits only for KEPT lines, while the census's
+    * minSetter formulation models an insert-always filter (flagged
+    * types' bits still count) — so the census upper-bounds, not prices,
+    * a keep-only run; see the q366 scaladoc. */
   private[streaming] def h60(s: String): Long = {
     val md = mdPool.get()
     md.reset()

@@ -47,6 +47,41 @@ class RoundSixteenShelfSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(4) == 2L)
   }
 
+  test("charCoverage: astral-plane chars are ONE code point, never surrogates") {
+    // U+1F600 (😀, a surrogate pair in UTF-16) appears 3x, 'a' 2x, ' ' 2x
+    // (total 7 occurrences as CODE POINTS; a code-unit split would see 10).
+    // covNum/covDen = 4/7: kept <=> prev_cum < 4: 😀(0) yes, ' '(3) no?
+    // ranking (count desc, char asc): 😀(3), then ' '(2) and a(2) tie ->
+    // ' ' < 'a'. prev_cum: 😀 0 -> kept; ' ' 3 * 7 < 7 * 4 -> kept;
+    // 'a' 5*7 >= 28 -> OOV. alphabet = 2, oov = 2 of 7.
+    val docs = Seq(("s", "😀a 😀😀 a"))
+      .toDF("src", "text")
+    val r = graft.operators.TextPrep.charCoverage(
+        docs, "text", "src", covNum = 4L, covDen = 7L)
+      .collect().head
+    graft.operators.CacheScope.drain()
+    // (n_char_occ, n_oov_occ, oov_rate, alphabet_size)
+    assert(r.getLong(1) == 7L, s"code-unit split leaked: ${r.getLong(1)}")
+    assert(r.getLong(2) == 2L && r.getLong(4) == 2L)
+    // halfUp(1e6 * 2/7) = (2*2*1e6 + 7) div 14 = 285714
+    assert(r.getDouble(3) == 0.285714)
+  }
+
+  test("jlRecall: empty embedding row is excluded instead of erroring") {
+    // one empty vector among real ones — sequence(0, -1) DESCENDS, so an
+    // unguarded fold dies with 'array indices start at 1', and a zero
+    // projection would then divide by zero in the ANSI cosine; the guard
+    // drops the zero-norm row from both rankings
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.jlRecall(
+        df, "vec_id", "embedding", col("vec_id") < 2, k = 2, dOut = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(out.forall(_.getLong(1) == 2L)) // 3 survivors -> 2 neighbors each
+  }
+
   test("bloomDedupCensus: equals an imperative Bloom-filter run in canonical order") {
     // 40 docs of 2 three-token lines; every 4th doc repeats doc 0's first
     // line (true dups); tiny mBits=64 forces real false positives.
