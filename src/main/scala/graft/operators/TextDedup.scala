@@ -1405,6 +1405,152 @@ object TextDedup {
       .select(col("doc_id"), col("tpos").cast("long").as("tpos"), col("lts"))
   }
 
+  /** Gopher-style repetition-rule census (Rae et al. 2021 §A1.1, Table
+    * A1 — public paper): the per-document repetition signals the big web
+    * corpora actually gate on, computed in ONE pass family over the
+    * shared tile/n-gram machinery. Per document:
+    *
+    *  - dup_line_frac       — line occurrences beyond their type's first
+    *                          / total lines          (threshold 0.30)
+    *  - dup_line_char_frac  — characters in those repeat occurrences
+    *                          / characters in all lines     (0.20)
+    *  - dup_para_frac / dup_para_char_frac — same rules at paragraph
+    *                          granularity            (0.30 / 0.20)
+    *  - top{2,3,4}_char_frac — characters covered by the most frequent
+    *                          word n-gram (occurrences × n-gram length,
+    *                          over the doc's raw char count; overlapping
+    *                          occurrences may push it past 1.0 — the
+    *                          paper's own definition)  (0.20/0.18/0.16)
+    *
+    * and `pass` = 1 iff every rule holds. q87/q148 gate on single rules;
+    * this is the COMPOSED rule table (the per-source roll-up is
+    * [[gopherPassReport]]). "Lines"/"paragraphs" are the house tile
+    * proxies ([[tileInventory]], `lineTokens`/`paraTokens`-token
+    * non-overlapping tiles) — same rule as q351/q363, so the census can
+    * never drift from the dedup operators. Top-gram ties break to the
+    * lexicographically smallest gram (count desc, gram asc — one
+    * min(struct) aggregate, no window).
+    *
+    * Exact-integer discipline: every fraction is the house half-up 6-dp
+    * rational (2·num·1e6 + den) div (2·den) on BIGINT char/line counts,
+    * DECIMAL(38,0)-widened against the 2^63 wrap (book-length docs ×
+    * 1e6 stay far under 38 digits); zero denominators (empty text)
+    * yield 0. Thresholds compare in micro-units, so pass/fail is an
+    * integer decision on both engines.
+    *
+    * Scale: every aggregate and join is doc-keyed (tile counts, type
+    * counts, n-gram argmax) — embarrassingly doc-parallel, zero
+    * corpus-global state; the n-gram stage is linear in token count.
+    * The 100 TB shape is the q363 one: shuffles carry the doc id. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+                       lineTokens: Int = 3, paraTokens: Int = 10): DataFrame =
+    gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+      .select(col("doc_id") +: col("n_lines") +:
+        gopherRules.map { case (n, _, _) =>
+          (col(s"${n}_mu").cast("double") / lit(1e6)).as(n)
+        } :+ col("pass"): _*)
+
+  /** [[gopherRepetition]] rolled up per source: one row per (source,
+    * rule) with the doc count, failure count and 6-dp failure rate,
+    * plus an 'all' row per source for the full-census pass rate — the
+    * corpus-card table a curation run reports. Rule thresholds are the
+    * Rae et al. 2021 Table A1 values, compared in micro-units. */
+  def gopherPassReport(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, lineTokens: Int = 3,
+                       paraTokens: Int = 10): DataFrame = {
+    val census = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).as("source")), Seq("doc_id"))
+    val ruleAggs = gopherRules.zipWithIndex.map { case ((n, thr, _), i) =>
+      sum(when(col(s"${n}_mu") > thr, 1L).otherwise(0L)).as(s"__f$i")
+    } :+ sum(when(col("pass") === 0L, 1L).otherwise(0L)).as("__fall")
+    census.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), ruleAggs: _*)
+      .select(col("source"), col("n_docs"),
+        expr(s"stack(8, ${gopherRules.zipWithIndex.map { case ((n, _, _), i) =>
+          s"CAST(${i + 1} AS BIGINT), '$n', __f$i"
+        }.mkString(", ")}, CAST(8 AS BIGINT), 'all', __fall)" +
+          " AS (rule_order, rule, n_fail)"))
+      .withColumn("fail_rate",
+        expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_fail * 1000000 + n_docs)" +
+            " DIV (2 * n_docs) AS BIGINT) AS DOUBLE)") / lit(1e6))
+  }
+
+  /** (column-name, micro-unit threshold, doc) per Gopher rule, in report
+    * order — ONE list so the census, the report and the oracle thresholds
+    * can never drift. */
+  private val gopherRules: Seq[(String, Long, String)] = Seq(
+    ("dup_line_frac", 300000L, "dup line fraction <= 0.30"),
+    ("dup_line_char_frac", 200000L, "dup line char fraction <= 0.20"),
+    ("dup_para_frac", 300000L, "dup paragraph fraction <= 0.30"),
+    ("dup_para_char_frac", 200000L, "dup paragraph char fraction <= 0.20"),
+    ("top2_char_frac", 200000L, "top 2-gram char fraction <= 0.20"),
+    ("top3_char_frac", 180000L, "top 3-gram char fraction <= 0.18"),
+    ("top4_char_frac", 160000L, "top 4-gram char fraction <= 0.16"))
+
+  /** The micro-unit census behind [[gopherRepetition]] /
+    * [[gopherPassReport]]: doc_id, n_lines, one `<rule>_mu` BIGINT per
+    * rule, pass ∈ {0,1}. */
+  private def gopherMicro(docs: DataFrame, idCol: String, textCol: String,
+                          lineTokens: Int, paraTokens: Int): DataFrame = {
+    require(lineTokens >= 1 && paraTokens > lineTokens,
+      "need lineTokens >= 1 < paraTokens")
+    // tile-granularity dup stats: per-(doc, tile type) occurrence counts,
+    // then one doc-keyed roll-up — repeats beyond a type's first
+    // occurrence are the duplicated mass (lines AND the chars they carry)
+    def dupStats(tileN: Int, pfx: String): DataFrame =
+      tileInventory(docs, idCol, textCol, tileN)
+        .select(col("doc_id"), array_join(col("lts"), " ").as("line"))
+        .groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("occ"))
+        .select(col("doc_id"), col("occ"),
+          length(col("line")).cast("long").as("len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("occ")).as(s"${pfx}_n"),
+          count(lit(1)).as(s"${pfx}_nt"),
+          sum(col("occ") * col("len")).as(s"${pfx}_ch"),
+          sum((col("occ") - 1L) * col("len")).as(s"${pfx}_dch"))
+    // most frequent word n-gram per doc (count desc, gram asc) and the
+    // char mass its occurrences cover — min(struct(-cnt, gram)), no window
+    def topGram(n: Int, out: String): DataFrame =
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          split(coalesce(col(textCol), lit("")), " ").as("ts"))
+        .where(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ts")) - n),
+            i => array_join(slice(col("ts"), i + 1, lit(n)), " "))).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
+        .select(col("doc_id"),
+          ((-col("m.nc")) * length(col("m.g")).cast("long")).as(out))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"))
+    val joined = base
+      .join(dupStats(lineTokens, "l"), Seq("doc_id"))
+      .join(dupStats(paraTokens, "p"), Seq("doc_id"))
+      .join(topGram(2, "m2"), Seq("doc_id"), "left")
+      .join(topGram(3, "m3"), Seq("doc_id"), "left")
+      .join(topGram(4, "m4"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("m2", "m3", "m4"))
+    def mu(num: String, den: String): Column =
+      when(col(den) === 0L, 0L).otherwise(expr(
+        s"CAST((CAST(2 AS DECIMAL(38,0)) * ($num) * 1000000 + ($den))" +
+          s" DIV (2 * ($den)) AS BIGINT)"))
+    val withMu = joined.select(col("doc_id"), col("l_n").as("n_lines"),
+      mu("l_n - l_nt", "l_n").as("dup_line_frac_mu"),
+      mu("l_dch", "l_ch").as("dup_line_char_frac_mu"),
+      mu("p_n - p_nt", "p_n").as("dup_para_frac_mu"),
+      mu("p_dch", "p_ch").as("dup_para_char_frac_mu"),
+      mu("m2", "n_chars").as("top2_char_frac_mu"),
+      mu("m3", "n_chars").as("top3_char_frac_mu"),
+      mu("m4", "n_chars").as("top4_char_frac_mu"))
+    withMu.withColumn("pass",
+      gopherRules.map { case (n, thr, _) => col(s"${n}_mu") <= thr }
+        .reduce(_ && _).cast("bigint"))
+  }
+
   /** The [[dedupPipeline]] funnel: per-stage docs_in / docs_removed /
     * docs_out in stage order — the attrition report a curation run logs.
     * One 1-row aggregate over the worklist, stacked to three rows. */

@@ -1702,6 +1702,23 @@ object LlmQueries {
     "q356_doremi_weights" -> ((s, d) =>
       graft.operators.TextLm.doremiWeightsFrom(
         knDocBigrams(s, d), knModelShared(s, d),
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // Gopher repetition-rule census (Rae et al. 2021 §A1.1 Table A1):
+    // the per-doc dup-line/dup-paragraph fractions (count AND char
+    // mass, house 3-/10-token tiles) plus top-2/3/4-gram char coverage,
+    // each an exact half-up 6-dp rational, with the all-rules pass
+    // flag at the paper's thresholds. See TextDedup.gopherRepetition.
+    "q375_gopher_repetition" -> ((s, d) =>
+      TextDedup.gopherRepetition(
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // The q375 census rolled up per source: one row per (source, rule)
+    // with failure count + 6-dp failure rate, plus the 'all' row — the
+    // corpus-card table a curation run reports. See
+    // TextDedup.gopherPassReport.
+    "q376_gopher_report" -> ((s, d) =>
+      TextDedup.gopherPassReport(
         table(s, d, "documents"), "doc_id", "text", "source"))
   )
 
@@ -2190,6 +2207,66 @@ object LlmQueries {
 
   private[queries] val minhashPairsSql: String =
     "WITH " + minhashChainSql("documents") + "\n" + minhashFinalSelect
+
+  /** Mirrors TextDedup.gopherMicro: the house 3-/10-token tile
+    * inventories rolled to per-doc dup counts/char mass, the top-2/3/4
+    * word-gram argmax (count desc, gram asc), and the seven micro-unit
+    * half-up rationals (HUGEINT ↔ Spark's DECIMAL(38,0)); ends at `mc`
+    * (doc_id, l_n, r1..r7, pass) so q375/q376 append their final stage. */
+  private val gopherCensusCte: String = {
+    def tiles(n: Int, pfx: String) =
+      s"""${pfx}_t AS (
+         |  SELECT doc_id, array_to_string(ts[i*$n+1 : i*$n+$n], ' ') AS line
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(0,
+         |      greatest((len(ts) + ${n - 1}) // $n, 1) - 1)) AS i FROM toks)),
+         |${pfx}_y AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS occ,
+         |    CAST(length(line) AS BIGINT) AS len FROM ${pfx}_t GROUP BY 1, 2),
+         |${pfx}s AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS ${pfx}_n,
+         |    CAST(count(*) AS BIGINT) AS ${pfx}_nt,
+         |    CAST(sum(occ * len) AS BIGINT) AS ${pfx}_ch,
+         |    CAST(sum((occ - 1) * len) AS BIGINT) AS ${pfx}_dch
+         |  FROM ${pfx}_y GROUP BY 1)""".stripMargin
+    def top(n: Int, out: String) =
+      s"""$out AS (
+         |  SELECT doc_id, cnt * CAST(length(g) AS BIGINT) AS $out FROM (
+         |    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY count(*) DESC, g ASC) AS rn
+         |    FROM (SELECT doc_id, array_to_string(ts[i : i+${n - 1}], ' ') AS g
+         |      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - ${n - 2}))
+         |        AS i) WHERE len(ts) >= $n)
+         |    GROUP BY doc_id, g) WHERE rn = 1)""".stripMargin
+    val r = "(CAST(2 AS HUGEINT) * %s * 1000000 + %s) // (2 * %s)"
+    def mu(num: String, den: String) =
+      s"CAST(CASE WHEN $den = 0 THEN 0 ELSE ${r.format(num, den, den)} END AS BIGINT)"
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+       |  FROM documents),
+       |${tiles(3, "l")},
+       |${tiles(10, "p")},
+       |${top(2, "m2")},
+       |${top(3, "m3")},
+       |${top(4, "m4")},
+       |base AS (SELECT doc_id,
+       |    CAST(length(coalesce(text, '')) AS BIGINT) AS nch FROM documents),
+       |mc AS MATERIALIZED (SELECT base.doc_id, l_n,
+       |    ${mu("(l_n - l_nt)", "l_n")} AS r1,
+       |    ${mu("l_dch", "l_ch")} AS r2,
+       |    ${mu("(p_n - p_nt)", "p_n")} AS r3,
+       |    ${mu("p_dch", "p_ch")} AS r4,
+       |    ${mu("coalesce(m2, 0)", "nch")} AS r5,
+       |    ${mu("coalesce(m3, 0)", "nch")} AS r6,
+       |    ${mu("coalesce(m4, 0)", "nch")} AS r7
+       |  FROM base JOIN ls USING (doc_id) JOIN ps USING (doc_id)
+       |  LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+       |  LEFT JOIN m4 USING (doc_id))""".stripMargin
+  }
+
+  /** The all-rules-hold predicate over the census micro columns — shared
+    * by the q375 pass flag and the q376 'all' row. */
+  private val gopherPassSql: String =
+    "r1 <= 300000 AND r2 <= 200000 AND r3 <= 300000 AND r4 <= 200000" +
+      " AND r5 <= 200000 AND r6 <= 180000 AND r7 <= 160000"
 
   /** Mirrors TextDedup.paragraphMinhashPairs: the q351 line inventory +
     * document-frequency drop + ordered rebuild (clean text, "" when all
@@ -5383,6 +5460,54 @@ object LlmQueries {
          |  round((CAST(sum(xmu) AS DOUBLE) / 1e6)
          |    / CAST(count(*) AS DOUBLE), 6) AS mean_xent
          |FROM bk GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextDedup.gopherRepetition: the shared census chain's
+    // micro columns divided out to 6-dp doubles, pass decided on the
+    // micro integers at the Rae et al. Table A1 thresholds.
+    "q375_gopher_repetition" ->
+      s"""WITH $gopherCensusCte
+         |SELECT doc_id, l_n AS n_lines,
+         |  CAST(r1 AS DOUBLE) / 1e6 AS dup_line_frac,
+         |  CAST(r2 AS DOUBLE) / 1e6 AS dup_line_char_frac,
+         |  CAST(r3 AS DOUBLE) / 1e6 AS dup_para_frac,
+         |  CAST(r4 AS DOUBLE) / 1e6 AS dup_para_char_frac,
+         |  CAST(r5 AS DOUBLE) / 1e6 AS top2_char_frac,
+         |  CAST(r6 AS DOUBLE) / 1e6 AS top3_char_frac,
+         |  CAST(r7 AS DOUBLE) / 1e6 AS top4_char_frac,
+         |  CAST(CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM mc""".stripMargin,
+
+    // Mirrors TextDedup.gopherPassReport: per-(source, rule) failure
+    // counts off the same census chain, stacked by 8-way UNION ALL,
+    // fail_rate as the HUGEINT half-up rational.
+    "q376_gopher_report" -> {
+      val rules = Seq(
+        (1, "dup_line_frac", "r1 > 300000"),
+        (2, "dup_line_char_frac", "r2 > 200000"),
+        (3, "dup_para_frac", "r3 > 300000"),
+        (4, "dup_para_char_frac", "r4 > 200000"),
+        (5, "top2_char_frac", "r5 > 200000"),
+        (6, "top3_char_frac", "r6 > 180000"),
+        (7, "top4_char_frac", "r7 > 160000"),
+        (8, "all", s"NOT ($gopherPassSql)"))
+      val aggs = rules.map { case (i, _, p) =>
+        s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS f$i"
+      }.mkString(",\n    ")
+      val stack = rules.map { case (i, n, _) =>
+        s"SELECT source, n_docs, CAST($i AS BIGINT) AS rule_order, " +
+          s"'$n' AS rule, f$i AS n_fail FROM a"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $gopherCensusCte,
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    $aggs
+         |  FROM mc JOIN documents USING (doc_id) GROUP BY 1),
+         |s AS (
+         |  $stack)
+         |SELECT source, n_docs, rule_order, rule, n_fail,
+         |  CAST(CAST((CAST(2 AS HUGEINT) * n_fail * 1000000 + n_docs)
+         |    // (2 * n_docs) AS BIGINT) AS DOUBLE) / 1e6 AS fail_rate
+         |FROM s""".stripMargin
+    },
 
     // Mirrors TextLm.jmDeletedInterpolation: train-side ML bigram +
     // add-one unigram components computed once per held-out TYPE, three

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 shelf: the Gopher repetition-rule census + per-source report,
+  * exact-substring removal with reconstruction, per-language UniMax and
+  * the KN quantization audit — each pinned on hand-computed fixtures.
+  */
+class RoundSeventeenShelfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("gopherRepetition: hand-computed fractions, tie-breaks, pass flag") {
+    // doc 1: "a b c a b c d e f" — 3-token lines (a b c)x2 + (d e f);
+    //   dup_line_frac = 1/3 = .333333, dup chars 5/15 = .333333;
+    //   one 9-token paragraph tile -> para fracs 0; n_chars = 17;
+    //   top2 tie (a b / b c, both x2) -> 'a b', mass 6/17 = .352941;
+    //   top3 'a b c' x2, mass 10/17 = .588235; top4 all x1 -> smallest
+    //   'a b c a', mass 7/17 = .411765. r1 > .30 -> pass 0.
+    // doc 2: 30 distinct 3-char tokens -> all dup fracs 0; n_chars 119;
+    //   top masses 7/11/15 over 119 = .058824/.092437/.126050 -> pass 1.
+    // doc 3: empty text -> one "" line, every denominator guard -> all 0,
+    //   pass 1.
+    val d2 = (1 to 30).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq((1L, "a b c a b c d e f"), (2L, d2), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L)
+    assert((2 to 8).map(out(1L).getDouble) ==
+      Seq(0.333333, 0.333333, 0.0, 0.0, 0.352941, 0.588235, 0.411765))
+    assert(out(1L).getLong(9) == 0L)
+    assert((2 to 8).map(out(2L).getDouble) ==
+      Seq(0.0, 0.0, 0.0, 0.0, 0.058824, 0.092437, 0.12605))
+    assert(out(2L).getLong(9) == 1L)
+    assert((2 to 8).map(out(3L).getDouble).forall(_ == 0.0))
+    assert(out(3L).getLong(9) == 1L)
+  }
+
+  test("gopherPassReport: per-rule failure counts and half-up rates") {
+    val d2 = (1 to 30).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq((1L, "a b c a b c d e f", "s"), (2L, d2, "s"))
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.TextDedup.gopherPassReport(
+        docs, "doc_id", "text", "src")
+      .collect().map(r => r.getString(3) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    // doc 1 fails rules 1, 2, 5, 6, 7 and 'all'; doc 2 passes everything
+    assert(out("dup_line_frac") == ((2L, 1L, 1L, 0.5)))
+    assert(out("dup_line_char_frac") == ((2L, 2L, 1L, 0.5)))
+    assert(out("dup_para_frac") == ((2L, 3L, 0L, 0.0)))
+    assert(out("dup_para_char_frac") == ((2L, 4L, 0L, 0.0)))
+    assert(out("top2_char_frac") == ((2L, 5L, 1L, 0.5)))
+    assert(out("top3_char_frac") == ((2L, 6L, 1L, 0.5)))
+    assert(out("top4_char_frac") == ((2L, 7L, 1L, 0.5)))
+    assert(out("all") == ((2L, 8L, 1L, 0.5)))
+  }
+}
