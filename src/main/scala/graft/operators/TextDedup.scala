@@ -968,6 +968,88 @@ object TextDedup {
         (col("__amax") - col("__amin") + l).cast("bigint").as("run_tokens"))
   }
 
+  /** Exact-substring dedup with REMOVAL and reconstruction (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * public paper): the production form of [[exactSubstringRuns]]. q300
+    * FINDS the >= l-token verbatim cross-document runs; this operator
+    * REMOVES every matched token range from the LATER document of each
+    * pair (doc_a < doc_b — the keep-first-in-corpus-order policy, the
+    * min-id retention rule every dedup stage here uses) and rebuilds the
+    * survivor from its remaining tokens in order.
+    *
+    * Anchor-keep, not chain-keep (the q142 anchor-greedy precedent): a
+    * range is removed from doc_b whenever SOME smaller doc shares it,
+    * whether or not that smaller doc itself keeps its copy (doc_a's copy
+    * may in turn be removed by a pair with an even smaller doc) — one
+    * position-keyed join instead of a sequential corpus scan, and the
+    * verdict is a pure function of the run set. Intra-document repeats
+    * are out of scope by construction (runs have doc_a < doc_b); the
+    * within-doc rule is [[intraDocLineDedup]].
+    *
+    * Idempotence (the Lee et al. §4 re-run property, spec-pinned): on
+    * the rebuilt corpus the surviving copies are unique, so a second
+    * pass removes nothing — up to splice artifacts (removal can abut
+    * tokens into a NEW >= l window matching another doc; rare in
+    * practice, the paper accepts the same), a re-run is a no-op.
+    *
+    * Scale: covered positions explode one row per REMOVED token — linear
+    * in the duplicated mass, never in pairs (run_tokens bounds the
+    * fan-out; the df cap already bounded the run inventory); the flag is
+    * ONE (doc, pos)-keyed left join against the linear token inventory;
+    * the rebuild is the per-doc aggregate every census here ends with.
+    *
+    * Output per doc: n_tokens, n_tokens_removed, clean_md5 (md5 of the
+    * kept tokens space-joined — md5("") when everything was removed) —
+    * the [[lineDedup]] narrow contract. [[exactSubstringRebuild]] is the
+    * TEXT form downstream composition consumes. */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          l: Int = 20, maxDf: Int = 10): DataFrame =
+    exactSubstrFlagged(docs, idCol, textCol,
+        exactSubstringRuns(docs, idCol, textCol, l, maxDf))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_tokens_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("tok"))))),
+            t => t.getField("tok")), " ")).as("clean_md5"))
+
+  /** [[exactSubstringDedup]]'s rebuild in TEXT form — (doc_id,
+    * clean_text, "" when every token was removed); exists for
+    * composition (the idempotence spec re-runs the operator on it). */
+  def exactSubstringRebuild(docs: DataFrame, idCol: String, textCol: String,
+                            l: Int = 20, maxDf: Int = 10): DataFrame =
+    exactSubstrFlagged(docs, idCol, textCol,
+        exactSubstringRuns(docs, idCol, textCol, l, maxDf))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("tok"))))),
+          t => t.getField("tok")), " ").as("clean_text"))
+
+  /** The flagged token inventory behind both exact-substring removal
+    * forms: (doc_id, pos, tok, __keep) with __keep false exactly on
+    * positions covered by some run's doc_b range — shared so the census
+    * and the rebuild can never drift (the lineFlagged precedent). */
+  private def exactSubstrFlagged(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 runs: DataFrame): DataFrame = {
+    val covered = runs.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("run_tokens") - 1)).as("pos"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), " "))
+          .as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
+        col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .withColumn("__keep", col("__hit").isNull)
+  }
+
   /** C4-style corpus-wide span removal (Raffel et al. 2020 §2.2: "we
     * discarded all but one of any three-sentence span occurring more than
     * once"): tile every document into consecutive `tileTokens`-token spans

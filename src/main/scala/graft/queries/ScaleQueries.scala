@@ -83,6 +83,15 @@ object ScaleQueries {
       TextDedup.exactSubstringRuns(table(s, d, "documents"),
         "doc_id", "text", l = 20, maxDf = 10)),
 
+    // Exact-substring dedup with REMOVAL + reconstruction (Lee et al.
+    // 2022): q300's run inventory applied — every matched range removed
+    // from the later doc of its pair (keep-first-in-corpus-order), docs
+    // rebuilt from surviving tokens. Anchor-keep; idempotent on its own
+    // output (spec-pinned). See TextDedup.exactSubstringDedup.
+    "q377_exact_substr_dedup" -> ((s, d) =>
+      TextDedup.exactSubstringDedup(table(s, d, "documents"),
+        "doc_id", "text", l = 20, maxDf = 10)),
+
     // Kish effective sample size of the length-weighted corpus per
     // language: ESS = (Σw)²/Σw² with w = n_chars — the design-effect
     // audit importance-weighted training mixes (q123 temperature
@@ -791,6 +800,40 @@ object ScaleQueries {
       s"CAST(strpos('0123456789abcdef', substr(substr(md5(CAST($e AS VARCHAR)), 1, 15), i, 1)) - 1 AS BIGINT)), " +
       "(a, x) -> a * 16 + x)"
 
+  /** The q300 run-inventory chain (sliding 20-token window fingerprints
+    * → 2..10 df cap → pair join → per-(pair, diagonal) island stitch),
+    * ending at `runs(doc_a, doc_b, a_start, b_start, run_tokens)` —
+    * shared by the q300 and q377 oracles so the run rule can never
+    * drift between find and remove. */
+  private val exactRunsCte: String =
+    """toks AS (
+      |  SELECT doc_id, split(text, ' ') AS ts FROM documents
+      |  WHERE len(split(text, ' ')) >= 20),
+      |pos AS (
+      |  SELECT doc_id, CAST(u.s.i AS BIGINT) AS i, u.s.fp AS fp
+      |  FROM toks,
+      |    unnest([struct_pack(i := i,
+      |        fp := md5(array_to_string(ts[i:i+19], ' ')))
+      |      for i in range(1, len(ts) - 18)]) AS u(s)),
+      |keep AS (
+      |  SELECT fp FROM pos GROUP BY fp
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+      |pk AS (SELECT pos.* FROM pos JOIN keep USING (fp)),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+      |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |st AS (
+      |  SELECT doc_a, doc_b, ia, ia - ib AS diag,
+      |    ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+      |      ORDER BY ia) AS isl
+      |  FROM pr),
+      |runs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(min(ia) AS BIGINT) AS a_start,
+      |    CAST(min(ia) - diag AS BIGINT) AS b_start,
+      |    CAST(max(ia) - min(ia) + 20 AS BIGINT) AS run_tokens
+      |  FROM st GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     // Mirrors Sketches.captureRecapture: same md5 capture draws, the
@@ -825,34 +868,36 @@ object ScaleQueries {
     // Mirrors TextDedup.exactSubstringRuns stage for stage: sliding
     // 20-token window md5 fingerprints, 2..10 distinct-doc df cap, pair
     // join on the fingerprint, ia − row_number() island stitching per
-    // (pair, diagonal).
+    // (pair, diagonal). Chain shared with the q377 removal oracle.
     "q300_exact_substring" ->
-      """WITH toks AS (
-        |  SELECT doc_id, split(text, ' ') AS ts FROM documents
-        |  WHERE len(split(text, ' ')) >= 20),
-        |pos AS (
-        |  SELECT doc_id, CAST(u.s.i AS BIGINT) AS i, u.s.fp AS fp
-        |  FROM toks,
-        |    unnest([struct_pack(i := i,
-        |        fp := md5(array_to_string(ts[i:i+19], ' ')))
-        |      for i in range(1, len(ts) - 18)]) AS u(s)),
-        |keep AS (
-        |  SELECT fp FROM pos GROUP BY fp
-        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
-        |pk AS (SELECT pos.* FROM pos JOIN keep USING (fp)),
-        |pr AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
-        |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |st AS (
-        |  SELECT doc_a, doc_b, ia, ia - ib AS diag,
-        |    ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
-        |      ORDER BY ia) AS isl
-        |  FROM pr)
-        |SELECT doc_a, doc_b,
-        |  CAST(min(ia) AS BIGINT) AS a_start,
-        |  CAST(min(ia) - diag AS BIGINT) AS b_start,
-        |  CAST(max(ia) - min(ia) + 20 AS BIGINT) AS run_tokens
-        |FROM st GROUP BY doc_a, doc_b, diag, isl""".stripMargin,
+      s"""WITH $exactRunsCte
+         |SELECT doc_a, doc_b, a_start, b_start, run_tokens
+         |FROM runs""".stripMargin,
+
+    // Mirrors TextDedup.exactSubstringDedup: the shared runs chain, each
+    // run's doc_b range exploded to DISTINCT covered positions, one
+    // position-keyed left join against the full token inventory, ordered
+    // rebuild md5 (coalesce '' when every token is removed).
+    "q377_exact_substr_dedup" ->
+      s"""WITH $exactRunsCte,
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_b AS doc_id,
+         |    CAST(unnest(range(b_start, b_start + run_tokens)) AS BIGINT)
+         |      AS pos
+         |  FROM runs)),
+         |tk AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+         |    FROM documents),
+         |    LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i))
+         |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_tokens_removed,
+         |  md5(coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok END,
+         |    ' ' ORDER BY tk.pos), '')) AS clean_md5
+         |FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
+         |  AND cov.pos = tk.pos
+         |GROUP BY tk.doc_id""".stripMargin,
 
     // Mirrors Scale.kishEss: DuckDB's BIGINT sum returns HUGEINT, so both
     // sums are cast back before the two fixed-order double divisions.

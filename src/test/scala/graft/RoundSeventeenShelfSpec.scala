@@ -56,4 +56,50 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
     assert(out("top4_char_frac") == ((2L, 7L, 1L, 0.5)))
     assert(out("all") == ((2L, 8L, 1L, 0.5)))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exactSubstringDedup: removal from the later doc, overlap union, md5 rebuild") {
+    // docs 1 and 2 share s1..s5 (l=4 -> one 5-token run, removed from
+    // doc 2); doc 3 shares s1..s4 with docs 1 AND 2 plus t1..t4 with
+    // doc 4 — overlapping coverage unions by position, doc 4 (largest
+    // id of its pair... doc 3 < doc 4) loses its t-range
+    val docs = Seq(
+      (1L, "w1 w2 s1 s2 s3 s4 s5 w3"),
+      (2L, "x1 s1 s2 s3 s4 s5 x2 x3"),
+      (3L, "s1 s2 s3 s4 t1 t2 t3 t4"),
+      (4L, "y1 t1 t2 t3 t4 y2 y3 y4")).toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.exactSubstringDedup(
+        docs, "doc_id", "text", l = 4, maxDf = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the smallest id everywhere -> untouched
+    assert(out(1L) == ((8L, 0L, md5hex("w1 w2 s1 s2 s3 s4 s5 w3"))))
+    // doc 2: s1..s5 removed (pair 1<2); s1..s4 also in pair 2<3? no —
+    // doc_b is the LARGER id, so 2<3 removes from 3, not 2
+    assert(out(2L) == ((8L, 5L, md5hex("x1 x2 x3"))))
+    // doc 3: s1..s4 covered by pairs (1,3) and (2,3) -> 4 tokens once
+    assert(out(3L) == ((8L, 4L, md5hex("t1 t2 t3 t4"))))
+    // doc 4: t1..t4 covered by pair (3,4)
+    assert(out(4L) == ((8L, 4L, md5hex("y1 y2 y3 y4"))))
+  }
+
+  test("exactSubstringDedup: re-run on the rebuilt corpus is a no-op") {
+    val docs = Seq(
+      (1L, "a1 a2 b1 b2 b3 b4 b5 b6 a3 a4"),
+      (2L, "c1 c2 b1 b2 b3 b4 b5 b6 c3 c4"),
+      (3L, "d1 b1 b2 b3 b4 b5 b6 d2 d3 d4")).toDF("doc_id", "text")
+    val clean = graft.operators.TextDedup.exactSubstringRebuild(
+      docs, "doc_id", "text", l = 4, maxDf = 10)
+    val texts = clean.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == "a1 a2 b1 b2 b3 b4 b5 b6 a3 a4")
+    assert(texts(2L) == "c1 c2 c3 c4" && texts(3L) == "d1 d2 d3 d4")
+    val again = graft.operators.TextDedup.exactSubstringRebuild(
+        clean, "doc_id", "clean_text", l = 4, maxDf = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == texts, "second pass must remove nothing")
+  }
 }
