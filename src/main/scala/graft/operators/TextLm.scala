@@ -1465,4 +1465,129 @@ object TextLm {
     }
     rows.reduce(_.unionByName(_))
   }
+
+  /** Per-language UniMax over the CCNet lineage — the multilingual
+    * budget stage the q374 mix feeds into: within each language, keep
+    * the head + middle terciles of the per-doc own-language KN scores
+    * (the q374 integer order-statistic cuts — CCNet trains on
+    * head/middle and discards the tail, Wenzek et al. 2020 §4.3), then
+    * split the global token budget across LANGUAGES with
+    * [[graft.operators.Scale.unimaxMix]]'s closed-form waterfilling
+    * (UniMax's sources ARE languages in Chung et al. 2023) — epoch caps
+    * per language over the KEPT token counts, so no language's junk
+    * tail inflates its budget share.
+    *
+    * `scoredDocs` is the (idCol, n_bigrams, xent) per-doc frame from
+    * [[groupedKnXentPerDocFromScored]] (the session-shared
+    * `lang_kn_scored` lineage); docs with < 2 tokens carry no bigrams,
+    * are never scored, and do not participate (the q374 contract).
+    * xent's exact integer image is recovered via round(xent·1e6) — the
+    * tercile stage is the same value-grid integer order statistic as
+    * [[knMix]], partitioned by language.
+    *
+    * Scale: tercile cuts on the per-language (xmu) VALUE GRID (grid
+    * window, never a window over doc rows); the keep join broadcasts
+    * |langs| cut rows; the waterfill is [[Scale.unimaxMix]]'s
+    * grid-bounded segment arithmetic. Every shuffle before the
+    * |langs|-row waterfill carries the lang key. Output per language:
+    * lang, n_tokens (kept), cap, allocation, epochs. */
+  def langUnimaxFromScored(scoredDocs: DataFrame, docs: DataFrame,
+                           idCol: String, textCol: String, langCol: String,
+                           epochCap: Int = 2, budgetNum: Int = 1,
+                           budgetDen: Int = 2): DataFrame = {
+    val scored = scoredDocs
+      .select(col(idCol), expr("CAST(round(xent * 1e6) AS BIGINT)").as("__xmu"))
+      .join(docs.select(col(idCol), col(langCol).as("lang"),
+        col(textCol).as("__txt")), idCol)
+    val vals = scored.groupBy(col("lang"), col("__xmu"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("__xmu"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cuts = vals.withColumn("__cum", sum(col("__c")).over(cumW))
+      .join(vals.groupBy(col("lang")).agg(sum(col("__c")).as("__n")), "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("__cum") * 3 >= col("__n") * 2, col("__xmu")))
+        .as("__cut2"))
+    val kept = scored.join(broadcast(cuts), "lang")
+      .where(col("__xmu") <= col("__cut2"))
+    Scale.unimaxMix(kept.select(col("lang"), col("__txt")), "lang", "__txt",
+        epochCap, budgetNum, budgetDen)
+      .withColumnRenamed("source", "lang")
+  }
+
+  /** KenLM-style quantized-model size/loss audit (Heafield 2011;
+    * Whittaker & Raj 2001 — public: production n-gram inference stores
+    * each type's log-probability as a b-bit codebook index over
+    * equal-frequency bins, not a float): for each bit width, report the
+    * model's memory at that quantization and the corpus cross-entropy
+    * delta the quantization costs — the size/quality trade table an LM
+    * shelf ships with.
+    *
+    * Quantizer (a MONOTONE function of the value, so equal lp_mu always
+    * means equal code — ties cannot split): bin(v) = ⌊cumBefore(v) ·
+    * 2^bits / n_types⌋ with cumBefore the count of strictly-smaller
+    * valued types — an order-statistic cut on the lp_mu VALUE GRID (the
+    * q343 discipline: one value-keyed aggregate + one grid window, never
+    * a window over type rows). Codebook value per bin = exact half-up
+    * integer mean of the bin's micro-nat magnitudes ((2·Σm + n) div
+    * (2·n) on m = −lp_mu ≥ 0). When 2^bits ≥ the distinct-value count
+    * every bin is a singleton and the delta is exactly 0 — the audit's
+    * saturation row.
+    *
+    * Corpus xent under each codebook runs ENTIRELY on the value grid
+    * (per-value occurrence mass × its bin's code value — the type table
+    * is never re-joined); sums are DECIMAL(38,0)-widened (occ·15e6
+    * micro-nats passes 2^63 near ~6e11 corpus bigrams — inside the
+    * 100 TB design point, unlike the per-doc sums elsewhere).
+    *
+    * Output per bit width: bits, n_types, n_bins_used, prob_bytes
+    * (⌈n_types·bits/8⌉), codebook_bytes (8 per used bin), xent, xent_q,
+    * xent_delta (nats, 6 dp, delta exact from the micro images). */
+  def knQuantAudit(model: DataFrame, docBig: DataFrame,
+                   bitsList: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(bitsList.nonEmpty && bitsList.forall(b => b >= 1 && b <= 30),
+      "need 1 <= bits <= 30")
+    val big = docBig.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("occ")).as("occ"))
+    // value grid: per distinct lp_mu, type count + occurrence mass
+    val grid = CacheScope.persist(
+      big.join(model, Seq("w1", "w2"))
+        .groupBy(col("lp_mu"))
+        .agg(count(lit(1)).as("tc"), sum(col("occ")).as("socc")))
+    val gw = org.apache.spark.sql.expressions.Window.orderBy(col("lp_mu"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = grid
+      .withColumn("__cb", sum(col("tc")).over(gw) - col("tc"))
+      .withColumn("__m", -col("lp_mu"))
+    val totals = grid.agg(sum(col("tc")).as("n_types"),
+      sum(col("socc")).as("n_occ"),
+      // exact-model corpus xent micro image, DECIMAL(38,0)-widened
+      expr("CAST((2 * sum(CAST(socc AS DECIMAL(38,0)) * (-lp_mu))" +
+        " + sum(socc)) DIV (2 * sum(socc)) AS BIGINT)").as("__xmu"))
+    val perBits = bitsList.map { b =>
+      val binned = ranked.crossJoin(broadcast(totals))
+        .withColumn("__bin",
+          expr(s"CAST(__cb * CAST(${1L << b} AS BIGINT) DIV n_types" +
+            " AS BIGINT)"))
+      val codes = binned.groupBy(col("__bin"))
+        .agg(expr("CAST((2 * sum(CAST(tc AS DECIMAL(38,0)) * __m) + sum(tc))" +
+            " DIV (2 * sum(tc)) AS BIGINT)").as("__mq"),
+          sum(col("socc")).as("__bocc"))
+      codes.crossJoin(broadcast(totals))
+        .agg(max(col("n_types")).as("n_types"),
+          count(lit(1)).as("n_bins_used"),
+          expr("CAST((2 * sum(CAST(__bocc AS DECIMAL(38,0)) * __mq)" +
+            " + max(n_occ)) DIV (2 * max(n_occ)) AS BIGINT)").as("__xqmu"),
+          max(col("__xmu")).as("__xmu"))
+        .select(lit(b.toLong).as("bits"), col("n_types"), col("n_bins_used"),
+          expr(s"CAST((n_types * $b + 7) DIV 8 AS BIGINT)").as("prob_bytes"),
+          (col("n_bins_used") * 8L).as("codebook_bytes"),
+          (col("__xmu").cast("double") / lit(1e6)).as("xent"),
+          (col("__xqmu").cast("double") / lit(1e6)).as("xent_q"),
+          ((col("__xqmu") - col("__xmu")).cast("double") / lit(1e6))
+            .as("xent_delta"))
+    }
+    perBits.reduce(_.unionByName(_))
+  }
 }

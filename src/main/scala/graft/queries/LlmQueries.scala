@@ -1719,7 +1719,27 @@ object LlmQueries {
     // TextDedup.gopherPassReport.
     "q376_gopher_report" -> ((s, d) =>
       TextDedup.gopherPassReport(
-        table(s, d, "documents"), "doc_id", "text", "source"))
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // Per-language UniMax over the CCNet lineage: per-lang KN tercile
+    // keep (head+middle, the q374 cuts) off the shared lang_kn_scored
+    // cache, then Chung et al. 2023 closed-form waterfilling across
+    // LANGUAGES on the kept token counts (2-epoch caps, half-corpus
+    // budget). See TextLm.langUnimaxFromScored.
+    "q378_lang_unimax" -> ((s, d) =>
+      graft.operators.TextLm.langUnimaxFromScored(
+        graft.operators.TextLm.groupedKnXentPerDocFromScored(
+          langKnScored(s, d), "doc_id"),
+        table(s, d, "documents"), "doc_id", "text", "lang")),
+
+    // KenLM-style quantized-model size/loss audit (Heafield 2011): the
+    // shared KN model's memory at 4/8/16-bit equal-frequency codebooks
+    // and the corpus xent delta each costs — order-statistic bins on
+    // the lp_mu value grid, exact integer codebooks and deltas. See
+    // TextLm.knQuantAudit.
+    "q379_kn_quant_audit" -> ((s, d) =>
+      graft.operators.TextLm.knQuantAudit(
+        knModelShared(s, d), knDocBigrams(s, d)))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -5508,6 +5528,94 @@ object LlmQueries {
          |    // (2 * n_docs) AS BIGINT) AS DOUBLE) / 1e6 AS fail_rate
          |FROM s""".stripMargin
     },
+
+    // Mirrors TextLm.langUnimaxFromScored: per-doc xmu off the shared
+    // per-lang scored chain, per-lang tercile cut2, head+middle keep,
+    // kept token sums per lang, then the q355 waterfill chain (segment
+    // candidates nonneg-guarded, k=0 row always survives).
+    "q378_lang_unimax" ->
+      s"""WITH $langKnScoredCte,
+         |sd AS (SELECT doc_id, lang,
+         |    CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+         |      // (2 * sum(occ)) AS BIGINT) AS xmu
+         |  FROM sc GROUP BY 1, 2),
+         |vals AS (SELECT lang, xmu, CAST(count(*) AS BIGINT) AS c
+         |  FROM sd GROUP BY 1, 2),
+         |cum AS (SELECT lang, xmu, c,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY xmu) AS BIGINT) AS cm
+         |  FROM vals),
+         |tt2 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+         |  FROM vals GROUP BY 1),
+         |cuts AS (SELECT cum.lang,
+         |    min(CASE WHEN cm * 3 >= n * 2 THEN xmu END) AS cut2
+         |  FROM cum JOIN tt2 USING (lang) GROUP BY 1),
+         |kept AS (SELECT sd.doc_id FROM sd JOIN cuts USING (lang)
+         |  WHERE sd.xmu <= cuts.cut2),
+         |caps AS MATERIALIZED (
+         |  SELECT d.lang,
+         |    CAST(sum(len(string_split(coalesce(d.text, ''), ' ')))
+         |      AS BIGINT) AS s,
+         |    CAST(sum(len(string_split(coalesce(d.text, ''), ' '))) * 2
+         |      AS BIGINT) AS cap
+         |  FROM kept JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+         |    CAST(count(*) AS BIGINT) AS n FROM caps),
+         |grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(cap) AS BIGINT) AS sc2 FROM caps GROUP BY 1),
+         |segs AS (
+         |  SELECT CAST(sum(c) OVER (ORDER BY cap) AS BIGINT) AS k,
+         |    CAST(sum(sc2) OVER (ORDER BY cap) AS BIGINT) AS p FROM grid
+         |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         |lvl AS (
+         |  SELECT CAST(max((ts * 1 // 2 - p) // (n - k)) AS BIGINT) AS lvl
+         |  FROM segs CROSS JOIN tot
+         |  WHERE k < n AND ts * 1 // 2 >= p)
+         |SELECT lang, s AS n_tokens, CAST(cap AS BIGINT) AS cap,
+         |  CAST(least(cap, lvl) AS BIGINT) AS allocation,
+         |  CAST(CAST((CAST(2 AS HUGEINT) * least(cap, lvl) * 1000000 + s)
+         |    // (2 * s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs
+         |FROM caps CROSS JOIN lvl""".stripMargin,
+
+    // Mirrors TextLm.knQuantAudit: the shared model chain's lp_mu value
+    // grid, equal-frequency bins from strictly-smaller prefix counts,
+    // HUGEINT half-up codebook means and corpus xent images, one row
+    // per bit width.
+    "q379_kn_quant_audit" ->
+      s"""$knModelCte,
+         |gv AS MATERIALIZED (
+         |  SELECT lp_mu, CAST(count(*) AS BIGINT) AS tc,
+         |    CAST(sum(c2) AS BIGINT) AS socc
+         |  FROM model JOIN big USING (w1, w2) GROUP BY 1),
+         |rk AS (SELECT lp_mu, tc, socc,
+         |    CAST(sum(tc) OVER (ORDER BY lp_mu) - tc AS BIGINT) AS cb,
+         |    -lp_mu AS m
+         |  FROM gv),
+         |tots AS (SELECT CAST(sum(tc) AS BIGINT) AS n_types,
+         |    CAST(sum(socc) AS BIGINT) AS n_occ,
+         |    CAST((2 * sum(CAST(socc AS HUGEINT) * (-lp_mu)) + sum(socc))
+         |      // (2 * sum(socc)) AS BIGINT) AS xmu
+         |  FROM gv),
+         |bb AS (SELECT unnest([4, 8, 16]) AS bits),
+         |bn AS (SELECT bits, cb * (1 << bits) // n_types AS bin,
+         |    tc, socc, m
+         |  FROM rk CROSS JOIN tots CROSS JOIN bb),
+         |cd AS (SELECT bits, bin,
+         |    CAST((2 * sum(CAST(tc AS HUGEINT) * m) + sum(tc))
+         |      // (2 * sum(tc)) AS BIGINT) AS mq,
+         |    CAST(sum(socc) AS BIGINT) AS bocc
+         |  FROM bn GROUP BY 1, 2),
+         |fin AS (SELECT bits, CAST(count(*) AS BIGINT) AS n_bins_used,
+         |    CAST((2 * sum(CAST(bocc AS HUGEINT) * mq)
+         |        + (SELECT n_occ FROM tots))
+         |      // (2 * (SELECT n_occ FROM tots)) AS BIGINT) AS xqmu
+         |  FROM cd GROUP BY 1)
+         |SELECT CAST(bits AS BIGINT) AS bits, n_types, n_bins_used,
+         |  CAST((n_types * bits + 7) // 8 AS BIGINT) AS prob_bytes,
+         |  CAST(n_bins_used * 8 AS BIGINT) AS codebook_bytes,
+         |  CAST(xmu AS DOUBLE) / 1e6 AS xent,
+         |  CAST(xqmu AS DOUBLE) / 1e6 AS xent_q,
+         |  CAST(xqmu - xmu AS DOUBLE) / 1e6 AS xent_delta
+         |FROM fin CROSS JOIN tots""".stripMargin,
 
     // Mirrors TextLm.jmDeletedInterpolation: train-side ML bigram +
     // add-one unigram components computed once per held-out TYPE, three

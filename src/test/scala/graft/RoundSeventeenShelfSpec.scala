@@ -102,4 +102,50 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == texts, "second pass must remove nothing")
   }
+
+  test("langUnimaxFromScored: per-lang tercile keep, hand-checked waterfill") {
+    // injected per-doc scores (the operator's scored-cache contract):
+    // lang A docs 1/2/3 at xent .1/.2/.3 -> cut2 = .2, doc 3 dropped;
+    // lang B docs 4/5/6 likewise -> doc 6 dropped.
+    val scored = Seq((1L, 4L, 0.1), (2L, 4L, 0.2), (3L, 4L, 0.3),
+        (4L, 4L, 0.1), (5L, 4L, 0.2), (6L, 4L, 0.3))
+      .toDF("doc_id", "n_bigrams", "xent")
+    def toks(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", toks(10)), (2L, "A", toks(20)), (3L, "A", toks(99)),
+      (4L, "B", toks(4)), (5L, "B", toks(6)), (6L, "B", toks(50)))
+      .toDF("doc_id", "lang", "text")
+    // kept: A = 30 tokens (cap 60), B = 10 (cap 20); budget = 40/2 = 20;
+    // waterfill level L = 10 (10+10 = 20; 11 would need 22) ->
+    // allocations 10/10, epochs 10/30 = .333333 and 10/10 = 1.0
+    val out = graft.operators.TextLm.langUnimaxFromScored(
+        scored, docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("A") == ((30L, 60L, 10L, 0.333333)))
+    assert(out("B") == ((10L, 20L, 10L, 1.0)))
+  }
+
+  test("knQuantAudit: hand-computed bins, codebooks, xent images; saturation row") {
+    // 4 bigram types at lp_mu -1e6/-2e6/-3e6/-4e6 with occ 1/2/3/4.
+    // exact xent = (1+4+9+16)e6 / 10 = 3.0.
+    // bits=1 (2 bins): cumBefore 0,1,2,3 -> bins 0,0,1,1; codebooks
+    // 1.5e6 / 3.5e6; xent_q = (3*1.5e6 + 7*3.5e6)/10 = 2.9 -> delta -0.1.
+    // bits=2 (4 bins): singleton bins -> delta exactly 0.
+    val model = Seq(("a", "b", -1000000L), ("b", "c", -2000000L),
+        ("c", "d", -3000000L), ("d", "e", -4000000L))
+      .toDF("w1", "w2", "lp_mu")
+    val docBig = Seq((1L, "a", "b", 1L), (1L, "b", "c", 2L),
+        (2L, "c", "d", 3L), (2L, "d", "e", 4L))
+      .toDF("doc_id", "w1", "w2", "occ")
+    val out = graft.operators.TextLm.knQuantAudit(
+        model, docBig, bitsList = Seq(1, 2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    graft.operators.CacheScope.drain()
+    // prob_bytes: (4*1+7) div 8 = 1; (4*2+7) div 8 = 1
+    assert(out(1L) == ((4L, 2L, 1L, 16L, 3.0, 2.9, -0.1)))
+    assert(out(2L) == ((4L, 4L, 1L, 32L, 3.0, 3.0, 0.0)))
+  }
 }
