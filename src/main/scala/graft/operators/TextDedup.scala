@@ -1558,6 +1558,78 @@ object TextDedup {
             " DIV (2 * n_docs) AS BIGINT) AS DOUBLE)") / lit(1e6))
   }
 
+  /** Gopher QUALITY-rule census (Rae et al. 2021 §A1.1, first block —
+    * public paper): the non-repetition half of the Table A1 gate,
+    * completing [[gopherRepetition]]'s rule table. Per document:
+    *
+    *  - n_words ∈ [50, 100000]
+    *  - mean word length ∈ [3, 10] characters (exact half-up 6-dp)
+    *  - symbol-to-word ratio ('#' or ellipsis occurrences / words) ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet ('-' or '•'); ≤ 30% end with
+    *    an ellipsis ("..." or "…") — "lines" are the house
+    *    [[tileInventory]] 3-token proxy, the q375 rule
+    *  - ≥ 80% of words contain ≥ 1 alphabetic character
+    *  - ≥ 2 occurrences of the paper's stop set (the, be, to, of, and,
+    *    that, have, with)
+    *
+    * and pass = 1 iff every rule holds. Ratios are the house half-up
+    * 6-dp rationals on BIGINT counts (zero denominators → 0); rule
+    * decisions compare micro-unit integers on both engines.
+    *
+    * Scale: ONE tokenize pass feeds every word-level aggregate (all
+    * doc-keyed); the line rules ride the shared tile inventory — zero
+    * corpus-global state, the q375 shape. */
+  def gopherQualityRules(docs: DataFrame, idCol: String, textCol: String,
+                         lineTokens: Int = 3): DataFrame = {
+    require(lineTokens >= 1, "need lineTokens >= 1")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("wchars"),
+        sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L))
+          .as("alpha_words"),
+        sum(when(col("w").isin(stops: _*), 1L).otherwise(0L))
+          .as("n_stopwords"))
+    val syms = docs.select(col(idCol).cast("long").as("doc_id"),
+      (regexp_count(coalesce(col(textCol), lit("")), lit("#")) +
+        regexp_count(coalesce(col(textCol), lit("")), lit("\\.\\.\\.")) +
+        regexp_count(coalesce(col(textCol), lit("")), lit("…")))
+        .cast("long").as("n_sym"))
+    val lines = tileInventory(docs, idCol, textCol, lineTokens)
+      .select(col("doc_id"), array_join(col("lts"), " ").as("line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line").rlike("^[-•]"), 1L).otherwise(0L))
+          .as("bullet_lines"),
+        sum(when(col("line").rlike("(\\.\\.\\.|…)$"), 1L).otherwise(0L))
+          .as("ellipsis_lines"))
+    def mu(num: String, den: String): Column =
+      when(col(den) === 0L, 0L).otherwise(expr(
+        s"CAST((CAST(2 AS DECIMAL(38,0)) * ($num) * 1000000 + ($den))" +
+          s" DIV (2 * ($den)) AS BIGINT)"))
+    words.join(syms, Seq("doc_id")).join(lines, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_stopwords"),
+        mu("wchars", "n_words").as("__mwl"),
+        mu("n_sym", "n_words").as("__sym"),
+        mu("bullet_lines", "n_lines").as("__bul"),
+        mu("ellipsis_lines", "n_lines").as("__ell"),
+        mu("alpha_words", "n_words").as("__alf"))
+      .select(col("doc_id"), col("n_words"),
+        (col("__mwl").cast("double") / lit(1e6)).as("mean_word_len"),
+        (col("__sym").cast("double") / lit(1e6)).as("symbol_ratio"),
+        (col("__bul").cast("double") / lit(1e6)).as("bullet_line_frac"),
+        (col("__ell").cast("double") / lit(1e6)).as("ellipsis_line_frac"),
+        (col("__alf").cast("double") / lit(1e6)).as("alpha_word_frac"),
+        col("n_stopwords"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("__mwl") >= 3000000L && col("__mwl") <= 10000000L &&
+          col("__sym") <= 100000L && col("__bul") <= 900000L &&
+          col("__ell") <= 300000L && col("__alf") >= 800000L &&
+          col("n_stopwords") >= 2L).cast("bigint").as("pass"))
+  }
+
   /** (column-name, micro-unit threshold, doc) per Gopher rule, in report
     * order — ONE list so the census, the report and the oracle thresholds
     * can never drift. */
@@ -1569,6 +1641,54 @@ object TextDedup {
     ("top2_char_frac", 200000L, "top 2-gram char fraction <= 0.20"),
     ("top3_char_frac", 180000L, "top 3-gram char fraction <= 0.18"),
     ("top4_char_frac", 160000L, "top 4-gram char fraction <= 0.16"))
+
+  /** Rule-vs-LM cross-audit: does each Gopher repetition rule actually
+    * separate documents by language-model quality on THIS corpus? For
+    * every q375 rule (and the all-rules gate) the mean KN cross-entropy
+    * of passing vs failing documents, over the scored population —
+    * the ablation table a curation run consults before turning a
+    * threshold on (a rule whose failing docs score BETTER than its
+    * passing docs is mis-calibrated for the corpus). `scoredDocs` is the
+    * (idCol, n_bigrams, xent) frame from [[graft.operators.TextLm]]'s
+    * scoring stage (the session-shared KN model); docs with < 2 tokens
+    * carry no score and are excluded from both counts (documented —
+    * the q378 scored-population contract).
+    *
+    * Exact arithmetic: xent's integer image is recovered once
+    * (round(xent·1e6)); per-rule sums are BIGINT; the two means divide
+    * out at the end (round(·, 6), the tercileMix mean contract; NULL
+    * when a side is empty). One joined frame, ONE aggregate row, one
+    * stack — no per-rule passes. Scale: the census is doc-keyed (q375),
+    * the join is id-keyed, the stack is 8 rows. */
+  def gopherXentAblation(docs: DataFrame, idCol: String, textCol: String,
+                         scoredDocs: DataFrame, lineTokens: Int = 3,
+                         paraTokens: Int = 10): DataFrame = {
+    val j = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+      .join(scoredDocs.select(col(idCol).cast("long").as("doc_id"),
+        expr("CAST(round(xent * 1e6) AS BIGINT)").as("__xmu")), Seq("doc_id"))
+    val preds = gopherRules.map { case (n, thr, _) =>
+      (n, col(s"${n}_mu") <= thr)
+    } :+ (("all", col("pass") === 1L))
+    val aggs = preds.zipWithIndex.flatMap { case ((_, ok), i) => Seq(
+      sum(when(ok, 1L).otherwise(0L)).as(s"__p$i"),
+      sum(when(ok, col("__xmu")).otherwise(0L)).as(s"__sp$i"),
+      sum(when(!ok, 1L).otherwise(0L)).as(s"__f$i"),
+      sum(when(!ok, col("__xmu")).otherwise(0L)).as(s"__sf$i"))
+    }
+    val stacked = preds.zipWithIndex.map { case ((n, _), i) =>
+      s"CAST(${i + 1} AS BIGINT), '$n', __p$i, __sp$i, __f$i, __sf$i"
+    }.mkString(", ")
+    j.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${preds.size}, $stacked)" +
+        " AS (rule_order, rule, n_pass, __sp, n_fail, __sf)"))
+      .select(col("rule_order"), col("rule"), col("n_pass"), col("n_fail"),
+        when(col("n_pass") === 0L, lit(null).cast("double")).otherwise(
+          round((col("__sp").cast("double") / lit(1e6))
+            / col("n_pass").cast("double"), 6)).as("mean_xent_pass"),
+        when(col("n_fail") === 0L, lit(null).cast("double")).otherwise(
+          round((col("__sf").cast("double") / lit(1e6))
+            / col("n_fail").cast("double"), 6)).as("mean_xent_fail"))
+  }
 
   /** The micro-unit census behind [[gopherRepetition]] /
     * [[gopherPassReport]]: doc_id, n_lines, one `<rule>_mu` BIGINT per
@@ -1631,6 +1751,36 @@ object TextDedup {
     withMu.withColumn("pass",
       gopherRules.map { case (n, thr, _) => col(s"${n}_mu") <= thr }
         .reduce(_ && _).cast("bigint"))
+  }
+
+  /** Duplicate-cluster size census — the corpus-card table behind every
+    * near-dup stage: how much of the corpus sits in duplicate clusters,
+    * and how big they run (FineWeb/Dolma report exactly this histogram;
+    * cluster-size skew also drives the q91/q121 retention cost model).
+    * Components of the near-dup pair graph ([[connectedComponents]] over
+    * the session-shared MinHash pairs) grouped by size; documents in no
+    * pair appear as the cluster_size = 1 row (components are always
+    * ≥ 2 docs, so the row never collides). Output: cluster_size,
+    * n_clusters, n_docs — Σ n_docs = |corpus| by construction (the
+    * spec's conservation pin).
+    *
+    * Scale: the pair graph is the priced shared artifact; the census
+    * adds two keyed aggregates on the cluster map and one anti-join for
+    * the singleton row — nothing touches text. */
+  def dupClusterCensus(docs: DataFrame, idCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val cl = connectedComponents(pairs)
+    val hist = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val sing = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(sing)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
   }
 
   /** The [[dedupPipeline]] funnel: per-stage docs_in / docs_removed /

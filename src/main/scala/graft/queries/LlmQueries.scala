@@ -1739,7 +1739,35 @@ object LlmQueries {
     // TextLm.knQuantAudit.
     "q379_kn_quant_audit" -> ((s, d) =>
       graft.operators.TextLm.knQuantAudit(
-        knModelShared(s, d), knDocBigrams(s, d)))
+        knModelShared(s, d), knDocBigrams(s, d))),
+
+    // Gopher QUALITY-rule census (Rae et al. 2021 §A1.1, first block):
+    // word count / mean word length / symbol ratio / bullet + ellipsis
+    // line fractions / alphabetic-word fraction / stop-set presence,
+    // pass at the paper's thresholds — the non-repetition half of the
+    // q375 gate. See TextDedup.gopherQualityRules.
+    "q380_gopher_quality" -> ((s, d) =>
+      TextDedup.gopherQualityRules(
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // Rule-vs-LM cross-audit: per q375 rule (and the all-rules gate),
+    // mean KN xent of passing vs failing docs over the scored
+    // population — is each repetition threshold actually separating by
+    // LM quality on THIS corpus? Rides the shared KN caches. See
+    // TextDedup.gopherXentAblation.
+    "q381_gopher_xent_ablation" -> ((s, d) =>
+      TextDedup.gopherXentAblation(
+        table(s, d, "documents"), "doc_id", "text",
+        graft.operators.TextLm.knCrossEntropyFrom(
+          knDocBigrams(s, d), knModelShared(s, d), "doc_id"))),
+
+    // Duplicate-cluster size census over the shared MinHash pair graph:
+    // components by size + the singleton row — the corpus-card
+    // histogram every near-dup stage reports (sum(n_docs) = |corpus|).
+    // See TextDedup.dupClusterCensus.
+    "q382_dup_cluster_census" -> ((s, d) =>
+      TextDedup.dupClusterCensus(
+        table(s, d, "documents"), "doc_id", nearDupPairs(s, d)))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2287,6 +2315,18 @@ object LlmQueries {
   private val gopherPassSql: String =
     "r1 <= 300000 AND r2 <= 200000 AND r3 <= 300000 AND r4 <= 200000" +
       " AND r5 <= 200000 AND r6 <= 180000 AND r7 <= 160000"
+
+  /** (rule_order, rule, FAIL predicate over mc's micro columns) — the
+    * ONE list behind the q376 and q381 oracle stacks. */
+  private lazy val gopherRuleFailSql: Seq[(Int, String, String)] = Seq(
+    (1, "dup_line_frac", "r1 > 300000"),
+    (2, "dup_line_char_frac", "r2 > 200000"),
+    (3, "dup_para_frac", "r3 > 300000"),
+    (4, "dup_para_char_frac", "r4 > 200000"),
+    (5, "top2_char_frac", "r5 > 200000"),
+    (6, "top3_char_frac", "r6 > 180000"),
+    (7, "top4_char_frac", "r7 > 160000"),
+    (8, "all", s"NOT ($gopherPassSql)"))
 
   /** Mirrors TextDedup.paragraphMinhashPairs: the q351 line inventory +
     * document-frequency drop + ordered rebuild (clean text, "" when all
@@ -5501,19 +5541,10 @@ object LlmQueries {
     // counts off the same census chain, stacked by 8-way UNION ALL,
     // fail_rate as the HUGEINT half-up rational.
     "q376_gopher_report" -> {
-      val rules = Seq(
-        (1, "dup_line_frac", "r1 > 300000"),
-        (2, "dup_line_char_frac", "r2 > 200000"),
-        (3, "dup_para_frac", "r3 > 300000"),
-        (4, "dup_para_char_frac", "r4 > 200000"),
-        (5, "top2_char_frac", "r5 > 200000"),
-        (6, "top3_char_frac", "r6 > 180000"),
-        (7, "top4_char_frac", "r7 > 160000"),
-        (8, "all", s"NOT ($gopherPassSql)"))
-      val aggs = rules.map { case (i, _, p) =>
+      val aggs = gopherRuleFailSql.map { case (i, _, p) =>
         s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS f$i"
       }.mkString(",\n    ")
-      val stack = rules.map { case (i, n, _) =>
+      val stack = gopherRuleFailSql.map { case (i, n, _) =>
         s"SELECT source, n_docs, CAST($i AS BIGINT) AS rule_order, " +
           s"'$n' AS rule, f$i AS n_fail FROM a"
       }.mkString("\n  UNION ALL ")
@@ -5616,6 +5647,148 @@ object LlmQueries {
          |  CAST(xqmu AS DOUBLE) / 1e6 AS xent_q,
          |  CAST(xqmu - xmu AS DOUBLE) / 1e6 AS xent_delta
          |FROM fin CROSS JOIN tots""".stripMargin,
+
+    // Mirrors TextDedup.gopherQualityRules: per-doc word aggregates,
+    // symbol counts, bullet/ellipsis line flags on the 3-token tiles,
+    // HUGEINT half-up ratios, pass decided on micro integers.
+    "q380_gopher_quality" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts,
+        |    coalesce(text, '') AS txt
+        |  FROM documents),
+        |wa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
+        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1
+        |      ELSE 0 END) AS BIGINT) AS alpha_words,
+        |    CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that',
+        |      'have','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+        |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1),
+        |sy AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(txt, '#'))
+        |      + len(regexp_extract_all(txt, '\.\.\.'))
+        |      + len(regexp_extract_all(txt, '…')) AS BIGINT) AS n_sym
+        |  FROM toks),
+        |lt AS (SELECT doc_id, array_to_string(ts[i*3+1 : i*3+3], ' ') AS line
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(0,
+        |      greatest((len(ts) + 2) // 3, 1) - 1)) AS i FROM toks)),
+        |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-•]') THEN 1
+        |      ELSE 0 END) AS BIGINT) AS bullet_lines,
+        |    CAST(sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN 1
+        |      ELSE 0 END) AS BIGINT) AS ellipsis_lines
+        |  FROM lt GROUP BY 1),
+        |r AS (SELECT wa.doc_id, n_words, n_stopwords,
+        |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+        |      (CAST(2 AS HUGEINT) * wchars * 1000000 + n_words)
+        |        // (2 * n_words) END AS BIGINT) AS mwl,
+        |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+        |      (CAST(2 AS HUGEINT) * n_sym * 1000000 + n_words)
+        |        // (2 * n_words) END AS BIGINT) AS sym,
+        |    CAST(CASE WHEN n_lines = 0 THEN 0 ELSE
+        |      (CAST(2 AS HUGEINT) * bullet_lines * 1000000 + n_lines)
+        |        // (2 * n_lines) END AS BIGINT) AS bul,
+        |    CAST(CASE WHEN n_lines = 0 THEN 0 ELSE
+        |      (CAST(2 AS HUGEINT) * ellipsis_lines * 1000000 + n_lines)
+        |        // (2 * n_lines) END AS BIGINT) AS ell,
+        |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+        |      (CAST(2 AS HUGEINT) * alpha_words * 1000000 + n_words)
+        |        // (2 * n_words) END AS BIGINT) AS alf
+        |  FROM wa JOIN sy USING (doc_id) JOIN la USING (doc_id))
+        |SELECT doc_id, n_words,
+        |  CAST(mwl AS DOUBLE) / 1e6 AS mean_word_len,
+        |  CAST(sym AS DOUBLE) / 1e6 AS symbol_ratio,
+        |  CAST(bul AS DOUBLE) / 1e6 AS bullet_line_frac,
+        |  CAST(ell AS DOUBLE) / 1e6 AS ellipsis_line_frac,
+        |  CAST(alf AS DOUBLE) / 1e6 AS alpha_word_frac,
+        |  n_stopwords,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mwl BETWEEN 3000000 AND 10000000 AND sym <= 100000
+        |    AND bul <= 900000 AND ell <= 300000 AND alf >= 800000
+        |    AND n_stopwords >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r""".stripMargin,
+
+    // Mirrors TextDedup.gopherXentAblation: the shared census chain's
+    // micro columns joined to the per-doc KN xmu (the knModelCte chain
+    // with k-prefixed names — gopherCensusCte owns 'toks'), one
+    // aggregate row, the 8-way stack, NULL-guarded means.
+    "q381_gopher_xent_ablation" -> {
+      val aggs = gopherRuleFailSql.map { case (i, _, fail) =>
+        s"""CAST(sum(CASE WHEN NOT ($fail) THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS p$i,
+           |    CAST(sum(CASE WHEN NOT ($fail) THEN xmu ELSE 0 END) AS BIGINT)
+           |      AS sp$i,
+           |    CAST(sum(CASE WHEN $fail THEN 1 ELSE 0 END) AS BIGINT) AS f$i,
+           |    CAST(sum(CASE WHEN $fail THEN xmu ELSE 0 END) AS BIGINT)
+           |      AS sf$i""".stripMargin
+      }.mkString(",\n    ")
+      val stack = gopherRuleFailSql.map { case (i, n, _) =>
+        s"SELECT CAST($i AS BIGINT) AS rule_order, '$n' AS rule, " +
+          s"p$i AS n_pass, f$i AS n_fail, sp$i AS sp, sf$i AS sf FROM a"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $gopherCensusCte,
+         |kt AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |kdb AS MATERIALIZED (
+         |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM (
+         |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+         |      unnest(t[2:len(t)]) AS w2 FROM kt)
+         |  GROUP BY 1, 2, 3),
+         |kbig AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+         |  FROM kdb GROUP BY 1, 2),
+         |khist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM kbig GROUP BY 1),
+         |kcont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc
+         |  FROM kbig GROUP BY 1),
+         |ktv AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM kbig) AS t_types,
+         |    (SELECT CAST(count(DISTINCT w1) AS BIGINT)
+         |       FROM (SELECT unnest(t) AS w1 FROM kt)) AS v),
+         |kmodel AS (
+         |  SELECT kbig.w1, kbig.w2,
+         |    CAST(round(ln(
+         |      CAST((4*c2 - 3)*(t_types + v) + 3*n1p*(nc + 1) AS DOUBLE)
+         |      / CAST(4*c1*(t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS lp_mu
+         |  FROM kbig JOIN khist USING (w1) JOIN kcont USING (w2)
+         |  CROSS JOIN ktv),
+         |sdx AS (SELECT doc_id,
+         |    CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
+         |      // (2 * sum(occ)) AS BIGINT) AS xmu
+         |  FROM kdb JOIN kmodel USING (w1, w2) GROUP BY 1),
+         |jj AS (SELECT mc.*, sdx.xmu FROM mc JOIN sdx USING (doc_id)),
+         |a AS (SELECT
+         |    $aggs
+         |  FROM jj),
+         |s AS (
+         |  $stack)
+         |SELECT rule_order, rule, n_pass, n_fail,
+         |  CASE WHEN n_pass = 0 THEN NULL ELSE
+         |    round((CAST(sp AS DOUBLE) / 1e6) / CAST(n_pass AS DOUBLE), 6)
+         |    END AS mean_xent_pass,
+         |  CASE WHEN n_fail = 0 THEN NULL ELSE
+         |    round((CAST(sf AS DOUBLE) / 1e6) / CAST(n_fail AS DOUBLE), 6)
+         |    END AS mean_xent_fail
+         |FROM s""".stripMargin
+    },
+
+    // Mirrors TextDedup.dupClusterCensus: the shared cluster lineage
+    // grouped by component size + the singleton row (components are
+    // always >= 2 docs, so size 1 never collides).
+    "q382_dup_cluster_census" -> (clusterCte + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM cl GROUP BY 1),
+        |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM cs GROUP BY 1),
+        |sing AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |  CAST((SELECT count(*) FROM documents)
+        |    - (SELECT count(*) FROM cl) AS BIGINT) AS n_clusters)
+        |SELECT cluster_size, n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM sing)"""
+      .stripMargin),
 
     // Mirrors TextLm.jmDeletedInterpolation: train-side ML bigram +
     // add-one unigram components computed once per held-out TYPE, three

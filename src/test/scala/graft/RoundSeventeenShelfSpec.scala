@@ -148,4 +148,67 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
     assert(out(1L) == ((4L, 2L, 1L, 16L, 3.0, 2.9, -0.1)))
     assert(out(2L) == ((4L, 4L, 1L, 32L, 3.0, 3.0, 0.0)))
   }
+
+  test("gopherQualityRules: hand-computed ratios and the paper's thresholds") {
+    // doc 1: all 8 stop words + 52x 'word' = 60 words, 232 chars ->
+    //   mean 232/60 = 3.866667, all alpha, 8 stopwords -> pass
+    // doc 2: 4 words -> fails the word-count floor
+    // doc 3: 'that have' + 42 wd-words (4 chars) + 6 '#' = 50 words,
+    //   mean (4*44+6)/50 = 3.64, symbols 6/50 = .12 > .1 -> fail,
+    //   alpha 44/50 = .88 passes
+    val d1 = "the be to of and that have with " + Seq.fill(52)("word").mkString(" ")
+    val d3 = "that have " + (3 to 44).map(i => f"wd$i%02d").mkString(" ") +
+      " # # # # # #"
+    val docs = Seq((1L, d1), (2L, "only four words here"), (3L, d3))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.gopherQualityRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 60L)
+    assert(out(1L).getDouble(2) == 3.866667)
+    assert(out(1L).getDouble(6) == 1.0 && out(1L).getLong(7) == 8L)
+    assert(out(1L).getLong(8) == 1L, "doc 1 must pass every rule")
+    assert(out(2L).getLong(1) == 4L && out(2L).getDouble(2) == 4.25)
+    assert(out(2L).getLong(8) == 0L, "doc 2 fails the word-count floor")
+    assert(out(3L).getLong(1) == 50L && out(3L).getDouble(2) == 3.64)
+    assert(out(3L).getDouble(3) == 0.12 && out(3L).getDouble(6) == 0.88)
+    assert(out(3L).getLong(8) == 0L, "doc 3 fails the symbol ratio")
+  }
+
+  test("gopherQualityRules: bullet and ellipsis line fractions on the tile proxy") {
+    // tokens: '- aa bb' tile (bullet start) + 'cc dd ee...' tile
+    // (ellipsis end); 1/2 each
+    val docs = Seq((1L, "- aa bb cc dd ee...")).toDF("doc_id", "text")
+    val r = graft.operators.TextDedup.gopherQualityRules(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    assert(r.getLong(8) == 0L)
+  }
+
+  test("gopherXentAblation: pass/fail means per rule, NULL on empty sides") {
+    // doc 1 fails dup_line rules (the q375 fixture), doc 2 passes all,
+    // doc 3 has no score (absent from scoredDocs) -> excluded
+    val d2 = (1 to 30).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq((1L, "a b c a b c d e f"), (2L, d2), (3L, ""))
+      .toDF("doc_id", "text")
+    val scored = Seq((1L, 8L, 1.0), (2L, 29L, 3.0))
+      .toDF("doc_id", "n_bigrams", "xent")
+    val out = graft.operators.TextDedup.gopherXentAblation(
+        docs, "doc_id", "text", scored)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("dup_line_frac") == ((1L, 1L, Some(3.0), Some(1.0))))
+    assert(out("dup_para_frac") == ((2L, 0L, Some(2.0), None)))
+    assert(out("all") == ((1L, 1L, Some(3.0), Some(1.0))))
+  }
+
+  test("dupClusterCensus: histogram + singleton row conserves the corpus") {
+    val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.TextDedup.dupClusterCensus(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((3L, 3L))))
+    assert(out.values.map(_._2).sum == 8L, "sum(n_docs) must equal |corpus|")
+  }
 }
