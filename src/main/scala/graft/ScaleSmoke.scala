@@ -300,6 +300,11 @@ import org.apache.spark.sql.functions._
   *   lang_unimax     1x rows=5      3.8 s   10x rows=5      15.4 s
   *   kn_quant        1x rows=3      3.7 s   10x rows=3       5.5 s
   *   jl_recall       1x rows=100    0.9 s   10x rows=1000    4.9 s
+  *   gopher_quality  1x rows=5000   0.6 s   10x rows=50000   1.6 s
+  *   xent_ablation   1x rows=8      3.5 s   10x rows=8      15.8 s
+  *   cluster_census  1x rows=4      1.1 s   10x rows=5       3.9 s
+  *   self_bleu       1x rows=5000   0.3 s   10x rows=50000   0.8 s
+  *   substr_sweep    1x rows=3      2.8 s   10x rows=3      12.9 s
   * }}}
   * Reading: char_coverage/bloom_census/t_closeness/kn_quant are the
   * grid-bounded family — their char-type / line-type / value grids are
@@ -318,7 +323,17 @@ import org.apache.spark.sql.functions._
   * q378 consumer rides the session-shared lang_kn_scored cache, where
   * the marginal cost is the grid waterfill. jl_recall scales BOTH query
   * count (100/replica) and corpus: 100x work for 5.4x cost — the
-  * broadcast-scan floor.
+  * broadcast-scan floor. gopher_quality is a pure doc-keyed scan (10x
+  * rows out for 2.7x). xent_ablation's 4.5x is the STANDALONE shape
+  * (census + its own KN model build; the q381 consumer rides the shared
+  * kn caches — 2.9 s warmed isolated at sf0.1). cluster_census's 3.5x
+  * is the CC rounds over the replica-clique graph; the census itself is
+  * two keyed aggregates on the cluster map (component count constant,
+  * sizes shift 2,3,4 → 10k-cliques — visible in the 10x row count).
+  * self_bleu rides the gram TYPE tables (constant across replicas —
+  * only C shifts, uniformly) at 2.7x for 10x rows out; substr_sweep is
+  * three q300 window passes at 4.6x — replica cliques grow the df-capped
+  * pair volume inside each pass, the documented q300 adversarial case.
   *
   * Round-13 shelf curves (quiet box, 2026-08-14, sf0.001×10):
   * {{{
@@ -1628,6 +1643,42 @@ object ScaleSmoke {
           operators.TextLm.docBigrams(df, "doc_id", "text"))
         operators.TextLm.knQuantAudit(
           operators.TextLm.knBigramModel(db, df, "text"), db).count()
+      }
+      // quality census: one tokenize pass + doc-keyed aggregates — the
+      // gopher_census shape minus the n-gram argmax.
+      time(s"gopher_quality  $label") {
+        operators.TextDedup.gopherQualityRules(df, "doc_id", "text").count()
+      }
+      // rule-vs-xent ablation: the census (doc-keyed) + one id-keyed
+      // join to KN scores + ONE aggregate row — the kn_xent curve plus
+      // the census's.
+      time(s"xent_ablation   $label") {
+        operators.TextDedup.gopherXentAblation(df, "doc_id", "text",
+          operators.TextLm.knCrossEntropy(df, "doc_id", "text")).count()
+      }
+      // cluster census: two keyed aggregates + one anti-join on the CC
+      // map over the PREBUILT pair graph (the pair_bleu pricing shape);
+      // replicas turn every doc into a factor-clique, so the component
+      // count is constant while sizes shift 2,3,4 -> factor·k.
+      val pairs2 = operators.CacheScope.persist(
+        operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
+          threshold = 0.5).select(col("doc_a"), col("doc_b")))
+      pairs2.count()
+      time(s"cluster_census  $label") {
+        operators.TextDedup.dupClusterCensus(df, "doc_id", pairs2).count()
+      }
+      // self-BLEU: per-doc gram tables joined to corpus TYPE tables —
+      // replicas multiply both c and C uniformly, so clipped mass and
+      // the precisions CHANGE meaningfully (rest-of-corpus grows), but
+      // cost is tokenize + type-keyed joins, the lm_xent curve.
+      time(s"self_bleu       $label") {
+        operators.TextDedup.selfBleu(df, "doc_id", "text").count()
+      }
+      // granularity sweep: |ls| df-capped window passes — the q300
+      // curve three times, covered-position explode linear in dup mass.
+      time(s"substr_sweep    $label") {
+        operators.TextDedup.exactSubstringSweep(df, "doc_id", "text")
+          .count()
       }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage

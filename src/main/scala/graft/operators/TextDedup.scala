@@ -289,6 +289,106 @@ object TextDedup {
         col("log_bleu2"))
   }
 
+  /** Self-BLEU-2 corpus diversity census (Zhu et al. 2018, Texygen —
+    * public): each document BLEU-scored against the REST of the corpus
+    * as the reference pool — the diversity audit generation papers
+    * report, turned on a training corpus: a source whose documents
+    * self-BLEU high is internally repetitive (template families,
+    * boilerplate) even when no single pair crosses a dedup threshold.
+    * [[pairBleu]] diagnoses PAIRS the MinHash stage already caught;
+    * this scores EVERY document against everything else.
+    *
+    * Reference-pool form: clipped count of gram g in doc d =
+    * min(c_d(g), C(g) − c_d(g)) with C the corpus count — "the rest of
+    * the corpus" exactly, no per-reference max (the pool is one bag).
+    * Order 4 (the Texygen standard): low orders saturate on any corpus
+    * with a shared vocabulary (measured: p2 ≡ 1 across all 5000 sf0.1
+    * docs — every bigram recurs somewhere), while 4-gram clipping
+    * separates (mean p4 0.33, 29 zero / 255 saturated docs). Brevity
+    * penalty is identically 0 in log space (the pool is always longer
+    * than the candidate), so log selfBLEU-4 = Σ_k ln p_k / 4,
+    * micro-rounded once (the [[pairBleu]] convention); NULL when any
+    * precision is 0 or the doc has < 4 tokens.
+    *
+    * Scale: per-(doc, order) gram aggregates joined to the corpus gram
+    * TYPE tables (Zipf-bounded) on the gram key — doc-keyed +
+    * type-keyed shuffles only, never doc × doc. Output: doc_id, p1..p4,
+    * log_selfbleu4. */
+  def selfBleu(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = CacheScope.persist(docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("t")))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    def grams(k: Int): DataFrame =
+      toks.select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(t) >= $k THEN transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $k))) " +
+          "ELSE slice(t, 1, 0) END")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def clippedSelf(k: Int): DataFrame = {
+      val gk = grams(k)
+      gk.join(gk.groupBy(col("g")).agg(sum(col("c")).as("cg")), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(sum(least(col("c"), col("cg") - col("c"))).as(s"m$k"))
+    }
+    val joined = (1 to 4).foldLeft(lens) { (acc, k) =>
+      acc.join(clippedSelf(k), Seq("doc_id"), "left")
+    }
+    val withP = (1 to 4).foldLeft(joined) { (acc, k) =>
+      acc.withColumn(s"p$k", when(col("n") >= k.toLong,
+        coalesce(col(s"m$k"), lit(0L)).cast("double") /
+          (col("n") - (k - 1).toLong).cast("double")))
+    }
+    withP
+      .withColumn("log_selfbleu4", expr(
+        """CAST(round((0.25 * (ln(CASE WHEN p1 > 0 THEN p1 END)
+          |  + ln(CASE WHEN p2 > 0 THEN p2 END)
+          |  + ln(CASE WHEN p3 > 0 THEN p3 END)
+          |  + ln(CASE WHEN p4 > 0 THEN p4 END))) * 1e6) AS BIGINT)"""
+          .stripMargin).cast("double") / lit(1e6))
+      .select(col("doc_id"), col("p1"), col("p2"), col("p3"), col("p4"),
+        col("log_selfbleu4"))
+  }
+
+  /** Dedup-granularity sweep (the Lee et al. 2022 §4 tuning artifact):
+    * [[exactSubstringRuns]] at several window lengths l, each reduced to
+    * the numbers the threshold decision needs — run count, distinct
+    * duplicated tokens (doc_b side, the [[exactSubstringDedup]] removal
+    * mass) and the duplicated fraction of the corpus (half-up 6-dp).
+    * Short l over-matches (natural collocations), long l under-matches
+    * (misses short boilerplate); the sweep shows where the curve bends
+    * for THIS corpus.
+    *
+    * Scale: |ls| passes over the window-fingerprint machinery, each
+    * df-capped exactly like q300; the covered-position explode stays
+    * linear in duplicated mass per l. Output row per l: l, n_runs,
+    * n_dup_tokens, n_tokens, dup_frac. */
+  def exactSubstringSweep(docs: DataFrame, idCol: String, textCol: String,
+                          ls: Seq[Int] = Seq(10, 20, 40),
+                          maxDf: Int = 10): DataFrame = {
+    require(ls.nonEmpty && ls.forall(_ >= 2), "need window lengths >= 2")
+    val total = docs.select(
+      sum(size(split(coalesce(col(textCol), lit("")), " ")))
+        .cast("long").as("n_tokens"))
+    val rows = ls.map { l =>
+      val runs = CacheScope.persist(
+        exactSubstringRuns(docs, idCol, textCol, l, maxDf))
+      val nRuns = runs.agg(count(lit(1)).as("n_runs"))
+      val nDup = runs.select(col("doc_b").as("d"),
+          explode(sequence(col("b_start"),
+            col("b_start") + col("run_tokens") - 1)).as("pos"))
+        .distinct()
+        .agg(count(lit(1)).as("n_dup_tokens"))
+      nRuns.crossJoin(nDup)
+        .select(lit(l.toLong).as("l"), col("n_runs"), col("n_dup_tokens"))
+    }
+    rows.reduce(_ unionByName _).crossJoin(broadcast(total))
+      .withColumn("dup_frac",
+        expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_dup_tokens * 1000000" +
+            " + n_tokens) DIV (2 * n_tokens) AS BIGINT) AS DOUBLE)")
+          / lit(1e6))
+  }
+
   /** Distinct character n-grams of `textCol` as ONE array per document (rows
     * shorter than n chars are dropped) — the set representation for
     * [[ngramJaccardPairs]]. */

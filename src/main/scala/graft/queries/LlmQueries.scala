@@ -1767,7 +1767,14 @@ object LlmQueries {
     // See TextDedup.dupClusterCensus.
     "q382_dup_cluster_census" -> ((s, d) =>
       TextDedup.dupClusterCensus(
-        table(s, d, "documents"), "doc_id", nearDupPairs(s, d)))
+        table(s, d, "documents"), "doc_id", nearDupPairs(s, d))),
+
+    // Self-BLEU-2 corpus diversity census (Zhu et al. 2018): every doc
+    // BLEU-scored against the rest of the corpus as one reference pool
+    // — internal-repetitiveness audit below the dedup thresholds. See
+    // TextDedup.selfBleu.
+    "q383_self_bleu" -> ((s, d) =>
+      TextDedup.selfBleu(table(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -5770,6 +5777,52 @@ object LlmQueries {
          |    round((CAST(sf AS DOUBLE) / 1e6) / CAST(n_fail AS DOUBLE), 6)
          |    END AS mean_xent_fail
          |FROM s""".stripMargin
+    },
+
+    // Mirrors TextDedup.selfBleu: per-(doc, order 1..4) gram counts
+    // joined to corpus gram totals, clipped by min(c, C - c), identical
+    // fixed-order double precisions and the micro-rounded log (the q367
+    // rounding convention; BP = 0 in log space against the pool).
+    "q383_self_bleu" -> {
+      val orders = (1 to 4).map { k =>
+        val gramExpr =
+          if (k == 1) "unnest(t) AS g"
+          else s"array_to_string(t[i:i+${k - 1}], ' ') AS g"
+        val from =
+          if (k == 1) s"(SELECT doc_id, $gramExpr FROM toks)"
+          else s"(SELECT doc_id, $gramExpr FROM toks, LATERAL " +
+            s"(SELECT unnest(range(1, len(t) - ${k - 2})) AS i) " +
+            s"WHERE len(t) >= $k)"
+        s"""g$k AS MATERIALIZED (
+           |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+           |  FROM $from GROUP BY 1, 2),
+           |t$k AS (SELECT g, CAST(sum(c) AS BIGINT) AS cg
+           |  FROM g$k GROUP BY 1),
+           |m$k AS (SELECT doc_id,
+           |    CAST(sum(least(c, cg - c)) AS BIGINT) AS m$k
+           |  FROM g$k JOIN t$k USING (g) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val ps = (1 to 4).map { k =>
+        s"""CASE WHEN n >= $k THEN
+           |      CAST(coalesce(m$k.m$k, 0) AS DOUBLE)
+           |        / CAST(n - ${k - 1} AS DOUBLE) END AS p$k""".stripMargin
+      }.mkString(",\n    ")
+      val joins = (1 to 4).map(k => s"LEFT JOIN m$k USING (doc_id)")
+        .mkString(" ")
+      val lns = (1 to 4).map(k => s"ln(CASE WHEN p$k > 0 THEN p$k END)")
+        .mkString("\n    + ")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+         |  FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |$orders,
+         |p AS (SELECT lens.doc_id,
+         |    $ps
+         |  FROM lens $joins)
+         |SELECT doc_id, p1, p2, p3, p4,
+         |  CAST(CAST(round((0.25 * ($lns)) * 1e6) AS BIGINT)
+         |    AS DOUBLE) / 1e6 AS log_selfbleu4
+         |FROM p""".stripMargin
     },
 
     // Mirrors TextDedup.dupClusterCensus: the shared cluster lineage

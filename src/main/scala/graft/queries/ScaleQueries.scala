@@ -92,6 +92,14 @@ object ScaleQueries {
       TextDedup.exactSubstringDedup(table(s, d, "documents"),
         "doc_id", "text", l = 20, maxDf = 10)),
 
+    // Dedup-granularity sweep (Lee et al. 2022 §4): the q300/q377 run
+    // machinery at l = 10/20/40, each reduced to run count, distinct
+    // removed-token mass and the duplicated corpus fraction — the
+    // threshold-tuning artifact. See TextDedup.exactSubstringSweep.
+    "q384_exact_substr_sweep" -> ((s, d) =>
+      TextDedup.exactSubstringSweep(table(s, d, "documents"),
+        "doc_id", "text")),
+
     // Kish effective sample size of the length-weighted corpus per
     // language: ESS = (Σw)²/Σw² with w = n_chars — the design-effect
     // audit importance-weighted training mixes (q123 temperature
@@ -898,6 +906,60 @@ object ScaleQueries {
          |FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
          |  AND cov.pos = tk.pos
          |GROUP BY tk.doc_id""".stripMargin,
+
+    // Mirrors TextDedup.exactSubstringSweep: the q300 chain with the
+    // window length l as a DATA column (one comprehension parameterized
+    // by the unnested [10, 20, 40] row), every stage keyed by l, zero
+    // rows coalesced back in from the l grid.
+    "q384_exact_substr_sweep" ->
+      """WITH ll AS (SELECT unnest([10, 20, 40]) AS l),
+        |toks0 AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_tokens FROM toks0),
+        |pos AS MATERIALIZED (
+        |  SELECT l, doc_id, CAST(u.s.i AS BIGINT) AS i, u.s.fp AS fp
+        |  FROM toks0, ll,
+        |    unnest([struct_pack(i := i,
+        |        fp := md5(array_to_string(ts[i:i+l-1], ' ')))
+        |      for i in range(1, len(ts) - l + 2)]) AS u(s)
+        |  WHERE len(ts) >= l),
+        |keep AS (
+        |  SELECT l, fp FROM pos GROUP BY l, fp
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+        |pk AS (SELECT pos.* FROM pos JOIN keep USING (l, fp)),
+        |pr AS (
+        |  SELECT a.l, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.i AS ia, b.i AS ib
+        |  FROM pk a JOIN pk b
+        |    ON a.l = b.l AND a.fp = b.fp AND a.doc_id < b.doc_id),
+        |st AS (
+        |  SELECT l, doc_a, doc_b, ia, ia - ib AS diag,
+        |    ia - row_number() OVER (PARTITION BY l, doc_a, doc_b, ia - ib
+        |      ORDER BY ia) AS isl
+        |  FROM pr),
+        |runs AS MATERIALIZED (
+        |  SELECT l, doc_a, doc_b,
+        |    CAST(min(ia) - diag AS BIGINT) AS b_start,
+        |    CAST(max(ia) - min(ia) + l AS BIGINT) AS run_tokens
+        |  FROM st GROUP BY l, doc_a, doc_b, diag, isl),
+        |nr AS (SELECT l, CAST(count(*) AS BIGINT) AS n_runs
+        |  FROM runs GROUP BY 1),
+        |cov AS (SELECT DISTINCT l, doc_id, pos FROM (
+        |  SELECT l, doc_b AS doc_id,
+        |    CAST(unnest(range(b_start, b_start + run_tokens)) AS BIGINT)
+        |      AS pos
+        |  FROM runs)),
+        |nd AS (SELECT l, CAST(count(*) AS BIGINT) AS n_dup_tokens
+        |  FROM cov GROUP BY 1)
+        |SELECT CAST(ll.l AS BIGINT) AS l,
+        |  coalesce(n_runs, 0) AS n_runs,
+        |  coalesce(n_dup_tokens, 0) AS n_dup_tokens, n_tokens,
+        |  CAST(CAST((CAST(2 AS HUGEINT) * coalesce(n_dup_tokens, 0) * 1000000
+        |    + n_tokens) // (2 * n_tokens) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS dup_frac
+        |FROM ll LEFT JOIN nr ON nr.l = ll.l LEFT JOIN nd ON nd.l = ll.l
+        |CROSS JOIN tot""".stripMargin,
 
     // Mirrors Scale.kishEss: DuckDB's BIGINT sum returns HUGEINT, so both
     // sums are cast back before the two fixed-order double divisions.

@@ -211,4 +211,42 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
     assert(out == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((3L, 3L))))
     assert(out.values.map(_._2).sum == 8L, "sum(n_docs) must equal |corpus|")
   }
+
+  test("selfBleu: rest-of-corpus clipping per order, hand-computed, NULL at OOV") {
+    // docs 1/2 are twins -> every gram clips to 1 -> p1..p4 = 1, log 0.
+    // doc 3 shares nothing -> p's 0 -> NULL. doc 4 shares the 'a b c d'
+    // prefix: p1 = 4/5, p2 = 3/4, p3 = 2/3, p4 = 1/2 ->
+    // log = .25(ln .8 + ln .75 + ln 2/3 + ln .5) = -0.402359.
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+        (3L, "v w x y z"), (4L, "a b c d q1"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.selfBleu(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (((1 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Double])),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    graft.operators.CacheScope.drain()
+    assert(out(1L)._1.flatten == Seq(1.0, 1.0, 1.0, 1.0))
+    assert(out(1L)._2.contains(0.0) && out(2L)._2.contains(0.0))
+    assert(out(3L)._1.flatten == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(out(3L)._2.isEmpty)
+    assert(out(4L)._1.flatten == Seq(0.8, 0.75, 2.0 / 3.0, 0.5))
+    assert(out(4L)._2.contains(-0.402359))
+  }
+
+  test("exactSubstringSweep: run/removal mass per window length, zero row kept") {
+    // docs 1/2 share the 6-token run b1..b6; doc 3 is disjoint.
+    // l=4: one stitched run of 6 tokens; l=6: the run exactly; l=8: none.
+    val docs = Seq(
+      (1L, "a1 a2 b1 b2 b3 b4 b5 b6 a3 a4"),
+      (2L, "c1 c2 b1 b2 b3 b4 b5 b6 c3 c4"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")).toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.exactSubstringSweep(
+        docs, "doc_id", "text", ls = Seq(4, 6, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.operators.CacheScope.drain()
+    assert(out(4L) == ((1L, 6L, 30L, 0.2)))
+    assert(out(6L) == ((1L, 6L, 30L, 0.2)))
+    assert(out(8L) == ((0L, 0L, 30L, 0.0)))
+  }
 }
