@@ -1561,17 +1561,28 @@ object ScaleSmoke {
       time(s"bloom_census    $label") {
         operators.TextDedup.bloomDedupCensus(df, "doc_id", "text").count()
       }
-      // pair BLEU over a PREBUILT pair graph (the shared-cache shape the
-      // q367 consumer actually runs): pairs persist outside the timer so
-      // the curve prices the BLEU stage, not the minhash build it rides —
-      // at factor x the replica cliques multiply TRUE pairs ~factor^2, so
-      // this is output-bound like the other pair consumers.
-      val pairs = operators.CacheScope.persist(
-        operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
-          threshold = 0.5).select(col("doc_a"), col("doc_b")))
-      pairs.count()
-      time(s"pair_bleu       $label") {
-        operators.TextDedup.pairBleu(pairs, df, "doc_id", "text").count()
+      // ONE prebuilt pair graph feeds pair_bleu AND cluster_census (the
+      // shared-cache shape their q367/q382 consumers actually run):
+      // persisted outside the timers so each curve prices its own stage,
+      // not the minhash build it rides — and built only when one of its
+      // two consumers is selected (a SMOKE_ONLY subset naming neither
+      // must not pay the most expensive build in the block).
+      val pairsOpt =
+        if (only.nonEmpty && !Seq("pair_bleu", "cluster_census")
+            .exists(n => only.exists(n.startsWith))) None
+        else {
+          val p = operators.CacheScope.persist(
+            operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
+              threshold = 0.5).select(col("doc_a"), col("doc_b")))
+          p.count()
+          Some(p)
+        }
+      // at factor x the replica cliques multiply TRUE pairs ~factor^2,
+      // so pair_bleu is output-bound like the other pair consumers.
+      pairsOpt.foreach { pairs =>
+        time(s"pair_bleu       $label") {
+          operators.TextDedup.pairBleu(pairs, df, "doc_id", "text").count()
+        }
       }
       // scaling fit: all four carve models are filtered re-aggregates of
       // one doc-bigram frame (the heldout_xent argument x4) and the OLS
@@ -1657,15 +1668,13 @@ object ScaleSmoke {
           operators.TextLm.knCrossEntropy(df, "doc_id", "text")).count()
       }
       // cluster census: two keyed aggregates + one anti-join on the CC
-      // map over the PREBUILT pair graph (the pair_bleu pricing shape);
-      // replicas turn every doc into a factor-clique, so the component
-      // count is constant while sizes shift 2,3,4 -> factor·k.
-      val pairs2 = operators.CacheScope.persist(
-        operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
-          threshold = 0.5).select(col("doc_a"), col("doc_b")))
-      pairs2.count()
-      time(s"cluster_census  $label") {
-        operators.TextDedup.dupClusterCensus(df, "doc_id", pairs2).count()
+      // map over the SAME prebuilt pair graph; replicas turn every doc
+      // into a factor-clique, so the component count is constant while
+      // sizes shift 2,3,4 -> factor·k.
+      pairsOpt.foreach { pairs =>
+        time(s"cluster_census  $label") {
+          operators.TextDedup.dupClusterCensus(df, "doc_id", pairs).count()
+        }
       }
       // self-BLEU: per-doc gram tables joined to corpus TYPE tables —
       // replicas multiply both c and C uniformly, so clipped mass and

@@ -289,7 +289,7 @@ object TextDedup {
         col("log_bleu2"))
   }
 
-  /** Self-BLEU-2 corpus diversity census (Zhu et al. 2018, Texygen —
+  /** Self-BLEU-4 corpus diversity census (Zhu et al. 2018, Texygen —
     * public): each document BLEU-scored against the REST of the corpus
     * as the reference pool — the diversity audit generation papers
     * report, turned on a training corpus: a source whose documents

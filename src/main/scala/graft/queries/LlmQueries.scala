@@ -1769,7 +1769,7 @@ object LlmQueries {
       TextDedup.dupClusterCensus(
         table(s, d, "documents"), "doc_id", nearDupPairs(s, d))),
 
-    // Self-BLEU-2 corpus diversity census (Zhu et al. 2018): every doc
+    // Self-BLEU-4 corpus diversity census (Zhu et al. 2018): every doc
     // BLEU-scored against the rest of the corpus as one reference pool
     // — internal-repetitiveness audit below the dedup thresholds. See
     // TextDedup.selfBleu.
@@ -2273,7 +2273,7 @@ object LlmQueries {
       s"""${pfx}_t AS (
          |  SELECT doc_id, array_to_string(ts[i*$n+1 : i*$n+$n], ' ') AS line
          |  FROM (SELECT doc_id, ts, unnest(generate_series(0,
-         |      greatest((len(ts) + ${n - 1}) // $n, 1) - 1)) AS i FROM toks)),
+         |      greatest((len(ts) + ${n - 1}) // $n, 1) - 1)) AS i FROM gtoks)),
          |${pfx}_y AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS occ,
          |    CAST(length(line) AS BIGINT) AS len FROM ${pfx}_t GROUP BY 1, 2),
          |${pfx}s AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS ${pfx}_n,
@@ -2288,13 +2288,13 @@ object LlmQueries {
          |      row_number() OVER (PARTITION BY doc_id
          |        ORDER BY count(*) DESC, g ASC) AS rn
          |    FROM (SELECT doc_id, array_to_string(ts[i : i+${n - 1}], ' ') AS g
-         |      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - ${n - 2}))
+         |      FROM gtoks, LATERAL (SELECT unnest(range(1, len(ts) - ${n - 2}))
          |        AS i) WHERE len(ts) >= $n)
          |    GROUP BY doc_id, g) WHERE rn = 1)""".stripMargin
     val r = "(CAST(2 AS HUGEINT) * %s * 1000000 + %s) // (2 * %s)"
     def mu(num: String, den: String) =
       s"CAST(CASE WHEN $den = 0 THEN 0 ELSE ${r.format(num, den, den)} END AS BIGINT)"
-    s"""toks AS MATERIALIZED (
+    s"""gtoks AS MATERIALIZED (
        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
        |  FROM documents),
        |${tiles(3, "l")},
@@ -5715,9 +5715,10 @@ object LlmQueries {
         |FROM r""".stripMargin,
 
     // Mirrors TextDedup.gopherXentAblation: the shared census chain's
-    // micro columns joined to the per-doc KN xmu (the knModelCte chain
-    // with k-prefixed names — gopherCensusCte owns 'toks'), one
-    // aggregate row, the 8-way stack, NULL-guarded means.
+    // micro columns joined to the per-doc KN xmu off the SHARED
+    // knModelCte (gopherCensusCte's tokenizer is named gtoks exactly so
+    // the two chains compose in one WITH), one aggregate row, the 8-way
+    // stack, NULL-guarded means.
     "q381_gopher_xent_ablation" -> {
       val aggs = gopherRuleFailSql.map { case (i, _, fail) =>
         s"""CAST(sum(CASE WHEN NOT ($fail) THEN 1 ELSE 0 END) AS BIGINT)
@@ -5732,37 +5733,12 @@ object LlmQueries {
         s"SELECT CAST($i AS BIGINT) AS rule_order, '$n' AS rule, " +
           s"p$i AS n_pass, f$i AS n_fail, sp$i AS sp, sf$i AS sf FROM a"
       }.mkString("\n  UNION ALL ")
-      s"""WITH $gopherCensusCte,
-         |kt AS MATERIALIZED (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |kdb AS MATERIALIZED (
-         |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM (
-         |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
-         |      unnest(t[2:len(t)]) AS w2 FROM kt)
-         |  GROUP BY 1, 2, 3),
-         |kbig AS MATERIALIZED (
-         |  SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
-         |  FROM kdb GROUP BY 1, 2),
-         |khist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
-         |    CAST(count(*) AS BIGINT) AS n1p FROM kbig GROUP BY 1),
-         |kcont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc
-         |  FROM kbig GROUP BY 1),
-         |ktv AS (SELECT
-         |    (SELECT CAST(count(*) AS BIGINT) FROM kbig) AS t_types,
-         |    (SELECT CAST(count(DISTINCT w1) AS BIGINT)
-         |       FROM (SELECT unnest(t) AS w1 FROM kt)) AS v),
-         |kmodel AS (
-         |  SELECT kbig.w1, kbig.w2,
-         |    CAST(round(ln(
-         |      CAST((4*c2 - 3)*(t_types + v) + 3*n1p*(nc + 1) AS DOUBLE)
-         |      / CAST(4*c1*(t_types + v) AS DOUBLE)) * 1e6) AS BIGINT)
-         |      AS lp_mu
-         |  FROM kbig JOIN khist USING (w1) JOIN kcont USING (w2)
-         |  CROSS JOIN ktv),
+      s"""$knModelCte,
+         |$gopherCensusCte,
          |sdx AS (SELECT doc_id,
          |    CAST((2 * (-sum(occ * lp_mu)) + sum(occ))
          |      // (2 * sum(occ)) AS BIGINT) AS xmu
-         |  FROM kdb JOIN kmodel USING (w1, w2) GROUP BY 1),
+         |  FROM db JOIN model USING (w1, w2) GROUP BY 1),
          |jj AS (SELECT mc.*, sdx.xmu FROM mc JOIN sdx USING (doc_id)),
          |a AS (SELECT
          |    $aggs
@@ -5918,7 +5894,9 @@ object LlmQueries {
       val sg = ScaleQueries.duckHash60(
         "'jl#' || CAST(gi AS VARCHAR) || '#' || CAST(gj AS VARCHAR)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-         |  FROM embeddings),
+         |  -- zero-length embeddings are excluded from BOTH rankings,
+         |  -- mirroring Similarity.jlRecall's zero-norm guard
+         |  FROM embeddings WHERE len(embedding) >= 1),
          |dd AS (SELECT max(len(emb)) AS d FROM e),
          |-- sign grid built RELATIONALLY (one hash per (i, j) row), not in
          |-- a nested lambda: duckHash60's own fold variable is also 'i'
