@@ -305,7 +305,11 @@ import org.apache.spark.sql.functions._
   *   cluster_census  1x rows=4      1.1 s   10x rows=5       3.9 s
   *   self_bleu       1x rows=5000   0.3 s   10x rows=50000   0.8 s
   *   substr_sweep    1x rows=3      2.8 s   10x rows=3      12.9 s
+  *   gopher_gate     1x rows=20     7.3 s   10x rows=20     22.2 s
   * }}}
+  * (gopher_gate's absolutes were measured inside the r17 close-out's
+  * CONTENDED window — its isolated warmed anchor is 2.7 s at sf0.1 —
+  * read the 3.0x shape, which matches its two census constituents.)
   * Reading: char_coverage/bloom_census/t_closeness/kn_quant are the
   * grid-bounded family — their char-type / line-type / value grids are
   * CONSTANT across replicas, so 10x input costs 1.3–1.9x (the scan).
@@ -1687,6 +1691,13 @@ object ScaleSmoke {
       // curve three times, covered-position explode linear in dup mass.
       time(s"substr_sweep    $label") {
         operators.TextDedup.exactSubstringSweep(df, "doc_id", "text")
+          .count()
+      }
+      // full gate: both censuses (each doc-keyed) + one id join + one
+      // source roll-up — the gopher_census + gopher_quality curves
+      // summed, nothing new.
+      time(s"gopher_gate     $label") {
+        operators.TextDedup.gopherFullGate(df, "doc_id", "text", "source")
           .count()
       }
     }

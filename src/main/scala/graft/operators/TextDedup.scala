@@ -1730,6 +1730,39 @@ object TextDedup {
           col("n_stopwords") >= 2L).cast("bigint").as("pass"))
   }
 
+  /** The COMPLETE Gopher document gate (Rae et al. 2021 §A1.1, both
+    * blocks): a document is kept iff it passes EVERY repetition rule
+    * ([[gopherRepetition]]) AND every quality rule
+    * ([[gopherQualityRules]]) — the conjunction production pipelines
+    * actually apply, rolled up per source with the retention rate a
+    * corpus card leads with. Pure composition of the two shared-rule
+    * censuses (both pass flags are already micro-unit integer
+    * decisions), so the gate can never drift from either rule table.
+    *
+    * Output per source: n_docs, n_pass_repetition, n_pass_quality,
+    * n_pass_all (≤ min of the two — the conjunction), retention_rate
+    * (half-up 6-dp of n_pass_all/n_docs). Scale: two doc-keyed census
+    * passes + one id-keyed join + one source-keyed roll-up. */
+  def gopherFullGate(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, lineTokens: Int = 3,
+                     paraTokens: Int = 10): DataFrame = {
+    val rep = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+      .select(col("doc_id"), col("pass").as("__rp"))
+    val qual = gopherQualityRules(docs, idCol, textCol, lineTokens)
+      .select(col("doc_id"), col("pass").as("__qp"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"))
+      .join(rep, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__rp")).as("n_pass_repetition"),
+        sum(col("__qp")).as("n_pass_quality"),
+        sum(col("__rp") * col("__qp")).as("n_pass_all"))
+      .withColumn("retention_rate",
+        expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_pass_all * 1000000" +
+            " + n_docs) DIV (2 * n_docs) AS BIGINT) AS DOUBLE)")
+          / lit(1e6))
+  }
+
   /** (column-name, micro-unit threshold, doc) per Gopher rule, in report
     * order — ONE list so the census, the report and the oracle thresholds
     * can never drift. */

@@ -1774,7 +1774,15 @@ object LlmQueries {
     // — internal-repetitiveness audit below the dedup thresholds. See
     // TextDedup.selfBleu.
     "q383_self_bleu" -> ((s, d) =>
-      TextDedup.selfBleu(table(s, d, "documents"), "doc_id", "text"))
+      TextDedup.selfBleu(table(s, d, "documents"), "doc_id", "text")),
+
+    // The COMPLETE Gopher gate: repetition rules (q375) AND quality
+    // rules (q380) conjoined per document, rolled up per source with
+    // the retention rate — the keep/drop artifact the two censuses
+    // feed. See TextDedup.gopherFullGate.
+    "q385_gopher_full_gate" -> ((s, d) =>
+      TextDedup.gopherFullGate(
+        table(s, d, "documents"), "doc_id", "text", "source"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2322,6 +2330,63 @@ object LlmQueries {
   private val gopherPassSql: String =
     "r1 <= 300000 AND r2 <= 200000 AND r3 <= 300000 AND r4 <= 200000" +
       " AND r5 <= 200000 AND r6 <= 180000 AND r7 <= 160000"
+
+  /** Mirrors TextDedup.gopherQualityRules up to the micro table `r`
+    * (doc_id, n_words, n_stopwords, mwl, sym, bul, ell, alf) — shared
+    * by the q380 and q385 oracles. CTE names are disjoint from
+    * [[gopherCensusCte]]'s (gtoks vs toks) so the two chains compose in
+    * one WITH for the full gate. */
+  private lazy val gopherQualityCte: String =
+    """toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts,
+      |    coalesce(text, '') AS txt
+      |  FROM documents),
+      |wa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(length(w)) AS BIGINT) AS wchars,
+      |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1
+      |      ELSE 0 END) AS BIGINT) AS alpha_words,
+      |    CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that',
+      |      'have','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+      |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1),
+      |sy AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(txt, '#'))
+      |      + len(regexp_extract_all(txt, '\.\.\.'))
+      |      + len(regexp_extract_all(txt, '…')) AS BIGINT) AS n_sym
+      |  FROM toks),
+      |lt AS (SELECT doc_id, array_to_string(ts[i*3+1 : i*3+3], ' ') AS line
+      |  FROM (SELECT doc_id, ts, unnest(generate_series(0,
+      |      greatest((len(ts) + 2) // 3, 1) - 1)) AS i FROM toks)),
+      |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CASE WHEN regexp_matches(line, '^[-•]') THEN 1
+      |      ELSE 0 END) AS BIGINT) AS bullet_lines,
+      |    CAST(sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN 1
+      |      ELSE 0 END) AS BIGINT) AS ellipsis_lines
+      |  FROM lt GROUP BY 1),
+      |r AS MATERIALIZED (SELECT wa.doc_id, n_words, n_stopwords,
+      |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+      |      (CAST(2 AS HUGEINT) * wchars * 1000000 + n_words)
+      |        // (2 * n_words) END AS BIGINT) AS mwl,
+      |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+      |      (CAST(2 AS HUGEINT) * n_sym * 1000000 + n_words)
+      |        // (2 * n_words) END AS BIGINT) AS sym,
+      |    CAST(CASE WHEN n_lines = 0 THEN 0 ELSE
+      |      (CAST(2 AS HUGEINT) * bullet_lines * 1000000 + n_lines)
+      |        // (2 * n_lines) END AS BIGINT) AS bul,
+      |    CAST(CASE WHEN n_lines = 0 THEN 0 ELSE
+      |      (CAST(2 AS HUGEINT) * ellipsis_lines * 1000000 + n_lines)
+      |        // (2 * n_lines) END AS BIGINT) AS ell,
+      |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+      |      (CAST(2 AS HUGEINT) * alpha_words * 1000000 + n_words)
+      |        // (2 * n_words) END AS BIGINT) AS alf
+      |  FROM wa JOIN sy USING (doc_id) JOIN la USING (doc_id))"""
+      .stripMargin
+
+  /** The all-quality-rules-hold predicate over `r`'s micro columns —
+    * shared by the q380 pass flag and the q385 conjunction. */
+  private val gopherQualityPassSql: String =
+    "n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3000000 AND 10000000" +
+      " AND sym <= 100000 AND bul <= 900000 AND ell <= 300000" +
+      " AND alf >= 800000 AND n_stopwords >= 2"
 
   /** (rule_order, rule, FAIL predicate over mc's micro columns) — the
     * ONE list behind the q376 and q381 oracle stacks. */
@@ -5657,62 +5722,40 @@ object LlmQueries {
 
     // Mirrors TextDedup.gopherQualityRules: per-doc word aggregates,
     // symbol counts, bullet/ellipsis line flags on the 3-token tiles,
-    // HUGEINT half-up ratios, pass decided on micro integers.
+    // HUGEINT half-up ratios, pass decided on micro integers. Chain
+    // shared with the q385 full-gate oracle.
     "q380_gopher_quality" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts,
-        |    coalesce(text, '') AS txt
-        |  FROM documents),
-        |wa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |    CAST(sum(length(w)) AS BIGINT) AS wchars,
-        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1
-        |      ELSE 0 END) AS BIGINT) AS alpha_words,
-        |    CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that',
-        |      'have','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
-        |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1),
-        |sy AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(txt, '#'))
-        |      + len(regexp_extract_all(txt, '\.\.\.'))
-        |      + len(regexp_extract_all(txt, '…')) AS BIGINT) AS n_sym
-        |  FROM toks),
-        |lt AS (SELECT doc_id, array_to_string(ts[i*3+1 : i*3+3], ' ') AS line
-        |  FROM (SELECT doc_id, ts, unnest(generate_series(0,
-        |      greatest((len(ts) + 2) // 3, 1) - 1)) AS i FROM toks)),
-        |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-        |    CAST(sum(CASE WHEN regexp_matches(line, '^[-•]') THEN 1
-        |      ELSE 0 END) AS BIGINT) AS bullet_lines,
-        |    CAST(sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN 1
-        |      ELSE 0 END) AS BIGINT) AS ellipsis_lines
-        |  FROM lt GROUP BY 1),
-        |r AS (SELECT wa.doc_id, n_words, n_stopwords,
-        |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
-        |      (CAST(2 AS HUGEINT) * wchars * 1000000 + n_words)
-        |        // (2 * n_words) END AS BIGINT) AS mwl,
-        |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
-        |      (CAST(2 AS HUGEINT) * n_sym * 1000000 + n_words)
-        |        // (2 * n_words) END AS BIGINT) AS sym,
-        |    CAST(CASE WHEN n_lines = 0 THEN 0 ELSE
-        |      (CAST(2 AS HUGEINT) * bullet_lines * 1000000 + n_lines)
-        |        // (2 * n_lines) END AS BIGINT) AS bul,
-        |    CAST(CASE WHEN n_lines = 0 THEN 0 ELSE
-        |      (CAST(2 AS HUGEINT) * ellipsis_lines * 1000000 + n_lines)
-        |        // (2 * n_lines) END AS BIGINT) AS ell,
-        |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE
-        |      (CAST(2 AS HUGEINT) * alpha_words * 1000000 + n_words)
-        |        // (2 * n_words) END AS BIGINT) AS alf
-        |  FROM wa JOIN sy USING (doc_id) JOIN la USING (doc_id))
-        |SELECT doc_id, n_words,
-        |  CAST(mwl AS DOUBLE) / 1e6 AS mean_word_len,
-        |  CAST(sym AS DOUBLE) / 1e6 AS symbol_ratio,
-        |  CAST(bul AS DOUBLE) / 1e6 AS bullet_line_frac,
-        |  CAST(ell AS DOUBLE) / 1e6 AS ellipsis_line_frac,
-        |  CAST(alf AS DOUBLE) / 1e6 AS alpha_word_frac,
-        |  n_stopwords,
-        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-        |    AND mwl BETWEEN 3000000 AND 10000000 AND sym <= 100000
-        |    AND bul <= 900000 AND ell <= 300000 AND alf >= 800000
-        |    AND n_stopwords >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
-        |FROM r""".stripMargin,
+      s"""WITH $gopherQualityCte
+         |SELECT doc_id, n_words,
+         |  CAST(mwl AS DOUBLE) / 1e6 AS mean_word_len,
+         |  CAST(sym AS DOUBLE) / 1e6 AS symbol_ratio,
+         |  CAST(bul AS DOUBLE) / 1e6 AS bullet_line_frac,
+         |  CAST(ell AS DOUBLE) / 1e6 AS ellipsis_line_frac,
+         |  CAST(alf AS DOUBLE) / 1e6 AS alpha_word_frac,
+         |  n_stopwords,
+         |  CAST(CASE WHEN $gopherQualityPassSql THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pass
+         |FROM r""".stripMargin,
+
+    // Mirrors TextDedup.gopherFullGate: the two shared census chains
+    // joined per doc (gtoks/toks never clash), conjunction + per-source
+    // roll-up with the HUGEINT half-up retention rate.
+    "q385_gopher_full_gate" ->
+      s"""WITH $gopherCensusCte,
+         |$gopherQualityCte,
+         |j AS (SELECT d.source,
+         |    CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS rp,
+         |    CASE WHEN $gopherQualityPassSql THEN 1 ELSE 0 END AS qp
+         |  FROM mc JOIN r USING (doc_id)
+         |  JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(rp) AS BIGINT) AS n_pass_repetition,
+         |  CAST(sum(qp) AS BIGINT) AS n_pass_quality,
+         |  CAST(sum(rp * qp) AS BIGINT) AS n_pass_all,
+         |  CAST(CAST((CAST(2 AS HUGEINT) * sum(rp * qp) * 1000000
+         |    + count(*)) // (2 * count(*)) AS BIGINT) AS DOUBLE) / 1e6
+         |    AS retention_rate
+         |FROM j GROUP BY 1""".stripMargin,
 
     // Mirrors TextDedup.gopherXentAblation: the shared census chain's
     // micro columns joined to the per-doc KN xmu off the SHARED

@@ -249,4 +249,19 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
     assert(out(6L) == ((1L, 6L, 30L, 0.2)))
     assert(out(8L) == ((0L, 0L, 30L, 0.0)))
   }
+
+  test("gopherFullGate: repetition AND quality conjunction, per-source roll-up") {
+    // d1: 60 words with 52x 'word' -> passes every QUALITY rule (8 stop
+    // words, all alpha, mean 3.87) but FAILS repetition (dup lines, top
+    // grams). d3: 50 distinct words incl 2 stopwords at mean length
+    // exactly 3.0 -> passes BOTH. Retention = 1/2.
+    val d1 = "the be to of and that have with " + Seq.fill(52)("word").mkString(" ")
+    val d3 = "the and " + (1 to 48).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq((1L, d1, "s"), (3L, d3, "s")).toDF("doc_id", "text", "src")
+    val r = graft.operators.TextDedup.gopherFullGate(
+        docs, "doc_id", "text", "src")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (("s", 2L, 1L, 2L, 1L, 0.5)))
+  }
 }
