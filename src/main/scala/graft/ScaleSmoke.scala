@@ -1571,13 +1571,17 @@ object ScaleSmoke {
       // not the minhash build it rides — and built only when one of its
       // two consumers is selected (a SMOKE_ONLY subset naming neither
       // must not pay the most expensive build in the block).
+      // NOT CacheScope.persist: time() drains the scope after EVERY
+      // timed op, so pair_bleu's drain would unpersist the graph and
+      // cluster_census would re-pay the whole MinHash build inside its
+      // timer — persist directly, unpersist after the last consumer.
       val pairsOpt =
         if (only.nonEmpty && !Seq("pair_bleu", "cluster_census")
             .exists(n => only.exists(n.startsWith))) None
         else {
-          val p = operators.CacheScope.persist(
-            operators.TextDedup.minhashNearDupPairs(df, "doc_id", "text",
-              threshold = 0.5).select(col("doc_a"), col("doc_b")))
+          val p = operators.TextDedup.minhashNearDupPairs(df, "doc_id",
+              "text", threshold = 0.5).select(col("doc_a"), col("doc_b"))
+            .persist()
           p.count()
           Some(p)
         }
@@ -1679,6 +1683,7 @@ object ScaleSmoke {
         time(s"cluster_census  $label") {
           operators.TextDedup.dupClusterCensus(df, "doc_id", pairs).count()
         }
+        pairs.unpersist()
       }
       // self-BLEU: per-doc gram tables joined to corpus TYPE tables —
       // replicas multiply both c and C uniformly, so clipped mass and
@@ -1698,6 +1703,38 @@ object ScaleSmoke {
       // summed, nothing new.
       time(s"gopher_gate     $label") {
         operators.TextDedup.gopherFullGate(df, "doc_id", "text", "source")
+          .count()
+      }
+      // ---- round-18 curves ----
+      // data-constrained mix: one source-keyed token aggregate + the
+      // q355 grid waterfill + an (epochCap+1)-row broadcast — scan-flat
+      // like unimax (replicas scale every source uniformly, so the
+      // level and all epoch splits are IDENTICAL across factors).
+      time(s"data_constr     $label") {
+        operators.Scale.dataConstrainedMix(df, "source", "text").count()
+      }
+      // SoftDeDup weights: one Zipf-bounded TYPE table + model join +
+      // two doc-keyed aggregates — the kn_xent curve without the KN
+      // ladder (replicas scale c2 and T uniformly: identical lp_mu).
+      time(s"softdedup_wts   $label") {
+        operators.TextLm.softDedupWeights(
+          operators.TextLm.docBigrams(df, "doc_id", "text"), "doc_id")
+          .count()
+      }
+      // extractable-memorization census: 3 window inventories (k =
+      // 5/10/20) + fingerprint-keyed aggregates, NO pair join — the
+      // linear half of the q300 curve; replicas multiply every
+      // prefix's occ uniformly (3 rows out at every factor).
+      time(s"extract_mem     $label") {
+        operators.TextDedup.extractableMemorization(df, "doc_id", "text")
+          .count()
+      }
+      // tokenizer census: three Heaps-bounded trainer loops (flat
+      // across factors — replica corpora make identical merges) + one
+      // persisted word scan joined three times — bpe_train +
+      // wordpiece_train + unigram curves summed.
+      time(s"tok_census      $label") {
+        operators.TextPrep.tokenizerCompressionCensus(df, "text", "source")
           .count()
       }
     }
@@ -1733,6 +1770,14 @@ object ScaleSmoke {
       time(s"jl_recall       $label") {
         operators.Similarity.jlRecall(edf, "vec_id", "embedding",
           col("vec_id") % 10000000L < 100, k = 5, dOut = 16).count()
+      }
+      // semantic decontam: the q142 assignment curve + a cell-confined
+      // train x eval join whose eval side is 10% of the corpus here
+      // (production: a KB-scale benchmark) — output rows track the
+      // train side linearly.
+      time(s"sem_decontam    $label") {
+        operators.Similarity.semanticDecontam(edf, "vec_id", "embedding",
+          col("vec_id") % 10 === 0, threshold = 0.3).count()
       }
     }
     spark.stop()

@@ -539,6 +539,30 @@ object Scale {
     val per = docs.groupBy(col(srcCol).as("source"))
       .agg(sum(size(split(coalesce(col(textCol), lit("")), " ")))
         .cast("long").as("s"))
+    waterfillAlloc(per, epochCap, budgetNum, budgetDen)
+      .select(col("source"), col("s").as("n_tokens"), col("cap"),
+        col("allocation"),
+        // 2·alloc·1e6 wraps BIGINT once a source holds > ~4.6e12 tokens
+        // — below the 100 TB design point — so the rational evaluates in
+        // DECIMAL(38,0) (oracle: HUGEINT); value-neutral under 2^63
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * allocation * 1000000 + s)" +
+            " DIV (2 * s) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("epochs"))
+  }
+
+  /** The ONE exact UniMax waterfill (the q355 chain, shared verbatim by
+    * [[unimaxMix]] and [[dataConstrainedMix]] so the level semantics can
+    * never drift): per (source, s) compute cap = epochCap·s, the cap
+    * VALUE-GRID prefix segments, L* = max over nonneg-guarded segment
+    * candidates, allocation = min(cap, L*). Budget = ts·budgetNum DIV
+    * budgetDen — budgetNum MAY exceed budgetDen (a data-constrained run
+    * repeats the corpus, so the budget exceeds one epoch of it).
+    * Output: (source, s, cap, allocation). */
+  private[graft] def waterfillAlloc(per: DataFrame, epochCap: Int,
+                                    budgetNum: Int, budgetDen: Int)
+  : DataFrame = {
+    require(epochCap >= 1 && budgetNum > 0 && budgetDen > 0,
+      "need epochCap >= 1 and positive budget fraction")
     val caps = CacheScope.persist(
       per.select(col("source"), col("s"), (col("s") * epochCap).as("cap")))
     val tot = caps.agg(sum(col("s")).as("ts"), count(lit(1)).as("n"))
@@ -555,13 +579,87 @@ object Scale {
       .agg(max(expr(s"(ts * $budgetNum DIV $budgetDen - p) DIV (n - k)"))
         .as("lvl"))
     caps.crossJoin(broadcast(lvl))
+      .select(col("source"), col("s"), col("cap"),
+        least(col("cap"), col("lvl")).as("allocation"))
+  }
+
+  /** The per-epoch marginal-value grid behind [[dataConstrainedMix]],
+    * shared VERBATIM with the oracle SQL builder (both sides embed the
+    * same driver-computed micro constants, so libm exp can never
+    * diverge between engines). Entry j (0-based, j = 0..epochCap):
+    * (m = epochs fully used, cum_mu = Σ_{e<=m} δ_mu(e),
+    * nxt_mu = δ_mu(m+1)) where δ_mu(1) = 1e6 (fresh tokens at full
+    * value) and δ_mu(e) = round(1e6·R*·(exp(−(e−2)/R*) −
+    * exp(−(e−1)/R*))) for e ≥ 2 — the discrete marginal effective-data
+    * mass of the e-th epoch under Muennighoff et al. 2023's decay
+    * D'(R) = U + U·R*·(1 − exp(−R/R*)), R = epochs − 1. */
+  private[graft] def muennighoffGrid(epochCap: Int, rStar: Double)
+  : Seq[(Long, Long, Long)] = {
+    def dMu(e: Int): Long =
+      if (e <= 1) 1000000L
+      else math.round(1e6 * rStar *
+        (math.exp(-(e - 2) / rStar) - math.exp(-(e - 1) / rStar)))
+    val deltas = (1 to (epochCap + 1)).map(dMu)
+    val cums = deltas.scanLeft(0L)(_ + _)
+    (0 to epochCap).map(j => (j.toLong, cums(j), deltas(j)))
+  }
+
+  /** Data-constrained scaling allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models" — public paper): the
+    * q355 UniMax waterfill with the repeats DISCOUNTED by the paper's
+    * value-decay law. Under a token budget that EXCEEDS one epoch of
+    * the corpus, each source's allocation spans m full epochs plus a
+    * fractional (m+1)-th; fresh tokens count at full value and the
+    * e-th repeat epoch at its decayed marginal δ(e) (the
+    * [[muennighoffGrid]] constants, R* = 15.4 the paper's fit), the
+    * fractional epoch linearly at its epoch's rate — the house
+    * piecewise-linear image of D'(R) = U·(1 + R*·(1 − exp(−R/R*))).
+    *
+    * Output per source: n_tokens, cap, allocation, epochs (the q355
+    * 6-dp rational), eff_tokens (half-up integer effective tokens D'),
+    * eff_epochs (6-dp D'/U — the "effective epochs" a corpus card
+    * reports), repeat_efficiency (6-dp D'/allocation — 1.0 when
+    * nothing repeats, decaying as repeats dominate;
+    * 0 when the source got nothing). Everything after the waterfill is
+    * exact integer arithmetic on DECIMAL(38,0)/HUGEINT (s·cum_mu wraps
+    * BIGINT at ~9.2e12 tokens/source — the q355 wrap guard), so the
+    * engines can never diverge.
+    *
+    * Scale: ONE source-keyed aggregate over the corpus + the q355
+    * grid-bounded waterfill + an (epochCap+1)-row broadcast join. */
+  def dataConstrainedMix(docs: DataFrame, srcCol: String, textCol: String,
+                         epochCap: Int = 4, budgetNum: Int = 2,
+                         budgetDen: Int = 1, rStar: Double = 15.4)
+  : DataFrame = {
+    require(rStar > 0.0, "need rStar > 0")
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(size(split(coalesce(col(textCol), lit("")), " ")))
+        .cast("long").as("s"))
+    val alloc = waterfillAlloc(per, epochCap, budgetNum, budgetDen)
+    val gridRows = muennighoffGrid(epochCap, rStar)
+    val gridDf = alloc.sparkSession.range(1)
+      .select(explode(array(gridRows.map { case (m, c, nx) =>
+        struct(lit(m).as("__m"), lit(c).as("__cum"), lit(nx).as("__nxt"))
+      }: _*)).as("g"))
+      .select(col("g.__m").as("__m"), col("g.__cum").as("__cum"),
+        col("g.__nxt").as("__nxt"))
+    alloc.withColumn("__mf", expr("allocation DIV s"))
+      .join(broadcast(gridDf), col("__mf") === col("__m"))
+      .withColumn("__dmu", expr(
+        "CAST(s AS DECIMAL(38,0)) * __cum" +
+          " + CAST(allocation - __mf * s AS DECIMAL(38,0)) * __nxt"))
       .select(col("source"), col("s").as("n_tokens"), col("cap"),
-        least(col("cap"), col("lvl")).as("allocation"),
-        // 2·alloc·1e6 wraps BIGINT once a source holds > ~4.6e12 tokens
-        // — below the 100 TB design point — so the rational evaluates in
-        // DECIMAL(38,0) (oracle: HUGEINT); value-neutral under 2^63
-        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * least(cap, lvl) * 1000000 + s)" +
+        col("allocation"),
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * allocation * 1000000 + s)" +
             " DIV (2 * s) AS BIGINT)")
-          .cast("double") / lit(1e6)).as("epochs"))
+          .cast("double") / lit(1e6)).as("epochs"),
+        expr("CAST((2 * __dmu + 1000000) DIV 2000000 AS BIGINT)")
+          .as("eff_tokens"),
+        (expr("CAST((2 * __dmu + s) DIV (2 * CAST(s AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("eff_epochs"),
+        when(col("allocation") === 0L, lit(0.0)).otherwise(
+          expr("CAST((2 * __dmu + allocation) DIV" +
+              " (2 * CAST(allocation AS DECIMAL(38,0))) AS BIGINT)")
+            .cast("double") / lit(1e6)).as("repeat_efficiency"))
   }
 }

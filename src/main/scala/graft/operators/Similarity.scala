@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -600,6 +600,55 @@ object Similarity {
     semPairsFromAssignment(
       semAssignment(emb, idCol, vecCol, nlist, lloydIters), idCol, threshold)
       .select(col("id_a"), col("id_b"), col("cid"))
+
+  /** Embedding-based semantic DECONTAMINATION (the SemDeDup machinery
+    * pointed at eval contamination — Abbas et al. 2023 clustering ×
+    * the q361 removal contract): drop every TRAINING vector whose
+    * cosine to some EVAL-SET vector reaches `threshold`. Exact-span
+    * decontamination (q361) misses paraphrases; the production recipe
+    * (e.g. the phi/FineWeb decontamination stages) also gates on
+    * embedding similarity — this is that gate. `evalPred` marks the
+    * eval rows (a predicate over the assignment columns, normally the
+    * id — the q373 query-predicate convention).
+    *
+    * Mechanics: ONE shared Lloyd assignment over train+eval (the q142
+    * lineage verbatim — eval items land in the same cells as their
+    * paraphrases), then a train×eval equi-join ON THE CELL ID, never
+    * corpus × eval; cosine micro-quantized once (round(1e6·cos), the
+    * q142 fold order), threshold compared on the integer image.
+    * Zero-norm vectors on either side are EXCLUDED from the compare
+    * (0/0 is NaN — the q373 contract) and therefore kept.
+    *
+    * Output per TRAIN vector: idCol, cid, n_eval_hits, max_eval_cos
+    * (6-dp, NULL when no hit), keep ∈ {0,1}. Scale: the assignment is
+    * an nlist-row broadcast against one scan; the join is cell-confined
+    * with the eval side tiny (eval benchmarks are KBs against a 100 TB
+    * corpus — broadcastable); nlist grows with the corpus exactly as
+    * [[semanticDedup]] prescribes. */
+  def semanticDecontam(emb: DataFrame, idCol: String, vecCol: String,
+                       evalPred: Column, threshold: Double,
+                       nlist: Int = 8, lloydIters: Int = 2): DataFrame = {
+    val assign = CacheScope.persist(
+      semAssignment(emb, idCol, vecCol, nlist, lloydIters))
+    val tr = assign.where(!evalPred).select(col("cid"), col(idCol),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val ev = assign.where(evalPred).select(col("cid"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val thrMu = math.round(threshold * 1e6)
+    val hits = tr.join(ev, "cid")
+      .where(col("q_nrm") > lit(0.0) && col("c_nrm") > lit(0.0))
+      .withColumn("cmu",
+        round(lit(1e6) * dot / (col("q_nrm") * col("c_nrm"))).cast("bigint"))
+      .where(col("cmu") >= thrMu)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cmu")).as("__mx"))
+    tr.select(col(idCol), col("cid"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (col("__mx").cast("double") / lit(1e6)).as("max_eval_cos"),
+        when(col("__mx").isNull, 1L).otherwise(0L).as("keep"))
+  }
 
   /** D4-style prototypicality BAND report (Tirumala et al. 2023, "D4:
     * Improving LLM Pretraining via Document De-Duplication and

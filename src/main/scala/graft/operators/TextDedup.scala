@@ -1603,8 +1603,18 @@ object TextDedup {
     *                          over the doc's raw char count; overlapping
     *                          occurrences may push it past 1.0 — the
     *                          paper's own definition)  (0.20/0.18/0.16)
+    *  - dup{5..10}gram_char_frac — characters covered by ANY word n-gram
+    *                          occurring ≥ 2 times, each covered position
+    *                          counted ONCE (the paper's "taking care not
+    *                          to count characters that occur in
+    *                          overlapping n-grams more than once");
+    *                          covered mass = the covered tokens' char
+    *                          lengths (inter-word spaces unattributed —
+    *                          house convention), denominator the raw
+    *                          char count   (0.15/0.14/0.13/0.12/0.11/0.10)
     *
-    * and `pass` = 1 iff every rule holds. q87/q148 gate on single rules;
+    * — ALL thirteen Table A1 repetition rules — and `pass` = 1 iff every
+    * rule holds. q87/q148 gate on single rules;
     * this is the COMPOSED rule table (the per-source roll-up is
     * [[gopherPassReport]]). "Lines"/"paragraphs" are the house tile
     * proxies ([[tileInventory]], `lineTokens`/`paraTokens`-token
@@ -1646,12 +1656,13 @@ object TextDedup {
     val ruleAggs = gopherRules.zipWithIndex.map { case ((n, thr, _), i) =>
       sum(when(col(s"${n}_mu") > thr, 1L).otherwise(0L)).as(s"__f$i")
     } :+ sum(when(col("pass") === 0L, 1L).otherwise(0L)).as("__fall")
+    val nStack = gopherRules.size + 1
     census.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), ruleAggs: _*)
       .select(col("source"), col("n_docs"),
-        expr(s"stack(8, ${gopherRules.zipWithIndex.map { case ((n, _, _), i) =>
+        expr(s"stack($nStack, ${gopherRules.zipWithIndex.map { case ((n, _, _), i) =>
           s"CAST(${i + 1} AS BIGINT), '$n', __f$i"
-        }.mkString(", ")}, CAST(8 AS BIGINT), 'all', __fall)" +
+        }.mkString(", ")}, CAST($nStack AS BIGINT), 'all', __fall)" +
           " AS (rule_order, rule, n_fail)"))
       .withColumn("fail_rate",
         expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_fail * 1000000 + n_docs)" +
@@ -1703,7 +1714,10 @@ object TextDedup {
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("line").rlike("^[-•]"), 1L).otherwise(0L))
           .as("bullet_lines"),
-        sum(when(col("line").rlike("(\\.\\.\\.|…)$"), 1L).otherwise(0L))
+        // \z (true end-of-text, supported by Java regex AND RE2), not $:
+        // Java's $ matches before a final line terminator, RE2's does
+        // not — a line ending "...\n" would diverge between engines
+        sum(when(col("line").rlike("(\\.\\.\\.|…)\\z"), 1L).otherwise(0L))
           .as("ellipsis_lines"))
     def mu(num: String, den: String): Column =
       when(col(den) === 0L, 0L).otherwise(expr(
@@ -1765,7 +1779,9 @@ object TextDedup {
 
   /** (column-name, micro-unit threshold, doc) per Gopher rule, in report
     * order — ONE list so the census, the report and the oracle thresholds
-    * can never drift. */
+    * can never drift. All THIRTEEN Table A1 repetition rules: the four
+    * line/paragraph dup fractions, the three top-n-gram char fractions,
+    * and the six duplicate-n-gram char-coverage fractions (n = 5..10). */
   private val gopherRules: Seq[(String, Long, String)] = Seq(
     ("dup_line_frac", 300000L, "dup line fraction <= 0.30"),
     ("dup_line_char_frac", 200000L, "dup line char fraction <= 0.20"),
@@ -1773,7 +1789,17 @@ object TextDedup {
     ("dup_para_char_frac", 200000L, "dup paragraph char fraction <= 0.20"),
     ("top2_char_frac", 200000L, "top 2-gram char fraction <= 0.20"),
     ("top3_char_frac", 180000L, "top 3-gram char fraction <= 0.18"),
-    ("top4_char_frac", 160000L, "top 4-gram char fraction <= 0.16"))
+    ("top4_char_frac", 160000L, "top 4-gram char fraction <= 0.16"),
+    ("dup5gram_char_frac", 150000L, "dup 5-gram char fraction <= 0.15"),
+    ("dup6gram_char_frac", 140000L, "dup 6-gram char fraction <= 0.14"),
+    ("dup7gram_char_frac", 130000L, "dup 7-gram char fraction <= 0.13"),
+    ("dup8gram_char_frac", 120000L, "dup 8-gram char fraction <= 0.12"),
+    ("dup9gram_char_frac", 110000L, "dup 9-gram char fraction <= 0.11"),
+    ("dup10gram_char_frac", 100000L, "dup 10-gram char fraction <= 0.10"))
+
+  /** The dup-n-gram n values behind the six coverage rules — shared with
+    * the oracle CTE so the rule set can never drift. */
+  private[graft] val gopherDupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
 
   /** Rule-vs-LM cross-audit: does each Gopher repetition rule actually
     * separate documents by language-model quality on THIS corpus? For
@@ -1781,7 +1807,8 @@ object TextDedup {
     * of passing vs failing documents, over the scored population —
     * the ablation table a curation run consults before turning a
     * threshold on (a rule whose failing docs score BETTER than its
-    * passing docs is mis-calibrated for the corpus). `scoredDocs` is the
+    * passing docs is mis-calibrated for the corpus); one stacked row per
+    * rule plus the 'all' gate. `scoredDocs` is the
     * (idCol, n_bigrams, xent) frame from [[graft.operators.TextLm]]'s
     * scoring stage (the session-shared KN model); docs with < 2 tokens
     * carry no score and are excluded from both counts (documented —
@@ -1792,7 +1819,7 @@ object TextDedup {
     * out at the end (round(·, 6), the tercileMix mean contract; NULL
     * when a side is empty). One joined frame, ONE aggregate row, one
     * stack — no per-rule passes. Scale: the census is doc-keyed (q375),
-    * the join is id-keyed, the stack is 8 rows. */
+    * the join is id-keyed, the stack is one row per rule + 'all'. */
   def gopherXentAblation(docs: DataFrame, idCol: String, textCol: String,
                          scoredDocs: DataFrame, lineTokens: Int = 3,
                          paraTokens: Int = 10): DataFrame = {
@@ -1860,6 +1887,41 @@ object TextDedup {
         .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
         .select(col("doc_id"),
           ((-col("m.nc")) * length(col("m.g")).cast("long")).as(out))
+    // duplicate-n-gram char coverage (Table A1's last six rules): token
+    // positions covered by ANY word n-gram occurring >= 2 times in the
+    // doc, counted ONCE each (the paper's "taking care not to count
+    // characters that occur in overlapping n-grams more than once");
+    // covered char mass = the covered tokens' lengths (inter-word
+    // spaces are not attributed — documented house convention; the
+    // denominator stays the doc's raw char count, the top-gram rule).
+    // ONE chain serves all six n via an exploded n column: grams keyed
+    // (doc, n, gram) with their start lists (doc-bounded), dup starts
+    // exploded to covered positions, distinct, then one token-length
+    // join — linear in token count x |ns|, all doc-keyed.
+    val dupNsArr = array(gopherDupNs.map(lit): _*)
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("ts"),
+        explode(dupNsArr).as("n"))
+      .where(size(col("ts")) >= col("n"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - col("n")),
+          i => array_join(slice(col("ts"), i + 1, col("n")), " ")))
+          .as(Seq("i", "g")))
+    val dupStarts = grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("__c"), collect_list(col("i")).as("__is"))
+      .where(col("__c") > 1L)
+      .select(col("doc_id"), col("n"), explode(col("__is")).as("i"))
+    val covered = dupStarts.select(col("doc_id"), col("n"),
+        explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
+      .distinct()
+    val tokLen = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), " "))
+          .as(Seq("p", "w")))
+      .select(col("doc_id"), col("p"), length(col("w")).cast("long").as("wl"))
+    val ddAggs = gopherDupNs.map(n =>
+      sum(when(col("n") === n, col("wl")).otherwise(0L)).as(s"dd$n"))
+    val dupMass = covered.join(tokLen, Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(ddAggs.head, ddAggs.tail: _*)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"))
     val joined = base
@@ -1868,22 +1930,89 @@ object TextDedup {
       .join(topGram(2, "m2"), Seq("doc_id"), "left")
       .join(topGram(3, "m3"), Seq("doc_id"), "left")
       .join(topGram(4, "m4"), Seq("doc_id"), "left")
-      .na.fill(0L, Seq("m2", "m3", "m4"))
+      .join(dupMass, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("m2", "m3", "m4") ++ gopherDupNs.map(n => s"dd$n"))
     def mu(num: String, den: String): Column =
       when(col(den) === 0L, 0L).otherwise(expr(
         s"CAST((CAST(2 AS DECIMAL(38,0)) * ($num) * 1000000 + ($den))" +
           s" DIV (2 * ($den)) AS BIGINT)"))
-    val withMu = joined.select(col("doc_id"), col("l_n").as("n_lines"),
+    val withMu = joined.select(Seq(
+      col("doc_id"), col("l_n").as("n_lines"),
       mu("l_n - l_nt", "l_n").as("dup_line_frac_mu"),
       mu("l_dch", "l_ch").as("dup_line_char_frac_mu"),
       mu("p_n - p_nt", "p_n").as("dup_para_frac_mu"),
       mu("p_dch", "p_ch").as("dup_para_char_frac_mu"),
       mu("m2", "n_chars").as("top2_char_frac_mu"),
       mu("m3", "n_chars").as("top3_char_frac_mu"),
-      mu("m4", "n_chars").as("top4_char_frac_mu"))
+      mu("m4", "n_chars").as("top4_char_frac_mu")) ++
+      gopherDupNs.map(n =>
+        mu(s"dd$n", "n_chars").as(s"dup${n}gram_char_frac_mu")): _*)
     withMu.withColumn("pass",
       gopherRules.map { case (n, thr, _) => col(s"${n}_mu") <= thr }
         .reduce(_ && _).cast("bigint"))
+  }
+
+  /** Extractable-memorization census (Carlini et al. 2021 "Extracting
+    * Training Data from Large Language Models" / 2023 "Quantifying
+    * Memorization Across Neural Language Models" — public papers): for
+    * each prompt length k, how much of the corpus is DETERMINISTICALLY
+    * continuable — a k-token context is deterministic when every one of
+    * its corpus occurrences is followed by the SAME next token, the
+    * corpus-side proxy for "a k-token prompt extracts the continuation
+    * verbatim". The memorization-relevant slice is the REPEATED
+    * contexts (occ ≥ 2): a unique context is trivially deterministic,
+    * while a repeated-and-still-deterministic one is exactly the
+    * duplicated string the papers show LMs regurgitate (and the q300 /
+    * q377 dedup shelf exists to remove).
+    *
+    * Mechanics: per k, the [[exactSubstringRuns]] native window
+    * fingerprints ([[graft.functions.TokenNgrams.token_window_hashes]] —
+    * fingerprints are GROUP identity only, the q75/q300 hashed-identity
+    * precedent; the oracle keys on md5(window), the same partition)
+    * paired with the following token, one fingerprint-keyed aggregate
+    * (occurrences, distinct continuations), then ONE census row:
+    * n_prefix_types, n_det_types, n_occ, n_det_occ, n_rep_types,
+    * n_rep_det_types, extractable_frac (half-up 6-dp n_det_occ/n_occ;
+    * 0 when the corpus has no k+1-token window). Windows at document
+    * end carry no continuation and are excluded on both engines.
+    *
+    * Scale: the window inventory is ~tokens × |ks| rows (the q300
+    * envelope), every aggregate fingerprint- then 1-row-keyed — no
+    * pair join at all, strictly cheaper than q300. */
+  def extractableMemorization(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need window lengths >= 1")
+    val perK = ks.map { k =>
+      val pw = docs.select(col(idCol).cast("long").as("doc_id"),
+          split(coalesce(col(textCol), lit("")), " ").as("ts"),
+          posexplode(graft.functions.TokenNgrams.token_window_hashes(
+            coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
+        .where(col("p") + k + 1 <= size(col("ts")))
+        .select(col("fp"),
+          element_at(col("ts"), col("p") + k + 1).as("nxt"))
+      val byPrefix = pw.groupBy(col("fp"))
+        .agg(count(lit(1)).as("occ"), countDistinct(col("nxt")).as("ncont"))
+      byPrefix.agg(
+          count(lit(1)).as("n_prefix_types"),
+          coalesce(sum(when(col("ncont") === 1L, 1L).otherwise(0L)), lit(0L))
+            .as("n_det_types"),
+          coalesce(sum(col("occ")), lit(0L)).as("n_occ"),
+          coalesce(sum(when(col("ncont") === 1L, col("occ")).otherwise(0L)),
+            lit(0L)).as("n_det_occ"),
+          coalesce(sum(when(col("occ") >= 2L, 1L).otherwise(0L)), lit(0L))
+            .as("n_rep_types"),
+          coalesce(sum(when(col("occ") >= 2L && col("ncont") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_rep_det_types"))
+        .select(lit(k.toLong).as("k"), col("n_prefix_types"),
+          col("n_det_types"), col("n_occ"), col("n_det_occ"),
+          col("n_rep_types"), col("n_rep_det_types"),
+          (when(col("n_occ") === 0L, 0L).otherwise(expr(
+            "CAST((CAST(2 AS DECIMAL(38,0)) * n_det_occ * 1000000 + n_occ)" +
+              " DIV (2 * n_occ) AS BIGINT)"))
+            .cast("double") / lit(1e6)).as("extractable_frac"))
+    }
+    perK.reduce(_.unionByName(_))
   }
 
   /** Duplicate-cluster size census — the corpus-card table behind every

@@ -170,6 +170,55 @@ object TextLm {
         (expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").cast("double")
           / lit(1e6)).as("xent"))
 
+  /** SoftDeDup commonness reweighting (Xia et al. 2024, "SoftDedup: an
+    * Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pre-training" — public paper): instead of BINARY dropping
+    * duplicates, assign every document a LOSS WEIGHT from its data
+    * commonness — the geometric mean of its n-grams' corpus
+    * frequencies. Common (duplicated / boilerplate) documents train at
+    * reduced weight, rare documents above 1, and no token is discarded
+    * — the soft alternative the q345 pipeline's hard drops.
+    *
+    * House form on the shared [[docBigrams]] inventory: per bigram TYPE
+    * lp_mu = round(ln(c2/T)·1e6) (the unsmoothed corpus log-frequency —
+    * a TYPE-table constant, the q101 micro-nat discipline); per doc
+    * rarity = −mean lp over its bigram occurrences (exact half-up
+    * integer rational — rarity is −log commonness, so the geometric
+    * mean is computed without ever forming the underflowing product);
+    * loss_weight = rarity / corpus-mean-rarity (half-up 6-dp on the
+    * micro integers; mean weight ≈ 1 by construction, the paper's
+    * normalization). Documents with < 2 tokens carry no bigram and are
+    * excluded — the q378 scored-population contract. A corpus whose
+    * every bigram is the same type has rarity 0 everywhere; weights
+    * degrade to uniform 1.0 (guarded, not divided).
+    *
+    * Output: idCol, n_grams, rarity (6-dp), loss_weight (6-dp).
+    * Scale: one Zipf-bounded TYPE-table build + one model join + two
+    * doc-keyed aggregates + a 1-row broadcast — the q342 shape; the
+    * occ·lp_mu sum shares [[knCrossEntropyFrom]]'s overflow envelope. */
+  def softDedupWeights(docBig: DataFrame, idCol: String): DataFrame = {
+    val big = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("occ")).as("c2"))
+    val tot = big.agg(sum(col("c2")).as("tt"))
+    val model = big.crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        expr("CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6)" +
+          " AS BIGINT)").as("lp_mu"))
+    val pd = docBig.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("lp_mu")).as("mu"), sum(col("occ")).as("m"))
+      .select(col(idCol), col("m").as("n_grams"),
+        expr("CAST((2 * (-mu) + m) DIV (2 * m) AS BIGINT)").as("rmu"))
+    val mean = pd.agg(expr(
+      "CAST((2 * sum(rmu) + count(1)) DIV (2 * count(1)) AS BIGINT)").as("mmu"))
+    pd.crossJoin(broadcast(mean))
+      .select(col(idCol), col("n_grams"),
+        (col("rmu").cast("double") / lit(1e6)).as("rarity"),
+        when(col("mmu") === 0L, lit(1.0)).otherwise(
+          expr("CAST((CAST(2 AS DECIMAL(38,0)) * rmu * 1000000 + mmu)" +
+              " DIV (2 * mmu) AS BIGINT)").cast("double") / lit(1e6))
+          .as("loss_weight"))
+  }
+
   /** Interpolated Kneser-Ney TRIGRAM cross-entropy — the full KN
     * recursion [[knCrossEntropy]]'s bigram form is the base case of
     * (production LM-quality pipelines run KN-smoothed higher-order

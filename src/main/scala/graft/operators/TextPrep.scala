@@ -169,6 +169,61 @@ object TextPrep {
     encodeWithDict(docs, idCol, textCol,
       wordpieceMergeLoop(docs, textCol, merges)._2)
 
+  /** Per-source tokenizer COMPRESSION census — the corpus-card table a
+    * tokenizer choice is justified with: for each trained family (BPE
+    * [[bpeTrain]], WordPiece [[wordpieceTrain]], unigram-LM
+    * [[unigramLmTrainStep]]'s Viterbi segmenter) and each source, the
+    * word/char/piece masses and the two rates every tokenizer report
+    * leads with — fertility (pieces per word) and chars-per-piece (the
+    * bytes-per-token proxy; `</w>` is an emitted symbol carrying zero
+    * raw chars, so BPE/WordPiece rates include the word-boundary cost
+    * exactly as their q334/q358 encoders do).
+    *
+    * Comparability contract: all three rows roll up the SAME word
+    * population — words of 1..maxWordLen chars (the q352
+    * modeled-word contract; the unigram DP only segments those) — so
+    * the rates differ only by tokenizer, never by coverage. Training
+    * itself is unrestricted (each family trains exactly as its q331/
+    * q357/q350 form does). Rates are exact half-up 6-dp rationals on
+    * BIGINT masses, DECIMAL(38,0)-widened (the q352 wrap guard).
+    *
+    * Scale: three Heaps-bounded dictionary builds (each priced by its
+    * own trainer row) + ONE persisted corpus word scan joined
+    * word-keyed three times + |sources|-row aggregates — the q352
+    * shape × 3. */
+  def tokenizerCompressionCensus(docs: DataFrame, textCol: String,
+                                 srcCol: String, merges: Int = 10,
+                                 maxPieceLen: Int = 4, maxWordLen: Int = 16)
+  : DataFrame = {
+    val words = CacheScope.persist(
+      docs.select(col(srcCol).as("source"),
+          explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) >= 1 && length(col("w")) <= maxWordLen))
+    val bpeD = bpeMergeLoop(docs, textCol, merges)._2
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("np"))
+    val wpD = wordpieceMergeLoop(docs, textCol, merges)._2
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("np"))
+    val ugD = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)._1
+      .select(col("w"), (size(col("bounds")) - 1).cast("long").as("np"))
+    def roll(d: DataFrame, name: String): DataFrame =
+      words.join(d, Seq("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("np")).as("n_pieces"))
+        .select(lit(name).as("tokenizer"), col("source"), col("n_words"),
+          col("n_chars"), col("n_pieces"),
+          (expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_pieces * 1000000" +
+              " + n_words) DIV (2 * n_words) AS BIGINT)")
+            .cast("double") / lit(1e6)).as("fertility"),
+          (expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_chars * 1000000" +
+              " + n_pieces) DIV (2 * n_pieces) AS BIGINT)")
+            .cast("double") / lit(1e6)).as("chars_per_piece"))
+    roll(bpeD, "bpe")
+      .unionByName(roll(wpD, "wordpiece"))
+      .unionByName(roll(ugD, "unigram"))
+  }
+
   /** The shared merge loop: returns (merge-table rows, final word-type
     * table with each word's post-merge symbol string). */
   private def bpeMergeLoop(docs: DataFrame, textCol: String, merges: Int)

@@ -243,6 +243,15 @@ object LlmQueries {
       graft.operators.TextPrep.wordpieceEncode(table(s, d, "documents"),
         "doc_id", "text", merges = 10)),
 
+    // Per-source tokenizer compression census: BPE (q331), WordPiece
+    // (q357) and unigram-LM (q350) apply passes rolled up per source —
+    // fertility and chars-per-piece per (tokenizer, source), the
+    // corpus-card table a tokenizer choice is justified with. See
+    // TextPrep.tokenizerCompressionCensus.
+    "q390_tokenizer_census" -> ((s, d) =>
+      graft.operators.TextPrep.tokenizerCompressionCensus(
+        table(s, d, "documents"), "text", "source", merges = 10)),
+
     // Character-trigram profile (n-gram analysis surface). The distinct
     // count runs through the native single-pass NgramDistinctCount
     // expression — no per-row slice array, no interpreted hash set; the
@@ -1177,6 +1186,17 @@ object LlmQueries {
         table(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, nlist = 8, lloydIters = 2)),
 
+    // Embedding-based semantic decontamination: vectors with vec_id % 10
+    // = 0 stand in for the eval benchmark; training vectors cosine-close
+    // (>= 0.3) to ANY eval vector inside their Lloyd cell are dropped —
+    // the paraphrase-robust stage exact-span q361 cannot express. See
+    // Similarity.semanticDecontam.
+    "q387_semantic_decontam" -> ((s, d) =>
+      Similarity.semanticDecontam(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") % 10 === 0, threshold = 0.3,
+        nlist = 8, lloydIters = 2)),
+
     // Per-source dedup attrition over the q91 retention worklist — the
     // crawl-health report (a source losing 60% to dedup is re-crawling
     // itself). One |sources|-row aggregate on the shared cluster lineage.
@@ -1443,6 +1463,14 @@ object LlmQueries {
       graft.operators.TextLm.knCrossEntropyFrom(
         knDocBigrams(s, d), knModelShared(s, d), "doc_id")),
 
+    // SoftDeDup loss-weight reweighting (Xia et al. 2024): the dedup
+    // signal as per-doc LOSS WEIGHTS instead of binary drops — rarity =
+    // -geometric-mean corpus bigram frequency off the shared doc-bigram
+    // inventory, weight = rarity / mean rarity (mean weight ~ 1). See
+    // TextLm.softDedupWeights.
+    "q388_softdedup_weights" -> ((s, d) =>
+      graft.operators.TextLm.softDedupWeights(knDocBigrams(s, d), "doc_id")),
+
     // q140's CCNet tercile mix driven by the KN scores: identical exact
     // integer order-statistic cutoffs, production smoothing. See
     // TextLm.knMix.
@@ -1704,11 +1732,13 @@ object LlmQueries {
         knDocBigrams(s, d), knModelShared(s, d),
         table(s, d, "documents"), "doc_id", "text", "source")),
 
-    // Gopher repetition-rule census (Rae et al. 2021 §A1.1 Table A1):
-    // the per-doc dup-line/dup-paragraph fractions (count AND char
-    // mass, house 3-/10-token tiles) plus top-2/3/4-gram char coverage,
-    // each an exact half-up 6-dp rational, with the all-rules pass
-    // flag at the paper's thresholds. See TextDedup.gopherRepetition.
+    // Gopher repetition-rule census (Rae et al. 2021 §A1.1 Table A1,
+    // ALL 13 repetition rules): per-doc dup-line/dup-paragraph
+    // fractions (count AND char mass, house 3-/10-token tiles),
+    // top-2/3/4-gram char coverage, and the duplicate-5..10-gram
+    // covered-character fractions, each an exact half-up 6-dp
+    // rational, with the all-rules pass flag at the paper's
+    // thresholds. See TextDedup.gopherRepetition.
     "q375_gopher_repetition" -> ((s, d) =>
       TextDedup.gopherRepetition(
         table(s, d, "documents"), "doc_id", "text")),
@@ -1782,7 +1812,17 @@ object LlmQueries {
     // feed. See TextDedup.gopherFullGate.
     "q385_gopher_full_gate" -> ((s, d) =>
       TextDedup.gopherFullGate(
-        table(s, d, "documents"), "doc_id", "text", "source"))
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
+    // Extractable-memorization census (Carlini et al. 2021/2023): per
+    // prompt length k in {5, 10, 20}, how many k-token contexts (and
+    // how much occurrence mass) deterministically fix their next token
+    // — the repeated-and-deterministic slice is the regurgitation risk
+    // the dedup shelf exists to remove. See
+    // TextDedup.extractableMemorization.
+    "q389_extractable_memorization" -> ((s, d) =>
+      TextDedup.extractableMemorization(
+        table(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2077,7 +2117,8 @@ object LlmQueries {
     * a SECOND pass over a restricted vocabulary in the same query. Ends
     * at `${pfx}segs` (w, freq, piece — one row per backtrace step). */
   private def unigramDpBlock(maxWord: Int, pfx: String,
-                             cands: String): String = {
+                             cands: String,
+                             wordsTbl: String = "words"): String = {
     val dp = (1 to maxWord).map { i =>
       s"""${pfx}b$i AS MATERIALIZED (SELECT * FROM ${pfx}b${i - 1} UNION ALL
          |  SELECT c.w, CAST($i AS BIGINT), max(b.best + c.lp)
@@ -2100,37 +2141,39 @@ object LlmQueries {
       .map(i => s"SELECT w, freq, substr(w, ns + 1, pe - ns) AS piece FROM ${pfx}s$i")
       .mkString("\n  UNION ALL\n  ")
     s"""${pfx}b0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS best
-       |       FROM words),
+       |       FROM $wordsTbl),
        |$dp,
        |${pfx}best AS MATERIALIZED (SELECT * FROM ${pfx}b$maxWord),
-       |${pfx}p0 AS (SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM words),
+       |${pfx}p0 AS (SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM $wordsTbl),
        |$back,
        |${pfx}segs AS MATERIALIZED (
        |  $segs)""".stripMargin
   }
 
-  private def unigramLmChain(maxPiece: Int, maxWord: Int): String = {
-    s"""WITH words AS MATERIALIZED (
+  private def unigramLmChain(maxPiece: Int, maxWord: Int,
+                             pfx: String = ""): String = {
+    s"""WITH ${pfx}words AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) >= 1 AND len(w) <= $maxWord GROUP BY 1),
-       |inv AS MATERIALIZED (
+       |${pfx}inv AS MATERIALIZED (
        |  SELECT w, freq, s, s + l AS e, substr(w, s + 1, l) AS piece
        |  FROM (SELECT w, freq,
-       |      unnest(generate_series(0, len(w) - 1)) AS s FROM words),
+       |      unnest(generate_series(0, len(w) - 1)) AS s FROM ${pfx}words),
        |    (SELECT unnest(generate_series(1, $maxPiece)) AS l)
        |  WHERE s + l <= len(w)),
-       |seed AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-       |         FROM inv GROUP BY 1),
-       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t0 FROM seed),
-       |lp0 AS MATERIALIZED (
+       |${pfx}seed AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |         FROM ${pfx}inv GROUP BY 1),
+       |${pfx}t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t0 FROM ${pfx}seed),
+       |${pfx}lp0 AS MATERIALIZED (
        |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE)
        |    / CAST(t0 AS DOUBLE)) * 1e6) AS BIGINT) AS lp0_mu
-       |  FROM seed CROSS JOIN t0),
-       |cands AS MATERIALIZED (
-       |  SELECT inv.w, inv.s, inv.e, lp0.lp0_mu AS lp
-       |  FROM inv JOIN lp0 USING (piece)),
-       |${unigramDpBlock(maxWord, "", "cands")}""".stripMargin
+       |  FROM ${pfx}seed CROSS JOIN ${pfx}t0),
+       |${pfx}cands AS MATERIALIZED (
+       |  SELECT i.w, i.s, i.e, l.lp0_mu AS lp
+       |  FROM ${pfx}inv i JOIN ${pfx}lp0 l USING (piece)),
+       |${unigramDpBlock(maxWord, pfx, s"${pfx}cands", s"${pfx}words")}"""
+      .stripMargin
   }
 
   /** q353 final: EM counts from the seed-pass segs, the order-statistic
@@ -2273,9 +2316,10 @@ object LlmQueries {
 
   /** Mirrors TextDedup.gopherMicro: the house 3-/10-token tile
     * inventories rolled to per-doc dup counts/char mass, the top-2/3/4
-    * word-gram argmax (count desc, gram asc), and the seven micro-unit
+    * word-gram argmax (count desc, gram asc), the dup-5..10-gram
+    * covered-position char coverage, and the thirteen micro-unit
     * half-up rationals (HUGEINT ↔ Spark's DECIMAL(38,0)); ends at `mc`
-    * (doc_id, l_n, r1..r7, pass) so q375/q376 append their final stage. */
+    * (doc_id, l_n, r1..r13) so q375/q376 append their final stage. */
   private val gopherCensusCte: String = {
     def tiles(n: Int, pfx: String) =
       s"""${pfx}_t AS (
@@ -2302,6 +2346,31 @@ object LlmQueries {
     val r = "(CAST(2 AS HUGEINT) * %s * 1000000 + %s) // (2 * %s)"
     def mu(num: String, den: String) =
       s"CAST(CASE WHEN $den = 0 THEN 0 ELSE ${r.format(num, den, den)} END AS BIGINT)"
+    // dup-n-gram char coverage (mirrors gopherMicro's one-chain-for-all-n
+    // build): dup gram starts exploded to covered token positions,
+    // DISTINCT (overlaps counted once), one token-length join. The n
+    // grid is unrolled per UNION ALL branch — DuckDB cannot chain a
+    // LATERAL range off another LATERAL's column.
+    val dupCover =
+      s"""dgr AS (
+         |  ${(5 to 10).map(n =>
+             s"SELECT doc_id, $n AS n, i, array_to_string(ts[i+1 : i+$n]," +
+               s" ' ') AS g\n  FROM gtoks, LATERAL (SELECT" +
+               s" unnest(range(0, len(ts) - ${n - 1})) AS i)")
+             .mkString("\n  UNION ALL\n  ")}),
+         |dst AS (SELECT doc_id, n, g FROM dgr
+         |  GROUP BY 1, 2, 3 HAVING count(*) > 1),
+         |dcv AS (SELECT DISTINCT doc_id, n, i + o AS p
+         |  FROM dgr JOIN dst USING (doc_id, n, g),
+         |    LATERAL (SELECT unnest(range(0, n)) AS o)),
+         |dtk AS (SELECT doc_id, p, CAST(length(w) AS BIGINT) AS wl
+         |  FROM (SELECT doc_id, unnest(ts) AS w,
+         |    unnest(range(0, len(ts))) AS p FROM gtoks)),
+         |dms AS (SELECT doc_id,
+         |    ${(5 to 10).map(n =>
+               s"CAST(sum(CASE WHEN n = $n THEN wl ELSE 0 END) AS BIGINT)" +
+                 s" AS dd$n").mkString(",\n    ")}
+         |  FROM dcv JOIN dtk USING (doc_id, p) GROUP BY 1)""".stripMargin
     s"""gtoks AS MATERIALIZED (
        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
        |  FROM documents),
@@ -2310,6 +2379,7 @@ object LlmQueries {
        |${top(2, "m2")},
        |${top(3, "m3")},
        |${top(4, "m4")},
+       |$dupCover,
        |base AS (SELECT doc_id,
        |    CAST(length(coalesce(text, '')) AS BIGINT) AS nch FROM documents),
        |mc AS MATERIALIZED (SELECT base.doc_id, l_n,
@@ -2319,17 +2389,23 @@ object LlmQueries {
        |    ${mu("p_dch", "p_ch")} AS r4,
        |    ${mu("coalesce(m2, 0)", "nch")} AS r5,
        |    ${mu("coalesce(m3, 0)", "nch")} AS r6,
-       |    ${mu("coalesce(m4, 0)", "nch")} AS r7
+       |    ${mu("coalesce(m4, 0)", "nch")} AS r7,
+       |    ${(5 to 10).zipWithIndex.map { case (n, i) =>
+             s"${mu(s"coalesce(dd$n, 0)", "nch")} AS r${i + 8}"
+           }.mkString(",\n    ")}
        |  FROM base JOIN ls USING (doc_id) JOIN ps USING (doc_id)
        |  LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
-       |  LEFT JOIN m4 USING (doc_id))""".stripMargin
+       |  LEFT JOIN m4 USING (doc_id) LEFT JOIN dms USING (doc_id))"""
+      .stripMargin
   }
 
   /** The all-rules-hold predicate over the census micro columns — shared
     * by the q375 pass flag and the q376 'all' row. */
   private val gopherPassSql: String =
     "r1 <= 300000 AND r2 <= 200000 AND r3 <= 300000 AND r4 <= 200000" +
-      " AND r5 <= 200000 AND r6 <= 180000 AND r7 <= 160000"
+      " AND r5 <= 200000 AND r6 <= 180000 AND r7 <= 160000" +
+      " AND r8 <= 150000 AND r9 <= 140000 AND r10 <= 130000" +
+      " AND r11 <= 120000 AND r12 <= 110000 AND r13 <= 100000"
 
   /** Mirrors TextDedup.gopherQualityRules up to the micro table `r`
     * (doc_id, n_words, n_stopwords, mwl, sym, bul, ell, alf) — shared
@@ -2359,7 +2435,7 @@ object LlmQueries {
       |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
       |    CAST(sum(CASE WHEN regexp_matches(line, '^[-•]') THEN 1
       |      ELSE 0 END) AS BIGINT) AS bullet_lines,
-      |    CAST(sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN 1
+      |    CAST(sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)\z') THEN 1
       |      ELSE 0 END) AS BIGINT) AS ellipsis_lines
       |  FROM lt GROUP BY 1),
       |r AS MATERIALIZED (SELECT wa.doc_id, n_words, n_stopwords,
@@ -2398,7 +2474,13 @@ object LlmQueries {
     (5, "top2_char_frac", "r5 > 200000"),
     (6, "top3_char_frac", "r6 > 180000"),
     (7, "top4_char_frac", "r7 > 160000"),
-    (8, "all", s"NOT ($gopherPassSql)"))
+    (8, "dup5gram_char_frac", "r8 > 150000"),
+    (9, "dup6gram_char_frac", "r9 > 140000"),
+    (10, "dup7gram_char_frac", "r10 > 130000"),
+    (11, "dup8gram_char_frac", "r11 > 120000"),
+    (12, "dup9gram_char_frac", "r12 > 110000"),
+    (13, "dup10gram_char_frac", "r13 > 100000"),
+    (14, "all", s"NOT ($gopherPassSql)"))
 
   /** Mirrors TextDedup.paragraphMinhashPairs: the q351 line inventory +
     * document-frequency drop + ordered rebuild (clean text, "" when all
@@ -2471,31 +2553,35 @@ object LlmQueries {
   }
 
   /** The q331/q334 shared WITH-chain: word-type table w0 and the `merges`
-    * unrolled rounds (pair counts, argmax, rewrite, vocab count). */
-  private def bpePrefixSql(merges: Int): String = {
+    * unrolled rounds (pair counts, argmax, rewrite, vocab count).
+    * `pfx` renames every CTE (default "" = the historical names) so the
+    * q390 census can compose this chain beside the WordPiece and
+    * unigram chains in ONE query without name collisions. */
+  private def bpePrefixSql(merges: Int, pfx: String = ""): String = {
     def round(k: Int) =
-      s"""p$k AS (
+      s"""${pfx}p$k AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          |  FROM (SELECT freq,
          |      unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
          |        AS pair
-         |    FROM (SELECT freq, split(sym, ' ') AS s FROM w${k - 1}))
+         |    FROM (SELECT freq, split(sym, ' ') AS s FROM ${pfx}w${k - 1}))
          |  GROUP BY pair),
-         |b$k AS MATERIALIZED (
-         |  SELECT pair, pair_count FROM p$k
+         |${pfx}b$k AS MATERIALIZED (
+         |  SELECT pair, pair_count FROM ${pfx}p$k
          |  ORDER BY pair_count DESC, pair LIMIT 1),
-         |w$k AS MATERIALIZED (
+         |${pfx}w$k AS MATERIALIZED (
          |  SELECT w, freq,
          |    CASE WHEN b.pair IS NULL THEN sym ELSE
          |      trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
          |        ' ' || replace(b.pair, ' ', '  ') || ' ',
          |        ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' '))
          |    END AS sym
-         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE),
-         |v$k AS MATERIALIZED (
+         |  FROM ${pfx}w${k - 1} LEFT JOIN ${pfx}b$k b ON TRUE),
+         |${pfx}v$k AS MATERIALIZED (
          |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
-         |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
-    s"""WITH w0 AS MATERIALIZED (
+         |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM ${pfx}w$k))"""
+        .stripMargin
+    s"""WITH ${pfx}w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |    array_to_string(split(w, ''), ' ') || ' </w>' AS sym
        |  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
@@ -2530,39 +2616,40 @@ object LlmQueries {
     * the one exact IEEE division CAST(pair_count AS DOUBLE) /
     * CAST(cnt_a * cnt_b AS DOUBLE) — both engines divide the same two
     * exactly-representable integers, so the doubles are bit-identical. */
-  private def wordpiecePrefixSql(merges: Int): String = {
+  private def wordpiecePrefixSql(merges: Int, pfx: String = ""): String = {
     def round(k: Int) =
-      s"""p$k AS (
+      s"""${pfx}p$k AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          |  FROM (SELECT freq,
          |      unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
          |        AS pair
-         |    FROM (SELECT freq, split(sym, ' ') AS s FROM w${k - 1}))
+         |    FROM (SELECT freq, split(sym, ' ') AS s FROM ${pfx}w${k - 1}))
          |  GROUP BY pair),
-         |c$k AS MATERIALIZED (
+         |${pfx}c$k AS MATERIALIZED (
          |  SELECT s, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, unnest(split(sym, ' ')) AS s FROM w${k - 1})
+         |  FROM (SELECT freq, unnest(split(sym, ' ')) AS s FROM ${pfx}w${k - 1})
          |  GROUP BY s),
-         |b$k AS MATERIALIZED (
+         |${pfx}b$k AS MATERIALIZED (
          |  SELECT pair, pair_count,
          |    CAST(pair_count AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE)
          |      AS score
-         |  FROM p$k
-         |  JOIN c$k ca ON ca.s = string_split(pair, ' ')[1]
-         |  JOIN c$k cb ON cb.s = string_split(pair, ' ')[2]
+         |  FROM ${pfx}p$k
+         |  JOIN ${pfx}c$k ca ON ca.s = string_split(pair, ' ')[1]
+         |  JOIN ${pfx}c$k cb ON cb.s = string_split(pair, ' ')[2]
          |  ORDER BY score DESC, pair_count DESC, pair LIMIT 1),
-         |w$k AS MATERIALIZED (
+         |${pfx}w$k AS MATERIALIZED (
          |  SELECT w, freq,
          |    CASE WHEN b.pair IS NULL THEN sym ELSE
          |      trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
          |        ' ' || replace(b.pair, ' ', '  ') || ' ',
          |        ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' '))
          |    END AS sym
-         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE),
-         |v$k AS MATERIALIZED (
+         |  FROM ${pfx}w${k - 1} LEFT JOIN ${pfx}b$k b ON TRUE),
+         |${pfx}v$k AS MATERIALIZED (
          |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
-         |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM w$k))""".stripMargin
-    s"""WITH w0 AS MATERIALIZED (
+         |  FROM (SELECT unnest(split(sym, ' ')) AS s FROM ${pfx}w$k))"""
+        .stripMargin
+    s"""WITH ${pfx}w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |    array_to_string(split(w, ''), ' ') || ' </w>' AS sym
        |  FROM (SELECT unnest(split(text, ' ')) AS w FROM documents)
@@ -2597,6 +2684,47 @@ object LlmQueries {
          |  CAST(sum(len(w) + 1) AS DOUBLE) / CAST(sum(ns) AS DOUBLE)
          |    AS compression
          |FROM tok JOIN dict USING (w) GROUP BY doc_id""".stripMargin
+
+  /** Mirrors TextPrep.tokenizerCompressionCensus: the three trained-
+    * tokenizer chains composed in ONE query via disjoint CTE prefixes
+    * (g = BPE, y = WordPiece, u = unigram — each chain byte-equivalent
+    * to its own q331/q357/q350 oracle), one shared modeled-word scan
+    * (1..maxWord chars), word-keyed dictionary joins, HUGEINT half-up
+    * rates. */
+  private def tokenizerCensusSql(merges: Int, maxPiece: Int,
+                                 maxWord: Int): String = {
+    val bpe = bpePrefixSql(merges, "g").stripPrefix("WITH ")
+    val wp = wordpiecePrefixSql(merges, "y").stripPrefix("WITH ")
+    val ug = unigramLmChain(maxPiece, maxWord, "u").stripPrefix("WITH ")
+    s"""WITH $bpe,
+       |$wp,
+       |$ug,
+       |wsrc AS MATERIALIZED (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) >= 1 AND len(w) <= $maxWord),
+       |bd AS (SELECT w, CAST(len(split(sym, ' ')) AS BIGINT) AS np
+       |  FROM gw$merges),
+       |yd AS (SELECT w, CAST(len(split(sym, ' ')) AS BIGINT) AS np
+       |  FROM yw$merges),
+       |ud AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+       |  FROM usegs GROUP BY 1),
+       |rr AS (
+       |  SELECT 'bpe' AS tokenizer, source, w, np FROM wsrc JOIN bd USING (w)
+       |  UNION ALL
+       |  SELECT 'wordpiece', source, w, np FROM wsrc JOIN yd USING (w)
+       |  UNION ALL
+       |  SELECT 'unigram', source, w, np FROM wsrc JOIN ud USING (w))
+       |SELECT tokenizer, source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(CAST((CAST(2 AS HUGEINT) * sum(np) * 1000000 + count(*))
+       |    // (2 * count(*)) AS BIGINT) AS DOUBLE) / 1e6 AS fertility,
+       |  CAST(CAST((CAST(2 AS HUGEINT) * sum(len(w)) * 1000000 + sum(np))
+       |    // (2 * sum(np)) AS BIGINT) AS DOUBLE) / 1e6 AS chars_per_piece
+       |FROM rr GROUP BY 1, 2""".stripMargin
+  }
 
   /** Mirrors [[graft.operators.TextPrep.piiCensus]] over the identically
     * salted corpus: the detector patterns are embedded VERBATIM from
@@ -2634,6 +2762,7 @@ object LlmQueries {
     "q334_bpe_encode" -> bpeEncodeSql(10),
     "q357_wordpiece_train" -> wordpieceTrainSql(10),
     "q358_wordpiece_encode" -> wordpieceEncodeSql(10),
+    "q390_tokenizer_census" -> tokenizerCensusSql(10, 4, 16),
 
     // Mirrors TextDedup.c4SpanDedup stage for stage: 4-token tiles via the
     // list-comprehension unnest, keeper = min packed (doc_id, tpos) per
@@ -4243,7 +4372,30 @@ object LlmQueries {
         |  CAST(CASE WHEN dr.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM assign a LEFT JOIN dr ON a.vec_id = dr.id_a""".stripMargin),
 
-
+    // Mirrors Similarity.semanticDecontam: the shared semAssignCte cells,
+    // train x eval join confined to the cell, zero-norm rows excluded,
+    // cosine micro-quantized ONCE (round(1e6*cos), the q142 fold order),
+    // threshold on the integer image, left join back to all train rows.
+    "q387_semantic_decontam" -> ("WITH " + semAssignCte + """,
+        |tr AS (SELECT cid, vec_id, emb, nrm FROM assign
+        |  WHERE vec_id % 10 <> 0),
+        |ev AS (SELECT cid, emb AS c_emb, nrm AS c_nrm FROM assign
+        |  WHERE vec_id % 10 = 0),
+        |h AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |    max(cmu) AS mx
+        |  FROM (
+        |    SELECT tr.vec_id,
+        |      CAST(round(1e6 * list_reduce(list_transform(
+        |          range(1, len(tr.emb)+1), i -> tr.emb[i]*ev.c_emb[i]),
+        |          (x,y) -> x+y) / (tr.nrm * ev.c_nrm)) AS BIGINT) AS cmu
+        |    FROM tr JOIN ev USING (cid)
+        |    WHERE tr.nrm > 0 AND ev.c_nrm > 0)
+        |  WHERE cmu >= 300000 GROUP BY 1)
+        |SELECT tr.vec_id, tr.cid,
+        |  coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+        |  CAST(h.mx AS DOUBLE) / 1e6 AS max_eval_cos,
+        |  CAST(CASE WHEN h.mx IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM tr LEFT JOIN h USING (vec_id)""".stripMargin),
 
     // Mirrors q143 over the shared cluster lineage: the q91 keep rule, then
     // one per-source rollup.
@@ -4858,6 +5010,31 @@ object LlmQueries {
         |    // (2 * sum(occ)) AS BIGINT) AS DOUBLE) / 1e6 AS xent
         |FROM db JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextLm.softDedupWeights: the shared doc-bigram chain's
+    // db/big tables, unsmoothed corpus log-frequency per TYPE
+    // (round(ln(c2/T)*1e6)), exact half-up per-doc rarity and the
+    // mean-normalized HUGEINT loss weight (uniform 1.0 when the corpus
+    // rarity degenerates to 0).
+    "q388_softdedup_weights" ->
+      s"""$knModelCte,
+        |ttl AS (SELECT CAST(sum(c2) AS BIGINT) AS tt FROM big),
+        |fmodel AS (SELECT w1, w2,
+        |    CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS flp
+        |  FROM big CROSS JOIN ttl),
+        |pd AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+        |    CAST((2 * (-sum(occ * flp)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS rmu
+        |  FROM db JOIN fmodel USING (w1, w2) GROUP BY 1),
+        |mm AS (SELECT CAST((2 * sum(rmu) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS mmu FROM pd)
+        |SELECT doc_id, n_grams, CAST(rmu AS DOUBLE) / 1e6 AS rarity,
+        |  CASE WHEN mmu = 0 THEN 1.0 ELSE
+        |    CAST(CAST((CAST(2 AS HUGEINT) * rmu * 1000000 + mmu)
+        |      // (2 * mmu) AS BIGINT) AS DOUBLE) / 1e6 END AS loss_weight
+        |FROM pd CROSS JOIN mm""".stripMargin,
 
     // Mirrors TextLm.knMix: the q342 scores through the q140 tercile
     // stage (integer micro-unit order statistics, ties to the lower
@@ -5606,6 +5783,12 @@ object LlmQueries {
          |  CAST(r5 AS DOUBLE) / 1e6 AS top2_char_frac,
          |  CAST(r6 AS DOUBLE) / 1e6 AS top3_char_frac,
          |  CAST(r7 AS DOUBLE) / 1e6 AS top4_char_frac,
+         |  CAST(r8 AS DOUBLE) / 1e6 AS dup5gram_char_frac,
+         |  CAST(r9 AS DOUBLE) / 1e6 AS dup6gram_char_frac,
+         |  CAST(r10 AS DOUBLE) / 1e6 AS dup7gram_char_frac,
+         |  CAST(r11 AS DOUBLE) / 1e6 AS dup8gram_char_frac,
+         |  CAST(r12 AS DOUBLE) / 1e6 AS dup9gram_char_frac,
+         |  CAST(r13 AS DOUBLE) / 1e6 AS dup10gram_char_frac,
          |  CAST(CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS BIGINT) AS pass
          |FROM mc""".stripMargin,
 
@@ -5757,11 +5940,54 @@ object LlmQueries {
          |    AS retention_rate
          |FROM j GROUP BY 1""".stripMargin,
 
+    // Mirrors TextDedup.extractableMemorization: per k the md5(window)
+    // prefix identity (the same window partition as Spark's native
+    // fingerprints — the q300 hashed-identity precedent), following
+    // token from the 1-based slice, fingerprint-keyed aggregate, one
+    // census row per k, HUGEINT half-up extractable fraction.
+    "q389_extractable_memorization" -> {
+      val ks = Seq(5, 10, 20)
+      val ctes = ks.map { k =>
+        s"""bp$k AS (
+           |  SELECT fp, CAST(count(*) AS BIGINT) AS occ,
+           |    CAST(count(DISTINCT nxt) AS BIGINT) AS ncont
+           |  FROM (SELECT md5(array_to_string(ts[i+1 : i+$k], ' ')) AS fp,
+           |      ts[i+${k + 1}] AS nxt
+           |    FROM toks, LATERAL (SELECT unnest(range(0, len(ts) - $k))
+           |      AS i))
+           |  GROUP BY 1),
+           |c$k AS (SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(count(*) AS BIGINT) AS n_prefix_types,
+           |    CAST(coalesce(sum(CASE WHEN ncont = 1 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_det_types,
+           |    CAST(coalesce(sum(occ), 0) AS BIGINT) AS n_occ,
+           |    CAST(coalesce(sum(CASE WHEN ncont = 1 THEN occ ELSE 0 END), 0)
+           |      AS BIGINT) AS n_det_occ,
+           |    CAST(coalesce(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_rep_types,
+           |    CAST(coalesce(sum(CASE WHEN occ >= 2 AND ncont = 1 THEN 1
+           |      ELSE 0 END), 0) AS BIGINT) AS n_rep_det_types
+           |  FROM bp$k)""".stripMargin
+      }.mkString(",\n")
+      val stack = ks.map(k => s"SELECT * FROM c$k").mkString(" UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+         |  FROM documents),
+         |$ctes
+         |SELECT k, n_prefix_types, n_det_types, n_occ, n_det_occ,
+         |  n_rep_types, n_rep_det_types,
+         |  CASE WHEN n_occ = 0 THEN 0.0 ELSE
+         |    CAST(CAST((CAST(2 AS HUGEINT) * n_det_occ * 1000000 + n_occ)
+         |      // (2 * n_occ) AS BIGINT) AS DOUBLE) / 1e6 END
+         |    AS extractable_frac
+         |FROM ($stack)""".stripMargin
+    },
+
     // Mirrors TextDedup.gopherXentAblation: the shared census chain's
     // micro columns joined to the per-doc KN xmu off the SHARED
     // knModelCte (gopherCensusCte's tokenizer is named gtoks exactly so
-    // the two chains compose in one WITH), one aggregate row, the 8-way
-    // stack, NULL-guarded means.
+    // the two chains compose in one WITH), one aggregate row, the
+    // per-rule + 'all' stack, NULL-guarded means.
     "q381_gopher_xent_ablation" -> {
       val aggs = gopherRuleFailSql.map { case (i, _, fail) =>
         s"""CAST(sum(CASE WHEN NOT ($fail) THEN 1 ELSE 0 END) AS BIGINT)

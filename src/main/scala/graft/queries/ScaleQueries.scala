@@ -549,6 +549,15 @@ object ScaleQueries {
       graft.operators.Scale.unimaxMix(
         table(s, d, "documents"), "source", "text")),
 
+    // Data-constrained scaling allocation (Muennighoff et al. 2023): the
+    // q355 waterfill under a 2x-the-corpus budget with a 4-epoch cap,
+    // repeats discounted by the paper's R* = 15.4 value decay — effective
+    // tokens D', effective epochs and repeat efficiency per source. See
+    // Scale.dataConstrainedMix.
+    "q386_data_constrained_mix" -> ((s, d) =>
+      graft.operators.Scale.dataConstrainedMix(
+        table(s, d, "documents"), "source", "text")),
+
     // Token-budget source mixing: each source contributes documents in
     // md5(doc_id) order until its 600-token budget is crossed (the doc
     // crossing the line is kept — budgets are floors, not ceilings). The
@@ -1544,6 +1553,53 @@ object ScaleQueries {
         |  CAST(CAST((CAST(2 AS HUGEINT) * least(cap, lvl) * 1000000 + s)
         |    // (2 * s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs
         |FROM caps CROSS JOIN lvl""".stripMargin,
+
+    // Mirrors Scale.dataConstrainedMix: the q355 waterfill chain at
+    // budget 2x / cap 4, then the driver-computed Muennighoff decay grid
+    // (shared VERBATIM with the Spark side via Scale.muennighoffGrid —
+    // libm exp can never diverge) joined on the full-epoch count, HUGEINT
+    // effective-token arithmetic.
+    "q386_data_constrained_mix" -> {
+      val grid = graft.operators.Scale.muennighoffGrid(4, 15.4)
+        .map { case (m, c, nx) => s"($m, $c, $nx)" }.mkString(", ")
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS s
+         |  FROM documents GROUP BY 1),
+         |caps AS MATERIALIZED (SELECT source, s, s * 4 AS cap FROM per),
+         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+         |    CAST(count(*) AS BIGINT) AS n FROM caps),
+         |grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(cap) AS BIGINT) AS sc FROM caps GROUP BY 1),
+         |segs AS (
+         |  SELECT CAST(sum(c) OVER (ORDER BY cap) AS BIGINT) AS k,
+         |    CAST(sum(sc) OVER (ORDER BY cap) AS BIGINT) AS p FROM grid
+         |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         |lvl AS (
+         |  SELECT CAST(max((ts * 2 // 1 - p) // (n - k)) AS BIGINT) AS lvl
+         |  FROM segs CROSS JOIN tot
+         |  WHERE k < n AND ts * 2 // 1 >= p),
+         |eg AS (SELECT * FROM (VALUES $grid) AS t(m, cum_mu, nxt_mu)),
+         |al AS (SELECT source, s, cap,
+         |    CAST(least(cap, lvl) AS BIGINT) AS allocation,
+         |    CAST(least(cap, lvl) // s AS BIGINT) AS mf
+         |  FROM caps CROSS JOIN lvl),
+         |dm AS (SELECT source, s, cap, allocation,
+         |    CAST(s AS HUGEINT) * cum_mu
+         |      + CAST(allocation - mf * s AS HUGEINT) * nxt_mu AS dmu
+         |  FROM al JOIN eg ON al.mf = eg.m)
+         |SELECT source, s AS n_tokens, CAST(cap AS BIGINT) AS cap, allocation,
+         |  CAST(CAST((CAST(2 AS HUGEINT) * allocation * 1000000 + s)
+         |    // (2 * s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs,
+         |  CAST((2 * dmu + 1000000) // 2000000 AS BIGINT) AS eff_tokens,
+         |  CAST(CAST((2 * dmu + s) // (2 * CAST(s AS HUGEINT)) AS BIGINT)
+         |    AS DOUBLE) / 1e6 AS eff_epochs,
+         |  CASE WHEN allocation = 0 THEN 0.0 ELSE
+         |    CAST(CAST((2 * dmu + allocation)
+         |      // (2 * CAST(allocation AS HUGEINT)) AS BIGINT) AS DOUBLE) / 1e6
+         |    END AS repeat_efficiency
+         |FROM dm""".stripMargin
+    },
 
     "q94_token_budget_mix" ->
       """WITH t AS (

@@ -22,20 +22,32 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
     //   top masses 7/11/15 over 119 = .058824/.092437/.126050 -> pass 1.
     // doc 3: empty text -> one "" line, every denominator guard -> all 0,
     //   pass 1.
+    // doc 4: "p q r s t" x2 then u1..u10 — the 5-gram repeats (starts 0
+    //   and 5, NO longer dup gram: the blocks are followed by 'p' vs
+    //   'u1'), covering token positions 0..9 = 10 chars of n_chars 50 ->
+    //   dup5gram_char_frac = 0.2 > 0.15, dup6..10 = 0, pass 0.
     val d2 = (1 to 30).map(i => f"t$i%02d").mkString(" ")
-    val docs = Seq((1L, "a b c a b c d e f"), (2L, d2), (3L, ""))
+    val d4 = "p q r s t p q r s t " + (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, "a b c a b c d e f"), (2L, d2), (3L, ""), (4L, d4))
       .toDF("doc_id", "text")
     val out = graft.operators.TextDedup.gopherRepetition(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(1) == 3L)
     assert((2 to 8).map(out(1L).getDouble) ==
       Seq(0.333333, 0.333333, 0.0, 0.0, 0.352941, 0.588235, 0.411765))
-    assert(out(1L).getLong(9) == 0L)
+    assert((9 to 14).map(out(1L).getDouble).forall(_ == 0.0),
+      "doc 1 has no repeated 5..10-gram")
+    assert(out(1L).getLong(15) == 0L)
     assert((2 to 8).map(out(2L).getDouble) ==
       Seq(0.0, 0.0, 0.0, 0.0, 0.058824, 0.092437, 0.12605))
-    assert(out(2L).getLong(9) == 1L)
-    assert((2 to 8).map(out(3L).getDouble).forall(_ == 0.0))
-    assert(out(3L).getLong(9) == 1L)
+    assert((9 to 14).map(out(2L).getDouble).forall(_ == 0.0))
+    assert(out(2L).getLong(15) == 1L)
+    assert((2 to 14).map(out(3L).getDouble).forall(_ == 0.0))
+    assert(out(3L).getLong(15) == 1L)
+    assert(out(4L).getDouble(9) == 0.2, "dup 5-gram coverage = 10/50")
+    assert((10 to 14).map(out(4L).getDouble).forall(_ == 0.0),
+      "no 6..10-gram repeats across the block boundary")
+    assert(out(4L).getLong(15) == 0L)
   }
 
   test("gopherPassReport: per-rule failure counts and half-up rates") {
@@ -46,7 +58,8 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
         docs, "doc_id", "text", "src")
       .collect().map(r => r.getString(3) ->
         ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
-    // doc 1 fails rules 1, 2, 5, 6, 7 and 'all'; doc 2 passes everything
+    // doc 1 fails rules 1, 2, 5, 6, 7 and 'all' (no 5..10-gram repeats
+    // in 9 tokens); doc 2 passes everything
     assert(out("dup_line_frac") == ((2L, 1L, 1L, 0.5)))
     assert(out("dup_line_char_frac") == ((2L, 2L, 1L, 0.5)))
     assert(out("dup_para_frac") == ((2L, 3L, 0L, 0.0)))
@@ -54,7 +67,10 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
     assert(out("top2_char_frac") == ((2L, 5L, 1L, 0.5)))
     assert(out("top3_char_frac") == ((2L, 6L, 1L, 0.5)))
     assert(out("top4_char_frac") == ((2L, 7L, 1L, 0.5)))
-    assert(out("all") == ((2L, 8L, 1L, 0.5)))
+    (5 to 10).zipWithIndex.foreach { case (n, i) =>
+      assert(out(s"dup${n}gram_char_frac") == ((2L, i + 8L, 0L, 0.0)))
+    }
+    assert(out("all") == ((2L, 14L, 1L, 0.5)))
   }
 
   private def md5hex(s: String): String =
@@ -175,13 +191,20 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
   }
 
   test("gopherQualityRules: bullet and ellipsis line fractions on the tile proxy") {
-    // tokens: '- aa bb' tile (bullet start) + 'cc dd ee...' tile
-    // (ellipsis end); 1/2 each
-    val docs = Seq((1L, "- aa bb cc dd ee...")).toDF("doc_id", "text")
-    val r = graft.operators.TextDedup.gopherQualityRules(docs, "doc_id", "text")
-      .collect().head
+    // doc 1 tokens: '- aa bb' tile (bullet start) + 'cc dd ee...' tile
+    // (ellipsis end); 1/2 each. doc 2 ends "...\n" — the trailing
+    // newline must DEFEAT the ellipsis rule on both engines (\z anchors
+    // at true end-of-text; Java's $ would have matched before the \n,
+    // RE2's would not — the ADVICE divergence fixture)
+    val docs = Seq((1L, "- aa bb cc dd ee..."), (2L, "- aa bb cc dd ee...\n"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.gopherQualityRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r = out(1L)
     assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
     assert(r.getLong(8) == 0L)
+    assert(out(2L).getDouble(5) == 0.0,
+      "a line ending with a newline after ... is NOT an ellipsis line")
   }
 
   test("gopherXentAblation: pass/fail means per rule, NULL on empty sides") {
@@ -200,6 +223,8 @@ class RoundSeventeenShelfSpec extends AnyFunSuite {
           Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
     assert(out("dup_line_frac") == ((1L, 1L, Some(3.0), Some(1.0))))
     assert(out("dup_para_frac") == ((2L, 0L, Some(2.0), None)))
+    assert(out("dup5gram_char_frac") == ((2L, 0L, Some(2.0), None)),
+      "new dup-gram rules stack with NULL-guarded empty fail side")
     assert(out("all") == ((1L, 1L, Some(3.0), Some(1.0))))
   }
 
