@@ -1737,6 +1737,27 @@ object ScaleSmoke {
         operators.TextPrep.tokenizerCompressionCensus(df, "text", "source")
           .count()
       }
+      // dedup-aware mix: the q377 removal price (replica cliques
+      // multiply covered mass ~linearly) + one source rollup + the
+      // grid-bounded q386 chain — the substr_rm curve plus a constant.
+      time(s"dedup_aware_mix $label") {
+        operators.Scale.dedupAwareMix(df, "doc_id", "text", "source")
+          .count()
+      }
+      // dedup x quality interaction: both doc-keyed gopher censuses (the
+      // gopher_gate curve) + an id join against an injected worklist —
+      // exact-dup replicas all land in the 'exact' stage.
+      time(s"dedup_quality   $label") {
+        val fp = df.select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("__f"))
+        val k1 = fp.groupBy(col("__f"))
+          .agg(min(col("doc_id")).as("__keep"))
+        val wl = fp.join(k1, "__f").select(col("doc_id"),
+          when(col("doc_id") === col("__keep"), "retained")
+            .otherwise("exact").as("stage"))
+        operators.TextDedup.dedupQualityInteraction(
+          df, "doc_id", "text", wl).count()
+      }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage
     // absorbs (factor-1)/factor of the corpus and the near-dup/semantic

@@ -631,10 +631,17 @@ object Scale {
                          epochCap: Int = 4, budgetNum: Int = 2,
                          budgetDen: Int = 1, rStar: Double = 15.4)
   : DataFrame = {
-    require(rStar > 0.0, "need rStar > 0")
     val per = docs.groupBy(col(srcCol).as("source"))
       .agg(sum(size(split(coalesce(col(textCol), lit("")), " ")))
         .cast("long").as("s"))
+    dataConstrainedFrom(per, epochCap, budgetNum, budgetDen, rStar)
+  }
+
+  /** [[dataConstrainedMix]] over a prebuilt (source, s) token-mass frame
+    * — the form [[dedupAwareMix]] feeds with DEDUPLICATED masses. */
+  def dataConstrainedFrom(per: DataFrame, epochCap: Int, budgetNum: Int,
+                          budgetDen: Int, rStar: Double): DataFrame = {
+    require(rStar > 0.0, "need rStar > 0")
     val alloc = waterfillAlloc(per, epochCap, budgetNum, budgetDen)
     val gridRows = muennighoffGrid(epochCap, rStar)
     val gridDf = alloc.sparkSession.range(1)
@@ -661,5 +668,50 @@ object Scale {
           expr("CAST((2 * __dmu + allocation) DIV" +
               " (2 * CAST(allocation AS DECIMAL(38,0))) AS BIGINT)")
             .cast("double") / lit(1e6)).as("repeat_efficiency"))
+  }
+
+  /** Dedup-DISCOUNTED data-constrained allocation — the shelf closure:
+    * how many epochs is each source worth AFTER exact-substring dedup?
+    * [[graft.operators.TextDedup.exactSubstringDedup]] (Lee et al. 2022)
+    * prices each source's duplicated token mass; the UNIQUE mass
+    * U_s = raw − removed is what Muennighoff et al. 2023's repeat-value
+    * decay actually applies to (repeating a corpus whose duplicates were
+    * never removed double-counts the dup mass at full fresh-token value
+    * — the composition the two papers' recipes assume but no single
+    * operator here expressed). The q386 grid/waterfill machinery runs
+    * verbatim on U_s ([[dataConstrainedFrom]]).
+    *
+    * Sources whose unique mass is ZERO (every token removed — possible
+    * only when a source is a verbatim copy of another) are EXCLUDED:
+    * epochs of nothing cannot be allocated, and m = a DIV s diverges
+    * between engines at s = 0 (Spark NULL vs DuckDB error — the
+    * documented divergence class the guard exists for).
+    *
+    * Output per source: n_raw_tokens, n_dup_tokens, then the full q386
+    * column set computed on the unique mass (n_tokens = U_s, cap,
+    * allocation, epochs, eff_tokens, eff_epochs, repeat_efficiency).
+    * Scale: the q377 removal price (linear in duplicated mass) + one
+    * source-keyed rollup + the grid-bounded q386 chain. */
+  def dedupAwareMix(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, l: Int = 20, maxDf: Int = 10,
+                    epochCap: Int = 4, budgetNum: Int = 2,
+                    budgetDen: Int = 1, rStar: Double = 15.4): DataFrame = {
+    val perDoc = graft.operators.TextDedup.exactSubstringDedup(
+      docs, idCol, textCol, l, maxDf)
+    val per = CacheScope.persist(docs
+      .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_raw_tokens"),
+        sum(col("n_tokens_removed")).as("n_dup_tokens"),
+        (sum(col("n_tokens")) - sum(col("n_tokens_removed"))).as("s"))
+      .where(col("s") > 0L))
+    dataConstrainedFrom(per.select(col("source"), col("s")),
+        epochCap, budgetNum, budgetDen, rStar)
+      .join(per.select(col("source"), col("n_raw_tokens"),
+        col("n_dup_tokens")), Seq("source"))
+      .select(col("source"), col("n_raw_tokens"), col("n_dup_tokens"),
+        col("n_tokens"), col("cap"), col("allocation"), col("epochs"),
+        col("eff_tokens"), col("eff_epochs"), col("repeat_efficiency"))
   }
 }

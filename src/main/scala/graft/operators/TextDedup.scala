@@ -2045,6 +2045,50 @@ object TextDedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
   }
 
+  /** Dedup × quality INTERACTION census — the FineWeb-ablation question
+    * "does deduplication remove low-quality documents first?" as one
+    * table: for every [[dedupPipeline]] worklist stage (exact /
+    * near_dup / semantic removals and the retained survivors), how many
+    * documents pass vs fail the complete Gopher gate
+    * ([[gopherFullGate]]'s conjunction — repetition AND quality), and
+    * each stage's gate-pass rate. If dedup removals fail the gate at a
+    * higher rate than the retained set, dedup is doing quality work for
+    * free (the FineWeb finding); if not, the two gates are independent
+    * and BOTH are needed. `worklist` is the one-row-per-document
+    * [[dedupPipeline]] output (injectable — the q381 scored-frame
+    * contract), so the census rides the session-shared worklist build.
+    *
+    * Output: (stage_order, stage, gate_pass ∈ {0,1}, n_docs,
+    * stage_frac — half-up 6-dp share of the stage). Both censuses are
+    * doc-keyed scans (the q385 price); the join is id-keyed; the
+    * roll-up is ≤ 8 rows. */
+  def dedupQualityInteraction(docs: DataFrame, idCol: String,
+                              textCol: String, worklist: DataFrame,
+                              lineTokens: Int = 3, paraTokens: Int = 10)
+  : DataFrame = {
+    val rep = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+      .select(col("doc_id"), col("pass").as("__rp"))
+    val qual = gopherQualityRules(docs, idCol, textCol, lineTokens)
+      .select(col("doc_id"), col("pass").as("__qp"))
+    val cells = worklist
+      .select(col("doc_id").cast("long").as("doc_id"), col("stage"))
+      .join(rep, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .groupBy(col("stage"), (col("__rp") * col("__qp")).as("gate_pass"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("stage"))
+      .agg(sum(col("n_docs")).as("__tot"))
+    cells.join(totals, Seq("stage"))
+      .select(
+        when(col("stage") === "exact", 1L)
+          .when(col("stage") === "near_dup", 2L)
+          .when(col("stage") === "semantic", 3L)
+          .otherwise(4L).as("stage_order"),
+        col("stage"), col("gate_pass"), col("n_docs"),
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_docs * 1000000 + __tot)" +
+            " DIV (2 * __tot) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("stage_frac"))
+  }
+
   /** The [[dedupPipeline]] funnel: per-stage docs_in / docs_removed /
     * docs_out in stage order — the attrition report a curation run logs.
     * One 1-row aggregate over the worklist, stacked to three rows. */

@@ -1822,7 +1822,16 @@ object LlmQueries {
     // TextDedup.extractableMemorization.
     "q389_extractable_memorization" -> ((s, d) =>
       TextDedup.extractableMemorization(
-        table(s, d, "documents"), "doc_id", "text"))
+        table(s, d, "documents"), "doc_id", "text")),
+
+    // Dedup x quality interaction census (the FineWeb ablation
+    // question): per dedup-pipeline stage, Gopher-gate pass/fail doc
+    // counts and the stage's pass rate — rides the session-shared
+    // worklist + the two shared-rule censuses. See
+    // TextDedup.dedupQualityInteraction.
+    "q392_dedup_quality_interaction" -> ((s, d) =>
+      TextDedup.dedupQualityInteraction(
+        table(s, d, "documents"), "doc_id", "text", dedupWorklist(s, d)))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2376,26 +2385,26 @@ object LlmQueries {
        |  FROM documents),
        |${tiles(3, "l")},
        |${tiles(10, "p")},
-       |${top(2, "m2")},
-       |${top(3, "m3")},
-       |${top(4, "m4")},
+       |${top(2, "gm2")},
+       |${top(3, "gm3")},
+       |${top(4, "gm4")},
        |$dupCover,
-       |base AS (SELECT doc_id,
+       |gbase AS (SELECT doc_id,
        |    CAST(length(coalesce(text, '')) AS BIGINT) AS nch FROM documents),
-       |mc AS MATERIALIZED (SELECT base.doc_id, l_n,
+       |mc AS MATERIALIZED (SELECT gbase.doc_id, l_n,
        |    ${mu("(l_n - l_nt)", "l_n")} AS r1,
        |    ${mu("l_dch", "l_ch")} AS r2,
        |    ${mu("(p_n - p_nt)", "p_n")} AS r3,
        |    ${mu("p_dch", "p_ch")} AS r4,
-       |    ${mu("coalesce(m2, 0)", "nch")} AS r5,
-       |    ${mu("coalesce(m3, 0)", "nch")} AS r6,
-       |    ${mu("coalesce(m4, 0)", "nch")} AS r7,
+       |    ${mu("coalesce(gm2, 0)", "nch")} AS r5,
+       |    ${mu("coalesce(gm3, 0)", "nch")} AS r6,
+       |    ${mu("coalesce(gm4, 0)", "nch")} AS r7,
        |    ${(5 to 10).zipWithIndex.map { case (n, i) =>
              s"${mu(s"coalesce(dd$n, 0)", "nch")} AS r${i + 8}"
            }.mkString(",\n    ")}
-       |  FROM base JOIN ls USING (doc_id) JOIN ps USING (doc_id)
-       |  LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
-       |  LEFT JOIN m4 USING (doc_id) LEFT JOIN dms USING (doc_id))"""
+       |  FROM gbase JOIN ls USING (doc_id) JOIN ps USING (doc_id)
+       |  LEFT JOIN gm2 USING (doc_id) LEFT JOIN gm3 USING (doc_id)
+       |  LEFT JOIN gm4 USING (doc_id) LEFT JOIN dms USING (doc_id))"""
       .stripMargin
   }
 
@@ -2410,10 +2419,12 @@ object LlmQueries {
   /** Mirrors TextDedup.gopherQualityRules up to the micro table `r`
     * (doc_id, n_words, n_stopwords, mwl, sym, bul, ell, alf) — shared
     * by the q380 and q385 oracles. CTE names are disjoint from
-    * [[gopherCensusCte]]'s (gtoks vs toks) so the two chains compose in
-    * one WITH for the full gate. */
+    * [[gopherCensusCte]]'s (gtoks vs qtoks) AND from the pipeline/model
+    * chains (knModelCte's toks, minhashPairsCte's toks, semAssignCte's
+    * m2) so the census chains compose in one WITH with any of them —
+    * the q381/q385/q392 composition contract. */
   private lazy val gopherQualityCte: String =
-    """toks AS MATERIALIZED (
+    """qtoks AS MATERIALIZED (
       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts,
       |    coalesce(text, '') AS txt
       |  FROM documents),
@@ -2423,15 +2434,15 @@ object LlmQueries {
       |      ELSE 0 END) AS BIGINT) AS alpha_words,
       |    CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that',
       |      'have','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
-      |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1),
+      |  FROM (SELECT doc_id, unnest(ts) AS w FROM qtoks) GROUP BY 1),
       |sy AS (SELECT doc_id,
       |    CAST(len(regexp_extract_all(txt, '#'))
       |      + len(regexp_extract_all(txt, '\.\.\.'))
       |      + len(regexp_extract_all(txt, '…')) AS BIGINT) AS n_sym
-      |  FROM toks),
+      |  FROM qtoks),
       |lt AS (SELECT doc_id, array_to_string(ts[i*3+1 : i*3+3], ' ') AS line
       |  FROM (SELECT doc_id, ts, unnest(generate_series(0,
-      |      greatest((len(ts) + 2) // 3, 1) - 1)) AS i FROM toks)),
+      |      greatest((len(ts) + 2) // 3, 1) - 1)) AS i FROM qtoks)),
       |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
       |    CAST(sum(CASE WHEN regexp_matches(line, '^[-•]') THEN 1
       |      ELSE 0 END) AS BIGINT) AS bullet_lines,
@@ -5982,6 +5993,30 @@ object LlmQueries {
          |    AS extractable_frac
          |FROM ($stack)""".stripMargin
     },
+
+    // Mirrors TextDedup.dedupQualityInteraction: the full pipeline
+    // worklist chain (wl) + BOTH gopher census chains composed in one
+    // WITH (gtoks/qtoks/toks and gm2/m2 disjoint by design — the
+    // composition contract), conjunction per doc, per-(stage, pass)
+    // counts and the HUGEINT half-up stage share.
+    "q392_dedup_quality_interaction" ->
+      (dedupPipelineCte + ",\n" + gopherCensusCte + ",\n" +
+        gopherQualityCte + s""",
+        |gp AS (SELECT mc.doc_id,
+        |    CASE WHEN ($gopherPassSql) AND ($gopherQualityPassSql)
+        |      THEN 1 ELSE 0 END AS gate_pass
+        |  FROM mc JOIN r USING (doc_id)),
+        |cells AS (SELECT wl.stage, gp.gate_pass,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM wl JOIN gp USING (doc_id) GROUP BY 1, 2),
+        |tots AS (SELECT stage, CAST(sum(n_docs) AS BIGINT) AS tot
+        |  FROM cells GROUP BY 1)
+        |SELECT CAST(CASE stage WHEN 'exact' THEN 1 WHEN 'near_dup' THEN 2
+        |    WHEN 'semantic' THEN 3 ELSE 4 END AS BIGINT) AS stage_order,
+        |  stage, CAST(gate_pass AS BIGINT) AS gate_pass, n_docs,
+        |  CAST(CAST((CAST(2 AS HUGEINT) * n_docs * 1000000 + tot)
+        |    // (2 * tot) AS BIGINT) AS DOUBLE) / 1e6 AS stage_frac
+        |FROM cells JOIN tots USING (stage)""".stripMargin),
 
     // Mirrors TextDedup.gopherXentAblation: the shared census chain's
     // micro columns joined to the per-doc KN xmu off the SHARED

@@ -558,6 +558,15 @@ object ScaleQueries {
       graft.operators.Scale.dataConstrainedMix(
         table(s, d, "documents"), "source", "text")),
 
+    // Dedup-discounted data-constrained allocation: exact-substring
+    // dedup (q377, Lee et al. 2022) prices each source's duplicated
+    // mass; the q386 Muennighoff machinery allocates epochs on the
+    // UNIQUE mass — how many epochs each source is worth AFTER dedup.
+    // See Scale.dedupAwareMix.
+    "q391_dedup_aware_mix" -> ((s, d) =>
+      graft.operators.Scale.dedupAwareMix(
+        table(s, d, "documents"), "doc_id", "text", "source")),
+
     // Token-budget source mixing: each source contributes documents in
     // md5(doc_id) order until its 600-token budget is crossed (the doc
     // crossing the line is kept — budgets are floors, not ceilings). The
@@ -850,6 +859,51 @@ object ScaleQueries {
       |    CAST(min(ia) - diag AS BIGINT) AS b_start,
       |    CAST(max(ia) - min(ia) + 20 AS BIGINT) AS run_tokens
       |  FROM st GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+
+  /** The q386/q391 shared decay-allocation chain: the q355 waterfill
+    * (budget 2x, cap 4) + the driver-computed Muennighoff grid
+    * (Scale.muennighoffGrid — the SAME constants the Spark side embeds)
+    * over a prebuilt `perTbl(source, s)` CTE, ending at
+    * `dm(source, s, cap, allocation, dmu)`. */
+  private def dataConstrainedChainSql(perTbl: String): String = {
+    val grid = graft.operators.Scale.muennighoffGrid(4, 15.4)
+      .map { case (m, c, nx) => s"($m, $c, $nx)" }.mkString(", ")
+    s"""caps AS MATERIALIZED (SELECT source, s, s * 4 AS cap FROM $perTbl),
+       |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+       |    CAST(count(*) AS BIGINT) AS n FROM caps),
+       |grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(cap) AS BIGINT) AS sc FROM caps GROUP BY 1),
+       |segs AS (
+       |  SELECT CAST(sum(c) OVER (ORDER BY cap) AS BIGINT) AS k,
+       |    CAST(sum(sc) OVER (ORDER BY cap) AS BIGINT) AS p FROM grid
+       |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+       |lvl AS (
+       |  SELECT CAST(max((ts * 2 // 1 - p) // (n - k)) AS BIGINT) AS lvl
+       |  FROM segs CROSS JOIN tot
+       |  WHERE k < n AND ts * 2 // 1 >= p),
+       |eg AS (SELECT * FROM (VALUES $grid) AS t(m, cum_mu, nxt_mu)),
+       |al AS (SELECT source, s, cap,
+       |    CAST(least(cap, lvl) AS BIGINT) AS allocation,
+       |    CAST(least(cap, lvl) // s AS BIGINT) AS mf
+       |  FROM caps CROSS JOIN lvl),
+       |dm AS (SELECT source, s, cap, allocation,
+       |    CAST(s AS HUGEINT) * cum_mu
+       |      + CAST(allocation - mf * s AS HUGEINT) * nxt_mu AS dmu
+       |  FROM al JOIN eg ON al.mf = eg.m)""".stripMargin
+  }
+
+  /** The q386/q391 shared output-column list over `dm`. */
+  private def dataConstrainedSelectSql: String =
+    """dm.source, dm.s AS n_tokens, CAST(cap AS BIGINT) AS cap, allocation,
+      |  CAST(CAST((CAST(2 AS HUGEINT) * allocation * 1000000 + dm.s)
+      |    // (2 * dm.s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs,
+      |  CAST((2 * dmu + 1000000) // 2000000 AS BIGINT) AS eff_tokens,
+      |  CAST(CAST((2 * dmu + dm.s) // (2 * CAST(dm.s AS HUGEINT)) AS BIGINT)
+      |    AS DOUBLE) / 1e6 AS eff_epochs,
+      |  CASE WHEN allocation = 0 THEN 0.0 ELSE
+      |    CAST(CAST((2 * dmu + allocation)
+      |      // (2 * CAST(allocation AS HUGEINT)) AS BIGINT) AS DOUBLE) / 1e6
+      |    END AS repeat_efficiency""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -1558,48 +1612,47 @@ object ScaleQueries {
     // budget 2x / cap 4, then the driver-computed Muennighoff decay grid
     // (shared VERBATIM with the Spark side via Scale.muennighoffGrid —
     // libm exp can never diverge) joined on the full-epoch count, HUGEINT
-    // effective-token arithmetic.
-    "q386_data_constrained_mix" -> {
-      val grid = graft.operators.Scale.muennighoffGrid(4, 15.4)
-        .map { case (m, c, nx) => s"($m, $c, $nx)" }.mkString(", ")
+    // effective-token arithmetic. Chain shared with the q391 oracle via
+    // dataConstrainedChainSql.
+    "q386_data_constrained_mix" ->
       s"""WITH per AS (
          |  SELECT source,
          |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS s
          |  FROM documents GROUP BY 1),
-         |caps AS MATERIALIZED (SELECT source, s, s * 4 AS cap FROM per),
-         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
-         |    CAST(count(*) AS BIGINT) AS n FROM caps),
-         |grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
-         |    CAST(sum(cap) AS BIGINT) AS sc FROM caps GROUP BY 1),
-         |segs AS (
-         |  SELECT CAST(sum(c) OVER (ORDER BY cap) AS BIGINT) AS k,
-         |    CAST(sum(sc) OVER (ORDER BY cap) AS BIGINT) AS p FROM grid
-         |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-         |lvl AS (
-         |  SELECT CAST(max((ts * 2 // 1 - p) // (n - k)) AS BIGINT) AS lvl
-         |  FROM segs CROSS JOIN tot
-         |  WHERE k < n AND ts * 2 // 1 >= p),
-         |eg AS (SELECT * FROM (VALUES $grid) AS t(m, cum_mu, nxt_mu)),
-         |al AS (SELECT source, s, cap,
-         |    CAST(least(cap, lvl) AS BIGINT) AS allocation,
-         |    CAST(least(cap, lvl) // s AS BIGINT) AS mf
-         |  FROM caps CROSS JOIN lvl),
-         |dm AS (SELECT source, s, cap, allocation,
-         |    CAST(s AS HUGEINT) * cum_mu
-         |      + CAST(allocation - mf * s AS HUGEINT) * nxt_mu AS dmu
-         |  FROM al JOIN eg ON al.mf = eg.m)
-         |SELECT source, s AS n_tokens, CAST(cap AS BIGINT) AS cap, allocation,
-         |  CAST(CAST((CAST(2 AS HUGEINT) * allocation * 1000000 + s)
-         |    // (2 * s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs,
-         |  CAST((2 * dmu + 1000000) // 2000000 AS BIGINT) AS eff_tokens,
-         |  CAST(CAST((2 * dmu + s) // (2 * CAST(s AS HUGEINT)) AS BIGINT)
-         |    AS DOUBLE) / 1e6 AS eff_epochs,
-         |  CASE WHEN allocation = 0 THEN 0.0 ELSE
-         |    CAST(CAST((2 * dmu + allocation)
-         |      // (2 * CAST(allocation AS HUGEINT)) AS BIGINT) AS DOUBLE) / 1e6
-         |    END AS repeat_efficiency
-         |FROM dm""".stripMargin
-    },
+         |${dataConstrainedChainSql("per")}
+         |SELECT $dataConstrainedSelectSql FROM dm""".stripMargin,
+
+    // Mirrors Scale.dedupAwareMix: the shared q377 removal chain rolled
+    // up per source (unique mass = raw - removed, zero-mass sources
+    // excluded — the documented s = 0 divergence guard), then the q386
+    // decay/waterfill chain VERBATIM on the unique masses.
+    "q391_dedup_aware_mix" ->
+      s"""WITH $exactRunsCte,
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_b AS doc_id,
+         |    CAST(unnest(range(b_start, b_start + run_tokens)) AS BIGINT)
+         |      AS pos
+         |  FROM runs)),
+         |tk AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+         |    FROM documents),
+         |    LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+         |pd AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_rm
+         |  FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
+         |    AND cov.pos = tk.pos
+         |  GROUP BY tk.doc_id),
+         |per AS (SELECT d.source,
+         |    CAST(sum(pd.n_tokens) AS BIGINT) AS n_raw_tokens,
+         |    CAST(sum(pd.n_rm) AS BIGINT) AS n_dup_tokens,
+         |    CAST(sum(pd.n_tokens) - sum(pd.n_rm) AS BIGINT) AS s
+         |  FROM pd JOIN documents d USING (doc_id) GROUP BY 1
+         |  HAVING sum(pd.n_tokens) - sum(pd.n_rm) > 0),
+         |${dataConstrainedChainSql("per")}
+         |SELECT per.n_raw_tokens, per.n_dup_tokens, $dataConstrainedSelectSql
+         |FROM dm JOIN per USING (source)""".stripMargin,
 
     "q94_token_budget_mix" ->
       """WITH t AS (

@@ -142,4 +142,57 @@ class RoundEighteenShelfSpec extends AnyFunSuite {
     assert(out("wordpiece") == (("s", 3L, 6L, 8L, 2.666667, 0.75)))
     assert(out("unigram") == (("s", 3L, 6L, 3L, 1.0, 2.0)))
   }
+
+  test("dedupAwareMix: epochs allocated on the post-dedup unique mass") {
+    // source A docs 1/2 share b1..b6 (l=4 -> doc 2 loses 6 tokens):
+    // U_A = 20-6 = 14 (raw 20, dup 6); source B doc 3 disjoint: U_B = 10.
+    // budget = 2*24 = 48, caps 56/40 -> L* = 24 (k=0: 48/2; k=1: 8) ->
+    // allocations 24/24: A spans 1 epoch + 10 tokens of epoch 2,
+    // B spans 2 epochs + 4 tokens of epoch 3.
+    val docs = Seq(
+      (1L, "a1 a2 b1 b2 b3 b4 b5 b6 a3 a4", "A"),
+      (2L, "c1 c2 b1 b2 b3 b4 b5 b6 c3 c4", "A"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10", "B"))
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.Scale.dedupAwareMix(
+        docs, "doc_id", "text", "src", l = 4, maxDf = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getDouble(6), r.getLong(7), r.getDouble(8), r.getDouble(9))))
+      .toMap
+    graft.operators.CacheScope.drain()
+    val g = graft.operators.Scale.muennighoffGrid(4, 15.4).map(_._3)
+    val dmuA = 14L * g.head + 10L * g(1)
+    val dmuB = 10L * (g.head + g(1)) + 4L * g(2)
+    assert(out("A") == ((20L, 6L, 14L, 24L, 1.714286,
+      halfUp(dmuA, 1000000L), halfUp(2 * dmuA, 2 * 14L).toDouble / 1e6,
+      halfUp(dmuA * 1000000L, 24L * 1000000L).toDouble / 1e6)))
+    assert(out("B") == ((10L, 0L, 10L, 24L, 2.4,
+      halfUp(dmuB, 1000000L), halfUp(2 * dmuB, 2 * 10L).toDouble / 1e6,
+      halfUp(dmuB * 1000000L, 24L * 1000000L).toDouble / 1e6)))
+    // B spans more epochs of its (smaller) unique mass than A, so its
+    // repeats discount harder: efficiency(B) < efficiency(A) < 1
+    assert(out("B")._8 < out("A")._8 && out("A")._8 < 1.0)
+  }
+
+  test("dedupQualityInteraction: stage x gate-pass matrix on an injected worklist") {
+    // docs 1/4 pass the full Gopher gate (the q385 fixture: 50 words,
+    // 2 stop words, mean length 3); docs 2/3 fail (word-count floor).
+    // Worklist: docs 2 AND 4 removed at 'exact' (one fail, one pass),
+    // doc 3 at 'near_dup' (fail), doc 1 retained (pass).
+    val dPass = "the and " + (1 to 48).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq((1L, dPass), (2L, "only four words here"),
+      (3L, "x1 x2 x3"), (4L, dPass)).toDF("doc_id", "text")
+    val wl = Seq((1L, "retained"), (2L, "exact"), (3L, "near_dup"),
+      (4L, "exact")).toDF("doc_id", "stage")
+    val out = graft.operators.TextDedup.dedupQualityInteraction(
+        docs, "doc_id", "text", wl)
+      .collect().map(r => (r.getString(1), r.getLong(2)) ->
+        ((r.getLong(0), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("exact", 0L)) == ((1L, 1L, 0.5)))
+    assert(out(("exact", 1L)) == ((1L, 1L, 0.5)))
+    assert(out(("near_dup", 0L)) == ((2L, 1L, 1.0)))
+    assert(out(("retained", 1L)) == ((4L, 1L, 1.0)))
+    assert(out.size == 4)
+  }
 }
