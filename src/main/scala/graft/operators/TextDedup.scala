@@ -1636,11 +1636,17 @@ object TextDedup {
     * The 100 TB shape is the q363 one: shuffles carry the doc id. */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
                        lineTokens: Int = 3, paraTokens: Int = 10): DataFrame =
-    gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
-      .select(col("doc_id") +: col("n_lines") +:
-        gopherRules.map { case (n, _, _) =>
-          (col(s"${n}_mu").cast("double") / lit(1e6)).as(n)
-        } :+ col("pass"): _*)
+    gopherRepetitionFrom(gopherMicro(docs, idCol, textCol, lineTokens,
+      paraTokens))
+
+  /** [[gopherRepetition]] over a prebuilt [[gopherMicro]] census — the
+    * shared-cache consumer form (five queries ride one census build:
+    * q375/q376/q381/q385/q392, the `gopher_micro` SharedCaches entry). */
+  def gopherRepetitionFrom(micro: DataFrame): DataFrame =
+    micro.select(col("doc_id") +: col("n_lines") +:
+      gopherRules.map { case (n, _, _) =>
+        (col(s"${n}_mu").cast("double") / lit(1e6)).as(n)
+      } :+ col("pass"): _*)
 
   /** [[gopherRepetition]] rolled up per source: one row per (source,
     * rule) with the doc count, failure count and 6-dp failure rate,
@@ -1649,8 +1655,16 @@ object TextDedup {
     * Rae et al. 2021 Table A1 values, compared in micro-units. */
   def gopherPassReport(docs: DataFrame, idCol: String, textCol: String,
                        srcCol: String, lineTokens: Int = 3,
-                       paraTokens: Int = 10): DataFrame = {
-    val census = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+                       paraTokens: Int = 10): DataFrame =
+    gopherPassReportFrom(
+      gopherMicro(docs, idCol, textCol, lineTokens, paraTokens),
+      docs, idCol, srcCol)
+
+  /** [[gopherPassReport]] over a prebuilt census — the shared-cache
+    * consumer form. */
+  def gopherPassReportFrom(micro: DataFrame, docs: DataFrame,
+                           idCol: String, srcCol: String): DataFrame = {
+    val census = micro
       .join(docs.select(col(idCol).cast("long").as("doc_id"),
         col(srcCol).as("source")), Seq("doc_id"))
     val ruleAggs = gopherRules.zipWithIndex.map { case ((n, thr, _), i) =>
@@ -1759,11 +1773,19 @@ object TextDedup {
     * passes + one id-keyed join + one source-keyed roll-up. */
   def gopherFullGate(docs: DataFrame, idCol: String, textCol: String,
                      srcCol: String, lineTokens: Int = 3,
-                     paraTokens: Int = 10): DataFrame = {
-    val rep = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
-      .select(col("doc_id"), col("pass").as("__rp"))
-    val qual = gopherQualityRules(docs, idCol, textCol, lineTokens)
-      .select(col("doc_id"), col("pass").as("__qp"))
+                     paraTokens: Int = 10): DataFrame =
+    gopherFullGateFrom(
+      gopherMicro(docs, idCol, textCol, lineTokens, paraTokens),
+      gopherQualityRules(docs, idCol, textCol, lineTokens),
+      docs, idCol, srcCol)
+
+  /** [[gopherFullGate]] over prebuilt census + quality frames — the
+    * shared-cache consumer form (`gopher_micro` + `gopher_quality`). */
+  def gopherFullGateFrom(micro: DataFrame, quality: DataFrame,
+                         docs: DataFrame, idCol: String,
+                         srcCol: String): DataFrame = {
+    val rep = micro.select(col("doc_id"), col("pass").as("__rp"))
+    val qual = quality.select(col("doc_id"), col("pass").as("__qp"))
     docs.select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"))
       .join(rep, Seq("doc_id")).join(qual, Seq("doc_id"))
       .groupBy(col("source"))
@@ -1822,8 +1844,16 @@ object TextDedup {
     * the join is id-keyed, the stack is one row per rule + 'all'. */
   def gopherXentAblation(docs: DataFrame, idCol: String, textCol: String,
                          scoredDocs: DataFrame, lineTokens: Int = 3,
-                         paraTokens: Int = 10): DataFrame = {
-    val j = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
+                         paraTokens: Int = 10): DataFrame =
+    gopherXentAblationFrom(
+      gopherMicro(docs, idCol, textCol, lineTokens, paraTokens),
+      scoredDocs, idCol)
+
+  /** [[gopherXentAblation]] over a prebuilt census — the shared-cache
+    * consumer form. */
+  def gopherXentAblationFrom(micro: DataFrame, scoredDocs: DataFrame,
+                             idCol: String): DataFrame = {
+    val j = micro
       .join(scoredDocs.select(col(idCol).cast("long").as("doc_id"),
         expr("CAST(round(xent * 1e6) AS BIGINT)").as("__xmu")), Seq("doc_id"))
     val preds = gopherRules.map { case (n, thr, _) =>
@@ -1851,10 +1881,13 @@ object TextDedup {
   }
 
   /** The micro-unit census behind [[gopherRepetition]] /
-    * [[gopherPassReport]]: doc_id, n_lines, one `<rule>_mu` BIGINT per
-    * rule, pass ∈ {0,1}. */
-  private def gopherMicro(docs: DataFrame, idCol: String, textCol: String,
-                          lineTokens: Int, paraTokens: Int): DataFrame = {
+    * [[gopherPassReport]] / the ablation / both gates: doc_id, n_lines,
+    * one `<rule>_mu` BIGINT per rule, pass ∈ {0,1}. Exposed to the
+    * query layer so ONE session-shared build (`gopher_micro`) can feed
+    * its five consumers. */
+  private[graft] def gopherMicro(docs: DataFrame, idCol: String,
+                                 textCol: String, lineTokens: Int,
+                                 paraTokens: Int): DataFrame = {
     require(lineTokens >= 1 && paraTokens > lineTokens,
       "need lineTokens >= 1 < paraTokens")
     // tile-granularity dup stats: per-(doc, tile type) occurrence counts,
@@ -2065,11 +2098,17 @@ object TextDedup {
   def dedupQualityInteraction(docs: DataFrame, idCol: String,
                               textCol: String, worklist: DataFrame,
                               lineTokens: Int = 3, paraTokens: Int = 10)
-  : DataFrame = {
-    val rep = gopherMicro(docs, idCol, textCol, lineTokens, paraTokens)
-      .select(col("doc_id"), col("pass").as("__rp"))
-    val qual = gopherQualityRules(docs, idCol, textCol, lineTokens)
-      .select(col("doc_id"), col("pass").as("__qp"))
+  : DataFrame =
+    dedupQualityInteractionFrom(
+      gopherMicro(docs, idCol, textCol, lineTokens, paraTokens),
+      gopherQualityRules(docs, idCol, textCol, lineTokens), worklist)
+
+  /** [[dedupQualityInteraction]] over prebuilt census + quality frames —
+    * the shared-cache consumer form. */
+  def dedupQualityInteractionFrom(micro: DataFrame, quality: DataFrame,
+                                  worklist: DataFrame): DataFrame = {
+    val rep = micro.select(col("doc_id"), col("pass").as("__rp"))
+    val qual = quality.select(col("doc_id"), col("pass").as("__qp"))
     val cells = worklist
       .select(col("doc_id").cast("long").as("doc_id"), col("stage"))
       .join(rep, Seq("doc_id")).join(qual, Seq("doc_id"))

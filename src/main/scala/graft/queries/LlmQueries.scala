@@ -163,6 +163,38 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
+  /** The 13-rule Gopher repetition MICRO census (doc_id, n_lines,
+    * <rule>_mu x13, pass) — FIVE queries consume one build
+    * (q375/q376/q381/q385/q392; ~4-5 s apiece at sf0.1 rebuilt, the
+    * single most-shared frame after the KN caches). Session-shared like
+    * [[knDocBigrams]]; standalone semantics: a cold call rebuilds
+    * identically. */
+  private val gopherMicroCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def gopherMicroShared(s: SparkSession, d: String): DataFrame = {
+    gopherMicroCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    gopherMicroCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        TextDedup.gopherMicro(table(s, d, "documents"), "doc_id", "text",
+          lineTokens = 3, paraTokens = 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
+  /** The Gopher QUALITY-rule census (q380's full output) — three
+    * consumers (q380/q385/q392). Session-shared like [[knDocBigrams]]. */
+  private val gopherQualityCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def gopherQualityShared(s: SparkSession, d: String): DataFrame = {
+    gopherQualityCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    gopherQualityCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        TextDedup.gopherQualityRules(table(s, d, "documents"), "doc_id",
+          "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
@@ -1740,16 +1772,15 @@ object LlmQueries {
     // rational, with the all-rules pass flag at the paper's
     // thresholds. See TextDedup.gopherRepetition.
     "q375_gopher_repetition" -> ((s, d) =>
-      TextDedup.gopherRepetition(
-        table(s, d, "documents"), "doc_id", "text")),
+      TextDedup.gopherRepetitionFrom(gopherMicroShared(s, d))),
 
     // The q375 census rolled up per source: one row per (source, rule)
     // with failure count + 6-dp failure rate, plus the 'all' row — the
     // corpus-card table a curation run reports. See
     // TextDedup.gopherPassReport.
     "q376_gopher_report" -> ((s, d) =>
-      TextDedup.gopherPassReport(
-        table(s, d, "documents"), "doc_id", "text", "source")),
+      TextDedup.gopherPassReportFrom(gopherMicroShared(s, d),
+        table(s, d, "documents"), "doc_id", "source")),
 
     // Per-language UniMax over the CCNet lineage: per-lang KN tercile
     // keep (head+middle, the q374 cuts) off the shared lang_kn_scored
@@ -1776,9 +1807,7 @@ object LlmQueries {
     // line fractions / alphabetic-word fraction / stop-set presence,
     // pass at the paper's thresholds — the non-repetition half of the
     // q375 gate. See TextDedup.gopherQualityRules.
-    "q380_gopher_quality" -> ((s, d) =>
-      TextDedup.gopherQualityRules(
-        table(s, d, "documents"), "doc_id", "text")),
+    "q380_gopher_quality" -> ((s, d) => gopherQualityShared(s, d)),
 
     // Rule-vs-LM cross-audit: per q375 rule (and the all-rules gate),
     // mean KN xent of passing vs failing docs over the scored
@@ -1786,10 +1815,9 @@ object LlmQueries {
     // LM quality on THIS corpus? Rides the shared KN caches. See
     // TextDedup.gopherXentAblation.
     "q381_gopher_xent_ablation" -> ((s, d) =>
-      TextDedup.gopherXentAblation(
-        table(s, d, "documents"), "doc_id", "text",
+      TextDedup.gopherXentAblationFrom(gopherMicroShared(s, d),
         graft.operators.TextLm.knCrossEntropyFrom(
-          knDocBigrams(s, d), knModelShared(s, d), "doc_id"))),
+          knDocBigrams(s, d), knModelShared(s, d), "doc_id"), "doc_id")),
 
     // Duplicate-cluster size census over the shared MinHash pair graph:
     // components by size + the singleton row — the corpus-card
@@ -1811,8 +1839,9 @@ object LlmQueries {
     // the retention rate — the keep/drop artifact the two censuses
     // feed. See TextDedup.gopherFullGate.
     "q385_gopher_full_gate" -> ((s, d) =>
-      TextDedup.gopherFullGate(
-        table(s, d, "documents"), "doc_id", "text", "source")),
+      TextDedup.gopherFullGateFrom(gopherMicroShared(s, d),
+        gopherQualityShared(s, d),
+        table(s, d, "documents"), "doc_id", "source")),
 
     // Extractable-memorization census (Carlini et al. 2021/2023): per
     // prompt length k in {5, 10, 20}, how many k-token contexts (and
@@ -1830,8 +1859,8 @@ object LlmQueries {
     // worklist + the two shared-rule censuses. See
     // TextDedup.dedupQualityInteraction.
     "q392_dedup_quality_interaction" -> ((s, d) =>
-      TextDedup.dedupQualityInteraction(
-        table(s, d, "documents"), "doc_id", "text", dedupWorklist(s, d)))
+      TextDedup.dedupQualityInteractionFrom(gopherMicroShared(s, d),
+        gopherQualityShared(s, d), dedupWorklist(s, d)))
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected

@@ -39,5 +39,7 @@ object SharedCaches {
     "dedup_worklist" -> (LlmQueries.dedupWorklist _),
     "kn_doc_bigrams" -> (LlmQueries.knDocBigrams _),
     "kn_bigram_model" -> (LlmQueries.knModelShared _),
-    "lang_kn_scored" -> (LlmQueries.langKnScored _))
+    "lang_kn_scored" -> (LlmQueries.langKnScored _),
+    "gopher_micro" -> (LlmQueries.gopherMicroShared _),
+    "gopher_quality" -> (LlmQueries.gopherQualityShared _))
 }

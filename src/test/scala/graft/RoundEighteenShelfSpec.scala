@@ -195,4 +195,36 @@ class RoundEighteenShelfSpec extends AnyFunSuite {
     assert(out(("retained", 1L)) == ((4L, 1L, 1.0)))
     assert(out.size == 4)
   }
+
+  test("gopher shared-cache forms == standalone operators (the SharedCaches rule)") {
+    // the r18 gopher_micro / gopher_quality session caches must be pure
+    // cost optimizations — every consumer returns exactly its standalone
+    // operator's rows (the TextLmSharedSpec discipline)
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols.map(c => s"CAST(`$c` AS STRING)"): _*)
+        .collect().map(_.mkString("|")).toSet
+    }
+    val docs = graft.Graft.table(spark, sf, "documents")
+    val td = graft.operators.TextDedup
+    val shared = graft.queries.LlmQueries.queries
+    val standalone = Map(
+      "q375_gopher_repetition" ->
+        td.gopherRepetition(docs, "doc_id", "text"),
+      "q376_gopher_report" ->
+        td.gopherPassReport(docs, "doc_id", "text", "source"),
+      "q380_gopher_quality" ->
+        td.gopherQualityRules(docs, "doc_id", "text"),
+      "q385_gopher_full_gate" ->
+        td.gopherFullGate(docs, "doc_id", "text", "source"))
+    standalone.foreach { case (name, solo) =>
+      val viaCache = shared(name)(spark, sf)
+      assert(viaCache.columns.toSeq == solo.columns.toSeq,
+        s"$name column drift between shared and standalone forms")
+      assert(rows(viaCache) == rows(solo),
+        s"$name shared-cache rows != standalone rows")
+      graft.operators.CacheScope.drain()
+    }
+  }
 }
