@@ -1758,6 +1758,23 @@ object ScaleSmoke {
         operators.TextDedup.dedupQualityInteraction(
           df, "doc_id", "text", wl).count()
       }
+      // ---- round-19 curves ----
+      // per-doc memorization risk: ONE k=10 window inventory (a third of
+      // the extract_mem build) + a fingerprint-keyed join back + doc
+      // roll-up; replicas multiply occ per fingerprint TYPE, so the
+      // aggregate side stays type-bounded while the join side is linear.
+      time(s"mem_risk        $label") {
+        operators.TextDedup.memorizationRisk(df, "doc_id", "text").count()
+      }
+      // soft-weighted mix: the softdedup_wts curve (weights are rebuilt
+      // here — in the suite they ride the shared KN inventory) + one
+      // doc-keyed join + the grid-bounded q386 chain, a constant.
+      time(s"soft_wt_mix     $label") {
+        operators.Scale.softWeightedMix(df, "doc_id", "source", "text",
+          operators.TextLm.softDedupWeights(
+            operators.TextLm.docBigrams(df, "doc_id", "text"), "doc_id"))
+          .count()
+      }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage
     // absorbs (factor-1)/factor of the corpus and the near-dup/semantic

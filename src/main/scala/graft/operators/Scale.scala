@@ -714,4 +714,56 @@ object Scale {
         col("n_tokens"), col("cap"), col("allocation"), col("epochs"),
         col("eff_tokens"), col("eff_epochs"), col("repeat_efficiency"))
   }
+
+  /** SOFT-weighted data-constrained allocation — the q388 → q386
+    * composition (Xia et al. 2024's SoftDedup reweighting used as the
+    * allocation input, the recipe's intended downstream): each source's
+    * effective mass is its WEIGHTED token sum Σ_docs w_d · tokens_d
+    * (common/duplicated documents shrink the source, rare ones grow
+    * it), and the Muennighoff grid/waterfill ([[dataConstrainedFrom]])
+    * allocates epochs on that soft mass instead of the raw count.
+    *
+    * `weights` is the (idCol, loss_weight) frame from
+    * [[graft.operators.TextLm.softDedupWeights]] (injectable — the
+    * session-shared KN inventory feeds it); its 6-dp loss_weight's
+    * integer image is recovered once (round(w·1e6), the q381 xent
+    * precedent) and the per-source mass is the exact half-up BIGINT of
+    * Σ wmu·tokens / 1e6, summed in DECIMAL(38,0) (wmu·tokens reaches
+    * ~1e19 at 100 TB — past BIGINT). Only the SCORED population
+    * contributes (docs with < 2 tokens carry no bigram, no weight, no
+    * mass — the q378 contract); sources whose soft mass rounds to ZERO
+    * are excluded (the q391 s = 0 divergence guard).
+    *
+    * Output per source: n_raw_tokens (scored-population raw sum), then
+    * the full q386 column set on the soft mass (n_tokens = soft mass,
+    * cap, allocation, epochs, eff_tokens, eff_epochs,
+    * repeat_efficiency).
+    *
+    * Scale: one doc-keyed join (weights are |docs| rows) + ONE
+    * source-keyed aggregate + the grid-bounded q386 chain — nothing
+    * new touches text beyond the token count. */
+  def softWeightedMix(docs: DataFrame, idCol: String, srcCol: String,
+                      textCol: String, weights: DataFrame,
+                      epochCap: Int = 4, budgetNum: Int = 2,
+                      budgetDen: Int = 1, rStar: Double = 15.4)
+  : DataFrame = {
+    val wmu = weights.select(col(idCol),
+      expr("CAST(round(loss_weight * 1e6) AS BIGINT)").as("__wmu"))
+    val per = CacheScope.persist(docs
+      .select(col(idCol), col(srcCol).as("source"),
+        size(split(coalesce(col(textCol), lit("")), " "))
+          .cast("long").as("__nt"))
+      .join(wmu, Seq(idCol))
+      .groupBy(col("source"))
+      .agg(sum(col("__nt")).as("n_raw_tokens"),
+        expr("CAST((2 * sum(CAST(__wmu AS DECIMAL(38,0)) * __nt)" +
+          " + 1000000) DIV 2000000 AS BIGINT)").as("s"))
+      .where(col("s") > 0L))
+    dataConstrainedFrom(per.select(col("source"), col("s")),
+        epochCap, budgetNum, budgetDen, rStar)
+      .join(per.select(col("source"), col("n_raw_tokens")), Seq("source"))
+      .select(col("source"), col("n_raw_tokens"), col("n_tokens"),
+        col("cap"), col("allocation"), col("epochs"), col("eff_tokens"),
+        col("eff_epochs"), col("repeat_efficiency"))
+  }
 }

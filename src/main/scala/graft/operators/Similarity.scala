@@ -617,7 +617,10 @@ object Similarity {
     * corpus × eval; cosine micro-quantized once (round(1e6·cos), the
     * q142 fold order), threshold compared on the integer image.
     * Zero-norm vectors on either side are EXCLUDED from the compare
-    * (0/0 is NaN — the q373 contract) and therefore kept.
+    * (0/0 is NaN — the q373 contract) and therefore kept. `evalPred`
+    * is NULL-coalesced to false: a row where the predicate evaluates
+    * to NULL (e.g. over a nullable column) is TRAIN — eval membership
+    * must be an affirmative true, never an accidental NULL.
     *
     * Output per TRAIN vector: idCol, cid, n_eval_hits, max_eval_cos
     * (6-dp, NULL when no hit), keep ∈ {0,1}. Scale: the assignment is
@@ -630,9 +633,13 @@ object Similarity {
                        nlist: Int = 8, lloydIters: Int = 2): DataFrame = {
     val assign = CacheScope.persist(
       semAssignment(emb, idCol, vecCol, nlist, lloydIters))
-    val tr = assign.where(!evalPred).select(col("cid"), col(idCol),
+    // NULL-coalesced predicate (the q373 convention): a row where
+    // evalPred evaluates to NULL is TRAIN, not silently dropped from
+    // both sides — eval membership must be an affirmative true
+    val evalB = coalesce(evalPred, lit(false))
+    val tr = assign.where(!evalB).select(col("cid"), col(idCol),
       col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val ev = assign.where(evalPred).select(col("cid"),
+    val ev = assign.where(evalB).select(col("cid"),
       col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val thrMu = math.round(threshold * 1e6)
     val hits = tr.join(ev, "cid")

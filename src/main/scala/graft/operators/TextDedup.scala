@@ -1940,10 +1940,17 @@ object TextDedup {
         posexplode(transform(sequence(lit(0), size(col("ts")) - col("n")),
           i => array_join(slice(col("ts"), i + 1, col("n")), " ")))
           .as(Seq("i", "g")))
-    val dupStarts = grams.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("__c"), collect_list(col("i")).as("__is"))
+    // dup keys via count-only aggregate + semi-join back to the gram
+    // inventory (NOT collect_list+explode): a degenerate doc (one token
+    // repeated millions of times) would concentrate every start of its
+    // single gram type into one aggregation buffer — the semi-join
+    // recovers (doc_id, n, i) with bounded per-key state
+    val dupKeys = grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1L)
-      .select(col("doc_id"), col("n"), explode(col("__is")).as("i"))
+      .select(col("doc_id"), col("n"), col("g"))
+    val dupStarts = grams.join(dupKeys, Seq("doc_id", "n", "g"), "left_semi")
+      .select(col("doc_id"), col("n"), col("i"))
     val covered = dupStarts.select(col("doc_id"), col("n"),
         explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
       .distinct()
@@ -2046,6 +2053,60 @@ object TextDedup {
             .cast("double") / lit(1e6)).as("extractable_frac"))
     }
     perK.reduce(_.unionByName(_))
+  }
+
+  /** Per-document memorization-RISK drill-down (Carlini et al. 2021 /
+    * 2023 — public papers): [[extractableMemorization]] reports the
+    * corpus-level census; the actionable artifact is per-doc — for each
+    * document, the fraction of its `k`-token windows (those carrying a
+    * continuation) that are REPEATED-AND-DETERMINISTIC corpus-wide, i.e.
+    * the windows a k-token prompt would extract verbatim because every
+    * corpus occurrence continues identically. These are exactly the
+    * documents a dedup pass should kill first: a doc whose windows are
+    * mostly repeated-deterministic is a duplicated passage carrier.
+    *
+    * Mechanics: the q389 window inventory WITH doc_id retained — per
+    * window (doc_id, fp, next token), one fingerprint-keyed aggregate
+    * (occ, distinct continuations) joined back to the (doc, window)
+    * rows on the FINGERPRINT, then one doc-keyed roll-up. Windows at
+    * document end carry no continuation and are excluded on both
+    * engines (the q389 contract); documents with no k+1-token window
+    * carry no row.
+    *
+    * Output per doc: doc_id, n_windows, n_risky (occ ≥ 2 AND exactly
+    * one continuation), risk_frac (half-up 6-dp n_risky/n_windows).
+    *
+    * Scale: the inventory is ~tokens rows (the q300 envelope); the
+    * aggregate and the join are fingerprint-keyed, the roll-up
+    * doc-keyed — NO pair join, strictly cheaper than q300 and one
+    * fp-keyed join over q389's cost.
+    *
+    * ScaleSmoke 10x (sf0.1, local[32]): see memorization_risk — rides
+    * the q389 inventory curve plus the fp-keyed join (replica corpora
+    * multiply occ, not fingerprint types, so the aggregate stays
+    * type-bounded). */
+  def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 10): DataFrame = {
+    require(k >= 1, "need window length >= 1")
+    val pw = CacheScope.persist(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          split(coalesce(col(textCol), lit("")), " ").as("ts"),
+          posexplode(graft.functions.TokenNgrams.token_window_hashes(
+            coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
+        .where(col("p") + k + 1 <= size(col("ts")))
+        .select(col("doc_id"), col("fp"),
+          element_at(col("ts"), col("p") + k + 1).as("nxt")))
+    val byPrefix = pw.groupBy(col("fp"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("nxt")).as("ncont"))
+    pw.join(byPrefix, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2L && col("ncont") === 1L, 1L).otherwise(0L))
+          .as("n_risky"))
+      .select(col("doc_id"), col("n_windows"), col("n_risky"),
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_risky * 1000000" +
+            " + n_windows) DIV (2 * n_windows) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("risk_frac"))
   }
 
   /** Duplicate-cluster size census — the corpus-card table behind every

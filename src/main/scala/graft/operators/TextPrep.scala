@@ -169,6 +169,15 @@ object TextPrep {
     encodeWithDict(docs, idCol, textCol,
       wordpieceMergeLoop(docs, textCol, merges)._2)
 
+  /** [[bpeEncode]] / [[wordpieceEncode]] over a prebuilt trained
+    * word-type dictionary (`bpe_dict` / `wordpiece_dict`) — the
+    * session-shared consumer form: one closed-vocab dictionary join +
+    * the per-doc compression aggregate, the trainer priced by its own
+    * shared build. */
+  def encodeFromDict(docs: DataFrame, idCol: String, textCol: String,
+                     dict: DataFrame): DataFrame =
+    encodeWithDict(docs, idCol, textCol, dict)
+
   /** Per-source tokenizer COMPRESSION census — the corpus-card table a
     * tokenizer choice is justified with: for each trained family (BPE
     * [[bpeTrain]], WordPiece [[wordpieceTrain]], unigram-LM
@@ -194,16 +203,30 @@ object TextPrep {
   def tokenizerCompressionCensus(docs: DataFrame, textCol: String,
                                  srcCol: String, merges: Int = 10,
                                  maxPieceLen: Int = 4, maxWordLen: Int = 16)
-  : DataFrame = {
+  : DataFrame =
+    tokenizerCompressionCensusFrom(docs, textCol, srcCol,
+      bpeMergeLoop(docs, textCol, merges)._2,
+      wordpieceMergeLoop(docs, textCol, merges)._2,
+      unigramDp(docs, textCol, maxPieceLen, maxWordLen), maxWordLen)
+
+  /** [[tokenizerCompressionCensus]] over the three prebuilt trained
+    * dictionaries (`bpe_dict` / `wordpiece_dict` / `unigram_dp` — the
+    * session-shared forms): the census pays only its own corpus word
+    * scan plus three word-keyed joins; each trainer's floor is priced
+    * by its own shared build. */
+  def tokenizerCompressionCensusFrom(docs: DataFrame, textCol: String,
+                                     srcCol: String, bpeDict: DataFrame,
+                                     wpDict: DataFrame, ugDp: DataFrame,
+                                     maxWordLen: Int = 16): DataFrame = {
     val words = CacheScope.persist(
       docs.select(col(srcCol).as("source"),
           explode(split(col(textCol), " ")).as("w"))
         .where(length(col("w")) >= 1 && length(col("w")) <= maxWordLen))
-    val bpeD = bpeMergeLoop(docs, textCol, merges)._2
+    val bpeD = bpeDict
       .select(col("w"), size(split(col("sym"), " ")).cast("long").as("np"))
-    val wpD = wordpieceMergeLoop(docs, textCol, merges)._2
+    val wpD = wpDict
       .select(col("w"), size(split(col("sym"), " ")).cast("long").as("np"))
-    val ugD = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)._1
+    val ugD = ugDp
       .select(col("w"), (size(col("bounds")) - 1).cast("long").as("np"))
     def roll(d: DataFrame, name: String): DataFrame =
       words.join(d, Seq("w"))
@@ -227,9 +250,16 @@ object TextPrep {
   /** The shared merge loop: returns (merge-table rows, final word-type
     * table with each word's post-merge symbol string). */
   private def bpeMergeLoop(docs: DataFrame, textCol: String, merges: Int)
+  : (DataFrame, DataFrame) =
+    bpeMergeLoopFrom(seedWordTypes(docs, textCol), merges)
+
+  /** [[bpeMergeLoop]] over a prebuilt word-type seed ([[seedWordTypesPlan]]
+    * rows) — the session-shared form (`tok_word_seed` feeds the three
+    * trainer families one corpus scan). */
+  private[graft] def bpeMergeLoopFrom(seed: DataFrame, merges: Int)
   : (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
-    var wt = seedWordTypes(docs, textCol)
+    var wt = seed
     val rows = Seq.newBuilder[DataFrame]
     var k = 1
     var exhausted = false
@@ -277,9 +307,15 @@ object TextPrep {
     * by the likelihood-ratio score (count(ab)/(count(a)·count(b)), one
     * exact IEEE division) instead of the raw pair count. */
   private def wordpieceMergeLoop(docs: DataFrame, textCol: String,
-                                 merges: Int): (DataFrame, DataFrame) = {
+                                 merges: Int): (DataFrame, DataFrame) =
+    wordpieceMergeLoopFrom(seedWordTypes(docs, textCol), merges)
+
+  /** [[wordpieceMergeLoop]] over a prebuilt word-type seed — the
+    * session-shared form (the [[bpeMergeLoopFrom]] contract). */
+  private[graft] def wordpieceMergeLoopFrom(seed: DataFrame, merges: Int)
+  : (DataFrame, DataFrame) = {
     require(merges >= 1, "need at least one merge round")
-    var wt = seedWordTypes(docs, textCol)
+    var wt = seed
     val rows = Seq.newBuilder[DataFrame]
     var k = 1
     var exhausted = false
@@ -331,15 +367,20 @@ object TextPrep {
   /** Corpus word-TYPE seed shared by both merge loops: (w, freq, sym)
     * with sym the space-joined characters + `</w>` marker. Chars via
     * substr (split-on-empty-regex trails an empty string on some
-    * engines; substr is unambiguous). */
-  private def seedWordTypes(docs: DataFrame, textCol: String): DataFrame =
+    * engines; substr is unambiguous). The PLAN form — the session-shared
+    * `tok_word_seed` builder persists it; standalone loops checkpoint
+    * via [[seedWordTypes]]. */
+  private[graft] def seedWordTypesPlan(docs: DataFrame, textCol: String)
+  : DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"),
         concat(array_join(transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))), " "), lit(" </w>")).as("sym"))
-      .localCheckpoint()
+
+  private def seedWordTypes(docs: DataFrame, textCol: String): DataFrame =
+    seedWordTypesPlan(docs, textCol).localCheckpoint()
 
   /** The ONE boundary-safe pair rewrite, shared by both merge loops:
     * each symbol is matched with BOTH its delimiters by doubling the
@@ -426,12 +467,21 @@ object TextPrep {
     * (nats, 6 dp). */
   def unigramLmTrainStep(docs: DataFrame, textCol: String,
                          maxPieceLen: Int = 4, maxWordLen: Int = 16)
-  : DataFrame = {
-    val (dp, lp0, _) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+  : DataFrame =
+    unigramLmTrainStepFrom(unigramDp(docs, textCol, maxPieceLen, maxWordLen))
+
+  /** [[unigramLmTrainStep]] over a prebuilt Viterbi DP frame (the
+    * session-shared `unigram_dp`): the piece inventory AND the seed
+    * log-prob table are both recovered from the DP's own candidate
+    * structs (every piece's seed lp rides every (word, position)
+    * candidate — min per piece TYPE is exact recovery, all copies
+    * equal), so ONE shared frame serves the whole unigram shelf. */
+  def unigramLmTrainStepFrom(dp0: DataFrame): DataFrame = {
+    val dp = CacheScope.persist(dp0)
     val em = dp.select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("em_count"))
     val t1 = em.agg(sum(col("em_count")).as("t1"))
-    em.crossJoin(broadcast(t1)).join(lp0, Seq("piece"))
+    em.crossJoin(broadcast(t1)).join(lp0FromDp(dp), Seq("piece"))
       .select(col("piece"), col("em_count"),
         (col("lp0_mu").cast("double") / lit(1e6)).as("lp0"),
         (expr("CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1e6) AS BIGINT)")
@@ -457,8 +507,15 @@ object TextPrep {
     * house exact-integer half-up 6-dp rational. */
   def unigramLmFertility(docs: DataFrame, textCol: String, srcCol: String,
                          maxPieceLen: Int = 4, maxWordLen: Int = 16)
-  : DataFrame = {
-    val (dp, _, _) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
+  : DataFrame =
+    unigramLmFertilityFrom(unigramDp(docs, textCol, maxPieceLen, maxWordLen),
+      docs, textCol, srcCol, maxWordLen)
+
+  /** [[unigramLmFertility]] over a prebuilt Viterbi DP frame — the
+    * session-shared consumer form (`unigram_dp`). */
+  def unigramLmFertilityFrom(dp: DataFrame, docs: DataFrame,
+                             textCol: String, srcCol: String,
+                             maxWordLen: Int): DataFrame = {
     val perWord = dp.select(col("w"),
       (size(col("bounds")) - 1).cast("long").as("np"))
     docs.select(col(srcCol).as("source"),
@@ -501,13 +558,20 @@ object TextPrep {
   def unigramLmPrune(docs: DataFrame, textCol: String,
                      keepNum: Int = 1, keepDen: Int = 2,
                      maxPieceLen: Int = 4, maxWordLen: Int = 16)
+  : DataFrame =
+    unigramLmPruneFrom(unigramDp(docs, textCol, maxPieceLen, maxWordLen),
+      keepNum, keepDen)
+
+  /** [[unigramLmPrune]] over a prebuilt Viterbi DP frame — the
+    * session-shared consumer form; the piece-position inventory is
+    * recovered from the DP's candidate structs ([[invFromDp]]). */
+  def unigramLmPruneFrom(dp0: DataFrame, keepNum: Int, keepDen: Int)
   : DataFrame = {
     require(keepNum > 0 && keepDen > keepNum, "need 0 < keepNum < keepDen")
-    val (dp0, _, inv0) = unigramViterbi(docs, textCol, maxPieceLen, maxWordLen)
     // the seed DP feeds BOTH the em aggregate and the `before` piece
     // counts — persisted so the dominant fold runs once, not twice
     val dp = CacheScope.persist(dp0)
-    val inv = CacheScope.persist(inv0)
+    val inv = CacheScope.persist(invFromDp(dp))
     val em = CacheScope.persist(
       dp.select(col("freq"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("em")))
@@ -560,18 +624,27 @@ object TextPrep {
   }
 
   /** Shared seed-model + Viterbi chain for [[unigramLmTrainStep]] /
-    * [[unigramLmFertility]]: returns (dp, lp0, inv) where dp carries one
-    * row per word type with its DP `best` array, backtrace `bounds`, and
-    * decoded `pieces`, lp0 is the persisted seed log-prob table, and inv
-    * the per-word piece-position inventory. */
-  private def unigramViterbi(docs: DataFrame, textCol: String,
-                             maxPieceLen: Int, maxWordLen: Int)
-  : (DataFrame, DataFrame, DataFrame) = {
+    * [[unigramLmFertility]] / [[unigramLmPrune]]: one row per word type
+    * with its DP `best` array, backtrace `bounds`, decoded `pieces`, and
+    * the candidate structs `cands` (s, e, lp) the seed model and piece
+    * inventory are recoverable from ([[lp0FromDp]] / [[invFromDp]]) —
+    * the ONE frame the session shares as `unigram_dp`. */
+  private[graft] def unigramDp(docs: DataFrame, textCol: String,
+                               maxPieceLen: Int, maxWordLen: Int)
+  : DataFrame =
+    unigramDpFrom(
+      docs.select(explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")),
+      maxPieceLen, maxWordLen)
+
+  /** [[unigramDp]] over a prebuilt (w, freq) word-type table — the
+    * session-shared form (the `tok_word_seed` scan, maxWordLen-filtered,
+    * feeds it so all three trainer families share one corpus scan). */
+  private[graft] def unigramDpFrom(words: DataFrame, maxPieceLen: Int,
+                                   maxWordLen: Int): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 1 and maxWordLen >= maxPieceLen")
-    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
-      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     val inv = words.select(col("w"), col("freq"),
         explode(expr(
           s"""flatten(transform(sequence(0, length(w) - 1),
@@ -590,8 +663,26 @@ object TextPrep {
       .groupBy(col("w"), col("freq"))
       .agg(collect_list(struct(col("s"), col("e"),
         col("lp0_mu").as("lp"))).as("cands"))
-    (viterbiFold(cands), lp0, inv)
+    viterbiFold(cands)
   }
+
+  /** Per-word piece-position inventory (w, freq, s, e, piece) recovered
+    * from a DP frame's candidate structs — exactly the rows the seed
+    * inventory held (the cands join against the seed model is lossless:
+    * the model covers every seed piece). */
+  private def invFromDp(dp: DataFrame): DataFrame =
+    dp.select(col("w"), col("freq"), explode(col("cands")).as("c"))
+      .select(col("w"), col("freq"), col("c.s").as("s"), col("c.e").as("e"),
+        col("w").substr(col("c.s") + 1, col("c.e") - col("c.s")).as("piece"))
+
+  /** Seed log-prob table (piece, lp0_mu) recovered from a DP frame: each
+    * candidate struct carries its piece's seed lp, all copies equal —
+    * min per piece TYPE is exact recovery. */
+  private def lp0FromDp(dp: DataFrame): DataFrame =
+    dp.select(explode(col("cands")).as("c"), col("w"))
+      .select(col("w").substr(col("c.s") + 1, col("c.e") - col("c.s"))
+        .as("piece"), col("c.lp").as("lp"))
+      .groupBy(col("piece")).agg(min(col("lp")).as("lp0_mu"))
 
   /** The Viterbi DP + backtrace over a (w, freq, cands) frame — pure
     * integer folds over the word's own candidate array (c.s/c.e are

@@ -195,6 +195,112 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
+  /** The tokenizer word-type SEED (w, freq, sym) — ONE corpus word scan
+    * feeding all three trainer families (bpe/wordpiece merge loops
+    * directly; unigram via the maxWordLen-filtered projection). Eight
+    * consumers ride it transitively (q331/q334/q357/q358/q350/q352/
+    * q353/q390 — far past the house 3+ rule). Session-shared like
+    * [[knDocBigrams]]; standalone semantics: a cold call rebuilds
+    * identically (TextPrepSpec pins shared == standalone). */
+  private val tokSeedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def tokSeedShared(s: SparkSession, d: String): DataFrame = {
+    tokSeedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    tokSeedCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        graft.operators.TextPrep.seedWordTypesPlan(
+          table(s, d, "documents"), "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
+  /** The trained BPE artifacts — merge table (q331) and final word-type
+    * dictionary (q334/q390). ONE merge-loop run per (session, sf dir)
+    * builds BOTH (the loop mints them simultaneously; localCheckpointed
+    * rounds make it eager), installed into their two registry caches
+    * together. Memoizes THROUGH [[tokSeedShared]] — registers AFTER it
+    * (the dedup_worklist ordering precedent); `bpe_dict` registers after
+    * `bpe_merges`, so its breakdown line prices ~0 (same build). */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bpeDictCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bpeBuild(s: SparkSession, d: String): Unit = {
+    val (m, wt) = graft.operators.TextPrep.bpeMergeLoopFrom(
+      tokSeedShared(s, d), merges = 10)
+    bpeMergesCache.putIfAbsent((s, d), graft.operators.CacheScope.pin(
+      m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    bpeDictCache.putIfAbsent((s, d), graft.operators.CacheScope.pin(
+      wt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    ()
+  }
+
+  private[queries] def bpeMergesShared(s: SparkSession, d: String): DataFrame = {
+    bpeMergesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    bpeDictCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    if (!bpeMergesCache.contains((s, d))) bpeBuild(s, d)
+    bpeMergesCache((s, d))
+  }
+
+  private[queries] def bpeDictShared(s: SparkSession, d: String): DataFrame = {
+    bpeMergesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    bpeDictCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    if (!bpeDictCache.contains((s, d))) bpeBuild(s, d)
+    bpeDictCache((s, d))
+  }
+
+  /** The trained WordPiece artifacts — the [[bpeMergesShared]] pattern
+    * for the likelihood-ratio family (q357/q358/q390). */
+  private val wpMergesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val wpDictCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def wpBuild(s: SparkSession, d: String): Unit = {
+    val (m, wt) = graft.operators.TextPrep.wordpieceMergeLoopFrom(
+      tokSeedShared(s, d), merges = 10)
+    wpMergesCache.putIfAbsent((s, d), graft.operators.CacheScope.pin(
+      m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    wpDictCache.putIfAbsent((s, d), graft.operators.CacheScope.pin(
+      wt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    ()
+  }
+
+  private[queries] def wpMergesShared(s: SparkSession, d: String): DataFrame = {
+    wpMergesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    wpDictCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    if (!wpMergesCache.contains((s, d))) wpBuild(s, d)
+    wpMergesCache((s, d))
+  }
+
+  private[queries] def wpDictShared(s: SparkSession, d: String): DataFrame = {
+    wpMergesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    wpDictCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    if (!wpDictCache.contains((s, d))) wpBuild(s, d)
+    wpDictCache((s, d))
+  }
+
+  /** The unigram-LM Viterbi DP frame (one row per word type with cands/
+    * best/bounds/pieces) — the ONE frame the whole SentencePiece shelf
+    * derives from (q350/q352/q353/q390; the seed model and piece
+    * inventory are recovered from the candidate structs). Memoizes
+    * THROUGH [[tokSeedShared]] (maxWordLen-filtered projection — freq is
+    * per word TYPE, so filtering after the aggregate is identical). */
+  private val unigramDpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def unigramDpShared(s: SparkSession, d: String): DataFrame = {
+    unigramDpCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    unigramDpCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        graft.operators.TextPrep.unigramDpFrom(
+          tokSeedShared(s, d).where(length(col("w")) <= 16)
+            .select(col("w"), col("freq")),
+          maxPieceLen = 4, maxWordLen = 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
   private val stopEn = "('the','a','of','and','to','in')"
   private val stopDe = "('der','die','das','und','ist')"
   private val stopFr = "('le','la','et','les','des')"
@@ -247,33 +353,29 @@ object LlmQueries {
     // round is vocab-bounded. All-integer; the oracle re-derives the
     // whole training loop (unrolled materialized CTEs). See
     // TextPrep.bpeTrain.
-    "q331_bpe_train" -> ((s, d) =>
-      graft.operators.TextPrep.bpeTrain(table(s, d, "documents"), "text",
-        merges = 10)),
+    "q331_bpe_train" -> ((s, d) => bpeMergesShared(s, d)),
 
     // BPE ENCODE — the train->apply round trip: q331's 10 merges, then
     // every doc re-tokenized through the trained word-type dictionary;
     // per-doc symbol counts and compression ratio. One word-keyed join
     // on top of training. See TextPrep.bpeEncode.
     "q334_bpe_encode" -> ((s, d) =>
-      graft.operators.TextPrep.bpeEncode(table(s, d, "documents"),
-        "doc_id", "text", merges = 10)),
+      graft.operators.TextPrep.encodeFromDict(table(s, d, "documents"),
+        "doc_id", "text", bpeDictShared(s, d))),
 
     // WordPiece TRAINER (Schuster & Nakajima; the BERT tokenizer) — the
     // third tokenizer family: q331's merge loop with the argmax driven
     // by the likelihood-ratio score count(ab)/(count(a)*count(b)) (one
     // exact IEEE division of exact BIGINTs — no libm), tie-break
     // (score, pair_count, pair). See TextPrep.wordpieceTrain.
-    "q357_wordpiece_train" -> ((s, d) =>
-      graft.operators.TextPrep.wordpieceTrain(table(s, d, "documents"),
-        "text", merges = 10)),
+    "q357_wordpiece_train" -> ((s, d) => wpMergesShared(s, d)),
 
     // WordPiece ENCODE — the train->apply round trip over q357's merge
     // table, same closed-vocab dictionary-join contract as q334. See
     // TextPrep.wordpieceEncode.
     "q358_wordpiece_encode" -> ((s, d) =>
-      graft.operators.TextPrep.wordpieceEncode(table(s, d, "documents"),
-        "doc_id", "text", merges = 10)),
+      graft.operators.TextPrep.encodeFromDict(table(s, d, "documents"),
+        "doc_id", "text", wpDictShared(s, d))),
 
     // Per-source tokenizer compression census: BPE (q331), WordPiece
     // (q357) and unigram-LM (q350) apply passes rolled up per source —
@@ -281,8 +383,9 @@ object LlmQueries {
     // corpus-card table a tokenizer choice is justified with. See
     // TextPrep.tokenizerCompressionCensus.
     "q390_tokenizer_census" -> ((s, d) =>
-      graft.operators.TextPrep.tokenizerCompressionCensus(
-        table(s, d, "documents"), "text", "source", merges = 10)),
+      graft.operators.TextPrep.tokenizerCompressionCensusFrom(
+        table(s, d, "documents"), "text", "source",
+        bpeDictShared(s, d), wpDictShared(s, d), unigramDpShared(s, d))),
 
     // Character-trigram profile (n-gram analysis surface). The distinct
     // count runs through the native single-pass NgramDistinctCount
@@ -1568,8 +1671,7 @@ object LlmQueries {
     // exact-integer Viterbi segmentation per word TYPE, min-start
     // tie-break. See TextPrep.unigramLmTrainStep.
     "q350_unigram_lm_em" -> ((s, d) =>
-      graft.operators.TextPrep.unigramLmTrainStep(
-        table(s, d, "documents"), "text")),
+      graft.operators.TextPrep.unigramLmTrainStepFrom(unigramDpShared(s, d))),
 
     // Line-level dedup with document reconstruction (CCNet/FineWeb):
     // drop every line (3-token tile) occurring in >= 3 distinct docs,
@@ -1732,8 +1834,8 @@ object LlmQueries {
     // Viterbi piece counts per word TYPE, occurrence-weighted per
     // source. See TextPrep.unigramLmFertility.
     "q352_unigram_fertility" -> ((s, d) =>
-      graft.operators.TextPrep.unigramLmFertility(
-        table(s, d, "documents"), "text", "source")),
+      graft.operators.TextPrep.unigramLmFertilityFrom(unigramDpShared(s, d),
+        table(s, d, "documents"), "text", "source", maxWordLen = 16)),
 
     // Unigram-LM vocabulary pruning (Kudo 2018 §3): drop the bottom half
     // of multi-char pieces by EM usage (order-statistic cut, ties drop;
@@ -1742,8 +1844,8 @@ object LlmQueries {
     // SentencePiece trio q350 (train) / q352 (apply) / q353 (prune).
     // See TextPrep.unigramLmPrune.
     "q353_unigram_prune" -> ((s, d) =>
-      graft.operators.TextPrep.unigramLmPrune(
-        table(s, d, "documents"), "text")),
+      graft.operators.TextPrep.unigramLmPruneFrom(unigramDpShared(s, d),
+        keepNum = 1, keepDen = 2)),
 
     // Min-K% Prob membership/contamination score (Shi et al. 2023): mean
     // xent of each doc's 20% least-likely bigram instances under the KN
@@ -1860,7 +1962,78 @@ object LlmQueries {
     // TextDedup.dedupQualityInteraction.
     "q392_dedup_quality_interaction" -> ((s, d) =>
       TextDedup.dedupQualityInteractionFrom(gopherMicroShared(s, d),
-        gopherQualityShared(s, d), dedupWorklist(s, d)))
+        gopherQualityShared(s, d), dedupWorklist(s, d))),
+
+    // Per-document memorization-risk drill-down (Carlini et al.): the
+    // fraction of each doc's 10-token windows that are repeated-and-
+    // deterministic corpus-wide — the docs a dedup pass should kill
+    // first. Fingerprint-keyed aggregate + join, no pair join. See
+    // TextDedup.memorizationRisk.
+    "q393_memorization_risk" -> ((s, d) =>
+      TextDedup.memorizationRisk(table(s, d, "documents"), "doc_id",
+        "text", k = 10)),
+
+    // SOFT-weighted data-constrained allocation: q388's SoftDedup loss
+    // weights turned into the allocation input (Xia et al. 2024's
+    // intended use) — per-source effective mass = sum(weight * tokens)
+    // over the scored population, then the q386 Muennighoff grid/
+    // waterfill on the soft mass. Rides the session-shared KN doc-bigram
+    // inventory. See Scale.softWeightedMix.
+    "q394_soft_weighted_mix" -> ((s, d) =>
+      graft.operators.Scale.softWeightedMix(table(s, d, "documents"),
+        "doc_id", "source", "text",
+        graft.operators.TextLm.softDedupWeights(knDocBigrams(s, d),
+          "doc_id"))),
+
+    // Corpus data card v2 — the release-card roll-up of the r17/r18
+    // shelves in ONE row: complete Gopher-gate retention (q375 x q380
+    // conjunction), dedup-pipeline attrition (q345's worklist),
+    // extractable-memorization fraction at k=10 (q389), corpus effective
+    // epochs at the 2x/cap-4 budget (q386: sum eff_tokens / sum tokens),
+    // and BPE fertility over the modeled-word population (q390's bpe
+    // row, corpus-level). Pure composition over session-shared artifacts
+    // (gopher_micro, gopher_quality, dedup_worklist, bpe_dict) plus the
+    // q389 k=10 inventory; every ratio the house half-up 6-dp rational.
+    "q395_corpus_card_v2" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val gate = gopherMicroShared(s, d)
+        .select(col("doc_id"), col("pass").as("__rp"))
+        .join(gopherQualityShared(s, d)
+          .select(col("doc_id"), col("pass").as("__qp")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__rp") * col("__qp")).as("__npass"))
+        .select(col("n_docs"),
+          (expr("CAST((CAST(2 AS DECIMAL(38,0)) * __npass * 1000000" +
+              " + n_docs) DIV (2 * n_docs) AS BIGINT)")
+            .cast("double") / lit(1e6)).as("gopher_retention"))
+      val funnel = dedupWorklist(s, d)
+        .agg(count(lit(1)).as("__t"),
+          sum(when(col("stage") === "retained", 0L).otherwise(1L))
+            .as("__rm"))
+        .select((expr("CAST((CAST(2 AS DECIMAL(38,0)) * __rm * 1000000" +
+            " + __t) DIV (2 * __t) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("dedup_removed_frac"))
+      val extr = TextDedup.extractableMemorization(docs, "doc_id", "text",
+          ks = Seq(10))
+        .select(col("extractable_frac").as("extractable_frac_k10"))
+      val effE = graft.operators.Scale.dataConstrainedMix(docs, "source",
+          "text")
+        .agg(sum(col("eff_tokens")).as("__de"),
+          sum(col("n_tokens")).as("__u"))
+        .select((expr("CAST((CAST(2 AS DECIMAL(38,0)) * __de * 1000000" +
+            " + __u) DIV (2 * __u) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("eff_epochs"))
+      val fert = docs.select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1 && length(col("w")) <= 16)
+        .join(bpeDictShared(s, d).select(col("w"),
+          size(split(col("sym"), " ")).cast("long").as("__np")), Seq("w"))
+        .agg(count(lit(1)).as("__nw"), sum(col("__np")).as("__p"))
+        .select((expr("CAST((CAST(2 AS DECIMAL(38,0)) * __p * 1000000" +
+            " + __nw) DIV (2 * __nw) AS BIGINT)")
+          .cast("double") / lit(1e6)).as("bpe_fertility"))
+      gate.crossJoin(funnel).crossJoin(extr).crossJoin(effE)
+        .crossJoin(fert)
+    })
   )
 
   /** Shared CTE chain replaying the MinHash-LSH candidate graph + connected
@@ -2803,6 +2976,126 @@ object LlmQueries {
     "q357_wordpiece_train" -> wordpieceTrainSql(10),
     "q358_wordpiece_encode" -> wordpieceEncodeSql(10),
     "q390_tokenizer_census" -> tokenizerCensusSql(10, 4, 16),
+
+    // Mirrors TextDedup.memorizationRisk: the q389 k=10 window+next
+    // inventory WITH doc_id, fingerprint-keyed (occ, ncont) aggregate,
+    // join back on the fingerprint, doc-keyed roll-up, HUGEINT half-up
+    // risk fraction.
+    "q393_memorization_risk" ->
+      """WITH xtk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents),
+        |xpw AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(ts[i+1 : i+10], ' ')) AS fp,
+        |    ts[i+11] AS nxt
+        |  FROM xtk, LATERAL (SELECT unnest(range(0, len(ts) - 10)) AS i)),
+        |xbp AS (SELECT fp, CAST(count(*) AS BIGINT) AS occ,
+        |    CAST(count(DISTINCT nxt) AS BIGINT) AS ncont
+        |  FROM xpw GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN occ >= 2 AND ncont = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_risky,
+        |  CAST(CAST((CAST(2 AS HUGEINT)
+        |      * sum(CASE WHEN occ >= 2 AND ncont = 1 THEN 1 ELSE 0 END)
+        |      * 1000000 + count(*)) // (2 * count(*)) AS BIGINT) AS DOUBLE)
+        |    / 1e6 AS risk_frac
+        |FROM xpw JOIN xbp USING (fp) GROUP BY 1""".stripMargin,
+
+    // Mirrors Scale.softWeightedMix: the q388 weights chain (shared
+    // knModelCte lineage) -> per-doc wmu, per-source soft mass = half-up
+    // HUGEINT of sum(wmu * tokens)/1e6 over the scored population
+    // (zero-mass sources excluded — the q391 guard), then the q386
+    // decay/waterfill chain VERBATIM on the soft masses.
+    "q394_soft_weighted_mix" ->
+      s"""$knModelCte,
+        |ttl AS (SELECT CAST(sum(c2) AS BIGINT) AS tt FROM big),
+        |fmodel AS (SELECT w1, w2,
+        |    CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS flp
+        |  FROM big CROSS JOIN ttl),
+        |spd AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST((2 * (-sum(occ * flp)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS rmu
+        |  FROM db JOIN fmodel USING (w1, w2) GROUP BY 1),
+        |smm AS (SELECT CAST((2 * sum(rmu) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS mmu FROM spd),
+        |wgt AS (SELECT doc_id,
+        |    CASE WHEN mmu = 0 THEN CAST(1000000 AS BIGINT) ELSE
+        |      CAST((CAST(2 AS HUGEINT) * rmu * 1000000 + mmu)
+        |        // (2 * mmu) AS BIGINT) END AS wmu
+        |  FROM spd CROSS JOIN smm),
+        |dtok AS (SELECT doc_id, source,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |per AS (SELECT source,
+        |    CAST(sum(nt) AS BIGINT) AS n_raw_tokens,
+        |    CAST((2 * sum(CAST(wmu AS HUGEINT) * nt) + 1000000)
+        |      // 2000000 AS BIGINT) AS s
+        |  FROM dtok JOIN wgt USING (doc_id) GROUP BY 1
+        |  HAVING (2 * sum(CAST(wmu AS HUGEINT) * nt) + 1000000)
+        |    // 2000000 > 0),
+        |${ScaleQueries.dataConstrainedChainSql("per")}
+        |SELECT per.n_raw_tokens, ${ScaleQueries.dataConstrainedSelectSql}
+        |FROM dm JOIN per USING (source)""".stripMargin,
+
+    // Mirrors the q395 card composition: the dedup-pipeline worklist
+    // (wl) + BOTH gopher census chains (mc/r) + the q389 k=10 chain
+    // (xtk/xpw/xbp, fresh names — the pipeline chain owns `toks`) + the
+    // q386 decay chain over the raw source masses + the q331 BPE chain
+    // under the `cb` prefix, each collapsed to its ONE card column and
+    // cross-joined — five 1-row frames, byte-equivalent arithmetic to
+    // the constituent oracles.
+    "q395_corpus_card_v2" ->
+      (dedupPipelineCte + ",\n" + gopherCensusCte + ",\n" +
+        gopherQualityCte + ",\n" +
+        bpePrefixSql(10, "cb").stripPrefix("WITH ") + s""",
+        |cgate AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST((CAST(2 AS HUGEINT)
+        |        * sum(CASE WHEN ($gopherPassSql)
+        |            AND ($gopherQualityPassSql) THEN 1 ELSE 0 END)
+        |        * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |      AS DOUBLE) / 1e6 AS gopher_retention
+        |  FROM mc JOIN r USING (doc_id)),
+        |cfun AS (SELECT CAST(CAST((CAST(2 AS HUGEINT)
+        |      * sum(CASE WHEN stage = 'retained' THEN 0 ELSE 1 END)
+        |      * 1000000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS dedup_removed_frac FROM wl),
+        |xtk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents),
+        |xpw AS (SELECT md5(array_to_string(ts[i+1 : i+10], ' ')) AS fp,
+        |    ts[i+11] AS nxt
+        |  FROM xtk, LATERAL (SELECT unnest(range(0, len(ts) - 10)) AS i)),
+        |xbp AS (SELECT fp, CAST(count(*) AS BIGINT) AS occ,
+        |    CAST(count(DISTINCT nxt) AS BIGINT) AS ncont
+        |  FROM xpw GROUP BY 1),
+        |cext AS (SELECT CASE WHEN coalesce(sum(occ), 0) = 0 THEN 0.0 ELSE
+        |    CAST(CAST((CAST(2 AS HUGEINT)
+        |        * sum(CASE WHEN ncont = 1 THEN occ ELSE 0 END)
+        |        * 1000000 + sum(occ)) // (2 * sum(occ)) AS BIGINT)
+        |      AS DOUBLE) / 1e6 END AS extractable_frac_k10 FROM xbp),
+        |per AS (SELECT source,
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+        |      AS s
+        |  FROM documents GROUP BY 1),
+        |${ScaleQueries.dataConstrainedChainSql("per")},
+        |ceff AS (SELECT CAST(CAST((CAST(2 AS HUGEINT)
+        |      * sum(CAST((2 * dmu + 1000000) // 2000000 AS BIGINT))
+        |      * 1000000 + sum(s)) // (2 * sum(s)) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS eff_epochs FROM dm),
+        |wmod AS (SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1 AND len(w) <= 16),
+        |cbd AS (SELECT w, CAST(len(split(sym, ' ')) AS BIGINT) AS np
+        |  FROM cbw10),
+        |cfert AS (SELECT CAST(CAST((CAST(2 AS HUGEINT) * sum(np) * 1000000
+        |      + count(*)) // (2 * count(*)) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS bpe_fertility
+        |  FROM wmod JOIN cbd USING (w))
+        |SELECT n_docs, gopher_retention, dedup_removed_frac,
+        |  extractable_frac_k10, eff_epochs, bpe_fertility
+        |FROM cgate, cfun, cext, ceff, cfert""".stripMargin),
 
     // Mirrors TextDedup.c4SpanDedup stage for stage: 4-token tiles via the
     // list-comprehension unnest, keeper = min packed (doc_id, tpos) per

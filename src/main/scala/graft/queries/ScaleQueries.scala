@@ -865,7 +865,7 @@ object ScaleQueries {
     * (Scale.muennighoffGrid — the SAME constants the Spark side embeds)
     * over a prebuilt `perTbl(source, s)` CTE, ending at
     * `dm(source, s, cap, allocation, dmu)`. */
-  private def dataConstrainedChainSql(perTbl: String): String = {
+  private[queries] def dataConstrainedChainSql(perTbl: String): String = {
     val grid = graft.operators.Scale.muennighoffGrid(4, 15.4)
       .map { case (m, c, nx) => s"($m, $c, $nx)" }.mkString(", ")
     s"""caps AS MATERIALIZED (SELECT source, s, s * 4 AS cap FROM $perTbl),
@@ -893,7 +893,7 @@ object ScaleQueries {
   }
 
   /** The q386/q391 shared output-column list over `dm`. */
-  private def dataConstrainedSelectSql: String =
+  private[queries] def dataConstrainedSelectSql: String =
     """dm.source, dm.s AS n_tokens, CAST(cap AS BIGINT) AS cap, allocation,
       |  CAST(CAST((CAST(2 AS HUGEINT) * allocation * 1000000 + dm.s)
       |    // (2 * dm.s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs,

@@ -41,5 +41,15 @@ object SharedCaches {
     "kn_bigram_model" -> (LlmQueries.knModelShared _),
     "lang_kn_scored" -> (LlmQueries.langKnScored _),
     "gopher_micro" -> (LlmQueries.gopherMicroShared _),
-    "gopher_quality" -> (LlmQueries.gopherQualityShared _))
+    "gopher_quality" -> (LlmQueries.gopherQualityShared _),
+    // the tokenizer shelf: one corpus word scan (tok_word_seed), then the
+    // three trainer families; each *_dict registers right after its
+    // *_merges twin (same eager merge-loop build installs both, so the
+    // dict line prices ~0 — the declared-order attribution contract)
+    "tok_word_seed" -> (LlmQueries.tokSeedShared _),
+    "bpe_merges" -> (LlmQueries.bpeMergesShared _),
+    "bpe_dict" -> (LlmQueries.bpeDictShared _),
+    "wordpiece_merges" -> (LlmQueries.wpMergesShared _),
+    "wordpiece_dict" -> (LlmQueries.wpDictShared _),
+    "unigram_dp" -> (LlmQueries.unigramDpShared _))
 }
