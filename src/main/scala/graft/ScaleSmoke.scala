@@ -1775,6 +1775,16 @@ object ScaleSmoke {
             operators.TextLm.docBigrams(df, "doc_id", "text"), "doc_id"))
           .count()
       }
+      // cross-snapshot substr dedup (parity carve): one fp-keyed store
+      // DISTINCT + semi-join + covered explode LINEAR in the duplicated
+      // mass — replicas make every odd doc a store hit, so the covered
+      // side approaches the whole snapshot (the q377 envelope).
+      time(s"snap_dedup      $label") {
+        operators.TextDedup.snapshotSubstrDedup(
+          df.where(col("doc_id") % 2 === 1),
+          df.where(col("doc_id") % 2 === 0),
+          "doc_id", "text").count()
+      }
     }
     // End-to-end pipeline: replicas are exact dups, so the EXACT stage
     // absorbs (factor-1)/factor of the corpus and the near-dup/semantic

@@ -741,7 +741,13 @@ object Scale {
     *
     * Scale: one doc-keyed join (weights are |docs| rows) + ONE
     * source-keyed aggregate + the grid-bounded q386 chain — nothing
-    * new touches text beyond the token count. */
+    * new touches text beyond the token count.
+    *
+    * ScaleSmoke 10x (sf0.1, local[32], `soft_wt_mix`, weights rebuilt
+    * in-curve): 4.2 s at 1x -> 10.7 s at 10x — the softDedupWeights/
+    * KN-inventory curve (type-bounded model, corpus-linear scan) plus
+    * a grid constant; in the suite the weights ride the session-shared
+    * KN doc-bigram inventory. */
   def softWeightedMix(docs: DataFrame, idCol: String, srcCol: String,
                       textCol: String, weights: DataFrame,
                       epochCap: Int = 4, budgetNum: Int = 2,

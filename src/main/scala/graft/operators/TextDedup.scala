@@ -2055,6 +2055,98 @@ object TextDedup {
     perK.reduce(_.unionByName(_))
   }
 
+  /** Window-fingerprint inventory shared by the cross-snapshot dedup
+    * forms: (doc_id, i 1-based, fp) — one row per sliding `l`-token
+    * window, fingerprints minted natively
+    * ([[graft.functions.TokenNgrams.token_window_hashes]], the q300
+    * join-identity precedent; the oracle keys on md5(window), the same
+    * partition of windows). */
+  private[graft] def windowFpInventory(docs: DataFrame, idCol: String,
+                                       textCol: String, l: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.functions.TokenNgrams.token_window_hashes(
+          coalesce(col(textCol), lit("")), l)).as(Seq("__p0", "fp")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("i"),
+        col("fp"))
+
+  /** Covered (doc_id, pos) set of a snapshot inventory under the
+    * store-extended anchor-keep rule: a token position is covered iff
+    * some window over it has its fingerprint IN THE STORE (shared with
+    * a previous snapshot) or shared with a SMALLER doc_id inside the
+    * snapshot itself (the doc_a < doc_b removal-from-later policy of
+    * [[exactSubstringDedup]], applied intra-snapshot). */
+  private[graft] def snapshotCovered(inv: DataFrame, storeFps: DataFrame,
+                                     l: Int): DataFrame = {
+    val storeHit = inv.join(storeFps.select(col("fp")), Seq("fp"),
+        "left_semi")
+      .select(col("doc_id"), col("i"))
+    val batchMin = inv.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("__mind"),
+        countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("fp"), col("__mind"))
+    val intraHit = inv.join(batchMin, Seq("fp"))
+      .where(col("doc_id") > col("__mind"))
+      .select(col("doc_id"), col("i"))
+    storeHit.unionByName(intraHit)
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + l - 1)).as("pos"))
+      .distinct()
+  }
+
+  /** Cross-snapshot exact-substring dedup, BATCH form (Lee et al. 2022
+    * applied incrementally — the oracled twin of
+    * [[graft.streaming.CrossSnapshotSubstrDedup]]): dedup the NEW crawl
+    * snapshot `newDocs` against the fingerprint store accumulated from
+    * `oldDocs` WITHOUT recomputing the old corpus's run inventory —
+    * the store holds fingerprints, not positions, so cross-snapshot
+    * removal needs no pair join and no run stitching. A new doc's token
+    * position is removed iff covered by an `l`-token window shared with
+    * ANY old doc or with a smaller-id doc in the same snapshot
+    * ([[snapshotCovered]]); the survivor is rebuilt from its remaining
+    * tokens in order. Docs shorter than `l` tokens carry no window and
+    * pass through verbatim.
+    *
+    * Output per NEW doc: doc_id, n_tokens, n_tokens_removed, clean_md5
+    * (md5 of the kept tokens space-joined; md5("") when everything was
+    * removed — the q377 narrow contract).
+    *
+    * Scale: the store build is one fingerprint-keyed DISTINCT over the
+    * old inventory (~old-tokens rows; in production this is the
+    * PERSISTED store, not a rebuild — the streaming twin reads it as
+    * parquet); the snapshot side is one semi-join + one snapshot-local
+    * fingerprint aggregate + a covered-position explode linear in the
+    * duplicated mass (the q377 envelope) + one doc-keyed rebuild.
+    *
+    * ScaleSmoke 10x (sf0.1, local[32], `snap_dedup`, parity carve):
+    * 0.4 s at 1x -> 0.9 s at 10x — fingerprint TYPES are constant
+    * across replicas (the store DISTINCT and the per-fp aggregate never
+    * grow); the covered explode tracks the duplicated mass. */
+  def snapshotSubstrDedup(newDocs: DataFrame, oldDocs: DataFrame,
+                          idCol: String, textCol: String, l: Int = 20)
+  : DataFrame = {
+    require(l >= 1, "need window length >= 1")
+    val store = windowFpInventory(oldDocs, idCol, textCol, l)
+      .select(col("fp")).distinct()
+    val inv = CacheScope.persist(
+      windowFpInventory(newDocs, idCol, textCol, l))
+    val covered = snapshotCovered(inv, store, l).withColumn("__hit", lit(1L))
+    newDocs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), " "))
+          .as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
+        col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNull, 0L).otherwise(1L))
+          .as("n_tokens_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__hit").isNull,
+            struct(col("pos"), col("tok"))))),
+          t => t.getField("tok")), " ")).as("clean_md5"))
+  }
+
   /** Per-document memorization-RISK drill-down (Carlini et al. 2021 /
     * 2023 — public papers): [[extractableMemorization]] reports the
     * corpus-level census; the actionable artifact is per-doc — for each
@@ -2081,10 +2173,11 @@ object TextDedup {
     * doc-keyed — NO pair join, strictly cheaper than q300 and one
     * fp-keyed join over q389's cost.
     *
-    * ScaleSmoke 10x (sf0.1, local[32]): see memorization_risk — rides
-    * the q389 inventory curve plus the fp-keyed join (replica corpora
-    * multiply occ, not fingerprint types, so the aggregate stays
-    * type-bounded). */
+    * ScaleSmoke 10x (sf0.1, local[32], `mem_risk`): 3.3 s at 1x ->
+    * 3.9 s at 10x — strongly sub-linear because replica corpora
+    * multiply each fingerprint's occ, not the fingerprint TYPES, so
+    * the aggregate side is constant and only the doc-keyed join side
+    * grows with the corpus. */
   def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 10): DataFrame = {
     require(k >= 1, "need window length >= 1")

@@ -100,6 +100,20 @@ object ScaleQueries {
       TextDedup.exactSubstringSweep(table(s, d, "documents"),
         "doc_id", "text")),
 
+    // Cross-snapshot incremental exact-substring dedup, batch form (the
+    // oracled twin of streaming CrossSnapshotSubstrDedup): even doc_ids
+    // play the accumulated crawl (the fingerprint store), odd doc_ids
+    // the NEW snapshot deduped against it + within itself — no pair
+    // join, no run stitching, the store holds fingerprints only. See
+    // TextDedup.snapshotSubstrDedup.
+    "q396_snapshot_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextDedup.snapshotSubstrDedup(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", l = 20)
+    }),
+
     // Kish effective sample size of the length-weighted corpus per
     // language: ESS = (Σw)²/Σw² with w = n_chars — the design-effect
     // audit importance-weighted training mixes (q123 temperature
@@ -969,6 +983,46 @@ object ScaleQueries {
          |FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
          |  AND cov.pos = tk.pos
          |GROUP BY tk.doc_id""".stripMargin,
+
+    // Mirrors TextDedup.snapshotSubstrDedup: even-id docs' distinct
+    // window fingerprints are the store; odd-id (new-snapshot) windows
+    // covered when their fingerprint is in the store OR shared with a
+    // smaller odd doc (anchor-keep); covered positions DISTINCT, q377's
+    // rebuild form.
+    "q396_snapshot_dedup" ->
+      """WITH ntk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |otk AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |store AS (
+        |  SELECT DISTINCT md5(array_to_string(ts[i:i+19], ' ')) AS fp
+        |  FROM otk, LATERAL (SELECT unnest(range(1, len(ts) - 18)) AS i)),
+        |ninv AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    md5(array_to_string(ts[i:i+19], ' ')) AS fp
+        |  FROM ntk, LATERAL (SELECT unnest(range(1, len(ts) - 18)) AS i)),
+        |bmin AS (SELECT fp, min(doc_id) AS mind FROM ninv
+        |  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (
+        |  SELECT doc_id, i FROM ninv WHERE fp IN (SELECT fp FROM store)
+        |  UNION
+        |  SELECT n.doc_id, n.i FROM ninv n JOIN bmin
+        |    ON n.fp = bmin.fp AND n.doc_id > bmin.mind),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS pos
+        |  FROM hit, LATERAL (SELECT unnest(range(0, 20)) AS o)),
+        |tk AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS tok
+        |  FROM ntk, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i))
+        |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_tokens_removed,
+        |  md5(coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tok END,
+        |    ' ' ORDER BY tk.pos), '')) AS clean_md5
+        |FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
+        |  AND cov.pos = tk.pos
+        |GROUP BY tk.doc_id""".stripMargin,
 
     // Mirrors TextDedup.exactSubstringSweep: the q300 chain with the
     // window length l as a DATA column (one comprehension parameterized

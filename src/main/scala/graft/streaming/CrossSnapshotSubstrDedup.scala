@@ -10,7 +10,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * window-fingerprint store WITHOUT recomputing the corpus inventory.
   * Completes the incremental shelf: [[IncrementalDedup]] is the exact
   * whole-doc twin, [[IncrementalNearDup]] the MinHash twin — this is the
-  * sub-document verbatim-passage twin.
+  * sub-document verbatim-passage twin. The BATCH form
+  * ([[graft.operators.TextDedup.snapshotSubstrDedup]], q396) is the
+  * DuckDB-oracled unit; both ride one shared `snapshotCovered` core so
+  * the two can never drift.
   *
   * Semantics per batch (the q300 anchor-keep rule, store-extended):
   * every sliding `l`-token window of a batch doc is fingerprinted
@@ -56,11 +59,8 @@ object CrossSnapshotSubstrDedup {
   : DataFrame = {
     require(l >= 1, "need window length >= 1")
     val spark = batch.sparkSession
-    val inv = batch.select(col("doc_id").cast("long").as("doc_id"),
-        posexplode(graft.functions.TokenNgrams.token_window_hashes(
-          coalesce(col("text"), lit("")), l)).as(Seq("__p0", "fp")))
-      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("i"),
-        col("fp"))
+    val inv = graft.operators.TextDedup
+      .windowFpInventory(batch, "doc_id", "text", l)
       .localCheckpoint()
     // Hadoop FileSystem existence (not java.io.File) — the
     // IncrementalDedup hdfs://-correctness note
@@ -71,22 +71,12 @@ object CrossSnapshotSubstrDedup {
     val stored =
       if (storeExists) spark.read.parquet(storeDir).select(col("fp"))
       else spark.range(0).select(col("id").as("fp"))
-    // covered windows: fingerprint already in the store, OR shared with
-    // a smaller doc in THIS batch (anchor-keep, removal from the later)
-    val storeHit = inv.join(stored, Seq("fp"), "left_semi")
-      .select(col("doc_id"), col("i"))
-    val batchMin = inv.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("__mind"),
-        countDistinct(col("doc_id")).as("__nd"))
-      .where(col("__nd") >= 2)
-      .select(col("fp"), col("__mind"))
-    val intraHit = inv.join(batchMin, Seq("fp"))
-      .where(col("doc_id") > col("__mind"))
-      .select(col("doc_id"), col("i"))
-    val covered = storeHit.unionByName(intraHit)
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + l - 1)).as("pos"))
-      .distinct()
+    // covered positions: fingerprint already in the store, OR shared
+    // with a smaller doc in THIS batch (anchor-keep, removal from the
+    // later) — the shared snapshotCovered core, so the streaming twin
+    // and the oracled batch form (q396) can never drift
+    val covered = graft.operators.TextDedup
+      .snapshotCovered(inv, stored, l)
       .withColumn("__hit", lit(1L))
     val cleaned = batch
       .select(col("doc_id").cast("long").as("doc_id"),

@@ -155,6 +155,30 @@ class RoundNineteenShelfSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("snapshotSubstrDedup (batch form): store hit removed, intra-snapshot later doc removed") {
+    def toks(p: String, k: Int) = (1 to k).map(i => s"$p$i").mkString(" ")
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val old = Seq((2L, toks("a", 25))).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, toks("a", 25)),      // re-crawl of the old doc -> removed
+      (3L, toks("c", 25)),      // novel -> kept
+      (5L, toks("d", 25)),      // intra-snapshot pair: min id keeps...
+      (7L, toks("d", 25)),      // ...later id removed
+      (9L, "short doc")).toDF("doc_id", "text")
+    val out = graft.operators.TextDedup
+      .snapshotSubstrDedup(nw, old, "doc_id", "text", l = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.operators.CacheScope.drain()
+    assert(out(1L) == ((25L, 25L, md5(""))), "store hit fully removed")
+    assert(out(3L) == ((25L, 0L, md5(toks("c", 25)))), "novel kept")
+    assert(out(5L) == ((25L, 0L, md5(toks("d", 25)))), "anchor keeps")
+    assert(out(7L) == ((25L, 25L, md5(""))), "later intra copy removed")
+    assert(out(9L) == ((2L, 0L, md5("short doc"))), "sub-l doc verbatim")
+  }
+
   test("crossSnapshotSubstrDedup: novel kept, re-crawl rejected, replay appends nothing") {
     import graft.streaming.CrossSnapshotSubstrDedup
     val dir = java.nio.file.Files
