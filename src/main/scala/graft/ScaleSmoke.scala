@@ -1775,6 +1775,13 @@ object ScaleSmoke {
             operators.TextLm.docBigrams(df, "doc_id", "text"), "doc_id"))
           .count()
       }
+      // per-source memorization census: the mem_risk chain x3 ks + an
+      // id-keyed source join — aggregate side type-bounded, join side
+      // linear (the mem_risk argument three times over).
+      time(s"mem_risk_src    $label") {
+        operators.TextDedup.memorizationRiskBySource(
+          df, "doc_id", "text", "source").count()
+      }
       // cross-snapshot substr dedup (parity carve): one fp-keyed store
       // DISTINCT + semi-join + covered explode LINEAR in the duplicated
       // mass — replicas make every odd doc a store hit, so the covered

@@ -2202,6 +2202,70 @@ object TextDedup {
           .cast("double") / lit(1e6)).as("risk_frac"))
   }
 
+  /** Per-SOURCE memorization-risk census over the prompt-length grid —
+    * the curation table [[memorizationRisk]]'s per-doc drill-down rolls
+    * up to (Carlini et al. 2023 report discoverable extraction as a
+    * function of prompt length k; a curation run acts per SOURCE): for
+    * each k and source, the pooled repeated-and-deterministic window
+    * fraction and how many documents are HIGH-RISK — majority of their
+    * windows risky, decided by the EXACT integer rule
+    * n_risky·highDen ≥ n_windows·highNum (no rounding anywhere, so the
+    * engines cannot disagree at the boundary).
+    *
+    * Output per (k, source): n_docs (scored docs — those with ≥ 1
+    * k+1-token window), n_windows, n_risky, risk_frac (pooled half-up
+    * 6-dp n_risky/n_windows), n_high_risk.
+    *
+    * Scale: the q393 chain per k (fingerprint-keyed aggregate + join,
+    * NO pair join) + one id-keyed source join + a source-keyed roll-up
+    * — |ks| passes over the window inventory, the q389 envelope.
+    *
+    * ScaleSmoke 10x (sf0.1, local[32], `mem_risk_src`): 3.8 s at 1x ->
+    * 7.9 s at 10x — sub-linear ×|ks| over the mem_risk curve: the
+    * fingerprint-keyed aggregate is type-bounded on replica corpora,
+    * only the join sides grow. */
+  def memorizationRiskBySource(docs: DataFrame, idCol: String,
+                               textCol: String, srcCol: String,
+                               ks: Seq[Int] = Seq(5, 10, 20),
+                               highNum: Int = 1, highDen: Int = 2)
+  : DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need window lengths >= 1")
+    require(highNum > 0 && highDen > 0, "need a positive high-risk ratio")
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("source"))
+    val perK = ks.map { k =>
+      val pw = CacheScope.persist(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+            split(coalesce(col(textCol), lit("")), " ").as("ts"),
+            posexplode(graft.functions.TokenNgrams.token_window_hashes(
+              coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
+          .where(col("p") + k + 1 <= size(col("ts")))
+          .select(col("doc_id"), col("fp"),
+            element_at(col("ts"), col("p") + k + 1).as("nxt")))
+      val byPrefix = pw.groupBy(col("fp"))
+        .agg(count(lit(1)).as("occ"), countDistinct(col("nxt")).as("ncont"))
+      val perDoc = pw.join(byPrefix, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nw"),
+          sum(when(col("occ") >= 2L && col("ncont") === 1L, 1L)
+            .otherwise(0L)).as("nr"))
+      perDoc.join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_windows"),
+          sum(col("nr")).as("n_risky"),
+          sum(when(col("nr") * highDen >= col("nw") * highNum, 1L)
+            .otherwise(0L)).as("n_high_risk"))
+        .select(lit(k.toLong).as("k"), col("source"), col("n_docs"),
+          col("n_windows"), col("n_risky"),
+          (expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_risky * 1000000" +
+              " + n_windows) DIV (2 * n_windows) AS BIGINT)")
+            .cast("double") / lit(1e6)).as("risk_frac"),
+          col("n_high_risk"))
+    }
+    perK.reduce(_.unionByName(_))
+  }
+
   /** Duplicate-cluster size census — the corpus-card table behind every
     * near-dup stage: how much of the corpus sits in duplicate clusters,
     * and how big they run (FineWeb/Dolma report exactly this histogram;

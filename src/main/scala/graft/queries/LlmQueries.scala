@@ -1973,6 +1973,15 @@ object LlmQueries {
       TextDedup.memorizationRisk(table(s, d, "documents"), "doc_id",
         "text", k = 10)),
 
+    // Per-source memorization-risk census over the k grid (Carlini et
+    // al. 2023's discoverable-extraction-vs-prompt-length curve, rolled
+    // to the curation-actionable unit): per (k, source), pooled risky-
+    // window fraction + high-risk doc count (majority rule, exact
+    // integer compare). See TextDedup.memorizationRiskBySource.
+    "q397_memorization_by_source" -> ((s, d) =>
+      TextDedup.memorizationRiskBySource(table(s, d, "documents"),
+        "doc_id", "text", "source")),
+
     // SOFT-weighted data-constrained allocation: q388's SoftDedup loss
     // weights turned into the allocation input (Xia et al. 2024's
     // intended use) — per-source effective mass = sum(weight * tokens)
@@ -3000,6 +3009,45 @@ object LlmQueries {
         |      * 1000000 + count(*)) // (2 * count(*)) AS BIGINT) AS DOUBLE)
         |    / 1e6 AS risk_frac
         |FROM xpw JOIN xbp USING (fp) GROUP BY 1""".stripMargin,
+
+    // Mirrors TextDedup.memorizationRiskBySource: the q393 chain per k
+    // (window+next inventory, fingerprint aggregate, join back, per-doc
+    // counts), id-joined to the source and rolled up; high-risk via the
+    // exact integer majority rule 2*nr >= nw.
+    "q397_memorization_by_source" -> {
+      val ks = Seq(5, 10, 20)
+      val ctes = ks.map { k =>
+        s"""ypw$k AS MATERIALIZED (
+           |  SELECT doc_id, md5(array_to_string(ts[i+1 : i+$k], ' ')) AS fp,
+           |    ts[i+${k + 1}] AS nxt
+           |  FROM ytk, LATERAL (SELECT unnest(range(0, len(ts) - $k)) AS i)),
+           |ybp$k AS (SELECT fp, CAST(count(*) AS BIGINT) AS occ,
+           |    CAST(count(DISTINCT nxt) AS BIGINT) AS ncont
+           |  FROM ypw$k GROUP BY 1),
+           |ypd$k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+           |    CAST(sum(CASE WHEN occ >= 2 AND ncont = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nr
+           |  FROM ypw$k JOIN ybp$k USING (fp) GROUP BY 1),
+           |ysr$k AS (SELECT CAST($k AS BIGINT) AS k, d.source,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(nw) AS BIGINT) AS n_windows,
+           |    CAST(sum(nr) AS BIGINT) AS n_risky,
+           |    CAST(sum(CASE WHEN nr * 2 >= nw * 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_high_risk
+           |  FROM ypd$k JOIN documents d USING (doc_id) GROUP BY 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      val stack = ks.map(k => s"SELECT * FROM ysr$k").mkString(" UNION ALL ")
+      s"""WITH ytk AS MATERIALIZED (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+         |  FROM documents),
+         |$ctes
+         |SELECT k, source, n_docs, n_windows, n_risky,
+         |  CAST(CAST((CAST(2 AS HUGEINT) * n_risky * 1000000 + n_windows)
+         |    // (2 * n_windows) AS BIGINT) AS DOUBLE) / 1e6 AS risk_frac,
+         |  n_high_risk
+         |FROM ($stack)""".stripMargin
+    },
 
     // Mirrors Scale.softWeightedMix: the q388 weights chain (shared
     // knModelCte lineage) -> per-doc wmu, per-source soft mass = half-up

@@ -43,6 +43,34 @@ class RoundNineteenShelfSpec extends AnyFunSuite {
     assert(out(3L)._3 > out(1L)._3 && out(1L)._3 > out(5L)._3)
   }
 
+  test("memorizationRiskBySource: per-source roll-up, exact majority high-risk rule") {
+    // source A: a verbatim pair (risk 1.0 each, high) + a unique doc
+    // (risk 0, not high); source B: the q393 prefix-shared pair (risk
+    // 0.5 each — exactly half IS high under the >= majority rule, the
+    // boundary this fixture pins) + a sub-k doc (no row, excluded from
+    // n_docs).
+    val docs = Seq(
+      (1L, "A", "z1 z2 z3 z4 z5"),
+      (2L, "A", "z1 z2 z3 z4 z5"),
+      (3L, "A", "u1 u2 u3 u4 u5"),
+      (4L, "B", "x1 x2 x3 x4 x5"),
+      (5L, "B", "x1 x2 x3 x4 y5"),
+      (6L, "B", "v1 v2 v3")).toDF("doc_id", "src", "text")
+    val out = graft.operators.TextDedup
+      .memorizationRiskBySource(docs, "doc_id", "text", "src",
+        ks = Seq(3))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    graft.operators.CacheScope.drain()
+    // A: docs 1/2 fully risky (2 windows each), doc 3 clean ->
+    // pooled 4/6 = half-up 0.666667, 2 high-risk docs
+    assert(out((3L, "A")) == ((3L, 6L, 4L, 0.666667, 2L)))
+    // B: each of docs 4/5 has 1 risky of 2 windows -> pooled 0.5 and
+    // BOTH high under >= (2*1 >= 2*1); doc 6 carries no window
+    assert(out((3L, "B")) == ((2L, 4L, 2L, 0.5, 2L)))
+  }
+
   test("softWeightedMix: weights shift the allocation vs the raw q386 mix") {
     def toks(p: String, k: Int) = (1 to k).map(i => s"$p$i").mkString(" ")
     val docs = Seq(
