@@ -772,4 +772,48 @@ object Scale {
         col("cap"), col("allocation"), col("epochs"), col("eff_tokens"),
         col("eff_epochs"), col("repeat_efficiency"))
   }
+
+  /** Allocation ABLATION across the three discount paths — the decision
+    * table a mixing run consults before picking its recipe: per source,
+    * the [[dataConstrainedMix]] allocation on the RAW mass, the
+    * [[dedupAwareMix]] allocation on the post-dedup UNIQUE mass (Lee et
+    * al. 2022 × Muennighoff et al. 2023), and the [[softWeightedMix]]
+    * allocation on the SoftDedup-weighted mass (Xia et al. 2024) — each
+    * chain run VERBATIM as it would standalone (each waterfills its own
+    * 2× budget over its own mass; the ablation compares the recipes,
+    * not a shared budget — documented contract). Sources a discount
+    * path EXCLUDES (zero unique/soft mass) carry NULLs on that path's
+    * columns; the raw path is the spine.
+    *
+    * Output per source: n_tokens (raw), alloc_raw, eff_epochs_raw,
+    * unique_tokens, alloc_dedup, eff_epochs_dedup, soft_tokens,
+    * alloc_soft, eff_epochs_soft.
+    *
+    * Scale: pure composition — the q386 source aggregate + grid chain,
+    * the q391 removal chain (linear in duplicated mass), the q394
+    * weights join; the final assembly is two source-keyed left joins
+    * over |sources|-row frames. Priced by its constituents' curves
+    * (q386 flat / q391 the q377 curve / q394 the KN curve). */
+  def allocationAblation(docs: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, weights: DataFrame,
+                         l: Int = 20, maxDf: Int = 10, epochCap: Int = 4,
+                         budgetNum: Int = 2, budgetDen: Int = 1,
+                         rStar: Double = 15.4): DataFrame = {
+    val raw = dataConstrainedMix(docs, srcCol, textCol, epochCap,
+        budgetNum, budgetDen, rStar)
+      .select(col("source"), col("n_tokens"),
+        col("allocation").as("alloc_raw"),
+        col("eff_epochs").as("eff_epochs_raw"))
+    val ded = dedupAwareMix(docs, idCol, textCol, srcCol, l, maxDf,
+        epochCap, budgetNum, budgetDen, rStar)
+      .select(col("source"), col("n_tokens").as("unique_tokens"),
+        col("allocation").as("alloc_dedup"),
+        col("eff_epochs").as("eff_epochs_dedup"))
+    val soft = softWeightedMix(docs, idCol, srcCol, textCol, weights,
+        epochCap, budgetNum, budgetDen, rStar)
+      .select(col("source"), col("n_tokens").as("soft_tokens"),
+        col("allocation").as("alloc_soft"),
+        col("eff_epochs").as("eff_epochs_soft"))
+    raw.join(ded, Seq("source"), "left").join(soft, Seq("source"), "left")
+  }
 }

@@ -1994,6 +1994,17 @@ object LlmQueries {
         graft.operators.TextLm.softDedupWeights(knDocBigrams(s, d),
           "doc_id"))),
 
+    // Allocation ABLATION across the three discount paths: raw (q386),
+    // dedup-discounted (q391, Lee x Muennighoff) and soft-weighted
+    // (q394, Xia) allocations side by side per source — each chain run
+    // verbatim as it would standalone; the decision table a mixing run
+    // consults. See Scale.allocationAblation.
+    "q398_allocation_ablation" -> ((s, d) =>
+      graft.operators.Scale.allocationAblation(table(s, d, "documents"),
+        "doc_id", "text", "source",
+        graft.operators.TextLm.softDedupWeights(knDocBigrams(s, d),
+          "doc_id"))),
+
     // Corpus data card v2 — the release-card roll-up of the r17/r18
     // shelves in ONE row: complete Gopher-gate retention (q375 x q380
     // conjunction), dedup-pipeline attrition (q345's worklist),
@@ -3084,8 +3095,88 @@ object LlmQueries {
         |  HAVING (2 * sum(CAST(wmu AS HUGEINT) * nt) + 1000000)
         |    // 2000000 > 0),
         |${ScaleQueries.dataConstrainedChainSql("per")}
-        |SELECT per.n_raw_tokens, ${ScaleQueries.dataConstrainedSelectSql}
+        |SELECT per.n_raw_tokens, ${ScaleQueries.dataConstrainedSelectSql()}
         |FROM dm JOIN per USING (source)""".stripMargin,
+
+    // Mirrors Scale.allocationAblation: the q386 chain (r-prefix) on
+    // raw masses, the q391 chain (x/e-prefix: exact-substring runs ->
+    // per-source unique mass) and the q394 chain (w-prefix: SoftDedup
+    // weights -> soft mass) composed in ONE WITH via the prefixed
+    // builders, two source-keyed LEFT joins off the raw spine.
+    "q398_allocation_ablation" ->
+      s"""WITH rper AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+        |      AS s
+        |  FROM documents GROUP BY 1),
+        |${ScaleQueries.dataConstrainedChainSql("rper", "r")},
+        |${ScaleQueries.exactRunsCte("x")},
+        |ecov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT doc_b AS doc_id,
+        |    CAST(unnest(range(b_start, b_start + run_tokens)) AS BIGINT)
+        |      AS pos
+        |  FROM xruns)),
+        |etk AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        |    FROM documents),
+        |    LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+        |epd AS (SELECT etk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN ecov.pos IS NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_rm
+        |  FROM etk LEFT JOIN ecov ON ecov.doc_id = etk.doc_id
+        |    AND ecov.pos = etk.pos
+        |  GROUP BY etk.doc_id),
+        |eper AS (SELECT d.source,
+        |    CAST(sum(epd.n_tokens) - sum(epd.n_rm) AS BIGINT) AS s
+        |  FROM epd JOIN documents d USING (doc_id) GROUP BY 1
+        |  HAVING sum(epd.n_tokens) - sum(epd.n_rm) > 0),
+        |${ScaleQueries.dataConstrainedChainSql("eper", "e")},
+        |wtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wdb AS (SELECT doc_id, w1, w2, count(*) AS occ FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+        |      unnest(t[2:len(t)]) AS w2 FROM wtk)
+        |  GROUP BY 1, 2, 3),
+        |wbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2
+        |  FROM wdb GROUP BY 1, 2),
+        |wttl AS (SELECT CAST(sum(c2) AS BIGINT) AS tt FROM wbig),
+        |wfm AS (SELECT w1, w2,
+        |    CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS flp
+        |  FROM wbig CROSS JOIN wttl),
+        |wspd AS (SELECT doc_id,
+        |    CAST((2 * (-sum(occ * flp)) + sum(occ))
+        |      // (2 * sum(occ)) AS BIGINT) AS rmu
+        |  FROM wdb JOIN wfm USING (w1, w2) GROUP BY 1),
+        |wsmm AS (SELECT CAST((2 * sum(rmu) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS mmu FROM wspd),
+        |wwgt AS (SELECT doc_id,
+        |    CASE WHEN mmu = 0 THEN CAST(1000000 AS BIGINT) ELSE
+        |      CAST((CAST(2 AS HUGEINT) * rmu * 1000000 + mmu)
+        |        // (2 * mmu) AS BIGINT) END AS wmu
+        |  FROM wspd CROSS JOIN wsmm),
+        |wdt AS (SELECT doc_id, source,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |wper AS (SELECT source,
+        |    CAST((2 * sum(CAST(wmu AS HUGEINT) * nt) + 1000000)
+        |      // 2000000 AS BIGINT) AS s
+        |  FROM wdt JOIN wwgt USING (doc_id) GROUP BY 1
+        |  HAVING (2 * sum(CAST(wmu AS HUGEINT) * nt) + 1000000)
+        |    // 2000000 > 0),
+        |${ScaleQueries.dataConstrainedChainSql("wper", "w")}
+        |SELECT rr.source, rr.n_tokens, rr.allocation AS alloc_raw,
+        |  rr.eff_epochs AS eff_epochs_raw,
+        |  ee.n_tokens AS unique_tokens, ee.allocation AS alloc_dedup,
+        |  ee.eff_epochs AS eff_epochs_dedup,
+        |  ww.n_tokens AS soft_tokens, ww.allocation AS alloc_soft,
+        |  ww.eff_epochs AS eff_epochs_soft
+        |FROM (SELECT ${ScaleQueries.dataConstrainedSelectSql("r")}
+        |  FROM rdm) rr
+        |LEFT JOIN (SELECT ${ScaleQueries.dataConstrainedSelectSql("e")}
+        |  FROM edm) ee USING (source)
+        |LEFT JOIN (SELECT ${ScaleQueries.dataConstrainedSelectSql("w")}
+        |  FROM wdm) ww USING (source)""".stripMargin,
 
     // Mirrors the q395 card composition: the dedup-pipeline worklist
     // (wl) + BOTH gopher census chains (mc/r) + the q389 k=10 chain

@@ -845,74 +845,82 @@ object ScaleQueries {
     * ending at `runs(doc_a, doc_b, a_start, b_start, run_tokens)` —
     * shared by the q300 and q377 oracles so the run rule can never
     * drift between find and remove. */
-  private val exactRunsCte: String =
-    """toks AS (
+  private[queries] def exactRunsCte(pfx: String = ""): String =
+    s"""${pfx}toks AS (
       |  SELECT doc_id, split(text, ' ') AS ts FROM documents
       |  WHERE len(split(text, ' ')) >= 20),
-      |pos AS (
+      |${pfx}pos AS (
       |  SELECT doc_id, CAST(u.s.i AS BIGINT) AS i, u.s.fp AS fp
-      |  FROM toks,
+      |  FROM ${pfx}toks,
       |    unnest([struct_pack(i := i,
       |        fp := md5(array_to_string(ts[i:i+19], ' ')))
       |      for i in range(1, len(ts) - 18)]) AS u(s)),
-      |keep AS (
-      |  SELECT fp FROM pos GROUP BY fp
+      |${pfx}keep AS (
+      |  SELECT fp FROM ${pfx}pos GROUP BY fp
       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
-      |pk AS (SELECT pos.* FROM pos JOIN keep USING (fp)),
-      |pr AS (
+      |${pfx}pk AS (SELECT ${pfx}pos.* FROM ${pfx}pos
+      |  JOIN ${pfx}keep USING (fp)),
+      |${pfx}pr AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
-      |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-      |st AS (
+      |  FROM ${pfx}pk a JOIN ${pfx}pk b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |${pfx}st AS (
       |  SELECT doc_a, doc_b, ia, ia - ib AS diag,
       |    ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
       |      ORDER BY ia) AS isl
-      |  FROM pr),
-      |runs AS (
+      |  FROM ${pfx}pr),
+      |${pfx}runs AS (
       |  SELECT doc_a, doc_b,
       |    CAST(min(ia) AS BIGINT) AS a_start,
       |    CAST(min(ia) - diag AS BIGINT) AS b_start,
       |    CAST(max(ia) - min(ia) + 20 AS BIGINT) AS run_tokens
-      |  FROM st GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+      |  FROM ${pfx}st GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
 
   /** The q386/q391 shared decay-allocation chain: the q355 waterfill
     * (budget 2x, cap 4) + the driver-computed Muennighoff grid
     * (Scale.muennighoffGrid — the SAME constants the Spark side embeds)
     * over a prebuilt `perTbl(source, s)` CTE, ending at
     * `dm(source, s, cap, allocation, dmu)`. */
-  private[queries] def dataConstrainedChainSql(perTbl: String): String = {
+  private[queries] def dataConstrainedChainSql(perTbl: String,
+                                               pfx: String = ""): String = {
     val grid = graft.operators.Scale.muennighoffGrid(4, 15.4)
       .map { case (m, c, nx) => s"($m, $c, $nx)" }.mkString(", ")
-    s"""caps AS MATERIALIZED (SELECT source, s, s * 4 AS cap FROM $perTbl),
-       |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
-       |    CAST(count(*) AS BIGINT) AS n FROM caps),
-       |grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
-       |    CAST(sum(cap) AS BIGINT) AS sc FROM caps GROUP BY 1),
-       |segs AS (
+    s"""${pfx}caps AS MATERIALIZED (SELECT source, s, s * 4 AS cap
+       |  FROM $perTbl),
+       |${pfx}tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+       |    CAST(count(*) AS BIGINT) AS n FROM ${pfx}caps),
+       |${pfx}grid AS (SELECT cap, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(cap) AS BIGINT) AS sc FROM ${pfx}caps GROUP BY 1),
+       |${pfx}segs AS (
        |  SELECT CAST(sum(c) OVER (ORDER BY cap) AS BIGINT) AS k,
-       |    CAST(sum(sc) OVER (ORDER BY cap) AS BIGINT) AS p FROM grid
+       |    CAST(sum(sc) OVER (ORDER BY cap) AS BIGINT) AS p
+       |  FROM ${pfx}grid
        |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-       |lvl AS (
+       |${pfx}lvl AS (
        |  SELECT CAST(max((ts * 2 // 1 - p) // (n - k)) AS BIGINT) AS lvl
-       |  FROM segs CROSS JOIN tot
+       |  FROM ${pfx}segs CROSS JOIN ${pfx}tot
        |  WHERE k < n AND ts * 2 // 1 >= p),
-       |eg AS (SELECT * FROM (VALUES $grid) AS t(m, cum_mu, nxt_mu)),
-       |al AS (SELECT source, s, cap,
+       |${pfx}eg AS (SELECT * FROM (VALUES $grid) AS t(m, cum_mu, nxt_mu)),
+       |${pfx}al AS (SELECT source, s, cap,
        |    CAST(least(cap, lvl) AS BIGINT) AS allocation,
        |    CAST(least(cap, lvl) // s AS BIGINT) AS mf
-       |  FROM caps CROSS JOIN lvl),
-       |dm AS (SELECT source, s, cap, allocation,
+       |  FROM ${pfx}caps CROSS JOIN ${pfx}lvl),
+       |${pfx}dm AS (SELECT source, s, cap, allocation,
        |    CAST(s AS HUGEINT) * cum_mu
        |      + CAST(allocation - mf * s AS HUGEINT) * nxt_mu AS dmu
-       |  FROM al JOIN eg ON al.mf = eg.m)""".stripMargin
+       |  FROM ${pfx}al JOIN ${pfx}eg ON ${pfx}al.mf = ${pfx}eg.m)"""
+      .stripMargin
   }
 
   /** The q386/q391 shared output-column list over `dm`. */
-  private[queries] def dataConstrainedSelectSql: String =
-    """dm.source, dm.s AS n_tokens, CAST(cap AS BIGINT) AS cap, allocation,
-      |  CAST(CAST((CAST(2 AS HUGEINT) * allocation * 1000000 + dm.s)
-      |    // (2 * dm.s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs,
+  private[queries] def dataConstrainedSelectSql(pfx: String = ""): String =
+    s"""${pfx}dm.source, ${pfx}dm.s AS n_tokens, CAST(cap AS BIGINT) AS cap,
+      |  allocation,
+      |  CAST(CAST((CAST(2 AS HUGEINT) * allocation * 1000000 + ${pfx}dm.s)
+      |    // (2 * ${pfx}dm.s) AS BIGINT) AS DOUBLE) / 1e6 AS epochs,
       |  CAST((2 * dmu + 1000000) // 2000000 AS BIGINT) AS eff_tokens,
-      |  CAST(CAST((2 * dmu + dm.s) // (2 * CAST(dm.s AS HUGEINT)) AS BIGINT)
+      |  CAST(CAST((2 * dmu + ${pfx}dm.s)
+      |    // (2 * CAST(${pfx}dm.s AS HUGEINT)) AS BIGINT)
       |    AS DOUBLE) / 1e6 AS eff_epochs,
       |  CASE WHEN allocation = 0 THEN 0.0 ELSE
       |    CAST(CAST((2 * dmu + allocation)
@@ -955,7 +963,7 @@ object ScaleQueries {
     // join on the fingerprint, ia − row_number() island stitching per
     // (pair, diagonal). Chain shared with the q377 removal oracle.
     "q300_exact_substring" ->
-      s"""WITH $exactRunsCte
+      s"""WITH ${exactRunsCte()}
          |SELECT doc_a, doc_b, a_start, b_start, run_tokens
          |FROM runs""".stripMargin,
 
@@ -964,7 +972,7 @@ object ScaleQueries {
     // position-keyed left join against the full token inventory, ordered
     // rebuild md5 (coalesce '' when every token is removed).
     "q377_exact_substr_dedup" ->
-      s"""WITH $exactRunsCte,
+      s"""WITH ${exactRunsCte()},
          |cov AS (SELECT DISTINCT doc_id, pos FROM (
          |  SELECT doc_b AS doc_id,
          |    CAST(unnest(range(b_start, b_start + run_tokens)) AS BIGINT)
@@ -1674,14 +1682,14 @@ object ScaleQueries {
          |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS s
          |  FROM documents GROUP BY 1),
          |${dataConstrainedChainSql("per")}
-         |SELECT $dataConstrainedSelectSql FROM dm""".stripMargin,
+         |SELECT ${dataConstrainedSelectSql()} FROM dm""".stripMargin,
 
     // Mirrors Scale.dedupAwareMix: the shared q377 removal chain rolled
     // up per source (unique mass = raw - removed, zero-mass sources
     // excluded — the documented s = 0 divergence guard), then the q386
     // decay/waterfill chain VERBATIM on the unique masses.
     "q391_dedup_aware_mix" ->
-      s"""WITH $exactRunsCte,
+      s"""WITH ${exactRunsCte()},
          |cov AS (SELECT DISTINCT doc_id, pos FROM (
          |  SELECT doc_b AS doc_id,
          |    CAST(unnest(range(b_start, b_start + run_tokens)) AS BIGINT)
@@ -1705,7 +1713,7 @@ object ScaleQueries {
          |  FROM pd JOIN documents d USING (doc_id) GROUP BY 1
          |  HAVING sum(pd.n_tokens) - sum(pd.n_rm) > 0),
          |${dataConstrainedChainSql("per")}
-         |SELECT per.n_raw_tokens, per.n_dup_tokens, $dataConstrainedSelectSql
+         |SELECT per.n_raw_tokens, per.n_dup_tokens, ${dataConstrainedSelectSql()}
          |FROM dm JOIN per USING (source)""".stripMargin,
 
     "q94_token_budget_mix" ->

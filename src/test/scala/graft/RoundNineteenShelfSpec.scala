@@ -150,6 +150,36 @@ class RoundNineteenShelfSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("allocationAblation: column-by-column replay of the three constituent mixes") {
+    val q = SparkEntry.queries
+    def bySrc(df: org.apache.spark.sql.DataFrame,
+              cols: Seq[String]): Map[String, Seq[Any]] =
+      df.collect().map(r => r.getString(r.fieldIndex("source")) ->
+        cols.map(c => r.get(r.fieldIndex(c)))).toMap
+    val abl = bySrc(q("q398_allocation_ablation")(spark, sf),
+      Seq("n_tokens", "alloc_raw", "eff_epochs_raw", "unique_tokens",
+        "alloc_dedup", "eff_epochs_dedup", "soft_tokens", "alloc_soft",
+        "eff_epochs_soft"))
+    val raw = bySrc(q("q386_data_constrained_mix")(spark, sf),
+      Seq("n_tokens", "allocation", "eff_epochs"))
+    val ded = bySrc(q("q391_dedup_aware_mix")(spark, sf),
+      Seq("n_tokens", "allocation", "eff_epochs"))
+    val soft = bySrc(q("q394_soft_weighted_mix")(spark, sf),
+      Seq("n_tokens", "allocation", "eff_epochs"))
+    graft.operators.CacheScope.drain()
+    assert(abl.keySet == raw.keySet, "raw path is the spine")
+    raw.foreach { case (s, v) => assert(abl(s).take(3) == v, s"raw $s") }
+    ded.foreach { case (s, v) =>
+      assert(abl(s).slice(3, 6) == v, s"dedup $s") }
+    soft.foreach { case (s, v) =>
+      assert(abl(s).slice(6, 9) == v, s"soft $s") }
+    // a source excluded by a discount path carries NULLs there
+    (abl.keySet -- ded.keySet).foreach(s =>
+      assert(abl(s).slice(3, 6).forall(_ == null)))
+    (abl.keySet -- soft.keySet).foreach(s =>
+      assert(abl(s).slice(6, 9).forall(_ == null)))
+  }
+
   test("tokenizer shared caches == standalone operators (the fixed recipe)") {
     val docs = Graft.table(spark, sf, "documents")
     val q = SparkEntry.queries
