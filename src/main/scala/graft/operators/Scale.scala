@@ -695,9 +695,20 @@ object Scale {
   def dedupAwareMix(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, l: Int = 20, maxDf: Int = 10,
                     epochCap: Int = 4, budgetNum: Int = 2,
-                    budgetDen: Int = 1, rStar: Double = 15.4): DataFrame = {
-    val perDoc = graft.operators.TextDedup.exactSubstringDedup(
-      docs, idCol, textCol, l, maxDf)
+                    budgetDen: Int = 1, rStar: Double = 15.4): DataFrame =
+    dedupAwareMixFrom(docs, idCol, srcCol,
+      graft.operators.TextDedup.exactSubstringDedup(
+        docs, idCol, textCol, l, maxDf),
+      epochCap, budgetNum, budgetDen, rStar)
+
+  /** [[dedupAwareMix]] over a PREBUILT per-doc exact-substring frame
+    * ([[graft.operators.TextDedup.exactSubstringDedup]]'s output — the
+    * shared-cache form; q391/q398 consume one session-shared build;
+    * spec-pinned identical to the self-building overload). */
+  def dedupAwareMixFrom(docs: DataFrame, idCol: String, srcCol: String,
+                        perDoc: DataFrame, epochCap: Int = 4,
+                        budgetNum: Int = 2, budgetDen: Int = 1,
+                        rStar: Double = 15.4): DataFrame = {
     val per = CacheScope.persist(docs
       .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"))
       .join(perDoc, Seq("doc_id"))
@@ -798,13 +809,28 @@ object Scale {
                          srcCol: String, weights: DataFrame,
                          l: Int = 20, maxDf: Int = 10, epochCap: Int = 4,
                          budgetNum: Int = 2, budgetDen: Int = 1,
-                         rStar: Double = 15.4): DataFrame = {
+                         rStar: Double = 15.4): DataFrame =
+    allocationAblationFrom(docs, idCol, textCol, srcCol, weights,
+      graft.operators.TextDedup.exactSubstringDedup(
+        docs, idCol, textCol, l, maxDf),
+      epochCap, budgetNum, budgetDen, rStar)
+
+  /** [[allocationAblation]] over a PREBUILT per-doc exact-substring frame
+    * — the shared-cache form (the dedup leg consumes the session-shared
+    * q377 build instead of re-running the removal chain; spec-pinned
+    * identical to the self-building overload). */
+  def allocationAblationFrom(docs: DataFrame, idCol: String,
+                             textCol: String, srcCol: String,
+                             weights: DataFrame, perDoc: DataFrame,
+                             epochCap: Int = 4, budgetNum: Int = 2,
+                             budgetDen: Int = 1, rStar: Double = 15.4)
+  : DataFrame = {
     val raw = dataConstrainedMix(docs, srcCol, textCol, epochCap,
         budgetNum, budgetDen, rStar)
       .select(col("source"), col("n_tokens"),
         col("allocation").as("alloc_raw"),
         col("eff_epochs").as("eff_epochs_raw"))
-    val ded = dedupAwareMix(docs, idCol, textCol, srcCol, l, maxDf,
+    val ded = dedupAwareMixFrom(docs, idCol, srcCol, perDoc,
         epochCap, budgetNum, budgetDen, rStar)
       .select(col("source"), col("n_tokens").as("unique_tokens"),
         col("allocation").as("alloc_dedup"),

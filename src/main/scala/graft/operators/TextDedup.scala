@@ -365,14 +365,18 @@ object TextDedup {
     * n_dup_tokens, n_tokens, dup_frac. */
   def exactSubstringSweep(docs: DataFrame, idCol: String, textCol: String,
                           ls: Seq[Int] = Seq(10, 20, 40),
-                          maxDf: Int = 10): DataFrame = {
+                          maxDf: Int = 10,
+                          prebuilt: Map[Int, DataFrame] = Map.empty)
+  : DataFrame = {
     require(ls.nonEmpty && ls.forall(_ >= 2), "need window lengths >= 2")
     val total = docs.select(
       sum(size(split(coalesce(col(textCol), lit("")), " ")))
         .cast("long").as("n_tokens"))
     val rows = ls.map { l =>
-      val runs = CacheScope.persist(
-        exactSubstringRuns(docs, idCol, textCol, l, maxDf))
+      // a PREBUILT leg (the session-shared l=20 run inventory) is already
+      // persisted by its cache; self-built legs persist per query as before
+      val runs = prebuilt.getOrElse(l, CacheScope.persist(
+        exactSubstringRuns(docs, idCol, textCol, l, maxDf)))
       val nRuns = runs.agg(count(lit(1)).as("n_runs"))
       val nDup = runs.select(col("doc_b").as("d"),
           explode(sequence(col("b_start"),
@@ -1104,8 +1108,16 @@ object TextDedup {
     * TEXT form downstream composition consumes. */
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
                           l: Int = 20, maxDf: Int = 10): DataFrame =
-    exactSubstrFlagged(docs, idCol, textCol,
-        exactSubstringRuns(docs, idCol, textCol, l, maxDf))
+    exactSubstringDedupFrom(docs, idCol, textCol,
+      exactSubstringRuns(docs, idCol, textCol, l, maxDf))
+
+  /** [[exactSubstringDedup]] over a PREBUILT run inventory — the shared-
+    * cache form (q377/q391/q398 consume one session-shared
+    * [[exactSubstringRuns]] build; spec-pinned identical to the
+    * self-building overload). */
+  def exactSubstringDedupFrom(docs: DataFrame, idCol: String,
+                              textCol: String, runs: DataFrame): DataFrame =
+    exactSubstrFlagged(docs, idCol, textCol, runs)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_tokens_removed"),
@@ -2023,14 +2035,38 @@ object TextDedup {
                               textCol: String,
                               ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "need window lengths >= 1")
-    val perK = ks.map { k =>
-      val pw = docs.select(col(idCol).cast("long").as("doc_id"),
-          split(coalesce(col(textCol), lit("")), " ").as("ts"),
-          posexplode(graft.functions.TokenNgrams.token_window_hashes(
-            coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
-        .where(col("p") + k + 1 <= size(col("ts")))
-        .select(col("fp"),
-          element_at(col("ts"), col("p") + k + 1).as("nxt"))
+    extractableMemorizationFrom(
+      ks.map(k => k -> memWindowInventory(docs, idCol, textCol, k)))
+  }
+
+  /** The (doc_id, fp, nxt) prompt-window inventory behind the
+    * memorization shelf (q389/q393/q397 and the q395 card leg): one row
+    * per k-token window CARRYING a continuation (windows at document end
+    * are excluded — the q389 contract), fingerprints minted natively
+    * ([[graft.functions.TokenNgrams.token_window_hashes]], group identity
+    * only — the q75/q300 precedent). Built once per k as a session-shared
+    * cache; every consumer's aggregate is fingerprint- or doc-keyed over
+    * this frame. */
+  def memWindowInventory(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, "need window length >= 1")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("ts"),
+        posexplode(graft.functions.TokenNgrams.token_window_hashes(
+          coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
+      .where(col("p") + k + 1 <= size(col("ts")))
+      .select(col("doc_id"), col("fp"),
+        element_at(col("ts"), col("p") + k + 1).as("nxt"))
+  }
+
+  /** [[extractableMemorization]] over PREBUILT per-k window inventories
+    * (`ks` pairs each k with its [[memWindowInventory]] frame — the
+    * shared-cache form; the doc_id column rides along unused, so the
+    * fingerprint-keyed aggregate is unchanged; spec-pinned identical to
+    * the self-building overload). */
+  def extractableMemorizationFrom(ks: Seq[(Int, DataFrame)]): DataFrame = {
+    require(ks.nonEmpty, "need at least one window length")
+    val perK = ks.map { case (k, pw) =>
       val byPrefix = pw.groupBy(col("fp"))
         .agg(count(lit(1)).as("occ"), countDistinct(col("nxt")).as("ncont"))
       byPrefix.agg(
@@ -2179,16 +2215,14 @@ object TextDedup {
     * the aggregate side is constant and only the doc-keyed join side
     * grows with the corpus. */
   def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 10): DataFrame = {
-    require(k >= 1, "need window length >= 1")
-    val pw = CacheScope.persist(
-      docs.select(col(idCol).cast("long").as("doc_id"),
-          split(coalesce(col(textCol), lit("")), " ").as("ts"),
-          posexplode(graft.functions.TokenNgrams.token_window_hashes(
-            coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
-        .where(col("p") + k + 1 <= size(col("ts")))
-        .select(col("doc_id"), col("fp"),
-          element_at(col("ts"), col("p") + k + 1).as("nxt")))
+                       k: Int = 10): DataFrame =
+    memorizationRiskFrom(CacheScope.persist(
+      memWindowInventory(docs, idCol, textCol, k)))
+
+  /** [[memorizationRisk]] over a PREBUILT window inventory
+    * ([[memWindowInventory]] — the shared-cache form; spec-pinned
+    * identical to the self-building overload). */
+  def memorizationRiskFrom(pw: DataFrame): DataFrame = {
     val byPrefix = pw.groupBy(col("fp"))
       .agg(count(lit(1)).as("occ"), countDistinct(col("nxt")).as("ncont"))
     pw.join(byPrefix, Seq("fp"))
@@ -2230,18 +2264,23 @@ object TextDedup {
                                highNum: Int = 1, highDen: Int = 2)
   : DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "need window lengths >= 1")
+    memorizationRiskBySourceFrom(
+      ks.map(k => k -> CacheScope.persist(
+        memWindowInventory(docs, idCol, textCol, k))),
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).as("source")),
+      highNum, highDen)
+  }
+
+  /** [[memorizationRiskBySource]] over PREBUILT per-k window inventories
+    * plus a (doc_id, source) map — the shared-cache form (spec-pinned
+    * identical to the self-building overload). */
+  def memorizationRiskBySourceFrom(ks: Seq[(Int, DataFrame)],
+                                   src: DataFrame, highNum: Int = 1,
+                                   highDen: Int = 2): DataFrame = {
+    require(ks.nonEmpty, "need at least one window length")
     require(highNum > 0 && highDen > 0, "need a positive high-risk ratio")
-    val src = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(srcCol).as("source"))
-    val perK = ks.map { k =>
-      val pw = CacheScope.persist(
-        docs.select(col(idCol).cast("long").as("doc_id"),
-            split(coalesce(col(textCol), lit("")), " ").as("ts"),
-            posexplode(graft.functions.TokenNgrams.token_window_hashes(
-              coalesce(col(textCol), lit("")), k)).as(Seq("p", "fp")))
-          .where(col("p") + k + 1 <= size(col("ts")))
-          .select(col("doc_id"), col("fp"),
-            element_at(col("ts"), col("p") + k + 1).as("nxt")))
+    val perK = ks.map { case (k, pw) =>
       val byPrefix = pw.groupBy(col("fp"))
         .agg(count(lit(1)).as("occ"), countDistinct(col("nxt")).as("ncont"))
       val perDoc = pw.join(byPrefix, Seq("fp"))

@@ -40,6 +40,16 @@ object SharedCaches {
     "kn_doc_bigrams" -> (LlmQueries.knDocBigrams _),
     "kn_bigram_model" -> (LlmQueries.knModelShared _),
     "lang_kn_scored" -> (LlmQueries.langKnScored _),
+    // SoftDeDup weights memoize THROUGH kn_doc_bigrams (q388/q394/q398)
+    "softdedup_weights" -> (LlmQueries.softDedupWeightsShared _),
+    // exact-substring shelf: the l=20 run inventory (q300/q377/q384/q391/
+    // q398), then the per-doc dedup frame that memoizes THROUGH it
+    "exact_runs_l20" -> (ScaleQueries.exactRunsShared _),
+    "exact_substr_doc" -> (ScaleQueries.exactSubstrDocShared _),
+    // per-k memorization window inventories (q389/q393/q397 + q395's leg)
+    "mem_windows_k5" -> (LlmQueries.memWindows5Shared _),
+    "mem_windows_k10" -> (LlmQueries.memWindows10Shared _),
+    "mem_windows_k20" -> (LlmQueries.memWindows20Shared _),
     "gopher_micro" -> (LlmQueries.gopherMicroShared _),
     "gopher_quality" -> (LlmQueries.gopherQualityShared _),
     // the tokenizer shelf: one corpus word scan (tok_word_seed), then the
