@@ -315,15 +315,19 @@ object TextDedup {
     * type-keyed shuffles only, never doc × doc. Output: doc_id, p1..p4,
     * log_selfbleu4. */
   def selfBleu(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = CacheScope.persist(docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      split(coalesce(col(textCol), lit("")), " ").as("t")))
-    val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("n"))
+    // one native single-pass expression per order mints every k-gram's
+    // 64-bit FNV-1a byte-span fingerprint (token_window_hashes): no token
+    // array, no gram strings — fingerprints are GROUP identity only (the
+    // q75/q300 hashed-identity precedent; the windows partition exactly as
+    // the concat_ws(' ', slice(t, i, k)) strings they replace, since each
+    // hash covers the same byte span). Every downstream shuffle moves
+    // longs, not up-to-4-token strings.
     def grams(k: Int): DataFrame =
-      toks.select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(t) >= $k THEN transform(sequence(1, size(t) - ${k - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $k))) " +
-          "ELSE slice(t, 1, 0) END")).as("g"))
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.TokenNgrams.token_window_hashes(
+          coalesce(col(textCol), lit("")), k)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     def clippedSelf(k: Int): DataFrame = {
       val gk = grams(k)
