@@ -113,7 +113,7 @@ object Bench {
       val passJson = passes.zipWithIndex.map { case (r, i) =>
         s"""{"pass":${i + 1},"total":${sec(r.map(_._2).sum)},"queries":${queriesJson(r)}}"""
       }.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","shared_cache_build":$cacheJson,"queries":${queriesJson(results)}$errJson,"passes":$passJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_inclusive":${sec(total + cacheBuilds.map(_._2).sum)},"n_queries":${results.size},"sf":"$sfDir","shared_cache_build":$cacheJson,"queries":${queriesJson(results)}$errJson,"passes":$passJson}"""
     }
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
@@ -141,7 +141,11 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$slowest,"queries_note":"15 slowest; full map in chunk lines + ${outPath}"$errJson}""")
+    // total_inclusive = per-query total + the untimed shared_cache_build
+    // line (r19 verdict item 6: a cache-migration win must not overstate
+    // itself round-over-round). ADDITIVE field only — "value" stays the
+    // per-query total the driver has always parsed.
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","total_inclusive":${sec(total + cacheBuilds.map(_._2).sum)},"n_queries":${results.size},"sf":"$sfDir","queries":$slowest,"queries_note":"15 slowest; full map in chunk lines + ${outPath}"$errJson}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -324,6 +324,12 @@ object TextDedup {
     // the concat_ws(' ', slice(t, i, k)) strings they replace, since each
     // hash covers the same byte span). Every downstream shuffle moves
     // longs, not up-to-4-token strings.
+    // ACCEPTED RISK (r19 ADVICE): a 64-bit collision between two distinct
+    // corpus grams merges their type counts and skews the clipped
+    // precisions of every doc carrying either gram — an unbounded silent
+    // bias at extreme corpus sizes. See the TokenWindowHashes scaladoc for
+    // the quantified envelope (≈ D²/2^65 expected merges; oracle-exact at
+    // every tested scale).
     def grams(k: Int): DataFrame =
       docs.select(col(idCol).cast("long").as("doc_id"),
         explode(graft.functions.TokenNgrams.token_window_hashes(
@@ -366,31 +372,62 @@ object TextDedup {
     * Scale: |ls| passes over the window-fingerprint machinery, each
     * df-capped exactly like q300; the covered-position explode stays
     * linear in duplicated mass per l. Output row per l: l, n_runs,
-    * n_dup_tokens, n_tokens, dup_frac. */
+    * n_dup_tokens, n_tokens, dup_frac.
+    *
+    * `prebuilt` CONTRACT (r19 ADVICE): each supplied frame MUST be the
+    * [[exactSubstringRuns]] output for exactly (docs, idCol, textCol,
+    * its map key l, THIS maxDf) — the map key alone is trusted; a frame
+    * built from other docs or another maxDf silently yields wrong sweep
+    * rows. The schema is asserted below; provenance is the caller's
+    * responsibility (the only caller passes the session-shared l=20
+    * inventory built with the same arguments, RoundNineteenOptSpec-pinned). */
   def exactSubstringSweep(docs: DataFrame, idCol: String, textCol: String,
                           ls: Seq[Int] = Seq(10, 20, 40),
                           maxDf: Int = 10,
                           prebuilt: Map[Int, DataFrame] = Map.empty)
   : DataFrame = {
     require(ls.nonEmpty && ls.forall(_ >= 2), "need window lengths >= 2")
+    prebuilt.values.foreach(f => require(
+      f.columns.toSeq == Seq("doc_a", "doc_b", "a_start", "b_start",
+        "run_tokens"),
+      s"prebuilt frame is not an exactSubstringRuns output " +
+        s"(got columns ${f.columns.mkString(",")})"))
     val total = docs.select(
       sum(size(split(coalesce(col(textCol), lit("")), " ")))
         .cast("long").as("n_tokens"))
-    val rows = ls.map { l =>
-      // a PREBUILT leg (the session-shared l=20 run inventory) is already
-      // persisted by its cache; self-built legs persist per query as before
-      val runs = prebuilt.getOrElse(l, CacheScope.persist(
-        exactSubstringRuns(docs, idCol, textCol, l, maxDf)))
-      val nRuns = runs.agg(count(lit(1)).as("n_runs"))
-      val nDup = runs.select(col("doc_b").as("d"),
-          explode(sequence(col("b_start"),
-            col("b_start") + col("run_tokens") - 1)).as("pos"))
-        .distinct()
-        .agg(count(lit(1)).as("n_dup_tokens"))
-      nRuns.crossJoin(nDup)
-        .select(lit(l.toLong).as("l"), col("n_runs"), col("n_dup_tokens"))
+    // r20 fold (guide §2.4): the non-prebuilt legs used to run |ls|-1
+    // SEQUENTIAL run builds (each its own corpus scan + df-cap + pair
+    // join + stitch); now they share ONE machinery pass with l stacked
+    // as a column ([[exactSubstringRunsMulti]] — per-l run multisets are
+    // identical by construction), PREBUILT legs (the session-shared
+    // l=20 inventory) union in with their l tag, and the census is one
+    // l-keyed aggregate pair instead of per-l chains. A leg with zero
+    // runs keeps its row through the left joins (coalesce 0 — the old
+    // per-leg count-over-empty behaviour).
+    val builtLs = ls.filterNot(prebuilt.contains)
+    val runsAll = {
+      val built =
+        if (builtLs.isEmpty) Seq.empty[DataFrame]
+        else Seq(CacheScope.persist(exactSubstringRunsMulti(
+          docs, idCol, textCol, builtLs, maxDf)))
+      val pre = ls.filter(prebuilt.contains)
+        .map(l => prebuilt(l).withColumn("l", lit(l.toLong)))
+      (built ++ pre).reduce(_ unionByName _)
     }
-    rows.reduce(_ unionByName _).crossJoin(broadcast(total))
+    val nRunsPerL = runsAll.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_runs"))
+    val nDupPerL = runsAll.select(col("l"), col("doc_b"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("run_tokens") - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("l")).agg(count(lit(1)).as("n_dup_tokens"))
+    total.select(explode(array(ls.map(l => lit(l.toLong)): _*)).as("l"),
+        col("n_tokens"))
+      .join(nRunsPerL, Seq("l"), "left")
+      .join(nDupPerL, Seq("l"), "left")
+      .select(col("l"), coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        col("n_tokens"))
       .withColumn("dup_frac",
         expr("CAST(CAST((CAST(2 AS DECIMAL(38,0)) * n_dup_tokens * 1000000" +
             " + n_tokens) DIV (2 * n_tokens) AS BIGINT) AS DOUBLE)")
@@ -759,21 +796,19 @@ object TextDedup {
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val grams = docs
-      .select(col(idCol), split(col(textCol), " ").as("t"))
-      .where(size(col("t")) >= k + w - 1)
-      .select(col(idCol), expr(
-        s"transform(sequence(1, size(t) - ${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))")
-        .as("g"))
-      .select(col(idCol), size(col("g")).as("__ng"), posexplode(col("g")))
-      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__fp")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(0, w - 1)
-    grams.withColumn("__min", min(col("__fp")).over(win))
-      .where(col("__pos") <= col("__ng") - w) // full windows only (0-based)
-      .select(col(idCol), col("__min").as("fp"))
-      .distinct()
+    // r20: selection runs per row in ONE native scan
+    // ([[graft.functions.TokenNgrams.winnowedMins]]): md5 digested over
+    // each window's byte span (identical hex to the old
+    // md5(concat_ws(slice)) build — the span IS that string), frame
+    // minima in unsigned digest order (= the hex-string order the old
+    // window min used), distinct in-row. Kills the transform+slice+
+    // concat_ws window build, the per-doc window function and the
+    // corpus-wide distinct (RoundTwentyOptSpec pins old == new). md5
+    // remains the identity — the winnow MIN is part of the declared
+    // output, so the 64-bit FNV swap is NOT applicable here.
+    docs.select(col(idCol),
+      explode(graft.functions.TokenNgrams.md5_winnowed_mins(
+        col(textCol), k, w)).as("fp"))
   }
 
   /** Near-dup candidate pairs from winnowed fingerprints: documents sharing
@@ -786,15 +821,26 @@ object TextDedup {
   def winnowNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4, minShared: Long = 2,
                          maxDf: Long = 20): DataFrame = {
-    val fps = winnowedFingerprints(docs, idCol, textCol, k, w)
+    val fps = CacheScope.persist(winnowedFingerprints(docs, idCol, textCol, k, w))
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf).select(col("fp"))
-    val kept = fps.join(keep, "fp")
-    kept.select(col("fp"), col(idCol).as("doc_a"))
-      .join(kept.select(col("fp"), col(idCol).as("doc_b")), "fp")
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    // r20 (guide §2.4): candidate pairs WITHOUT a self-join — group each
+    // fingerprint's ids and expand the pairs IN-ROW (native PackedPairs,
+    // the ngramJaccardPairs idiom; identical pair multiset since ids are
+    // distinct per fp). The df cap bounds every group at maxDf ids, so no
+    // oversized-bucket fallback is needed. ids must fit in [0, 2^32) —
+    // the same bound ngramJaccardPairs documents for this corpus.
+    fps.join(keep, "fp")
+      .groupBy(col("fp"))
+      .agg(collect_list(col(idCol).cast("long")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(graft.functions.PackedPairs.packed_pairs(col("ids")))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+      .select(shiftrightunsigned(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("n_shared"))
   }
 
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
@@ -1074,6 +1120,56 @@ object TextDedup {
         col("__amin").cast("bigint").as("a_start"),
         (col("__amin") - col("diag")).cast("bigint").as("b_start"),
         (col("__amax") - col("__amin") + l).cast("bigint").as("run_tokens"))
+  }
+
+  /** [[exactSubstringRuns]] at SEVERAL window lengths in ONE machinery
+    * pass (r20, guide §2.4): l rides as a column of the window inventory
+    * (one corpus scan mints every l's fingerprints via a per-row
+    * l-struct array — the memWindowInventoryMulti pattern), the df-cap
+    * aggregate / pair self-join / island stitch all key by (l, fp) /
+    * (pair, diag, l), so each l's run multiset is EXACTLY the single-l
+    * build's (fingerprint domains never mix across l; spec-pinned).
+    * Output: the [[exactSubstringRuns]] columns plus `l`. Used by the
+    * q384 sweep for its non-prebuilt legs. */
+  private[graft] def exactSubstringRunsMulti(docs: DataFrame, idCol: String,
+                                             textCol: String, ls: Seq[Int],
+                                             maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ls.nonEmpty && ls.forall(_ >= 2), "need window lengths >= 2")
+    val pos = docs
+      .select(col(idCol).as("doc"),
+        explode(array(ls.map(l => struct(lit(l).as("l"),
+          graft.functions.TokenNgrams.token_window_hashes(col(textCol), l)
+            .as("hs"))): _*)).as("kh"))
+      .select(col("doc"), col("kh.l").as("l"),
+        posexplode(col("kh.hs")).as(Seq("__p0", "fp")))
+      .select(col("doc"), col("l"), (col("__p0") + 1).cast("bigint").as("i"),
+        col("fp"))
+    val posC = CacheScope.persist(pos)
+    val keep = posC.groupBy(col("l"), col("fp"))
+      .agg(countDistinct(col("doc")).as("__nd"))
+      .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+      .select(col("l"), col("fp"))
+    val pk = posC.select(col("l"), col("fp"), col("doc"), col("i"))
+      .join(keep, Seq("l", "fp"))
+    val pairs = pk.toDF("l", "fp", "doc_a", "ia")
+      .join(pk.toDF("l", "fp", "doc_b", "ib"), Seq("l", "fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("l"), col("doc_a"), col("doc_b"), col("ia"), col("ib"))
+    val w = Window.partitionBy(col("l"), col("doc_a"), col("doc_b"),
+        col("diag"))
+      .orderBy(col("ia"))
+    pairs.withColumn("diag", col("ia") - col("ib"))
+      .withColumn("__isl", col("ia") - row_number().over(w))
+      .groupBy(col("l"), col("doc_a"), col("doc_b"), col("diag"),
+        col("__isl"))
+      .agg(min(col("ia")).as("__amin"), max(col("ia")).as("__amax"))
+      .select(col("doc_a"), col("doc_b"),
+        col("__amin").cast("bigint").as("a_start"),
+        (col("__amin") - col("diag")).cast("bigint").as("b_start"),
+        (col("__amax") - col("__amin") + col("l")).cast("bigint")
+          .as("run_tokens"),
+        col("l").cast("bigint").as("l"))
   }
 
   /** Exact-substring dedup with REMOVAL and reconstruction (Lee et al.
@@ -1906,36 +2002,35 @@ object TextDedup {
                                  paraTokens: Int): DataFrame = {
     require(lineTokens >= 1 && paraTokens > lineTokens,
       "need lineTokens >= 1 < paraTokens")
-    // tile-granularity dup stats: per-(doc, tile type) occurrence counts,
-    // then one doc-keyed roll-up — repeats beyond a type's first
-    // occurrence are the duplicated mass (lines AND the chars they carry)
-    def dupStats(tileN: Int, pfx: String): DataFrame =
-      tileInventory(docs, idCol, textCol, tileN)
-        .select(col("doc_id"), array_join(col("lts"), " ").as("line"))
-        .groupBy(col("doc_id"), col("line"))
-        .agg(count(lit(1)).as("occ"))
-        .select(col("doc_id"), col("occ"),
-          length(col("line")).cast("long").as("len"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("occ")).as(s"${pfx}_n"),
-          count(lit(1)).as(s"${pfx}_nt"),
-          sum(col("occ") * col("len")).as(s"${pfx}_ch"),
-          sum((col("occ") - 1L) * col("len")).as(s"${pfx}_dch"))
-    // most frequent word n-gram per doc (count desc, gram asc) and the
-    // char mass its occurrences cover — min(struct(-cnt, gram)), no window
-    def topGram(n: Int, out: String): DataFrame =
-      docs.select(col(idCol).cast("long").as("doc_id"),
-          split(coalesce(col(textCol), lit("")), " ").as("ts"))
-        .where(size(col("ts")) >= n)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("ts")) - n),
-            i => array_join(slice(col("ts"), i + 1, lit(n)), " "))).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
-        .select(col("doc_id"),
-          ((-col("m.nc")) * length(col("m.g")).cast("long")).as(out))
+    val txt = coalesce(col(textCol), lit(""))
+    // r20: tile-granularity dup stats (dup-line/para rules) and the
+    // top-{2,3,4}-gram char masses are PURE per-document statistics —
+    // computed per row by the native byte-exact scans
+    // ([[graft.functions.TokenNgrams.tileStats]]/[[...TokenNgrams.topNgramMass]])
+    // instead of five corpus-wide (doc, tile/gram-string) exchanges + five
+    // doc-keyed joins. Identity stays byte-EXACT (the scans probe the
+    // original buffer; tie-break = unsigned byte order = Spark string
+    // order), so the numbers cannot move; RoundTwentyOptSpec pins the
+    // rewrite against the aggregate form, and the oracle re-gates it.
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        length(txt).cast("long").as("n_chars"),
+        graft.functions.TokenNgrams.token_tile_stats(txt, lineTokens)
+          .as("__lt"),
+        graft.functions.TokenNgrams.token_tile_stats(txt, paraTokens)
+          .as("__pt"),
+        graft.functions.TokenNgrams.token_top_ngram_mass(txt, 2).as("m2"),
+        graft.functions.TokenNgrams.token_top_ngram_mass(txt, 3).as("m3"),
+        graft.functions.TokenNgrams.token_top_ngram_mass(txt, 4).as("m4"))
+      .select(col("doc_id"), col("n_chars"),
+        element_at(col("__lt"), 1).as("l_n"),
+        element_at(col("__lt"), 2).as("l_nt"),
+        element_at(col("__lt"), 3).as("l_ch"),
+        element_at(col("__lt"), 4).as("l_dch"),
+        element_at(col("__pt"), 1).as("p_n"),
+        element_at(col("__pt"), 2).as("p_nt"),
+        element_at(col("__pt"), 3).as("p_ch"),
+        element_at(col("__pt"), 4).as("p_dch"),
+        col("m2"), col("m3"), col("m4"))
     // duplicate-n-gram char coverage (Table A1's last six rules): token
     // positions covered by ANY word n-gram occurring >= 2 times in the
     // doc, counted ONCE each (the paper's "taking care not to count
@@ -1944,18 +2039,20 @@ object TextDedup {
     // spaces are not attributed — documented house convention; the
     // denominator stays the doc's raw char count, the top-gram rule).
     // ONE chain serves all six n via an exploded n column: grams keyed
-    // (doc, n, gram) with their start lists (doc-bounded), dup starts
-    // exploded to covered positions, distinct, then one token-length
-    // join — linear in token count x |ns|, all doc-keyed.
-    val dupNsArr = array(gopherDupNs.map(lit): _*)
+    // (doc, n, fingerprint) with their start lists (doc-bounded), dup
+    // starts exploded to covered positions, distinct, then one
+    // token-length join — linear in token count x |ns|, all doc-keyed.
+    // r20: gram identity = the native 64-bit FNV-1a byte-span
+    // fingerprint (token_window_hashes — the q75/q300/q383 hashed-
+    // identity precedent; GROUP identity only, within one (doc, n)), so
+    // the two gram exchanges move longs, not n-token strings, and the
+    // split+transform+slice string build disappears.
     val grams = docs.select(col(idCol).cast("long").as("doc_id"),
-        split(coalesce(col(textCol), lit("")), " ").as("ts"),
-        explode(dupNsArr).as("n"))
-      .where(size(col("ts")) >= col("n"))
-      .select(col("doc_id"), col("n"),
-        posexplode(transform(sequence(lit(0), size(col("ts")) - col("n")),
-          i => array_join(slice(col("ts"), i + 1, col("n")), " ")))
-          .as(Seq("i", "g")))
+        explode(array(gopherDupNs.map(n => struct(lit(n).as("n"),
+          graft.functions.TokenNgrams.token_window_hashes(txt, n)
+            .as("hs"))): _*)).as("kh"))
+      .select(col("doc_id"), col("kh.n").as("n"),
+        posexplode(col("kh.hs")).as(Seq("i", "g")))
     // dup keys via count-only aggregate + semi-join back to the gram
     // inventory (NOT collect_list+explode): a degenerate doc (one token
     // repeated millions of times) would concentrate every start of its
@@ -1978,16 +2075,9 @@ object TextDedup {
       sum(when(col("n") === n, col("wl")).otherwise(0L)).as(s"dd$n"))
     val dupMass = covered.join(tokLen, Seq("doc_id", "p"))
       .groupBy(col("doc_id")).agg(ddAggs.head, ddAggs.tail: _*)
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"))
     val joined = base
-      .join(dupStats(lineTokens, "l"), Seq("doc_id"))
-      .join(dupStats(paraTokens, "p"), Seq("doc_id"))
-      .join(topGram(2, "m2"), Seq("doc_id"), "left")
-      .join(topGram(3, "m3"), Seq("doc_id"), "left")
-      .join(topGram(4, "m4"), Seq("doc_id"), "left")
       .join(dupMass, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("m2", "m3", "m4") ++ gopherDupNs.map(n => s"dd$n"))
+      .na.fill(0L, gopherDupNs.map(n => s"dd$n"))
     def mu(num: String, den: String): Column =
       when(col(den) === 0L, 0L).otherwise(expr(
         s"CAST((CAST(2 AS DECIMAL(38,0)) * ($num) * 1000000 + ($den))" +
@@ -2063,11 +2153,41 @@ object TextDedup {
         element_at(col("ts"), col("p") + k + 1).as("nxt"))
   }
 
+  /** ALL requested per-k [[memWindowInventory]] frames minted in ONE
+    * corpus pass (doc_id, k, fp, nxt): the parquet scan and the token
+    * `split` are paid once and each k's windows ride their own
+    * [[graft.functions.TokenNgrams.token_window_hashes]] column of a
+    * per-row k-struct array (the gopherMicro exploded-n pattern).
+    * `where k = <k>` of this frame is row-identical to the single-k
+    * build (spec-pinned) — the shared-cache parent the three
+    * mem_windows_k* children filter. */
+  def memWindowInventoryMulti(docs: DataFrame, idCol: String,
+                              textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need window lengths >= 1")
+    val txt = coalesce(col(textCol), lit(""))
+    val perK = array(ks.map(k => struct(lit(k).as("k"),
+      graft.functions.TokenNgrams.token_window_hashes(txt, k)
+        .as("hs"))): _*)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        split(txt, " ").as("ts"), explode(perK).as("kh"))
+      .select(col("doc_id"), col("kh.k").as("k"), col("ts"),
+        posexplode(col("kh.hs")).as(Seq("p", "fp")))
+      .where(col("p") + col("k") + 1 <= size(col("ts")))
+      .select(col("doc_id"), col("k"), col("fp"),
+        element_at(col("ts"), col("p") + col("k") + 1).as("nxt"))
+  }
+
   /** [[extractableMemorization]] over PREBUILT per-k window inventories
     * (`ks` pairs each k with its [[memWindowInventory]] frame — the
     * shared-cache form; the doc_id column rides along unused, so the
     * fingerprint-keyed aggregate is unchanged; spec-pinned identical to
-    * the self-building overload). */
+    * the self-building overload).
+    *
+    * CONTRACT (r19 ADVICE, also [[memorizationRiskBySourceFrom]]): each
+    * Int MUST be the k the paired frame was built with — the label is
+    * trusted, and a mismatched pair mislabels every output row's k with
+    * no error. The only callers pass the session-shared mem_windows_k<k>
+    * caches, each keyed by its own k (RoundNineteenOptSpec-pinned). */
   def extractableMemorizationFrom(ks: Seq[(Int, DataFrame)]): DataFrame = {
     require(ks.nonEmpty, "need at least one window length")
     val perK = ks.map { case (k, pw) =>

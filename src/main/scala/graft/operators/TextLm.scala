@@ -1098,7 +1098,20 @@ object TextLm {
     * Zipf-bounded work per k regardless of corpus size (nested carves
     * are unions of buckets, so sums of bucket sums equal the carve
     * sums exactly). Only the held-out ladder join runs per k, against
-    * the fixed held-out eighth. */
+    * the fixed held-out eighth.
+    *
+    * r20 fold (guide §2.4): the per-k ladders used to be |ks| SEQUENTIAL
+    * chains, each re-scanning the held-out eighth and re-joining its own
+    * (big, hist, cont) tables — the suite's last serial query at sf0.1
+    * (8-vs-32-core ratio 1.00). Now k is a STACKED COLUMN: the bucket
+    * tables carry one conditional sum per k (`c2_k = sum(occ) over
+    * buckets >= 8−k` — nested carves make each per-k count a conditional
+    * aggregate of the SAME rows), the held-out eighth is scanned ONCE
+    * through one 3-join chain, and the per-k points come out of ONE
+    * aggregate via `stack`. NULL mapping is exact: `sum` of an empty
+    * conditional set is NULL, precisely where the per-k left joins
+    * produced NULL (RoundSixteenShelfSpec's hand-computed replay and the
+    * oracle pin the fold). */
   def dataScalingFitFrom(docBig: DataFrame, docs: DataFrame, idCol: String,
                          textCol: String,
                          ks: Seq[Int] = Seq(1, 2, 4, 7)): DataFrame = {
@@ -1112,54 +1125,70 @@ object TextLm {
       // integer div, NOT `/`: h spans 60 bits, past double's 53-bit
       // mantissa — FP division would misbucket near eighth boundaries
       .withColumn("__bkt", expr(s"__h div $eighth"))
-    // held-out eighth (bucket 0) — the one frame the per-k ladders scan
+    // held-out eighth (bucket 0) — scanned ONCE by the single ladder join
     val ho = CacheScope.persist(dflag.where(col("__bkt") === 0L))
-    // per-bucket TYPE tables, built once (buckets 1..7 feed train carves)
-    val bigB = CacheScope.persist(dflag.where(col("__bkt") >= 1L)
-      .groupBy(col("w1"), col("w2"), col("__bkt"))
-      .agg(sum(col("occ")).as("c2b")))
-    val uniB = CacheScope.persist(docs
+    // ALL per-k bigram TYPE tables in one aggregate: c2_k is NULL exactly
+    // when the type has no occurrence in carve k (sum over an empty
+    // conditional set), matching the old per-k left-join NULL
+    val bigAll = CacheScope.persist(dflag.where(col("__bkt") >= 1L)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(when(col("__bkt") >= (8L - ks.head), col("occ")))
+          .as(s"c2_${ks.head}"),
+        ks.tail.map(k => sum(when(col("__bkt") >= (8L - k), col("occ")))
+          .as(s"c2_$k")): _*))
+    // history/continuation tables per k from the SAME frame: sum/count
+    // skip NULLs, so c1_k is NULL and n1p_k/nc_k are 0 exactly when the
+    // old per-k tables had no row
+    val histAgg = ks.flatMap(k => Seq(
+      sum(col(s"c2_$k")).as(s"c1_$k"), count(col(s"c2_$k")).as(s"n1p_$k")))
+    val histAll = bigAll.groupBy(col("w1")).agg(histAgg.head, histAgg.tail: _*)
+    val contAgg = ks.map(k => count(col(s"c2_$k")).as(s"nc_$k"))
+    val contAll = bigAll.groupBy(col("w2")).agg(contAgg.head, contAgg.tail: _*)
+    // per-word train-unigram counts with k stacked the same way
+    val uniAgg = ks.map(k =>
+      sum(when(col("__bkt") >= (8L - k), 1L)).as(s"uocc_$k"))
+    val uniAll = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .join(flags, idCol)
       .withColumn("__bkt", expr(s"__h div $eighth"))
       .where(col("__bkt") >= 1L)
-      .groupBy(col("w"), col("__bkt")).agg(count(lit(1)).as("uoccb")))
-    val points = ks.map { k =>
-      val bktLo = 8L - k
-      val big = bigB.where(col("__bkt") >= bktLo)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("c2b")).as("c2"))
-      val hist = big.groupBy(col("w1"))
-        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
-      val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
-      val trainUni = uniB.where(col("__bkt") >= bktLo)
-      val sizes = big.agg(count(lit(1)).as("t_types")).crossJoin(
-        trainUni.agg(countDistinct(col("w")).as("v"),
-          coalesce(sum(col("uoccb")), lit(0L)).as("n_train_tokens")))
-      ho
-        .join(big, Seq("w1", "w2"), "left")
-        .join(hist, Seq("w1"), "left")
-        .join(cont, Seq("w2"), "left")
-        .crossJoin(broadcast(sizes))
-        .withColumn("lp_mu", expr(
-          """CAST(round(ln(CASE WHEN t_types + v = 0 THEN NULL
-            |    WHEN c1 IS NULL
-            |    THEN CAST(coalesce(nc, 0) + 1 AS DOUBLE)
-            |      / CAST(t_types + v AS DOUBLE)
-            |    ELSE CAST(greatest(4 * coalesce(c2, 0) - 3, 0) * (t_types + v)
-            |          + 3 * n1p * (coalesce(nc, 0) + 1) AS DOUBLE)
-            |      / CAST(4 * c1 * (t_types + v) AS DOUBLE)
-            |  END) * 1e6) AS BIGINT)""".stripMargin))
-        .groupBy()
-        .agg(max(col("n_train_tokens")).as("n_train_tokens"),
-          sum(col("occ")).as("n_bigrams"),
-          sum(col("occ") * col("lp_mu")).as("mu"))
-        .select(lit(k.toLong).as("train_eighths"), col("n_train_tokens"),
-          col("n_bigrams"),
-          expr("CAST(CASE WHEN mu IS NOT NULL THEN" +
-            " (2 * (-mu) + n_bigrams) DIV (2 * n_bigrams) END AS BIGINT)")
-            .as("y_mu"))
+      .groupBy(col("w")).agg(uniAgg.head, uniAgg.tail: _*)
+    val sizeAgg = ks.map(k => count(col(s"c2_$k")).as(s"t_types_$k"))
+    val vAgg = ks.flatMap(k => Seq(
+      count(col(s"uocc_$k")).as(s"v_$k"),
+      coalesce(sum(col(s"uocc_$k")), lit(0L)).as(s"ntt_$k")))
+    val sizesAll = bigAll.agg(sizeAgg.head, sizeAgg.tail: _*)
+      .crossJoin(uniAll.agg(vAgg.head, vAgg.tail: _*))
+    val lpCols = ks.map { k =>
+      expr(
+        s"""CAST(round(ln(CASE WHEN t_types_$k + v_$k = 0 THEN NULL
+           |    WHEN c1_$k IS NULL
+           |    THEN CAST(coalesce(nc_$k, 0) + 1 AS DOUBLE)
+           |      / CAST(t_types_$k + v_$k AS DOUBLE)
+           |    ELSE CAST(greatest(4 * coalesce(c2_$k, 0) - 3, 0) * (t_types_$k + v_$k)
+           |          + 3 * n1p_$k * (coalesce(nc_$k, 0) + 1) AS DOUBLE)
+           |      / CAST(4 * c1_$k * (t_types_$k + v_$k) AS DOUBLE)
+           |  END) * 1e6) AS BIGINT)""".stripMargin).as(s"lp_mu_$k")
     }
-    val curve = CacheScope.persist(points.reduce(_.unionByName(_)))
+    val pointAgg = Seq(sum(col("occ")).as("n_bigrams")) ++
+      ks.flatMap(k => Seq(
+        max(col(s"ntt_$k")).as(s"ntt_$k"),
+        sum(col("occ") * col(s"lp_mu_$k")).as(s"mu_$k")))
+    val stacked = ks.map(k =>
+      s"CAST($k AS BIGINT), ntt_$k, n_bigrams, CAST(CASE WHEN mu_$k IS" +
+        s" NOT NULL THEN (2 * (-mu_$k) + n_bigrams) DIV (2 * n_bigrams)" +
+        s" END AS BIGINT)").mkString(", ")
+    val points = ho
+      .join(bigAll, Seq("w1", "w2"), "left")
+      .join(histAll, Seq("w1"), "left")
+      .join(contAll, Seq("w2"), "left")
+      .crossJoin(broadcast(sizesAll))
+      .select(col("occ") +: ks.map(k => col(s"ntt_$k")) ++: lpCols: _*)
+      .groupBy()
+      .agg(pointAgg.head, pointAgg.tail: _*)
+      .select(expr(s"stack(${ks.size}, $stacked)" +
+        " AS (train_eighths, n_train_tokens, n_bigrams, y_mu)"))
+    val curve = CacheScope.persist(points)
     val fit = curve
       .where(col("y_mu").isNotNull && col("n_train_tokens") > 0L)
       .select(expr("CAST(round(ln(CAST(n_train_tokens AS DOUBLE)) * 1e6)" +

@@ -226,11 +226,29 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val memWin20Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memWinMultiCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** r20: the three per-k builds each re-paid the parquet scan + token
+    * split (guide §2.4 — one corpus pass instead of three). The parent
+    * (doc_id, k, fp, nxt) frame is minted once
+    * ([[TextDedup.memWindowInventoryMulti]]); each per-k child persists
+    * its `k = const` filter of it, so consumers see EXACTLY the frames
+    * they always did (schema and rows spec-pinned identical to the
+    * single-k builds). */
+  private[queries] def memWindowsAllShared(s: SparkSession, d: String): DataFrame = {
+    memWinMultiCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    memWinMultiCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        TextDedup.memWindowInventoryMulti(table(s, d, "documents"),
+          "doc_id", "text", Seq(5, 10, 20))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
 
   private def memWinBuild(s: SparkSession, d: String, k: Int): DataFrame =
     graft.operators.CacheScope.pin(
-      TextDedup.memWindowInventory(table(s, d, "documents"), "doc_id",
-        "text", k)
+      memWindowsAllShared(s, d).where(col("k") === k)
+        .select(col("doc_id"), col("fp"), col("nxt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private[queries] def memWindows5Shared(s: SparkSession, d: String): DataFrame = {
@@ -2095,11 +2113,18 @@ object LlmQueries {
         .select((expr("CAST((CAST(2 AS DECIMAL(38,0)) * __de * 1000000" +
             " + __u) DIV (2 * __u) AS BIGINT)")
           .cast("double") / lit(1e6)).as("eff_epochs"))
+      // r20 (guide §2.3 — aggregate before you shuffle/join): word
+      // INSTANCES collapse to Zipf-bounded TYPES with a map-side-combined
+      // count before touching the dict, so the join probes |vocab| rows
+      // instead of every corpus token; Σcnt / Σcnt·np over the type join
+      // equal count(1) / Σnp over the instance join exactly
       val fert = docs.select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) >= 1 && length(col("w")) <= 16)
+        .groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
         .join(bpeDictShared(s, d).select(col("w"),
           size(split(col("sym"), " ")).cast("long").as("__np")), Seq("w"))
-        .agg(count(lit(1)).as("__nw"), sum(col("__np")).as("__p"))
+        .agg(sum(col("__cnt")).as("__nw"),
+          sum(col("__cnt") * col("__np")).as("__p"))
         .select((expr("CAST((CAST(2 AS DECIMAL(38,0)) * __p * 1000000" +
             " + __nw) DIV (2 * __nw) AS BIGINT)")
           .cast("double") / lit(1e6)).as("bpe_fertility"))

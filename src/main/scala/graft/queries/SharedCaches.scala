@@ -46,7 +46,10 @@ object SharedCaches {
     // q398), then the per-doc dedup frame that memoizes THROUGH it
     "exact_runs_l20" -> (ScaleQueries.exactRunsShared _),
     "exact_substr_doc" -> (ScaleQueries.exactSubstrDocShared _),
-    // per-k memorization window inventories (q389/q393/q397 + q395's leg)
+    // per-k memorization window inventories (q389/q393/q397 + q395's
+    // leg): ONE corpus pass mints the multi-k parent (r20); the per-k
+    // children filter+persist it, so their lines price the cheap copy
+    "mem_windows" -> (LlmQueries.memWindowsAllShared _),
     "mem_windows_k5" -> (LlmQueries.memWindows5Shared _),
     "mem_windows_k10" -> (LlmQueries.memWindows10Shared _),
     "mem_windows_k20" -> (LlmQueries.memWindows20Shared _),

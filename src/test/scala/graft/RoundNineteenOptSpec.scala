@@ -14,10 +14,12 @@ class RoundNineteenOptSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def rows(df: DataFrame): Set[String] = {
+  // MULTISET equality (sorted row strings), not Set: a divergence that
+  // only changes duplicate-row multiplicity must fail too (r19 ADVICE)
+  private def rows(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
     df.selectExpr(cols.map(c => s"CAST(`$c` AS STRING)"): _*)
-      .collect().map(_.mkString("|")).toSet
+      .collect().map(_.mkString("|")).toSeq.sorted
   }
 
   private def docs = graft.Graft.table(spark, sf, "documents")
@@ -57,7 +59,7 @@ class RoundNineteenOptSpec extends AnyFunSuite {
         s"$name column drift between shared and standalone forms")
       val (a, b) = (rows(viaCache), rows(solo))
       assert(a == b, s"$name shared-cache rows != standalone rows " +
-        s"(only-shared: ${(a -- b).take(3)}, only-solo: ${(b -- a).take(3)})")
+        s"(only-shared: ${a.diff(b).take(3)}, only-solo: ${b.diff(a).take(3)})")
       graft.operators.CacheScope.drain()
     }
   }
