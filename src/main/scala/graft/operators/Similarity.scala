@@ -575,8 +575,15 @@ object Similarity {
     * equivalent (left join + null test) on the vector id. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int = 8,
-                    lloydIters: Int = 2): DataFrame = {
-    val assign = semAssignment(emb, idCol, vecCol, nlist, lloydIters)
+                    lloydIters: Int = 2): DataFrame =
+    semanticDedupFrom(
+      semAssignment(emb, idCol, vecCol, nlist, lloydIters), idCol, threshold)
+
+  /** [[semanticDedup]] over a PREBUILT assignment frame
+    * ([[semAssignmentFrames]] — the shared-cache form; spec-pinned
+    * identical to the self-building overload). */
+  def semanticDedupFrom(assign: DataFrame, idCol: String,
+                        threshold: Double): DataFrame = {
     val dropped = semPairsFromAssignment(assign, idCol, threshold)
       .select(col("id_a")).distinct()
       .withColumn("__drop", lit(1L))
@@ -585,6 +592,20 @@ object Similarity {
       .select(col(idCol), col("cid"),
         when(col("__drop").isNull, 1L).otherwise(0L).as("keep"))
   }
+
+  /** The q142 Lloyd assignment lineage EXPOSED for session sharing (r20):
+    * (assign, cents) where assign = (idCol, cid, emb, nrm) and cents =
+    * the trained nlist-row centroid frame. FOUR consumers derive this
+    * identical pair at identical parameters (q142 semanticDedup, q362
+    * prototypicalityBand, q387 semanticDecontam, and the dedup-worklist
+    * builder's semanticDupPairs) — each previously re-ran the norms scan
+    * + Lloyd rounds + assignment. CONTRACT: the caller must pass frames
+    * built from the same emb/idCol/vecCol/nlist/lloydIters the consumer
+    * advertises (the exactSubstringSweep prebuilt rule). */
+  def semAssignmentFrames(emb: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int = 8, lloydIters: Int = 2)
+  : (DataFrame, DataFrame) =
+    semAssignmentWithCents(emb, idCol, vecCol, nlist, lloydIters)
 
   /** The semantic duplicate PAIR set behind [[semanticDedup]]'s keep/drop
     * verdicts: within-cell pairs (id_a > id_b) whose cosine reaches
@@ -597,8 +618,14 @@ object Similarity {
   def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nlist: Int = 8,
                        lloydIters: Int = 2): DataFrame =
-    semPairsFromAssignment(
+    semanticDupPairsFrom(
       semAssignment(emb, idCol, vecCol, nlist, lloydIters), idCol, threshold)
+
+  /** [[semanticDupPairs]] over a PREBUILT assignment frame — the
+    * shared-cache form (spec-pinned identical). */
+  def semanticDupPairsFrom(assign: DataFrame, idCol: String,
+                           threshold: Double): DataFrame =
+    semPairsFromAssignment(assign, idCol, threshold)
       .select(col("id_a"), col("id_b"), col("cid"))
 
   /** Embedding-based semantic DECONTAMINATION (the SemDeDup machinery
@@ -630,9 +657,16 @@ object Similarity {
     * [[semanticDedup]] prescribes. */
   def semanticDecontam(emb: DataFrame, idCol: String, vecCol: String,
                        evalPred: Column, threshold: Double,
-                       nlist: Int = 8, lloydIters: Int = 2): DataFrame = {
-    val assign = CacheScope.persist(
-      semAssignment(emb, idCol, vecCol, nlist, lloydIters))
+                       nlist: Int = 8, lloydIters: Int = 2): DataFrame =
+    semanticDecontamFrom(CacheScope.persist(
+      semAssignment(emb, idCol, vecCol, nlist, lloydIters)),
+      idCol, evalPred, threshold)
+
+  /** [[semanticDecontam]] over a PREBUILT assignment frame — the
+    * shared-cache form (the shared frame arrives persisted; the
+    * self-building overload persists its own). Spec-pinned identical. */
+  def semanticDecontamFrom(assign: DataFrame, idCol: String,
+                           evalPred: Column, threshold: Double): DataFrame = {
     // NULL-coalesced predicate (the q373 convention): a row where
     // evalPred evaluates to NULL is TRAIN, not silently dropped from
     // both sides — eval membership must be an affirmative true
@@ -684,10 +718,21 @@ object Similarity {
                           nlist: Int = 8, lloydIters: Int = 2,
                           loNum: Int = 1, loDen: Int = 4,
                           hiNum: Int = 1, hiDen: Int = 4): DataFrame = {
-    require(loNum > 0 && loDen > loNum && hiNum > 0 && hiDen > hiNum,
-      "band fractions must sit strictly inside (0, 1)")
     val (assign, cents) = semAssignmentWithCents(emb, idCol, vecCol,
       nlist, lloydIters)
+    prototypicalityBandFrom(assign, cents, idCol, loNum, loDen, hiNum,
+      hiDen)
+  }
+
+  /** [[prototypicalityBand]] over a PREBUILT (assignment, centroids)
+    * pair ([[semAssignmentFrames]] — the shared-cache form; spec-pinned
+    * identical to the self-building overload). */
+  def prototypicalityBandFrom(assign: DataFrame, cents: DataFrame,
+                              idCol: String,
+                              loNum: Int = 1, loDen: Int = 4,
+                              hiNum: Int = 1, hiDen: Int = 4): DataFrame = {
+    require(loNum > 0 && loDen > loNum && hiNum > 0 && hiDen > hiNum,
+      "band fractions must sit strictly inside (0, 1)")
     val scored = CacheScope.persist(assign
       .join(broadcast(cents), "cid")
       .withColumn("__cnrm", sqrt(dot_d(col("c_emb"), col("c_emb"))))

@@ -93,6 +93,49 @@ object LlmQueries {
     * reuses the shared MinHash pair graph; the semantic pair set is the
     * q142 cell lineage's pair form. Standalone semantics: a cold call
     * rebuilds identically. */
+  /** The q142 Lloyd ASSIGNMENT over the embeddings table (vec_id, cid,
+    * emb, nrm) plus its trained centroid frame — FOUR consumers derive
+    * this identical pair at identical parameters (nlist=8, lloydIters=2):
+    * q142 semanticDedup, q362 prototypicalityBand, q387
+    * semanticDecontam, and [[dedupWorklist]]'s semantic pair stage; each
+    * previously re-ran the norms scan + Lloyd rounds + assignment
+    * (~1–2.5 s apiece at sf0.1). Session-shared like [[knDocBigrams]];
+    * ONE build installs both frames (the bpe_merges/bpe_dict twin
+    * pattern — sem_cents registers FIRST so its line prices the Lloyd
+    * training and sem_assign prices the assignment on top). Standalone
+    * semantics: a cold call rebuilds identically (RoundTwentyOptSpec
+    * pins shared == standalone for all four consumers). */
+  private val semAssignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val semCentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def semFramesBuild(s: SparkSession, d: String): Unit = {
+    val (assign, cents) = Similarity.semAssignmentFrames(
+      table(s, d, "embeddings"), "vec_id", "embedding",
+      nlist = 8, lloydIters = 2)
+    semCentsCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    semAssignCache.getOrElseUpdate((s, d),
+      graft.operators.CacheScope.pin(
+        assign.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
+  private[queries] def semCentsShared(s: SparkSession, d: String): DataFrame = {
+    semCentsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    semAssignCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    if (!semCentsCache.contains((s, d))) semFramesBuild(s, d)
+    semCentsCache((s, d))
+  }
+
+  private[queries] def semAssignShared(s: SparkSession, d: String): DataFrame = {
+    semCentsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    semAssignCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    if (!semAssignCache.contains((s, d))) semFramesBuild(s, d)
+    semAssignCache((s, d))
+  }
+
   private val worklistCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -102,9 +145,8 @@ object LlmQueries {
       TextDedup.dedupPipeline(
         table(s, d, "documents"), "doc_id", "text",
         nearDupPairs(s, d),
-        Similarity.semanticDupPairs(
-          table(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.3, nlist = 8, lloydIters = 2))
+        Similarity.semanticDupPairsFrom(semAssignShared(s, d), "vec_id",
+          threshold = 0.3))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -1388,9 +1430,8 @@ object LlmQueries {
     // nlist grows with the corpus); the pairwise compare never leaves its
     // cluster. See Similarity.semanticDedup.
     "q142_semantic_dedup" -> ((s, d) =>
-      Similarity.semanticDedup(
-        table(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, nlist = 8, lloydIters = 2)),
+      Similarity.semanticDedupFrom(semAssignShared(s, d), "vec_id",
+        threshold = 0.3)),
 
     // Embedding-based semantic decontamination: vectors with vec_id % 10
     // = 0 stand in for the eval benchmark; training vectors cosine-close
@@ -1398,10 +1439,8 @@ object LlmQueries {
     // the paraphrase-robust stage exact-span q361 cannot express. See
     // Similarity.semanticDecontam.
     "q387_semantic_decontam" -> ((s, d) =>
-      Similarity.semanticDecontam(
-        table(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") % 10 === 0, threshold = 0.3,
-        nlist = 8, lloydIters = 2)),
+      Similarity.semanticDecontamFrom(semAssignShared(s, d), "vec_id",
+        col("vec_id") % 10 === 0, threshold = 0.3)),
 
     // Per-source dedup attrition over the q91 retention worklist — the
     // crawl-health report (a source losing 60% to dedup is re-crawling
@@ -1795,8 +1834,8 @@ object LlmQueries {
     // each cluster's value grid — outlier_drop / kept / proto_drop. See
     // Similarity.prototypicalityBand.
     "q362_proto_band" -> ((s, d) =>
-      Similarity.prototypicalityBand(
-        table(s, d, "embeddings"), "vec_id", "embedding")),
+      Similarity.prototypicalityBandFrom(
+        semAssignShared(s, d), semCentsShared(s, d), "vec_id")),
 
     // Held-out KN cross-entropy per source — train the KN model on the
     // md5-carve train split, score ONLY the held-out eighth with the

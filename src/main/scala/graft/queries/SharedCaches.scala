@@ -36,6 +36,12 @@ object SharedCaches {
     "winnow_pairs" -> (LlmQueries.winnowPairs _),
     "ppjoin_pairs" -> (MlQueries.ppjoinPairsShared _),
     "brand_lift" -> (InferQueries.brandLift _),
+    // the q142 Lloyd assignment pair (q142/q362/q387 + the worklist's
+    // semantic stage): cents FIRST (its line prices the Lloyd training;
+    // assign then prices the broadcast assignment on top — the twin
+    // attribution contract), both installed by one build
+    "sem_cents" -> (LlmQueries.semCentsShared _),
+    "sem_assign" -> (LlmQueries.semAssignShared _),
     "dedup_worklist" -> (LlmQueries.dedupWorklist _),
     "kn_doc_bigrams" -> (LlmQueries.knDocBigrams _),
     "kn_bigram_model" -> (LlmQueries.knModelShared _),
